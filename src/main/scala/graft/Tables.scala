@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's read-only parquet tables
+  * (`/root/testdata/sf*`, schemas in FIXTURES.md §2).
+  *
+  * Parquet scans are the engine's S8 source (SURVEY.md §2.1). All
+  * correctness/bench queries read through here so that filter pushdown and
+  * column pruning apply uniformly (verify with `.explain("formatted")`:
+  * `PushedFilters` / `ReadSchema` must reflect the query, not the table).
+  *
+  * 100 TB note: at cluster scale these would be partitioned/bucketed external
+  * tables; the API stays the same — a `DataFrame` per table — so every
+  * operator in this library is agnostic to physical layout.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operator queries (SURVEY.md §2.2, §2.4, §2.5, §2.7).
+  *
+  * Every query here is paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]]. Conventions for oracle parity:
+  *   - deterministic `ORDER BY` over a full key set,
+  *   - `round(x, 4)` on every double-valued output at the FINAL projection
+  *     only (both engines compute bit-identical doubles up to aggregation
+  *     order; rounding absorbs the summation-order ULP difference),
+  *   - aliases identical on both sides (the driver sorts columns by name).
+  *
+  * Scale notes (100 TB): all queries are single lazy plans — filters reach
+  * the parquet scan (PushedFilters), projections prune columns (ReadSchema),
+  * small dimension tables are broadcast explicitly, fact-fact joins shuffle
+  * on join keys once. No collect(), no driver-side row loops.
+  */
+object Relational {
+
+  /** P-ops: scan → pushed filter → projection with arithmetic + cast.
+    * Reference: the rename/cast/derive pipeline at etl.py:82-98. */
+  def filterProject(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1998-01-01") &&
+        $"l_shipdate" < lit("1998-04-01") && $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        to_date($"l_shipdate").as("ship_date"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** G1 hash aggregate, TPC-H Q1 shape: map-side partial agg + final agg,
+    * one shuffle on the (tiny-cardinality) group keys. */
+  def aggGroupBy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" <= lit("2000-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A1 broadcast hash join: fact(lineitem) ⋈ broadcast(part).
+    * At 100 TB the fact side never shuffles for this join. */
+  def joinBroadcast(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  /** A1/A2 multi-way star join (TPC-H Q5 shape): one shuffle join on the
+    * fact key (orders⋈lineitem), all dimensions broadcast. */
+  def joinMulti(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    Tables.lineitem(spark, d)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** O2 top-k: orderBy+limit plans TakeOrderedAndProject — per-partition
+    * heaps then a k-row merge on the driver, never a full sort. */
+  def topK(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 4).as("o_totalprice"), $"o_orderpriority")
+  }
+
+  /** A4 anti join: customers with no order since 2001 (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.orders(spark, d).filter($"o_orderdate" >= lit("2001-01-01"))
+    Tables.customer(spark, d)
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** A4 semi join: customers with ≥1 urgent order (EXISTS). */
+  def semiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, d).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(spark, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** A3 left outer join preserving customers with no 2001 orders; the
+    * aggregate runs BEFORE the join so the outer side stays 1:1. */
+  def outerJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o2001 = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= lit("2001-01-01"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("spend"))
+    Tables.customer(spark, d)
+      .join(o2001, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey",
+        coalesce($"n", lit(0L)).as("n_orders"),
+        round(coalesce($"spend", lit(0.0)), 4).as("spend"))
+      .orderBy($"c_custkey")
+  }
+}
