@@ -28,6 +28,24 @@ object SparkEntry {
     "q06_anti_join"      -> (Relational.antiJoin _),
     "q07_semi_join"      -> (Relational.semiJoin _),
     "q08_outer_join"     -> (Relational.outerJoin _),
+    "q09_window_lag"     -> (Windows.lagChange _),
+    "q10_window_rank"    -> (Windows.rankTopOrders _),
+    "q11_window_movavg"  -> (Windows.movingAvg _),
+    "q12_window_cumsum"  -> (Windows.cumulativeSum _),
+    "q13_union_distinct" -> (SetsAndAggs.unionDistinct _),
+    "q14_intersect"      -> (SetsAndAggs.intersectKeys _),
+    "q15_except"         -> (SetsAndAggs.exceptKeys _),
+    "q16_rollup"         -> (SetsAndAggs.rollupAgg _),
+    "q17_cube"           -> (SetsAndAggs.cubeAgg _),
+    "q18_count_distinct" -> (SetsAndAggs.countDistinctParts _),
+    "q19_approx_distinct" -> (SetsAndAggs.approxDistinct _),
+    "q20_percentiles"    -> (SetsAndAggs.percentiles _),
+    "q21_conditional_agg" -> (Scalars.conditionalAgg _),
+    "q22_date_functions" -> (Scalars.dateFunctions _),
+    "q23_string_functions" -> (Scalars.stringFunctions _),
+    "q24_json_extract"   -> (Scalars.jsonExtract _),
+    "q25_pivot"          -> (Scalars.pivotWide _),
+    "q26_math_functions" -> (Scalars.mathFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +121,140 @@ object SparkEntry {
         |           WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         |           GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q09_window_lag" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       round(o_totalprice, 4) AS price,
+        |       round(prev_price, 4) AS prev_price,
+        |       round(o_totalprice - prev_price, 4) AS change
+        |FROM (SELECT *, lag(o_totalprice, 1) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |      FROM orders)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+        |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+        |       CAST(drnk AS INTEGER) AS drnk
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |        dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q11_window_movavg" ->
+      """SELECT o_custkey, o_orderkey, round(ma7, 4) AS ma7
+        |FROM (SELECT *, avg(o_totalprice) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q12_window_cumsum" ->
+      """SELECT user_id, event_id, round(cum_value, 4) AS cum_value
+        |FROM (SELECT *, sum(value) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q13_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       round(sum(o_totalprice), 4) AS sum_price, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q18_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // q19_approx_distinct: intentionally no oracle — HLL sketches are
+    // engine-specific; ScalaTest asserts |approx - exact| <= 3*rsd*exact.
+    "q20_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q21_conditional_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                      THEN o_totalprice ELSE 0.0 END), 4) AS urgent_price,
+        |       round(sum(o_totalprice), 4) AS total_price,
+        |       count(*) AS n,
+        |       round(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                      THEN o_totalprice ELSE 0.0 END), 4)
+        |             / round(sum(o_totalprice), 4) * 100.0, 4) AS urgent_share
+        |FROM orders
+        |GROUP BY month
+        |ORDER BY month""".stripMargin,
+    "q22_date_functions" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |GROUP BY y, q, m
+        |ORDER BY y, q, m""".stripMargin,
+    "q23_string_functions" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_up,
+        |       substring(c_name, 1, 9) AS name_head,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_norm,
+        |       c_mktsegment || ':' || c_name AS seg_name
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q24_json_extract" ->
+      """SELECT event_type,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q25_pivot" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS "R"
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q26_math_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(abs(l_extendedprice - l_quantity * 100.0), 4) AS abs_diff,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |       round(sqrt(l_quantity), 4) AS qty_sqrt
+        |FROM lineitem
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -25,7 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
+    * for. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * Verify/Bench), so the raw column arrives as LongType nanos; we truncate
+    * to microseconds — exactly what DuckDB does reading the same file — and
+    * expose a proper TimestampType column. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Scalar-function queries (SURVEY.md §2.9 F1–F6) + pivot restructuring
+  * (§2.3 R1 generalized).
+  *
+  * All functions here are built-in Catalyst expressions — whole-stage
+  * codegen'd, no UDFs (the reference's Pydantic coercions and f-string
+  * formatting map onto cast/concat/regexp, etl.py:15-29, 39, 82-95).
+  */
+object Scalars {
+
+  /** F6 conditional aggregation (when/otherwise): urgent-order revenue share
+    * per month — the CASE WHEN pattern of TPC-H Q12/Q14. */
+  def conditionalAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(
+        round(sum(when($"o_orderpriority" === "1-URGENT", $"o_totalprice")
+          .otherwise(lit(0.0))), 4).as("urgent_price"),
+        round(sum($"o_totalprice"), 4).as("total_price"),
+        count(lit(1)).as("n"))
+      .withColumn("urgent_share",
+        round($"urgent_price" / $"total_price" * 100.0, 4))
+      .orderBy($"month")
+  }
+
+  /** F2 date functions: year/quarter/month extraction and grouping. */
+  def dateFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy(year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .orderBy($"y", $"q", $"m")
+  }
+
+  /** F3 string functions: upper, substring, length, regexp_replace, concat.
+    * Mirrors the reference's prefix-stripping renames (etl.py:82-88). */
+  def stringFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .select($"c_custkey",
+        upper($"c_mktsegment").as("seg_up"),
+        substring($"c_name", 1, 9).as("name_head"),
+        length($"c_name").as("name_len"),
+        regexp_replace($"c_name", "[0-9]+", "#").as("name_norm"),
+        concat($"c_mktsegment", lit(":"), $"c_name").as("seg_name"))
+      .orderBy($"c_custkey")
+  }
+
+  /** F4 JSON: parse the events.props JSON payload and aggregate on its
+    * field — the reference's whole-payload JSON parse (etl.py:45,70) as a
+    * column-level operator. */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select($"event_type",
+        from_json($"props", lit("k INT")).getField("k").as("k_val"), $"value")
+      .groupBy($"event_type")
+      .agg(round(avg($"k_val"), 4).as("avg_k"),
+        sum($"k_val".cast(IntegerType)).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** R1/G5 pivot: long→wide restructuring, the inverse of the reference's
+    * map-explode (etl.py:80-81); values pinned for a deterministic schema
+    * (required at 100 TB — an unpinned pivot scans twice to discover values). */
+  def pivotWide(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum($"l_quantity"), 4))
+      .orderBy($"l_linestatus")
+  }
+
+  /** F1 math functions: abs/round/floor/ceil/sqrt over numeric columns. */
+  def mathFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_orderkey" <= 100)
+      .select($"l_orderkey", $"l_linenumber",
+        round(abs($"l_extendedprice" - $"l_quantity" * lit(100.0)), 4).as("abs_diff"),
+        floor($"l_extendedprice").as("price_floor"),
+        ceil($"l_discount" * 100).as("disc_pct_ceil"),
+        round(sqrt($"l_quantity"), 4).as("qty_sqrt"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+}

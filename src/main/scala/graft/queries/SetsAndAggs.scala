@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Set operations (SURVEY.md §2.8 U1/U2) and the aggregate complement
+  * (§2.5 G2–G4, G6).
+  *
+  * Scale notes: UNION is plan concatenation (no shuffle until the consumer);
+  * INTERSECT/EXCEPT compile to aggregate+join shuffles on the full row — keep
+  * them on pre-projected key columns, as here. ROLLUP/CUBE expand rows by the
+  * number of grouping sets BEFORE the shuffle; grouping keys here are
+  * low-cardinality so the expansion is safe at any scale.
+  */
+object SetsAndAggs {
+
+  /** U1 union-distinct: AUTOMOBILE-segment customers ∪ customers holding an
+    * urgent order. Mirrors the reference's per-symbol concat (etl.py:107)
+    * plus key dedup. */
+  def unionDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val auto = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val urgent = Tables.orders(spark, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    auto.union(urgent).distinct().orderBy($"c_custkey")
+  }
+
+  /** U2 intersect: customers both in BUILDING segment and with an open order. */
+  def intersectKeys(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val open = Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "O").select($"o_custkey".as("c_custkey"))
+    building.intersect(open).orderBy($"c_custkey")
+  }
+
+  /** U2 except: MACHINERY customers minus those with any F(inished) order. */
+  def exceptKeys(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val machinery = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "MACHINERY").select($"c_custkey")
+    val finished = Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "F").select($"o_custkey".as("c_custkey"))
+    machinery.except(finished).orderBy($"c_custkey")
+  }
+
+  /** G4 rollup over (returnflag, linestatus); NULL subtotal markers are
+    * coalesced to 'ALL' so both engines emit identical, NULL-free keys. */
+  def rollupAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** G4 cube over (orderstatus, orderpriority). */
+  def cubeAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 4).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"sum_price", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  /** G2 count-distinct per group (expands to a two-phase agg; Spark plans
+    * partial distinct on the mapper side). */
+  def countDistinctParts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** G3 approx distinct (HLL++). No oracle — sketch estimates are
+    * engine-specific; the driver records a rows-only check, and the ScalaTest
+    * suite asserts the estimate is within rsd of the exact count. */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** G6 exact percentiles via percentile (sort-based exact, matches DuckDB
+    * quantile_cont) — median is the 0.5 case. */
+  def percentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+}

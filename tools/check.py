@@ -21,8 +21,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(rows):
     out = []
     for r in rows:
-        out.append(tuple(
-            tuple(v) if isinstance(v, list) else v for v in r))
+        vals = []
+        for v in r:
+            if isinstance(v, list):
+                v = tuple(v)
+            elif isinstance(v, float) and v != v:  # NaN/NULL double
+                v = None
+            vals.append(v)
+        out.append(tuple(vals))
     return sorted(out, key=repr)
 
 
