@@ -46,6 +46,16 @@ object SparkEntry {
     "q24_json_extract"   -> (Scalars.jsonExtract _),
     "q25_pivot"          -> (Scalars.pivotWide _),
     "q26_math_functions" -> (Scalars.mathFunctions _),
+    "q27_asof_join"      -> (Temporal.asOfJoin _),
+    "q28_range_join"     -> (Advanced.rangeJoin _),
+    "q29_sortmerge_join" -> (Advanced.sortMergeJoin _),
+    "q30_upsert_ignore"  -> (Advanced.upsertIgnore _),
+    "q31_candle_agg"     -> (Advanced.candleAgg _),
+    "q32_explode_tokens" -> (Advanced.explodeTokens _),
+    "q33_sessionize"     -> (Temporal.sessionize _),
+    "q34_window_tumbling" -> (Temporal.tumblingWindow _),
+    "q35_window_sliding" -> (Temporal.slidingWindow _),
+    "q36_session_window" -> (Temporal.sessionWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +266,109 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q27_asof_join" ->
+      """SELECT e.user_id, e.event_id, s.ts AS last_signup_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q28_range_join" ->
+      """SELECT tier, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN (VALUES ('p0_negative', -100000.0, 0.0),
+        |             ('p1_low', 0.0, 2500.0),
+        |             ('p2_mid', 2500.0, 5000.0),
+        |             ('p3_high', 5000.0, 7500.0),
+        |             ('p4_top', 7500.0, 100000.0)) t(tier, lo, hi)
+        |  ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY tier
+        |ORDER BY tier""".stripMargin,
+    "q29_sortmerge_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q30_upsert_ignore" ->
+      """WITH existing AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        |     incoming AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        |     merged AS (SELECT * FROM existing
+        |                UNION ALL
+        |                SELECT * FROM incoming i
+        |                WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |                                  WHERE e.o_orderkey = i.o_orderkey))
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q31_candle_agg" ->
+      """WITH o AS (SELECT *,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn_a,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        |  FROM orders)
+        |SELECT o_custkey,
+        |       round(max(CASE WHEN rn_a = 1 THEN o_totalprice END), 4) AS open_price,
+        |       round(max(o_totalprice), 4) AS high_price,
+        |       round(min(o_totalprice), 4) AS low_price,
+        |       round(max(CASE WHEN rn_d = 1 THEN o_totalprice END), 4) AS close_price,
+        |       round(sum(o_totalprice), 4) AS total_price,
+        |       count(*) AS n
+        |FROM o
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q32_explode_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+    "q33_sessionize" ->
+      """WITH g AS (SELECT *,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, CAST(sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q34_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q35_window_sliding" ->
+      """SELECT make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+        |                       - k * 900) * 1000000) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q36_session_window" ->
+      """WITH g AS (SELECT *,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

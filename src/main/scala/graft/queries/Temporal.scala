@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Time-series / event-time queries (SURVEY.md §2.4 A6, §2.10 T6–T7 batch
+  * analogs). Streaming formulations of the same operators live in
+  * [[graft.streaming]]; these batch versions are the DuckDB-oracled ones. */
+object Temporal {
+
+  /** A6 as-of join: each event gets the timestamp of the user's most recent
+    * signup at-or-before it (DuckDB oracle: ASOF LEFT JOIN). */
+  def asOfJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    AsOfJoin.asOf(ev, signups, key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("ts"))
+      .select($"user_id", $"event_id", $"asof_ts".as("last_signup_ts"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** T7 batch sessionization via the gaps-and-islands library op. */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Sessionize.sessionize(Tables.events(spark, d), "user_id", "ts", 1800L)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** T6 tumbling event-time window (1 h) — batch analog of the streaming
+    * windowed aggregation; window start == date_trunc('hour'). */
+  def tumblingWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** T6 sliding event-time window (1 h every 15 min): each event lands in
+    * exactly 4 windows. */
+  def slidingWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** T6 built-in session_window (30 min gap; a new session starts when the
+    * gap is >= the threshold — the strict complement of [[sessionize]]). */
+  def sessionWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{CandleAggregator, PricePoint}
+
+class OperatorSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("AsOfJoin.asOf picks latest right row at-or-before left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (1L, ts("2024-01-01 09:00:00"), "e0"),
+      (2L, ts("2024-01-01 10:00:00"), "e3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0), // exactly-equal ts IS visible
+      (1L, ts("2024-01-01 11:00:00"), 11.0),
+      (2L, ts("2024-01-01 11:00:00"), 20.0)  // after left → not visible
+    ).toDF("k", "t", "price")
+
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("price"))
+      .select($"name", $"asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("e0").isEmpty)           // nothing before 09:00
+    assert(got("e1").contains(10.0))    // ties: >= semantics
+    assert(got("e2").contains(11.0))    // latest prior wins
+    assert(got("e3").isEmpty)           // other key's rows invisible
+  }
+
+  test("Upsert.upsertIgnore keeps existing rows and dedups incoming") {
+    import spark.implicits._
+    val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
+    val incoming = Seq((2L, "new"), (3L, "new"), (3L, "new2")).toDF("k", "v")
+    val out = Upsert.upsertIgnore(incoming, existing, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "old")
+    assert(out(2L) == "old")            // INSERT IGNORE: existing wins
+    assert(out(3L).startsWith("new"))   // in-batch dedup kept exactly one
+    assert(out.size == 3)
+  }
+
+  test("Upsert.upsertIgnore is idempotent (re-delivery is a no-op)") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val once = Upsert.upsertIgnore(existing, existing, Seq("k"))
+    val twice = Upsert.upsertIgnore(once, existing, Seq("k"))
+    assert(twice.count() == 2)
+  }
+
+  test("Sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly 1800 s → same session
+      (1L, ts("2024-01-01 11:00:01")), // 1801 s → new session
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "t")
+    val got = Sessionize.sessionize(ev, "user_id", "t", 1800L)
+      .select($"user_id", $"t", $"session_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getInt(2)).toMap
+    assert(got((1L, "2024-01-01 10:00:00.0")) == 1)
+    assert(got((1L, "2024-01-01 10:30:00.0")) == 1)
+    assert(got((1L, "2024-01-01 11:00:01.0")) == 2)
+    assert(got((2L, "2024-01-01 10:00:00.0")) == 1)
+  }
+
+  test("CandleAggregator computes deterministic OHLC with tie-broken order") {
+    import spark.implicits._
+    val pts = Seq(
+      PricePoint(1L, 100L, 2L, 5.0),  // same ord1 as next; ord2 breaks tie
+      PricePoint(1L, 100L, 1L, 3.0),  // first (100,1) → open=3
+      PricePoint(1L, 200L, 1L, 9.0),  // last → close=9
+      PricePoint(1L, 150L, 1L, 1.0)   // low
+    ).toDS()
+    val c = pts.groupByKey(_.key).agg(new CandleAggregator().toColumn)
+      .collect().head._2
+    assert(c.open == 3.0 && c.close == 9.0 && c.low == 1.0 && c.high == 9.0)
+    assert(c.total == 18.0 && c.n == 4L)
+  }
+
+  test("approx_count_distinct is within 3*rsd of exact at sf0.001") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.01)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.03)
+  }
+}
