@@ -56,6 +56,18 @@ object SparkEntry {
     "q34_window_tumbling" -> (Temporal.tumblingWindow _),
     "q35_window_sliding" -> (Temporal.slidingWindow _),
     "q36_session_window" -> (Temporal.sessionWindow _),
+    "q37_exact_dedup"    -> (NorthStar.exactDedup _),
+    "q38_jaccard_pairs"  -> (NorthStar.jaccardPairs _),
+    "q39_minhash_lsh"    -> (NorthStar.minhashLsh _),
+    "q40_simhash_pairs"  -> (NorthStar.simhashPairs _),
+    "q41_cosine_topk"    -> (NorthStar.cosineTopK _),
+    "q42_knn_join"       -> (NorthStar.knnJoin _),
+    "q43_ann_topk"       -> (NorthStar.annTopK _),
+    "q44_lang_id"        -> (NorthStar.langId _),
+    "q45_quality_score"  -> (NorthStar.qualityScore _),
+    "q46_token_counts"   -> (NorthStar.tokenCounts _),
+    "q47_fingerprint"    -> (NorthStar.fingerprint _),
+    "q48_multimodal"     -> (NorthStar.multimodalBytes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,5 +382,114 @@ object SparkEntry {
         |FROM s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q37_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+    "q38_jaccard_pairs" -> jaccardOracle,
+    // q39 = MinHash+LSH with exact verification; at J>=0.8 its candidate
+    // recall is 1-1e-7, so the oracle is identical to the exact query.
+    "q39_minhash_lsh" -> jaccardOracle,
+    // q40_simhash_pairs: no oracle (custom 64-bit fingerprint).
+    "q41_cosine_topk" ->
+      s"""SELECT e.vec_id, round($cosSql, 4) AS cos
+        |FROM embeddings e, (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |                    FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q42_knn_join" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT qid, e.vec_id AS nid, round($cosSql, 4) AS cos
+        |           FROM embeddings e, qs WHERE e.vec_id >= 10),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+        |      FROM scored)
+        |SELECT qid, nid, rnk, cos FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
+    // q43_ann_topk: no oracle (approximate); OperatorSpec checks recall.
+    "q44_lang_id" ->
+      """WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT *, [
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))),
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))),
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es'))),
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))),
+        |    len(list_filter(toks, x -> x IN ('de','shi','le','zai','he')))] AS scores
+        |  FROM t),
+        |p AS (SELECT *, (['de','en','es','fr','zh'])[list_position(scores,
+        |        list_max(scores))] AS predicted_lang FROM s)
+        |SELECT lang, predicted_lang, count(*) AS n
+        |FROM p
+        |GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
+    "q45_quality_score" ->
+      """WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+        |        CAST(length(text) AS INTEGER) AS n_len,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS n_stop
+        |      FROM t)
+        |SELECT doc_id, n_tokens, n_unique,
+        |       round(n_unique / n_tokens, 4) AS uniq_ratio,
+        |       round((n_len - (n_tokens - 1)) / n_tokens, 4) AS mean_tok_len,
+        |       round(n_stop / n_tokens, 4) AS stopword_ratio,
+        |       round(least(n_tokens / 100.0, 1.0) * 0.4
+        |             + (n_unique / n_tokens) * 0.4
+        |             + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2, 4) AS quality_score
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "q46_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS word_tokens,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INTEGER) AS regex_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q47_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce([ascii(c) for c in string_split(text, '')],
+        |         (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q48_multimodal" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       substring(hex(encode(text)), 1, 16) AS head_hex,
+        |       'text/plain' AS mime
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for
+    * the exact-verified MinHash+LSH variant, whose result coincides). */
+  private val jaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |                              AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(c / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cosine spelled out with sequential dot products — the exact formula
+    * the Spark side computes, so doubles agree bit-for-bit pre-round. */
+  private val cosSql: String =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) / " +
+      "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))"
 }

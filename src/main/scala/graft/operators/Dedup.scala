@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.TextExpressions
+
+/** Deduplication operators for large text corpora (north-star X1/X2;
+  * SURVEY.md §2.12): exact, exact-Jaccard via inverted index, MinHash+LSH,
+  * and SimHash banding.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash shuffle on the dedup key — 100 TB safe as-is.
+  *  - exact Jaccard: inverted-index self-join on shingles — no quadratic
+  *    cross join, but frequent shingles create join skew; at scale, drop
+  *    stop-shingles (document frequency above a cap) first.
+  *  - MinHash+LSH: constant-size signature per doc (k mins), band buckets
+  *    turn near-dup search into an equi-join; only candidate pairs are
+  *    verified exactly. The standard 100 TB dedup pipeline
+  *    (Broder, "On the resemblance and containment of documents", 1997).
+  *  - SimHash: one 64-bit fingerprint per doc, 4×16-bit band pigeonhole
+  *    (hamming ≤ 3 guarantees a shared band) → equi-join candidates.
+  */
+object Dedup {
+
+  /** X1 exact dedup: one representative (min id) per identical value. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle) pairs — distinct word-bigram shingles per doc. */
+  def shingles(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks)-2), " +
+          "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2))))"))
+        .as("shingle"))
+
+  private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =
+    pairsWithInter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+
+  /** X2 exact n-gram Jaccard near-dup pairs via inverted-index self-join. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    jaccardOf(inter, sizes)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** X2 MinHash+LSH near-dup pairs, verified with exact Jaccard. With
+    * k=32, bands=16×2 the candidate-recall at J=0.8 is
+    * 1-(1-0.8²)¹⁶ ≈ 1-1e-7, so verified output equals [[jaccardPairs]]
+    * for thresholds ≥ 0.8 (which is what the oracle checks). */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val prime = 2147483647L // 2^31 - 1
+    val rnd = new scala.util.Random(42)
+    val coefA = Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val coefB = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+
+    val sh = shingles(docs)
+    val hashed = sh.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(prime)))
+    val sig = hashed.groupBy("doc_id").agg(
+      min(pmod(col("h") * coefA(0) + coefB(0), lit(prime))).as("s0"),
+      (1 until numHashes).map(i =>
+        min(pmod(col("h") * coefA(i) + coefB(i), lit(prime))).as(s"s$i")): _*)
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification restricted to candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sa.shingle").as("sh_a"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sh_a") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    jaccardOf(inter, sizes)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands
+    * (pigeonhole-complete for hamming ≤ 3), exact hamming verification. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding only guarantees hamming <= 3")
+    val sims = docs.select(col(idCol).as("doc_id"),
+      TextExpressions.simhash64(split(col(textCol), " ")).as("sim"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(sim >> ${16 * b}) & 65535").as("bv"))
+    }
+    val buckets = sims
+      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"),
+        col("bk.bv").as("bv"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (north-star X3;
+  * SURVEY.md §2.12). Brute-force exact scoring as the baseline, plus a
+  * random-hyperplane LSH variant as the scale path.
+  *
+  * Scale design: the query side is always the broadcast side — the corpus
+  * never shuffles for scoring. Exact top-k uses TakeOrderedAndProject
+  * (per-partition heaps, no global sort). The LSH variant prunes the corpus
+  * to candidate buckets BEFORE any dot product, which is what makes top-k
+  * affordable when the corpus is 10^10 vectors: scoring cost goes from
+  * O(N·d) to O(|candidates|·d) per query (Indyk-Motwani / Charikar
+  * hyperplane LSH; see PAPERS.md).
+  *
+  * All arithmetic runs in double via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs on the hot path.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product — same evaluation order as DuckDB's
+    * `list_dot_product`, so results are bit-comparable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** X3 exact top-k by cosine against one stored query vector. */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** X3 k-NN join: top-k neighbors for EVERY query row (queries broadcast,
+    * per-query ranking via window). */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qs = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val scored = corpus
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplanes for [[annTopK]]. */
+  private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables, bitsPerTable, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Per-row LSH bucket signatures: (table, bucket) pairs, one per table. */
+  private def bucketed(emb: DataFrame, pl: Array[Array[Array[Double]]]): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val tableCols = pl.zipWithIndex.map { case (table, t) =>
+      val bucket = table.zipWithIndex.map { case (plane, j) =>
+        when(dot(v, typedLit(plane.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      explode(array(tableCols.toIndexedSeq: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** X3 approximate top-k: multiprobe hyperplane LSH (L tables × b bits,
+    * probing all buckets within hamming 1), exact rescoring of candidates. */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int,
+      numTables: Int = 4, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
+    val dim = 64
+    val pl = planes(numTables, bitsPerTable, dim, seed)
+    val corpus = bucketed(emb.filter(col("vec_id") =!= queryId), pl)
+    val query = bucketed(emb.filter(col("vec_id") === queryId), pl)
+      .select(col("table").as("qtable"), col("bucket").as("qbucket"),
+        asDouble(col("embedding")).as("qv"))
+    corpus
+      .join(broadcast(query), col("table") === col("qtable") &&
+        expr("bit_count(bucket ^ qbucket) <= 1"))
+      .select(col("vec_id"), col("embedding"), col("qv"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.TextExpressions
+
+/** Text-analysis operators (north-star X4; SURVEY.md §2.12): language ID,
+  * quality scoring, token counting, fingerprinting. All per-document and
+  * embarrassingly parallel — no shuffles except the caller's aggregates, so
+  * they stream through a 100 TB corpus at scan speed. Everything except the
+  * fingerprint is built-in-function-only (codegen'd). */
+object TextAnalysis {
+
+  /** Marker-word sets per language, used by the n-gram-style heuristic.
+    * Order is fixed (alphabetical) — ties resolve to the first max. */
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*))) // codegen'd
+
+  /** Adds `predicted_lang`: argmax of marker-word counts, first-max wins. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scores = array(langs.map { case (_, ms) => markerCount(toks, ms) }: _*)
+    val names = array(langs.map { case (n, _) => lit(n) }: _*)
+    docs
+      .withColumn("__scores", scores)
+      .withColumn("predicted_lang",
+        element_at(names, array_position(col("__scores"),
+          array_max(col("__scores"))).cast("int")))
+      .drop("__scores")
+  }
+
+  /** Per-doc quality metrics: token counts, uniqueness, mean token length,
+    * stopword ratio, and a composite [0,1] score. Single-space-separated
+    * text ⇒ mean token length = (chars - (n-1)) / n, computed identically
+    * in the oracle. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = Seq("the", "a", "of", "and", "is")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_unique", size(array_distinct(toks)))
+      .withColumn("uniq_ratio", round(col("n_unique") / col("n_tokens"), 4))
+      .withColumn("mean_tok_len", round(
+        (length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        round(markerCount(toks, stop) / col("n_tokens"), 4))
+      .withColumn("quality_score", round(
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
+          col("n_unique") / col("n_tokens") * 0.4 +
+          least(markerCount(toks, stop) / col("n_tokens") * 5.0, lit(1.0)) * 0.2,
+        4))
+  }
+
+  /** Token counting three ways: whitespace words, a BPE-ish regex
+    * (letter runs / digits / other symbols), and the chars/4 estimate. */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("word_tokens", size(split(col(textCol), " ")))
+      .withColumn("regex_tokens",
+        regexp_count(col(textCol), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("int"))
+      .withColumn("est_bpe_tokens",
+        ceil(length(col(textCol)) / 4.0).cast("long"))
+
+  /** Rolling-hash document fingerprint (custom Catalyst expression). */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))
+}

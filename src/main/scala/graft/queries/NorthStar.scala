@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plans.TextExpressions
+
+/** North-star extension queries (SURVEY.md §2.12): dedup, similarity
+  * search, text analysis, multimodal — over `documents` / `embeddings`. */
+object NorthStar {
+
+  /** X1 exact dedup: representative id + copy count per distinct text
+    * (keyed by md5 so the output stays narrow). */
+  def exactDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactDedup(Tables.documents(spark, d), "text", "doc_id")
+      .select(md5($"text").as("text_md5"), $"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** X2 exact bigram-shingle Jaccard near-dup pairs (J >= 0.8). */
+  def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.jaccardPairs(Tables.documents(spark, d), 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** X2 MinHash+LSH near-dups, exact-verified; at J>=0.8 candidate recall
+    * is 1-1e-7, so the oracle is the same SQL as [[jaccardPairs]]. */
+  def minhashLsh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minhashLshPairs(Tables.documents(spark, d), 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** X2 SimHash banding near-dups (hamming <= 3). No oracle: the custom
+    * 64-bit fingerprint has no DuckDB equivalent; OperatorSpec pins its
+    * semantics instead. */
+  def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashPairs(Tables.documents(spark, d), 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** X3 exact brute-force top-10 cosine for stored query vec 0. */
+  def cosineTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(spark, d), 0L, 10)
+
+  /** X3 k-NN join: top-3 neighbors for each of the 10 query vectors. */
+  def knnJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.knnJoin(emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 10), 3)
+      .select($"qid", $"nid", $"rnk", $"cos")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** X3 ANN (multiprobe hyperplane LSH) top-10 for query vec 0. No oracle
+    * (approximate by construction); OperatorSpec measures recall vs the
+    * exact top-k. */
+  def annTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(spark, d), 0L, 10)
+
+  /** X4 language-ID heuristic vs the labeled lang column. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withLangId(Tables.documents(spark, d))
+      .groupBy($"lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted_lang")
+  }
+
+  /** X4 per-doc quality metrics + composite score. */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withQuality(Tables.documents(spark, d))
+      .select($"doc_id", $"n_tokens", $"n_unique", $"uniq_ratio",
+        $"mean_tok_len", $"stopword_ratio", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  /** X4 token counting: words / BPE-ish regex / chars-per-4 estimate. */
+  def tokenCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withTokenCounts(Tables.documents(spark, d))
+      .select($"doc_id", $"word_tokens", $"regex_tokens", $"est_bpe_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** X4 rolling-hash fingerprint (custom expression), oracled via DuckDB
+    * list_reduce over character codes. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withFingerprint(Tables.documents(spark, d))
+      .select($"doc_id", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  /** X5 multimodal binary column: payload size + head bytes as hex (the
+    * SQL-expressible slice; the typed decode path is OperatorSpec-tested). */
+  def multimodalBytes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.withBinaryPayload(Tables.documents(spark, d))
+      .select($"doc_id",
+        $"media_meta.n_bytes".as("n_bytes"),
+        substring(hex($"media"), 1, 16).as("head_hex"),
+        $"media_meta.mime".as("mime"))
+      .orderBy($"doc_id")
+  }
+}

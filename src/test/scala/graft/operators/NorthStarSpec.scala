@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.TextExpressions
+
+class NorthStarSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("jaccardPairs finds planted near-duplicates and skips distinct docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // 7 of 8 bigrams shared → J ≈ 0.5
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 0.4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhashLshPairs matches exact jaccardPairs at threshold 0.8") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash64 is identical for identical docs, close for near-dups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "entirely different words compose this particular document body")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextExpressions.simhash64(split($"text", " ")).as("s"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 16)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) >
+      java.lang.Long.bitCount(m(1L) ^ m(3L)))
+  }
+
+  test("rolling_hash matches a hand-computed polynomial hash") {
+    import spark.implicits._
+    val got = Seq(Tuple1("abc")).toDF("t")
+      .select(TextExpressions.rolling_hash($"t")).as[Long].head()
+    val want = (('a'.toLong * 31 + 'b') * 31 + 'c') % 2147483647L
+    assert(got == want)
+  }
+
+  test("annTopK recall vs exact topK is nonzero and candidates are real") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(emb, 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ann.nonEmpty)
+    assert((ann intersect exact).size >= 2) // deterministic given fixed seed
+  }
+
+  test("knnJoin returns k ranked neighbors per query") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val res = Similarity.knnJoin(emb.filter($"vec_id" >= 10),
+      emb.filter($"vec_id" < 10), 3)
+    val counts = res.groupBy($"qid").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 10 && counts.values.forall(_ == 3L))
+  }
+
+  test("multimodal decodeFeatures preserves bytes and batch schema") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf).limit(20)
+    val feats = Multimodal.decodeFeatures(Multimodal.withBinaryPayload(docs))
+      .collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.feature.sum.toInt == f.n_bytes) // histogram mass = byte count
+      assert(f.kind == "text/plain")
+    }
+  }
+
+  test("withLangId picks first max deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "el la de y es"), (2L, "no markers here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df)
+      .select($"doc_id", $"predicted_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "es")
+    assert(got(2L) == "de") // all-zero scores → first lang in fixed order
+  }
+}
