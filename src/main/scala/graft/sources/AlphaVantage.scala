@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One validated, typed daily bar — the engine's mirror of the reference's
+  * Pydantic `DailyStockData` + warehouse row (etl.py:15-20, 115-129). */
+case class StockDaily(symbol: String, date: java.sql.Date, open: Double,
+    high: Double, low: Double, close: Double, volume: Long,
+    daily_change_percentage: Double)
+
+/** The Alpha Vantage ingest pipeline (SURVEY.md §1, §3.2), Spark-first.
+  *
+  * Reference semantics reproduced (citations into /root/reference):
+  *  - payload shape: map-of-date→OHLCV-struct with string numerics and
+  *    ordinal-prefixed field names (raw_data/AAPL_2025-10-05.json:1-16)
+  *  - validation: payloads missing required keys are skipped, never fatal
+  *    (etl.py:52-56, 73-77); non-numeric fields reject the record
+  *    (etl.py:15-20 via Pydantic coercion)
+  *  - transform chain: unpivot → rename → cast → derive → tag symbol →
+  *    sort (etl.py:80-99)
+  *
+  * Spark-first differences (by design): the whole chain is ONE lazy plan —
+  * explode on the MapType does the unpivot, casts are Catalyst expressions,
+  * the symbol comes from the payload's own metadata, and per-payload
+  * validation is a DataFrame split (valid/quarantine), not a try/except.
+  * At 100 TB this reads any number of payload files in parallel, prunes the
+  * untouched `Meta Data` column at the scan, and never touches the driver.
+  */
+object AlphaVantage {
+
+  val ohlcvSchema: StructType = StructType(Seq(
+    StructField("1. open", StringType), StructField("2. high", StringType),
+    StructField("3. low", StringType), StructField("4. close", StringType),
+    StructField("5. volume", StringType)))
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("Meta Data", MapType(StringType, StringType)),
+    StructField("Time Series (Daily)", MapType(StringType, ohlcvSchema))))
+
+  /** S2: read raw cached payloads (pretty-printed → multiLine) with the
+    * explicit schema — never inferSchema (SURVEY.md §1.4). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(payloadSchema).option("multiLine", true).json(path)
+
+  /** P5: split payloads into (valid, quarantined). A payload is valid iff
+    * both required keys parsed non-null — error/rate-limit payloads lack
+    * them (etl.py:27-29). */
+  def validate(raw: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col("Meta Data").isNotNull &&
+      col("`Time Series (Daily)`").isNotNull &&
+      element_at(col("Meta Data"), "2. Symbol").isNotNull
+    (raw.filter(ok), raw.filter(!coalesce(ok, lit(false))))
+  }
+
+  /** R1+P1-P4: map-explode, prefix-strip renames, string→number casts, the
+    * derived daily change, and the symbol tag — one lazy plan. Records with
+    * non-numeric fields cast to null and are rejected (strict mode),
+    * mirroring the Pydantic per-record rejection. */
+  def tabularize(valid: DataFrame): Dataset[StockDaily] = {
+    val spark = valid.sparkSession
+    import spark.implicits._
+    valid
+      .select(
+        element_at(col("Meta Data"), "2. Symbol").as("symbol"),
+        explode(col("`Time Series (Daily)`")).as(Seq("date_str", "ohlcv")))
+      .select(
+        col("symbol"),
+        to_date(col("date_str"), "yyyy-MM-dd").as("date"),
+        // try_cast: ANSI mode would THROW on malformed numerics; the
+        // reference instead rejects the record (Pydantic, etl.py:15-20)
+        col("ohlcv.`1. open`").try_cast(DoubleType).as("open"),
+        col("ohlcv.`2. high`").try_cast(DoubleType).as("high"),
+        col("ohlcv.`3. low`").try_cast(DoubleType).as("low"),
+        col("ohlcv.`4. close`").try_cast(DoubleType).as("close"),
+        col("ohlcv.`5. volume`").try_cast(LongType).as("volume"))
+      .filter(col("date").isNotNull && col("open").isNotNull &&
+        col("high").isNotNull && col("low").isNotNull &&
+        col("close").isNotNull && col("volume").isNotNull)
+      .withColumn("daily_change_percentage",
+        (col("close") - col("open")) / col("open") * 100.0)
+      .as[StockDaily]
+  }
+
+  /** The full batch pipeline: read → validate → tabularize. */
+  def ingest(spark: SparkSession, path: String): Dataset[StockDaily] =
+    tabularize(validate(readRaw(spark, path))._1)
+}

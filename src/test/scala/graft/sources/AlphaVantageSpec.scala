@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AlphaVantageSpec extends SparkSpec {
+  private val fixtures = getClass.getResource("/raw_data").getPath
+
+  test("ingest parses, validates, casts and derives the golden row") {
+    import spark.implicits._
+    val ds = AlphaVantage.ingest(spark, s"$fixtures/AAPL_d1.json")
+    assert(ds.count() == 5)
+    val golden = ds.filter($"date" === "2025-10-03").head()
+    assert(golden.symbol == "AAPL")
+    assert(golden.open == 254.665 && golden.close == 258.02)
+    assert(golden.volume == 49155614L)
+    // hand-computed from raw_data/AAPL_2025-10-05.json:10-15 via etl.py:98
+    val expected = (258.02 - 254.665) / 254.665 * 100.0
+    assert(math.abs(golden.daily_change_percentage - expected) < 1e-12)
+  }
+
+  test("validate quarantines rate-limit payloads instead of failing") {
+    val raw = AlphaVantage.readRaw(spark,
+      s"$fixtures/{AAPL_d1,ERR_ratelimit}.json")
+    val (ok, quarantined) = AlphaVantage.validate(raw)
+    assert(ok.count() == 1)
+    assert(quarantined.count() == 1)
+  }
+
+  test("non-numeric fields reject the record, not the payload") {
+    val ds = AlphaVantage.ingest(spark, s"$fixtures/ERR_badnum.json")
+    assert(ds.count() == 0) // its only record has a bad open
+  }
+
+  test("multi-payload ingest unions all symbols") {
+    import spark.implicits._
+    val ds = AlphaVantage.ingest(spark,
+      s"$fixtures/{AAPL_d1,GOOG_d1,MSFT_d1}.json")
+    val bySym = ds.groupBy($"symbol").count().as[(String, Long)].collect().toMap
+    assert(bySym == Map("AAPL" -> 5L, "GOOG" -> 3L, "MSFT" -> 2L))
+  }
+
+  test("warehouse append is idempotent across duplicate and overlapping deliveries") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("wh").toString + "/stock"
+    val wh = new ParquetWarehouse(spark, path)
+
+    wh.append(AlphaVantage.ingest(spark, s"$fixtures/AAPL_d1.json").toDF())
+    assert(spark.read.parquet(path).count() == 5)
+
+    // byte-identical re-delivery (AAPL_d2 == AAPL_d1) → no new rows
+    wh.append(AlphaVantage.ingest(spark, s"$fixtures/AAPL_d2.json").toDF())
+    assert(spark.read.parquet(path).count() == 5)
+
+    // overlapping restated window → only the genuinely new day lands
+    wh.append(AlphaVantage.ingest(spark, s"$fixtures/AAPL_overlap.json").toDF())
+    val rows = spark.read.parquet(path)
+    assert(rows.count() == 6)
+    assert(rows.filter($"date" === "2025-10-06").count() == 1)
+
+    // warehouse schema is the declared DECIMAL contract (etl.py:115-129)
+    val types = wh.describe().toMap
+    assert(types("open_price") == "decimal(15,4)")
+    assert(types("daily_change_percentage") == "decimal(10,4)")
+    assert(types("extraction_timestamp") == "timestamp")
+    // read-back preview (etl.py:174)
+    assert(wh.readBack(5).count() == 5)
+  }
+}

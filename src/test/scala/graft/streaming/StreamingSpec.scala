@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.sources.ParquetWarehouse
+
+class StreamingSpec extends SparkSpec {
+  private val fixtures = getClass.getResource("/raw_data").getPath
+
+  test("file-stream ingest drains the drop dir exactly once per run") {
+    val tmp = Files.createTempDirectory("stream").toString
+    val whPath = s"$tmp/warehouse"
+    val wh = new ParquetWarehouse(spark, whPath)
+
+    // stage the valid fixtures in a drop dir (the reference's data lake)
+    val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+    Seq("AAPL_d1", "AAPL_d2", "GOOG_d1", "MSFT_d1").foreach { f =>
+      Files.copy(java.nio.file.Paths.get(s"$fixtures/$f.json"),
+        java.nio.file.Paths.get(s"${drop.getPath}/$f.json"))
+    }
+
+    StreamingIngest.runOnce(spark, drop.getPath, s"$tmp/ckpt", wh)
+    // 5 AAPL (d2 deduped) + 3 GOOG + 2 MSFT
+    assert(spark.read.parquet(whPath).count() == 10)
+
+    // second scheduled run with nothing new: checkpoint skips all files
+    StreamingIngest.runOnce(spark, drop.getPath, s"$tmp/ckpt", wh)
+    assert(spark.read.parquet(whPath).count() == 10)
+
+    // late restated-history delivery → only the new day lands (T5)
+    Files.copy(java.nio.file.Paths.get(s"$fixtures/AAPL_overlap.json"),
+      java.nio.file.Paths.get(s"${drop.getPath}/AAPL_overlap.json"))
+    StreamingIngest.runOnce(spark, drop.getPath, s"$tmp/ckpt", wh)
+    assert(spark.read.parquet(whPath).count() == 11)
+  }
+
+  test("watermarked hourly window agg matches the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingIngest.hourlyCounts(events)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "view", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("hourly")
+      .select($"hour_start".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00", "view", 1L, 8.0),
+      ("2024-01-01 11:00:00", "click", 1L, 4.0)))
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionizer.Evt]
+    val q = Sessionizer.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+
+    mem.addData(
+      Sessionizer.Evt(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      Sessionizer.Evt(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").isEmpty) // session still open
+
+    // next batch: a gap > 30 min closes the first session
+    mem.addData(Sessionizer.Evt(1L, Timestamp.valueOf("2024-01-01 11:00:00"), 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions")
+      .select($"user_id", $"start_ts".cast("string"), $"end_ts".cast("string"),
+        $"n_events", $"sum_value")
+      .as[(Long, String, String, Int, Double)].collect().toSet
+    q.stop()
+    assert(closed == Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0)))
+  }
+}
