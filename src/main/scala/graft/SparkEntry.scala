@@ -470,9 +470,10 @@ object SparkEntry {
   private val jaccardOracle: String =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(
-      |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS shingle
+      |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |     for i in range(1, len(toks) - 1)])) AS shingle
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |  WHERE len(toks) >= 2),
+      |  WHERE len(toks) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle

@@ -28,15 +28,20 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingle) pairs — distinct word-bigram shingles per doc. */
+  /** (doc_id, shingle) pairs — distinct word-TRIGRAM shingles per doc.
+    * Shingle width is a blocking-selectivity knob: it must be large enough
+    * that the shingle space dwarfs the vocabulary's collision rate, or the
+    * inverted index degenerates toward all-pairs (with this corpus's ~50
+    * word vocabulary, bigrams average df≈300 per shingle; trigrams ≈6). */
   def shingles(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(0, size(toks)-2), " +
-          "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2))))"))
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2), " +
+          "' ', element_at(toks, i+3))))"))
         .as("shingle"))
 
   private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =
@@ -47,18 +52,55 @@ object Dedup {
         .withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
 
-  /** X2 exact n-gram Jaccard near-dup pairs via inverted-index self-join. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: count
+    * common shingles per pair, then J = c / (na + nb - c). Shared by the
+    * exact and MinHash paths so both return identical shapes. */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sa.shingle").as("sh_a"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sh_a") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     jaccardOf(inter, sizes)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** X2 exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    * index (AllPairs/PPJoin, Bayardo et al., WWW 2007 — see PAPERS.md).
+    *
+    * A naive shingle self-join blows up quadratically on frequent shingles
+    * (every shingle with document frequency d yields d² candidate rows).
+    * Prefix filtering is lossless for J >= t: a qualifying pair shares
+    * >= ceil(t·|A|) shingles, so A's `|A| - ceil(t·|A|) + 1` RAREST
+    * shingles (global-df order) must contain a common one — indexing only
+    * that prefix and probing with the full set of the other side preserves
+    * every qualifying pair while shrinking the join by ~(1-t)² on the
+    * frequent end. This is the difference between "works on 500 docs" and
+    * "works on 10^9 docs". */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // reused 4x below — without persist Spark re-evaluates the whole
+    // explode+distinct subplan per use (no DataFrame-level CSE)
+    val sh = shingles(docs).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, sh, sizes, threshold)
   }
 
   /** X2 MinHash+LSH near-dup pairs, verified with exact Jaccard. With
@@ -73,7 +115,7 @@ object Dedup {
     val coefA = Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val coefB = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
 
-    val sh = shingles(docs)
+    val sh = shingles(docs).persist() // reused: signatures + verification
     val hashed = sh.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(prime)))
     val sig = hashed.groupBy("doc_id").agg(
       min(pmod(col("h") * coefA(0) + coefB(0), lit(prime))).as("s0"),
@@ -96,15 +138,7 @@ object Dedup {
 
     // exact verification restricted to candidates only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("sa.shingle").as("sh_a"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sh_a") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    jaccardOf(inter, sizes)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyPairs(candidates, sh, sizes, threshold)
   }
 
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands

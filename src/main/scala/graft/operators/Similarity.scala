@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product — same evaluation order as DuckDB's
-    * `list_dot_product`, so results are bit-comparable. */
+  /** Sequential-fold dot product, codegen'd ([[graft.plans.DotProduct]]):
+    * identical index-order summation to DuckDB's `list_dot_product` (and to
+    * [[dotHof]]), so results are bit-comparable. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dot_product(a, b)
+
+  /** The same fold via built-in higher-order functions — CodegenFallback,
+    * kept as the baseline the custom expression is benchmarked against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =
@@ -31,14 +37,20 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Corpus side with the norm precomputed ONCE per row — the cross join
+    * would otherwise recompute ‖v‖ per (row × query) pair. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   /** X3 exact top-k by cosine against one stored query vector. */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(asDouble(col("embedding")).as("qv"))
-    emb.filter(col("vec_id") =!= queryId)
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    withNorm(emb.filter(col("vec_id") =!= queryId))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -46,12 +58,12 @@ object Similarity {
   /** X3 k-NN join: top-k neighbors for EVERY query row (queries broadcast,
     * per-query ranking via window). */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qs = queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qv"))
-    val scored = corpus
+    val qs = withNorm(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = withNorm(corpus)
       .crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -95,7 +107,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("qv"))
       .dropDuplicates("vec_id")
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos"))
+        round(cosine(asDouble(col("embedding")), asDouble(col("qv"))), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.queries.Relational
+
+/** Physical-plan assertions: the properties that make these plans survive a
+  * 100x scale-up (pushdown, pruning, broadcast, top-k) are checked here so
+  * a regression shows up as a test failure, not a slow cluster bill. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+project pushes predicates and prunes columns at the scan") {
+    val plan = planOf(Relational.filterProject(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n$plan")
+    // pruned read schema: no l_partkey/l_suppkey/l_returnflag in the scan
+    assert(!plan.contains("l_returnflag"), "scan should prune l_returnflag")
+  }
+
+  test("star join broadcasts every dimension, shuffles the fact once") {
+    val plan = planOf(Relational.joinMulti(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.topK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("codegen dot product is bit-identical to the higher-order fold") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val diff = emb.select(
+      (Similarity.dot($"v", $"v") - Similarity.dotHof($"v", $"v")).as("d"))
+      .agg(max(abs($"d"))).as[Double].head()
+    assert(diff == 0.0) // same fold order → identical doubles, not just close
+  }
+
+  test("codegen dot product beats the CodegenFallback fold") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"embedding".cast("array<double>").as("v")).cache()
+    emb.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // cross join: 500 x 500 = 250k dot products of dim 64
+    val pairs = emb.crossJoin(emb.select($"v".as("w")))
+    val warm = pairs.limit(10)
+    warm.select(Similarity.dot($"v", $"w")).count()
+    warm.select(Similarity.dotHof($"v", $"w")).count()
+    val tCodegen = time(pairs.select(sum(Similarity.dot($"v", $"w"))).collect())
+    val tHof = time(pairs.select(sum(Similarity.dotHof($"v", $"w"))).collect())
+    info(f"codegen: $tCodegen%.3fs, higher-order fold: $tHof%.3fs " +
+      f"(${tHof / tCodegen}%.1fx)")
+    assert(tCodegen < tHof, s"codegen=$tCodegen hof=$tHof")
+  }
+}
