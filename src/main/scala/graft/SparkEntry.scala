@@ -68,6 +68,8 @@ object SparkEntry {
     "q46_token_counts"   -> (NorthStar.tokenCounts _),
     "q47_fingerprint"    -> (NorthStar.fingerprint _),
     "q48_multimodal"     -> (NorthStar.multimodalBytes _),
+    "q49_grouping_sets"  -> (SqlSurface.groupingSets _),
+    "q50_sql_tpch_q3"    -> (SqlSurface.sqlTpchQ3 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -463,6 +465,28 @@ object SparkEntry {
         |       'text/plain' AS mime
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_extendedprice), 4) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q50_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

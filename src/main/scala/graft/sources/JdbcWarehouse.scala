@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S4/S5: the JDBC implementation of [[StockWarehouse]] — the reference's
+  * actual MySQL sink (etl.py:110-158) as a partitioned batched write
+  * instead of one INSERT per row.
+  *
+  * INSERT IGNORE has no JDBC-append equivalent, so idempotence is the same
+  * anti-join used by [[ParquetWarehouse]]: read existing keys, drop
+  * incoming duplicates, append the remainder (for engines with MERGE, a
+  * `foreachBatch` MERGE would replace this). `batchsize` controls rows per
+  * JDBC round trip — the set-based fix for the reference's ≤300
+  * statements/run pattern.
+  *
+  * NOTE: no database endpoint exists in this harness (zero egress), so this
+  * class is compile-verified only; the trait contract itself is exercised
+  * through [[ParquetWarehouse]] in AlphaVantageSpec. */
+class JdbcWarehouse(spark: SparkSession, url: String, table: String,
+    user: String, password: String) extends StockWarehouse {
+
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p
+  }
+
+  private def existing(): DataFrame = spark.read.jdbc(url, table, props)
+
+  override def append(batch: DataFrame): Unit = {
+    val incoming = Warehouse.toWarehouseSchema(batch)
+      .dropDuplicates(Seq("symbol", "date"))
+    // append only the genuinely new keys (table may not exist on first run)
+    val fresh =
+      try incoming.join(existing().select("symbol", "date"),
+        Seq("symbol", "date"), "left_anti")
+      catch { case _: Exception => incoming }
+    fresh.write
+      .option("batchsize", 10000)
+      .mode("append")
+      .jdbc(url, table, props)
+  }
+
+  override def readBack(n: Int): DataFrame =
+    existing().orderBy(desc("symbol"), desc("date")).limit(n)
+
+  override def describe(): Seq[(String, String)] =
+    existing().schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+}

@@ -67,6 +67,17 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Parse the raw (symbol, date, payload) rows of the custom
+    * [[graft.streaming.avsource.AlphaVantageSourceProvider]] source through
+    * the SAME transform chain as batch and file-drop ingest. */
+  def parseAvPayloads(raw: DataFrame): Dataset[StockDaily] =
+    AlphaVantage.tabularize(raw
+      .select(org.apache.spark.sql.functions.from_json(col("payload"),
+        AlphaVantage.payloadSchema).as("p"))
+      .select(col("p.*"))
+      .filter(col("Meta Data").isNotNull &&
+        col("`Time Series (Daily)`").isNotNull))
+
   /** T6: watermarked event-time windowed aggregation over a stream. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

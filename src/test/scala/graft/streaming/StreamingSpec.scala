@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(whPath).count() == 11)
   }
 
+  test("custom MicroBatchStream source fetches day-batches, rate-limited") {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("alpha-vantage-sim")
+      .option("symbols", "AAPL,GOOG")
+      .option("start", "2025-10-01")
+      .option("end", "2025-10-03")
+      .load()
+    val q = StreamingIngest.parseAvPayloads(raw)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("av_sim").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("av_sim")
+      .select($"symbol", $"date".cast("string")).as[(String, String)]
+      .collect().toSet
+    // 2 symbols x 3 days, one payload each, exactly once
+    assert(got == (for {
+      s <- Set("AAPL", "GOOG")
+      d <- Set("2025-10-01", "2025-10-02", "2025-10-03")
+    } yield (s, d)))
+    // typed columns materialized through the shared transform chain
+    val row = spark.table("av_sim").filter($"symbol" === "AAPL").head()
+    assert(row.getAs[Double]("open") > 0.0)
+  }
+
   test("watermarked hourly window agg matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
