@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_multimodal"     -> (NorthStar.multimodalBytes _),
     "q49_grouping_sets"  -> (SqlSurface.groupingSets _),
     "q50_sql_tpch_q3"    -> (SqlSurface.sqlTpchQ3 _),
+    "q51_window_range_frame" -> (Windows.rangeFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -487,6 +488,13 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q51_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, n_similar
+        |FROM (SELECT *, count(*) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_totalprice
+        |         RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

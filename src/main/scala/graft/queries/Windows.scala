@@ -62,6 +62,20 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** W5 RANGE frame (vs the ROWS frames above): peers by VALUE distance —
+    * how many of the customer's orders are priced within ±1000 of this
+    * one. */
+  def rangeFrame(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+      .rangeBetween(-1000L, 1000L)
+    Tables.orders(spark, d)
+      .withColumn("n_similar", count(lit(1)).over(w))
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 4).as("price"),
+        $"n_similar")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** W4 running cumulative sum per user over event time. */
   def cumulativeSum(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
