@@ -69,7 +69,7 @@ object Dedup {
   }
 
   /** X2 exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
-    * index (AllPairs/PPJoin, Bayardo et al., WWW 2007 — see PAPERS.md).
+    * index (AllPairs/PPJoin, Bayardo et al., WWW 2007).
     *
     * A naive shingle self-join blows up quadratically on frequent shingles
     * (every shingle with document frequency d yields d² candidate rows).

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * to candidate buckets BEFORE any dot product, which is what makes top-k
   * affordable when the corpus is 10^10 vectors: scoring cost goes from
   * O(N·d) to O(|candidates|·d) per query (Indyk-Motwani / Charikar
-  * hyperplane LSH; see PAPERS.md).
+  * hyperplane LSH, STOC 1998 / STOC 2002).
   *
   * All arithmetic runs in double via codegen'd higher-order functions
   * (`zip_with` + `aggregate`) — no UDFs on the hot path.

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ±1 on each bit position; the sign of the tally forms the output bit.
   * Near-duplicate docs differ in few token votes → small Hamming distance.
   * (Charikar, "Similarity estimation techniques from rounding algorithms",
-  * STOC 2002 — see PAPERS.md.) */
+  * STOC 2002.) */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

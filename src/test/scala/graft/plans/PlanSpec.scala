@@ -36,6 +36,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bucketed tables sort-merge join with no shuffle exchange") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("buckets").toString
+    graft.Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    graft.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // co-located bucket scans: the join itself needs no repartitioning
+      val exchangesBeforeJoin = plan.split("SortMergeJoin").last
+      assert(!exchangesBeforeJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle its inputs:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("codegen dot product is bit-identical to the higher-order fold") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
