@@ -71,6 +71,7 @@ object SparkEntry {
     "q49_grouping_sets"  -> (SqlSurface.groupingSets _),
     "q50_sql_tpch_q3"    -> (SqlSurface.sqlTpchQ3 _),
     "q51_window_range_frame" -> (Windows.rangeFrame _),
+    "q52_tfidf"          -> (NorthStar.tfidfTop _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,6 +496,24 @@ object SparkEntry {
         |         RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar
         |      FROM orders)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q52_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM terms WHERE token <> '' GROUP BY doc_id, token),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |             tf.tf * ln(n.n_docs / idf.df) AS tfidf
+        |           FROM tf JOIN idf USING (token), n),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |           FROM scored)
+        |SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf
+        |FROM ranked
+        |WHERE rk = 1 AND doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

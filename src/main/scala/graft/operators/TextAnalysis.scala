@@ -69,6 +69,23 @@ object TextAnalysis {
       .withColumn("est_bpe_tokens",
         ceil(length(col(textCol)) / 4.0).cast("long"))
 
+  /** X4 tf-idf over the corpus: tf = term count in doc, idf = ln(N/df)
+    * with df = docs containing the term. Two shuffles (per-doc-term counts,
+    * per-term doc frequency) + a broadcast of the tiny (term, idf) side —
+    * the standard scalable shape. */
+  def tfidf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(org.apache.spark.sql.functions.broadcast(df), "token")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+  }
+
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))

@@ -98,6 +98,18 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** X4 tf-idf: each document's single most characteristic token. */
+  def tfidfTop(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    TextAnalysis.tfidf(Tables.documents(spark, d))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1 && $"doc_id" < 100)
+      .select($"doc_id", $"token", $"tf", $"df", round($"tfidf", 4).as("tfidf"))
+      .orderBy($"doc_id")
+  }
+
   /** X5 multimodal binary column: payload size + head bytes as hex (the
     * SQL-expressible slice; the typed decode path is OperatorSpec-tested). */
   def multimodalBytes(spark: SparkSession, d: String): DataFrame = {

@@ -41,6 +41,20 @@ class AlphaVantageSpec extends SparkSpec {
     assert(bySym == Map("AAPL" -> 5L, "GOOG" -> 3L, "MSFT" -> 2L))
   }
 
+  test("candle re-bucketing collapses the daily series (G5 over the domain)") {
+    import spark.implicits._
+    import graft.functions.{CandleAggregator, PricePoint}
+    val ds = AlphaVantage.ingest(spark, s"$fixtures/AAPL_d1.json")
+    val points = ds.map(s => PricePoint(1L,
+      s.date.toLocalDate.toEpochDay, 0L, s.close))
+    val candle = points.groupByKey(_.key)
+      .agg(new CandleAggregator().toColumn).collect().head._2
+    // fixture closes: 251.5, 252.9, 254.2, 255.1, 258.02
+    assert(candle.open == 251.5)   // first trading day's close
+    assert(candle.close == 258.02) // last trading day's close
+    assert(candle.low == 251.5 && candle.high == 258.02 && candle.n == 5L)
+  }
+
   test("warehouse append is idempotent across duplicate and overlapping deliveries") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("wh").toString + "/stock"
