@@ -88,10 +88,11 @@ object SparkEntry {
     "q02_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice), 4) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 4) AS sum_disc_price,
         |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -104,7 +105,8 @@ object SparkEntry {
         |ORDER BY p_brand""".stripMargin,
     "q04_join_multi" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 4) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -207,7 +209,8 @@ object SparkEntry {
     "q17_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       round(sum(o_totalprice), 4) AS sum_price, count(*) AS n
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price,
+        |       count(*) AS n
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -230,16 +233,19 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q21_conditional_agg" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |                      THEN o_totalprice ELSE 0.0 END), 4) AS urgent_price,
-        |       round(sum(o_totalprice), 4) AS total_price,
-        |       count(*) AS n,
-        |       round(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |                      THEN o_totalprice ELSE 0.0 END), 4)
-        |             / round(sum(o_totalprice), 4) * 100.0, 4) AS urgent_share
-        |FROM orders
-        |GROUP BY month
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |                  ELSE 0 END) AS uc,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS tc,
+        |         count(*) AS n
+        |  FROM orders
+        |  GROUP BY month)
+        |SELECT month, round(uc / 100.0, 4) AS urgent_price,
+        |       round(tc / 100.0, 4) AS total_price, n,
+        |       round(uc / tc * 100.0, 4) AS urgent_share
+        |FROM m
         |ORDER BY month""".stripMargin,
     "q22_date_functions" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
@@ -301,7 +307,8 @@ object SparkEntry {
         |ORDER BY tier""".stripMargin,
     "q29_sortmerge_join" ->
       """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 4) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -314,7 +321,8 @@ object SparkEntry {
         |                SELECT * FROM incoming i
         |                WHERE NOT EXISTS (SELECT 1 FROM existing e
         |                                  WHERE e.o_orderkey = i.o_orderkey))
-        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -470,7 +478,7 @@ object SparkEntry {
     "q49_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
-        |       round(sum(l_extendedprice), 4) AS sum_price,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price,
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),

@@ -39,7 +39,7 @@ object Advanced {
     Tables.lineitem(spark, d)
       .join(Tables.orders(spark, d).hint("merge"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+      .agg(round(graft.functions.Money.sumRevenue($"l_extendedprice", $"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
   }
@@ -53,7 +53,8 @@ object Advanced {
     val incoming = Tables.orders(spark, d).filter($"o_orderdate" >= lit("1999-01-01"))
     Upsert.upsertIgnore(incoming, existing, Seq("o_orderkey"))
       .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Money.sumMoney($"o_totalprice"), 4).as("sum_price"))
       .orderBy($"o_orderstatus")
   }
 

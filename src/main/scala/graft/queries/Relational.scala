@@ -44,10 +44,12 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        // money sums in exact integer cents (see graft.functions.Money):
+        // a double sum this large rounds differently across engines
+        round(graft.functions.Money.sumMoney($"l_extendedprice"), 4).as("sum_base_price"),
+        round(graft.functions.Money.sumRevenue($"l_extendedprice", $"l_discount"), 4).as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        round(sum(graft.functions.Money.cents($"l_discount")) / (lit(100.0) * count(lit(1))), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -75,7 +77,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, d)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, d)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+      .agg(round(graft.functions.Money.sumRevenue($"l_extendedprice", $"l_discount"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
   }

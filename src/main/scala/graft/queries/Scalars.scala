@@ -19,15 +19,19 @@ object Scalars {
     * per month — the CASE WHEN pattern of TPC-H Q12/Q14. */
   def conditionalAgg(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.Money
     Tables.orders(spark, d)
       .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
       .agg(
-        round(sum(when($"o_orderpriority" === "1-URGENT", $"o_totalprice")
-          .otherwise(lit(0.0))), 4).as("urgent_price"),
-        round(sum($"o_totalprice"), 4).as("total_price"),
+        sum(when($"o_orderpriority" === "1-URGENT", Money.cents($"o_totalprice"))
+          .otherwise(lit(0L))).as("__uc"),
+        sum(Money.cents($"o_totalprice")).as("__tc"),
         count(lit(1)).as("n"))
-      .withColumn("urgent_share",
-        round($"urgent_price" / $"total_price" * 100.0, 4))
+      .select($"month",
+        round($"__uc" / 100.0, 4).as("urgent_price"),
+        round($"__tc" / 100.0, 4).as("total_price"),
+        $"n",
+        round($"__uc" / $"__tc" * 100.0, 4).as("urgent_share"))
       .orderBy($"month")
   }
 

@@ -67,7 +67,8 @@ object SetsAndAggs {
     import spark.implicits._
     Tables.orders(spark, d)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(round(sum($"o_totalprice"), 4).as("sum_price"), count(lit(1)).as("n"))
+      .agg(round(graft.functions.Money.sumMoney($"o_totalprice"), 4).as("sum_price"),
+        count(lit(1)).as("n"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         $"sum_price", $"n")
