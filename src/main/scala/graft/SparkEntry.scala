@@ -144,7 +144,8 @@ object SparkEntry {
         |       coalesce(n, 0) AS n_orders,
         |       round(coalesce(spend, 0.0), 4) AS spend
         |FROM customer
-        |LEFT JOIN (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS spend
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n,
+        |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS spend
         |           FROM orders
         |           WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         |           GROUP BY o_custkey) o ON c_custkey = o_custkey
@@ -251,7 +252,9 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
         |       CAST(month(o_orderdate) AS INTEGER) AS m,
-        |       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |       count(*) AS n,
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             / (100.0 * count(*)), 4) AS avg_price
         |FROM orders
         |GROUP BY y, q, m
         |ORDER BY y, q, m""".stripMargin,
@@ -295,7 +298,9 @@ object SparkEntry {
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q28_range_join" ->
-      """SELECT tier, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+      """SELECT tier, count(*) AS n_customers,
+        |       round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |             / (100.0 * count(*)), 4) AS avg_bal
         |FROM customer
         |JOIN (VALUES ('p0_negative', -100000.0, 0.0),
         |             ('p1_low', 0.0, 2500.0),
@@ -516,7 +521,8 @@ object SparkEntry {
         |             tf.tf * ln(n.n_docs / idf.df) AS tfidf
         |           FROM tf JOIN idf USING (token), n),
         |ranked AS (SELECT *, row_number() OVER
-        |             (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |             (PARTITION BY doc_id
+        |              ORDER BY round(tfidf, 4) DESC, token) AS rk
         |           FROM scored)
         |SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf
         |FROM ranked

@@ -27,7 +27,9 @@ object Advanced {
     Tables.customer(spark, d)
       .join(broadcast(tiers), $"c_acctbal" >= $"lo" && $"c_acctbal" < $"hi")
       .groupBy($"tier")
-      .agg(count(lit(1)).as("n_customers"), round(avg($"c_acctbal"), 4).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(graft.functions.Money.cents($"c_acctbal")) / (lit(100.0) * count(lit(1))), 4)
+          .as("avg_bal"))
       .orderBy($"tier")
   }
 

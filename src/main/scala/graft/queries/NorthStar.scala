@@ -102,7 +102,10 @@ object NorthStar {
   def tfidfTop(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    // rank on the ROUNDED score: ln() can differ in the last ULP between
+    // engines, and the token tiebreak then resolves rounded ties identically
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(round($"tfidf", 4).desc, $"token")
     TextAnalysis.tfidf(Tables.documents(spark, d))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1 && $"doc_id" < 100)

@@ -122,7 +122,8 @@ object Relational {
     val o2001 = Tables.orders(spark, d)
       .filter($"o_orderdate" >= lit("2001-01-01"))
       .groupBy($"o_custkey")
-      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("spend"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Money.sumMoney($"o_totalprice").as("spend"))
     Tables.customer(spark, d)
       .join(o2001, $"c_custkey" === $"o_custkey", "left")
       .select($"c_custkey",

@@ -41,7 +41,9 @@ object Scalars {
     Tables.orders(spark, d)
       .groupBy(year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"),
         month($"o_orderdate").as("m"))
-      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(graft.functions.Money.cents($"o_totalprice")) / (lit(100.0) * count(lit(1))), 4)
+          .as("avg_price"))
       .orderBy($"y", $"q", $"m")
   }
 
