@@ -72,6 +72,8 @@ object SparkEntry {
     "q50_sql_tpch_q3"    -> (SqlSurface.sqlTpchQ3 _),
     "q51_window_range_frame" -> (Windows.rangeFrame _),
     "q52_tfidf"          -> (NorthStar.tfidfTop _),
+    // no oracle (approximate): rows-only check; recall tested in specs
+    "q53_ivf_topk"       -> (NorthStar.ivfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -91,6 +91,39 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** X3 IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every vector to its nearest centroid; a query probes only the
+    * `nProbe` closest cells and rescores their members exactly. Centroids
+    * here are the per-`label` mean vectors (k-means' assignment step with
+    * given classes); at 100 TB the cell id becomes the partition key, so a
+    * probe touches nProbe partitions instead of the whole corpus. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 3): DataFrame = {
+    // element-wise mean per label: posexplode → (label, pos) avg → rebuild
+    val cells = emb
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"))
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val probed = cells.crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot(col("centroid"), col("qv")) /
+          (sqrt(dot(col("centroid"), col("centroid"))) * col("qnrm"))).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(nProbe)
+      .select(col("label"))
+    emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "label") // prune to the probed cells
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * col("qnrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** X3 approximate top-k: multiprobe hyperplane LSH (L tables × b bits,
     * probing all buckets within hamming 1), exact rescoring of candidates. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,

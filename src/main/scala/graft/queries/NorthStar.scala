@@ -63,6 +63,11 @@ object NorthStar {
   def annTopK(spark: SparkSession, d: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(spark, d), 0L, 10)
 
+  /** X3 IVF ANN top-10 for query vec 0 (no oracle — approximate; recall
+    * pinned in OperatorSpec). */
+  def ivfTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, d), 0L, 10)
+
   /** X4 language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

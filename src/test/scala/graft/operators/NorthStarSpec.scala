@@ -66,6 +66,19 @@ class NorthStarSpec extends SparkSpec {
     assert((ann intersect exact).size >= 2) // deterministic given fixed seed
   }
 
+  test("ivfTopK prunes to probed cells and still finds near neighbors") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nProbe = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    // random unclustered vectors: 3/10 cells probed ⇒ recall is bounded by
+    // cell coverage; deterministic given the fixed dataset
+    assert((ivf intersect exact).nonEmpty)
+  }
+
   test("knnJoin returns k ranked neighbors per query") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)

@@ -85,6 +85,21 @@ class OperatorSpec extends SparkSpec {
     assert(c.total == 18.0 && c.n == 4L)
   }
 
+  test("CandleAggregator registers as a SQL UDAF (§2.11 surface)") {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    import spark.implicits._
+    spark.udf.register("candle_agg",
+      F.udaf(new CandleAggregator(), Encoders.product[PricePoint]))
+    Seq(
+      PricePoint(1L, 100L, 1L, 3.0),
+      PricePoint(1L, 200L, 1L, 9.0)
+    ).toDS().createOrReplaceTempView("pts")
+    val c = spark.sql(
+      "SELECT candle_agg(key, ord1, ord2, v) AS c FROM pts GROUP BY key")
+      .select("c.open", "c.close", "c.n").head()
+    assert(c.getDouble(0) == 3.0 && c.getDouble(1) == 9.0 && c.getLong(2) == 2L)
+  }
+
   test("approx_count_distinct is within 3*rsd of exact at sf0.001") {
     import spark.implicits._
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(whPath).count() == 11)
   }
 
+  test("maxFilesPerTrigger throttles the file stream but drains fully (T4)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("throttle").toString
+    val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+    Seq("AAPL_d1", "GOOG_d1", "MSFT_d1").foreach { f =>
+      Files.copy(java.nio.file.Paths.get(s"$fixtures/$f.json"),
+        java.nio.file.Paths.get(s"${drop.getPath}/$f.json"))
+    }
+    val q = StreamingIngest
+      .stockStream(spark, drop.getPath, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("throttled").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("throttled").count() == 10) // 5 + 3 + 2 rows
+    assert(batches >= 3, s"expected >=3 one-file micro-batches, got $batches")
+  }
+
   test("custom MicroBatchStream source fetches day-batches, rate-limited") {
     import spark.implicits._
     val raw = spark.readStream
