@@ -36,6 +36,49 @@ object PropertySpec extends Properties("graft.operators") {
       ab == ba
     }
 
+  private val eventRows = Gen.listOfN(20,
+    Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))
+
+  property("asOf matches the brute-force latest-at-or-before semantics") =
+    Prop.forAllNoShrink(eventRows, eventRows) { (leftRows, rightRows) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+      val right = rightRows
+        .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), t.toDouble) }
+      val got = AsOfJoin.asOf(
+        left.toDF("row_id", "k", "t"), right.toDF("k", "t", "price"),
+        "k", "t", "t", Seq("price"))
+        .select($"row_id", $"asof_price").as[(Long, Option[Double])]
+        .collect().toMap
+      // brute force: max right.t <= left.t within key; price == t there,
+      // so ties on t collapse to one value and the expectation is unique
+      left.forall { case (id, k, t) =>
+        val want = right.filter(r => r._1 == k && !r._2.after(t))
+          .map(_._3).maxOption
+        got(id) == want
+      }
+    }
+
+  property("sessionize: intra-session gaps <= threshold, inter-session > it") =
+    Prop.forAllNoShrink(eventRows) { rows =>
+      import spark.implicits._
+      val gap = 10L // seconds
+      val df = rows.distinct.map { case (k, t) =>
+        (k, new java.sql.Timestamp(t * 1000)) }.toDF("k", "t")
+      val out = Sessionize.sessionize(df, "k", "t", gap)
+        .select($"k", $"t", $"session_id")
+        .as[(Long, java.sql.Timestamp, Int)].collect()
+      out.groupBy(_._1).forall { case (_, evs) =>
+        val byTime = evs.sortBy(_._2.getTime)
+        byTime.zip(byTime.drop(1)).forall { case ((_, t1, s1), (_, t2, s2)) =>
+          val diff = (t2.getTime - t1.getTime) / 1000
+          if (s1 == s2) diff <= gap else s2 == s1 + 1 && diff > gap
+        }
+      }
+    }
+
   private val texts = Gen.listOfN(5, Gen.nonEmptyListOf(
     Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
 
