@@ -74,6 +74,9 @@ object SparkEntry {
     "q52_tfidf"          -> (NorthStar.tfidfTop _),
     // no oracle (approximate): rows-only check; recall tested in specs
     "q53_ivf_topk"       -> (NorthStar.ivfTopK _),
+    "q54_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "q55_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q56_decimal_agg"    -> (Relational.decimalAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,6 +533,31 @@ object SparkEntry {
         |FROM ranked
         |WHERE rk = 1 AND doc_id < 100
         |ORDER BY doc_id""".stripMargin,
+    "q54_correlated_subquery" ->
+      """WITH b AS (SELECT *, sum(CAST(round(p_retailprice * 100) AS BIGINT))
+        |             OVER (PARTITION BY p_brand) AS brand_cents_sum,
+        |           count(*) OVER (PARTITION BY p_brand) AS brand_n
+        |           FROM part)
+        |SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price,
+        |       round(brand_cents_sum / (100.0 * brand_n), 4) AS brand_avg
+        |FROM b
+        |WHERE p_retailprice < brand_cents_sum / (100.0 * brand_n)
+        |ORDER BY p_partkey""".stripMargin,
+    "q55_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                             / (100.0 * count(*))
+        |                      FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q56_decimal_agg" ->
+      """SELECT o_orderstatus,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_price,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

@@ -93,6 +93,51 @@ object Relational {
         round($"o_totalprice", 4).as("o_totalprice"), $"o_orderpriority")
   }
 
+  /** Correlated-subquery shape: parts cheaper than their brand's average
+    * retail price. Spark-first form = windowed average (one shuffle on the
+    * correlation key), equivalent to DuckDB's correlated subquery. */
+  def correlatedSubquery(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"p_brand")
+    Tables.part(spark, d)
+      .withColumn("brand_cents_sum",
+        sum(graft.functions.Money.cents($"p_retailprice")).over(w))
+      .withColumn("brand_n", count(lit(1)).over(w))
+      .filter($"p_retailprice" < $"brand_cents_sum" / (lit(100.0) * $"brand_n"))
+      .select($"p_partkey", $"p_brand", round($"p_retailprice", 4).as("price"),
+        round($"brand_cents_sum" / (lit(100.0) * $"brand_n"), 4).as("brand_avg"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Scalar-subquery shape: orders above the global average price — the
+    * single aggregate broadcasts to every row (no per-row subquery). */
+  def scalarSubquery(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val globalAvg = Tables.orders(spark, d)
+      .agg((sum(graft.functions.Money.cents($"o_totalprice")) /
+        (lit(100.0) * count(lit(1)))).as("avg_price"))
+    Tables.orders(spark, d)
+      .crossJoin(broadcast(globalAvg))
+      .filter($"o_totalprice" > $"avg_price")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** DECIMAL-typed aggregation (the warehouse at-rest types of
+    * etl.py:120-125 in-query): decimal sums are exact in ANY order, so
+    * this needs none of the integer-cents machinery. */
+  def decimalAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .select($"o_orderstatus", $"o_totalprice".cast("decimal(15,4)").as("p"))
+      .groupBy($"o_orderstatus")
+      .agg(sum($"p").cast("decimal(18,4)").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** A4 anti join: customers with no order since 2001 (NOT EXISTS). */
   def antiJoin(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
