@@ -24,7 +24,13 @@ trait StockWarehouse {
 
 object Warehouse {
   /** The at-rest schema of etl.py:115-129: DECIMAL(15,4) prices,
-    * DECIMAL(10,4) change, TIMESTAMP load audit column. */
+    * DECIMAL(10,4) change, TIMESTAMP load audit column.
+    *
+    * Documented divergence: the reference's AUTO_INCREMENT `id` surrogate
+    * (etl.py:117) is omitted — a distributed engine has no cheap global
+    * counter, the natural key is (symbol, date), and a
+    * `monotonically_increasing_id()` stand-in would be non-contiguous and
+    * non-deterministic across runs. */
   def toWarehouseSchema(df: DataFrame): DataFrame =
     df.select(
       col("symbol").cast("string").as("symbol"),

@@ -78,6 +78,12 @@ object StreamingIngest {
       .filter(col("Meta Data").isNotNull &&
         col("`Time Series (Daily)`").isNotNull))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (periodically re-read) static dimension — the streaming analog of
+    * the broadcast dimension join; no stream state is kept. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** T6: watermarked event-time windowed aggregation over a stream. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

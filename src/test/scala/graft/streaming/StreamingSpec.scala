@@ -111,6 +111,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "click", 1L, 4.0)))
   }
 
+  test("stream-static enrichment join attaches dimension columns per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val q = StreamingIngest.enrich(stream, dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    mem.addData((1L, 5.0), (2L, 7.0), (3L, 9.0)) // 3 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select($"user_id", $"tier", $"value").as[(Long, String, Double)]
+      .collect().toSet
+    assert(got == Set((1L, "gold", 5.0), (2L, "basic", 7.0)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
