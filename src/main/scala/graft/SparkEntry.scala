@@ -159,21 +159,28 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         |       round(o_totalprice, 4) AS price,
         |       round(prev_price, 4) AS prev_price,
+        |       round(next_price, 4) AS next_price,
         |       round(o_totalprice - prev_price, 4) AS change
-        |FROM (SELECT *, lag(o_totalprice, 1) OVER
-        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
-        |      FROM orders)
+        |FROM (SELECT *,
+        |        lag(o_totalprice, 1) OVER w AS prev_price,
+        |        lead(o_totalprice, 1) OVER w AS next_price
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
     "q10_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
         |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
-        |       CAST(drnk AS INTEGER) AS drnk
+        |       CAST(drnk AS INTEGER) AS drnk,
+        |       CAST(quartile AS INTEGER) AS quartile
         |FROM (SELECT *,
-        |        row_number() OVER (PARTITION BY o_custkey
-        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-        |        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-        |        dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
-        |      FROM orders)
+        |        row_number() OVER wt AS rn,
+        |        rank() OVER wp AS rnk,
+        |        dense_rank() OVER wp AS drnk,
+        |        ntile(4) OVER wt AS quartile
+        |      FROM orders
+        |      WINDOW wt AS (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey),
+        |             wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC))
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q11_window_movavg" ->

@@ -4,36 +4,23 @@ import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{column => _, _}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the text-fingerprinting operators that
   * have no built-in composition (SURVEY.md §2.11, north-star X2/X4).
   *
   * Both are deterministic pure functions → Catalyst can constant-fold,
-  * push, and reuse them. They use `CodegenFallback` (a virtual call per row);
-  * acceptable here because they run once per document, not per token — the
-  * per-token hot paths (minhash, shingles) stay in codegen'd built-ins.
-  */
+  * push, and reuse them. Codegen emits a static call into the companion's
+  * `compute` (no per-row virtual dispatch or boxing, and the expression
+  * stays inside the whole-stage-codegen span instead of forcing a
+  * CodegenFallback break). */
 
-/** 64-bit SimHash over an array of tokens: per token a 64-bit hash votes
-  * ±1 on each bit position; the sign of the tally forms the output bit.
-  * Near-duplicate docs differ in few token votes → small Hamming distance.
-  * (Charikar, "Similarity estimation techniques from rounding algorithms",
-  * STOC 2002.) */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes() = {
-    require(child.dataType.isInstanceOf[ArrayType])
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object SimHash64 {
+  /** The whole-array kernel, shared by eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val tally = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -58,8 +45,44 @@ case class SimHash64(child: Expression)
     }
     out
   }
+}
+
+/** 64-bit SimHash over an array of tokens: per token a 64-bit hash votes
+  * ±1 on each bit position; the sign of the tally forms the output bit.
+  * Near-duplicate docs differ in few token votes → small Hamming distance.
+  * (Charikar, "Similarity estimation techniques from rounding algorithms",
+  * STOC 2002.) */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes() = {
+    require(child.dataType.isInstanceOf[ArrayType])
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64$$.MODULE$$.compute($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object RollingHash {
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) 0L
+    else {
+      var acc = str.charAt(0).toLong
+      var i = 1
+      while (i < str.length) {
+        acc = (acc * 31L + str.charAt(i).toLong) % 2147483647L
+        i += 1
+      }
+      acc
+    }
+  }
 }
 
 /** Polynomial rolling hash of a string's character codes, seeded by the
@@ -67,22 +90,16 @@ case class SimHash64(child: Expression)
   * Chosen to be exactly DuckDB's
   * `list_reduce(codes, (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)`
   * so the oracle can verify it. */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.isEmpty) 0L
-    else {
-      var acc = s.charAt(0).toLong
-      var i = 1
-      while (i < s.length) {
-        acc = (acc * 31L + s.charAt(i).toLong) % 2147483647L
-        i += 1
-      }
-      acc
-    }
-  }
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RollingHash$$.MODULE$$.compute($c)")
+
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
 

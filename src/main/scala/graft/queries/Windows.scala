@@ -26,9 +26,11 @@ object Windows {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     Tables.orders(spark, d)
       .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
       .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("order_date"),
         round($"o_totalprice", 4).as("price"),
         round($"prev_price", 4).as("prev_price"),
+        round($"next_price", 4).as("next_price"),
         round($"o_totalprice" - $"prev_price", 4).as("change"))
       .orderBy($"o_custkey", $"order_date", $"o_orderkey")
   }
@@ -44,9 +46,10 @@ object Windows {
       .withColumn("rn", row_number().over(total))
       .withColumn("rnk", rank().over(byPrice))
       .withColumn("drnk", dense_rank().over(byPrice))
+      .withColumn("quartile", ntile(4).over(total))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 4).as("price"),
-        $"rn", $"rnk", $"drnk")
+        $"rn", $"rnk", $"drnk", $"quartile")
       .orderBy($"o_custkey", $"rn")
   }
 
