@@ -77,6 +77,7 @@ object SparkEntry {
     "q54_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q55_scalar_subquery" -> (Relational.scalarSubquery _),
     "q56_decimal_agg"    -> (Relational.decimalAgg _),
+    "q57_corpus_funnel"  -> (NorthStar.corpusFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,6 +566,33 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q57_corpus_funnel" ->
+      """WITH toks AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT doc_id, text FROM toks
+        |      WHERE len(t) >= 20
+        |        AND round(len(list_distinct(t)) / len(t), 4) >= 0.3),
+        |e AS (SELECT * FROM q
+        |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |          for i in range(1, len(tk) - 1)])) AS shingle
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM e)
+        |       WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT doc_b FROM inter
+        |           JOIN sizes sa ON doc_a = sa.doc_id
+        |           JOIN sizes sb ON doc_b = sb.doc_id
+        |           WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+        |nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_b FROM losers))
+        |SELECT '0_raw' AS stage, (SELECT count(*) FROM documents) AS n_docs
+        |UNION ALL SELECT '1_quality', (SELECT count(*) FROM q)
+        |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM e)
+        |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM nd)
+        |ORDER BY stage""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

@@ -141,6 +141,16 @@ object Dedup {
     verifyPairs(candidates, sh, sizes, threshold)
   }
 
+  /** Greedy near-duplicate REMOVAL: for every qualifying pair the
+    * lower-id doc is kept and the higher-id doc dropped (the standard
+    * keep-first approximation of transitive closure — no iterative
+    * connected components, so it stays one bounded job at any scale). */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = jaccardPairs(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands
     * (pigeonhole-complete for hamming ≤ 3), exact hamming verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,

@@ -118,6 +118,29 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** The composed training-data cleaning funnel — the end-to-end use case
+    * the X-operators exist for: quality gate → exact dedup → near-dup
+    * removal, reported as per-stage survivor counts. One lazy plan of four
+    * unioned aggregates. */
+  def corpusFunnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val quality = TextAnalysis.withQuality(docs)
+      .filter($"n_tokens" >= 20 && $"uniq_ratio" >= 0.3)
+      .select(docs.columns.map(col): _*)
+    val exact = quality.join(
+      quality.groupBy($"text").agg(min($"doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nearDeduped = Dedup.dropNearDuplicates(exact, 0.8)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), $"n_docs")
+    stage("0_raw", docs)
+      .unionByName(stage("1_quality", quality))
+      .unionByName(stage("2_exact_dedup", exact))
+      .unionByName(stage("3_near_dedup", nearDeduped))
+      .orderBy($"stage")
+  }
+
   /** X5 multimodal binary column: payload size + head bytes as hex (the
     * SQL-expressible slice; the typed decode path is OperatorSpec-tested). */
   def multimodalBytes(spark: SparkSession, d: String): DataFrame = {
