@@ -54,9 +54,22 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: count
     * common shingles per pair, then J = c / (na + nb - c). Shared by the
-    * exact and MinHash paths so both return identical shapes. */
-  private def verifyPairs(candidates: DataFrame, sh: DataFrame,
+    * exact and MinHash paths so both return identical shapes.
+    *
+    * Size-ratio prefilter: J >= t forces min(|A|,|B|) >= t·max(|A|,|B|)
+    * (the intersection fits in the smaller set), so mismatched-size pairs
+    * are dropped against the tiny `sizes` table BEFORE the expensive
+    * per-shingle intersection join — lossless, like the prefix filter. */
+  private def verifyPairs(candidates0: DataFrame, sh: DataFrame,
       sizes: DataFrame, threshold: Double): DataFrame = {
+    val candidates = candidates0
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "pa")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "pb")), "doc_b")
+      .filter(least(col("pa"), col("pb")) >=
+        lit(threshold) * greatest(col("pa"), col("pb")))
+      .select(col("doc_a"), col("doc_b"))
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("sa.shingle").as("sh_a"))
