@@ -78,6 +78,7 @@ object SparkEntry {
     "q55_scalar_subquery" -> (Relational.scalarSubquery _),
     "q56_decimal_agg"    -> (Relational.decimalAgg _),
     "q57_corpus_funnel"  -> (NorthStar.corpusFunnel _),
+    "q58_array_functions" -> (Scalars.arrayFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,6 +594,17 @@ object SparkEntry {
         |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM e)
         |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM nd)
         |ORDER BY stage""".stripMargin,
+    "q58_array_functions" ->
+      """SELECT l_orderkey,
+        |       list_sort(list(l_linenumber)) AS lines,
+        |       CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+        |       list_sort(list(l_linenumber))[1] AS first_line,
+        |       list_contains(list(l_linenumber), 3) AS has_line3,
+        |       list_sort(list(l_linenumber))[1:2] AS first_two
+        |FROM lineitem
+        |WHERE l_orderkey <= 500
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

@@ -88,6 +88,25 @@ object Scalars {
       .orderBy($"l_linestatus")
   }
 
+  /** F5 array functions: per-order collected+sorted line numbers, with
+    * size / element access / membership / slicing over the array. The
+    * collect is normalized by array_sort so the result is
+    * aggregation-order-independent. */
+  def arrayFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_orderkey" <= 500)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list($"l_linenumber")).as("lines"))
+      .select($"l_orderkey",
+        $"lines",
+        size($"lines").as("n_lines"),
+        element_at($"lines", 1).as("first_line"),
+        array_contains($"lines", 3).as("has_line3"),
+        slice($"lines", 1, 2).as("first_two"))
+      .orderBy($"l_orderkey")
+  }
+
   /** F1 math functions: abs/round/floor/ceil/sqrt over numeric columns. */
   def mathFunctions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

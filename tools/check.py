@@ -23,7 +23,9 @@ def norm(rows):
     for r in rows:
         vals = []
         for v in r:
-            if isinstance(v, list):
+            if hasattr(v, "tolist"):  # numpy array from list columns
+                v = tuple(v.tolist())
+            elif isinstance(v, list):
                 v = tuple(v)
             elif isinstance(v, float) and v != v:  # NaN/NULL double
                 v = None
