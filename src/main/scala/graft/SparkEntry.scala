@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_decimal_agg"    -> (Relational.decimalAgg _),
     "q57_corpus_funnel"  -> (NorthStar.corpusFunnel _),
     "q58_array_functions" -> (Scalars.arrayFunctions _),
+    "q59_unpivot"        -> (Scalars.unpivotLong _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -605,6 +606,22 @@ object SparkEntry {
         |WHERE l_orderkey <= 500
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+    "q59_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_linestatus,
+        |         round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS "A",
+        |         round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS "N",
+        |         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS "R"
+        |  FROM lineitem
+        |  GROUP BY l_linestatus)
+        |SELECT l_linestatus, returnflag, sum_qty
+        |FROM (SELECT l_linestatus, 'A' AS returnflag, "A" AS sum_qty FROM wide
+        |      UNION ALL
+        |      SELECT l_linestatus, 'N', "N" FROM wide
+        |      UNION ALL
+        |      SELECT l_linestatus, 'R', "R" FROM wide)
+        |WHERE sum_qty IS NOT NULL
+        |ORDER BY l_linestatus, returnflag""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

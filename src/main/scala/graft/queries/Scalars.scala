@@ -107,6 +107,18 @@ object Scalars {
       .orderBy($"l_orderkey")
   }
 
+  /** R1 inverse — unpivot/stack: the wide A/N/R quantity matrix of
+    * [[pivotWide]] back to long form. `stack` is the built-in generator
+    * for wide→long (the explode of a column tuple). */
+  def unpivotLong(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    pivotWide(spark, d)
+      .selectExpr("l_linestatus",
+        "stack(3, 'A', A, 'N', N, 'R', R) AS (returnflag, sum_qty)")
+      .filter($"sum_qty".isNotNull)
+      .orderBy($"l_linestatus", $"returnflag")
+  }
+
   /** F1 math functions: abs/round/floor/ceil/sqrt over numeric columns. */
   def mathFunctions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
