@@ -80,6 +80,8 @@ object SparkEntry {
     "q57_corpus_funnel"  -> (NorthStar.corpusFunnel _),
     "q58_array_functions" -> (Scalars.arrayFunctions _),
     "q59_unpivot"        -> (Scalars.unpivotLong _),
+    "q60_window_first_last" -> (Windows.firstLastValue _),
+    "q61_date_arithmetic" -> (Scalars.dateArithmetic _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -622,6 +624,33 @@ object SparkEntry {
         |      SELECT l_linestatus, 'R', "R" FROM wide)
         |WHERE sum_qty IS NOT NULL
         |ORDER BY l_linestatus, returnflag""".stripMargin,
+    "q60_window_first_last" ->
+      """SELECT o_custkey,
+        |       round(max(first_price), 4) AS first_price,
+        |       round(max(last_price), 4) AS last_price,
+        |       round(max(second_price), 4) AS second_price
+        |FROM (SELECT o_custkey,
+        |        first_value(o_totalprice) OVER w AS first_price,
+        |        last_value(o_totalprice) OVER w AS last_price,
+        |        nth_value(o_totalprice, 2) OVER w AS second_price
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND UNBOUNDED FOLLOWING))
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q61_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |       CAST(datediff('day', DATE '1995-01-01',
+        |                     CAST(o_orderdate AS DATE)) AS INTEGER)
+        |         AS days_since_epoch_start,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

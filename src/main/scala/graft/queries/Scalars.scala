@@ -47,6 +47,21 @@ object Scalars {
       .orderBy($"y", $"q", $"m")
   }
 
+  /** F2 date arithmetic: offsets and differences (the reference's
+    * date-stamped cache keys and run timestamps, etl.py:35, 39). */
+  def dateArithmetic(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .filter($"o_orderkey" <= 1000)
+      .select($"o_orderkey",
+        to_date($"o_orderdate").as("order_date"),
+        date_add(to_date($"o_orderdate"), 30).as("due_date"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since_epoch_start"),
+        last_day(to_date($"o_orderdate")).as("month_end"))
+      .orderBy($"o_orderkey")
+  }
+
   /** F3 string functions: upper, substring, length, regexp_replace, concat.
     * Mirrors the reference's prefix-stripping renames (etl.py:82-88). */
   def stringFunctions(spark: SparkSession, d: String): DataFrame = {

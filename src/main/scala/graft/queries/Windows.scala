@@ -79,6 +79,25 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** W-family value accessors: first/last/nth over the full partition
+    * frame (last_value needs the unbounded-following frame or it reads
+    * only up to the current row — same rule in DuckDB). */
+  def firstLastValue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val full = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, d)
+      .withColumn("first_price", first($"o_totalprice").over(full))
+      .withColumn("last_price", last($"o_totalprice").over(full))
+      .withColumn("second_price", nth_value($"o_totalprice", 2).over(full))
+      .groupBy($"o_custkey")
+      .agg(round(max($"first_price"), 4).as("first_price"),
+        round(max($"last_price"), 4).as("last_price"),
+        round(max($"second_price"), 4).as("second_price"))
+      .orderBy($"o_custkey")
+  }
+
   /** W4 running cumulative sum per user over event time. */
   def cumulativeSum(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
