@@ -82,6 +82,8 @@ object SparkEntry {
     "q59_unpivot"        -> (Scalars.unpivotLong _),
     "q60_window_first_last" -> (Windows.firstLastValue _),
     "q61_date_arithmetic" -> (Scalars.dateArithmetic _),
+    "q62_null_functions" -> (Scalars.nullFunctions _),
+    "q63_string_functions2" -> (Scalars.stringFunctions2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +653,28 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
+    "q62_null_functions" ->
+      """SELECT o_orderkey,
+        |       round(coalesce(prev, 0.0), 4) AS prev_or_zero,
+        |       round(nullif(o_totalprice, o_totalprice), 4) AS always_null,
+        |       round(greatest(o_totalprice, coalesce(prev, 0.0)), 4) AS hi,
+        |       round(least(o_totalprice, coalesce(prev, 0.0)), 4) AS lo,
+        |       prev IS NULL AS is_first
+        |FROM (SELECT *, lag(o_totalprice, 1) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |      FROM orders)
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q63_string_functions2" ->
+      """SELECT p_partkey,
+        |       lpad(p_brand, 10, '#') AS brand_padded,
+        |       rpad(p_type, 12, '.') AS type_padded,
+        |       trim('  x  ') AS trimmed,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS name_translated,
+        |       reverse(p_brand) AS brand_reversed,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS name_snake
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

@@ -134,6 +134,39 @@ object Scalars {
       .orderBy($"l_linestatus", $"returnflag")
   }
 
+  /** F6 null-handling functions: coalesce/nullif/greatest/least and
+    * null-aware comparison, over the lag-null boundary of q09's shape. */
+  def nullFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, d)
+      .withColumn("prev", lag($"o_totalprice", 1).over(w))
+      .filter($"o_orderkey" <= 2000)
+      .select($"o_orderkey",
+        round(coalesce($"prev", lit(0.0)), 4).as("prev_or_zero"),
+        round(nullif($"o_totalprice", $"o_totalprice"), 4).as("always_null"),
+        round(greatest($"o_totalprice", coalesce($"prev", lit(0.0))), 4).as("hi"),
+        round(least($"o_totalprice", coalesce($"prev", lit(0.0))), 4).as("lo"),
+        $"prev".isNull.as("is_first"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F3 extended string functions: pad/trim/translate/reverse/replace
+    * (the rename-and-normalize family of etl.py:82-88 widened). */
+  def stringFunctions2(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, d)
+      .select($"p_partkey",
+        lpad($"p_brand", 10, "#").as("brand_padded"),
+        rpad($"p_type", 12, ".").as("type_padded"),
+        trim(lit("  x  ")).as("trimmed"),
+        translate($"p_name", "aeiou", "AEIOU").as("name_translated"),
+        reverse($"p_brand").as("brand_reversed"),
+        regexp_replace($"p_name", " ", "_").as("name_snake"))
+      .orderBy($"p_partkey")
+  }
+
   /** F1 math functions: abs/round/floor/ceil/sqrt over numeric columns. */
   def mathFunctions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
