@@ -25,7 +25,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Emit on the REAL process stdout (FileDescriptor.out): when run via
+    // `sbt runMain`, System.out is captured by sbt's logger and the line
+    // comes out tagged "[info] ", which breaks a strict JSON-line parser.
+    // Writing to the raw fd bypasses the logger in-process and is an
+    // ordinary stdout write under fork/plain `java`.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    raw.println(line)
   }
 }

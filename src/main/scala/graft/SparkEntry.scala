@@ -502,7 +502,7 @@ object SparkEntry {
     "q49_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
-        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_price,
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
@@ -567,7 +567,7 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     "q56_decimal_agg" ->
       """SELECT o_orderstatus,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE), 4) AS sum_price,
         |       count(*) AS n
         |FROM orders
         |GROUP BY o_orderstatus
@@ -601,11 +601,11 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin,
     "q58_array_functions" ->
       """SELECT l_orderkey,
-        |       list_sort(list(l_linenumber)) AS lines,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
         |       CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
         |       list_sort(list(l_linenumber))[1] AS first_line,
         |       list_contains(list(l_linenumber), 3) AS has_line3,
-        |       list_sort(list(l_linenumber))[1:2] AS first_two
+        |       array_to_string(list_sort(list(l_linenumber))[1:2], ',') AS first_two_csv
         |FROM lineitem
         |WHERE l_orderkey <= 500
         |GROUP BY l_orderkey

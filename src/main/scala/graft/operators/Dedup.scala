@@ -113,7 +113,21 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(candidates, sh, sizes, threshold)
+    releaseAfter(sh)(verifyPairs(candidates, sh, sizes, threshold))
+  }
+
+  /** Materialize `result` (eager localCheckpoint — small: only qualifying
+    * pairs survive the threshold), then drop the shingle cache. Without
+    * this, every call leaks its persisted shingles for the session
+    * lifetime (bench loops, corpusFunnel). The checkpoint blocks
+    * themselves are reclaimed by ContextCleaner once the caller drops the
+    * returned DataFrame. On a multi-node cluster prefer writing candidates
+    * to a temp table over localCheckpoint (which does not survive executor
+    * loss); in this engine the pairs result is small enough either way. */
+  private def releaseAfter(cached: DataFrame)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.unpersist(false)
+    out
   }
 
   /** X2 MinHash+LSH near-dup pairs, verified with exact Jaccard. With
@@ -151,7 +165,7 @@ object Dedup {
 
     // exact verification restricted to candidates only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    verifyPairs(candidates, sh, sizes, threshold)
+    releaseAfter(sh)(verifyPairs(candidates, sh, sizes, threshold))
   }
 
   /** Greedy near-duplicate REMOVAL: for every qualifying pair the

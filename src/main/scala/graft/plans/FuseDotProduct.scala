@@ -16,12 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * fast path — the Catalyst way of "optimize the pattern, not the call
   * site".
   *
-  * Guard rails: only fires when both arrays are `array<double>` with
-  * non-nullable elements (with nullable elements the fold yields NULL where
-  * DotProduct skips; and for length-mismatched inputs zip_with pads with
-  * null → fold yields NULL — so the rewrite also requires the non-null
-  * guarantee that rules out the padding case producing a different
-  * result... i.e. equal-dim embedding columns, the engine's actual use). */
+  * The rewrite is unconditionally safe for `array<double>` inputs because
+  * [[DotProduct]] reproduces the HOF semantics exactly: zip_with pads a
+  * shorter array with nulls and the fold's `acc + null` poisons the sum →
+  * DotProduct returns null on length mismatch; a null element poisons the
+  * fold the same way → DotProduct returns null on any null element. */
 object FuseDotProduct extends Rule[LogicalPlan] {
 
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
@@ -29,15 +28,15 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case agg: ArrayAggregate => agg.argument match {
       case zw: ZipWith
-          if nonNullDoubleArray(zw.left) && nonNullDoubleArray(zw.right) =>
+          if doubleArray(zw.left) && doubleArray(zw.right) =>
         (zw.function, agg.zero, agg.merge, agg.finish) match {
           case (
             LambdaFunction(m: Multiply, Seq(x: NamedLambdaVariable,

@@ -18,13 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the higher-order formulation and DuckDB's `list_dot_product`, so results
   * are bit-identical and oracle checks are unaffected.
   *
-  * Null handling: null input array → null; shorter array truncates (like
-  * `zip_with`); null elements contribute 0 in eval and are skipped in
-  * codegen via the null check. */
+  * Null handling — EXACTLY the `zip_with`+`aggregate` formulation: null
+  * input array → null; length mismatch → null (zip_with pads the shorter
+  * side with null, and the fold's `acc + null` poisons the sum); any null
+  * element → null (same poisoning). This equivalence is what licenses
+  * [[FuseDotProduct]] to substitute this expression unconditionally. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // May produce null beyond input-null propagation (length mismatch /
+  // null element), so always nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes() = {
     require(left.dataType == ArrayType(DoubleType, true) ||
@@ -37,13 +42,13 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        acc += a.getDouble(i) * b.getDouble(i)
-      }
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc
@@ -55,14 +60,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

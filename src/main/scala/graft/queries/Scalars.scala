@@ -106,7 +106,9 @@ object Scalars {
   /** F5 array functions: per-order collected+sorted line numbers, with
     * size / element access / membership / slicing over the array. The
     * collect is normalized by array_sort so the result is
-    * aggregation-order-independent. */
+    * aggregation-order-independent. Array columns are projected as
+    * comma-joined strings in the FINAL select — the external gate sorts
+    * result rows with pandas, which cannot hash/order ndarray cells. */
   def arrayFunctions(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
@@ -114,11 +116,11 @@ object Scalars {
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_list($"l_linenumber")).as("lines"))
       .select($"l_orderkey",
-        $"lines",
+        array_join($"lines", ",").as("lines_csv"),
         size($"lines").as("n_lines"),
         element_at($"lines", 1).as("first_line"),
         array_contains($"lines", 3).as("has_line3"),
-        slice($"lines", 1, 2).as("first_two"))
+        array_join(slice($"lines", 1, 2), ",").as("first_two_csv"))
       .orderBy($"l_orderkey")
   }
 

@@ -54,14 +54,31 @@ object AlphaVantage {
     (raw.filter(ok), raw.filter(!coalesce(ok, lit(false))))
   }
 
+  /** A payload is cast-clean iff EVERY record parses: date key and all five
+    * numeric fields. One bad record anywhere rejects the WHOLE payload —
+    * the reference validates the full response object in one shot
+    * (`AlphaVantageResponse(**raw_data)`, etl.py:73-77) and `continue`s
+    * past the entire symbol on any ValidationError. */
+  private val castClean = expr(
+    """forall(map_entries(`Time Series (Daily)`), e ->
+      |  try_cast(e.key AS date) IS NOT NULL AND
+      |  try_cast(e.value.`1. open` AS double) IS NOT NULL AND
+      |  try_cast(e.value.`2. high` AS double) IS NOT NULL AND
+      |  try_cast(e.value.`3. low` AS double) IS NOT NULL AND
+      |  try_cast(e.value.`4. close` AS double) IS NOT NULL AND
+      |  try_cast(e.value.`5. volume` AS bigint) IS NOT NULL)""".stripMargin)
+
   /** R1+P1-P4: map-explode, prefix-strip renames, string→number casts, the
-    * derived daily change, and the symbol tag — one lazy plan. Records with
-    * non-numeric fields cast to null and are rejected (strict mode),
-    * mirroring the Pydantic per-record rejection. */
+    * derived daily change, and the symbol tag — one lazy plan. A payload
+    * with ANY malformed record is quarantined WHOLE (the Pydantic
+    * whole-response rejection, etl.py:73-77) — the [[castClean]] guard runs
+    * per-payload BEFORE the explode, so clean payloads pay one vectorized
+    * map scan and dirty ones never fan out. */
   def tabularize(valid: DataFrame): Dataset[StockDaily] = {
     val spark = valid.sparkSession
     import spark.implicits._
     valid
+      .filter(castClean)
       .select(
         element_at(col("Meta Data"), "2. Symbol").as("symbol"),
         explode(col("`Time Series (Daily)`")).as(Seq("date_str", "ohlcv")))

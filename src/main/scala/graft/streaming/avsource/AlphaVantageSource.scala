@@ -175,7 +175,9 @@ class TokenBucket(perMinute: Int) {
   * prices derived from a hash of (symbol, date) so replays are exact. */
 object FakeAlphaVantageServer {
   def fetch(symbol: String, date: String): String = {
-    val h = math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$symbol|$date"))
+    // mask, not math.abs: abs(Int.MinValue) is still negative, which would
+    // produce negative prices/volumes for that (symbol, date)
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"$symbol|$date") & 0x7fffffff
     val base = 100.0 + (h % 40000) / 100.0
     val open = base
     val high = base * 1.02

@@ -25,17 +25,39 @@ class FuseDotProductSpec extends SparkSpec {
     assert(viaRule == direct)
   }
 
-  test("rule leaves nullable-element arrays alone (semantics guard)") {
+  test("rule fires on nullable-element arrays and preserves NULL semantics") {
     import spark.implicits._
     if (!spark.experimental.extraOptimizations.contains(FuseDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseDotProduct
     }
-    val df = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))))
-      .toDF("a", "b")
+    // range-based so constant folding can't collapse the plan to a
+    // LocalRelation before we can inspect it
+    val df = spark.range(1).select(
+      expr("array(cast(id AS double) + 1.0, CAST(NULL AS double))").as("a"),
+      expr("array(cast(2.0 AS double), cast(3.0 AS double))").as("b"))
     val hof = df.select(Similarity.dotHof($"a", $"b").as("d"))
-    assert(!hof.queryExecution.optimizedPlan.toString.contains("dot_product"))
-    // and the HOF semantics (null element → null result) are preserved
+    assert(hof.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    // HOF semantics (null element → null result) are preserved
     assert(hof.collect().head.isNullAt(0))
+  }
+
+  test("fused expression matches HOF on length-mismatched arrays (NULL)") {
+    import spark.implicits._
+    if (!spark.experimental.extraOptimizations.contains(FuseDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseDotProduct
+    }
+    // zip_with pads the shorter array with null → the fold returns NULL;
+    // the fused DotProduct must agree, not truncate-and-sum.
+    val df = spark.range(1).select(
+      expr("array(cast(id AS double), 2.0, 3.0)").as("a"),
+      expr("array(cast(4.0 AS double), cast(5.0 AS double))").as("b"))
+    val hof = df.select(Similarity.dotHof($"a", $"b").as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(hof.collect().head.isNullAt(0))
+    // and the direct expression agrees
+    val direct = df.select(Similarity.dot($"a", $"b").as("d"))
+    assert(direct.collect().head.isNullAt(0))
   }
 }

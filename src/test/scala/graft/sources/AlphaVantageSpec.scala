@@ -28,9 +28,16 @@ class AlphaVantageSpec extends SparkSpec {
     assert(quarantined.count() == 1)
   }
 
-  test("non-numeric fields reject the record, not the payload") {
+  test("any non-numeric field rejects the WHOLE payload (etl.py:73-77)") {
     val ds = AlphaVantage.ingest(spark, s"$fixtures/ERR_badnum.json")
     assert(ds.count() == 0) // its only record has a bad open
+    // one bad day among good days still quarantines the whole symbol —
+    // the reference's Pydantic validation covers the full response object
+    val mixed = AlphaVantage.ingest(spark, s"$fixtures/ERR_mixed.json")
+    assert(mixed.count() == 0)
+    // and a clean payload alongside it is unaffected
+    val both = AlphaVantage.ingest(spark, s"$fixtures/{ERR_mixed,GOOG_d1}.json")
+    assert(both.count() == 3)
   }
 
   test("multi-payload ingest unions all symbols") {
