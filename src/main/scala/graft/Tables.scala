@@ -15,8 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operator in this library is agnostic to physical layout.
   */
 object Tables {
+  // Resolving a parquet DataFrame costs a driver-side listing + footer
+  // read; at one-query-per-call granularity (Verify/Bench run 60+ queries,
+  // several touching all 10 tables) that fixed cost dominates small-SF
+  // runs. DataFrames are immutable logical plans, so memoizing the
+  // resolved relation per (session, dir, table) is safe — Catalyst still
+  // applies per-query pushdown/pruning on top of the shared relation.
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    resolved.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -28,58 +28,65 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingle) pairs — distinct word-TRIGRAM shingles per doc.
+  /** Per-doc SORTED ARRAY of distinct word-TRIGRAM shingle hashes
+    * (xxhash64). Computed entirely row-local — no shuffle: the shingle
+    * set of a document is bounded by its own length, so it lives happily
+    * in one cell even for book-sized docs. Hashing to int64 up front
+    * shrinks every downstream shuffle (8 bytes vs ~20+ byte strings) and
+    * makes intersection a primitive-array operation; collision odds over
+    * a corpus of n distinct shingles are ~n²/2⁶⁵ (≈1e-9 even at 10⁹
+    * shingles) — far below any near-dup threshold's sensitivity.
+    *
     * Shingle width is a blocking-selectivity knob: it must be large enough
     * that the shingle space dwarfs the vocabulary's collision rate, or the
     * inverted index degenerates toward all-pairs (with this corpus's ~50
     * word vocabulary, bigrams average df≈300 per shingle; trigrams ≈6). */
-  def shingles(docs: DataFrame, textCol: String = "text",
+  def shingleArrays(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), array_sort(expr(
         "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2), " +
-          "' ', element_at(toks, i+3))))"))
-        .as("shingle"))
+          "i -> xxhash64(concat(element_at(toks, i+1), ' ', " +
+          "element_at(toks, i+2), ' ', element_at(toks, i+3)))))"))
+        .as("arr"))
+      .withColumn("n_sh", size(col("arr")))
 
-  private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =
-    pairsWithInter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+  /** (doc_id, shingle-hash) pairs — the exploded inverted-index view of
+    * [[shingleArrays]]. */
+  def shingles(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    shingleArrays(docs, textCol, idCol)
+      .select(col("doc_id"), explode(col("arr")).as("shingle"))
 
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: count
-    * common shingles per pair, then J = c / (na + nb - c). Shared by the
-    * exact and MinHash paths so both return identical shapes.
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the per-doc shingle arrays: c = |arr_a ∩ arr_b| via codegen'd
+    * array_intersect, then J = c / (na + nb - c). Shared by the exact and
+    * MinHash paths so both return identical shapes.
+    *
+    * Two joins against the doc-level table (one row per doc, NOT one row
+    * per shingle) replace the former candidate×shingle explode-joins —
+    * the intersection happens inside whole-stage codegen on primitive
+    * long arrays instead of through a shuffle-heavy count aggregation.
     *
     * Size-ratio prefilter: J >= t forces min(|A|,|B|) >= t·max(|A|,|B|)
     * (the intersection fits in the smaller set), so mismatched-size pairs
-    * are dropped against the tiny `sizes` table BEFORE the expensive
-    * per-shingle intersection join — lossless, like the prefix filter. */
-  private def verifyPairs(candidates0: DataFrame, sh: DataFrame,
-      sizes: DataFrame, threshold: Double): DataFrame = {
-    val candidates = candidates0
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "pa")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "pb")), "doc_b")
-      .filter(least(col("pa"), col("pb")) >=
-        lit(threshold) * greatest(col("pa"), col("pb")))
-      .select(col("doc_a"), col("doc_b"))
-    val inter = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("sa.shingle").as("sh_a"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sh_a") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    jaccardOf(inter, sizes)
+    * are dropped BEFORE the array join — lossless, like the prefix
+    * filter. */
+  private def verifyPairs(candidates: DataFrame, docArr: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .filter(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** X2 exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
     * index (AllPairs/PPJoin, Bayardo et al., WWW 2007).
@@ -94,26 +101,30 @@ object Dedup {
     * frequent end. This is the difference between "works on 500 docs" and
     * "works on 10^9 docs". */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // reused 4x below — without persist Spark re-evaluates the whole
-    // explode+distinct subplan per use (no DataFrame-level CSE)
-    val sh = shingles(docs).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val prefix = sh
-      .join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(byRarity))
-      .join(sizes, "doc_id")
-      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("shingle"))
+    // reused below (prefix, probe side, verify) — without persist Spark
+    // re-evaluates the shingling subplan per use (no DataFrame-level CSE)
+    val da = shingleArrays(docs).persist()
+    // Positional prefix under the hash total order: a pair with J >= t
+    // shares >= ceil(t·|A|) shingles, and |A| - ceil(t·|A|) + 1 prefix
+    // elements must contain one of them (pigeonhole) — valid for ANY
+    // fixed global order, and the arrays are already hash-sorted, so the
+    // prefix is a plain slice: no document-frequency join, no per-doc
+    // rarity window. (On a skew-heavy corpus at cluster scale, ordering
+    // by ascending document frequency shrinks the candidate set further —
+    // that is the classic AllPairs/PPJoin refinement — at the price of a
+    // dfreq join + window sort; with near-unique trigram shingles the
+    // slice prefix generates ~the same candidates for 3 fewer shuffles.)
+    val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
+      (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .as("shingle"))
+    val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
     val candidates = prefix.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    releaseAfter(sh)(verifyPairs(candidates, sh, sizes, threshold))
+    releaseAfter(da)(verifyPairs(candidates, da, threshold))
   }
 
   /** Materialize `result` (eager localCheckpoint — small: only qualifying
@@ -142,7 +153,8 @@ object Dedup {
     val coefA = Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val coefB = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
 
-    val sh = shingles(docs).persist() // reused: signatures + verification
+    val da = shingleArrays(docs).persist() // reused: signatures + verification
+    val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
     val hashed = sh.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(prime)))
     val sig = hashed.groupBy("doc_id").agg(
       min(pmod(col("h") * coefA(0) + coefB(0), lit(prime))).as("s0"),
@@ -164,8 +176,7 @@ object Dedup {
       .distinct()
 
     // exact verification restricted to candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    releaseAfter(sh)(verifyPairs(candidates, sh, sizes, threshold))
+    releaseAfter(da)(verifyPairs(candidates, da, threshold))
   }
 
   /** Greedy near-duplicate REMOVAL: for every qualifying pair the
