@@ -84,6 +84,9 @@ object SparkEntry {
     "q61_date_arithmetic" -> (Scalars.dateArithmetic _),
     "q62_null_functions" -> (Scalars.nullFunctions _),
     "q63_string_functions2" -> (Scalars.stringFunctions2 _),
+    "q64_cc_components"  -> (NorthStar.ccComponents _),
+    "q65_label_centroids" -> (NorthStar.labelCentroids _),
+    "q66_window_distribution" -> (Windows.distributionFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -675,6 +678,49 @@ object SparkEntry {
         |       regexp_replace(p_name, ' ', '_', 'g') AS name_snake
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+    // connected components of the near-dup pair graph: recursive
+    // reachability walk carrying source labels; component = min label seen
+    "q64_cc_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+        |         UNION
+        |         SELECT e.dst AS src, w.lbl FROM walk w
+        |         JOIN edges e ON e.src = w.src)
+        |SELECT src AS doc_id, min(lbl) AS component
+        |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q65_label_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+        |       round(avg(x), 4) AS cx, count(*) AS n
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "q66_window_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 4) AS pr,
+        |       round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WHERE o_orderkey <= 5000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

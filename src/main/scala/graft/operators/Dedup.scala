@@ -189,6 +189,60 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) pair list via
+    * iterative min-label propagation: every node repeatedly adopts the
+    * minimum label among itself and its neighbors, converging in
+    * O(component diameter) rounds — near-dup clusters are shallow (a dup
+    * cluster's diameter is tiny), so this terminates in a handful of
+    * rounds regardless of corpus size. Each round is one shuffle join +
+    * aggregation; labels are checkpointed per round to truncate lineage
+    * (the standard large-graph pattern — same propagation as GraphX/
+    * Pregel CC, expressed on DataFrames).
+    *
+    * Returns (doc_id, component) for every doc appearing in a pair, where
+    * component = min doc_id of the doc's transitive near-dup cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("component").as("nbr_c")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_c")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.drop("chg")
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Transitive-closure-correct near-duplicate removal: one representative
+    * (the min doc_id) survives per connected component of the near-dup
+    * graph — unlike [[dropNearDuplicates]], a chain A~B~C (where A~C may
+    * be below threshold) keeps ONLY A. */
+  def dropNearDuplicatesCC(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = connectedComponents(jaccardPairs(docs, threshold))
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands
     * (pigeonhole-complete for hamming ≤ 3), exact hamming verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,

@@ -35,6 +35,32 @@ object NorthStar {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** X2 connected-components cluster assignment over the near-dup pair
+    * graph (J >= 0.8): iterative min-label propagation; component = min
+    * doc_id of the transitive cluster. Oracle: DuckDB recursive CTE over
+    * the same pairs. */
+  def ccComponents(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(spark, d), 0.8))
+      .orderBy($"doc_id")
+  }
+
+  /** X3 per-label centroid of the embedding vectors, long-form
+    * (label, pos, centroid coordinate) — the k-means "update" half-step
+    * and the shape every clustering/ANN-training pipeline needs at scale:
+    * posexplode keeps the shuffle key (label, pos) fine-grained instead of
+    * reducing whole arrays. */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x".cast("double")), 4).as("cx"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"pos")
+  }
+
   /** X2 SimHash banding near-dups (hamming <= 3). No oracle: the custom
     * 64-bit fingerprint has no DuckDB equivalent; OperatorSpec pins its
     * semantics instead. */

@@ -108,4 +108,18 @@ object Windows {
       .select($"user_id", $"event_id", round($"cum_value", 4).as("cum_value"))
       .orderBy($"user_id", $"event_id")
   }
+
+  /** W3 distribution functions: percent_rank / cume_dist over a fully
+    * deterministic order (price, then key tiebreak). */
+  def distributionFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, d)
+      .filter($"o_orderkey" <= 5000)
+      .select($"o_orderkey", $"o_orderpriority",
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy($"o_orderkey")
+  }
 }

@@ -84,6 +84,18 @@ object StreamingIngest {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Stream-STREAM inner interval join (the attribution shape: a right
+    * event joins a left event with the same key within `maxGap` after it).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark can expire buffered rows on BOTH sides
+    * — without the interval bound the state store grows forever. Left
+    * columns: (key, l_ts, ...); right: (r_key, r_ts, ...). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "1 hour", maxGap: String = "30 minutes"): DataFrame =
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"key = r_key AND r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"))
+
   /** T6: watermarked event-time windowed aggregation over a stream. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

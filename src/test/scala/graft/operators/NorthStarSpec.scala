@@ -20,6 +20,28 @@ class NorthStarSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents merges chains transitively (A~B~C, A!~C)") {
+    import spark.implicits._
+    // 1-2, 2-3 near-dup but 1-3 not; plus an isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropNearDuplicatesCC keeps one representative per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i x"),  // near-dup of 1
+      (3L, "a b c d e f g h x y"),  // near-dup of 2, not of 1 at high t
+      (4L, "p q r s t u v w k m")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesCC(docs, 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("minhashLshPairs matches exact jaccardPairs at threshold 0.8") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)

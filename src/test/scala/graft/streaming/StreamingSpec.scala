@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "gold", 5.0), (2L, "basic", 7.0)))
   }
 
+  test("stream-stream interval join pairs keys within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val left = impressions.toDF().toDF("key", "l_ts")
+    val right = clicks.toDF().toDF("r_key", "r_ts")
+    val q = StreamingIngest.intervalJoin(left, right)
+      .select($"key", $"l_ts".cast("string"), $"r_ts".cast("string"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attributed").start()
+    impressions.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")), // within 30 min → joins
+      (2L, Timestamp.valueOf("2024-01-01 11:10:00")), // too late → dropped
+      (3L, Timestamp.valueOf("2024-01-01 10:05:00"))) // no impression
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attributed").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
