@@ -87,6 +87,10 @@ object SparkEntry {
     "q64_cc_components"  -> (NorthStar.ccComponents _),
     "q65_label_centroids" -> (NorthStar.labelCentroids _),
     "q66_window_distribution" -> (Windows.distributionFunctions _),
+    "q67_tpch_q1_full"   -> (Relational.tpchQ1Full _),
+    "q68_map_functions"  -> (Scalars.mapFunctions _),
+    "q69_regexp_extract" -> (Scalars.regexpExtract _),
+    "q70_histogram"      -> (SetsAndAggs.binnedHistogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -721,6 +725,58 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // full TPC-H Q1: money terms as exact scaled-integer sums (see
+    // graft.functions.Money), charge summed as DECIMAL for headroom
+    "q67_tpch_q1_full" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4)
+        |         AS sum_base_price,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS sum_disc_price,
+        |       round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |                 * (100 + CAST(round(l_tax * 100) AS BIGINT))
+        |                 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+        |       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |             / (100.0 * count(*)), 4) AS avg_price,
+        |       round(sum(CAST(round(l_discount * 100) AS BIGINT))
+        |             / (100.0 * count(*)), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q68_map_functions" ->
+      """WITH c AS (SELECT l_linestatus, l_returnflag, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_linestatus,
+        |             map_from_entries(list_sort(list((l_returnflag, n)))) AS mp
+        |      FROM c GROUP BY 1)
+        |SELECT l_linestatus,
+        |       array_to_string(map_keys(mp), ',') AS keys_csv,
+        |       mp['A'][1] AS n_a,
+        |       mp['N'][1] AS n_n,
+        |       CAST(cardinality(mp) AS INTEGER) AS n_entries
+        |FROM m ORDER BY l_linestatus""".stripMargin,
+    "q69_regexp_extract" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |       regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS name_adj,
+        |       regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS name_noun,
+        |       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q70_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 4) AS lo,
+        |       round(max(o_totalprice), 4) AS hi
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

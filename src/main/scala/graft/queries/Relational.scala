@@ -35,6 +35,36 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** The COMPLETE TPC-H Q1 pricing summary (all 8 aggregates + the
+    * shipdate cutoff). Money terms aggregate as exact scaled integers
+    * ([[graft.functions.Money]]); the three-factor charge product is
+    * summed as DECIMAL so the exact integer sum cannot overflow BIGINT at
+    * cluster row counts (6e11 rows × 1e11/row beats int64; decimal(38,0)
+    * holds it). Averages divide exact sums once at the end. */
+  def tpchQ1Full(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val cents = Money.cents _
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(Money.sumMoney($"l_extendedprice"), 4).as("sum_base_price"),
+        round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+          .as("sum_disc_price"),
+        round((sum((cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
+            * (lit(100L) + cents($"l_tax"))).cast("decimal(38,0)"))
+          / lit(1000000.0)).cast("double"), 4).as("sum_charge"),
+        round(sum($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(cents($"l_extendedprice")) / (lit(100.0) * count(lit(1))), 4)
+          .as("avg_price"),
+        round(sum(cents($"l_discount")) / (lit(100.0) * count(lit(1))), 4)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** G1 hash aggregate, TPC-H Q1 shape: map-side partial agg + final agg,
     * one shuffle on the (tiny-cardinality) group keys. */
   def aggGroupBy(spark: SparkSession, d: String): DataFrame = {

@@ -136,6 +136,42 @@ object Scalars {
       .orderBy($"l_linestatus", $"returnflag")
   }
 
+  /** F5 map functions: build a returnflag→count map per linestatus
+    * (map_from_entries over a SORTED entry list, so map order is
+    * deterministic), then read it back with map_keys / element_at / size.
+    * The map type is the engine-side mirror of the reference's payload
+    * map-of-date→OHLCV (raw_data/AAPL_2025-10-05.json:9). */
+  def mapFunctions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_linestatus", $"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"l_linestatus")
+      .agg(map_from_entries(array_sort(collect_list(struct($"l_returnflag", $"n"))))
+        .as("m"))
+      .select($"l_linestatus",
+        array_join(map_keys($"m"), ",").as("keys_csv"),
+        element_at($"m", "A").as("n_a"),
+        element_at($"m", "N").as("n_n"),
+        size($"m").as("n_entries"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** F3 regexp group extraction: parse the structured pieces out of the
+    * part strings ("Brand#17" → 17, "small ring" → adjective/noun) — the
+    * parse-a-semi-structured-string pattern every log/training pipeline
+    * needs. No-match returns '' in both engines. */
+  def regexpExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, d)
+      .select($"p_partkey",
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        regexp_extract($"p_name", "^(\\w+) (\\w+)$", 1).as("name_adj"),
+        regexp_extract($"p_name", "^(\\w+) (\\w+)$", 2).as("name_noun"),
+        regexp_extract($"p_type", "^([A-Z]+)", 1).as("type_head"))
+      .orderBy($"p_partkey")
+  }
+
   /** F6 null-handling functions: coalesce/nullif/greatest/least and
     * null-aware comparison, over the lag-null boundary of q09's shape. */
   def nullFunctions(spark: SparkSession, d: String): DataFrame = {

@@ -110,4 +110,20 @@ object SetsAndAggs {
         count(lit(1)).as("n"))
       .orderBy($"o_orderpriority")
   }
+
+  /** G-ext equi-width histogram: bucket order totals into fixed 50k bins
+    * (floor arithmetic — portable across engines, unlike width_bucket) and
+    * report per-bin count + bounds. The quality-score / length
+    * distribution profile every corpus audit starts with. */
+  def binnedHistogram(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .select(floor($"o_totalprice" / 50000.0).cast("int").as("bin"),
+        $"o_totalprice")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 4).as("lo"),
+        round(max($"o_totalprice"), 4).as("hi"))
+      .orderBy($"bin")
+  }
 }
