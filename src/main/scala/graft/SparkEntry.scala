@@ -91,6 +91,7 @@ object SparkEntry {
     "q68_map_functions"  -> (Scalars.mapFunctions _),
     "q69_regexp_extract" -> (Scalars.regexpExtract _),
     "q70_histogram"      -> (SetsAndAggs.binnedHistogram _),
+    "q71_cosine_pairs"   -> (NorthStar.cosinePairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -710,7 +711,7 @@ object SparkEntry {
         |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin,
     "q65_label_centroids" ->
       """SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
-        |       round(avg(x), 4) AS cx, count(*) AS n
+        |       round(avg(x), 4) + 0.0 AS cx, count(*) AS n
         |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |             generate_subscripts(embedding, 1) AS pos
         |      FROM embeddings)
@@ -777,6 +778,18 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+    "q71_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) *
+        |              sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) *
+        |             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

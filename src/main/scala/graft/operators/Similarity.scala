@@ -69,6 +69,24 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** X2 embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair
+    * with cosine >= threshold, exact O(n²/2) with norms precomputed once
+    * per row. Kept exact so the DuckDB oracle pins it bit-for-bit. The
+    * 100 TB path swaps the all-pairs join for the hyperplane-LSH blocking
+    * of [[annTopK]] (candidates = bucket-mates, exact-verified) — the same
+    * candidate→verify shape as MinHash→Jaccard in [[Dedup]]. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = withNorm(emb).select(col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm(emb).select(col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Deterministic ±1 hyperplanes for [[annTopK]]. */
   private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {

@@ -56,7 +56,10 @@ object NorthStar {
     Tables.embeddings(spark, d)
       .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
-      .agg(round(avg($"x".cast("double")), 4).as("cx"),
+      // + 0.0 canonicalizes IEEE negative zero: DuckDB's round keeps the
+      // sign (-0.0) where Spark's BigDecimal path yields +0.0, and the
+      // external gate hashes the raw float bits
+      .agg((round(avg($"x".cast("double")), 4) + lit(0.0)).as("cx"),
         count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
   }
@@ -73,6 +76,14 @@ object NorthStar {
   /** X3 exact brute-force top-10 cosine for stored query vec 0. */
   def cosineTopK(spark: SparkSession, d: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(spark, d), 0L, 10)
+
+  /** X2 embedding-cosine near-dup pairs (cos >= 0.4 — this synthetic
+    * embedding space tops out near 0.5, so 0.4 marks its "near-dups"). */
+  def cosinePairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.cosinePairs(Tables.embeddings(spark, d), 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
 
   /** X3 k-NN join: top-3 neighbors for each of the 10 query vectors. */
   def knnJoin(spark: SparkSession, d: String): DataFrame = {

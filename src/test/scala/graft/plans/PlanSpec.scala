@@ -65,6 +65,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes partitions at the scan (PartitionFilters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    graft.Tables.orders(spark, sf)
+      .withColumn("order_month",
+        date_format($"o_orderdate", "yyyy-MM"))
+      .write.partitionBy("order_month").mode("overwrite").parquet(s"$dir/orders_p")
+    val one = spark.read.parquet(s"$dir/orders_p")
+      .filter($"order_month" === "2001-01")
+    val plan = one.queryExecution.executedPlan.toString
+    // the month predicate must become a partition filter, not a row filter
+    assert(plan.contains("PartitionFilters: [isnotnull(order_month"), plan)
+    val monthsScanned = one.select($"order_month").distinct().collect()
+    assert(monthsScanned.length <= 1)
+    assert(one.count() ==
+      graft.Tables.orders(spark, sf)
+        .filter(date_format($"o_orderdate", "yyyy-MM") === "2001-01").count())
+  }
+
   test("codegen dot product is bit-identical to the higher-order fold") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
