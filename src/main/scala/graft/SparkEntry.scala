@@ -92,6 +92,7 @@ object SparkEntry {
     "q69_regexp_extract" -> (Scalars.regexpExtract _),
     "q70_histogram"      -> (SetsAndAggs.binnedHistogram _),
     "q71_cosine_pairs"   -> (NorthStar.cosinePairs _),
+    "q72_asof_native"    -> (Temporal.asOfJoinNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -790,6 +791,13 @@ object SparkEntry {
         |            (sqrt(list_dot_product(a.v, a.v)) *
         |             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // same oracle as q27 — identical semantics, different physical operator
+    "q72_asof_native" ->
+      """SELECT e.user_id, e.event_id, s.ts AS last_signup_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

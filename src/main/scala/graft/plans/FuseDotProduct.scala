@@ -61,6 +61,8 @@ object FuseDotProduct extends Rule[LogicalPlan] {
   * can be added to a live session via
   * `spark.experimental.extraOptimizations`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseDotProduct)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -23,6 +23,20 @@ object Temporal {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** A6 as-of join through the NATIVE Catalyst operator
+    * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan + Strategy +
+    * SparkPlan) — same semantics and oracle as [[asOfJoin]], different
+    * physical path (co-partitioned streaming merge instead of
+    * union+window). */
+  def asOfJoinNative(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    graft.plans.AsOfJoinNative.asOf(ev, signups, "user_id", "ts", "ts", Seq("ts"))
+      .select($"user_id", $"event_id", $"asof_ts".as("last_signup_ts"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** T7 batch sessionization via the gaps-and-islands library op. */
   def sessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+class AsOfJoinNativeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native as-of join matches the union+window formulation exactly") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    val viaWindow = AsOfJoin.asOf(ev, signups, "user_id", "ts", "ts", Seq("ts"))
+      .select($"user_id", $"event_id", $"asof_ts")
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSet
+    val native = AsOfJoinNative.asOf(ev, signups, "user_id", "ts", "ts", Seq("ts"))
+      .select($"user_id", $"event_id", $"asof_ts")
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSet
+    assert(native == viaWindow)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join picks latest at-or-before per key (hand case)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("key", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("key", "ts", "price")
+    val out = AsOfJoinNative.asOf(left, right, "key", "ts", "ts", Seq("price"))
+      .select($"key", $"ts", $"asof_price")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some(100.0)),  // exact-ts match counts
+      (1L, 20L, Some(150.0)),  // latest of the two
+      (2L, 5L, None)))         // right row is later → no match
+  }
+
+  test("physical plan is AsOfJoinExec with sorted exchange children") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("key", "ts", "price")
+    val df = AsOfJoinNative.asOf(left, right, "key", "ts", "ts", Seq("price"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    df.collect() // and it runs
+  }
+}
