@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_histogram"      -> (SetsAndAggs.binnedHistogram _),
     "q71_cosine_pairs"   -> (NorthStar.cosinePairs _),
     "q72_asof_native"    -> (Temporal.asOfJoinNative _),
+    "q73_salted_join"    -> (Relational.saltedJoinAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -798,6 +799,13 @@ object SparkEntry {
         |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+    // the salted join must equal the PLAIN join — distribution-only change
+    "q73_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

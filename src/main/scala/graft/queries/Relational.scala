@@ -65,6 +65,23 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Skew-salted join under the correctness gate: result rows are
+    * identical to the plain equi-join (the oracle IS the plain join) —
+    * only the shuffle distribution differs, which is the whole point of
+    * [[graft.operators.Salt]]. */
+  def saltedJoinAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Salt
+    val fact = Tables.lineitem(spark, d)
+      .select($"l_orderkey".as("okey"), $"l_quantity")
+    val dim = Tables.orders(spark, d)
+      .select($"o_orderkey".as("okey"), $"o_orderpriority")
+    Salt.saltedJoin(fact, dim, "okey", 8)
+      .groupBy($"o_orderpriority")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** G1 hash aggregate, TPC-H Q1 shape: map-side partial agg + final agg,
     * one shuffle on the (tiny-cardinality) group keys. */
   def aggGroupBy(spark: SparkSession, d: String): DataFrame = {
