@@ -94,6 +94,8 @@ object SparkEntry {
     "q71_cosine_pairs"   -> (NorthStar.cosinePairs _),
     "q72_asof_native"    -> (Temporal.asOfJoinNative _),
     "q73_salted_join"    -> (Relational.saltedJoinAgg _),
+    "q74_string_agg"     -> (SetsAndAggs.stringAgg _),
+    "q75_stats_agg"      -> (SetsAndAggs.statsAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -804,6 +806,24 @@ object SparkEntry {
       """SELECT o_orderpriority, round(sum(l_quantity), 4) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q74_string_agg" ->
+      """SELECT c_mktsegment,
+        |       array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS VARCHAR))), ',')
+        |         AS nations_csv,
+        |       count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q75_stats_agg" ->
+      """SELECT o_orderpriority,
+        |       round(stddev_samp(o_totalprice / 100000.0), 4) AS sd,
+        |       round(var_samp(o_totalprice / 100000.0), 4) AS variance,
+        |       round(corr(o_totalprice / 100000.0, o_custkey / 1000.0), 4) AS cor,
+        |       round(covar_samp(o_totalprice / 100000.0, o_custkey / 1000.0), 4) AS cov,
+        |       count(*) AS n
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
   )

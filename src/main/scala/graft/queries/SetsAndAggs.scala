@@ -111,6 +111,44 @@ object SetsAndAggs {
       .orderBy($"o_orderpriority")
   }
 
+  /** G-ext ordered string aggregation (LISTAGG/string_agg): comma-join the
+    * region names per nation group — deterministic because the collect is
+    * array_sort'ed before joining (plain collect_list order is
+    * partition-arrival order, never rely on it). */
+  def stringAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .groupBy($"c_mktsegment")
+      .agg(
+        array_join(array_sort(collect_set($"c_nationkey".cast("string"))), ",")
+          .as("nations_csv"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** G-ext statistical aggregates: stddev/variance/corr/covar. These are
+    * true floating aggregates (no exact integer form), so the inputs are
+    * normalized to ~1 magnitude FIRST — variance of a 1e5-scale column is
+    * 1e10, where a 4dp round needs more exact digits than the one-pass
+    * co-moment algorithms of two engines agree on; at ~1 magnitude the
+    * cross-engine drift (~1e-13) is far from any round boundary. corr is
+    * scale-invariant and needs no normalization. */
+  def statsAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val x = ($"o_totalprice" / 100000.0).as("x")
+    val y = ($"o_custkey".cast("double") / 1000.0).as("y")
+    Tables.orders(spark, d)
+      .select($"o_orderpriority", x, y)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(stddev_samp($"x"), 4).as("sd"),
+        round(var_samp($"x"), 4).as("variance"),
+        round(corr($"x", $"y"), 4).as("cor"),
+        round(covar_samp($"x", $"y"), 4).as("cov"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** G-ext equi-width histogram: bucket order totals into fixed 50k bins
     * (floor arithmetic — portable across engines, unlike width_bucket) and
     * report per-bin count + bounds. The quality-score / length
