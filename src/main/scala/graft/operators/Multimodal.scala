@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 case class MediaFeature(doc_id: Long, n_bytes: Int, kind: String,
     checksum: Long, feature: Array[Double])
 
+/** One "resized" media item: payload transformed, metadata recomputed. */
+case class ResizedMedia(doc_id: Long, media: Array[Byte], n_bytes: Int,
+    orig_bytes: Int, scale: Double)
+
+/** One sampled frame out of a media payload (video frame-sampling shape:
+  * ONE media row fans out to MANY frame rows). */
+case class MediaFrame(doc_id: Long, frame_no: Int, offset: Int,
+    n_bytes: Int, checksum: Long)
+
 /** Multimodal column plumbing (north-star X5; SURVEY.md §2.12): media
   * payloads are opaque `binary` columns with a typed metadata struct
   * alongside; decode / feature-extraction runs batched per partition.
@@ -49,6 +58,54 @@ object Multimodal {
       i += 1
     }
     (crc, hist)
+  }
+
+  /** STUB resize: cap the payload at `maxBytes` by stride-sampling bytes
+    * (deterministic; a real implementation decodes, scales, re-encodes).
+    * Map-only like decode — the transform never shuffles. */
+  def resize(withPayload: DataFrame, maxBytes: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes.length <= maxBytes)
+            ResizedMedia(id, bytes, bytes.length, bytes.length, 1.0)
+          else {
+            val stride = math.ceil(bytes.length.toDouble / maxBytes).toInt
+            val out = bytes.indices.collect {
+              case i if i % stride == 0 => bytes(i)
+            }.toArray
+            ResizedMedia(id, out, out.length, bytes.length,
+              out.length.toDouble / bytes.length)
+          }
+        }
+      }
+  }
+
+  /** STUB frame sampler: treat the payload as fixed-size "frames" of
+    * `frameBytes` and keep every `every`-th one — the 1-row→N-rows
+    * generator shape of video frame extraction. flatMap (a typed
+    * Generator) keeps it map-only; at scale the frame rows inherit the
+    * parent's partitioning, so downstream per-frame featurization starts
+    * without a shuffle. */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int, every: Int)(
+      implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && every > 0)
+    withPayload.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).map { f =>
+          val start = f * frameBytes
+          val slice = bytes.slice(start, math.min(start + frameBytes, bytes.length))
+          var crc = 0L
+          slice.foreach(b => crc = (crc * 31 + (b & 0xff)) % 2147483647L)
+          MediaFrame(id, f, start, slice.length, crc)
+        }
+      }
   }
 
   /** Batched decode/featurize over the binary column. */

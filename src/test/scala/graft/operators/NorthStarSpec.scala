@@ -124,6 +124,33 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize caps bytes and keeps small payloads verbatim") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf).limit(20)
+    val resized = Multimodal.resize(Multimodal.withBinaryPayload(docs), 64)
+      .collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      assert(r.n_bytes <= 64 && r.n_bytes == r.media.length)
+      if (r.orig_bytes <= 64) assert(r.scale == 1.0 && r.n_bytes == r.orig_bytes)
+      else assert(r.scale < 1.0)
+    }
+  }
+
+  test("multimodal frame sampling fans one row out to every k-th frame") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x" * 100, "src")).toDF("doc_id", "text", "source")
+    // 100 bytes / 16-byte frames = 7 frames (last partial); every 2nd → 0,2,4,6
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(docs), frameBytes = 16, every = 2)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.map(_.offset).toSeq == Seq(0, 32, 64, 96))
+    assert(frames.last.n_bytes == 4) // 100 - 96
+  }
+
   test("withLangId picks first max deterministically") {
     import spark.implicits._
     val df = Seq((1L, "el la de y es"), (2L, "no markers here at all")).toDF("doc_id", "text")
