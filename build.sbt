@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // AQE stays ON (scale-correct default); the env knob exists to measure
+  // its per-stage materialization overhead at harness SFs.
+  s"-Dspark.sql.adaptive.enabled=${sys.env.getOrElse("SPARK_GRAFT_AQE", "true")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

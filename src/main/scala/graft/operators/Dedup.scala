@@ -44,13 +44,9 @@ object Dedup {
   def shingleArrays(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_sort(expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> xxhash64(concat(element_at(toks, i+1), ' ', " +
-          "element_at(toks, i+2), ' ', element_at(toks, i+3)))))"))
-        .as("arr"))
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.shingle_hashes(split(col(textCol), " "), 3).as("arr"))
+      .filter(size(col("arr")) >= 1) // < 3 tokens → no trigram shingles
       .withColumn("n_sh", size(col("arr")))
 
   /** (doc_id, shingle-hash) pairs — the exploded inverted-index view of

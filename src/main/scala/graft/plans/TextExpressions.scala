@@ -5,7 +5,7 @@ import scala.util.hashing.MurmurHash3
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -103,6 +103,69 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
 }
 
+object ShingleHashes {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct, SORTED 64-bit hashes of the width-gram shingles of a token
+    * array — the whole per-document kernel of the near-dup pipeline in one
+    * compiled loop. The SQL composition (transform + sequence + concat +
+    * xxhash64 + array_distinct + array_sort) runs the higher-order lambdas
+    * interpreted with per-element boxing; this does one static call per
+    * ROW. Hash: XXH64 over the shingle's UTF-8 bytes, seed 42 (the
+    * identity of hash values is internal — Jaccard counts are invariant
+    * under any injective token→hash map). */
+  def compute(toks: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - width + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var s = if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+      var j = 1
+      while (j < width) {
+        val t = if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else toks.getUTF8String(i + j)
+        s = UTF8String.concat(s, SPACE, t)
+        j += 1
+      }
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < m) { // in-place dedupe of the sorted run
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+}
+
+/** [[ShingleHashes.compute]] as an expression over `array<string>` tokens;
+  * produces `array<bigint>` (distinct sorted shingle hashes). */
+case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes() = {
+    require(child.dataType.isInstanceOf[ArrayType] && width >= 1,
+      s"shingle_hashes expects array<string> tokens, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleHashes$$.MODULE$$.compute($c, $width)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -110,4 +173,6 @@ object TextExpressions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+  def shingle_hashes(c: Column, width: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), width))
 }
