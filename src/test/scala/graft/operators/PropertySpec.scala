@@ -10,6 +10,12 @@ import graft.SparkSpec
 object PropertySpec extends Properties("graft.operators") {
   private lazy val spark = SparkSpec.session
 
+  // every case runs real Spark jobs; 30 cases/property keeps the suite
+  // fast while still exercising the algebraic laws broadly
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
   private val kvRows = Gen.listOfN(12,
     Gen.zip(Gen.chooseNum(1L, 6L), Gen.alphaLowerStr.map(_.take(4))))
 
@@ -76,6 +82,34 @@ object PropertySpec extends Properties("graft.operators") {
           val diff = (t2.getTime - t1.getTime) / 1000
           if (s1 == s2) diff <= gap else s2 == s1 + 1 && diff > gap
         }
+      }
+    }
+
+  private val edgeLists = Gen.listOfN(10,
+    Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L)))
+    .map(_.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+
+  property("connectedComponents equals brute-force union-find") =
+    Prop.forAllNoShrink(edgeLists) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        // brute force union-find with min-label canonicalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical root = min node of the set, which find() yields because
+        // unions always point the larger root at the smaller
+        nodes.forall(n => got.get(n).contains(find(n)))
       }
     }
 
