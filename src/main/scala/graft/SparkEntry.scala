@@ -96,6 +96,7 @@ object SparkEntry {
     "q73_salted_join"    -> (Relational.saltedJoinAgg _),
     "q74_string_agg"     -> (SetsAndAggs.stringAgg _),
     "q75_stats_agg"      -> (SetsAndAggs.statsAgg _),
+    "q76_gap_fill"       -> (Temporal.gapFill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -826,6 +827,18 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q76_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |               FROM events WHERE user_id <= 200 GROUP BY 1, 2),
+        |spine AS (SELECT user_id,
+        |                 unnest(generate_series(min(day), max(day),
+        |                                        INTERVAL 1 DAY)) AS day_ts
+        |          FROM daily GROUP BY user_id)
+        |SELECT s.user_id, CAST(s.day_ts AS DATE) AS day,
+        |       coalesce(d.n, 0) AS n
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND CAST(s.day_ts AS DATE) = d.day
+        |ORDER BY s.user_id, day""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

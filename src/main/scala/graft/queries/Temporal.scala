@@ -37,6 +37,28 @@ object Temporal {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Time-series gap fill (resample-to-daily): per user, one row for EVERY
+    * calendar day between their first and last event — missing days get
+    * n=0 — via a sequence() date spine exploded per user and left-joined
+    * back. The financial-domain daily-bar regularization (the reference's
+    * payloads skip non-trading days; a spine join is how you densify).
+    * Scale: the spine explode is proportional to output rows (no cross
+    * join); the join shuffles on (user, day) once. */
+  def gapFill(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, d)
+      .filter($"user_id" <= 200)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"user_id", $"day")
+  }
+
   /** T7 batch sessionization via the gaps-and-islands library op. */
   def sessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
