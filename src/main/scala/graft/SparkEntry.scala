@@ -97,6 +97,7 @@ object SparkEntry {
     "q74_string_agg"     -> (SetsAndAggs.stringAgg _),
     "q75_stats_agg"      -> (SetsAndAggs.statsAgg _),
     "q76_gap_fill"       -> (Temporal.gapFill _),
+    "q77_tpch_q5"        -> (Relational.tpchQ5 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -839,6 +840,23 @@ object SparkEntry {
         |FROM spine s LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND CAST(s.day_ts AS DATE) = d.day
         |ORDER BY s.user_id, day""".stripMargin,
+    "q77_tpch_q5" ->
+      """SELECT n_name,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for

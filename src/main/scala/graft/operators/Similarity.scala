@@ -109,6 +109,35 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** X2 LSH-BLOCKED cosine near-dup pairs — the 100 TB path promised by
+    * [[cosinePairs]]'s scaladoc, made concrete: candidate pairs are
+    * bucket-mates in ANY of the hyperplane tables (an equi-join on
+    * (table, bucket) — no all-pairs blowup), then verified with the exact
+    * cosine. Recall < 1 by construction (a qualifying pair whose vectors
+    * split on every table is missed); more tables / fewer bits per table
+    * trade candidate volume for recall. NorthStarSpec measures recall
+    * against the exact operator. */
+  def cosinePairsLsh(emb: DataFrame, threshold: Double,
+      numTables: Int = 6, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
+    val pl = planes(numTables, bitsPerTable, 64, seed)
+    val b = bucketed(emb, pl).select(col("vec_id"), col("table"), col("bucket"))
+    val candidates = b.as("x")
+      .join(b.as("y"), Seq("table", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val sides = withNorm(emb)
+    candidates
+      .join(sides.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(sides.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** X3 IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every vector to its nearest centroid; a query probes only the
     * `nProbe` closest cells and rescores their members exactly. Centroids

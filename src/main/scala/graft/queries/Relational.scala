@@ -65,6 +65,32 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table star-plus-chain
+    * join — customer/supplier co-nationality makes it a genuine multi-hop
+    * constraint, not just a star. Dimensions (region→nation) broadcast;
+    * the three fact-side joins shuffle on their keys; revenue uses the
+    * exact integer-cents path. */
+  def tpchQ5(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val asia = Tables.region(spark, d).filter($"r_name" === "ASIA")
+    val nations = Tables.nation(spark, d)
+      .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01") &&
+        $"o_orderdate" < lit("1997-01-01"))
+      .join(Tables.lineitem(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, d), $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   /** Skew-salted join under the correctness gate: result rows are
     * identical to the plain equi-join (the oracle IS the plain join) —
     * only the shuffle distribution differs, which is the whole point of

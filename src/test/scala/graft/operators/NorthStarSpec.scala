@@ -124,6 +124,19 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("cosinePairsLsh candidates are a subset of exact pairs with good recall") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.4, numTables = 10, bitsPerTable = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact verification never invents a pair
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("multimodal resize caps bytes and keeps small payloads verbatim") {
     implicit val s = spark
     import s.implicits._
