@@ -56,8 +56,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override def checkInputDataTypes() = {
-    require(child.dataType.isInstanceOf[ArrayType])
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array of tokens, got ${child.dataType.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -150,9 +152,12 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def checkInputDataTypes() = {
-    require(child.dataType.isInstanceOf[ArrayType] && width >= 1,
-      s"shingle_hashes expects array<string> tokens, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType.isInstanceOf[ArrayType] && width >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> tokens and width >= 1, got " +
+        s"${child.dataType.simpleString}, width=$width")
   }
 
   override protected def nullSafeEval(input: Any): Any =

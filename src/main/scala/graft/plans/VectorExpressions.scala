@@ -32,11 +32,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes() = {
-    require(left.dataType == ArrayType(DoubleType, true) ||
-      left.dataType == ArrayType(DoubleType, false),
-      s"dot_product expects array<double>, got ${left.dataType}")
-    require(right.dataType.isInstanceOf[ArrayType])
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def isDoubleArray(t: org.apache.spark.sql.types.DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {

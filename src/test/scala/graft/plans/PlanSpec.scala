@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpec {
         .filter(date_format($"o_orderdate", "yyyy-MM") === "2001-01").count())
   }
 
+  test("custom expressions reject wrong input types at ANALYSIS time") {
+    import spark.implicits._
+    val df = Seq((1L, "not an array")).toDF("id", "s")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.operators.Similarity.dot($"s", $"s")).collect()
+    }
+    assert(e1.getMessage.contains("array<double>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.TextExpressions.shingle_hashes($"s", 3)).collect()
+    }
+    assert(e2.getMessage.contains("array"))
+  }
+
   test("codegen dot product is bit-identical to the higher-order fold") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
