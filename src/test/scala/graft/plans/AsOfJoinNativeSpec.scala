@@ -37,6 +37,29 @@ class AsOfJoinNativeSpec extends SparkSpec {
       (2L, 5L, None)))         // right row is later → no match
   }
 
+  test("bucketed-sorted children feed the native as-of join with NO exchange") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("asofb").toString
+    val ev = graft.Tables.events(spark, sf).select($"user_id", $"ts", $"value")
+    ev.write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/ev_b").mode("overwrite").saveAsTable("ev_b")
+    ev.filter($"value" > 50).select($"user_id", $"ts")
+      .write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/sig_b").mode("overwrite").saveAsTable("sig_b")
+    try {
+      val df = AsOfJoinNative.asOf(spark.table("ev_b"), spark.table("sig_b"),
+        "user_id", "ts", "ts", Seq("ts"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of join should not shuffle:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+      spark.sql("DROP TABLE IF EXISTS sig_b")
+    }
+  }
+
   test("physical plan is AsOfJoinExec with sorted exchange children") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
