@@ -14,9 +14,10 @@ import graft.queries._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape — pushed filter, partial+final hash aggregate. */
+    * The COMPLETE TPC-H Q1 — pushed filter, partial+final hash aggregate,
+    * exact-integer money terms. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+    Relational.tpchQ1Full(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -859,7 +860,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
   )
 
-  /** Shared DuckDB oracle for exact bigram-shingle Jaccard pairs (and for
+  /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for
     * the exact-verified MinHash+LSH variant, whose result coincides). */
   private val jaccardOracle: String =
     """WITH sh AS (

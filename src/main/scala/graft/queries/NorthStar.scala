@@ -20,7 +20,7 @@ object NorthStar {
       .orderBy($"keep_id")
   }
 
-  /** X2 exact bigram-shingle Jaccard near-dup pairs (J >= 0.8). */
+  /** X2 exact trigram-shingle Jaccard near-dup pairs (J >= 0.8). */
   def jaccardPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Dedup.jaccardPairs(Tables.documents(spark, d), 0.8)
