@@ -99,6 +99,7 @@ object SparkEntry {
     "q75_stats_agg"      -> (SetsAndAggs.statsAgg _),
     "q76_gap_fill"       -> (Temporal.gapFill _),
     "q77_tpch_q5"        -> (Relational.tpchQ5 _),
+    "q78_tpch_q7"        -> (Relational.tpchQ7 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -858,6 +859,25 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q78_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -91,6 +91,32 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the DISJUNCTIVE
+    * cross-nation predicate ((A,B) or (B,A)) over two broadcast copies of
+    * the nation dim, grouped by both nations and ship year. */
+  def tpchQ7(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val n1 = Tables.nation(spark, d)
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, d)
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1996-01-01") &&
+        $"l_shipdate" < lit("1998-01-01"))
+      .join(Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, d), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
   /** Skew-salted join under the correctness gate: result rows are
     * identical to the plain equi-join (the oracle IS the plain join) —
     * only the shuffle distribution differs, which is the whole point of

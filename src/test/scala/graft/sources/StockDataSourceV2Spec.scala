@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.v2.StockDataSource
+
+class StockDataSourceV2Spec extends SparkSpec {
+  private val fixtures = getClass.getResource("/raw_data").getPath
+  private val fmt = "graft.sources.v2.StockDataSource"
+
+  test("DSv2 source matches the read-json ingest path row for row") {
+    import spark.implicits._
+    val v2 = spark.read.format(fmt).option("path", fixtures).load()
+      .select($"symbol", $"date".cast("string"), $"open", $"close", $"volume")
+      .as[(String, String, Double, Double, Long)].collect().toSet
+    val classic = AlphaVantage.ingest(spark, s"$fixtures/*.json")
+      .toDF()
+      .select($"symbol", $"date".cast("string"), $"open", $"close", $"volume")
+      .as[(String, String, Double, Double, Long)].collect().toSet
+    assert(v2 == classic)
+    assert(v2.nonEmpty)
+  }
+
+  test("symbol filter pushdown prunes whole files at planning time") {
+    import spark.implicits._
+    val df = spark.read.format(fmt).option("path", fixtures).load()
+      .filter($"symbol" === "GOOG")
+    StockDataSource.filesOpened.set(0)
+    val syms = df.select($"symbol").distinct().as[String].collect().toSeq
+    assert(syms == Seq("GOOG"))
+    // only GOOG_*.json opened — not the AAPL/MSFT/ERR files
+    assert(StockDataSource.filesOpened.get() == 1,
+      s"opened ${StockDataSource.filesOpened.get()} files")
+    // and the plan records the pushdown
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StockScan") || plan.contains("BatchScan"), plan)
+  }
+
+  test("non-pushable filters still apply after the scan") {
+    import spark.implicits._
+    val rows = spark.read.format(fmt).option("path", fixtures).load()
+      .filter($"symbol" === "AAPL" && $"close" > 255.0)
+      .select($"close").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(_ > 255.0))
+  }
+
+  test("malformed payloads yield zero rows (whole-payload reject)") {
+    import spark.implicits._
+    val bad = spark.read.format(fmt).option("path", fixtures).load()
+      .filter($"symbol" === "ERR") // no file starts with ERR_ matching meta
+    assert(bad.count() == 0)
+  }
+}
