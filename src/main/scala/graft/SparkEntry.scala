@@ -874,8 +874,8 @@ object SparkEntry {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
-        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_nationkey BETWEEN 1 AND 5 AND n2.n_nationkey BETWEEN 6 AND 10) OR
+        |       (n1.n_nationkey BETWEEN 6 AND 10 AND n2.n_nationkey BETWEEN 1 AND 5))
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
   )

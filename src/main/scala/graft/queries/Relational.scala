@@ -109,8 +109,11 @@ object Relational {
       .join(Tables.supplier(spark, d), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n1), $"s_nationkey" === $"s_nkey")
       .join(broadcast(n2), $"c_nationkey" === $"c_nkey")
-      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
-        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      // nation BANDS rather than one pair, so the disjunction stays
+      // non-degenerate even at sf0.001 (a single (A,B) pair matches no
+      // lineitem there)
+      .filter(($"s_nkey".between(1, 5) && $"c_nkey".between(6, 10)) ||
+        ($"s_nkey".between(6, 10) && $"c_nkey".between(1, 5)))
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
       .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
         .as("revenue"), count(lit(1)).as("n"))
