@@ -196,8 +196,15 @@ object Dedup {
     * Pregel CC, expressed on DataFrames).
     *
     * Returns (doc_id, component) for every doc appearing in a pair, where
-    * component = min doc_id of the doc's transitive near-dup cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * component = min doc_id of the doc's transitive near-dup cluster.
+    *
+    * Convergence needs one round per hop of the longest min-label path
+    * (≈ component diameter). If `maxIter` rounds pass without a fixpoint
+    * this THROWS rather than silently returning half-propagated labels —
+    * raise maxIter for long-chain graphs (or switch to the
+    * large-star/small-star formulation, which converges in O(log n)
+    * rounds, if pathological diameters are expected). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -225,6 +232,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 
