@@ -106,6 +106,46 @@ object StreamingIngest {
         col("n"), col("sum_value"))
 }
 
+/** Streaming AS-OF enrichment — the streaming twin of
+  * [[graft.operators.AsOfJoin]]: every query-side event is emitted with
+  * the LATEST reference value seen so far for its key (price as of event
+  * arrival). State per key is a single (ts, value) pair — O(1) regardless
+  * of stream length, unlike a buffered stream-stream join.
+  *
+  * Semantics note vs the batch as-of: ordering is PROCESSING-time within
+  * a micro-batch (events inside one batch are sorted by event time, but a
+  * reference value arriving in a LATER batch never back-fills an earlier
+  * query) — the right trade for an enrich-on-arrival pipeline; the batch
+  * operator remains the event-time-exact formulation. */
+object StreamAsOf {
+  /** One unioned input row: side 0 = reference (carries value),
+    * side 1 = query (gets enriched). */
+  case class Tick(key: Long, ts: java.sql.Timestamp, side: Int, value: Double)
+  case class Latest(ts: Long, value: Double)
+  case class Enriched(key: Long, ts: java.sql.Timestamp,
+      asof_value: Option[Double])
+
+  def enrich(ticks: Dataset[Tick]): Dataset[Enriched] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, it: Iterator[Tick], state: GroupState[Latest]) => {
+        // within the batch: event-time order, reference before query on
+        // ties (same tie rule as the batch operator)
+        val sorted = it.toSeq.sortBy(t => (t.ts.getTime, t.side))
+        var cur = state.getOption
+        val out = Seq.newBuilder[Enriched]
+        sorted.foreach { t =>
+          if (t.side == 0) cur = Some(Latest(t.ts.getTime, t.value))
+          else out += Enriched(key, t.ts, cur.map(_.value))
+        }
+        cur.foreach(state.update)
+        out.result().iterator
+      })
+  }
+}
+
 /** T7 custom stateful sessionization via flatMapGroupsWithState. */
 object Sessionizer {
   case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -153,6 +153,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")))
   }
 
+  test("streaming as-of enrichment carries the latest reference across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamAsOf._
+    val mem = MemoryStream[Tick]
+    val q = StreamAsOf.enrich(mem.toDS())
+      .select($"key", $"ts".cast("string"), $"asof_value")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_stream").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: price for key 1, then a query at and after it; key 2 query
+    // with no price yet
+    mem.addData(
+      Tick(1L, t("2024-01-01 10:00:00"), 0, 100.0),
+      Tick(1L, t("2024-01-01 10:00:00"), 1, 0),   // tie → sees 100.0
+      Tick(1L, t("2024-01-01 10:05:00"), 1, 0),
+      Tick(2L, t("2024-01-01 10:01:00"), 1, 0))   // no reference yet → null
+    q.processAllAvailable()
+    // batch 2: key 1 query in a later batch still sees the carried 100.0,
+    // then a newer price takes over
+    mem.addData(
+      Tick(1L, t("2024-01-01 10:10:00"), 1, 0),
+      Tick(1L, t("2024-01-01 10:15:00"), 0, 150.0),
+      Tick(1L, t("2024-01-01 10:20:00"), 1, 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_stream")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", Some(100.0)),
+      (1L, "2024-01-01 10:05:00", Some(100.0)),
+      (2L, "2024-01-01 10:01:00", None),
+      (1L, "2024-01-01 10:10:00", Some(100.0)),
+      (1L, "2024-01-01 10:20:00", Some(150.0))))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
