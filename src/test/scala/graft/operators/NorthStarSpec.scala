@@ -29,16 +29,18 @@ class NorthStarSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("connectedComponents converges on a long chain, throws past maxIter") {
+  test("connectedComponents converges on a long chain in O(log d) rounds") {
     import spark.implicits._
-    // a 30-node path: min label needs 29 propagation rounds
-    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(chain, maxIter = 40)
+    // a 60-node path: naive min-label propagation needs 59 rounds;
+    // pointer doubling gets there in ~log2(59)+slack
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 12)
       .as[(Long, Long)].collect().toMap
-    assert(cc.size == 30 && cc.values.forall(_ == 1L))
-    // capped below the diameter → loud failure, never silent wrong labels
+    assert(cc.size == 60 && cc.values.forall(_ == 1L))
+    // capped below what even doubling needs → loud failure, never silent
+    // wrong labels
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 5).collect()
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
     }
   }
 
