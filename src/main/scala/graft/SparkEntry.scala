@@ -100,6 +100,7 @@ object SparkEntry {
     "q76_gap_fill"       -> (Temporal.gapFill _),
     "q77_tpch_q5"        -> (Relational.tpchQ5 _),
     "q78_tpch_q7"        -> (Relational.tpchQ7 _),
+    "q79_multiset_ops"   -> (SetsAndAggs.multisetOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -878,6 +879,15 @@ object SparkEntry {
         |       (n1.n_nationkey BETWEEN 6 AND 10 AND n2.n_nationkey BETWEEN 1 AND 5))
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q79_multiset_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'except_all' AS op, o_custkey, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all', o_custkey, count(*)
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+        |ORDER BY op, o_custkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

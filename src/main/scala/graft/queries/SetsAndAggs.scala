@@ -111,6 +111,25 @@ object SetsAndAggs {
       .orderBy($"o_orderpriority")
   }
 
+  /** U2-ALL multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+    * MULTIPLICITY (n_except = max(0, a−b) copies, n_intersect = min(a,b)),
+    * unlike the set-semantics q14/q15. Output is the per-key multiplicity
+    * after the operation, which pins exactly the multiset behavior. */
+  def multisetOps(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, d)
+      .filter(year($"o_orderdate") === 1997).select($"o_custkey")
+    val b = Tables.orders(spark, d)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val exc = a.exceptAll(b).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val int = a.intersectAll(b).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    exc.unionByName(int)
+      .select($"op", $"o_custkey", $"n")
+      .orderBy($"op", $"o_custkey")
+  }
+
   /** G-ext ordered string aggregation (LISTAGG/string_agg): comma-join the
     * region names per nation group — deterministic because the collect is
     * array_sort'ed before joining (plain collect_list order is
