@@ -209,9 +209,14 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+    import org.apache.spark.sql.graft.ColumnBridge
+    // resetStats: localCheckpoint preserves the origin plan's stats
+    // estimate, which the next round's joins would compound (~3x digits
+    // per round → BigInt planning blowup); see ColumnBridge.resetStats
+    def materialize(df: DataFrame): DataFrame =
+      ColumnBridge.resetStats(df.localCheckpoint(true))
+    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -238,9 +243,9 @@ object Dedup {
           (least(coalesce(col("nbr_min"), col("component")),
             coalesce(col("label_label"), col("component"))) < col("component"))
             .as("chg"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("chg")).count()
-      labels = updated.drop("chg")
+      val updatedM = materialize(updated)
+      changed = updatedM.filter(col("chg")).count()
+      labels = updatedM.drop("chg")
       iter += 1
     }
     edges.unpersist(false)

@@ -44,6 +44,31 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches union-find on a 10k-node random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 10000L
+    // ~8k random edges → a mix of big components, chains and singletons
+    val edges = (1 to 8000).map { _ =>
+      val a = rnd.nextLong(n); val b = rnd.nextLong(n)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.size == nodes.size)
+    assert(nodes.forall(v => got(v) == find(v)))
+  }
+
   test("dropNearDuplicatesCC keeps one representative per cluster") {
     import spark.implicits._
     val docs = Seq(
