@@ -21,6 +21,9 @@ object Tables {
   // runs. DataFrames are immutable logical plans, so memoizing the
   // resolved relation per (session, dir, table) is safe — Catalyst still
   // applies per-query pushdown/pruning on top of the shared relation.
+  // CONTRACT: the driver's test tables are read-only for a session's
+  // lifetime (TESTDATA.md); a mutable dataset would need invalidation
+  // (spark.catalog.refreshByPath) and this cache would not fit.
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

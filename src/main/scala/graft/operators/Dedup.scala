@@ -71,18 +71,32 @@ object Dedup {
     * are dropped BEFORE the array join — lossless, like the prefix
     * filter. */
   private def verifyPairs(candidates: DataFrame, docArr: DataFrame,
-      threshold: Double): DataFrame =
-    candidates
+      threshold: Double): DataFrame = {
+    // slim prefilter FIRST: join only the per-doc set sizes (a narrow
+    // projection, ~12 bytes/doc — broadcastable into the hundreds of
+    // millions of docs; beyond that drop the hint and let it shuffle,
+    // still far cheaper than carrying the arrays) and discard
+    // mismatched-size pairs before the joins that attach both full
+    // hash arrays
+    val sizes = docArr.select(col("doc_id"), col("n_sh"))
+    val kept = candidates
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("pa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("pb"))), "doc_b")
+      .filter(least(col("pa"), col("pb")) >=
+        lit(threshold) * greatest(col("pa"), col("pb")))
+      .select(col("doc_a"), col("doc_b"))
+    kept
       .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
         col("n_sh").as("na")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
         col("n_sh").as("nb")), "doc_b")
-      .filter(least(col("na"), col("nb")) >=
-        lit(threshold) * greatest(col("na"), col("nb")))
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** X2 exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
     * index (AllPairs/PPJoin, Bayardo et al., WWW 2007).
@@ -100,16 +114,28 @@ object Dedup {
     // reused below (prefix, probe side, verify) — without persist Spark
     // re-evaluates the shingling subplan per use (no DataFrame-level CSE)
     val da = shingleArrays(docs).persist()
-    // Positional prefix under the hash total order: a pair with J >= t
-    // shares >= ceil(t·|A|) shingles, and |A| - ceil(t·|A|) + 1 prefix
-    // elements must contain one of them (pigeonhole) — valid for ANY
-    // fixed global order, and the arrays are already hash-sorted, so the
-    // prefix is a plain slice: no document-frequency join, no per-doc
-    // rarity window. (On a skew-heavy corpus at cluster scale, ordering
-    // by ascending document frequency shrinks the candidate set further —
-    // that is the classic AllPairs/PPJoin refinement — at the price of a
-    // dfreq join + window sort; with near-unique trigram shingles the
-    // slice prefix generates ~the same candidates for 3 fewer shuffles.)
+    releaseAfter(da)(jaccardPairsPlan(da, threshold))
+  }
+
+  /** LAZY plan-only variant: no caching, no eager materialization — the
+    * shingling subplan is re-evaluated once per use. For plan inspection
+    * (EXPLAIN) and callers that manage their own caching; [[jaccardPairs]]
+    * is the executable form. */
+  def jaccardPairsLazy(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsPlan(shingleArrays(docs), threshold)
+
+  /** The shared pairs plan over a (possibly cached) shingle-array table.
+    * Positional prefix under the hash total order: a pair with J >= t
+    * shares >= ceil(t·|A|) shingles, and |A| - ceil(t·|A|) + 1 prefix
+    * elements must contain one of them (pigeonhole) — valid for ANY
+    * fixed global order, and the arrays are already hash-sorted, so the
+    * prefix is a plain slice: no document-frequency join, no per-doc
+    * rarity window. (On a skew-heavy corpus at cluster scale, ordering
+    * by ascending document frequency shrinks the candidate set further —
+    * that is the classic AllPairs/PPJoin refinement — at the price of a
+    * dfreq join + window sort; with near-unique trigram shingles the
+    * slice prefix generates ~the same candidates for 3 fewer shuffles.) */
+  private def jaccardPairsPlan(da: DataFrame, threshold: Double): DataFrame = {
     val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
       (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
       .as("shingle"))
@@ -120,7 +146,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    releaseAfter(da)(verifyPairs(candidates, da, threshold))
+    verifyPairs(candidates, da, threshold)
   }
 
   /** Materialize `result` (eager localCheckpoint — small: only qualifying
@@ -213,8 +239,15 @@ object Dedup {
     // resetStats: localCheckpoint preserves the origin plan's stats
     // estimate, which the next round's joins would compound (~3x digits
     // per round → BigInt planning blowup); see ColumnBridge.resetStats
-    def materialize(df: DataFrame): DataFrame =
-      ColumnBridge.resetStats(df.localCheckpoint(true))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    def materialize(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      // bound checkpoint storage to two generations: once the new round
+      // is materialized, the previous round's blocks are dead weight
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = ColumnBridge.persistedRdd(ck)
+      ColumnBridge.resetStats(ck)
+    }
     var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")))
     var changed = 1L

@@ -87,6 +87,14 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Driver-side one-row peek asserting the embedding dimension matches
+    * the hyperplane dimension (cheap: LocalLimit(1) scan). */
+  private def requireDim(emb: DataFrame, dim: Int): Unit = {
+    val actual = emb.select(size(col("embedding"))).head().getInt(0)
+    require(actual == dim,
+      s"embedding dim $actual != hyperplane dim $dim — pass dim=$actual")
+  }
+
   /** Deterministic ±1 hyperplanes for [[annTopK]]. */
   private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {
@@ -118,8 +126,15 @@ object Similarity {
     * trade candidate volume for recall. NorthStarSpec measures recall
     * against the exact operator. */
   def cosinePairsLsh(emb: DataFrame, threshold: Double,
-      numTables: Int = 6, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
-    val pl = planes(numTables, bitsPerTable, 64, seed)
+      numTables: Int = 6, bitsPerTable: Int = 6, seed: Long = 7L,
+      dim: Int = 64): DataFrame = {
+    // dim MUST match the embedding dimension: a mismatched hyperplane dot
+    // product is NULL (DotProduct's zip_with-exact semantics), when(NULL)
+    // takes the 0 branch for every bit, and ALL vectors collapse into one
+    // bucket per table — the all-pairs blowup this operator exists to
+    // avoid. Fail fast instead.
+    requireDim(emb, dim)
+    val pl = planes(numTables, bitsPerTable, dim, seed)
     val b = bucketed(emb, pl).select(col("vec_id"), col("table"), col("bucket"))
     val candidates = b.as("x")
       .join(b.as("y"), Seq("table", "bucket"))
@@ -174,8 +189,9 @@ object Similarity {
   /** X3 approximate top-k: multiprobe hyperplane LSH (L tables × b bits,
     * probing all buckets within hamming 1), exact rescoring of candidates. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
-      numTables: Int = 4, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
-    val dim = 64
+      numTables: Int = 4, bitsPerTable: Int = 8, seed: Long = 7L,
+      dim: Int = 64): DataFrame = {
+    requireDim(emb, dim)
     val pl = planes(numTables, bitsPerTable, dim, seed)
     val corpus = bucketed(emb.filter(col("vec_id") =!= queryId), pl)
     val query = bucketed(emb.filter(col("vec_id") === queryId), pl)

@@ -15,10 +15,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * SparkPlan, registered via SparkSessionExtensions / extraStrategies).
   *
   * Semantics (identical to [[graft.operators.AsOfJoin.asOf]], the
-  * union+window formulation, and to DuckDB `ASOF JOIN ... ON l.key = r.key
-  * AND l.ts >= r.ts`): every left row is emitted once, carrying the payload
-  * of the LATEST right row with the same key and `rightTs <= leftTs`
-  * (null payload when none exists).
+  * union+window formulation, and — on null-free keys — to DuckDB
+  * `ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts`): every left row is
+  * emitted once, carrying the payload of the LATEST right row with the
+  * same key and `rightTs <= leftTs` (null payload when none exists).
+  * Null-key divergence, shared with the window formulation: null keys
+  * match EACH OTHER here (both group nulls together), where SQL equality
+  * in DuckDB's ASOF would match nothing.
   *
   * Why a physical operator: the window formulation unions both inputs and
   * runs a window scan over left+right rows together; this operator instead
@@ -127,7 +130,11 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val k = lKeyB.eval(lRow)
+          // copyValue: for buffer-backed types (UTF8String from a reused
+          // UnsafeRow) the raw eval result aliases memory that the NEXT
+          // row overwrites — storing it as heldKey would make the
+          // key-change check below compare a value that silently mutated
+          val k = InternalRow.copyValue(lKeyB.eval(lRow))
           val t = lTsB.eval(lRow)
           if (hasHeld && cmp(keyOrd, heldKey, k) != 0) { hasHeld = false; held = null }
           // consume right rows that can never match a future left row

@@ -57,9 +57,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects an array of tokens, got ${child.dataType.simpleString}")
+    child.dataType match {
+      // compute() reads elements as UTF8String — a non-string element
+      // type would reinterpret raw bytes at runtime
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${other.simpleString}")
+    }
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -153,11 +158,13 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
   override def prettyName: String = "shingle_hashes"
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (child.dataType.isInstanceOf[ArrayType] && width >= 1)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string> tokens and width >= 1, got " +
-        s"${child.dataType.simpleString}, width=$width")
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) if width >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens and width >= 1, got " +
+          s"${other.simpleString}, width=$width")
+    }
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -45,12 +45,16 @@ object AlphaVantage {
     spark.read.schema(payloadSchema).option("multiLine", true).json(path)
 
   /** P5: split payloads into (valid, quarantined). A payload is valid iff
-    * both required keys parsed non-null — error/rate-limit payloads lack
-    * them (etl.py:27-29). */
+    * both required keys parsed non-null (error/rate-limit payloads lack
+    * them, etl.py:27-29) AND every record casts cleanly ([[castClean]] —
+    * the Pydantic whole-response validation, etl.py:73-77). The split
+    * PARTITIONS the input: a cast-dirty payload is OBSERVABLE in the
+    * quarantine side, not silently dropped downstream. */
   def validate(raw: DataFrame): (DataFrame, DataFrame) = {
     val ok = col("Meta Data").isNotNull &&
       col("`Time Series (Daily)`").isNotNull &&
-      element_at(col("Meta Data"), "2. Symbol").isNotNull
+      element_at(col("Meta Data"), "2. Symbol").isNotNull &&
+      castClean
     (raw.filter(ok), raw.filter(!coalesce(ok, lit(false))))
   }
 

@@ -34,6 +34,15 @@ object ColumnBridge {
     * join-size BigInt products have millions of digits and planning
     * grinds to a halt in BigInteger.multiply). Resetting to the default
     * size estimate keeps planning O(1) per round. */
+  /** The persisted RDD backing a localCheckpoint'd DataFrame — lets
+    * iterative loops unpersist the PREVIOUS generation's blocks
+    * explicitly instead of waiting for GC + ContextCleaner. */
+  def persistedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def resetStats(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession

@@ -20,12 +20,15 @@ class AlphaVantageSpec extends SparkSpec {
     assert(math.abs(golden.daily_change_percentage - expected) < 1e-12)
   }
 
-  test("validate quarantines rate-limit payloads instead of failing") {
+  test("validate quarantines rate-limit AND cast-dirty payloads (partition)") {
     val raw = AlphaVantage.readRaw(spark,
-      s"$fixtures/{AAPL_d1,ERR_ratelimit}.json")
+      s"$fixtures/{AAPL_d1,ERR_ratelimit,ERR_mixed}.json")
     val (ok, quarantined) = AlphaVantage.validate(raw)
-    assert(ok.count() == 1)
-    assert(quarantined.count() == 1)
+    assert(ok.count() == 1) // AAPL_d1 only
+    // the split partitions the input: the structurally-broken payload AND
+    // the one-bad-record payload are both observable in quarantine
+    assert(quarantined.count() == 2)
+    assert(ok.count() + quarantined.count() == raw.count())
   }
 
   test("any non-numeric field rejects the WHOLE payload (etl.py:73-77)") {
