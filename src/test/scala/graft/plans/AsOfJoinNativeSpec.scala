@@ -40,23 +40,38 @@ class AsOfJoinNativeSpec extends SparkSpec {
   test("string keys do not leak payload across key boundaries (buffer reuse)") {
     import spark.implicits._
     // key B has NO eligible right row; with a stale/aliased held key the
-    // merge would wrongly carry A's payload into B. range-based inputs so
-    // the scan pipeline reuses its UnsafeRow buffer (the aliasing path).
-    val left = spark.range(200).select(
+    // merge would wrongly carry A's payload into B. BUCKETED-SORTED string
+    // tables: no exchange/sort is inserted, so left rows stream straight
+    // from the scan — the class of child whose row memory is not stable
+    // across next() calls (columnar vectors are reused per batch; row
+    // pipelines reuse one UnsafeRow buffer), which is why AsOfJoinExec
+    // must copy the key it holds across rows.
+    val wh = java.nio.file.Files.createTempDirectory("asofstr").toString
+    spark.range(200).select(
       concat(lit("key_"), format_string("%03d", expr("id div 2"))).as("key"),
       ($"id" % 2 * 100).as("ts"), $"id".as("tag"))
-    val right = spark.range(100).filter($"id" % 2 === 0).select(
+      .write.bucketBy(2, "key").sortBy("key", "ts")
+      .option("path", s"$wh/l").mode("overwrite").saveAsTable("asof_l_str")
+    spark.range(100).filter($"id" % 2 === 0).select(
       concat(lit("key_"), format_string("%03d", $"id")).as("key"),
       lit(0L).as("ts"), ($"id" * 1.0).as("price"))
-    val out = AsOfJoinNative.asOf(left, right, "key", "ts", "ts", Seq("price"))
-      .select($"key", $"asof_price").as[(String, Option[Double])]
-      .collect().groupBy(_._1)
-    // even keys have a right row at ts 0 → price = key number; odd keys
-    // have none → None for BOTH their left rows
-    (0 until 100).foreach { i =>
-      val vals = out(f"key_$i%03d").map(_._2).toSet
-      if (i % 2 == 0) assert(vals == Set(Some(i * 1.0)), s"key $i: $vals")
-      else assert(vals == Set(None), s"key $i leaked payload: $vals")
+      .write.bucketBy(2, "key").sortBy("key", "ts")
+      .option("path", s"$wh/r").mode("overwrite").saveAsTable("asof_r_str")
+    try {
+      val out = AsOfJoinNative.asOf(spark.table("asof_l_str"),
+        spark.table("asof_r_str"), "key", "ts", "ts", Seq("price"))
+        .select($"key", $"asof_price").as[(String, Option[Double])]
+        .collect().groupBy(_._1)
+      // even keys have a right row at ts 0 → price = key number; odd keys
+      // have none → None for BOTH their left rows
+      (0 until 100).foreach { i =>
+        val vals = out(f"key_$i%03d").map(_._2).toSet
+        if (i % 2 == 0) assert(vals == Set(Some(i * 1.0)), s"key $i: $vals")
+        else assert(vals == Set(None), s"key $i leaked payload: $vals")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_str")
+      spark.sql("DROP TABLE IF EXISTS asof_r_str")
     }
   }
 
