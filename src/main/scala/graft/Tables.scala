@@ -24,12 +24,21 @@ object Tables {
   // CONTRACT: the driver's test tables are read-only for a session's
   // lifetime (TESTDATA.md); a mutable dataset would need invalidation
   // (spark.catalog.refreshByPath) and this cache would not fit.
+  // The outer map holds sessions WEAKLY: test suites create and stop many
+  // SparkSessions per JVM, and a strong key would pin each stopped
+  // session's analyzed plans and session state for the JVM lifetime.
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((spark, sfDir, name),
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = resolved.synchronized {
+      resolved.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    }
+    perSession.computeIfAbsent((sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

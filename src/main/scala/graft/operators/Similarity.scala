@@ -88,12 +88,17 @@ object Similarity {
   }
 
   /** Driver-side one-row peek asserting the embedding dimension matches
-    * the hyperplane dimension (cheap: LocalLimit(1) scan). */
-  private def requireDim(emb: DataFrame, dim: Int): Unit = {
-    val actual = emb.select(size(col("embedding"))).head().getInt(0)
-    require(actual == dim,
-      s"embedding dim $actual != hyperplane dim $dim — pass dim=$actual")
-  }
+    * the hyperplane dimension (cheap: LocalLimit(1) scan). An empty input
+    * passes vacuously. Per-row raggedness beyond the first row is NOT
+    * checked here (a full-scan assert would double the read); a later
+    * mismatched row nulls its hyperplane dot products and lands in one
+    * bucket rather than corrupting neighbors. */
+  private def requireDim(emb: DataFrame, dim: Int): Unit =
+    emb.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"embedding dim $actual != hyperplane dim $dim — pass dim=$actual")
+    }
 
   /** Deterministic ±1 hyperplanes for [[annTopK]]. */
   private def planes(numTables: Int, bitsPerTable: Int, dim: Int,

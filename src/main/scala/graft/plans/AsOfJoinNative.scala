@@ -187,10 +187,17 @@ object AsOfJoinNative {
     val rTs = attr(rPlan, rightTs)
     require(lTs.dataType == rTs.dataType,
       s"as-of ts types differ: ${lTs.dataType} vs ${rTs.dataType}")
+    val lKey = attr(lPlan, key)
+    val rKey = attr(rPlan, key)
+    // Mismatched key types (e.g. int vs bigint) would mis-co-partition the
+    // two sides silently and then throw ClassCastException mid-merge from
+    // the interpreted ordering; fail at analysis time instead.
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
     val payloadAttrs = payload.map(attr(rPlan, _))
     val payloadOut = payloadAttrs.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key), lTs, rTs, payloadAttrs, payloadOut))
+      lKey, rKey, lTs, rTs, payloadAttrs, payloadOut))
   }
 }

@@ -57,6 +57,12 @@ object StockDataSource {
 
   /** Test hook: files actually opened by readers in this JVM. */
   val filesOpened = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Quarantine metric: payloads whose 'Meta Data' symbol disagrees with
+    * their `{symbol}_` filename prefix. Such files are dropped whole (like
+    * any malformed payload) so that filename-based file pruning stays
+    * exactly conservative — see [[StockFileReader]]. */
+  val symbolMismatches = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class StockTable(path: String) extends Table with SupportsRead {
@@ -141,7 +147,17 @@ class StockFileReader(file: String, required: StructType)
       val root = new ObjectMapper().readTree(new java.io.File(file))
       val sym = root.path("Meta Data").path("2. Symbol").asText(null)
       val ts = root.path("Time Series (Daily)")
-      if (sym == null || !ts.isObject) Iterator.empty
+      // Writer contract (etl.py:39: filename = f"{symbol}_{today}.json"):
+      // the cache-key filename prefix IS the payload's authoritative
+      // symbol. File pruning in StockScan relies on it, so a payload that
+      // violates it is quarantined whole (counted in symbolMismatches)
+      // rather than returned under a symbol the planner may have pruned —
+      // that would make pruning silently non-conservative.
+      val fileName = new java.io.File(file).getName
+      if (sym != null && !fileName.startsWith(sym + "_")) {
+        StockDataSource.symbolMismatches.incrementAndGet()
+        Iterator.empty
+      } else if (sym == null || !ts.isObject) Iterator.empty
       else {
         val days = ts.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
         val parsed = days.map { case (date, ohlcv: JsonNode) =>

@@ -107,4 +107,19 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin"), plan)
     df.collect() // and it runs
   }
+
+  test("mismatched key or ts types fail at construction, not mid-merge") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "a")).toDF("key", "ts", "tag")         // int key
+    val right = Seq((1L, 5L, 1.0)).toDF("key", "ts", "price")      // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.asOf(left, right, "key", "ts", "ts", Seq("price"))
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+    val left2 = Seq((1L, 10, "a")).toDF("key", "ts", "tag")        // int ts
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinNative.asOf(left2, right, "key", "ts", "ts", Seq("price"))
+    }
+    assert(e2.getMessage.contains("ts types differ"), e2.getMessage)
+  }
 }

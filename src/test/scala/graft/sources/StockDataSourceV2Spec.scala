@@ -51,4 +51,20 @@ class StockDataSourceV2Spec extends SparkSpec {
       .filter($"symbol" === "ERR") // no file starts with ERR_ matching meta
     assert(bad.count() == 0)
   }
+
+  test("filename/Meta-Data symbol mismatch quarantines the whole file") {
+    import spark.implicits._
+    // A payload whose internal symbol differs from its cache-key filename
+    // would make filename-based file pruning non-conservative (the file is
+    // skipped for the internal symbol's filter); the reader quarantines it
+    // entirely and counts the event, so pruning stays exact.
+    val dir = java.nio.file.Files.createTempDirectory("mismatch")
+    val src = java.nio.file.Paths.get(fixtures, "AAPL_d1.json")
+    java.nio.file.Files.copy(src,
+      dir.resolve("MSFT_d1.json")) // AAPL payload under an MSFT name
+    StockDataSource.symbolMismatches.set(0)
+    val rows = spark.read.format(fmt).option("path", dir.toString).load()
+    assert(rows.count() == 0)
+    assert(StockDataSource.symbolMismatches.get() == 1)
+  }
 }
