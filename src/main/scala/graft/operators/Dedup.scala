@@ -43,7 +43,7 @@ object Dedup {
     * word vocabulary, bigrams average df≈300 per shingle; trigrams ≈6). */
   def shingleArrays(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs
+    Par.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         TextExpressions.shingle_hashes(split(col(textCol), " "), 3).as("arr"))
       .filter(size(col("arr")) >= 1) // < 3 tokens → no trigram shingles
@@ -305,7 +305,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding only guarantees hamming <= 3")
-    val sims = docs.select(col(idCol).as("doc_id"),
+    val sims = Par.fanOut(docs).select(col(idCol).as("doc_id"),
       TextExpressions.simhash64(split(col(textCol), " ")).as("sim"))
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),

@@ -47,7 +47,7 @@ object Similarity {
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = withNorm(emb.filter(col("vec_id") === queryId))
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    withNorm(emb.filter(col("vec_id") =!= queryId))
+    withNorm(Par.fanOut(emb.filter(col("vec_id") =!= queryId)))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
@@ -60,7 +60,7 @@ object Similarity {
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qs = withNorm(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = withNorm(corpus)
+    val scored = withNorm(Par.fanOut(corpus))
       .crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
@@ -76,15 +76,43 @@ object Similarity {
     * of [[annTopK]] (candidates = bucket-mates, exact-verified) — the same
     * candidate→verify shape as MinHash→Jaccard in [[Dedup]]. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(emb).select(col("vec_id").as("id_a"),
+    // fan out the STREAMED side of the nested-loop join — the broadcast
+    // side's partitioning is irrelevant, but the stream side's partition
+    // count is the join's parallelism
+    val a = withNorm(Par.fanOut(emb)).select(col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = withNorm(emb).select(col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // Filter on the RAW cosine at the exact flip boundary instead of on
+    // round(cos, 4): Spark's round() on double goes through
+    // BigDecimal.valueOf (a Double.toString per call), and a rounded
+    // predicate gets pushed into the join condition where it would run for
+    // all O(n²) pairs and dominate the operator. The boundary filter is a
+    // plain double compare with IDENTICAL selectivity (see
+    // [[roundedGeqBoundary]]); round() then runs only in the output
+    // projection for the qualifying pairs.
+    a.join(b, col("id_a") < col("id_b") &&
+        rawCos >= roundedGeqBoundary(threshold, 4))
+      .select(col("id_a"), col("id_b"), round(rawCos, 4).as("cos"))
+  }
+
+  /** Smallest double `b` with `round(b, scale) >= t` under Spark's double
+    * rounding (BigDecimal.valueOf + HALF_UP — RoundBase's DoubleType path),
+    * located by an ulp walk from the approximate decimal boundary. Because
+    * that rounding is monotone non-decreasing in its input,
+    * `raw >= b  ⟺  round(raw, scale) >= t` for every double (NaN fails
+    * both; null propagates identically) — so filtering on the raw value at
+    * this boundary is EXACTLY the rounded filter, minus the per-row
+    * BigDecimal cost. */
+  private[operators] def roundedGeqBoundary(t: Double, scale: Int): Double = {
+    def r(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    var b = t - 0.5 * math.pow(10.0, -scale.toDouble)
+    while (r(b) >= t) b = Math.nextDown(b)
+    while (r(b) < t) b = Math.nextUp(b)
+    b
   }
 
   /** Driver-side one-row peek asserting the embedding dimension matches
@@ -140,22 +168,24 @@ object Similarity {
     // avoid. Fail fast instead.
     requireDim(emb, dim)
     val pl = planes(numTables, bitsPerTable, dim, seed)
-    val b = bucketed(emb, pl).select(col("vec_id"), col("table"), col("bucket"))
+    val b = bucketed(Par.fanOut(emb), pl)
+      .select(col("vec_id"), col("table"), col("bucket"))
     val candidates = b.as("x")
       .join(b.as("y"), Seq("table", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     val sides = withNorm(emb)
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     candidates
       .join(sides.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), "id_a")
       .join(sides.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), "id_b")
-      .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      // raw boundary filter instead of the BigDecimal-backed round — the
+      // exact-equivalence trick of [[cosinePairs]]/[[roundedGeqBoundary]]
+      .filter(rawCos >= roundedGeqBoundary(threshold, 4))
+      .select(col("id_a"), col("id_b"), round(rawCos, 4).as("cos"))
   }
 
   /** X3 IVF (inverted-file) approximate top-k: a coarse quantizer assigns
@@ -166,7 +196,7 @@ object Similarity {
     * probe touches nProbe partitions instead of the whole corpus. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 3): DataFrame = {
     // element-wise mean per label: posexplode → (label, pos) avg → rebuild
-    val cells = emb
+    val cells = Par.fanOut(emb)
       .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("m"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
@@ -180,7 +210,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col("label"))
       .limit(nProbe)
       .select(col("label"))
-    emb.filter(col("vec_id") =!= queryId)
+    Par.fanOut(emb.filter(col("vec_id") =!= queryId))
       .join(broadcast(probed), "label") // prune to the probed cells
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(q))
@@ -198,7 +228,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     requireDim(emb, dim)
     val pl = planes(numTables, bitsPerTable, dim, seed)
-    val corpus = bucketed(emb.filter(col("vec_id") =!= queryId), pl)
+    val corpus = bucketed(Par.fanOut(emb.filter(col("vec_id") =!= queryId)), pl)
     val query = bucketed(emb.filter(col("vec_id") === queryId), pl)
       .select(col("table").as("qtable"), col("bucket").as("qbucket"),
         asDouble(col("embedding")).as("qv"))

@@ -75,7 +75,7 @@ object TextAnalysis {
     * the standard scalable shape. */
   def tfidf(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val terms = docs.select(col(idCol).as("doc_id"),
+    val terms = Par.fanOut(docs).select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
