@@ -101,6 +101,10 @@ object SparkEntry {
     "q77_tpch_q5"        -> (Relational.tpchQ5 _),
     "q78_tpch_q7"        -> (Relational.tpchQ7 _),
     "q79_multiset_ops"   -> (SetsAndAggs.multisetOps _),
+    "q80_tpch_q9"        -> (Relational.tpchQ9 _),
+    "q81_tpch_q18"       -> (Relational.tpchQ18 _),
+    "q82_doc_chunks"     -> (NorthStar.docChunks _),
+    "q83_quantize_int8"  -> (NorthStar.quantizeEmbeddings _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -888,6 +892,59 @@ object SparkEntry {
         |SELECT 'intersect_all', o_custkey, count(*)
         |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
         |ORDER BY op, o_custkey""".stripMargin,
+    "q80_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS sum_profit,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q81_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       round(o_totalprice, 4) AS o_totalprice,
+        |       round(total_qty, 4) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q82_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |       CAST((start - 1) / 10 AS INTEGER) AS chunk_idx,
+        |       CAST(start AS INTEGER) AS start,
+        |       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM (SELECT doc_id, start,
+        |             toks[start : least(start + 19, len(toks))] AS chunk
+        |      FROM t, LATERAL unnest(range(1, len(toks) + 1, 10)) u(start))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q83_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                 x -> abs(x))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       round(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END, 4) + 0.0
+        |         AS q_scale,
+        |       array_to_string(list_transform(v,
+        |         x -> CAST(round(x * (CASE WHEN mx > 0 THEN 127.0 / mx
+        |                                   ELSE 0.0 END)) AS INTEGER)), ',')
+        |         AS q_csv
+        |FROM t
+        |ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

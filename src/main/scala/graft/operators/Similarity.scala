@@ -106,13 +106,25 @@ object Similarity {
     * this boundary is EXACTLY the rounded filter, minus the per-row
     * BigDecimal cost. */
   private[operators] def roundedGeqBoundary(t: Double, scale: Int): Double = {
+    require(t > 0 && !t.isNaN && !t.isInfinite,
+      s"threshold must be a positive finite double, got $t")
     def r(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-    var b = t - 0.5 * math.pow(10.0, -scale.toDouble)
-    while (r(b) >= t) b = Math.nextDown(b)
-    while (r(b) < t) b = Math.nextUp(b)
-    b
+    // Bit-space binary search: for non-negative doubles the IEEE bit
+    // pattern is order-isomorphic to the value, so midpointing the BITS
+    // halves the candidate range exactly. (An ulp walk from a decimal
+    // guess would need ~1e14 steps when t is not representable at
+    // `scale` — e.g. t = 0.39995 at scale 4.)
+    val step = math.pow(10.0, -scale.toDouble)
+    var lo = java.lang.Double.doubleToLongBits(math.max(t - 2 * step, 0.0))
+    var hi = java.lang.Double.doubleToLongBits(t + 2 * step)
+    // invariant: r(lo) < t <= r(hi)
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) >>> 1
+      if (r(java.lang.Double.longBitsToDouble(mid)) >= t) hi = mid else lo = mid
+    }
+    java.lang.Double.longBitsToDouble(hi)
   }
 
   /** Driver-side one-row peek asserting the embedding dimension matches
@@ -219,6 +231,23 @@ object Similarity {
           (sqrt(dot(col("v"), col("v"))) * col("qnrm")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the storage /
+    * bandwidth step every large-scale vector pipeline runs before indexing
+    * (a 64-dim float32 vector shrinks 4×; recall loss is bounded by the
+    * per-vector scale). Per row: scale = 127 / max|x_i|, q_i =
+    * round(x_i · scale) ∈ [-127, 127]. Entirely row-local (higher-order
+    * functions, codegen'd) — no shuffle at any scale. A zero vector keeps
+    * scale 0 and quantizes to all-zeros rather than dividing by zero. */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx > 0.0, lit(127.0) / mx).otherwise(lit(0.0))
+    emb
+      .withColumn("q_scale", scale)
+      .withColumn("q_vec",
+        transform(v, x => round(x * col("q_scale"), 0).cast("int")))
   }
 
   /** X3 approximate top-k: multiprobe hyperplane LSH (L tables × b bits,

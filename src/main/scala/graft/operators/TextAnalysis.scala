@@ -89,4 +89,27 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))
+
+  /** Sliding-window document chunking — the context-window prep step of an
+    * LLM training pipeline: each doc becomes overlapping token windows of
+    * `width` tokens every `stride` tokens (the final windows may be
+    * shorter). Entirely row-local (sequence + posexplode + slice), so it
+    * streams through a 100 TB corpus with no shuffle; the output key
+    * (doc_id, chunk_idx) stays stable across runs for downstream dedup /
+    * join-back. */
+  def chunkTokens(docs: DataFrame, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1 && stride >= 1, s"width=$width stride=$stride")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), col("n"), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        slice(col("toks"), col("start"), lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

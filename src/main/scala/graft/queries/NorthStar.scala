@@ -178,6 +178,30 @@ object NorthStar {
       .orderBy($"stage")
   }
 
+  /** X4 sliding-window chunking: docs → overlapping 20-token windows every
+    * 10 tokens (the LLM context-window prep; see
+    * [[graft.operators.TextAnalysis.chunkTokens]]). Restricted to
+    * doc_id < 50 so the oracle output stays compact. */
+  def docChunks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.chunkTokens(
+      Tables.documents(spark, d).filter($"doc_id" < 50), 20, 10)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** X3 int8 embedding quantization ([[graft.operators.Similarity
+    * .quantizeInt8]]): per-vector symmetric scale + rounded int codes,
+    * emitted as a csv string (the gate's pandas row-sort rejects array
+    * cells). */
+  def quantizeEmbeddings(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.quantizeInt8(Tables.embeddings(spark, d))
+      .select($"vec_id",
+        (round($"q_scale", 4) + lit(0.0)).as("q_scale"),
+        array_join(transform($"q_vec", x => x.cast("string")), ",").as("q_csv"))
+      .orderBy($"vec_id")
+  }
+
   /** X5 multimodal binary column: payload size + head bytes as hex (the
     * SQL-expressible slice; the typed decode path is OperatorSpec-tested). */
   def multimodalBytes(spark: SparkSession, d: String): DataFrame = {

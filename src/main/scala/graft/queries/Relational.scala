@@ -120,6 +120,54 @@ object Relational {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  /** TPC-H Q9 adapted to the harness tables (product-type profit shape):
+    * revenue by supplier nation × order year over a part-name slice. The
+    * driver's schema has no partsupp, so the ps_supplycost term of true Q9
+    * is absent; the plan shape is preserved — two broadcast dims (part,
+    * nation), two fact joins (orders, supplier), group on (nation, year).
+    * Reference Q9's FROM clause: TPC-H spec 2.18, query 9. */
+  def tpchQ9(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)
+        .filter($"p_name".contains("red")).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, d)
+        .select($"s_suppkey", $"s_nationkey"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, d)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, d)
+        .select($"o_orderkey", year($"o_orderdate").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("sum_profit"), count(lit(1)).as("n"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total lineitem
+    * quantity exceeds the threshold, joined back to customer, top 100 by
+    * (o_totalprice desc, o_orderdate). The HAVING subquery is a semi-join
+    * against an aggregate — Catalyst plans the aggregate once and
+    * broadcasts the (small) qualifying key set. */
+  def tpchQ18(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, d)
+    val bigOrders = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150)
+    Tables.orders(spark, d)
+      .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_orderdate"),
+        round($"o_totalprice", 4).as("o_totalprice"),
+        round($"total_qty", 4).as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
   /** Skew-salted join under the correctness gate: result rows are
     * identical to the plain equi-join (the oracle IS the plain join) —
     * only the shuffle distribution differs, which is the whole point of

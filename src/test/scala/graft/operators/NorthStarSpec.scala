@@ -212,4 +212,53 @@ class NorthStarSpec extends SparkSpec {
     assert(got(1L) == "es")
     assert(got(2L) == "de") // all-zero scores → first lang in fixed order
   }
+
+  test("chunkTokens windows overlap by width-stride and cover every token") {
+    import spark.implicits._
+    // 25 tokens, width 10, stride 5 → starts 1,6,11,16,21 → lengths 10,10,10,10,5
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, 10, 5)
+      .select($"chunk_idx", $"start", $"n_chunk_tokens", $"chunk_text")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0, 1, 10), (1, 6, 10), (2, 11, 10), (3, 16, 10), (4, 21, 5)))
+    assert(chunks.head._4.startsWith("t1 t2 ") && chunks.last._4 == "t21 t22 t23 t24 t25")
+    // consecutive windows share exactly width - stride tokens
+    val first = chunks(0)._4.split(" ").toSeq
+    val second = chunks(1)._4.split(" ").toSeq
+    assert(first.takeRight(5) == second.take(5))
+  }
+
+  test("quantizeInt8 bounds codes at ±127 and zero vectors stay zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df)
+      .select($"vec_id", $"q_scale", $"q_vec")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (s1, q1) = (got(1L)._1, got(1L)._2)
+    assert(s1 == 127.0 && q1 == Seq(64, -127, 32)) // 0.5*127=63.5 → HALF_UP 64
+    val (s2, q2) = (got(2L)._1, got(2L)._2)
+    assert(s2 == 0.0 && q2 == Seq(0, 0, 0))
+  }
+
+  test("roundedGeqBoundary filter is exactly the rounded filter (ulp sweep)") {
+    for (t <- Seq(0.4, 0.8, 0.39995, 0.1234, 1.0)) {
+      val b = Similarity.roundedGeqBoundary(t, 4)
+      def rounded(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      // sweep ±20 ulps around the boundary: the two predicates must agree
+      var x = b
+      (1 to 20).foreach(_ => x = Math.nextDown(x))
+      (1 to 40).foreach { _ =>
+        assert((x >= b) == (rounded(x) >= t), s"t=$t x=$x b=$b")
+        x = Math.nextUp(x)
+      }
+    }
+  }
 }
