@@ -87,7 +87,15 @@ object Dedup {
       .filter(least(col("pa"), col("pb")) >=
         lit(threshold) * greatest(col("pa"), col("pb")))
       .select(col("doc_a"), col("doc_b"))
-    kept
+    verifyArrays(kept, docArr, threshold)
+  }
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) pairs whose sizes are
+    * already known compatible: attach both hash arrays, intersect inside
+    * codegen, threshold on the RAW ratio (round only on survivors). */
+  private def verifyArrays(pairs: DataFrame, docArr: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
       .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
         col("n_sh").as("na")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
@@ -96,7 +104,6 @@ object Dedup {
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** X2 exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
     * index (AllPairs/PPJoin, Bayardo et al., WWW 2007).
@@ -140,6 +147,14 @@ object Dedup {
       (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
       .as("shingle"))
     val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+    // Measured note (local[32], sf0.1): two textbook refinements — probing
+    // only lower-id prefixes (halves candidates) and fusing the size-ratio
+    // prefilter into the join condition — were BOTH slower here than this
+    // symmetric join + narrow-broadcast prefilter shape (A/B in
+    // graft.tools.Profile3 territory: ~1.0s vs ~1.6-1.8s warm), because the
+    // join's per-match condition work outweighs the saved shuffle volume at
+    // these candidate counts. Revisit on a corpus where candidates/verify
+    // dominate: both refinements are lossless and shrink shuffles.
     val candidates = prefix.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") =!= col("b.doc_id"))
