@@ -105,6 +105,8 @@ object SparkEntry {
     "q81_tpch_q18"       -> (Relational.tpchQ18 _),
     "q82_doc_chunks"     -> (NorthStar.docChunks _),
     "q83_quantize_int8"  -> (NorthStar.quantizeEmbeddings _),
+    "q84_tpch_q10"       -> (Relational.tpchQ10 _),
+    "q85_asof_forward"   -> (Temporal.asOfForwardJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -945,6 +947,29 @@ object SparkEntry {
         |         AS q_csv
         |FROM t
         |ORDER BY vec_id""".stripMargin,
+    "q84_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS revenue,
+        |       round(max(c_acctbal), 4) AS c_acctbal,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q85_asof_forward" ->
+      """SELECT e.user_id, e.event_id, s.ts AS next_signup_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts <= s.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

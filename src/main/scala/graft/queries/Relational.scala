@@ -168,6 +168,35 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q10 (returned item reporting): revenue lost to returned items
+    * per customer over one quarter of orders, top 20 customers. Fact-fact
+    * join (lineitem ⋈ orders) shuffles once on orderkey; customer joins on
+    * custkey; nation broadcasts. TakeOrderedAndProject caps the sort at
+    * k=20 per partition. */
+  def tpchQ10(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    Tables.lineitem(spark, d)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, d)
+        .filter($"o_orderdate" >= lit("1997-01-01") &&
+          $"o_orderdate" < lit("1997-07-01"))
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, d)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, d)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("revenue"),
+        round(max($"c_acctbal"), 4).as("c_acctbal"),
+        count(lit(1)).as("n"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** Skew-salted join under the correctness gate: result rows are
     * identical to the plain equi-join (the oracle IS the plain join) —
     * only the shuffle distribution differs, which is the whole point of

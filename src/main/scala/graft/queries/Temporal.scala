@@ -23,6 +23,19 @@ object Temporal {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** A6 FORWARD as-of join: each event gets the timestamp of the user's
+    * NEXT signup at-or-after it (DuckDB oracle: ASOF LEFT JOIN with
+    * `e.ts <= s.ts`) — the mirror direction of [[asOfJoin]]. */
+  def asOfForwardJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    AsOfJoin.asOfForward(ev, signups, key = "user_id", leftTs = "ts",
+        rightTs = "ts", payload = Seq("ts"))
+      .select($"user_id", $"event_id", $"asof_ts".as("next_signup_ts"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** A6 as-of join through the NATIVE Catalyst operator
     * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan + Strategy +
     * SparkPlan) — same semantics and oracle as [[asOfJoin]], different

@@ -34,6 +34,26 @@ class OperatorSpec extends SparkSpec {
     assert(got("e3").isEmpty)           // other key's rows invisible
   }
 
+  test("AsOfJoin.asOfForward picks earliest right row at-or-after left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 12:00:00"), "e3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0), // exactly-equal ts IS visible
+      (1L, ts("2024-01-01 11:00:00"), 11.0),
+      (2L, ts("2024-01-01 11:00:00"), 20.0)  // before left → not visible
+    ).toDF("k", "t", "price")
+    val got = AsOfJoin.asOfForward(left, right, "k", "t", "t", Seq("price"))
+      .select($"name", $"asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("e1").contains(10.0))    // ties: <= semantics
+    assert(got("e2").isEmpty)           // nothing after 12:00
+    assert(got("e3").isEmpty)           // other key's 11:00 is in the past
+  }
+
   test("Upsert.upsertIgnore keeps existing rows and dedups incoming") {
     import spark.implicits._
     val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
