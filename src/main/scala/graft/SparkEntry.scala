@@ -107,6 +107,7 @@ object SparkEntry {
     "q83_quantize_int8"  -> (NorthStar.quantizeEmbeddings _),
     "q84_tpch_q10"       -> (Relational.tpchQ10 _),
     "q85_asof_forward"   -> (Temporal.asOfForwardJoin _),
+    "q86_split_assign"   -> (NorthStar.splitAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -970,6 +971,19 @@ object SparkEntry {
         |  (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts <= s.ts
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q86_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
+        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |           % 100 AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -90,6 +90,28 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))
 
+  /** Deterministic content-hash split assignment — the leakage-proof
+    * train/val/test partitioner of a training-data pipeline: the bucket is
+    * a pure function of the TEXT (rolling hash mod 100), so byte-identical
+    * documents land in the same split no matter when or where they are
+    * processed, across runs, clusters, and dataset versions (random
+    * splitting re-deals every run and leaks dup pairs across splits).
+    * Row-local, shuffle-free, same cost as a projection at any scale.
+    * Thresholds are percent cut points: bucket < trainPct → train;
+    * < trainPct + valPct → val; else test. */
+  def withSplitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents: train=$trainPct val=$valPct")
+    docs
+      .withColumn("bucket",
+        pmod(TextExpressions.rolling_hash(col(textCol)), lit(100)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Sliding-window document chunking — the context-window prep step of an
     * LLM training pipeline: each doc becomes overlapping token windows of
     * `width` tokens every `stride` tokens (the final windows may be

@@ -202,6 +202,17 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X4 deterministic content-hash train/val/test assignment
+    * ([[graft.operators.TextAnalysis.withSplitAssign]]): per-doc bucket +
+    * split label, plus the oracle checks the split SIZES via the same
+    * rolling-hash formula DuckDB computes with list_reduce. */
+  def splitAssign(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withSplitAssign(Tables.documents(spark, d))
+      .select($"doc_id", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
+
   /** X5 multimodal binary column: payload size + head bytes as hex (the
     * SQL-expressible slice; the typed decode path is OperatorSpec-tested). */
   def multimodalBytes(spark: SparkSession, d: String): DataFrame = {
