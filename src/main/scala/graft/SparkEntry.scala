@@ -108,6 +108,8 @@ object SparkEntry {
     "q84_tpch_q10"       -> (Relational.tpchQ10 _),
     "q85_asof_forward"   -> (Temporal.asOfForwardJoin _),
     "q86_split_assign"   -> (NorthStar.splitAssign _),
+    "q87_tpch_q14"       -> (Relational.tpchQ14 _),
+    "q88_latest_per_key" -> (Relational.latestPerKey _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -984,6 +986,31 @@ object SparkEntry {
         |            ELSE 'test' END AS split
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+    "q87_tpch_q14" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |       round(100.0 *
+        |         (sum(CASE WHEN p_type = 'PROMO'
+        |                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |                   ELSE 0 END) / 10000.0) /
+        |         (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |              * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0),
+        |         4) AS promo_pct,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY ship_month""".stripMargin,
+    "q88_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       round(o_totalprice, 4) AS o_totalprice
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -25,6 +25,13 @@ object Money {
   def sumRevenue(price: Column, disc: Column): Column =
     sum(cents(price) * (lit(100L) - cents(disc))) / 10000.0
 
+  /** Conditional [[sumRevenue]]: rows failing `cond` contribute 0 — the
+    * CASE-WHEN numerator of ratio queries (TPC-H Q14), kept in exact
+    * cents so both engines divide identical integers. */
+  def sumRevenueIf(price: Column, disc: Column, cond: Column): Column =
+    sum(when(cond, cents(price) * (lit(100L) - cents(disc)))
+      .otherwise(lit(0L))) / 10000.0
+
   /** SQL (DuckDB) forms of the same — keep in lockstep with the above. */
   def centsSql(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
   def sumMoneySql(col: String): String = s"sum(${centsSql(col)}) / 100.0"

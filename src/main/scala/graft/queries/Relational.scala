@@ -197,6 +197,47 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q14 (promotion effect), monthly: share of revenue from PROMO
+    * parts per ship month of 1997. Conditional aggregation over a
+    * broadcast dimension join; the ratio is computed from two exact
+    * integer-cents sums so both engines divide identical numerators. */
+  def tpchQ14(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1997-01-01") &&
+        $"l_shipdate" < lit("1998-01-01"))
+      .join(broadcast(Tables.part(spark, d).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy(month($"l_shipdate").as("ship_month"))
+      .agg(
+        round(lit(100.0) *
+          Money.sumRevenueIf($"l_extendedprice", $"l_discount",
+            $"p_type" === "PROMO") /
+          Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+          .as("promo_pct"),
+        count(lit(1)).as("n"))
+      .orderBy($"ship_month")
+  }
+
+  /** Latest-row-per-key dedup (the warehouse QUALIFY pattern): each
+    * customer's most recent order via row_number over (custkey; orderdate
+    * desc, orderkey desc) = 1. One shuffle on the key; at scale this beats
+    * a groupBy+join-back because the payload rides the same shuffle. */
+  def latestPerKey(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_orderdate"),
+        round($"o_totalprice", 4).as("o_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
   /** Skew-salted join under the correctness gate: result rows are
     * identical to the plain equi-join (the oracle IS the plain join) —
     * only the shuffle distribution differs, which is the whole point of
