@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(whPath).count() == 11)
   }
 
+  test("RunLogListener appends one line per batch, started and terminated") {
+    val tmp = Files.createTempDirectory("runlog").toString
+    val log = s"$tmp/etl_log.txt"
+    val listener = new RunLogListener(log)
+    spark.streams.addListener(listener)
+    try {
+      val drop = new java.io.File(s"$tmp/drop"); drop.mkdirs()
+      Files.copy(java.nio.file.Paths.get(s"$fixtures/AAPL_d1.json"),
+        java.nio.file.Paths.get(s"${drop.getPath}/AAPL_d1.json"))
+      val wh = new ParquetWarehouse(spark, s"$tmp/warehouse")
+      StreamingIngest.runOnce(spark, drop.getPath, s"$tmp/ckpt", wh)
+      // listener events are async; wait briefly for the terminate line
+      val deadline = System.nanoTime() + 10e9.toLong
+      def lines() =
+        if (new java.io.File(log).exists())
+          scala.io.Source.fromFile(log).getLines().toSeq
+        else Seq.empty
+      while (!lines().exists(_.contains("terminated")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      val ls = lines()
+      assert(ls.exists(_.contains("started")), ls.mkString("\n"))
+      assert(ls.exists(l => l.contains("progress") && l.contains("rows=")),
+        ls.mkString("\n"))
+      assert(ls.exists(_.contains("exception=none")), ls.mkString("\n"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("maxFilesPerTrigger throttles the file stream but drains fully (T4)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("throttle").toString
