@@ -50,7 +50,10 @@ object Bench {
       "short bench keys collide; rename queries")
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = timed.map { case (n, s, _) => s""""${short(n)}":${r3(s)}""" }
+    // only SUCCESSFUL timings go in the map (a failure's time-to-exception
+    // is not a runtime); failures are named in the separate list, and
+    // value == sum(queries) holds by construction
+    val qs = timed.collect { case (n, s, true) => s""""${short(n)}":${r3(s)}""" }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, s, true) => s }.sum
     val failedJson =

@@ -24,17 +24,26 @@ object Tables {
   // CONTRACT: the driver's test tables are read-only for a session's
   // lifetime (TESTDATA.md); a mutable dataset would need invalidation
   // (spark.catalog.refreshByPath) and this cache would not fit.
-  // The outer map holds sessions WEAKLY: test suites create and stop many
-  // SparkSessions per JVM, and a strong key would pin each stopped
-  // session's analyzed plans and session state for the JVM lifetime.
-  private val resolved =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  // Only the MOST RECENT session's relations are retained: the cached
+  // DataFrames strongly reference their session, so any map keyed by
+  // session (even a WeakHashMap — values referencing their key is the
+  // documented defeat of weak keys) would pin every stopped test session
+  // for the JVM lifetime. Sessions take the cache strictly in turns here
+  // (Verify/Bench use one; test suites run sequentially), so evict-on-
+  // session-change keeps the memoization win with at most one session
+  // pinned — the live one.
+  private var current: SparkSession = _
+  private var relations =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = resolved.synchronized {
-      resolved.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    val perSession = synchronized {
+      if (current ne spark) {
+        current = spark
+        relations =
+          new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      }
+      relations
     }
     perSession.computeIfAbsent((sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))

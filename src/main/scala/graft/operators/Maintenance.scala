@@ -21,18 +21,21 @@ object Maintenance {
       bytes: Long, rows: Long)
 
   /** Rewrite the parquet files of `dir` into ~`ceil(bytes/targetFileBytes)`
-    * files of roughly equal size, atomically (write to a staging dir,
-    * then swap). Readers concurrent with the swap see the old OR the new
-    * file set — never a mix of halves, because the swap is
-    * delete-then-move of whole files within one filesystem.
+    * files of roughly equal size: write to a staging dir, move the new
+    * files IN, then delete the old ones. The ordering is chosen for
+    * crash-safety over snapshot isolation — a crash mid-swap leaves the
+    * directory with a recoverable SUPERSET (old + some new, i.e.
+    * transiently duplicated rows), never with data missing. A concurrent
+    * reader listing mid-swap can likewise see the overlap; run compaction
+    * in a maintenance window, or use a manifest-based table format
+    * (Delta/Iceberg — whose compaction is exactly this protocol plus an
+    * atomic manifest pointer) when readers need snapshot isolation.
     *
     * `shuffle = false` uses `coalesce` (no exchange: existing partitions
     * are concatenated — cheapest, but file sizes inherit input skew);
     * `shuffle = true` uses `repartition` (one round-robin exchange —
     * pays a shuffle for evenly-sized output, the right call when the
-    * input is pathologically skewed). On a distributed filesystem the
-    * same protocol works with a rename-manifest (the swap loop below is
-    * the local-fs special case). */
+    * input is pathologically skewed). */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       shuffle: Boolean = false): CompactionStats = {
@@ -49,14 +52,17 @@ object Maintenance {
     val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
     sized.write.mode("overwrite").parquet(staged)
 
-    // swap: old data files out, staged files in, staging dir gone
-    before.foreach(f => Files.deleteIfExists(f.toPath))
+    // swap, new-in-first: Spark part-file names are UUID-unique, so the
+    // moves cannot collide with the old files; only after every new file
+    // is in place do the old ones go. A crash anywhere in between leaves
+    // old+new (duplicates, recoverable) — never a hole.
     val stagedFiles = new File(staged).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     stagedFiles.foreach { f =>
       Files.move(f.toPath, Paths.get(dir, f.getName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    before.foreach(f => Files.deleteIfExists(f.toPath))
     Option(new File(staged).listFiles()).getOrElse(Array.empty)
       .foreach(f => Files.deleteIfExists(f.toPath))
     Files.deleteIfExists(Paths.get(staged))

@@ -59,7 +59,12 @@ class WarehouseSink extends TableProvider {
 }
 
 object WarehouseSink {
-  private[v2] def stagingDir(path: String) = new File(path, "_staging")
+  /** Staging is namespaced PER QUERY: two concurrent writes to the same
+    * sink path must not see (or sweep) each other's attempt files — a
+    * shared staging dir would let the first committer's cleanup silently
+    * delete the second's staged data. */
+  private[v2] def stagingDir(path: String, queryId: String) =
+    new File(new File(path, "_staging"), queryId)
   private[v2] def marker(path: String, queryId: String) =
     new File(path, s"_committed-$queryId")
 
@@ -89,8 +94,14 @@ object WarehouseSink {
           case ShortType => row.getShort(i).toString
           case IntegerType => row.getInt(i).toString
           case LongType => row.getLong(i).toString
-          case FloatType => row.getFloat(i).toString
-          case DoubleType => row.getDouble(i).toString
+          // JSON has no NaN/Infinity literals; emit null so the line stays
+          // parseable instead of corrupting the whole record
+          case FloatType =>
+            val f = row.getFloat(i)
+            if (java.lang.Float.isFinite(f)) f.toString else "null"
+          case DoubleType =>
+            val dv = row.getDouble(i)
+            if (java.lang.Double.isFinite(dv)) dv.toString else "null"
           case DateType =>
             "\"" + java.time.LocalDate.ofEpochDay(row.getInt(i).toLong) + "\""
           case TimestampType =>
@@ -139,7 +150,7 @@ class WarehouseBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val staging = WarehouseSink.stagingDir(path)
+    val staging = WarehouseSink.stagingDir(path, queryId)
     staging.mkdirs()
     new WarehouseWriterFactory(staging.getAbsolutePath, schema)
   }
@@ -163,18 +174,22 @@ class WarehouseBatchWrite(path: String, schema: StructType,
       Files.write(marker.toPath,
         java.time.Instant.now().toString.getBytes(StandardCharsets.UTF_8))
     }
-    // Winning or not, the staging dir (holding any losing attempts) goes.
-    sweepStaging(path)
+    // Winning or not, THIS query's staging dir (holding any losing
+    // attempts) goes; other queries' staging subdirs are untouched.
+    sweepStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    sweepStaging(path)
+    sweepStaging()
 
-  private def sweepStaging(path: String): Unit = {
-    val staging = WarehouseSink.stagingDir(path)
+  private def sweepStaging(): Unit = {
+    val staging = WarehouseSink.stagingDir(path, queryId)
     Option(staging.listFiles()).getOrElse(Array.empty)
       .foreach(f => Files.deleteIfExists(f.toPath))
     Files.deleteIfExists(staging.toPath)
+    // drop the shared _staging parent only once it is empty
+    try Files.deleteIfExists(staging.getParentFile.toPath)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
 

@@ -54,6 +54,29 @@ class OperatorSpec extends SparkSpec {
     assert(got("e3").isEmpty)           // other key's 11:00 is in the past
   }
 
+  test("as-of joins: null timestamps match nothing, both directions") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), "ok"),
+      (1L, Option.empty[java.sql.Timestamp], "null_ts")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00")), 9.0),
+      (1L, Option(ts("2024-01-01 11:00:00")), 11.0),
+      (1L, Option.empty[java.sql.Timestamp], 99.0) // never a neighbor
+    ).toDF("k", "t", "price")
+    def payloads(df: org.apache.spark.sql.DataFrame) = df
+      .select($"name", $"asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val back = payloads(AsOfJoin.asOf(left, right, "k", "t", "t", Seq("price")))
+    assert(back("ok").contains(9.0))
+    assert(back("null_ts").isEmpty) // would grab 99.0 without the mask
+    val fwd = payloads(
+      AsOfJoin.asOfForward(left, right, "k", "t", "t", Seq("price")))
+    assert(fwd("ok").contains(11.0))
+    assert(fwd("null_ts").isEmpty) // would grab the partition edge without it
+  }
+
   test("Upsert.upsertIgnore keeps existing rows and dedups incoming") {
     import spark.implicits._
     val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
