@@ -110,6 +110,9 @@ object SparkEntry {
     "q86_split_assign"   -> (NorthStar.splitAssign _),
     "q87_tpch_q14"       -> (Relational.tpchQ14 _),
     "q88_latest_per_key" -> (Relational.latestPerKey _),
+    "q89_tpch_q4"        -> (Relational.tpchQ4 _),
+    "q90_tpch_q6"        -> (Relational.tpchQ6 _),
+    "q91_tpch_q13"       -> (Relational.tpchQ13 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1011,6 +1014,34 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "q89_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q90_tpch_q6" ->
+      """SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * CAST(round(l_discount * 100) AS BIGINT))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q91_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

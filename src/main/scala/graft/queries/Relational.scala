@@ -220,6 +220,58 @@ object Relational {
       .orderBy($"ship_month")
   }
 
+  /** TPC-H Q4 (order priority checking), adapted: count of orders per
+    * priority over a window of orderdates where EXISTS a lineitem shipped
+    * more than 60 days after the order date (the schema has no
+    * commit/receipt dates). The EXISTS is a left-semi join with a
+    * non-equi residual condition. */
+  def tpchQ4(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= lit("1997-01-01") &&
+        $"o_orderdate" < lit("1997-10-01"))
+    val li = Tables.lineitem(spark, d).select($"l_orderkey", $"l_shipdate")
+    o.join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): one-row filter+sum —
+    * quantity < 24, discount in [0.05, 0.07], one ship year; revenue =
+    * Σ price·disc in exact cents·cents / 10^4. The whole query is a scan
+    * with every predicate pushed and a single map-side-partial sum. */
+  def tpchQ6(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1997-01-01") &&
+        $"l_shipdate" < lit("1998-01-01") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round((sum(Money.cents($"l_extendedprice") *
+        Money.cents($"l_discount")) / 10000.0), 4).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q13 (customer distribution): orders-per-customer histogram
+    * including zero-order customers — LEFT join with a residual predicate
+    * on the JOIN (not WHERE, which would drop the nulls), then two
+    * aggregations. */
+  def tpchQ13(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.customer(spark, d).select($"c_custkey")
+      .join(Tables.orders(spark, d)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   /** Latest-row-per-key dedup (the warehouse QUALIFY pattern): each
     * customer's most recent order via row_number over (custkey; orderdate
     * desc, orderkey desc) = 1. One shuffle on the key; at scale this beats

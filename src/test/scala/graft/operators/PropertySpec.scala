@@ -131,4 +131,27 @@ object PropertySpec extends Properties("graft.operators") {
         .map { case (t, i) => i.toLong -> t.split(" ").sorted.toSeq }.toMap
       got == want
     }
+
+  // arbitrary unicode + control chars + quotes/backslashes: the sink's
+  // JSON escaping must survive anything a warehouse string can hold
+  private val nastyStrings = Gen.listOfN(6, Gen.frequency(
+    3 -> Gen.asciiPrintableStr.map(_.take(12)),
+    2 -> Gen.listOf(Gen.oneOf('"', '\\', '\n', '\r', '\t', '',
+      'é', '日', ' ', 'a')).map(_.mkString),
+    1 -> Gen.const("")))
+
+  property("WarehouseSink JSON lines round-trip arbitrary strings") =
+    Prop.forAllNoShrink(nastyStrings) { rows =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("whprop").toString
+      val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "v")
+      df.write.format("graft.sources.v2.WarehouseSink")
+        .option("path", dir).mode("append").save()
+      val back = spark.read.schema("id BIGINT, v STRING")
+        .json(s"$dir/part-*.json")
+        .as[(Long, String)].collect().toMap
+      val want = rows.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap
+      back == want
+    }
 }
