@@ -113,6 +113,8 @@ object SparkEntry {
     "q89_tpch_q4"        -> (Relational.tpchQ4 _),
     "q90_tpch_q6"        -> (Relational.tpchQ6 _),
     "q91_tpch_q13"       -> (Relational.tpchQ13 _),
+    "q92_event_funnel"   -> (Temporal.eventFunnel _),
+    "q93_retention"      -> (Temporal.retentionCurve _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1042,6 +1044,36 @@ object SparkEntry {
         |      GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q92_event_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) AS first_purchase_ts
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT s.user_id, signup_ts, first_purchase_ts,
+        |             (first_purchase_ts IS NOT NULL AND
+        |              first_purchase_ts >= signup_ts) AS converted
+        |      FROM s LEFT JOIN p ON s.user_id = p.user_id)
+        |SELECT count(*) AS n_signup_users,
+        |       sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
+        |       round(sum(CASE WHEN converted THEN 1.0 ELSE 0.0 END)
+        |             / count(*) * 100, 4) AS conversion_pct,
+        |       round(avg(CASE WHEN converted
+        |                 THEN epoch(first_purchase_ts - signup_ts) / 3600.0
+        |                 END), 4) AS avg_hours_to_convert
+        |FROM j""".stripMargin,
+    "q93_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e),
+        |r AS (SELECT DISTINCT f.user_id, datediff('day', day0, day) AS n
+        |      FROM f JOIN a ON f.user_id = a.user_id
+        |      WHERE datediff('day', day0, day) BETWEEN 1 AND 7)
+        |SELECT n AS day_n, count(*) AS n_retained,
+        |       round(count(*) / (SELECT count(*) FROM f) * 100, 4) + 0.0
+        |         AS retention_pct
+        |FROM r
+        |GROUP BY n
+        |ORDER BY day_n""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -115,4 +115,57 @@ object Temporal {
         $"session_window.end".as("session_end"), $"n_events")
       .orderBy($"user_id", $"session_start")
   }
+
+  /** Event funnel: signup → first purchase at-or-after it, reported as
+    * one conversion row (users, conversions, rate, mean hours-to-convert).
+    * Two per-user min-aggregations + one key join — the standard funnel
+    * shape that stays two shuffles at any event volume (never a per-user
+    * window over the full history). */
+  def eventFunnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("first_purchase_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .withColumn("converted",
+        $"first_purchase_ts".isNotNull && $"first_purchase_ts" >= $"signup_ts")
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
+        round(sum(when($"converted", 1.0).otherwise(0.0)) / count(lit(1)) * 100,
+          4).as("conversion_pct"),
+        // cast-to-double keeps sub-second precision (unix_timestamp
+        // truncates to whole seconds; DuckDB's epoch(interval) does not)
+        round(avg(when($"converted",
+          ($"first_purchase_ts".cast("double") -
+            $"signup_ts".cast("double")) / 3600.0)), 4)
+          .as("avg_hours_to_convert"))
+  }
+
+  /** Day-N retention: of the users whose first event fell on day 0, the
+    * share seen again exactly N days later, for N in 1..7 — the activation
+    * curve every event pipeline reports. Cohort = min-date per user
+    * (one shuffle); return visits join on (user, date) against the
+    * distinct active days. */
+  def retentionCurve(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day"))
+    val firstDay = ev.groupBy($"user_id").agg(min($"day").as("day0"))
+    val activeDays = ev.distinct()
+    firstDay
+      .join(activeDays, Seq("user_id"))
+      .withColumn("n", datediff($"day", $"day0"))
+      .filter($"n".between(1, 7))
+      .select($"user_id", $"n").distinct()
+      .groupBy($"n")
+      .agg(count(lit(1)).as("n_retained"))
+      .join(broadcast(firstDay.agg(count(lit(1)).as("cohort"))))
+      .select($"n".as("day_n"), $"n_retained",
+        (round($"n_retained" / $"cohort" * 100, 4) + lit(0.0))
+          .as("retention_pct"))
+      .orderBy($"day_n")
+  }
 }
