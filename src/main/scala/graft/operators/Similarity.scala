@@ -182,8 +182,9 @@ object Similarity {
     val pl = planes(numTables, bitsPerTable, dim, seed)
     val b = bucketed(Par.fanOut(emb), pl)
       .select(col("vec_id"), col("table"), col("bucket"))
+    // corpus-scale self-join: see Dedup's SHUFFLE_HASH note
     val candidates = b.as("x")
-      .join(b.as("y"), Seq("table", "bucket"))
+      .join(b.hint("SHUFFLE_HASH").as("y"), Seq("table", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
