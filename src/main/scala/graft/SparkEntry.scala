@@ -115,6 +115,8 @@ object SparkEntry {
     "q91_tpch_q13"       -> (Relational.tpchQ13 _),
     "q92_event_funnel"   -> (Temporal.eventFunnel _),
     "q93_retention"      -> (Temporal.retentionCurve _),
+    "q94_trailing_range" -> (Windows.trailingHourCount _),
+    "q95_snapshot_delta" -> (Relational.snapshotDelta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1074,6 +1076,30 @@ object SparkEntry {
         |FROM r
         |GROUP BY n
         |ORDER BY day_n""".stripMargin,
+    "q94_trailing_range" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |         AS n_trailing_1h
+        |FROM (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q95_snapshot_delta" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_orderstatus AS old_status
+        |             FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+        |neu AS (SELECT o_orderkey AS k,
+        |               CASE WHEN o_orderpriority = '1-URGENT' THEN 'R'
+        |                    ELSE o_orderstatus END AS new_status
+        |        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |          AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CASE WHEN old_status IS NULL THEN 'inserted'
+        |            WHEN new_status IS NULL THEN 'deleted'
+        |            WHEN old_status <> new_status THEN 'changed'
+        |            ELSE 'unchanged' END AS change,
+        |       count(*) AS n
+        |FROM old FULL JOIN neu USING (k)
+        |GROUP BY 1
+        |ORDER BY change""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -272,6 +272,37 @@ object Relational {
       .orderBy($"custdist".desc, $"c_count".desc)
   }
 
+  /** Snapshot delta detection — the change-capture half of an incremental
+    * load: classify the NEW snapshot's rows against the OLD as inserted
+    * (key absent before) or changed (key present, payload differs), and
+    * count the OLD keys that vanished. One full-outer join on the key —
+    * the at-scale shape (both snapshots shuffle once; no driver state).
+    * Snapshots here are two date-slices of `orders`. */
+  def snapshotDelta(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.orders(spark, d)
+    // old = everything before mid-1997; new = the 1997 window with urgent
+    // orders' status restated — so all four categories are populated:
+    // pre-1997 keys vanish (deleted), H2-1997 keys appear (inserted),
+    // urgent overlap keys differ (changed), the rest match (unchanged)
+    val old = all.filter($"o_orderdate" < lit("1997-07-01"))
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("old_status"))
+    val neu = all.filter($"o_orderdate" >= lit("1997-01-01") &&
+        $"o_orderdate" < lit("1998-01-01"))
+      .select($"o_orderkey".as("k"),
+        when($"o_orderpriority" === "1-URGENT", lit("R"))
+          .otherwise($"o_orderstatus").as("new_status"))
+    old.join(neu, Seq("k"), "full")
+      .select(
+        when($"old_status".isNull, lit("inserted"))
+          .when($"new_status".isNull, lit("deleted"))
+          .when($"old_status" =!= $"new_status", lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"change")
+  }
+
   /** Latest-row-per-key dedup (the warehouse QUALIFY pattern): each
     * customer's most recent order via row_number over (custkey; orderdate
     * desc, orderkey desc) = 1. One shuffle on the key; at scale this beats

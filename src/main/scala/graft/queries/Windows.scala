@@ -122,4 +122,22 @@ object Windows {
         round(cume_dist().over(w), 4).as("cd"))
       .orderBy($"o_orderkey")
   }
+
+  /** W5-ext TIME-range frame: per user, events in the trailing hour of
+    * each event — a true RANGE frame over epoch seconds (peers at the
+    * same second share a count), not a rows frame. The streaming-adjacent
+    * "rate over trailing window" computed in batch; one shuffle on the
+    * key like every window. Epoch seconds are FLOORED identically on both
+    * engines so frame boundaries agree on sub-second data. */
+  def trailingHourCount(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-3599L, 0L)
+    graft.Tables.events(spark, d)
+      .select($"user_id", $"event_id",
+        floor($"ts".cast("double")).cast("long").as("ts_sec"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"n_trailing_1h")
+      .orderBy($"user_id", $"event_id")
+  }
 }
