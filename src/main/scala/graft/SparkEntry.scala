@@ -117,6 +117,8 @@ object SparkEntry {
     "q93_retention"      -> (Temporal.retentionCurve _),
     "q94_trailing_range" -> (Windows.trailingHourCount _),
     "q95_snapshot_delta" -> (Relational.snapshotDelta _),
+    "q96_agg_of_agg"     -> (Relational.aggOfAgg _),
+    "q97_fuzzy_match"    -> (Relational.fuzzyMatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1100,6 +1102,29 @@ object SparkEntry {
         |FROM old FULL JOIN neu USING (k)
         |GROUP BY 1
         |ORDER BY change""".stripMargin,
+    "q96_agg_of_agg" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT n_name AS nation, count(*) AS n_customers,
+        |       round(avg(n_orders), 4) AS avg_orders_per_cust,
+        |       round(sum(spend_cents) / (100.0 * count(*)), 4)
+        |         AS avg_spend_per_cust
+        |FROM per_cust
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin,
+    "q97_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 2
+        |WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

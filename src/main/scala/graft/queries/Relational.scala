@@ -303,6 +303,49 @@ object Relational {
       .orderBy($"change")
   }
 
+  /** Two-level aggregation (aggregate OF an aggregate): per-customer order
+    * stats re-aggregated per nation — the "metric rollup" shape reporting
+    * layers are built from. Two shuffles (custkey, then nation key); the
+    * money path stays exact integer cents through BOTH levels so the
+    * nation-level averages divide identical integers in both engines. */
+  def aggOfAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val perCust = Tables.orders(spark, d)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Money.cents($"o_totalprice")).as("spend_cents"))
+    Tables.customer(spark, d).select($"c_custkey", $"c_nationkey")
+      .join(perCust, $"c_custkey" === $"o_custkey")
+      .join(broadcast(Tables.nation(spark, d)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"n_orders"), 4).as("avg_orders_per_cust"),
+        round(sum($"spend_cents") / (lit(100.0) * count(lit(1))), 4)
+          .as("avg_spend_per_cust"))
+      .orderBy($"nation")
+  }
+
+  /** Fuzzy string matching: part-name pairs within edit distance 2 over a
+    * bounded slice — levenshtein-based near-dup detection, the string
+    * sibling of the shingle/embedding near-dup family. The quadratic
+    * candidate space is bounded by the key filter; at corpus scale the
+    * blocking step (length bands, first-letter buckets, or the q38-style
+    * inverted index) replaces the raw cross join. */
+  def fuzzyMatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, d)
+      .filter($"p_partkey" <= 200).select($"p_partkey", $"p_name")
+    p.as("a").join(p.as("b"),
+        $"a.p_partkey" < $"b.p_partkey" &&
+        levenshtein($"a.p_name", $"b.p_name") <= 2)
+      .select($"a.p_partkey".as("id_a"), $"b.p_partkey".as("id_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        levenshtein($"a.p_name", $"b.p_name").as("dist"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Latest-row-per-key dedup (the warehouse QUALIFY pattern): each
     * customer's most recent order via row_number over (custkey; orderdate
     * desc, orderkey desc) = 1. One shuffle on the key; at scale this beats
