@@ -119,6 +119,9 @@ object SparkEntry {
     "q95_snapshot_delta" -> (Relational.snapshotDelta _),
     "q96_agg_of_agg"     -> (Relational.aggOfAgg _),
     "q97_fuzzy_match"    -> (Relational.fuzzyMatch _),
+    "q98_multi_distinct" -> (SetsAndAggs.multiDistinct _),
+    "q99_topk_no_window" -> (SetsAndAggs.topKPerGroupNoWindow _),
+    "q100_sql_multi_cte" -> (SqlSurface.sqlMultiCte _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1125,6 +1128,43 @@ object SparkEntry {
         | AND levenshtein(a.p_name, b.p_name) <= 2
         |WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
         |ORDER BY id_a, id_b""".stripMargin,
+    "q98_multi_distinct" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(DISTINCT year(o_orderdate)) AS n_years,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q99_topk_no_window" ->
+      """WITH p AS (SELECT user_id, CAST(value AS DOUBLE) AS v, event_id AS e
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, v, e,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY v DESC, e DESC) AS rk
+        |      FROM p)
+        |SELECT user_id,
+        |       string_agg(e, ',' ORDER BY rk) AS top_event_ids,
+        |       round(sum(v), 4) AS top_value_sum
+        |FROM r WHERE rk <= 3
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q100_sql_multi_cte" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_custkey, c_nationkey, spend_cents,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY spend_cents DESC, c_custkey)
+        |           AS rk
+        |  FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT n_name AS nation, rk, c_custkey,
+        |       round(spend_cents / 100.0, 4) AS spend
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 3
+        |ORDER BY nation, rk""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

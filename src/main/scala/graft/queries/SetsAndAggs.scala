@@ -98,6 +98,43 @@ object SetsAndAggs {
       .orderBy($"l_returnflag")
   }
 
+  /** G2-ext multiple DISTINCT aggregates in one GROUP BY — Catalyst plans
+    * this with an Expand node (one input-row replica per distinct group),
+    * a genuinely different physical shape from single-distinct rewrites;
+    * at scale the Expand multiplies shuffle volume by the number of
+    * distinct columns, which is the known cost of the one-pass form (the
+    * alternative is N separate aggregations + a join). */
+  def multiDistinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_custs"),
+        countDistinct(year($"o_orderdate")).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** O-ext top-k per group WITHOUT a window: collect each user's events as
+    * structs, sort row-locally, slice k — the small-group alternative to
+    * row_number() that avoids the per-partition sort of a window (the
+    * whole group rides one aggregation buffer; only valid when groups are
+    * bounded, which user-event groups here are). */
+  def topKPerGroupNoWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(slice(reverse(array_sort(collect_list(
+        struct($"value".cast("double").as("v"), $"event_id".as("e"))))), 1, 3)
+        .as("top"))
+      .select($"user_id",
+        concat_ws(",", transform($"top", t => t.getField("e"))).as("top_event_ids"),
+        round(aggregate($"top", lit(0.0), (acc, t) => acc + t.getField("v")), 4)
+          .as("top_value_sum"))
+      .orderBy($"user_id")
+  }
+
   /** G6 exact percentiles via percentile (sort-based exact, matches DuckDB
     * quantile_cont) — median is the 0.5 case. */
   def percentiles(spark: SparkSession, d: String): DataFrame = {

@@ -47,4 +47,28 @@ object SqlSurface {
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin)
   }
+
+  /** Multi-CTE SQL through `spark.sql`: chained WITH blocks + a window in
+    * SQL + a join back — the analyst-authored query shape, exercising the
+    * parser's CTE resolution and showing the SQL and DataFrame paths land
+    * on the same Catalyst operators. Top-3 spenders per nation. */
+  def sqlMultiCte(spark: SparkSession, d: String): DataFrame = {
+    registerViews(spark, d)
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_custkey, c_nationkey, spend_cents,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY spend_cents DESC, c_custkey)
+        |           AS rk
+        |  FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT n_name AS nation, rk, c_custkey,
+        |       round(spend_cents / 100.0, 4) AS spend
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 3
+        |ORDER BY nation, rk""".stripMargin)
+  }
 }

@@ -12,7 +12,7 @@ class ContractSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
-    assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), qs)
+    assert(qs.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), qs)
     val unoracled = qs -- os
     // the four approximate/hash-based queries are rows-only by design
     assert(unoracled == Set("q19_approx_distinct", "q40_simhash_pairs",
