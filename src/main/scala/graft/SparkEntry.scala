@@ -1060,14 +1060,17 @@ object SparkEntry {
         |             (first_purchase_ts IS NOT NULL AND
         |              first_purchase_ts >= signup_ts) AS converted
         |      FROM s LEFT JOIN p ON s.user_id = p.user_id)
-        |SELECT count(*) AS n_signup_users,
-        |       sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
-        |       round(sum(CASE WHEN converted THEN 1.0 ELSE 0.0 END)
-        |             / count(*) * 100, 4) AS conversion_pct,
-        |       round(avg(CASE WHEN converted
-        |                 THEN epoch(first_purchase_ts - signup_ts) / 3600.0
-        |                 END), 4) AS avg_hours_to_convert
-        |FROM j""".stripMargin,
+        |SELECT n_signup_users, n_converted,
+        |       n_converted * 100.0 / n_signup_users AS conversion_pct,
+        |       CAST(sum_us AS DOUBLE) / n_converted / 3600000000.0
+        |         AS avg_hours_to_convert
+        |FROM (SELECT count(*) AS n_signup_users,
+        |             CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_converted,
+        |             sum(CASE WHEN converted THEN
+        |                   epoch_us(first_purchase_ts) - epoch_us(signup_ts)
+        |                 END) AS sum_us
+        |      FROM j)""".stripMargin,
     "q93_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY 1),
@@ -1161,7 +1164,7 @@ object SparkEntry {
         |           AS rk
         |  FROM spend JOIN customer ON o_custkey = c_custkey)
         |SELECT n_name AS nation, rk, c_custkey,
-        |       round(spend_cents / 100.0, 4) AS spend
+        |       spend_cents / 100.0 AS spend
         |FROM ranked JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk <= 3
         |ORDER BY nation, rk""".stripMargin,

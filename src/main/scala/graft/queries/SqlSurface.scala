@@ -66,7 +66,7 @@ object SqlSurface {
         |           AS rk
         |  FROM spend JOIN customer ON o_custkey = c_custkey)
         |SELECT n_name AS nation, rk, c_custkey,
-        |       round(spend_cents / 100.0, 4) AS spend
+        |       CAST(spend_cents AS DOUBLE) / 100.0 AS spend
         |FROM ranked JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk <= 3
         |ORDER BY nation, rk""".stripMargin)

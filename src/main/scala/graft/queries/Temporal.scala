@@ -134,13 +134,18 @@ object Temporal {
       .agg(
         count(lit(1)).as("n_signup_users"),
         sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
-        round(sum(when($"converted", 1.0).otherwise(0.0)) / count(lit(1)) * 100,
-          4).as("conversion_pct"),
-        // cast-to-double keeps sub-second precision (unix_timestamp
-        // truncates to whole seconds; DuckDB's epoch(interval) does not)
-        round(avg(when($"converted",
-          ($"first_purchase_ts".cast("double") -
-            $"signup_ts".cast("double")) / 3600.0)), 4)
+        // sum exact integer microseconds, divide ONCE at the end: a
+        // double avg() is summed in partition order (nondeterministic
+        // across runs) and a trailing round() flips at the boundary —
+        // integer sums are order-free and the single division chain is
+        // IEEE-identical in Spark and DuckDB, so no round() is needed
+        sum(when($"converted",
+          unix_micros($"first_purchase_ts") - unix_micros($"signup_ts")))
+          .as("convert_us"))
+      .select(
+        $"n_signup_users", $"n_converted",
+        ($"n_converted" * 100.0 / $"n_signup_users").as("conversion_pct"),
+        ($"convert_us".cast("double") / $"n_converted" / 3600000000.0)
           .as("avg_hours_to_convert"))
   }
 

@@ -54,6 +54,27 @@ def main():
                       f"{list(want.columns)}")
                 n_fail += 1
                 continue
+            # The driver's gate hashes VALUE REPRS, so an int column on one
+            # side vs float on the other (DuckDB HUGEINT -> pandas float64)
+            # or a Decimal-object column (Spark DECIMAL output) mismatches
+            # even when numerically equal — the r03 q92/q100 failure mode
+            # this == -based compare missed. int32-vs-int64 is benign
+            # (both render as Python ints).
+            kind_bad = []
+            for c in want.columns:
+                kw, kg = want[c].dtype.kind, got[c].dtype.kind
+                if ("f" in (kw, kg)) and ({kw, kg} & set("iu")):
+                    kind_bad.append(f"{c}: oracle {want[c].dtype} "
+                                    f"vs spark {got[c].dtype}")
+                for side, col in (("oracle", want[c]), ("spark", got[c])):
+                    if col.dtype.kind == "O" and any(
+                            type(v).__name__ == "Decimal"
+                            for v in col.dropna().head(1)):
+                        kind_bad.append(f"{c}: {side} is DECIMAL")
+            if kind_bad:
+                print(f"FAIL {name}: dtype divergence {kind_bad}")
+                n_fail += 1
+                continue
             w = norm(want.itertuples(index=False, name=None))
             g = norm(got.itertuples(index=False, name=None))
             if len(w) != len(g):
