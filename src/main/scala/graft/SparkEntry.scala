@@ -122,6 +122,15 @@ object SparkEntry {
     "q98_multi_distinct" -> (SetsAndAggs.multiDistinct _),
     "q99_topk_no_window" -> (SetsAndAggs.topKPerGroupNoWindow _),
     "q100_sql_multi_cte" -> (SqlSurface.sqlMultiCte _),
+    "q101_tpch_q8"       -> (Relational.tpchQ8 _),
+    "q102_tpch_q12"      -> (Relational.tpchQ12 _),
+    "q103_tpch_q17"      -> (Relational.tpchQ17 _),
+    "q104_tpch_q19"      -> (Relational.tpchQ19 _),
+    "q105_tpch_q21"      -> (Relational.tpchQ21 _),
+    "q106_tpch_q22"      -> (Relational.tpchQ22 _),
+    "q107_repetition"    -> (NorthStar.repetitionScore _),
+    "q108_contamination" -> (NorthStar.contamination _),
+    "q109_domain_mix"    -> (NorthStar.domainMixing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1168,6 +1177,166 @@ object SparkEntry {
         |FROM ranked JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk <= 3
         |ORDER BY nation, rk""".stripMargin,
+    "q101_tpch_q8" ->
+      """SELECT o_year,
+        |       round(100.0 *
+        |         (sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev_c ELSE 0 END)
+        |          / 10000.0) /
+        |         (sum(rev_c) / 10000.0), 4) AS mkt_share,
+        |       count(*) AS n
+        |FROM (SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |               AS rev_c
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |                 AND r_name = 'AMERICA'
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q102_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |                                                  '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q103_tpch_q17" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#4' AND p_size <= 15),
+        |pp AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |       FROM lineitem JOIN pk ON l_partkey = p_partkey
+        |       GROUP BY 1)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS DOUBLE) / 700.0 AS avg_yearly,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN pk ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = pp.pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q104_tpch_q19" ->
+      """SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q105_tpch_q21" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM base l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM base l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM base l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "q106_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |t AS (SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS thr
+        |      FROM c WHERE bal_c > 0)
+        |SELECT c_mktsegment,
+        |       count(*) AS numcust,
+        |       CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c, t
+        |WHERE CAST(bal_c AS DOUBLE) > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q107_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |             len(list_distinct(toks)) AS n_distinct,
+        |             [toks[i] || ' ' || toks[i+1]
+        |              for i in range(1, len(toks))] AS bigrams
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS uniq_token_ratio,
+        |       CAST(n_tokens - 1 - len(list_distinct(bigrams)) AS DOUBLE)
+        |         / (n_tokens - 1) AS dup_bigram_frac
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+    "q108_contamination" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
+        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |           % 100 AS INTEGER) AS bucket,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |              CASE WHEN bucket < 80 THEN 'train'
+        |                   WHEN bucket < 90 THEN 'val'
+        |                   ELSE 'test' END AS split,
+        |              unnest(list_distinct(
+        |                [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM h WHERE len(toks) >= 3),
+        |train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+        |v AS (SELECT doc_id, count(*) AS n_shingles,
+        |             CAST(sum(CASE WHEN shingle IN (SELECT shingle
+        |                                            FROM train)
+        |                           THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_contaminated
+        |      FROM sh WHERE split = 'val'
+        |      GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_contaminated,
+        |       CAST(n_contaminated AS DOUBLE) / n_shingles
+        |         AS contamination_frac
+        |FROM v
+        |ORDER BY doc_id""".stripMargin,
+    "q109_domain_mix" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
+        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |           % 100 AS INTEGER) AS bucket,
+        |         (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
+        |          % 5) * 10 + 10 AS rate_pct
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_sampled,
+        |       CAST(coalesce(sum(CASE WHEN bucket < rate_pct
+        |                              THEN n_chars END), 0) AS BIGINT)
+        |         AS chars_sampled,
+        |       max(rate_pct) AS rate_pct
+        |FROM h
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

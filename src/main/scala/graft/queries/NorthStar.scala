@@ -224,4 +224,83 @@ object NorthStar {
         $"media_meta.mime".as("mime"))
       .orderBy($"doc_id")
   }
+
+  /** X4 intra-document repetition score (the Gopher-style quality
+    * signal): unique-token ratio and duplicate-bigram fraction per doc.
+    * Entirely row-local array ops (split / array_distinct / transform),
+    * so it streams shuffle-free at corpus scale; ratios are single
+    * int→double divisions, bit-identical across engines. Spark arrays
+    * index from 0 where DuckDB lists index from 1 — both sides
+    * enumerate the same n-1 bigrams. */
+  def repetitionScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .select($"doc_id", toks.as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        expr("transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))").as("bigrams"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_distinct".cast("double") / $"n_tokens").as("uniq_token_ratio"),
+        (($"n_tokens" - 1 - size(array_distinct($"bigrams"))).cast("double") /
+          ($"n_tokens" - 1)).as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4 train/eval contamination check: for every doc the deterministic
+    * content-hash split (see [[splitAssign]]) sends to 'val', the count
+    * and fraction of its distinct trigram shingles that also appear
+    * anywhere in the 'train' split — the decontamination report every
+    * eval pipeline needs. Scale path: the train shingle set is
+    * pre-deduplicated before the join, and the join is a key-equi
+    * shuffle; a 100 TB corpus would hash the shingles (ShingleHashes)
+    * instead of carrying strings. */
+  def contamination(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextAnalysis.withSplitAssign(
+      graft.operators.Par.fanOut(Tables.documents(spark, d)))
+      .select($"doc_id", $"split", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", $"split",
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")))
+          .as("shingle"))
+    val train = docs.filter($"split" === "train")
+      .select($"shingle").distinct()
+    val valDocs = docs.filter($"split" === "val")
+    val contaminated = valDocs.join(train, Seq("shingle"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    valDocs.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        (coalesce($"n_contaminated", lit(0L)).cast("double") / $"n_shingles")
+          .as("contamination_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4 domain-mixing sampler: per-source keep rates applied by
+    * deterministic content hash (rolling_hash mod 100 < rate), the
+    * shuffle-free way to hit target domain weights that stays stable
+    * across runs and re-sharding (a random sample re-deals every run).
+    * Rates here derive from the source id (10%..50%) to stand in for a
+    * mixing config table. */
+  def domainMixing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .withColumn("rate_pct",
+        (regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 5) * 10 + 10)
+      .withColumn("bucket",
+        pmod(TextExpressions.rolling_hash($"text"), lit(100)).cast("int"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"bucket" < $"rate_pct", 1L).otherwise(0L)).as("n_sampled"),
+        coalesce(sum(when($"bucket" < $"rate_pct", $"n_chars")), lit(0L))
+          .as("chars_sampled"),
+        max($"rate_pct").as("rate_pct"))
+      .orderBy($"source")
+  }
 }

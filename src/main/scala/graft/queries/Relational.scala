@@ -526,4 +526,173 @@ object Relational {
         round(coalesce($"spend", lit(0.0)), 4).as("spend"))
       .orderBy($"c_custkey")
   }
+
+  /** TPC-H Q8 (national market share): one supplier nation's share of
+    * PROMO-part revenue sold into AMERICA-region customer markets, per
+    * order year. Both ratio terms are exact integer-cents sums; the
+    * market-region restriction is a broadcast semi-join so no payload
+    * columns ride through it. Reference: TPC-H spec 2.18, query 8
+    * (p_type / supplier-nation parameters adapted to this schema's
+    * vocabulary). */
+  def tpchQ8(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val amNations = Tables.nation(spark, d)
+      .join(broadcast(Tables.region(spark, d).filter($"r_name" === "AMERICA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val suppNation = Tables.nation(spark, d)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)
+        .filter($"p_type" === "PROMO").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, d)
+        .filter($"o_orderdate" >= lit("1996-01-01") &&
+          $"o_orderdate" < lit("1998-01-01"))
+        .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(amNations), $"c_nationkey" === $"n_nationkey",
+        "left_semi")
+      .join(Tables.supplier(spark, d).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .groupBy($"o_year")
+      .agg(round(lit(100.0) *
+        Money.sumRevenueIf($"l_extendedprice", $"l_discount",
+          $"supp_nation" === "BRAZIL") /
+        Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("mkt_share"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q12 (shipping-priority effect), adapted: the schema has no
+    * l_shipmode/commitdate/receiptdate, so "late" = shipped more than 90
+    * days after the order date and the group key is l_returnflag; the
+    * shape — fact-fact join with a non-equi residual and two
+    * complementary conditional counts — is Q12's. */
+  def tpchQ12(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val highPri = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1997-01-01") &&
+        $"l_shipdate" < lit("1998-01-01"))
+      .join(Tables.orders(spark, d)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin(highPri: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin(highPri: _*), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems of a brand/size
+    * slice whose quantity is below 20% of that part's average quantity;
+    * the per-part average is a self-aggregation joined back (Catalyst
+    * plans the small aggregate as the build side). p_size stands in for
+    * the absent p_container. avg(l_quantity) is exact (integer-valued
+    * doubles), revenue is an exact cents sum with the spec's /7.0. */
+  def tpchQ17(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val partKeys = Tables.part(spark, d)
+      .filter($"p_brand" === "Brand#4" && $"p_size" <= 15)
+      .select($"p_partkey")
+    val li = Tables.lineitem(spark, d)
+      .join(broadcast(partKeys), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((sum(Money.cents($"l_extendedprice")).cast("double") / 700.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate): a broadcast
+    * join whose residual is an OR of three brand/size/quantity bands —
+    * the predicate cannot split across the join, so it exercises
+    * join-residual evaluation rather than pushdown. p_size stands in for
+    * p_container, and the l_shipmode/shipinstruct legs are dropped
+    * (absent columns). */
+  def tpchQ19(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val p = Tables.part(spark, d).select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(spark, d)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#8" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#19" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30))))
+      .agg(round(Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): late lines of
+    * finished orders where ANOTHER supplier contributed a line (EXISTS,
+    * left-semi) but NO other supplier was also late (NOT EXISTS,
+    * left-anti) — the classic double-correlated-exists plan as two joins
+    * against the same derived base. "Late" = shipped >60 days after the
+    * order date (no receipt/commit dates in this schema). */
+  def tpchQ21(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val others = base.select($"l_orderkey".as("o2_key"),
+      $"l_suppkey".as("s2_key"), $"late".as("late2"))
+    base.filter($"late")
+      .join(others, $"l_orderkey" === $"o2_key" && $"l_suppkey" =!= $"s2_key",
+        "left_semi")
+      .join(others.filter($"late2"),
+        $"l_orderkey" === $"o2_key" && $"l_suppkey" =!= $"s2_key",
+        "left_anti")
+      .join(Tables.supplier(spark, d).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  /** TPC-H Q22 (global sales opportunity): customers above the average
+    * positive account balance (scalar-subquery threshold, broadcast as a
+    * 1-row cross join) with no order since 2001 — the spec's "no orders
+    * in 7 years" dormancy window, narrowed so it is non-degenerate on
+    * this data (every customer has SOME order) — grouped by market
+    * segment (the schema has no c_phone country code). Balance
+    * arithmetic is exact integer cents end-to-end. */
+  def tpchQ22(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Money
+    val cust = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_mktsegment",
+        Money.cents($"c_acctbal").as("bal_cents"))
+    val thr = cust.filter($"bal_cents" > 0L)
+      .agg((sum($"bal_cents").cast("double") / count(lit(1))).as("thr"))
+    cust.join(broadcast(thr))
+      .filter($"bal_cents".cast("double") > $"thr")
+      .join(Tables.orders(spark, d)
+        .filter($"o_orderdate" >= lit("2001-01-01")).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        (sum($"bal_cents").cast("double") / 100.0).as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
 }
