@@ -147,14 +147,18 @@ object Dedup {
       (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
       .as("shingle"))
     val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
-    // Measured note (local[32], sf0.1): two textbook refinements — probing
-    // only lower-id prefixes (halves candidates) and fusing the size-ratio
-    // prefilter into the join condition — were BOTH slower here than this
-    // symmetric join + narrow-broadcast prefilter shape (A/B in
-    // graft.tools.Profile3 territory: ~1.0s vs ~1.6-1.8s warm), because the
-    // join's per-match condition work outweighs the saved shuffle volume at
-    // these candidate counts. Revisit on a corpus where candidates/verify
-    // dominate: both refinements are lossless and shrink shuffles.
+    // Measured note (local[32], sf0.1): three textbook refinements A/B'd
+    // and rejected — (1) probing only lower-id prefixes (halves
+    // candidates) and (2) fusing the size-ratio prefilter into the join
+    // condition were both slower (~1.6-1.8s vs ~1.0s warm: per-match
+    // condition work outweighs saved shuffle volume at these candidate
+    // counts); (3) the AllPairs df-ASCENDING prefix order (rare shingles
+    // first, via a dfreq groupBy + per-doc row_number) cut candidates only
+    // 297k -> 181k on this corpus (small vocabulary => genuinely shared
+    // trigrams, not df skew) while adding 2 shuffles + a window sort —
+    // net slower. On a web-scale corpus with Zipfian shingle df the
+    // df-ordered prefix is the one to revive first: it is lossless and
+    // its win grows with df skew (Bayardo et al., WWW 2007, §3.1).
     // SHUFFLE_HASH: the probe side is the whole corpus's shingles — it can
     // never broadcast at scale, and locally the broadcast that cached-
     // relation stats would pick costs a serial driver-side hash build of

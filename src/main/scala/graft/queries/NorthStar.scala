@@ -271,7 +271,12 @@ object NorthStar {
     val train = docs.filter($"split" === "train")
       .select($"shingle").distinct()
     val valDocs = docs.filter($"split" === "val")
-    val contaminated = valDocs.join(train, Seq("shingle"), "left_semi")
+    // SHUFFLE_HASH: the build side is the distinct shingle set of 80% of
+    // the corpus — local stats would broadcast it, but at corpus scale it
+    // can never fit an executor; the hint makes the local plan the scale
+    // plan (same reasoning as the Dedup candidate self-joins).
+    val contaminated = valDocs
+      .join(train.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
     valDocs.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(contaminated, Seq("doc_id"), "left")

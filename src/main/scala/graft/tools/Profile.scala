@@ -71,6 +71,27 @@ object Profile {
         .filter(col("jaccard") >= threshold)
       println("  verified pairs: " + v.count())
     }
+    // --- A/B: df-ascending (AllPairs) prefix vs plain slice prefix ----
+    time("df-ordered prefix candidates") {
+      import org.apache.spark.sql.expressions.Window
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+      val pfx = sh.join(dfreq, "shingle")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("dfreq"), col("shingle"))))
+        .join(da.select(col("doc_id"), col("n_sh")), "doc_id")
+        .filter(col("rn") <=
+          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+        .select(col("doc_id"), col("shingle"))
+      val cand2 = pfx.as("a")
+        .join(sh.hint("SHUFFLE_HASH").as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      println("  df-prefix cand distinct: " + cand2.count())
+    }
     time("jaccardPairs end-to-end") {
       println("  pairs: " + graft.operators.Dedup.jaccardPairs(docs, 0.8).count())
     }
