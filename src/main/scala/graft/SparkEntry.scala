@@ -534,9 +534,8 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q47_fingerprint" ->
-      """SELECT doc_id,
-        |       list_reduce([ascii(c) for c in string_split(text, '')],
-        |         (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647) AS fingerprint
+      s"""SELECT doc_id,
+        |       ${rollingHashSql("text")} AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q48_multimodal" ->
@@ -995,10 +994,9 @@ object SparkEntry {
         |  ON e.user_id = s.user_id AND e.ts <= s.ts
         |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q86_split_assign" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
-        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
-        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |         CAST(${rollingHashSql("text")}
         |           % 100 AS INTEGER) AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
@@ -1180,7 +1178,7 @@ object SparkEntry {
     "q101_tpch_q8" ->
       """SELECT o_year,
         |       round(100.0 *
-        |         (sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev_c ELSE 0 END)
+        |         (sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
         |          / 10000.0) /
         |         (sum(rev_c) / 10000.0), 4) AS mkt_share,
         |       count(*) AS n
@@ -1290,10 +1288,9 @@ object SparkEntry {
         |FROM b
         |ORDER BY doc_id""".stripMargin,
     "q108_contamination" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
-        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
-        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |         CAST(${rollingHashSql("text")}
         |           % 100 AS INTEGER) AS bucket,
         |         string_split(text, ' ') AS toks
         |  FROM documents),
@@ -1319,12 +1316,13 @@ object SparkEntry {
         |FROM v
         |ORDER BY doc_id""".stripMargin,
     "q109_domain_mix" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT source, n_chars,
-        |         CAST(list_reduce([ascii(c) for c in string_split(text, '')],
-        |           (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |         CAST(${rollingHashSql("text")}
         |           % 100 AS INTEGER) AS bucket,
-        |         (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER)
+        |         (CAST(coalesce(nullif(regexp_extract(source,
+        |                                              '([0-9]+)$$', 1), ''),
+        |                        '0') AS INTEGER)
         |          % 5) * 10 + 10 AS rate_pct
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
@@ -1341,6 +1339,15 @@ object SparkEntry {
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for
     * the exact-verified MinHash+LSH variant, whose result coincides). */
+  /** DuckDB twin of `graft.plans.RollingHash` — one definition for every
+    * oracle that depends on the content hash (fingerprint, split
+    * assignment, contamination, domain mixing), so a change to
+    * `RollingHash.compute` has exactly one SQL string to keep in
+    * lockstep. */
+  private def rollingHashSql(col: String): String =
+    s"list_reduce([ascii(c) for c in string_split($col, '')], " +
+      "(a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)"
+
   private val jaccardOracle: String =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(

@@ -269,20 +269,22 @@ object NorthStar {
             " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")))
           .as("shingle"))
     val train = docs.filter($"split" === "train")
-      .select($"shingle").distinct()
+      .select($"shingle").distinct().withColumn("hit", lit(1L))
     val valDocs = docs.filter($"split" === "val")
+    // ONE pass over the val shingles: a LEFT join against the (distinct —
+    // so no row multiplication) train set with a hit flag, then a single
+    // conditional aggregation, instead of semi-join + two groupBys that
+    // would re-run the tokenize/trigram/explode subtree three times.
     // SHUFFLE_HASH: the build side is the distinct shingle set of 80% of
     // the corpus — local stats would broadcast it, but at corpus scale it
     // can never fit an executor; the hint makes the local plan the scale
     // plan (same reasoning as the Dedup candidate self-joins).
-    val contaminated = valDocs
-      .join(train.hint("SHUFFLE_HASH"), Seq("shingle"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-    valDocs.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      .join(contaminated, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_shingles",
-        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
-        (coalesce($"n_contaminated", lit(0L)).cast("double") / $"n_shingles")
+    valDocs.join(train.hint("SHUFFLE_HASH"), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum($"hit"), lit(0L)).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        ($"n_contaminated".cast("double") / $"n_shingles")
           .as("contamination_frac"))
       .orderBy($"doc_id")
   }
@@ -295,9 +297,14 @@ object NorthStar {
     * mixing config table. */
   def domainMixing(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // nullif/coalesce guard: a source with no trailing digits yields ''
+    // from regexp_extract — Spark would cast it to NULL (row silently
+    // unsampled) while DuckDB's CAST would ABORT the whole oracle; '0'
+    // gives such sources the base 10% rate identically in both engines.
     graft.operators.Par.fanOut(Tables.documents(spark, d))
       .withColumn("rate_pct",
-        (regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 5) * 10 + 10)
+        (coalesce(nullif(regexp_extract($"source", "([0-9]+)$", 1), lit("")),
+          lit("0")).cast("int") % 5) * 10 + 10)
       .withColumn("bucket",
         pmod(TextExpressions.rolling_hash($"text"), lit(100)).cast("int"))
       .groupBy($"source")

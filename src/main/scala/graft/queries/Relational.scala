@@ -533,7 +533,8 @@ object Relational {
     * market-region restriction is a broadcast semi-join so no payload
     * columns ride through it. Reference: TPC-H spec 2.18, query 8
     * (p_type / supplier-nation parameters adapted to this schema's
-    * vocabulary). */
+    * vocabulary: NATION_3 has PROMO revenue in the AMERICA slice at
+    * every SF, so the conditional numerator actually exercises). */
   def tpchQ8(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Money
@@ -562,7 +563,7 @@ object Relational {
       .groupBy($"o_year")
       .agg(round(lit(100.0) *
         Money.sumRevenueIf($"l_extendedprice", $"l_discount",
-          $"supp_nation" === "BRAZIL") /
+          $"supp_nation" === "NATION_3") /
         Money.sumRevenue($"l_extendedprice", $"l_discount"), 4)
         .as("mkt_share"),
         count(lit(1)).as("n"))
