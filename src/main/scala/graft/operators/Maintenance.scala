@@ -27,9 +27,10 @@ object Maintenance {
     * directory with a recoverable SUPERSET (old + some new, i.e.
     * transiently duplicated rows), never with data missing. A concurrent
     * reader listing mid-swap can likewise see the overlap; run compaction
-    * in a maintenance window, or use a manifest-based table format
-    * (Delta/Iceberg — whose compaction is exactly this protocol plus an
-    * atomic manifest pointer) when readers need snapshot isolation.
+    * in a maintenance window, or use the manifest layer
+    * ([[graft.sources.ManifestTable]] — this protocol plus an atomic
+    * manifest pointer, as in Delta/Iceberg) when readers need snapshot
+    * isolation.
     *
     * `shuffle = false` uses `coalesce` (no exchange: existing partitions
     * are concatenated — cheapest, but file sizes inherit input skew);

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Snapshot-isolation contract of [[ManifestTable]]: atomic visibility,
+  * pinned readers across compaction, optimistic-concurrency conflicts,
+  * vacuum reclaiming only unreferenced files. */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("manifest_table_").toString
+    ManifestTable.create(dir)
+    dir
+  }
+
+  test("append commits atomically and read pins the committed snapshot") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), expectedVersion = 0L)
+    assert(v1 == 1L)
+    val (v, df) = ManifestTable.read(spark, dir)
+    assert(v == 1L)
+    assert(df.count() == 2)
+    val v2 = ManifestTable.append(spark, dir,
+      Seq((3L, "c")).toDF("id", "s"), expectedVersion = v1)
+    assert(v2 == 2L)
+    // the v1 reader plan still sees exactly its snapshot
+    assert(df.count() == 2)
+    assert(ManifestTable.read(spark, dir)._2.count() == 3)
+  }
+
+  test("compaction is snapshot-isolated: pinned reader unaffected") {
+    val dir = freshTable()
+    var v = 0L
+    (1 to 4).foreach { i =>
+      v = ManifestTable.append(spark, dir,
+        Seq((i.toLong, s"row$i")).toDF("id", "s"), expectedVersion = v)
+    }
+    val filesBefore = ManifestTable.files(dir, v)
+    assert(filesBefore.size >= 4)
+    val (pinV, pinned) = ManifestTable.read(spark, dir)
+    val vC = ManifestTable.compact(spark, dir, nFiles = 1)
+    assert(vC == v + 1)
+    val filesAfter = ManifestTable.files(dir, vC)
+    assert(filesAfter.size == 1)
+    // rewritten snapshot has identical rows; pinned reader still valid
+    // because compaction referenced NEW files and deleted nothing
+    assert(ManifestTable.read(spark, dir)._2.count() == 4)
+    assert(pinV == v && pinned.count() == 4)
+  }
+
+  test("concurrent commit against a stale version is rejected") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a")).toDF("id", "s"), expectedVersion = 0L)
+    // a second writer prepared against v0 must NOT publish
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.append(spark, dir,
+        Seq((9L, "z")).toDF("id", "s"), expectedVersion = 0L)
+    }
+    // table state is exactly the first commit
+    assert(ManifestTable.currentVersion(dir) == v1)
+    assert(ManifestTable.read(spark, dir)._2.count() == 1)
+  }
+
+  test("vacuum deletes only files no retained manifest references") {
+    val dir = freshTable()
+    var v = 0L
+    (1 to 3).foreach { i =>
+      v = ManifestTable.append(spark, dir,
+        Seq((i.toLong, s"r$i")).toDF("id", "s"), expectedVersion = v)
+    }
+    ManifestTable.compact(spark, dir, nFiles = 1)
+    // retain only the compacted version: the 3 pre-compaction part file
+    // sets become unreferenced and reclaimable
+    val dropped = ManifestTable.vacuum(dir, retainVersions = 0)
+    assert(dropped >= 3)
+    // current snapshot still reads fully after vacuum
+    assert(ManifestTable.read(spark, dir)._2.count() == 3)
+  }
+}
