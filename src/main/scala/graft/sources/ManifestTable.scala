@@ -90,6 +90,25 @@ object ManifestTable {
       df.write.mode("append").parquet(staging.toString)
     }
 
+  /** [[append]] wrapped in the standard optimistic-retry loop: re-read
+    * the current version and retry on [[ConcurrentCommitException]], up
+    * to `maxRetries` times. Appends commute (each only adds files), so
+    * blind retry is safe — a compaction racing in between merely means
+    * the retried append lands on the compacted snapshot. */
+  def appendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
+      maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      try return append(spark, dir, df, currentVersion(dir))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Compact the CURRENT snapshot into `nFiles` files as a NEW snapshot
     * that references only the rewritten files. Readers pinned to older
     * versions keep their exact file set — this is the snapshot-isolated

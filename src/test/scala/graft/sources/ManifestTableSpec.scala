@@ -66,6 +66,24 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir)._2.count() == 1)
   }
 
+  test("racing appendWithRetry writers all land; no rows lost") {
+    val dir = freshTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 6).map { i =>
+      Future {
+        ManifestTable.appendWithRetry(spark, dir,
+          Seq((i.toLong, s"w$i")).toDF("id", "s"), maxRetries = 20)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(ManifestTable.currentVersion(dir) == 6L)
+    val (_, df) = ManifestTable.read(spark, dir)
+    assert(df.count() == 6)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+  }
+
   test("vacuum deletes only files no retained manifest references") {
     val dir = freshTable()
     var v = 0L
