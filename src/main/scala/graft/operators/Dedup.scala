@@ -182,9 +182,9 @@ object Dedup {
     * returned DataFrame. On a multi-node cluster prefer writing candidates
     * to a temp table over localCheckpoint (which does not survive executor
     * loss); in this engine the pairs result is small enough either way. */
-  private def releaseAfter(cached: DataFrame)(result: DataFrame): DataFrame = {
+  private def releaseAfter(cached: DataFrame*)(result: DataFrame): DataFrame = {
     val out = result.localCheckpoint(true)
-    cached.unpersist(false)
+    cached.foreach(_.unpersist(false))
     out
   }
 
@@ -201,12 +201,25 @@ object Dedup {
     val coefB = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
 
     val da = shingleArrays(docs).persist() // reused: signatures + verification
-    val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
-    val hashed = sh.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(prime)))
-    val sig = hashed.groupBy("doc_id").agg(
-      min(pmod(col("h") * coefA(0) + coefB(0), lit(prime))).as("s0"),
-      (1 until numHashes).map(i =>
-        min(pmod(col("h") * coefA(i) + coefB(i), lit(prime))).as(s"s$i")): _*)
+    // Signatures are ROW-LOCAL: each doc's k mins fold over its own
+    // shingle array (transform once to per-element hashes, then k
+    // least-folds), so signature computation is a codegen'd projection —
+    // no explode, no shuffle, no 32-way min aggregation. A/B at sf0.1:
+    // 0.21s vs 0.41s warm (0.66 vs 1.47 cold) for the explode+groupBy
+    // form this replaces; at corpus scale it removes the only
+    // signature-stage exchange entirely.
+    val maxLong = Long.MaxValue
+    // persisted: the banded-bucket SELF-join below consumes sig in both
+    // branches — without a pin each branch re-folds all k mins (the old
+    // groupBy form got this for free via exchange reuse)
+    val sig = da
+      .withColumn("harr", transform(col("arr"),
+        x => pmod(hash(x).cast("long"), lit(prime))))
+      .select(col("doc_id") +: (0 until numHashes).map(i =>
+        aggregate(col("harr"), lit(maxLong),
+          (acc, h) => least(acc, pmod(h * coefA(i) + coefB(i), lit(prime))))
+          .as(s"s$i")): _*)
+      .persist()
 
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -223,7 +236,7 @@ object Dedup {
       .distinct()
 
     // exact verification restricted to candidates only
-    releaseAfter(da)(verifyPairs(candidates, da, threshold))
+    releaseAfter(da, sig)(verifyPairs(candidates, da, threshold))
   }
 
   /** Greedy near-duplicate REMOVAL: for every qualifying pair the
