@@ -131,6 +131,7 @@ object SparkEntry {
     "q107_repetition"    -> (NorthStar.repetitionScore _),
     "q108_contamination" -> (NorthStar.contamination _),
     "q109_domain_mix"    -> (NorthStar.domainMixing _),
+    "q110_incr_dedup"    -> (NorthStar.incrementalDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1335,6 +1336,36 @@ object SparkEntry {
         |FROM h
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "q110_incr_dedup" ->
+      """WITH existing AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |incoming AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |ex AS (SELECT i.* FROM incoming i
+        |       WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |                         WHERE e.text = i.text)),
+        |ish AS (SELECT doc_id, unnest(list_distinct(
+        |          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |           for i in range(1, len(toks) - 1)])) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM ex)
+        |        WHERE len(toks) >= 3),
+        |esh AS (SELECT doc_id, unnest(list_distinct(
+        |          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |           for i in range(1, len(toks) - 1)])) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM existing)
+        |        WHERE len(toks) >= 3),
+        |isz AS (SELECT doc_id, count(*) AS n FROM ish GROUP BY 1),
+        |esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS eb, count(*) AS c
+        |          FROM ish a JOIN esh b USING (shingle) GROUP BY 1, 2),
+        |neardup AS (SELECT DISTINCT ia AS doc_id
+        |            FROM inter
+        |            JOIN isz ON ia = isz.doc_id
+        |            JOIN esz ON eb = esz.doc_id
+        |            WHERE c / (isz.n + esz.n - c) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM ex
+        |WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

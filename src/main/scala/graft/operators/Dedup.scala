@@ -338,6 +338,51 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental (cross-set) near-duplicate removal — the continuous-
+    * ingestion production shape: an incoming batch is deduplicated
+    * AGAINST an existing corpus, never against itself (in-batch dedup is
+    * a separate [[exactDedup]]/[[dropNearDuplicates]] pass). Returns the
+    * incoming rows that survive both gates:
+    *
+    *   1. exact: drop incoming docs whose text already exists (anti-join
+    *      on the text key — at scale, on its fingerprint/hash);
+    *   2. near: drop incoming docs with trigram Jaccard ≥ `threshold`
+    *      against ANY existing doc — prefix-filtered like
+    *      [[jaccardPairs]], but the inverted index is built over the
+    *      EXISTING side only and probed by incoming prefixes, so batch
+    *      cost scales with the batch, not the corpus.
+    *
+    * The existing corpus never loses rows — only incoming rows are
+    * filtered, which is what makes the operation safe to run on every
+    * micro-batch forever (same idempotence shape as the A7 upsert). */
+  def dropIncomingDuplicates(existing: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val exactSurvivors = incoming.join(existing.select(col("text")),
+      Seq("text"), "left_anti")
+    val ex = shingleArrays(existing).persist()
+    val in = shingleArrays(exactSurvivors).persist()
+    // incoming prefixes probe the existing corpus's full inverted index —
+    // lossless for J >= t by the same pigeonhole as jaccardPairsPlan
+    val prefix = in.select(col("doc_id"), explode(slice(col("arr"), lit(1),
+      (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .as("shingle"))
+    val corpusIndex = ex
+      .select(col("doc_id").as("ex_id"), explode(col("arr")).as("shingle"))
+    val candidates = prefix
+      .join(corpusIndex.hint("SHUFFLE_HASH"), Seq("shingle"))
+      .select(col("doc_id"), col("ex_id")).distinct()
+    val verified = candidates
+      .join(in.select(col("doc_id"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_id")
+      .join(ex.select(col("doc_id").as("ex_id"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "ex_id")
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("doc_id")).distinct()
+    releaseAfter(ex, in)(
+      exactSurvivors.join(verified, Seq("doc_id"), "left_anti"))
+  }
+
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands
     * (pigeonhole-complete for hamming ≤ 3), exact hamming verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,

@@ -289,6 +289,21 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** X2 incremental dedup ([[graft.operators.Dedup.dropIncomingDuplicates]]):
+    * an incoming batch (every 5th doc) deduplicated against the existing
+    * corpus (the rest) — exact text anti-join, then cross-set
+    * prefix-filtered Jaccard. The continuous-ingestion counterpart of the
+    * batch-global q37/q38. */
+  def incrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.operators.Par.fanOut(Tables.documents(spark, d))
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+    Dedup.dropIncomingDuplicates(existing, incoming, 0.8)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** X4 domain-mixing sampler: per-source keep rates applied by
     * deterministic content hash (rolling_hash mod 100 < rate), the
     * shuffle-free way to hit target domain weights that stays stable
