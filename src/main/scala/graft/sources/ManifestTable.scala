@@ -90,6 +90,14 @@ object ManifestTable {
       df.write.mode("append").parquet(staging.toString)
     }
 
+  /** Time-travel read: the exact file set of historical snapshot `v`
+    * (valid until [[vacuum]]'s retention window passes it). */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val fs = files(dir, v)
+    require(fs.nonEmpty, s"snapshot v$v is empty — nothing to read")
+    spark.read.parquet(fs: _*)
+  }
+
   /** [[append]] wrapped in the standard optimistic-retry loop: re-read
     * the current version and retry on [[ConcurrentCommitException]], up
     * to `maxRetries` times. Appends commute (each only adds files), so
@@ -141,6 +149,21 @@ object ManifestTable {
         f.getName.stripPrefix("v").stripSuffix(".manifest").toLong < keepFrom)
       .foreach(f => Files.deleteIfExists(f.toPath))
     dropped.length
+  }
+
+  /** Exactly-once streaming sink: each micro-batch commits as one
+    * manifest version, keyed by (queryId, batchId) markers so a replayed
+    * batch (restart after a crash between sink write and checkpoint
+    * advance) is a NO-OP rather than a duplicate — the manifest-layer
+    * equivalent of `sources/v2/WarehouseSink`'s idempotent re-commit.
+    * Usage: `df.writeStream.foreachBatch(ManifestTable.streamingSink(dir)).…` */
+  def streamingSink(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val qid = batch.sparkSession.sparkContext.applicationId
+    val marker = manifestDir(dir).resolve(s"batch_${qid}_$batchId")
+    if (!Files.exists(marker)) {
+      appendWithRetry(batch.sparkSession, dir, batch)
+      Files.write(marker, Array.empty[Byte])
+    }
   }
 
   /** The shared commit path: stage part files, move them (immutable,

@@ -84,6 +84,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
   }
 
+  test("time travel: readVersion resolves historical snapshots") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a")).toDF("id", "s"), expectedVersion = 0L)
+    ManifestTable.append(spark, dir,
+      Seq((2L, "b")).toDF("id", "s"), expectedVersion = v1)
+    assert(ManifestTable.readVersion(spark, dir, v1).count() == 1)
+    assert(ManifestTable.readVersion(spark, dir, 2L).count() == 2)
+  }
+
+  test("streamingSink: replayed batch id is a no-op (exactly-once)") {
+    val dir = freshTable()
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    ManifestTable.streamingSink(dir)(b1, batchId = 0L)
+    assert(ManifestTable.read(spark, dir)._2.count() == 2)
+    // crash-replay of the same batch: no new version, no duplicate rows
+    val vBefore = ManifestTable.currentVersion(dir)
+    ManifestTable.streamingSink(dir)(b1, batchId = 0L)
+    assert(ManifestTable.currentVersion(dir) == vBefore)
+    assert(ManifestTable.read(spark, dir)._2.count() == 2)
+    // the next batch commits normally
+    ManifestTable.streamingSink(dir)(Seq((3L, "c")).toDF("id", "s"), 1L)
+    assert(ManifestTable.read(spark, dir)._2.count() == 3)
+  }
+
   test("vacuum deletes only files no retained manifest references") {
     val dir = freshTable()
     var v = 0L
