@@ -154,4 +154,30 @@ object PropertySpec extends Properties("graft.operators") {
       val want = rows.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap
       back == want
     }
+
+  // small word-soup docs with deliberate duplicate injection: texts drawn
+  // from a 4-word vocabulary so exact and near duplicates occur often
+  private val docCorpus = Gen.listOfN(10,
+    Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      .map(_.mkString(" ")))
+
+  property("dropIncomingDuplicates: subset of incoming, idempotent, " +
+    "exact cross-dups always dropped") =
+    Prop.forAllNoShrink(docCorpus, docCorpus) { (exTexts, inTexts) =>
+      import spark.implicits._
+      val existing = exTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val incoming = inTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val once = Dedup.dropIncomingDuplicates(existing, incoming, 0.8)
+      val onceIds = once.select("doc_id").as[Long].collect().toSet
+      val twice = Dedup.dropIncomingDuplicates(existing, once, 0.8)
+      val twiceIds = twice.select("doc_id").as[Long].collect().toSet
+      val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
+      val exSet = exTexts.toSet
+      val survivedTexts = once.select("text").as[String].collect().toSet
+      onceIds.subsetOf(incomingIds) &&
+        twiceIds == onceIds && // idempotent: survivors survive again
+        survivedTexts.intersect(exSet).isEmpty // exact dups never survive
+    }
 }
