@@ -152,14 +152,20 @@ object ManifestTable {
   }
 
   /** Exactly-once streaming sink: each micro-batch commits as one
-    * manifest version, keyed by (queryId, batchId) markers so a replayed
-    * batch (restart after a crash between sink write and checkpoint
-    * advance) is a NO-OP rather than a duplicate — the manifest-layer
-    * equivalent of `sources/v2/WarehouseSink`'s idempotent re-commit.
-    * Usage: `df.writeStream.foreachBatch(ManifestTable.streamingSink(dir)).…` */
-  def streamingSink(dir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val qid = batch.sparkSession.sparkContext.applicationId
-    val marker = manifestDir(dir).resolve(s"batch_${qid}_$batchId")
+    * manifest version, keyed by a (streamId, batchId) marker so a
+    * replayed batch (restart after a crash between sink write and
+    * checkpoint advance) is a NO-OP rather than a duplicate — the
+    * manifest-layer equivalent of `sources/v2/WarehouseSink`'s
+    * idempotent re-commit. `streamId` must be stable across restarts and
+    * UNIQUE per writing query (batch ids are per-query counters — two
+    * queries sharing a streamId would suppress each other's batches);
+    * use the query name or checkpoint path.
+    * Usage: `df.writeStream.foreachBatch(ManifestTable.streamingSink(dir, "myquery") _).…` */
+  def streamingSink(dir: String, streamId: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be filesystem-safe")
+    val marker = manifestDir(dir).resolve(s"batch_${streamId}_$batchId")
     if (!Files.exists(marker)) {
       appendWithRetry(batch.sparkSession, dir, batch)
       Files.write(marker, Array.empty[Byte])

@@ -97,15 +97,15 @@ class ManifestTableSpec extends SparkSpec {
   test("streamingSink: replayed batch id is a no-op (exactly-once)") {
     val dir = freshTable()
     val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
-    ManifestTable.streamingSink(dir)(b1, batchId = 0L)
+    ManifestTable.streamingSink(dir, "q")(b1, batchId = 0L)
     assert(ManifestTable.read(spark, dir)._2.count() == 2)
     // crash-replay of the same batch: no new version, no duplicate rows
     val vBefore = ManifestTable.currentVersion(dir)
-    ManifestTable.streamingSink(dir)(b1, batchId = 0L)
+    ManifestTable.streamingSink(dir, "q")(b1, batchId = 0L)
     assert(ManifestTable.currentVersion(dir) == vBefore)
     assert(ManifestTable.read(spark, dir)._2.count() == 2)
     // the next batch commits normally
-    ManifestTable.streamingSink(dir)(Seq((3L, "c")).toDF("id", "s"), 1L)
+    ManifestTable.streamingSink(dir, "q")(Seq((3L, "c")).toDF("id", "s"), 1L)
     assert(ManifestTable.read(spark, dir)._2.count() == 3)
   }
 

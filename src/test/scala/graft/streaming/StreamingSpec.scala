@@ -241,4 +241,39 @@ class StreamingSpec extends SparkSpec {
     assert(closed == Set(
       (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0)))
   }
+
+  test("ManifestTable streaming sink: one snapshot per micro-batch, " +
+    "exactly-once across checkpoint restart") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("manifest_stream_").toString
+    ManifestTable.create(dir)
+    val ckpt = Files.createTempDirectory("manifest_ckpt_").toString
+    def start(mem: MemoryStream[(Long, Double)]) =
+      mem.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(ManifestTable.streamingSink(dir, "ingest1") _)
+        .outputMode(OutputMode.Append).start()
+
+    val mem = MemoryStream[(Long, Double)]
+    val q1 = start(mem)
+    mem.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable()
+    mem.addData((3L, 3.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(ManifestTable.read(spark, dir)._2.count() == 3)
+    val vAfter = ManifestTable.currentVersion(dir)
+
+    // restart from the same checkpoint: committed batches must NOT replay
+    // into new snapshots; a fresh batch lands normally
+    val q2 = start(mem)
+    mem.addData((4L, 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ManifestTable.currentVersion(dir) == vAfter + 1)
+    assert(ManifestTable.read(spark, dir)._2
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
