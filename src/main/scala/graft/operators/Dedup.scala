@@ -361,6 +361,23 @@ object Dedup {
       Seq("text"), "left_anti")
     val ex = shingleArrays(existing).persist()
     val in = shingleArrays(exactSurvivors).persist()
+    releaseAfter(ex, in)(
+      dropIncomingPlan(exactSurvivors, ex, in, threshold))
+  }
+
+  /** LAZY plan-only variant of [[dropIncomingDuplicates]] (no caching, no
+    * eager materialization) — for plan inspection; the executable form
+    * above manages its own shingle caches. */
+  def dropIncomingDuplicatesLazy(existing: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val exactSurvivors = incoming.join(existing.select(col("text")),
+      Seq("text"), "left_anti")
+    dropIncomingPlan(exactSurvivors, shingleArrays(existing),
+      shingleArrays(exactSurvivors), threshold)
+  }
+
+  private def dropIncomingPlan(exactSurvivors: DataFrame, ex: DataFrame,
+      in: DataFrame, threshold: Double): DataFrame = {
     // incoming prefixes probe the existing corpus's full inverted index —
     // lossless for J >= t by the same pigeonhole as jaccardPairsPlan
     val prefix = in.select(col("doc_id"), explode(slice(col("arr"), lit(1),
@@ -379,8 +396,7 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
       .select(col("doc_id")).distinct()
-    releaseAfter(ex, in)(
-      exactSurvivors.join(verified, Seq("doc_id"), "left_anti"))
+    exactSurvivors.join(verified, Seq("doc_id"), "left_anti")
   }
 
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands
