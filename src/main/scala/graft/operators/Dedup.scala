@@ -348,9 +348,15 @@ object Dedup {
     *      on the text key — at scale, on its fingerprint/hash);
     *   2. near: drop incoming docs with trigram Jaccard ≥ `threshold`
     *      against ANY existing doc — prefix-filtered like
-    *      [[jaccardPairs]], but the inverted index is built over the
-    *      EXISTING side only and probed by incoming prefixes, so batch
-    *      cost scales with the batch, not the corpus.
+    *      [[jaccardPairs]], with the inverted index built over the
+    *      EXISTING side only and probed by incoming prefixes, so the
+    *      candidate and verify stages are batch-proportional. NOTE:
+    *      THIS call still re-shingles and re-shuffles the existing
+    *      corpus to build that index — O(corpus) per invocation; a
+    *      production deployment persists the existing-side shingle
+    *      index across batches (it only ever GROWS by the surviving
+    *      batch, so maintaining it is an append) to make the whole
+    *      pass batch-proportional.
     *
     * The existing corpus never loses rows — only incoming rows are
     * filtered, which is what makes the operation safe to run on every
@@ -376,6 +382,11 @@ object Dedup {
       shingleArrays(exactSurvivors), threshold)
   }
 
+  /** Shared cross-set plan. PRECONDITION: doc ids are globally unique
+    * across both sides (true for any real corpus with stable ids) — the
+    * verify step resolves each pair side from the unioned array table by
+    * id. Reuses [[verifyPairs]] (size-ratio prefilter + codegen'd
+    * array_intersect) rather than re-implementing verification. */
   private def dropIncomingPlan(exactSurvivors: DataFrame, ex: DataFrame,
       in: DataFrame, threshold: Double): DataFrame = {
     // incoming prefixes probe the existing corpus's full inverted index —
@@ -387,16 +398,10 @@ object Dedup {
       .select(col("doc_id").as("ex_id"), explode(col("arr")).as("shingle"))
     val candidates = prefix
       .join(corpusIndex.hint("SHUFFLE_HASH"), Seq("shingle"))
-      .select(col("doc_id"), col("ex_id")).distinct()
-    val verified = candidates
-      .join(in.select(col("doc_id"), col("arr").as("arr_a"),
-        col("n_sh").as("na")), "doc_id")
-      .join(ex.select(col("doc_id").as("ex_id"), col("arr").as("arr_b"),
-        col("n_sh").as("nb")), "ex_id")
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
-      .select(col("doc_id")).distinct()
-    exactSurvivors.join(verified, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b")).distinct()
+    val losers = verifyPairs(candidates, in.unionByName(ex), threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** X2 SimHash near-dup candidates: 64-bit fingerprints, 4×16-bit bands

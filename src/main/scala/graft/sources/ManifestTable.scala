@@ -62,18 +62,38 @@ object ManifestTable {
     new String(Files.readAllBytes(currentPtr(dir)), StandardCharsets.UTF_8)
       .trim.toLong
 
-  /** Data files of snapshot `v` (absolute paths). */
+  /** Data files of snapshot `v` (absolute paths). Manifest lines starting
+    * with '#' are metadata (e.g. `#txn=` markers), not files. */
   def files(dir: String, v: Long): Seq[String] = {
     val lines = new String(Files.readAllBytes(manifestPath(dir, v)),
       StandardCharsets.UTF_8)
-    lines.split("\n").filter(_.nonEmpty).toSeq
+    lines.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       .map(n => dataDir(dir).resolve(n).toString)
+  }
+
+  /** True iff a committed snapshot ≤ CURRENT carries `#txn=<txn>` — the
+    * idempotence check for [[streamingSink]]. Scans committed manifests
+    * newest-first (an orphaned manifest ABOVE the current version — a
+    * crash between manifest write and pointer swap — is correctly NOT
+    * counted: its data never became visible). Txn memory lives exactly as
+    * long as the manifest retention window ([[vacuum]]), the same
+    * contract as Delta's txn appId/version retention. */
+  def hasCommittedTxn(dir: String, txn: String): Boolean = {
+    val cur = currentVersion(dir)
+    val line = s"#txn=$txn"
+    (0L to cur).reverse.exists { v =>
+      val p = manifestPath(dir, v)
+      Files.exists(p) && new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8).split("\n").contains(line)
+    }
   }
 
   /** Read the CURRENT snapshot (resolves the pointer once — the returned
     * plan is pinned to that version and unaffected by later commits,
-    * compactions, or vacuums of other versions). Empty snapshot → empty
-    * DataFrame with the schema unknowable → caller passes `schemaFrom`. */
+    * compactions, or vacuums of other versions). An EMPTY snapshot (a
+    * freshly created v0 table) throws — parquet cannot supply a schema
+    * from zero files; callers check `files(dir, currentVersion(dir))`
+    * first if emptiness is expected. */
   def read(spark: SparkSession, dir: String): (Long, DataFrame) = {
     val v = currentVersion(dir)
     val fs = files(dir, v)
@@ -83,10 +103,14 @@ object ManifestTable {
 
   /** Append `df` as a new snapshot: new part files + a manifest listing
     * old ∪ new, then the atomic pointer swap. `expectedVersion` is the
-    * version the caller based its write on. */
+    * version the caller based its write on. `txn`, when set, is recorded
+    * IN the committed manifest (so the commit and its idempotence marker
+    * are one atomic unit) and the commit becomes a NO-OP if that txn is
+    * already committed — the exactly-once primitive [[streamingSink]]
+    * builds on. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-      expectedVersion: Long): Long =
-    commit(dir, expectedVersion, keepOld = true) { staging =>
+      expectedVersion: Long, txn: Option[String] = None): Long =
+    commit(dir, expectedVersion, keepOld = true, txn) { staging =>
       df.write.mode("append").parquet(staging.toString)
     }
 
@@ -104,10 +128,10 @@ object ManifestTable {
     * blind retry is safe — a compaction racing in between merely means
     * the retried append lands on the compacted snapshot. */
   def appendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, txn: Option[String] = None): Long = {
     var attempt = 0
     while (true) {
-      try return append(spark, dir, df, currentVersion(dir))
+      try return append(spark, dir, df, currentVersion(dir), txn)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -121,19 +145,25 @@ object ManifestTable {
     * that references only the rewritten files. Readers pinned to older
     * versions keep their exact file set — this is the snapshot-isolated
     * compaction `Maintenance.compactParquet` (swap-in-place, brief
-    * duplicate window) cannot give. */
+    * duplicate window) cannot give. Throws on an empty table (see
+    * [[read]]). */
   def compact(spark: SparkSession, dir: String, nFiles: Int): Long = {
     val (v, df) = read(spark, dir)
-    commit(dir, expectedVersion = v, keepOld = false) { staging =>
+    commit(dir, expectedVersion = v, keepOld = false, txn = None) { staging =>
       df.coalesce(nFiles).write.mode("append").parquet(staging.toString)
     }
   }
 
-  /** Delete data files referenced by NO manifest ≤ the current version
-    * and drop manifests older than `retainVersions` behind CURRENT.
-    * Readers pinned to a vacuumed version lose their snapshot — the
-    * retention window is the contract, as in every table format. */
-  def vacuum(dir: String, retainVersions: Int = 1): Int = synchronized {
+  /** Delete data files referenced by NO manifest within the retention
+    * window, drop manifests older than `retainVersions` behind CURRENT,
+    * and sweep crash-orphaned `.commit_*` staging directories older than
+    * `stagingTtlMs` (never fresh ones — an in-flight commit's staging dir
+    * is younger than any sane TTL). Readers pinned to a vacuumed version
+    * lose their snapshot, and txn markers ([[streamingSink]]) older than
+    * the window are forgotten — the retention window is the contract, as
+    * in every table format. */
+  def vacuum(dir: String, retainVersions: Int = 1,
+      stagingTtlMs: Long = 3600000L): Int = synchronized {
     val cur = currentVersion(dir)
     val keepFrom = math.max(0L, cur - retainVersions)
     val live: Set[String] = (keepFrom to cur).flatMap { v =>
@@ -148,37 +178,48 @@ object ManifestTable {
       .filter(f => f.getName.matches("v\\d+\\.manifest") &&
         f.getName.stripPrefix("v").stripSuffix(".manifest").toLong < keepFrom)
       .foreach(f => Files.deleteIfExists(f.toPath))
+    val cutoff = System.currentTimeMillis() - stagingTtlMs
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".commit_") &&
+        f.lastModified() < cutoff)
+      .foreach(f => try deleteRecursively(f.toPath)
+        catch { case _: Throwable => () })
     dropped.length
   }
 
   /** Exactly-once streaming sink: each micro-batch commits as one
-    * manifest version, keyed by a (streamId, batchId) marker so a
-    * replayed batch (restart after a crash between sink write and
-    * checkpoint advance) is a NO-OP rather than a duplicate — the
-    * manifest-layer equivalent of `sources/v2/WarehouseSink`'s
-    * idempotent re-commit. `streamId` must be stable across restarts and
-    * UNIQUE per writing query (batch ids are per-query counters — two
-    * queries sharing a streamId would suppress each other's batches);
-    * use the query name or checkpoint path.
+    * manifest version carrying a `#txn=<streamId>-<batchId>` line INSIDE
+    * the manifest, so the data and its idempotence marker become visible
+    * in the same atomic pointer swap — a crash at ANY point leaves either
+    * a fully committed batch (replay is a no-op) or no trace of it
+    * (replay commits it); there is no window where data committed but the
+    * marker didn't. This is the manifest-layer equivalent of
+    * `sources/v2/WarehouseSink`'s idempotent re-commit, and Delta's txn
+    * action. `streamId` must be stable across restarts and UNIQUE per
+    * writing query (batch ids are per-query counters — two queries
+    * sharing a streamId would suppress each other's batches); use the
+    * query name or checkpoint path. Txn memory spans the manifest
+    * retention window ([[vacuum]]) — retain at least as far back as the
+    * longest possible replay, as with Delta. The txn check scans retained
+    * manifests (newest first), so run [[vacuum]] regularly on long-lived
+    * streams to keep the scan bounded.
     * Usage: `df.writeStream.foreachBatch(ManifestTable.streamingSink(dir, "myquery") _).…` */
   def streamingSink(dir: String, streamId: String)
       (batch: DataFrame, batchId: Long): Unit = {
-    require(streamId.matches("[A-Za-z0-9_.-]+"),
-      s"streamId '$streamId' must be filesystem-safe")
-    val marker = manifestDir(dir).resolve(s"batch_${streamId}_$batchId")
-    if (!Files.exists(marker)) {
-      appendWithRetry(batch.sparkSession, dir, batch)
-      Files.write(marker, Array.empty[Byte])
-    }
+    require(!streamId.contains("\n") && streamId.nonEmpty,
+      s"streamId must be a non-empty single-line string")
+    appendWithRetry(batch.sparkSession, dir, batch,
+      txn = Some(s"$streamId-$batchId"))
   }
 
   /** The shared commit path: stage part files, move them (immutable,
     * UUID-named — collisions impossible) into data/, write manifest
-    * N+1 = (old files if keepOld) ∪ new files, CAS-check, publish.
-    * The version check and pointer swap are under the object lock —
-    * the single-JVM stand-in for the store's atomic rename-if-absent. */
-  private def commit(dir: String, expectedVersion: Long, keepOld: Boolean)
-      (write: Path => Unit): Long = {
+    * N+1 = (old files if keepOld) ∪ new files (+ the txn line), CAS-check,
+    * publish. The version check, txn no-op check, and pointer swap are
+    * under the object lock — the single-JVM stand-in for the store's
+    * atomic rename-if-absent. */
+  private def commit(dir: String, expectedVersion: Long, keepOld: Boolean,
+      txn: Option[String])(write: Path => Unit): Long = {
     val staging = Files.createTempDirectory(Paths.get(dir), ".commit_")
     try {
       write(staging)
@@ -187,28 +228,42 @@ object ManifestTable {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .map(_.getName).sorted
       synchronized {
-        val cur = currentVersion(dir)
-        if (cur != expectedVersion)
-          throw new ConcurrentCommitException(
-            s"table at v$cur, commit prepared against v$expectedVersion")
-        val next = cur + 1
-        newFiles.foreach { n =>
-          Files.move(staging.resolve(n), dataDir(dir).resolve(n),
-            StandardCopyOption.ATOMIC_MOVE)
+        txn.filter(hasCommittedTxn(dir, _)) match {
+          case Some(_) => currentVersion(dir) // already committed: no-op
+          case None =>
+            val cur = currentVersion(dir)
+            if (cur != expectedVersion)
+              throw new ConcurrentCommitException(
+                s"table at v$cur, commit prepared against v$expectedVersion")
+            val next = cur + 1
+            newFiles.foreach { n =>
+              Files.move(staging.resolve(n), dataDir(dir).resolve(n),
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+            val old = if (keepOld)
+              files(dir, cur).map(f => Paths.get(f).getFileName.toString)
+            else Seq.empty
+            val lines = (old ++ newFiles) ++ txn.map(t => s"#txn=$t").toSeq
+            Files.write(manifestPath(dir, next),
+              lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            publish(dir, next)
+            next
         }
-        val old = if (keepOld)
-          files(dir, cur).map(f => Paths.get(f).getFileName.toString)
-        else Seq.empty
-        Files.write(manifestPath(dir, next),
-          (old ++ newFiles).mkString("\n").getBytes(StandardCharsets.UTF_8))
-        publish(dir, next)
-        next
       }
     } finally {
-      Option(staging.toFile.listFiles()).getOrElse(Array.empty)
-        .foreach(f => Files.deleteIfExists(f.toPath))
-      Files.deleteIfExists(staging)
+      // best-effort recursive cleanup that must never mask the real
+      // failure: a failed Spark write leaves a non-empty _temporary tree
+      // in staging, which a flat deleteIfExists would trip over
+      // (DirectoryNotEmptyException from the finally block)
+      try deleteRecursively(staging) catch { case _: Throwable => () }
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(f => deleteRecursively(f.toPath))
+    Files.deleteIfExists(p)
   }
 
   /** Atomic pointer swap: write CURRENT.tmp, ATOMIC_MOVE onto CURRENT. */

@@ -99,14 +99,34 @@ class ManifestTableSpec extends SparkSpec {
     val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     ManifestTable.streamingSink(dir, "q")(b1, batchId = 0L)
     assert(ManifestTable.read(spark, dir)._2.count() == 2)
+    // the txn marker is INSIDE the committed manifest (atomic with the
+    // data): no separate marker file can be lost to a crash window
+    assert(ManifestTable.hasCommittedTxn(dir, "q-0"))
     // crash-replay of the same batch: no new version, no duplicate rows
     val vBefore = ManifestTable.currentVersion(dir)
     ManifestTable.streamingSink(dir, "q")(b1, batchId = 0L)
     assert(ManifestTable.currentVersion(dir) == vBefore)
     assert(ManifestTable.read(spark, dir)._2.count() == 2)
-    // the next batch commits normally
+    // the next batch commits normally, and a second stream's batch 0 is
+    // NOT suppressed by the first stream's marker
     ManifestTable.streamingSink(dir, "q")(Seq((3L, "c")).toDF("id", "s"), 1L)
-    assert(ManifestTable.read(spark, dir)._2.count() == 3)
+    ManifestTable.streamingSink(dir, "q2")(Seq((4L, "d")).toDF("id", "s"), 0L)
+    assert(ManifestTable.read(spark, dir)._2.count() == 4)
+  }
+
+  test("vacuum sweeps stale crash-orphaned staging dirs, keeps fresh ones") {
+    val dir = freshTable()
+    ManifestTable.append(spark, dir,
+      Seq((1L, "a")).toDF("id", "s"), expectedVersion = 0L)
+    val stale = Files.createDirectory(
+      java.nio.file.Paths.get(dir, ".commit_stale"))
+    Files.write(stale.resolve("part-junk.parquet"), Array[Byte](1, 2))
+    stale.toFile.setLastModified(System.currentTimeMillis() - 7200000L)
+    val fresh = Files.createDirectory(
+      java.nio.file.Paths.get(dir, ".commit_fresh"))
+    ManifestTable.vacuum(dir, retainVersions = 1)
+    assert(!Files.exists(stale))
+    assert(Files.exists(fresh)) // possibly in-flight: untouched
   }
 
   test("vacuum deletes only files no retained manifest references") {
