@@ -132,6 +132,8 @@ object SparkEntry {
     "q108_contamination" -> (NorthStar.contamination _),
     "q109_domain_mix"    -> (NorthStar.domainMixing _),
     "q110_incr_dedup"    -> (NorthStar.incrementalDedup _),
+    "q111_bloom_prescreen" -> (NorthStar.bloomShingles _),
+    "q112_cms_tokens"    -> (NorthStar.cmsTokenCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1366,6 +1368,53 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM ex
         |WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
         |ORDER BY doc_id""".stripMargin,
+    // Bloom positions are Kirsch-Mitzenmacher double hashing on the
+    // rolling hash: pos_i = (h mod m + i*(1 + h mod (m-1))) mod m with
+    // m = 65536, k = 2 — written out per i below. All operands are
+    // non-negative, so DuckDB's % and Spark's pmod agree.
+    "q111_bloom_prescreen" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |exsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 3 <> 0),
+        |pos AS (SELECT DISTINCT unnest(
+        |          [h % 65536,
+        |           (h % 65536 + (1 + h % 65535)) % 65536]) AS pos
+        |        FROM (SELECT ${rollingHashSql("shingle")} AS h FROM exsh)),
+        |probe AS (SELECT doc_id, shingle,
+        |                 h % 65536 AS p0,
+        |                 (h % 65536 + (1 + h % 65535)) % 65536 AS p1
+        |          FROM (SELECT doc_id, shingle,
+        |                       ${rollingHashSql("shingle")} AS h
+        |                FROM sh WHERE doc_id % 3 = 0))
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN p0 IN (SELECT pos FROM pos)
+        |                      AND p1 IN (SELECT pos FROM pos)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+        |       CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM exsh)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q112_cms_tokens" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+        |seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+        |hashed AS (SELECT token, exact_cnt, seed,
+        |    ${rollingHashSql("'s' || CAST(seed AS VARCHAR) || ' ' || token")}
+        |      % 16 AS cell
+        |           FROM cnt CROSS JOIN seeds),
+        |cells AS (SELECT seed, cell, CAST(sum(exact_cnt) AS BIGINT) AS total
+        |          FROM hashed GROUP BY 1, 2),
+        |est AS (SELECT token, min(total) AS cms_est
+        |        FROM hashed JOIN cells USING (seed, cell)
+        |        GROUP BY token)
+        |SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        |FROM cnt JOIN est USING (token)
+        |ORDER BY exact_cnt DESC, token
+        |LIMIT 20""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

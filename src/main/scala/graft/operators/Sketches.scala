@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.plans.TextExpressions
+
+/** Probabilistic sketches for corpus-scale pipelines (north-star X1/X4
+  * generalization; no reference counterpart — the reference's only
+  * membership structure is the UNIQUE(symbol,date) key,
+  * /root/reference/etl.py:142): a Bloom filter for cheap set-membership
+  * prescreens (e.g. "might this shingle already exist in the corpus?"
+  * before an expensive verify join) and a Count-Min sketch for
+  * fixed-memory frequency estimates over unbounded token streams.
+  *
+  * Both are DETERMINISTIC — hashes derive from [[TextExpressions
+  * .rolling_hash]], which has an exact DuckDB twin — so sketch outputs are
+  * oracle-checkable, unlike seed-randomized implementations.
+  *
+  * Scale design: each sketch has two physical forms.
+  *   - RELATIONAL (rows): the Bloom filter as a distinct set-bit position
+  *     table, the CMS as a (seed, cell) → total table. Builds are one
+  *     groupBy/distinct shuffle; probes are equi-joins. This form has no
+  *     size ceiling — a 10^11-bit filter is just a bigger position table,
+  *     partitioned like any other — and is what a 1000-executor job uses
+  *     when the sketch itself is large.
+  *   - COMPACT (one row): the filter as a bitmap `array<bigint>`, built by
+  *     a typed [[Aggregator]] (§2.11 UDAF surface) with map-side partial
+  *     merge. A few MB even for 10^8 bits → broadcast it and probe with a
+  *     scalar expression, zero shuffles on the probe side. Use when the
+  *     sketch fits an executor; the two forms agree bit-for-bit
+  *     (SketchesSpec asserts it).
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- Bloom
+
+  /** Position of hash function `i` for 31-bit input hash `h`: classic
+    * Kirsch–Mitzenmacher double hashing, pos_i = (h mod m + i * (1 + h mod
+    * (m-1))) mod m — k positions from ONE base hash with pairwise-
+    * independent behavior (Kirsch & Mitzenmacher, "Less hashing, same
+    * performance", ESA 2006). Pure integer arithmetic on a non-negative
+    * hash → identical in any engine. */
+  def bloomPosition(h: Column, i: Int, m: Int): Column =
+    pmod(pmod(h, lit(m.toLong)) + lit(i.toLong) * (pmod(h, lit(m.toLong - 1)) + lit(1L)),
+      lit(m.toLong))
+
+  /** Relational Bloom build: the distinct set-bit positions of `keys`'
+    * hash column as a one-column (`pos: bigint`) DataFrame. ONE
+    * partial-aggregated distinct shuffle regardless of k. */
+  def bloomBuild(keys: DataFrame, hash: Column, m: Int, k: Int): DataFrame =
+    keys.select(explode(array((0 until k).map(bloomPosition(hash, _, m)): _*))
+        .as("pos"))
+      .distinct()
+
+  /** Relational Bloom probe: every probe row gains `bloom_hit` = true iff
+    * ALL k of its positions are set. Planned as k joins against the
+    * position set — broadcast (zero probe-side shuffles) while the set is
+    * small enough, plain equi-joins beyond that. For a filter too big to
+    * broadcast AND k large, the one-shuffle alternative is
+    * posexplode + single join + groupBy-all-k-matched; with k ≤ 4 (the
+    * practical range once m is sized right) the join chain wins. */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, hash: Column,
+      m: Int, k: Int): DataFrame = {
+    val set = if (bitmapWords(m) * 8L <= (8L << 20)) broadcast(bloom) else bloom
+    val withH = probes.withColumn("__h", hash)
+    val joined = (0 until k).foldLeft(withH) { (df, i) =>
+      df.join(set.select(col("pos").as(s"__p$i")),
+        bloomPosition(col("__h"), i, m) === col(s"__p$i"), "left")
+    }
+    joined
+      .withColumn("bloom_hit",
+        (0 until k).map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+      .drop("__h" +: (0 until k).map(i => s"__p$i"): _*)
+  }
+
+  private def bitmapWords(m: Int): Int = (m + 63) >> 6
+
+  /** Typed Aggregator folding set-bit positions into an m-bit bitmap
+    * (little-endian within each 64-bit word). Partial-merges map-side like
+    * any Catalyst agg — the build is one pass, no shuffle of raw rows. */
+  class BloomBitmapAgg(m: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](bitmapWords(m))
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      val p = pos.toInt
+      b(p >> 6) |= 1L << (p & 63)
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    // ExpressionEncoder, not javaSerialization: the OUTPUT must be a real
+    // array<bigint> column (element_at probes it); a serialized buffer
+    // would surface as opaque binary
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Compact Bloom build: one row, one `bitmap: array<bigint>` column. */
+  def bloomBitmap(keys: DataFrame, hash: Column, m: Int, k: Int): DataFrame = {
+    val agg = udaf(new BloomBitmapAgg(m))
+    keys.select(explode(array((0 until k).map(bloomPosition(hash, _, m)): _*))
+        .as("pos"))
+      .agg(agg(col("pos")).as("bitmap"))
+  }
+
+  /** Compact Bloom probe: cross-join the single bitmap row (broadcast —
+    * it is one row) onto the probes and test all k bits with a scalar
+    * predicate; the probe side never shuffles. */
+  def bloomBitmapProbe(bitmap: DataFrame, probes: DataFrame, hash: Column,
+      m: Int, k: Int): DataFrame = {
+    val test = (0 until k).map { i =>
+      val p = bloomPosition(col("__h"), i, m)
+      // (p / 64) via double division is exact for p < 2^31; cast truncates
+      // toward zero = floor for non-negative positions. Dynamic shift
+      // distance needs the SQL shiftright (the Scala helper only takes a
+      // literal Int).
+      (call_function("shiftright", element_at(col("bitmap"),
+        (p / 64).cast("int") + 1), pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+    probes.withColumn("__h", hash)
+      .crossJoin(broadcast(bitmap))
+      .withColumn("bloom_hit", test)
+      .drop("__h", "bitmap")
+  }
+
+  // ------------------------------------------------------------ Count-Min
+
+  /** CMS cell for `token` in hash row `seed`: rolling_hash of the seeded
+    * string "s<seed> <token>" mod w. The seeded-concat construction keeps
+    * the whole sketch expressible in the oracle (DuckDB computes the same
+    * rolling hash of the same string). */
+  def cmsCell(seed: Column, token: Column, w: Int): Column =
+    pmod(TextExpressions.rolling_hash(
+      concat(lit("s"), seed.cast("string"), lit(" "), token)), lit(w.toLong))
+
+  /** Build a d×w Count-Min sketch from (token, weight) rows: the sketch IS
+    * the (seed, cell) → total table — at most d·w rows after ONE groupBy,
+    * regardless of input size (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications", J.
+    * Algorithms 2005). Feed pre-aggregated token counts when available;
+    * raw rows with weight 1 work identically. */
+  def cmsBuild(tokens: DataFrame, token: Column, weight: Column,
+      d: Int, w: Int): DataFrame =
+    tokens.select(token.as("__t"), weight.as("__c"))
+      .withColumn("seed", explode(array((0 until d).map(i => lit(i)): _*)))
+      .select(col("seed"), cmsCell(col("seed"), col("__t"), w).as("cell"),
+        col("__c"))
+      .groupBy("seed", "cell")
+      .agg(sum("__c").as("total"))
+
+  /** Point-estimate the frequency of each distinct probe token:
+    * min over the d rows of the token's cell totals. Overcounts only
+    * (est ≥ true, never under) — the CMS guarantee. The d·w sketch is
+    * tiny by construction → broadcast join. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, token: Column,
+      d: Int, w: Int): DataFrame =
+    probes.select(token.as("token")).distinct()
+      .withColumn("seed", explode(array((0 until d).map(i => lit(i)): _*)))
+      .withColumn("cell", cmsCell(col("seed"), col("token"), w))
+      .join(broadcast(cms), Seq("seed", "cell"))
+      .groupBy("token")
+      .agg(min("total").as("cms_est"))
+}

@@ -330,4 +330,64 @@ object NorthStar {
         max($"rate_pct").as("rate_pct"))
       .orderBy($"source")
   }
+
+  /** X2 Bloom-filter shingle prescreen ([[graft.operators.Sketches]]):
+    * a 65536-bit / k=2 Bloom filter over the EXISTING split's distinct
+    * trigram shingles, probed by each incoming doc's shingles — the cheap
+    * membership gate a dedup pipeline runs before any expensive verify
+    * join. Per incoming doc: shingle count, Bloom-positive count, and
+    * TRUE-member count, so the report shows both the real overlap and the
+    * filter's (deterministic — rolling-hash positions) false positives.
+    * Filter sizing is honest for the fixture: ~0.4 bits load at sf0.01. */
+  def bloomShingles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (m, k) = (65536, 2)
+    val sh = graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3)," +
+            " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")))
+          .as("shingle"))
+    val existing = sh.filter($"doc_id" % 3 =!= 0).select($"shingle").distinct()
+    val bloom = graft.operators.Sketches.bloomBuild(
+      existing, TextExpressions.rolling_hash($"shingle"), m, k)
+    val probed = graft.operators.Sketches.bloomProbe(
+      bloom, sh.filter($"doc_id" % 3 === 0),
+      TextExpressions.rolling_hash($"shingle"), m, k)
+    // SHUFFLE_HASH for the true-membership join: same scale reasoning as
+    // q108 — a corpus-wide distinct shingle set never broadcasts at 100 TB
+    probed
+      .join(existing.withColumn("true_hit", lit(1L)).hint("SHUFFLE_HASH"),
+        Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"bloom_hit", 1L).otherwise(0L)).as("n_bloom"),
+        coalesce(sum($"true_hit"), lit(0L)).as("n_true"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4 Count-Min-sketch token frequencies ([[graft.operators.Sketches]]):
+    * a deliberately tight 3×16 sketch over every token occurrence in the
+    * corpus (31-word fixture vocabulary → guaranteed cell collisions), the
+    * exact count joined beside the estimate. Demonstrates the CMS
+    * overcount-only contract (est ≥ exact always; SketchesSpec proves it
+    * as a property) at a sketch size where the error is visible. */
+  def cmsTokenCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (3, 16)
+    val counts = graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+    val cms = graft.operators.Sketches.cmsBuild(
+      counts, $"token", $"exact_cnt", depth, width)
+    counts
+      .join(graft.operators.Sketches.cmsEstimate(cms, counts, $"token",
+        depth, width), Seq("token"))
+      .select($"token", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"exact_cnt".desc, $"token")
+      .limit(20)
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.TextExpressions
+
+/** Sketch semantics ([[Sketches]]): Bloom no-false-negatives, the
+  * relational/compact bitmap agreement contract, and the CMS
+  * overcount-only guarantee. Volume is small — these target the
+  * algebraic contracts; scale behavior is in the plan shape (see the
+  * Scaladoc on each builder). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 1 << 12
+  private val k = 2
+
+  private def words(n: Int, seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(rnd.alphanumeric.take(3 + rnd.nextInt(5)).mkString)
+  }
+
+  test("bloom: every true member hits (no false negatives), relational") {
+    val members = words(200, 1).distinct
+    val keys = members.toDF("s")
+    val bloom = Sketches.bloomBuild(keys, TextExpressions.rolling_hash($"s"), m, k)
+    val probed = Sketches.bloomProbe(bloom, keys,
+      TextExpressions.rolling_hash($"s"), m, k)
+    assert(probed.filter(!$"bloom_hit").count() === 0)
+  }
+
+  test("bloom: every true member hits, compact bitmap") {
+    val members = words(200, 2).distinct
+    val keys = members.toDF("s")
+    val bitmap = Sketches.bloomBitmap(keys, TextExpressions.rolling_hash($"s"), m, k)
+    val probed = Sketches.bloomBitmapProbe(bitmap, keys,
+      TextExpressions.rolling_hash($"s"), m, k)
+    assert(probed.filter(!$"bloom_hit").count() === 0)
+  }
+
+  test("bloom: relational and compact probes agree bit-for-bit") {
+    val members = words(300, 3).distinct
+    val probes = (words(150, 4) ++ members.take(50)).distinct
+    val keys = members.toDF("s")
+    val probeDf = probes.toDF("s")
+    val h = TextExpressions.rolling_hash($"s")
+    val rel = Sketches.bloomProbe(
+      Sketches.bloomBuild(keys, h, m, k), probeDf, h, m, k)
+      .select($"s", $"bloom_hit".as("rel_hit"))
+    val cmp = Sketches.bloomBitmapProbe(
+      Sketches.bloomBitmap(keys, h, m, k), probeDf, h, m, k)
+      .select($"s", $"bloom_hit".as("cmp_hit"))
+    val disagree = rel.join(cmp, "s").filter($"rel_hit" =!= $"cmp_hit")
+    assert(disagree.count() === 0)
+  }
+
+  test("bloom: non-members mostly miss at honest sizing") {
+    // 200 members in 4096 bits / k=2 → ~0.1 load; FPR ≈ (1-e^-0.1)^2 < 1%.
+    // Disjoint-by-construction probes: digits-only vs alphanumeric words.
+    val members = words(200, 5).distinct
+    val nonMembers = (1 to 500).map(i => s"#$i#")
+    val h = TextExpressions.rolling_hash($"s")
+    val bloom = Sketches.bloomBuild(members.toDF("s"), h, m, k)
+    val hits = Sketches.bloomProbe(bloom, nonMembers.toDF("s"), h, m, k)
+      .filter($"bloom_hit").count()
+    assert(hits < 25, s"false-positive count $hits out of 500 — filter broken")
+  }
+
+  test("cms: overcount-only — estimate >= exact count for every token") {
+    val rnd = new scala.util.Random(6)
+    val tokens = words(40, 7)
+    // Zipf-ish duplication so cells genuinely collide at width 16
+    val occurrences = tokens.flatMap(t => Seq.fill(1 + rnd.nextInt(20))(t))
+    val counts = occurrences.toDF("token")
+      .groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+    val (d, w) = (3, 16)
+    val cms = Sketches.cmsBuild(counts, $"token", $"exact_cnt", d, w)
+    assert(cms.count() <= d.toLong * w, "sketch must be bounded by d*w rows")
+    val est = Sketches.cmsEstimate(cms, counts, $"token", d, w)
+    val under = counts.join(est, "token").filter($"cms_est" < $"exact_cnt")
+    assert(under.count() === 0, "CMS must never undercount")
+  }
+
+  test("cms: exact when the sketch is wide enough (no collisions possible)") {
+    val tokens = words(10, 8).distinct
+    val counts = tokens.zipWithIndex
+      .map { case (t, i) => (t, (i + 1).toLong) }.toDF("token", "exact_cnt")
+    // width 4096 for 10 tokens: collision probability negligible; if the
+    // estimate differs from exact here the arithmetic itself is wrong
+    val (d, w) = (3, 4096)
+    val cms = Sketches.cmsBuild(counts, $"token", $"exact_cnt", d, w)
+    val est = Sketches.cmsEstimate(cms, counts, $"token", d, w)
+    val diff = counts.join(est, "token").filter($"cms_est" =!= $"exact_cnt")
+    assert(diff.count() === 0)
+  }
+}
