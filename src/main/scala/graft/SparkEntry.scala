@@ -134,6 +134,8 @@ object SparkEntry {
     "q110_incr_dedup"    -> (NorthStar.incrementalDedup _),
     "q111_bloom_prescreen" -> (NorthStar.bloomShingles _),
     "q112_cms_tokens"    -> (NorthStar.cmsTokenCounts _),
+    "q113_zorder_code"   -> (Advanced.zorderCode _),
+    "q114_outlier_zscore" -> (SetsAndAggs.outlierZscore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1415,6 +1417,37 @@ object SparkEntry {
         |FROM cnt JOIN est USING (token)
         |ORDER BY exact_cnt DESC, token
         |LIMIT 20""".stripMargin,
+    // Morton spread as a 4-step CTE chain — the same magic-mask parallel
+    // prefix as Layout.spread16, on BIGINT in both engines.
+    "q113_zorder_code" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber,
+        |                     l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+        |              FROM lineitem WHERE l_orderkey < 300),
+        |s1 AS (SELECT l_orderkey, l_linenumber, x AS x0, y AS y0,
+        |              (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM base),
+        |s2 AS (SELECT l_orderkey, l_linenumber, x0, y0,
+        |              (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber, x0, y0,
+        |              (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber, x0, y0,
+        |              (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s3)
+        |SELECT l_orderkey, l_linenumber, x0 AS x, y0 AS y,
+        |       x | (y << 1) AS zcode
+        |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q114_outlier_zscore" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mu,
+        |                      stddev_samp(value) AS sd
+        |               FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       round(e.value, 4) + 0.0 AS value,
+        |       round((e.value - s.mu) / s.sd, 4) + 0.0 AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs((e.value - s.mu) / s.sd) > 2.5
+        |ORDER BY e.event_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -82,6 +82,22 @@ object Advanced {
       .orderBy($"o_custkey")
   }
 
+  /** Data-layout Z-order: the 32-bit Morton code of (l_partkey, l_suppkey)
+    * per lineitem row ([[graft.operators.Layout.morton2]]) — the clustering
+    * key `Layout.zorderWrite` range-partitions on so parquet min-max stats
+    * prune box predicates on either dimension (LayoutSpec proves the
+    * pruning win). Pure long bit arithmetic, oracle-checked bit-for-bit. */
+  def zorderCode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_orderkey" < 300)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_partkey".bitwiseAND(lit(65535)).as("x"),
+        $"l_suppkey".bitwiseAND(lit(65535)).as("y"),
+        graft.operators.Layout.morton2($"l_partkey", $"l_suppkey").as("zcode"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** R1 generator: explode text into token rows, then doc-frequency counts —
     * the reference's map→rows expansion (etl.py:80-81) over free text. */
   def explodeTokens(spark: SparkSession, d: String): DataFrame = {

@@ -220,4 +220,28 @@ object SetsAndAggs {
         round(max($"o_totalprice"), 4).as("hi"))
       .orderBy($"bin")
   }
+
+  /** G-ext per-group z-score outlier detection over event values: group
+    * stats (mean, sample stddev) computed once, broadcast back onto the
+    * fact rows, rows with |z| > 2.5 reported — the anomaly screen every
+    * metrics pipeline runs. Scale shape: the stats table has one row per
+    * group (always broadcastable); the fact side never shuffles — compare
+    * a window formulation, which would sort the whole fact table. The
+    * |z| > 2.5 cut is on the RAW double (drift ~1e-13 from engine-order
+    * summation is 12 orders below the boundary); rounding happens only in
+    * the output projection, `+ 0.0` canonicalizing IEEE -0.0 on both
+    * engines (see q65). */
+  def outlierZscore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val stats = ev.groupBy($"event_type")
+      .agg(avg($"value").as("mu"), stddev_samp($"value").as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"value" - $"mu") / $"sd")
+      .filter(abs($"z") > 2.5)
+      .select($"event_id", $"event_type",
+        (round($"value", 4) + lit(0.0)).as("value"),
+        (round($"z", 4) + lit(0.0)).as("z"))
+      .orderBy($"event_id")
+  }
 }

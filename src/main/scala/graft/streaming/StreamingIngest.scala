@@ -96,6 +96,19 @@ object StreamingIngest {
       .join(right.withWatermark("r_ts", watermark),
         expr(s"key = r_key AND r_ts BETWEEN l_ts AND l_ts + INTERVAL $maxGap"))
 
+  /** T5 variant: `dropDuplicatesWithinWatermark` — dedup on the KEY alone
+    * (the event time is NOT part of the dedup key, unlike [[withKeyDedup]]),
+    * keeping per-key state only until the watermark passes the first-seen
+    * event time + delay. This is the right shape when re-deliveries carry
+    * slightly different timestamps (retries, clock skew): an exact
+    * (key, ts) dedup would pass them all through, while this drops any
+    * re-delivery landing within the watermark horizon. State is bounded by
+    * (distinct keys within the horizon), independent of stream length. */
+  def dedupWithinWatermark(stream: DataFrame, key: String, tsCol: String,
+      delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq(key))
+
   /** T6: watermarked event-time windowed aggregation over a stream. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

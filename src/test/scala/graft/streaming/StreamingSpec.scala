@@ -180,6 +180,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")))
   }
 
+  test("dropDuplicatesWithinWatermark drops timestamp-skewed re-deliveries, " +
+    "re-admits the key after the watermark expires its state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamingIngest.dedupWithinWatermark(
+      mem.toDF().toDF("key", "ts"), "key", "ts", "10 minutes")
+      .select($"key", $"ts".cast("string"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_dedup").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: key 1 delivered twice with SKEWED timestamps (an exact
+    // (key, ts) dedup would keep both) + an unrelated key
+    mem.addData((1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 10:03:00")), (2L, t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // batch 2: a much later event advances the watermark to 10:50,
+    // expiring key 1's state (kept only to first-seen + 10 min = 10:10)
+    mem.addData((3L, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: key 1 again, AFTER expiry → re-admitted (the documented
+    // watermark-vs-UNIQUE divergence: the sink anti-join, not this
+    // operator, restores never-expires semantics)
+    mem.addData((1L, t("2024-01-01 11:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_dedup").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00"),
+      (3L, "2024-01-01 11:00:00"), (1L, "2024-01-01 11:05:00")))
+  }
+
   test("streaming as-of enrichment carries the latest reference across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
