@@ -73,4 +73,30 @@ class LayoutSpec extends SparkSpec {
       s"z-order read $zordered of $numFiles files, natural $natural — " +
         "expected at least a 2x pruning win")
   }
+
+  test("hive-partitioned write prunes non-matching directories at plan time") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("part").toString
+    graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .write.partitionBy("l_returnflag").mode("overwrite")
+      .parquet(s"$tmp/li")
+    val q = spark.read.parquet(s"$tmp/li").filter($"l_returnflag" === "R")
+    q.collect()
+    // NOTE: q.inputFiles can't witness pruning — it lists the whole
+    // relation. The scan node's numFiles metric counts what was READ.
+    val executed = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(executed.toString.contains("PartitionFilters"), executed.toString)
+    val scan = executed.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val total = spark.read.parquet(s"$tmp/li").inputFiles.length
+    assert(total >= 3, s"expected >=3 partition dirs, got $total files")
+    assert(scan.metrics("numFiles").value == 1,
+      s"read ${scan.metrics("numFiles").value} of $total files")
+  }
 }
