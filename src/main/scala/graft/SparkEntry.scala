@@ -136,6 +136,8 @@ object SparkEntry {
     "q112_cms_tokens"    -> (NorthStar.cmsTokenCounts _),
     "q113_zorder_code"   -> (Advanced.zorderCode _),
     "q114_outlier_zscore" -> (SetsAndAggs.outlierZscore _),
+    "q115_bigram_lm"     -> (NorthStar.bigramLm _),
+    "q116_token_entropy" -> (NorthStar.tokenEntropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1448,6 +1450,32 @@ object SparkEntry {
         |FROM events e JOIN stats s USING (event_type)
         |WHERE abs((e.value - s.mu) / s.sd) > 2.5
         |ORDER BY e.event_id""".stripMargin,
+    "q115_bigram_lm" ->
+      """WITH pairs AS (
+        |  SELECT bg['w1'] AS w1, bg['w2'] AS w2
+        |  FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                      for i in range(1, len(t))]) AS bg
+        |        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        |        WHERE len(t) >= 2)),
+        |cnt2 AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+        |cnt1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+        |SELECT w1, w2, cnt, round(cnt / c1, 4) AS p
+        |FROM cnt2 JOIN cnt1 USING (w1)
+        |ORDER BY cnt DESC, w1, w2
+        |LIMIT 50""".stripMargin,
+    "q116_token_entropy" ->
+      """WITH freq AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |        FROM freq GROUP BY doc_id)
+        |SELECT doc_id, round(-sum((c / n) * ln(c / n)), 4) + 0.0 AS entropy,
+        |       max(n) AS n_tokens
+        |FROM freq JOIN tot USING (doc_id)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -304,6 +304,54 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** X4 bigram language-model statistics: the corpus's top bigrams with
+    * their conditional probability P(w2 | w1) = c(w1,w2) / c(w1,·) — the
+    * n-gram LM table that perplexity-style quality filters and
+    * contamination heuristics build on. Bigram enumeration is row-local
+    * (transform over the token array, like q107); both groupBys shuffle
+    * on keys whose cardinality grows with the VOCABULARY, not the corpus.
+    * The unigram side is a plain equi-join — Catalyst broadcasts it at
+    * this SF; at web scale a vocabulary table still fits the broadcast
+    * budget after a min-count cut. Counts are exact ints; p is a single
+    * int/int division — bit-identical across engines. */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val cnt2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    val cnt1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    cnt2.join(cnt1, "w1")
+      .select($"w1", $"w2", $"cnt", round($"cnt" / $"c1", 4).as("p"))
+      .orderBy($"cnt".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  /** X4 per-doc token entropy (nats): -Σ p·ln(p) over the doc's token
+    * distribution — the information-density quality signal (word-soup
+    * spam scores low, natural text mid-range). Two key-bounded shuffles:
+    * (doc_id, token) then doc_id; ln drift between engines is ~1e-15 per
+    * term, 11 orders below the round(4) boundary (same argument as q52's
+    * tf-idf). */
+  def tokenEntropy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val freq = graft.operators.Par.fanOut(Tables.documents(spark, d))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val tot = freq.groupBy($"doc_id").agg(sum($"c").as("n"))
+    freq.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg((-sum(($"c" / $"n") * log($"c" / $"n"))).as("h"),
+        max($"n").as("n_tokens"))
+      // + 0.0: a single-distinct-token doc has h = -0.0 (negated zero sum)
+      .select($"doc_id", (round($"h", 4) + lit(0.0)).as("entropy"), $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** X4 domain-mixing sampler: per-source keep rates applied by
     * deterministic content hash (rolling_hash mod 100 < rate), the
     * shuffle-free way to hit target domain weights that stays stable

@@ -154,6 +154,77 @@ object ManifestTable {
     }
   }
 
+  /** Copy-on-write MERGE (upsert): rows of `updates` whose key matches an
+    * existing row REPLACE it; unmatched keys are INSERTED — `MERGE WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the
+    * Delta/Iceberg workhorse, at FILE granularity:
+    *
+    *   1. locate the data files that contain a matched key (semi-join on
+    *      the key; at cluster scale a file-stats min/max prescreen would
+    *      run first — the manifest is where those stats would live);
+    *   2. rewrite ONLY those files: their non-matched rows + ALL update
+    *      rows become new part files;
+    *   3. commit manifest N+1 = (old files − affected) ∪ new files. Files
+    *      without a matched key are carried BY REFERENCE — a merge
+    *      touching 1% of files rewrites 1% of the table.
+    *
+    * The affected-file list is driver-side (collect) — that is O(files),
+    * the same order as the manifest itself, not O(rows).
+    *
+    * Updates must be unique per key (a multi-source MERGE is ambiguous —
+    * which update wins? — so it is rejected, as in Delta). Any concurrent
+    * commit aborts the merge (version CAS); unlike [[append]], blind
+    * retry is NOT safe — [[mergeWithRetry]] re-plans from the fresh
+    * snapshot each attempt. (Delta narrows this with logical conflict
+    * detection — concurrent DISJOINT commits can both win; version-CAS is
+    * the conservative end of the same protocol.)
+    *
+    * Returns the committed version. An empty table degenerates to append. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = currentVersion(dir)
+    val fs = files(dir, v)
+    if (fs.isEmpty) return append(spark, dir, updates, v)
+    val dupKeys = updates.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"updates carry duplicate keys (e.g. ${dupKeys.head}) — ambiguous merge")
+    val base = spark.read.parquet(fs: _*)
+      .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+    val affected = base
+      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val survivors = base
+      .filter(col("__file").isin(affected.toSeq: _*))
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .drop("__file")
+    val newData = survivors.unionByName(updates)
+    commit(dir, expectedVersion = v, keepOld = true, txn = None,
+      removeFiles = affected) { staging =>
+      newData.write.mode("append").parquet(staging.toString)
+    }
+  }
+
+  /** [[merge]] wrapped in the optimistic-retry loop. Each retry RE-PLANS
+    * against the fresh snapshot (merge does not commute with concurrent
+    * commits the way appends do). */
+  def mergeWithRetry(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      try return merge(spark, dir, updates, keyCols)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Delete data files referenced by NO manifest within the retention
     * window, drop manifests older than `retainVersions` behind CURRENT,
     * and sweep crash-orphaned `.commit_*` staging directories older than
@@ -214,12 +285,14 @@ object ManifestTable {
 
   /** The shared commit path: stage part files, move them (immutable,
     * UUID-named — collisions impossible) into data/, write manifest
-    * N+1 = (old files if keepOld) ∪ new files (+ the txn line), CAS-check,
-    * publish. The version check, txn no-op check, and pointer swap are
-    * under the object lock — the single-JVM stand-in for the store's
-    * atomic rename-if-absent. */
+    * N+1 = (old files if keepOld, minus `removeFiles` — [[merge]]'s
+    * rewritten set) ∪ new files (+ the txn line), CAS-check, publish. The
+    * version check, txn no-op check, and pointer swap are under the
+    * object lock — the single-JVM stand-in for the store's atomic
+    * rename-if-absent. */
   private def commit(dir: String, expectedVersion: Long, keepOld: Boolean,
-      txn: Option[String])(write: Path => Unit): Long = {
+      txn: Option[String], removeFiles: Set[String] = Set.empty)
+      (write: Path => Unit): Long = {
     val staging = Files.createTempDirectory(Paths.get(dir), ".commit_")
     try {
       write(staging)
@@ -240,9 +313,9 @@ object ManifestTable {
               Files.move(staging.resolve(n), dataDir(dir).resolve(n),
                 StandardCopyOption.ATOMIC_MOVE)
             }
-            val old = if (keepOld)
+            val old = (if (keepOld)
               files(dir, cur).map(f => Paths.get(f).getFileName.toString)
-            else Seq.empty
+            else Seq.empty).filterNot(removeFiles)
             val lines = (old ++ newFiles) ++ txn.map(t => s"#txn=$t").toSeq
             Files.write(manifestPath(dir, next),
               lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

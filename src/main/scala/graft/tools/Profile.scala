@@ -98,6 +98,12 @@ object Profile {
     time("ccComponents end-to-end") {
       println("  rows: " + graft.queries.NorthStar.ccComponents(spark, sfDir).count())
     }
+    // split the q64 cost: pairs (above) vs the iterative label loop alone
+    val pairsCk = graft.operators.Dedup.jaccardPairs(docs, 0.8)
+    pairsCk.count()
+    time("ccComponents loop only (pairs precomputed)") {
+      println("  rows: " + graft.operators.Dedup.connectedComponents(pairsCk).count())
+    }
     time("corpusFunnel end-to-end") {
       println("  rows: " + graft.queries.NorthStar.corpusFunnel(spark, sfDir).count())
     }

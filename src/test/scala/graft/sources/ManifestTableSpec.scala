@@ -144,4 +144,82 @@ class ManifestTableSpec extends SparkSpec {
     // current snapshot still reads fully after vacuum
     assert(ManifestTable.read(spark, dir)._2.count() == 3)
   }
+
+  test("merge upserts matched keys, inserts new ones, carries the rest") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      expectedVersion = 0L)
+    val vM = ManifestTable.merge(spark, dir,
+      Seq((2L, "B2"), (9L, "new")).toDF("id", "s"), Seq("id"))
+    assert(vM == v1 + 1)
+    val got = ManifestTable.read(spark, dir)._2
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // time travel: the pre-merge snapshot is intact
+    assert(ManifestTable.readVersion(spark, dir, v1)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("merge rewrites ONLY files containing matched keys") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      expectedVersion = 0L)
+    val v2 = ManifestTable.append(spark, dir,
+      Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1),
+      expectedVersion = v1)
+    val before = ManifestTable.files(dir, v2).map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).toSet
+    assert(before.size == 2)
+    // keys 10/11 live in the second file only
+    val vM = ManifestTable.merge(spark, dir,
+      Seq((10L, "X")).toDF("id", "s"), Seq("id"))
+    val after = ManifestTable.files(dir, vM).map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).toSet
+    // the untouched file is carried by reference, the affected one is gone
+    val carried = before.intersect(after)
+    assert(carried.size == 1, s"before=$before after=$after")
+    val rows = ManifestTable.read(spark, dir)._2
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (10L, "X"), (11L, "y")))
+  }
+
+  test("merge with no matched keys degenerates to insert; empty table too") {
+    val dir = freshTable()
+    // empty table: merge == append
+    val v1 = ManifestTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("id", "s"), Seq("id"))
+    assert(v1 == 1L)
+    // no key overlap: old file carried, rows unioned
+    val v2 = ManifestTable.merge(spark, dir,
+      Seq((2L, "b")).toDF("id", "s"), Seq("id"))
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, dir)._2.count() == 2)
+  }
+
+  test("merge rejects duplicate-key updates and retries on conflict") {
+    val dir = freshTable()
+    ManifestTable.append(spark, dir,
+      Seq((1L, "a")).toDF("id", "s"), expectedVersion = 0L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, dir,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "s"), Seq("id"))
+    }
+    // interleave a foreign commit between two racing merges: plain merge
+    // would CAS-fail; mergeWithRetry re-plans and lands
+    val t = new Thread(() => {
+      ManifestTable.appendWithRetry(spark, dir,
+        Seq((50L, "z")).toDF("id", "s"))
+    })
+    t.start()
+    val vM = ManifestTable.mergeWithRetry(spark, dir,
+      Seq((1L, "A")).toDF("id", "s"), Seq("id"))
+    t.join()
+    val rows = ManifestTable.read(spark, dir)._2
+      .as[(Long, String)].collect().toSet
+    assert(rows.contains((1L, "A")) && rows.contains((50L, "z")), rows)
+    assert(vM >= 2L)
+  }
 }
