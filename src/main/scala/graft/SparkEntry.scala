@@ -1468,12 +1468,13 @@ object SparkEntry {
         |  SELECT doc_id, w, count(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |        FROM documents)
-        |  GROUP BY doc_id, w),
-        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
-        |        FROM freq GROUP BY doc_id)
-        |SELECT doc_id, round(-sum((c / n) * ln(c / n)), 4) + 0.0 AS entropy,
-        |       max(n) AS n_tokens
-        |FROM freq JOIN tot USING (doc_id)
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |       round(ln(CAST(sum(c) AS BIGINT)) -
+        |             sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 4) + 0.0
+        |         AS entropy,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM freq
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
   )

@@ -339,16 +339,22 @@ object NorthStar {
     * tf-idf). */
   def tokenEntropy(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val freq = graft.operators.Par.fanOut(Tables.documents(spark, d))
+    // one-pass identity: H = -Σ (c/n)·ln(c/n) = ln(n) - (Σ c·ln(c)) / n.
+    // The naive two-level form needs the per-doc total joined back onto
+    // the frequencies — Spark has no DataFrame-level CSE, so that plan
+    // scans + tokenizes + counts the corpus TWICE; this form folds the
+    // normalization into the same aggregation pass (verified: 2 scans +
+    // 5 aggregates → 1 scan + 2 aggregates in EXPLAIN.md).
+    graft.operators.Par.fanOut(Tables.documents(spark, d))
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-    val tot = freq.groupBy($"doc_id").agg(sum($"c").as("n"))
-    freq.join(tot, "doc_id")
       .groupBy($"doc_id")
-      .agg((-sum(($"c" / $"n") * log($"c" / $"n"))).as("h"),
-        max($"n").as("n_tokens"))
-      // + 0.0: a single-distinct-token doc has h = -0.0 (negated zero sum)
-      .select($"doc_id", (round($"h", 4) + lit(0.0)).as("entropy"), $"n_tokens")
+      .agg(sum($"c").as("n"), sum($"c" * log($"c")).as("s"))
+      // + 0.0: a single-distinct-token doc gives ln(n) - (n·ln n)/n =
+      // ±1e-17, which rounds to IEEE -0.0 when the drift lands negative
+      .select($"doc_id",
+        (round(log($"n") - $"s" / $"n", 4) + lit(0.0)).as("entropy"),
+        $"n".as("n_tokens"))
       .orderBy($"doc_id")
   }
 

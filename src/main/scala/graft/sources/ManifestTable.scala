@@ -208,6 +208,45 @@ object ManifestTable {
     }
   }
 
+  /** Copy-on-write DELETE: rows matching `predicate` are removed, at the
+    * same file granularity as [[merge]] — only files CONTAINING a
+    * matching row are rewritten (their surviving rows become new files);
+    * files with no match are carried by reference, and a file whose rows
+    * ALL match is simply dropped from the manifest (no rewrite at all —
+    * the partition-drop fast path falls out for free when the predicate
+    * aligns with the layout, e.g. a [[graft.operators.Layout]] clustering
+    * or date-partitioned ingest). Returns the committed version;
+    * a predicate matching nothing still commits a (file-identical)
+    * snapshot — the version bump records that the delete ran. */
+  def delete(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val v = currentVersion(dir)
+    val fs = files(dir, v)
+    if (fs.isEmpty) return commit(dir, v, keepOld = true, txn = None) { _ => () }
+    val base = spark.read.parquet(fs: _*)
+      .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+    val affected = base.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // null-safe negation: DELETE removes only rows where the predicate is
+    // TRUE — a NULL predicate row survives (plain !predicate would drop it)
+    val keep = !org.apache.spark.sql.functions.coalesce(
+      predicate, org.apache.spark.sql.functions.lit(false))
+    val survivors = base
+      .filter(col("__file").isin(affected.toSeq: _*))
+      .filter(keep)
+      .drop("__file")
+    commit(dir, expectedVersion = v, keepOld = true, txn = None,
+      removeFiles = affected) { staging =>
+      // an all-matching file set can leave zero survivors: parquet still
+      // writes a schema-bearing (empty) part file only if asked — skip
+      // the write entirely and the commit is a pure manifest edit
+      if (!survivors.isEmpty)
+        survivors.write.mode("append").parquet(staging.toString)
+    }
+  }
+
   /** [[merge]] wrapped in the optimistic-retry loop. Each retry RE-PLANS
     * against the fresh snapshot (merge does not commute with concurrent
     * commits the way appends do). */

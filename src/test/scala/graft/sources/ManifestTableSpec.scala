@@ -222,4 +222,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows.contains((1L, "A")) && rows.contains((50L, "z")), rows)
     assert(vM >= 2L)
   }
+
+  test("delete rewrites only affected files; all-matching file is dropped " +
+    "without rewrite; NULL-predicate rows survive") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, Some("a")), (2L, None)).toDF("id", "s").coalesce(1),
+      expectedVersion = 0L)
+    val v2 = ManifestTable.append(spark, dir,
+      Seq((10L, Some("x")), (11L, Some("y"))).toDF("id", "s").coalesce(1),
+      expectedVersion = v1)
+    val before = ManifestTable.files(dir, v2).map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).toSet
+    // predicate is TRUE for id=1, NULL for id=2 (s is null) -> only id=1
+    // goes; the second file has no match and must be carried by reference
+    val vD = ManifestTable.delete(spark, dir, col("s") === "a")
+    val after = ManifestTable.files(dir, vD).map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).toSet
+    assert(before.intersect(after).size == 1, s"before=$before after=$after")
+    assert(ManifestTable.read(spark, dir)._2
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((2L, None), (10L, Some("x")), (11L, Some("y"))))
+    // delete everything in the remaining original file: pure manifest
+    // edit, no new data file for it
+    val nFilesBefore = ManifestTable.files(dir, vD).size
+    val vD2 = ManifestTable.delete(spark, dir, col("id") >= 10L)
+    assert(ManifestTable.files(dir, vD2).size < nFilesBefore)
+    assert(ManifestTable.read(spark, dir)._2
+      .as[(Long, Option[String])].collect().toSet == Set((2L, None)))
+  }
 }
