@@ -138,6 +138,9 @@ object SparkEntry {
     "q114_outlier_zscore" -> (SetsAndAggs.outlierZscore _),
     "q115_bigram_lm"     -> (NorthStar.bigramLm _),
     "q116_token_entropy" -> (NorthStar.tokenEntropy _),
+    "q117_containment"   -> (NorthStar.containmentPairs _),
+    "q118_vocab_coverage" -> (NorthStar.vocabCoverage _),
+    "q119_dup_chunks"    -> (NorthStar.dupChunks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1477,6 +1480,62 @@ object SparkEntry {
         |FROM freq
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Containment denominator is min(|A|,|B|): both engines divide the
+    // same exact integers, so raw-threshold + round(…,4) agree.
+    "q117_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(c / least(sa.n_sh, sb.n_sh), 4) AS containment
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE c / least(sa.n_sh, sb.n_sh) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Integer-exact threshold crossing (cum·100 vs pct·tot) on both
+    // sides; cum/tot divides the same integers -> identical doubles.
+    "q118_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT token, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM tf),
+        |cum AS (SELECT cnt,
+        |               CAST(row_number() OVER w AS INTEGER) AS n_tokens,
+        |               CAST(sum(cnt) OVER w AS BIGINT) AS cum
+        |        FROM tf
+        |        WINDOW w AS (ORDER BY cnt DESC, token ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND CURRENT ROW))
+        |SELECT pct, n_tokens, round(cum / tot, 4) AS coverage
+        |FROM cum, tot, (VALUES (50), (90), (99)) t(pct)
+        |WHERE cum * 100 >= pct * tot AND (cum - cnt) * 100 < pct * tot
+        |ORDER BY pct""".stripMargin,
+    "q119_dup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |             md5(array_to_string(
+        |               toks[start : least(start + 19, len(toks))], ' '))
+        |               AS chunk_md5
+        |      FROM t, LATERAL unnest(range(1, len(toks) + 1, 10)) u(start))
+        |SELECT chunk_md5, count(*) AS n_occ,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY chunk_md5
+        |HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

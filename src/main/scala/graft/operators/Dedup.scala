@@ -249,6 +249,50 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** X2 trigram-shingle CONTAINMENT pairs — sub-document detection:
+    * containment C = |A ∩ B| / min(|A|, |B|) ≥ `threshold` flags a doc
+    * whose shingle set is (nearly) swallowed by another even when their
+    * Jaccard is tiny (a paragraph quoted inside a book), which is exactly
+    * the excerpt/quotation case Jaccard dedup misses (Broder 1997 defines
+    * both resemblance and containment for this reason).
+    *
+    * Same inverted-index + prefix-filter shape as [[jaccardPairs]], but
+    * the prefix bound comes from the SMALLER side only: a qualifying pair
+    * shares ≥ ceil(t·min(|A|,|B|)) shingles, so the smaller doc's
+    * `|A| - ceil(t·|A|) + 1` first shingles (any fixed total order — here
+    * the hash-sorted arrays) must contain a shared one (pigeonhole).
+    * Every doc indexes its own prefix, and whichever side of a pair is
+    * smaller guarantees the candidate — lossless. Note: NO size-ratio
+    * prefilter is possible here (a 10-shingle doc fully inside a
+    * 10⁶-shingle doc is a hit at any size ratio — that asymmetry is the
+    * point of the measure). */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val da = shingleArrays(docs).persist()
+    releaseAfter(da) {
+      val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+        .as("shingle"))
+      val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+      val candidates = prefix.as("a")
+        .join(sh.hint("SHUFFLE_HASH").as("b"),
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      candidates
+        .join(da.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+          col("n_sh").as("na")), "doc_a")
+        .join(da.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+          col("n_sh").as("nb")), "doc_b")
+        .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+        .withColumn("containment", col("c") / least(col("na"), col("nb")))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 4).as("containment"))
+    }
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) pair list via
     * iterative min-label propagation: every node repeatedly adopts the
     * minimum label among itself and its neighbors, converging in

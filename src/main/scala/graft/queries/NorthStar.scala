@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Par, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -443,5 +443,62 @@ object NorthStar {
         ($"cms_est" - $"exact_cnt").as("overcount"))
       .orderBy($"exact_cnt".desc, $"token")
       .limit(20)
+  }
+
+  /** X2 containment pairs ([[graft.operators.Dedup.containmentPairs]]):
+    * sub-document detection at C ≥ 0.9 — catches excerpt/quotation
+    * overlap that symmetric Jaccard misses. */
+  def containmentPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.containmentPairs(Tables.documents(spark, d), 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** X4 vocabulary coverage curve: the number of most-frequent tokens
+    * needed to cover 50% / 90% / 99% of all corpus token OCCURRENCES —
+    * the tokenizer-vocab sizing question every LLM data pipeline asks.
+    *
+    * Scale design: the window runs over the AGGREGATED vocabulary (one
+    * row per distinct token), orders of magnitude smaller than the
+    * corpus; the corpus-sized work is one map-side-combined groupBy.
+    * The "first row to cross the target" predicate needs no lag():
+    * previous cumulative = cum - cnt, so one window pass suffices. All
+    * comparisons are integer-exact (cum·100 ≥ pct·tot), no double
+    * thresholding. */
+  def vocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Par.fanOut(Tables.documents(spark, d))
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum($"cnt").as("tot"))
+    val w = Window.orderBy($"cnt".desc, $"token".asc)
+    tf.select($"cnt", row_number().over(w).as("n_tokens"),
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+      .crossJoin(broadcast(tot))
+      .select($"n_tokens", $"cum", $"tot",
+        explode(filter(array(lit(50), lit(90), lit(99)),
+          p => $"cum" * 100 >= p.cast("bigint") * $"tot" &&
+            ($"cum" - $"cnt") * 100 < p.cast("bigint") * $"tot")).as("pct"))
+      .select($"pct", $"n_tokens", round($"cum" / $"tot", 4).as("coverage"))
+      .orderBy($"pct")
+  }
+
+  /** X2/X4 duplicated-chunk detection: 20-token / stride-10 sliding
+    * windows ([[graft.operators.TextAnalysis.chunkTokens]]) hashed and
+    * grouped corpus-wide — the chunk-granular complement to doc-level
+    * dedup (boilerplate and quoted passages recur across otherwise
+    * distinct docs). Hashing to md5 BEFORE the groupBy keeps the shuffle
+    * key fixed-width regardless of chunk text size. */
+  def dupChunks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.chunkTokens(Tables.documents(spark, d), 20, 10)
+      .select(md5($"chunk_text").as("chunk_md5"), $"doc_id")
+      .groupBy($"chunk_md5")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_occ" > 1)
+      .orderBy($"chunk_md5")
   }
 }
