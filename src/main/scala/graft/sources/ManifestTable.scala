@@ -41,21 +41,49 @@ object ManifestTable {
 
   class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+  /** Per-file column bounds kept in the manifest line. `kind` is 'i'
+    * (integer), 'f' (floating), or 's' (UTF-8 string); min/max are the
+    * decimal / string renderings of the bound. */
+  case class ColStats(kind: Char, min: String, max: String)
+
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
   private def dataDir(dir: String): Path = Paths.get(dir, "data")
   private def currentPtr(dir: String): Path = manifestDir(dir).resolve("CURRENT")
+  private def propsPath(dir: String): Path = manifestDir(dir).resolve("PROPS")
   private def manifestPath(dir: String, v: Long): Path =
     manifestDir(dir).resolve(s"v$v.manifest")
 
-  /** Create an empty table (version 0, no files). No-op if it exists. */
-  def create(dir: String): Unit = synchronized {
+  /** Create an empty table (version 0, no files). No-op if it exists.
+    * `statsColumns` opts the table into per-file min/max statistics: every
+    * committed data file gets its bounds for these TOP-LEVEL columns
+    * recorded in the manifest line (read from the parquet FOOTER the file
+    * already carries — no data scan), and [[readWhereBetween]] then prunes
+    * whole files by predicate range before Spark ever lists them. This is
+    * the manifest-level data-skipping layer of Delta (per-file stats in
+    * the log) and Iceberg (manifest column bounds); at 100 TB the win is
+    * opening 1% of 800k files for a selective range instead of all. */
+  def create(dir: String, statsColumns: Seq[String] = Nil): Unit = synchronized {
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(manifestDir(dir))
+    require(statsColumns.forall(c => !c.exists(ch => ch == '\t' || ch == '\n')),
+      "stats column names must not contain tab/newline")
     if (!Files.exists(currentPtr(dir))) {
+      if (statsColumns.nonEmpty)
+        Files.write(propsPath(dir),
+          s"stats=${statsColumns.mkString(",")}"
+            .getBytes(StandardCharsets.UTF_8))
       Files.write(manifestPath(dir, 0L), Array.empty[Byte])
       publish(dir, 0L)
     }
   }
+
+  /** The stats-tracked columns of this table (empty when stats are off). */
+  def statsColumns(dir: String): Seq[String] =
+    if (!Files.exists(propsPath(dir))) Nil
+    else new String(Files.readAllBytes(propsPath(dir)), StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith("stats="))
+      .map(_.stripPrefix("stats=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   /** The committed snapshot version readers currently resolve. */
   def currentVersion(dir: String): Long =
@@ -63,12 +91,157 @@ object ManifestTable {
       .trim.toLong
 
   /** Data files of snapshot `v` (absolute paths). Manifest lines starting
-    * with '#' are metadata (e.g. `#txn=` markers), not files. */
-  def files(dir: String, v: Long): Seq[String] = {
+    * with '#' are metadata (e.g. `#txn=` markers), not files; a line's
+    * tab-separated tail (when present) is its per-file column stats. */
+  def files(dir: String, v: Long): Seq[String] =
+    rawFileLines(dir, v).map(l =>
+      dataDir(dir).resolve(l.takeWhile(_ != '\t')).toString)
+
+  /** Non-metadata manifest lines verbatim: `<name>` or `<name>\t<stats>`.
+    * Commits carry surviving files forward at THIS granularity so their
+    * stats ride along without recomputation. */
+  private def rawFileLines(dir: String, v: Long): Seq[String] = {
     val lines = new String(Files.readAllBytes(manifestPath(dir, v)),
       StandardCharsets.UTF_8)
     lines.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-      .map(n => dataDir(dir).resolve(n).toString)
+  }
+
+  /** (absolute path, per-column bounds) for every file of snapshot `v`.
+    * A file missing from a column's map has NO usable bounds for it
+    * (written before stats were enabled, all-null chunk, unsupported
+    * physical type) — readers must treat it as matching any predicate. */
+  def filesWithStats(dir: String, v: Long): Seq[(String, Map[String, ColStats])] =
+    rawFileLines(dir, v).map { l =>
+      l.split('\t') match {
+        case Array(name) => (dataDir(dir).resolve(name).toString,
+          Map.empty[String, ColStats])
+        case Array(name, enc) => (dataDir(dir).resolve(name).toString,
+          decodeStats(enc))
+        case parts => throw new IllegalStateException(
+          s"malformed manifest line (${parts.length} fields): $l")
+      }
+    }
+
+  /** Read the CURRENT snapshot with manifest-stats file pruning: only
+    * files whose [min, max] for `colName` intersects [lo, hi] (inclusive)
+    * are handed to Spark — plus, conservatively, files with no recorded
+    * bounds for that column. Row-level filtering is still the caller's
+    * job (`.filter`); pruning only shrinks the file list, exactly like
+    * Delta/Iceberg data skipping. Returns (version, DataFrame over the
+    * kept files, kept count, total count). With every file pruned the
+    * DataFrame is the snapshot's empty projection (schema intact). */
+  def readWhereBetween(spark: SparkSession, dir: String, colName: String,
+      lo: Any, hi: Any): (Long, DataFrame, Int, Int) = {
+    val v = currentVersion(dir)
+    val all = filesWithStats(dir, v)
+    require(all.nonEmpty, s"snapshot v$v is empty — nothing to read")
+    val kept = all.collect {
+      case (f, st) if st.get(colName).forall(overlaps(_, lo, hi)) => f
+    }
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else spark.read.parquet(all.head._1)
+        .where(org.apache.spark.sql.functions.lit(false))
+    (v, df, kept.size, all.size)
+  }
+
+  /** True iff a file whose `colName` spans [min, max] can contain a row
+    * in [lo, hi]. Numeric kinds compare as BigDecimal (exact for int64
+    * beyond double precision); strings lexicographically — both match the
+    * corresponding Spark/parquet orderings for these types. */
+  private def overlaps(st: ColStats, lo: Any, hi: Any): Boolean = st.kind match {
+    case 's' => st.max >= lo.toString && st.min <= hi.toString
+    case _ =>
+      val (mn, mx) = (BigDecimal(st.min), BigDecimal(st.max))
+      mx >= BigDecimal(lo.toString) && mn <= BigDecimal(hi.toString)
+  }
+
+  // Stats serialization: `col=kind:minEnc:maxEnc;...` after the filename's
+  // tab. Values are URL-encoded so data-derived strings can never smuggle
+  // the separators (tab, newline, ';', ':', '=') into the manifest.
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def encodeStats(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+    }.mkString(";")
+
+  private def decodeStats(s: String): Map[String, ColStats] =
+    s.split(';').filter(_.nonEmpty).map { part =>
+      val Array(c, v) = part.split('=')
+      val Array(kind, mn, mx) = v.split(':')
+      dec(c) -> ColStats(kind.head, dec(mn), dec(mx))
+    }.toMap
+
+  /** Column bounds for one committed file, from its parquet FOOTER (row
+    * group statistics — an O(footer) read, no data pages touched). A
+    * column is dropped for the file when ANY row group lacks usable
+    * bounds (all-null, NaN, non-UTF8 binary, unsupported type) — dropping
+    * is always safe, the file merely stops being prunable on that column.
+    * Note parquet writers may TRUNCATE long binary min/max; truncated
+    * bounds are still valid bounds, which is all pruning needs. */
+  private def footerStats(file: Path, cols: Set[String]): Map[String, ColStats] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Map.empty
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val acc = scala.collection.mutable.Map[String, ColStats]()
+      var bad = Set.empty[String]
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (cols.contains(name) && !bad.contains(name)) {
+          val st = c.getStatistics
+          val isUtf8 = c.getPrimitiveType.getLogicalTypeAnnotation != null &&
+            c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val bounds: Option[ColStats] =
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                Some(ColStats('i', mn.toString, mx.toString))
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some(ColStats('i', mn.toString, mx.toString))
+              case (mn: java.lang.Float, mx: java.lang.Float)
+                  if !mn.isNaN && !mx.isNaN =>
+                Some(ColStats('f', mn.toString, mx.toString))
+              case (mn: java.lang.Double, mx: java.lang.Double)
+                  if !mn.isNaN && !mx.isNaN =>
+                Some(ColStats('f', mn.toString, mx.toString))
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) if isUtf8 =>
+                Some(ColStats('s', mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+              case _ => None
+            }
+          bounds match {
+            case None => bad += name; acc.remove(name): Unit
+            case Some(cs) => acc.get(name) match {
+              case None => acc(name) = cs
+              case Some(prev) =>
+                require(prev.kind == cs.kind,
+                  s"row groups disagree on $name's type")
+                acc(name) = prev.kind match {
+                  case 's' => ColStats('s',
+                    if (cs.min < prev.min) cs.min else prev.min,
+                    if (cs.max > prev.max) cs.max else prev.max)
+                  case k => ColStats(k,
+                    (if (BigDecimal(cs.min) < BigDecimal(prev.min)) cs.min
+                     else prev.min),
+                    (if (BigDecimal(cs.max) > BigDecimal(prev.max)) cs.max
+                     else prev.max))
+                }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
   }
 
   /** True iff a committed snapshot ≤ CURRENT carries `#txn=<txn>` — the
@@ -352,10 +525,17 @@ object ManifestTable {
               Files.move(staging.resolve(n), dataDir(dir).resolve(n),
                 StandardCopyOption.ATOMIC_MOVE)
             }
-            val old = (if (keepOld)
-              files(dir, cur).map(f => Paths.get(f).getFileName.toString)
-            else Seq.empty).filterNot(removeFiles)
-            val lines = (old ++ newFiles) ++ txn.map(t => s"#txn=$t").toSeq
+            // footer stats for NEW files only; carried files keep the
+            // raw line (name + stats) they already have — per-commit
+            // stats cost is O(new footers), never O(table)
+            val statsCols = statsColumns(dir).toSet
+            val newLines = newFiles.map { n =>
+              val st = footerStats(dataDir(dir).resolve(n), statsCols)
+              if (st.isEmpty) n.toString else s"$n\t${encodeStats(st)}"
+            }
+            val old = (if (keepOld) rawFileLines(dir, cur) else Seq.empty)
+              .filterNot(l => removeFiles(l.takeWhile(_ != '\t')))
+            val lines = (old ++ newLines) ++ txn.map(t => s"#txn=$t").toSeq
             Files.write(manifestPath(dir, next),
               lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
             publish(dir, next)

@@ -252,4 +252,72 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir)._2
       .as[(Long, Option[String])].collect().toSet == Set((2L, None)))
   }
+
+  test("file stats prune reads by numeric and string range") {
+    val dir = Files.createTempDirectory("manifest_stats_").toString
+    ManifestTable.create(dir, statsColumns = Seq("id", "s"))
+    assert(ManifestTable.statsColumns(dir) == Seq("id", "s"))
+    // three appends with disjoint id ranges -> >= 3 files, tight bounds
+    var v = 0L
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      v = ManifestTable.append(spark, dir,
+        r.map(i => (i, f"s$i%03d")).toDF("id", "s").coalesce(1),
+        expectedVersion = v)
+    }
+    val stats = ManifestTable.filesWithStats(dir, v)
+    assert(stats.size >= 3 && stats.forall(_._2.keySet == Set("id", "s")),
+      stats.toString)
+    // numeric prune: [150, 160] intersects only the middle file's bounds
+    val (_, df, kept, total) =
+      ManifestTable.readWhereBetween(spark, dir, "id", 150L, 160L)
+    assert(kept < total, s"kept=$kept total=$total")
+    assert(df.filter($"id".between(150L, 160L)).count() == 11)
+    // pruned read + residual filter == full read + same filter
+    assert(df.filter($"id".between(150L, 160L)).as[(Long, String)]
+      .collect().toSet ==
+      ManifestTable.read(spark, dir)._2
+        .filter($"id".between(150L, 160L)).as[(Long, String)]
+        .collect().toSet)
+    // string prune on the same layout
+    val (_, _, keptS, totalS) =
+      ManifestTable.readWhereBetween(spark, dir, "s", "s050", "s060")
+    assert(keptS < totalS, s"keptS=$keptS totalS=$totalS")
+    // all pruned -> empty frame, schema intact
+    val (_, none, kept0, _) =
+      ManifestTable.readWhereBetween(spark, dir, "id", 5000L, 6000L)
+    assert(kept0 == 0 && none.columns.toSeq == Seq("id", "s") &&
+      none.count() == 0)
+  }
+
+  test("stats survive carry-forward commits and compaction recomputes them") {
+    val dir = Files.createTempDirectory("manifest_stats_carry_").toString
+    ManifestTable.create(dir, statsColumns = Seq("id"))
+    var v = ManifestTable.append(spark, dir,
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      expectedVersion = 0L)
+    v = ManifestTable.append(spark, dir,
+      (100L until 150L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      expectedVersion = v)
+    // merge rewrites only the file containing id=0; the OTHER file's line
+    // (and stats) must be carried verbatim
+    val untouchedBefore = ManifestTable.filesWithStats(dir, v)
+      .find(_._2("id").min == "100").get
+    v = ManifestTable.merge(spark, dir,
+      Seq((0L, "patched")).toDF("id", "s"), keyCols = Seq("id"))
+    val after = ManifestTable.filesWithStats(dir, v)
+    assert(after.contains(untouchedBefore), after.toString)
+    // the rewritten files carry fresh bounds: a [100,160] prune drops the
+    // 0-49 rewrite (zero-ROW part files have no row groups, hence no
+    // bounds — conservatively kept, contributing nothing)
+    val (_, prunedDf, keptM, totalM) =
+      ManifestTable.readWhereBetween(spark, dir, "id", 100L, 160L)
+    assert(keptM < totalM, s"kept=$keptM total=$totalM")
+    assert(prunedDf.filter($"id" >= 100L).count() == 50)
+    // compaction writes fresh files -> fresh footer stats spanning all
+    v = ManifestTable.compact(spark, dir, nFiles = 1)
+    val compacted = ManifestTable.filesWithStats(dir, v)
+    assert(compacted.size == 1)
+    val cs = compacted.head._2("id")
+    assert(cs.min == "0" && cs.max == "149", cs.toString)
+  }
 }
