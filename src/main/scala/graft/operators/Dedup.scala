@@ -92,7 +92,10 @@ object Dedup {
 
   /** Exact-Jaccard verification of (doc_a, doc_b) pairs whose sizes are
     * already known compatible: attach both hash arrays, intersect inside
-    * codegen, threshold on the RAW ratio (round only on survivors). */
+    * codegen, threshold on the RAW ratio (round only on survivors).
+    * The arrays are [[graft.plans.ShingleHashes]] output — sorted and
+    * distinct — so the allocation-free merge-walk counter applies
+    * (`sorted_intersect_count`), not the hash-set `array_intersect`. */
   private def verifyArrays(pairs: DataFrame, docArr: DataFrame,
       threshold: Double): DataFrame =
     pairs
@@ -100,7 +103,8 @@ object Dedup {
         col("n_sh").as("na")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
         col("n_sh").as("nb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("c",
+        TextExpressions.sorted_intersect_count(col("arr_a"), col("arr_b")))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -285,7 +289,8 @@ object Dedup {
           col("n_sh").as("na")), "doc_a")
         .join(da.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
           col("n_sh").as("nb")), "doc_b")
-        .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+        .withColumn("c",
+          TextExpressions.sorted_intersect_count(col("arr_a"), col("arr_b")))
         .withColumn("containment", col("c") / least(col("na"), col("nb")))
         .filter(col("containment") >= threshold)
         .select(col("doc_a"), col("doc_b"),

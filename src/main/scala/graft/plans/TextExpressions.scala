@@ -178,6 +178,64 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
     copy(child = c)
 }
 
+object SortedIntersectCount {
+  /** Two-pointer merge walk over two SORTED long arrays, counting common
+    * elements. Duplicate-free inputs (the [[ShingleHashes]] contract)
+    * make the count exactly |A ∩ B|; with duplicates it counts matched
+    * positions instead — callers own the sortedness/distinctness
+    * invariant, it is NOT checked per row. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** |A ∩ B| of two sorted distinct `array<bigint>` columns in one merge
+  * walk — what `size(array_intersect(a, b))` computes, minus the per-row
+  * hash-set build and the intermediate result-array allocation that
+  * built-in takes to handle UNSORTED inputs. This sits in the inner loop
+  * of every near-dup verify join (candidate pairs × array length), where
+  * the allocation-free walk is the difference between memory-bandwidth-
+  * bound and GC-bound at corpus scale. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.SortedIntersectCount$$.MODULE$$.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -187,4 +245,7 @@ object TextExpressions {
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
   def shingle_hashes(c: Column, width: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), width))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

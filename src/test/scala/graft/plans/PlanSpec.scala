@@ -126,4 +126,46 @@ class PlanSpec extends SparkSpec {
       f"(${tHof / tCodegen}%.1fx)")
     assert(tCodegen < tHof, s"codegen=$tCodegen hof=$tHof")
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on shingle arrays") {
+    import spark.implicits._
+    // real ShingleHashes output (sorted, distinct) over every doc pair of
+    // a 60-doc sample — includes empty-overlap, full-overlap (self pairs
+    // excluded by the builder, so add one identity column check instead)
+    val da = graft.operators.Dedup.shingleArrays(
+      graft.Tables.documents(spark, sf).filter($"doc_id" < 60))
+    val pairs = da.select($"arr".as("a"))
+      .crossJoin(da.select($"arr".as("b")))
+    val mismatches = pairs.filter(
+      graft.plans.TextExpressions.sorted_intersect_count($"a", $"b") =!=
+        size(array_intersect($"a", $"b"))).count()
+    assert(mismatches == 0)
+    // self-intersection = array length (full overlap path)
+    val selfBad = da.filter(
+      graft.plans.TextExpressions.sorted_intersect_count($"arr", $"arr") =!=
+        size($"arr")).count()
+    assert(selfBad == 0)
+  }
+
+  test("sorted_intersect_count merge walk beats array_intersect") {
+    import spark.implicits._
+    val da = graft.operators.Dedup.shingleArrays(
+      graft.Tables.documents(spark, sf)).select($"arr").cache()
+    da.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val pairs = da.crossJoin(da.select($"arr".as("brr")))
+    val warm = pairs.limit(10)
+    warm.select(graft.plans.TextExpressions
+      .sorted_intersect_count($"arr", $"brr")).count()
+    warm.select(size(array_intersect($"arr", $"brr"))).count()
+    val tWalk = time(pairs.select(sum(graft.plans.TextExpressions
+      .sorted_intersect_count($"arr", $"brr"))).collect())
+    val tBuiltin = time(
+      pairs.select(sum(size(array_intersect($"arr", $"brr")))).collect())
+    info(f"merge walk: $tWalk%.3fs, array_intersect: $tBuiltin%.3fs " +
+      f"(${tBuiltin / tWalk}%.1fx)")
+    assert(tWalk < tBuiltin, s"walk=$tWalk builtin=$tBuiltin")
+  }
 }
