@@ -145,6 +145,15 @@ object ManifestTable {
     (v, df, kept.size, all.size)
   }
 
+  /** Types [[overlaps]] can bound against 'i'/'f'/'s' stats — numbers and
+    * strings; anything else (timestamps, decimals-as-objects, binaries)
+    * makes the caller fall back to scanning every file. */
+  private def isRangeComparable(v: Any): Boolean = v match {
+    case _: java.lang.Number => true
+    case _: String => true
+    case _ => false
+  }
+
   /** True iff a file whose `colName` spans [min, max] can contain a row
     * in [lo, hi]. Numeric kinds compare as BigDecimal (exact for int64
     * beyond double precision); strings lexicographically — both match the
@@ -355,7 +364,7 @@ object ManifestTable {
     * Returns the committed version. An empty table degenerates to append. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, regexp_extract}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = currentVersion(dir)
     val fs = files(dir, v)
@@ -364,7 +373,34 @@ object ManifestTable {
       .filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
       s"updates carry duplicate keys (e.g. ${dupKeys.head}) — ambiguous merge")
-    val base = spark.read.parquet(fs: _*)
+    // Manifest-stats prescreen: when the (single) merge key is a
+    // stats-tracked column, only files whose key bounds intersect the
+    // updates' [min, max] can contain a matched row — the rest never get
+    // SCANNED, not just carried. This is the promised file-stats
+    // prescreen: a merge touching one ingest-day of a date-clustered
+    // table reads one day's files, not the table. Lossless: equi-join
+    // null keys match nothing, and unbounded files stay candidates.
+    val scanFs: Seq[String] =
+      if (keyCols.size == 1 && statsColumns(dir).contains(keyCols.head)) {
+        val k = keyCols.head
+        val row = updates.agg(min(col(k)), max(col(k))).head()
+        if (row.isNullAt(0)) Seq.empty // all-null keys: nothing can match
+        else (row.get(0), row.get(1)) match {
+          case (lo: Any, hi: Any) if isRangeComparable(lo) =>
+            filesWithStats(dir, v).collect {
+              case (f, st) if st.get(k).forall(overlaps(_, lo, hi)) => f
+            }
+          case _ => fs
+        }
+      } else fs
+    if (scanFs.isEmpty) {
+      // no file can hold a matched key -> pure insert on top of the
+      // carried snapshot
+      return commit(dir, expectedVersion = v, keepOld = true, txn = None) {
+        staging => updates.write.mode("append").parquet(staging.toString)
+      }
+    }
+    val base = spark.read.parquet(scanFs: _*)
       .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
     val affected = base
       .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")

@@ -320,4 +320,39 @@ class ManifestTableSpec extends SparkSpec {
     val cs = compacted.head._2("id")
     assert(cs.min == "0" && cs.max == "149", cs.toString)
   }
+
+  test("merge prescreens files by key-range stats: out-of-range never scanned") {
+    val dir = Files.createTempDirectory("manifest_prescreen_").toString
+    ManifestTable.create(dir, statsColumns = Seq("id"))
+    var v = ManifestTable.append(spark, dir,
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      expectedVersion = 0L)
+    v = ManifestTable.append(spark, dir,
+      (100L until 150L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(1),
+      expectedVersion = v)
+    // corrupt the 100-149 file ON DISK: any scan of it now throws, so the
+    // merge below (keys 0-9, disjoint from [100,149]) succeeds only if
+    // the stats prescreen kept that file out of the read entirely
+    val hiFile = ManifestTable.filesWithStats(dir, v)
+      .find(_._2("id").min == "100").get._1
+    Files.write(java.nio.file.Paths.get(hiFile),
+      "not parquet".getBytes("UTF-8"))
+    v = ManifestTable.merge(spark, dir,
+      (0L until 10L).map(i => (i, "patched")).toDF("id", "s"),
+      keyCols = Seq("id"))
+    // corrupt (= never-scanned) file still carried by reference
+    assert(ManifestTable.files(dir, v).contains(hiFile))
+    // the rewritten range is correct (read only the live files)
+    val lowFiles = ManifestTable.filesWithStats(dir, v)
+      .collect { case (f, st) if f != hiFile => f }
+    val low = spark.read.parquet(lowFiles: _*)
+    assert(low.filter($"s" === "patched").count() == 10)
+    assert(low.count() == 50)
+    // all-null update keys match nothing -> pure insert, no scan at all
+    val nullKey = ManifestTable.merge(spark, dir,
+      Seq((null.asInstanceOf[java.lang.Long], "orphan"))
+        .toDF("id", "s"), keyCols = Seq("id"))
+    assert(nullKey == v + 1)
+    assert(ManifestTable.files(dir, nullKey).contains(hiFile))
+  }
 }
