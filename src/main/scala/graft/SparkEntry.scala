@@ -141,6 +141,8 @@ object SparkEntry {
     "q117_containment"   -> (NorthStar.containmentPairs _),
     "q118_vocab_coverage" -> (NorthStar.vocabCoverage _),
     "q119_dup_chunks"    -> (NorthStar.dupChunks _),
+    "q120_lang_vocab90"  -> (NorthStar.langVocab90 _),
+    "q121_domain_cap"    -> (NorthStar.domainCap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1536,6 +1538,37 @@ object SparkEntry {
         |GROUP BY chunk_md5
         |HAVING count(*) > 1
         |ORDER BY chunk_md5""".stripMargin,
+    "q120_lang_vocab90" ->
+      """WITH tf AS (
+        |  SELECT lang, token, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY lang, token),
+        |c AS (SELECT lang, cnt,
+        |             CAST(row_number() OVER w AS INTEGER) AS n_tokens,
+        |             CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |      FROM tf
+        |      WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, token ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND CURRENT ROW))
+        |SELECT lang, n_tokens, round(cum / tot, 4) AS coverage
+        |FROM c
+        |WHERE cum * 10 >= tot * 9 AND (cum - cnt) * 10 < tot * 9
+        |ORDER BY lang""".stripMargin,
+    s"q121_domain_cap" ->
+      s"""WITH r AS (
+        |  SELECT source, row_number() OVER
+        |    (PARTITION BY source
+        |     ORDER BY ${rollingHashSql("text")} ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept
+        |FROM r
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -272,30 +272,37 @@ object Dedup {
     * point of the measure). */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val da = shingleArrays(docs).persist()
-    releaseAfter(da) {
-      val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
-        .as("shingle"))
-      val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
-      val candidates = prefix.as("a")
-        .join(sh.hint("SHUFFLE_HASH").as("b"),
-          col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-        .distinct()
-      candidates
-        .join(da.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-          col("n_sh").as("na")), "doc_a")
-        .join(da.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-          col("n_sh").as("nb")), "doc_b")
-        .withColumn("c",
-          TextExpressions.sorted_intersect_count(col("arr_a"), col("arr_b")))
-        .withColumn("containment", col("c") / least(col("na"), col("nb")))
-        .filter(col("containment") >= threshold)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("containment"), 4).as("containment"))
-    }
+    releaseAfter(da)(containmentPairsPlan(da, threshold))
+  }
+
+  /** LAZY plan-only variant of [[containmentPairs]] (see
+    * [[jaccardPairsLazy]] for the contract). */
+  def containmentPairsLazy(docs: DataFrame, threshold: Double): DataFrame =
+    containmentPairsPlan(shingleArrays(docs), threshold)
+
+  private def containmentPairsPlan(da: DataFrame, threshold: Double): DataFrame = {
+    val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
+      (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+      .as("shingle"))
+    val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+    val candidates = prefix.as("a")
+      .join(sh.hint("SHUFFLE_HASH").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(da.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(da.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("c",
+        TextExpressions.sorted_intersect_count(col("arr_a"), col("arr_b")))
+      .withColumn("containment", col("c") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** Connected components over an undirected (doc_a, doc_b) pair list via

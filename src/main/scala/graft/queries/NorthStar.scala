@@ -472,17 +472,62 @@ object NorthStar {
       .select(explode(split($"text", " ")).as("token"))
       .filter($"token" =!= "")
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val tot = tf.agg(sum($"cnt").as("tot"))
     val w = Window.orderBy($"cnt".desc, $"token".asc)
+    // tot via a whole-partition frame over the SAME (empty) partitioning:
+    // one pass over tf — a separate agg + cross join would recompute the
+    // corpus-sized tf subtree (no DataFrame-level CSE)
     tf.select($"cnt", row_number().over(w).as("n_tokens"),
-        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
-      .crossJoin(broadcast(tot))
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum($"cnt").over(Window.partitionBy()).as("tot"))
       .select($"n_tokens", $"cum", $"tot",
         explode(filter(array(lit(50), lit(90), lit(99)),
           p => $"cum" * 100 >= p.cast("bigint") * $"tot" &&
             ($"cum" - $"cnt") * 100 < p.cast("bigint") * $"tot")).as("pct"))
       .select($"pct", $"n_tokens", round($"cum" / $"tot", 4).as("coverage"))
       .orderBy($"pct")
+  }
+
+  /** X4 per-language vocabulary-90 size: [[vocabCoverage]] partitioned by
+    * `lang` — how concentrated each language's token distribution is.
+    * Both window frames (running + whole-partition) share the `lang`
+    * partitioning, so Catalyst plans ONE shuffle and one sort for the
+    * pair; parallelism is per-language where the global curve (q118) is
+    * single-partition at the final (vocab-sized) step. */
+  def langVocab90(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Par.fanOut(Tables.documents(spark, d))
+      .select($"lang", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    tf.select($"lang", $"cnt", row_number().over(w).as("n_tokens"),
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum($"cnt").over(Window.partitionBy($"lang")).as("tot"))
+      .filter($"cum" * 10 >= $"tot" * 9 && ($"cum" - $"cnt") * 10 < $"tot" * 9)
+      .select($"lang", $"n_tokens", round($"cum" / $"tot", 4).as("coverage"))
+      .orderBy($"lang")
+  }
+
+  /** X4 per-domain document cap — the "no crawl domain dominates the
+    * corpus" rule: keep at most K docs per `source`, chosen
+    * DETERMINISTICALLY by content-hash order (re-runs and backfills pick
+    * the same survivors; a random sample would not). Reports kept/total
+    * per source. One window over the `source` partitioning — at corpus
+    * scale this is the one shuffle a capping pass needs, and skewed
+    * mega-domains are exactly the rows the cap discards. */
+  def domainCap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val w = Window.partitionBy($"source")
+      .orderBy(TextExpressions.rolling_hash($"text").asc, $"doc_id".asc)
+    Tables.documents(spark, d)
+      .select($"source", row_number().over(w).as("rk"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= k, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
   }
 
   /** X2/X4 duplicated-chunk detection: 20-token / stride-10 sliding
