@@ -429,11 +429,48 @@ object ManifestTable {
     * snapshot — the version bump records that the delete ran. */
   def delete(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
     val v = currentVersion(dir)
     val fs = files(dir, v)
     if (fs.isEmpty) return commit(dir, v, keepOld = true, txn = None) { _ => () }
-    val base = spark.read.parquet(fs: _*)
+    deleteScanning(spark, dir, v, fs, predicate)
+  }
+
+  /** Range DELETE with the manifest-stats prescreen — the retention
+    * pattern ("drop rows with ts in [lo, hi]") at file-skipping cost:
+    * only files whose `colName` bounds intersect the range are SCANNED
+    * for matches; everything else is carried by reference untouched. On a
+    * time-clustered 100 TB table, deleting one month reads one month.
+    * Files fully inside the range still go through the rewrite path (and
+    * usually drop whole, with no new file) because bounds cover only
+    * non-null values — a NULL row must survive any range delete, so "all
+    * rows match" can never be concluded from min/max alone. */
+  def deleteWhereBetween(spark: SparkSession, dir: String, colName: String,
+      lo: Any, hi: Any): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = currentVersion(dir)
+    val all = filesWithStats(dir, v)
+    if (all.isEmpty) return commit(dir, v, keepOld = true, txn = None) { _ => () }
+    val scanFs =
+      if (statsColumns(dir).contains(colName) &&
+          isRangeComparable(lo) && isRangeComparable(hi))
+        all.collect {
+          case (f, st) if st.get(colName).forall(overlaps(_, lo, hi)) => f
+        }
+      else all.map(_._1)
+    if (scanFs.isEmpty) // no file can hold a matching row: version bump only
+      return commit(dir, v, keepOld = true, txn = None) { _ => () }
+    deleteScanning(spark, dir, v, scanFs,
+      col(colName).between(lit(lo), lit(hi)))
+  }
+
+  /** The shared copy-on-write delete: scan `scanFs` (a subset of snapshot
+    * `v`'s files — callers prescreen), rewrite only files containing a
+    * predicate-TRUE row, carry the rest. */
+  private def deleteScanning(spark: SparkSession, dir: String, v: Long,
+      scanFs: Seq[String],
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val base = spark.read.parquet(scanFs: _*)
       .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
     val affected = base.filter(predicate)
       .select(col("__file")).distinct()

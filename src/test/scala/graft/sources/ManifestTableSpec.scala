@@ -355,4 +355,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(nullKey == v + 1)
     assert(ManifestTable.files(dir, nullKey).contains(hiFile))
   }
+
+  test("deleteWhereBetween prescreens by stats; retention delete drops whole file") {
+    val dir = Files.createTempDirectory("manifest_rangedel_").toString
+    ManifestTable.create(dir, statsColumns = Seq("id"))
+    var v = 0L
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      v = ManifestTable.append(spark, dir,
+        r.map(i => (i, s"d$i")).toDF("id", "s").coalesce(1),
+        expectedVersion = v)
+    }
+    // corrupt the 200-299 file: the [0,99] retention delete must succeed
+    // without ever scanning it
+    val hiFile = ManifestTable.filesWithStats(dir, v)
+      .find(_._2("id").min == "200").get._1
+    Files.write(java.nio.file.Paths.get(hiFile),
+      "not parquet".getBytes("UTF-8"))
+    val nBefore = ManifestTable.files(dir, v).size
+    v = ManifestTable.deleteWhereBetween(spark, dir, "id", 0L, 99L)
+    // the fully-covered file dropped whole (no survivors, no new file),
+    // the corrupt out-of-range file carried by reference
+    assert(ManifestTable.files(dir, v).size == nBefore - 1)
+    assert(ManifestTable.files(dir, v).contains(hiFile))
+    val live = ManifestTable.filesWithStats(dir, v)
+      .collect { case (f, _) if f != hiFile => f }
+    assert(spark.read.parquet(live: _*)
+      .agg(org.apache.spark.sql.functions.min($"id")).head.getLong(0) == 100L)
+    // partial-range delete rewrites only the overlapping file
+    val v2 = ManifestTable.deleteWhereBetween(spark, dir, "id", 150L, 159L)
+    assert(ManifestTable.files(dir, v2).contains(hiFile))
+    val live2 = ManifestTable.filesWithStats(dir, v2)
+      .collect { case (f, _) if f != hiFile => f }
+    assert(spark.read.parquet(live2: _*)
+      .filter($"id".between(150L, 159L)).count() == 0)
+    assert(spark.read.parquet(live2: _*).count() == 90)
+    // fully-outside range: pure version bump, file set unchanged
+    val filesBefore = ManifestTable.files(dir, v2).toSet
+    val v3 = ManifestTable.deleteWhereBetween(spark, dir, "id", 5000L, 6000L)
+    assert(v3 == v2 + 1 && ManifestTable.files(dir, v3).toSet == filesBefore)
+  }
 }
