@@ -143,6 +143,8 @@ object SparkEntry {
     "q119_dup_chunks"    -> (NorthStar.dupChunks _),
     "q120_lang_vocab90"  -> (NorthStar.langVocab90 _),
     "q121_domain_cap"    -> (NorthStar.domainCap _),
+    "q122_range_bucketed" -> (Temporal.rangeJoinBucketed _),
+    "q123_session_overlap" -> (Temporal.sessionOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1569,6 +1571,49 @@ object SparkEntry {
         |FROM r
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q122: the oracle is the NAIVE theta join — the bucket rewrite must be
+    // invisible in the result. Same exact-integer-µs / single-division
+    // discipline as q92.
+    "q122_range_bucketed" ->
+      """WITH clicks AS (SELECT epoch_us(ts) AS p_us FROM events
+        |                WHERE event_type = 'click'),
+        |errors AS (SELECT epoch_us(ts) AS lo_us,
+        |                  epoch_us(ts) + 300000000 AS hi_us FROM events
+        |           WHERE event_type = 'error'),
+        |pairs AS (SELECT p_us - lo_us AS lag_us FROM clicks JOIN errors
+        |          ON p_us >= lo_us AND p_us < hi_us)
+        |SELECT lag_us // 60000000 AS lag_min,
+        |       count(*) AS n_pairs,
+        |       CAST(CAST(sum(lag_us) AS BIGINT) AS DOUBLE)
+        |         / count(*) / CAST(1000000 AS DOUBLE) AS avg_lag_s
+        |FROM pairs
+        |GROUP BY lag_min
+        |ORDER BY lag_min""".stripMargin,
+    // q123: naive theta self-join oracle over the q33 session boundaries
+    // (same epoch() gap formulation so the islands agree exactly).
+    "q123_session_overlap" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g),
+        |sess AS (SELECT user_id, sid, epoch_us(min(ts)) AS lo,
+        |                epoch_us(max(ts)) AS hi
+        |         FROM s GROUP BY user_id, sid),
+        |p AS (SELECT least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+        |      FROM sess a JOIN sess b
+        |      ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id)
+        |SELECT count(*) AS n_pairs,
+        |       CAST(CAST(sum(overlap_us) AS BIGINT) AS DOUBLE)
+        |         / count(*) / CAST(1000000 AS DOUBLE) AS avg_overlap_s,
+        |       CAST(max(overlap_us) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |         AS max_overlap_s
+        |FROM p""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

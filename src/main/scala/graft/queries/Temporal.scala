@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoinOps, Sessionize}
 
 /** Time-series / event-time queries (SURVEY.md §2.4 A6, §2.10 T6–T7 batch
   * analogs). Streaming formulations of the same operators live in
@@ -172,5 +172,64 @@ object Temporal {
         (round($"n_retained" / $"cohort" * 100, 4) + lit(0.0))
           .as("retention_pct"))
       .orderBy($"day_n")
+  }
+
+  /** A5 at scale — large-large band join via
+    * [[graft.operators.RangeJoinOps.bucketedRangeJoin]]: every (error,
+    * click) pair where the click lands inside the 5-minute window after the
+    * error, histogrammed by minute of lag. Both sides are fact-sized (~20%
+    * of events each), so the q28 broadcast-nested-loop shape would be
+    * O(|errors|·|clicks|) comparisons (~4·10^8 at sf0.1, unbounded at
+    * 100 TB); the bucket rewrite makes it one equi-shuffle per side.
+    * Avg lag follows the q92 rule: exact integer µs sums, one trailing
+    * IEEE-identical division chain, no round(). */
+  def rangeJoinBucketed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), unix_micros($"ts").as("p_us"))
+    val errors = ev.filter($"event_type" === "error")
+      .select(unix_micros($"ts").as("lo_us"),
+        (unix_micros($"ts") + lit(300000000L)).as("hi_us"))
+    RangeJoinOps.bucketedRangeJoin(clicks, errors,
+        pointCol = "p_us", loCol = "lo_us", hiCol = "hi_us",
+        bucketWidth = 300000000L)
+      .selectExpr("(p_us - lo_us) div 60000000 as lag_min",
+        "p_us - lo_us as lag_us")
+      .groupBy($"lag_min")
+      .agg(count(lit(1)).as("n_pairs"), sum($"lag_us").as("sum_lag_us"))
+      .select($"lag_min", $"n_pairs",
+        ($"sum_lag_us".cast("double") / $"n_pairs" / 1000000.0)
+          .as("avg_lag_s"))
+      .orderBy($"lag_min")
+  }
+
+  /** Interval-overlap self-join at scale: concurrent-session pairs across
+    * users ([[graft.operators.RangeJoinOps.bucketedOverlapJoin]] — both
+    * sides fact-sized, ~95k sessions at sf0.1). Sessions come from the q33
+    * gaps-and-islands operator; 96% are single-event points, so a 30-min
+    * bucket keeps replication ≈ 1. The canonical-bucket rule makes the
+    * result EXACTLY the naive theta join (the oracle). */
+  def sessionOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Sessionize
+      .sessionize(Tables.events(spark, d), "user_id", "ts", 1800)
+      .groupBy($"user_id", $"session_id")
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+    val a = sessions.select($"user_id".as("a_uid"), $"lo".as("a_lo"),
+      $"hi".as("a_hi"))
+    val b = sessions.select($"user_id".as("b_uid"), $"lo".as("b_lo"),
+      $"hi".as("b_hi"))
+    RangeJoinOps.bucketedOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 1800000000L)
+      .filter($"a_uid" < $"b_uid") // same-user sessions are disjoint by construction
+      .select((least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo"))
+        .as("overlap_us"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"overlap_us").as("sum_us"),
+        max($"overlap_us").as("max_us"))
+      .select($"n_pairs",
+        ($"sum_us".cast("double") / $"n_pairs" / 1000000.0)
+          .as("avg_overlap_s"),
+        ($"max_us".cast("double") / 1000000.0).as("max_overlap_s"))
   }
 }
