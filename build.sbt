@@ -33,5 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // AQE stays ON (scale-correct default); the env knob exists to measure
   // its per-stage materialization overhead at harness SFs.
   s"-Dspark.sql.adaptive.enabled=${sys.env.getOrElse("SPARK_GRAFT_AQE", "true")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the sandbox has 128 GiB and local[32] runs driver+executor
+  // in one JVM. 8g was a laptop setting — under it, round 4's 123-query
+  // bench ratcheted storage memory up (persist/localCheckpoint blocks wait
+  // on ContextCleaner) until unified memory starved and queries stalled.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -37,12 +37,53 @@ object Bench {
       case "noop" => df.write.format("noop").mode("overwrite").save()
       case _ => df.count(): Unit
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-query session hygiene. Several queries persist/localCheckpoint
+    // intermediates (shingle tables, LSH candidates, CC iterations); their
+    // blocks are only reclaimed asynchronously by ContextCleaner after the
+    // RDD reference is GC'd. Across a 123-query run the storage footprint
+    // ratchets up, execution memory (unified) shrinks, and unrelated queries
+    // stall 25-97x (round-4 bench: 1213s vs 78s in round 3 on identical
+    // plans). Blocking-unpersist everything a query left behind before
+    // timing the next one, so each query is measured against a clean store.
+    // Broadcasts, shuffle registrations, and checkpoint blocks are only
+    // reclaimed by ContextCleaner AFTER their driver references are GC'd,
+    // and Spark's own periodic full GC fires every 30 minutes
+    // (spark.cleaner.periodicGC.interval) — never, in a bench run. The
+    // explicit System.gc() enqueues the dead references so the cleaner
+    // actually drains between queries instead of compounding across 123 of
+    // them (the round-4 session pathology).
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    // GC time per query: lets a future reader tell environment noise (GC
+    // wall) from plan regressions without re-running anything.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+    // Iteration aid: SPARK_GRAFT_ONLY="q43,q57" times just those queries.
+    // The driver never sets it, so round benches always cover the suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o =>
+        o.contains(n) || o.contains(n.takeWhile(_ != '_'))) }
+    val timed = selected.map { case (name, fn) =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - g0) / 1e3
+      cleanup()
+      // storage-memory telemetry (post-cleanup): a ratcheting memUsed here
+      // is the signature of leaked blocks, visible without re-running
+      val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+      (name, sec, ok, gcSec, memUsed)
     }
-    val failed = timed.collect { case (n, _, false) => n }
+    val failed = timed.collect { case (n, _, false, _, _) => n }
     // Short key = "q01_filter_project" -> "q01"; collisions would be a
     // naming bug, so fail loudly rather than silently merge timings.
     def short(n: String): String = n.takeWhile(_ != '_')
@@ -53,16 +94,17 @@ object Bench {
     // only SUCCESSFUL timings go in the map (a failure's time-to-exception
     // is not a runtime); failures are named in the separate list, and
     // value == sum(queries) holds by construction
-    val qs = timed.collect { case (n, s, true) => s""""${short(n)}":${r3(s)}""" }
+    val qs = timed.collect { case (n, s, true, _, _) => s""""${short(n)}":${r3(s)}""" }
       .mkString("{", ",", "}")
-    val total = timed.collect { case (_, s, true) => s }.sum
+    val total = timed.collect { case (_, s, true, _, _) => s }.sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => s""""${short(n)}"""").mkString(""","failed":[""", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     // Full-name, full-precision record for humans / the judge.
-    val fullQs = timed.map { case (n, s, ok) =>
-      s""""$n":{"sec":$s,"ok":$ok}""" }.mkString("{\n  ", ",\n  ", "\n}")
+    val fullQs = timed.map { case (n, s, ok, gc, mem) =>
+      s""""$n":{"sec":$s,"ok":$ok,"gc_sec":$gc,"mem_used":$mem}""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
     val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),

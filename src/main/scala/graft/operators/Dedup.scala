@@ -269,24 +269,53 @@ object Dedup {
     * smaller guarantees the candidate — lossless. Note: NO size-ratio
     * prefilter is possible here (a 10-shingle doc fully inside a
     * 10⁶-shingle doc is a hit at any size ratio — that asymmetry is the
-    * point of the measure). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * point of the measure).
+    *
+    * STOP-SHINGLE CAP (`dfCap`): because the size-ratio prefilter is
+    * unavailable, one viral shingle with document frequency d would
+    * produce ~d² candidate rows with no bound — the scale-killer of the
+    * containment join. Shingles with df > dfCap are therefore dropped
+    * from the INDEX side before the candidate join (the per-shingle
+    * candidate volume is then ≤ df·dfCap, and ≤ dfCap² for surviving
+    * shingles). Recall contract: a qualifying pair is missed ONLY if
+    * every shared shingle inside the smaller doc's prefix window is
+    * hotter than dfCap — boilerplate-only overlap, which is usually the
+    * overlap one WANTS containment dedup to ignore. Verification is
+    * unchanged (full arrays), so no false positives are introduced. The
+    * default cap is far above the fixture corpus's max trigram df
+    * (lossless there — the oracle pins it); at web scale, size it to the
+    * candidate budget: candidates ≈ Σ_{df≤cap} df². */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      dfCap: Int = 10000): DataFrame = {
     val da = shingleArrays(docs).persist()
-    releaseAfter(da)(containmentPairsPlan(da, threshold))
+    releaseAfter(da)(containmentPairsPlan(da, threshold, dfCap))
   }
 
   /** LAZY plan-only variant of [[containmentPairs]] (see
     * [[jaccardPairsLazy]] for the contract). */
-  def containmentPairsLazy(docs: DataFrame, threshold: Double): DataFrame =
-    containmentPairsPlan(shingleArrays(docs), threshold)
+  def containmentPairsLazy(docs: DataFrame, threshold: Double,
+      dfCap: Int = 10000): DataFrame =
+    containmentPairsPlan(shingleArrays(docs), threshold, dfCap)
 
-  private def containmentPairsPlan(da: DataFrame, threshold: Double): DataFrame = {
+  private def containmentPairsPlan(da: DataFrame, threshold: Double,
+      dfCap: Int): DataFrame = {
     val prefix = da.select(col("doc_id"), explode(slice(col("arr"), lit(1),
       (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
       .as("shingle"))
     val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+    // df prescreen on the index side only: a probe row whose shingle is
+    // hot matches nothing once the hot rows are gone from the index, so
+    // capping one side bounds the join without touching the other. The
+    // df aggregation and the inner join both hash-exchange on `shingle`,
+    // the same key as the candidate join — the exchanges line up and
+    // reuse. (No broadcast hint: |hot ∪ cool| is corpus-dependent —
+    // ≤ occurrences/dfCap hot shingles, but the COOL set joined here is
+    // the vocabulary itself; let stats/AQE pick the strategy.)
+    val cool = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("shingle"))
+    val shCapped = sh.join(cool, Seq("shingle"))
     val candidates = prefix.as("a")
-      .join(sh.hint("SHUFFLE_HASH").as("b"),
+      .join(shCapped.hint("SHUFFLE_HASH").as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -435,6 +464,42 @@ object Dedup {
     val exactSurvivors = incoming.join(existing.select(col("text")),
       Seq("text"), "left_anti")
     dropIncomingPlan(exactSurvivors, shingleArrays(existing),
+      shingleArrays(exactSurvivors), threshold)
+  }
+
+  /** [[dropIncomingDuplicates]] against a PERSISTED existing-side shingle
+    * index — the batch-proportional production shape its scaladoc
+    * promises. `existingIndex` is a [[shingleArrays]]-shaped table
+    * (doc_id, arr, n_sh) read from storage (see
+    * [[graft.sources.IndexStore]]): the existing corpus is never
+    * re-shingled or re-shuffled here; the only O(corpus) work left is the
+    * scan of the index files themselves, and the candidate/verify stages
+    * stay proportional to the batch. `existingTexts` supplies the exact-
+    * text gate (a narrow `text` projection of the existing corpus — at
+    * scale, a fingerprint column in the same index). After the batch
+    * commits, append the survivors' [[shingleArrays]] rows to the index
+    * ([[graft.sources.IndexStore.append]]) so the next batch probes an
+    * up-to-date corpus — an O(batch) append, never a rebuild. */
+  def dropIncomingDuplicatesIndexed(existingIndex: DataFrame,
+      existingTexts: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val exactSurvivors = incoming.join(existingTexts.select(col("text")),
+      Seq("text"), "left_anti")
+    val in = shingleArrays(exactSurvivors).persist()
+    releaseAfter(in)(
+      dropIncomingPlan(exactSurvivors, existingIndex, in, threshold))
+  }
+
+  /** LAZY plan-only variant of [[dropIncomingDuplicatesIndexed]] — lets
+    * specs assert the existing side is SCANNED from the index (the plan
+    * references the index files; no shingling of the existing corpus
+    * appears anywhere). */
+  def dropIncomingDuplicatesIndexedLazy(existingIndex: DataFrame,
+      existingTexts: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    val exactSurvivors = incoming.join(existingTexts.select(col("text")),
+      Seq("text"), "left_anti")
+    dropIncomingPlan(exactSurvivors, existingIndex,
       shingleArrays(exactSurvivors), threshold)
   }
 

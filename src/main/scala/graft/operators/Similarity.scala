@@ -201,19 +201,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(rawCos, 4).as("cos"))
   }
 
+  /** IVF codebook TRAINING plan: the per-`label` mean vector of every
+    * cell (k-means' update step with given assignments) — O(corpus), run
+    * once and PERSISTED (see [[graft.sources.IndexStore]]); queries probe
+    * the stored centroids instead of re-deriving them per call (VERDICT
+    * r4 #6). Element-wise mean: posexplode → (label, pos) avg → rebuild. */
+  def ivfCells(emb: DataFrame): DataFrame =
+    Par.fanOut(emb)
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"))
+
   /** X3 IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every vector to its nearest centroid; a query probes only the
     * `nProbe` closest cells and rescores their members exactly. Centroids
     * here are the per-`label` mean vectors (k-means' assignment step with
     * given classes); at 100 TB the cell id becomes the partition key, so a
-    * probe touches nProbe partitions instead of the whole corpus. */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 3): DataFrame = {
-    // element-wise mean per label: posexplode → (label, pos) avg → rebuild
-    val cells = Par.fanOut(emb)
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .getField("m").as("centroid"))
+    * probe touches nProbe partitions instead of the whole corpus.
+    * TRAINS THE CODEBOOK IN-LINE ([[ivfCells]]) — the self-contained
+    * form for tests/ad-hoc use; a serving path passes stored centroids to
+    * [[ivfTopKWith]]. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 3): DataFrame =
+    ivfTopKWith(ivfCells(emb), emb, queryId, k, nProbe)
+
+  /** The IVF PROBE path against a trained codebook `cells`
+    * ((label, centroid) rows, typically a tiny table read from an
+    * [[graft.sources.IndexStore]] index): rank cells by query-to-centroid
+    * cosine, rescore only the members of the best `nProbe` cells exactly.
+    * No corpus-sized aggregation anywhere — the corpus is touched only by
+    * the cell-pruned scan. */
+  def ivfTopKWith(cells: DataFrame, emb: DataFrame, queryId: Long, k: Int,
+      nProbe: Int = 3): DataFrame = {
     val q = withNorm(emb.filter(col("vec_id") === queryId))
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     val probed = cells.crossJoin(broadcast(q))

@@ -101,9 +101,23 @@ object NorthStar {
     Similarity.annTopK(Tables.embeddings(spark, d), 0L, 10)
 
   /** X3 IVF ANN top-10 for query vec 0 (no oracle — approximate; recall
-    * pinned in OperatorSpec). */
-  def ivfTopK(spark: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(spark, d), 0L, 10)
+    * pinned in OperatorSpec). The codebook (per-label centroids) is
+    * TRAINED ONCE and persisted ([[graft.sources.IndexStore]]); each call
+    * probes the stored centroids — no per-call corpus aggregation
+    * (VERDICT r4 #6). */
+  def ivfTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val cells = graft.sources.IndexStore.ensure(spark, ivfIndexDir(d),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
+        "ivf-cells=per-label-mean")) {
+      Similarity.ivfCells(emb)
+    }
+    Similarity.ivfTopKWith(cells, emb, 0L, 10)
+  }
+
+  /** Per-SF location of the persisted IVF codebook. */
+  def ivfIndexDir(d: String): String =
+    s"spark-warehouse/graft_index/ivf_${new java.io.File(d).getName}"
 
   /** X4 language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, d: String): DataFrame = {
@@ -289,20 +303,36 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
-  /** X2 incremental dedup ([[graft.operators.Dedup.dropIncomingDuplicates]]):
-    * an incoming batch (every 5th doc) deduplicated against the existing
+  /** X2 incremental dedup
+    * ([[graft.operators.Dedup.dropIncomingDuplicatesIndexed]]): an
+    * incoming batch (every 5th doc) deduplicated against the existing
     * corpus (the rest) — exact text anti-join, then cross-set
-    * prefix-filtered Jaccard. The continuous-ingestion counterpart of the
-    * batch-global q37/q38. */
+    * prefix-filtered Jaccard probing a PERSISTED shingle index
+    * ([[graft.sources.IndexStore]], built once per source snapshot and
+    * reused across invocations). The continuous-ingestion counterpart of
+    * the batch-global q37/q38: with the index on disk, a micro-batch
+    * costs O(batch) shingling + candidate/verify, not an O(corpus)
+    * re-shingle per run. */
   def incrementalDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = graft.operators.Par.fanOut(Tables.documents(spark, d))
     val existing = docs.filter($"doc_id" % 5 =!= 0)
     val incoming = docs.filter($"doc_id" % 5 === 0)
-    Dedup.dropIncomingDuplicates(existing, incoming, 0.8)
+    val idx = graft.sources.IndexStore.ensure(spark,
+      shingleIndexDir(d),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/documents.parquet",
+        "existing=doc_id%5!=0", "shingle=word-trigram-xxhash64")) {
+      Dedup.shingleArrays(existing)
+    }
+    Dedup.dropIncomingDuplicatesIndexed(idx, existing, incoming, 0.8)
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
+
+  /** Per-SF location of q110's persisted shingle index (under the
+    * git-ignored local warehouse; on a cluster this is a table path). */
+  def shingleIndexDir(d: String): String =
+    s"spark-warehouse/graft_index/shingles_${new java.io.File(d).getName}"
 
   /** X4 bigram language-model statistics: the corpus's top bigrams with
     * their conditional probability P(w2 | w1) = c(w1,w2) / c(w1,·) — the
@@ -458,28 +488,84 @@ object NorthStar {
     * needed to cover 50% / 90% / 99% of all corpus token OCCURRENCES —
     * the tokenizer-vocab sizing question every LLM data pipeline asks.
     *
-    * Scale design: the window runs over the AGGREGATED vocabulary (one
-    * row per distinct token), orders of magnitude smaller than the
-    * corpus; the corpus-sized work is one map-side-combined groupBy.
+    * Scale design: the corpus-sized work is one map-side-combined groupBy;
+    * everything after runs over the AGGREGATED vocabulary (one row per
+    * distinct token). The global rank/cumsum over that vocabulary is a
+    * TWO-LEVEL cumulative sum — range-partition by the (cnt desc, token)
+    * sort order, rank + prefix-sum WITHIN each bucket (a partitioned
+    * window), then fold the per-bucket totals (≤ shuffle-partitions rows)
+    * into bucket offsets with an array aggregate — so no single-partition
+    * `Window.orderBy` appears anywhere in the plan: at a web-scale
+    * token-id vocabulary (10⁹ rows) every stage stays parallel, where the
+    * naive global window serializes the whole vocabulary through one task.
+    *
+    * The bucketed table is persisted for the duration of the query:
+    * `spark_partition_id` after a range exchange is only consistent
+    * across the two consumers (local windows, bucket totals) when both
+    * read the SAME materialization — range boundaries are re-sampled per
+    * execution. The final 3-row result is checkpointed and the pin
+    * released before returning ([[Dedup]]'s releaseAfter shape).
+    *
     * The "first row to cross the target" predicate needs no lag():
     * previous cumulative = cum - cnt, so one window pass suffices. All
     * comparisons are integer-exact (cum·100 ≥ pct·tot), no double
     * thresholding. */
   def vocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    val local = vocabRanked(spark, d).persist()
+    val out = vocabCoveragePlan(spark, local).localCheckpoint(true)
+    local.unpersist(false)
+    out
+  }
+
+  /** LAZY plan-only variant (no persist/checkpoint) for plan inspection —
+    * correctness of bucket offsets under re-execution is only guaranteed
+    * by [[vocabCoverage]]'s pin. */
+  def vocabCoverageLazy(spark: SparkSession, d: String): DataFrame =
+    vocabCoveragePlan(spark, vocabRanked(spark, d))
+
+  /** (bucket, cnt, lrn, lcum): per-token local rank and local cumulative
+    * count within range-partitioned buckets of the global
+    * (cnt desc, token asc) order — level one of the two-level cumsum. */
+  private def vocabRanked(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val tf = Par.fanOut(Tables.documents(spark, d))
       .select(explode(split($"text", " ")).as("token"))
       .filter($"token" =!= "")
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy($"cnt".desc, $"token".asc)
-    // tot via a whole-partition frame over the SAME (empty) partitioning:
-    // one pass over tf — a separate agg + cross join would recompute the
-    // corpus-sized tf subtree (no DataFrame-level CSE)
-    tf.select($"cnt", row_number().over(w).as("n_tokens"),
-        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
-        sum($"cnt").over(Window.partitionBy()).as("tot"))
-      .select($"n_tokens", $"cum", $"tot",
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val bucketed = tf
+      .repartitionByRange(nBuckets, $"cnt".desc, $"token".asc)
+      .withColumn("bucket", spark_partition_id())
+    val wLoc = Window.partitionBy($"bucket").orderBy($"cnt".desc, $"token".asc)
+    bucketed.select($"bucket", $"cnt",
+      row_number().over(wLoc).as("lrn"),
+      sum($"cnt").over(wLoc.rowsBetween(Window.unboundedPreceding, 0)).as("lcum"))
+  }
+
+  /** Level two: bucket offsets. Per-bucket totals fall out of the level-
+    * one columns (brows = max local rank, bsum = max local cumsum), get
+    * collected into ONE array row (≤ shuffle-partitions elements — bounded
+    * by config, not data), and prefix-summed with array aggregates (O(B²)
+    * on B ≤ a few thousand buckets — driver-free and trivially cheap).
+    * Broadcast back onto the level-one rows for the global rank/cumsum. */
+  private def vocabCoveragePlan(spark: SparkSession, local: DataFrame): DataFrame = {
+    import spark.implicits._
+    val btot = local.groupBy($"bucket")
+      .agg(max($"lrn").as("brows"), max($"lcum").as("bsum"))
+    val offs = btot
+      .agg(array_sort(collect_list(struct($"bucket", $"brows", $"bsum"))).as("bs"))
+      .select(explode(expr(
+        "transform(bs, (x, i) -> struct(x.bucket AS bucket, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.brows) AS row_off, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.bsum) AS cum_off, " +
+          "aggregate(bs, 0L, (a, y) -> a + y.bsum) AS tot))")).as("o"))
+      .select($"o.bucket".as("bucket"), $"o.row_off".as("row_off"),
+        $"o.cum_off".as("cum_off"), $"o.tot".as("tot"))
+    local.join(broadcast(offs), "bucket")
+      .select($"cnt", ($"lrn" + $"row_off").cast("int").as("n_tokens"),
+        ($"lcum" + $"cum_off").as("cum"), $"tot")
+      .select($"n_tokens", $"cum", $"tot", $"cnt",
         explode(filter(array(lit(50), lit(90), lit(99)),
           p => $"cum" * 100 >= p.cast("bigint") * $"tot" &&
             ($"cum" - $"cnt") * 100 < p.cast("bigint") * $"tot")).as("pct"))

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * JDBC round trip — the set-based fix for the reference's ≤300
   * statements/run pattern.
   *
-  * NOTE: no database endpoint exists in this harness (zero egress), so this
-  * class is compile-verified only; the trait contract itself is exercised
-  * through [[ParquetWarehouse]] in AlphaVantageSpec. */
+  * No NETWORK database exists in this harness (zero egress); the class is
+  * exercised for real against embedded Derby (in-process JDBC engine,
+  * ships with Spark) in DerbyWarehouseSpec — append, idempotent
+  * re-append, readBack, and describe all run through Spark's actual JDBC
+  * source/sink code paths. Against MySQL only the `url` changes. */
 class JdbcWarehouse(spark: SparkSession, url: String, table: String,
     user: String, password: String) extends StockWarehouse {
 
@@ -41,6 +43,12 @@ class JdbcWarehouse(spark: SparkSession, url: String, table: String,
       catch { case _: Exception => incoming }
     fresh.write
       .option("batchsize", 10000)
+      // The reference declares VARCHAR(10) for symbol (etl.py:116); the
+      // dialect default for StringType is an unbounded text type (MySQL
+      // TEXT, Derby CLOB) that many engines cannot index or even compare
+      // in a WHERE clause — declare the key column properly when the
+      // first append auto-creates the table.
+      .option("createTableColumnTypes", "symbol VARCHAR(16)")
       .mode("append")
       .jdbc(url, table, props)
   }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IndexStore
+
+/** The round-5 scale fixes as testable contracts: persisted derived
+  * datasets (IndexStore), the batch-proportional incremental dedup
+  * (existing side scanned from its index, never re-shingled), the
+  * containment stop-shingle cap, and the window-free vocab-coverage plan. */
+class IndexedOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  /** Root paths of every file-source scan in the optimized plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("IndexStore builds once, reuses while fresh, rebuilds on " +
+      "fingerprint change, and appends incrementally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idx").toString + "/t"
+    var builds = 0
+    def ensure(fp: String): DataFrame =
+      IndexStore.ensure(spark, dir, fp) {
+        builds += 1
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+    assert(ensure("fp1").count() == 2 && builds == 1)
+    // fresh: the build closure must NOT re-evaluate
+    assert(ensure("fp1").count() == 2 && builds == 1)
+    // stale fingerprint: rebuild exactly once
+    assert(ensure("fp2").count() == 2 && builds == 2)
+    // incremental maintenance: append is O(batch), visible immediately
+    IndexStore.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))
+    assert(ensure("fp2").count() == 3 && builds == 2)
+  }
+
+  test("sourceFingerprint tracks source files and derivation tags") {
+    val d = Files.createTempDirectory("fpsrc").toString
+    Files.write(java.nio.file.Paths.get(d, "part-0.parquet"), Array[Byte](1, 2))
+    val f1 = IndexStore.sourceFingerprint(d, "tag=a")
+    assert(f1 == IndexStore.sourceFingerprint(d, "tag=a")) // deterministic
+    assert(f1 != IndexStore.sourceFingerprint(d, "tag=b")) // tags matter
+    Files.write(java.nio.file.Paths.get(d, "part-1.parquet"), Array[Byte](3))
+    assert(f1 != IndexStore.sourceFingerprint(d, "tag=a")) // files matter
+  }
+
+  test("indexed incremental dedup equals the self-contained operator and " +
+      "scans the existing side from the index (no re-shingle)") {
+    import spark.implicits._
+    val docs = Par.fanOut(graft.Tables.documents(spark, sf))
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+    val dir = Files.createTempDirectory("shidx").toString + "/shingles"
+    val idx = IndexStore.ensure(spark, dir, "spec") {
+      Dedup.shingleArrays(existing)
+    }
+    val got = Dedup.dropIncomingDuplicatesIndexed(idx, existing, incoming, 0.8)
+      .select($"doc_id").orderBy($"doc_id")
+    val want = Dedup.dropIncomingDuplicates(existing, incoming, 0.8)
+      .select($"doc_id").orderBy($"doc_id")
+    assert(sortedRows(got) === sortedRows(want))
+    assert(got.count() > 0)
+    // plan contract: the existing side comes from the index FILES; the only
+    // shingle_hashes computations left are over the incoming batch
+    val lazyDf = Dedup.dropIncomingDuplicatesIndexedLazy(
+      idx, existing, incoming, 0.8)
+    assert(scanPaths(lazyDf).exists(_.contains(new java.io.File(dir).getName)),
+      s"existing side should scan the index dir, scans: ${scanPaths(lazyDf)}")
+    val lazyPlan = lazyDf.queryExecution.optimizedPlan.toString
+    val shingleOps = "shingle_hashes".r.findAllIn(lazyPlan).length
+    val unindexedOps = "shingle_hashes".r.findAllIn(
+      Dedup.dropIncomingDuplicatesLazy(existing, incoming, 0.8)
+        .queryExecution.optimizedPlan.toString).length
+    assert(shingleOps < unindexedOps,
+      s"indexed plan shingles as much as unindexed ($shingleOps vs $unindexedOps)")
+  }
+
+  test("containment stop-shingle cap drops hot-shingle-only pairs, keeps " +
+      "rare-shingle pairs (bounded candidates, documented recall)") {
+    import spark.implicits._
+    // (A,B): A's shingles are rare; B contains A verbatim -> containment 1.0
+    // (E,F): E is exactly the viral phrase; its ONLY shingle is hot
+    //        (df = 6 > cap) -> containment 1.0 but reachable only through
+    //        the hot shingle
+    val docs = (Seq(
+      (1L, "a b c d e"),               // A
+      (2L, "a b c d e f g h"),         // B ⊇ A
+      (3L, "x y z"),                   // E: single hot shingle
+      (4L, "x y z w1 w2 w3")           // F ⊇ E
+    ) ++ (5L to 8L).map(i => (i, s"x y z t$i u$i"))) // drive df("x y z") to 6
+      .toDF("doc_id", "text")
+    def pairs(cap: Int): Seq[String] =
+      sortedRows(Dedup.containmentPairs(docs, 0.9, dfCap = cap)
+        .select($"doc_a", $"doc_b"))
+    // generous cap: lossless — doc 3 ("x y z") is contained in EVERY doc
+    // carrying the viral phrase, plus the rare pair (1,2)
+    assert(pairs(10000) ===
+      Seq("1|2", "3|4", "3|5", "3|6", "3|7", "3|8"))
+    // tight cap: every containment reachable only through the hot shingle
+    // disappears; the rare-shingle pair survives
+    assert(pairs(3) === Seq("1|2"))
+  }
+
+  test("containment default cap is lossless on the fixture corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val capped = sortedRows(Dedup.containmentPairs(docs, 0.9)
+      .select($"doc_a", $"doc_b", $"containment"))
+    val uncapped = sortedRows(
+      Dedup.containmentPairs(docs, 0.9, dfCap = Int.MaxValue)
+        .select($"doc_a", $"doc_b", $"containment"))
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("vocabCoverage plans NO single-partition window (two-level cumsum)" +
+      " and matches the naive global-window result") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lazyDf = graft.queries.NorthStar.vocabCoverageLazy(spark, sf)
+    val globalWindows = lazyDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"found ${globalWindows.size} partition-less Window(s) in the plan")
+    // semantics: identical to the straightforward global-window form
+    val tf = graft.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"token".asc)
+    val want = tf.select($"cnt", row_number().over(w).as("n_tokens"),
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum($"cnt").over(Window.partitionBy()).as("tot"))
+      .select($"n_tokens", $"cum", $"tot",
+        explode(filter(array(lit(50), lit(90), lit(99)),
+          p => $"cum" * 100 >= p.cast("bigint") * $"tot" &&
+            ($"cum" - $"cnt") * 100 < p.cast("bigint") * $"tot")).as("pct"))
+      .select($"pct", $"n_tokens", round($"cum" / $"tot", 4).as("coverage"))
+      .orderBy($"pct")
+    val got = graft.queries.NorthStar.vocabCoverage(spark, sf)
+    assert(sortedRows(got) === sortedRows(want))
+    assert(got.count() == 3)
+  }
+
+  test("IVF probe path touches no corpus-wide centroid aggregation") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("ivf").toString + "/cells"
+    val cells = IndexStore.ensure(spark, dir, "spec") {
+      Similarity.ivfCells(emb)
+    }
+    val probe = Similarity.ivfTopKWith(cells, emb, 0L, 10)
+    // the probe plan reads centroids from the index files — no
+    // posexplode/avg retraining of the codebook inside the query
+    assert(scanPaths(probe).exists(_.contains(new java.io.File(dir).getName)),
+      s"probe should scan the codebook index, scans: ${scanPaths(probe)}")
+    val plan = probe.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"probe plan should not retrain centroids:\n$plan")
+    // and the result matches the self-contained (retraining) operator
+    val want = Similarity.ivfTopK(emb, 0L, 10)
+    assert(sortedRows(probe) === sortedRows(want))
+  }
+}

@@ -86,6 +86,68 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketOf is exact at the Long extremes (no prescale wrap)") {
+    import spark.implicits._
+    // Long.MinValue with width 7: the old `c - pmod(c, w)` prescale wrapped
+    // here and assigned a wrong bucket, silently dropping the match
+    // (ADVICE r4). The floor-div form must pair the extreme point with an
+    // interval that contains it.
+    val points = Seq((1L, Long.MinValue), (2L, Long.MinValue + 3),
+      (3L, Long.MaxValue)).toDF("pid", "p")
+    val intervals = Seq(
+      (10L, Long.MinValue, Long.MinValue + 5),
+      (11L, Long.MaxValue - 2, Long.MaxValue)) // half-open: excludes MaxValue
+      .toDF("iid", "lo", "hi")
+    for (width <- Seq(1L, 7L, 1000000007L)) {
+      val got = sortedRows(RangeJoinOps
+        .bucketedRangeJoin(points, intervals, "p", "lo", "hi", width)
+        .select("pid", "iid"))
+      val want = sortedRows(naive(points, intervals).select("pid", "iid"))
+      assert(got === want, s"width=$width")
+      assert(got.nonEmpty, s"width=$width matched nothing") // non-vacuous
+    }
+  }
+
+  test("bucketedOverlapJoin drops inverted intervals (documented semantics)") {
+    import spark.implicits._
+    // a=(5,3) is malformed (hi < lo); the naive theta predicate would
+    // match it against b=(2,6), but the operator's precondition is
+    // well-formed intervals and inverted rows are dropped — this spec pins
+    // that choice.
+    val a = Seq((1L, 5L, 3L), (2L, 2L, 4L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 2L, 6L)).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoinOps.bucketedOverlapJoin(a, b,
+      "a_lo", "a_hi", "b_lo", "b_hi", 4L)
+    assert(sortedRows(got.select("aid", "bid")) === Seq("2|10"))
+  }
+
+  test("reserved __bucket column and oversized spans fail loudly") {
+    import spark.implicits._
+    val p = Seq((1L, 0L)).toDF("pid", "p")
+    val withBucket = p.withColumn("__bucket", lit(9))
+    val i = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoinOps.bucketedRangeJoin(withBucket, i, "p", "lo", "hi", 10L)
+    }
+    assert(e1.getMessage.contains("__bucket"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoinOps.bucketedOverlapJoin(
+        i.toDF("aid", "a_lo", "a_hi").withColumn("__bucket", lit(1)),
+        i.toDF("bid", "b_lo", "b_hi"), "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+    }
+    assert(e2.getMessage.contains("__bucket"))
+    // one interval spanning > maxBucketsPerInterval buckets with width 1:
+    // descriptive error instead of an opaque sequence-cap failure
+    val wide = Seq((1L, 0L, RangeJoinOps.maxBucketsPerInterval + 10))
+      .toDF("iid", "lo", "hi")
+    val e3 = intercept[Exception] {
+      RangeJoinOps.bucketedRangeJoin(p, wide, "p", "lo", "hi", 1L).count()
+    }
+    val msgs = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("bucketWidth")), s"unexpected error: $msgs")
+  }
+
   test("bucketedOverlapJoin equals naive on fixture sessions") {
     import spark.implicits._
     val sessions = Sessionize
