@@ -91,6 +91,41 @@ class IndexedOpsSpec extends SparkSpec {
       s"indexed plan shingles as much as unindexed ($shingleOps vs $unindexedOps)")
   }
 
+  test("incremental dedup maintenance loop: probe, commit survivors, " +
+      "append their shingles, next batch probes the grown index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shloop").toString + "/shingles"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx0 = IndexStore.ensure(spark, dir, "v0") {
+      Dedup.shingleArrays(corpus)
+    }
+    // batch 1: one near-dup of doc 1 (dropped), one novel doc (survives)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // ~doc 1
+      (11L, "sphinx of black quartz judge my vow today now")) // novel
+      .toDF("doc_id", "text")
+    val surv1 = Dedup.dropIncomingDuplicatesIndexed(idx0, corpus, batch1, 0.5)
+    assert(surv1.select($"doc_id").as[Long].collect().toSet == Set(11L))
+    // maintenance: append ONLY the survivors' shingle rows — O(batch)
+    IndexStore.append(spark, dir,
+      Dedup.shingleArrays(batch1.join(surv1.select($"doc_id"), "doc_id")))
+    val idx1 = graft.sources.ManifestTable.read(spark, dir)._2
+    assert(idx1.count() == 3) // 2 corpus docs + 1 survivor
+    // batch 2: a near-dup of BATCH 1's survivor must now be caught —
+    // the index, not the original corpus, is the dedup horizon
+    val corpus1 = corpus.unionByName(
+      batch1.join(surv1.select($"doc_id"), "doc_id"))
+    val batch2 = Seq(
+      (20L, "sphinx of black quartz judge my vow today not"), // ~doc 11
+      (21L, "how vexingly quick daft zebras jump around"))    // novel
+      .toDF("doc_id", "text")
+    val surv2 = Dedup.dropIncomingDuplicatesIndexed(idx1, corpus1, batch2, 0.5)
+    assert(surv2.select($"doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
   test("containment stop-shingle cap drops hot-shingle-only pairs, keeps " +
       "rare-shingle pairs (bounded candidates, documented recall)") {
     import spark.implicits._
