@@ -306,14 +306,17 @@ object Dedup {
     // df prescreen on the index side only: a probe row whose shingle is
     // hot matches nothing once the hot rows are gone from the index, so
     // capping one side bounds the join without touching the other. The
-    // df aggregation and the inner join both hash-exchange on `shingle`,
-    // the same key as the candidate join — the exchanges line up and
-    // reuse. (No broadcast hint: |hot ∪ cool| is corpus-dependent —
-    // ≤ occurrences/dfCap hot shingles, but the COOL set joined here is
-    // the vocabulary itself; let stats/AQE pick the strategy.)
-    val cool = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("shingle"))
-    val shCapped = sh.join(cool, Seq("shingle"))
+    // filter is an ANTI-join against the HOT set, not an inner join
+    // against the cool set: |hot| ≤ total-occurrences/dfCap by
+    // construction (bounded, broadcastable at any corpus size, usually
+    // near-empty), where the cool set is the entire vocabulary — A/B at
+    // sf0.1: broadcasting the cool vocabulary cost q117 ~3s; the hot
+    // anti-join is noise. The df aggregation itself reads the persisted
+    // shingle cache (executable form) — one map-side-combined shuffle of
+    // distinct (shingle) keys, the unavoidable price of learning df.
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    val shCapped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val candidates = prefix.as("a")
       .join(shCapped.hint("SHUFFLE_HASH").as("b"),
         col("a.shingle") === col("b.shingle") &&
