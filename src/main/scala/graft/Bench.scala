@@ -106,10 +106,13 @@ object Bench {
       s""""$n":{"sec":$s,"ok":$ok,"gc_sec":$gc,"mem_used":$mem}""" }
       .mkString("{\n  ", ",\n  ", "\n}")
     val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      local.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // A filtered (SPARK_GRAFT_ONLY) run must NOT clobber the committed
+    // full-suite record.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        local.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.stop()
     // Emit on the REAL process stdout (FileDescriptor.out): when run via
     // `sbt runMain`, System.out is captured by sbt's logger and the line

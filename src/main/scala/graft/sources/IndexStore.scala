@@ -58,6 +58,18 @@ object IndexStore {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint for a source that is ITSELF a [[ManifestTable]]: the
+    * committed snapshot version plus derivation tags. Exact where
+    * [[sourceFingerprint]] is conservative — no file listing, no mtimes;
+    * the index invalidates precisely when the source table commits (and a
+    * compaction, which rewrites files without changing rows, still bumps
+    * the version — a false rebuild, never a stale read). This is the
+    * production wiring: when the corpus lives in a manifest table, derive
+    * the index fingerprint from the same snapshot the probe reads. */
+  def tableFingerprint(sourceTableDir: String, tags: String*): String =
+    (s"manifest-v${ManifestTable.currentVersion(sourceTableDir)}" +: tags)
+      .mkString(";")
+
   /** True iff `dir` holds a committed index built from `fingerprint`. */
   def isFresh(dir: String, fingerprint: String): Boolean =
     Files.exists(fingerprintPath(dir)) &&
