@@ -37,26 +37,9 @@ object Bench {
       case "noop" => df.write.format("noop").mode("overwrite").save()
       case _ => df.count(): Unit
     }
-    // Per-query session hygiene. Several queries persist/localCheckpoint
-    // intermediates (shingle tables, LSH candidates, CC iterations); their
-    // blocks are only reclaimed asynchronously by ContextCleaner after the
-    // RDD reference is GC'd. Across a 123-query run the storage footprint
-    // ratchets up, execution memory (unified) shrinks, and unrelated queries
-    // stall 25-97x (round-4 bench: 1213s vs 78s in round 3 on identical
-    // plans). Blocking-unpersist everything a query left behind before
-    // timing the next one, so each query is measured against a clean store.
-    // Broadcasts, shuffle registrations, and checkpoint blocks are only
-    // reclaimed by ContextCleaner AFTER their driver references are GC'd,
-    // and Spark's own periodic full GC fires every 30 minutes
-    // (spark.cleaner.periodicGC.interval) — never, in a bench run. The
-    // explicit System.gc() enqueues the dead references so the cleaner
-    // actually drains between queries instead of compounding across 123 of
-    // them (the round-4 session pathology).
-    def cleanup(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-    }
+    // Per-query session hygiene (shared with Verify): see SessionHygiene
+    // for the full round-4 pathology diagnosis.
+    def cleanup(): Unit = SessionHygiene.cleanup(spark)
     // GC time per query: lets a future reader tell environment noise (GC
     // wall) from plan regressions without re-running anything.
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

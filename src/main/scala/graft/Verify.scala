@@ -27,14 +27,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // Same per-query hygiene as Bench: blocking-unpersist leftovers
-        // and force a GC so ContextCleaner drains broadcasts/shuffles —
-        // without it the 123-query session degrades ~10x by the tail
-        // (see Bench.cleanup for the full diagnosis).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        System.gc()
+        SessionHygiene.cleanup(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

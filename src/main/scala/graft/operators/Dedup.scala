@@ -307,13 +307,16 @@ object Dedup {
     // hot matches nothing once the hot rows are gone from the index, so
     // capping one side bounds the join without touching the other. The
     // filter is an ANTI-join against the HOT set, not an inner join
-    // against the cool set: |hot| ≤ total-occurrences/dfCap by
-    // construction (bounded, broadcastable at any corpus size, usually
-    // near-empty), where the cool set is the entire vocabulary — A/B at
-    // sf0.1: broadcasting the cool vocabulary cost q117 ~3s; the hot
-    // anti-join is noise. The df aggregation itself reads the persisted
-    // shingle cache (executable form) — one map-side-combined shuffle of
-    // distinct (shingle) keys, the unavoidable price of learning df.
+    // against the cool set: |hot| ≤ total-occurrences/dfCap (the cool
+    // set is the entire vocabulary) — A/B at sf0.1: broadcasting the
+    // cool vocabulary cost q117 ~3s; the hot anti-join is noise. NOTE
+    // the hot bound still GROWS with the corpus (10^13 occurrences at
+    // cap 10^4 → up to 10^9 hot shingles); on a corpus where that
+    // exceeds the broadcast budget, drop this hint and let the anti-join
+    // shuffle — the cap's candidate bound is unaffected. The df
+    // aggregation itself reads the persisted shingle cache (executable
+    // form) — one map-side-combined shuffle of distinct (shingle) keys,
+    // the unavoidable price of learning df.
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle"))
     val shCapped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")

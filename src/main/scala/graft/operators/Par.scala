@@ -44,7 +44,13 @@ object Par {
     *
     *  - any shuffle-introducing operator (join, aggregate, distinct,
     *    repartition, window, global sort, set op) → the plan's output
-    *    parallelism is `spark.sql.shuffle.partitions`;
+    *    parallelism is `spark.sql.shuffle.partitions`. AQE may COALESCE
+    *    below that at runtime, but its default
+    *    (`coalescePartitions.parallelismFirst=true`) only shrinks small
+    *    outputs (target size ≈ total/defaultParallelism, floored at
+    *    minPartitionSize) — a post-shuffle input big enough for
+    *    parallelism to matter keeps ≈ defaultParallelism partitions, so
+    *    skipping the repartition is right at both ends of the scale;
     *  - otherwise, file-source leaves → Spark's own file-split math
     *    (`FilePartition.maxSplitBytes`: packed cost = bytes + #files ×
     *    openCostInBytes, split size capped by maxPartitionBytes and

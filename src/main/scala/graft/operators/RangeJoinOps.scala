@@ -57,14 +57,26 @@ object RangeJoinOps {
 
   /** `sequence(bucket(lo), bucket(hi))` with the replication-cap guard:
     * emits the bucket-id array, or raises a descriptive error when the
-    * span exceeds [[maxBucketsPerInterval]]. */
-  private def bucketSeq(bLo: Column, bHi: Column): Column =
-    when(bHi - bLo < lit(maxBucketsPerInterval), sequence(bLo, bHi))
+    * span exceeds [[maxBucketsPerInterval]]. Callers guarantee bHi ≥ bLo
+    * (they filter hi ≥ lo first), but the difference itself can OVERFLOW
+    * for astronomically wide intervals (lo near Long.MinValue, hi near
+    * Long.MaxValue): under ANSI mode a plain subtraction would throw
+    * ARITHMETIC_OVERFLOW before the guard even evaluates, and with ANSI
+    * off the wrapped (negative) span would sneak past a `< cap` check —
+    * `try_subtract` returns NULL on overflow, which fails the `when`
+    * conjuncts and routes to the same descriptive error either way. */
+  private def bucketSeq(bLo: Column, bHi: Column): Column = {
+    val span = try_subtract(bHi, bLo)
+    when(span.isNotNull && span >= 0 && span < lit(maxBucketsPerInterval),
+        sequence(bLo, bHi))
       .otherwise(raise_error(concat(
-        lit("range-join interval spans "), (bHi - bLo + 1).cast("string"),
+        lit("range-join interval spans "),
+        coalesce(try_add(span, lit(1L)).cast("string"),
+          lit("more than Long.MaxValue")),
         lit(s" buckets (cap $maxBucketsPerInterval) — bucketWidth is far " +
           "smaller than this interval; pick a width near the typical " +
           "interval length"))))
+  }
 
   private def requireNoBucketCol(df: DataFrame, side: String): Unit =
     require(!df.columns.contains("__bucket"),

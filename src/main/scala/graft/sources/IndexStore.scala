@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,9 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * appends, stats pruning all inherited) plus a `FINGERPRINT` file
   * recording what source state the index was derived from. [[ensure]]
   * compares fingerprints: match → read the table (no build); mismatch or
-  * absent → rebuild into a temp dir and atomically rename over the old
-  * index, so concurrent readers keep a consistent snapshot and a crashed
-  * build leaves no half-index behind.
+  * absent → rebuild as an [[ManifestTable.overwrite]] snapshot — one
+  * atomic pointer swap, so readers pinned to the old snapshot keep their
+  * exact (immutable) files and a crashed build leaves the old snapshot
+  * current. The FINGERPRINT file is written after the commit; a crash
+  * between the two leaves fresh data under a stale fingerprint, which
+  * costs one redundant rebuild — never a stale read.
   *
   * The fingerprint is the caller's contract: [[sourceFingerprint]] hashes
   * a parquet directory's (name, size, mtime) listing plus free-form tags
@@ -78,33 +81,22 @@ object IndexStore {
       Files.exists(Paths.get(dir, "_manifests", "CURRENT"))
 
   /** Read the index at `dir`, building it first iff absent or stale.
-    * `build` is evaluated at most once. Returns the index DataFrame (a
-    * parquet scan over the manifest's CURRENT snapshot — the caller's
-    * downstream plan reads files, it never re-derives). */
+    * `build` is evaluated at most once. An all-empty build is fine:
+    * Spark's writer emits one schema-bearing empty part file, so the
+    * committed snapshot stays readable (0 rows) — an empty index is a
+    * legitimate state for e.g. a shingle index over a corpus with no
+    * shingle-able docs yet. Returns the index DataFrame (a parquet scan
+    * pinned to the manifest's CURRENT snapshot — the caller's downstream
+    * plan reads files, it never re-derives, and a concurrent rebuild
+    * cannot invalidate the pinned file set, whose data files are
+    * immutable until [[ManifestTable.vacuum]]). */
   def ensure(spark: SparkSession, dir: String, fingerprint: String)
       (build: => DataFrame): DataFrame = synchronized {
     if (!isFresh(dir, fingerprint)) {
-      val parent = Paths.get(dir).toAbsolutePath.getParent
-      Files.createDirectories(parent)
-      val tmp = Files.createTempDirectory(parent, ".idxbuild_").toString
-      ManifestTable.create(tmp)
-      ManifestTable.appendWithRetry(spark, tmp, build)
-      Files.write(fingerprintPath(tmp),
+      ManifestTable.create(dir)
+      ManifestTable.overwriteWithRetry(spark, dir, build)
+      Files.write(fingerprintPath(dir),
         fingerprint.getBytes(StandardCharsets.UTF_8))
-      deleteRecursively(Paths.get(dir))
-      try Files.move(Paths.get(tmp), Paths.get(dir),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // another process won the build race; use theirs if fresh,
-          // otherwise surface the conflict rather than read stale data
-          deleteRecursively(Paths.get(tmp))
-          require(isFresh(dir, fingerprint),
-            s"index at $dir exists but does not match fingerprint " +
-              s"$fingerprint and could not be replaced")
-      }
     }
     ManifestTable.read(spark, dir)._2
   }
@@ -123,10 +115,4 @@ object IndexStore {
     v
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Option(p.toFile.listFiles()).getOrElse(Array.empty)
-        .foreach(f => deleteRecursively(f.toPath))
-    Files.deleteIfExists(p)
-  }
 }

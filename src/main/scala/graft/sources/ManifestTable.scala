@@ -296,6 +296,34 @@ object ManifestTable {
       df.write.mode("append").parquet(staging.toString)
     }
 
+  /** INSERT OVERWRITE: replace the table's contents with `df` as one NEW
+    * snapshot (new files + a manifest listing ONLY them + the pointer
+    * swap). Readers pinned to older versions keep their exact file set
+    * until [[vacuum]] — the atomic full-replace that a delete-directory /
+    * rewrite dance cannot give. `expectedVersion` CASes like [[append]]. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+      expectedVersion: Long, txn: Option[String] = None): Long =
+    commit(dir, expectedVersion, keepOld = false, txn) { staging =>
+      df.write.mode("append").parquet(staging.toString)
+    }
+
+  /** [[overwrite]] with the optimistic-retry loop of [[appendWithRetry]].
+    * Retried overwrites simply replace whatever won in between — callers
+    * wanting merge semantics use [[mergeWithRetry]]. */
+  def overwriteWithRetry(spark: SparkSession, dir: String, df: DataFrame,
+      maxRetries: Int = 10, txn: Option[String] = None): Long = {
+    var attempt = 0
+    while (true) {
+      try return overwrite(spark, dir, df, currentVersion(dir), txn)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Time-travel read: the exact file set of historical snapshot `v`
     * (valid until [[vacuum]]'s retention window passes it). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {

@@ -18,16 +18,18 @@ import graft.sources.ManifestTable
   *
   * Exactly-once + crash convergence: the CORPUS commit carries the
   * `#txn=<streamId>-<batchId>` marker ([[ManifestTable.streamingSink]]'s
-  * primitive), so a replayed batch is a no-op on the corpus. The INDEX is
-  * maintained by CATCH-UP, not by a paired commit: after the corpus
-  * commit, shingles are appended for exactly the corpus docs missing from
-  * the index (anti-join on doc_id). A crash between the two commits
-  * leaves the index behind by one batch; the next invocation's catch-up
-  * heals it — deliberately chosen over a two-table transactional dance,
-  * which plain manifests cannot make atomic. The catch-up's anti-join
-  * scans only the two tables' doc_id columns (narrow projections); the
-  * shingling it triggers is proportional to the MISSING docs, i.e. one
-  * batch in steady state.
+  * primitive), so a replayed batch is a no-op on the corpus (detected
+  * up-front, before any probe work is spent). The INDEX is maintained by
+  * CATCH-UP, not by a paired commit: shingles are appended for exactly
+  * the corpus docs missing from the index (anti-join on doc_id). The
+  * catch-up runs BEFORE the probe (healing any corpus-ahead-of-index gap
+  * a crash or external append left, so the probe never consults a stale
+  * index) and again after the commit (indexing this batch's survivors) —
+  * deliberately chosen over a two-table transactional dance, which plain
+  * manifests cannot make atomic. Each catch-up's anti-join scans only
+  * the two tables' doc_id columns (narrow projections); the shingling it
+  * triggers is proportional to the MISSING docs — zero in steady state
+  * for the pre-probe pass, one batch for the post-commit pass.
   *
   * In-batch duplicates: exact text dups inside one micro-batch collapse to
   * the lowest doc_id before the cross-set pass (a batch must not admit
@@ -51,6 +53,19 @@ object StreamingDedup {
     val spark = batch.sparkSession
     ManifestTable.create(corpusDir)
     ManifestTable.create(indexDir)
+    // Replay short-circuit: the corpus commit below would no-op on the
+    // txn marker anyway, but only after paying the full (eager) dedup
+    // probe for a result guaranteed to be discarded — skip straight to
+    // the index catch-up, which is what a replayed batch may still owe.
+    if (ManifestTable.hasCommittedTxn(corpusDir, s"$streamId-$batchId")) {
+      catchUpIndex(spark, corpusDir, indexDir)
+      return
+    }
+    // Heal FIRST: if a prior crash (or external append) left the corpus
+    // ahead of a NON-empty index, probing that stale index would admit
+    // near-dups of the unindexed docs permanently. A current index makes
+    // this a cheap doc_id anti-join no-op.
+    catchUpIndex(spark, corpusDir, indexDir)
     val inBatch = batch
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -50,6 +50,25 @@ class IndexedOpsSpec extends SparkSpec {
     assert(ensure("fp2").count() == 3 && builds == 2)
   }
 
+  test("ensure handles an empty build: schema-bearing 0-row index, " +
+      "readable, and a fingerprint change still rebuilds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("emptyidx").toString + "/t"
+    val empty = IndexStore.ensure(spark, dir, "fp") {
+      Seq.empty[(Long, String)].toDF("id", "v")
+    }
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "v")) // schema survived
+    // fresh: re-ensure serves the committed empty snapshot, no rebuild
+    assert(IndexStore.ensure(spark, dir, "fp") {
+      fail("build must not re-evaluate while fresh"); null
+    }.count() == 0)
+    // new fingerprint: rebuild replaces the empty snapshot atomically
+    assert(IndexStore.ensure(spark, dir, "fp2") {
+      Seq((1L, "a")).toDF("id", "v")
+    }.count() == 1)
+  }
+
   test("tableFingerprint invalidates exactly when the source table commits") {
     import spark.implicits._
     val base = Files.createTempDirectory("tfp").toString

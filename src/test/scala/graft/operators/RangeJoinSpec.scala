@@ -143,9 +143,18 @@ class RangeJoinSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       RangeJoinOps.bucketedRangeJoin(p, wide, "p", "lo", "hi", 1L).count()
     }
-    val msgs = Iterator.iterate(e3: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
-    assert(msgs.exists(_.contains("bucketWidth")), s"unexpected error: $msgs")
+    def msgs(t: Throwable): Seq[String] = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e3).exists(_.contains("bucketWidth")),
+      s"unexpected error: ${msgs(e3)}")
+    // an astronomically wide interval wraps the span SUBTRACTION itself —
+    // the >= 0 conjunct must still route it to the descriptive error
+    val astro = Seq((1L, Long.MinValue, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val e4 = intercept[Exception] {
+      RangeJoinOps.bucketedRangeJoin(p, astro, "p", "lo", "hi", 1L).count()
+    }
+    assert(msgs(e4).exists(_.contains("bucketWidth")),
+      s"unexpected error: ${msgs(e4)}")
   }
 
   test("bucketedOverlapJoin equals naive on fixture sessions") {

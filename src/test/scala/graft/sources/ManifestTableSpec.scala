@@ -32,6 +32,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir)._2.count() == 3)
   }
 
+  test("overwrite replaces contents atomically; pinned reader keeps its " +
+      "snapshot; stale overwrite rejected") {
+    val dir = freshTable()
+    val v1 = ManifestTable.append(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), expectedVersion = 0L)
+    val (_, pinned) = ManifestTable.read(spark, dir)
+    val v2 = ManifestTable.overwrite(spark, dir,
+      Seq((9L, "z")).toDF("id", "s"), expectedVersion = v1)
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, dir)._2
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // the reader pinned before the overwrite still sees its exact files
+    assert(pinned.count() == 2)
+    // CAS: an overwrite prepared against a stale version must not win
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.overwrite(spark, dir,
+        Seq((0L, "stale")).toDF("id", "s"), expectedVersion = v1)
+    }
+  }
+
   test("compaction is snapshot-isolated: pinned reader unaffected") {
     val dir = freshTable()
     var v = 0L

@@ -57,27 +57,48 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ManifestTable.read(spark, indexDir)._2.count() == 3)
   }
 
-  test("catch-up heals an index that fell behind the corpus (crash " +
-      "between the two commits)") {
+  test("sink heals a corpus-ahead-of-NONEMPTY-index gap BEFORE probing " +
+      "(crash between the two commits cannot admit near-dups)") {
     import spark.implicits._
     val (corpusDir, indexDir) = dirs()
     ManifestTable.create(corpusDir)
     ManifestTable.create(indexDir)
-    // simulate: corpus committed, crash before index append
+    // simulate the crash window: TWO corpus docs committed, only the
+    // first made it into the index — the index is non-empty AND stale,
+    // so a probe without the pre-heal would consult it and admit a
+    // near-dup of doc 2 permanently
+    val d1 = (1L, "pack my box with five dozen liquor jugs")
+    val d2 = (2L, "how vexingly quick daft zebras jump around today")
     ManifestTable.appendWithRetry(spark, corpusDir,
-      Seq((1L, "how vexingly quick daft zebras jump around today"))
-        .toDF("doc_id", "text"))
-    // next batch's sink call heals the index AND still dedups correctly:
-    // a near-dup of the unindexed doc must be rejected (the catch-up runs
-    // after the probe here, so rejection comes from the fallback path —
-    // then the index is current for the batch after)
-    StreamingDedup.catchUpIndex(spark, corpusDir, indexDir)
-    assert(ManifestTable.read(spark, indexDir)._2
-      .select($"doc_id").as[Long].collect().toSet == Set(1L))
+      Seq(d1, d2).toDF("doc_id", "text"))
+    ManifestTable.appendWithRetry(spark, indexDir,
+      graft.operators.Dedup.shingleArrays(Seq(d1).toDF("doc_id", "text")))
     val sink = StreamingDedup.dedupSink(corpusDir, indexDir, 0.5, "heal") _
-    sink(Seq((2L, "how vexingly quick daft zebras jump around tonight"))
+    sink(Seq((3L, "how vexingly quick daft zebras jump around tonight"))
       .toDF("doc_id", "text"), 0L)
+    // near-dup of the UNINDEXED doc 2: rejected because the sink healed
+    // the index before probing
+    assert(ManifestTable.read(spark, corpusDir)._2
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(ManifestTable.read(spark, indexDir)._2
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("replayed batch short-circuits on the txn marker (no probe work) " +
+      "but still owes the index catch-up") {
+    import spark.implicits._
+    val (corpusDir, indexDir) = dirs()
+    val sink = StreamingDedup.dedupSink(corpusDir, indexDir, 0.5, "rp") _
+    sink(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), 7L)
+    // wipe the index to prove the replay path performs catch-up
+    val idxV = ManifestTable.currentVersion(indexDir)
+    ManifestTable.overwrite(spark, indexDir,
+      ManifestTable.read(spark, indexDir)._2.limit(0), idxV)
+    sink(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), 7L) // same txn: corpus untouched
     assert(ManifestTable.read(spark, corpusDir)._2.count() == 1)
+    assert(ManifestTable.read(spark, indexDir)._2.count() == 1)
   }
 
   test("wired through a real writeStream.foreachBatch query") {
