@@ -107,21 +107,27 @@ class PlanSpec extends SparkSpec {
     assert(diff == 0.0) // same fold order → identical doubles, not just close
   }
 
+  /** Best-of-N wall time: a single-shot comparison is load-sensitive (a
+    * background GC or a neighboring suite's task can flip a 2x gap) and
+    * flaked twice in full-suite runs; the minimum over N runs measures
+    * the code's floor, which is what the A/B claims are about. */
+  private def bestOf(n: Int)(f: => Unit): Double =
+    (1 to n).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
   test("codegen dot product beats the CodegenFallback fold") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
       .select($"embedding".cast("array<double>").as("v")).cache()
     emb.count()
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
     // cross join: 500 x 500 = 250k dot products of dim 64
     val pairs = emb.crossJoin(emb.select($"v".as("w")))
     val warm = pairs.limit(10)
     warm.select(Similarity.dot($"v", $"w")).count()
     warm.select(Similarity.dotHof($"v", $"w")).count()
-    val tCodegen = time(pairs.select(sum(Similarity.dot($"v", $"w"))).collect())
-    val tHof = time(pairs.select(sum(Similarity.dotHof($"v", $"w"))).collect())
+    val tCodegen = bestOf(3)(pairs.select(sum(Similarity.dot($"v", $"w"))).collect())
+    val tHof = bestOf(3)(pairs.select(sum(Similarity.dotHof($"v", $"w"))).collect())
     info(f"codegen: $tCodegen%.3fs, higher-order fold: $tHof%.3fs " +
       f"(${tHof / tCodegen}%.1fx)")
     assert(tCodegen < tHof, s"codegen=$tCodegen hof=$tHof")
@@ -152,17 +158,14 @@ class PlanSpec extends SparkSpec {
     val da = graft.operators.Dedup.shingleArrays(
       graft.Tables.documents(spark, sf)).select($"arr").cache()
     da.count()
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
     val pairs = da.crossJoin(da.select($"arr".as("brr")))
     val warm = pairs.limit(10)
     warm.select(graft.plans.TextExpressions
       .sorted_intersect_count($"arr", $"brr")).count()
     warm.select(size(array_intersect($"arr", $"brr"))).count()
-    val tWalk = time(pairs.select(sum(graft.plans.TextExpressions
+    val tWalk = bestOf(3)(pairs.select(sum(graft.plans.TextExpressions
       .sorted_intersect_count($"arr", $"brr"))).collect())
-    val tBuiltin = time(
+    val tBuiltin = bestOf(3)(
       pairs.select(sum(size(array_intersect($"arr", $"brr")))).collect())
     info(f"merge walk: $tWalk%.3fs, array_intersect: $tBuiltin%.3fs " +
       f"(${tBuiltin / tWalk}%.1fx)")
