@@ -145,6 +145,9 @@ object SparkEntry {
     "q121_domain_cap"    -> (NorthStar.domainCap _),
     "q122_range_bucketed" -> (Temporal.rangeJoinBucketed _),
     "q123_session_overlap" -> (Temporal.sessionOverlap _),
+    "q124_doc_perplexity" -> (NorthStar.docPerplexity _),
+    "q125_novel_bigrams" -> (NorthStar.novelBigrams _),
+    "q126_source_kl"     -> (NorthStar.sourceKl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1614,6 +1617,70 @@ object SparkEntry {
         |       CAST(max(overlap_us) AS DOUBLE) / CAST(1000000 AS DOUBLE)
         |         AS max_overlap_s
         |FROM p""".stripMargin,
+    // q124: self-scored bigram-LM perplexity; every observed bigram has
+    // p > 0 (trained on the same corpus) so no smoothing term. ln/exp on
+    // exact integer counts in both engines; round(4) absorbs fp drift.
+    "q124_doc_perplexity" ->
+      """WITH dbc AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS c
+        |  FROM (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                      for i in range(1, len(t))]) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents)
+        |        WHERE len(t) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |model AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cnt2
+        |          FROM dbc GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS c1
+        |        FROM model GROUP BY 1)
+        |SELECT doc_id,
+        |       round(exp(sum(c * (ln(c1) - ln(cnt2)))
+        |                 / CAST(sum(c) AS BIGINT)), 4) + 0.0 AS ppl,
+        |       CAST(sum(c) AS BIGINT) AS n_bigrams
+        |FROM dbc JOIN model USING (w1, w2) JOIN uni USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q125: novelty = fraction of a doc's bigram occurrences first seen
+    // (min doc_id) in this doc. Exact integers until the one division.
+    "q125_novel_bigrams" ->
+      """WITH dbc AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS c
+        |  FROM (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+        |                      for i in range(1, len(t))]) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents)
+        |        WHERE len(t) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |fd AS (SELECT w1, w2, min(doc_id) AS first_doc
+        |       FROM dbc GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       round(CAST(sum(CASE WHEN doc_id = first_doc THEN c
+        |                          ELSE 0 END) AS BIGINT)
+        |             / CAST(sum(c) AS BIGINT), 4) + 0.0 AS novelty,
+        |       CAST(sum(c) AS BIGINT) AS n_bigrams
+        |FROM dbc JOIN fd USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q126: KL(source ‖ corpus) over unigram distributions; all ln args
+    // are exact integer counts so both engines see identical inputs.
+    "q126_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw
+        |           FROM tok GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM corpus)
+        |SELECT source,
+        |       round(sum(c * (ln(c) - ln(ns) - ln(cw) + ln(n_total)))
+        |             / max(ns), 4) + 0.0 AS kl,
+        |       max(ns) AS n_tokens
+        |FROM tok JOIN corpus USING (w) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

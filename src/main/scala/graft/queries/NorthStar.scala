@@ -361,6 +361,147 @@ object NorthStar {
       .limit(50)
   }
 
+  /** X4 per-document bigram-LM perplexity — the CCNet/Gopher-style
+    * fluency filter: train the [[bigramLm]] model on the corpus, score
+    * each document by exp of its per-bigram cross-entropy under that
+    * model (word-soup spam scores high, natural text low). Self-scoring
+    * means every observed bigram has p > 0, so no smoothing term is
+    * needed and the result is oracle-exact.
+    *
+    * One corpus pass: the per-(doc, bigram) counts are persisted and
+    * reused by BOTH the model aggregation and the scoring join (Spark
+    * has no DataFrame-level CSE — without the pin the corpus would be
+    * scanned + tokenized twice, the q116 lesson). The unigram table
+    * derives from the bigram MODEL, not the corpus, so it costs a
+    * model-sized aggregate, and the model-side join key (w1, w2) has
+    * vocabulary² cardinality — corpus growth fattens counts, not keys.
+    * The 1-row-per-doc result is checkpointed and the pin released
+    * before returning (vocabCoverage's shape). ln drift is ~1e-15 per
+    * term and exp amplifies it by ppl (≤ vocab size), still 6+ orders
+    * below the round(4) boundary. */
+  def docPerplexity(spark: SparkSession, d: String): DataFrame =
+    docPerplexityOf(Tables.documents(spark, d))
+
+  /** Per-(doc, bigram) occurrence counts — the shared first stage of the
+    * bigram-LM family ([[docPerplexityOf]], [[novelBigramsOf]]). Bigram
+    * enumeration is row-local; the groupBy shuffles on (doc_id, w1, w2),
+    * whose per-doc fan-out is bounded by document length. Callers persist
+    * the result: each consumes it through ≥2 aggregations and Spark has
+    * no DataFrame-level CSE (the q116 lesson). */
+  private def docBigramCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.fanOut(docs)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .groupBy($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Core of [[docPerplexity]] on an explicit (doc_id, text) frame. */
+  def docPerplexityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dbc = docBigramCounts(docs).persist()
+    val model = dbc.groupBy($"w1", $"w2").agg(sum($"c").as("cnt2"))
+    val uni = model.groupBy($"w1").agg(sum($"cnt2").as("c1"))
+    // H = -(1/N) Σ c·ln(cnt2/c1) ≥ 0 since cnt2 ≤ c1; ppl = exp(H) ≥ 1
+    val out = dbc
+      .join(model.join(uni, "w1"), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"),
+        sum($"c" * (log($"c1") - log($"cnt2"))).as("s"))
+      .select($"doc_id",
+        (round(exp($"s" / $"n"), 4) + lit(0.0)).as("ppl"),
+        $"n".as("n_bigrams"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    dbc.unpersist(false)
+    out
+  }
+
+  /** X4 per-document n-gram novelty — the deduplicated-token-count
+    * signal of data curation (Lee et al.'s "Deduplicating Training Data"
+    * family): the fraction of a doc's bigram occurrences whose FIRST
+    * corpus appearance (min doc_id) is this document. Boilerplate and
+    * near-dup tails score ~0, fresh content ~1 — a rank-free complement
+    * to pairwise dedup that needs no threshold.
+    *
+    * Shapes: one corpus pass into the persisted [[docBigramCounts]];
+    * first-appearance is a min aggregate on the (w1, w2) model key
+    * (vocabulary², not corpus, cardinality); the verdict join is
+    * model-keyed; the final rollup shuffles on doc_id. All exact
+    * integers until the one terminal division. */
+  def novelBigrams(spark: SparkSession, d: String): DataFrame =
+    novelBigramsOf(Tables.documents(spark, d))
+
+  /** Core of [[novelBigrams]] on an explicit (doc_id, text) frame. */
+  def novelBigramsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dbc = docBigramCounts(docs).persist()
+    val fd = dbc.groupBy($"w1", $"w2").agg(min($"doc_id").as("first_doc"))
+    val out = dbc.join(fd, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"),
+        sum(when($"doc_id" === $"first_doc", $"c")
+          .otherwise(lit(0L))).as("nov"))
+      .select($"doc_id",
+        (round($"nov" / $"n", 4) + lit(0.0)).as("novelty"),
+        $"n".as("n_bigrams"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    dbc.unpersist(false)
+    out
+  }
+
+  /** X4 per-source distribution shift — KL(source ‖ corpus) over unigram
+    * distributions, the domain-shift score a mixing pipeline uses to spot
+    * sources whose token statistics diverge from the pool (machine
+    * boilerplate, wrong-language crawls) before they skew a training mix.
+    * Every source token is in the corpus by construction, so the KL is
+    * finite and needs no smoothing.
+    *
+    * Shapes: per-(source, token) counts persisted once (two consumers);
+    * the corpus marginal derives from THOSE counts (vocabulary-keyed
+    * aggregate — never a second corpus scan); the source-totals and the
+    * grand total are broadcast (≤ #sources rows and 1 row). The only
+    * corpus-independent shuffle key is the vocabulary; the final rollup
+    * has #sources groups with map-side partial aggregation. */
+  def sourceKl(spark: SparkSession, d: String): DataFrame =
+    sourceKlOf(Tables.documents(spark, d))
+
+  /** Core of [[sourceKl]] on an explicit (source, text) frame. */
+  def sourceKlOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = Par.fanOut(docs)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .persist()
+    val corpus = tok.groupBy($"w").agg(sum($"c").as("cw"))
+    val ns = tok.groupBy($"source").agg(sum($"c").as("ns"))
+    val n = corpus.agg(sum($"cw").as("n_total"))
+    // KL = (1/ns)·Σ c·(ln c − ln ns − ln cw + ln N), exact ints inside ln
+    val out = tok.join(corpus, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .groupBy($"source")
+      .agg(sum($"c" * (log($"c") - log($"ns") - log($"cw")
+        + log($"n_total"))).as("s"),
+        max($"ns").as("nt"))
+      .select($"source",
+        (round($"s" / $"nt", 4) + lit(0.0)).as("kl"),
+        $"nt".as("n_tokens"))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    tok.unpersist(false)
+    out
+  }
+
   /** X4 per-doc token entropy (nats): -Σ p·ln(p) over the doc's token
     * distribution — the information-density quality signal (word-soup
     * spam scores low, natural text mid-range). Two key-bounded shuffles:

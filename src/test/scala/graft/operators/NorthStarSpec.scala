@@ -20,6 +20,59 @@ class NorthStarSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("docPerplexity matches the hand-computed bigram cross-entropy") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 → p(b|a)=1, p(a|b)=1/2,
+    // p(c|b)=1/2.  doc 1 "a b a b": H = ln2/3 → ppl = 2^(1/3);
+    // doc 2 "a b c": H = ln2/2 → ppl = sqrt(2).  doc 3 is dropped (<2
+    // tokens), matching the oracle's len(t) >= 2 gate.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.NorthStar.docPerplexityOf(docs)
+      .as[(Long, Double, Long)].collect().toList
+    assert(got == List(
+      (1L, BigDecimal(math.pow(2, 1.0 / 3)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 3L),
+      (2L, BigDecimal(math.sqrt(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 2L)))
+  }
+
+  test("novelBigrams scores first appearance 1.0 and reuse fractionally") {
+    import spark.implicits._
+    // doc 1 introduces (a,b) and (b,a) → 3/3 novel; doc 2 reuses (a,b)
+    // (first seen in doc 1) and introduces (b,c) → 1/2 novel
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.NorthStar.novelBigramsOf(docs)
+      .as[(Long, Double, Long)].collect().toList
+    assert(got == List((1L, 1.0, 3L), (2L, 0.5, 2L)))
+  }
+
+  test("sourceKl matches hand-computed KL and is 0 for a corpus-like source") {
+    import spark.implicits._
+    // s1: a,a,b (ns=3)  s2: a,b,b,b (ns=4)  corpus: a:3 b:4 (N=7)
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "a b b b", "s2")
+    ).toDF("doc_id", "text", "source")
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl1 = 2.0 / 3 * math.log(2.0 / 3 / (3.0 / 7)) +
+      1.0 / 3 * math.log(1.0 / 3 / (4.0 / 7))
+    val kl2 = 1.0 / 4 * math.log(1.0 / 4 / (3.0 / 7)) +
+      3.0 / 4 * math.log(3.0 / 4 / (4.0 / 7))
+    val got = graft.queries.NorthStar.sourceKlOf(docs)
+      .as[(String, Double, Long)].collect().toList
+    assert(got == List(("s1", r4(kl1), 3L), ("s2", r4(kl2), 4L)))
+    // a source distributed exactly like the corpus has KL = 0
+    val uniform = Seq((1L, "a b", "u1"), (2L, "a b", "u2"))
+      .toDF("doc_id", "text", "source")
+    val zeros = graft.queries.NorthStar.sourceKlOf(uniform)
+      .as[(String, Double, Long)].collect().toList
+    assert(zeros == List(("u1", 0.0, 2L), ("u2", 0.0, 2L)))
+  }
+
   test("connectedComponents merges chains transitively (A~B~C, A!~C)") {
     import spark.implicits._
     // 1-2, 2-3 near-dup but 1-3 not; plus an isolated pair 7-9
