@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly (north-star X4+):
+  * GPT-style sequence packing into fixed context windows, quality-ordered
+  * token-budget cuts, and deterministic hash-stratified mixture sampling.
+  *
+  * The packing and budget ops need a GLOBAL ordered prefix sum over the
+  * corpus. The textbook plan (`Window.orderBy` with no partition) funnels
+  * every row through ONE partition — the exact cliff the q118 vocab-coverage
+  * rewrite removed — so both build on [[withGlobalCumsum]], the same
+  * two-level cumulative sum: range-partition by the order key, rank +
+  * prefix-sum locally per bucket, fold the (≤ `shuffle.partitions`)
+  * per-bucket totals into offsets with array aggregates on ONE row, and
+  * broadcast the offsets back. No single-partition stage anywhere; scales
+  * to any corpus the range partitioner can split.
+  *
+  * Mixture sampling is hash-deterministic (md5 of the doc id), not
+  * `sample()`-random: re-runs, backfills, and independent engines pick the
+  * exact same documents, which is what makes the op auditable and its
+  * results reproducible — a requirement for training-data governance, not
+  * a nicety.
+  */
+object Curation {
+
+  /** Column names [[withGlobalCumsum]] injects (plus its internals). */
+  private val Reserved =
+    Seq("__bucket", "__v", "__lrn", "__lcum", "rn", "cum", "tot")
+
+  /** Level one of the two-level cumsum: range-partition on the total order
+    * `order`, then rank + running sum of `value` WITHIN each partition
+    * (all windows share the per-bucket partitioning — one shuffle, one
+    * sort). `spark_partition_id` is only consistent across consumers that
+    * read one materialization — executable callers go through
+    * [[withGlobalCumsum]], which pins it. */
+  private def ranked(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame = {
+    Reserved.foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column '$r' collides with a cumsum output/internal name")
+    }
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wLoc = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    df.repartitionByRange(nBuckets, order: _*)
+      .withColumn("__bucket", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__lrn", row_number().over(wLoc))
+      .withColumn("__lcum", sum(col("__v"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Level two: per-bucket totals (brows = rows, bsum = value sum) are
+    * collected into ONE array row — bounded by `shuffle.partitions`, i.e.
+    * by config, not by data — prefix-summed with array aggregates (O(B²)
+    * for B ≤ a few thousand buckets, driver-free and trivially cheap),
+    * and broadcast back onto the level-one rows. */
+  private def cumsumPlan(local: DataFrame): DataFrame = {
+    val btot = local.groupBy(col("__bucket"))
+      .agg(max(col("__lrn")).as("brows"), max(col("__lcum")).as("bsum"))
+    val offs = btot
+      .agg(array_sort(collect_list(
+        struct(col("__bucket"), col("brows"), col("bsum")))).as("bs"))
+      .select(explode(expr(
+        "transform(bs, (x, i) -> struct(x.__bucket AS __bucket, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.brows) AS row_off, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.bsum) AS cum_off, " +
+          "aggregate(bs, 0L, (a, y) -> a + y.bsum) AS tot))")).as("o"))
+      .select(col("o.__bucket").as("__bucket"), col("o.row_off").as("row_off"),
+        col("o.cum_off").as("cum_off"), col("o.tot").as("tot"))
+    local.join(broadcast(offs), "__bucket")
+      .withColumn("rn", col("__lrn") + col("row_off"))
+      .withColumn("cum", col("__lcum") + col("cum_off"))
+      .drop("__bucket", "__v", "__lrn", "__lcum", "row_off", "cum_off")
+  }
+
+  /** Attach a global 1-based rank `rn`, INCLUSIVE running sum `cum` of
+    * `value`, and grand total `tot` over the total order `order` (which
+    * MUST be total — include a unique tiebreak column, or ranks are
+    * nondeterministic). Materializes the level-one frame once (persist)
+    * because `spark_partition_id` is only stable across consumers of one
+    * materialization, and pins the joined result (eager localCheckpoint)
+    * before releasing the persist — [[graft.queries.NorthStar
+    * .vocabCoverage]]'s shape. */
+  def withGlobalCumsum(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame = {
+    val local = ranked(df, order, value).persist()
+    val out = cumsumPlan(local).localCheckpoint(true)
+    local.unpersist(false)
+    out
+  }
+
+  /** LAZY plan-only variant (no persist / checkpoint) for plan inspection —
+    * correctness of bucket offsets under re-execution is only guaranteed by
+    * [[withGlobalCumsum]]'s pin. */
+  def withGlobalCumsumLazy(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame =
+    cumsumPlan(ranked(df, order, value))
+
+  /** Concat-and-chunk sequence packing — the GPT-style training-batch prep:
+    * documents are laid end-to-end in `idCol` order and the token stream is
+    * cut every `capacity` tokens. Emits per-bin occupancy stats: documents
+    * contributing to the bin, documents fully contained in it, token count
+    * (== `capacity` for every bin but the last, by construction), and the
+    * first/last contributing doc ids.
+    *
+    * Scale shape: one global cumsum (two-level, no single-partition stage),
+    * then a bin explode that replicates each doc to the bins its span
+    * touches — a doc lands in 1 + floor(n_tok/capacity) bins at most, so
+    * the explode is O(corpus tokens / capacity + corpus docs), and the
+    * final groupBy shuffles only (bin, counters) rows. The document text
+    * itself never travels: only (doc_id, n_tok) survives past the scan. */
+  def packBins(docs: DataFrame, capacity: Long, textCol: String = "text",
+      idCol: String = "doc_id", lazyPlan: Boolean = false): DataFrame = {
+    require(capacity >= 1, s"capacity=$capacity")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1) // sequence(first,last) must ascend
+    val order = Seq(col("doc_id").asc)
+    val cum =
+      if (lazyPlan) withGlobalCumsumLazy(toks, order, col("n_tok"))
+      else withGlobalCumsum(toks, order, col("n_tok"))
+    cum
+      .withColumn("start", col("cum") - col("n_tok"))
+      .withColumn("bin", explode(sequence(
+        expr(s"start div ${capacity}L"), expr(s"(cum - 1) div ${capacity}L"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start") >= col("bin") * capacity &&
+          col("cum") <= (col("bin") + 1) * capacity, 1L).otherwise(0L))
+          .as("n_full_docs"),
+        sum(least(col("cum"), (col("bin") + 1) * capacity) -
+          greatest(col("start"), col("bin") * capacity)).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Ordered budget cut: rank rows by `order` (total order — include a
+    * tiebreak) and keep the prefix whose running `valueCol` total stays
+    * inside the budget `tot · budgetNum / budgetDen`. A row is kept iff
+    * its span STARTS strictly inside the budget, so the row that crosses
+    * the boundary is kept and the cut never selects zero value. Returns
+    * the input columns plus `rn`, `cum`, `tot`, and the `kept` flag.
+    *
+    * The comparison is all-integer ((cum − v)·den < tot·num) — no float
+    * budget rounding to disagree about at any scale; overflow-safe while
+    * tot·max(num,den) < 2⁶³ (a 10¹³-token corpus leaves room for
+    * num/den up to ~10⁵). */
+  def budgetCut(docs: DataFrame, order: Seq[Column], valueCol: String,
+      budgetNum: Long, budgetDen: Long,
+      lazyPlan: Boolean = false): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1,
+      s"budget $budgetNum/$budgetDen")
+    val cum =
+      if (lazyPlan) withGlobalCumsumLazy(docs, order, col(valueCol))
+      else withGlobalCumsum(docs, order, col(valueCol))
+    cum.withColumn("kept",
+      (col("cum") - col(valueCol)) * budgetDen < col("tot") * budgetNum)
+  }
+
+  /** Deterministic hash-stratified mixture sampling: every stratum (e.g.
+    * crawl source/domain) gets an equal share of a corpus-wide token
+    * budget `tot · budgetNum / budgetDen`, realized by sampling the
+    * stratum's docs at rate share/stratum_tokens via a uniform 32-bit
+    * hash of the doc id (first 8 hex digits of md5). Returns per-stratum
+    * (n_docs, n_sampled, tok_sampled).
+    *
+    * All thresholds are integer arithmetic — threshold_s =
+    * (share · 2³²) div stratum_tokens — so any two engines (and any two
+    * runs) agree exactly on every sampled doc. Overflow-safe while the
+    * per-stratum share < 2³¹ tokens; for corpora beyond ~2 G tokens per
+    * stratum, scale by 2²⁰ instead of 2³² (the rate resolution drops from
+    * 1/4·10⁹ to 1/10⁶ — still far finer than any curation decision).
+    *
+    * Scale shape: doc hashes are row-local; the stratum totals table is
+    * domain-cardinality (thousands at web scale) and broadcast; one
+    * groupBy on the stratum key. A stratum whose rate ≥ 1 keeps every doc
+    * (threshold exceeds the 32-bit hash range — no special-casing). */
+  def mixtureSample(docs: DataFrame, budgetNum: Long, budgetDen: Long,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1, s"budget $budgetNum/$budgetDen")
+    val t = docs.select(col(strataCol).as("stratum"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val strata = t.groupBy(col("stratum"))
+      .agg(sum(col("n_tok")).as("src_tok"))
+    val g = strata.agg(sum(col("src_tok")).as("tot"),
+      count(lit(1)).as("n_strata"))
+    val thr = strata.crossJoin(broadcast(g))
+      .withColumn("share",
+        expr(s"(tot * ${budgetNum}L) div (${budgetDen}L * n_strata)"))
+      .withColumn("thr", expr("(share * 4294967296L) div src_tok"))
+      .select(col("stratum"), col("thr"))
+    t.join(broadcast(thr), "stratum")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < col("thr"), col("n_tok")).otherwise(0L))
+          .as("tok_sampled"))
+  }
+}

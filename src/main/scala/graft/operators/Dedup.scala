@@ -553,4 +553,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** X2 chunk-granular corpus REWRITE — drop every duplicated chunk
+    * occurrence except the globally first (ordered by (doc_id, chunk_idx))
+    * and reconstruct the cleaned documents: the "remove repeated passages
+    * across documents" pass of C4/MassiveText-style curation, applied at
+    * non-overlapping `width`-token chunks so reconstruction is
+    * well-defined (q119 detects duplicated chunks; this op actually
+    * removes them and rewrites the corpus).
+    *
+    * Scale shape — the document text never rides a dedup shuffle:
+    *   1. chunk hashes (md5, fixed 32 bytes) shuffle once for the
+    *      first-occurrence groupBy;
+    *   2. winners travel as narrow (doc_id, chunk_idx) pairs and collapse
+    *      to one kept-index ARRAY per doc (bounded by the doc's own chunk
+    *      count);
+    *   3. the kept-index table joins back to the source docs on doc_id —
+    *      the single shuffle the text takes, and it is the output itself —
+    *      and the cleaned text is RE-SLICED row-locally from the original
+    *      tokens.
+    * Emits (doc_id, n_chunks, n_kept, n_clean_tokens, clean_md5) — the
+    * md5 commits to the exact reconstructed text without hauling it into
+    * small result sets; select the re-slice expression instead of the md5
+    * to materialize the rewritten corpus. */
+  def chunkDedupRewrite(docs: DataFrame, width: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1, s"width=$width")
+    val chunks = TextAnalysis.chunkTokens(docs, width, width, textCol, idCol)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("h"))
+    val winners = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_idx").as("chunk_idx"))
+    val keptIdx = winners.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("kept"))
+    val toks = split(col(textCol), " ")
+    // left join: a doc can lose EVERY chunk (all of them first occurred
+    // elsewhere) and must still appear, fully emptied, in the rewrite
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"),
+        array().cast("array<int>")))
+      .withColumn("clean_toks", flatten(transform(col("kept"),
+        i => slice(col("toks"), i * width + 1, width))))
+      .select(col("doc_id"),
+        size(sequence(lit(1), size(col("toks")), lit(width)))
+          .cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        size(col("clean_toks")).cast("long").as("n_clean_tokens"),
+        md5(array_join(col("clean_toks"), " ")).as("clean_md5"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Par, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Par, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
