@@ -594,7 +594,7 @@ object Dedup {
       .withColumn("kept", coalesce(col("kept"),
         array().cast("array<int>")))
       .withColumn("clean_toks", flatten(transform(col("kept"),
-        i => slice(col("toks"), i * width + 1, width))))
+        i => slice(col("toks"), i * width + lit(1), lit(width)))))
       .select(col("doc_id"),
         size(sequence(lit(1), size(col("toks")), lit(width)))
           .cast("long").as("n_chunks"),
