@@ -74,10 +74,13 @@ object Bench {
       "short bench keys collide; rename queries")
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Per-query timings at 2 decimals: 130+ queries x 3 decimals brushes
+    // the 1700-char budget (driver tail window is 2000); totals keep 3.
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // only SUCCESSFUL timings go in the map (a failure's time-to-exception
     // is not a runtime); failures are named in the separate list, and
     // value == sum(queries) holds by construction
-    val qs = timed.collect { case (n, s, true, _, _) => s""""${short(n)}":${r3(s)}""" }
+    val qs = timed.collect { case (n, s, true, _, _) => s""""${short(n)}":${r2(s)}""" }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, s, true, _, _) => s }.sum
     val failedJson =

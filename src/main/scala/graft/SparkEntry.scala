@@ -148,6 +148,10 @@ object SparkEntry {
     "q124_doc_perplexity" -> (NorthStar.docPerplexity _),
     "q125_novel_bigrams" -> (NorthStar.novelBigrams _),
     "q126_source_kl"     -> (NorthStar.sourceKl _),
+    "q127_pack_bins"     -> (NorthStar.packSequences _),
+    "q128_budget_cut"    -> (NorthStar.tokenBudgetCut _),
+    "q129_mixture_sample" -> (NorthStar.mixtureSample _),
+    "q130_chunk_rewrite" -> (NorthStar.chunkRewrite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1681,6 +1685,100 @@ object SparkEntry {
         |FROM tok JOIN corpus USING (w) JOIN ns USING (source) CROSS JOIN n
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q127: single-partition-window formulation is FINE for the oracle
+    // (DuckDB, 60k rows); the Spark side uses the two-level cumsum so the
+    // same math runs cliff-free at 100 TB. All-integer -> exact match.
+    "q127_pack_bins" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (SELECT doc_id, n_tok,
+        |             CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+        |b AS (SELECT doc_id, n_tok, cum, cum - n_tok AS start,
+        |             unnest(range(CAST((cum - n_tok) // 256 AS BIGINT),
+        |                          CAST((cum - 1) // 256 AS BIGINT) + 1))
+        |               AS bin
+        |      FROM c)
+        |SELECT bin, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN start >= bin * 256
+        |                      AND cum <= (bin + 1) * 256
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+        |       CAST(sum(least(cum, (bin + 1) * 256) -
+        |                greatest(start, bin * 256)) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // q128: keep the quality-ordered prefix of half the corpus tokens;
+    // boundary test (cum - v) * den < tot * num is all-integer.
+    "q128_budget_cut" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |             CAST(row_number() OVER w AS BIGINT) AS rn,
+        |             CAST(sum(n_tok) OVER (w ROWS UNBOUNDED PRECEDING)
+        |               AS BIGINT) AS cum,
+        |             CAST(sum(n_tok) OVER () AS BIGINT) AS tot
+        |      FROM t WINDOW w AS (ORDER BY n_chars DESC, doc_id))
+        |SELECT doc_id, n_tok, rn, cum, tot,
+        |       CASE WHEN (cum - n_tok) * 2 < tot * 1 THEN 1 ELSE 0 END
+        |         AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q129: threshold_s = ((tot*num) div (den*n_strata) * 2^32) div
+    // src_tok; doc sampled iff first-8-hex-digits-of-md5(doc_id) < thr.
+    // Integer arithmetic end to end -> engines agree on every doc.
+    "q129_mixture_sample" ->
+      """WITH t AS (SELECT source AS stratum,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h
+        |           FROM documents),
+        |strata AS (SELECT stratum, CAST(sum(n_tok) AS BIGINT) AS src_tok
+        |           FROM t GROUP BY stratum),
+        |g AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
+        |             count(*) AS n_strata FROM strata),
+        |thr AS (SELECT stratum,
+        |               (((tot * 1) // (2 * n_strata)) * 4294967296)
+        |                 // src_tok AS thr
+        |        FROM strata CROSS JOIN g)
+        |SELECT stratum, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sampled,
+        |       CAST(sum(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS tok_sampled
+        |FROM t JOIN thr USING (stratum)
+        |GROUP BY stratum ORDER BY stratum""".stripMargin,
+    // q130: first-occurrence chunk winners (min doc_id, chunk_idx) via
+    // row_number over the chunk hash; clean text re-sliced 1-based
+    // [i*20+1, i*20+20] exactly as the Spark side does, md5-committed.
+    "q130_chunk_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, CAST((u.start - 1) // 20 AS BIGINT)
+        |               AS chunk_idx,
+        |             md5(array_to_string(
+        |               toks[u.start : least(u.start + 19, len(toks))], ' '))
+        |               AS h
+        |      FROM t, LATERAL unnest(range(1, len(toks) + 1, 20)) u(start)),
+        |w AS (SELECT doc_id, chunk_idx,
+        |             row_number() OVER (PARTITION BY h
+        |               ORDER BY doc_id, chunk_idx) AS rk FROM c),
+        |k AS (SELECT doc_id, list_sort(list(chunk_idx)) AS kept
+        |      FROM w WHERE rk = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(range(1, len(toks) + 1, 20)) AS BIGINT) AS n_chunks,
+        |       CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+        |       CAST(len(flatten(
+        |         [toks[i * 20 + 1 : least(i * 20 + 20, len(toks))]
+        |          for i in coalesce(kept, [])])) AS BIGINT)
+        |         AS n_clean_tokens,
+        |       md5(coalesce(array_to_string(flatten(
+        |         [toks[i * 20 + 1 : least(i * 20 + 20, len(toks))]
+        |          for i in coalesce(kept, [])]), ' '), '')) AS clean_md5
+        |FROM t LEFT JOIN k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

@@ -773,4 +773,49 @@ object NorthStar {
       .filter($"n_occ" > 1)
       .orderBy($"chunk_md5")
   }
+
+  /** X4+ GPT-style sequence packing ([[graft.operators.Curation.packBins]]):
+    * documents laid end-to-end in doc_id order, the token stream cut every
+    * 256 tokens; per-bin occupancy stats. Built on the two-level global
+    * cumsum — no single-partition window anywhere in the plan. */
+  def packSequences(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.packBins(Tables.documents(spark, d), 256L).orderBy($"bin")
+  }
+
+  /** X4+ quality-ordered token-budget cut
+    * ([[graft.operators.Curation.budgetCut]]): rank docs by n_chars desc
+    * (doc_id tiebreak — the order must be total) and keep the prefix whose
+    * token total stays inside half the corpus. The boundary test is
+    * all-integer, so the oracle agrees exactly at any scale. */
+  def tokenBudgetCut(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, d).select($"doc_id", $"n_chars",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    Curation.budgetCut(t, Seq($"n_chars".desc, $"doc_id".asc), "n_tok", 1L, 2L)
+      .select($"doc_id", $"n_tok", $"rn", $"cum", $"tot",
+        $"kept".cast("int").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4+ deterministic hash-stratified mixture sampling
+    * ([[graft.operators.Curation.mixtureSample]]): each source stratum gets
+    * an equal share of half the corpus-wide token budget, realized by an
+    * md5-hash threshold per stratum — integer thresholds, so any engine
+    * picks the exact same docs. */
+  def mixtureSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.mixtureSample(Tables.documents(spark, d), 1L, 2L)
+      .orderBy($"stratum")
+  }
+
+  /** X2/X4 duplicated-chunk REMOVAL ([[graft.operators.Dedup
+    * .chunkDedupRewrite]]) — the rewrite completing q119's detection:
+    * non-overlapping 20-token chunks, first occurrence (min doc_id,
+    * chunk_idx) wins, every doc re-sliced row-locally to its kept chunks.
+    * clean_md5 commits to the exact reconstructed text. */
+  def chunkRewrite(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.chunkDedupRewrite(Tables.documents(spark, d), 20).orderBy($"doc_id")
+  }
 }

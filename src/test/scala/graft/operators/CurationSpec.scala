@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the curation ops (Curation.scala) and the
+  * chunk-dedup rewrite (Dedup.chunkDedupRewrite) — every expected value in
+  * here is derived on paper (or via an independent JVM md5), never from the
+  * operator under test. */
+class CurationSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("withGlobalCumsum ranks and prefix-sums across range partitions") {
+    import spark.implicits._
+    // 40 rows over 4 shuffle partitions so level two really folds multiple
+    // buckets; v = id so cum is the triangular number id*(id+1)/2.
+    val df = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+    val got = Curation.withGlobalCumsum(df, Seq($"id".asc), $"v")
+      .select($"id", $"rn", $"cum", $"tot")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 40)
+    got.foreach { case (id, rn, cum, tot) =>
+      assert(rn == id, s"rank of $id")
+      assert(cum == id * (id + 1) / 2, s"cumsum at $id")
+      assert(tot == 820L)
+    }
+  }
+
+  test("packBins splits the concatenated token stream at exact boundaries") {
+    import spark.implicits._
+    // capacity 4; doc1 "a b c"(3), doc2 "d e"(2), doc3 "f g h i j"(5);
+    // stream = 10 tokens -> bins 0..2.
+    //   bin 0: doc1 fully (3) + doc2 first token (1); full docs = {doc1}
+    //   bin 1: doc2 last token (1) + doc3 tokens 1-3 (3); no full docs
+    //   bin 2: doc3 tokens 4-5 (2); no full docs
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val got = Curation.packBins(docs, 4L)
+      .select($"bin", $"n_docs", $"n_full_docs", $"n_tokens",
+        $"first_doc", $"last_doc")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (0L, 2L, 1L, 4L, 1L, 2L),
+      (1L, 2L, 0L, 4L, 2L, 3L),
+      (2L, 1L, 0L, 2L, 3L, 3L)))
+  }
+
+  test("budgetCut keeps the boundary-crossing row and respects a 0 budget") {
+    import spark.implicits._
+    // v: 5,3,2,10 in id order -> tot 20, budget 1/2 = 10 tokens.
+    // Row 3 STARTS at 8 < 10 so it is kept even though it ends exactly at
+    // the boundary; row 4 starts at 10 (not strictly inside) and is cut.
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 2L), (4L, 10L)).toDF("id", "v")
+    val half = Curation.budgetCut(df, Seq($"id".asc), "v", 1L, 2L)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(half == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+    val zero = Curation.budgetCut(df, Seq($"id".asc), "v", 0L, 1L)
+      .filter($"kept").count()
+    assert(zero == 0L)
+    val all = Curation.budgetCut(df, Seq($"id".asc), "v", 1L, 1L)
+      .filter($"kept").count()
+    assert(all == 4L)
+  }
+
+  test("mixtureSample matches an independent JVM md5 threshold count") {
+    import spark.implicits._
+    // 2 strata x 50 single-token docs; budget 1/2 -> per-stratum share =
+    // 100/4 = 25 tokens, thr = 25*2^32/50. Expected counts recomputed
+    // here from java MessageDigest, independently of Spark's md5/conv.
+    val docs = (0L until 100L)
+      .map(i => (i, "tok", if (i < 50) "s1" else "s2"))
+      .toDF("doc_id", "text", "source")
+    val thr = (25L * 4294967296L) / 50L
+    def expected(ids: Range): Long = ids.count { i =>
+      java.lang.Long.parseLong(md5hex(i.toString).substring(0, 8), 16) < thr
+    }.toLong
+    val got = Curation.mixtureSample(docs, 1L, 2L)
+      .select($"stratum", $"n_docs", $"n_sampled", $"tok_sampled")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("s1", 50L, expected(0 until 50), expected(0 until 50)),
+      ("s2", 50L, expected(50 until 100), expected(50 until 100))))
+  }
+
+  test("mixtureSample keeps every doc of a stratum whose rate reaches 1") {
+    import spark.implicits._
+    // Single stratum, budget 1/1 -> share = src_tok -> thr = 2^32 > any h.
+    val docs = (0L until 20L).map(i => (i, "a b", "only"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.mixtureSample(docs, 1L, 1L)
+      .select($"n_docs", $"n_sampled", $"tok_sampled")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((20L, 20L, 40L)))
+  }
+
+  test("chunkDedupRewrite drops repeated chunks and rebuilds clean text") {
+    import spark.implicits._
+    // width 3: doc1 = [a b c][d e f][g] (partial trailing chunk kept);
+    // doc2 duplicates doc1 exactly -> fully emptied but still present;
+    // doc3 shares chunk [a b c] (first seen in doc1) and keeps [x y z].
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "a b c x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupRewrite(docs, 3)
+      .select($"doc_id", $"n_chunks", $"n_kept", $"n_clean_tokens",
+        $"clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, 3L, 3L, 7L, md5hex("a b c d e f g")),
+      (2L, 3L, 0L, 0L, md5hex("")),
+      (3L, 2L, 1L, 3L, md5hex("x y z"))))
+  }
+}
