@@ -288,14 +288,39 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double,
       dfCap: Int = 10000): DataFrame = {
     val da = shingleArrays(docs).persist()
-    releaseAfter(da)(containmentPairsPlan(da, threshold, dfCap))
+    releaseAfter(da) {
+      // Recall is silently traded whenever the cap actually fires, so the
+      // eager entry point measures it: one aggregation over the persisted
+      // shingle cache (the same scan the anti-join's hot set needs), and a
+      // warning naming the dropped-shingle count when it is nonzero. The
+      // lazy plan-only variant skips the probe — plan inspection must not
+      // run jobs — and says so in its scaladoc.
+      val nHot = hotShingles(da, dfCap).count()
+      if (nHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"containmentPairs: dfCap=$dfCap drops $nHot hot shingle(s) " +
+            "from the candidate index; pairs whose smaller-doc prefix " +
+            "overlap is ONLY those shingles are missed. Raise dfCap for " +
+            "lossless results.")
+      containmentPairsPlan(da, threshold, dfCap)
+    }
   }
 
   /** LAZY plan-only variant of [[containmentPairs]] (see
-    * [[jaccardPairsLazy]] for the contract). */
+    * [[jaccardPairsLazy]] for the contract). Unlike the eager variant, no
+    * dropped-hot-shingle warning is emitted (plan construction runs no
+    * jobs) — callers trading recall via `dfCap` get no runtime signal
+    * here. */
   def containmentPairsLazy(docs: DataFrame, threshold: Double,
       dfCap: Int = 10000): DataFrame =
     containmentPairsPlan(shingleArrays(docs), threshold, dfCap)
+
+  /** Shingles hotter than `dfCap` (the ones [[containmentPairsPlan]] drops
+    * from its candidate index). */
+  private def hotShingles(da: DataFrame, dfCap: Int): DataFrame =
+    da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
 
   private def containmentPairsPlan(da: DataFrame, threshold: Double,
       dfCap: Int): DataFrame = {
@@ -317,8 +342,7 @@ object Dedup {
     // aggregation itself reads the persisted shingle cache (executable
     // form) — one map-side-combined shuffle of distinct (shingle) keys,
     // the unavoidable price of learning df.
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("shingle"))
+    val hot = hotShingles(da, dfCap)
     val shCapped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val candidates = prefix.as("a")
       .join(shCapped.hint("SHUFFLE_HASH").as("b"),

@@ -37,11 +37,36 @@ object IndexStore {
 
   private def fingerprintPath(dir: String): Path = Paths.get(dir, "FINGERPRINT")
 
-  /** Hash of a source parquet dir's file listing (name, size, mtime)
-    * plus caller tags — changes iff the source data or the derivation
-    * parameters change. */
+  /** Hash of a source parquet dir's file listing (name, size, mtime,
+    * last-16-bytes sample) plus caller tags — changes iff the source data
+    * or the derivation parameters change.
+    *
+    * The tail sample closes the (name, size, mtime) blind spot: a
+    * same-size in-place rewrite landing within one mtime tick (coarse-
+    * granularity filesystems round to a second) would otherwise fingerprint
+    * identically and yield a stale read. A parquet file's last bytes are
+    * its footer-metadata length + magic, which moves with any row-group
+    * change, so the sample catches realistic rewrites at the cost of one
+    * 16-byte read per file. The residual hole — a rewrite preserving size
+    * AND the final 16 bytes AND the mtime tick — is adversarial, not
+    * operational; where even that matters, store the source as a
+    * [[ManifestTable]] and use [[tableFingerprint]] (exact by
+    * construction). */
   def sourceFingerprint(sourceDir: String, tags: String*): String = {
     val root = Paths.get(sourceDir)
+    def tail16(p: Path): String = {
+      val ch = Files.newByteChannel(p)
+      try {
+        val sz = ch.size()
+        val buf = java.nio.ByteBuffer.allocate(16)
+        ch.position(math.max(0L, sz - 16))
+        while (ch.read(buf) > 0) {}
+        buf.flip()
+        val arr = new Array[Byte](buf.remaining())
+        buf.get(arr)
+        arr.map("%02x".format(_)).mkString
+      } finally ch.close()
+    }
     val listing: Seq[String] =
       if (!Files.exists(root)) Seq(s"ABSENT:$sourceDir")
       else {
@@ -51,7 +76,7 @@ object IndexStore {
           s.iterator().asScala
             .filter(Files.isRegularFile(_))
             .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
-              s"${Files.getLastModifiedTime(p).toMillis}")
+              s"${Files.getLastModifiedTime(p).toMillis}:${tail16(p)}")
             .toSeq.sorted
         } finally s.close()
       }

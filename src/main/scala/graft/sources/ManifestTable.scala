@@ -254,20 +254,65 @@ object ManifestTable {
   }
 
   /** True iff a committed snapshot ≤ CURRENT carries `#txn=<txn>` — the
-    * idempotence check for [[streamingSink]]. Scans committed manifests
-    * newest-first (an orphaned manifest ABOVE the current version — a
-    * crash between manifest write and pointer swap — is correctly NOT
-    * counted: its data never became visible). Txn memory lives exactly as
-    * long as the manifest retention window ([[vacuum]]), the same
-    * contract as Delta's txn appId/version retention. */
+    * idempotence check for [[streamingSink]].
+    *
+    * Fast path, O(1): every commit carries forward a per-stream
+    * high-water summary (`#txnhw=<streamId>:<maxBatchId>` lines, one per
+    * stream that ever committed) in the NEW manifest, so for a
+    * `<streamId>-<batchId>` txn only the CURRENT manifest is read —
+    * committed iff batchId ≤ high water. Sound because Structured
+    * Streaming serializes a query's batches and only ever replays the
+    * LAST one: batch ids commit in increasing order (Delta's txn
+    * appId/version argument). A long-lived stream pays one manifest read
+    * per commit instead of the pre-r6 O(total-batches) scan, and the
+    * summary survives [[vacuum]] (it rides the current manifest, not the
+    * dropped ones).
+    *
+    * Fallback, for txns without the `<streamId>-<batchId>` shape or
+    * streams absent from the summary (manifests written before the
+    * summary existed): scan committed manifests newest-first for the
+    * exact `#txn=` line. An orphaned manifest ABOVE the current version —
+    * a crash between manifest write and pointer swap — is correctly NOT
+    * counted: its data never became visible. Scan-path txn memory lives
+    * as long as the manifest retention window ([[vacuum]]). */
   def hasCommittedTxn(dir: String, txn: String): Boolean = {
     val cur = currentVersion(dir)
-    val line = s"#txn=$txn"
-    (0L to cur).reverse.exists { v =>
-      val p = manifestPath(dir, v)
-      Files.exists(p) && new String(Files.readAllBytes(p),
-        StandardCharsets.UTF_8).split("\n").contains(line)
+    txnStreamBatch(txn).flatMap(sb =>
+      txnHighWater(dir, cur).get(sb._1).map(sb._2 <= _)) match {
+      case Some(answer) => answer
+      case None =>
+        val line = s"#txn=$txn"
+        (0L to cur).reverse.exists { v =>
+          val p = manifestPath(dir, v)
+          Files.exists(p) && new String(Files.readAllBytes(p),
+            StandardCharsets.UTF_8).split("\n").contains(line)
+        }
     }
+  }
+
+  /** `<streamId>-<batchId>` split at the LAST '-' (stream ids may contain
+    * dashes; batch ids are the digits [[streamingSink]] appends). */
+  private def txnStreamBatch(txn: String): Option[(String, Long)] = {
+    val i = txn.lastIndexOf('-')
+    if (i <= 0 || i == txn.length - 1) None
+    else {
+      val tail = txn.substring(i + 1)
+      if (tail.forall(_.isDigit) && tail.length <= 18)
+        Some((txn.substring(0, i), tail.toLong))
+      else None
+    }
+  }
+
+  /** Per-stream high-water batch ids recorded in snapshot `v`'s manifest
+    * (`#txnhw=<urlenc streamId>:<batchId>` lines). */
+  private def txnHighWater(dir: String, v: Long): Map[String, Long] = {
+    val p = manifestPath(dir, v)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.startsWith("#txnhw=")).map { l =>
+        val Array(sid, bid) = l.stripPrefix("#txnhw=").split(":")
+        dec(sid) -> bid.toLong
+      }.toMap
   }
 
   /** Read the CURRENT snapshot (resolves the pointer once — the returned
@@ -543,9 +588,11 @@ object ManifestTable {
     * and sweep crash-orphaned `.commit_*` staging directories older than
     * `stagingTtlMs` (never fresh ones — an in-flight commit's staging dir
     * is younger than any sane TTL). Readers pinned to a vacuumed version
-    * lose their snapshot, and txn markers ([[streamingSink]]) older than
-    * the window are forgotten — the retention window is the contract, as
-    * in every table format. */
+    * lose their snapshot — the retention window is the contract, as in
+    * every table format. Streaming txn memory is NOT lost: the per-stream
+    * high-water summary rides the current manifest ([[hasCommittedTxn]]);
+    * only raw `#txn=` markers of NON-stream-shaped txns in dropped
+    * manifests are forgotten. */
   def vacuum(dir: String, retainVersions: Int = 1,
       stagingTtlMs: Long = 3600000L): Int = synchronized {
     val cur = currentVersion(dir)
@@ -582,11 +629,11 @@ object ManifestTable {
     * action. `streamId` must be stable across restarts and UNIQUE per
     * writing query (batch ids are per-query counters — two queries
     * sharing a streamId would suppress each other's batches); use the
-    * query name or checkpoint path. Txn memory spans the manifest
-    * retention window ([[vacuum]]) — retain at least as far back as the
-    * longest possible replay, as with Delta. The txn check scans retained
-    * manifests (newest first), so run [[vacuum]] regularly on long-lived
-    * streams to keep the scan bounded.
+    * query name or checkpoint path. The replay check is O(1): every
+    * commit carries a per-stream high-water summary forward in the new
+    * manifest (see [[hasCommittedTxn]]), so a long-lived stream reads one
+    * manifest per commit — never its whole history — and the summary
+    * survives [[vacuum]].
     * Usage: `df.writeStream.foreachBatch(ManifestTable.streamingSink(dir, "myquery") _).…` */
   def streamingSink(dir: String, streamId: String)
       (batch: DataFrame, batchId: Long): Unit = {
@@ -636,7 +683,20 @@ object ManifestTable {
             }
             val old = (if (keepOld) rawFileLines(dir, cur) else Seq.empty)
               .filterNot(l => removeFiles(l.takeWhile(_ != '\t')))
-            val lines = (old ++ newLines) ++ txn.map(t => s"#txn=$t").toSeq
+            // Per-stream txn high waters ride EVERY manifest (overwrites
+            // included — txn memory must outlive the data it wrote, or a
+            // replayed batch would re-commit after an overwrite), merged
+            // with this commit's txn when it has the streamId-batchId
+            // shape. O(#streams) lines, read back by hasCommittedTxn in
+            // O(1) manifests.
+            val hw0 = txnHighWater(dir, cur)
+            val hw = hw0 ++ txn.flatMap(txnStreamBatch).map {
+              case (sid, bid) => sid -> math.max(bid, hw0.getOrElse(sid, -1L))
+            }
+            val hwLines = hw.toSeq.sortBy(_._1)
+              .map { case (sid, bid) => s"#txnhw=${enc(sid)}:$bid" }
+            val lines = (old ++ newLines) ++
+              txn.map(t => s"#txn=$t").toSeq ++ hwLines
             Files.write(manifestPath(dir, next),
               lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
             publish(dir, next)

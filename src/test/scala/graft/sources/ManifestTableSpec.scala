@@ -134,6 +134,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir)._2.count() == 4)
   }
 
+  test("txn high-water: O(1) replay check survives vacuum and overwrite") {
+    val dir = freshTable()
+    // three batches of a dashed stream id (split must be at the LAST '-')
+    (0L to 2L).foreach { b =>
+      ManifestTable.streamingSink(dir, "my-stream")(
+        Seq((b, s"b$b")).toDF("id", "s"), b)
+    }
+    assert((0L to 2L).forall(b =>
+      ManifestTable.hasCommittedTxn(dir, s"my-stream-$b")))
+    assert(!ManifestTable.hasCommittedTxn(dir, "my-stream-3"))
+    // vacuum drops the older manifests (and their raw #txn lines); the
+    // high-water summary rides the CURRENT manifest, so replayed batches
+    // are still recognized — the pre-r6 scan would have forgotten them
+    ManifestTable.vacuum(dir, retainVersions = 0)
+    assert((0L to 2L).forall(b =>
+      ManifestTable.hasCommittedTxn(dir, s"my-stream-$b")))
+    assert(!ManifestTable.hasCommittedTxn(dir, "my-stream-3"))
+    // a replayed early batch is a no-op even after vacuum
+    val vBefore = ManifestTable.currentVersion(dir)
+    ManifestTable.streamingSink(dir, "my-stream")(
+      Seq((0L, "b0")).toDF("id", "s"), 0L)
+    assert(ManifestTable.currentVersion(dir) == vBefore)
+    // txn memory outlives an overwrite of the data it committed
+    ManifestTable.overwriteWithRetry(spark, dir,
+      Seq((99L, "z")).toDF("id", "s"))
+    assert(ManifestTable.hasCommittedTxn(dir, "my-stream-2"))
+    // a txn WITHOUT the streamId-batchId shape uses the scan fallback
+    ManifestTable.appendWithRetry(spark, dir,
+      Seq((7L, "x")).toDF("id", "s"), txn = Some("adhoc_marker"))
+    assert(ManifestTable.hasCommittedTxn(dir, "adhoc_marker"))
+    assert(!ManifestTable.hasCommittedTxn(dir, "other_marker"))
+  }
+
   test("vacuum sweeps stale crash-orphaned staging dirs, keeps fresh ones") {
     val dir = freshTable()
     ManifestTable.append(spark, dir,
