@@ -87,14 +87,23 @@ object SetsAndAggs {
       .orderBy($"l_returnflag")
   }
 
-  /** G3 approx distinct (HLL++). No oracle — sketch estimates are
-    * engine-specific; the driver records a rows-only check, and the ScalaTest
-    * suite asserts the estimate is within rsd of the exact count. */
+  /** G3 approx distinct (HLL++), made oracle-checkable via an in-query
+    * exactness bound: the HLL estimate (rsd 0.01) is compared to the exact
+    * distinct count computed alongside, and only the exact count plus the
+    * `hll_ok` boolean (|approx − exact| ≤ 5% · exact) reach the output —
+    * the engine-specific sketch value itself never does, so DuckDB can
+    * reproduce every output column. The exact count here is the bound's
+    * reference, not the operator's point: at 100 TB one would bound-check
+    * the sketch on a sampled slice, not the full corpus. */
   def approxDistinct(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .cast("int").as("hll_ok"))
       .orderBy($"l_returnflag")
   }
 

@@ -14,9 +14,10 @@ class ContractSpec extends SparkSpec {
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     assert(qs.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), qs)
     val unoracled = qs -- os
-    // the four approximate/hash-based queries are rows-only by design
-    assert(unoracled == Set("q19_approx_distinct", "q40_simhash_pairs",
-      "q43_ann_topk", "q53_ivf_topk"), s"unexpected rows-only set: $unoracled")
+    // Since r6 every query carries an oracle: the four approximate ops
+    // (q19 HLL, q40 simhash, q43 LSH-ANN, q53 IVF) emit in-query
+    // exactness-bound summaries instead of raw sketch values.
+    assert(unoracled.isEmpty, s"unexpected rows-only set: $unoracled")
   }
 
   test("every query runs and returns a non-empty result at sf0.001") {
