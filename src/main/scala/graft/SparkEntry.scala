@@ -151,6 +151,8 @@ object SparkEntry {
     "q128_budget_cut"    -> (NorthStar.tokenBudgetCut _),
     "q129_mixture_sample" -> (NorthStar.mixtureSample _),
     "q130_chunk_rewrite" -> (NorthStar.chunkRewrite _),
+    "q131_semdedup"      -> (NorthStar.semDedup _),
+    "q132_pii_scrub"     -> (NorthStar.piiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1810,6 +1812,51 @@ object SparkEntry {
         |          for i in coalesce(kept, [])]), ' '), '')) AS clean_md5
         |FROM t LEFT JOIN k USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // q131: within-label SemDeDup keep-first rule — drop iff a smaller-id
+    // cell-mate has round(cos, 4) >= 0.35.
+    "q131_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS cell,
+        |                  CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT DISTINCT b.vec_id
+        |      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) *
+        |             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35)
+        |SELECT e.vec_id, e.cell,
+        |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM e LEFT JOIN d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    // q132: identical PII plant (same doc_id-derived email/IP/phone
+    // appends), then the same three regexes — counts on the raw text,
+    // replacement in email -> IP -> phone order, 'g' = replace ALL
+    // occurrences (DuckDB's default is first-only; Spark replaces all).
+    "q132_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+        |            || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' host 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |            || '-555-0199' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for

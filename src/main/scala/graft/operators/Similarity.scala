@@ -201,6 +201,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(rawCos, 4).as("cos"))
   }
 
+  /** X2 SemDeDup-style SEMANTIC dedup decision (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): within each cluster ("cell"), a vector is DROPPED
+    * when some smaller-id cell-mate is cosine-similar at or above
+    * `threshold` (the deterministic keep-first rule; ids give the
+    * tie-break SemDeDup leaves unspecified). Unlike [[cosinePairs]] (the
+    * pair LIST), this emits the per-vector keep/drop verdict a curation
+    * funnel consumes.
+    *
+    * Scale design: pairwise scoring never crosses cells — the candidate
+    * join is an equi-join on the cell id, so cost is Σ m_cell², bounded
+    * by the max cell size a clusterer produces (SemDeDup's k-means sizes
+    * cells to ~corpus/k), never corpus². The cell id is the shuffle key
+    * at 100 TB; cells shard across executors independently. Here the
+    * pre-assigned `label` column stands in for the trained cluster id
+    * ([[ivfCells]] centroids assign one in production).
+    *
+    * Threshold semantics match [[cosinePairs]]: drop iff
+    * round(cos, 4) >= threshold, evaluated as a raw-double boundary
+    * compare ([[roundedGeqBoundary]]) so no BigDecimal runs inside the
+    * join. */
+  def semDedup(emb: DataFrame, cellCol: String, threshold: Double): DataFrame = {
+    val keyed = emb.select(col(cellCol).as("cell"), col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = keyed.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = Par.fanOut(keyed).select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // corpus-scale self-join on the cell key: see Dedup's SHUFFLE_HASH note
+    val drop = b.join(a.hint("SHUFFLE_HASH"),
+        a("cell") === b("cell") && col("id_a") < col("id_b") &&
+        rawCos >= roundedGeqBoundary(threshold, 4))
+      .select(col("id_b").as("vec_id")).distinct()
+    keyed.select(col("vec_id"), col("cell"))
+      .join(drop.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("d").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** IVF codebook TRAINING plan: the per-`label` mean vector of every
     * cell (k-means' update step with given assignments) — O(corpus), run
     * once and PERSISTED (see [[graft.sources.IndexStore]]); queries probe

@@ -112,6 +112,37 @@ object TextAnalysis {
           .otherwise(lit("test")))
   }
 
+  /** Email-address pattern shared by [[withPiiScrub]] and its oracle. All
+    * three PII patterns avoid constructs where Java regex (leftmost-first
+    * alternation) and RE2 (leftmost-longest) could disagree — no
+    * alternation, greedy quantifiers over disjoint character classes only
+    * — so DuckDB replays the identical pattern text. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 pattern (syntactic: no 0-255 range check). */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** NNN-NNN-NNNN phone pattern. */
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** X4 PII scrubbing — the redaction pass a training-data pipeline runs
+    * before release: finds email addresses, dotted-quad IPs, and
+    * NNN-NNN-NNNN phone numbers; emits per-doc hit counts plus the
+    * scrubbed text. Replacement order matters and is fixed: emails first
+    * (an address body can contain dotted digits the IP pattern must not
+    * see), then IPs, then phones; counts are taken on the RAW text.
+    * Row-local regexp chain (codegen'd RegExpReplace / RegExpCount) —
+    * zero shuffle at any scale, streams at scan speed. */
+  def withPiiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(emailRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(t, lit(ipv4Re)).cast("int"))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)).cast("int"))
+      .withColumn("clean_text", clean)
+  }
+
   /** Sliding-window document chunking — the context-window prep step of an
     * LLM training pipeline: each doc becomes overlapping token windows of
     * `width` tokens every `stride` tokens (the final windows may be

@@ -866,4 +866,42 @@ object NorthStar {
     import spark.implicits._
     Dedup.chunkDedupRewrite(Tables.documents(spark, d), 20).orderBy($"doc_id")
   }
+
+  /** X2 SemDeDup-style semantic dedup decision
+    * ([[graft.operators.Similarity.semDedup]]): within each `label` cell,
+    * drop every vector with a smaller-id cell-mate at cosine ≥ 0.35
+    * (threshold picked so the fixture yields drops at both gate SFs:
+    * 26/500 at sf0.01, 351/2000 at sf0.1). One keep/drop row per vector. */
+  def semDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.semDedup(Tables.embeddings(spark, d), "label", 0.35)
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"kept")
+      .orderBy($"vec_id")
+  }
+
+  /** X4 PII scrub ([[graft.operators.TextAnalysis.withPiiScrub]]). The
+    * fixture corpus contains no natural PII, so the query deterministically
+    * plants some first — appending a doc_id-derived email (every 3rd doc),
+    * IP (every 5th), and phone (every 7th), a transform DuckDB mirrors
+    * verbatim — then scrubs and commits to the redacted text via md5. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, d).select($"doc_id",
+      concat($"text",
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit(" contact u"), $"doc_id".cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit(" host 10.2."),
+            pmod($"doc_id", lit(250)).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(7)) === 0,
+          concat(lit(" call "),
+            lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"),
+            lit("-555-0199"))).otherwise(lit(""))).as("text"))
+    TextAnalysis.withPiiScrub(planted)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
 }

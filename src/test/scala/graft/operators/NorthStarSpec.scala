@@ -230,6 +230,36 @@ class NorthStarSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("semDedup drops later cell-mates above threshold, never across cells") {
+    import spark.implicits._
+    // cell 1: v2 duplicates v1 (cos 1 -> dropped); v3 orthogonal (kept).
+    // cell 2: v4 identical to v1 but in ANOTHER cell -> kept (no
+    // cross-cell comparison by construction); v5 = -v4 (cos -1, kept).
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 1),
+      (4L, Seq(1f, 0f), 2), (5L, Seq(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(emb, "label", 0.9)
+      .select($"vec_id", $"kept").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
+
+  test("withPiiScrub counts and redacts emails, IPs, and phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to bob@x.com or sue@y.org today"),
+      (2L, "ping 192.168.0.1 then call 415-555-2671"),
+      (3L, "no pii here 1.5 ratio and 123-45 dash")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withPiiScrub(docs)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"clean_text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, 2, 0, 0, "write to <EMAIL> or <EMAIL> today"),
+      (2L, 0, 1, 1, "ping <IP> then call <PHONE>"),
+      (3L, 0, 0, 0, "no pii here 1.5 ratio and 123-45 dash")))
+  }
+
   test("multimodal resize caps bytes and keeps small payloads verbatim") {
     implicit val s = spark
     import s.implicits._
