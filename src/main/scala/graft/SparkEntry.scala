@@ -153,6 +153,8 @@ object SparkEntry {
     "q130_chunk_rewrite" -> (NorthStar.chunkRewrite _),
     "q131_semdedup"      -> (NorthStar.semDedup _),
     "q132_pii_scrub"     -> (NorthStar.piiScrub _),
+    "q133_frame_sample"  -> (NorthStar.frameSample _),
+    "q134_resize_media"  -> (NorthStar.resizeStub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1856,6 +1858,43 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
         |FROM p
+        |ORDER BY doc_id""".stripMargin,
+    // q133: every 2nd 64-byte frame; checksum = fold (a*31+byte) % 2^31-1
+    // over the frame's bytes (ASCII text => ascii(char) == byte).
+    "q133_frame_sample" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, CAST(u.f AS INTEGER) AS frame_no,
+        |             CAST(u.f * 64 AS INTEGER) AS off,
+        |             substring(text, CAST(u.f * 64 + 1 AS INTEGER), 64)
+        |               AS frame
+        |      FROM t, LATERAL unnest(
+        |        range(0, CAST(ceil(n / 64.0) AS BIGINT), 2)) u(f))
+        |SELECT doc_id, frame_no, off,
+        |       CAST(length(frame) AS INTEGER) AS n_bytes,
+        |       CAST(list_reduce(
+        |         [ascii(c) for c in string_split(frame, '')],
+        |         (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |         AS BIGINT) AS checksum
+        |FROM f
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    // q134: payloads over 200 bytes keep every stride-th byte (0-based
+    // index % stride == 0, stride = ceil(n/200)); md5 over the kept bytes.
+    "q134_resize_media" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |             CASE WHEN n <= 200 THEN text
+        |                  ELSE array_to_string(
+        |                    [substring(text, CAST(p AS INTEGER), 1)
+        |                     for p in range(1, CAST(n + 1 AS BIGINT),
+        |                       CAST(ceil(n / 200.0) AS BIGINT))], '')
+        |             END AS out
+        |      FROM t)
+        |SELECT doc_id,
+        |       CAST(length(out) AS INTEGER) AS n_bytes,
+        |       CAST(n AS INTEGER) AS orig_bytes,
+        |       round(CAST(length(out) AS DOUBLE) / n, 4) AS scale,
+        |       md5(out) AS out_md5
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
   )
 

@@ -879,6 +879,36 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X5 multimodal frame sampling ([[graft.operators.Multimodal
+    * .sampleFrames]]): every 2nd 64-byte "frame" of each payload, with
+    * offset and rolling checksum — the 1-row→N-rows video-sampling shape,
+    * oracle-checkable because the stub decode is deterministic byte
+    * arithmetic and the fixture text is pure ASCII (byte == char code,
+    * so DuckDB replays the checksum with ascii()/list_reduce). */
+  def frameSample(spark: SparkSession, d: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(Tables.documents(spark, d)), 64, 2)
+      .select($"doc_id", $"frame_no", $"offset".as("off"), $"n_bytes",
+        $"checksum")
+      .orderBy($"doc_id", $"frame_no")
+  }
+
+  /** X5 multimodal resize ([[graft.operators.Multimodal.resize]]): cap
+    * payloads at 200 bytes by stride-sampling (deterministic stub for
+    * decode→scale→re-encode); md5 commits to the exact output bytes.
+    * Small payloads must pass through verbatim at scale 1. */
+  def resizeStub(spark: SparkSession, d: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    Multimodal.resize(
+        Multimodal.withBinaryPayload(Tables.documents(spark, d)), 200)
+      .select($"doc_id", $"n_bytes", $"orig_bytes",
+        round($"scale", 4).as("scale"), md5($"media").as("out_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** X4 PII scrub ([[graft.operators.TextAnalysis.withPiiScrub]]). The
     * fixture corpus contains no natural PII, so the query deterministically
     * plants some first — appending a doc_id-derived email (every 3rd doc),
