@@ -155,6 +155,7 @@ object SparkEntry {
     "q132_pii_scrub"     -> (NorthStar.piiScrub _),
     "q133_frame_sample"  -> (NorthStar.frameSample _),
     "q134_resize_media"  -> (NorthStar.resizeStub _),
+    "q135_gopher_rules"  -> (NorthStar.gopherRules _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1895,6 +1896,40 @@ object SparkEntry {
         |       round(CAST(length(out) AS DOUBLE) / n, 4) AS scale,
         |       md5(out) AS out_md5
         |FROM r
+        |ORDER BY doc_id""".stripMargin,
+    // q135: five Gopher rules, same int/int arithmetic. Spark arrays and
+    // DuckDB lists both count words via string_split on single spaces.
+    "q135_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_words,
+        |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+        |        / len(toks), 4) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS INTEGER)
+        |    AS n_symbols,
+        |  CAST(len([w for w in toks if regexp_matches(w, '[A-Za-z]')])
+        |       AS INTEGER) AS n_alpha_words,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','be','to','of','and','that','have','with']))
+        |    AS INTEGER) AS n_stop_distinct
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words,
+        |  n_stop_distinct,
+        |  CAST(n_words >= 20 AND n_words <= 100000 AS INTEGER)
+        |    AS r_word_count,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+        |    AS r_word_len,
+        |  CAST(n_symbols < n_words * 0.1 AS INTEGER) AS r_symbol,
+        |  CAST(n_alpha_words >= n_words * 0.8 AS INTEGER) AS r_alpha,
+        |  CAST(n_stop_distinct >= 2 AS INTEGER) AS r_stop,
+        |  CAST(n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND n_symbols < n_words * 0.1
+        |    AND n_alpha_words >= n_words * 0.8
+        |    AND n_stop_distinct >= 2 AS INTEGER) AS gopher_pass
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
   )
 

@@ -226,14 +226,17 @@ object Similarity {
     val keyed = emb.select(col(cellCol).as("cell"), col("vec_id"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = keyed.select(col("cell"), col("vec_id").as("id_a"),
+    // explicitly distinct key names on the two sides — a self-join on a
+    // shared "cell" attribute would lean on Spark's ambiguous-self-join
+    // disambiguation (and warn) instead of stating the equi-key
+    val a = keyed.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = Par.fanOut(keyed).select(col("cell"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+    val b = Par.fanOut(keyed).select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     // corpus-scale self-join on the cell key: see Dedup's SHUFFLE_HASH note
     val drop = b.join(a.hint("SHUFFLE_HASH"),
-        a("cell") === b("cell") && col("id_a") < col("id_b") &&
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b") &&
         rawCos >= roundedGeqBoundary(threshold, 4))
       .select(col("id_b").as("vec_id")).distinct()
     keyed.select(col("vec_id"), col("cell"))

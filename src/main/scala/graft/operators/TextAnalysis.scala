@@ -112,6 +112,48 @@ object TextAnalysis {
           .otherwise(lit("test")))
   }
 
+  /** Gopher-style document-quality rule battery (Rae et al., "Scaling
+    * Language Models: ... Gopher", arXiv:2112.11446 §A1.1) — the standard
+    * heuristic pre-filter of a web-scale training pipeline. Five of the
+    * published rules, each an independent boolean plus the conjunction:
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' or '…' ellipsis) below 0.1; ≥ 80% of words
+    * contain an alphabetic character; ≥ 2 DISTINCT stop words present.
+    * All row-local array/regexp arithmetic (codegen'd, shuffle-free,
+    * scan-speed at any scale); ratios are int/int divisions a DuckDB
+    * oracle reproduces bit-for-bit. */
+  def withGopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    docs
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_word_len", round(
+        (length(col(textCol)) - (col("n_words") - 1)) / col("n_words"), 4))
+      .withColumn("n_symbols",
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\."))).cast("int"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(toks), stop)))
+      .withColumn("r_word_count",
+        (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
+      .withColumn("r_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .cast("int"))
+      .withColumn("r_symbol",
+        (col("n_symbols") < col("n_words") * 0.1).cast("int"))
+      .withColumn("r_alpha",
+        (col("n_alpha_words") >= col("n_words") * 0.8).cast("int"))
+      .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("r_word_count") === 1 && col("r_word_len") === 1 &&
+          col("r_symbol") === 1 && col("r_alpha") === 1 &&
+          col("r_stop") === 1).cast("int"))
+  }
+
   /** Email-address pattern shared by [[withPiiScrub]] and its oracle. All
     * three PII patterns avoid constructs where Java regex (leftmost-first
     * alternation) and RE2 (leftmost-longest) could disagree — no

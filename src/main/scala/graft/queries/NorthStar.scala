@@ -879,6 +879,19 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X4 Gopher-rule quality battery
+    * ([[graft.operators.TextAnalysis.withGopherRules]]): per-doc rule
+    * booleans + conjunction, with minWords 20 so the fixture's short docs
+    * split both ways on the word-count rule. */
+  def gopherRules(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.withGopherRules(Tables.documents(spark, d), minWords = 20)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_symbols",
+        $"n_alpha_words", $"n_stop_distinct", $"r_word_count", $"r_word_len",
+        $"r_symbol", $"r_alpha", $"r_stop", $"gopher_pass")
+      .orderBy($"doc_id")
+  }
+
   /** X5 multimodal frame sampling ([[graft.operators.Multimodal
     * .sampleFrames]]): every 2nd 64-byte "frame" of each payload, with
     * offset and rolling checksum — the 1-row→N-rows video-sampling shape,

@@ -244,6 +244,34 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
   }
 
+  test("withGopherRules: each rule isolated on a hand-computed fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, mean (30-5)/6 = 4.1667, stops {the, of} -> all pass
+      (1L, "power the cats sitting of mats"),
+      // same shape, zero stop words -> only r_stop fails
+      (2L, "power cats sitting mats lovely gardens"),
+      // 4 words < minWords 5; mean (19-3)/4 = 4.0 -> only word count fails
+      (3L, "cats the of holding"),
+      // 20 words, 3 '#' >= 10% -> r_symbol fails; alpha 17/20 >= 0.8 holds
+      (4L, "# # # the of cats dogs fish deer mice frog toad newt swan " +
+        "crow dove hawk wren lark moth")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withGopherRules(docs, minWords = 5)
+      .select($"doc_id", $"r_word_count", $"r_word_len", $"r_symbol",
+        $"r_alpha", $"r_stop", $"gopher_pass")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, 1, 1, 1, 1, 1, 1),
+      (2L, 1, 1, 1, 1, 0, 0),
+      (3L, 0, 1, 1, 1, 1, 0),
+      (4L, 1, 1, 0, 1, 1, 0)))
+    val mean1 = TextAnalysis.withGopherRules(docs, minWords = 5)
+      .filter($"doc_id" === 1L).select($"mean_word_len")
+      .as[Double].head()
+    assert(mean1 == 4.1667)
+  }
+
   test("withPiiScrub counts and redacts emails, IPs, and phones") {
     import spark.implicits._
     val docs = Seq(
