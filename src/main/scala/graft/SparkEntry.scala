@@ -156,6 +156,8 @@ object SparkEntry {
     "q133_frame_sample"  -> (NorthStar.frameSample _),
     "q134_resize_media"  -> (NorthStar.resizeStub _),
     "q135_gopher_rules"  -> (NorthStar.gopherRules _),
+    "q136_kmeans"        -> (NorthStar.kmeans _),
+    "q137_semdedup_trained" -> (NorthStar.semDedupTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1931,7 +1933,62 @@ object SparkEntry {
         |    AND n_stop_distinct >= 2 AS INTEGER) AS gopher_pass
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    // q136/q137: the k-means chain replays Spark's iterations exactly —
+    // same init (k lowest vec_ids), same left-fold dot products, same
+    // lowest-cid tie-break, and the same round-to-6-decimals centroid
+    // update that makes the FP mean engine-independent.
+    "q136_kmeans" ->
+      s"""$kmeansChainSql
+        |SELECT vec_id, cid FROM a3 ORDER BY vec_id""".stripMargin,
+    "q137_semdedup_trained" ->
+      s"""$kmeansChainSql,
+        |p AS (SELECT DISTINCT ab.vec_id
+        |      FROM a3 aa JOIN e ea ON aa.vec_id = ea.vec_id
+        |      JOIN a3 ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+        |      JOIN e eb ON ab.vec_id = eb.vec_id
+        |      WHERE round(list_dot_product(ea.v, eb.v) /
+        |            (sqrt(list_dot_product(ea.v, ea.v)) *
+        |             sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.35)
+        |SELECT a3.vec_id, a3.cid,
+        |       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM a3 LEFT JOIN p ON a3.vec_id = p.vec_id
+        |ORDER BY a3.vec_id""".stripMargin,
   )
+
+  /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
+    * vector, squared-L2 via dot products (all left folds), ties to the
+    * lowest cid — the DuckDB twin of `Similarity.assignTo`. */
+  private def kmeansAssignBlock(a: String, c: String): String =
+    s"""$a AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, $c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, e.v)
+       |             - 2 * list_dot_product(e.v, $c.c)
+       |             + list_dot_product($c.c, $c.c), $c.cid) AS rk
+       |    FROM e, $c) WHERE rk = 1)""".stripMargin
+
+  /** One k-means UPDATE CTE block: element-wise cluster mean, rounded to
+    * 6 decimals — the DuckDB twin of the Spark update step. */
+  private def kmeansUpdateBlock(cOut: String, aIn: String): String =
+    s"""${cOut}m AS (SELECT $aIn.cid, t.pos,
+       |        round(avg(e.v[CAST(t.pos AS INTEGER)]), 6) AS m
+       |      FROM $aIn JOIN e USING (vec_id),
+       |           LATERAL unnest(range(1, len(e.v) + 1)) t(pos)
+       |      GROUP BY $aIn.cid, t.pos),
+       |$cOut AS (SELECT cid, list(m ORDER BY pos) AS c FROM ${cOut}m
+       |      GROUP BY cid)""".stripMargin
+
+  /** k=8, iters=2 Lloyd chain ending in the final assignment `a3` —
+    * shared by the q136 and q137 oracles. */
+  private def kmeansChainSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+       |${kmeansAssignBlock("a1", "c0")},
+       |${kmeansUpdateBlock("c1", "a1")},
+       |${kmeansAssignBlock("a2", "c1")},
+       |${kmeansUpdateBlock("c2", "a2")},
+       |${kmeansAssignBlock("a3", "c2")}""".stripMargin
 
   /** Shared DuckDB oracle for exact trigram-shingle Jaccard pairs (and for
     * the exact-verified MinHash+LSH variant, whose result coincides). */

@@ -245,6 +245,61 @@ object Similarity {
         when(col("d").isNull, 1).otherwise(0).as("kept"))
   }
 
+  /** Deterministic distributed Lloyd's k-means ASSIGNMENT after `iters`
+    * update steps — the trained coarse quantizer behind [[ivfTopKWith]]
+    * and [[semDedup]] cells (per-label means stand in elsewhere; this is
+    * the real trainer). Returns (vec_id, cid).
+    *
+    * Scale shape per iteration: one shuffle (groupBy cid × dimension for
+    * the element-wise mean) + a driver collect of k×d doubles (metadata-
+    * sized — centroids are broadcast state in every distributed k-means,
+    * Spark MLlib included); assignment itself is map-only against the
+    * broadcast centroid literals. O(iters) jobs, no lineage growth (each
+    * iteration re-plans from `emb`).
+    *
+    * Determinism (what makes a bit-exact DuckDB oracle possible):
+    * init = the k lowest-vec_id vectors (cid = that vec_id); distance
+    * compares use ‖v‖² − 2v·c + ‖c‖² with every dot a fixed left fold
+    * ([[dot]]'s index-order contract); ties break to the lowest cid; and
+    * each updated centroid coordinate is ROUNDED to 6 decimals, so the
+    * one order-dependent float op (the partition-merged mean) cannot leak
+    * a last-ulp difference into the next assignment — both engines see
+    * the identical rounded doubles. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var centroids: Array[(Long, Array[Double])] = base
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for (_ <- 0 until iters) {
+      centroids = assignTo(Par.fanOut(base), centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
+          col("m")))).getField("m").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
+    assignTo(Par.fanOut(base), centroids).select(col("vec_id"), col("cid"))
+  }
+
+  /** Map-only nearest-centroid assignment against broadcast literals:
+    * per row, array_min over k (distance, cid) structs — lexicographic
+    * struct order = min distance, ties to lowest cid. */
+  private def assignTo(base: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val cands = centroids.map { case (cid, c) =>
+      val cl = typedLit(c.toSeq)
+      // ‖c‖² folded on the driver in the same index order as dot()
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) +
+        lit(cc)).as("d"), lit(cid).as("cid"))
+    }
+    base.withColumn("cid",
+      array_min(array(cands.toIndexedSeq: _*)).getField("cid"))
+  }
+
   /** IVF codebook TRAINING plan: the per-`label` mean vector of every
     * cell (k-means' update step with given assignments) — O(corpus), run
     * once and PERSISTED (see [[graft.sources.IndexStore]]); queries probe

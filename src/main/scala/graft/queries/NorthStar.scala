@@ -879,6 +879,28 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X3 trained coarse quantizer: deterministic Lloyd's k-means
+    * ([[graft.operators.Similarity.kmeansAssign]]) — k=8, 2 update
+    * steps, final per-vector cluster assignment. */
+  def kmeans(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansAssign(Tables.embeddings(spark, d), 8, 2)
+      .orderBy($"vec_id")
+  }
+
+  /** X2 semantic dedup over TRAINED clusters: [[kmeans]] cells feed
+    * [[graft.operators.Similarity.semDedup]] — the full SemDeDup recipe
+    * (cluster, then dedup within cells) instead of the given-label
+    * stand-in of q131. */
+  def semDedupTrained(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cells = Similarity.kmeansAssign(emb, 8, 2)
+    Similarity.semDedup(emb.join(cells, "vec_id"), "cid", 0.35)
+      .select($"vec_id", $"cell".as("cid"), $"kept")
+      .orderBy($"vec_id")
+  }
+
   /** X4 Gopher-rule quality battery
     * ([[graft.operators.TextAnalysis.withGopherRules]]): per-doc rule
     * booleans + conjunction, with minWords 20 so the fixture's short docs

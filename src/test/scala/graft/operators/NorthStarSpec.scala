@@ -244,6 +244,27 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
   }
 
+  test("kmeansAssign: hand-traced 2D Lloyd run with a tie-break") {
+    import spark.implicits._
+    // init: c0 = v0 (0,0), c1 = v1 (10,10). Round 1 assigns {0,2,4,5}->0
+    // (v5 (5,5) is EQUIDISTANT -> lowest cid 0), {1,3}->1; update means:
+    // c0 = (1.625, 1.625), c1 = (9.5, 9.5). Final assignment under the
+    // updated centroids keeps the same split.
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(9f, 9f)), (4L, Seq(0.5f, 0.5f)), (5L, Seq(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, 2, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L,
+      4L -> 0L, 5L -> 0L))
+    // zero update steps = assignment under the raw init centroids
+    val init = Similarity.kmeansAssign(emb, 2, 0)
+      .as[(Long, Long)].collect().toMap
+    assert(init == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L,
+      4L -> 0L, 5L -> 0L))
+  }
+
   test("withGopherRules: each rule isolated on a hand-computed fixture") {
     import spark.implicits._
     val docs = Seq(
