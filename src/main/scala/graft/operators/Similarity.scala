@@ -229,9 +229,12 @@ object Similarity {
     // explicitly distinct key names on the two sides — a self-join on a
     // shared "cell" attribute would lean on Spark's ambiguous-self-join
     // disambiguation (and warn) instead of stating the equi-key
+    // NO Par.fanOut on either side: the candidate join hash-EXCHANGES on
+    // the cell key anyway, so a round-robin repartition upstream is a
+    // second, wasted shuffle (showed as stacked Exchanges in EXPLAIN.md)
     val a = keyed.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = Par.fanOut(keyed).select(col("cell").as("cell_b"),
+    val b = keyed.select(col("cell").as("cell_b"),
       col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     // corpus-scale self-join on the cell key: see Dedup's SHUFFLE_HASH note
