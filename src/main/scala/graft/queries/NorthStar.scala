@@ -901,6 +901,39 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X3 IVF serving over the TRAINED quantizer: the [[kmeans]] assignment
+    * is built once per corpus snapshot and persisted
+    * ([[graft.sources.IndexStore]]); each call derives the tiny (cid,
+    * centroid) codebook from it (one agg — at 100 TB the codebook would
+    * be stored alongside), probes the 3 nearest cells, rescores exactly,
+    * and reduces to the [[annSummary]] exactness bound (measured overlap
+    * vs exact top-10: deterministic on the fixture; bound ≥ 2). */
+  def ivfKmeans(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val assign = graft.sources.IndexStore.ensure(spark, kmeansIndexDir(d),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
+        "kmeans=k8-iters2-round6")) {
+      Similarity.kmeansAssign(emb, 8, 2)
+    }
+    // drop the fixture's own label column first — the trained cid takes
+    // over as the cell id under the name ivfTopKWith expects
+    val corpus = emb.drop("label").join(assign, "vec_id")
+      .withColumnRenamed("cid", "label")
+    val cells = corpus
+      .select($"label", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg($"x"), 6).as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct($"pos", $"m")))
+        .getField("m").as("centroid"))
+    annSummary(Similarity.ivfTopKWith(cells, corpus, 0L, 10),
+      Similarity.cosineTopK(emb, 0L, 10), 10, 2)
+  }
+
+  /** Per-SF location of the persisted k-means assignment. */
+  def kmeansIndexDir(d: String): String =
+    s"spark-warehouse/graft_index/kmeans_${new java.io.File(d).getName}"
+
   /** X4 Gopher-rule quality battery
     * ([[graft.operators.TextAnalysis.withGopherRules]]): per-doc rule
     * booleans + conjunction, with minWords 20 so the fixture's short docs

@@ -155,6 +155,127 @@ object PropertySpec extends Properties("graft.operators") {
       back == want
     }
 
+  // ---- round-6 operators ----
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  property("roundedGeqBoundary: raw>=b is EXACTLY round(raw,4)>=t") =
+    Prop.forAllNoShrink(
+      Gen.chooseNum(1, 9999).map(_ / 10000.0),
+      Gen.chooseNum(-20, 20), Gen.chooseNum(0.0, 1.0)) { (t, ulps, x) =>
+      val b = Similarity.roundedGeqBoundary(t, 4)
+      // probe both an arbitrary double and the ulp-neighborhood of the
+      // boundary itself, where an off-by-one-ulp bug would hide
+      val near = java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToLongBits(b) + ulps)
+      Seq(x, near).forall(v => (v >= b) == (round4(v) >= t))
+    }
+
+  private val tokenDocs = Gen.listOfN(6, Gen.chooseNum(1, 7)).map(_
+    .zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" ")) })
+
+  property("packBins conserves tokens; every bin but the last is full") =
+    Prop.forAllNoShrink(tokenDocs, Gen.chooseNum(2L, 5L)) { (docs, cap) =>
+      import spark.implicits._
+      val total = docs.map(_._2.split(" ").length.toLong).sum
+      val bins = Curation.packBins(docs.toDF("doc_id", "text"), cap)
+        .select($"bin", $"n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+      bins.map(_._2).sum == total &&
+        bins.dropRight(1).forall(_._2 == cap) &&
+        bins.last._2 <= cap &&
+        bins.map(_._1).toSeq == bins.indices.map(_.toLong)
+    }
+
+  property("budgetCut keeps exactly the rows STARTING inside the budget") =
+    Prop.forAllNoShrink(tokenDocs, Gen.chooseNum(1L, 3L)) { (docs, num) =>
+      import spark.implicits._
+      val df = docs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+        .toDF("id", "v")
+      val got = Curation.budgetCut(df, Seq($"id".asc), "v", num, 3L)
+        .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+      val tot = docs.map(_._2.split(" ").length.toLong).sum
+      var start = 0L
+      docs.sortBy(_._1).forall { case (id, t) =>
+        // exact-rational rule: kept iff start/tot < num/den
+        val keep = start * 3L < tot * num
+        start += t.split(" ").length.toLong
+        got(id) == keep
+      }
+    }
+
+  // small nonzero int vectors (a zero vector's cosine is NaN, where Spark
+  // and Scala order NaN differently — the operators never meet one in a
+  // normalized-embedding corpus, so the law excludes it)
+  private val cellVecs = Gen.listOfN(8, Gen.zip(
+    Gen.chooseNum(1, 2),
+    Gen.zip(Gen.chooseNum(-3, 3), Gen.chooseNum(-3, 3))
+      .suchThat(v => v._1 != 0 || v._2 != 0)))
+
+  property("semDedup == brute-force 'any smaller-id cell-mate above t'") =
+    Prop.forAllNoShrink(cellVecs) { rows =>
+      import spark.implicits._
+      val vecs = rows.zipWithIndex.map { case ((cell, (x, y)), i) =>
+        (i.toLong, Seq(x.toFloat, y.toFloat), cell) }
+      val got = Similarity.semDedup(
+        vecs.toDF("vec_id", "embedding", "label"), "label", 0.9)
+        .select($"vec_id", $"kept").as[(Long, Int)].collect().toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        def dot(p: Seq[Float], q: Seq[Float]) =
+          p.zip(q).foldLeft(0.0) { case (acc, (m, n)) =>
+            acc + m.toDouble * n.toDouble }
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      vecs.forall { case (id, v, cell) =>
+        val dropped = vecs.exists { case (id2, v2, cell2) =>
+          cell2 == cell && id2 < id && round4(cos(v2, v)) >= 0.9 }
+        got(id) == (if (dropped) 0 else 1)
+      }
+    }
+
+  property("kmeansAssign iters=0 == brute-force nearest init centroid") =
+    Prop.forAllNoShrink(cellVecs, Gen.chooseNum(1, 3)) { (rows, k) =>
+      import spark.implicits._
+      val vecs = rows.zipWithIndex.map { case ((_, (x, y)), i) =>
+        (i.toLong, Seq(x.toFloat, y.toFloat)) }
+      val got = Similarity.kmeansAssign(
+        vecs.toDF("vec_id", "embedding"), k, 0)
+        .as[(Long, Long)].collect().toMap
+      val cents = vecs.sortBy(_._1).take(k)
+      def d2(a: Seq[Float], b: Seq[Float]): Double = {
+        def dot(p: Seq[Float], q: Seq[Float]) =
+          p.zip(q).foldLeft(0.0) { case (acc, (m, n)) =>
+            acc + m.toDouble * n.toDouble }
+        dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+      }
+      vecs.forall { case (id, v) =>
+        val want = cents.map { case (cid, c) => (d2(v, c), cid) }.min._2
+        got(id) == want
+      }
+    }
+
+  private val piiPieces = Gen.listOfN(6, Gen.oneOf(
+    "plain words here", "x@y.io", "a.b@mail.example.com", "10.0.0.1",
+    "999.1.2.3", "415-555-2671", "12-345-6789", "###", "dot.dot"))
+
+  property("withPiiScrub counts match JVM regex; scrub removes all hits") =
+    Prop.forAllNoShrink(piiPieces) { pieces =>
+      import spark.implicits._
+      val text = pieces.mkString(" ")
+      val out = TextAnalysis.withPiiScrub(Seq((1L, text)).toDF("doc_id", "text"))
+        .select($"n_emails", $"n_ips", $"n_phones", $"clean_text")
+        .as[(Int, Int, Int, String)].head()
+      def count(re: String): Int =
+        re.r.findAllMatchIn(text).length
+      out._1 == count(TextAnalysis.emailRe) &&
+        out._2 == count(TextAnalysis.ipv4Re) &&
+        out._3 == count(TextAnalysis.phoneRe) &&
+        TextAnalysis.emailRe.r.findFirstIn(out._4).isEmpty &&
+        TextAnalysis.phoneRe.r.findFirstIn(out._4).isEmpty
+    }
+
   // small word-soup docs with deliberate duplicate injection: texts drawn
   // from a 4-word vocabulary so exact and near duplicates occur often
   private val docCorpus = Gen.listOfN(10,
