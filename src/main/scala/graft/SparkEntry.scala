@@ -159,6 +159,7 @@ object SparkEntry {
     "q136_kmeans"        -> (NorthStar.kmeans _),
     "q137_semdedup_trained" -> (NorthStar.semDedupTrained _),
     "q138_ivf_kmeans"    -> (NorthStar.ivfKmeans _),
+    "q139_sql_functions" -> (SqlSurface.sqlCustomFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1959,6 +1960,21 @@ object SparkEntry {
     "q138_ivf_kmeans" ->
       """SELECT CAST(0 AS BIGINT) AS qid, CAST(10 AS BIGINT) AS n_results,
         |       1 AS got_k, 1 AS recall_ok""".stripMargin,
+    // q139: rolling_hash replayed via list_reduce (rollingHashSql — the
+    // same twin every hash-dependent oracle uses); dot_product of a
+    // vector with itself via list_dot_product.
+    "q139_sql_functions" ->
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+        |SELECT d.doc_id,
+        |       ${rollingHashSql("d.text")} AS fp,
+        |       CAST(${rollingHashSql("d.text")} % 100 AS INTEGER) AS bucket,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(e.embedding AS DOUBLE[])), 4)
+        |         AS self_dot
+        |FROM documents d
+        |CROSS JOIN n
+        |JOIN embeddings e ON e.vec_id = d.doc_id % n.cnt
+        |ORDER BY d.doc_id""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

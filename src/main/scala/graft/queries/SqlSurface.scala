@@ -71,4 +71,30 @@ object SqlSurface {
         |WHERE rk <= 3
         |ORDER BY nation, rk""".stripMargin)
   }
+
+  /** §2.11 named SQL functions: the custom Catalyst expressions
+    * (`rolling_hash`, `dot_product`) called FROM SQL TEXT — the surface a
+    * `spark.sql.extensions=graft.plans.GraftExtensions` deployment gets at
+    * session build, here registered on the live session
+    * ([[graft.plans.GraftFunctions.register]], idempotent). The query
+    * fingerprints each doc and self-scores its embedding-table twin
+    * (dot_product of vec `doc_id % |embeddings|` with itself = ‖v‖²),
+    * proving both expressions resolve, codegen, and agree with the
+    * column-API path. */
+  def sqlCustomFunctions(spark: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    registerViews(spark, d)
+    spark.sql(
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+        |SELECT d.doc_id,
+        |       rolling_hash(d.text) AS fp,
+        |       CAST(pmod(rolling_hash(d.text), 100) AS INT) AS bucket,
+        |       round(dot_product(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |                         CAST(e.embedding AS ARRAY<DOUBLE>)), 4)
+        |         AS self_dot
+        |FROM documents d
+        |CROSS JOIN n
+        |JOIN embeddings e ON e.vec_id = d.doc_id % n.cnt
+        |ORDER BY d.doc_id""".stripMargin)
+  }
 }

@@ -97,6 +97,28 @@ class PlanSpec extends SparkSpec {
     assert(e2.getMessage.contains("array"))
   }
 
+  test("registered SQL functions equal the column-API expressions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "hello world", Seq(1.5f, -2f)), (2L, "", Seq(0f, 3f)))
+      .toDF("id", "t", "v").createOrReplaceTempView("gf_parity")
+    val viaSql = spark.sql(
+      """SELECT id, rolling_hash(t) AS rh,
+        |       simhash64(split(t, ' ')) AS sh,
+        |       dot_product(CAST(v AS ARRAY<DOUBLE>),
+        |                   CAST(v AS ARRAY<DOUBLE>)) AS dp
+        |FROM gf_parity""".stripMargin)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    val viaCols = spark.table("gf_parity").select($"id",
+        TextExpressions.rolling_hash($"t").as("rh"),
+        TextExpressions.simhash64(split($"t", " ")).as("sh"),
+        VectorExpressions.dot_product($"v".cast("array<double>"),
+          $"v".cast("array<double>")).as("dp"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(viaSql == viaCols)
+    assert(viaSql.map(_._4) == List(1.5 * 1.5 + 4.0, 9.0))
+  }
+
   test("codegen dot product is bit-identical to the higher-order fold") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sf)
