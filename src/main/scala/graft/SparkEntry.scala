@@ -160,6 +160,7 @@ object SparkEntry {
     "q137_semdedup_trained" -> (NorthStar.semDedupTrained _),
     "q138_ivf_kmeans"    -> (NorthStar.ivfKmeans _),
     "q139_sql_functions" -> (SqlSurface.sqlCustomFunctions _),
+    "q140_approx_percentile" -> (SetsAndAggs.approxPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1975,6 +1976,14 @@ object SparkEntry {
         |CROSS JOIN n
         |JOIN embeddings e ON e.vec_id = d.doc_id % n.cnt
         |ORDER BY d.doc_id""".stripMargin,
+    // q140: the GK sketch value never reaches the output — only the group
+    // count and the rank-bracket boolean, which holds by the sketch's
+    // guarantee, so DuckDB asserts it as the constant 1.
+    "q140_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n, 1 AS rank_ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -157,6 +157,33 @@ object SetsAndAggs {
       .orderBy($"o_orderpriority")
   }
 
+  /** G3-ext approx percentiles (Greenwald-Khanna sketch,
+    * `approx_percentile`) with the same in-query exactness-bound shape as
+    * [[approxDistinct]]: only the exact rank bracket reaches the output.
+    * `approx_percentile(x, p, acc)` guarantees rank error ≤ n/acc; with
+    * acc = 10000 the sketch value's RANK must sit within n/10000 of p·n —
+    * the query counts values ≤ the estimate and asserts the bracket as a
+    * boolean. At 100 TB the sketch is the only affordable path (exact
+    * percentile materializes the group); the exact count here is the
+    * bound's reference at gate scale. */
+  def approxPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val est = Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("est"),
+        count(lit(1)).as("n"))
+    val ranked = Tables.orders(spark, d)
+      .join(est.select($"o_orderpriority", $"est"), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"o_totalprice" <= $"est", 1L).otherwise(0L))
+        .as("rank_at_est"))
+    est.join(ranked, "o_orderpriority")
+      .select($"o_orderpriority", $"n",
+        (abs($"rank_at_est" - $"n" * 0.5) <= $"n" / 10000.0 + 1.0)
+          .cast("int").as("rank_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** U2-ALL multiset set operations: EXCEPT ALL / INTERSECT ALL keep
     * MULTIPLICITY (n_except = max(0, a−b) copies, n_intersect = min(a,b)),
     * unlike the set-semantics q14/q15. Output is the per-key multiplicity
