@@ -161,6 +161,7 @@ object SparkEntry {
     "q138_ivf_kmeans"    -> (NorthStar.ivfKmeans _),
     "q139_sql_functions" -> (SqlSurface.sqlCustomFunctions _),
     "q140_approx_percentile" -> (SetsAndAggs.approxPercentiles _),
+    "q141_kmeans_farthest" -> (NorthStar.kmeansFarthest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1984,6 +1985,17 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // q141: farthest-first seeds (k-center greedy, ties to lowest id),
+    // then one Lloyd update + final assignment — same exact-replay rules
+    // as q136 (left-fold dots, round-6 means, lowest-cid ties).
+    "q141_kmeans_farthest" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |${farthestSeedsSql(4)},
+        |${kmeansAssignBlock("a1", "c0")},
+        |${kmeansUpdateBlock("c1", "a1")},
+        |${kmeansAssignBlock("a2", "c1")}
+        |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
@@ -2008,6 +2020,32 @@ object SparkEntry {
        |      GROUP BY $aIn.cid, t.pos),
        |$cOut AS (SELECT cid, list(m ORDER BY pos) AS c FROM ${cOut}m
        |      GROUP BY cid)""".stripMargin
+
+  /** Squared-L2 between a corpus vector `e.v` and a seed table's vector —
+    * the left-fold-exact distance every k-means oracle block uses. */
+  private def d2Sql(seed: String): String =
+    s"list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $seed.v)" +
+      s" + list_dot_product($seed.v, $seed.v)"
+
+  /** Farthest-first seed CTEs s1..s`k` + the init codebook `c0` — the
+    * DuckDB twin of `Similarity.kmeansAssignFarthest`'s seeding. */
+  private def farthestSeedsSql(k: Int): String = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[String]
+    blocks += "s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"
+    for (i <- 2 to k) {
+      val prev = (1 until i).map(j => s"s$j")
+      val minD = prev.map(d2Sql) match {
+        case Seq(one) => one
+        case many => s"least(${many.mkString(", ")})"
+      }
+      blocks += s"""s$i AS (SELECT e.vec_id, e.v FROM e, ${prev.mkString(", ")}
+        |      ORDER BY $minD DESC, e.vec_id LIMIT 1)""".stripMargin
+    }
+    blocks += (1 to k).map(i =>
+      s"SELECT vec_id AS cid, v AS c FROM s$i").mkString(
+      "c0 AS (", " UNION ALL ", ")")
+    blocks.mkString(",\n")
+  }
 
   /** k=8, iters=2 Lloyd chain ending in the final assignment `a3` —
     * shared by the q136 and q137 oracles. */

@@ -271,9 +271,16 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var centroids: Array[(Long, Array[Double])] = base
-      .orderBy(col("vec_id")).limit(k).collect()
+    val init = base.orderBy(col("vec_id")).limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    lloyd(base, init, iters)
+  }
+
+  /** The shared Lloyd loop: `iters` (assign → rounded-mean update) steps
+    * from the given init, then the final assignment. */
+  private def lloyd(base: DataFrame,
+      init: Array[(Long, Array[Double])], iters: Int): DataFrame = {
+    var centroids = init
     for (_ <- 0 until iters) {
       centroids = assignTo(Par.fanOut(base), centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -285,6 +292,37 @@ object Similarity {
         .sortBy(_._1)
     }
     assignTo(Par.fanOut(base), centroids).select(col("vec_id"), col("cid"))
+  }
+
+  /** Deterministic farthest-first (k-center greedy, Gonzalez 1985)
+    * seeding + Lloyd — the deterministic stand-in for k-means++'s
+    * D²-sampling: seed 1 is the lowest vec_id; each next seed is the
+    * vector MAXIMIZING the distance to its nearest chosen seed (ties to
+    * the lowest vec_id). Spreads seeds 2-approximately optimally for
+    * k-center, avoiding the arbitrary-id init's risk of co-located
+    * seeds. Each seeding step is one corpus scan ending in a
+    * TakeOrderedAndProject(1) — k−1 driver round-trips of one row each;
+    * same broadcast-state regime as the Lloyd loop itself. */
+  def kmeansAssignFarthest(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var seeds = base.orderBy(col("vec_id")).limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    while (seeds.length < k) {
+      val dists = seeds.map { case (_, c) =>
+        val cl = typedLit(c.toSeq)
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) + lit(cc)
+      }
+      val minDist = dists.reduce(least(_, _))
+      val next = Par.fanOut(base)
+        .withColumn("md", minDist)
+        .orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      seeds = seeds ++ next
+    }
+    lloyd(base, seeds, iters)
   }
 
   /** Map-only nearest-centroid assignment against broadcast literals:

@@ -930,6 +930,15 @@ object NorthStar {
       Similarity.cosineTopK(emb, 0L, 10), 10, 2)
   }
 
+  /** X3 farthest-first-seeded k-means ([[graft.operators.Similarity
+    * .kmeansAssignFarthest]]): k=4 seeds spread by the k-center greedy
+    * rule, one Lloyd update, final assignment. */
+  def kmeansFarthest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansAssignFarthest(Tables.embeddings(spark, d), 4, 1)
+      .orderBy($"vec_id")
+  }
+
   /** Per-SF location of the persisted k-means assignment. */
   def kmeansIndexDir(d: String): String =
     s"spark-warehouse/graft_index/kmeans_${new java.io.File(d).getName}"

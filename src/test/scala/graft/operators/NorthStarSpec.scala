@@ -265,6 +265,21 @@ class NorthStarSpec extends SparkSpec {
       4L -> 0L, 5L -> 0L))
   }
 
+  test("kmeansAssignFarthest: hand-traced seeding spread + assignment tie") {
+    import spark.implicits._
+    // s1 = v0 (0,0). d² to s1: v1 1, v2 100, v3 16, v4 4 -> s2 = v2
+    // (10,0). min-d² now: v1 1, v3 16, v4 4 -> s3 = v3 (4,0).
+    // iters=0 assignment: v1 -> cid 0 (d² 1); v4 (2,0) is EQUIDISTANT
+    // (d² 4) between cid 0 and cid 3 -> lowest cid 0.
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(10f, 0f)),
+      (3L, Seq(4f, 0f)), (4L, Seq(2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignFarthest(emb, 3, 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
+  }
+
   test("withGopherRules: each rule isolated on a hand-computed fixture") {
     import spark.implicits._
     val docs = Seq(
