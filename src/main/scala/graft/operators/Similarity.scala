@@ -248,6 +248,39 @@ object Similarity {
         when(col("d").isNull, 1).otherwise(0).as("kept"))
   }
 
+  /** Cross-set SemDeDup gate: incoming vectors that survive against an
+    * EXISTING corpus — an incoming vector is dropped when ANY corpus
+    * cell-mate, or ANY smaller-id incoming cell-mate, is cosine-similar
+    * at or above `threshold`. Both frames carry (vec_id, embedding,
+    * `cellCol`). Like [[semDedup]] the in-batch rule is the independent
+    * any-smaller-mate predicate, not a sequential greedy — a batch vector
+    * can be dropped by a mate that is itself dropped against the corpus
+    * (deterministic either way; transitivity-aware removal is
+    * [[graft.operators.Dedup.dropNearDuplicatesCC]]'s cost profile).
+    * Scale: both joins are cell-key equi-joins; the corpus side is
+    * pre-prunable to the batch's touched cells by the caller. */
+  def semDedupIncoming(existing: DataFrame, incoming: DataFrame,
+      cellCol: String, threshold: Double): DataFrame = {
+    val bound = roundedGeqBoundary(threshold, 4)
+    def prep(df: DataFrame, cell: String, id: String, v: String, n: String) =
+      df.select(col(cellCol).as(cell), col("vec_id").as(id),
+          asDouble(col("embedding")).as(v))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+    val in = prep(incoming, "cell_b", "id_b", "vb", "nb")
+    val ex = prep(existing, "cell_a", "id_a", "va", "na")
+    val inAsA = prep(incoming, "cell_a", "id_a", "va", "na")
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val dropVsCorpus = in.join(ex.hint("SHUFFLE_HASH"),
+        col("cell_a") === col("cell_b") && rawCos >= bound)
+      .select(col("id_b").as("vec_id"))
+    val dropInBatch = in.join(inAsA.hint("SHUFFLE_HASH"),
+        col("cell_a") === col("cell_b") && col("id_a") < col("id_b") &&
+        rawCos >= bound)
+      .select(col("id_b").as("vec_id"))
+    incoming.join(dropVsCorpus.union(dropInBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** Deterministic distributed Lloyd's k-means ASSIGNMENT after `iters`
     * update steps — the trained coarse quantizer behind [[ivfTopKWith]]
     * and [[semDedup]] cells (per-label means stand in elsewhere; this is
@@ -279,7 +312,15 @@ object Similarity {
   /** The shared Lloyd loop: `iters` (assign → rounded-mean update) steps
     * from the given init, then the final assignment. */
   private def lloyd(base: DataFrame,
-      init: Array[(Long, Array[Double])], iters: Int): DataFrame = {
+      init: Array[(Long, Array[Double])], iters: Int): DataFrame =
+    assignTo(Par.fanOut(base), lloydCentroids(base, init, iters))
+      .select(col("vec_id"), col("cid"))
+
+  /** The Lloyd UPDATE loop alone: the trained (cid, centroid) state after
+    * `iters` steps — what a serving/streaming path persists. */
+  private def lloydCentroids(base: DataFrame,
+      init: Array[(Long, Array[Double])], iters: Int)
+      : Array[(Long, Array[Double])] = {
     var centroids = init
     for (_ <- 0 until iters) {
       centroids = assignTo(Par.fanOut(base), centroids)
@@ -291,8 +332,27 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
     }
-    assignTo(Par.fanOut(base), centroids).select(col("vec_id"), col("cid"))
+    centroids
   }
+
+  /** Deterministic Lloyd-TRAINED centroids (same init/rounding/tie-break
+    * contract as [[kmeansAssign]]), as driver-side broadcast state — the
+    * k×d codebook a streaming sink stores once and probes per batch. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
+      : Array[(Long, Array[Double])] = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val init = base.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    lloydCentroids(base, init, iters)
+  }
+
+  /** Map-only (vec_id, cid) assignment against STORED centroids — the
+    * probe half of the trained quantizer, shuffle-free at any scale. */
+  def assignWith(emb: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    assignTo(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      centroids).select(col("vec_id"), col("cid"))
 
   /** Deterministic farthest-first (k-center greedy, Gonzalez 1985)
     * seeding + Lloyd — the deterministic stand-in for k-means++'s
