@@ -221,8 +221,29 @@ object Similarity {
     * Threshold semantics match [[cosinePairs]]: drop iff
     * round(cos, 4) >= threshold, evaluated as a raw-double boundary
     * compare ([[roundedGeqBoundary]]) so no BigDecimal runs inside the
-    * join. */
-  def semDedup(emb: DataFrame, cellCol: String, threshold: Double): DataFrame = {
+    * join.
+    *
+    * `cellCap` (opt-in, default unlimited): FAIL-FAST guard against a
+    * degenerate clusterer — a cell of m vectors costs m²/2 scored pairs,
+    * so one collapsed cell (k too small, or a constant cell column) can
+    * silently turn the bounded join into all-pairs. A finite cap runs
+    * one cheap (cell, count) aggregation up front and raises a
+    * descriptive error naming the offending cell instead of submitting
+    * the blowup. Results are NEVER silently truncated (contrast the
+    * advisory on containment's dfCap). */
+  def semDedup(emb: DataFrame, cellCol: String, threshold: Double,
+      cellCap: Long = Long.MaxValue): DataFrame = {
+    if (cellCap != Long.MaxValue) {
+      val worst = emb.groupBy(col(cellCol)).count()
+        .orderBy(col("count").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        require(r.getLong(1) <= cellCap,
+          s"semDedup cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
+            s"(cap $cellCap): ~${r.getLong(1) * r.getLong(1) / 2} scored " +
+            "pairs in one cell — refine the clusterer (larger k) or raise " +
+            "cellCap")
+      }
+    }
     val keyed = emb.select(col(cellCol).as("cell"), col("vec_id"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -308,6 +308,22 @@ class NorthStarSpec extends SparkSpec {
     assert(mean1 == 4.1667)
   }
 
+  test("semDedup cellCap fails fast on a collapsed cell, passes under cap") {
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Seq(i.toFloat, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, "label", 0.9, cellCap = 5L)
+    }
+    assert(e.getMessage.contains("holds 6 vectors"))
+    // under the cap: same result as the unguarded run
+    val guarded = Similarity.semDedup(emb, "label", 0.9, cellCap = 6L)
+      .select($"vec_id", $"kept").as[(Long, Int)].collect().toMap
+    val plain = Similarity.semDedup(emb, "label", 0.9)
+      .select($"vec_id", $"kept").as[(Long, Int)].collect().toMap
+    assert(guarded == plain)
+  }
+
   test("withPiiScrub counts and redacts emails, IPs, and phones") {
     import spark.implicits._
     val docs = Seq(

@@ -235,6 +235,33 @@ object PropertySpec extends Properties("graft.operators") {
       }
     }
 
+  property("semDedupIncoming == brute force (corpus mate OR smaller batch mate)") =
+    Prop.forAllNoShrink(cellVecs, cellVecs) { (exRows, inRows) =>
+      import spark.implicits._
+      val ex = exRows.zipWithIndex.map { case ((cell, (x, y)), i) =>
+        (i.toLong, Seq(x.toFloat, y.toFloat), cell) }
+      val in = inRows.zipWithIndex.map { case ((cell, (x, y)), i) =>
+        (100L + i, Seq(x.toFloat, y.toFloat), cell) }
+      val got = Similarity.semDedupIncoming(
+        ex.toDF("vec_id", "embedding", "label"),
+        in.toDF("vec_id", "embedding", "label"), "label", 0.9)
+        .select($"vec_id").as[Long].collect().toSet
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        def dot(p: Seq[Float], q: Seq[Float]) =
+          p.zip(q).foldLeft(0.0) { case (acc, (m, n)) =>
+            acc + m.toDouble * n.toDouble }
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      val want = in.filter { case (id, v, cell) =>
+        val vsCorpus = ex.exists { case (_, v2, c2) =>
+          c2 == cell && round4(cos(v2, v)) >= 0.9 }
+        val vsBatch = in.exists { case (id2, v2, c2) =>
+          c2 == cell && id2 < id && round4(cos(v2, v)) >= 0.9 }
+        !vsCorpus && !vsBatch
+      }.map(_._1).toSet
+      got == want
+    }
+
   property("kmeansAssign iters=0 == brute-force nearest init centroid") =
     Prop.forAllNoShrink(cellVecs, Gen.chooseNum(1, 3)) { (rows, k) =>
       import spark.implicits._
