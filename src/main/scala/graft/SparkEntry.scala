@@ -162,6 +162,7 @@ object SparkEntry {
     "q139_sql_functions" -> (SqlSurface.sqlCustomFunctions _),
     "q140_approx_percentile" -> (SetsAndAggs.approxPercentiles _),
     "q141_kmeans_farthest" -> (NorthStar.kmeansFarthest _),
+    "q142_kmeans_minibatch" -> (NorthStar.kmeansMiniBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1996,27 +1997,43 @@ object SparkEntry {
         |${kmeansUpdateBlock("c1", "a1")},
         |${kmeansAssignBlock("a2", "c1")}
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    // q142: updates over the deterministic vec_id % 4 sample (es), final
+    // assignment over the full corpus (e) — same exact-replay rules.
+    "q142_kmeans_minibatch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |es AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM es
+        |       ORDER BY vec_id LIMIT 8),
+        |${kmeansAssignBlock("a1", "c0", "es")},
+        |${kmeansUpdateBlock("c1", "a1", "es")},
+        |${kmeansAssignBlock("a2", "c1", "es")},
+        |${kmeansUpdateBlock("c2", "a2", "es")},
+        |${kmeansAssignBlock("a3", "c2", "e")}
+        |SELECT vec_id, cid FROM a3 ORDER BY vec_id""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
     * vector, squared-L2 via dot products (all left folds), ties to the
     * lowest cid — the DuckDB twin of `Similarity.assignTo`. */
-  private def kmeansAssignBlock(a: String, c: String): String =
+  private def kmeansAssignBlock(a: String, c: String,
+      corpus: String = "e"): String =
     s"""$a AS (SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, $c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             list_dot_product(e.v, e.v)
-       |             - 2 * list_dot_product(e.v, $c.c)
+       |    SELECT $corpus.vec_id, $c.cid,
+       |           row_number() OVER (PARTITION BY $corpus.vec_id ORDER BY
+       |             list_dot_product($corpus.v, $corpus.v)
+       |             - 2 * list_dot_product($corpus.v, $c.c)
        |             + list_dot_product($c.c, $c.c), $c.cid) AS rk
-       |    FROM e, $c) WHERE rk = 1)""".stripMargin
+       |    FROM $corpus, $c) WHERE rk = 1)""".stripMargin
 
   /** One k-means UPDATE CTE block: element-wise cluster mean, rounded to
     * 6 decimals — the DuckDB twin of the Spark update step. */
-  private def kmeansUpdateBlock(cOut: String, aIn: String): String =
+  private def kmeansUpdateBlock(cOut: String, aIn: String,
+      corpus: String = "e"): String =
     s"""${cOut}m AS (SELECT $aIn.cid, t.pos,
-       |        round(avg(e.v[CAST(t.pos AS INTEGER)]), 6) AS m
-       |      FROM $aIn JOIN e USING (vec_id),
-       |           LATERAL unnest(range(1, len(e.v) + 1)) t(pos)
+       |        round(avg($corpus.v[CAST(t.pos AS INTEGER)]), 6) AS m
+       |      FROM $aIn JOIN $corpus USING (vec_id),
+       |           LATERAL unnest(range(1, len($corpus.v) + 1)) t(pos)
        |      GROUP BY $aIn.cid, t.pos),
        |$cOut AS (SELECT cid, list(m ORDER BY pos) AS c FROM ${cOut}m
        |      GROUP BY cid)""".stripMargin

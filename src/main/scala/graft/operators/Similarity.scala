@@ -375,6 +375,29 @@ object Similarity {
     assignTo(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
       centroids).select(col("vec_id"), col("cid"))
 
+  /** Sample-trained (mini-batch-style) Lloyd: the UPDATE passes run over
+    * the deterministic `vec_id % sampleMod == 0` sample only; the final
+    * assignment covers the FULL corpus. This is the 100 TB iteration-cost
+    * answer (Sculley, "Web-scale k-means clustering", WWW 2010): full
+    * Lloyd charges O(corpus·k·d) PER ITERATION, while centroid quality
+    * converges on a sample — training touches corpus/sampleMod vectors
+    * per pass and only the single mandatory assignment pass reads
+    * everything. The sample predicate is a pure function of vec_id, so
+    * the trained codebook is reproducible (and oracle-replayable) —
+    * unlike random mini-batches. Init = the k lowest SAMPLED vec_ids;
+    * every other determinism rule matches [[kmeansAssign]]. */
+  def kmeansAssignSampled(emb: DataFrame, k: Int, iters: Int,
+      sampleMod: Int): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleMod >= 1,
+      s"k=$k iters=$iters sampleMod=$sampleMod")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sample = base.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val init = sample.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assignTo(Par.fanOut(base), lloydCentroids(sample, init, iters))
+      .select(col("vec_id"), col("cid"))
+  }
+
   /** Deterministic farthest-first (k-center greedy, Gonzalez 1985)
     * seeding + Lloyd — the deterministic stand-in for k-means++'s
     * D²-sampling: seed 1 is the lowest vec_id; each next seed is the

@@ -939,6 +939,15 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X3 sample-trained k-means ([[graft.operators.Similarity
+    * .kmeansAssignSampled]]): updates train on the vec_id % 4 == 0
+    * sample, the final assignment covers the full corpus. */
+  def kmeansMiniBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansAssignSampled(Tables.embeddings(spark, d), 8, 2, 4)
+      .orderBy($"vec_id")
+  }
+
   /** Per-SF location of the persisted k-means assignment. */
   def kmeansIndexDir(d: String): String =
     s"spark-warehouse/graft_index/kmeans_${new java.io.File(d).getName}"

@@ -280,6 +280,19 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
   }
 
+  test("kmeansAssignSampled trains on the id-sample, assigns everyone") {
+    import spark.implicits._
+    // sample (vec_id % 2 == 0) = {0, 2}; iters=0 -> centroids are v0
+    // (0,0) and v2 (10,0); the UNSAMPLED v1/v3 still get assigned.
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(10f, 0f)), (3L, Seq(6f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignSampled(emb, 2, 0, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("withGopherRules: each rule isolated on a hand-computed fixture") {
     import spark.implicits._
     val docs = Seq(
