@@ -74,13 +74,14 @@ object Bench {
       "short bench keys collide; rename queries")
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Per-query timings at 2 decimals: 130+ queries x 3 decimals brushes
-    // the 1700-char budget (driver tail window is 2000); totals keep 3.
-    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Per-query timings at 1 decimal: 142 queries x 2 decimals hit the
+    // 1700-char budget (driver tail window is 2000); totals keep 3. The
+    // full-precision per-query numbers live in BENCH_LOCAL.json below.
+    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // only SUCCESSFUL timings go in the map (a failure's time-to-exception
     // is not a runtime); failures are named in the separate list, and
     // value == sum(queries) holds by construction
-    val qs = timed.collect { case (n, s, true, _, _) => s""""${short(n)}":${r2(s)}""" }
+    val qs = timed.collect { case (n, s, true, _, _) => s""""${short(n)}":${r1(s)}""" }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, s, true, _, _) => s }.sum
     val failedJson =

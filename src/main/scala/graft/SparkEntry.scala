@@ -163,6 +163,7 @@ object SparkEntry {
     "q140_approx_percentile" -> (SetsAndAggs.approxPercentiles _),
     "q141_kmeans_farthest" -> (NorthStar.kmeansFarthest _),
     "q142_kmeans_minibatch" -> (NorthStar.kmeansMiniBatch _),
+    "q143_kmeans_pp"     -> (NorthStar.kmeansPlusPlus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1999,6 +2000,18 @@ object SparkEntry {
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
     // q142: updates over the deterministic vec_id % 4 sample (es), final
     // assignment over the full corpus (e) — same exact-replay rules.
+    // q143: k-means++ D²-sampling seeds — integer weights round(d2·1e6),
+    // window cumsum in vec_id order, threshold (md5-hash · Σw) div 2³² —
+    // then one Lloyd update + final assignment, same exact-replay rules
+    // as q136.
+    "q143_kmeans_pp" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |${ppSeedsSql(4)},
+        |${kmeansAssignBlock("a1", "c0")},
+        |${kmeansUpdateBlock("c1", "a1")},
+        |${kmeansAssignBlock("a2", "c1")}
+        |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -2057,6 +2070,40 @@ object SparkEntry {
       }
       blocks += s"""s$i AS (SELECT e.vec_id, e.v FROM e, ${prev.mkString(", ")}
         |      ORDER BY $minD DESC, e.vec_id LIMIT 1)""".stripMargin
+    }
+    blocks += (1 to k).map(i =>
+      s"SELECT vec_id AS cid, v AS c FROM s$i").mkString(
+      "c0 AS (", " UNION ALL ", ")")
+    blocks.mkString(",\n")
+  }
+
+  /** k-means++ D²-sampling seed CTEs s1..s`k` + init codebook `c0` — the
+    * DuckDB twin of `Similarity.kmeansAssignPlusPlus`'s seeding: integer
+    * weights round(d²·10⁶) clamped at 0, inclusive window cumsum in
+    * vec_id order, threshold (h_r · Σw) div 2³² with h_r replayed from
+    * md5("kmeanspp:" + r)'s first 8 hex digits, winner = lowest vec_id
+    * with cum > threshold. All integer after the row-local rounding, so
+    * both engines pick identical seeds. */
+  private def ppSeedsSql(k: Int): String = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[String]
+    blocks += "s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"
+    for (i <- 2 to k) {
+      val prev = (1 until i).map(j => s"s$j")
+      val minD = prev.map(d2Sql) match {
+        case Seq(one) => one
+        case many => s"least(${many.mkString(", ")})"
+      }
+      val h = s"list_reduce([CAST(strpos('0123456789abcdef', c) - 1 " +
+        s"AS BIGINT) for c in string_split(substr(md5('kmeanspp:$i'), " +
+        "1, 8), '')], (a, b) -> a * 16 + b)"
+      blocks += s"""pw$i AS (SELECT e.vec_id, e.v,
+        |      greatest(CAST(round(($minD) * 1000000.0) AS BIGINT), 0) AS w
+        |      FROM e, ${prev.mkString(", ")}),
+        |pc$i AS (SELECT vec_id, v, sum(w) OVER (ORDER BY vec_id) AS cum,
+        |      sum(w) OVER () AS tot FROM pw$i),
+        |s$i AS (SELECT vec_id, v FROM pc$i
+        |      WHERE cum > (CAST(($h) AS HUGEINT) * tot) // 4294967296
+        |      ORDER BY vec_id LIMIT 1)""".stripMargin
     }
     blocks += (1 to k).map(i =>
       s"SELECT vec_id AS cid, v AS c FROM s$i").mkString(

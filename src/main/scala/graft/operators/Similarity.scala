@@ -429,6 +429,77 @@ object Similarity {
     lloyd(base, seeds, iters)
   }
 
+  /** Deterministic k-means++ (Arthur & Vassilvitskii, SODA 2007)
+    * D²-sampling seeding + Lloyd. TRUE proportional-to-D² sampling — not
+    * the farthest-first stand-in ([[kmeansAssignFarthest]]) — made
+    * exactly reproducible by replacing the RNG with a content hash and
+    * the floating-point CDF walk with integer arithmetic:
+    *
+    *  - seed 1 is the lowest vec_id;
+    *  - each round r computes every vector's min squared distance to the
+    *    seeds so far (row-local left-fold dots), scales it to an integer
+    *    weight w = max(round(d² · 10⁶), 0), prefix-sums w in vec_id
+    *    order with the two-level [[graft.operators.Curation
+    *    .withGlobalCumsum]] (no single-partition window anywhere), and
+    *    draws the threshold t = (h_r · Σw) div 2³² with h_r = the first
+    *    32 bits of md5("kmeanspp:" + r) — a uniform variate any engine
+    *    reproduces from the string alone;
+    *  - seed r is the LOWEST vec_id whose inclusive cumsum exceeds t —
+    *    the textbook inverse-CDF pick, landing on each vector with
+    *    probability w/Σw. Zero-weight vectors (exact duplicates of a
+    *    seed) can never win: their cumsum never crosses a threshold an
+    *    earlier row didn't already cross.
+    *
+    * Everything after the row-local d²·10⁶ rounding is integer
+    * arithmetic, so two engines (and any partitioning) agree on every
+    * seed. Σw stays below 2⁶³ while corpus·d²·10⁶ does (~10¹⁰ rows at
+    * d² ≈ 100); beyond that scale by 10³ instead of 10⁶.
+    *
+    * Scale shape per seeding round: one corpus scan for the weights, the
+    * cumsum's single range shuffle, one driver row back. k−1 rounds like
+    * every sequential seeder — for huge k, seed over a deterministic
+    * id-sample (the [[kmeansAssignSampled]] trick) instead. */
+  def kmeansAssignPlusPlus(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var seeds = base.orderBy(col("vec_id")).limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    while (seeds.length < k) {
+      val r = seeds.length + 1
+      val dists = seeds.map { case (_, c) =>
+        val cl = typedLit(c.toSeq)
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) + lit(cc)
+      }
+      val minDist = dists.reduce(least(_, _))
+      val w = greatest(round(minDist * lit(1e6)), lit(0.0)).cast("long")
+      val cum = Curation.withGlobalCumsum(
+        base.withColumn("w", w), Seq(col("vec_id").asc), col("w"))
+      // (h · Σw) div 2³² in decimal so the product can't overflow long
+      val thr = expr(s"(CAST(${hash32(s"kmeanspp:$r")} AS DECIMAL(20,0))" +
+        " * tot) div 4294967296L")
+      val next = cum.filter(col("cum") > thr)
+        .orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v")).collect()
+        .map(rw => (rw.getLong(0), rw.getSeq[Double](1).toArray))
+      require(next.nonEmpty,
+        s"k-means++ seeding degenerate at round $r: every remaining " +
+          "vector coincides with a chosen seed (total D2 weight 0) — " +
+          "lower k or exact-dedup the corpus first")
+      seeds = seeds ++ next
+    }
+    lloyd(base, seeds, iters)
+  }
+
+  /** First 32 bits of md5(s) as an unsigned long — the deterministic
+    * uniform draw the DuckDB oracle replays (by construction, not shared
+    * code) via list_reduce over the md5 hex prefix. */
+  private[operators] def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(4).foldLeft(0L)((a, b) => a * 256L + (b & 0xff))
+  }
+
   /** Map-only nearest-centroid assignment against broadcast literals:
     * per row, array_min over k (distance, cid) structs — lexicographic
     * struct order = min distance, ties to lowest cid. */

@@ -939,6 +939,15 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X3 k-means++-seeded k-means ([[graft.operators.Similarity
+    * .kmeansAssignPlusPlus]]): k=4 seeds drawn by hash-deterministic
+    * D²-sampling, one Lloyd update, final assignment. */
+  def kmeansPlusPlus(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansAssignPlusPlus(Tables.embeddings(spark, d), 4, 1)
+      .orderBy($"vec_id")
+  }
+
   /** X3 sample-trained k-means ([[graft.operators.Similarity
     * .kmeansAssignSampled]]): updates train on the vec_id % 4 == 0
     * sample, the final assignment covers the full corpus. */

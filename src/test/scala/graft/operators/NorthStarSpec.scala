@@ -280,6 +280,43 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
   }
 
+  test("kmeansAssignPlusPlus: hand-traced D2-sampled seed chain") {
+    import spark.implicits._
+    // seed1 = v0 (0,0). Round 2: w = d2·1e6 -> v1 1e6, v2 9e6, v3 49e6
+    // (tot 59e6); u2 = md5("kmeanspp:2")/2^32 = 0.48529 -> thr
+    // 28,631,871 lands past v2's cum 10e6 -> seed2 = v3 (7,0).
+    // Round 3: min-d2 weights v1 1e6, v2 9e6 (tot 10e6); u3 = 0.31094
+    // -> thr 3,109,414 lands past v1's cum 1e6 -> seed3 = v2 (3,0).
+    // iters=0 assignment: v1 -> cid 0 (d2 1 vs 4 vs 36).
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(3f, 0f)),
+      (3L, Seq(7f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignPlusPlus(emb, 3, 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("kmeansAssignPlusPlus: zero-weight seed duplicates never win") {
+    import spark.implicits._
+    // v1 duplicates the first seed exactly -> w 0; whatever the hash
+    // draws, the only positive-weight vector v2 must be seed 2.
+    val emb = Seq(
+      (0L, Seq(2f, 2f)), (1L, Seq(2f, 2f)), (2L, Seq(5f, 2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignPlusPlus(emb, 2, 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+    // all-identical corpus: total D2 weight is 0 -> descriptive failure,
+    // not a hang or an arbitrary pick
+    val flat = Seq((0L, Seq(1f, 1f)), (1L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignPlusPlus(flat, 2, 0).collect()
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("kmeansAssignSampled trains on the id-sample, assigns everyone") {
     import spark.implicits._
     // sample (vec_id % 2 == 0) = {0, 2}; iters=0 -> centroids are v0

@@ -283,6 +283,50 @@ object PropertySpec extends Properties("graft.operators") {
       }
     }
 
+  property("kmeansAssignPlusPlus iters=0 == brute-force D2-sampled seeds") =
+    Prop.forAllNoShrink(cellVecs, Gen.chooseNum(1, 3)) { (rows, k) =>
+      import spark.implicits._
+      val vecs = rows.zipWithIndex.map { case ((_, (x, y)), i) =>
+        (i.toLong, Seq(x.toFloat, y.toFloat)) }
+      // independent replay in plain Scala: same hash, same integer
+      // weights/threshold, sequential cumsum walk
+      def dot(p: Seq[Double], q: Seq[Double]) =
+        p.zip(q).foldLeft(0.0) { case (acc, (m, n)) => acc + m * n }
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+      val dv = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+        .sortBy(_._1)
+      var seeds = List(dv.head)
+      var degenerate = false
+      while (seeds.size < k && !degenerate) {
+        val ws = dv.map { case (id, v) =>
+          (id, v,
+            math.max(math.round(seeds.map(s => d2(v, s._2)).min * 1e6), 0L))
+        }
+        val tot = ws.map(_._3).sum
+        if (tot == 0L) degenerate = true
+        else {
+          val h = Similarity.hash32(s"kmeanspp:${seeds.size + 1}")
+          val thr = (BigInt(h) * BigInt(tot) / BigInt(4294967296L)).toLong
+          var cum = 0L
+          val next = ws.find { case (_, _, w) => cum += w; cum > thr }.get
+          seeds = seeds :+ ((next._1, next._2))
+        }
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      if (degenerate)
+        Prop(scala.util.Try(
+          Similarity.kmeansAssignPlusPlus(df, k, 0).collect()).isFailure)
+      else {
+        val got = Similarity.kmeansAssignPlusPlus(df, k, 0)
+          .as[(Long, Long)].collect().toMap
+        Prop(dv.forall { case (id, v) =>
+          val want = seeds.map { case (cid, c) => (d2(v, c), cid) }.min._2
+          got(id) == want
+        })
+      }
+    }
+
   private val piiPieces = Gen.listOfN(6, Gen.oneOf(
     "plain words here", "x@y.io", "a.b@mail.example.com", "10.0.0.1",
     "999.1.2.3", "415-555-2671", "12-345-6789", "###", "dot.dot"))
