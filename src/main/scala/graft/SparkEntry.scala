@@ -164,6 +164,7 @@ object SparkEntry {
     "q141_kmeans_farthest" -> (NorthStar.kmeansFarthest _),
     "q142_kmeans_minibatch" -> (NorthStar.kmeansMiniBatch _),
     "q143_kmeans_pp"     -> (NorthStar.kmeansPlusPlus _),
+    "q144_bm25"          -> (NorthStar.bm25Rank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2012,6 +2013,38 @@ object SparkEntry {
         |${kmeansUpdateBlock("c1", "a1")},
         |${kmeansAssignBlock("a2", "c1")}
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    // q144: BM25 — all counts (N, df, tf, Σdl) are exact integers; the
+    // per-(doc,term) contribution is row-local double math rounded to an
+    // integer micro-score; the per-doc sum is a LONG sum (partition-order
+    // proof). Float literals are forced to DOUBLE context (a bare DuckDB
+    // decimal literal op an INTEGER stays DECIMAL); (CAST(1.2 AS DOUBLE)
+    // + 1.0) replays Scala's k1 + 1.0 bit-exactly.
+    "q144_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                     len(string_split(text, ' ')) AS dl
+        |              FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM base),
+        |q(term) AS (VALUES ('dup'), ('vector'), ('stream')),
+        |tfh AS (SELECT doc_id, dl, term,
+        |               len(list_filter(toks, x -> x = term)) AS tf
+        |        FROM base, q
+        |        WHERE len(list_filter(toks, x -> x = term)) > 0),
+        |dfs AS (SELECT term, count(*) AS df FROM tfh GROUP BY term),
+        |contrib AS (SELECT t.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+        |                / (CAST(f.df AS DOUBLE) + 0.5))
+        |      * t.tf * (CAST(1.2 AS DOUBLE) + 1.0)
+        |      / (t.tf + 1.2 * (0.25 + 0.75 * CAST(t.dl AS DOUBLE)
+        |                       / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS w
+        |    FROM tfh t JOIN dfs f USING (term), stats s),
+        |score AS (SELECT b.doc_id,
+        |            coalesce(sum(c.w), 0) / CAST(1000000 AS DOUBLE) AS bm25
+        |          FROM base b LEFT JOIN contrib c USING (doc_id)
+        |          GROUP BY b.doc_id)
+        |SELECT doc_id, round(bm25, 4) AS bm25 FROM score
+        |ORDER BY round(bm25, 4) DESC, doc_id LIMIT 100""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -86,6 +86,52 @@ object TextAnalysis {
       .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson & Spärck Jones; the Okapi BM25 used by Lucene/Elastic and
+    * by retrieval-based curation of training corpora):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Scale shape: one shuffle for per-(doc, term) counts restricted to the
+    * query terms (the token filter runs BEFORE the explode, so the shuffle
+    * carries only query-term hits, not the corpus vocabulary), a broadcast
+    * of the tiny (term, df) side, and a broadcast 1-row corpus-stats agg.
+    * Zero-hit documents surface with score 0 via a left join.
+    *
+    * Cross-engine determinism: N, df, tf, Σ|d| are exact integers; avgdl is
+    * one integer division; the per-(doc, term) contribution is ROW-LOCAL
+    * float math (safe) rounded to an integer micro-score; the per-doc SUM
+    * is then a LONG sum — partition-order-proof by construction (the same
+    * integer-accumulate trick as the k-means++ sampler). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val hits = base.select(col("doc_id"), col("dl"),
+      explode(filter(col("toks"),
+        t => t.isin(queryTerms.map(lit): _*))).as("token"))
+    val tf = hits.groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", round(col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / (col("total_len") / col("n_docs")))) *
+        lit(1e6)).cast("long"))
+    base.select("doc_id").join(
+      contrib.groupBy("doc_id").agg(sum("w").as("w_sum")), Seq("doc_id"), "left")
+      .withColumn("bm25", coalesce(col("w_sum"), lit(0L)) / lit(1e6))
+      .select("doc_id", "bm25")
+  }
+
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))

@@ -217,6 +217,18 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** X4 BM25 retrieval scoring ([[graft.operators.TextAnalysis.bm25]]):
+    * every document scored against a fixed 3-term query mixing one rare
+    * term (dup, df≈5% of docs → high idf) with two common ones. Top-100
+    * by rounded score, doc_id tiebreak. */
+  def bm25Rank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bm25(Tables.documents(spark, d), Seq("dup", "vector", "stream"))
+      .select($"doc_id", round($"bm25", 4).as("bm25"))
+      .orderBy(round($"bm25", 4).desc, $"doc_id")
+      .limit(100)
+  }
+
   /** The composed training-data cleaning funnel — the end-to-end use case
     * the X-operators exist for: quality gate → exact dedup → near-dup
     * removal, reported as per-stage survivor counts. One lazy plan of four

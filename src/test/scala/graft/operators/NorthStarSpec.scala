@@ -280,6 +280,20 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L))
   }
 
+  test("bm25 matches the hand-computed Okapi scores; zero-hit doc scores 0") {
+    import spark.implicits._
+    // N=3, total_len=7, avgdl=7/3; df(cat)=2, idf=ln(1.6)≈0.47000
+    // d0 (tf=2, dl=3): 0.47000·2·2.2/(2+1.2·(0.25+0.75·3/avgdl)) ≈ 0.5982
+    // d2 (tf=1, dl=2): ≈ 0.4992; d1 has no hit -> exactly 0 via left join
+    val docs = Seq(
+      (0L, "cat cat dog"), (1L, "dog dog"), (2L, "cat bird")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("cat"))
+      .select($"doc_id", round($"bm25", 4).as("bm25"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 0.5982, 1L -> 0.0, 2L -> 0.4992))
+  }
+
   test("kmeansAssignPlusPlus: hand-traced D2-sampled seed chain") {
     import spark.implicits._
     // seed1 = v0 (0,0). Round 2: w = d2·1e6 -> v1 1e6, v2 9e6, v3 49e6

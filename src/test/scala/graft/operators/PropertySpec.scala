@@ -353,6 +353,36 @@ object PropertySpec extends Properties("graft.operators") {
     Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta"))
       .map(_.mkString(" ")))
 
+  property("bm25 == plain-Scala Okapi replay (integer micro-score sum)") =
+    Prop.forAllNoShrink(docCorpus) { texts =>
+      import spark.implicits._
+      val q = Seq("alpha", "delta")
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.split(" ").toSeq) }
+      val n = toks.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+      val dfm = q.map(t =>
+        t -> toks.count(_._2.contains(t)).toLong).toMap
+      val want = toks.map { case (id, ts) =>
+        val w = q.map { term =>
+          val tf = ts.count(_ == term).toLong
+          if (tf == 0L || dfm(term) == 0L) 0L
+          else {
+            val idf = math.log(1.0 +
+              (n - dfm(term) + 0.5) / (dfm(term) + 0.5))
+            math.round(idf * tf * (1.2 + 1.0) /
+              (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.size / avgdl)) * 1e6)
+          }
+        }.sum
+        id -> w / 1e6
+      }.toMap
+      val got = TextAnalysis.bm25(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), q)
+        .as[(Long, Double)].collect().toMap
+      Prop(got == want)
+    }
+
   property("dropIncomingDuplicates: subset of incoming, idempotent, " +
     "exact cross-dups always dropped") =
     Prop.forAllNoShrink(docCorpus, docCorpus) { (exTexts, inTexts) =>
