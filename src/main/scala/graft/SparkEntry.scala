@@ -165,6 +165,7 @@ object SparkEntry {
     "q142_kmeans_minibatch" -> (NorthStar.kmeansMiniBatch _),
     "q143_kmeans_pp"     -> (NorthStar.kmeansPlusPlus _),
     "q144_bm25"          -> (NorthStar.bm25Rank _),
+    "q145_quality_lr"    -> (NorthStar.qualityLr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2045,6 +2046,31 @@ object SparkEntry {
         |          GROUP BY b.doc_id)
         |SELECT doc_id, round(bm25, 4) AS bm25 FROM score
         |ORDER BY round(bm25, 4) DESC, doc_id LIMIT 100""".stripMargin,
+    // q145: logistic-regression training replayed as a generated CTE
+    // chain (w0 -> g1/w1 -> ... -> w3); the only cross-row float op is
+    // the gradient sum, done as a LONG sum of micro-gradients in both
+    // engines. Feature CTEs reuse the q45 shapes (proven to hash-match).
+    "q145_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS n_stop,
+        |        list_contains(toks, 'dup') AS has_dup
+        |      FROM t),
+        |feat AS (SELECT doc_id,
+        |        CAST(least(n_tokens / 100.0, 1.0) AS DOUBLE) AS x1,
+        |        round(n_unique / n_tokens, 4) AS x2,
+        |        round(n_stop / n_tokens, 4) AS x3,
+        |        CAST(CASE WHEN has_dup THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |      FROM m),
+        |${lrChainSql(3)}
+        |SELECT f.doc_id, f.y,
+        |       round(1.0 / (1.0 + exp(-($lrZSql))), 4) AS p
+        |FROM feat f, w3 w
+        |WHERE f.doc_id < 100
+        |ORDER BY f.doc_id""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -2141,6 +2167,39 @@ object SparkEntry {
     blocks += (1 to k).map(i =>
       s"SELECT vec_id AS cid, v AS c FROM s$i").mkString(
       "c0 AS (", " UNION ALL ", ")")
+    blocks.mkString(",\n")
+  }
+
+  /** w·x for the q145 logistic oracle — FIXED left-to-right add order,
+    * bias first, mirroring `Learn.zOf`'s fold. `w`/`f` are the weight-row
+    * and feature-row aliases. */
+  private val lrZSql: String = "w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+
+  /** Logistic-regression GD chain for the q145 oracle: expects a `feat`
+    * CTE (doc_id, x1, x2, x3, y); emits w0 (zeros) then g`i`/w`i` pairs
+    * up to w`iters`. Each gradient is a LONG sum of per-row integer
+    * micro-gradients round((σ(z)−y)·xⱼ·10⁶) — the same partition-order-
+    * proof construction as `Learn.trainLogistic`, so both engines agree
+    * on every 64-bit total and hence every weight. */
+  private def lrChainSql(iters: Int): String = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[String]
+    blocks += "w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1," +
+      " CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)"
+    for (i <- 1 to iters) {
+      val sigma = s"1.0 / (1.0 + exp(-($lrZSql)))"
+      val gs = ("1.0" +: Seq("f.x1", "f.x2", "f.x3")).zipWithIndex.map {
+        case (x, j) =>
+          s"sum(CAST(round(($sigma - f.y) * $x * 1000000.0) AS BIGINT)) AS g$j"
+      }
+      blocks += s"""g$i AS (SELECT ${gs.mkString(",\n      ")},
+        |      count(*) AS n FROM feat f, w${i - 1} w),
+        |w$i AS (SELECT
+        |      w.b - 0.5 * (g.g0 / CAST(1000000 AS DOUBLE) / g.n) AS b,
+        |      w.w1 - 0.5 * (g.g1 / CAST(1000000 AS DOUBLE) / g.n) AS w1,
+        |      w.w2 - 0.5 * (g.g2 / CAST(1000000 AS DOUBLE) / g.n) AS w2,
+        |      w.w3 - 0.5 * (g.g3 / CAST(1000000 AS DOUBLE) / g.n) AS w3
+        |      FROM w${i - 1} w, g$i g)""".stripMargin
+    }
     blocks.mkString(",\n")
   }
 

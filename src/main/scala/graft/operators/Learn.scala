@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine model training for curation classifiers (north-star X4
+  * companion): a large-scale training-data pipeline does not just FILTER by
+  * hand-written rules — it trains small models (quality / toxicity /
+  * language classifiers à la fastText or the GPT-3 quality LR) over corpus
+  * features and applies them at scan speed. This module is the trainer for
+  * the logistic-regression case, built on the same broadcast-state regime
+  * as [[Similarity.kmeansAssign]]'s Lloyd loop.
+  *
+  * Scale shape per gradient step: ONE corpus scan ending in a d+1-value
+  * aggregate (map-side partial sums — the classic distributed full-batch
+  * GD; Spark MLlib's LBFGS does the same scan-per-iteration), then a
+  * driver-side weight update on d+1 doubles broadcast back as literals.
+  * No shuffle wider than the aggregate, no lineage growth (each step
+  * re-plans from the feature frame). Prediction is map-only.
+  *
+  * Determinism (what makes a bit-exact DuckDB oracle possible): the one
+  * order-dependent float op — the gradient SUM across rows — is replaced
+  * by a LONG sum of per-row integer micro-gradients round(g·10⁶) (the
+  * [[Similarity.kmeansAssignPlusPlus]] integer-accumulate trick), so any
+  * partition order yields the same 64-bit totals; every other op (σ(z),
+  * the weight update) is row-local or driver-side double math both engines
+  * replay identically. A last-ULP exp() divergence flips a micro-unit with
+  * probability ~10⁻⁹ per row — measure-zero at gate scale, and a flipped
+  * micro-unit shifts weights at the 10⁻⁶/n scale, invisible at the
+  * 4-decimal output rounding. */
+object Learn {
+
+  /** σ(z) = 1 / (1 + e^(−z)) as a Column. */
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** w₀ + Σⱼ wⱼ·xⱼ with a FIXED left-fold add order (bias first, then
+    * `xCols` order) — the contract the oracle mirrors. */
+  private def zOf(w: Array[Double], xCols: Seq[String]): Column =
+    xCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+    }
+
+  /** Full-batch gradient-descent training of logistic regression on
+    * `feats` (one row per example; `xCols` double features, `yCol` a 0/1
+    * double label). Weights start at 0 (bias first); each of `iters` steps
+    * does wⱼ ← wⱼ − lr · ((Σ round((σ(z)−y)·xⱼ·10⁶)) / 10⁶ / n) with the
+    * Σ a long sum. Returns the d+1 weights, bias first. */
+  def trainLogistic(feats: DataFrame, xCols: Seq[String], yCol: String,
+      lr: Double, iters: Int): Array[Double] = {
+    require(xCols.nonEmpty && iters >= 0 && lr > 0,
+      s"xCols=$xCols iters=$iters lr=$lr")
+    var w = Array.fill(xCols.size + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val err = sigmoid(zOf(w, xCols)) - col(yCol)
+      val gradCols = (lit(1.0) +: xCols.map(col)).zipWithIndex.map {
+        case (x, j) =>
+          sum(round(err * x * lit(1e6)).cast("long")).as(s"g$j")
+      }
+      val row = feats.agg(gradCols.head,
+        (gradCols.tail :+ count(lit(1)).as("n")): _*).collect()(0)
+      val n = row.getLong(w.length).toDouble
+      w = w.indices.map(j =>
+        w(j) - lr * (row.getLong(j) / 1e6 / n)).toArray
+    }
+    w
+  }
+
+  /** Map-only scoring against trained weights: adds `p` = σ(w·x) — the
+    * apply-the-classifier-at-scan-speed half. */
+  def predictLogistic(feats: DataFrame, xCols: Seq[String],
+      w: Array[Double]): DataFrame = {
+    require(w.length == xCols.size + 1,
+      s"weight count ${w.length} != 1 + ${xCols.size} features")
+    feats.withColumn("p", sigmoid(zOf(w, xCols)))
+  }
+}

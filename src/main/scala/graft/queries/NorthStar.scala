@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Par, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Learn, Multimodal, Par, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -227,6 +227,30 @@ object NorthStar {
       .select($"doc_id", round($"bm25", 4).as("bm25"))
       .orderBy(round($"bm25", 4).desc, $"doc_id")
       .limit(100)
+  }
+
+  /** X4 in-engine trained quality classifier ([[graft.operators.Learn]]):
+    * full-batch logistic regression over per-doc quality features
+    * (capped length, uniqueness ratio, stopword ratio), label = document
+    * mentions the planted "dup" marker. 3 GD steps at lr=0.5 — each one
+    * corpus scan + a 4-long-value aggregate — then map-only scoring. */
+  def qualityLr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stop = Seq("the", "a", "of", "and", "is")
+    val feats = Tables.documents(spark, d).select(
+      $"doc_id",
+      least(size(toks) / lit(100.0), lit(1.0)).as("x1"),
+      round(size(array_distinct(toks)) / size(toks), 4).as("x2"),
+      round(size(filter(toks, t => t.isin(stop.map(lit): _*))) / size(toks), 4)
+        .as("x3"),
+      when(array_contains(toks, "dup"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val xs = Seq("x1", "x2", "x3")
+    val w = Learn.trainLogistic(feats, xs, "y", 0.5, 3)
+    Learn.predictLogistic(feats, xs, w)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"y", round($"p", 4).as("p"))
+      .orderBy($"doc_id")
   }
 
   /** The composed training-data cleaning funnel — the end-to-end use case

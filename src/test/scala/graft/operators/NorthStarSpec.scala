@@ -294,6 +294,21 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0.5982, 1L -> 0.0, 2L -> 0.4992))
   }
 
+  test("trainLogistic learns a separable rule; predictLogistic scores it") {
+    import spark.implicits._
+    // y = 1 iff x > 0: GD must push w1 positive and separate the sides
+    val df = Seq((-1.0, 0.0), (-0.5, 0.0), (0.5, 1.0), (1.0, 1.0))
+      .toDF("x1", "y")
+    val w = Learn.trainLogistic(df, Seq("x1"), "y", 0.5, 10)
+    assert(w.length == 2 && w(1) > 0.0)
+    val p = Learn.predictLogistic(df, Seq("x1"), w)
+      .select($"x1", $"p").as[(Double, Double)].collect().toMap
+    assert(p(1.0) > 0.5 && p(-1.0) < 0.5 && p(1.0) > p(0.5))
+    // zero iterations: weights stay 0, every p is exactly 0.5
+    val w0 = Learn.trainLogistic(df, Seq("x1"), "y", 0.5, 0)
+    assert(w0.toSeq == Seq(0.0, 0.0))
+  }
+
   test("kmeansAssignPlusPlus: hand-traced D2-sampled seed chain") {
     import spark.implicits._
     // seed1 = v0 (0,0). Round 2: w = d2·1e6 -> v1 1e6, v2 9e6, v3 49e6

@@ -383,6 +383,32 @@ object PropertySpec extends Properties("graft.operators") {
       Prop(got == want)
     }
 
+  private val lrRows = Gen.nonEmptyListOf(Gen.zip(
+    Gen.chooseNum(-8, 8).map(_ * 0.25), Gen.oneOf(0.0, 1.0))).map(_.take(12))
+
+  property("trainLogistic == plain-Scala GD replay (integer micro-grads)") =
+    Prop.forAllNoShrink(lrRows) { rows =>
+      import spark.implicits._
+      // exact mirror of trainLogistic: same σ (JVM Math.exp), same
+      // HALF_UP rounding, same long-sum, same update expression
+      def halfUp(v: Double): Long =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      var w = Array(0.0, 0.0)
+      val n = rows.size.toDouble
+      for (_ <- 0 until 2) {
+        var g0, g1 = 0L
+        rows.foreach { case (x, y) =>
+          val err = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x))) - y
+          g0 += halfUp(err * 1.0 * 1e6)
+          g1 += halfUp(err * x * 1e6)
+        }
+        w = Array(w(0) - 0.5 * (g0 / 1e6 / n), w(1) - 0.5 * (g1 / 1e6 / n))
+      }
+      val got = Learn.trainLogistic(
+        rows.toDF("x1", "y"), Seq("x1"), "y", 0.5, 2)
+      Prop(got.toSeq == w.toSeq)
+    }
+
   property("dropIncomingDuplicates: subset of incoming, idempotent, " +
     "exact cross-dups always dropped") =
     Prop.forAllNoShrink(docCorpus, docCorpus) { (exTexts, inTexts) =>
