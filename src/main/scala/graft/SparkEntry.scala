@@ -166,6 +166,7 @@ object SparkEntry {
     "q143_kmeans_pp"     -> (NorthStar.kmeansPlusPlus _),
     "q144_bm25"          -> (NorthStar.bm25Rank _),
     "q145_quality_lr"    -> (NorthStar.qualityLr _),
+    "q146_pq_codes"      -> (NorthStar.pqCodes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2071,6 +2072,26 @@ object SparkEntry {
         |FROM feat f, w3 w
         |WHERE f.doc_id < 100
         |ORDER BY f.doc_id""".stripMargin,
+    // q146: PQ codes — 4 independent subspace Lloyd chains (the q136
+    // machinery over list slices); qerr recomputes each subspace's d² to
+    // its POST-UPDATE winning centroid, summed in fixed left-assoc order.
+    "q146_pq_codes" ->
+      s"""${pqChainSql()}
+        |SELECT e.vec_id,
+        |       p1a2.cid AS c1, p2a2.cid AS c2,
+        |       p3a2.cid AS c3, p4a2.cid AS c4,
+        |       round(${(1 to 4).map(j =>
+                   s"(list_dot_product(e$j.v, e$j.v)" +
+                   s" - 2 * list_dot_product(e$j.v, p${j}c1.c)" +
+                   s" + list_dot_product(p${j}c1.c, p${j}c1.c))")
+                   .mkString("\n        |             + ")}, 4) AS qerr
+        |FROM e
+        |${(1 to 4).map(j =>
+             s"JOIN e$j ON e$j.vec_id = e.vec_id\n" +
+             s"        |JOIN p${j}a2 ON p${j}a2.vec_id = e.vec_id\n" +
+             s"        |JOIN p${j}c1 ON p${j}c1.cid = p${j}a2.cid")
+             .mkString("\n        |")}
+        |ORDER BY e.vec_id""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -2201,6 +2222,27 @@ object SparkEntry {
         |      FROM w${i - 1} w, g$i g)""".stripMargin
     }
     blocks.mkString(",\n")
+  }
+
+  /** Product-quantization chain for the q146 oracle: per subspace j,
+    * slice CTE e`j` (1-based inclusive list slice = Spark's slice), init
+    * codebook from the k lowest vec_ids, one assign→update Lloyd step,
+    * final assignment — all via the q136-proven blocks parameterized on
+    * the subspace corpus. */
+  private def pqChainSql(m: Int = 4, w: Int = 16, k: Int = 8): String = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[String]
+    blocks += "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v" +
+      " FROM embeddings)"
+    for (j <- 1 to m) {
+      val lo = (j - 1) * w + 1
+      blocks += s"e$j AS (SELECT vec_id, v[$lo:${j * w}] AS v FROM e)"
+      blocks += s"p${j}c0 AS (SELECT vec_id AS cid, v AS c FROM e$j" +
+        s" ORDER BY vec_id LIMIT $k)"
+      blocks += kmeansAssignBlock(s"p${j}a1", s"p${j}c0", s"e$j")
+      blocks += kmeansUpdateBlock(s"p${j}c1", s"p${j}a1", s"e$j")
+      blocks += kmeansAssignBlock(s"p${j}a2", s"p${j}c1", s"e$j")
+    }
+    "WITH " + blocks.mkString(",\n")
   }
 
   /** k=8, iters=2 Lloyd chain ending in the final assignment `a3` —

@@ -504,16 +504,65 @@ object Similarity {
     * per row, array_min over k (distance, cid) structs — lexicographic
     * struct order = min distance, ties to lowest cid. */
   private def assignTo(base: DataFrame,
-      centroids: Array[(Long, Array[Double])]): DataFrame = {
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    base.withColumn("cid", argminStruct(col("v"), centroids).getField("cid"))
+
+  /** The nearest-centroid struct (d, cid) for an arbitrary vector column:
+    * array_min over k candidate structs — lexicographic order = min
+    * distance, ties to lowest cid. ‖c‖² is folded on the driver in the
+    * same index order as dot(). */
+  private def argminStruct(v: Column,
+      centroids: Array[(Long, Array[Double])]): Column = {
     val cands = centroids.map { case (cid, c) =>
       val cl = typedLit(c.toSeq)
-      // ‖c‖² folded on the driver in the same index order as dot()
       val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-      struct((dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) +
-        lit(cc)).as("d"), lit(cid).as("cid"))
+      struct((dot(v, v) - lit(2.0) * dot(v, cl) + lit(cc)).as("d"),
+        lit(cid).as("cid"))
     }
-    base.withColumn("cid",
-      array_min(array(cands.toIndexedSeq: _*)).getField("cid"))
+    array_min(array(cands.toIndexedSeq: _*))
+  }
+
+  /** Product-quantization codes (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011) — THE
+    * standard 100 TB vector-compression path: the d-dim embedding splits
+    * into `m` width-d/m subvectors, each subspace gets its own Lloyd-
+    * trained k-codebook (same determinism contract as [[kmeansAssign]]:
+    * k-lowest-vec_id init, 6-decimal rounded means, ties to lowest cid),
+    * and every vector compresses to m small codes — d·4 bytes down to
+    * m·⌈log₂k⌉ bits (64-dim float ≈ 256 B → 4 B at m=4, k=8). Returns
+    * (vec_id, c1..cm, qerr) with qerr = the summed per-subspace squared
+    * quantization error (the ADC lookup value for the vector's own code
+    * word) rounded to 4 decimals.
+    *
+    * Scale shape: training runs m small Lloyd loops (one aggregate-scan
+    * per iteration each, k×(d/m) driver doubles — broadcast-state
+    * regime); ENCODING is the part that touches the full corpus and it
+    * is a single map-only pass computing all m argmins per row — no
+    * shuffle, no join: codebooks ride along as broadcast literals. */
+  def pqCodes(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 0, s"m=$m k=$k iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // 1-row dimension probe (metadata-sized, same as the IVF path)
+    val d = base.select(size(col("v")).as("d")).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
+    val w = d / m
+    val books = (0 until m).map { j =>
+      val sub = base.select(col("vec_id"), slice(col("v"), j * w + 1, w).as("v"))
+      val init = sub.orderBy(col("vec_id")).limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      lloydCentroids(sub, init, iters)
+    }
+    val withCodes = books.zipWithIndex.foldLeft(Par.fanOut(base)) {
+      case (df, (cb, j)) =>
+        df.withColumn(s"__s${j + 1}",
+          argminStruct(slice(col("v"), j * w + 1, w), cb))
+    }
+    val qerr = (1 to m).map(j => col(s"__s$j").getField("d"))
+      .reduce(_ + _) // fixed left-assoc add order, mirrored by the oracle
+    withCodes.select(
+      col("vec_id") +:
+        (1 to m).map(j => col(s"__s$j").getField("cid").as(s"c$j")) :+
+        round(qerr, 4).as("qerr"): _*)
   }
 
   /** IVF codebook TRAINING plan: the per-`label` mean vector of every

@@ -253,6 +253,16 @@ object NorthStar {
       .orderBy($"doc_id")
   }
 
+  /** X3 product-quantization codes ([[graft.operators.Similarity
+    * .pqCodes]]): 64-dim embeddings → 4 subspaces × 8-centroid codebooks
+    * (1 Lloyd iteration each), every vector encoded to 4 codes + its
+    * squared quantization error. */
+  def pqCodes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqCodes(Tables.embeddings(spark, d), 4, 8, 1)
+      .orderBy($"vec_id")
+  }
+
   /** The composed training-data cleaning funnel — the end-to-end use case
     * the X-operators exist for: quality gate → exact dedup → near-dup
     * removal, reported as per-stage survivor counts. One lazy plan of four

@@ -294,6 +294,27 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0.5982, 1L -> 0.0, 2L -> 0.4992))
   }
 
+  test("pqCodes: per-subspace codebooks, codes, and quantization error") {
+    import spark.implicits._
+    // m=2, w=1, k=2, iters=0: subspace codebooks are the first two
+    // vec_ids' scalars — sub1 {c0: 0, c1: 4}, sub2 {c0: 10, c1: 0}.
+    // v2=(1,9): codes (0,0), qerr 1+1=2; v3=(5,1): codes (1,1), qerr 2.
+    val emb = Seq(
+      (0L, Seq(0f, 10f)), (1L, Seq(4f, 0f)),
+      (2L, Seq(1f, 9f)), (3L, Seq(5f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(emb, 2, 2, 0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0.0), (1L, 1L, 1L, 0.0),
+      (2L, 0L, 0L, 2.0), (3L, 1L, 1L, 2.0)))
+    // dimension must divide evenly into subspaces
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodes(emb, 3, 2, 0)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("trainLogistic learns a separable rule; predictLogistic scores it") {
     import spark.implicits._
     // y = 1 iff x > 0: GD must push w1 positive and separate the sides
