@@ -167,6 +167,7 @@ object SparkEntry {
     "q144_bm25"          -> (NorthStar.bm25Rank _),
     "q145_quality_lr"    -> (NorthStar.qualityLr _),
     "q146_pq_codes"      -> (NorthStar.pqCodes _),
+    "q147_bpe_merges"    -> (NorthStar.bpeMerges _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2092,6 +2093,16 @@ object SparkEntry {
              s"        |JOIN p${j}c1 ON p${j}c1.cid = p${j}a2.cid")
              .mkString("\n        |")}
         |ORDER BY e.vec_id""".stripMargin,
+    // q147: BPE merges — per-round argmax over exact long pair counts is
+    // a total order (f DESC, l, r); the merge fold is replayed by
+    // list_reduce on the space-joined symbol string.
+    "q147_bpe_merges" ->
+      s"""${bpeChainSql(6)}
+        |${(1 to 6).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS round, l AS lhs, r AS rhs," +
+             s" CAST(f AS BIGINT) AS freq FROM m$i")
+             .mkString("\n        |UNION ALL\n        |")}
+        |ORDER BY round""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -2241,6 +2252,39 @@ object SparkEntry {
       blocks += kmeansAssignBlock(s"p${j}a1", s"p${j}c0", s"e$j")
       blocks += kmeansUpdateBlock(s"p${j}c1", s"p${j}a1", s"e$j")
       blocks += kmeansAssignBlock(s"p${j}a2", s"p${j}c1", s"e$j")
+    }
+    "WITH " + blocks.mkString(",\n")
+  }
+
+  /** BPE merge-round chain for the q147 oracle: v0 = word-frequency
+    * vocab, s0 = char-split symbol sequences; each round counts adjacent
+    * pairs (freq-weighted exact long sums), picks the (f DESC, l, r)
+    * argmax, and applies the merge via list_reduce — the accumulator is
+    * the space-joined symbol string, and appending `r` with no separator
+    * when the last symbol equals `l` replays Spark's `aggregate` fold
+    * exactly (leftmost-first non-overlapping merge). */
+  private def bpeChainSql(rounds: Int): String = {
+    val blocks = new scala.collection.mutable.ArrayBuffer[String]
+    blocks += """v0 AS (SELECT word, count(*) AS freq
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |            FROM documents)
+      |      WHERE word <> '' GROUP BY word)""".stripMargin
+    blocks += "s0 AS (SELECT word, freq, " +
+      "array_to_string(string_split(word, ''), ' ') AS seq FROM v0)"
+    for (i <- 1 to rounds) {
+      blocks += s"""p$i AS (SELECT t.toks[CAST(u.j AS INTEGER)] AS l,
+        |      t.toks[CAST(u.j + 1 AS INTEGER)] AS r, sum(t.freq) AS f
+        |      FROM (SELECT freq, string_split(seq, ' ') AS toks
+        |            FROM s${i - 1}) t,
+        |           LATERAL unnest(range(1, len(t.toks))) u(j)
+        |      GROUP BY 1, 2)""".stripMargin
+      blocks += s"m$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1)"
+      blocks += s"""s$i AS (SELECT s.word, s.freq,
+        |      CASE WHEN len(string_split(s.seq, ' ')) = 1 THEN s.seq
+        |      ELSE list_reduce(string_split(s.seq, ' '),
+        |        (a, x) -> CASE WHEN x = m.r AND (a = m.l OR a LIKE '% ' || m.l)
+        |                  THEN a || x ELSE a || ' ' || x END) END AS seq
+        |      FROM s${i - 1} s, m$i m)""".stripMargin
     }
     "WITH " + blocks.mkString(",\n")
   }

@@ -132,6 +132,67 @@ object TextAnalysis {
       .select("doc_id", "bm25")
   }
 
+  /** BPE merge-rule training (Sennrich, Haddow & Birch, ACL 2016) — the
+    * tokenizer-training half of a training-data pipeline, run the way the
+    * reference BPE trainers do: on the WORD-FREQUENCY table, not the raw
+    * corpus. One corpus scan builds the (word, freq) vocab; after that,
+    * every round touches only vocab-sized state — count adjacent symbol
+    * pairs weighted by word freq (one small shuffle), pick the most
+    * frequent pair (ties: lexicographically lowest (l, r) — a total
+    * order, so both engines agree), and apply the merge to each word's
+    * symbol sequence as a row-local left-to-right greedy fold. Returns
+    * the merge table (round, lhs, rhs, freq).
+    *
+    * Determinism: pair frequencies are exact long sums; the argmax order
+    * (freq DESC, l, r) is total; the merge application is a fold both
+    * engines replay (Spark `aggregate`, DuckDB `list_reduce`) — the
+    * accumulator is the space-joined symbol string, and appending `r`
+    * WITHOUT a separator when the last symbol equals `l` is exactly the
+    * non-overlapping leftmost-first BPE merge (the just-merged symbol
+    * l+r can never re-match `l` in the same pass since r is non-empty).
+    * Symbols must not contain spaces or LIKE metacharacters — true for
+    * whitespace-tokenized text. */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = vocab
+      .withColumn("seq", concat_ws(" ", split(col("word"), "")))
+      .localCheckpoint() // vocab-sized; stops lineage growth across rounds
+    val merges = new scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]
+    for (i <- 1 to rounds) {
+      val toks = split(col("seq"), " ")
+      val pair = seqs
+        .select(col("freq"),
+          explode(transform(slice(toks, lit(1), size(toks) - lit(1)),
+            (s, j) => struct(s.as("l"),
+              element_at(toks, j + lit(2)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pair.nonEmpty) {
+        val (l, r, f) = (pair(0).getString(0), pair(0).getString(1),
+          pair(0).getLong(2))
+        merges += ((i, l, r, f))
+        val parts = split(col("seq"), " ")
+        seqs = seqs.withColumn("seq",
+          when(size(parts) === 1, col("seq")).otherwise(
+            aggregate(slice(parts, lit(2), size(parts) - lit(1)),
+              element_at(parts, 1),
+              (acc, x) => when(x === lit(r) &&
+                  (acc === lit(l) || acc.endsWith(" " + l)),
+                concat(acc, x)).otherwise(concat(acc, lit(" "), x)))))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "freq")
+  }
+
   /** Rolling-hash document fingerprint (custom Catalyst expression). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint", TextExpressions.rolling_hash(col(textCol)))

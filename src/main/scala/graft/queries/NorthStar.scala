@@ -263,6 +263,15 @@ object NorthStar {
       .orderBy($"vec_id")
   }
 
+  /** X4 BPE tokenizer training ([[graft.operators.TextAnalysis
+    * .bpeMerges]]): 6 merge rounds over the corpus word-frequency table;
+    * output = the learned merge rules with their pair frequencies. */
+  def bpeMerges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeMerges(Tables.documents(spark, d), 6)
+      .orderBy($"round")
+  }
+
   /** The composed training-data cleaning funnel — the end-to-end use case
     * the X-operators exist for: quality gate → exact dedup → near-dup
     * removal, reported as per-stage survivor counts. One lazy plan of four

@@ -294,6 +294,23 @@ class NorthStarSpec extends SparkSpec {
     assert(got == Map(0L -> 0.5982, 1L -> 0.0, 2L -> 0.4992))
   }
 
+  test("bpeMerges: hand-traced merge rounds, greedy overlap, exhaustion") {
+    import spark.implicits._
+    // vocab: aa(freq 3), ab(1). Round 1: pair (a,a) f=3 wins; "a a"->"aa".
+    // Round 2: only "a b" has a pair -> (a,b) f=1; round 3: no pairs
+    // anywhere -> no merge row emitted.
+    val docs = Seq((0L, "aa ab"), (1L, "aa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "a", "b", 1L)))
+    // overlapping pairs merge leftmost-first: "a a a" has (a,a) twice
+    // (f=2) but one merge pass yields "aa a", not "aa aa-overlap"
+    val tri = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeMerges(tri, 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got2 == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("pqCodes: per-subspace codebooks, codes, and quantization error") {
     import spark.implicits._
     // m=2, w=1, k=2, iters=0: subspace codebooks are the first two
