@@ -57,14 +57,23 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * Verify/Bench), so the raw column arrives as LongType nanos; we truncate
-    * to microseconds — exactly what DuckDB does reading the same file — and
-    * expose a proper TimestampType column. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped as two parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (no native Spark type — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives as
+    * LongType nanos and we truncate to micros, exactly what DuckDB does
+    * reading the same file) and plain TIMESTAMP(MICROS) (arrives as
+    * TIMESTAMP_NTZ; cast to the session-zone TimestampType — value-identical
+    * under the UTC sessions Verify/Bench pin). Dispatch on the READ type so
+    * either generation yields the same TimestampType column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
