@@ -168,6 +168,10 @@ object SparkEntry {
     "q145_quality_lr"    -> (NorthStar.qualityLr _),
     "q146_pq_codes"      -> (NorthStar.pqCodes _),
     "q147_bpe_merges"    -> (NorthStar.bpeMerges _),
+    "q148_decontaminate" -> (NorthStar.decontaminate _),
+    "q149_weighted_sample" -> (NorthStar.weightedSample _),
+    "q150_source_quota"  -> (NorthStar.sourceQuota _),
+    "q151_stratified_sample" -> (NorthStar.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2103,6 +2107,76 @@ object SparkEntry {
              s" CAST(f AS BIGINT) AS freq FROM m$i")
              .mkString("\n        |UNION ALL\n        |")}
         |ORDER BY round""".stripMargin,
+    // q148: decontamination — the shared-8-gram count is a count of
+    // DISTINCT md5 strings (exact in both engines); zeros are kept via
+    // the LEFT JOIN so the report covers every train doc in the window.
+    "q148_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |eg AS (SELECT DISTINCT
+        |         md5(array_to_string(toks[u.p : u.p + 7], ' ')) AS h
+        |       FROM t, LATERAL unnest(range(1, len(toks) - 6)) u(p)
+        |       WHERE doc_id % 3 = 0 AND len(toks) >= 8),
+        |tg AS (SELECT doc_id,
+        |         md5(array_to_string(toks[u.p : u.p + 7], ' ')) AS h
+        |       FROM t, LATERAL unnest(range(1, len(toks) - 6)) u(p)
+        |       WHERE doc_id % 3 <> 0 AND doc_id < 200
+        |         AND len(toks) >= 8),
+        |sh AS (SELECT tg.doc_id, count(DISTINCT tg.h) AS n_shared
+        |       FROM tg JOIN eg USING (h) GROUP BY tg.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared
+        |FROM documents d LEFT JOIN sh USING (doc_id)
+        |WHERE d.doc_id % 3 <> 0 AND d.doc_id < 200
+        |ORDER BY d.doc_id""".stripMargin,
+    // q149: A-ES weighted sampling — u and the key are row-local double
+    // math (ln + one division), compared as a rounded integer nano-key;
+    // the q129 list_reduce idiom replays the 32-bit md5 hash exactly.
+    "q149_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h
+        |           FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w,
+        |       CAST(round(ln((h + 1) / 4294967296.0) / w
+        |                  * 1000000000.0, 0) AS BIGINT) AS key_nano
+        |FROM t ORDER BY key_nano DESC, doc_id LIMIT 25""".stripMargin,
+    // q150: per-source quota — row_number over (md5(text), doc_id) is a
+    // total order both engines compute identically; 20 sources x cap 10.
+    "q150_source_quota" ->
+      """WITH r AS (SELECT source AS stratum, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(text), doc_id) AS rk
+        |           FROM documents)
+        |SELECT stratum, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 10 ORDER BY stratum, rk""".stripMargin,
+    // q151: stratified sampling — bucket thresholds and keep decisions
+    // are all integer comparisons; thr = (2^32 * num) div den per stratum
+    // (536870912 / 1073741824 / 2147483648 = 1/8, 1/4, 1/2).
+    "q151_stratified_sample" ->
+      """WITH t AS (SELECT CASE WHEN n_chars < 214 THEN '1_short'
+        |                       WHEN n_chars < 375 THEN '2_medium'
+        |                       ELSE '3_long' END AS stratum,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h,
+        |             CAST(doc_id AS BIGINT) AS id
+        |           FROM documents),
+        |k AS (SELECT stratum, h, id,
+        |        CASE stratum WHEN '1_short' THEN 536870912
+        |                     WHEN '2_medium' THEN 1073741824
+        |                     ELSE 2147483648 END AS thr
+        |      FROM t)
+        |SELECT stratum, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN h < thr THEN id ELSE 0 END) AS BIGINT)
+        |         AS kept_id_sum
+        |FROM k GROUP BY stratum ORDER BY stratum""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

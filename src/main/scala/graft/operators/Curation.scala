@@ -202,4 +202,95 @@ object Curation {
         sum(when(col("h") < col("thr"), col("n_tok")).otherwise(0L))
           .as("tok_sampled"))
   }
+
+  /** Uniform 32-bit content hash of the id column — the shared coin every
+    * deterministic sampler here flips (first 8 hex digits of md5, so any
+    * engine with md5 reproduces the exact draw). */
+  private def hash32(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1] from its id
+    * hash and competes with key u^(1/w); the k largest keys win — docs
+    * with weight `weightCol` are selected with probability proportional
+    * to w, and the whole draw replays bit-identically on any engine.
+    * Ranked by ln(u)/w (same order as u^(1/w), no overflow for tiny u),
+    * scaled to an integer nano-key so the cross-engine comparison is on
+    * integers, doc-id tiebreak.
+    *
+    * Scale shape: the key is row-local map work; the only data movement
+    * is the top-k itself (TakeOrderedAndProject — per-partition heaps of
+    * k rows, then a k·partitions merge on one reducer; no full sort, no
+    * wide shuffle). Zero/negative weights are excluded by definition
+    * (they can never win a proportional draw). */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val u = (hash32(idCol) + lit(1L)) / lit(4294967296.0)
+    val keyNano = round(log(u) / col(weightCol) * lit(1e9)).cast("long")
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol).as("doc_id"),
+        col(weightCol).cast("long").as("w"), keyNano.as("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-source document quota: keep at most `cap` docs per stratum,
+    * chosen by content-hash order (md5 of the text — an unbiased,
+    * re-runnable shuffle within the stratum) with doc-id tiebreak. The
+    * standard "no single crawl domain may dominate the mixture" guard.
+    *
+    * Scale shape: one hash-partition shuffle on the stratum key; the
+    * `rk <= cap` filter is a rank-limit Spark's WindowGroupLimit rewrite
+    * pushes into the sort (per-partition top-cap heaps before the
+    * shuffle), so a mega-stratum never materializes its full sorted run.
+    * Stratum skew beyond that is AQE's to split. */
+  def sourceQuota(docs: DataFrame, cap: Int, strataCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs.select(col(strataCol).as("stratum"), col(idCol).as("doc_id"),
+        md5(col(textCol)).as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("stratum"), col("rk"), col("doc_id"))
+  }
+
+  /** Deterministic stratified subsampling: docs are bucketed by fixed
+    * `strata` thresholds on `sizeCol` (ascending upper bounds; the last
+    * stratum is open-ended) and each stratum keeps docs whose 32-bit id
+    * hash clears its integer rate threshold `num/den` — the "downsample
+    * the short-doc flood, keep every long doc" curation move, exact and
+    * replayable on any engine.
+    *
+    * Scale shape: bucket + hash + keep-decision are all row-local map
+    * work; the single shuffle is the per-stratum summary aggregate
+    * (stratum cardinality = `strata.size + 1` — nothing). The kept-doc-id
+    * sum pins membership, not just counts, without hauling doc lists. */
+  def stratifiedSample(docs: DataFrame,
+      strata: Seq[(String, Long, Long, Long)], openLabel: String,
+      openNum: Long, openDen: Long, sizeCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(strata.nonEmpty && strata.map(_._2) == strata.map(_._2).sorted,
+      "strata upper bounds must ascend")
+    (strata.map(_._4) :+ openDen).foreach(d => require(d >= 1, s"den=$d"))
+    val stratum = strata.foldRight(lit(openLabel): Column) {
+      case ((label, ub, _, _), rest) =>
+        when(col(sizeCol) < ub, lit(label)).otherwise(rest)
+    }
+    val thr = strata.foldRight(lit((openNum * 4294967296L) / openDen)) {
+      case ((label, _, num, den), rest) =>
+        when(col("stratum") === label,
+          lit((num * 4294967296L) / den)).otherwise(rest)
+    }
+    docs.select(stratum.as("stratum"), hash32(idCol).as("h"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("keep", col("h") < thr)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("id")).otherwise(0L)).as("kept_id_sum"))
+  }
 }

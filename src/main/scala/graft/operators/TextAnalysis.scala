@@ -314,4 +314,43 @@ object TextAnalysis {
         size(col("chunk")).as("n_chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    * for every TRAINING document, count how many distinct word `n`-grams
+    * it shares with any document of the held-out eval slice (here the
+    * deterministic id slice `doc_id % evalEvery == 0`). A training doc
+    * with `n_shared > 0` leaks eval content and gets dropped or flagged
+    * before training.
+    *
+    * Scale shape — sized for "tiny eval set vs 100 TB train corpus":
+    * the eval slice's distinct n-gram MD5 set is benchmark-sized
+    * (thousands of grams) and BROADCASTS; training text fans out to
+    * (doc_id, gram-hash) pairs map-side, dies or survives against the
+    * broadcast set without shuffling any text, and only the surviving
+    * narrow (doc_id, hash) pairs reach the per-doc distinct count — the
+    * op's single real shuffle is proportional to the CONTAMINATION, not
+    * the corpus. Emits every train doc (zeros included) so the result is
+    * a total report, not just the hit list. */
+  def decontaminate(docs: DataFrame, n: Int, evalEvery: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && evalEvery >= 2, s"n=$n evalEvery=$evalEvery")
+    def grams(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " ")
+      df.select(col(idCol).as("doc_id"),
+          explode(when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - n + 1),
+              p => md5(array_join(slice(toks, p, lit(n)), " "))))
+            .otherwise(array().cast("array<string>"))).as("h"))
+    }
+    val isEval = col(idCol) % evalEvery === 0
+    val evalGrams = grams(docs.filter(isEval)).select(col("h")).distinct()
+    val train = docs.filter(!isEval)
+    val shared = grams(train)
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+    train.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }

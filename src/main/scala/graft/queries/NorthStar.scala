@@ -1084,4 +1084,48 @@ object NorthStar {
         md5($"clean_text").as("clean_md5"))
       .orderBy($"doc_id")
   }
+
+  /** X4 benchmark decontamination ([[graft.operators.TextAnalysis
+    * .decontaminate]]): eval slice = doc_id % 3 == 0 (the modulus is
+    * fixture-tuned — the planted near-dup families must straddle the
+    * eval/train split so the check fires: 4 contaminated docs in the
+    * window at sf0.01, 8 at sf0.1); every train doc's count of distinct
+    * 8-grams shared with the eval set. Output window doc_id < 200 keeps
+    * the report compact; the filter reaches the scan on the train side. */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.decontaminate(Tables.documents(spark, d), 8, 3)
+      .filter($"doc_id" < 200)
+      .orderBy($"doc_id")
+  }
+
+  /** X4+ weighted sampling without replacement ([[graft.operators
+    * .Curation.weightedSample]]): 25 docs drawn ∝ n_chars via the
+    * Efraimidis–Spirakis hash race — a top-k, never a sort. */
+  def weightedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.weightedSample(Tables.documents(spark, d), 25, "n_chars")
+  }
+
+  /** X4+ per-source quota cap ([[graft.operators.Curation.sourceQuota]]):
+    * at most 10 docs per source, picked by content-hash order — the
+    * anti-domination guard of a crawl-mixture assembly. 20 sources × 10
+    * at every SF. */
+  def sourceQuota(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.sourceQuota(Tables.documents(spark, d), 10)
+      .orderBy($"stratum", $"rk")
+  }
+
+  /** X4+ deterministic stratified subsampling ([[graft.operators
+    * .Curation.stratifiedSample]]): short docs (n_chars < 214) kept at
+    * 1/8, medium (< 375) at 1/4, long at 1/2 — integer hash thresholds,
+    * kept-id sum pins the exact membership. */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.stratifiedSample(Tables.documents(spark, d),
+        Seq(("1_short", 214L, 1L, 8L), ("2_medium", 375L, 1L, 4L)),
+        "3_long", 1L, 2L)
+      .orderBy($"stratum")
+  }
 }

@@ -118,4 +118,64 @@ class CurationSpec extends SparkSpec {
       (2L, 3L, 0L, 0L, md5hex("")),
       (3L, 2L, 1L, 3L, md5hex("x y z"))))
   }
+
+  /** The 32-bit md5 id hash every deterministic sampler draws from,
+    * replayed independently of the operator. */
+  private def hash32(id: Long): Long =
+    java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+
+  test("weightedSample replays the A-ES race; nonpositive weights excluded") {
+    import spark.implicits._
+    // weights = 10*id; doc 11 has weight 0 and must never appear even
+    // though k exceeds the positive-weight row count after the cut.
+    val docs = ((1L to 10L).map(i => (i, i * 10L)) :+ (11L, 0L))
+      .toDF("doc_id", "n_chars")
+    val expected = (1L to 10L).map { id =>
+      val u = (hash32(id) + 1L) / 4294967296.0
+      val key = BigDecimal(math.log(u) / (id * 10L) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, id * 10L, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(3).toList
+    val got = Curation.weightedSample(docs, 3, "n_chars")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == expected)
+  }
+
+  test("sourceQuota caps each stratum in content-hash order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "bravo"), (3L, "s1", "charlie"),
+      (4L, "s1", "delta"), (5L, "s2", "echo"), (6L, "s2", "foxtrot"))
+      .toDF("doc_id", "source", "text")
+    // expected: per source, doc ids ordered by md5(text) hex, first 2 win
+    val expect = Seq(
+      ("s1", Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"),
+        (4L, "delta"))),
+      ("s2", Seq((5L, "echo"), (6L, "foxtrot"))))
+      .flatMap { case (src, ds) =>
+        ds.sortBy { case (id, t) => (md5hex(t), id) }.take(2).zipWithIndex
+          .map { case ((id, _), i) => (src, (i + 1).toLong, id) }
+      }.toList
+    val got = Curation.sourceQuota(docs, 2)
+      .orderBy($"stratum", $"rk")
+      .as[(String, Long, Long)].collect().toList
+    assert(got == expect)
+  }
+
+  test("stratifiedSample buckets on thresholds and replays hash keeps") {
+    import spark.implicits._
+    // strata: size < 5 -> 'a' at 1/2, else 'b' at 1/4. Sizes 1..10 over
+    // ids 1..10: ids 1-4 in 'a', 5-10 in 'b'. Keep iff h < thr.
+    val docs = (1L to 10L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    def kept(ids: Seq[Long], thr: Long) = ids.filter(hash32(_) < thr)
+    val aKeep = kept(1L to 4L, 1L << 31)
+    val bKeep = kept(5L to 10L, 1L << 30)
+    val got = Curation.stratifiedSample(docs,
+        Seq(("a", 5L, 1L, 2L)), "b", 1L, 4L)
+      .orderBy($"stratum")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", 4L, aKeep.size.toLong, aKeep.sum),
+      ("b", 6L, bKeep.size.toLong, bKeep.sum)))
+  }
 }

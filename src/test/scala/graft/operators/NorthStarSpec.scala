@@ -493,6 +493,25 @@ class NorthStarSpec extends SparkSpec {
     assert(got(2L) == "de") // all-zero scores → first lang in fixed order
   }
 
+  test("decontaminate counts distinct shared n-grams; short docs get 0") {
+    import spark.implicits._
+    // evalEvery=3 -> eval {0, 3}, train {1, 2, 4, 5}.
+    //   doc1 shares exactly one 8-gram with doc0 ("a".."h");
+    //   doc2 shares nothing; doc4 contains doc3's single 8-gram TWICE
+    //   (distinct count must still be 1); doc5 is under 8 tokens.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h x y"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      (3L, "p q r s t u v w"),
+      (4L, "p q r s t u v w p q r s t u v w"),
+      (5L, "too short here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(docs, 8, 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L), (2L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
   test("chunkTokens windows overlap by width-stride and cover every token") {
     import spark.implicits._
     // 25 tokens, width 10, stride 5 → starts 1,6,11,16,21 → lengths 10,10,10,10,5
