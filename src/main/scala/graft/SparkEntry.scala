@@ -172,6 +172,7 @@ object SparkEntry {
     "q149_weighted_sample" -> (NorthStar.weightedSample _),
     "q150_source_quota"  -> (NorthStar.sourceQuota _),
     "q151_stratified_sample" -> (NorthStar.stratifiedSample _),
+    "q152_bpe_encode"    -> (NorthStar.bpeEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2177,6 +2178,13 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN h < thr THEN id ELSE 0 END) AS BIGINT)
         |         AS kept_id_sum
         |FROM k GROUP BY stratum ORDER BY stratum""".stripMargin,
+    // q152: BPE application — the q147 chain's final seqs table s6 IS
+    // the encoded vocabulary; the merge fold is the same list_reduce.
+    "q152_bpe_encode" ->
+      s"""${bpeChainSql(6)}
+        |SELECT word, CAST(freq AS BIGINT) AS freq,
+        |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym, seq
+        |FROM s6 ORDER BY word""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

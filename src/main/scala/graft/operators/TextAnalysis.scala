@@ -154,8 +154,28 @@ object TextAnalysis {
     * whitespace-tokenized text. */
   def bpeMerges(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, s"rounds=$rounds")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, rounds, textCol)._1.toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of [[bpeMerges]]: train
+    * the merge table, then return every vocab word's final symbol
+    * sequence (word, freq, n_sym, seq). Same machinery, so train and
+    * encode cannot drift; at serving scale the per-word fold is the
+    * row-local op you'd broadcast the (tiny) merge table into. */
+  def bpeEncode(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame =
+    bpeTrain(docs, rounds, textCol)._2
+      .select(col("word"), col("freq"),
+        size(split(col("seq"), " ")).cast("long").as("n_sym"), col("seq"))
+
+  /** Shared BPE training loop: returns (merge rules, final per-word
+    * symbol sequences). Each round = one vocab-sized pair count + argmax
+    * collect + a row-local merge fold over the vocab. */
+  private def bpeTrain(docs: DataFrame, rounds: Int,
+      textCol: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"rounds=$rounds")
     val vocab = docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -189,8 +209,7 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "freq")
+    (merges.toSeq, seqs)
   }
 
   /** Rolling-hash document fingerprint (custom Catalyst expression). */

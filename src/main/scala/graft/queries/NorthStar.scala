@@ -272,6 +272,16 @@ object NorthStar {
       .orderBy($"round")
   }
 
+  /** X4 BPE tokenizer application ([[graft.operators.TextAnalysis
+    * .bpeEncode]]): the q147-trained merge rules applied to the whole
+    * vocabulary — every word's final symbol sequence. Train and encode
+    * share one implementation, so the pair cannot drift. */
+  def bpeEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeEncode(Tables.documents(spark, d), 6)
+      .orderBy($"word")
+  }
+
   /** The composed training-data cleaning funnel — the end-to-end use case
     * the X-operators exist for: quality gate → exact dedup → near-dup
     * removal, reported as per-stage survivor counts. One lazy plan of four

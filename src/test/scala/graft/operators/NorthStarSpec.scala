@@ -311,6 +311,21 @@ class NorthStarSpec extends SparkSpec {
     assert(got2 == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeEncode applies the trained merges to the whole vocab") {
+    import spark.implicits._
+    // vocab: aa(3), ab(1), aab(1). Round 1: (a,a) f=4 (aa + aab) wins;
+    // aa -> "aa", aab -> "aa b" (leftmost-first). Round 2: (a,b) f=1 and
+    // (aa,b) f=1 tie, lexicographic l picks (a,b); ab -> "ab", while
+    // aab's b no longer follows a bare "a" and stays "aa b".
+    val docs = Seq((0L, "aa ab aab"), (1L, "aa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, 2)
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("aa", 3L, 1L, "aa"),
+      ("aab", 1L, 2L, "aa b"),
+      ("ab", 1L, 1L, "ab")))
+  }
+
   test("pqCodes: per-subspace codebooks, codes, and quantization error") {
     import spark.implicits._
     // m=2, w=1, k=2, iters=0: subspace codebooks are the first two

@@ -428,4 +428,74 @@ object PropertySpec extends Properties("graft.operators") {
         twiceIds == onceIds && // idempotent: survivors survive again
         survivedTexts.intersect(exSet).isEmpty // exact dups never survive
     }
+
+  /** Independent replay of Curation's 32-bit md5 id hash. */
+  private def hash32(id: Long): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8), 16)
+
+  property("weightedSample == brute-force A-ES replay (w<=0 excluded)") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(10, Gen.chooseNum(0L, 20L)),
+      Gen.chooseNum(1, 5)) { (ws, k) =>
+      import spark.implicits._
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val expected = docs.filter(_._2 > 0).map { case (id, w) =>
+        val u = (hash32(id) + 1L) / 4294967296.0
+        val key = BigDecimal(math.log(u) / w * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (id, w, key)
+      }.sortBy { case (id, _, key) => (-key, id) }.take(k)
+      val got = Curation
+        .weightedSample(docs.toDF("doc_id", "n_chars"), k, "n_chars")
+        .as[(Long, Long, Long)].collect().toList
+      got == expected
+    }
+
+  property("stratifiedSample == brute-force bucket + threshold replay") =
+    Prop.forAllNoShrink(Gen.listOfN(12, Gen.chooseNum(1L, 10L))) { sizes =>
+      import spark.implicits._
+      val docs = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val expected = docs
+        .map { case (id, s) =>
+          val stratum = if (s < 4) "a" else if (s < 8) "b" else "c"
+          val thr = stratum match {
+            case "a" => (1L * 4294967296L) / 2
+            case "b" => (1L * 4294967296L) / 4
+            case _   => (3L * 4294967296L) / 4
+          }
+          (stratum, id, hash32(id) < thr)
+        }
+        .groupBy(_._1).map { case (st, rows) =>
+          (st, rows.size.toLong, rows.count(_._3).toLong,
+            rows.filter(_._3).map(_._2).sum)
+        }.toList.sortBy(_._1)
+      val got = Curation.stratifiedSample(docs.toDF("doc_id", "n_chars"),
+          Seq(("a", 4L, 1L, 2L), ("b", 8L, 1L, 4L)), "c", 3L, 4L)
+        .orderBy($"stratum")
+        .as[(String, Long, Long, Long)].collect().toList
+      got == expected
+    }
+
+  // docs over a 3-token alphabet so short n-grams collide often enough
+  // to exercise the shared-count path, not just zeros
+  private val gramDocs = Gen.listOfN(8,
+    Gen.listOfN(5, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+
+  property("decontaminate == brute-force n-gram set intersection") =
+    Prop.forAllNoShrink(gramDocs, Gen.chooseNum(2, 4)) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def grams(t: String): Set[String] =
+        t.split(" ").sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      val evalSet = docs.filter(_._1 % 3 == 0).flatMap(d => grams(d._2)).toSet
+      val expected = docs.filter(_._1 % 3 != 0)
+        .map { case (id, t) => (id, grams(t).intersect(evalSet).size.toLong) }
+        .sortBy(_._1)
+      val got = TextAnalysis.decontaminate(docs.toDF("doc_id", "text"), n, 3)
+        .as[(Long, Long)].collect().toList.sortBy(_._1)
+      got == expected
+    }
 }
