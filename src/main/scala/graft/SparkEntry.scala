@@ -173,6 +173,8 @@ object SparkEntry {
     "q150_source_quota"  -> (NorthStar.sourceQuota _),
     "q151_stratified_sample" -> (NorthStar.stratifiedSample _),
     "q152_bpe_encode"    -> (NorthStar.bpeEncode _),
+    "q153_pagerank"      -> (NorthStar.pageRank _),
+    "q154_temp_sample"   -> (NorthStar.temperatureSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2185,6 +2187,66 @@ object SparkEntry {
         |SELECT word, CAST(freq AS BIGINT) AS freq,
         |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym, seq
         |FROM s6 ORDER BY word""".stripMargin,
+    // q153: integer PageRank — every update is 64-bit integer math
+    // (div = floor division), so the CTE chain replays the exact ranks;
+    // DuckDB integer sums go HUGEINT and must be CAST back to BIGINT.
+    "q153_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey + 1000000000 AS BIGINT) AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 +
+        |         (850000 * coalesce(c3.s, 0)) // 1000000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 50""".stripMargin,
+    // q154: temperature sampling — the micro-weight round(share^0.5·1e6)
+    // is the only float step (6-dp rounding, ulp-flip measure-zero); the
+    // target and threshold arithmetic is the q129 integer machinery.
+    "q154_temp_sample" ->
+      """WITH t AS (SELECT source AS stratum,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h
+        |           FROM documents),
+        |strata AS (SELECT stratum, CAST(sum(n_tok) AS BIGINT) AS src_tok
+        |           FROM t GROUP BY stratum),
+        |g AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot FROM strata),
+        |ww AS (SELECT stratum, src_tok, tot,
+        |         CAST(round(pow(src_tok / CAST(tot AS DOUBLE), 0.5)
+        |           * 1000000.0, 0) AS BIGINT) AS w
+        |       FROM strata CROSS JOIN g),
+        |gw AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM ww),
+        |thr AS (SELECT stratum,
+        |          (((tot * 1 * w) // (2 * w_sum)) * 4294967296) // src_tok
+        |            AS thr
+        |        FROM ww CROSS JOIN gw)
+        |SELECT stratum, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sampled,
+        |       CAST(sum(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS tok_sampled
+        |FROM t JOIN thr USING (stratum)
+        |GROUP BY stratum ORDER BY stratum""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

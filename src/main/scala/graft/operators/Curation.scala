@@ -258,6 +258,51 @@ object Curation {
       .select(col("stratum"), col("rk"), col("doc_id"))
   }
 
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * α-sampling move: sample stratum s with probability ∝ shareᵅ, α < 1
+    * upweighting the tail strata): per-stratum micro-weights
+    * `W_s = round(shareᵅ · 10⁶)` are the ONLY float step (rounded at a
+    * scale where a cross-engine pow ulp cannot flip them); the target
+    * token budget per stratum, `(tot · num · W_s) div (den · ΣW)`, and
+    * the per-doc keep threshold `(target_s · 2³²) div src_tok` are
+    * exact integer arithmetic, so any engine picks the same docs.
+    * Same output shape as [[mixtureSample]] (which is the α=0 equal-
+    * share special case): per-stratum (n_docs, n_sampled, tok_sampled).
+    *
+    * Scale shape: identical to [[mixtureSample]] — row-local doc
+    * hashes, a domain-cardinality strata table broadcast both ways, one
+    * groupBy. Micro-weight overflow headroom: tot · num · 10⁶ < 2⁶³
+    * holds to ~10¹² tokens; beyond that drop the micro scale a decade. */
+  def temperatureSample(docs: DataFrame, alpha: Double, budgetNum: Long,
+      budgetDen: Long, textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha")
+    require(budgetNum >= 0 && budgetDen >= 1, s"budget $budgetNum/$budgetDen")
+    val t = docs.select(col(strataCol).as("stratum"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      hash32(idCol).as("h"))
+    val strata = t.groupBy(col("stratum"))
+      .agg(sum(col("n_tok")).as("src_tok"))
+    // totals via broadcast one-row aggregates, never a global window —
+    // same shape as mixtureSample, no single-partition stage
+    val withW = strata
+      .crossJoin(broadcast(strata.agg(sum(col("src_tok")).as("tot"))))
+      .withColumn("w",
+        round(pow(col("src_tok") / col("tot"), alpha) * 1e6).cast("long"))
+    val thr = withW
+      .crossJoin(broadcast(withW.agg(sum(col("w")).as("w_sum"))))
+      .withColumn("target",
+        expr(s"(tot * ${budgetNum}L * w) div (${budgetDen}L * w_sum)"))
+      .withColumn("thr", expr("(target * 4294967296L) div src_tok"))
+      .select(col("stratum"), col("thr"))
+    t.join(broadcast(thr), "stratum")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("h") < col("thr"), col("n_tok")).otherwise(0L))
+          .as("tok_sampled"))
+  }
+
   /** Deterministic stratified subsampling: docs are bucketed by fixed
     * `strata` thresholds on `sizeCol` (ascending upper bounds; the last
     * stratum is open-ended) and each stratum keeps docs whose 32-bit id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Learn, Multimodal, Par, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -280,6 +280,32 @@ object NorthStar {
     import spark.implicits._
     TextAnalysis.bpeEncode(Tables.documents(spark, d), 6)
       .orderBy($"word")
+  }
+
+  /** X4+ temperature-based mixture sampling ([[graft.operators.Curation
+    * .temperatureSample]]): α=0.5 over source strata, half the corpus
+    * token budget — the tail-upweighting multilingual-sampling move;
+    * one rounded micro-weight per stratum, then all-integer thresholds. */
+  def temperatureSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.temperatureSample(Tables.documents(spark, d), 0.5, 1L, 2L)
+      .orderBy($"stratum")
+  }
+
+  /** X13 integer-exact PageRank ([[graft.operators.Graph
+    * .pageRankMicro]]) over the customer→supplier order graph (supplier
+    * node ids offset by 10⁹ out of the customer key space), 3
+    * supersteps; top-50 nodes by final micro-rank. All-integer updates,
+    * so the oracle replays the exact ranks CTE-by-CTE. */
+  def pageRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + 1000000000L).as("dst"))
+    Graph.pageRankMicro(e, 3)
+      .orderBy($"r".desc, $"node").limit(50)
   }
 
   /** The composed training-data cleaning funnel — the end-to-end use case

@@ -162,6 +162,36 @@ class CurationSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("temperatureSample: rounded micro-weights then integer thresholds") {
+    import spark.implicits._
+    // strata: A = ids 1,2 with 4 tokens each (src_tok 8); B = id 3 with
+    // 2 tokens. tot = 10, alpha = 0.5, budget 1/2. Replay the arithmetic
+    // independently: one rounded micro-weight per stratum, then integer
+    // target/threshold, then per-doc hash keeps.
+    val docs = Seq(
+      (1L, "A", "w w w w"), (2L, "A", "w w w w"), (3L, "B", "w w"))
+      .toDF("doc_id", "source", "text")
+    val srcTok = Map("A" -> 8L, "B" -> 2L)
+    val tot = 10L
+    val w = srcTok.map { case (s, st) =>
+      s -> BigDecimal(math.pow(st.toDouble / tot, 0.5) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val wSum = w.values.sum
+    def thr(s: String) =
+      ((tot * 1L * w(s)) / (2L * wSum)) * 4294967296L / srcTok(s)
+    val members = Map("A" -> Seq(1L, 2L), "B" -> Seq(3L))
+    val tokOf = Map(1L -> 4L, 2L -> 4L, 3L -> 2L)
+    val expected = members.map { case (s, ids) =>
+      val kept = ids.filter(hash32(_) < thr(s))
+      (s, ids.size.toLong, kept.size.toLong, kept.map(tokOf).sum)
+    }.toList.sortBy(_._1)
+    val got = Curation.temperatureSample(docs, 0.5, 1L, 2L)
+      .orderBy($"stratum")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == expected)
+  }
+
   test("stratifiedSample buckets on thresholds and replays hash keeps") {
     import spark.implicits._
     // strata: size < 5 -> 'a' at 1/2, else 'b' at 1/4. Sizes 1..10 over

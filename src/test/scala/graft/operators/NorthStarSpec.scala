@@ -326,6 +326,20 @@ class NorthStarSpec extends SparkSpec {
       ("ab", 1L, 1L, "ab")))
   }
 
+  test("pageRankMicro: hand-traced integer supersteps, dangling + floor div") {
+    import spark.implicits._
+    // edges 1->2, 1->3, 3->1; outdeg(1)=2, outdeg(3)=1; node 2 dangling.
+    // r0 = 1_000_000 each.
+    // iter1: n2,n3 each get 1_000_000 div 2 = 500_000; n1 gets 1_000_000
+    //   -> r1 = (1_000_000, 575_000, 575_000)
+    // iter2: n2,n3 each get 500_000; n1 gets 575_000
+    //   -> r2 = (150_000 + 488_750, 575_000, 575_000)
+    val e = Seq((1L, 2L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRankMicro(e, 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 638750L), (2L, 575000L), (3L, 575000L)))
+  }
+
   test("pqCodes: per-subspace codebooks, codes, and quantization error") {
     import spark.implicits._
     // m=2, w=1, k=2, iters=0: subspace codebooks are the first two
