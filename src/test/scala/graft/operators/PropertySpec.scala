@@ -483,6 +483,30 @@ object PropertySpec extends Properties("graft.operators") {
   private val gramDocs = Gen.listOfN(8,
     Gen.listOfN(5, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
 
+  property("pageRankMicro == brute-force integer superstep replay") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 5L))),
+      Gen.chooseNum(1, 3)) { (rawEdges, iters) =>
+      import spark.implicits._
+      val edges0 = rawEdges.filter { case (s, d) => s != d }.distinct
+      // self-loop-free but possibly empty after the filter; pad with a
+      // fixed edge so the op's nonempty precondition always holds
+      val edges = if (edges0.nonEmpty) edges0 else List((1L, 2L))
+      val nodes = edges.flatMap { case (s, d) => Seq(s, d) }.distinct.sorted
+      val outdeg = edges.groupBy(_._1).map { case (s, es) =>
+        (s, es.size.toLong) }
+      var rank = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.groupBy(_._2).map { case (d, es) =>
+          (d, es.map { case (s, _) => rank(s) / outdeg(s) }.foldLeft(0L)(_ + _)) }
+        rank = nodes.map(n =>
+          n -> (150000L + (850000L * in.getOrElse(n, 0L)) / 1000000L)).toMap
+      }
+      val got = Graph.pageRankMicro(edges.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+      got == rank
+    }
+
   property("decontaminate == brute-force n-gram set intersection") =
     Prop.forAllNoShrink(gramDocs, Gen.chooseNum(2, 4)) { (texts, n) =>
       import spark.implicits._
