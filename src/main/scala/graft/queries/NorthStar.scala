@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -290,6 +290,30 @@ object NorthStar {
     import spark.implicits._
     Curation.temperatureSample(Tables.documents(spark, d), 0.5, 1L, 2L)
       .orderBy($"stratum")
+  }
+
+  /** X3 IVF-PQ serving ([[graft.operators.Similarity.ivfPqTopK]]):
+    * coarse cell probe + compressed-domain ADC scoring, reduced to the
+    * [[annSummary]] exactness bound against the exact L2 top-10. */
+  def ivfPqTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    // m=8,k=16,nProbe=5: measured overlap 4/10 at sf0.01, 3/10 at sf0.1
+    // (random unclustered embeddings bound ADC recall, same regime as
+    // q43/q53); the bound asserts >= 2
+    annSummary(Similarity.ivfPqTopK(emb, 0L, 10, 8, 16, 1, 5),
+      Similarity.l2TopK(emb, 0L, 10), 10, 2)
+  }
+
+  /** Warehouse-surface column profiling ([[graft.operators.Profiling
+    * .columnProfile]]): exact per-column stats over lineitem in one
+    * aggregate pass — count/nulls/distinct/min/max only (no float sums,
+    * so the profile is engine-exact). */
+  def columnProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.columnProfile(Tables.lineitem(spark, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+          "l_linestatus"))
+      .orderBy($"col_name")
   }
 
   /** X13 integer-exact PageRank ([[graft.operators.Graph

@@ -326,6 +326,40 @@ class NorthStarSpec extends SparkSpec {
       ("ab", 1L, 1L, "ab")))
   }
 
+  test("ivfPqTopK: hand-traced ADC scores; l2TopK exact baseline") {
+    import spark.implicits._
+    // dim 2, m=2 (w=1), kCodes=2, iters=0 -> books = subvectors of the
+    // two lowest vec_ids: j0 {c0=[0], c1=[4]}, j1 {c0=[10], c1=[2]}.
+    // Codes: vec1=[4,2]->(c1,c1); vec2=[0,10]->(c0,c0);
+    //        vec3=[8,6]->(c1, tie d=16 both -> c0).
+    // Query vec0=[0,10] LUTs: j0 {c0:0, c1:16}, j1 {c0:0, c1:64}.
+    // ADC: vec1=80, vec2=0, vec3=16 -> top2 (2, 0.0), (3, 16.0).
+    // Exact L2: vec2=0, vec1=80, vec3=80 (id tiebreak -> vec1).
+    val emb = Seq(
+      (0L, Seq(0.0, 10.0), 1), (1L, Seq(4.0, 2.0), 1),
+      (2L, Seq(0.0, 10.0), 1), (3L, Seq(8.0, 6.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val adc = Similarity.ivfPqTopK(emb, 0L, 2, 2, 2, 0, 1)
+      .as[(Long, Double)].collect().toList
+    assert(adc == List((2L, 0.0), (3L, 16.0)))
+    val exact = Similarity.l2TopK(emb, 0L, 2)
+      .as[(Long, Double)].collect().toList
+    assert(exact == List((2L, 0.0), (1L, 80.0)))
+  }
+
+  test("columnProfile: exact counts, nulls excluded from distinct/min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
+      .toDF("x", "s")
+    val got = Profiling.columnProfile(df, Seq("x", "s"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      ("s", 3L, 1L, 2L, "a", "b"),
+      ("x", 3L, 1L, 2L, "1", "2")))
+  }
+
   test("pageRankMicro: hand-traced integer supersteps, dangling + floor div") {
     import spark.implicits._
     // edges 1->2, 1->3, 3->1; outdeg(1)=2, outdeg(3)=1; node 2 dangling.
