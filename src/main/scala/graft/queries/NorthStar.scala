@@ -292,17 +292,37 @@ object NorthStar {
       .orderBy($"stratum")
   }
 
-  /** X3 IVF-PQ serving ([[graft.operators.Similarity.ivfPqTopK]]):
-    * coarse cell probe + compressed-domain ADC scoring, reduced to the
-    * [[annSummary]] exactness bound against the exact L2 top-10. */
+  /** X3 IVF-PQ serving ([[graft.operators.Similarity.ivfPqTopKWith]]):
+    * coarse cell probe + compressed-domain ADC scoring over PERSISTED
+    * artifacts — the PQ codebooks, per-vector codes, and IVF cells are
+    * trained once per corpus snapshot and stored via
+    * [[graft.sources.IndexStore]] (the q138 pattern), so the SERVING
+    * plan contains no training job (VERDICT r6 #1). Reduced to the
+    * [[annSummary]] exactness bound against the exact L2 top-10.
+    * NOTE the DuckDB oracle pins only the summary invariants
+    * (n_results / got_k / recall_ok as constants) — the hand-traced ADC
+    * scores in NorthStarSpec carry the real computation verification. */
   def ivfPqTopK(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     // m=8,k=16,nProbe=5: measured overlap 4/10 at sf0.01, 3/10 at sf0.1
     // (random unclustered embeddings bound ADC recall, same regime as
     // q43/q53); the bound asserts >= 2
-    annSummary(Similarity.ivfPqTopK(emb, 0L, 10, 8, 16, 1, 5),
+    val fp = graft.sources.IndexStore.sourceFingerprint(
+      s"$d/embeddings.parquet", "ivfpq=m8,k16,iters1")
+    val books = graft.sources.IndexStore.ensure(spark,
+      ivfPqIndexDir(d, "books"), fp) { Similarity.pqBooks(emb, 8, 16, 1) }
+    val codes = graft.sources.IndexStore.ensure(spark,
+      ivfPqIndexDir(d, "codes"), fp) { Similarity.pqEncodeWith(emb, books) }
+    val cells = graft.sources.IndexStore.ensure(spark, ivfIndexDir(d),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
+        "ivf-cells=per-label-mean")) { Similarity.ivfCells(emb) }
+    annSummary(Similarity.ivfPqTopKWith(codes, books, cells, emb, 0L, 10, 5),
       Similarity.l2TopK(emb, 0L, 10), 10, 2)
   }
+
+  /** Per-SF location of a persisted IVF-PQ artifact (`books`/`codes`). */
+  def ivfPqIndexDir(d: String, part: String): String =
+    s"spark-warehouse/graft_index/ivfpq_${part}_${new java.io.File(d).getName}"
 
   /** Warehouse-surface column profiling ([[graft.operators.Profiling
     * .columnProfile]]): exact per-column stats over lineitem in one

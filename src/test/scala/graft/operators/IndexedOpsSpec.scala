@@ -253,4 +253,35 @@ class IndexedOpsSpec extends SparkSpec {
     val want = Similarity.ivfTopK(emb, 0L, 10)
     assert(sortedRows(probe) === sortedRows(want))
   }
+
+  test("IVF-PQ: persisted books/codes/cells serve identically to the " +
+      "inline form; the serving plan reads codes, not a training loop") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val inline = Similarity.ivfPqTopK(emb, 0L, 5, 4, 4, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val root = Files.createTempDirectory("ivfpq_idx_").toString
+    val books = IndexStore.ensure(spark, s"$root/books", "spec") {
+      Similarity.pqBooks(emb, 4, 4, 1)
+    }
+    val codes = IndexStore.ensure(spark, s"$root/codes", "spec") {
+      Similarity.pqEncodeWith(emb, books)
+    }
+    val cells = IndexStore.ensure(spark, s"$root/cells", "spec") {
+      Similarity.ivfCells(emb)
+    }
+    val served = Similarity.ivfPqTopKWith(codes, books, cells, emb, 0L, 5, 2)
+    // parquet round-trip of books + codes changes nothing: doubles are
+    // stored bit-exactly and codes are longs
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      == inline)
+    // the serving plan ADC-scores the persisted CODES (the compressed
+    // corpus) and probes the persisted cells; the only embeddings access
+    // is the one-row query fetch — no Lloyd retraining in the plan
+    val paths = scanPaths(served)
+    assert(paths.exists(_.contains("codes")), s"scans: $paths")
+    assert(paths.exists(_.contains("cells")), s"scans: $paths")
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"serving plan must not retrain:\n$plan")
+  }
 }
