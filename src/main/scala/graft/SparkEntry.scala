@@ -2470,12 +2470,17 @@ object SparkEntry {
         |           LATERAL unnest(range(1, len(t.toks))) u(j)
         |      GROUP BY 1, 2)""".stripMargin
       blocks += s"m$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1)"
+      // LEFT JOIN + the m.l IS NULL passthrough mirror the Spark side's
+      // pair.nonEmpty guard: an empty merge round (no adjacent pair left
+      // anywhere — degenerate all-single-char vocab) leaves the seqs
+      // unchanged instead of emptying every downstream s-table (ADVICE r6)
       blocks += s"""s$i AS (SELECT s.word, s.freq,
-        |      CASE WHEN len(string_split(s.seq, ' ')) = 1 THEN s.seq
+        |      CASE WHEN m.l IS NULL
+        |             OR len(string_split(s.seq, ' ')) = 1 THEN s.seq
         |      ELSE list_reduce(string_split(s.seq, ' '),
         |        (a, x) -> CASE WHEN x = m.r AND (a = m.l OR a LIKE '% ' || m.l)
         |                  THEN a || x ELSE a || ' ' || x END) END AS seq
-        |      FROM s${i - 1} s, m$i m)""".stripMargin
+        |      FROM s${i - 1} s LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     "WITH " + blocks.mkString(",\n")
   }

@@ -228,10 +228,16 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k=$k")
     val u = (hash32(idCol) + lit(1L)) / lit(4294967296.0)
-    val keyNano = round(log(u) / col(weightCol) * lit(1e9)).cast("long")
-    docs.filter(col(weightCol) > 0)
-      .select(col(idCol).as("doc_id"),
-        col(weightCol).cast("long").as("w"), keyNano.as("key_nano"))
+    // the weight is cast to LONG once and that integer drives BOTH the
+    // ranking key and the reported w — a fractional weight column would
+    // otherwise rank on the fraction while reporting (and any SQL twin
+    // replaying from) the integer, silently breaking the bit-identical-
+    // replay contract (ADVICE r6). Weights that truncate to <= 0 are
+    // excluded like any nonpositive weight.
+    val wLong = col(weightCol).cast("long")
+    val keyNano = round(log(u) / wLong * lit(1e9)).cast("long")
+    docs.filter(wLong > 0)
+      .select(col(idCol).as("doc_id"), wLong.as("w"), keyNano.as("key_nano"))
       .orderBy(col("key_nano").desc, col("doc_id"))
       .limit(k)
   }

@@ -141,6 +141,22 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("weightedSample ranks on the TRUNCATED long weight (the replay " +
+      "contract), and weights truncating to 0 are excluded") {
+    import spark.implicits._
+    // fractional weights: 2.9 competes as 2, 0.9 truncates to 0 -> out
+    val docs = Seq((1L, 2.9), (2L, 5.1), (3L, 0.9)).toDF("doc_id", "w")
+    val expected = Seq((1L, 2L), (2L, 5L)).map { case (id, w) =>
+      val u = (hash32(id) + 1L) / 4294967296.0
+      val key = BigDecimal(math.log(u) / w * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, w, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.toList
+    val got = Curation.weightedSample(docs, 3, "w")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == expected)
+  }
+
   test("sourceQuota caps each stratum in content-hash order") {
     import spark.implicits._
     val docs = Seq(

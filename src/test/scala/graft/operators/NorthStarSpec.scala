@@ -360,6 +360,41 @@ class NorthStarSpec extends SparkSpec {
       ("x", 3L, 1L, 2L, "1", "2")))
   }
 
+  test("columnProfile handles identifier-breaking column names and the " +
+      "approx variant stays within its rsd bound") {
+    import spark.implicits._
+    // a space and a dot would both break unquoted identifier splicing
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "c"))
+      .toDF("weird col", "a.b")
+    val got = Profiling.columnProfile(df, Seq("weird col", "a.b"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      ("a.b", 3L, 0L, 3L, "a", "c"),
+      ("weird col", 3L, 0L, 2L, "1", "2")))
+    // approx profile: same shape, n_distinct within rsd of exact —
+    // the 100 TB swap (map-side-combine instead of an Expand pass)
+    val lineitem = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_quantity", "l_returnflag")
+    val exact = Profiling.columnProfile(lineitem, cols)
+      .select($"col_name", $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    val approx = Profiling.columnProfile(lineitem, cols, approx = true,
+        rsd = 0.05)
+      .select($"col_name", $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e <= 3 * 0.05,
+        s"$c: approx $a vs exact $e outside 3*rsd")
+    }
+    // the approx plan is Expand-free; the exact multi-distinct one is not
+    def hasExpand(ap: Boolean) =
+      Profiling.columnProfile(lineitem, cols, approx = ap)
+        .queryExecution.sparkPlan.toString.contains("Expand")
+    assert(hasExpand(false) && !hasExpand(true))
+  }
+
   test("pageRankMicro: hand-traced integer supersteps, dangling + floor div") {
     import spark.implicits._
     // edges 1->2, 1->3, 3->1; outdeg(1)=2, outdeg(3)=1; node 2 dangling.
@@ -573,6 +608,23 @@ class NorthStarSpec extends SparkSpec {
     val got = TextAnalysis.decontaminate(docs, 8, 3)
       .as[(Long, Long)].collect().sortBy(_._1).toList
     assert(got == List((1L, 1L), (2L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("decontaminateAgainst checks an explicit benchmark table") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g h x y"),  // shares "a".."h" with eval doc 100
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateAgainst(train, eval, 8)
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L), (2L, 0L), (3L, 0L)))
+    // the explicit-eval form force-broadcasts the benchmark gram set
+    val plan = TextAnalysis.decontaminateAgainst(train, eval, 8)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
   test("chunkTokens windows overlap by width-stride and cover every token") {
