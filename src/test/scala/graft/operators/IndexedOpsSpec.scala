@@ -96,7 +96,16 @@ class IndexedOpsSpec extends SparkSpec {
     assert(f1 == IndexStore.sourceFingerprint(d, "tag=a")) // deterministic
     assert(f1 != IndexStore.sourceFingerprint(d, "tag=b")) // tags matter
     Files.write(java.nio.file.Paths.get(d, "part-1.parquet"), Array[Byte](3))
-    assert(f1 != IndexStore.sourceFingerprint(d, "tag=a")) // files matter
+    val f2 = IndexStore.sourceFingerprint(d, "tag=a")
+    assert(f1 != f2) // files matter
+    // same-size in-place rewrite forged back onto the same mtime tick:
+    // (name, size, mtime) alone would fingerprint identically; the
+    // tail-16-byte sample must still catch it (ADVICE r5/r6 closure)
+    val p0 = java.nio.file.Paths.get(d, "part-0.parquet")
+    val mt = Files.getLastModifiedTime(p0)
+    Files.write(p0, Array[Byte](7, 8)) // same size, different bytes
+    Files.setLastModifiedTime(p0, mt)  // forge the original mtime
+    assert(f2 != IndexStore.sourceFingerprint(d, "tag=a"))
   }
 
   test("indexed incremental dedup equals the self-contained operator and " +
