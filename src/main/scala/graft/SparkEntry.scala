@@ -177,6 +177,8 @@ object SparkEntry {
     "q154_temp_sample"   -> (NorthStar.temperatureSample _),
     "q155_col_profile"   -> (NorthStar.columnProfile _),
     "q156_ivfpq"         -> (NorthStar.ivfPqTopK _),
+    "q157_bpe_tokenize"  -> (NorthStar.bpeTokenize _),
+    "q158_semdedup_salted" -> (NorthStar.semDedupSalted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1851,6 +1853,22 @@ object SparkEntry {
         |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM e LEFT JOIN d ON e.vec_id = d.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // q158: the SALTED semDedup plan must reproduce q131's decision
+    // row-for-row — the oracle is deliberately the UNSALTED pairwise
+    // SQL (salting is a physical-plan change, not a semantic one).
+    "q158_semdedup_salted" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS cell,
+        |                  CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT DISTINCT b.vec_id
+        |      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) *
+        |             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35)
+        |SELECT e.vec_id, e.cell,
+        |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM e LEFT JOIN d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     // q132: identical PII plant (same doc_id-derived email/IP/phone
     // appends), then the same three regexes — counts on the raw text,
     // replacement in email -> IP -> phone order, 'g' = replace ALL
@@ -2189,6 +2207,26 @@ object SparkEntry {
         |SELECT word, CAST(freq AS BIGINT) AS freq,
         |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym, seq
         |FROM s6 ORDER BY word""".stripMargin,
+    // q157: corpus BPE tokenizer pass — per-doc word + BPE-symbol
+    // counts via the encoded-vocab dictionary join; the LEFT JOIN keeps
+    // empty docs at 0, mirroring the Spark side's total report.
+    "q157_bpe_tokenize" ->
+      s"""${bpeChainSql(6)},
+        |vocab AS (SELECT word,
+        |            CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+        |          FROM s6),
+        |w AS (SELECT doc_id, word FROM
+        |        (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |         FROM documents)
+        |      WHERE word <> ''),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |          CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+        |        FROM w JOIN vocab USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(agg.n_words, 0) AS n_words,
+        |       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q153: integer PageRank — every update is 64-bit integer math
     // (div = floor division), so the CTE chain replays the exact ranks;
     // DuckDB integer sums go HUGEINT and must be CAST back to BIGINT.

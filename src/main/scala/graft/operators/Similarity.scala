@@ -302,6 +302,43 @@ object Similarity {
       Seq("vec_id"), "left_anti")
   }
 
+  /** [[semDedup]] under a SKEWED clusterer — the identical keep/drop
+    * decision computed by a replicated skew join: the within-cell
+    * candidate join keys on (cell, salt) with salt = id_b mod `salt`,
+    * and the a-side replicated to every salt value, so one hot cell's
+    * m²/2 scored pairs spread across `salt` reducers instead of
+    * serializing on one (the standard 1-bucket/replication answer to
+    * join skew). Cost: a-side rows are duplicated `salt`× — narrow
+    * (cell, id, v, nrm) rows only; at 100 TB you salt just the hot
+    * cells a cheap (cell, count) agg flags (and [[semDedup]]'s cellCap
+    * names), not the whole corpus — AQE's skew split handles moderate
+    * skew without either. `salt = 1` degenerates to [[semDedup]]'s
+    * exact plan shape; every salt value returns the same rows, which
+    * the q158 oracle (the unsalted pairwise SQL) pins. */
+  def semDedupSalted(emb: DataFrame, cellCol: String, threshold: Double,
+      salt: Int): DataFrame = {
+    require(salt >= 1, s"salt=$salt")
+    val keyed = emb.select(col(cellCol).as("cell"), col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val b = keyed.select(col("cell").as("cell_b"),
+        col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      .withColumn("sb", pmod(col("id_b"), lit(salt.toLong)).cast("int"))
+    val a = keyed.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .withColumn("sa", explode(sequence(lit(0), lit(salt - 1))))
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val drop = b.join(a.hint("SHUFFLE_HASH"),
+        col("cell_a") === col("cell_b") && col("sa") === col("sb") &&
+        col("id_a") < col("id_b") &&
+        rawCos >= roundedGeqBoundary(threshold, 4))
+      .select(col("id_b").as("vec_id")).distinct()
+    keyed.select(col("vec_id"), col("cell"))
+      .join(drop.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("d").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Deterministic distributed Lloyd's k-means ASSIGNMENT after `iters`
     * update steps — the trained coarse quantizer behind [[ivfTopKWith]]
     * and [[semDedup]] cells (per-label means stand in elsewhere; this is

@@ -170,6 +170,40 @@ object TextAnalysis {
       .select(col("word"), col("freq"),
         size(split(col("seq"), " ")).cast("long").as("n_sym"), col("seq"))
 
+  /** Corpus-scale BPE TOKENIZATION — the real tokenizer pass over the
+    * document token streams ([[bpeEncode]] only encodes the
+    * vocabulary): train the merge table, encode the DISTINCT vocab once,
+    * then tokenize every document by a dictionary join of its words
+    * against the encoded vocab. Returns one row per document (empty /
+    * whitespace docs included, at 0) with its word count and its total
+    * BPE symbol count — the token-budget number every curation
+    * operator downstream consumes.
+    *
+    * Scale shape: encoding cost is O(|vocab|), not O(corpus tokens) —
+    * the fold never touches a document twice; the tokenize step is an
+    * explode to (doc_id, word), a join against the vocab table (small
+    * by Heaps' law — no forced broadcast, AQE broadcasts iff it is
+    * actually small at runtime), and a partial-agg groupBy(doc_id).
+    * One real shuffle, corpus-token-proportional and narrow. */
+  def bpeTokenizeDocs(docs: DataFrame, rounds: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = bpeTrain(docs, rounds, textCol)._2
+      .select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Shared BPE training loop: returns (merge rules, final per-word
     * symbol sequences). Each round = one vocab-sized pair count + argmax
     * collect + a row-local merge fold over the vocab. */

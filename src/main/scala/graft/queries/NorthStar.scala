@@ -1208,4 +1208,29 @@ object NorthStar {
         "3_long", 1L, 2L)
       .orderBy($"stratum")
   }
+
+  /** X4 corpus-scale BPE tokenizer pass ([[graft.operators.TextAnalysis
+    * .bpeTokenizeDocs]]): the q147-trained merges applied to every
+    * DOCUMENT's token stream via a vocab dictionary join — per-doc word
+    * and BPE-symbol counts, the token-budget numbers curation consumes
+    * (q152 encodes the vocabulary; this is the corpus application). */
+  def bpeTokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeTokenizeDocs(Tables.documents(spark, d), 6)
+      .orderBy($"doc_id")
+  }
+
+  /** X2 semantic dedup under a SKEWED clusterer ([[graft.operators
+    * .Similarity.semDedupSalted]]): q131's exact keep/drop decision
+    * (same label cells, same τ=0.35) computed by the replicated skew
+    * join at salt 4 — the hot-cell answer when one cell would
+    * serialize the pairwise scoring on a single reducer. The oracle is
+    * the UNSALTED pairwise SQL: the salted plan must not change one
+    * row. */
+  def semDedupSalted(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.semDedupSalted(Tables.embeddings(spark, d), "label", 0.35, 4)
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"kept")
+      .orderBy($"vec_id")
+  }
 }

@@ -326,6 +326,30 @@ class NorthStarSpec extends SparkSpec {
       ("ab", 1L, 1L, "ab")))
   }
 
+  test("bpeTokenizeDocs: per-doc counts from the encoded vocab; empty " +
+      "docs report 0") {
+    import spark.implicits._
+    // same fixture as the bpeEncode test: after 2 rounds the vocab
+    // encodes aa->"aa"(1), ab->"ab"(1), aab->"aa b"(2)
+    val docs = Seq((0L, "aa ab aab"), (1L, "aa aa"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenizeDocs(docs, 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((0L, 3L, 4L), (1L, 2L, 2L), (2L, 0L, 0L)))
+  }
+
+  test("semDedupSalted == semDedup for any salt (plan change only)") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val want = Similarity.semDedup(emb, "label", 0.35)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toList
+    Seq(1, 3, 4).foreach { s =>
+      val got = Similarity.semDedupSalted(emb, "label", 0.35, s)
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toList
+      assert(got == want, s"salt=$s diverged")
+    }
+  }
+
   test("ivfPqTopK: hand-traced ADC scores; l2TopK exact baseline") {
     import spark.implicits._
     // dim 2, m=2 (w=1), kCodes=2, iters=0 -> books = subvectors of the
