@@ -179,6 +179,7 @@ object SparkEntry {
     "q156_ivfpq"         -> (NorthStar.ivfPqTopK _),
     "q157_bpe_tokenize"  -> (NorthStar.bpeTokenize _),
     "q158_semdedup_salted" -> (NorthStar.semDedupSalted _),
+    "q159_repeated_spans" -> (NorthStar.repeatedSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1853,6 +1854,21 @@ object SparkEntry {
         |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM e LEFT JOIN d ON e.vec_id = d.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // q159: any-alignment repeated spans — stride-1 width-8 windows
+    // (same 8-gram idiom as q148), grouped by hash, kept when seen in
+    // >= 2 distinct docs; (n_docs DESC, n_occ DESC, h) is total.
+    "q159_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        md5(array_to_string(toks[u.p : u.p + 7], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, len(toks) - 6)) u(p)
+        |      WHERE len(toks) >= 8),
+        |a AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_occ
+        |      FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT h, n_docs, n_occ FROM a
+        |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 100""".stripMargin,
     // q158: the SALTED semDedup plan must reproduce q131's decision
     // row-for-row — the oracle is deliberately the UNSALTED pairwise
     // SQL (salting is a physical-plan change, not a semantic one).

@@ -626,4 +626,41 @@ object Dedup {
         size(col("clean_toks")).cast("long").as("n_clean_tokens"),
         md5(array_join(col("clean_toks"), " ")).as("clean_md5"))
   }
+
+  /** X2 cross-document repeated SPANS at ANY alignment — the signal
+    * behind suffix-array exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022), computed the Spark way: every document emits the hash of
+    * its width-`w` token window at EVERY position (stride 1 — arbitrary
+    * alignment is the point; fixed non-overlapping chunking
+    * ([[chunkDedupRewrite]]/q119) misses a dup that straddles a chunk
+    * boundary), and a span is REPEATED when its hash occurs in ≥ 2
+    * distinct documents. Returns the top-`topK` repeated spans with
+    * their (n_docs, n_occ) statistics, ordered (n_docs DESC, n_occ
+    * DESC, hash) — a deterministic total order.
+    *
+    * Scale shape: the stride-1 fan-out is w× the token stream in NARROW
+    * (hash, doc_id) rows — the known cost of any-alignment spans (a
+    * true distributed suffix array is its own system; this is the
+    * bounded windowed form); ONE shuffle on the span hash with map-side
+    * partial aggs; the ≥2-docs predicate runs inside the aggregation so
+    * only genuinely repeated spans reach the TakeOrderedAndProject. At
+    * 100 TB, run it per shard and union the (hash, doc_id) partials —
+    * the same plan, sharded. */
+  def repeatedSpans(docs: DataFrame, width: Int, topK: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 2 && topK >= 1, s"width=$width topK=$topK")
+    val toks = split(col(textCol), " ")
+    val spans = Par.fanOut(docs).select(col(idCol).as("doc_id"),
+      explode(when(size(toks) >= width,
+        transform(sequence(lit(1), size(toks) - width + 1),
+          p => md5(array_join(slice(toks, p, lit(width)), " "))))
+        .otherwise(array().cast("array<string>"))).as("h"))
+    spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+      .limit(topK)
+  }
 }

@@ -1233,4 +1233,12 @@ object NorthStar {
       .select($"vec_id", $"cell".cast("int").as("cell"), $"kept")
       .orderBy($"vec_id")
   }
+
+  /** X2 any-alignment repeated spans ([[graft.operators.Dedup
+    * .repeatedSpans]]): the top-100 width-8 token spans occurring in
+    * ≥ 2 documents — the exact-substring-dedup signal (Lee et al. 2022)
+    * that fixed chunking (q119) misses when a dup straddles a chunk
+    * boundary. */
+  def repeatedSpans(spark: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(spark, d), 8, 100)
 }

@@ -338,6 +338,27 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((0L, 3L, 4L), (1L, 2L, 2L), (2L, 0L, 0L)))
   }
 
+  test("repeatedSpans finds cross-doc spans at ANY alignment, counts " +
+      "in-doc repeats, and ignores sub-width docs") {
+    import spark.implicits._
+    // width 4: doc0 "a b c d" at pos 1; doc1 has it at pos 2 (alignment
+    // a fixed chunker would miss); doc2 contains it TWICE (pos 1 and 5,
+    // the pos-5 window crossing its own repetition); doc3 is too short.
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "x a b c d"),
+      (2L, "a b c d a b c d"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, 4, 10)
+      .as[(String, Long, Long)].collect().toList
+    val abcd = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // only "a b c d" appears in >= 2 docs: docs {0,1,2}, occurrences
+    // 1 + 1 + 2 = 4; every other window is unique to its doc
+    assert(got == List((abcd, 3L, 4L)))
+  }
+
   test("semDedupSalted == semDedup for any salt (plan change only)") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
