@@ -180,6 +180,7 @@ object SparkEntry {
     "q157_bpe_tokenize"  -> (NorthStar.bpeTokenize _),
     "q158_semdedup_salted" -> (NorthStar.semDedupSalted _),
     "q159_repeated_spans" -> (NorthStar.repeatedSpans _),
+    "q160_kmv_overlap"   -> (NorthStar.kmvOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1869,6 +1870,62 @@ object SparkEntry {
         |      FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
         |SELECT h, n_docs, n_occ FROM a
         |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 100""".stripMargin,
+    // q160: KMV resemblance — the estimate is a pure function of the
+    // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
+    // oracle replays est AND exact; integer counts, one rounded division
+    // each (per-row arithmetic, engine-exact).
+    "q160_kmv_overlap" ->
+      """WITH b AS (SELECT DISTINCT source AS g,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(text), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h
+        |           FROM documents),
+        |sig AS (SELECT g, h FROM (
+        |          SELECT g, h,
+        |            row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        |          FROM b) WHERE rk <= 192),
+        |gs AS (SELECT DISTINCT g FROM b),
+        |pairs AS (SELECT x.g AS src_a, y.g AS src_b
+        |          FROM gs x JOIN gs y ON x.g < y.g),
+        |uni AS (SELECT DISTINCT src_a, src_b, h FROM (
+        |          SELECT p.src_a, p.src_b, s.h
+        |          FROM pairs p JOIN sig s ON s.g = p.src_a
+        |          UNION ALL
+        |          SELECT p.src_a, p.src_b, s.h
+        |          FROM pairs p JOIN sig s ON s.g = p.src_b)),
+        |topu AS (SELECT src_a, src_b, h FROM (
+        |           SELECT src_a, src_b, h, row_number() OVER
+        |             (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        |           FROM uni) WHERE rk <= 192),
+        |nb AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_both
+        |       FROM topu t
+        |       WHERE EXISTS (SELECT 1 FROM sig s
+        |                     WHERE s.g = t.src_a AND s.h = t.h)
+        |         AND EXISTS (SELECT 1 FROM sig s
+        |                     WHERE s.g = t.src_b AND s.h = t.h)
+        |       GROUP BY src_a, src_b),
+        |nu AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_u
+        |       FROM topu GROUP BY src_a, src_b),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+        |it AS (SELECT x.g AS src_a, y.g AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_i
+        |       FROM b x JOIN b y ON x.h = y.h AND x.g < y.g
+        |       GROUP BY x.g, y.g)
+        |SELECT p.src_a, p.src_b,
+        |       round(coalesce(nb.n_both, 0) /
+        |             CAST(coalesce(nu.n_u, 1) AS DOUBLE), 4) AS kmv_est,
+        |       round(coalesce(it.n_i, 0) /
+        |             CAST(sa.n + sb.n - coalesce(it.n_i, 0) AS DOUBLE), 4)
+        |         AS exact_j
+        |FROM pairs p
+        |LEFT JOIN nu USING (src_a, src_b)
+        |LEFT JOIN nb USING (src_a, src_b)
+        |JOIN sz sa ON sa.g = p.src_a
+        |JOIN sz sb ON sb.g = p.src_b
+        |LEFT JOIN it USING (src_a, src_b)
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     // q158: the SALTED semDedup plan must reproduce q131's decision
     // row-for-row — the oracle is deliberately the UNSALTED pairwise
     // SQL (salting is a physical-plan change, not a semantic one).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.plans.TextExpressions
@@ -169,4 +169,77 @@ object Sketches {
       .join(broadcast(cms), Seq("seed", "cell"))
       .groupBy("token")
       .agg(min("total").as("cms_est"))
+
+  // ------------------------------------------------------------------ KMV
+
+  /** KMV (k-minimum-values) distinct-set signature per group and the
+    * pairwise RESEMBLANCE matrix it yields — the sketch answer to "how
+    * much do two crawl sources overlap?" (Beyer et al., "On synopses
+    * for distinct value estimation under multiset operations", SIGMOD
+    * 2007, on Broder's minwise resemblance). Per group the signature is
+    * the k SMALLEST distinct content-hash values; a pair's estimate
+    * recomputes the union's k smallest FROM THE TWO SIGNATURES ALONE —
+    * KMV is closed under union, which is the whole point: signatures
+    * combine without re-touching the corpus — and takes the fraction of
+    * them present in both sides. Pure function of the hash column →
+    * bit-identical on any engine, no exactness-bound hedge needed: the
+    * oracle replays the estimate itself. Also emits the EXACT hash-set
+    * Jaccard alongside so the sketch error is visible in the output
+    * (afforded at gate SFs; at 100 TB only the signatures are kept and
+    * the exact column is what you drop).
+    *
+    * Scale shape: one distinct shuffle on (group, hash); the per-group
+    * top-k is a rank-limit filter Spark rewrites to WindowGroupLimit
+    * (per-partition partial heaps BEFORE the exchange — q150's plan
+    * shape); everything pairwise runs on signatures (groups × k rows,
+    * metadata-sized). The exact-Jaccard legs are the only
+    * corpus-sized joins and exist for transparency, not for serving. */
+  def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val base = df.select(col(groupCol).as("g"), hash.cast("long").as("h"))
+      .distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sigs = base.withColumn("rk", row_number().over(wg))
+      .filter(col("rk") <= k).select(col("g"), col("h"))
+    val gs = base.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("src_a"))
+      .join(gs.select(col("g").as("src_b")), col("src_a") < col("src_b"))
+    val uni = pairs
+      .join(sigs.select(col("g").as("src_a"), col("h")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"))
+      .unionByName(pairs
+        .join(sigs.select(col("g").as("src_b"), col("h")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("h")))
+      .distinct()
+    val wu = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("h"))
+    val topu = uni.withColumn("rk", row_number().over(wu))
+      .filter(col("rk") <= k).select(col("src_a"), col("src_b"), col("h"))
+    val nBoth = topu
+      .join(sigs.select(col("g").as("src_a"), col("h")),
+        Seq("src_a", "h"), "left_semi")
+      .join(sigs.select(col("g").as("src_b"), col("h")),
+        Seq("src_b", "h"), "left_semi")
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_both"))
+    val nU = topu.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_u"))
+    val sizes = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = base.select(col("g").as("src_a"), col("h"))
+      .join(base.select(col("g").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_i"))
+    pairs
+      .join(nU, Seq("src_a", "src_b"), "left")
+      .join(nBoth, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("g").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("g").as("src_b"), col("n").as("nb")), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        round(coalesce(col("n_both"), lit(0L)) /
+          coalesce(col("n_u"), lit(1L)).cast("double"), 4).as("kmv_est"),
+        round(coalesce(col("n_i"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("n_i"), lit(0L)))
+            .cast("double"), 4).as("exact_j"))
+  }
 }

@@ -359,6 +359,27 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((abcd, 3L, 4L)))
   }
 
+  test("kmvOverlap: union-of-signatures estimate and exact Jaccard, " +
+      "hand-traced at k=2") {
+    import spark.implicits._
+    // sets by hash: A {1,2,3}, B {2,3,4}, C {9}; k=2 signatures:
+    // A {1,2}, B {2,3}, C {9}.
+    //   (A,B): union sigs {1,2,3} -> top2 {1,2}; 1 in A only, 2 in both
+    //          -> est 1/2; exact |{2,3}| / |{1,2,3,4}| = 0.5
+    //   (A,C): top2 {1,2}, none shared -> 0.0; exact 0.0
+    //   (B,C): top2 {2,3}, none in C  -> 0.0; exact 0.0
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L), ("C", 9L), ("A", 1L)) // dup row: distinct-set semantics
+      .toDF("source", "hv")
+    val got = graft.operators.Sketches.kmvOverlap(rows, "source", $"hv", 2)
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Double, Double)].collect().toList
+    assert(got == List(
+      ("A", "B", 0.5, 0.5),
+      ("A", "C", 0.0, 0.0),
+      ("B", "C", 0.0, 0.0)))
+  }
+
   test("semDedupSalted == semDedup for any salt (plan change only)") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
