@@ -181,6 +181,7 @@ object SparkEntry {
     "q158_semdedup_salted" -> (NorthStar.semDedupSalted _),
     "q159_repeated_spans" -> (NorthStar.repeatedSpans _),
     "q160_kmv_overlap"   -> (NorthStar.kmvOverlap _),
+    "q161_curation_pipeline" -> (NorthStar.curationPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1870,6 +1871,48 @@ object SparkEntry {
         |      FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
         |SELECT h, n_docs, n_occ FROM a
         |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 100""".stripMargin,
+    // q161: the composite admission chain — q135's gopher metrics
+    // (rounded mean_word_len, same boundaries) at score >= 4, q37's
+    // winner rule, and q128's integer budget boundary, in one statement.
+    "q161_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS INTEGER) AS n_words,
+        |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+        |        / len(toks), 4) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS INTEGER)
+        |    AS n_symbols,
+        |  CAST(len([w for w in toks if regexp_matches(w, '[A-Za-z]')])
+        |       AS INTEGER) AS n_alpha_words,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','be','to','of','and','that','have','with']))
+        |    AS INTEGER) AS n_stop_distinct,
+        |  CAST(len(toks) AS BIGINT) AS n_tok
+        |  FROM t),
+        |q AS (SELECT doc_id, text, n_tok FROM m
+        |      WHERE CAST(n_words >= 20 AND n_words <= 100000 AS INTEGER)
+        |          + CAST(mean_word_len >= 3.0
+        |                 AND mean_word_len <= 10.0 AS INTEGER)
+        |          + CAST(n_symbols < n_words * 0.1 AS INTEGER)
+        |          + CAST(n_alpha_words >= n_words * 0.8 AS INTEGER)
+        |          + CAST(n_stop_distinct >= 2 AS INTEGER) >= 4),
+        |w AS (SELECT doc_id, n_tok FROM (
+        |        SELECT doc_id, n_tok,
+        |          row_number() OVER (PARTITION BY text ORDER BY doc_id)
+        |            AS rk
+        |        FROM q) WHERE rk = 1),
+        |c AS (SELECT doc_id, n_tok,
+        |        CAST(row_number() OVER win AS BIGINT) AS rn,
+        |        CAST(sum(n_tok) OVER (win ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(n_tok) OVER () AS BIGINT) AS tot
+        |      FROM w WINDOW win AS (ORDER BY doc_id))
+        |SELECT doc_id, n_tok, rn, cum, tot,
+        |       CASE WHEN (cum - n_tok) * 2 < tot * 1 THEN 1 ELSE 0 END
+        |         AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

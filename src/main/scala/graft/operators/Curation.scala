@@ -160,6 +160,43 @@ object Curation {
       (col("cum") - col(valueCol)) * budgetDen < col("tot") * budgetNum)
   }
 
+  /** End-to-end curation recipe — the canonical admission chain of an
+    * LLM corpus assembly as ONE declarative plan:
+    *   1. QUALITY: [[TextAnalysis.withGopherRules]], keep docs passing
+    *      at least `minRules` of the five rules (score thresholding —
+    *      the practical setting when a corpus systematically fails one
+    *      rule, e.g. a stopword list mismatched to its domain);
+    *   2. DEDUP: exact-text winners (lowest doc_id per text);
+    *   3. BUDGET: [[budgetCut]]'s boundary rule over doc_id order —
+    *      keep while the token budget is unspent BEFORE the doc.
+    * One audit row per quality-passing winner: (doc_id, n_tok, rn, cum,
+    * tot, kept).
+    *
+    * Each stage is an already-oracled operator (q135/q37/q128
+    * semantics); the point of the composite is that chaining them is
+    * filter/projection composition Catalyst pipelines into the stages'
+    * own shuffles — integration costs no extra pass: the Gopher metrics
+    * are row-local in the scan, the winner rule is one text-key
+    * shuffle, and the cumsum is the two-level range shuffle budgetCut
+    * always pays. At 100 TB the text column dies at the winner shuffle;
+    * only (doc_id, n_tok) reaches the cumsum. */
+  def curationPipeline(docs: DataFrame, minWords: Int, minRules: Int,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(minRules >= 0 && minRules <= 5, s"minRules=$minRules")
+    val score = col("r_word_count") + col("r_word_len") + col("r_symbol") +
+      col("r_alpha") + col("r_stop")
+    val quality = TextAnalysis.withGopherRules(docs, minWords = minWords)
+      .filter(score >= minRules)
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val winners = quality.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    val sized = winners.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    budgetCut(sized, Seq(col("doc_id").asc), "n_tok", budgetNum, budgetDen)
+      .select(col("doc_id"), col("n_tok"), col("rn"), col("cum"),
+        col("tot"), col("kept").cast("int").as("kept"))
+  }
+
   /** Deterministic hash-stratified mixture sampling: every stratum (e.g.
     * crawl source/domain) gets an equal share of a corpus-wide token
     * budget `tot · budgetNum / budgetDen`, realized by sampling the

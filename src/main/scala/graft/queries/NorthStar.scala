@@ -1259,4 +1259,18 @@ object NorthStar {
         "source", conv(substring(md5($"text"), 1, 8), 16, 10), 192)
       .orderBy($"src_a", $"src_b")
   }
+
+  /** X12 composite curation pipeline ([[graft.operators.Curation
+    * .curationPipeline]]): Gopher quality at score >= 4 of 5 rules
+    * (minWords=20, the q135 setting; the synthetic fixture has no
+    * English stopwords, so r_stop fails corpus-wide — the >= 4
+    * threshold is exactly the "one rule mismatched to the domain"
+    * case score thresholding exists for) → exact-dedup winners →
+    * half-token budget cut in doc_id order — the full admission chain
+    * as one plan, one audit row per quality-passing winner. */
+  def curationPipeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.curationPipeline(Tables.documents(spark, d), 20, 4, 1L, 2L)
+      .orderBy($"doc_id")
+  }
 }

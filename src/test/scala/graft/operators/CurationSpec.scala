@@ -157,6 +157,32 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("curationPipeline chains quality -> dedup winners -> budget cut") {
+    import spark.implicits._
+    // 25-word passing text (>= 20 words, alpha, stopwords, sane lengths)
+    val good = ("the data and that have with good text " +
+      (1 to 17).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, good),                        // quality pass, winner
+      (2L, good),                        // exact dup of 1 -> dropped
+      (3L, "too short"),                 // fails word count + stop: score 3
+      (4L, good + " extended further")   // pass, winner (27 tokens)
+    ).toDF("doc_id", "text")
+    // winners: doc 1 (25 tok), doc 4 (27 tok); tot = 52, budget 1/2=26:
+    // doc 1 kept (0*2 < 52), doc 4 cut (25*2 = 50 < 52 -> kept too!)
+    // boundary rule keeps the budget-crossing doc: both kept.
+    val got = Curation.curationPipeline(docs, 20, 5, 1L, 2L)
+      .select($"doc_id", $"n_tok", $"kept")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 25L, 1), (4L, 27L, 1)))
+    // tighter budget 1/4 (13 tokens): doc 1 crosses the boundary and is
+    // kept; doc 4 starts past it (25*4 = 100 >= 52) and is cut
+    val tight = Curation.curationPipeline(docs, 20, 5, 1L, 4L)
+      .select($"doc_id", $"kept")
+      .as[(Long, Int)].collect().sortBy(_._1).toList
+    assert(tight == List((1L, 1), (4L, 0)))
+  }
+
   test("sourceQuota caps each stratum in content-hash order") {
     import spark.implicits._
     val docs = Seq(
