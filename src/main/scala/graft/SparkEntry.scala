@@ -182,6 +182,7 @@ object SparkEntry {
     "q159_repeated_spans" -> (NorthStar.repeatedSpans _),
     "q160_kmv_overlap"   -> (NorthStar.kmvOverlap _),
     "q161_curation_pipeline" -> (NorthStar.curationPipeline _),
+    "q162_int8_topk"     -> (NorthStar.int8TopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1871,6 +1872,27 @@ object SparkEntry {
         |      FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
         |SELECT h, n_docs, n_occ FROM a
         |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 100""".stripMargin,
+    // q162: int8-quantized cosine serving — quantization (round half
+    // away from zero in both engines), integer dots, one rounded
+    // per-row division: the oracle replays the full top-k.
+    "q162_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |         [CAST(round(x * (127.0 / mx)) AS BIGINT)
+        |          for x in v] AS qv
+        |       FROM (SELECT vec_id, v,
+        |               list_max([abs(x) for x in v]) AS mx
+        |             FROM e)
+        |       WHERE mx > 0),
+        |q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |       round(list_dot_product(c.qv, q.qq) /
+        |             (sqrt(list_dot_product(c.qv, c.qv)) *
+        |              sqrt(list_dot_product(q.qq, q.qq))), 4) AS cos8
+        |FROM qz c CROSS JOIN q
+        |WHERE c.vec_id <> 0 AND list_dot_product(c.qv, c.qv) > 0
+        |ORDER BY cos8 DESC, c.vec_id LIMIT 10""".stripMargin,
     // q161: the composite admission chain — q135's gopher metrics
     // (rounded mean_word_len, same boundaries) at score >= 4, q37's
     // winner rule, and q128's integer budget boundary, in one statement.

@@ -339,6 +339,29 @@ object Similarity {
         when(col("d").isNull, 1).otherwise(0).as("kept"))
   }
 
+  /** [[semDedupSalted]] applied ONLY where it pays: one cheap
+    * (cell, count) aggregation flags cells above `hotCellSize`; the
+    * pairwise scoring runs SALTED for those cells and takes
+    * [[semDedup]]'s plain plan for everything else, and the two
+    * decisions union — identical output (pairs never cross cells, so
+    * partitioning the corpus by hotness partitions the pair space
+    * exactly), with the salt's a-side replication cost confined to the
+    * hot cells. This is the production shape at 100 TB: the count agg
+    * is the same probe [[semDedup]]'s cellCap guard runs, the hot set
+    * is cell-cardinality-sized (broadcast), and a handful of hot cells
+    * no longer serialize the whole job. */
+  def semDedupAutoSalt(emb: DataFrame, cellCol: String, threshold: Double,
+      hotCellSize: Long, salt: Int): DataFrame = {
+    require(hotCellSize >= 1 && salt >= 1,
+      s"hotCellSize=$hotCellSize salt=$salt")
+    val hot = emb.groupBy(col(cellCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotCellSize).select(col(cellCol))
+    val cold = emb.join(broadcast(hot), Seq(cellCol), "left_anti")
+    val hotEmb = emb.join(broadcast(hot), Seq(cellCol), "left_semi")
+    semDedup(cold, cellCol, threshold)
+      .unionByName(semDedupSalted(hotEmb, cellCol, threshold, salt))
+  }
+
   /** Deterministic distributed Lloyd's k-means ASSIGNMENT after `iters`
     * update steps — the trained coarse quantizer behind [[ivfTopKWith]]
     * and [[semDedup]] cells (per-label means stand in elsewhere; this is
@@ -810,6 +833,37 @@ object Similarity {
       .withColumn("q_scale", scale)
       .withColumn("q_vec",
         transform(v, x => round(x * col("q_scale"), 0).cast("int")))
+  }
+
+  /** Cosine top-k SERVED from the int8-quantized corpus
+    * ([[quantizeInt8]]'s storage form) — the compressed-domain serving
+    * path that pairs with IVF-PQ's: score candidates on their int8
+    * codes, never touching a float vector. The per-vector scales CANCEL
+    * in the cosine ratio (cos ≈ Σqa·qb / (√Σqa² · √Σqb²)), so the
+    * approximation is a pure function of the integer codes — integer
+    * dots are exact in any engine and the single rounded division is
+    * per-row arithmetic, which means the DuckDB oracle replays the FULL
+    * top-k result, not just a recall bound (unlike the LSH/IVF/PQ
+    * families, whose training or probing is plan-dependent).
+    * All-zero quantized vectors (only possible for an all-zero input)
+    * are excluded — they have no direction. One corpus scan of the
+    * codes + TakeOrderedAndProject; at serving scale the int8 table is
+    * 4× smaller than the float corpus and that bandwidth cut is the
+    * point. */
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val qz = quantizeInt8(emb)
+      .select(col("vec_id"), asDouble(col("q_vec")).as("qv"))
+    val q = qz.filter(col("vec_id") === queryId).select(col("qv").as("qq"))
+    Par.fanOut(qz.filter(col("vec_id") =!= queryId))
+      .filter(dot(col("qv"), col("qv")) > 0.0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("qv"), col("qq")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("qq"), col("qq")))),
+          4).as("cos8"))
+      .orderBy(col("cos8").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** X3 approximate top-k: multiprobe hyperplane LSH (L tables × b bits,

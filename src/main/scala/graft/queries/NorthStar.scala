@@ -1273,4 +1273,12 @@ object NorthStar {
     Curation.curationPipeline(Tables.documents(spark, d), 20, 4, 1L, 2L)
       .orderBy($"doc_id")
   }
+
+  /** X9/X3 int8-quantized cosine serving ([[graft.operators.Similarity
+    * .int8TopK]]): top-10 for query vec 0 scored purely on int8 codes —
+    * the per-vector scales cancel, so the DuckDB oracle replays the
+    * FULL result (integer dots are engine-exact; the one division is
+    * per-row and rounded), unlike the recall-bounded ANN family. */
+  def int8TopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.int8TopK(Tables.embeddings(spark, d), 0L, 10)
 }

@@ -359,6 +359,21 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((abcd, 3L, 4L)))
   }
 
+  test("int8TopK scores on quantized codes; scales cancel; zero vectors " +
+      "excluded") {
+    import spark.implicits._
+    // q0=[3,4] -> mx 4, q=[95,127]; v1=[6,8] same direction -> q=[95,127]
+    // -> cos8 1.0; v2=[-4,3] -> q=[-127,95], dot vs [95,127] = 0 -> 0.0;
+    // v3 zero vector -> excluded (no direction).
+    val emb = Seq(
+      (0L, Seq(3.0, 4.0), 1), (1L, Seq(6.0, 8.0), 1),
+      (2L, Seq(-4.0, 3.0), 1), (3L, Seq(0.0, 0.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8TopK(emb, 0L, 10)
+      .as[(Long, Double)].collect().toList
+    assert(got == List((1L, 1.0), (2L, 0.0)))
+  }
+
   test("kmvOverlap: union-of-signatures estimate and exact Jaccard, " +
       "hand-traced at k=2") {
     import spark.implicits._
@@ -390,6 +405,16 @@ class NorthStarSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().sortBy(_._1).toList
       assert(got == want, s"salt=$s diverged")
     }
+    // auto-salt: salts only cells above hotCellSize, plain plan for the
+    // rest, decision identical — the fixture's labels are uneven enough
+    // that BOTH branches are non-empty at this threshold
+    val counts = emb.groupBy($"label").count()
+      .as[(Int, Long)].collect().map(_._2)
+    val mid = counts.sorted.apply(counts.length / 2)
+    assert(counts.exists(_ > mid) && counts.exists(_ <= mid))
+    val auto = Similarity.semDedupAutoSalt(emb, "label", 0.35, mid, 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toList
+    assert(auto == want)
   }
 
   test("ivfPqTopK: hand-traced ADC scores; l2TopK exact baseline") {
