@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planning time (the filename carries the symbol — the same trick as
   *    partition pruning on a `symbol=` directory layout);
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only the
-  *    projected columns.
+  *    projected columns;
+  *  - `SupportsPushDownLimit`: a LIMIT n over the source caps every FILE
+  *    reader at n rows (PARTIAL pushdown — `pushLimit` returns false, so
+  *    Spark still applies the global limit; partition pruning by the
+  *    limit would not be conservative because a malformed payload yields
+  *    zero rows, so every file must stay planned).
   *
   * At 100 TB the per-file partitioning and file-level pruning are exactly
   * what keeps a scan of millions of payloads off the driver; a production
@@ -75,10 +80,20 @@ class StockTable(path: String) extends Table with SupportsRead {
 }
 
 class StockScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var symbols: Option[Set[String]] = None // None = no pruning
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = StockDataSource.schema
+  private var limit: Option[Int] = None
+
+  // PARTIAL limit pushdown: each file reader stops parsing after
+  // `limit` day-rows (the global LIMIT can never need more rows from
+  // one partition than it keeps in total); returning false keeps
+  // Spark's own Limit on top, which is required for exactness across
+  // files. Payload parsing is the scan's whole cost, so the cap is the
+  // saving — a LIMIT 5 over a 5000-day payload parses 5 entries.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, _) = filters.partition {
@@ -102,16 +117,17 @@ class StockScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new StockScan(path, symbols, required)
+  override def build(): Scan = new StockScan(path, symbols, required, limit)
 }
 
 class StockScan(path: String, symbols: Option[Set[String]],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"StockScan(path=$path, prunedSymbols=${symbols.getOrElse("*")}, " +
-      s"columns=${required.fieldNames.mkString(",")})"
+      s"columns=${required.fieldNames.mkString(",")}" +
+      limit.fold("")(l => s", limit=$l") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -123,22 +139,23 @@ class StockScan(path: String, symbols: Option[Set[String]],
     files.map(f => StockFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new StockReaderFactory(required)
+    new StockReaderFactory(required, limit)
 }
 
 case class StockFilePartition(file: String) extends InputPartition
 
-class StockReaderFactory(required: StructType)
+class StockReaderFactory(required: StructType, limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new StockFileReader(p.asInstanceOf[StockFilePartition].file, required)
+    new StockFileReader(p.asInstanceOf[StockFilePartition].file, required,
+      limit)
 }
 
 /** Executor-side payload parse (Jackson, ships with Spark). A malformed
   * payload yields zero rows — the reader-side twin of the quarantine
   * split (etl.py:73-77 skips the whole symbol on ValidationError). */
-class StockFileReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class StockFileReader(file: String, required: StructType,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
   private val rows: Iterator[InternalRow] = {
@@ -170,7 +187,8 @@ class StockFileReader(file: String, required: StructType)
           (sym, epochDay, open, high, low, close, volume,
             (close - open) / open * 100.0)
         }.sortBy(_._2)
-        parsed.iterator.map { case (s, d, o, h, l, c, v, chg) =>
+        val capped = limit.fold(parsed)(parsed.take)
+        capped.iterator.map { case (s, d, o, h, l, c, v, chg) =>
           InternalRow.fromSeq(required.fieldNames.toSeq.map {
             case "symbol" => UTF8String.fromString(s)
             case "date" => d

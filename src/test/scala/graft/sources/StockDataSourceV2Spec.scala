@@ -37,6 +37,23 @@ class StockDataSourceV2Spec extends SparkSpec {
     assert(plan.contains("StockScan") || plan.contains("BatchScan"), plan)
   }
 
+  test("limit pushdown caps each file reader; global result stays exact") {
+    import spark.implicits._
+    val df = spark.read.format(fmt).option("path", fixtures).load().limit(3)
+    // the scan description records the pushed limit (partial pushdown:
+    // Spark's Limit stays on top for cross-file exactness)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), plan)
+    assert(df.count() == 3)
+    // correctness under the cap: limited rows are a subset of the full read
+    val full = spark.read.format(fmt).option("path", fixtures).load()
+      .select($"symbol", $"date".cast("string")).as[(String, String)]
+      .collect().toSet
+    val limited = df.select($"symbol", $"date".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(limited.subsetOf(full) && limited.size == 3)
+  }
+
   test("non-pushable filters still apply after the scan") {
     import spark.implicits._
     val rows = spark.read.format(fmt).option("path", fixtures).load()
