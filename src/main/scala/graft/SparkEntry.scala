@@ -183,6 +183,10 @@ object SparkEntry {
     "q160_kmv_overlap"   -> (NorthStar.kmvOverlap _),
     "q161_curation_pipeline" -> (NorthStar.curationPipeline _),
     "q162_int8_topk"     -> (NorthStar.int8TopK _),
+    "q163_chunk_bpe"     -> (NorthStar.chunkBpe _),
+    "q164_hybrid_rrf"    -> (NorthStar.hybridRrf _),
+    "q165_canonical_reps" -> (NorthStar.canonicalReps _),
+    "q166_hard_negatives" -> (NorthStar.hardNegatives _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1935,6 +1939,114 @@ object SparkEntry {
         |       CASE WHEN (cum - n_tok) * 2 < tot * 1 THEN 1 ELSE 0 END
         |         AS kept
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q163: chunk-level BPE tokenizer — q157's vocab dictionary join
+    // applied per 16-token chunk (q119's chunking idiom, non-overlapping);
+    // count(n_sym) counts only vocab-matched (non-empty) words, so every
+    // chunk row survives with zeros intact.
+    "q163_chunk_bpe" ->
+      s"""${bpeChainSql(6)},
+        |vocab AS (SELECT word,
+        |            CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+        |          FROM s6),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents),
+        |ch AS (SELECT doc_id,
+        |         CAST((u.start - 1) // 16 AS INTEGER) AS chunk_idx,
+        |         toks[u.start : least(u.start + 15, len(toks))] AS cw
+        |       FROM t, LATERAL unnest(range(1, len(toks) + 1, 16)) u(start)),
+        |w AS (SELECT doc_id, chunk_idx, unnest(cw) AS word FROM ch),
+        |j AS (SELECT w.doc_id, w.chunk_idx, v.n_sym
+        |      FROM w LEFT JOIN vocab v USING (word))
+        |SELECT doc_id, chunk_idx,
+        |       CAST(count(n_sym) AS BIGINT) AS n_words,
+        |       CAST(coalesce(sum(n_sym), 0) AS BIGINT) AS n_bpe_tokens
+        |FROM j GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q164: RRF hybrid retrieval — the q144 BM25 list and the q41 cosine
+    // list, each ranked top-50 in its own total order, fused by the pure
+    // INTEGER weight 1e9 // (60 + rank) summed as a long: the fused
+    // ranking replays bit-identically with no cross-row float op.
+    "q164_hybrid_rrf" ->
+      s"""$bm25ChainSql,
+        |bmr AS (SELECT doc_id AS id, CAST(row_number() OVER
+        |          (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk
+        |        FROM score),
+        |ce AS (SELECT e.vec_id, round($cosSql, 4) AS cos
+        |       FROM embeddings e,
+        |            (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |             FROM embeddings WHERE vec_id = 0) q
+        |       WHERE e.vec_id <> 0),
+        |cr AS (SELECT vec_id AS id, CAST(row_number() OVER
+        |         (ORDER BY cos DESC, vec_id) AS INTEGER) AS rnk
+        |       FROM ce),
+        |u AS (SELECT id, rnk, 'bm25' AS src FROM bmr WHERE rnk <= 50
+        |      UNION ALL
+        |      SELECT id, rnk, 'cos' AS src FROM cr WHERE rnk <= 50),
+        |f AS (SELECT id,
+        |        coalesce(max(CASE WHEN src = 'bm25' THEN rnk END), 0)
+        |          AS bm25_rank,
+        |        coalesce(max(CASE WHEN src = 'cos' THEN rnk END), 0)
+        |          AS cos_rank,
+        |        CAST(count(*) AS INTEGER) AS n_lists,
+        |        CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+        |      FROM u GROUP BY id)
+        |SELECT id, bm25_rank, cos_rank, n_lists, rrf_micro,
+        |       round(rrf_micro / 1000000000.0, 6) AS rrf
+        |FROM f ORDER BY rrf_micro DESC, id LIMIT 20""".stripMargin,
+    // q165: quality-canonical cluster representatives — the q64 CC walk
+    // plus the distinct-token-ratio score; the (q_score DESC, doc_id)
+    // argmax per component is a total order (score rounded 6 dp per-row).
+    "q165_canonical_reps" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+        |         UNION
+        |         SELECT e.dst AS src, w.lbl FROM walk w
+        |         JOIN edges e ON e.src = w.src),
+        |comp AS (SELECT src AS doc_id, min(lbl) AS component
+        |         FROM walk GROUP BY src),
+        |q AS (SELECT doc_id, round(len(list_distinct(toks))
+        |        / CAST(len(toks) AS DOUBLE), 6) AS q_score
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents)),
+        |r AS (SELECT component, doc_id, q_score,
+        |        row_number() OVER (PARTITION BY component
+        |                           ORDER BY q_score DESC, doc_id) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+        |          AS n_members
+        |      FROM comp JOIN q USING (doc_id))
+        |SELECT component, doc_id AS canon_id, q_score AS canon_q, n_members
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+    // q166: contrastive hard negatives — q42's brute-force scoring with
+    // the label-inequality predicate; exact, so every row is pinned.
+    "q166_hard_negatives" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, label AS qlabel,
+        |              CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT qid, e.vec_id AS nid, e.label AS neg_label,
+        |             round($cosSql, 4) AS cos
+        |           FROM embeddings e, qs WHERE e.label <> qs.qlabel),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER)
+        |        AS rnk
+        |      FROM scored)
+        |SELECT qid, nid, neg_label, rnk, cos FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division
@@ -2181,36 +2293,9 @@ object SparkEntry {
         |${kmeansUpdateBlock("c1", "a1")},
         |${kmeansAssignBlock("a2", "c1")}
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
-    // q144: BM25 — all counts (N, df, tf, Σdl) are exact integers; the
-    // per-(doc,term) contribution is row-local double math rounded to an
-    // integer micro-score; the per-doc sum is a LONG sum (partition-order
-    // proof). Float literals are forced to DOUBLE context (a bare DuckDB
-    // decimal literal op an INTEGER stays DECIMAL); (CAST(1.2 AS DOUBLE)
-    // + 1.0) replays Scala's k1 + 1.0 bit-exactly.
+    // q144: BM25 — determinism notes on the shared chain at bm25ChainSql.
     "q144_bm25" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |                     len(string_split(text, ' ')) AS dl
-        |              FROM documents),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM base),
-        |q(term) AS (VALUES ('dup'), ('vector'), ('stream')),
-        |tfh AS (SELECT doc_id, dl, term,
-        |               len(list_filter(toks, x -> x = term)) AS tf
-        |        FROM base, q
-        |        WHERE len(list_filter(toks, x -> x = term)) > 0),
-        |dfs AS (SELECT term, count(*) AS df FROM tfh GROUP BY term),
-        |contrib AS (SELECT t.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
-        |                / (CAST(f.df AS DOUBLE) + 0.5))
-        |      * t.tf * (CAST(1.2 AS DOUBLE) + 1.0)
-        |      / (t.tf + 1.2 * (0.25 + 0.75 * CAST(t.dl AS DOUBLE)
-        |                       / (s.total_len / CAST(s.n_docs AS DOUBLE))))
-        |      * 1000000.0) AS BIGINT) AS w
-        |    FROM tfh t JOIN dfs f USING (term), stats s),
-        |score AS (SELECT b.doc_id,
-        |            coalesce(sum(c.w), 0) / CAST(1000000 AS DOUBLE) AS bm25
-        |          FROM base b LEFT JOIN contrib c USING (doc_id)
-        |          GROUP BY b.doc_id)
+      s"""$bm25ChainSql
         |SELECT doc_id, round(bm25, 4) AS bm25 FROM score
         |ORDER BY round(bm25, 4) DESC, doc_id LIMIT 100""".stripMargin,
     // q145: logistic-regression training replayed as a generated CTE
@@ -2622,6 +2707,38 @@ object SparkEntry {
     }
     "WITH " + blocks.mkString(",\n")
   }
+
+  /** BM25 scoring chain shared by the q144 and q164 oracles: all counts
+    * (N, df, tf, Σdl) are exact integers; the per-(doc,term) contribution
+    * is row-local double math rounded to an integer micro-score; the
+    * per-doc sum is a LONG sum (partition-order proof). Float literals
+    * are forced to DOUBLE context (a bare DuckDB decimal literal op an
+    * INTEGER stays DECIMAL); (CAST(1.2 AS DOUBLE) + 1.0) replays Scala's
+    * k1 + 1.0 bit-exactly. Ends at `score` = (doc_id, bm25). */
+  private val bm25ChainSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                     len(string_split(text, ' ')) AS dl
+      |              FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM base),
+      |q(term) AS (VALUES ('dup'), ('vector'), ('stream')),
+      |tfh AS (SELECT doc_id, dl, term,
+      |               len(list_filter(toks, x -> x = term)) AS tf
+      |        FROM base, q
+      |        WHERE len(list_filter(toks, x -> x = term)) > 0),
+      |dfs AS (SELECT term, count(*) AS df FROM tfh GROUP BY term),
+      |contrib AS (SELECT t.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+      |                / (CAST(f.df AS DOUBLE) + 0.5))
+      |      * t.tf * (CAST(1.2 AS DOUBLE) + 1.0)
+      |      / (t.tf + 1.2 * (0.25 + 0.75 * CAST(t.dl AS DOUBLE)
+      |                       / (s.total_len / CAST(s.n_docs AS DOUBLE))))
+      |      * 1000000.0) AS BIGINT) AS w
+      |    FROM tfh t JOIN dfs f USING (term), stats s),
+      |score AS (SELECT b.doc_id,
+      |            coalesce(sum(c.w), 0) / CAST(1000000 AS DOUBLE) AS bm25
+      |          FROM base b LEFT JOIN contrib c USING (doc_id)
+      |          GROUP BY b.doc_id)""".stripMargin
 
   /** BPE merge-round chain for the q147 oracle: v0 = word-frequency
     * vocab, s0 = char-split symbol sequences; each round counts adjacent

@@ -663,4 +663,42 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
       .limit(topK)
   }
+
+  /** Quality-canonical representative per near-dup CLUSTER — the
+    * curation-grade refinement of min-id canonicalization: build the
+    * J ≥ `threshold` pair graph ([[jaccardPairs]]), close it
+    * transitively ([[connectedComponents]]), then keep the member with
+    * the HIGHEST quality score (distinct-token ratio, the lexical-
+    * diversity signal of `TextAnalysis.withQuality`) rather than the
+    * arbitrary smallest id — near-dup clusters routinely mix a clean
+    * original with truncated/boilerplate-padded copies, and training
+    * wants the clean one. Ties (equal 6-dp score) break to the smaller
+    * doc_id — a total order both engines replay.
+    *
+    * Output: one row per multi-member cluster — (component, canon_id,
+    * canon_q, n_members). Singleton docs are their own canonical and
+    * are omitted (the report is about CHOICES, not the corpus).
+    *
+    * Scale shape: pair building is the inverted-index path (no
+    * all-pairs); the quality score is row-local; the argmax is one
+    * window over components — partitions are cluster-sized (small by
+    * construction: clusters are near-dup groups), so no single-reducer
+    * hotspot. */
+  def canonicalByQuality(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(jaccardPairs(docs, threshold))
+    val toks = split(col(textCol), " ")
+    val q = docs.select(col(idCol).as("doc_id"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+        .as("q_score"))
+    val byComp = Window.partitionBy(col("component"))
+    val pick = byComp.orderBy(col("q_score").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canon_id"),
+        col("q_score").as("canon_q"), col("n_members"))
+  }
 }

@@ -69,6 +69,39 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** X3 contrastive hard-negative mining — for each anchor (the first
+    * `nQueries` vectors), the top-`k` most-similar vectors whose LABEL
+    * differs from the anchor's: the highest-cosine wrong-class
+    * neighbors, i.e. exactly the negatives a contrastive / embedding-
+    * finetune pipeline wants (easy negatives are useless; same-label
+    * neighbors are positives). Same broadcast-anchors + per-anchor
+    * window shape as [[knnJoin]] with the label-inequality predicate
+    * applied BEFORE scoring survives to the window.
+    *
+    * Exact by construction so the oracle pins every row; the 100 TB
+    * path restricts candidates to the anchor's probed IVF cells
+    * ([[ivfTopKWith]]'s cell prune) and exact-scores only bucket-mates
+    * — same plan below the scoring join. */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = Par.fanOut(base)
+      .crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        col("label").as("neg_label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("neg_label"), col("rnk"), col("cos"))
+  }
+
   /** X2 embedding-cosine near-duplicate PAIRS: every (id_a < id_b) pair
     * with cosine >= threshold, exact O(n²/2) with norms precomputed once
     * per row. Kept exact so the DuckDB oracle pins it bit-for-bit. The

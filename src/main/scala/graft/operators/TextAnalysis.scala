@@ -204,6 +204,37 @@ object TextAnalysis {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Chunk-level BPE tokenizer pass — [[bpeTokenizeDocs]] composed with
+    * [[chunkTokens]]: every document becomes fixed context windows of
+    * `width` tokens (stride `stride`), and each CHUNK gets its word and
+    * BPE-symbol counts from the once-encoded vocab — the per-sequence
+    * token budgets that context-window packing ([[Curation.packBins]])
+    * and per-chunk dedup (q119/q130) consume for LONG documents, where
+    * a per-doc total (q157) is useless because no single context window
+    * holds the doc.
+    *
+    * Scale shape: chunking is row-local (posexplode + slice — no
+    * shuffle); encoding cost stays O(|vocab|); the chunk-word explode
+    * joins the vocab dictionary LEFT (small by Heaps' law — AQE
+    * broadcasts iff actually small) and partial-aggregates on
+    * (doc_id, chunk_idx). One corpus-token-proportional shuffle, same
+    * as the per-doc pass. Every chunk row survives: `count(n_sym)`
+    * counts only vocab-matched (non-empty) words, so an empty-text
+    * doc's single chunk reports 0 without a join-back. */
+  def chunkBpeTokens(docs: DataFrame, rounds: Int, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = bpeTrain(docs, rounds, textCol)._2
+      .select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    chunkTokens(docs, width, stride, textCol, idCol)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(split(col("chunk_text"), " ")).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(col("n_sym")).as("n_words"),
+        coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Shared BPE training loop: returns (merge rules, final per-word
     * symbol sequences). Each round = one vocab-sized pair count + argmax
     * collect + a row-local merge fold over the vocab. */

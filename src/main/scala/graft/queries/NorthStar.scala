@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -1281,4 +1281,50 @@ object NorthStar {
     * per-row and rounded), unlike the recall-bounded ANN family. */
   def int8TopK(spark: SparkSession, d: String): DataFrame =
     Similarity.int8TopK(Tables.embeddings(spark, d), 0L, 10)
+
+  /** X4 chunk-level BPE tokenizer pass ([[graft.operators.TextAnalysis
+    * .chunkBpeTokens]]): q157's vocab-join tokenizer applied per 16-token
+    * context window — the per-SEQUENCE token budgets packing and
+    * chunk-dedup consume for long documents (a per-doc total is useless
+    * when no single window holds the doc). */
+  def chunkBpe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.chunkBpeTokens(Tables.documents(spark, d), 6, 16, 16)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** X3/X4 hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]):
+    * the q144 BM25 lexical list and the q41 dense cosine list (both
+    * top-50) fused by reciprocal-rank fusion at K=60 — integer
+    * micro-weights, so the fused ranking is engine-exact. */
+  def hybridRrf(spark: SparkSession, d: String): DataFrame = {
+    val bmList = Retrieval.rankTopN(
+      TextAnalysis.bm25(Tables.documents(spark, d),
+        Seq("dup", "vector", "stream")),
+      "doc_id", "bm25", 50)
+    val cosList = Retrieval.rankTopN(
+      Similarity.cosineTopK(Tables.embeddings(spark, d), 0L, 50),
+      "vec_id", "cos", 50)
+    Retrieval.rrfFuse(Seq("bm25" -> bmList, "cos" -> cosList), 60, 20)
+  }
+
+  /** X1/X2 quality-canonical cluster representatives ([[graft.operators
+    * .Dedup.canonicalByQuality]]): each J ≥ 0.8 near-dup cluster keeps
+    * its highest distinct-token-ratio member instead of the arbitrary
+    * min id — the curation-grade canonicalization choice. */
+  def canonicalReps(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.canonicalByQuality(Tables.documents(spark, d), 0.8)
+      .orderBy($"component")
+  }
+
+  /** X3 contrastive hard-negative mining ([[graft.operators.Similarity
+    * .hardNegatives]]): for each of the first 8 anchors, the top-5
+    * highest-cosine vectors of a DIFFERENT label — the wrong-class
+    * near-neighbors a contrastive finetune samples as negatives. */
+  def hardNegatives(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.hardNegatives(Tables.embeddings(spark, d), 8, 5)
+      .orderBy($"qid", $"rnk")
+  }
 }

@@ -766,4 +766,77 @@ class NorthStarSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkBpeTokens counts per-chunk words and BPE symbols; empty " +
+      "docs keep their zero chunk") {
+    import spark.implicits._
+    // vocab: ab (freq 2), cd (freq 1); round 1 merges (a,b) -> ab is 1
+    // symbol, cd stays "c d" = 2. doc 1 toks [ab, ab, cd], width=stride=2
+    // -> chunk 0 [ab, ab] (2 words / 2 syms), chunk 1 [cd] (1 / 2);
+    // doc 2 is empty -> its single chunk reports 0 / 0.
+    val docs = Seq((1L, "ab ab cd"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBpeTokens(docs, 1, 2, 2)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, Long, Long)].collect().toList
+    assert(got == List((1L, 0, 2L, 2L), (1L, 1, 1L, 2L), (2L, 0, 0L, 0L)))
+  }
+
+  test("rankTopN + rrfFuse: integer RRF weights, per-list ranks, " +
+      "absent-list zeros, hand-traced order") {
+    import spark.implicits._
+    val la = Retrieval.rankTopN(
+      Seq((1L, 9.0), (2L, 8.0), (3L, 7.0), (4L, 1.0)).toDF("id", "s"),
+      "id", "s", 3)
+    val lb = Retrieval.rankTopN(
+      Seq((2L, 9.0), (3L, 8.0), (4L, 7.0), (1L, 0.5)).toDF("id", "s"),
+      "id", "s", 3)
+    // K=1: rank weights 1e9//2=500000000, //3=333333333, //4=250000000.
+    // id2 = 333333333+500000000; id3 = 250000000+333333333; singles after.
+    val got = Retrieval.rrfFuse(Seq("la" -> la, "lb" -> lb), 1, 10)
+      .select($"id", $"la_rank", $"lb_rank", $"n_lists", $"rrf_micro")
+      .as[(Long, Int, Int, Int, Long)].collect().toList
+    assert(got == List(
+      (2L, 2, 1, 2, 833333333L),
+      (3L, 3, 2, 2, 583333333L),
+      (1L, 1, 0, 1, 500000000L),
+      (4L, 0, 3, 1, 250000000L)))
+  }
+
+  test("canonicalByQuality keeps the highest distinct-token-ratio member " +
+      "per cluster, not the min id; singletons omitted") {
+    import spark.implicits._
+    // cluster {1,2}: doc2 repeats a token (q 10/11) -> doc1 (q 1.0) wins;
+    // cluster {4,5}: the repeat is on the SMALLER id -> doc5 wins, proving
+    // the pick is argmax-quality, not min-id. doc3 has no pair -> omitted.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j a"),
+      (3L, "z y x w v u t s r q"),
+      (4L, "p q r s t u v w x y p"),
+      (5L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalByQuality(docs, 0.8)
+      .orderBy($"component")
+      .as[(Long, Long, Double, Long)].collect().toList
+    assert(got == List((1L, 1L, 1.0, 2L), (4L, 5L, 1.0, 2L)))
+  }
+
+  test("hardNegatives ranks only wrong-label neighbors per anchor") {
+    import spark.implicits._
+    // anchor 0 (label 0): wrong-label candidates 1 (cos 0), 2 (cos
+    // 1/sqrt(1.01) = 0.995), 4 (cos -1) -> top-2 = [2, 1]; same-label 3
+    // (cos 0.9-direction) must NOT appear. anchor 1 (label 1): all
+    // wrong-label cos are 0 -> nid tiebreak [0, 3].
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(0.0, 1.0), 1),
+      (2L, Seq(1.0, 0.1), 1), (3L, Seq(0.9, 0.0), 0),
+      (4L, Seq(-1.0, 0.0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, 2, 2)
+      .orderBy($"qid", $"rnk")
+      .as[(Long, Long, Int, Int, Double)].collect().toList
+    assert(got == List(
+      (0L, 2L, 1, 1, 0.995), (0L, 1L, 1, 2, 0.0),
+      (1L, 0L, 0, 1, 0.0), (1L, 3L, 0, 2, 0.0)))
+  }
 }
