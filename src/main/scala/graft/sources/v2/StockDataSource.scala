@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reader at n rows (PARTIAL pushdown — `pushLimit` returns false, so
   *    Spark still applies the global limit; partition pruning by the
   *    limit would not be conservative because a malformed payload yields
-  *    zero rows, so every file must stay planned).
+  *    zero rows, so every file must stay planned);
+  *  - `SupportsPushDownAggregates`: count/min/max/sum (global or grouped
+  *    by symbol) collapse each payload file to ONE partial row at the
+  *    reader — Spark's final aggregate merges O(files) rows instead of
+  *    O(day-rows) (see [[StockScanBuilder.pushAggregation]]).
   *
   * At 100 TB the per-file partitioning and file-level pruning are exactly
   * what keeps a scan of millions of payloads off the driver; a production
@@ -79,13 +84,83 @@ class StockTable(path: String) extends Table with SupportsRead {
     new StockScanBuilder(path)
 }
 
+/** One pushed partial-aggregate column: `func` ∈ count_star | min | max
+  * | sum over schema column `col` (empty for count_star). Serializable —
+  * ships to executors inside the reader factory. */
+case class StockAggSpec(func: String, col: String)
+
+/** A pushed PARTIAL aggregation (`supportCompletePushDown` = false):
+  * group by nothing or by `symbol` (one file = one symbol, so the
+  * per-file partial IS the per-group partial), aggregate columns in
+  * Spark's pushed-agg schema order (group cols first, then aggs). */
+case class StockPushedAgg(groupBySymbol: Boolean, aggs: Seq[StockAggSpec])
+
 class StockScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var symbols: Option[Set[String]] = None // None = no pruning
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = StockDataSource.schema
   private var limit: Option[Int] = None
+  private var agg: Option[StockPushedAgg] = None
+  private var aggSchema: StructType = new StructType()
+
+  // PARTIAL aggregate pushdown: each payload-file reader collapses its
+  // rows to ONE partial row (count / min / max / sum over the file;
+  // grouped-by-symbol is the same row because a file holds exactly one
+  // symbol). Spark's final aggregate merges the partials, so a
+  // `count(*)` or `max(close)` over a million payload files moves one
+  // row per file instead of every day-row — the scan cost drops from
+  // O(days) to O(files) of OUTPUT (parsing is unchanged; at 100 TB the
+  // shuffle and row hand-off are what this kills). Strings are excluded
+  // from min/max (UTF8String vs java.lang.String collation is not ours
+  // to re-implement); sum is numeric-only. Residual-filter queries keep
+  // a Filter node above the scan, so Spark only offers the push when
+  // the aggregate sits directly on the scan — exactly when it is safe.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (limit.isDefined) return false
+    def field(e: V2Expression): Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        StockDataSource.schema.find(_.name == f.fieldNames.head)
+      case _ => None
+    }
+    val groupOk: Option[Boolean] = aggregation.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(f: NamedReference)
+          if f.fieldNames.sameElements(Array("symbol")) => Some(true)
+      case _ => None
+    }
+    def numeric(f: StructField): Boolean =
+      f.dataType == DoubleType || f.dataType == LongType
+    val specs: Seq[Option[(StockAggSpec, StructField)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((StockAggSpec("count_star", ""),
+          StructField("count(*)", LongType)))
+        case m: Min => field(m.column).filter(_.dataType != StringType)
+          .map(f => (StockAggSpec("min", f.name),
+            StructField(s"min(${f.name})", f.dataType)))
+        case m: Max => field(m.column).filter(_.dataType != StringType)
+          .map(f => (StockAggSpec("max", f.name),
+            StructField(s"max(${f.name})", f.dataType)))
+        case s: Sum if !s.isDistinct => field(s.column).filter(numeric)
+          .map(f => (StockAggSpec("sum", f.name),
+            StructField(s"sum(${f.name})", f.dataType)))
+        case _ => None
+      }
+    if (groupOk.isEmpty || specs.isEmpty || specs.exists(_.isEmpty)) false
+    else {
+      val grouped = groupOk.get
+      agg = Some(StockPushedAgg(grouped, specs.flatten.map(_._1)))
+      val groupFields =
+        if (grouped) Seq(StructField("symbol", StringType, nullable = false))
+        else Nil
+      aggSchema = StructType(groupFields ++ specs.flatten.map(_._2))
+      true
+    }
+  }
 
   // PARTIAL limit pushdown: each file reader stops parsing after
   // `limit` day-rows (the global LIMIT can never need more rows from
@@ -117,17 +192,23 @@ class StockScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new StockScan(path, symbols, required, limit)
+  override def build(): Scan = new StockScan(path, symbols,
+    if (agg.isDefined) aggSchema else required, limit, agg)
 }
 
 class StockScan(path: String, symbols: Option[Set[String]],
-    required: StructType, limit: Option[Int]) extends Scan with Batch {
+    required: StructType, limit: Option[Int],
+    agg: Option[StockPushedAgg] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"StockScan(path=$path, prunedSymbols=${symbols.getOrElse("*")}, " +
       s"columns=${required.fieldNames.mkString(",")}" +
-      limit.fold("")(l => s", limit=$l") + ")"
+      limit.fold("")(l => s", limit=$l") +
+      agg.fold("")(a => s", pushedAggregates=[${a.aggs.map(s =>
+        if (s.col.isEmpty) "count(*)" else s"${s.func}(${s.col})")
+        .mkString(",")}]" +
+        (if (a.groupBySymbol) ", pushedGroupBy=[symbol]" else "")) + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -139,28 +220,75 @@ class StockScan(path: String, symbols: Option[Set[String]],
     files.map(f => StockFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new StockReaderFactory(required, limit)
+    new StockReaderFactory(required, limit, agg)
 }
 
 case class StockFilePartition(file: String) extends InputPartition
 
-class StockReaderFactory(required: StructType, limit: Option[Int])
-    extends PartitionReaderFactory {
+class StockReaderFactory(required: StructType, limit: Option[Int],
+    agg: Option[StockPushedAgg] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new StockFileReader(p.asInstanceOf[StockFilePartition].file, required,
-      limit)
+      limit, agg)
 }
 
 /** Executor-side payload parse (Jackson, ships with Spark). A malformed
   * payload yields zero rows — the reader-side twin of the quarantine
   * split (etl.py:73-77 skips the whole symbol on ValidationError). */
 class StockFileReader(file: String, required: StructType,
-    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
+    limit: Option[Int] = None, agg: Option[StockPushedAgg] = None)
+    extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+  private type DayRow =
+    (String, Int, Double, Double, Double, Double, Long, Double)
+
+  private def colVal(r: DayRow, col: String): Any = col match {
+    case "date" => r._2
+    case "open" => r._3
+    case "high" => r._4
+    case "low" => r._5
+    case "close" => r._6
+    case "volume" => r._7
+    case "daily_change_percentage" => r._8
+  }
+
+  /** Per-file partial aggregate values in pushed-schema order. Empty
+    * input → count 0 / null min-max-sum, which Spark's final merge
+    * treats exactly like an empty partition. */
+  private def partial(a: StockPushedAgg, rs: Seq[DayRow]): Seq[Any] =
+    a.aggs.map { s =>
+      s.func match {
+        case "count_star" => rs.size.toLong
+        case _ if rs.isEmpty => null
+        case "min" | "max" =>
+          val vs = rs.map(r => colVal(r, s.col))
+          vs.head match {
+            case _: Int =>
+              val xs = vs.map(_.asInstanceOf[Int])
+              if (s.func == "min") xs.min else xs.max
+            case _: Long =>
+              val xs = vs.map(_.asInstanceOf[Long])
+              if (s.func == "min") xs.min else xs.max
+            case _ =>
+              val xs = vs.map(_.asInstanceOf[Double])
+              if (s.func == "min") xs.min else xs.max
+          }
+        case "sum" =>
+          colVal(rs.head, s.col) match {
+            case _: Long => rs.foldLeft(0L)((acc, r) =>
+              acc + colVal(r, s.col).asInstanceOf[Long])
+            // day-row order is the file's date sort, so the double fold
+            // replays the same order as Spark's own partial agg would
+            case _ => rs.foldLeft(0.0)((acc, r) =>
+              acc + colVal(r, s.col).asInstanceOf[Double])
+          }
+      }
+    }
 
   private val rows: Iterator[InternalRow] = {
     StockDataSource.filesOpened.incrementAndGet()
-    try {
+    val parsed: Seq[DayRow] = try {
       val root = new ObjectMapper().readTree(new java.io.File(file))
       val sym = root.path("Meta Data").path("2. Symbol").asText(null)
       val ts = root.path("Time Series (Daily)")
@@ -173,11 +301,11 @@ class StockFileReader(file: String, required: StructType,
       val fileName = new java.io.File(file).getName
       if (sym != null && !fileName.startsWith(sym + "_")) {
         StockDataSource.symbolMismatches.incrementAndGet()
-        Iterator.empty
-      } else if (sym == null || !ts.isObject) Iterator.empty
+        Seq.empty
+      } else if (sym == null || !ts.isObject) Seq.empty
       else {
         val days = ts.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
-        val parsed = days.map { case (date, ohlcv: JsonNode) =>
+        days.map { case (date, ohlcv: JsonNode) =>
           val open = ohlcv.path("1. open").asText().toDouble
           val high = ohlcv.path("2. high").asText().toDouble
           val low = ohlcv.path("3. low").asText().toDouble
@@ -187,6 +315,19 @@ class StockFileReader(file: String, required: StructType,
           (sym, epochDay, open, high, low, close, volume,
             (close - open) / open * 100.0)
         }.sortBy(_._2)
+      }
+    } catch { case _: Exception => Seq.empty } // whole-payload reject
+    agg match {
+      case Some(a) if a.groupBySymbol =>
+        // one file = one symbol, so the file partial IS the group partial;
+        // a rejected/empty payload contributes no group row at all
+        parsed.groupBy(_._1).toSeq.sortBy(_._1).iterator.map {
+          case (sym, rs) => InternalRow.fromSeq(
+            UTF8String.fromString(sym) +: partial(a, rs))
+        }
+      case Some(a) =>
+        Iterator.single(InternalRow.fromSeq(partial(a, parsed)))
+      case None =>
         val capped = limit.fold(parsed)(parsed.take)
         capped.iterator.map { case (s, d, o, h, l, c, v, chg) =>
           InternalRow.fromSeq(required.fieldNames.toSeq.map {
@@ -200,8 +341,7 @@ class StockFileReader(file: String, required: StructType,
             case "daily_change_percentage" => chg
           })
         }
-      }
-    } catch { case _: Exception => Iterator.empty } // whole-payload reject
+    }
   }
 
   private var current: InternalRow = _

@@ -84,4 +84,56 @@ class StockDataSourceV2Spec extends SparkSpec {
     assert(rows.count() == 0)
     assert(StockDataSource.symbolMismatches.get() == 1)
   }
+
+  test("aggregate pushdown: global count/min/max/sum partials match the " +
+      "unpushed ingest result; the plan records the push") {
+    import spark.implicits._
+    val pushed = spark.read.format(fmt).option("path", fixtures).load()
+      .agg(count(lit(1)).as("n"), min($"date").cast("string").as("d0"),
+        max($"close").as("mx"), sum($"volume").as("sv"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates=[count(*),min(date),max(close)," +
+      "sum(volume)]"), plan)
+    val got = pushed.as[(Long, String, Double, Long)].collect().head
+    val ref = AlphaVantage.ingest(spark, s"$fixtures/*.json").toDF()
+      .agg(count(lit(1)), min($"date").cast("string"), max($"close"),
+        sum($"volume"))
+      .as[(Long, String, Double, Long)].collect().head
+    assert(got == ref)
+  }
+
+  test("aggregate pushdown: group-by-symbol partials merge to the exact " +
+      "per-symbol aggregates") {
+    import spark.implicits._
+    val pushed = spark.read.format(fmt).option("path", fixtures).load()
+      .groupBy($"symbol")
+      .agg(count(lit(1)).as("n"), max($"high").as("mx"))
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("pushedGroupBy=[symbol]"))
+    val got = pushed.as[(String, Long, Double)].collect().toSet
+    val ref = AlphaVantage.ingest(spark, s"$fixtures/*.json").toDF()
+      .groupBy($"symbol").agg(count(lit(1)).as("n"), max($"high").as("mx"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("aggregate pushdown declines under a residual filter and on " +
+      "string min/max; results stay exact") {
+    import spark.implicits._
+    // a residual (non-pushed-exact) filter keeps a Filter node above the
+    // scan, so Spark never offers the aggregate to the source
+    val filtered = spark.read.format(fmt).option("path", fixtures).load()
+      .filter($"close" > 0.0).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("pushedAggregates"))
+    assert(filtered.as[Long].collect().head > 0)
+    // min(symbol) is a string aggregate — pushAggregation must refuse it
+    // (collation is Spark's, not the source's) and Spark aggregates rows
+    val strAgg = spark.read.format(fmt).option("path", fixtures).load()
+      .agg(min($"symbol"), count(lit(1)))
+    assert(!strAgg.queryExecution.executedPlan.toString
+      .contains("pushedAggregates"))
+    val (s0, n0) = strAgg.as[(String, Long)].collect().head
+    assert(s0 == "AAPL" && n0 > 0)
+  }
 }
