@@ -187,6 +187,10 @@ object SparkEntry {
     "q164_hybrid_rrf"    -> (NorthStar.hybridRrf _),
     "q165_canonical_reps" -> (NorthStar.canonicalReps _),
     "q166_hard_negatives" -> (NorthStar.hardNegatives _),
+    "q167_ivf_recall"    -> (NorthStar.ivfRecall _),
+    "q168_bpe_fertility" -> (NorthStar.bpeFertility _),
+    "q169_media_knn"     -> (NorthStar.mediaKnn _),
+    "q170_balanced_shards" -> (NorthStar.balancedShards _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2047,6 +2051,105 @@ object SparkEntry {
         |      FROM scored)
         |SELECT qid, nid, neg_label, rnk, cos FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // q167: IVF recall eval — the q136 trained quantizer (kmeansChainSql:
+    // c2 = final centroids, a3 = final assignment) probed at nProbe=2 for
+    // 16 anchors; exact and candidate top-10 lists both total-ordered
+    // (rounded cosine, nid tiebreak), so recall replays row for row. The
+    // ONLY genuinely-verified ANN oracle shape — serving queries
+    // (q43/q53/q138/q156) can only pin summary invariants.
+    "q167_ivf_recall" ->
+      s"""$kmeansChainSql,
+        |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),
+        |probed AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c2.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(c2.c, q.qv)
+        |        / (sqrt(list_dot_product(c2.c, c2.c))
+        |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        |        c2.cid) AS rk
+        |    FROM c2, qs q) WHERE rk <= 2),
+        |scored AS (SELECT q.qid, e.vec_id AS nid, a3.cid,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM e JOIN a3 USING (vec_id), qs q WHERE e.vec_id <> q.qid),
+        |exact AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rk FROM scored) WHERE rk <= 10),
+        |cand AS (SELECT s.* FROM scored s
+        |         JOIN probed p ON s.qid = p.qid AND s.cid = p.cid),
+        |ivf AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rk FROM cand) WHERE rk <= 10),
+        |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+        |       FROM cand GROUP BY qid),
+        |h AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM exact x JOIN ivf i ON x.qid = i.qid AND x.nid = i.nid
+        |      GROUP BY x.qid)
+        |SELECT q.qid, coalesce(nc.n_cand, 0) AS n_cand,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
+        |FROM qs q LEFT JOIN nc USING (qid) LEFT JOIN h USING (qid)
+        |ORDER BY q.qid""".stripMargin,
+    // q168: tokenizer fertility by language — exact long word/symbol
+    // counts per lang from the q147-trained vocab; one per-group division
+    // of two exact integers (engine-exact double), rounded 4 dp.
+    "q168_bpe_fertility" ->
+      s"""${bpeChainSql(6)},
+        |vocab AS (SELECT word,
+        |            CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+        |          FROM s6),
+        |w AS (SELECT lang, word FROM
+        |        (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |         FROM documents)
+        |      WHERE word <> '')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(n_sym) AS BIGINT) AS n_sym,
+        |       round(sum(n_sym) / CAST(count(*) AS DOUBLE), 4) AS fertility
+        |FROM w JOIN vocab USING (word)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q169: cross-modal kNN — the decode stub's 8-bin byte histogram is a
+    // pure byte function (corpus is ASCII, so ascii(char) == byte, the
+    // same identity every rollingHashSql oracle already relies on); the
+    // ranking is q42's shape over the replayed features.
+    "q169_media_knn" ->
+      s"""WITH h AS (SELECT doc_id,
+        |        [${(0 until 8).map(k =>
+        s"CAST(len([c for c in cs if ascii(c) % 8 = $k]) AS DOUBLE)")
+        .mkString(",\n        |         ")}] AS f
+        |      FROM (SELECT doc_id, string_split(text, '') AS cs
+        |            FROM documents WHERE length(text) > 0)),
+        |qs AS (SELECT doc_id AS qid, f AS qf FROM h WHERE doc_id < 8),
+        |scored AS (SELECT qid, c.doc_id AS nid,
+        |    round(list_dot_product(c.f, qf)
+        |      / (sqrt(list_dot_product(c.f, c.f))
+        |         * sqrt(list_dot_product(qf, qf))), 4) AS cos
+        |  FROM h c, qs WHERE c.doc_id >= 8),
+        |r AS (SELECT qid, nid, cos, CAST(row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER)
+        |        AS rnk
+        |      FROM scored)
+        |SELECT qid, nid, rnk, cos FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // q170: serpentine shard dealing over the (n_tok DESC, doc_id) rank;
+    // all-integer (rank, cycle fold, counts, floor-div ideal), so every
+    // audit row replays exactly.
+    "q170_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tok, row_number() OVER
+        |        (ORDER BY n_tok DESC, doc_id) AS rn FROM t),
+        |s AS (SELECT n_tok, CAST((rn - 1) % 16 AS BIGINT) AS cyc FROM r),
+        |a AS (SELECT CAST(CASE WHEN cyc < 8 THEN cyc
+        |                  ELSE 15 - cyc END AS INTEGER) AS shard, n_tok
+        |      FROM s),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM a GROUP BY shard),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g)
+        |SELECT shard, n_docs, n_tokens,
+        |       CAST(n_tokens - (t // 8) AS BIGINT) AS dev
+        |FROM g, tot ORDER BY shard""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -381,4 +381,40 @@ object Curation {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("id")).otherwise(0L)).as("kept_id_sum"))
   }
+
+  /** Deterministic size-balanced SHARD assignment — the distributed-
+    * training prep step that splits a corpus into `nShards` worker files
+    * of near-equal token mass: rank documents by (n_tok DESC, doc_id) —
+    * a total order — and deal them out SERPENTINE (rank cycle
+    * 0,1,…,n-1,n-1,…,1,0), the folding heuristic that pairs each large
+    * document with small ones in the same shard; plain round-robin
+    * systematically overloads the shard that gets every cycle's largest.
+    * Emits the per-shard audit row: doc count, token mass, and the
+    * signed deviation from the ideal tot/nShards (integer division —
+    * engine-exact).
+    *
+    * Scale shape: the global rank comes from [[withGlobalCumsum]]'s
+    * two-level plan (value = 1), so there is NO single-partition window
+    * anywhere; the serpentine fold is row-local integer arithmetic and
+    * the final aggregate shuffles nShards rows. */
+  def balancedShards(docs: DataFrame, nShards: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    val ranked = withGlobalCumsum(base,
+      Seq(col("n_tok").desc, col("doc_id")), lit(1L))
+    val cycle = (col("rn") - 1) % (2 * nShards)
+    val shard = when(cycle < nShards, cycle)
+      .otherwise(lit(2 * nShards - 1) - cycle).cast("int")
+    val perShard = ranked.withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = Window.partitionBy() // nShards rows — bounded by config
+    perShard
+      .withColumn("dev",
+        col("n_tokens") - floor(sum(col("n_tokens")).over(tot)
+          / nShards).cast("long"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("dev"))
+  }
 }

@@ -123,4 +123,23 @@ object Multimodal {
         }
       }
   }
+
+  /** Cross-modal retrieval over DECODED features — the downstream consumer
+    * that makes the decode stage more than plumbing: k-NN by cosine over
+    * the per-payload feature vectors ([[decodeFeatures]]'s 8-bin byte
+    * histogram stub; a real codec swap changes the vector, not this
+    * plan), reusing [[Similarity.knnJoin]] verbatim — media features are
+    * just another embedding column once decoded. Zero-byte payloads are
+    * excluded (no direction to compare). The stub feature is a pure
+    * function of the bytes, so the DuckDB oracle replays the histogram
+    * AND the ranking — the multimodal path is hash-verified end to end,
+    * not schema-only. */
+  def featureKnn(docs: DataFrame, nQueries: Int, k: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val feats = decodeFeatures(withBinaryPayload(docs)).toDF()
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    Similarity.knnJoin(feats.filter(col("vec_id") >= nQueries),
+      feats.filter(col("vec_id") < nQueries), k)
+  }
 }

@@ -710,6 +710,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** EXACTLY-ORACLED IVF index evaluation — per-anchor recall@`topK` of
+    * the `nProbe`-cell IVF probe against the exact cosine top-`topK`,
+    * over the deterministic trained quantizer ([[kmeansCentroids]], same
+    * init/rounding/tie-break contract as q136): the index-quality report
+    * an ANN deployment tracks before trusting a probe setting. Because
+    * the quantizer, the probe choice (centroid cosine, cid tiebreak),
+    * both top-k lists (rounded cosine, nid tiebreak) and the
+    * intersection are all deterministic, EVERY output row replays on any
+    * engine — unlike the ANN serving queries, whose oracles can only pin
+    * summary invariants.
+    *
+    * Scale shape: the exact arm is the knnJoin brute-force scan (the
+    * baseline an eval needs anyway — you cannot measure recall without
+    * the truth); everything else is candidate-pruned or k-sized. Run it
+    * on an anchor SAMPLE (nQueries), never the full corpus. */
+  def ivfRecallEval(emb: DataFrame, kCells: Int, iters: Int, nProbe: Int,
+      nQueries: Int, topK: Int): DataFrame = {
+    require(nProbe >= 1 && nQueries >= 1 && topK >= 1,
+      s"nProbe=$nProbe nQueries=$nQueries topK=$topK")
+    import emb.sparkSession.implicits._
+    val cents = kmeansCentroids(emb, kCells, iters)
+    val assigned = assignWith(emb, cents)
+    val base = withNorm(emb).join(assigned, "vec_id")
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = Par.fanOut(base).crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cid"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val exact = scored.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val centDf = cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "c")
+    val probed = centDf.crossJoin(broadcast(qs))
+      .select(col("qid"), col("cid"),
+        (dot(col("c"), col("qv")) /
+          (sqrt(dot(col("c"), col("c"))) * col("qnrm"))).as("ccos"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rk") <= nProbe).select(col("qid"), col("cid"))
+    val cand = scored.join(broadcast(probed), Seq("qid", "cid"))
+    val ivf = cand.withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+    val hits = exact.join(ivf, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    qs.select(col("qid"))
+      .join(nCand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(topK.toDouble), 4)
+          .as("recall"))
+  }
+
   /** Exact squared-L2 top-k for one stored query vector — the brute-force
     * baseline the compressed-domain searchers ([[ivfPqTopK]]) are bounded
     * against. Row-local distance + TakeOrderedAndProject; one corpus scan. */

@@ -235,6 +235,28 @@ object TextAnalysis {
         coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY by language — BPE symbols emitted per word,
+    * the standard tokenizer-equity metric (a tokenizer trained on a
+    * language mix over-fragments the under-represented languages;
+    * fertility per language is how that bias is measured before
+    * committing to a vocab). Same once-encoded-vocab dictionary join as
+    * [[bpeTokenizeDocs]], aggregated per `langCol`: exact long word and
+    * symbol counts, one per-GROUP division at the end (two exact
+    * integers → engine-exact double). One corpus-token shuffle. */
+  def bpeFertilityByLang(docs: DataFrame, rounds: Int,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val vocab = bpeTrain(docs, rounds, textCol)._2
+      .select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    docs.select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_sym"))
+      .withColumn("fertility", round(col("n_sym") / col("n_words"), 4))
+  }
+
   /** Shared BPE training loop: returns (merge rules, final per-word
     * symbol sequences). Each round = one vocab-sized pair count + argmax
     * collect + a row-local merge fold over the vocab. */

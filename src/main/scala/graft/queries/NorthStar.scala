@@ -1327,4 +1327,50 @@ object NorthStar {
     Similarity.hardNegatives(Tables.embeddings(spark, d), 8, 5)
       .orderBy($"qid", $"rnk")
   }
+
+  /** X3 exactly-oracled IVF evaluation ([[graft.operators.Similarity
+    * .ivfRecallEval]]): recall@10 of the 2-of-8-cell probe vs the exact
+    * cosine top-10 for 16 anchors, over the q136 deterministic trained
+    * quantizer — every row (candidate counts, hits, recall) is replayed
+    * by the oracle, unlike the summary-pinned ANN serving oracles
+    * (q43/q53/q138/q156). */
+  def ivfRecall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfRecallEval(Tables.embeddings(spark, d), 8, 2, 2, 16, 10)
+      .orderBy($"qid")
+  }
+
+  /** X4 tokenizer fertility by language ([[graft.operators.TextAnalysis
+    * .bpeFertilityByLang]]): BPE symbols per word for each corpus
+    * language under the q147-trained vocab — the tokenizer-equity
+    * metric that decides whether a vocab under-serves a language. */
+  def bpeFertility(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bpeFertilityByLang(Tables.documents(spark, d), 6)
+      .orderBy($"lang")
+  }
+
+  /** X5 cross-modal retrieval ([[graft.operators.Multimodal
+    * .featureKnn]]): top-5 cosine neighbors over the DECODED media
+    * feature vectors (the deterministic byte-histogram stub) for 8
+    * query payloads — the decode stage feeding a real downstream
+    * consumer, hash-verified end to end (the stub is a pure byte
+    * function the oracle replays). */
+  def mediaKnn(spark: SparkSession, d: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    Multimodal.featureKnn(Tables.documents(spark, d), 8, 5)
+      .select($"qid", $"nid", $"rnk", $"cos")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** X12 size-balanced shard assignment ([[graft.operators.Curation
+    * .balancedShards]]): 8 training shards dealt serpentine over the
+    * (n_tok DESC, doc_id) rank — per-shard doc/token mass and signed
+    * deviation from the ideal eighth. */
+  def balancedShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.balancedShards(Tables.documents(spark, d), 8)
+      .orderBy($"shard")
+  }
 }

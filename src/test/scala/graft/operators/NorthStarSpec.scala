@@ -821,6 +821,69 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((1L, 1L, 1.0, 2L), (4L, 5L, 1.0, 2L)))
   }
 
+  test("ivfRecallEval counts probe-missed true neighbors, hand-traced " +
+      "at k=2 cells, nProbe=1") {
+    import spark.implicits._
+    // iters=0 -> centroids are v0=(1,0) [cid 0] and v1=(0,1) [cid 1].
+    // assignments: 2,3 -> cell 1; 4=(1,1) is equidistant -> cid tiebreak
+    // -> cell 0. query 0 probes its own cell only: candidates {4}.
+    // exact top-2 = [4 (.7071), 2 (.6247)] -> 1 hit of 2 -> recall 0.5.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(0.8, 1.0)),
+      (3L, Seq(0.5, 1.0)), (4L, Seq(1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfRecallEval(emb, 2, 0, 1, 1, 2)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((0L, 1L, 1L, 0.5)))
+  }
+
+  test("bpeFertilityByLang: per-language symbols-per-word from the " +
+      "shared vocab, hand-traced") {
+    import spark.implicits._
+    // round 1 merges (a,b): "ab" -> 1 symbol; "cd" stays "c d" -> 2.
+    // en: 2 words / 2 syms -> 1.0; de: 1 word / 2 syms -> 2.0.
+    val docs = Seq(
+      (1L, "ab ab", "en"), (2L, "cd", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeFertilityByLang(docs, 1)
+      .orderBy($"lang").as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(("de", 1L, 2L, 2.0), ("en", 2L, 2L, 1.0)))
+  }
+
+  test("featureKnn ranks by decoded byte-histogram cosine; empty " +
+      "payloads excluded") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 'a'=97 -> bin 1, 'b'=98 -> bin 2. query "aa" = (0,2,0,...);
+    // "a" -> cos 1.0; "ab" -> 2/(2*sqrt(2)) = 0.7071; "b" -> 0;
+    // "" has no direction -> excluded entirely.
+    val docs = Seq(
+      (0L, "aa", "s"), (1L, "a", "s"), (2L, "b", "s"),
+      (3L, "ab", "s"), (4L, "", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal.featureKnn(docs, 1, 2)
+      .select($"qid", $"nid", $"rnk", $"cos")
+      .orderBy($"qid", $"rnk")
+      .as[(Long, Long, Int, Double)].collect().toList
+    assert(got == List((0L, 1L, 1, 1.0), (0L, 3L, 2, 0.7071)))
+  }
+
+  test("balancedShards deals serpentine over the size rank and reports " +
+      "deviation from the ideal share") {
+    import spark.implicits._
+    // sizes 8,6,4,3 -> rank order d1,d2,d3,d4; serpentine at n=2 is
+    // 0,1,1,0: shard0 = {8,3} = 11 (dev +1 vs 21//2), shard1 = {6,4} = 10.
+    val docs = Seq(
+      (1L, Seq.fill(8)("w").mkString(" ")),
+      (2L, Seq.fill(6)("w").mkString(" ")),
+      (3L, Seq.fill(4)("w").mkString(" ")),
+      (4L, Seq.fill(3)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.balancedShards(docs, 2)
+      .orderBy($"shard").as[(Int, Long, Long, Long)].collect().toList
+    assert(got == List((0, 2L, 11L, 1L), (1, 2L, 10L, 0L)))
+  }
+
   test("hardNegatives ranks only wrong-label neighbors per anchor") {
     import spark.implicits._
     // anchor 0 (label 0): wrong-label candidates 1 (cos 0), 2 (cos
