@@ -191,6 +191,7 @@ object SparkEntry {
     "q168_bpe_fertility" -> (NorthStar.bpeFertility _),
     "q169_media_knn"     -> (NorthStar.mediaKnn _),
     "q170_balanced_shards" -> (NorthStar.balancedShards _),
+    "q171_pq_recall"     -> (NorthStar.pqRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2150,6 +2151,48 @@ object SparkEntry {
         |SELECT shard, n_docs, n_tokens,
         |       CAST(n_tokens - (t // 8) AS BIGINT) AS dev
         |FROM g, tot ORDER BY shard""".stripMargin,
+    // q171: flat-PQ ADC recall — the q146 PQ chain (p{j}c1 books, p{j}a2
+    // codes) scored by the dot-expansion LUT the Spark side also uses;
+    // both rankings total-ordered (rounded score, nid tiebreak), so the
+    // per-anchor recall replays row for row.
+    "q171_pq_recall" -> {
+      def qd(j: Int): String =
+        s"(list_dot_product(q$j.v, q$j.v)" +
+          s" - 2 * list_dot_product(q$j.v, b$j.c)" +
+          s" + list_dot_product(b$j.c, b$j.c))"
+      s"""${pqChainSql()},
+        |qs AS (SELECT vec_id AS qid FROM e WHERE vec_id < 8),
+        |ex AS (SELECT q.qid, v.vec_id AS nid,
+        |         round(list_dot_product(v.v, v.v)
+        |           - 2 * list_dot_product(v.v, qe.v)
+        |           + list_dot_product(qe.v, qe.v), 4) AS d2
+        |       FROM e v, qs q JOIN e qe ON qe.vec_id = q.qid
+        |       WHERE v.vec_id <> q.qid),
+        |exact AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY d2 ASC, nid) AS rk FROM ex) WHERE rk <= 10),
+        |adc AS (SELECT q.qid, v.vec_id AS nid,
+        |    round(${(1 to 4).map(qd).mkString("\n        |        + ")},
+        |      4) AS adc
+        |  FROM e v
+        |${(1 to 4).map(j =>
+          s"  JOIN p${j}a2 a$j ON a$j.vec_id = v.vec_id\n" +
+          s"        |  JOIN p${j}c1 b$j ON b$j.cid = a$j.cid")
+          .mkString("\n        |")}
+        |  , qs q
+        |${(1 to 4).map(j =>
+          s"  JOIN e$j q$j ON q$j.vec_id = q.qid").mkString("\n        |")}
+        |  WHERE v.vec_id <> q.qid),
+        |pq AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc ASC, nid) AS rk FROM adc) WHERE rk <= 10),
+        |h AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM exact x JOIN pq p ON x.qid = p.qid AND x.nid = p.nid
+        |      GROUP BY x.qid)
+        |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
+        |FROM qs q LEFT JOIN h USING (qid) ORDER BY q.qid""".stripMargin
+    },
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

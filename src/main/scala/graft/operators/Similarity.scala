@@ -770,6 +770,74 @@ object Similarity {
           .as("recall"))
   }
 
+  /** EXACTLY-ORACLED flat-PQ (ADC) evaluation — per-anchor recall@`topK`
+    * of compressed-domain ADC ranking against the exact squared-L2
+    * top-`topK`: the quantization-loss report that decides (m, kCodes)
+    * before an IVF-PQ deployment. The codebooks are the deterministic
+    * [[pqBooks]] training; the per-anchor LUT uses the SAME left-fold
+    * dot-expansion `dot(q,q) − 2·dot(q,c) + dot(c,c)` the SQL twin
+    * replays, and the ADC sum is a row-local fixed-order fold over the m
+    * code columns — every row of the report is verified, the q167
+    * pattern applied to the PQ axis.
+    *
+    * Scale shape: anchors are a driver-collected constant-size sample
+    * (broadcast-state regime); ADC scoring is one map-only pass over the
+    * CODES table (the compressed corpus — the whole point of PQ); the
+    * exact arm is the unavoidable ground-truth scan, bounded by
+    * `nQueries`. */
+  def pqRecallEval(emb: DataFrame, m: Int, kCodes: Int, iters: Int,
+      nQueries: Int, topK: Int): DataFrame = {
+    require(nQueries >= 1 && topK >= 1, s"nQueries=$nQueries topK=$topK")
+    import emb.sparkSession.implicits._
+    val books = pqBooks(emb, m, kCodes, iters)
+    val codes = pqEncodeWith(emb, books)
+    val st = booksState(books)
+    val w = st.head.head._2.length
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qArr = base.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val adcCols = qArr.map { case (qid, qv) =>
+      val adc = (0 until m).map { j =>
+        val qj = qv.slice(j * w, (j + 1) * w)
+        val lut = st(j).map { case (cid, c) =>
+          cid -> (dotArr(qj, qj) - 2 * dotArr(qj, c) + dotArr(c, c))
+        }.sortBy(_._1)
+        element_at(map(lut.toSeq.flatMap { case (cid, d) =>
+          Seq(lit(cid), lit(d)) }: _*), col(s"c$j"))
+      }.reduce(_ + _) // fixed left-assoc order, replayed by the SQL sum
+      struct(lit(qid).as("qid"), round(adc, 4).as("adc"))
+    }
+    val adcScored = codes
+      .select(col("vec_id").as("nid"), explode(array(adcCols.toSeq: _*)).as("s"))
+      .select(col("s.qid").as("qid"), col("nid"), col("s.adc").as("adc"))
+      .filter(col("nid") =!= col("qid"))
+    val pqTop = adcScored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val qDf = qArr.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qv")
+    val ex = Par.fanOut(base).crossJoin(broadcast(qDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("qv"))
+          + dot(col("qv"), col("qv")), 4).as("d2"))
+    val exact = ex.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid"))))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val hits = exact.join(pqTop, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    qDf.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(topK.toDouble), 4)
+          .as("recall"))
+  }
+
   /** Exact squared-L2 top-k for one stored query vector — the brute-force
     * baseline the compressed-domain searchers ([[ivfPqTopK]]) are bounded
     * against. Row-local distance + TakeOrderedAndProject; one corpus scan. */

@@ -1373,4 +1373,15 @@ object NorthStar {
     Curation.balancedShards(Tables.documents(spark, d), 8)
       .orderBy($"shard")
   }
+
+  /** X3/X9 exactly-oracled flat-PQ evaluation ([[graft.operators
+    * .Similarity.pqRecallEval]]): recall@10 of compressed-domain ADC
+    * ranking (q146's trained 4×8 codebooks) vs exact squared-L2 for 8
+    * anchors — q167's genuinely-verified eval pattern applied to the
+    * quantization axis. */
+  def pqRecall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqRecallEval(Tables.embeddings(spark, d), 4, 8, 1, 8, 10)
+      .orderBy($"qid")
+  }
 }

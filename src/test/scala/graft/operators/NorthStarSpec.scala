@@ -884,6 +884,25 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((0, 2L, 11L, 1L), (1, 2L, 10L, 0L)))
   }
 
+  test("pqRecallEval counts quantization-lost true neighbors, " +
+      "hand-traced at m=2, k=2 codes") {
+    import spark.implicits._
+    // iters=0 books per subspace from v0/v1: {(1,0), (0,1)}. Query v0.
+    // ADC: v3 -> 0, v2 -> 2, v4 -> 2 (codes collapse its 0.1 to the
+    // (0,1) codeword) -> ADC top-2 = {3, 2}; exact d2 top-2 = {3, 4}
+    // (v4 is truly closer than v2 but quantization hides it) -> 1 of 2.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 1.0, 0.0), 0),
+      (1L, Seq(0.0, 1.0, 0.0, 1.0), 0),
+      (2L, Seq(1.0, 0.0, 0.0, 1.0), 0),
+      (3L, Seq(0.9, 0.0, 1.0, 0.0), 0),
+      (4L, Seq(0.0, 0.1, 1.0, 0.0), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqRecallEval(emb, 2, 2, 0, 1, 2)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((0L, 1L, 0.5)))
+  }
+
   test("hardNegatives ranks only wrong-label neighbors per anchor") {
     import spark.implicits._
     // anchor 0 (label 0): wrong-label candidates 1 (cos 0), 2 (cos
