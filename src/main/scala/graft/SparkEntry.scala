@@ -192,6 +192,8 @@ object SparkEntry {
     "q169_media_knn"     -> (NorthStar.mediaKnn _),
     "q170_balanced_shards" -> (NorthStar.balancedShards _),
     "q171_pq_recall"     -> (NorthStar.pqRecall _),
+    "q172_source_overlap" -> (NorthStar.sourceOverlap _),
+    "q173_dedup_evidence" -> (NorthStar.dedupEvidence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2193,6 +2195,63 @@ object SparkEntry {
         |       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
         |FROM qs q LEFT JOIN h USING (qid) ORDER BY q.qid""".stripMargin
     },
+    // q172: exact source-overlap matrix — distinct (source, 8-gram-md5)
+    // rows (q148's gram idiom), inverted self-join, full pair matrix
+    // with zeros; one rounded division per pair row.
+    "q172_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source AS src,
+        |        md5(array_to_string(toks[u.p : u.p + 7], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, len(toks) - 6)) u(p)
+        |      WHERE len(toks) >= 8),
+        |c AS (SELECT src, CAST(count(*) AS BIGINT) AS n_grams
+        |      FROM g GROUP BY src),
+        |s AS (SELECT a.src AS src_a, b.src AS src_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+        |      GROUP BY 1, 2),
+        |p AS (SELECT x.src AS src_a, y.src AS src_b,
+        |        x.n_grams AS n_a, y.n_grams AS n_b
+        |      FROM c x JOIN c y ON x.src < y.src)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |       coalesce(s.n_shared, 0) AS n_shared,
+        |       round(coalesce(s.n_shared, 0)
+        |         / CAST(p.n_a + p.n_b - coalesce(s.n_shared, 0) AS DOUBLE),
+        |         6) AS jacc
+        |FROM p LEFT JOIN s USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
+    // q173: dedup evidence — the q38 shingle machinery with the full
+    // signal row per J >= 0.5 pair; the filter compares the raw ratio
+    // (identical exactly-rounded double in both engines), rounding only
+    // in the output projection.
+    "q173_dedup_evidence" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(sa.n_sh AS INTEGER) AS n_a,
+        |       CAST(sb.n_sh AS INTEGER) AS n_b, n_shared,
+        |       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4)
+        |         AS jaccard,
+        |       round(n_shared / least(sa.n_sh, sb.n_sh), 4) AS containment,
+        |       round(least(sa.n_sh, sb.n_sh)
+        |         / CAST(greatest(sa.n_sh, sb.n_sh) AS DOUBLE), 4)
+        |         AS len_ratio
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -664,6 +664,87 @@ object Dedup {
       .limit(topK)
   }
 
+  /** EXACT cross-source content-overlap matrix — the ground-truth
+    * counterpart of the KMV-sketched resemblance matrix
+    * ([[Sketches.kmvOverlap]]): for every pair of crawl sources, the
+    * exact count of shared distinct word `n`-grams and the resulting
+    * set Jaccard. The sketch answers "which pairs overlap, cheaply";
+    * this answers "by exactly how much" for the audit that follows.
+    * Zero-overlap pairs are emitted too (the report is the full
+    * matrix, like the sketch's).
+    *
+    * Scale shape: one dedup to distinct (source, gram) rows, then an
+    * inverted self-join on the gram hash whose per-key fan-out is
+    * bounded by the SOURCE count (≤ |sources|² pairs per gram after
+    * the distinct), not by document frequency — the reason this stays
+    * exact where doc-level pairing needs prefix filters. The pair
+    * frame is |sources|²-sized: metadata, not data. */
+  def sourceOverlapExact(docs: DataFrame, n: Int,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val toks = split(col(textCol), " ")
+    val grams = Par.fanOut(docs)
+      .select(col(srcCol).as("src"),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - n + 1),
+            p => md5(array_join(slice(toks, p, lit(n)), " "))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+      .distinct()
+    val counts = grams.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.hint("SHUFFLE_HASH").as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    counts.select(col("src").as("src_a"), col("n_grams").as("n_a"))
+      .join(counts.select(col("src").as("src_b"), col("n_grams").as("n_b")),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
+          .as("jacc"))
+  }
+
+  /** Multi-signal near-dup EVIDENCE report — the triage table a dedup
+    * reviewer reads before trusting a threshold: for every candidate
+    * pair at J ≥ `threshold`, the shingle-set sizes, the exact shared
+    * count, Jaccard, CONTAINMENT (shared / smaller set — catches the
+    * quote-inside-a-larger-doc case Jaccard dilutes), and the size
+    * ratio (small/large — near-1 for true mirrors, small for subset
+    * relations). One inverted-index shuffle; the J filter compares the
+    * RAW ratio (both engines compute the identical exactly-rounded
+    * double from the same integers, so no rounding boundary exists). */
+  def dedupEvidence(docs: DataFrame, threshold: Double): DataFrame = {
+    val da = shingleArrays(docs).persist()
+    val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
+    val sizes = da.select(col("doc_id"), col("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.hint("SHUFFLE_HASH").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared") /
+      (col("n_a") + col("n_b") - col("n_shared"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(jac, 4).as("jaccard"),
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"),
+        round(least(col("n_a"), col("n_b")) /
+          greatest(col("n_a"), col("n_b")), 4).as("len_ratio"))
+    releaseAfter(da)(out)
+  }
+
   /** Quality-canonical representative per near-dup CLUSTER — the
     * curation-grade refinement of min-id canonicalization: build the
     * J ≥ `threshold` pair graph ([[jaccardPairs]]), close it

@@ -1384,4 +1384,24 @@ object NorthStar {
     Similarity.pqRecallEval(Tables.embeddings(spark, d), 4, 8, 1, 8, 10)
       .orderBy($"qid")
   }
+
+  /** X2/X8 exact cross-source overlap matrix ([[graft.operators.Dedup
+    * .sourceOverlapExact]]): shared distinct 8-grams and set Jaccard
+    * for every source pair — the exact audit behind q160's KMV
+    * estimates (same matrix shape, ground-truth numbers). */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.sourceOverlapExact(Tables.documents(spark, d), 8)
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** X2 multi-signal dedup evidence ([[graft.operators.Dedup
+    * .dedupEvidence]]): every J ≥ 0.5 candidate pair with sizes, shared
+    * count, Jaccard, containment and size ratio — the triage table that
+    * justifies (or indicts) a dedup threshold. */
+  def dedupEvidence(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.dedupEvidence(Tables.documents(spark, d), 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -903,6 +903,37 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((0L, 1L, 0.5)))
   }
 
+  test("sourceOverlapExact emits the full pair matrix with exact shared " +
+      "counts and zeros") {
+    import spark.implicits._
+    // bigrams: A {a b, b c}, B {a b, b x}, C {z z} (distinct-deduped).
+    // (A,B) share 'a b' -> J = 1/3; (A,C) and (B,C) share nothing.
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a b x", "B"), (3L, "z z z", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapExact(docs, 2)
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("A", "B", 2L, 2L, 1L, 0.333333),
+      ("A", "C", 2L, 1L, 0L, 0.0),
+      ("B", "C", 2L, 1L, 0L, 0.0)))
+  }
+
+  test("dedupEvidence reports sizes, shared count, jaccard, containment " +
+      "and size ratio per qualifying pair") {
+    import spark.implicits._
+    // d1 ⊂ d2 (3 of 4 shingles): J = 3/4, containment = 1 (full subset),
+    // len_ratio = 3/4; d3 shares nothing and must not appear.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f"), (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupEvidence(docs, 0.5)
+      .as[(Long, Long, Int, Int, Long, Double, Double, Double)]
+      .collect().toList
+    assert(got == List((1L, 2L, 3, 4, 3L, 0.75, 1.0, 0.75)))
+  }
+
   test("hardNegatives ranks only wrong-label neighbors per anchor") {
     import spark.implicits._
     // anchor 0 (label 0): wrong-label candidates 1 (cos 0), 2 (cos
