@@ -194,6 +194,8 @@ object SparkEntry {
     "q171_pq_recall"     -> (NorthStar.pqRecall _),
     "q172_source_overlap" -> (NorthStar.sourceOverlap _),
     "q173_dedup_evidence" -> (NorthStar.dedupEvidence _),
+    "q174_lexical_cosine" -> (NorthStar.lexicalCosine _),
+    "q175_curriculum"    -> (NorthStar.curriculum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2252,6 +2254,66 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q174: sparse lexical cosine — tf-idf micro-weights (round-4dp
+    // integers), per-doc top-10 terms (micro DESC, token), exact LONG
+    // micro-product dot sums; the only float op is the per-pair norm
+    // division (row-local, identical both engines).
+    "q174_lexical_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |terms AS (SELECT doc_id,
+        |        unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                for i in range(1, len(toks) - 1)]) AS token
+        |      FROM t WHERE len(toks) >= 3),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |        CAST(round(tf.tf * ln(n.n_docs / CAST(dfx.df AS DOUBLE))
+        |          * 10000.0) AS BIGINT) AS micro
+        |      FROM tf JOIN dfx USING (token), n),
+        |top AS (SELECT doc_id, token, micro FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY micro DESC, token) AS rk
+        |    FROM w WHERE micro > 0) WHERE rk <= 10),
+        |norms AS (SELECT doc_id, CAST(sum(micro * micro) AS BIGINT) AS n2
+        |          FROM top GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(sum(a.micro * b.micro) AS BIGINT) AS dot_micro
+        |         FROM top a JOIN top b ON a.token = b.token
+        |                              AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        dot_micro / (sqrt(na.n2) * sqrt(nb.n2)) AS cosr
+        |      FROM dots
+        |      JOIN norms na ON doc_a = na.doc_id
+        |      JOIN norms nb ON doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, round(cosr, 4) AS cos FROM j
+        |WHERE cosr >= 0.6
+        |ORDER BY round(cosr, 4) DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    // q175: curriculum buckets — 6-dp distinct-ratio micro score, global
+    // (score DESC, doc_id) rank, bucket = ((rn-1)*10)//tot; counts and
+    // min/max/sum are exact integers, the mean is one per-row division.
+    "q175_curriculum" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(round(len(list_distinct(toks))
+        |          / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS s
+        |      FROM t),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn,
+        |        count(*) OVER () AS tot
+        |      FROM s),
+        |b AS (SELECT CAST(((rn - 1) * 10) // tot AS INTEGER) AS bucket, s
+        |      FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(s) AS BIGINT) AS min_s,
+        |       CAST(max(s) AS BIGINT) AS max_s,
+        |       round(sum(s) / CAST(count(*) AS DOUBLE), 6) AS avg_s
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -382,6 +382,35 @@ object Curation {
         sum(when(col("keep"), col("id")).otherwise(0L)).as("kept_id_sum"))
   }
 
+  /** Curriculum difficulty BUCKETS — rank documents by a caller-supplied
+    * integer difficulty score (score DESC, id tiebreak — total order)
+    * and cut the ranked stream into `buckets` equal-population stages:
+    * the curriculum-learning prep that feeds easy→hard training phases.
+    * The bucket index is `((rank−1)·buckets) ÷ total` — pure integer
+    * arithmetic off the two-level global rank ([[withGlobalCumsum]]), so
+    * there is NO ntile and NO single-partition window anywhere; the
+    * audit row per bucket carries count, min/max score, and the mean
+    * (one per-row division of two exact integers).
+    *
+    * The score must already be integral (micro-scale floats before
+    * calling) — that is what makes every boundary engine-exact. */
+  def curriculumBuckets(docs: DataFrame, score: Column, buckets: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets")
+    val base = docs.select(col(idCol).as("doc_id"), score.cast("long").as("s"))
+    val r = withGlobalCumsum(base, Seq(col("s").desc, col("doc_id")), lit(1L))
+    // floor(double) is exact integer division here: operands < 2^53
+    r.withColumn("bucket",
+        floor((col("rn") - 1) * buckets / col("tot")).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("s")).as("min_s"), max(col("s")).as("max_s"),
+        sum(col("s")).as("sum_s"))
+      .withColumn("avg_s", round(col("sum_s") / col("n_docs"), 6))
+      .select(col("bucket"), col("n_docs"), col("min_s"), col("max_s"),
+        col("avg_s"))
+  }
+
   /** Deterministic size-balanced SHARD assignment — the distributed-
     * training prep step that splits a corpus into `nShards` worker files
     * of near-equal token mass: rank documents by (n_tok DESC, doc_id) —
@@ -396,7 +425,10 @@ object Curation {
     * Scale shape: the global rank comes from [[withGlobalCumsum]]'s
     * two-level plan (value = 1), so there is NO single-partition window
     * anywhere; the serpentine fold is row-local integer arithmetic and
-    * the final aggregate shuffles nShards rows. */
+    * the final aggregate shuffles nShards rows.
+    *
+    * (Sibling: [[curriculumBuckets]] cuts the same kind of global rank
+    * into difficulty stages instead of dealing it into shards.) */
   def balancedShards(docs: DataFrame, nShards: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards")

@@ -235,6 +235,85 @@ object TextAnalysis {
         coalesce(sum(col("n_sym")), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** SPARSE lexical cosine similarity — near-dup/related-document pairs
+    * by tf-idf vector cosine, the inverted-index sparse counterpart of
+    * the dense embedding [[Similarity.cosinePairs]]: weights are 4-dp
+    * integer micro-tfidf, each document keeps only its `topTerms` most
+    * distinctive terms (tfidf DESC, token tiebreak — the standard
+    * posting-list prune that also kills stopword-term join skew: a term
+    * survives only where it is distinctive, so its posting fan-out is
+    * small by construction), and the pair dot product is an exact LONG
+    * sum of micro-products — partition-order-proof, replayed bit-exactly
+    * by the oracle. The one per-pair float op (÷ by the norm product) is
+    * row-local.
+    *
+    * Scale shape: one shuffle for tf, one for the per-doc top-terms
+    * window (doc-partitioned), one posting-list self-join on the pruned
+    * terms + pair aggregation, then TakeOrderedAndProject. */
+  def lexicalCosinePairs(docs: DataFrame, topTerms: Int, minCos: Double,
+      topK: Int, ngram: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topTerms >= 1 && topK >= 1 && ngram >= 1,
+      s"topTerms=$topTerms topK=$topK ngram=$ngram")
+    import org.apache.spark.sql.expressions.Window
+    // Term = word `ngram` (default trigram). The n-gram basis is what
+    // keeps the posting-list join linear: on a small-vocabulary corpus
+    // UNIGRAM tf-idf degenerates (every word is frequent → every
+    // posting list is corpus-sized → the pair join goes quadratic —
+    // measured 86M candidate pair-postings on the fixture vs 214k for
+    // trigrams), while n-grams are near-unique, so a term's pruned
+    // posting list is dup-cluster-sized by construction.
+    val toks = split(col(textCol), " ")
+    val terms = Par.fanOut(docs).select(col(idCol).as("doc_id"),
+        explode(when(size(toks) >= ngram,
+          transform(sequence(lit(1), size(toks) - ngram + 1),
+            p => array_join(slice(toks, p, lit(ngram)), " ")))
+          .otherwise(array().cast("array<string>"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // no forced broadcast of dfx: the n-gram vocabulary is corpus-
+    // proportional (unlike the unigram vocab) — AQE broadcasts iff it
+    // is actually small at runtime
+    val w = tf.join(dfx, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("micro",
+        round(col("tf") * log(col("n_docs") / col("df")) * lit(1e4))
+          .cast("long"))
+      .filter(col("micro") > 0) // df == N terms carry zero signal
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("micro").desc, col("token"))
+    // persist: the pruned posting table feeds BOTH join sides and the
+    // norms — without it Spark recomputes the tf+df+window chain three
+    // times (no DataFrame-level CSE); measured 8.8 s -> ~2 s at sf0.1
+    val top = w.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= topTerms)
+      .select(col("doc_id"), col("token"), col("micro"))
+      .persist()
+    val norms = top.groupBy(col("doc_id"))
+      .agg(sum(col("micro") * col("micro")).as("n2"))
+    val dots = top.as("a")
+      .join(top.hint("SHUFFLE_HASH").as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.micro") * col("b.micro")).as("dot_micro"))
+    val cosRaw = col("dot_micro") / (sqrt(col("n2a")) * sqrt(col("n2b")))
+    val out = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
+        "doc_b")
+      .filter(cosRaw >= minCos) // raw compare — identical doubles both sides
+      .select(col("doc_a"), col("doc_b"), round(cosRaw, 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+      .localCheckpoint(true) // pin (topK rows), then drop the posting cache
+    top.unpersist(false)
+    out
+  }
+
   /** Tokenizer FERTILITY by language — BPE symbols emitted per word,
     * the standard tokenizer-equity metric (a tokenizer trained on a
     * language mix over-fragments the under-represented languages;

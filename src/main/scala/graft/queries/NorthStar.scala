@@ -1404,4 +1404,26 @@ object NorthStar {
     Dedup.dedupEvidence(Tables.documents(spark, d), 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** X2/X4 sparse lexical cosine pairs ([[graft.operators.TextAnalysis
+    * .lexicalCosinePairs]]): top-50 document pairs by tf-idf
+    * micro-vector cosine (top-10 distinctive terms per doc, exact
+    * integer dot products) — the inverted-index sparse twin of the
+    * dense q71. */
+  def lexicalCosine(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.lexicalCosinePairs(Tables.documents(spark, d), 10, 0.6, 50)
+
+  /** X12 curriculum difficulty buckets ([[graft.operators.Curation
+    * .curriculumBuckets]]): documents ranked by the 6-dp distinct-token
+    * ratio (lexical-diversity difficulty proxy, micro-integer) and cut
+    * into 10 equal-population stages off the two-level global rank —
+    * per-stage count/min/max/mean audit. */
+  def curriculum(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(col("text"), " ")
+    Curation.curriculumBuckets(Tables.documents(spark, d),
+      round(size(array_distinct(toks)).cast("double") / size(toks)
+        * lit(1e6)), 10)
+      .orderBy($"bucket")
+  }
 }

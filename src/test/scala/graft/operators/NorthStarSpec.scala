@@ -934,6 +934,42 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((1L, 2L, 3, 4, 3L, 0.75, 1.0, 0.75)))
   }
 
+  test("lexicalCosinePairs scores only shared distinctive terms with " +
+      "exact micro dot products") {
+    import spark.implicits._
+    // tfidf micros: shared 'x' (df 2) -> 2*ln(3/2)*1e4 = 8109; unique
+    // terms -> ln(3)*1e4 = 10986. Only (1,2) share a term: cos =
+    // 8109^2 / (sqrt(10986^2+8109^2))^2 ≈ 0.3527. d3 shares nothing.
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x x z"), (3L, "q r s")
+    ).toDF("doc_id", "text")
+    // ngram=1 keeps the hand-trace in word space
+    val got = TextAnalysis.lexicalCosinePairs(docs, 2, 0.3, 10, ngram = 1)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2)) == List((1L, 2L)))
+    assert(math.abs(got.head._3 - 0.3527) < 1e-4, got.head.toString)
+    // default trigram basis: clones share every trigram -> cos 1.0
+    val tri = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "z y x w")
+    ).toDF("doc_id", "text")
+    val gotTri = TextAnalysis.lexicalCosinePairs(tri, 2, 0.6, 10)
+      .as[(Long, Long, Double)].collect().toList
+    assert(gotTri == List((1L, 2L, 1.0)))
+  }
+
+  test("curriculumBuckets cuts the global score rank into equal-" +
+      "population stages with integer boundaries") {
+    import spark.implicits._
+    // scores 50..10 desc, 2 buckets over 5 rows: bucket = (rn-1)*2 // 5
+    // -> ranks 1-3 stage 0, ranks 4-5 stage 1.
+    val docs = Seq((1L, 50L), (2L, 40L), (3L, 30L), (4L, 20L), (5L, 10L))
+      .toDF("doc_id", "s")
+    val got = Curation.curriculumBuckets(docs, col("s"), 2)
+      .orderBy($"bucket")
+      .as[(Int, Long, Long, Long, Double)].collect().toList
+    assert(got == List((0, 3L, 30L, 50L, 40.0), (1, 2L, 10L, 20L, 15.0)))
+  }
+
   test("hardNegatives ranks only wrong-label neighbors per anchor") {
     import spark.implicits._
     // anchor 0 (label 0): wrong-label candidates 1 (cos 0), 2 (cos
