@@ -690,6 +690,10 @@ object Dedup {
             p => md5(array_join(slice(toks, p, lit(n)), " "))))
           .otherwise(array().cast("array<string>"))).as("h"))
       .distinct()
+      // persist: grams feeds the per-source counts AND both sides of
+      // the inverted self-join — without the pin the n-gram explode +
+      // distinct shuffle replays three times
+      .persist()
     val counts = grams.groupBy(col("src"))
       .agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("a")
@@ -697,15 +701,16 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    counts.select(col("src").as("src_a"), col("n_grams").as("n_a"))
-      .join(counts.select(col("src").as("src_b"), col("n_grams").as("n_b")),
-        col("src_a") < col("src_b"))
-      .join(shared, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)) /
-          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
-          .as("jacc"))
+    releaseAfter(grams)(
+      counts.select(col("src").as("src_a"), col("n_grams").as("n_a"))
+        .join(counts.select(col("src").as("src_b"), col("n_grams").as("n_b")),
+          col("src_a") < col("src_b"))
+        .join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) /
+            (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
+            .as("jacc")))
   }
 
   /** Multi-signal near-dup EVIDENCE report — the triage table a dedup

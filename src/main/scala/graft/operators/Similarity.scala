@@ -1015,7 +1015,13 @@ object Similarity {
     require(k >= 1, s"k=$k")
     val qz = quantizeInt8(emb)
       .select(col("vec_id"), asDouble(col("q_vec")).as("qv"))
-    val q = qz.filter(col("vec_id") === queryId).select(col("qv").as("qq"))
+    // the query side needs the same no-direction guard as the corpus:
+    // an all-zero query would make every cos8 0/0 = NaN, and Spark
+    // sorts NaN GREATEST — k arbitrary rows instead of the correct
+    // empty result (DuckDB's empty-q CTE shape)
+    val q = qz.filter(col("vec_id") === queryId)
+      .filter(dot(col("qv"), col("qv")) > 0.0)
+      .select(col("qv").as("qq"))
     Par.fanOut(qz.filter(col("vec_id") =!= queryId))
       .filter(dot(col("qv"), col("qv")) > 0.0)
       .crossJoin(broadcast(q))

@@ -197,11 +197,15 @@ object Sketches {
   def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k=$k")
+    // persist: base feeds the signature window, the group list, the
+    // exact sizes, and both legs of the exact intersection; sigs feeds
+    // both union legs and both semi-join probes — without the pins the
+    // corpus distinct shuffle replays once per consumer (~6x)
     val base = df.select(col(groupCol).as("g"), hash.cast("long").as("h"))
-      .distinct()
+      .distinct().persist()
     val wg = Window.partitionBy(col("g")).orderBy(col("h"))
     val sigs = base.withColumn("rk", row_number().over(wg))
-      .filter(col("rk") <= k).select(col("g"), col("h"))
+      .filter(col("rk") <= k).select(col("g"), col("h")).persist()
     val gs = base.select(col("g")).distinct()
     val pairs = gs.select(col("g").as("src_a"))
       .join(gs.select(col("g").as("src_b")), col("src_a") < col("src_b"))
@@ -229,7 +233,7 @@ object Sketches {
       .join(base.select(col("g").as("src_b"), col("h")), Seq("h"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_i"))
-    pairs
+    val out = pairs
       .join(nU, Seq("src_a", "src_b"), "left")
       .join(nBoth, Seq("src_a", "src_b"), "left")
       .join(sizes.select(col("g").as("src_a"), col("n").as("na")), "src_a")
@@ -241,5 +245,9 @@ object Sketches {
         round(coalesce(col("n_i"), lit(0L)) /
           (col("na") + col("nb") - coalesce(col("n_i"), lit(0L)))
             .cast("double"), 4).as("exact_j"))
+      .localCheckpoint(true) // pin (pair-matrix-sized), then drop caches
+    sigs.unpersist(false)
+    base.unpersist(false)
+    out
   }
 }

@@ -168,7 +168,12 @@ class StockScanBuilder(path: String) extends ScanBuilder
   // Spark's own Limit on top, which is required for exactness across
   // files. Payload parsing is the scan's whole cost, so the cap is the
   // saving — a LIMIT 5 over a 5000-day payload parses 5 entries.
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+  override def pushLimit(l: Int): Boolean = {
+    // never cap the parse under a pushed aggregation — the partial agg
+    // must see every day-row (the rule order can offer limit after agg)
+    if (agg.isEmpty) limit = Some(l)
+    false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, _) = filters.partition {
@@ -305,16 +310,23 @@ class StockFileReader(file: String, required: StructType,
       } else if (sym == null || !ts.isObject) Seq.empty
       else {
         val days = ts.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
-        days.map { case (date, ohlcv: JsonNode) =>
+        // Parse ONLY the date key first, sort, and cut to the pushed
+        // limit BEFORE the per-day OHLCV field parsing — that ordering
+        // is what makes the limit pushdown a real saving (a LIMIT 5
+        // over a 5000-day payload field-parses 5 entries; the date keys
+        // must all be read because the cap is on the EARLIEST days).
+        val keyed = days.map { case (date, ohlcv) =>
+          (java.time.LocalDate.parse(date).toEpochDay.toInt, ohlcv)
+        }.sortBy(_._1)
+        limit.fold(keyed)(keyed.take).map { case (epochDay, ohlcv: JsonNode) =>
           val open = ohlcv.path("1. open").asText().toDouble
           val high = ohlcv.path("2. high").asText().toDouble
           val low = ohlcv.path("3. low").asText().toDouble
           val close = ohlcv.path("4. close").asText().toDouble
           val volume = ohlcv.path("5. volume").asText().toLong
-          val epochDay = java.time.LocalDate.parse(date).toEpochDay.toInt
           (sym, epochDay, open, high, low, close, volume,
             (close - open) / open * 100.0)
-        }.sortBy(_._2)
+        }
       }
     } catch { case _: Exception => Seq.empty } // whole-payload reject
     agg match {

@@ -81,6 +81,9 @@ object GatedIngest {
           .partitionBy(col("text")).orderBy(col("doc_id"))))
       .filter(col("__rk") === 1).drop("__rk")
       .persist()
+    // set as each stage materializes; released in the finally
+    var textSurvivorsP: DataFrame = null
+    var assignedP: DataFrame = null
     try {
       val acceptedEmpty = ManifestTable.files(acceptedDir,
         ManifestTable.currentVersion(acceptedDir)).isEmpty
@@ -100,10 +103,25 @@ object GatedIngest {
               textThreshold)
           }
         }
+      // persist: textSurvivors feeds tsVecs (twice via the assign
+      // self-join), the touched-cell prune, and finalRows — without the
+      // pin each reference replays the gate-1 inverted-index probe
+      textSurvivorsP = textSurvivors.persist()
       // ---- gate 2: semantic dedup in frozen-codebook cells
       val centroids: Array[(Long, Array[Double])] = {
         val empty = ManifestTable.files(centroidDir,
           ManifestTable.currentVersion(centroidDir)).isEmpty
+        // A lost codebook with a NON-empty accepted corpus is fatal, not
+        // recoverable: retraining here would produce cids incomparable
+        // with the cid column stored on accepted rows, so gate 2 would
+        // silently admit near-duplicates (the text index has a safe
+        // inline-rebuild fallback; cell ids do not — the whole frozen-
+        // codebook contract rests on never re-deriving them).
+        require(!(empty && !acceptedEmpty),
+          s"centroid table $centroidDir is empty but accepted corpus " +
+            s"$acceptedDir is not — refusing to retrain a codebook whose " +
+            "cids would not match the accepted rows' stored cid column; " +
+            "restore the centroid table or rebuild accepted from scratch")
         if (empty) {
           // train-once on the first data-carrying batch, then frozen
           val trained = Similarity.kmeansCentroids(
@@ -120,10 +138,14 @@ object GatedIngest {
             .sortBy(_._1)
         }
       }
-      val tsVecs = textSurvivors.select(col("doc_id").as("vec_id"),
+      val tsVecs = textSurvivorsP.select(col("doc_id").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      // persist: assigned feeds semDedupIncoming (which references the
+      // incoming side twice) plus the touched-cell distinct
       val assigned = tsVecs
         .join(Similarity.assignWith(tsVecs, centroids), "vec_id")
+        .persist()
+      assignedP = assigned
       val vecSurvivors =
         if (acceptedEmpty)
           Similarity.semDedupIncoming(
@@ -140,7 +162,7 @@ object GatedIngest {
             assigned, "cid", cosThreshold)
         }
       // ---- single txn-marked commit, then index catch-up
-      val finalRows = textSurvivors
+      val finalRows = textSurvivorsP
         .join(vecSurvivors.select(col("vec_id").as("doc_id"), col("cid")),
           "doc_id")
         .select(col("doc_id"), col("text"),
@@ -149,6 +171,10 @@ object GatedIngest {
       ManifestTable.appendWithRetry(spark, acceptedDir, finalRows,
         txn = Some(s"$streamId-$batchId"))
       StreamingDedup.catchUpIndex(spark, acceptedDir, textIndexDir)
-    } finally inBatch.unpersist()
+    } finally {
+      if (assignedP != null) assignedP.unpersist(false)
+      if (textSurvivorsP != null) textSurvivorsP.unpersist(false)
+      inBatch.unpersist()
+    }
   }
 }

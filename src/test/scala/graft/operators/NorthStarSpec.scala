@@ -372,6 +372,9 @@ class NorthStarSpec extends SparkSpec {
     val got = Similarity.int8TopK(emb, 0L, 10)
       .as[(Long, Double)].collect().toList
     assert(got == List((1L, 1.0), (2L, 0.0)))
+    // an all-zero QUERY has no direction either: the result is empty,
+    // not k arbitrary NaN-scored rows (NaN sorts greatest in Spark)
+    assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
   test("kmvOverlap: union-of-signatures estimate and exact Jaccard, " +

@@ -136,4 +136,20 @@ class StockDataSourceV2Spec extends SparkSpec {
     val (s0, n0) = strAgg.as[(String, Long)].collect().head
     assert(s0 == "AAPL" && n0 > 0)
   }
+
+  test("pushLimit after a pushed aggregation is ignored — the partial " +
+      "agg must see every day-row") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val b = new graft.sources.v2.StockScanBuilder(fixtures)
+    assert(b.pushAggregation(new Aggregation(
+      Array(new CountStar()), Array.empty)))
+    b.pushLimit(3) // must NOT cap the reader under the aggregation
+    val scan = b.build()
+    assert(!scan.description().contains("limit="), scan.description())
+    // and the reverse order still refuses the aggregation (existing rule)
+    val b2 = new graft.sources.v2.StockScanBuilder(fixtures)
+    b2.pushLimit(3)
+    assert(!b2.pushAggregation(new Aggregation(
+      Array(new CountStar()), Array.empty)))
+  }
 }

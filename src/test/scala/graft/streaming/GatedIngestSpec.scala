@@ -157,4 +157,30 @@ class GatedIngestSpec extends SparkSpec {
     assert(after.count() == 9)
     assert(after.filter($"text".contains("2025-10-06")).count() == 1)
   }
+
+  test("a lost codebook with a non-empty accepted corpus fails fast " +
+      "instead of silently retraining incomparable cids") {
+    import spark.implicits._
+    val (accepted, txtIdx, centroids) = dirs()
+    val sink = GatedIngest.sink(accepted, txtIdx, centroids,
+      k = 2, textThreshold = 0.5, cosThreshold = 0.99, "speclost") _
+    sink(Seq(
+      (1L, "alpha bravo charlie delta echo", Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, "foxtrot golf hotel india juliet", Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("doc_id", "text", "embedding"), 0L)
+    assert(acceptedIds(accepted) == Set(1L, 2L))
+    // simulate losing the centroid table: point the sink at a FRESH
+    // (empty) centroid dir while accepted still has rows — gate 2's
+    // stored cids would be incomparable with a retrained codebook
+    val lostCentroids = Files.createTempDirectory("lostc").toString + "/c"
+    val sinkLost = GatedIngest.sink(accepted, txtIdx, lostCentroids,
+      k = 2, textThreshold = 0.5, cosThreshold = 0.99, "speclost2") _
+    val ex = intercept[IllegalArgumentException] {
+      sinkLost(Seq(
+        (3L, "kilo lima mike november oscar", Seq(0.0, 0.0, 1.0, 0.0)))
+        .toDF("doc_id", "text", "embedding"), 0L)
+    }
+    assert(ex.getMessage.contains("refusing to retrain"))
+    assert(acceptedIds(accepted) == Set(1L, 2L)) // nothing was admitted
+  }
 }
