@@ -196,6 +196,7 @@ object SparkEntry {
     "q173_dedup_evidence" -> (NorthStar.dedupEvidence _),
     "q174_lexical_cosine" -> (NorthStar.lexicalCosine _),
     "q175_curriculum"    -> (NorthStar.curriculum _),
+    "q176_kmv_merge"     -> (NorthStar.kmvIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2314,6 +2315,46 @@ object SparkEntry {
         |       CAST(max(s) AS BIGINT) AS max_s,
         |       round(sum(s) / CAST(count(*) AS DOUBLE), 6) AS avg_s
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q176: KMV mergeability — both construction paths (full-corpus and
+    // merge-of-halves) replayed from the same pure hash; the identity
+    // minK(A∪B) == minK(minK(A)∪minK(B)) must hold row for row.
+    "q176_kmv_merge" ->
+      """WITH b AS (SELECT DISTINCT doc_id, source AS g,
+        |             list_reduce(
+        |               [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |                for c in string_split(
+        |                  substr(md5(text), 1, 8), '')],
+        |               (a, b) -> a * 16 + b) AS h
+        |           FROM documents),
+        |fullb AS (SELECT DISTINCT g, h FROM b),
+        |sigf AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+        |      AS rk FROM fullb) WHERE rk <= 192),
+        |ha AS (SELECT DISTINCT g, h FROM b WHERE doc_id % 2 = 0),
+        |hb AS (SELECT DISTINCT g, h FROM b WHERE doc_id % 2 <> 0),
+        |siga AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+        |      AS rk FROM ha) WHERE rk <= 192),
+        |sigb AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+        |      AS rk FROM hb) WHERE rk <= 192),
+        |u AS (SELECT DISTINCT g, h FROM
+        |        (SELECT * FROM siga UNION ALL SELECT * FROM sigb)),
+        |sigm AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+        |      AS rk FROM u) WHERE rk <= 192),
+        |nf AS (SELECT g, CAST(count(*) AS BIGINT) AS n_full
+        |       FROM sigf GROUP BY g),
+        |nm AS (SELECT g, CAST(count(*) AS BIGINT) AS n_merged
+        |       FROM sigm GROUP BY g),
+        |nx AS (SELECT f.g, CAST(count(*) AS BIGINT) AS n_match
+        |       FROM sigf f JOIN sigm m ON f.g = m.g AND f.h = m.h
+        |       GROUP BY f.g)
+        |SELECT nf.g AS src, nf.n_full, nm.n_merged, nx.n_match,
+        |       CAST(nf.n_full = nm.n_merged
+        |            AND nm.n_merged = nx.n_match AS INTEGER) AS all_equal
+        |FROM nf JOIN nm USING (g) JOIN nx USING (g)
+        |ORDER BY src""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

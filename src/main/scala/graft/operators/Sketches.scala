@@ -194,6 +194,37 @@ object Sketches {
     * shape); everything pairwise runs on signatures (groups × k rows,
     * metadata-sized). The exact-Jaccard legs are the only
     * corpus-sized joins and exist for transparency, not for serving. */
+  /** Per-group KMV signature table (g, h): the k smallest DISTINCT
+    * content-hash values per group — the persistable artifact
+    * [[kmvOverlap]] derives its estimates from, exposed so signatures
+    * can be built per data slice and maintained incrementally. */
+  def kmvSignatures(df: DataFrame, groupCol: String, hash: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val base = df.select(col(groupCol).as("g"), hash.cast("long").as("h"))
+      .distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("h"))
+    base.withColumn("rk", row_number().over(wg))
+      .filter(col("rk") <= k).select(col("g"), col("h"))
+  }
+
+  /** Merge KMV signature tables — the INCREMENTAL maintenance step:
+    * `minK(A ∪ B) == minK(minK(A) ∪ minK(B))` exactly (taking k smallest
+    * commutes with union on the smallest-k prefix), so per-slice
+    * signatures built on yesterday's corpus and today's batch combine
+    * into the full-corpus signature WITHOUT re-touching either corpus —
+    * a signature-sized union + rank, no data-sized work. This identity
+    * is what makes KMV the sketch you can keep in a ManifestTable and
+    * append to forever. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val u = a.select(col("g"), col("h"))
+      .unionByName(b.select(col("g"), col("h"))).distinct()
+    val wg = Window.partitionBy(col("g")).orderBy(col("h"))
+    u.withColumn("rk", row_number().over(wg))
+      .filter(col("rk") <= k).select(col("g"), col("h"))
+  }
+
   def kmvOverlap(df: DataFrame, groupCol: String, hash: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k=$k")

@@ -1426,4 +1426,33 @@ object NorthStar {
         * lit(1e6)), 10)
       .orderBy($"bucket")
   }
+
+  /** X8 KMV signature MERGEABILITY ([[graft.operators.Sketches
+    * .kmvMerge]]): signatures built on the even/odd doc halves, merged
+    * signature-side only, against the full-corpus signature — the
+    * `minK(A∪B) == minK(minK(A)∪minK(B))` identity that makes the
+    * sketch incrementally maintainable, verified per source row by row
+    * (all_equal must be 1 everywhere, and the oracle replays both
+    * construction paths, so the identity is checked in BOTH engines). */
+  def kmvIncremental(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val hash = conv(substring(md5($"text"), 1, 8), 16, 10)
+    val full = graft.operators.Sketches
+      .kmvSignatures(docs, "source", hash, 192)
+    val merged = graft.operators.Sketches.kmvMerge(
+      graft.operators.Sketches.kmvSignatures(
+        docs.filter($"doc_id" % 2 === 0), "source", hash, 192),
+      graft.operators.Sketches.kmvSignatures(
+        docs.filter($"doc_id" % 2 =!= 0), "source", hash, 192), 192)
+    val nf = full.groupBy($"g").agg(count(lit(1)).as("n_full"))
+    val nm = merged.groupBy($"g").agg(count(lit(1)).as("n_merged"))
+    val nx = full.join(merged, Seq("g", "h"))
+      .groupBy($"g").agg(count(lit(1)).as("n_match"))
+    nf.join(nm, "g").join(nx, "g")
+      .select($"g".as("src"), $"n_full", $"n_merged", $"n_match",
+        ($"n_full" === $"n_merged" && $"n_merged" === $"n_match")
+          .cast("int").as("all_equal"))
+      .orderBy($"src")
+  }
 }

@@ -94,4 +94,23 @@ class SketchesSpec extends SparkSpec {
     val diff = counts.join(est, "token").filter($"cms_est" =!= $"exact_cnt")
     assert(diff.count() === 0)
   }
+
+  test("kmvMerge of slice signatures equals the full-corpus signature " +
+      "(minK union-closure), hand-traced at k=2") {
+    // group A hashes {1,2,3,4} split {1,3} / {2,4}: slice sigs {1,3} and
+    // {2,4}; merged min-2 of their union = {1,2} = full min-2. group B
+    // lives in one slice only and must pass through unchanged.
+    val a = Seq(("A", 1L), ("A", 3L), ("B", 9L)).toDF("g", "h")
+    val b = Seq(("A", 2L), ("A", 4L)).toDF("g", "h")
+    val fullDocs = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 9L)).toDF("g", "h")
+    val sigA = Sketches.kmvSignatures(a, "g", $"h", 2)
+    val sigB = Sketches.kmvSignatures(b, "g", $"h", 2)
+    val merged = Sketches.kmvMerge(sigA, sigB, 2)
+      .as[(String, Long)].collect().toSet
+    val full = Sketches.kmvSignatures(fullDocs, "g", $"h", 2)
+      .as[(String, Long)].collect().toSet
+    assert(merged == full)
+    assert(merged == Set(("A", 1L), ("A", 2L), ("B", 9L)))
+  }
 }
