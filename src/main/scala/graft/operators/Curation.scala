@@ -395,10 +395,13 @@ object Curation {
     * The score must already be integral (micro-scale floats before
     * calling) — that is what makes every boundary engine-exact. */
   def curriculumBuckets(docs: DataFrame, score: Column, buckets: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", lazyPlan: Boolean = false): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets")
     val base = docs.select(col(idCol).as("doc_id"), score.cast("long").as("s"))
-    val r = withGlobalCumsum(base, Seq(col("s").desc, col("doc_id")), lit(1L))
+    val order = Seq(col("s").desc, col("doc_id"))
+    val r =
+      if (lazyPlan) withGlobalCumsumLazy(base, order, lit(1L))
+      else withGlobalCumsum(base, order, lit(1L))
     // floor(double) is exact integer division here: operands < 2^53
     r.withColumn("bucket",
         floor((col("rn") - 1) * buckets / col("tot")).cast("int"))

@@ -681,19 +681,33 @@ object Dedup {
     * frame is |sources|²-sized: metadata, not data. */
   def sourceOverlapExact(docs: DataFrame, n: Int,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    // persist: grams feeds the per-source counts AND both sides of
+    // the inverted self-join — without the pin the n-gram explode +
+    // distinct shuffle replays three times
+    val grams = sourceGrams(docs, n, srcCol, textCol).persist()
+    releaseAfter(grams)(sourceOverlapPlan(grams))
+  }
+
+  /** LAZY plan-only variant (no caching) for plan inspection; the
+    * executable form is [[sourceOverlapExact]]. */
+  def sourceOverlapExactLazy(docs: DataFrame, n: Int,
+      srcCol: String = "source", textCol: String = "text"): DataFrame =
+    sourceOverlapPlan(sourceGrams(docs, n, srcCol, textCol))
+
+  private def sourceGrams(docs: DataFrame, n: Int, srcCol: String,
+      textCol: String): DataFrame = {
     require(n >= 1, s"n=$n")
     val toks = split(col(textCol), " ")
-    val grams = Par.fanOut(docs)
+    Par.fanOut(docs)
       .select(col(srcCol).as("src"),
         explode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - n + 1),
             p => md5(array_join(slice(toks, p, lit(n)), " "))))
           .otherwise(array().cast("array<string>"))).as("h"))
       .distinct()
-      // persist: grams feeds the per-source counts AND both sides of
-      // the inverted self-join — without the pin the n-gram explode +
-      // distinct shuffle replays three times
-      .persist()
+  }
+
+  private def sourceOverlapPlan(grams: DataFrame): DataFrame = {
     val counts = grams.groupBy(col("src"))
       .agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("a")
@@ -701,16 +715,15 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    releaseAfter(grams)(
-      counts.select(col("src").as("src_a"), col("n_grams").as("n_a"))
-        .join(counts.select(col("src").as("src_b"), col("n_grams").as("n_b")),
-          col("src_a") < col("src_b"))
-        .join(shared, Seq("src_a", "src_b"), "left")
-        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          round(coalesce(col("n_shared"), lit(0L)) /
-            (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
-            .as("jacc")))
+    counts.select(col("src").as("src_a"), col("n_grams").as("n_a"))
+      .join(counts.select(col("src").as("src_b"), col("n_grams").as("n_b")),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
+          .as("jacc"))
   }
 
   /** Multi-signal near-dup EVIDENCE report — the triage table a dedup
@@ -724,6 +737,16 @@ object Dedup {
     * double from the same integers, so no rounding boundary exists). */
   def dedupEvidence(docs: DataFrame, threshold: Double): DataFrame = {
     val da = shingleArrays(docs).persist()
+    releaseAfter(da)(dedupEvidencePlan(da, threshold))
+  }
+
+  /** LAZY plan-only variant (no caching) for plan inspection; the
+    * executable form is [[dedupEvidence]]. */
+  def dedupEvidenceLazy(docs: DataFrame, threshold: Double): DataFrame =
+    dedupEvidencePlan(shingleArrays(docs), threshold)
+
+  private def dedupEvidencePlan(da: DataFrame,
+      threshold: Double): DataFrame = {
     val sh = da.select(col("doc_id"), explode(col("arr")).as("shingle"))
     val sizes = da.select(col("doc_id"), col("n_sh"))
     val inter = sh.as("a")
@@ -734,7 +757,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
     val jac = col("n_shared") /
       (col("n_a") + col("n_b") - col("n_shared"))
-    val out = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
@@ -747,7 +770,6 @@ object Dedup {
           .as("containment"),
         round(least(col("n_a"), col("n_b")) /
           greatest(col("n_a"), col("n_b")), 4).as("len_ratio"))
-    releaseAfter(da)(out)
   }
 
   /** Quality-canonical representative per near-dup CLUSTER — the
