@@ -197,6 +197,7 @@ object SparkEntry {
     "q174_lexical_cosine" -> (NorthStar.lexicalCosine _),
     "q175_curriculum"    -> (NorthStar.curriculum _),
     "q176_kmv_merge"     -> (NorthStar.kmvIncremental _),
+    "q177_binary_topk"   -> (NorthStar.binaryTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2355,6 +2356,27 @@ object SparkEntry {
         |            AND nm.n_merged = nx.n_match AS INTEGER) AS all_equal
         |FROM nf JOIN nm USING (g) JOIN nx USING (g)
         |ORDER BY src""".stripMargin,
+    // q177: binary (sign-bit) quantized serving — Hamming = count of
+    // sign mismatches (Spark packs to one long and popcounts the xor;
+    // the oracle counts mismatched sign comparisons, same integer), the
+    // prescreen boundary is (hd, vec_id)-deterministic, and the rerank
+    // cosine is per-row arithmetic rounded at 4 — full-result replay.
+    "q177_binary_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |ham AS (SELECT e.vec_id, e.v, q.qv,
+        |          CAST(len([i for i in range(1, len(e.v) + 1)
+        |                    if (e.v[CAST(i AS INTEGER)] > 0)
+        |                       <> (q.qv[CAST(i AS INTEGER)] > 0)])
+        |            AS INTEGER) AS hd
+        |        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+        |pre AS (SELECT * FROM ham ORDER BY hd, vec_id LIMIT 32)
+        |SELECT vec_id, hd,
+        |       round(list_dot_product(v, qv) /
+        |             (sqrt(list_dot_product(v, v)) *
+        |              sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS cos
+        |FROM pre ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -1455,4 +1455,13 @@ object NorthStar {
           .cast("int").as("all_equal"))
       .orderBy($"src")
   }
+
+  /** X3/X9 1-bit binary-quantized serving ([[graft.operators.Similarity
+    * .binaryTopK]]): Hamming prescreen on sign-bit codes (one 64-bit
+    * word per vector) → exact cosine rerank of the 32 nearest code
+    * words → top-10 for query vec 0. Integer Hamming + per-row rounded
+    * cosine with deterministic tie-breaks at BOTH stage boundaries, so
+    * the oracle replays the full result, prescreen cut included. */
+  def binaryTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.binaryTopK(Tables.embeddings(spark, d), 0L, 10, 32)
 }

@@ -377,6 +377,31 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("binaryTopK: sign-bit packing, Hamming prescreen boundary, exact " +
+      "rerank — hand-traced at dim 4") {
+    import spark.implicits._
+    // signs (+,-,+,-) pack little-endian: q0 -> 1+4 = 5.
+    // v1 [2,-2,2,-2] bits 5, hd 0, cos 1.0
+    // v2 [1, 1,1,-1] bits 7, hd 1, cos (1-1+1+1)/(2*2) = 0.5
+    // v3 [2,-2,2,.5] bits 13, hd 1, cos 5.5/(2*3.5) = 0.7857
+    val emb = Seq(
+      (0L, Seq(1.0, -1.0, 1.0, -1.0), 1), (1L, Seq(2.0, -2.0, 2.0, -2.0), 1),
+      (2L, Seq(1.0, 1.0, 1.0, -1.0), 1), (3L, Seq(2.0, -2.0, 2.0, 0.5), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val bits = Similarity.binaryQuantize(emb, 4)
+      .select($"vec_id", $"bits").as[(Long, Long)].collect().toMap
+    assert(bits == Map(0L -> 5L, 1L -> 5L, 2L -> 7L, 3L -> 13L))
+    // rerank=2 keeps v1 (hd 0) and, at hd 1, the LOWER vec_id (v2) —
+    // v3 is cut by the prescreen even though its exact cosine is higher
+    val cut = Similarity.binaryTopK(emb, 0L, 10, rerank = 2, dim = 4)
+      .as[(Long, Int, Double)].collect().toList
+    assert(cut == List((1L, 0, 1.0), (2L, 1, 0.5)))
+    // rerank=3 admits v3 and the exact pass ranks it above v2
+    val full = Similarity.binaryTopK(emb, 0L, 10, rerank = 3, dim = 4)
+      .as[(Long, Int, Double)].collect().toList
+    assert(full == List((1L, 0, 1.0), (3L, 1, 0.7857), (2L, 1, 0.5)))
+  }
+
   test("kmvOverlap: union-of-signatures estimate and exact Jaccard, " +
       "hand-traced at k=2") {
     import spark.implicits._
