@@ -198,6 +198,7 @@ object SparkEntry {
     "q175_curriculum"    -> (NorthStar.curriculum _),
     "q176_kmv_merge"     -> (NorthStar.kmvIncremental _),
     "q177_binary_topk"   -> (NorthStar.binaryTopK _),
+    "q178_scd2"          -> (NorthStar.scd2Versions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2377,6 +2378,23 @@ object SparkEntry {
         |             (sqrt(list_dot_product(v, v)) *
         |              sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS cos
         |FROM pre ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // q178: SCD2 — lag change-detect, lead interval-close, identical
+    // (ts, event_id) total order in both engines; pure window algebra.
+    "q178_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, ts,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id)
+        |               AS prev_state
+        |           FROM events),
+        |r AS (SELECT user_id, event_id, event_type, ts FROM o
+        |      WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |       lead(ts) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CASE WHEN lead(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_current
+        |FROM r ORDER BY user_id, valid_from, event_id""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lag, lead, when}
 
 /** A7 idempotent upsert-ignore (SURVEY.md §2.4): the reference's
   * `INSERT IGNORE` + `UNIQUE(symbol, date)` sink contract (etl.py:127,
@@ -23,5 +24,36 @@ object Upsert {
       .dropDuplicates(keys)
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
     existing.unionByName(fresh)
+  }
+
+  /** Slowly-changing-dimension Type 2 build (Kimball's dimensional
+    * modeling, public since the 1996 Data Warehouse Toolkit): an
+    * append-only change/event log becomes per-key VERSION intervals —
+    * consecutive rows with an unchanged `state` collapse into one
+    * version (CDC compaction), each surviving version carries
+    * `valid_from` = its first observation, `valid_to` = the next
+    * version's start (NULL while current), `is_current` = 1 on the open
+    * interval. The reference's restated daily payloads (etl.py re-reads
+    * `{symbol}_{date}.json` and re-inserts) are exactly this shape: a
+    * keyed history where only CHANGES should version.
+    *
+    * Scale: ONE hash shuffle on `key`, then both window passes (the
+    * lag change-detect and the lead interval-close) reuse the same
+    * partitioning and sort — the filter between them preserves
+    * distribution and order, so the plan carries a single Exchange and
+    * per-key-sized state. No global window, no driver loop; at 10^12
+    * change rows the cost is the one shuffle, which any SCD2 build
+    * pays. Ordering inside a key is (ts, tie) with `tie` a unique
+    * column, so versioning is total-order deterministic. */
+  def scd2(changes: DataFrame, key: String, state: String,
+      ts: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    changes
+      .withColumn("prev_state", lag(col(state), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col(state))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(tie), col(state).as("state"),
+        col(ts).as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 }

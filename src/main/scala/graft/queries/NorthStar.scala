@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, Upsert}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -1464,4 +1464,17 @@ object NorthStar {
     * the oracle replays the full result, prescreen cut included. */
   def binaryTopK(spark: SparkSession, d: String): DataFrame =
     Similarity.binaryTopK(Tables.embeddings(spark, d), 0L, 10, 32)
+
+  /** S4/A7-adjacent warehouse op: SCD Type-2 version intervals from the
+    * events change log ([[graft.operators.Upsert.scd2]]) — per user, the
+    * event_type history compacts to change-only versions with
+    * valid_from/valid_to/is_current. One shuffle on user_id; both window
+    * passes share it. (ts, event_id) total order makes every interval
+    * engine-exact. */
+  def scd2Versions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Upsert.scd2(Tables.events(spark, d), "user_id", "event_type",
+      "ts", "event_id")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
 }

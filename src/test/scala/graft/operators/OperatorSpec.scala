@@ -97,6 +97,32 @@ class OperatorSpec extends SparkSpec {
     assert(twice.count() == 2)
   }
 
+  test("Upsert.scd2 compacts unchanged runs, closes intervals, orders " +
+      "same-ts changes by the tie column") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "x", ts("2024-01-01 11:00:00")), // unchanged → collapsed
+      (3L, 10L, "y", ts("2024-01-01 12:00:00")), // change → new version
+      (4L, 20L, "z", ts("2024-01-01 10:00:00")),
+      (5L, 30L, "a", ts("2024-01-01 09:00:00")),
+      (6L, 30L, "b", ts("2024-01-01 09:00:00")) // same ts: event_id orders
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val got = Upsert.scd2(log, "user_id", "event_type", "t", "event_id")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).toString,
+        Option(r.getTimestamp(4)).map(_.toString), r.getInt(5))).toList
+    assert(got == List(
+      (10L, 1L, "x", "2024-01-01 10:00:00.0",
+        Some("2024-01-01 12:00:00.0"), 0),
+      (10L, 3L, "y", "2024-01-01 12:00:00.0", None, 1),
+      (20L, 4L, "z", "2024-01-01 10:00:00.0", None, 1),
+      (30L, 5L, "a", "2024-01-01 09:00:00.0",
+        Some("2024-01-01 09:00:00.0"), 0),
+      (30L, 6L, "b", "2024-01-01 09:00:00.0", None, 1)))
+  }
+
   test("Sessionize splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val ev = Seq(
