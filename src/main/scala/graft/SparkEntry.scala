@@ -199,6 +199,7 @@ object SparkEntry {
     "q176_kmv_merge"     -> (NorthStar.kmvIncremental _),
     "q177_binary_topk"   -> (NorthStar.binaryTopK _),
     "q178_scd2"          -> (NorthStar.scd2Versions _),
+    "q179_group_trend"   -> (NorthStar.userTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2395,6 +2396,30 @@ object SparkEntry {
         |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS is_current
         |FROM r ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // q179: per-key OLS from integer sufficient statistics — epoch-day
+    // x, micro-unit y, all five sums 64-bit exact; slope/mean are
+    // per-group arithmetic on those integers (left-to-right division
+    // order mirrored), so both engines emit identical doubles.
+    "q179_group_trend" ->
+      """WITH b AS (SELECT user_id,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+        |             CAST(round(value * 1e6) AS BIGINT) AS y
+        |           FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM b GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |       round(CAST(sy AS DOUBLE) / n_obs / 1e6, 6) + 0.0
+        |         AS mean_value,
+        |       CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) = 0
+        |            THEN NULL
+        |            ELSE round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+        |                       / CAST(n_obs * sxx - sx * sx AS DOUBLE)
+        |                       / 1e6, 6) + 0.0
+        |       END AS slope_per_day
+        |FROM a ORDER BY user_id""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -73,4 +73,44 @@ object Learn {
       s"weight count ${w.length} != 1 + ${xCols.size} features")
     feats.withColumn("p", sigmoid(zOf(w, xCols)))
   }
+
+  /** Per-key ordinary-least-squares trend — closed-form simple linear
+    * regression from SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²), the
+    * map-reduce regression textbook shape: one hash aggregate computes
+    * all five sums with map-side partials, then slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) is per-GROUP arithmetic. Contrast with
+    * [[trainLogistic]]'s scan-per-iteration: OLS needs exactly ONE scan
+    * and ONE shuffle (key-sized), at any corpus size — this is the
+    * monitoring query ("which users/symbols trend up?") a pipeline runs
+    * per day over everything.
+    *
+    * Determinism: x = epoch DAY (exact integer in both engines under
+    * UTC), y = round(value·10⁶) micro-units — all five sums are 64-bit
+    * integer totals, partition-order-proof, so the DuckDB oracle replays
+    * slope and mean bit-exactly from the same integers. Overflow
+    * headroom: |Σxy| ≤ n·max|x|·max|y| and the slope numerator ≤
+    * n·|Σxy| must stay < 2⁶³ — with day-scale x (~2·10⁴) and micro
+    * y ≤ 10⁹ that holds to n ≈ 2·10⁴ rows PER KEY beyond which y
+    * should drop to milli-units. A key whose observations all land on
+    * one day has zero variance in x → slope NULL, not a division blowup. */
+  def groupTrend(df: DataFrame, key: String, ts: String, value: String)
+      : DataFrame = {
+    val x = floor(unix_timestamp(col(ts)) / 86400).cast("long")
+    val y = round(col(value) * lit(1e6), 0).cast("long")
+    val agg = df.select(col(key), x.as("x"), y.as("y"))
+      .groupBy(col(key)).agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = (col("n_obs") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n_obs") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    agg.select(col(key), col("n_obs"),
+      (round(col("sy").cast("double") / col("n_obs") / 1e6, 6) + lit(0.0))
+        .as("mean_value"),
+      when(den =!= 0.0, round(num / den / 1e6, 6) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("slope_per_day"))
+  }
 }

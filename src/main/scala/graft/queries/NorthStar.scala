@@ -1477,4 +1477,14 @@ object NorthStar {
       "ts", "event_id")
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
+
+  /** X4/G-family per-key OLS trend ([[graft.operators.Learn
+    * .groupTrend]]): per-user slope of event value over epoch days via
+    * integer sufficient statistics — one scan, one key-sized shuffle,
+    * engine-exact 64-bit sums. */
+  def userTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Learn.groupTrend(Tables.events(spark, d), "user_id", "ts", "value")
+      .orderBy($"user_id")
+  }
 }

@@ -377,6 +377,31 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("groupTrend: hand-traced OLS slopes; zero x-variance gives NULL " +
+      "slope, not a blowup") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    // user 10: y = 1,2,3 on consecutive days → slope 1.0, mean 2.0
+    // user 20: two rows SAME day → den 0 → slope NULL, mean 1.5
+    // user 30: 5.0 then 2.0 one day later → slope −3.0, mean 3.5
+    val ev = Seq(
+      (10L, t("2024-01-01 00:00:00"), 1.0),
+      (10L, t("2024-01-02 06:00:00"), 2.0),
+      (10L, t("2024-01-03 23:00:00"), 3.0),
+      (20L, t("2024-01-05 01:00:00"), 1.0),
+      (20L, t("2024-01-05 02:00:00"), 2.0),
+      (30L, t("2024-01-07 00:00:00"), 5.0),
+      (30L, t("2024-01-08 00:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Learn.groupTrend(ev, "user_id", "ts", "value")
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+    assert(got == List(
+      (10L, 3L, 2.0, Some(1.0)),
+      (20L, 2L, 1.5, None),
+      (30L, 2L, 3.5, Some(-3.0))))
+  }
+
   test("binaryTopK: sign-bit packing, Hamming prescreen boundary, exact " +
       "rerank — hand-traced at dim 4") {
     import spark.implicits._
