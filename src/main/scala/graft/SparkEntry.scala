@@ -200,6 +200,7 @@ object SparkEntry {
     "q177_binary_topk"   -> (NorthStar.binaryTopK _),
     "q178_scd2"          -> (NorthStar.scd2Versions _),
     "q179_group_trend"   -> (NorthStar.userTrend _),
+    "q180_exact_quantiles" -> (NorthStar.priceQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2420,6 +2421,18 @@ object SparkEntry {
         |                       / 1e6, 6) + 0.0
         |       END AS slope_per_day
         |FROM a ORDER BY user_id""".stripMargin,
+    // q180: exact k-th smallest replayed by ordering — Spark finds the
+    // same k = ceil(q*n) value by histogram refinement, never sorting.
+    "q180_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             AS v FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT q.q, n.n, CAST(ceil(q.q * n.n) AS BIGINT) AS k,
+        |       (SELECT r.v FROM r
+        |        WHERE r.rk = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
+        |FROM q, n ORDER BY q.q""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

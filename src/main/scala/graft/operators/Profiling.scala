@@ -53,4 +53,72 @@ object Profiling {
     }: _*)
     one.select(explode(rows).as("r")).select("r.*")
   }
+
+  /** EXACT quantiles of an integer column by iterative histogram
+    * refinement — the distributed alternative to a global sort (the
+    * Munro-Paterson / BigQuery-style multi-round selection; also how
+    * `approx_percentile` would be made exact). Round 1 histograms the
+    * full value range into ≤ `fanout` buckets (ONE filtered aggregate,
+    * map-side partials — the per-partition histograms merge for free in
+    * the shuffle, which is the "mergeable sketch" property); the driver
+    * walks the ≤ fanout·|qs| bucket counts to find each quantile's
+    * bucket and residual rank; each next round re-histograms only the
+    * chosen buckets (corpus scan pruned by a pushed-down v-range
+    * predicate — parquet min/max stats skip everything else) with
+    * width ÷ fanout. Integer values terminate at width 1 with the exact
+    * k-th smallest, in ⌈log_fanout(range)⌉ rounds (3 rounds for a 10⁷
+    * range at fanout 256) — no partition ever holds more than its share
+    * of one bucket, no global sort, no giant window. Driver state is
+    * ≤ fanout·|qs| longs per round — the k-means broadcast-state
+    * regime, not a data collect.
+    *
+    * k = ⌈q·n⌉ (the 1-based lower quantile index); both engines compute
+    * the same IEEE double product, so the boundary is engine-exact. */
+  def exactQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
+      qs: Seq[Double], fanout: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
+    require(fanout >= 2, s"fanout=$fanout")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("long").as("v"))
+    val st = vals.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
+    val n = st.getLong(0)
+    require(n > 0, "exactQuantiles on empty input")
+    // per-quantile search state: residual rank k within [lo, hi]
+    var state = qs.sorted.map { q =>
+      (q, math.ceil(q * n).toLong, st.getLong(1), st.getLong(2))
+    }
+    while (state.exists { case (_, _, lo, hi) => lo < hi }) {
+      val open = state.zipWithIndex.collect {
+        case ((_, k, lo, hi), i) if lo < hi =>
+          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), ≥ 1
+          (i, k, lo, hi, width)
+      }
+      val spec = broadcast(open.toDF("qid", "k", "lo", "hi", "width"))
+      val hists = vals.crossJoin(spec)
+        .filter($"v" >= $"lo" && $"v" <= $"hi")
+        .groupBy($"qid", expr("(v - lo) div width").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val next = state.toArray
+      open.foreach { case (i, k, lo, _, width) =>
+        var rem = k
+        for ((_, b, c) <- hists(i).sortBy(_._2)) {
+          if (rem > 0) {
+            if (c >= rem) {
+              val lo2 = lo + b * width
+              next(i) = (state(i)._1, rem, lo2,
+                math.min(state(i)._4, lo2 + width - 1))
+              rem = 0
+            } else rem -= c
+          }
+        }
+      }
+      state = next.toSeq
+    }
+    state.map { case (q, _, lo, _) =>
+      (q, n, math.ceil(q * n).toLong, lo)
+    }.toDF("q", "n", "k", "value")
+  }
 }

@@ -1487,4 +1487,16 @@ object NorthStar {
     Learn.groupTrend(Tables.events(spark, d), "user_id", "ts", "value")
       .orderBy($"user_id")
   }
+
+  /** G6/X14 EXACT distributed quantiles ([[graft.operators.Profiling
+    * .exactQuantiles]]): p50/p90/p99 of the integer-cents extended
+    * price by iterative histogram refinement — ⌈log₂₅₆(range)⌉ filtered
+    * aggregates instead of a global sort; the oracle replays the k-th
+    * smallest by ordering. */
+  def priceQuantiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.exactQuantiles(Tables.lineitem(spark, d),
+      round($"l_extendedprice" * 100, 0), Seq(0.5, 0.9, 0.99))
+      .orderBy($"q")
+  }
 }

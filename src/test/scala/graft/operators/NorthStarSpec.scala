@@ -377,6 +377,20 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("exactQuantiles finds the exact kth smallest through duplicates, " +
+      "negatives, and many refinement rounds (fanout 2)") {
+    import spark.implicits._
+    val vals = Seq(-5L, 1L, 9L, 1L, 7L, 3L, 3L, 3L, 100L, 42L).toDF("x")
+    // sorted: -5,1,1,3,3,3,7,9,42,100 ; k = ceil(q*10)
+    val got = Profiling
+      .exactQuantiles(vals, col("x"), Seq(0.5, 0.1, 1.0), fanout = 2)
+      .orderBy($"q").as[(Double, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0.1, 10L, 1L, -5L),
+      (0.5, 10L, 5L, 3L),
+      (1.0, 10L, 10L, 100L)))
+  }
+
   test("groupTrend: hand-traced OLS slopes; zero x-variance gives NULL " +
       "slope, not a blowup") {
     import spark.implicits._
