@@ -201,6 +201,7 @@ object SparkEntry {
     "q178_scd2"          -> (NorthStar.scd2Versions _),
     "q179_group_trend"   -> (NorthStar.userTrend _),
     "q180_exact_quantiles" -> (NorthStar.priceQuantiles _),
+    "q181_prototype_prune" -> (NorthStar.prototypes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2433,6 +2434,26 @@ object SparkEntry {
         |       (SELECT r.v FROM r
         |        WHERE r.rk = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
         |FROM q, n ORDER BY q.q""".stripMargin,
+    // q181: prototype pruning — q136's trained chain (same init/round/
+    // tie contract), distance to the ASSIGNED c2 centroid recomputed
+    // with the identical fold, rounded at 6, ranked (d2 DESC, vec_id),
+    // kept iff rk <= ceil(n_cell * 0.5). Full replay.
+    "q181_prototype_prune" ->
+      s"""$kmeansChainSql,
+        |dd AS (SELECT a3.vec_id, a3.cid,
+        |         round(list_dot_product(e.v, e.v)
+        |               - 2 * list_dot_product(e.v, c2.c)
+        |               + list_dot_product(c2.c, c2.c), 6) + 0.0 AS d2
+        |       FROM a3 JOIN e USING (vec_id) JOIN c2 USING (cid)),
+        |rr AS (SELECT vec_id, cid, d2,
+        |         row_number() OVER
+        |           (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rk,
+        |         count(*) OVER (PARTITION BY cid) AS n_cell
+        |       FROM dd)
+        |SELECT vec_id, cid, d2,
+        |       CASE WHEN rk <= ceil(n_cell * 0.5) THEN 1 ELSE 0 END
+        |         AS kept
+        |FROM rr ORDER BY vec_id""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -1055,6 +1055,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** X2/X3 prototypicality pruning (Sorscher et al., "Beyond neural
+    * scaling laws: beating power law scaling via data pruning", NeurIPS
+    * 2022): train the deterministic Lloyd quantizer
+    * ([[kmeansCentroids]] — same init/rounding/tie contract as q136),
+    * score every vector by its squared-L2 distance to its OWN cell
+    * prototype, and keep only the HARDEST `keepFrac` of each cell (the
+    * far-from-prototype examples; the near-duplicates of the prototype
+    * are the redundant mass worth dropping when the corpus outgrows the
+    * training budget). Scale shape: training is the k-means broadcast-
+    * state loop; scoring is map-only against broadcast centroids; the
+    * per-cell ranking shuffles once on cid with cell-sized windows —
+    * the same partitioning the SemDeDup family already rides. The
+    * per-row distance is the identical fold both engines compute, so
+    * the rounded score, the (d2 DESC, vec_id) rank, and the
+    * ⌈n_cell·keepFrac⌉ boundary all replay exactly. */
+  def prototypePrune(emb: DataFrame, k: Int, iters: Int,
+      keepFrac: Double): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac=$keepFrac")
+    val cents = kmeansCentroids(emb, k, iters)
+    val assigned = Par.fanOut(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .withColumn("a", argminStruct(col("v"), cents))
+      .select(col("vec_id"), col("a").getField("cid").as("cid"),
+        (round(col("a").getField("d"), 6) + lit(0.0)).as("d2"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("vec_id"), col("cid"), col("d2"),
+        when(col("rk") <= ceil(col("n_cell") * keepFrac), 1)
+          .otherwise(0).as("kept"))
+  }
+
   /** 1-bit (sign) binary quantization: bit i of `bits` is set iff
     * embedding[i] > 0, packed into a single 64-bit word (dim must be
     * ≤ 64 — one long per vector, a 32× compression over float32 and the

@@ -1499,4 +1499,15 @@ object NorthStar {
       round($"l_extendedprice" * 100, 0), Seq(0.5, 0.9, 0.99))
       .orderBy($"q")
   }
+
+  /** X2/X3 prototypicality pruning ([[graft.operators.Similarity
+    * .prototypePrune]]): q136's trained quantizer scores every vector
+    * against its own cell prototype; the hardest 50% per cell survive —
+    * the data-pruning complement of SemDeDup (which drops pairwise
+    * near-dups; this drops the prototype-redundant mass). */
+  def prototypes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.prototypePrune(Tables.embeddings(spark, d), 8, 2, 0.5)
+      .orderBy($"vec_id")
+  }
 }

@@ -377,6 +377,24 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("prototypePrune keeps the hardest ceil(n*frac) per cell, ties to " +
+      "lower vec_id — hand-traced at k=1, iters=0") {
+    import spark.implicits._
+    // centroid = v0 = [1,0] (k=1, no updates). d2: v0 0, v1 4, v2 1,
+    // v3 1 (tie with v2 → v2 ranks first). keep ceil(4·0.5)=2 hardest:
+    // v1 (rank 1) and v2 (rank 2).
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 1), (1L, Seq(3.0, 0.0), 1),
+      (2L, Seq(1.0, 1.0), 1), (3L, Seq(0.0, 0.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypePrune(emb, 1, 0, 0.5)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Double, Int)].collect().toList
+    assert(got == List(
+      (0L, 0L, 0.0, 0), (1L, 0L, 4.0, 1),
+      (2L, 0L, 1.0, 1), (3L, 0L, 1.0, 0)))
+  }
+
   test("exactQuantiles finds the exact kth smallest through duplicates, " +
       "negatives, and many refinement rounds (fanout 2)") {
     import spark.implicits._
