@@ -63,9 +63,9 @@ object Profiling {
     * the shuffle, which is the "mergeable sketch" property); the driver
     * walks the ≤ fanout·|qs| bucket counts to find each quantile's
     * bucket and residual rank; each next round re-histograms only the
-    * chosen buckets (corpus scan pruned by a pushed-down v-range
-    * predicate — parquet min/max stats skip everything else) with
-    * width ÷ fanout. Integer values terminate at width 1 with the exact
+    * chosen buckets (a v-range filter ahead of the aggregate — pushed
+    * into the scan when v is a stored column, see
+    * [[quantileHistRound]]) with width ÷ fanout. Integer values terminate at width 1 with the exact
     * k-th smallest, in ⌈log_fanout(range)⌉ rounds (3 rounds for a 10⁷
     * range at fanout 256) — no partition ever holds more than its share
     * of one bucket, no global sort, no giant window. Driver state is
@@ -74,6 +74,20 @@ object Profiling {
     *
     * k = ⌈q·n⌉ (the 1-based lower quantile index); both engines compute
     * the same IEEE double product, so the boundary is engine-exact. */
+  /** ONE refinement-round histogram of [[exactQuantiles]] — the plan
+    * that executes per round, exposed for inspection: corpus `vals(v)`
+    * × broadcast per-quantile spec `(qid, k, lo, hi, width)`, v-range
+    * filter, integer-div bucketing, map-side-partial count. When `v` is
+    * a STORED column the range predicate reaches the parquet scan and
+    * min/max stats skip out-of-range row groups on round ≥ 2; a derived
+    * expression (e.g. round(price·100)) filters post-scan — store the
+    * integer form if round-2+ scan pruning matters at your scale. */
+  def quantileHistRound(vals: DataFrame, spec: DataFrame): DataFrame =
+    vals.crossJoin(broadcast(spec))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("qid"), expr("(v - lo) div width").as("b"))
+      .agg(count(lit(1)).as("c"))
+
   def exactQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
       qs: Seq[Double], fanout: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
@@ -94,11 +108,8 @@ object Profiling {
           val width = (hi - lo) / fanout + 1 // ceil(span/fanout), ≥ 1
           (i, k, lo, hi, width)
       }
-      val spec = broadcast(open.toDF("qid", "k", "lo", "hi", "width"))
-      val hists = vals.crossJoin(spec)
-        .filter($"v" >= $"lo" && $"v" <= $"hi")
-        .groupBy($"qid", expr("(v - lo) div width").as("b"))
-        .agg(count(lit(1)).as("c"))
+      val spec = open.toDF("qid", "k", "lo", "hi", "width")
+      val hists = quantileHistRound(vals, spec)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       val next = state.toArray

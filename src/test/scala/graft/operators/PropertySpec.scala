@@ -522,4 +522,56 @@ object PropertySpec extends Properties("graft.operators") {
         .as[(Long, Long)].collect().toList.sortBy(_._1)
       got == expected
     }
+
+  private val quantileVals = Gen.listOfN(25, Gen.chooseNum(-1000L, 1000L))
+
+  property("exactQuantiles == sorted k-th smallest at any fanout") =
+    Prop.forAllNoShrink(quantileVals, Gen.chooseNum(2, 16),
+        Gen.listOfN(3, Gen.chooseNum(1, 100))) { (vals, fanout, qPcts) =>
+      import spark.implicits._
+      val qs = qPcts.map(_ / 100.0).distinct
+      val sorted = vals.sorted
+      val expected = qs.sorted.map { q =>
+        val k = math.ceil(q * vals.size).toLong
+        (q, vals.size.toLong, k, sorted(k.toInt - 1))
+      }
+      val got = Profiling
+        .exactQuantiles(vals.toDF("x"),
+          org.apache.spark.sql.functions.col("x"), qs, fanout)
+        .as[(Double, Long, Long, Long)].collect().toList.sortBy(_._1)
+      got == expected
+    }
+
+  private val changeRows = Gen.listOfN(15,
+    Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 20L),
+      Gen.oneOf("a", "b", "c")))
+
+  property("scd2: per key — intervals chain, states alternate, exactly " +
+      "one open version, first version starts at the first event") =
+    Prop.forAllNoShrink(changeRows) { rows =>
+      import spark.implicits._
+      val log = rows.zipWithIndex.map { case ((k, t, st), i) =>
+        (i.toLong, k, st, new java.sql.Timestamp(t * 1000)) }
+      val got = Upsert.scd2(log.toDF("eid", "k", "st", "t"),
+          "k", "st", "t", "eid")
+        .select($"k", $"eid", $"state", $"valid_from", $"valid_to")
+        .as[(Long, Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp])]
+        .collect().toList
+      got.groupBy(_._1).forall { case (k, vs) =>
+        // (ts, eid) is the total version order — same-ts runs tie-break
+        // on the event id, exactly as the operator orders them
+        val ordered = vs.sortBy(v => (v._4.getTime, v._2))
+        val events = log.filter(_._2 == k).sortBy(r => (r._4.getTime, r._1))
+        val chained = ordered.zip(ordered.drop(1)).forall { case (a, b) =>
+          a._5.contains(b._4) } // valid_to == next valid_from
+        val alternating = ordered.zip(ordered.drop(1))
+          .forall { case (a, b) => a._3 != b._3 }
+        val oneOpen = ordered.count(_._5.isEmpty) == 1 &&
+          ordered.last._5.isEmpty
+        chained && alternating && oneOpen &&
+          ordered.head._4 == events.head._4 &&
+          ordered.head._3 == events.head._3
+      }
+    }
 }
