@@ -202,6 +202,8 @@ object SparkEntry {
     "q179_group_trend"   -> (NorthStar.userTrend _),
     "q180_exact_quantiles" -> (NorthStar.priceQuantiles _),
     "q181_prototype_prune" -> (NorthStar.prototypes _),
+    "q182_cohort_retention" -> (NorthStar.retention _),
+    "q183_funnel"        -> (NorthStar.signupFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2454,6 +2456,37 @@ object SparkEntry {
         |       CASE WHEN rk <= ceil(n_cell * 0.5) THEN 1 ELSE 0 END
         |         AS kept
         |FROM rr ORDER BY vec_id""".stripMargin,
+    // q182: retention triangle — distinct active (user, epoch-day),
+    // min-day cohort, exact distinct-user counts per offset.
+    "q182_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |f AS (SELECT u, min(d) AS cohort_day FROM a GROUP BY u)
+        |SELECT f.cohort_day, a.d - f.cohort_day AS day_offset,
+        |       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.u = f.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q183: strictly-ordered funnel — first signup, first view AFTER
+    // it, first purchase AFTER that; ppm conversion by integer div.
+    "q183_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY 1),
+        |f AS (SELECT s1.u, s1.t1, s2.t2, s3.t3 FROM s1
+        |      LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT CAST(floor(epoch(t1) / 86400) AS BIGINT) AS cohort_day,
+        |       CAST(count(*) AS BIGINT) AS n_step1,
+        |       CAST(count(t2) AS BIGINT) AS n_step2,
+        |       CAST(count(t3) AS BIGINT) AS n_step3,
+        |       CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Behavior, Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, Upsert}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -1509,5 +1509,26 @@ object NorthStar {
     import spark.implicits._
     Similarity.prototypePrune(Tables.embeddings(spark, d), 8, 2, 0.5)
       .orderBy($"vec_id")
+  }
+
+  /** T6-adjacent product analytics ([[graft.operators.Behavior
+    * .cohortRetention]]): the classic retention triangle — users
+    * bucketed by first active epoch-day, counted at each day offset.
+    * Every shuffle is key-sized; exact integer days and counts. */
+  def retention(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.cohortRetention(Tables.events(spark, d), "user_id", "ts")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  /** Strictly-ordered signup → view → purchase conversion funnel
+    * ([[graft.operators.Behavior.funnel]]) per signup cohort day —
+    * first-matching-subsequence semantics, ppm conversion by integer
+    * division. */
+  def signupFunnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.funnel(Tables.events(spark, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase"))
+      .orderBy($"cohort_day")
   }
 }

@@ -377,6 +377,50 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("cohortRetention: first-day cohorts, per-day-offset distinct users") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    // epoch day of 2024-01-01 = 19723
+    val ev = Seq(
+      (1L, t("2024-01-01 05:00:00")), (1L, t("2024-01-01 09:00:00")),
+      (1L, t("2024-01-03 00:30:00")),
+      (2L, t("2024-01-01 10:00:00")),
+      (3L, t("2024-01-02 23:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Behavior.cohortRetention(ev, "user_id", "ts")
+      .orderBy($"cohort_day", $"day_offset")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List(
+      (19723L, 0L, 2L), (19723L, 2L, 1L), (19724L, 0L, 1L)))
+  }
+
+  test("funnel enforces STRICT step order: a purchase before the first " +
+      "view does not convert") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: signup -> view -> purchase, in order: full conversion
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      // u2: purchase happens BEFORE the first view — stage 3 unreached
+      (2L, "signup", t("2024-01-01 10:00:00")),
+      (2L, "purchase", t("2024-01-01 10:30:00")),
+      (2L, "view", t("2024-01-01 11:00:00")),
+      // u3: never signs up — not in the funnel at all
+      (3L, "view", t("2024-01-01 09:00:00")),
+      // u4: signup only, next day's cohort
+      (4L, "signup", t("2024-01-02 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy($"cohort_day")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (19723L, 2L, 2L, 1L, 500000L),
+      (19724L, 1L, 0L, 0L, 0L)))
+  }
+
   test("prototypePrune keeps the hardest ceil(n*frac) per cell, ties to " +
       "lower vec_id — hand-traced at k=1, iters=0") {
     import spark.implicits._
