@@ -204,6 +204,8 @@ object SparkEntry {
     "q181_prototype_prune" -> (NorthStar.prototypes _),
     "q182_cohort_retention" -> (NorthStar.retention _),
     "q183_funnel"        -> (NorthStar.signupFunnel _),
+    "q184_key_skew"      -> (NorthStar.orderKeySkew _),
+    "q185_binary_knn"    -> (NorthStar.binaryKnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2487,6 +2489,46 @@ object SparkEntry {
         |       CAST(count(t3) AS BIGINT) AS n_step3,
         |       CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_ppm
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q184: key-skew diagnostic — per-key counts, integer µ-share and
+    // ×100 mean-ratio; (cnt DESC, k) tie-break, all 64-bit exact.
+    "q184_key_skew" ->
+      """WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT)
+        |             AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |        CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT c.k, c.cnt,
+        |       CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+        |       CAST(c.cnt * 100 * t.n_keys // t.total AS BIGINT)
+        |         AS skew_x100,
+        |       t.n_keys, t.total
+        |FROM c, t ORDER BY c.cnt DESC, c.k LIMIT 5""".stripMargin,
+    // q185: batched binary-quantized kNN — q177's two deterministic
+    // boundaries per query id; full-result replay.
+    "q185_binary_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |      WHERE vec_id % 100 = 0),
+        |ham AS (SELECT q.qid, e.vec_id, e.v, q.qv,
+        |          CAST(len([i for i in range(1, len(e.v) + 1)
+        |                    if (e.v[CAST(i AS INTEGER)] > 0)
+        |                       <> (q.qv[CAST(i AS INTEGER)] > 0)])
+        |            AS INTEGER) AS hd
+        |        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |pre AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY qid ORDER BY hd, vec_id) AS rk FROM ham)
+        |  WHERE rk <= 20),
+        |cosd AS (SELECT qid, vec_id, hd,
+        |           round(list_dot_product(v, qv) /
+        |                 (sqrt(list_dot_product(v, v)) *
+        |                  sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS cos
+        |         FROM pre)
+        |SELECT qid, vec_id, hd, cos FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, vec_id) AS crk
+        |  FROM cosd)
+        |WHERE crk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

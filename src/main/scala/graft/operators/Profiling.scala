@@ -74,6 +74,32 @@ object Profiling {
     *
     * k = ⌈q·n⌉ (the 1-based lower quantile index); both engines compute
     * the same IEEE double product, so the boundary is engine-exact. */
+  /** Join-key skew diagnostic — the "should I salt this join?" query an
+    * operator library must answer about ITSELF ([[Salt.saltedJoin]] and
+    * [[Similarity.semDedupAutoSalt]] are the mitigations; this is the
+    * detector): per-key row counts in one hash aggregate (map-side
+    * partials — the count table is keys-sized, not rows-sized), then the
+    * top-`topK` heaviest keys with their integer µ-share of all rows and
+    * ×100 ratio to the mean key size. TakeOrderedAndProject heap for the
+    * top-k, one-row totals broadcast — no global sort, no second scan.
+    * All derived columns are integer division on 64-bit counts, so the
+    * report is engine-exact. Overflow: cnt·10⁶ and cnt·100·n_keys must
+    * stay < 2⁶³ — holds to 9·10¹² rows on a single key with 10⁴ keys. */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 5)
+      : DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("cnt").desc, col("k"))
+      .limit(topK)
+      .select(col("k"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("cnt * 100 * n_keys div total").as("skew_x100"),
+        col("n_keys"), col("total"))
+  }
+
   /** ONE refinement-round histogram of [[exactQuantiles]] — the plan
     * that executes per round, exposed for inspection: corpus `vals(v)`
     * × broadcast per-quantile spec `(qid, k, lo, hi, width)`, v-range

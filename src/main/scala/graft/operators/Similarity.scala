@@ -1140,4 +1140,36 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Batched compressed-domain serving: [[binaryTopK]] for EVERY query
+    * row at once — the kNN-join form a retrieval pipeline actually runs
+    * (score a whole query batch, not one id). The prescreen cross join
+    * ships ONE long per (corpus row × query) and both per-query
+    * rankings are rank-LIMIT filters, which Spark rewrites to
+    * WindowGroupLimit — per-partition top-`rerank` heaps BEFORE the qid
+    * shuffle, so the shuffle carries ≤ partitions·queries·rerank rows,
+    * never the corpus. Only the ≤ queries·rerank prescreen survivors
+    * ever touch their float vector. Same two deterministic boundaries
+    * as [[binaryTopK]] — the oracle replays the full result. */
+  def binaryKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int, dim: Int = 64): DataFrame = {
+    require(k >= 1 && rerank >= 1, s"k=$k rerank=$rerank")
+    val bq = binaryQuantize(corpus, dim)
+      .select(col("vec_id"), col("bits"), asDouble(col("embedding")).as("v"))
+    val qs = binaryQuantize(queries, dim)
+      .select(col("vec_id").as("qid"), col("bits").as("qbits"),
+        asDouble(col("embedding")).as("qv"))
+    val wPre = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    Par.fanOut(bq).crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hd", expr("bit_count(bits ^ qbits)"))
+      .withColumn("rk", row_number().over(wPre))
+      .filter(col("rk") <= rerank)
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
+      .withColumn("crk", row_number().over(wCos))
+      .filter(col("crk") <= k)
+      .select(col("qid"), col("vec_id"), col("hd"), col("cos"))
+  }
 }

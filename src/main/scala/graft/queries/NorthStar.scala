@@ -1531,4 +1531,24 @@ object NorthStar {
       "event_type", Seq("signup", "view", "purchase"))
       .orderBy($"cohort_day")
   }
+
+  /** X14/A8 companion diagnostic ([[graft.operators.Profiling
+    * .keySkewProfile]]): the top-5 heaviest o_custkey values with
+    * µ-share and ×100 ratio to the mean key size — the detector that
+    * decides whether [[graft.operators.Salt.saltedJoin]] is needed.
+    * Integer divisions only; engine-exact. */
+  def orderKeySkew(spark: SparkSession, d: String): DataFrame =
+    Profiling.keySkewProfile(Tables.orders(spark, d), "o_custkey", 5)
+
+  /** Batched compressed-domain kNN ([[graft.operators.Similarity
+    * .binaryKnnJoin]]): q177's Hamming-prescreen + exact-rerank for a
+    * whole query batch (vec_id % 100 == 0) — WindowGroupLimit partial
+    * heaps keep the qid shuffle rerank-bounded. */
+  def binaryKnn(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.binaryKnnJoin(emb, emb.filter($"vec_id" % 100 === 0),
+        5, 20)
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+  }
 }

@@ -377,6 +377,36 @@ class NorthStarSpec extends SparkSpec {
     assert(Similarity.int8TopK(emb, 3L, 10).count() == 0)
   }
 
+  test("keySkewProfile: hand-traced counts, integer shares, mean ratio") {
+    import spark.implicits._
+    val rows = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    // counts 1→3, 2→2, 3→1; total 6, n_keys 3, mean 2
+    val got = Profiling.keySkewProfile(rows, "k", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 3L, 500000L, 150L, 3L, 6L),
+      (2L, 2L, 333333L, 100L, 3L, 6L)))
+  }
+
+  test("binaryKnnJoin == binaryTopK per query id; queries are " +
+      "independent") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1), (1L, Seq(0.9, 0.1, 0.0, 0.0), 1),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0), 1), (3L, Seq(-1.0, 0.0, 0.0, 0.0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = Similarity.binaryKnnJoin(emb,
+        emb.filter($"vec_id".isin(0L, 2L)), 2, 4, dim = 4)
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+      .as[(Long, Long, Int, Double)].collect().toList
+    val single = Seq(0L, 2L).flatMap { q =>
+      Similarity.binaryTopK(emb, q, 2, rerank = 4, dim = 4)
+        .as[(Long, Int, Double)].collect().toList
+        .map { case (v, hd, c) => (q, v, hd, c) }
+    }
+    assert(batch == single)
+  }
+
   test("cohortRetention: first-day cohorts, per-day-offset distinct users") {
     import spark.implicits._
     def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
