@@ -94,20 +94,44 @@ object Learn {
     * should drop to milli-units. A key whose observations all land on
     * one day has zero variance in x → slope NULL, not a division blowup. */
   def groupTrend(df: DataFrame, key: String, ts: String, value: String)
+      : DataFrame = trendOf(trendStats(df, key, ts, value), key)
+
+  /** The five sufficient statistics of [[groupTrend]] as a MERGEABLE
+    * state table (key, n_obs, sx, sy, sxy, sxx): all 64-bit integer
+    * sums, so partial states built from ANY split of the corpus merge
+    * exactly by component-wise addition ([[mergeTrendStats]]) — the
+    * map-side-combine algebra made explicit as data. This is the
+    * incremental-maintenance form a daily pipeline wants: persist
+    * yesterday's per-key stats, fold in today's batch (batch-sized
+    * work), derive slopes with [[trendOf]] — never rescan history. */
+  def trendStats(df: DataFrame, key: String, ts: String, value: String)
       : DataFrame = {
     val x = floor(unix_timestamp(col(ts)) / 86400).cast("long")
     val y = round(col(value) * lit(1e6), 0).cast("long")
-    val agg = df.select(col(key), x.as("x"), y.as("y"))
+    df.select(col(key), x.as("x"), y.as("y"))
       .groupBy(col(key)).agg(
         count(lit(1)).as("n_obs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+  }
+
+  /** Exact merge of two [[trendStats]] states — integer sums add. */
+  def mergeTrendStats(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b).groupBy(col(key)).agg(
+      sum(col("n_obs")).as("n_obs"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+
+  /** Slope/mean derivation from a [[trendStats]] state — per-group
+    * arithmetic on exact integers; the only float ops are the final
+    * rounded divisions, identical in any engine. */
+  def trendOf(stats: DataFrame, key: String): DataFrame = {
     val num = (col("n_obs") * col("sxy") - col("sx") * col("sy"))
       .cast("double")
     val den = (col("n_obs") * col("sxx") - col("sx") * col("sx"))
       .cast("double")
-    agg.select(col(key), col("n_obs"),
+    stats.select(col(key), col("n_obs"),
       (round(col("sy").cast("double") / col("n_obs") / 1e6, 6) + lit(0.0))
         .as("mean_value"),
       when(den =!= 0.0, round(num / den / 1e6, 6) + lit(0.0))

@@ -508,6 +508,23 @@ class NorthStarSpec extends SparkSpec {
       (30L, 2L, 3.5, Some(-3.0))))
   }
 
+  test("trendStats merge exactly: split-train-merge == full-corpus " +
+      "(incremental maintenance identity)") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val full = Learn.groupTrend(ev, "user_id", "ts", "value")
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+    val merged = Learn.trendOf(Learn.mergeTrendStats(
+        Learn.trendStats(ev.filter($"event_id" % 2 === 0),
+          "user_id", "ts", "value"),
+        Learn.trendStats(ev.filter($"event_id" % 2 =!= 0),
+          "user_id", "ts", "value"), "user_id"), "user_id")
+      .orderBy($"user_id")
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+    assert(full.nonEmpty && full == merged)
+  }
+
   test("binaryTopK: sign-bit packing, Hamming prescreen boundary, exact " +
       "rerank — hand-traced at dim 4") {
     import spark.implicits._
