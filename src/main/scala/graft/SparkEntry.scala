@@ -206,6 +206,7 @@ object SparkEntry {
     "q183_funnel"        -> (NorthStar.signupFunnel _),
     "q184_key_skew"      -> (NorthStar.orderKeySkew _),
     "q185_binary_knn"    -> (NorthStar.binaryKnn _),
+    "q186_codebook_drift" -> (NorthStar.codebookDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2529,6 +2530,32 @@ object SparkEntry {
         |    (PARTITION BY qid ORDER BY cos DESC, vec_id) AS crk
         |  FROM cosd)
         |WHERE crk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
+    // q186: codebook drift — a SECOND Lloyd chain trained on the even
+    // half (same init/round/tie contract, corpus parameter e2), both
+    // codebooks probe the FULL corpus, majority-alignment purity per
+    // new cell. Full replay.
+    "q186_codebook_drift" ->
+      s"""$kmeansChainSql,
+        |e2 AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |c0o AS (SELECT vec_id AS cid, v AS c FROM e2
+        |        ORDER BY vec_id LIMIT 8),
+        |${kmeansAssignBlock("a1o", "c0o", "e2")},
+        |${kmeansUpdateBlock("c1o", "a1o", "e2")},
+        |${kmeansAssignBlock("a2o", "c1o", "e2")},
+        |${kmeansUpdateBlock("c2o", "a2o", "e2")},
+        |${kmeansAssignBlock("a3o", "c2o", "e")},
+        |p AS (SELECT a3.vec_id, a3o.cid AS cid_old, a3.cid AS cid_new
+        |      FROM a3 JOIN a3o USING (vec_id)),
+        |g AS (SELECT cid_new, cid_old, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY cid_new ORDER BY cnt DESC, cid_old) AS rk,
+        |        CAST(sum(cnt) OVER (PARTITION BY cid_new) AS BIGINT)
+        |          AS n
+        |      FROM g)
+        |SELECT cid_new, n, cid_old AS major_old_cid, cnt AS n_major,
+        |       CAST(cnt * 1000000 // n AS BIGINT) AS purity_ppm
+        |FROM r WHERE rk = 1 ORDER BY cid_new""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -1551,4 +1551,38 @@ object NorthStar {
         5, 20)
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
+
+  /** X3/X10 index-lifecycle monitor: codebook DRIFT between the
+    * quantizer trained on the even-id half (the "yesterday" index) and
+    * the full-corpus retrain — per new cell: member count, the majority
+    * old cell's share (µ-exact). Cid label spaces differ across
+    * trainings, so drift is measured as majority-alignment purity, not
+    * label equality. Both assignments are map-only probes of broadcast
+    * centroids ([[graft.operators.Similarity.assignWith]]); the join is
+    * on vec_id; one aggregate. The answer to "when must the IVF index
+    * rebuild?" — the question every persisted-index deployment
+    * (IndexStore, q138/q156) has to keep asking. */
+  def codebookDrift(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val oldC = Similarity.kmeansCentroids(
+      emb.filter($"vec_id" % 2 === 0), 8, 2)
+    val newC = Similarity.kmeansCentroids(emb, 8, 2)
+    val pairs = Similarity.assignWith(emb, oldC)
+      .withColumnRenamed("cid", "cid_old")
+      .join(Similarity.assignWith(emb, newC)
+        .withColumnRenamed("cid", "cid_new"), "vec_id")
+      .groupBy($"cid_new", $"cid_old").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cid_new").orderBy($"cnt".desc, $"cid_old")
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cid_new")))
+      .filter($"rk" === 1)
+      .select($"cid_new", $"n", $"cid_old".as("major_old_cid"),
+        $"cnt".as("n_major"),
+        expr("cnt * 1000000 div n").as("purity_ppm"))
+      .orderBy($"cid_new")
+  }
 }

@@ -508,6 +508,21 @@ class NorthStarSpec extends SparkSpec {
       (30L, 2L, 3.5, Some(-3.0))))
   }
 
+  test("codebookDrift: cells partition the corpus, majority share is a " +
+      "valid µ-fraction, output is deterministic") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val total = graft.Tables.embeddings(spark, d).count()
+    val got = graft.queries.NorthStar.codebookDrift(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._2).sum == total)         // Σ n == corpus
+    assert(got.forall(r => r._4 <= r._2))      // n_major ≤ n
+    assert(got.forall(r => r._5 > 0 && r._5 <= 1000000L))
+    val again = graft.queries.NorthStar.codebookDrift(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == again)
+  }
+
   test("trendStats merge exactly: split-train-merge == full-corpus " +
       "(incremental maintenance identity)") {
     import spark.implicits._
