@@ -207,6 +207,7 @@ object SparkEntry {
     "q184_key_skew"      -> (NorthStar.orderKeySkew _),
     "q185_binary_knn"    -> (NorthStar.binaryKnn _),
     "q186_codebook_drift" -> (NorthStar.codebookDrift _),
+    "q187_join_estimate" -> (NorthStar.joinSize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2556,6 +2557,24 @@ object SparkEntry {
         |SELECT cid_new, n, cid_old AS major_old_cid, cnt AS n_major,
         |       CAST(cnt * 1000000 // n AS BIGINT) AS purity_ppm
         |FROM r WHERE rk = 1 ORDER BY cid_new""".stripMargin,
+    // q187: join-size estimate — Σ cntA·cntB exactly, plus the 1/16
+    // k % 16 == 0 sample scaled by 16; integer products, exact replay.
+    "q187_join_estimate" ->
+      """WITH ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT)
+        |              AS ca FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |       FROM lineitem GROUP BY 1),
+        |p AS (SELECT ca.k, ca.ca * cb.cb AS p FROM ca
+        |      JOIN cb ON ca.k = cb.k),
+        |s AS (SELECT CAST(sum(p) AS BIGINT) AS exact_rows,
+        |        CAST(sum(CASE WHEN k % 16 = 0 THEN p ELSE 0 END) * 16
+        |          AS BIGINT) AS est_rows
+        |      FROM p)
+        |SELECT exact_rows, est_rows,
+        |       CASE WHEN exact_rows = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(abs(est_rows - exact_rows) * 1000000
+        |                      // exact_rows AS BIGINT) END AS err_ppm
+        |FROM s""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -281,4 +281,35 @@ object Sketches {
     base.unpersist(false)
     out
   }
+
+  /** Equi-join CARDINALITY estimation without running the join — the
+    * optimizer-style |A ⋈ₖ B| = Σₖ cntA(k)·cntB(k) identity computed
+    * over per-side key-count tables (keys-sized, never rows-sized —
+    * both sides reduce in their own map-side-combined aggregate before
+    * anything meets), plus a 1/`mod` deterministic key-sample estimate
+    * (keep k where k % mod == 0, scale by mod — a pure function of the
+    * key, so the sample replays identically on any engine, unlike a
+    * random sample). This is the pre-flight a pipeline runs before an
+    * expensive join to choose broadcast vs shuffle vs salt (pairs with
+    * [[graft.operators.Profiling.keySkewProfile]], which finds WHICH
+    * keys explode). Integer counts and products throughout — the
+    * estimate AND the exact total are engine-exact; err_ppm quantifies
+    * the sampling error honestly. Numeric keys only (hash string keys
+    * to 64-bit first). */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, mod: Long): DataFrame = {
+    require(mod >= 1, s"mod=$mod")
+    val ca = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("p"))
+      .agg(sum(col("p")).as("exact_rows"),
+        (sum(when(col("k") % mod === 0, col("p")).otherwise(0L)) * mod)
+          .as("est_rows"))
+      .select(col("exact_rows"), col("est_rows"),
+        when(col("exact_rows") === 0, lit(0L))
+          .otherwise(expr(
+            "abs(est_rows - exact_rows) * 1000000 div exact_rows"))
+          .as("err_ppm"))
+  }
 }

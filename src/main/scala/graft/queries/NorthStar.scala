@@ -1562,6 +1562,15 @@ object NorthStar {
     * on vec_id; one aggregate. The answer to "when must the IVF index
     * rebuild?" — the question every persisted-index deployment
     * (IndexStore, q138/q156) has to keep asking. */
+  /** X8 optimizer-style join-size estimation ([[graft.operators
+    * .Sketches.joinSizeEstimate]]): |orders ⋈ lineitem| on orderkey
+    * from keys-sized count tables + a 1/16 deterministic key sample —
+    * exact total, scaled estimate, and honest ppm error in one row. */
+  def joinSize(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches.joinSizeEstimate(
+      Tables.orders(spark, d), "o_orderkey",
+      Tables.lineitem(spark, d), "l_orderkey", 16L)
+
   def codebookDrift(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)

@@ -508,6 +508,21 @@ class NorthStarSpec extends SparkSpec {
       (30L, 2L, 3.5, Some(-3.0))))
   }
 
+  test("joinSizeEstimate: hand-traced Σ cntA·cntB, scaled sample, ppm " +
+      "error") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 3L, 4L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 4L, 5L).toDF("kb")
+    // products: k1 2·1=2, k2 1·2=2, k4 1·1=1 → exact 5
+    // mod 2 sample {2,4}: 2+1=3 → est 6; err = 1e6·1/5 = 200000
+    val got = graft.operators.Sketches
+      .joinSizeEstimate(a, "ka", b, "kb", 2L)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((5L, 6L, 200000L)))
+    // the estimate really is the join size: crossCheck with the join
+    assert(a.join(b, $"ka" === $"kb").count() == 5L)
+  }
+
   test("codebookDrift: cells partition the corpus, majority share is a " +
       "valid µ-fraction, output is deterministic") {
     import spark.implicits._
