@@ -98,7 +98,9 @@ object Bench {
     // "fast":{"n":…,"sum":…,"cut":…} — the sub-cut entries carry no
     // plan signal (they are contention noise at 0.1 s granularity;
     // r6 finding), while every query the judge would ever audit stays
-    // a named entry. value == sum(queries) + fast.sum always holds;
+    // a named entry. Over the unrounded internal values, value ==
+    // sum(queries) + fast.sum (the emitted line rounds kept entries to
+    // 1 decimal, so the printed identity is approximate).
     // BENCH_LOCAL.json keeps the full per-query record regardless.
     def lineFor(cut: Double): String = {
       val (keep, fastQ) = entries.partition(_._2 >= cut)
@@ -109,8 +111,12 @@ object Bench {
         else s""","fast":{"n":${fastQ.size},"sum":${r3(fastQ.map(_._2).sum)},"cut":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(cut))}}"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastJson$failedJson,"sf":"$sfName"}"""
     }
-    val line = Seq(0.0, 0.15, 0.25, 0.35, 0.55, 0.75, 1.05)
-      .view.map(lineFor).find(_.length <= 1700).getOrElse(lineFor(1.05))
+    // Unbounded escalation: doubling the cut eventually drops every
+    // entry (the map degenerates to "{}" + the fast aggregate, ~200
+    // chars), so a fitting line ALWAYS exists — no over-budget
+    // fallback path that would re-create the r1/r2 clipping failure.
+    val line = (Iterator(0.0) ++ Iterator.iterate(0.15)(_ * 2))
+      .map(lineFor).find(_.length <= 1700).get
     // Full-name, full-precision record for humans / the judge.
     val fullQs = timed.map { case (n, s, ok, gc, mem) =>
       s""""$n":{"sec":$s,"ok":$ok,"gc_sec":$gc,"mem_used":$mem}""" }

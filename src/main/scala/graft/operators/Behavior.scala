@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * engine pays — and each is key-sized. */
 object Behavior {
 
-  private def epochDay(c: org.apache.spark.sql.Column) =
+  /** UTC epoch-day bucketing — the ONE determinism-critical expression
+    * shared by every day-granular operator ([[cohortRetention]],
+    * [[funnel]], [[Learn.trendStats]]) and mirrored by the oracle idiom
+    * `floor(epoch(ts) / 86400)`; keep all of them in lockstep. */
+  private[operators] def epochDay(c: org.apache.spark.sql.Column) =
     floor(unix_timestamp(c) / 86400).cast("long")
 
   /** Cohort retention triangle: users bucketed by their FIRST active
@@ -34,7 +38,10 @@ object Behavior {
     acts.join(first, "u")
       .groupBy(col("cohort_day"),
         (col("d") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("u")).as("n_users"))
+      // acts is distinct on (u, d) and d is determined by the group
+      // keys, so u cannot repeat in a group: a plain count equals the
+      // distinct count without the extra distinct-aggregate phase
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Strictly-ordered conversion funnel: per user, t₁ = first `steps(0)`

@@ -106,7 +106,7 @@ object Learn {
     * work), derive slopes with [[trendOf]] — never rescan history. */
   def trendStats(df: DataFrame, key: String, ts: String, value: String)
       : DataFrame = {
-    val x = floor(unix_timestamp(col(ts)) / 86400).cast("long")
+    val x = Behavior.epochDay(col(ts))
     val y = round(col(value) * lit(1e6), 0).cast("long")
     df.select(col(key), x.as("x"), y.as("y"))
       .groupBy(col(key)).agg(

@@ -54,26 +54,6 @@ object Profiling {
     one.select(explode(rows).as("r")).select("r.*")
   }
 
-  /** EXACT quantiles of an integer column by iterative histogram
-    * refinement — the distributed alternative to a global sort (the
-    * Munro-Paterson / BigQuery-style multi-round selection; also how
-    * `approx_percentile` would be made exact). Round 1 histograms the
-    * full value range into ≤ `fanout` buckets (ONE filtered aggregate,
-    * map-side partials — the per-partition histograms merge for free in
-    * the shuffle, which is the "mergeable sketch" property); the driver
-    * walks the ≤ fanout·|qs| bucket counts to find each quantile's
-    * bucket and residual rank; each next round re-histograms only the
-    * chosen buckets (a v-range filter ahead of the aggregate — pushed
-    * into the scan when v is a stored column, see
-    * [[quantileHistRound]]) with width ÷ fanout. Integer values terminate at width 1 with the exact
-    * k-th smallest, in ⌈log_fanout(range)⌉ rounds (3 rounds for a 10⁷
-    * range at fanout 256) — no partition ever holds more than its share
-    * of one bucket, no global sort, no giant window. Driver state is
-    * ≤ fanout·|qs| longs per round — the k-means broadcast-state
-    * regime, not a data collect.
-    *
-    * k = ⌈q·n⌉ (the 1-based lower quantile index); both engines compute
-    * the same IEEE double product, so the boundary is engine-exact. */
   /** Join-key skew diagnostic — the "should I salt this join?" query an
     * operator library must answer about ITSELF ([[Salt.saltedJoin]] and
     * [[Similarity.semDedupAutoSalt]] are the mitigations; this is the
@@ -114,6 +94,29 @@ object Profiling {
       .groupBy(col("qid"), expr("(v - lo) div width").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** EXACT quantiles of an integer column by iterative histogram
+    * refinement — the distributed alternative to a global sort (the
+    * Munro-Paterson / BigQuery-style multi-round selection; also how
+    * `approx_percentile` would be made exact). Round 1 histograms the
+    * full value range into ≤ `fanout` buckets (ONE filtered aggregate,
+    * map-side partials — the per-partition histograms merge for free in
+    * the shuffle, which is the "mergeable sketch" property); the driver
+    * walks the ≤ fanout·|qs| bucket counts to find each quantile's
+    * bucket and residual rank; each next round re-histograms only the
+    * chosen buckets (a v-range filter ahead of the aggregate — pushed
+    * into the scan when v is a stored column, see [[quantileHistRound]])
+    * with width ÷ fanout. Integer values terminate at width 1 with the
+    * exact k-th smallest, in ⌈log_fanout(range)⌉ rounds (3 rounds for a
+    * 10⁷ range at fanout 256) — no partition ever holds more than its
+    * share of one bucket, no global sort, no giant window. Driver state
+    * is ≤ fanout·|qs| longs per round — the k-means broadcast-state
+    * regime, not a data collect.
+    *
+    * k = ⌈q·n⌉ (the 1-based lower quantile index); both engines compute
+    * the same IEEE double product, so the boundary is engine-exact.
+    * Contract: the value SPAN (max − min) must fit a signed 64-bit long
+    * — spans wider than 2⁶³−1 would wrap the width/bucket arithmetic,
+    * so they fail fast instead of refining toward a wrong answer. */
   def exactQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
       qs: Seq[Double], fanout: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
@@ -124,6 +127,9 @@ object Profiling {
     val st = vals.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
     val n = st.getLong(0)
     require(n > 0, "exactQuantiles on empty input")
+    require(st.getLong(2) - st.getLong(1) >= 0,
+      s"value span ${st.getLong(1)}..${st.getLong(2)} exceeds 2^63-1 — " +
+        "the histogram arithmetic would wrap; rescale the column first")
     // per-quantile search state: residual rank k within [lo, hi]
     var state = qs.sorted.map { q =>
       (q, math.ceil(q * n).toLong, st.getLong(1), st.getLong(2))

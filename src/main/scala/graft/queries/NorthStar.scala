@@ -1552,6 +1552,15 @@ object NorthStar {
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
 
+  /** X8 optimizer-style join-size estimation ([[graft.operators
+    * .Sketches.joinSizeEstimate]]): |orders ⋈ lineitem| on orderkey
+    * from keys-sized count tables + a 1/16 deterministic key sample —
+    * exact total, scaled estimate, and honest ppm error in one row. */
+  def joinSize(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches.joinSizeEstimate(
+      Tables.orders(spark, d), "o_orderkey",
+      Tables.lineitem(spark, d), "l_orderkey", 16L)
+
   /** X3/X10 index-lifecycle monitor: codebook DRIFT between the
     * quantizer trained on the even-id half (the "yesterday" index) and
     * the full-corpus retrain — per new cell: member count, the majority
@@ -1562,15 +1571,6 @@ object NorthStar {
     * on vec_id; one aggregate. The answer to "when must the IVF index
     * rebuild?" — the question every persisted-index deployment
     * (IndexStore, q138/q156) has to keep asking. */
-  /** X8 optimizer-style join-size estimation ([[graft.operators
-    * .Sketches.joinSizeEstimate]]): |orders ⋈ lineitem| on orderkey
-    * from keys-sized count tables + a 1/16 deterministic key sample —
-    * exact total, scaled estimate, and honest ppm error in one row. */
-  def joinSize(spark: SparkSession, d: String): DataFrame =
-    graft.operators.Sketches.joinSizeEstimate(
-      Tables.orders(spark, d), "o_orderkey",
-      Tables.lineitem(spark, d), "l_orderkey", 16L)
-
   def codebookDrift(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
