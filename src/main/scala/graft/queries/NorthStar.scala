@@ -1570,7 +1570,11 @@ object NorthStar {
     * centroids ([[graft.operators.Similarity.assignWith]]); the join is
     * on vec_id; one aggregate. The answer to "when must the IVF index
     * rebuild?" — the question every persisted-index deployment
-    * (IndexStore, q138/q156) has to keep asking. */
+    * (IndexStore, q138/q156) has to keep asking. Unlike a SERVING
+    * query (the q156 lesson), a drift MONITOR legitimately computes
+    * codebooks — still, both Lloyd trainings run inline here only to
+    * keep the query self-contained; a deployment would read the two
+    * codebook VERSIONS from IndexStore and pay probes + one aggregate. */
   def codebookDrift(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)

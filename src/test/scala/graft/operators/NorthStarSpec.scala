@@ -580,6 +580,22 @@ class NorthStarSpec extends SparkSpec {
     assert(full == List((1L, 0, 1.0), (3L, 1, 0.7857), (2L, 1, 0.5)))
   }
 
+  test("binaryQuantize packs bit 63 safely: an all-positive 64-dim " +
+      "vector is all-ones (-1L), and Hamming vs all-negative is 64") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq.fill(64)(1.0f), 1),
+      (1L, Seq.fill(64)(-1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val bits = Similarity.binaryQuantize(emb, 64)
+      .select($"vec_id", $"bits").as[(Long, Long)].collect().toMap
+    // Σᵢ 2ⁱ over i=0..63 equals the all-ones word: the additive fold is
+    // the bitwise OR because each term is a distinct power of two —
+    // including 1L<<63 == Long.MinValue as a summand
+    assert(bits == Map(0L -> -1L, 1L -> 0L))
+    assert(java.lang.Long.bitCount(bits(0L) ^ bits(1L)) == 64)
+  }
+
   test("kmvOverlap: union-of-signatures estimate and exact Jaccard, " +
       "hand-traced at k=2") {
     import spark.implicits._
