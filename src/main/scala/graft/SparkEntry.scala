@@ -208,6 +208,8 @@ object SparkEntry {
     "q185_binary_knn"    -> (NorthStar.binaryKnn _),
     "q186_codebook_drift" -> (NorthStar.codebookDrift _),
     "q187_join_estimate" -> (NorthStar.joinSize _),
+    "q188_streaks"       -> (NorthStar.streaks _),
+    "q189_rolling_dau"   -> (NorthStar.rollingDau _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2575,6 +2577,32 @@ object SparkEntry {
         |            ELSE CAST(abs(est_rows - exact_rows) * 1000000
         |                      // exact_rows AS BIGINT) END AS err_ppm
         |FROM s""".stripMargin,
+    // q188: gaps-and-islands — d − row_number is constant within a
+    // consecutive-day run; exact integer grouping in both engines.
+    "q188_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |g AS (SELECT u, d, d - row_number() OVER
+        |        (PARTITION BY u ORDER BY d) AS grp FROM a),
+        |i AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM g GROUP BY u, grp)
+        |SELECT u, CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest,
+        |       CAST(sum(len) AS BIGINT) AS active_days
+        |FROM i GROUP BY u ORDER BY u""".stripMargin,
+    // q189: rolling 7-day distinct users — re-counted per observed end
+    // day (distinct is not additive); exact counts.
+    "q189_rolling_dau" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |days AS (SELECT DISTINCT d AS end_day FROM a)
+        |SELECT days.end_day,
+        |       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+        |FROM a JOIN days ON a.d >= days.end_day - 6
+        |               AND a.d <= days.end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q160: KMV resemblance — the estimate is a pure function of the
     // 32-bit md5-prefix content hash (q149's list_reduce idiom), so the
     // oracle replays est AND exact; integer counts, one rounded division

@@ -44,6 +44,48 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gaps-and-islands activity streaks: per user, maximal runs of
+    * CONSECUTIVE active days (the tabibitosan idiom — day − row_number
+    * is constant exactly within a consecutive run, so one window + one
+    * aggregate finds every island; no iterative logic, no self-join).
+    * Returns per user: number of streaks, longest streak, total active
+    * days. One shuffle on user, windows and aggregates all user-sized. */
+  def activityStreaks(events: DataFrame, user: String, ts: String)
+      : DataFrame = {
+    val acts = events
+      .select(col(user).as("u"), epochDay(col(ts)).as("d")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("d"))
+    acts
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col("u"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+        sum(col("len")).as("active_days"))
+  }
+
+  /** Rolling-window DISTINCT users (e.g. 7-day rolling DAU): distinct
+    * counts are NOT additive, so a per-day count cannot be summed into
+    * a window — the exact answer re-counts each window. Here: the
+    * distinct (user, day) frame joins to the OBSERVED end-days within
+    * [end−window+1, end] (a ≤ window-fold key-sized blow-up — the
+    * honest exact cost), then one distinct-count per end day. At
+    * register-sketch scale you'd swap HLL partials (mergeable) for the
+    * exact count; this operator is the exact baseline that validates
+    * such sketches. Days with no activity produce no row. */
+  def rollingDistinct(events: DataFrame, user: String, ts: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val acts = events
+      .select(col(user).as("u"), epochDay(col(ts)).as("d")).distinct()
+    val days = acts.select(col("d").as("end_day")).distinct()
+    acts.join(broadcast(days),
+        col("d") >= col("end_day") - (window - 1) &&
+          col("d") <= col("end_day"))
+      .groupBy(col("end_day"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
   /** Strictly-ordered conversion funnel: per user, t₁ = first `steps(0)`
     * event, tᵢ₊₁ = first `steps(i+1)` event STRICTLY AFTER tᵢ (the
     * first-matching-subsequence semantics of product funnels). Returns

@@ -1552,6 +1552,25 @@ object NorthStar {
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
 
+  /** X15 gaps-and-islands ([[graft.operators.Behavior
+    * .activityStreaks]]): per-user consecutive-active-day streaks via
+    * the tabibitosan constant (d − row_number) — one window, two
+    * aggregates, no self-join. */
+  def streaks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.activityStreaks(Tables.events(spark, d), "user_id", "ts")
+      .orderBy($"u")
+  }
+
+  /** X15 rolling 7-day distinct users ([[graft.operators.Behavior
+    * .rollingDistinct]]): the exact non-additive-distinct baseline —
+    * re-counted per observed end day over a ≤7-fold key-sized frame. */
+  def rollingDau(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.rollingDistinct(Tables.events(spark, d), "user_id", "ts", 7)
+      .orderBy($"end_day")
+  }
+
   /** X8 optimizer-style join-size estimation ([[graft.operators
     * .Sketches.joinSizeEstimate]]): |orders ⋈ lineitem| on orderkey
     * from keys-sized count tables + a 1/16 deterministic key sample —

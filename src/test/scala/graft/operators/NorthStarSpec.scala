@@ -424,6 +424,37 @@ class NorthStarSpec extends SparkSpec {
       (19723L, 0L, 2L), (19723L, 2L, 1L), (19724L, 0L, 1L)))
   }
 
+  test("activityStreaks: consecutive-day islands via the tabibitosan " +
+      "constant — hand-traced") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + n, 8, 0))
+    // u1 active {1,2,3, 6,7, 10} Jan → streaks 3/2/1; u2 one day
+    val ev = Seq(
+      (1L, day(0)), (1L, day(1)), (1L, day(2)), (1L, day(5)),
+      (1L, day(6)), (1L, day(9)), (1L, day(0)), // dup same day
+      (2L, day(3))
+    ).toDF("user_id", "ts")
+    val got = Behavior.activityStreaks(ev, "user_id", "ts")
+      .orderBy($"u").as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 3L, 6L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("rollingDistinct re-counts each window exactly (distinct is not " +
+      "additive) — hand-traced at window 3") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + n, 8, 0))
+    val ev = Seq(
+      (1L, day(0)), (1L, day(2)), (2L, day(2)), (3L, day(5))
+    ).toDF("user_id", "ts")
+    val base = 19723L // epoch day of 2024-01-01
+    val got = Behavior.rollingDistinct(ev, "user_id", "ts", 3)
+      .orderBy($"end_day").as[(Long, Long)].collect().toList
+    assert(got == List(
+      (base, 1L), (base + 2, 2L), (base + 5, 1L)))
+  }
+
   test("funnel enforces STRICT step order: a purchase before the first " +
       "view does not convert") {
     import spark.implicits._
