@@ -574,4 +574,45 @@ object PropertySpec extends Properties("graft.operators") {
           ordered.head._3 == events.head._3
       }
     }
+
+  // first component pinned to 1.0 so no vector is all-zero (cosine NaN
+  // would poison Set equality, not the operators)
+  private val vecRows = Gen.listOfN(8,
+    Gen.listOfN(3, Gen.chooseNum(-5, 5).map(_.toDouble)).map(1.0 :: _))
+
+  property("binaryKnnJoin == binaryTopK for every query id") =
+    Prop.forAllNoShrink(vecRows) { vs =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 1) }
+        .toDF("vec_id", "embedding", "label")
+      val batch = Similarity
+        .binaryKnnJoin(emb, emb.filter(col("vec_id") % 3 === 0), 3, 5,
+          dim = 4)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val singles = (0 until vs.size by 3).flatMap { q =>
+        Similarity.binaryTopK(emb, q.toLong, 3, rerank = 5, dim = 4)
+          .as[(Long, Int, Double)].collect()
+          .map { case (v, hd, c) => (q.toLong, v, hd, c) }
+      }.toSet
+      batch == singles
+    }
+
+  private val funnelEvents = Gen.listOfN(24,
+    Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 500000L),
+      Gen.oneOf("signup", "view", "purchase")))
+
+  property("funnel stage counts are monotone nonincreasing per cohort") =
+    Prop.forAllNoShrink(funnelEvents) { rows =>
+      import spark.implicits._
+      val ev = rows.map { case (u, t, st) =>
+        (u, st, new java.sql.Timestamp(t * 1000)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = Behavior.funnel(ev, "user_id", "ts", "event_type",
+          Seq("signup", "view", "purchase"))
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      got.forall { case (_, n1, n2, n3, ppm) =>
+        n1 >= n2 && n2 >= n3 && n1 >= 1 && ppm >= 0 && ppm <= 1000000L
+      }
+    }
 }
