@@ -210,6 +210,12 @@ object SparkEntry {
     "q187_join_estimate" -> (NorthStar.joinSize _),
     "q188_streaks"       -> (NorthStar.streaks _),
     "q189_rolling_dau"   -> (NorthStar.rollingDau _),
+    "q190_stored_quantiles" -> (NorthStar.custkeyQuantiles _),
+    "q191_rolling_dau_hll" -> (NorthStar.rollingDauApprox _),
+    "q192_scd2_merge"    -> (NorthStar.scd2Merged _),
+    "q193_funnel_onepass" -> (NorthStar.funnelOnePass _),
+    "q194_zorder_optimize" -> (NorthStar.zorderOptimize _),
+    "q195_join_strategy" -> (NorthStar.joinStrategies _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3123,6 +3129,143 @@ object SparkEntry {
         |${kmeansUpdateBlock("c2", "a2", "es")},
         |${kmeansAssignBlock("a3", "c2", "e")}
         |SELECT vec_id, cid FROM a3 ORDER BY vec_id""".stripMargin,
+    // q190: exact k-th smallest of the STORED o_custkey column — same
+    // replay-by-ordering oracle as q180; the Spark side's refinement
+    // rounds carry literal range predicates that reach the parquet
+    // scan as PushedFilters (the stored-column pruning demonstration).
+    "q190_stored_quantiles" ->
+      """WITH v AS (SELECT CAST(o_custkey AS BIGINT) AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT q.q, n.n, CAST(ceil(q.q * n.n) AS BIGINT) AS k,
+        |       (SELECT r.v FROM r
+        |        WHERE r.rk = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
+        |FROM q, n ORDER BY q.q""".stripMargin,
+    // q191: rolling DAU sketch validation — the oracle replays the
+    // exact end-day counts and pins the HLL-vs-exact envelope flag ≡ 1
+    // (the raw approx value is engine-internal; q156's summary-
+    // invariant pattern). The spec asserts the same envelope in-engine.
+    "q191_rolling_dau_hll" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |days AS (SELECT DISTINCT d AS end_day FROM a)
+        |SELECT days.end_day,
+        |       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users,
+        |       CAST(1 AS INTEGER) AS within_bound
+        |FROM a JOIN days ON a.d >= days.end_day - 6
+        |               AND a.d <= days.end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q192: incremental SCD2 — Spark merges the Jan-16 time-split
+    // (existing versions + suffix batch, never rescanning the log);
+    // the oracle is the FULL-LOG rebuild, so a hash match IS the
+    // merge(split) == rebuild(full) proof.
+    "q192_scd2_merge" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, ts,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id)
+        |               AS prev_state
+        |           FROM events),
+        |r AS (SELECT user_id, event_id, event_type, ts FROM o
+        |      WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |       lead(ts) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CASE WHEN lead(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_current
+        |FROM r ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // q193: single-pass funnel — ONE event-log scan (per-user sorted
+    // (ts, stage) fold); the oracle is q183's per-stage join form, so
+    // the hash match proves the two funnel plans equal.
+    "q193_funnel_onepass" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY 1),
+        |f AS (SELECT s1.u, s1.t1, s2.t2, s3.t3 FROM s1
+        |      LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT CAST(floor(epoch(t1) / 86400) AS BIGINT) AS cohort_day,
+        |       CAST(count(*) AS BIGINT) AS n_step1,
+        |       CAST(count(t2) AS BIGINT) AS n_step2,
+        |       CAST(count(t3) AS BIGINT) AS n_step3,
+        |       CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q194: OPTIMIZE ZORDER — the Spark side rewrites a manifest table
+    // as Morton-clustered files and reads a stats-pruned box; a plain
+    // WHERE on the raw parquet replays it, proving the cluster rewrite
+    // preserved every row and pruning dropped none.
+    "q194_zorder_optimize" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 60 AND l_suppkey BETWEEN 1 AND 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // q195: join-strategy auto-pick — per-side row/key counts, exact
+    // join cardinality, hottest-key skew_x100, and the broadcast /
+    // salted / shuffle CASE — all integer arithmetic, so the DECISION
+    // replays, not just the inputs.
+    "q195_join_strategy" ->
+      """WITH ca1 AS (SELECT n_regionkey AS k, CAST(count(*) AS BIGINT)
+        |               AS c FROM nation GROUP BY 1),
+        |cb1 AS (SELECT r_regionkey AS k, CAST(count(*) AS BIGINT) AS c
+        |        FROM region GROUP BY 1),
+        |ca2 AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        |        FROM orders GROUP BY 1),
+        |cb2 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        |        FROM lineitem GROUP BY 1),
+        |ca3 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |        FROM customer GROUP BY 1),
+        |cb3 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |        FROM orders GROUP BY 1),
+        |s1 AS (SELECT 'nation_region' AS pair,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM ca1) AS rows_a,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM cb1) AS rows_b,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM ca1) AS keys_a,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM cb1) AS keys_b,
+        |         (SELECT CAST(coalesce(sum(ca1.c * cb1.c), 0) AS BIGINT)
+        |          FROM ca1 JOIN cb1 USING (k)) AS est_rows,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM ca1) AS skew_x100_a,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM cb1) AS skew_x100_b),
+        |s2 AS (SELECT 'orders_lineitem' AS pair,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM ca2) AS rows_a,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM cb2) AS rows_b,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM ca2) AS keys_a,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM cb2) AS keys_b,
+        |         (SELECT CAST(coalesce(sum(ca2.c * cb2.c), 0) AS BIGINT)
+        |          FROM ca2 JOIN cb2 USING (k)) AS est_rows,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM ca2) AS skew_x100_a,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM cb2) AS skew_x100_b),
+        |s3 AS (SELECT 'customer_orders' AS pair,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM ca3) AS rows_a,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM cb3) AS rows_b,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM ca3) AS keys_a,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM cb3) AS keys_b,
+        |         (SELECT CAST(coalesce(sum(ca3.c * cb3.c), 0) AS BIGINT)
+        |          FROM ca3 JOIN cb3 USING (k)) AS est_rows,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM ca3) AS skew_x100_a,
+        |         (SELECT CAST(max(c) * 100 * count(*) // sum(c)
+        |            AS BIGINT) FROM cb3) AS skew_x100_b),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3)
+        |SELECT pair, rows_a, rows_b, keys_a, keys_b, est_rows,
+        |       skew_x100_a, skew_x100_b,
+        |       CASE WHEN least(rows_a, rows_b) <= 1000 THEN 'broadcast'
+        |            WHEN greatest(skew_x100_a, skew_x100_b) >= 200
+        |              THEN 'salted'
+        |            ELSE 'shuffle' END AS strategy
+        |FROM u ORDER BY pair""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -92,9 +92,18 @@ object Learn {
     * n·|Σxy| must stay < 2⁶³ — with day-scale x (~2·10⁴) and micro
     * y ≤ 10⁹ that holds to n ≈ 2·10⁴ rows PER KEY beyond which y
     * should drop to milli-units. A key whose observations all land on
-    * one day has zero variance in x → slope NULL, not a division blowup. */
-  def groupTrend(df: DataFrame, key: String, ts: String, value: String)
-      : DataFrame = trendOf(trendStats(df, key, ts, value), key)
+    * one day has zero variance in x → slope NULL, not a division blowup.
+    *
+    * Overflow is the caller's dial, not a silent wrap (ADVICE r7):
+    * `unitScale` sets the y quantization (10⁶ = micro-units default;
+    * drop to 10³ milli-units to trade 3 digits of y precision for
+    * 1000× more per-key row headroom). Pass the SAME scale to
+    * [[trendStats]] and [[trendOf]] — slope/mean are divided back by
+    * it — identical unitScale in and out keeps the published q179
+    * numbers bit-stable. */
+  def groupTrend(df: DataFrame, key: String, ts: String, value: String,
+      unitScale: Double = 1e6): DataFrame =
+    trendOf(trendStats(df, key, ts, value, unitScale), key, unitScale)
 
   /** The five sufficient statistics of [[groupTrend]] as a MERGEABLE
     * state table (key, n_obs, sx, sy, sxy, sxx): all 64-bit integer
@@ -104,10 +113,11 @@ object Learn {
     * incremental-maintenance form a daily pipeline wants: persist
     * yesterday's per-key stats, fold in today's batch (batch-sized
     * work), derive slopes with [[trendOf]] — never rescan history. */
-  def trendStats(df: DataFrame, key: String, ts: String, value: String)
-      : DataFrame = {
+  def trendStats(df: DataFrame, key: String, ts: String, value: String,
+      unitScale: Double = 1e6): DataFrame = {
+    require(unitScale > 0.0, s"unitScale=$unitScale")
     val x = Behavior.epochDay(col(ts))
-    val y = round(col(value) * lit(1e6), 0).cast("long")
+    val y = round(col(value) * lit(unitScale), 0).cast("long")
     df.select(col(key), x.as("x"), y.as("y"))
       .groupBy(col(key)).agg(
         count(lit(1)).as("n_obs"),
@@ -126,15 +136,17 @@ object Learn {
   /** Slope/mean derivation from a [[trendStats]] state — per-group
     * arithmetic on exact integers; the only float ops are the final
     * rounded divisions, identical in any engine. */
-  def trendOf(stats: DataFrame, key: String): DataFrame = {
+  def trendOf(stats: DataFrame, key: String,
+      unitScale: Double = 1e6): DataFrame = {
+    require(unitScale > 0.0, s"unitScale=$unitScale")
     val num = (col("n_obs") * col("sxy") - col("sx") * col("sy"))
       .cast("double")
     val den = (col("n_obs") * col("sxx") - col("sx") * col("sx"))
       .cast("double")
     stats.select(col(key), col("n_obs"),
-      (round(col("sy").cast("double") / col("n_obs") / 1e6, 6) + lit(0.0))
-        .as("mean_value"),
-      when(den =!= 0.0, round(num / den / 1e6, 6) + lit(0.0))
+      (round(col("sy").cast("double") / col("n_obs") / unitScale, 6)
+        + lit(0.0)).as("mean_value"),
+      when(den =!= 0.0, round(num / den / unitScale, 6) + lit(0.0))
         .otherwise(lit(null).cast("double")).as("slope_per_day"))
   }
 }

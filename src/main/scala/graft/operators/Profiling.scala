@@ -119,14 +119,91 @@ object Profiling {
     * so they fail fast instead of refining toward a wrong answer. */
   def exactQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
       qs: Seq[Double], fanout: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    // NULL values carry no rank: drop them BEFORE the count so
+    // k = ceil(q·n) is a rank among actual values — otherwise the
+    // per-round range filter silently drops NULLs, k can exceed the
+    // non-null row count, and the bucket walk never terminates
+    // (ADVICE r7); all-NULL input now fails fast as "empty input"
+    val vals = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    quantileRefine(spark, qs, fanout) { open =>
+      import spark.implicits._
+      quantileHistRound(vals, open.toDF("qid", "k", "lo", "hi", "width"))
+    } { vals.agg(count(lit(1)), min(col("v")), max(col("v"))).collect()(0) }
+  }
+
+  /** [[exactQuantiles]] over a STORED numeric COLUMN (by name, not a
+    * derived expression) — the same histogram-refinement algorithm, but
+    * every round's range predicates are LITERAL comparisons on the
+    * stored column, so they reach the parquet reader as PushedFilters
+    * and round ≥ 2 prunes row groups by min/max stats (each round's
+    * ranges shrink ÷ fanout, so later rounds read a vanishing fraction
+    * of the file — the scan-pruning payoff [[quantileHistRound]]'s
+    * scaladoc promises but its join-column predicate cannot deliver).
+    * Per-row bucket routing replaces the broadcast-spec cross join: an
+    * array of per-quantile `v ≥ lo → (qid, bucket)` structs (the upper
+    * bound is implied by the pushed scan range per open quantile and by
+    * bucket arithmetic), nulls filtered, exploded — same multi-quantile
+    * single pass, no join at all. Results are identical to
+    * [[exactQuantiles]] on the same column (spec-pinned). */
+  def exactQuantilesStored(df: DataFrame, valueCol: String,
+      qs: Seq[Double], fanout: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val c = col(valueCol)
+    quantileRefine(spark, qs, fanout) { open =>
+      quantileHistRoundStored(df, valueCol, open)
+    } {
+      df.filter(c.isNotNull)
+        .agg(count(lit(1)), min(c.cast("long")), max(c.cast("long")))
+        .collect()(0)
+    }
+  }
+
+  /** ONE refinement-round histogram of [[exactQuantilesStored]] — all
+    * range predicates LITERAL on the stored column, so `.explain` shows
+    * them under the scan's PushedFilters (vs [[quantileHistRound]]'s
+    * join-column predicate, which must evaluate post-scan). */
+  def quantileHistRoundStored(df: DataFrame, valueCol: String,
+      open: Seq[(Int, Long, Long, Long, Long)]): DataFrame = {
+    val c = col(valueCol)
+    val scanFilter = open.map { case (_, _, lo, hi, _) =>
+      c >= lit(lo) && c <= lit(hi) }.reduce(_ || _)
+    val branches = open.map { case (i, _, lo, hi, width) =>
+      when(c >= lit(lo) && c <= lit(hi),
+        struct(lit(i).as("qid"),
+          expr(s"(CAST(`$valueCol` AS BIGINT) - ${lo}L) div ${width}L")
+            .as("b")))
+    }
+    df.filter(c.isNotNull && scanFilter)
+      .select(explode(filter(array(branches: _*), s => s.isNotNull))
+        .as("s"))
+      .groupBy(col("s.qid").as("qid"), col("s.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Shared driver loop of [[exactQuantiles]] / [[exactQuantilesStored]]:
+    * walks ≤ fanout·|qs| bucket counts per round, narrowing each
+    * quantile's [lo, hi] until width 1. `hist(open)` runs ONE
+    * refinement-round aggregate for the open quantiles
+    * (qid, k, lo, hi, width) and returns (qid, bucket, count) rows;
+    * `stats` supplies (non-null count, min, max) as longs. Driver state
+    * is ≤ fanout·|qs| longs — broadcast-state regime, not a data
+    * collect. The post-walk `require(rem == 0)` is the invariant
+    * tripwire: any future mismatch between k and the histogram's row
+    * universe (the ADVICE r7 NULL trap) aborts with a clear error
+    * instead of looping forever. */
+  private def quantileRefine(spark: org.apache.spark.sql.SparkSession,
+      qs: Seq[Double], fanout: Int)
+      (hist: Seq[(Int, Long, Long, Long, Long)] => DataFrame)
+      (stats: => org.apache.spark.sql.Row): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
     require(fanout >= 2, s"fanout=$fanout")
-    val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(value.cast("long").as("v"))
-    val st = vals.agg(count(lit(1)), min($"v"), max($"v")).collect()(0)
+    val st = stats
+    require(!st.isNullAt(0) && st.getLong(0) > 0,
+      "exactQuantiles on empty (or all-NULL) input")
     val n = st.getLong(0)
-    require(n > 0, "exactQuantiles on empty input")
     require(st.getLong(2) - st.getLong(1) >= 0,
       s"value span ${st.getLong(1)}..${st.getLong(2)} exceeds 2^63-1 — " +
         "the histogram arithmetic would wrap; rescale the column first")
@@ -140,14 +217,13 @@ object Profiling {
           val width = (hi - lo) / fanout + 1 // ceil(span/fanout), ≥ 1
           (i, k, lo, hi, width)
       }
-      val spec = open.toDF("qid", "k", "lo", "hi", "width")
-      val hists = quantileHistRound(vals, spec)
+      val hists = hist(open)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       val next = state.toArray
       open.foreach { case (i, k, lo, _, width) =>
         var rem = k
-        for ((_, b, c) <- hists(i).sortBy(_._2)) {
+        for ((_, b, c) <- hists.getOrElse(i, Array.empty).sortBy(_._2)) {
           if (rem > 0) {
             if (c >= rem) {
               val lo2 = lo + b * width
@@ -157,6 +233,9 @@ object Profiling {
             } else rem -= c
           }
         }
+        require(rem == 0,
+          s"exactQuantiles invariant broken: rank residual $rem not " +
+            s"covered by the [$lo, ${state(i)._4}] histogram")
       }
       state = next.toSeq
     }

@@ -461,6 +461,29 @@ object Similarity {
     lloydCentroids(base, init, iters)
   }
 
+  /** A driver-side codebook as a persistable (cid, c) DataFrame — the
+    * [[graft.sources.IndexStore]] round-trip form of
+    * [[kmeansCentroids]]: parquet stores the IEEE doubles exactly, so
+    * persist → [[centroidsOf]] reproduces the trained array
+    * bit-for-bit and every downstream probe ([[assignWith]]) is
+    * byte-identical to probing the inline training. This is how a
+    * codebook becomes a VERSIONED artifact (q186): each training run
+    * commits one snapshot under its own fingerprint; monitors read two
+    * versions and pay probes only. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+  }
+
+  /** Read a persisted codebook back to the broadcast-state array form
+    * [[assignWith]] probes — k rows collected, sorted by cid. */
+  def centroidsOf(df: DataFrame): Array[(Long, Array[Double])] =
+    df.select(col("cid"), col("c").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   /** Map-only (vec_id, cid) assignment against STORED centroids — the
     * probe half of the trained quantizer, shuffle-free at any scale. */
   def assignWith(emb: DataFrame,
@@ -1126,15 +1149,21 @@ object Similarity {
   def binaryTopK(emb: DataFrame, queryId: Long, k: Int, rerank: Int = 32,
       dim: Int = 64): DataFrame = {
     require(k >= 1 && rerank >= 1, s"k=$k rerank=$rerank")
-    val bq = binaryQuantize(emb, dim)
-      .select(col("vec_id"), col("bits"), asDouble(col("embedding")).as("v"))
-    val q = bq.filter(col("vec_id") === queryId)
-      .select(col("bits").as("qbits"), col("v").as("qv"))
-    Par.fanOut(bq.filter(col("vec_id") =!= queryId))
-      .crossJoin(broadcast(q))
+    // prescreen frame carries ONLY (vec_id, bits) — one long of payload
+    // per corpus row; the float vector joins back for the ≤ rerank
+    // survivors (VERDICT r7 #2: the candidate row width IS the scan)
+    val bq = binaryQuantize(emb, dim).select(col("vec_id"), col("bits"))
+    val q = binaryQuantize(emb.filter(col("vec_id") === queryId), dim)
+      .select(col("bits").as("qbits"), asDouble(col("embedding")).as("qv"))
+    val survivors = Par.fanOut(bq.filter(col("vec_id") =!= queryId))
+      .crossJoin(broadcast(q.select(col("qbits"))))
       .withColumn("hd", expr("bit_count(bits ^ qbits)"))
       .orderBy(col("hd"), col("vec_id"))
       .limit(rerank)
+      .select(col("vec_id"), col("hd"))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(survivors), "vec_id")
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("hd"),
         (round(cosine(col("v"), col("qv")), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -1148,25 +1177,40 @@ object Similarity {
     * rankings are rank-LIMIT filters, which Spark rewrites to
     * WindowGroupLimit — per-partition top-`rerank` heaps BEFORE the qid
     * shuffle, so the shuffle carries ≤ partitions·queries·rerank rows,
-    * never the corpus. Only the ≤ queries·rerank prescreen survivors
-    * ever touch their float vector. Same two deterministic boundaries
-    * as [[binaryTopK]] — the oracle replays the full result. */
+    * never the corpus. The prescreen frame holds ONLY (vec_id, bits) ×
+    * (qid, qbits) — no float column anywhere in the candidate rows
+    * (VERDICT r7 #2); the ≤ queries·rerank survivors join their float
+    * vectors back (survivor-side broadcast hash joins) for the exact
+    * pass. Same two deterministic boundaries as [[binaryTopK]] — the
+    * oracle replays the full result.
+    *
+    * `excludeSelf` (default true) drops corpus rows whose vec_id equals
+    * the query's qid — the self-match suppression wanted when queries
+    * are SAMPLED FROM the corpus (q185's shape), which assumes corpus
+    * and queries share one id space. When queries come from a disjoint
+    * id space, pass excludeSelf = false: with it on, an unrelated
+    * corpus vector that happens to collide with a qid would be silently
+    * excluded from that query's results (ADVICE r7). */
   def binaryKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
-      rerank: Int, dim: Int = 64): DataFrame = {
+      rerank: Int, dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && rerank >= 1, s"k=$k rerank=$rerank")
-    val bq = binaryQuantize(corpus, dim)
-      .select(col("vec_id"), col("bits"), asDouble(col("embedding")).as("v"))
+    val bq = binaryQuantize(corpus, dim).select(col("vec_id"), col("bits"))
     val qs = binaryQuantize(queries, dim)
-      .select(col("vec_id").as("qid"), col("bits").as("qbits"),
-        asDouble(col("embedding")).as("qv"))
+      .select(col("vec_id").as("qid"), col("bits").as("qbits"))
     val wPre = Window.partitionBy(col("qid")).orderBy(col("hd"), col("vec_id"))
     val wCos = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
-    Par.fanOut(bq).crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
+    val cand = Par.fanOut(bq).crossJoin(broadcast(qs))
+    val survivors = (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid"))
+      else cand)
       .withColumn("hd", expr("bit_count(bits ^ qbits)"))
       .withColumn("rk", row_number().over(wPre))
       .filter(col("rk") <= rerank)
+      .select(col("qid"), col("vec_id"), col("hd"))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        asDouble(col("embedding")).as("qv"))), "qid")
       .withColumn("cos", round(cosine(col("v"), col("qv")), 4) + lit(0.0))
       .withColumn("crk", row_number().over(wCos))
       .filter(col("crk") <= k)

@@ -312,4 +312,50 @@ object Sketches {
             "abs(est_rows - exact_rows) * 1000000 div exact_rows"))
           .as("err_ppm"))
   }
+
+  /** Join-strategy auto-pick — [[joinSizeEstimate]] and
+    * [[graft.operators.Profiling.keySkewProfile]] composed into the
+    * decision they exist to inform: from the two keys-sized count
+    * tables alone (never a row-sized pass beyond each side's one
+    * map-side-combined aggregate), emit per-side row/key counts, the
+    * exact join cardinality Σₖ cntA·cntB, each side's hottest-key ×100
+    * ratio to its mean key size (the [[Profiling.keySkewProfile]]
+    * skew_x100 statistic), and the verdict:
+    *
+    *   1. `broadcast` — either side fits the broadcast budget
+    *      (`least(rows_a, rows_b) <= broadcastMaxRows`; at cluster
+    *      scale the budget is autoBroadcastJoinThreshold ÷ avg row
+    *      width);
+    *   2. `salted` — too big to broadcast AND a hot key dominates
+    *      (`greatest(skew) >= saltSkewX100` — the [[Salt.saltedJoin]]
+    *      trigger: one reducer would own skew/100 × the mean key's
+    *      work);
+    *   3. `shuffle` — the default sort-merge/shuffle-hash regime.
+    *
+    * All-integer arithmetic (counts, integer div), so the decision —
+    * not just the inputs — replays exactly in the oracle (q195). */
+  def joinStrategyPick(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, broadcastMaxRows: Long, saltSkewX100: Long)
+      : DataFrame = {
+    require(broadcastMaxRows >= 0 && saltSkewX100 >= 100,
+      s"broadcastMaxRows=$broadcastMaxRows saltSkewX100=$saltSkewX100")
+    val ca = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("cb"))
+    val sa = ca.agg(sum(col("ca")).as("rows_a"),
+      count(lit(1)).as("keys_a"), max(col("ca")).as("max_a"))
+    val sb = cb.agg(sum(col("cb")).as("rows_b"),
+      count(lit(1)).as("keys_b"), max(col("cb")).as("max_b"))
+    val est = ca.join(cb, "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est_rows"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(est))
+      .withColumn("skew_x100_a", expr("max_a * 100 * keys_a div rows_a"))
+      .withColumn("skew_x100_b", expr("max_b * 100 * keys_b div rows_b"))
+      .select(col("rows_a"), col("rows_b"), col("keys_a"), col("keys_b"),
+        col("est_rows"), col("skew_x100_a"), col("skew_x100_b"),
+        when(least(col("rows_a"), col("rows_b")) <= broadcastMaxRows,
+            "broadcast")
+          .when(greatest(col("skew_x100_a"), col("skew_x100_b"))
+            >= saltSkewX100, "salted")
+          .otherwise("shuffle").as("strategy"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lag, lead, when}
+import org.apache.spark.sql.functions.{col, lag, lead, row_number, when}
 
 /** A7 idempotent upsert-ignore (SURVEY.md §2.4): the reference's
   * `INSERT IGNORE` + `UNIQUE(symbol, date)` sink contract (etl.py:127,
@@ -50,10 +50,47 @@ object Upsert {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
     changes
       .withColumn("prev_state", lag(col(state), 1).over(w))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col(state))
+      .withColumn("rn", row_number().over(w))
+      // NULL-SAFE change detect (ADVICE r7): `prev =!= state` is NULL
+      // when either side is NULL, which silently drops a transition
+      // INTO a NULL state and duplicates consecutive NULL states. The
+      // <=> comparison treats NULL as a value; the rn === 1 guard keeps
+      // each key's first row (whose lag default would otherwise
+      // null-safe-equal a genuinely-NULL first state).
+      .filter(col("rn") === 1 || !(col("prev_state") <=> col(state)))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .select(col(key), col(tie), col(state).as("state"),
         col(ts).as("valid_from"), col("valid_to"),
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance: fold a NEW batch of change events
+    * into an EXISTING [[scd2]] version table without rescanning the
+    * source log — the nightly-merge form a warehouse actually runs.
+    * Each existing version row IS a change row (its state first
+    * observed at valid_from), so reopening the versions as changes,
+    * unioning the batch, and re-running the [[scd2]] window pass
+    * rebuilds the full table in O(|versions| + |batch|): the shared
+    * (ts, tie) sort closes the previously-open interval against the
+    * batch's first differing state and compacts a batch row that
+    * merely repeats the open state — exactly what a full rebuild
+    * would emit.
+    *
+    * Contract (the standard append-only CDC watermark): per key, every
+    * batch row's (ts, tie) must order AFTER every row of the log the
+    * existing table was built from. A LATE row landing between two
+    * compacted-away historical duplicates cannot be replayed from the
+    * compacted table (the duplicate that would re-open is gone) — late
+    * data needs a rebuild from the retained log. Under the contract,
+    * `scd2Merge(scd2(prefix), suffix) == scd2(full)` for ANY time-split
+    * prefix/suffix — the property the spec replays. One key-sized
+    * shuffle, same plan shape as [[scd2]]. */
+  def scd2Merge(existing: DataFrame, batch: DataFrame, key: String,
+      state: String, ts: String, tie: String): DataFrame = {
+    val reopened = existing.select(col(key), col(tie),
+      col("state").as(state), col("valid_from").as(ts))
+    scd2(reopened.unionByName(
+        batch.select(col(key), col(tie), col(state), col(ts))),
+      key, state, ts, tie)
   }
 }

@@ -1589,17 +1589,31 @@ object NorthStar {
     * centroids ([[graft.operators.Similarity.assignWith]]); the join is
     * on vec_id; one aggregate. The answer to "when must the IVF index
     * rebuild?" — the question every persisted-index deployment
-    * (IndexStore, q138/q156) has to keep asking. Unlike a SERVING
-    * query (the q156 lesson), a drift MONITOR legitimately computes
-    * codebooks — still, both Lloyd trainings run inline here only to
-    * keep the query self-contained; a deployment would read the two
-    * codebook VERSIONS from IndexStore and pay probes + one aggregate. */
+    * (IndexStore, q138/q156) has to keep asking. The two codebooks are
+    * VERSIONED IndexStore artifacts (VERDICT r7 #3): each Lloyd chain
+    * trains AT MOST ONCE per corpus fingerprint and commits its own
+    * snapshot ([[codebookDir]] v1 = even-half "yesterday", v2 = full
+    * retrain); the monitor's serving plan reads two k-row parquet
+    * codebooks and pays two map-only probes + one aggregate — no
+    * training job (parquet stores the IEEE doubles exactly, so the
+    * persisted probe is bit-identical to inline training —
+    * IndexedOpsSpec pins it). */
   def codebookDrift(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    val oldC = Similarity.kmeansCentroids(
-      emb.filter($"vec_id" % 2 === 0), 8, 2)
-    val newC = Similarity.kmeansCentroids(emb, 8, 2)
+    val oldC = Similarity.centroidsOf(graft.sources.IndexStore.ensure(
+      spark, codebookDir(d, "v1"),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
+        "codebook=even-half,k8,iters2")) {
+      Similarity.centroidsDF(spark,
+        Similarity.kmeansCentroids(emb.filter($"vec_id" % 2 === 0), 8, 2))
+    })
+    val newC = Similarity.centroidsOf(graft.sources.IndexStore.ensure(
+      spark, codebookDir(d, "v2"),
+      graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
+        "codebook=full,k8,iters2")) {
+      Similarity.centroidsDF(spark, Similarity.kmeansCentroids(emb, 8, 2))
+    })
     val pairs = Similarity.assignWith(emb, oldC)
       .withColumnRenamed("cid", "cid_old")
       .join(Similarity.assignWith(emb, newC)
@@ -1616,5 +1630,137 @@ object NorthStar {
         $"cnt".as("n_major"),
         expr("cnt * 1000000 div n").as("purity_ppm"))
       .orderBy($"cid_new")
+  }
+
+  /** Per-SF location of a persisted codebook VERSION (q186: v1 = the
+    * even-half "yesterday" training, v2 = the full retrain). */
+  def codebookDir(d: String, version: String): String =
+    s"spark-warehouse/graft_index/codebook_${version}_${new java.io.File(d).getName}"
+
+  /** G6/X14 exact quantiles over a STORED integer column
+    * ([[graft.operators.Profiling.exactQuantilesStored]]): p50/p90/p99
+    * of o_custkey with every refinement round's ranges as LITERAL
+    * predicates on the stored column — they reach the parquet scan as
+    * PushedFilters and rounds ≥ 2 prune row groups by min/max stats
+    * (the q180 scaladoc's left-on-the-table item, VERDICT r7 #4).
+    * Same oracle shape as q180: k-th smallest by ordering. */
+  def custkeyQuantiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.exactQuantilesStored(Tables.orders(spark, d),
+      "o_custkey", Seq(0.5, 0.9, 0.99))
+      .orderBy($"q")
+  }
+
+  /** X15/X8 mergeable-sketch rolling DAU validated against the exact
+    * baseline: [[graft.operators.Behavior.rollingDistinctApprox]]
+    * (HLL++ partials over the same map-only explode(sequence) window
+    * expansion) joined to [[graft.operators.Behavior.rollingDistinct]]
+    * per end day; emits the exact count plus a within-envelope flag
+    * (|approx − exact| ≤ 1 + 3·rsd·exact — HLL++ is exact in sparse
+    * mode at these cardinalities and ±3σ bounds the dense mode). The
+    * oracle replays end_day + exact count and pins the flag ≡ 1; the
+    * raw approx value is engine-internal so it stays out of the gate
+    * columns (the q156 summary-invariant pattern). */
+  def rollingDauApprox(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val exact = Behavior.rollingDistinct(ev, "user_id", "ts", 7)
+    val approx = Behavior.rollingDistinctApprox(ev, "user_id", "ts", 7, 0.05)
+    exact.join(approx, "end_day")
+      .select($"end_day", $"n_users",
+        (abs($"n_approx" - $"n_users").cast("double") <=
+          lit(1.0) + lit(3 * 0.05) * $"n_users")
+          .cast("int").as("within_bound"))
+      .orderBy($"end_day")
+  }
+
+  /** A9 incremental SCD2 merge ([[graft.operators.Upsert.scd2Merge]]):
+    * the events log time-split at Jan 16 — the prefix builds the
+    * "existing" version table, the suffix is the nightly batch folded
+    * in WITHOUT rescanning the log (O(|versions| + |batch|)). The
+    * oracle is the FULL-LOG rebuild SQL (q178's), so the gate itself
+    * proves merge(split) == rebuild(full) — the incremental-
+    * maintenance contract, same shape as q176/q179's merge proofs. */
+  def scd2Merged(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val existing = Upsert.scd2(ev.filter($"ts" <= cutoff),
+      "user_id", "event_type", "ts", "event_id")
+    Upsert.scd2Merge(existing, ev.filter($"ts" > cutoff),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** X15 single-pass funnel ([[graft.operators.Behavior
+    * .funnelSinglePass]]): q183's strictly-ordered signup → view →
+    * purchase funnel in ONE event-log scan — per-user sorted
+    * (ts, stage) fold instead of one min-aggregate join per stage.
+    * Same oracle as q183: the gate proves the two forms equal. */
+  def funnelOnePass(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.funnelSinglePass(Tables.events(spark, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase"))
+      .orderBy($"cohort_day")
+  }
+
+  /** X10 OPTIMIZE ZORDER as a manifest maintenance op
+    * ([[graft.sources.ManifestTable.optimizeZorder]]): lineitem's
+    * (orderkey, partkey, suppkey, quantity) projection lands in a
+    * manifest table, ONE commit rewrites it as 8 Morton-clustered
+    * files, then a stats-pruned box read
+    * ([[graft.sources.ManifestTable.readWhereBetween]] on l_partkey +
+    * row filter on both dimensions) returns the box — the oracle
+    * replays it as a plain WHERE on the raw parquet, proving the
+    * cluster-rewrite preserved rows exactly and pruning dropped
+    * nothing. The spec additionally asserts the box touches FEWER
+    * files than it would under the unclustered layout (the actual
+    * OPTIMIZE payoff); the demo intentionally re-runs the maintenance
+    * write per invocation — the op IS the query. */
+  def zorderOptimize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val dir = maintDir(d, "zopt")
+    val li = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity")
+    ManifestTable.create(dir, Seq("l_partkey", "l_suppkey"))
+    ManifestTable.overwriteWithRetry(spark, dir, li)
+    ManifestTable.optimizeZorder(spark, dir, "l_partkey", "l_suppkey", 8)
+    val (_, boxDf, _, _) = ManifestTable.readWhereBetween(spark, dir,
+      "l_partkey", 10L, 60L)
+    boxDf
+      .filter($"l_partkey".between(10, 60) && $"l_suppkey".between(1, 5))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Per-SF location of a maintenance-demo manifest table. */
+  def maintDir(d: String, name: String): String =
+    s"spark-warehouse/graft_maint/${name}_${new java.io.File(d).getName}"
+
+  /** X8 join-strategy auto-pick ([[graft.operators.Sketches
+    * .joinStrategyPick]]): the broadcast / shuffle / salted decision
+    * computed from keys-sized count tables for three join shapes —
+    * nation ⋈ region (tiny side → broadcast), orders ⋈ lineitem on
+    * orderkey (big, uniform → shuffle), customer ⋈ orders on custkey
+    * (big, hot custkeys ≥ 2× mean → salted, the q184 skew profile
+    * feeding the q73 mitigation). Budgets: 1000 broadcast rows,
+    * skew_x100 ≥ 200. All-integer stats, so the oracle replays the
+    * DECISIONS, not just the inputs. */
+  def joinStrategies(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def pick(name: String, a: DataFrame, ak: String, b: DataFrame,
+        bk: String) =
+      graft.operators.Sketches.joinStrategyPick(a, ak, b, bk, 1000L, 200L)
+        .withColumn("pair", lit(name))
+    pick("nation_region", Tables.nation(spark, d), "n_regionkey",
+        Tables.region(spark, d), "r_regionkey")
+      .unionByName(pick("orders_lineitem", Tables.orders(spark, d),
+        "o_orderkey", Tables.lineitem(spark, d), "l_orderkey"))
+      .unionByName(pick("customer_orders", Tables.customer(spark, d),
+        "c_custkey", Tables.orders(spark, d), "o_custkey"))
+      .select($"pair", $"rows_a", $"rows_b", $"keys_a", $"keys_b",
+        $"est_rows", $"skew_x100_a", $"skew_x100_b", $"strategy")
+      .orderBy($"pair")
   }
 }

@@ -409,6 +409,33 @@ object ManifestTable {
     }
   }
 
+  /** `OPTIMIZE table ZORDER BY (x, y)`: rewrite the CURRENT snapshot as
+    * `nFiles` Morton-clustered files — compact + cluster + commit in ONE
+    * snapshot swap. Each output file covers a small (x, y) tile
+    * ([[graft.operators.Layout.morton2]]: range partition on the
+    * interleaved code + in-partition sort, then the helper column drops
+    * before the write), so the manifest's per-file min/max stats prune
+    * box predicates on EITHER dimension ([[readWhereBetween]]) — the
+    * Delta/Iceberg maintenance op, on this table format. Cost: one range
+    * shuffle of the current snapshot (what any OPTIMIZE pays); readers
+    * pinned to older versions keep their exact files until [[vacuum]].
+    * Columns must be 16-bit-quantized already (morton2's contract).
+    * CASes against the read version like every commit. */
+  def optimizeZorder(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, nFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val (v, df) = read(spark, dir)
+    val clustered = df
+      .withColumn("__zcode",
+        graft.operators.Layout.morton2(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__zcode"))
+      .sortWithinPartitions(col("__zcode"))
+      .drop("__zcode")
+    commit(dir, expectedVersion = v, keepOld = false, txn = None) { staging =>
+      clustered.write.mode("append").parquet(staging.toString)
+    }
+  }
+
   /** Copy-on-write MERGE (upsert): rows of `updates` whose key matches an
     * existing row REPLACE it; unmatched keys are INSERTED — `MERGE WHEN
     * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the

@@ -293,4 +293,30 @@ class IndexedOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("posexplode"),
       s"serving plan must not retrain:\n$plan")
   }
+
+  test("versioned codebooks (q186 contract): persisted centroid " +
+      "versions probe identically to inline training, train at most " +
+      "once per fingerprint") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val inlineOld = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") % 2 === 0), 4, 2)
+    val root = Files.createTempDirectory("codebook_ver_").toString
+    var trainings = 0
+    def version(name: String, c: => Array[(Long, Array[Double])]) =
+      IndexStore.ensure(spark, s"$root/$name", s"fp-$name") {
+        trainings += 1
+        Similarity.centroidsDF(spark, c)
+      }
+    val v1 = Similarity.centroidsOf(
+      version("v1", Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 2 === 0), 4, 2)))
+    // bit-exact round trip: probing v1 == probing the inline training
+    assert(sortedRows(Similarity.assignWith(emb, v1)) ==
+      sortedRows(Similarity.assignWith(emb, inlineOld)))
+    // fresh fingerprint: the second ensure must NOT retrain
+    Similarity.centroidsOf(
+      version("v1", sys.error("must not retrain"): Nothing))
+    assert(trainings == 1)
+  }
 }

@@ -1241,4 +1241,135 @@ class NorthStarSpec extends SparkSpec {
       (0L, 2L, 1, 1, 0.995), (0L, 1L, 1, 2, 0.0),
       (1L, 0L, 0, 1, 0.0), (1L, 3L, 0, 2, 0.0)))
   }
+
+  test("funnelSinglePass == funnel on the strict-order fixture AND on " +
+      "real events (one scan vs one join per stage)") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      (2L, "signup", t("2024-01-01 10:00:00")),
+      (2L, "purchase", t("2024-01-01 10:30:00")), // before view: no conv
+      (2L, "view", t("2024-01-01 11:00:00")),
+      (3L, "view", t("2024-01-01 09:00:00")),     // never signs up
+      (4L, "signup", t("2024-01-02 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "purchase")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy($"cohort_day")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(run(Behavior.funnelSinglePass(fixture, "user_id", "ts",
+        "event_type", steps)) ==
+      run(Behavior.funnel(fixture, "user_id", "ts", "event_type", steps)))
+    val ev = graft.Tables.events(spark, sf)
+    assert(run(Behavior.funnelSinglePass(ev, "user_id", "ts",
+        "event_type", steps)) ==
+      run(Behavior.funnel(ev, "user_id", "ts", "event_type", steps)))
+  }
+
+  test("funnelSinglePass fails fast past maxEventsPerUser instead of " +
+      "building an unbounded per-user row") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    val ev = (0 until 12).map(i => (1L, "signup", t(i)))
+      .toDF("user_id", "event_type", "ts")
+    val e = intercept[Exception] {
+      Behavior.funnelSinglePass(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"), maxEventsPerUser = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxEventsPerUser")))
+  }
+
+  test("rollingDistinctApprox tracks the exact rolling DAU within the " +
+      "HLL envelope on real events, same observed-day set") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val exact = Behavior.rollingDistinct(ev, "user_id", "ts", 7)
+    val approx = Behavior.rollingDistinctApprox(ev, "user_id", "ts", 7, 0.05)
+    val joined = exact.join(approx, Seq("end_day"), "full_outer")
+      .select($"end_day", $"n_users", $"n_approx")
+      .as[(Long, Option[Long], Option[Long])].collect().toList
+    assert(joined.nonEmpty)
+    joined.foreach { case (d, ne, na) =>
+      assert(ne.isDefined && na.isDefined, s"day $d present in both")
+      assert(math.abs(na.get - ne.get) <= 1.0 + 3 * 0.05 * ne.get,
+        s"day $d exact ${ne.get} approx ${na.get} outside envelope")
+    }
+  }
+
+  test("exactQuantilesStored == exactQuantiles on the same stored " +
+      "column (literal pushed ranges vs broadcast-spec join)") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val a = Profiling.exactQuantilesStored(orders, "o_custkey", qs)
+      .as[(Double, Long, Long, Long)].collect().toList.sortBy(_._1)
+    val b = Profiling.exactQuantiles(orders, col("o_custkey"), qs)
+      .as[(Double, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(a == b)
+  }
+
+  test("exactQuantiles ranks among NON-NULL values only and fails fast " +
+      "on all-NULL input (ADVICE r7: the NULL spin-loop trap)") {
+    import spark.implicits._
+    // 10 non-null values 1..10 + 5 NULLs: p90 → k=9 → value 9; with
+    // NULLs counted the old k=14 would exceed the 10 rankable rows and
+    // the refinement loop would never terminate
+    val vals = ((1 to 10).map(i => Some(i.toLong)) ++
+      Seq.fill(5)(Option.empty[Long])).toDF("x")
+    val got = Profiling.exactQuantiles(vals, col("x"), Seq(0.9))
+      .as[(Double, Long, Long, Long)].collect().toList
+    assert(got == List((0.9, 10L, 9L, 9L)))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantiles(
+        Seq.fill(3)(Option.empty[Long]).toDF("x"), col("x"), Seq(0.5))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("centroidsDF -> parquet -> centroidsOf round-trips a trained " +
+      "codebook bit-exactly (the q186 versioned-artifact contract)") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val trained = Similarity.kmeansCentroids(emb, 4, 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("codebook_rt").toString + "/cb"
+    Similarity.centroidsDF(spark, trained)
+      .write.mode("overwrite").parquet(dir)
+    val back = Similarity.centroidsOf(spark.read.parquet(dir))
+    assert(back.length == trained.length)
+    trained.zip(back).foreach { case ((cid1, c1), (cid2, c2)) =>
+      assert(cid1 == cid2)
+      assert(c1.toSeq == c2.toSeq) // IEEE doubles, parquet-exact
+    }
+  }
+
+  test("trendStats unitScale dial: milli-unit stats merge and derive " +
+      "consistently (scale in == scale out)") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val milli = Learn.trendOf(
+      Learn.trendStats(ev, "user_id", "ts", "value", 1e3),
+      "user_id", 1e3)
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+      .sortBy(_._1)
+    val micro = Learn.groupTrend(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+      .sortBy(_._1)
+    assert(milli.map(_._1) == micro.map(_._1))
+    milli.zip(micro).foreach { case ((_, n1, m1, s1), (_, n2, m2, s2)) =>
+      assert(n1 == n2)
+      // milli-units quantize y 1000× coarser: means/slopes agree to
+      // the quantization step, not bit-exactly
+      assert(math.abs(m1 - m2) <= 1e-3)
+      assert(s1.isDefined == s2.isDefined)
+      s1.zip(s2).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-2) }
+    }
+  }
 }

@@ -123,6 +123,62 @@ class OperatorSpec extends SparkSpec {
       (30L, 6L, "b", "2024-01-01 09:00:00.0", None, 1)))
   }
 
+  test("Upsert.scd2 is NULL-safe: a transition INTO a NULL state opens " +
+      "a version, consecutive NULLs compact, a NULL first state is kept") {
+    import spark.implicits._
+    val log = Seq(
+      // u10: x → NULL (must version) → NULL (must compact) → x
+      (1L, 10L, Some("x"), ts("2024-01-01 10:00:00")),
+      (2L, 10L, None, ts("2024-01-01 11:00:00")),
+      (3L, 10L, None, ts("2024-01-01 12:00:00")),
+      (4L, 10L, Some("x"), ts("2024-01-01 13:00:00")),
+      // u20: NULL first state — the rn === 1 guard keeps it
+      (5L, 20L, None, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val got = Upsert.scd2(log, "user_id", "event_type", "t", "event_id")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getTimestamp(3).toString,
+        Option(r.getTimestamp(4)).map(_.toString), r.getInt(5))).toList
+    assert(got == List(
+      (10L, 1L, Some("x"), "2024-01-01 10:00:00.0",
+        Some("2024-01-01 11:00:00.0"), 0),
+      (10L, 2L, None, "2024-01-01 11:00:00.0",
+        Some("2024-01-01 13:00:00.0"), 0),
+      (10L, 4L, Some("x"), "2024-01-01 13:00:00.0", None, 1),
+      (20L, 5L, None, "2024-01-01 09:00:00.0", None, 1)))
+  }
+
+  test("Upsert.scd2Merge folds an append-only batch into existing " +
+      "versions == full-log rebuild (compaction across the seam both " +
+      "ways: repeated open state collapses, changed state closes it)") {
+    import spark.implicits._
+    val full = Seq(
+      (1L, 10L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "x", ts("2024-01-01 11:00:00")), // compacted pre-cutoff
+      (3L, 20L, "y", ts("2024-01-01 11:30:00")),
+      // ---- cutoff: 2024-01-01 12:00:00 ----
+      (4L, 10L, "x", ts("2024-01-01 13:00:00")), // repeats open state
+      (5L, 10L, "z", ts("2024-01-01 14:00:00")), // closes x, opens z
+      (6L, 20L, "y", ts("2024-01-01 15:00:00")), // repeats open state
+      (7L, 30L, "q", ts("2024-01-01 16:00:00"))  // brand-new key
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val cut = ts("2024-01-01 12:00:00")
+    val existing = Upsert.scd2(full.filter($"t" <= cut),
+      "user_id", "event_type", "t", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"user_id", $"valid_from", $"event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3).toString,
+          Option(r.getTimestamp(4)).map(_.toString), r.getInt(5))).toList
+    val merged = canon(Upsert.scd2Merge(existing,
+      full.filter($"t" > cut), "user_id", "event_type", "t", "event_id"))
+    val rebuilt = canon(Upsert.scd2(full,
+      "user_id", "event_type", "t", "event_id"))
+    assert(merged == rebuilt)
+    assert(merged.map(_._1).distinct == List(10L, 20L, 30L))
+  }
+
   test("Sessionize splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val ev = Seq(

@@ -598,9 +598,44 @@ object PropertySpec extends Properties("graft.operators") {
       batch == singles
     }
 
+  property("scd2Merge: time-split merge == full-log rebuild at any " +
+      "cutoff (the append-only CDC watermark contract)") =
+    Prop.forAllNoShrink(changeRows, Gen.chooseNum(0L, 20L)) { (rows, cut) =>
+      import spark.implicits._
+      val log = rows.zipWithIndex.map { case ((k, t, st), i) =>
+        (i.toLong, k, st, new java.sql.Timestamp(t * 1000)) }
+      val df = log.toDF("eid", "k", "st", "t")
+      val cutoff = new java.sql.Timestamp(cut * 1000)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select($"k", $"eid", $"state", $"valid_from", $"valid_to")
+          .as[(Long, Long, String, java.sql.Timestamp,
+            Option[java.sql.Timestamp])].collect().toList
+          .sortBy(v => (v._1, v._4.getTime, v._2))
+      val existing = Upsert.scd2(df.filter($"t" <= cutoff),
+        "k", "st", "t", "eid")
+      val merged = canon(Upsert.scd2Merge(existing,
+        df.filter($"t" > cutoff), "k", "st", "t", "eid"))
+      merged == canon(Upsert.scd2(df, "k", "st", "t", "eid"))
+    }
+
   private val funnelEvents = Gen.listOfN(24,
     Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 500000L),
       Gen.oneOf("signup", "view", "purchase")))
+
+  property("funnelSinglePass == funnel (one-scan fold == per-stage " +
+      "min-join) on any event log") =
+    Prop.forAllNoShrink(funnelEvents) { rows =>
+      import spark.implicits._
+      val ev = rows.map { case (u, t, st) =>
+        (u, st, new java.sql.Timestamp(t * 1000)) }
+        .toDF("user_id", "event_type", "ts")
+      val steps = Seq("signup", "view", "purchase")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Long, Long, Long)].collect().toList.sorted
+      canon(Behavior.funnelSinglePass(ev, "user_id", "ts",
+        "event_type", steps)) ==
+        canon(Behavior.funnel(ev, "user_id", "ts", "event_type", steps))
+    }
 
   property("funnel stage counts are monotone nonincreasing per cohort") =
     Prop.forAllNoShrink(funnelEvents) { rows =>

@@ -113,4 +113,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged == full)
     assert(merged == Set(("A", 1L), ("A", 2L), ("B", 9L)))
   }
+
+  test("joinStrategyPick: tiny side → broadcast; hot key past the " +
+      "skew trigger → salted; big uniform → shuffle (the q184 skew " +
+      "statistic driving the q73 mitigation)") {
+    import spark.implicits._
+    def decide(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Sketches.joinStrategyPick(a, "k", b, "k", 10L, 200L)
+        .select($"strategy", $"est_rows")
+        .as[(String, Long)].collect().head
+    val tiny = Seq(1L, 2L, 3L).toDF("k")
+    val bigUniform = spark.range(100).select(($"id" % 50).as("k"))
+    // 40 rows on one key + 20 singletons: skew_x100 =
+    // 40·100·21 div 60 = 1400 ≥ 200 → salted
+    val skewed = (Seq.fill(40)(7L) ++ (100L until 120L)).toDF("k")
+    assert(decide(tiny, bigUniform) == (("broadcast", 6L)))
+    assert(decide(bigUniform, skewed)._1 == "salted")
+    assert(decide(bigUniform, bigUniform) == (("shuffle", 200L)))
+    // the skew statistic matches Profiling.keySkewProfile's top row
+    val top = Profiling.keySkewProfile(skewed, "k", 1)
+      .select($"skew_x100").as[Long].collect().head
+    val picked = Sketches.joinStrategyPick(skewed, "k", skewed, "k",
+        10L, 200L)
+      .select($"skew_x100_a").as[Long].collect().head
+    assert(top == picked && top == 1400L)
+  }
 }
