@@ -216,6 +216,8 @@ object SparkEntry {
     "q193_funnel_onepass" -> (NorthStar.funnelOnePass _),
     "q194_zorder_optimize" -> (NorthStar.zorderOptimize _),
     "q195_join_strategy" -> (NorthStar.joinStrategies _),
+    "q196_dau_state"     -> (NorthStar.rollingDauState _),
+    "q197_embedding_psi" -> (NorthStar.embeddingPsi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3266,6 +3268,60 @@ object SparkEntry {
         |              THEN 'salted'
         |            ELSE 'shuffle' END AS strategy
         |FROM u ORDER BY pair""".stripMargin,
+    // q196: rolling DAU from the persisted per-day HLL state — the
+    // oracle replays the exact counts and pins the envelope flag ≡ 1
+    // (q191's pattern; the sketch value itself is engine-internal).
+    "q196_dau_state" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |days AS (SELECT DISTINCT d AS end_day FROM a)
+        |SELECT days.end_day,
+        |       CAST(count(DISTINCT a.u) AS BIGINT) AS n_users,
+        |       CAST(1 AS INTEGER) AS within_bound
+        |FROM a JOIN days ON a.d >= days.end_day - 6
+        |               AND a.d <= days.end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q197: per-dimension PSI drift, even-id snapshot vs full corpus —
+    // exact power-of-two bucketing, integer-ppm Laplace-smoothed
+    // shares, per-bucket nano-PSI rounded to integers BEFORE the
+    // per-dim sum (64-bit exact), so every row replays.
+    "q197_embedding_psi" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |xa AS (SELECT CAST(i AS INTEGER) AS dim,
+        |         least(7, greatest(0, CAST(floor(
+        |           (v[CAST(i + 1 AS INTEGER)] + 0.5) / 0.125)
+        |           AS INTEGER))) AS bin
+        |       FROM e, range(64) t(i) WHERE vec_id % 2 = 0),
+        |xb AS (SELECT CAST(i AS INTEGER) AS dim,
+        |         least(7, greatest(0, CAST(floor(
+        |           (v[CAST(i + 1 AS INTEGER)] + 0.5) / 0.125)
+        |           AS INTEGER))) AS bin
+        |       FROM e, range(64) t(i)),
+        |ca AS (SELECT dim, bin, CAST(count(*) AS BIGINT) AS ca
+        |       FROM xa GROUP BY 1, 2),
+        |cb AS (SELECT dim, bin, CAST(count(*) AS BIGINT) AS cb
+        |       FROM xb GROUP BY 1, 2),
+        |sc AS (SELECT CAST(a.i AS INTEGER) AS dim,
+        |         CAST(b.j AS INTEGER) AS bin
+        |       FROM range(64) a(i), range(8) b(j)),
+        |j AS (SELECT sc.dim, sc.bin, coalesce(ca.ca, 0) AS ca,
+        |        coalesce(cb.cb, 0) AS cb
+        |      FROM sc LEFT JOIN ca USING (dim, bin)
+        |      LEFT JOIN cb USING (dim, bin)),
+        |tt AS (SELECT dim, CAST(sum(ca) AS BIGINT) AS n_a,
+        |         CAST(sum(cb) AS BIGINT) AS n_b
+        |       FROM j GROUP BY 1),
+        |p AS (SELECT j.dim, tt.n_a, tt.n_b,
+        |        (j.ca + 1) * 1000000 // (tt.n_a + 8) AS pa_ppm,
+        |        (j.cb + 1) * 1000000 // (tt.n_b + 8) AS pb_ppm
+        |      FROM j JOIN tt ON j.dim = tt.dim)
+        |SELECT dim, n_a, n_b,
+        |       CAST(sum(CAST(round((pa_ppm - pb_ppm) *
+        |         ln(CAST(pa_ppm AS DOUBLE) / pb_ppm) * 1000, 0)
+        |         AS BIGINT)) AS BIGINT) AS psi_nano
+        |FROM p GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

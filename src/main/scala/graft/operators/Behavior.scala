@@ -121,6 +121,52 @@ object Behavior {
       .agg(approx_count_distinct(col("u"), rsd).as("n_approx"))
   }
 
+  /** Per-day HLL sketch STATE table — (d, sk): one DataSketches HLL
+    * per epoch day, the PERSISTED mergeable form behind rolling
+    * distinct counts. This is the true incremental-maintenance shape
+    * ([[Learn.trendStats]]'s pattern on the distinct-count axis):
+    * yesterday's state is days-sized; today's batch adds/updates one
+    * day's sketch in O(batch); any window rollup
+    * ([[rollingDistinctFromState]]) then reads |days| sketches, never
+    * the event log. Sketches union map-side (`hll_sketch_agg` partials
+    * merge in the shuffle), so the one required shuffle carries
+    * registers, not users. `lgK` sets the register count (2^lgK) —
+    * rsd ≈ 1.04/√2^lgK (DataSketches HLL, Heule et al. 2013
+    * HyperLogLog++ lineage; exact in sparse mode at small
+    * cardinalities). */
+  def dauState(events: DataFrame, user: String, ts: String,
+      lgK: Int = 12): DataFrame =
+    events.select(col(user).as("u"), epochDay(col(ts)).as("d"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("u"), lgK).as("sk"))
+
+  /** Merge two [[dauState]] tables (e.g. yesterday's persisted state +
+    * today's batch state): sketch union per day — the mergeable-state
+    * algebra made explicit, same contract as [[Learn.mergeTrendStats]].
+    * Spec-pinned: estimates from merge(any split) == full rebuild. */
+  def mergeDauState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("d"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Rolling-window distinct-user estimates FROM the state table: the
+    * same map-only `explode(sequence)` window expansion as
+    * [[rollingDistinct]], but over |days| sketch rows instead of
+    * |user-days| rows — union ≤ `window` sketches per observed end day
+    * and estimate. At 10^12 events this reads kilobytes of state; the
+    * exact baseline re-reads the distinct user-day frame. Returns
+    * (end_day, n_approx); days with no activity produce no row (same
+    * observed-days semi join). */
+  def rollingDistinctFromState(state: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val days = state.select(col("d").as("end_day")).distinct()
+    state
+      .withColumn("end_day",
+        explode(sequence(col("d"), col("d") + lit(window - 1))))
+      .join(broadcast(days), Seq("end_day"), "left_semi")
+      .groupBy(col("end_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
+  }
+
   /** Strictly-ordered conversion funnel: per user, t₁ = first `steps(0)`
     * event, tᵢ₊₁ = first `steps(i+1)` event STRICTLY AFTER tᵢ (the
     * first-matching-subsequence semantics of product funnels). Returns

@@ -80,6 +80,61 @@ object Profiling {
         col("n_keys"), col("total"))
   }
 
+  /** Per-dimension POPULATION-STABILITY-INDEX drift between two
+    * embedding snapshots — the distribution-shift monitor that pairs
+    * with the codebook-drift monitor (q186): codebook drift asks "did
+    * the cluster structure move?", PSI asks "did the per-dimension
+    * value distribution move?" (PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b),
+    * the standard model-monitoring statistic; > 0.2 conventionally
+    * flags action). Each side pays ONE posexplode pass (rows × dims —
+    * the unavoidable read) into a (dims × bins)-sized count table with
+    * map-side partials; everything after is tiny-table algebra on a
+    * dense dims × bins scaffold (zero-count bins still contribute via
+    * +1 Laplace smoothing — integer, so both engines smooth
+    * identically). Determinism: bucket = clamped floor((x − lo)/w) on
+    * per-row doubles (exact with a power-of-two width), shares in
+    * integer ppm, each bucket's contribution rounded to integer
+    * nano-PSI BEFORE the per-dim sum — the sum is exact 64-bit
+    * addition, so the oracle replays every row. Returns
+    * (dim, n_a, n_b, psi_nano). */
+  def embeddingDriftPsi(a: DataFrame, b: DataFrame, dim: Int,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(dim >= 1 && bins >= 2 && hi > lo,
+      s"dim=$dim bins=$bins range=[$lo,$hi]")
+    val spark = a.sparkSession
+    val width = (hi - lo) / bins
+    def counts(df: DataFrame, side: String) = df
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(col("dim"),
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col("x") - lo) / width).cast("int"))).as("bin"))
+      .groupBy(col("dim"), col("bin"))
+      .agg(count(lit(1)).as(side))
+    val scaffold = spark.range(dim).select(col("id").cast("int").as("dim"))
+      .crossJoin(spark.range(bins).select(col("id").cast("int").as("bin")))
+    val joined = scaffold
+      .join(counts(a, "ca"), Seq("dim", "bin"), "left")
+      .join(counts(b, "cb"), Seq("dim", "bin"), "left")
+      .select(col("dim"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.groupBy(col("dim"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    joined.join(totals, "dim")
+      // +1/(n+bins) Laplace smoothing in integer ppm: identical in any
+      // engine, and zero-count bins contribute a finite term
+      .withColumn("pa_ppm", expr(s"(ca + 1) * 1000000 div (n_a + $bins)"))
+      .withColumn("pb_ppm", expr(s"(cb + 1) * 1000000 div (n_b + $bins)"))
+      .withColumn("contrib_nano",
+        round((col("pa_ppm") - col("pb_ppm")).cast("double") *
+          log(col("pa_ppm").cast("double") / col("pb_ppm")) * 1000.0, 0)
+          .cast("long"))
+      .groupBy(col("dim"), col("n_a"), col("n_b"))
+      .agg(sum(col("contrib_nano")).as("psi_nano"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("psi_nano"))
+  }
+
   /** ONE refinement-round histogram of [[exactQuantiles]] — the plan
     * that executes per round, exposed for inspection: corpus `vals(v)`
     * × broadcast per-quantile spec `(qid, k, lo, hi, width)`, v-range

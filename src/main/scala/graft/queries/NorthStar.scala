@@ -1738,6 +1738,43 @@ object NorthStar {
   def maintDir(d: String, name: String): String =
     s"spark-warehouse/graft_maint/${name}_${new java.io.File(d).getName}"
 
+  /** X15/X8 rolling DAU from the PERSISTED per-day sketch state
+    * ([[graft.operators.Behavior.dauState]] →
+    * [[graft.operators.Behavior.rollingDistinctFromState]]): the
+    * incremental-maintenance form — window rollups read |days| HLL
+    * sketches, never the event log (q191 re-sketches from events each
+    * time; this is what a daily pipeline persists). Validated exactly
+    * like q191: exact count replayed, envelope flag pinned ≡ 1
+    * (lgK=12 → rsd ≈ 1.6%, 3σ + 1 absolute). */
+  def rollingDauState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val exact = Behavior.rollingDistinct(ev, "user_id", "ts", 7)
+    val approx = Behavior.rollingDistinctFromState(
+      Behavior.dauState(ev, "user_id", "ts", 12), 7)
+    exact.join(approx, "end_day")
+      .select($"end_day", $"n_users",
+        (abs($"n_approx" - $"n_users").cast("double") <=
+          lit(1.0) + lit(3 * 0.0163) * $"n_users")
+          .cast("int").as("within_bound"))
+      .orderBy($"end_day")
+  }
+
+  /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
+    * embedding snapshot and the full corpus
+    * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over
+    * [−0.5, 0.5] (power-of-two width → exact bucketing), integer-ppm
+    * shares, per-bucket nano-PSI rounded to integers before the sum —
+    * the oracle replays all 64 rows exactly. The distribution-shift
+    * complement of q186's cluster-alignment drift. */
+  def embeddingPsi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Profiling.embeddingDriftPsi(emb.filter($"vec_id" % 2 === 0), emb,
+      64, 8, -0.5, 0.5)
+      .orderBy($"dim")
+  }
+
   /** X8 join-strategy auto-pick ([[graft.operators.Sketches
     * .joinStrategyPick]]): the broadcast / shuffle / salted decision
     * computed from keys-sized count tables for three join shapes —

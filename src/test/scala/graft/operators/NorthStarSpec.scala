@@ -1349,6 +1349,54 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("dauState: split-batch sketch states merge to the full state " +
+      "(estimates equal), and the state rollup tracks the exact " +
+      "baseline within the lgK envelope") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val full = Behavior.dauState(ev, "user_id", "ts", 12)
+    val merged = Behavior.mergeDauState(
+      Behavior.dauState(ev.filter($"event_id" % 2 === 0),
+        "user_id", "ts", 12),
+      Behavior.dauState(ev.filter($"event_id" % 2 =!= 0),
+        "user_id", "ts", 12))
+    def est(st: org.apache.spark.sql.DataFrame) =
+      st.select($"d", hll_sketch_estimate($"sk").as("n"))
+        .as[(Long, Long)].collect().toMap
+    assert(est(merged) == est(full))
+    val exact = Behavior.rollingDistinct(ev, "user_id", "ts", 7)
+      .as[(Long, Long)].collect().toMap
+    val approx = Behavior.rollingDistinctFromState(full, 7)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(approx(d) - n) <= 1.0 + 3 * 0.0163 * n,
+        s"day $d exact $n approx ${approx(d)}")
+    }
+  }
+
+  test("embeddingDriftPsi: identical snapshots score 0 per dim; a " +
+      "shifted dimension scores high while unshifted dims stay near 0") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, Seq(-0.4 + 0.02 * i, 0.3))).toDF("vec_id", "embedding")
+    val zero = Profiling.embeddingDriftPsi(base, base, 2, 8, -0.5, 0.5)
+      .as[(Int, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(zero.map(_._1) == List(0, 1))
+    assert(zero.forall { case (_, na, nb, psi) =>
+      na == 40 && nb == 40 && psi == 0 })
+    // dim 0 shifted by +0.5 (wraps into the top bins), dim 1 untouched
+    val drifted = base.select($"vec_id",
+      array(least(element_at($"embedding", 1) + 0.5, lit(0.49)),
+        element_at($"embedding", 2)).as("embedding"))
+    val got = Profiling.embeddingDriftPsi(base, drifted, 2, 8, -0.5, 0.5)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // PSI is in nano units: > 0.2 (the conventional action threshold)
+    // = 200_000_000 nano for the shifted dim; the untouched dim is 0
+    assert(got(0)._4 > 200000000L, s"shifted dim psi ${got(0)._4}")
+    assert(got(1)._4 == 0L)
+  }
+
   test("trendStats unitScale dial: milli-unit stats merge and derive " +
       "consistently (scale in == scale out)") {
     import spark.implicits._
