@@ -218,6 +218,9 @@ object SparkEntry {
     "q195_join_strategy" -> (NorthStar.joinStrategies _),
     "q196_dau_state"     -> (NorthStar.rollingDauState _),
     "q197_embedding_psi" -> (NorthStar.embeddingPsi _),
+    "q198_funnel_window" -> (NorthStar.funnelWindow _),
+    "q199_attribution"   -> (NorthStar.attribution _),
+    "q200_matryoshka"    -> (NorthStar.matryoshkaRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3322,6 +3325,89 @@ object SparkEntry {
         |         ln(CAST(pa_ppm AS DOUBLE) / pb_ppm) * 1000, 0)
         |         AS BIGINT)) AS BIGINT) AS psi_nano
         |FROM p GROUP BY 1, 2, 3 ORDER BY dim""".stripMargin,
+    // q198: windowed funnel — each next step must land strictly after
+    // the previous AND within 1 day of it; exact interval arithmetic.
+    "q198_funnel_window" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 86400 SECONDS
+        |       GROUP BY 1),
+        |f AS (SELECT s1.u, s1.t1, s2.t2, s3.t3 FROM s1
+        |      LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT CAST(floor(epoch(t1) / 86400) AS BIGINT) AS cohort_day,
+        |       CAST(count(*) AS BIGINT) AS n_step1,
+        |       CAST(count(t2) AS BIGINT) AS n_step2,
+        |       CAST(count(t3) AS BIGINT) AS n_step3,
+        |       CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q199: last-touch attribution — latest click/view (by ts, event_id)
+    // carried forward per user; purchases within the 7-day lookback
+    // credit that touch's channel; integer cents.
+    "q199_attribution" ->
+      """WITH b AS (SELECT user_id AS u, ts AS t, event_id AS tk,
+        |             event_type AS et,
+        |             CASE WHEN event_type IN ('click', 'view') THEN
+        |               CAST(regexp_extract(props, '[0-9]+') AS INTEGER)
+        |             END AS ch,
+        |             value
+        |           FROM events
+        |           WHERE event_type IN ('click', 'view', 'purchase')),
+        |c AS (SELECT *,
+        |        last_value(CASE WHEN ch IS NOT NULL THEN t END
+        |          IGNORE NULLS) OVER
+        |          (PARTITION BY u ORDER BY t, tk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS touch_t,
+        |        last_value(ch IGNORE NULLS) OVER
+        |          (PARTITION BY u ORDER BY t, tk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS touch_ch
+        |      FROM b)
+        |SELECT touch_ch AS channel, CAST(count(*) AS BIGINT) AS n_conv,
+        |       CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM c
+        |WHERE et = 'purchase' AND touch_t IS NOT NULL
+        |  AND touch_t >= t - INTERVAL 604800 SECONDS
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q200: matryoshka truncation recall — first-16-dims ranking vs the
+    // full-dim exact top-10; slices + the same left-fold dot product in
+    // both engines, every row replays.
+    "q200_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v, v[1:16] AS tv FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, tv AS tqv FROM b
+        |      WHERE vec_id < 8),
+        |sc AS (SELECT q.qid, b.vec_id AS nid,
+        |         round(list_dot_product(b.v, q.qv) /
+        |           (sqrt(list_dot_product(b.v, b.v)) *
+        |            sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos,
+        |         round(list_dot_product(b.tv, q.tqv) /
+        |           (sqrt(list_dot_product(b.tv, b.tv)) *
+        |            sqrt(list_dot_product(q.tqv, q.tqv))), 4) AS tcos
+        |       FROM b CROSS JOIN q WHERE b.vec_id <> q.qid),
+        |ex AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rk FROM sc) WHERE rk <= 10),
+        |tr AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY tcos DESC, nid) AS rk FROM sc) WHERE rk <= 10),
+        |h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ex JOIN tr ON ex.qid = tr.qid AND ex.nid = tr.nid
+        |      GROUP BY 1)
+        |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
+        |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

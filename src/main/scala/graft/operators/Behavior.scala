@@ -180,17 +180,41 @@ object Behavior {
     * event log is scanned once per stage but filtered to that stage's
     * type before the join (predicate reaches the scan). */
   def funnel(events: DataFrame, user: String, ts: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelImpl(events, user, ts, typeCol, steps, None)
+
+  /** [[funnel]] with a CONVERSION WINDOW: step i+1 must occur strictly
+    * after step i AND within `windowSec` seconds of it — the "convert
+    * within an hour/day" product-funnel variant. A too-late event does
+    * not complete the stage and (because tᵢ₊₁ = the first QUALIFYING
+    * event, which may then be NULL) blocks all later stages for that
+    * user, matching the standard windowed-funnel semantics. Same plan
+    * shape and determinism contract as [[funnel]] — the interval
+    * comparison is exact timestamp arithmetic in both engines. */
+  def funnelWindowed(events: DataFrame, user: String, ts: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec=$windowSec")
+    funnelImpl(events, user, ts, typeCol, steps, Some(windowSec))
+  }
+
+  private def funnelImpl(events: DataFrame, user: String, ts: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(user).as("u")).agg(min(col(ts)).as("t1"))
     var i = 1
     steps.drop(1).foreach { st =>
       val prev = s"t$i"; i += 1
+      val inWindow = windowSec match {
+        case Some(w) =>
+          col("et") <= col(prev) + expr(s"INTERVAL $w SECONDS")
+        case None => lit(true)
+      }
       val reached = events.filter(col(typeCol) === st)
         .select(col(user).as("u"), col(ts).as("et"))
         .join(cur.select(col("u"), col(prev)), "u")
-        .filter(col("et") > col(prev))
+        .filter(col("et") > col(prev) && inWindow)
         .groupBy(col("u")).agg(min(col("et")).as(s"t$i"))
       cur = cur.join(reached, Seq("u"), "left")
     }
@@ -200,6 +224,45 @@ object Behavior {
       .agg(stageCounts.head, stageCounts.tail: _*)
       .withColumn("conv_ppm",
         expr(s"n_step${steps.size} * 1000000 div n_step1"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: each conversion event credits the most
+    * recent qualifying touch event (by (ts, tie) order) within a
+    * `lookbackSec` window — the marketing-attribution query every event
+    * warehouse serves. One key-sized shuffle: touches and conversions
+    * interleave in a single per-user (ts, tie) window and the latest
+    * touch carries forward via `last(..., ignoreNulls)` over ROWS
+    * UNBOUNDED PRECEDING — no per-conversion as-of join fan-out, no
+    * range join. Conversions with no touch in the lookback are dropped
+    * (unattributed). Returns per channel: conversions, distinct
+    * converted users, attributed value in integer cents. A touch at
+    * the exact conversion timestamp with a SMALLER tie attributes (the
+    * row order is the semantics — documented, deterministic). */
+  def lastTouchAttribution(events: DataFrame, user: String, ts: String,
+      typeCol: String, tie: String, touchTypes: Seq[String],
+      convType: String, channel: org.apache.spark.sql.Column,
+      valueCol: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes=$touchTypes convType=$convType")
+    require(lookbackSec >= 1, s"lookbackSec=$lookbackSec")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("tk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events.filter(col(typeCol).isin((touchTypes :+ convType): _*))
+      .select(col(user).as("u"), col(ts).as("t"), col(tie).as("tk"),
+        col(typeCol).as("et"), when(isTouch, channel).as("ch"),
+        col(valueCol).as("value"))
+      .withColumn("touch_t",
+        last(when(col("ch").isNotNull, col("t")), ignoreNulls = true).over(w))
+      .withColumn("touch_ch", last(col("ch"), ignoreNulls = true).over(w))
+      .filter(col("et") === convType && col("touch_t").isNotNull &&
+        col("touch_t") >= col("t") - expr(s"INTERVAL $lookbackSec SECONDS"))
+      .groupBy(col("touch_ch").as("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+        countDistinct(col("u")).as("n_users"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
   }
 
   /** Single-pass [[funnel]]: ONE scan of the event log instead of one

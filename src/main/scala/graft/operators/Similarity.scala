@@ -793,6 +793,57 @@ object Similarity {
           .as("recall"))
   }
 
+  /** EXACTLY-ORACLED matryoshka (dimension-truncation) evaluation —
+    * per-anchor recall@`topK` of ranking by the FIRST `prefixDim`
+    * dimensions' cosine against the full-dim exact top-`topK` (Kusupati
+    * et al. 2022, Matryoshka Representation Learning: nested prefixes
+    * of an embedding as cheaper search representations). This is the
+    * report that decides how far the serving dimension can drop — the
+    * storage/compute complement of the PQ recall report (q171) on the
+    * dimension axis instead of the codebook axis: a prefixDim/dim
+    * truncation cuts scan bytes and FLOPs by the same ratio with zero
+    * index structure. Both rankings are rounded-cosine + nid tiebreak
+    * and the intersection is exact, so EVERY row replays in the oracle
+    * (list slicing and the same left-fold dot product exist in both
+    * engines). One brute-force scan scores BOTH representations in the
+    * same candidate row — the truncated vector is a row-local slice,
+    * never a second pass. */
+  def truncatedRecallEval(emb: DataFrame, prefixDim: Int, nQueries: Int,
+      topK: Int): DataFrame = {
+    require(prefixDim >= 1 && nQueries >= 1 && topK >= 1,
+      s"prefixDim=$prefixDim nQueries=$nQueries topK=$topK")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("tv", slice(col("v"), 1, prefixDim))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("tnrm", sqrt(dot(col("tv"), col("tv"))))
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("tv").as("tqv"), col("nrm").as("qnrm"), col("tnrm").as("tqnrm"))
+    val scored = Par.fanOut(base).crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"),
+        round(dot(col("tv"), col("tqv")) / (col("tnrm") * col("tqnrm")), 4)
+          .as("tcos"))
+    val byFull = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val byTrunc = Window.partitionBy(col("qid"))
+      .orderBy(col("tcos").desc, col("nid"))
+    val exact = scored.withColumn("rk", row_number().over(byFull))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val trunc = scored.withColumn("rk", row_number().over(byTrunc))
+      .filter(col("rk") <= topK).select(col("qid"), col("nid"))
+    val hits = exact.join(trunc, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    qs.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(topK.toDouble), 4)
+          .as("recall"))
+  }
+
   /** EXACTLY-ORACLED flat-PQ (ADC) evaluation — per-anchor recall@`topK`
     * of compressed-domain ADC ranking against the exact squared-L2
     * top-`topK`: the quantization-loss report that decides (m, kCodes)

@@ -1760,6 +1760,43 @@ object NorthStar {
       .orderBy($"end_day")
   }
 
+  /** X15 windowed funnel ([[graft.operators.Behavior.funnelWindowed]]):
+    * q183's signup → view → purchase with a 1-day conversion window per
+    * step — a too-late event does not complete the stage. Exact
+    * timestamp-interval arithmetic in both engines. */
+  def funnelWindow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.funnelWindowed(Tables.events(spark, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase"), 86400L)
+      .orderBy($"cohort_day")
+  }
+
+  /** X15 last-touch attribution ([[graft.operators.Behavior
+    * .lastTouchAttribution]]): each purchase credits the latest
+    * click/view within a 7-day lookback; channel = the integer in
+    * props. One per-user window pass (latest touch carried forward via
+    * last-ignore-nulls over ROWS UNBOUNDED PRECEDING), no per-
+    * conversion as-of fan-out. Per channel: conversions, distinct
+    * users, value in integer cents — all engine-exact. */
+  def attribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.lastTouchAttribution(Tables.events(spark, d), "user_id",
+      "ts", "event_type", "event_id", Seq("click", "view"), "purchase",
+      regexp_extract($"props", "\\d+", 0).cast("int"), "value", 604800L)
+      .orderBy($"channel")
+  }
+
+  /** X3/X9 matryoshka truncation eval ([[graft.operators.Similarity
+    * .truncatedRecallEval]]): recall@10 of first-16-dims cosine ranking
+    * vs the full 64-dim exact top-10, per anchor — the
+    * dimension-truncation counterpart of q171's PQ recall report; every
+    * row oracle-replayed (list slices + the same left-fold dot). */
+  def matryoshkaRecall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.truncatedRecallEval(Tables.embeddings(spark, d), 16, 8, 10)
+      .orderBy($"qid")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

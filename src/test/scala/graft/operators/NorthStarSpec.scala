@@ -1285,6 +1285,88 @@ class NorthStarSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("maxEventsPerUser")))
   }
 
+  test("funnelWindowed: a step completed outside the window does not " +
+      "count, and the first QUALIFYING event defines the stage time") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 converts in-window end to end
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 10:30:00")),
+      (1L, "purchase", t("2024-01-01 10:45:00")),
+      // u2's only view is 2h after signup — outside the 1h window, so
+      // stage 2 AND stage 3 are unreached even though a purchase exists
+      (2L, "signup", t("2024-01-01 10:00:00")),
+      (2L, "view", t("2024-01-01 12:00:01")),
+      (2L, "purchase", t("2024-01-01 12:30:00")),
+      // u3: view in window, purchase 1h+1s after the view — stage 3 out
+      (3L, "signup", t("2024-01-01 10:00:00")),
+      (3L, "view", t("2024-01-01 10:10:00")),
+      (3L, "purchase", t("2024-01-01 11:10:01"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelWindowed(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), 3600L)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((19723L, 3L, 2L, 1L, 333333L)))
+    // boundary: exactly windowSec after still qualifies (<=)
+    val edge = Seq(
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val g2 = Behavior.funnelWindowed(edge, "user_id", "ts", "event_type",
+        Seq("signup", "view"), 3600L)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(g2 == List((19723L, 1L, 1L, 1000000L)))
+  }
+
+  test("lastTouchAttribution credits the latest in-lookback touch; " +
+      "out-of-lookback and touchless conversions are unattributed") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click ch1, view ch2, purchase → credits ch2 (latest)
+      (1L, 1L, "click", t("2024-01-01 10:00:00"), "{\"k\": 1}", 10.0),
+      (2L, 1L, "view", t("2024-01-01 11:00:00"), "{\"k\": 2}", 0.0),
+      (3L, 1L, "purchase", t("2024-01-01 12:00:00"), "{\"k\": 9}", 25.5),
+      // u2: touch 8 days before purchase — outside 7-day lookback
+      (4L, 2L, "click", t("2024-01-01 09:00:00"), "{\"k\": 3}", 0.0),
+      (5L, 2L, "purchase", t("2024-01-09 09:00:01"), "{\"k\": 9}", 5.0),
+      // u3: purchase with no touch at all
+      (6L, 3L, "purchase", t("2024-01-02 10:00:00"), "{\"k\": 9}", 7.0),
+      // u4: two purchases credit the same ch1 touch; error ignored
+      (7L, 4L, "click", t("2024-01-03 10:00:00"), "{\"k\": 1}", 0.0),
+      (8L, 4L, "error", t("2024-01-03 10:30:00"), "{\"k\": 5}", 0.0),
+      (9L, 4L, "purchase", t("2024-01-03 11:00:00"), "{\"k\": 9}", 1.25),
+      (10L, 4L, "purchase", t("2024-01-04 11:00:00"), "{\"k\": 9}", 2.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "props", "value")
+    val got = Behavior.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("click", "view"), "purchase",
+        regexp_extract($"props", "\\d+", 0).cast("int"), "value", 604800L)
+      .orderBy($"channel")
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(got == List((1, 2L, 1L, 325L), (2, 1L, 1L, 2550L)))
+  }
+
+  test("truncatedRecallEval: full-width truncation is recall 1.0; " +
+      "a prefix that hides the discriminating dimension is not") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val full = Similarity.truncatedRecallEval(emb, 64, 4, 5)
+      .as[(Long, Long, Double)].collect().toList
+    assert(full.size == 4 && full.forall { case (_, h, r) =>
+      h == 5L && r == 1.0 })
+    // hand fixture: dim 2 carries the signal; the true neighbor's dim 1
+    // points the OTHER way, so a 1-dim prefix (cosine = sign in 1-D)
+    // ranks it last and must miss it
+    val toy = Seq(
+      (0L, Seq(1.0, 5.0)), (1L, Seq(-1.0, 4.9)),  // true nn of 0 by dim 2
+      (2L, Seq(0.99, -5.0)), (3L, Seq(0.5, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.truncatedRecallEval(toy, 1, 1, 1)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((0L, 0L, 0.0))) // 1-dim prefix picks 2, truth is 1
+  }
+
   test("rollingDistinctApprox tracks the exact rolling DAU within the " +
       "HLL envelope on real events, same observed-day set") {
     import spark.implicits._
