@@ -221,6 +221,9 @@ object SparkEntry {
     "q198_funnel_window" -> (NorthStar.funnelWindow _),
     "q199_attribution"   -> (NorthStar.attribution _),
     "q200_matryoshka"    -> (NorthStar.matryoshkaRecall _),
+    "q201_error_cusum"   -> (NorthStar.errorCusum _),
+    "q202_data_contract" -> (NorthStar.ordersContract _),
+    "q203_frame_dedup"   -> (NorthStar.frameDedupQ _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3408,6 +3411,94 @@ object SparkEntry {
         |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
         |       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+    // q201: CUSUM drift monitor — the max(0, S+x) recurrence replayed
+    // closed-form as P_d − min(0, running_min(P)); integer ppm terms,
+    // exact 64-bit windows in both engines.
+    "q201_error_cusum" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        |                 AS d,
+        |                 CAST(count(*) AS BIGINT) AS n_events,
+        |                 CAST(sum(CASE WHEN event_type = 'error'
+        |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |               FROM events GROUP BY 1),
+        |b AS (SELECT CAST(sum(n_flagged) * 1000000 // sum(n_events)
+        |        AS BIGINT) AS baseline_ppm FROM daily),
+        |x AS (SELECT daily.*, b.baseline_ppm,
+        |        CAST(n_flagged * 1000000 // n_events AS BIGINT)
+        |          AS rate_ppm
+        |      FROM daily, b),
+        |p AS (SELECT *,
+        |        CAST(sum(rate_ppm - baseline_ppm - 10000) OVER
+        |          (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS pp
+        |      FROM x),
+        |c AS (SELECT *, pp - least(CAST(0 AS BIGINT), CAST(min(pp) OVER
+        |        (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |         CURRENT ROW) AS BIGINT)) AS cusum
+        |      FROM p)
+        |SELECT d, n_events, n_flagged, rate_ppm, baseline_ppm, cusum,
+        |       CASE WHEN cusum >= 50000 THEN 1 ELSE 0 END AS alarm
+        |FROM c ORDER BY d""".stripMargin,
+    // q202: data-contract gate — violation COUNTS per expectation;
+    // the o_orderpriority list is intentionally partial so the report
+    // proves it counts, not just flags.
+    "q202_data_contract" ->
+      """SELECT 'accepted_values:o_orderpriority' AS check_name,
+        |       CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+        |         AND o_orderpriority NOT IN
+        |           ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |         THEN 1 END) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'accepted_values:o_orderstatus',
+        |       CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+        |         AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+        |         AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fk:o_custkey->c_custkey',
+        |       CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'not_null:o_custkey',
+        |       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+        |         AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'not_null:o_orderkey',
+        |       CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+        |         AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |       CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+        |FROM (SELECT o_orderkey, count(*) AS cnt FROM orders
+        |      GROUP BY 1) WHERE cnt > 1
+        |ORDER BY 1""".stripMargin,
+    // q203: cross-media duplicate frames — q133's rolling checksum on
+    // EVERY 64-byte frame, grouped corpus-wide; >= 2 distinct docs.
+    "q203_frame_dedup" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id,
+        |             substring(text, CAST(u.f * 64 + 1 AS INTEGER), 64)
+        |               AS frame
+        |      FROM t, LATERAL unnest(
+        |        range(0, CAST(ceil(n / 64.0) AS BIGINT), 1)) u(f)),
+        |c AS (SELECT doc_id,
+        |        CAST(length(frame) AS INTEGER) AS n_bytes,
+        |        CAST(list_reduce(
+        |          [ascii(ch) for ch in string_split(frame, '')],
+        |          (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647)
+        |          AS BIGINT) AS checksum
+        |      FROM f)
+        |SELECT checksum, n_bytes,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM c GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -167,6 +167,47 @@ object Behavior {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
   }
 
+  /** Daily-rate CUSUM changepoint monitor (Page 1954): per epoch day,
+    * the flagged-event rate in integer ppm; the CUSUM statistic
+    * S_d = max(0, S_{d−1} + (rate_d − baseline − slack)) accumulates
+    * sustained upward drift and resets on quiet days — the sequential
+    * detector behind "error rate crept up on the 14th" alerts, where a
+    * per-day z-score (q114) only sees single-day spikes. The recurrence
+    * is computed CLOSED-FORM as S_d = P_d − min(0, min_{j≤d} P_j)
+    * (P = prefix sum of the drift terms), so it is two window passes,
+    * not an iterative loop. All-integer arithmetic (ppm rates, integer
+    * baseline, 64-bit sums) — every row oracle-replays.
+    *
+    * Scale note: the windows run over the per-DAY aggregate — a frame
+    * bounded by the calendar span (10 years ≈ 3.7k rows), not by event
+    * volume — after the one key-sized day aggregate of the log; the
+    * deliberate unpartitioned window is the broadcast-state regime
+    * (days-sized), not a corpus-sized single-partition stage. */
+  def rateCusum(events: DataFrame, ts: String,
+      flag: org.apache.spark.sql.Column, slackPpm: Long,
+      thresholdPpm: Long): DataFrame = {
+    require(slackPpm >= 0 && thresholdPpm >= 1,
+      s"slackPpm=$slackPpm thresholdPpm=$thresholdPpm")
+    val daily = events
+      .select(epochDay(col(ts)).as("d"), flag.cast("int").as("f"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"), sum(col("f")).as("n_flagged"))
+    val base = daily.agg(
+      expr("sum(n_flagged) * 1000000 div sum(n_events)").as("baseline_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.crossJoin(broadcast(base))
+      .withColumn("rate_ppm", expr("n_flagged * 1000000 div n_events"))
+      .withColumn("x",
+        col("rate_ppm") - col("baseline_ppm") - lit(slackPpm))
+      .withColumn("p", sum(col("x")).over(w))
+      .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("d"), col("n_events"), col("n_flagged"), col("rate_ppm"),
+        col("baseline_ppm"), col("cusum"),
+        (col("cusum") >= thresholdPpm).cast("int").as("alarm"))
+  }
+
   /** Strictly-ordered conversion funnel: per user, t₁ = first `steps(0)`
     * event, tᵢ₊₁ = first `steps(i+1)` event STRICTLY AFTER tᵢ (the
     * first-matching-subsequence semantics of product funnels). Returns

@@ -108,6 +108,26 @@ object Multimodal {
       }
   }
 
+  /** Cross-media duplicate-FRAME detection: [[sampleFrames]]' rolling
+    * checksums grouped over the whole corpus — a (checksum, n_bytes)
+    * seen in ≥ 2 distinct media is a shared frame (intro/outro cards,
+    * watermarks, re-uploads), the video counterpart of q119's
+    * duplicated text chunks. This is the DETECT prescreen: candidates
+    * group by the 64-bit rolling checksum + length, and (as with every
+    * hash prescreen in this library) an exact byte-compare verify pass
+    * on the ≤ candidate rows closes the collision gap when the
+    * downstream action is destructive. Map-only frame generation (the
+    * flatMap inherits the scan's partitioning), ONE checksum-keyed
+    * shuffle of frame rows, output bounded by duplicate groups. */
+  def frameDedup(docs: DataFrame, frameBytes: Int, every: Int)(
+      implicit spark: SparkSession): DataFrame =
+    sampleFrames(withBinaryPayload(docs), frameBytes, every).toDF()
+      .groupBy(col("checksum"), col("n_bytes"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Batched decode/featurize over the binary column. */
   def decodeFeatures(withPayload: DataFrame)(
       implicit spark: SparkSession): Dataset[MediaFeature] = {

@@ -80,6 +80,55 @@ object Profiling {
         col("n_keys"), col("total"))
   }
 
+  /** Data-contract checks — the dbt-test / Deequ-style expectation
+    * gate a pipeline runs before publishing a table: NOT NULL, UNIQUE
+    * (composite keys supported), ACCEPTED VALUES, and referential
+    * integrity (each child key resolves in the parent), each reported
+    * as one (check, n_violations) row. Violation counts, not booleans —
+    * a gate wants to know HOW broken. Definitions: unique counts every
+    * row beyond the first per duplicate key; accepted-values ignores
+    * NULLs (compose with not_null to forbid them); fk counts non-null
+    * child keys with no parent (a left-anti join — broadcast when the
+    * parent key set is dimension-sized).
+    *
+    * Scale shape: one aggregate or anti-join per check, each map-side-
+    * combined and key-sized — checks are independent scans Catalyst
+    * can share nothing between, which is exactly how Deequ/dbt run
+    * them; the union of 1-row results is free. All counts are exact
+    * integers — the report oracle-replays. */
+  def dataContract(df: DataFrame,
+      notNull: Seq[String] = Nil,
+      unique: Seq[Seq[String]] = Nil,
+      accepted: Map[String, Seq[String]] = Map.empty,
+      fks: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || accepted.nonEmpty ||
+      fks.nonEmpty, "at least one check")
+    def one(name: String, n: org.apache.spark.sql.Column)(d: DataFrame) =
+      d.agg(coalesce(n, lit(0L)).cast("long").as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val nn = notNull.map { c =>
+      one(s"not_null:$c", count(when(col(c).isNull, 1)))(df)
+    }
+    val uq = unique.map { keys =>
+      val name = s"unique:${keys.mkString(",")}"
+      one(name, sum(col("cnt") - 1))(
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1))
+    }
+    val av = accepted.toSeq.sortBy(_._1).map { case (c, vals) =>
+      one(s"accepted_values:$c",
+        count(when(col(c).isNotNull && !col(c).isin(vals: _*), 1)))(df)
+    }
+    val fk = fks.map { case (childCol, parent, parentCol) =>
+      val name = s"fk:$childCol->$parentCol"
+      one(name, count(lit(1)))(
+        df.select(col(childCol)).filter(col(childCol).isNotNull)
+          .join(parent.select(col(parentCol).as(childCol)).distinct(),
+            Seq(childCol), "left_anti"))
+    }
+    (nn ++ uq ++ av ++ fk).reduce(_.unionByName(_))
+  }
+
   /** Per-dimension POPULATION-STABILITY-INDEX drift between two
     * embedding snapshots — the distribution-shift monitor that pairs
     * with the codebook-drift monitor (q186): codebook drift asks "did

@@ -1797,6 +1797,50 @@ object NorthStar {
       .orderBy($"qid")
   }
 
+  /** X5/X2 cross-media duplicate frames ([[graft.operators.Multimodal
+    * .frameDedup]]): every 64-byte frame of every payload, checksum-
+    * grouped across the corpus — (checksum, length) pairs seen in ≥ 2
+    * distinct media are shared frames (the video counterpart of q119's
+    * duplicated text chunks). ASCII fixture → the oracle replays the
+    * rolling checksum byte for byte. */
+  def frameDedupQ(spark: SparkSession, d: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    Multimodal.frameDedup(Tables.documents(spark, d), 64, 1)
+      .orderBy($"checksum", $"n_bytes")
+  }
+
+  /** X11/X15 CUSUM changepoint monitor ([[graft.operators.Behavior
+    * .rateCusum]]): daily error-event rate vs the corpus baseline with
+    * 1% slack; the closed-form prefix-sum/prefix-min CUSUM accumulates
+    * sustained drift that a per-day z-score (q114) misses. All-integer
+    * ppm arithmetic — every row replays. */
+  def errorCusum(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.rateCusum(Tables.events(spark, d), "ts",
+      ($"event_type" === "error"), 10000L, 50000L)
+      .orderBy($"d")
+  }
+
+  /** X14 data-contract gate ([[graft.operators.Profiling
+    * .dataContract]]): the publish-time expectation suite over orders —
+    * NOT NULL keys, UNIQUE o_orderkey, accepted o_orderstatus, an
+    * intentionally-partial o_orderpriority list (nonzero violations —
+    * the report counts, it does not just flag), and referential
+    * integrity o_custkey → customer.c_custkey. Exact integer counts. */
+  def ordersContract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.dataContract(Tables.orders(spark, d),
+      notNull = Seq("o_orderkey", "o_custkey"),
+      unique = Seq(Seq("o_orderkey")),
+      accepted = Map(
+        "o_orderstatus" -> Seq("O", "F", "P"),
+        "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+      fks = Seq(("o_custkey", Tables.customer(spark, d), "c_custkey")))
+      .select($"check".as("check_name"), $"n_violations")
+      .orderBy($"check_name")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Behavior
+import graft.sources.ManifestTable
+
+/** Streaming maintenance of the per-day HLL DAU state
+  * ([[graft.operators.Behavior.dauState]]): each micro-batch sketches
+  * ONLY its own rows (O(batch)), merges into the persisted days-sized
+  * state by sketch union ([[graft.operators.Behavior.mergeDauState]]),
+  * and commits ONE atomic snapshot carrying the batch's txn marker — a
+  * replayed batch after restart is a no-op, so the state is
+  * exactly-once (the [[graft.sources.ManifestTable]] txn protocol, same
+  * as the warehouse sink). Downstream, any rolling-distinct window
+  * reads |days| sketches ([[graft.operators.Behavior
+  * .rollingDistinctFromState]]) — the event log is never rescanned.
+  * This is the T-family wiring of the q196 state table: the mergeable
+  * sketch algebra is exactly what makes distinct counts maintainable
+  * from a stream at all (exact distinct would need the full user-day
+  * history per batch). */
+object DauStateStream {
+
+  /** `writeStream.foreachBatch` sink. `streamId` scopes txn markers —
+    * one logical stream per state table. */
+  def sink(stateDir: String, lgK: Int, streamId: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    ManifestTable.create(stateDir)
+    if (!ManifestTable.hasCommittedTxn(stateDir, s"$streamId-$batchId")) {
+      val bState = Behavior.dauState(batch, "user_id", "ts", lgK)
+      val cur = ManifestTable.currentVersion(stateDir)
+      val merged =
+        if (cur == 0L) bState
+        else Behavior.mergeDauState(
+          ManifestTable.read(spark, stateDir)._2, bState)
+      ManifestTable.overwrite(spark, stateDir, merged, cur,
+        txn = Some(s"$streamId-$batchId"))
+    }
+  }
+}

@@ -1367,6 +1367,61 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((0L, 0L, 0.0))) // 1-dim prefix picks 2, truth is 1
   }
 
+  test("rateCusum closed form == the sequential max(0, S + x) " +
+      "recurrence, and resets after quiet days") {
+    import spark.implicits._
+    def day(n: Int, typ: String, m: Int) = (0 until m).map(i =>
+      (typ, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1 + n, 8, i % 60))))
+    // day rates: 0%, 50%, 0%, 50%, 50% of 10 events; baseline = 30%
+    val ev = (day(0, "ok", 10) ++
+      day(1, "error", 5) ++ day(1, "ok", 5) ++
+      day(2, "ok", 10) ++
+      day(3, "error", 5) ++ day(3, "ok", 5) ++
+      day(4, "error", 5) ++ day(4, "ok", 5))
+      .toDF("event_type", "ts")
+    val got = Behavior.rateCusum(ev, "ts", col("event_type") === "error",
+        0L, 150000L)
+      .orderBy($"d")
+      .select($"rate_ppm", $"baseline_ppm", $"cusum", $"alarm")
+      .as[(Long, Long, Long, Int)].collect().toList
+    // sequential replay: x = rate − 300000; S = max(0, S + x)
+    val rates = got.map(_._1)
+    assert(rates == List(0L, 500000L, 0L, 500000L, 500000L))
+    var s = 0L
+    val expect = rates.map { r =>
+      s = math.max(0L, s + (r - 300000L)); s }
+    assert(got.map(_._3) == expect)
+    assert(got.map(_._4) == List(0, 1, 0, 1, 1)) // S: 0,2e5,0,2e5,4e5
+  }
+
+  test("dataContract counts every violation class on a broken fixture " +
+      "and reports zeros on a clean one") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pid")
+    val broken = Seq(
+      (Some(1L), Some(1L), Some("A")),
+      (Some(1L), Some(2L), Some("A")),   // dup id 1 (1 extra row)
+      (Some(1L), Some(9L), Some("Z")),   // dup id 1 + fk miss + bad value
+      (None, None, None)                 // null id, null fk (fk ignores)
+    ).toDF("id", "fk", "status")
+    val got = Profiling.dataContract(broken,
+        notNull = Seq("id"), unique = Seq(Seq("id")),
+        accepted = Map("status" -> Seq("A", "B")),
+        fks = Seq(("fk", parent, "pid")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "not_null:id" -> 1L, "unique:id" -> 2L,
+      "accepted_values:status" -> 1L, "fk:fk->pid" -> 1L))
+    val clean = Seq((1L, 1L, "A"), (2L, 2L, "B")).toDF("id", "fk", "status")
+    val g2 = Profiling.dataContract(clean,
+        notNull = Seq("id"), unique = Seq(Seq("id")),
+        accepted = Map("status" -> Seq("A", "B")),
+        fks = Seq(("fk", parent, "pid")))
+      .as[(String, Long)].collect().toMap
+    assert(g2.values.forall(_ == 0L))
+  }
+
   test("rollingDistinctApprox tracks the exact rolling DAU within the " +
       "HLL envelope on real events, same observed-day set") {
     import spark.implicits._

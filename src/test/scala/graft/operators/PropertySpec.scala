@@ -618,6 +618,27 @@ object PropertySpec extends Properties("graft.operators") {
       merged == canon(Upsert.scd2(df, "k", "st", "t", "eid"))
     }
 
+  property("rateCusum closed form == sequential max(0, S + x) replay " +
+      "on any event log") =
+    Prop.forAllNoShrink(Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.oneOf(true, false)))) { rows =>
+      import spark.implicits._
+      val ev = rows.zipWithIndex.map { case ((day, bad), i) =>
+        (if (bad) "error" else "ok",
+          new java.sql.Timestamp(1700000000000L + day * 86400000L + i))
+      }.toDF("event_type", "ts")
+      val got = Behavior.rateCusum(ev, "ts",
+          org.apache.spark.sql.functions.col("event_type") === "error",
+          5000L, 100000L)
+        .orderBy($"d")
+        .select($"rate_ppm", $"baseline_ppm", $"cusum")
+        .as[(Long, Long, Long)].collect().toList
+      var s = 0L
+      val expect = got.map { case (r, b, _) =>
+        s = math.max(0L, s + (r - b - 5000L)); s }
+      got.map(_._3) == expect
+    }
+
   private val funnelEvents = Gen.listOfN(24,
     Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 500000L),
       Gen.oneOf("signup", "view", "purchase")))
