@@ -224,6 +224,8 @@ object SparkEntry {
     "q201_error_cusum"   -> (NorthStar.errorCusum _),
     "q202_data_contract" -> (NorthStar.ordersContract _),
     "q203_frame_dedup"   -> (NorthStar.frameDedupQ _),
+    "q204_corr_matrix"   -> (NorthStar.lineitemCorr _),
+    "q205_funnel_timing" -> (NorthStar.funnelTimes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3499,6 +3501,93 @@ object SparkEntry {
         |       CAST(max(doc_id) AS BIGINT) AS max_doc
         |FROM c GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY 1, 2""".stripMargin,
+    // q204: Pearson correlation matrix from cent-quantized 128-bit
+    // integer sums (DuckDB hugeint == Spark decimal(38)); every sum is
+    // exact, each converted to double BEFORE the per-pair arithmetic
+    // in the same order as the Spark side; one rounded division.
+    "q204_corr_matrix" ->
+      """WITH qv AS (SELECT
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS x0,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS x1,
+        |    CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+        |    CAST(round(l_tax * 100) AS HUGEINT) AS x3
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x0) AS DOUBLE) AS s0, CAST(sum(x0*x0) AS DOUBLE) AS ss0,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x1*x1) AS DOUBLE) AS ss1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2, CAST(sum(x2*x2) AS DOUBLE) AS ss2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3, CAST(sum(x3*x3) AS DOUBLE) AS ss3,
+        |    CAST(sum(x0*x1) AS DOUBLE) AS p01,
+        |    CAST(sum(x0*x2) AS DOUBLE) AS p02,
+        |    CAST(sum(x0*x3) AS DOUBLE) AS p03,
+        |    CAST(sum(x1*x2) AS DOUBLE) AS p12,
+        |    CAST(sum(x1*x3) AS DOUBLE) AS p13,
+        |    CAST(sum(x2*x3) AS DOUBLE) AS p23
+        |  FROM qv)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, nn AS n,
+        |  round((n*p01 - s0*s1) / sqrt((n*ss0 - s0*s0)*(n*ss1 - s1*s1)), 6)
+        |    + 0.0 AS corr FROM a
+        |UNION ALL SELECT 'l_quantity', 'l_discount', nn,
+        |  round((n*p02 - s0*s2) / sqrt((n*ss0 - s0*s0)*(n*ss2 - s2*s2)), 6)
+        |    + 0.0 FROM a
+        |UNION ALL SELECT 'l_quantity', 'l_tax', nn,
+        |  round((n*p03 - s0*s3) / sqrt((n*ss0 - s0*s0)*(n*ss3 - s3*s3)), 6)
+        |    + 0.0 FROM a
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', nn,
+        |  round((n*p12 - s1*s2) / sqrt((n*ss1 - s1*s1)*(n*ss2 - s2*s2)), 6)
+        |    + 0.0 FROM a
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', nn,
+        |  round((n*p13 - s1*s3) / sqrt((n*ss1 - s1*s1)*(n*ss3 - s3*s3)), 6)
+        |    + 0.0 FROM a
+        |UNION ALL SELECT 'l_discount', 'l_tax', nn,
+        |  round((n*p23 - s2*s3) / sqrt((n*ss2 - s2*s2)*(n*ss3 - s3*s3)), 6)
+        |    + 0.0 FROM a
+        |ORDER BY 1, 2""".stripMargin,
+    // q205: funnel transition timing — exact integer seconds, median =
+    // k-th smallest (k = (n+1)//2) replayed by ordering.
+    "q205_funnel_timing" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY 1),
+        |d1 AS (SELECT CAST((epoch_us(s2.t2) - epoch_us(s1.t1)) // 1000000
+        |         AS BIGINT) AS sec
+        |       FROM s1 JOIN s2 ON s1.u = s2.u),
+        |d2 AS (SELECT CAST((epoch_us(s3.t3) - epoch_us(s2.t2)) // 1000000
+        |         AS BIGINT) AS sec
+        |       FROM s2 JOIN s3 ON s2.u = s3.u),
+        |r1 AS (SELECT CAST(1 AS INTEGER) AS step,
+        |         'signup->view' AS transition,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_users,
+        |         (SELECT CAST(min(sec) AS BIGINT) FROM d1) AS min_sec,
+        |         (SELECT CAST(max(sec) AS BIGINT) FROM d1) AS max_sec,
+        |         (SELECT CASE WHEN count(*) = 0 THEN NULL
+        |            ELSE CAST(sum(sec) // count(*) AS BIGINT) END
+        |          FROM d1) AS avg_sec,
+        |         (SELECT sec FROM (SELECT sec, row_number()
+        |              OVER (ORDER BY sec) AS rk FROM d1)
+        |          WHERE rk = (SELECT (count(*) + 1) // 2 FROM d1))
+        |           AS median_sec),
+        |r2 AS (SELECT CAST(2 AS INTEGER) AS step,
+        |         'view->purchase' AS transition,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_users,
+        |         (SELECT CAST(min(sec) AS BIGINT) FROM d2) AS min_sec,
+        |         (SELECT CAST(max(sec) AS BIGINT) FROM d2) AS max_sec,
+        |         (SELECT CASE WHEN count(*) = 0 THEN NULL
+        |            ELSE CAST(sum(sec) // count(*) AS BIGINT) END
+        |          FROM d2) AS avg_sec,
+        |         (SELECT sec FROM (SELECT sec, row_number()
+        |              OVER (ORDER BY sec) AS rk FROM d2)
+        |          WHERE rk = (SELECT (count(*) + 1) // 2 FROM d2))
+        |           AS median_sec)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY step""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

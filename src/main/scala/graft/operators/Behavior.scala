@@ -241,6 +241,20 @@ object Behavior {
   private def funnelImpl(events: DataFrame, user: String, ts: String,
       typeCol: String, steps: Seq[String],
       windowSec: Option[Long]): DataFrame = {
+    val cur = stageTimes(events, user, ts, typeCol, steps, windowSec)
+    val stageCounts = (1 to steps.size).map(j =>
+      count(col(s"t$j")).as(s"n_step$j"))
+    cur.groupBy(epochDay(col("t1")).as("cohort_day"))
+      .agg(stageCounts.head, stageCounts.tail: _*)
+      .withColumn("conv_ppm",
+        expr(s"n_step${steps.size} * 1000000 div n_step1"))
+  }
+
+  /** Per-user first-reach times (u, t1..tn) — the shared core of
+    * [[funnel]] / [[funnelWindowed]] / [[funnelTiming]]. */
+  private def stageTimes(events: DataFrame, user: String, ts: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(user).as("u")).agg(min(col(ts)).as("t1"))
@@ -259,12 +273,68 @@ object Behavior {
         .groupBy(col("u")).agg(min(col("et")).as(s"t$i"))
       cur = cur.join(reached, Seq("u"), "left")
     }
-    val stageCounts = (1 to steps.size).map(j =>
-      count(col(s"t$j")).as(s"n_step$j"))
-    cur.groupBy(epochDay(col("t1")).as("cohort_day"))
-      .agg(stageCounts.head, stageCounts.tail: _*)
-      .withColumn("conv_ppm",
-        expr(s"n_step${steps.size} * 1000000 div n_step1"))
+    cur
+  }
+
+  /** Funnel TRANSITION TIMING: for each step i → i+1, how long
+    * converters took — n, min/max, integer-average and EXACT median
+    * seconds. The "where does the funnel stall" diagnostic that turns
+    * q183's counts into action. Durations are exact integer seconds
+    * (µs difference, floored division). The median is the k-th smallest
+    * (k = ⌈n/2⌉) found by [[Profiling.exactQuantiles]]' histogram
+    * refinement — a per-transition users-sized window would be the
+    * single-partition trap at 10⁹ converters; the refinement pays
+    * ⌈log₂₅₆(span)⌉ filtered aggregates instead. One row per
+    * transition; a transition nobody completed reports n = 0 with NULL
+    * timing columns. */
+  def funnelTiming(events: DataFrame, user: String, ts: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    // the per-user stage times feed |steps|−1 stats aggregates PLUS the
+    // median refinement's ⌈log(span)⌉ rounds each — persist the
+    // users-sized frame once instead of re-running the funnel joins per
+    // round (released before returning; the returned rows are literals)
+    val times = stageTimes(events, user, ts, typeCol, steps, None)
+      .persist()
+    val spark = events.sparkSession
+    import spark.implicits._
+    try funnelTimingParts(times, steps)
+    finally times.unpersist(false)
+  }
+
+  private def funnelTimingParts(times: DataFrame, steps: Seq[String])
+      : DataFrame = {
+    val spark = times.sparkSession
+    import spark.implicits._
+    val parts = (1 until steps.size).map { i =>
+      val label = s"${steps(i - 1)}->${steps(i)}"
+      val durs = times.filter(col(s"t${i + 1}").isNotNull)
+        .select(expr(
+          s"(unix_micros(t${i + 1}) - unix_micros(t$i)) div 1000000")
+          .as("sec"))
+      val st = durs
+        .agg(count(lit(1)).as("n"), min(col("sec")).as("min_sec"),
+          max(col("sec")).as("max_sec"),
+          expr("sum(sec) div count(1)").as("avg_sec"))
+        .collect()(0)
+      if (st.getLong(0) == 0L)
+        Seq((i, label, 0L, Option.empty[Long], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long]))
+          .toDF("step", "transition", "n_users", "min_sec", "max_sec",
+            "avg_sec", "median_sec")
+      else {
+        // wide fanout: second spans are ≤ ~10^9 even for decade logs,
+        // so 65536 buckets finds the median in ≤ 2 rounds (driver state
+        // 64k longs — still broadcast-state regime)
+        val med = Profiling.exactQuantiles(durs, col("sec"), Seq(0.5),
+            fanout = 65536)
+          .select(col("value")).collect()(0).getLong(0)
+        Seq((i, label, st.getLong(0), Some(st.getLong(1)),
+          Some(st.getLong(2)), Some(st.getLong(3)), Some(med)))
+          .toDF("step", "transition", "n_users", "min_sec", "max_sec",
+            "avg_sec", "median_sec")
+      }
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** LAST-TOUCH ATTRIBUTION: each conversion event credits the most

@@ -80,6 +80,52 @@ object Profiling {
         col("n_keys"), col("total"))
   }
 
+  /** Pairwise Pearson CORRELATION MATRIX from integer sufficient
+    * statistics — the feature-redundancy / drift-of-relationship
+    * profile a warehouse computes alongside per-column stats: for every
+    * column pair, corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)),
+    * all sums over values quantized to integers (×`scale`, the q179
+    * trick) and accumulated as DECIMAL(38) — exact 128-bit integer
+    * arithmetic in BOTH engines (Spark decimal sum, DuckDB hugeint), so
+    * even Σx·y over cent-scaled prices cannot wrap and the only float
+    * step is the final per-pair division (rounded 6 dp). ONE aggregate
+    * pass computes the 2·k + k·(k−1)/2 sums with map-side partials; the
+    * pair rows unfold from the single aggregated row (the
+    * [[columnProfile]] struct/explode shape) — no join, no second scan,
+    * at any corpus size. Quantization is the precision contract:
+    * corr is computed on round(value·scale) — coarser than the raw
+    * doubles for narrow-range columns (pick scale accordingly), in
+    * exchange for a partition-order-proof, engine-exact answer. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Double = 100.0): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(scale > 0.0, s"scale=$scale")
+    def q(c: String) =
+      round(col(c) * scale, 0).cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).as("_n")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(q(c)).as(s"_s$i"), sum(q(c) * q(c)).as(s"_ss$i")) } ++
+      pairs.map { case (i, j) =>
+        sum(q(cols(i)) * q(cols(j))).as(s"_p${i}_$j") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val rows = array(pairs.map { case (i, j) =>
+      val num = d("_n") * d(s"_p${i}_$j") - d(s"_s$i") * d(s"_s$j")
+      val den = sqrt(
+        (d("_n") * d(s"_ss$i") - d(s"_s$i") * d(s"_s$i")) *
+          (d("_n") * d(s"_ss$j") - d(s"_s$j") * d(s"_s$j")))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("_n").as("n"),
+        when(den =!= 0.0, round(num / den, 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }: _*)
+    one.select(explode(rows).as("r")).select("r.*")
+  }
+
   /** Data-contract checks — the dbt-test / Deequ-style expectation
     * gate a pipeline runs before publishing a table: NOT NULL, UNIQUE
     * (composite keys supported), ACCEPTED VALUES, and referential

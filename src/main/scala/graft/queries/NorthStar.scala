@@ -1841,6 +1841,29 @@ object NorthStar {
       .orderBy($"check_name")
   }
 
+  /** X14 pairwise correlation matrix ([[graft.operators.Profiling
+    * .correlationMatrix]]): Pearson over lineitem's four numeric
+    * columns from cent-quantized DECIMAL(38) sufficient statistics —
+    * one aggregate pass, exact 128-bit sums in both engines, the only
+    * float step is the final rounded division. */
+  def lineitemCorr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.correlationMatrix(Tables.lineitem(spark, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 100.0)
+      .orderBy($"col_a", $"col_b")
+  }
+
+  /** X15 funnel transition timing ([[graft.operators.Behavior
+    * .funnelTiming]]): per step of the signup → view → purchase funnel,
+    * how long converters took — exact integer seconds, with the median
+    * found by histogram refinement (no users-sized window). */
+  def funnelTimes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.funnelTiming(Tables.events(spark, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase"))
+      .orderBy($"step")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

@@ -1367,6 +1367,50 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((0L, 0L, 0.0))) // 1-dim prefix picks 2, truth is 1
   }
 
+  test("correlationMatrix: perfect linear ±1, uncorrelated ~0, " +
+      "zero-variance column NULL — hand-traced on quantized integers") {
+    import spark.implicits._
+    // b = 2a (corr 1), c = -a (corr -1), d constant (zero variance),
+    // e alternates independently of a's order: small |corr|
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, 1.0), (2.0, 4.0, -2.0, 5.0, -1.0),
+      (3.0, 6.0, -3.0, 5.0, 1.0), (4.0, 8.0, -4.0, 5.0, -1.0)
+    ).toDF("a", "b", "c", "d", "e")
+    val got = Profiling.correlationMatrix(df, Seq("a", "b", "c", "d", "e"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(("a", "b")) == ((4L, Some(1.0))))
+    assert(got(("a", "c")) == ((4L, Some(-1.0))))
+    assert(got(("a", "d"))._2.isEmpty) // zero variance -> NULL
+    assert(math.abs(got(("a", "e"))._2.get) < 0.5)
+    assert(got.size == 10) // 5 choose 2
+  }
+
+  test("funnelTiming: exact integer seconds per transition, median = " +
+      "ceil(n/2)-th smallest, empty transition reports n=0 nulls") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 10:00:10")),   // u1: 10 s
+      (2L, "signup", t("2024-01-01 10:00:00")),
+      (2L, "view", t("2024-01-01 10:00:30")),   // u2: 30 s
+      (3L, "signup", t("2024-01-01 10:00:00")),
+      (3L, "view", t("2024-01-01 10:01:40")),   // u3: 100 s
+      (4L, "signup", t("2024-01-01 10:00:00"))  // u4: never views
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelTiming(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy($"step")
+      .as[(Int, String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().toList
+    assert(got == List(
+      // n=3: min 10, max 100, avg = 140 div 3 = 46, median = 2nd = 30
+      (1, "signup->view", 3L, Some(10L), Some(100L), Some(46L), Some(30L)),
+      (2, "view->purchase", 0L, None, None, None, None)))
+  }
+
   test("rateCusum closed form == the sequential max(0, S + x) " +
       "recurrence, and resets after quiet days") {
     import spark.implicits._
