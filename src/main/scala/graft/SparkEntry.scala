@@ -226,6 +226,8 @@ object SparkEntry {
     "q203_frame_dedup"   -> (NorthStar.frameDedupQ _),
     "q204_corr_matrix"   -> (NorthStar.lineitemCorr _),
     "q205_funnel_timing" -> (NorthStar.funnelTimes _),
+    "q206_resample_ffill" -> (NorthStar.resampleUsers _),
+    "q207_drawdown"      -> (NorthStar.revenueDrawdown _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3588,6 +3590,48 @@ object SparkEntry {
         |           AS median_sec)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY step""".stripMargin,
+    // q206: daily forward-fill resample — day value = last observation
+    // of the day by (ts, event_id); gaps inherit via last IGNORE NULLS
+    // over the per-key day grid.
+    "q206_resample_ffill" ->
+      """WITH o AS (SELECT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |             ts AS t, event_id AS tk, value AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |dv AS (SELECT u, d, v AS day_v FROM (
+        |         SELECT u, d, v, row_number() OVER
+        |           (PARTITION BY u, d ORDER BY t DESC, tk DESC) AS rk
+        |         FROM o) WHERE rk = 1),
+        |sp AS (SELECT u, min(d) AS d0, max(d) AS d1 FROM dv GROUP BY 1),
+        |g AS (SELECT sp.u, CAST(gs.d AS BIGINT) AS d
+        |      FROM sp, LATERAL unnest(range(sp.d0, sp.d1 + 1)) gs(d)),
+        |j AS (SELECT g.u, g.d, dv.day_v
+        |      FROM g LEFT JOIN dv ON g.u = dv.u AND g.d = dv.d)
+        |SELECT u AS k, d,
+        |       CAST(CASE WHEN day_v IS NOT NULL THEN 1 ELSE 0 END
+        |         AS INTEGER) AS observed,
+        |       last_value(day_v IGNORE NULLS) OVER
+        |         (PARTITION BY u ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled
+        |FROM j ORDER BY k, d""".stripMargin,
+    // q207: daily-revenue drawdown — running peak of integer-cents
+    // daily totals and the per-day shortfall; exact 64-bit windows.
+    "q207_drawdown" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT d, revenue_cents,
+        |        CAST(max(revenue_cents) OVER
+        |          (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS peak_cents
+        |      FROM daily)
+        |SELECT d, revenue_cents, peak_cents,
+        |       CAST(peak_cents - revenue_cents AS BIGINT)
+        |         AS drawdown_cents
+        |FROM p ORDER BY d""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

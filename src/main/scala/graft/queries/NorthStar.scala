@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Behavior, Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Behavior, Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, TimeSeries, Upsert}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -1862,6 +1862,30 @@ object NorthStar {
     Behavior.funnelTiming(Tables.events(spark, d), "user_id", "ts",
       "event_type", Seq("signup", "view", "purchase"))
       .orderBy($"step")
+  }
+
+  /** Time-series forward-fill resample ([[graft.operators.TimeSeries
+    * .resampleDailyFfill]]): per user, one row per calendar day of
+    * their observation span, gaps carrying the last observed value —
+    * the gap-filling that precedes any daily join/model. Map-only span
+    * explode + keyed window; deterministic day value by (ts, event_id)
+    * struct max. */
+  def resampleUsers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.resampleDailyFfill(Tables.events(spark, d),
+      "user_id", "ts", "event_id", "value")
+      .orderBy($"k", $"d")
+  }
+
+  /** Daily-revenue drawdown ([[graft.operators.TimeSeries
+    * .dailyDrawdown]]): running peak of integer-cents daily order value
+    * and the per-day shortfall from it — the equity-curve /
+    * throughput-regression monitor; exact 64-bit integers replay. */
+  def revenueDrawdown(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.dailyDrawdown(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice")
+      .orderBy($"d")
   }
 
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"

@@ -1411,6 +1411,47 @@ class NorthStarSpec extends SparkSpec {
       (2, "view->purchase", 0L, None, None, None, None)))
   }
 
+  test("resampleDailyFfill: gaps inherit the last observed value, day " +
+      "value = last observation by (ts, tie), NULLs are gaps") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, t("2024-01-01 09:00:00"), Some(5.0)),
+      (2L, 10L, t("2024-01-01 15:00:00"), Some(7.0)), // later: day value
+      (3L, 10L, t("2024-01-04 08:00:00"), Some(9.0)), // 2-day gap before
+      (4L, 10L, t("2024-01-03 08:00:00"), None),      // NULL: not a reset
+      (5L, 20L, t("2024-01-02 08:00:00"), Some(1.0))  // single-day key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.resampleDailyFfill(ev, "user_id", "ts",
+        "event_id", "value")
+      .orderBy($"k", $"d")
+      .as[(Long, Long, Int, Double)].collect().toList
+    val base = 19723L
+    assert(got == List(
+      (10L, base, 1, 7.0), (10L, base + 1, 0, 7.0),
+      (10L, base + 2, 0, 7.0), (10L, base + 3, 1, 9.0),
+      (20L, base + 1, 1, 1.0)))
+  }
+
+  test("dailyDrawdown: running integer-cents peak and shortfall") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + n, 0, 0))
+    // daily cents: 100, 250, 90, 250 -> peaks 100, 250, 250, 250
+    val orders = Seq(
+      (day(0), 1.0), (day(1), 2.5), (day(2), 0.4), (day(2), 0.5),
+      (day(3), 2.5)
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = TimeSeries.dailyDrawdown(orders, "o_orderdate",
+        col("o_totalprice"))
+      .orderBy($"d")
+      .as[(Long, Long, Long, Long)].collect().toList
+    val base = 19723L
+    assert(got == List(
+      (base, 100L, 100L, 0L), (base + 1, 250L, 250L, 0L),
+      (base + 2, 90L, 250L, 160L), (base + 3, 250L, 250L, 0L)))
+  }
+
   test("rateCusum closed form == the sequential max(0, S + x) " +
       "recurrence, and resets after quiet days") {
     import spark.implicits._
