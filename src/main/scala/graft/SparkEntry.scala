@@ -228,6 +228,8 @@ object SparkEntry {
     "q205_funnel_timing" -> (NorthStar.funnelTimes _),
     "q206_resample_ffill" -> (NorthStar.resampleUsers _),
     "q207_drawdown"      -> (NorthStar.revenueDrawdown _),
+    "q208_equi_hist"     -> (NorthStar.partkeyHistogram _),
+    "q209_fuzzy_pairs"   -> (NorthStar.fuzzyDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3632,6 +3634,50 @@ object SparkEntry {
         |       CAST(peak_cents - revenue_cents AS BIGINT)
         |         AS drawdown_cents
         |FROM p ORDER BY d""".stripMargin,
+    // q208: equi-height histogram — boundaries = exact i/8 quantiles
+    // (k = ceil(q·n)-th smallest, replayed by ordering), then the same
+    // literal when-chain bucketing; exact counts and observed bounds.
+    "q208_equi_hist" ->
+      """WITH v AS (SELECT CAST(l_partkey AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |b AS (SELECT
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.125 * n.n)
+        |    AS BIGINT)) AS b0,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.25 * n.n)
+        |    AS BIGINT)) AS b1,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.375 * n.n)
+        |    AS BIGINT)) AS b2,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.5 * n.n)
+        |    AS BIGINT)) AS b3,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.625 * n.n)
+        |    AS BIGINT)) AS b4,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.75 * n.n)
+        |    AS BIGINT)) AS b5,
+        |  (SELECT v FROM r, n WHERE rk = CAST(ceil(0.875 * n.n)
+        |    AS BIGINT)) AS b6)
+        |SELECT CASE WHEN v <= b0 THEN 0 WHEN v <= b1 THEN 1
+        |            WHEN v <= b2 THEN 2 WHEN v <= b3 THEN 3
+        |            WHEN v <= b4 THEN 4 WHEN v <= b5 THEN 5
+        |            WHEN v <= b6 THEN 6 ELSE 7 END AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q209: fuzzy edit-distance pairs — 12-char-prefix blocks, length
+    // band |la−lb| <= 5 (a lossless lower bound), exact levenshtein in
+    // both engines.
+    "q209_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+        |             substring(text, 1, 12) AS blk
+        |           FROM documents),
+        |sz AS (SELECT blk FROM t GROUP BY 1 HAVING count(*) <= 1000),
+        |s AS (SELECT t.* FROM t JOIN sz USING (blk))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  AND abs(a.len - b.len) <= 5
+        |WHERE levenshtein(a.text, b.text) <= 5
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -332,6 +332,35 @@ object Profiling {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** EQUI-HEIGHT histogram of a stored integer column: bin boundaries
+    * are the exact i/bins quantiles ([[exactQuantilesStored]] — the
+    * driver-state histogram refinement, so no sort and the boundary
+    * probes prune the scan), then ONE counting pass buckets every row
+    * with a literal boundary when-chain (codegen'd comparisons). This
+    * is the NTILE-free equi-height binning: ntile would need a global
+    * sort + single-partition numbering; here the boundaries cost
+    * ⌈log(range)⌉ aggregates and the fill costs one. Returns per bin:
+    * row count and the OBSERVED [lo, hi] (tighter than the quantile
+    * boundaries under duplicates; a bin emptied by heavy ties simply
+    * emits no row). Exact integers throughout. */
+  def equiHeightHistogram(df: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    // wide fanout: one refinement round for value ranges < 2^16, two
+    // for < 2^32 — driver state ≤ 64k·bins longs, still trivially small
+    val bounds = exactQuantilesStored(df, valueCol, qs, fanout = 65536)
+      .select(col("q"), col("value")).collect()
+      .sortBy(_.getDouble(0)).map(_.getLong(1))
+    val c = col(valueCol).cast("long")
+    val bucket = bounds.zipWithIndex.foldRight(lit(bins - 1)) {
+      case ((b, i), acc) => when(c <= b, i).otherwise(acc)
+    }
+    df.filter(c.isNotNull)
+      .groupBy(bucket.as("bin"))
+      .agg(count(lit(1)).as("n"), min(c).as("lo"), max(c).as("hi"))
+  }
+
   /** Shared driver loop of [[exactQuantiles]] / [[exactQuantilesStored]]:
     * walks ≤ fanout·|qs| bucket counts per round, narrowing each
     * quantile's [lo, hi] until width 1. `hist(open)` runs ONE

@@ -1888,6 +1888,27 @@ object NorthStar {
       .orderBy($"d")
   }
 
+  /** X14/G6 equi-height histogram ([[graft.operators.Profiling
+    * .equiHeightHistogram]]): 8 equal-population bins of the stored
+    * l_partkey column — boundaries by exact quantile refinement (no
+    * sort, no ntile), one literal when-chain counting pass. */
+  def partkeyHistogram(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.equiHeightHistogram(Tables.lineitem(spark, d),
+      "l_partkey", 8)
+      .orderBy($"bin")
+  }
+
+  /** X2 fuzzy edit-distance pairs ([[graft.operators.Dedup
+    * .fuzzyPairs]]): documents within 5 Levenshtein edits, blocked by
+    * 12-char prefix + length band — the typo/OCR near-dup signal the
+    * set-based paths miss; both engines compute the identical metric. */
+  def fuzzyDups(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.fuzzyPairs(Tables.documents(spark, d), 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

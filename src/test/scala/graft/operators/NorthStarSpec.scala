@@ -1452,6 +1452,46 @@ class NorthStarSpec extends SparkSpec {
       (base + 2, 90L, 250L, 160L), (base + 3, 250L, 250L, 0L)))
   }
 
+  test("equiHeightHistogram: bins hold ~n/bins rows, boundaries are " +
+      "exact quantiles, counts conserve") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("x")
+    val got = Profiling.equiHeightHistogram(df, "x", 4)
+      .orderBy($"bin").as[(Int, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 25L, 1L, 25L), (1, 25L, 26L, 50L),
+      (2, 25L, 51L, 75L), (3, 25L, 76L, 100L)))
+    // heavy ties: a value spanning a boundary collapses its bin
+    val ties = (Seq.fill(90)(5L) ++ (1L to 10L)).toDF("x")
+    val g2 = Profiling.equiHeightHistogram(ties, "x", 4)
+      .orderBy($"bin").as[(Int, Long, Long, Long)].collect().toList
+    assert(g2.map(_._2).sum == 100L) // counts conserve
+    assert(g2.map(_._1).toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("fuzzyPairs finds planted typo pairs, respects the distance " +
+      "bound, and skips hot blocks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"),  // dist 1
+      (3L, "the quick brown box jumps over a lazy dog"),    // dist <= 3
+      (4L, "completely different text with no relation"),
+      (5L, "the quick brown fox sat on something else today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, 5, blockPrefix = 12)
+      .as[(Long, Long, Int)].collect().toList.sortBy(p => (p._1, p._2))
+    // duckdb-confirmed distances: (1,2)=1, (1,3)=4, (2,3)=5; doc 5 is
+    // a candidate of 1/2 by length band but 21 edits away; doc 4 is in
+    // another block entirely
+    assert(got == List((1L, 2L, 1), (1L, 3L, 4), (2L, 3L, 5)))
+    // hot block: with maxBlock = 2 the shared-prefix block (4 docs
+    // sharing "the quick br") is skipped entirely
+    val none = Dedup.fuzzyPairs(docs, 5, blockPrefix = 12, maxBlock = 2)
+      .count()
+    assert(none == 0L)
+  }
+
   test("rateCusum closed form == the sequential max(0, S + x) " +
       "recurrence, and resets after quiet days") {
     import spark.implicits._
