@@ -230,6 +230,8 @@ object SparkEntry {
     "q207_drawdown"      -> (NorthStar.revenueDrawdown _),
     "q208_equi_hist"     -> (NorthStar.partkeyHistogram _),
     "q209_fuzzy_pairs"   -> (NorthStar.fuzzyDups _),
+    "q210_ab_test"       -> (NorthStar.abReadout _),
+    "q211_rfm_segments"  -> (NorthStar.rfm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3678,6 +3680,99 @@ object SparkEntry {
         |  AND abs(a.len - b.len) <= 5
         |WHERE levenshtein(a.text, b.text) <= 5
         |ORDER BY 1, 2""".stripMargin,
+    // q210: two-proportion z-test — exact per-variant counts, integer
+    // ppm rates; z is per-row float from exact integers (same op
+    // order as the Spark side), rounded 4 dp.
+    "q210_ab_test" ->
+      """WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |              max(CASE WHEN event_type = 'purchase'
+        |                THEN 1 ELSE 0 END) AS conv
+        |            FROM events GROUP BY 1, 2),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS conv FROM pu GROUP BY 1),
+        |o AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN conv END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN conv END) AS BIGINT) AS conv_b
+        |  FROM g),
+        |zc AS (SELECT *,
+        |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 / n_a + 1.0 / n_b)) AS den
+        |  FROM o),
+        |zz AS (SELECT *,
+        |    CASE WHEN den > 0 THEN
+        |      round((CAST(conv_a AS DOUBLE) / n_a
+        |             - CAST(conv_b AS DOUBLE) / n_b) / den, 4) + 0.0
+        |    END AS z
+        |  FROM zc)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+        |       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+        |       z,
+        |       CAST(coalesce(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END,
+        |         0) AS INTEGER) AS significant
+        |FROM zz""".stripMargin,
+    // q211: RFM quartile scores — exact k = ceil(q·n) boundaries per
+    // metric replayed by ordering; when-chain scoring, 4 = best.
+    "q211_rfm_segments" ->
+      """WITH m0 AS (SELECT user_id AS u,
+        |              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |b0 AS (SELECT u, max(d) AS last_d,
+        |         CAST(count(*) AS BIGINT) AS f,
+        |         CAST(sum(cents) AS BIGINT) AS m_cents
+        |       FROM m0 GROUP BY 1),
+        |t AS (SELECT max(last_d) AS today FROM b0),
+        |mt AS (SELECT u, CAST(t.today - last_d AS BIGINT) AS r_days,
+        |         f, m_cents FROM b0, t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mt),
+        |rr AS (SELECT r_days AS v, row_number() OVER (ORDER BY r_days)
+        |         AS rk FROM mt),
+        |rb AS (SELECT
+        |  (SELECT v FROM rr, nn WHERE rk = CAST(ceil(0.25 * n)
+        |    AS BIGINT)) AS b1,
+        |  (SELECT v FROM rr, nn WHERE rk = CAST(ceil(0.5 * n)
+        |    AS BIGINT)) AS b2,
+        |  (SELECT v FROM rr, nn WHERE rk = CAST(ceil(0.75 * n)
+        |    AS BIGINT)) AS b3),
+        |fr AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rk
+        |       FROM mt),
+        |fb AS (SELECT
+        |  (SELECT v FROM fr, nn WHERE rk = CAST(ceil(0.25 * n)
+        |    AS BIGINT)) AS b1,
+        |  (SELECT v FROM fr, nn WHERE rk = CAST(ceil(0.5 * n)
+        |    AS BIGINT)) AS b2,
+        |  (SELECT v FROM fr, nn WHERE rk = CAST(ceil(0.75 * n)
+        |    AS BIGINT)) AS b3),
+        |mr AS (SELECT m_cents AS v, row_number() OVER (ORDER BY m_cents)
+        |         AS rk FROM mt),
+        |mb AS (SELECT
+        |  (SELECT v FROM mr, nn WHERE rk = CAST(ceil(0.25 * n)
+        |    AS BIGINT)) AS b1,
+        |  (SELECT v FROM mr, nn WHERE rk = CAST(ceil(0.5 * n)
+        |    AS BIGINT)) AS b2,
+        |  (SELECT v FROM mr, nn WHERE rk = CAST(ceil(0.75 * n)
+        |    AS BIGINT)) AS b3),
+        |sc AS (SELECT u, r_days, f, m_cents,
+        |         CASE WHEN r_days <= rb.b1 THEN 4
+        |              WHEN r_days <= rb.b2 THEN 3
+        |              WHEN r_days <= rb.b3 THEN 2 ELSE 1 END AS r_score,
+        |         CASE WHEN f <= fb.b1 THEN 1 WHEN f <= fb.b2 THEN 2
+        |              WHEN f <= fb.b3 THEN 3 ELSE 4 END AS f_score,
+        |         CASE WHEN m_cents <= mb.b1 THEN 1
+        |              WHEN m_cents <= mb.b2 THEN 2
+        |              WHEN m_cents <= mb.b3 THEN 3 ELSE 4 END AS m_score
+        |       FROM mt, rb, fb, mb)
+        |SELECT u, r_days, f, m_cents,
+        |       CAST(r_score AS INTEGER) AS r_score,
+        |       CAST(f_score AS INTEGER) AS f_score,
+        |       CAST(m_score AS INTEGER) AS m_score,
+        |       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+        |         AS segment
+        |FROM sc ORDER BY u""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -167,6 +167,96 @@ object Behavior {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
   }
 
+  /** A/B experiment readout: two-proportion z-test on user-level
+    * conversion between variants 0 and 1 (`variant` must be a
+    * deterministic 0/1 function of the user — the hash-split every
+    * experiment framework uses). A user converts if they EVER emit
+    * `convType`. One key-sized aggregate chain: (variant, user) →
+    * per-variant (n, conversions) → a single readout row with integer
+    * ppm rates and the z statistic (the only float step — computed
+    * per-row from exact counts, rounded 4 dp, engine-identical).
+    * `significant` flags |z| ≥ 1.96 (two-sided 5%). */
+  def abTest(events: DataFrame, user: String, typeCol: String,
+      convType: String, variant: org.apache.spark.sql.Column): DataFrame = {
+    val perUser = events
+      .select(variant.as("v"), col(user).as("u"),
+        (col(typeCol) === lit(convType)).cast("int").as("c"))
+      .groupBy(col("v"), col("u")).agg(max(col("c")).as("conv"))
+    val g = perUser.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
+    val one = g.agg(
+      sum(when(col("v") === 0, col("n"))).as("n_a"),
+      sum(when(col("v") === 0, col("conv"))).as("conv_a"),
+      sum(when(col("v") === 1, col("n"))).as("n_b"),
+      sum(when(col("v") === 1, col("conv"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val den = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // pool 0 or 1 (nobody / everybody converts) has zero pooled
+    // variance: z is undefined, reported NULL, never significant
+    val z = when(den > 0.0, round((pa - pb) / den, 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
+      expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+      z.as("z"),
+      coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per user, days since last activity (vs the
+    * corpus max day — deterministic, no wall clock), event count, and
+    * integer-cents total value, each scored 1–4 by its exact corpus
+    * quartiles ([[Profiling.exactQuantiles]] boundaries — driver-state
+    * refinement, no sort, no ntile) with 4 = best (LOW recency, HIGH
+    * frequency/monetary). `segment` = r·100 + f·10 + m (444 = best).
+    * Boundary semantics: score increments strictly ABOVE each
+    * k=⌈q·n⌉-th smallest value, so heavy ties collapse scores
+    * deterministically in both engines. One key-sized aggregate + three
+    * ⌈log(range)⌉-round boundary probes + one literal when-chain pass. */
+  def rfmSegments(events: DataFrame, user: String, ts: String,
+      valueCol: String): DataFrame = {
+    val base = events
+      .select(col(user).as("u"), epochDay(col(ts)).as("d"),
+        round(col(valueCol) * 100, 0).cast("long").as("cents"))
+      .groupBy(col("u"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+    // corpus max day as a broadcast 1-row aggregate, NOT a global
+    // window (which would single-partition the users frame)
+    val today = base.agg(max(col("last_d")).as("today"))
+    val metrics = base.crossJoin(broadcast(today))
+      .withColumn("r_days", col("today") - col("last_d"))
+      .drop("today", "last_d")
+      .persist()
+    try {
+      val qs = Seq(0.25, 0.5, 0.75)
+      def bounds(c: String): Array[Long] =
+        Profiling.exactQuantiles(metrics, col(c), qs, fanout = 65536)
+          .select(col("q"), col("value")).collect()
+          .sortBy(_.getDouble(0)).map(_.getLong(1))
+      def scoreAsc(c: String, bs: Array[Long]) = // higher value = better
+        bs.zipWithIndex.foldRight(lit(4)) { case ((b, i), acc) =>
+          when(col(c) <= b, i + 1).otherwise(acc) }
+      def scoreDesc(c: String, bs: Array[Long]) = // lower value = better
+        bs.zipWithIndex.foldRight(lit(1)) { case ((b, i), acc) =>
+          when(col(c) <= b, 4 - i).otherwise(acc) }
+      val out = metrics
+        .withColumn("r_score", scoreDesc("r_days", bounds("r_days")))
+        .withColumn("f_score", scoreAsc("f", bounds("f")))
+        .withColumn("m_score", scoreAsc("m_cents", bounds("m_cents")))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      // materialize before unpersist: literals-only boundary state is
+      // already driver-side, but the row stream still reads `metrics`
+      out.select(col("u"), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+    } finally metrics.unpersist(false)
+  }
+
   /** Daily-rate CUSUM changepoint monitor (Page 1954): per epoch day,
     * the flagged-event rate in integer ppm; the CUSUM statistic
     * S_d = max(0, S_{d−1} + (rate_d − baseline − slack)) accumulates

@@ -1909,6 +1909,27 @@ object NorthStar {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** X15 A/B experiment readout ([[graft.operators.Behavior.abTest]]):
+    * user_id parity as the variant hash-split, purchase as conversion —
+    * per-variant exact counts, integer ppm rates, and the two-
+    * proportion z statistic (rounded per-row from exact counts). */
+  def abReadout(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.abTest(Tables.events(spark, d), "user_id", "event_type",
+      "purchase", pmod($"user_id", lit(2L)))
+  }
+
+  /** X15 RFM segmentation ([[graft.operators.Behavior.rfmSegments]]):
+    * per-user recency/frequency/monetary quartile scores (1–4, 4 best)
+    * against exact corpus quartiles — the customer-value grid, ntile-
+    * free; segment = r·100 + f·10 + m. */
+  def rfm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.rfmSegments(Tables.events(spark, d), "user_id", "ts",
+      "value")
+      .orderBy($"u")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

@@ -1492,6 +1492,61 @@ class NorthStarSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("abTest: hand-computed two-proportion z; degenerate pooled " +
+      "variance reports NULL z and not-significant") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    // variant 0 = even users: 10 users, 8 convert; variant 1 = odd:
+    // 10 users, 2 convert. pool = 0.5, z = (0.8-0.2)/sqrt(0.25*0.2)
+    val ev = (0 until 20).flatMap { u =>
+      val conv = if (u % 2 == 0) u < 16 else u >= 16
+      Seq((u.toLong, "view", t(u))) ++
+        (if (conv) Seq((u.toLong, "purchase", t(u + 100))) else Nil)
+    }.toDF("user_id", "event_type", "ts")
+    val got = Behavior.abTest(ev, "user_id", "event_type", "purchase",
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Int)]
+      .collect().head
+    assert(got._1 == 10L && got._2 == 8L && got._3 == 10L && got._4 == 2L)
+    assert(got._5 == 800000L && got._6 == 200000L)
+    val z = 0.6 / math.sqrt(0.5 * 0.5 * 0.2)
+    assert(got._7.contains(math.rint(z * 10000) / 10000.0 + 0.0))
+    assert(got._8 == 1) // z ~ 2.68 >= 1.96
+    // everyone converts: pooled variance 0 -> NULL z, significant 0
+    val all = (0 until 6).map(u => (u.toLong, "purchase", t(u)))
+      .toDF("user_id", "event_type", "ts")
+    val g2 = Behavior.abTest(all, "user_id", "event_type", "purchase",
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Int)]
+      .collect().head
+    assert(g2._7.isEmpty && g2._8 == 0)
+  }
+
+  test("rfmSegments: quartile scores with 4 = best (low recency, high " +
+      "frequency/monetary), segment digits compose") {
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + n, 8, 0))
+    // 4 users: u1 recent+frequent+big, u4 stale+rare+small
+    val ev = Seq(
+      (1L, day(9), 10.0), (1L, day(9), 10.0), (1L, day(9), 10.0),
+      (1L, day(9), 10.0),
+      (2L, day(6), 5.0), (2L, day(6), 5.0), (2L, day(6), 5.0),
+      (3L, day(3), 2.0), (3L, day(3), 2.0),
+      (4L, day(0), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Behavior.rfmSegments(ev, "user_id", "ts", "value")
+      .orderBy($"u")
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)].collect().toList
+    // r_days: 0,3,6,9; f: 4,3,2,1; m_cents: 4000,1500,400,100
+    // quartile boundaries (k = ceil(q*4) -> 1st,2nd,3rd smallest)
+    assert(got == List(
+      (1L, 0L, 4L, 4000L, 4, 4, 4, 444),
+      (2L, 3L, 3L, 1500L, 3, 3, 3, 333),
+      (3L, 6L, 2L, 400L, 2, 2, 2, 222),
+      (4L, 9L, 1L, 100L, 1, 1, 1, 111)))
+  }
+
   test("rateCusum closed form == the sequential max(0, S + x) " +
       "recurrence, and resets after quiet days") {
     import spark.implicits._
