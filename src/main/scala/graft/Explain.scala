@@ -20,6 +20,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Inclusion rule (VERDICT r8 #3): every oracled query appears here.
+    // A query whose full execution is NOT one lazy plan — a maintenance
+    // WRITE (q194), a driver-loop composition whose result frame is
+    // literals (q205, q208, and the refinement rounds behind q180/q190)
+    // — is represented by its CONSTITUENT plans (the final read-back or
+    // per-round/final-pass aggregate), built in the `match` below with a
+    // note in EXPLAIN.md naming what the dump covers.
     val headline = Seq("q01_filter_project", "q02_agg_groupby",
       "q04_join_multi", "q05_topk", "q27_asof_join", "q38_jaccard_pairs",
       "q41_cosine_topk", "q67_tpch_q1_full", "q65_label_centroids",
@@ -54,12 +61,39 @@ object Explain {
       "q184_key_skew", "q185_binary_knn", "q186_codebook_drift",
       "q187_join_estimate", "q188_streaks", "q189_rolling_dau",
       "q190_stored_quantiles", "q191_rolling_dau_hll", "q192_scd2_merge",
-      "q193_funnel_onepass", "q195_join_strategy", "q196_dau_state",
-      "q197_embedding_psi", "q198_funnel_window", "q199_attribution",
-      "q200_matryoshka", "q201_error_cusum", "q202_data_contract",
-      "q203_frame_dedup", "q204_corr_matrix", "q206_resample_ffill",
-      "q207_drawdown", "q209_fuzzy_pairs", "q210_ab_test",
-      "q211_rfm_segments")
+      "q193_funnel_onepass", "q194_zorder_optimize", "q195_join_strategy",
+      "q196_dau_state", "q197_embedding_psi", "q198_funnel_window",
+      "q199_attribution", "q200_matryoshka", "q201_error_cusum",
+      "q202_data_contract", "q203_frame_dedup", "q204_corr_matrix",
+      "q205_funnel_timing", "q206_resample_ffill", "q207_drawdown",
+      "q208_equi_hist", "q209_fuzzy_pairs", "q210_ab_test",
+      "q211_rfm_segments", "q212_fuzzy_audit", "q213_ab_test_k")
+    // Reader-facing notes for queries whose dump is a constituent plan
+    // rather than the whole query (maintenance writes / driver loops).
+    val notes = Map(
+      "q180_exact_quantiles" -> ("The full query is a ⌈log_fanout(span)⌉-" +
+        "round driver refinement (state ≤ fanout·|qs| longs); the plan " +
+        "below is ONE round's histogram in round-2 shape — the only " +
+        "distributed work the query does."),
+      "q190_stored_quantiles" -> ("Same refinement loop as q180 but on a " +
+        "STORED column: the round's literal ranges reach the scan as " +
+        "PushedFilters (see the scan node below) — row-group pruning is " +
+        "live from round 2 on."),
+      "q194_zorder_optimize" -> ("The query IS a maintenance op: a " +
+        "manifest overwrite + ONE OPTIMIZE ZORDER commit (morton code → " +
+        "repartitionByRange → sortWithinPartitions, executed eagerly " +
+        "before this plan exists), then the stats-pruned box read-back " +
+        "dumped below — the write side cannot appear in a lazy plan."),
+      "q205_funnel_timing" -> ("Driver-loop composition: stage times " +
+        "(windowless per-stage min-aggregates) feed ONE conditional " +
+        "stats aggregate (below) plus a shared multi-column median " +
+        "refinement (q180's histogram shape); the returned frame is " +
+        "driver-side literals, so the full query is not one lazy plan."),
+      "q208_equi_hist" -> ("Boundary probe = q190's stored-column " +
+        "refinement (⌈log⌉ rounds, probes deduped across the 7 " +
+        "quantiles); the final counting pass below buckets every row " +
+        "with a LITERAL when-chain — codegen'd comparisons, no join; " +
+        "shown with representative bounds."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -134,11 +168,31 @@ object Explain {
           graft.operators.Profiling.quantileHistRoundStored(
             Tables.orders(spark, sfDir), "o_custkey",
             Seq((0, 38L, 70L, 80L, 1L), (1, 2L, 130L, 140L, 1L)))
+        case "q205_funnel_timing" =>
+          // driver-loop composition: the full query is ONE stats
+          // aggregate + a shared median refinement, its result frame
+          // driver-side literals — dump the stats aggregate (the
+          // non-median final pass; the refinement rounds share q180's
+          // histogram shape)
+          val times = graft.operators.Behavior.stageTimes(
+            Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+            Seq("signup", "view", "purchase"), None)
+          graft.operators.Behavior.transitionStatsAgg(
+            graft.operators.Behavior.transitionDurations(times, 2), 2)
+        case "q208_equi_hist" =>
+          // boundary probe = q190's stored-column refinement; the
+          // final pass shown here buckets every row with a LITERAL
+          // when-chain (codegen'd, no join) — representative bounds
+          graft.operators.Profiling.histogramFill(
+            Tables.lineitem(spark, sfDir), "l_partkey",
+            Seq(25L, 50L, 75L, 100L, 125L, 150L, 175L))
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      out.append(s"\n## $name\n\n```\n$plan```\n")
+      notes.get(name).foreach(n => out.append(s"\n## $name\n\n$n\n"))
+      if (!notes.contains(name)) out.append(s"\n## $name\n")
+      out.append(s"\n```\n$plan```\n")
     }
     Files.writeString(Paths.get("EXPLAIN.md"), out.toString)
     println(s"wrote EXPLAIN.md (${headline.size} plans)")

@@ -232,6 +232,8 @@ object SparkEntry {
     "q209_fuzzy_pairs"   -> (NorthStar.fuzzyDups _),
     "q210_ab_test"       -> (NorthStar.abReadout _),
     "q211_rfm_segments"  -> (NorthStar.rfm _),
+    "q212_fuzzy_audit"   -> (NorthStar.fuzzyAudit _),
+    "q213_ab_test_k"     -> (NorthStar.abReadoutK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2413,14 +2415,21 @@ object SparkEntry {
         |FROM pre ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q178: SCD2 — lag change-detect, lead interval-close, identical
     // (ts, event_id) total order in both engines; pure window algebra.
+    // Change detection mirrors Upsert.scd2's NULL-SAFE form exactly:
+    // rn = 1 keeps each user's first row even when its state is NULL,
+    // and IS DISTINCT FROM treats NULL state transitions as changes —
+    // so the cross-engine gate exercises the same semantics the unit
+    // tests pin (ADVICE r8).
     "q178_scd2" ->
       """WITH o AS (SELECT user_id, event_id, event_type, ts,
         |             lag(event_type) OVER
         |               (PARTITION BY user_id ORDER BY ts, event_id)
-        |               AS prev_state
+        |               AS prev_state,
+        |             row_number() OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |           FROM events),
         |r AS (SELECT user_id, event_id, event_type, ts FROM o
-        |      WHERE prev_state IS NULL OR prev_state <> event_type)
+        |      WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type)
         |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
         |       lead(ts) OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
@@ -3177,14 +3186,18 @@ object SparkEntry {
     // (existing versions + suffix batch, never rescanning the log);
     // the oracle is the FULL-LOG rebuild, so a hash match IS the
     // merge(split) == rebuild(full) proof.
+    // (null-safe change detection as in q178 — the gate pins the same
+    // rn=1 + IS DISTINCT FROM semantics Upsert.scd2 implements)
     "q192_scd2_merge" ->
       """WITH o AS (SELECT user_id, event_id, event_type, ts,
         |             lag(event_type) OVER
         |               (PARTITION BY user_id ORDER BY ts, event_id)
-        |               AS prev_state
+        |               AS prev_state,
+        |             row_number() OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |           FROM events),
         |r AS (SELECT user_id, event_id, event_type, ts FROM o
-        |      WHERE prev_state IS NULL OR prev_state <> event_type)
+        |      WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type)
         |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
         |       lead(ts) OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
@@ -3773,6 +3786,54 @@ object SparkEntry {
         |       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
         |         AS segment
         |FROM sc ORDER BY u""".stripMargin,
+    // q212: fuzzy-dedup coverage audit — pure exact-integer counting
+    // (total docs, NULL texts, prefix blocks, over-cap blocks and the
+    // rows they cover) with q209's defaults (prefix 12, cap 1000).
+    "q212_fuzzy_audit" ->
+      """WITH b AS (SELECT substr(text, 1, 12) AS blk,
+        |             CAST(count(*) AS BIGINT) AS bn
+        |           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+        |          AS n_null_text
+        |      FROM documents),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(count(CASE WHEN bn > 1000 THEN 1 END) AS BIGINT)
+        |          AS n_hot_blocks,
+        |        CAST(coalesce(sum(CASE WHEN bn > 1000 THEN bn END), 0)
+        |          AS BIGINT) AS n_hot_rows
+        |      FROM b)
+        |SELECT n_docs, n_null_text, n_blocks, n_hot_blocks, n_hot_rows
+        |FROM t, s""".stripMargin,
+    // q213: k-arm readout — per-arm exact counts, ppm rates, pairwise
+    // z vs control arm 0 (same fixed float op order as q210, rounded
+    // 4 dp); control arm z is NULL by definition.
+    "q213_ab_test_k" ->
+      """WITH pu AS (SELECT user_id % 4 AS v, user_id AS u,
+        |              max(CASE WHEN event_type = 'purchase'
+        |                THEN 1 ELSE 0 END) AS conv
+        |            FROM events GROUP BY 1, 2),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS conv FROM pu GROUP BY 1),
+        |c AS (SELECT n AS n_c, conv AS conv_c FROM g WHERE v = 0),
+        |zc AS (SELECT g.*, c.n_c, c.conv_c,
+        |    sqrt((CAST(g.conv + c.conv_c AS DOUBLE) / (g.n + c.n_c))
+        |         * (1.0 - CAST(g.conv + c.conv_c AS DOUBLE)
+        |             / (g.n + c.n_c))
+        |         * (1.0 / g.n + 1.0 / c.n_c)) AS den
+        |  FROM g, c),
+        |zz AS (SELECT *,
+        |    CASE WHEN v <> 0 AND den > 0 THEN
+        |      round((CAST(conv AS DOUBLE) / n
+        |             - CAST(conv_c AS DOUBLE) / n_c) / den, 4) + 0.0
+        |    END AS z
+        |  FROM zc)
+        |SELECT v, n, conv,
+        |       CAST(conv * 1000000 // n AS BIGINT) AS rate_ppm,
+        |       z,
+        |       CAST(coalesce(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END,
+        |         0) AS INTEGER) AS significant
+        |FROM zz ORDER BY v""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

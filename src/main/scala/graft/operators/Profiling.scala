@@ -296,18 +296,123 @@ object Profiling {
     * bound is implied by the pushed scan range per open quantile and by
     * bucket arithmetic), nulls filtered, exploded — same multi-quantile
     * single pass, no join at all. Results are identical to
-    * [[exactQuantiles]] on the same column (spec-pinned). */
+    * [[exactQuantiles]] on the same column (spec-pinned). Since r9 a
+    * thin wrapper over [[exactQuantilesMulti]], inheriting its probe
+    * dedup: round 1's |qs| identical full-range probes collapse to ONE
+    * histogram — for a 63-quantile equi-height boundary probe that is a
+    * 63× cut in both exploded rows and driver-collected buckets. */
   def exactQuantilesStored(df: DataFrame, valueCol: String,
+      qs: Seq[Double], fanout: Int = 256): DataFrame =
+    exactQuantilesMulti(df, Seq(valueCol), qs, fanout)
+      .select(col("q"), col("n"), col("k"), col("value"))
+
+  /** MULTI-COLUMN exact quantiles — ONE shared refinement loop for ALL
+    * (column, quantile) pairs: per round, a single filtered scan
+    * histograms every still-open pair, so k columns × m quantiles cost
+    * ⌈log_fanout(max span)⌉ passes TOTAL instead of k·m separate loops
+    * (the VERDICT r8 finding: [[graft.operators.Behavior.rfmSegments]]'
+    * three serial boundary probes, [[equiHeightHistogram]]'s boundary
+    * probe, and funnel timing's per-step medians all ran their own
+    * rounds). Two structural wins over looping [[exactQuantilesStored]]:
+    *
+    *   1. probes are DEDUPED by (column, lo, hi): quantiles of the same
+    *      column still sharing a search range (always true in round 1,
+    *      common later under ties) share one histogram — one struct per
+    *      row per distinct range, not per quantile, and the driver
+    *      collect shrinks identically;
+    *   2. columns refine in lockstep: a round's scan filter is the OR
+    *      of every open range (all literal comparisons on stored
+    *      columns — they reach parquet as PushedFilters, and a row
+    *      group outside ALL ranges is skipped by min/max stats).
+    *
+    * Returns (col_name, q, n, k, value) — n and k are per column (NULLs
+    * carry no rank, exactly as [[exactQuantiles]]); value is the exact
+    * k = ⌈q·n⌉-th smallest of that column. Same contracts: non-empty
+    * non-null input per column, per-column span < 2⁶³. Driver state is
+    * ≤ fanout·(open probes) longs per round — broadcast-state regime.
+    * Spec-pinned equal to per-column [[exactQuantiles]]. */
+  def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
       qs: Seq[Double], fanout: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(cols.distinct == cols, s"duplicate columns in $cols")
+    cols.foreach(c => require(df.columns.contains(c), s"no column '$c'"))
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
+    require(fanout >= 2, s"fanout=$fanout")
     val spark = df.sparkSession
-    val c = col(valueCol)
-    quantileRefine(spark, qs, fanout) { open =>
-      quantileHistRoundStored(df, valueCol, open)
-    } {
-      df.filter(c.isNotNull)
-        .agg(count(lit(1)), min(c.cast("long")), max(c.cast("long")))
-        .collect()(0)
+    import spark.implicits._
+    def qn(c: String) = "`" + c.replace("`", "``") + "`"
+    // ONE stats pass for every column: non-null count, min, max
+    val statAggs = cols.flatMap { c =>
+      val cl = col(c).cast("long")
+      Seq(count(cl), min(cl), max(cl))
     }
+    val st = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val ns = cols.indices.map { i =>
+      val n = st.getLong(3 * i)
+      require(n > 0,
+        s"exactQuantilesMulti: column '${cols(i)}' is empty or all-NULL")
+      require(st.getLong(3 * i + 2) - st.getLong(3 * i + 1) >= 0,
+        s"column '${cols(i)}' span ${st.getLong(3 * i + 1)}.." +
+          s"${st.getLong(3 * i + 2)} exceeds 2^63-1 — rescale first")
+      n
+    }
+    val sortedQs = qs.sorted
+    // per-(column, quantile) search state: residual rank k in [lo, hi]
+    var state: Vector[(Int, Double, Long, Long, Long)] =
+      (for (ci <- cols.indices; q <- sortedQs) yield
+        (ci, q, math.ceil(q * ns(ci)).toLong,
+          st.getLong(3 * ci + 1), st.getLong(3 * ci + 2))).toVector
+    while (state.exists { case (_, _, _, lo, hi) => lo < hi }) {
+      val open = state.zipWithIndex.collect {
+        case ((ci, _, k, lo, hi), gi) if lo < hi => (gi, ci, k, lo, hi)
+      }
+      // dedup probes: quantiles sharing (column, lo, hi) share one
+      // histogram — in round 1 that is ONE probe per column
+      val probes = open.map { case (_, ci, _, lo, hi) => (ci, lo, hi) }
+        .distinct.zipWithIndex.toMap
+      val branches = probes.toSeq.sortBy(_._2).map {
+        case ((ci, lo, hi), pid) =>
+          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), >= 1
+          val c = col(cols(ci))
+          when(c >= lit(lo) && c <= lit(hi),
+            struct(lit(pid).as("pid"),
+              expr(s"(CAST(${qn(cols(ci))} AS BIGINT) - ${lo}L) " +
+                s"div ${width}L").as("b")))
+      }
+      val scanFilter = probes.keys.map { case (ci, lo, hi) =>
+        col(cols(ci)) >= lit(lo) && col(cols(ci)) <= lit(hi)
+      }.reduce(_ || _)
+      val hists = df.filter(scanFilter)
+        .select(explode(filter(array(branches: _*), s => s.isNotNull))
+          .as("s"))
+        .groupBy(col("s.pid").as("pid"), col("s.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val next = state.toArray
+      open.foreach { case (gi, ci, k, lo, hi) =>
+        val pid = probes((ci, lo, hi))
+        val width = (hi - lo) / fanout + 1
+        var rem = k
+        for ((_, b, c) <- hists.getOrElse(pid, Array.empty).sortBy(_._2)) {
+          if (rem > 0) {
+            if (c >= rem) {
+              val lo2 = lo + b * width
+              next(gi) = (ci, state(gi)._2, rem, lo2,
+                math.min(hi, lo2 + width - 1))
+              rem = 0
+            } else rem -= c
+          }
+        }
+        require(rem == 0,
+          s"exactQuantilesMulti invariant broken: column '${cols(ci)}' " +
+            s"rank residual $rem not covered by the [$lo, $hi] histogram")
+      }
+      state = next.toVector
+    }
+    state.map { case (ci, q, _, lo, _) =>
+      (cols(ci), q, ns(ci), math.ceil(q * ns(ci)).toLong, lo)
+    }.toDF("col_name", "q", "n", "k", "value")
   }
 
   /** ONE refinement-round histogram of [[exactQuantilesStored]] — all
@@ -348,12 +453,26 @@ object Profiling {
     require(bins >= 2, s"bins=$bins")
     val qs = (1 until bins).map(_.toDouble / bins)
     // wide fanout: one refinement round for value ranges < 2^16, two
-    // for < 2^32 — driver state ≤ 64k·bins longs, still trivially small
+    // for < 2^32; the bins−1 quantiles share ONE probe per round until
+    // their ranges diverge (exactQuantilesMulti dedup), so driver state
+    // and exploded rows are ~fanout longs, not fanout·bins
     val bounds = exactQuantilesStored(df, valueCol, qs, fanout = 65536)
       .select(col("q"), col("value")).collect()
       .sortBy(_.getDouble(0)).map(_.getLong(1))
+    histogramFill(df, valueCol, bounds.toIndexedSeq)
+  }
+
+  /** The ONE counting pass of [[equiHeightHistogram]], public for plan
+    * inspection and boundary reuse (recount a fresh snapshot against
+    * yesterday's boundaries — the drift-friendly form): buckets every
+    * row with a LITERAL boundary when-chain (codegen'd comparisons, no
+    * join) and aggregates count + observed [lo, hi] per bin. */
+  def histogramFill(df: DataFrame, valueCol: String,
+      bounds: Seq[Long]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      s"bounds must be non-empty ascending, got $bounds")
     val c = col(valueCol).cast("long")
-    val bucket = bounds.zipWithIndex.foldRight(lit(bins - 1)) {
+    val bucket = bounds.zipWithIndex.foldRight(lit(bounds.size)) {
       case ((b, i), acc) => when(c <= b, i).otherwise(acc)
     }
     df.filter(c.isNotNull)

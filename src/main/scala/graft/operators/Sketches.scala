@@ -333,7 +333,16 @@ object Sketches {
     *   3. `shuffle` — the default sort-merge/shuffle-hash regime.
     *
     * All-integer arithmetic (counts, integer div), so the decision —
-    * not just the inputs — replays exactly in the oracle (q195). */
+    * not just the inputs — replays exactly in the oracle (q195).
+    *
+    * Overflow (ADVICE r8): est_rows (Σ ca·cb — a pre-flight for joins
+    * whose output may dwarf 2⁶³) and the skew numerators
+    * (max·100·keys) accumulate as DECIMAL(38,0) — exact 128-bit
+    * integers, the q204 pattern — so a hot key or huge key count can
+    * never wrap 64-bit math and silently flip the verdict. The emitted
+    * est_rows column stays BIGINT (cast on output, after the exact
+    * accumulation) to keep the report schema integral; IntegralDivide
+    * on the decimal skew numerator already yields BIGINT. */
   def joinStrategyPick(a: DataFrame, aKey: String, b: DataFrame,
       bKey: String, broadcastMaxRows: Long, saltSkewX100: Long)
       : DataFrame = {
@@ -346,10 +355,14 @@ object Sketches {
     val sb = cb.agg(sum(col("cb")).as("rows_b"),
       count(lit(1)).as("keys_b"), max(col("cb")).as("max_b"))
     val est = ca.join(cb, "k")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est_rows"))
+      .agg(coalesce(
+        sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0).cast("decimal(38,0)")).cast("long").as("est_rows"))
     sa.crossJoin(broadcast(sb)).crossJoin(broadcast(est))
-      .withColumn("skew_x100_a", expr("max_a * 100 * keys_a div rows_a"))
-      .withColumn("skew_x100_b", expr("max_b * 100 * keys_b div rows_b"))
+      .withColumn("skew_x100_a", expr(
+        "CAST(max_a AS DECIMAL(38,0)) * 100 * keys_a div rows_a"))
+      .withColumn("skew_x100_b", expr(
+        "CAST(max_b AS DECIMAL(38,0)) * 100 * keys_b div rows_b"))
       .select(col("rows_a"), col("rows_b"), col("keys_a"), col("keys_b"),
         col("est_rows"), col("skew_x100_a"), col("skew_x100_b"),
         when(least(col("rows_a"), col("rows_b")) <= broadcastMaxRows,

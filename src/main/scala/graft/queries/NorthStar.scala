@@ -1930,6 +1930,25 @@ object NorthStar {
       .orderBy($"u")
   }
 
+  /** X2 fuzzy-dedup coverage audit ([[graft.operators.Dedup
+    * .fuzzyBlockAudit]]): what q209's run excluded — NULL-text docs
+    * and over-cap prefix blocks with the rows they cover — as one
+    * exact-integer row. The no-silent-caps companion: q209's pairs
+    * plus this row together describe the whole corpus. */
+  def fuzzyAudit(spark: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyBlockAudit(Tables.documents(spark, d))
+
+  /** X15 k-arm experiment readout ([[graft.operators.Behavior
+    * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
+    * conversion, arm 0 as control — per-arm exact counts, ppm rates,
+    * pairwise-vs-control z from the same integer sufficient stats. */
+  def abReadoutK(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.abTestK(Tables.events(spark, d), "user_id", "event_type",
+      "purchase", pmod($"user_id", lit(4L)), control = 0L)
+      .orderBy($"v")
+  }
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

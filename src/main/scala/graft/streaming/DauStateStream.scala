@@ -22,9 +22,17 @@ import graft.sources.ManifestTable
 object DauStateStream {
 
   /** `writeStream.foreachBatch` sink. `streamId` scopes txn markers —
-    * one logical stream per state table. */
+    * one logical stream per state table. An EMPTY micro-batch is
+    * short-circuited before any state work (ADVICE r8): merging it
+    * would commit a zero-row snapshot — depending on AQE's empty-
+    * partition handling that can mean zero part files, and every later
+    * batch's ManifestTable.read would then fail its "snapshot is
+    * empty" require, wedging the stream. Skipping the commit entirely
+    * is safe for exactly-once too: replaying an empty batch is a
+    * no-op by definition, so it needs no txn marker. */
   def sink(stateDir: String, lgK: Int, streamId: String)
       (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     ManifestTable.create(stateDir)
     if (!ManifestTable.hasCommittedTxn(stateDir, s"$streamId-$batchId")) {

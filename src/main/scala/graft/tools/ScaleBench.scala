@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence bench (VERDICT r8 #4): times the five heaviest
+  * operator families at each given data dir (sf0.01 → sf0.1 → the
+  * [[ScaleGen]] ~10× skewed slice) and prints one JSON line per
+  * (dir, query, run). Two timed runs per query: run 1 pays JVM/codegen
+  * warm-up on that plan shape, run 2 is the steady-state number
+  * SCALING.md reports (min of both would hide nothing here — the
+  * tables are re-scanned every run; only compiled code is reused).
+  *
+  * Families (all through the exact SparkEntry plans the driver times):
+  *   q196 rolling-DAU state (sketch algebra + window expansion)
+  *   q158 salted semantic dedup (k-means + salted cell self-join)
+  *   q185 binary kNN (compressed-domain prescreen + rerank) — PLUS a
+  *        fixed-20-query variant `q185_fixedq`, because q185's own
+  *        query set grows with the corpus (queries × corpus work is
+  *        quadratic in the scale factor BY CONSTRUCTION; the fixed
+  *        variant isolates the corpus-linear serving cost)
+  *   q193 single-pass funnel (per-user fold, planted hot user)
+  *   q190 stored-column exact quantiles (refinement rounds grow with
+  *        log(key span) — ScaleGen widens the span 10⁹×, so rounds
+  *        4-5 vs 2: the expected, named, log-bounded superlinearity)
+  *
+  *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "scaledata/x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
+
+    val fams: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q196_dau_state", "q158_semdedup_salted", "q185_binary_knn",
+      "q193_funnel_onepass", "q190_stored_quantiles")
+      .map(n => n -> graft.SparkEntry.queries(n)) :+
+      ("q185_fixedq" -> { (s: SparkSession, d: String) =>
+        // fixed 20-query serving load against the growing corpus:
+        // the first 20 ORIGINAL-copy query vectors at every scale
+        val emb = graft.Tables.embeddings(s, d)
+        graft.operators.Similarity.binaryKnnJoin(emb,
+          emb.filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < 2000), 5, 20)
+      })
+
+    dirs.foreach { dir =>
+      fams.foreach { case (name, fn) =>
+        (1 to 2).foreach { run =>
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"dir":"$dir","query":"$name","run":$run,""" +
+            f""""sec":$sec%.3f,"rows":$rows}""")
+          graft.SessionHygiene.cleanup(spark)
+        }
+      }
+    }
+    spark.stop()
+  }
+}

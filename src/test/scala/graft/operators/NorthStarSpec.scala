@@ -1492,6 +1492,55 @@ class NorthStarSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("fuzzyBlockAudit counts hot blocks, covered rows, and NULL-text " +
+      "docs; fuzzyPairs excludes NULL text (VERDICT/ADVICE r8)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("the quick brown fox jumps over the lazy dot")),
+      (3L, Some("the quick brown box jumps over a lazy dog")),
+      (4L, Some("completely different text with no relation")),
+      (5L, Option.empty[String]) // NULL text: in no block, no pair
+    ).toDF("doc_id", "text")
+    // blocks: "the quick br" ×3 (hot at maxBlock=2), "completely di" ×1
+    val audit = Dedup.fuzzyBlockAudit(docs, blockPrefix = 12, maxBlock = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(audit == List((5L, 1L, 2L, 1L, 3L)))
+    // pairs run with the same cap reports nothing from the hot block —
+    // exactly the n_hot_rows=3 docs the audit says were skipped
+    assert(Dedup.fuzzyPairs(docs, 5, blockPrefix = 12, maxBlock = 2)
+      .count() == 0L)
+    // and a NULL-text doc never pairs even without the cap
+    val withNull = Dedup.fuzzyPairs(docs, 5, blockPrefix = 12)
+      .as[(Long, Long, Int)].collect().toList
+    assert(withNull.forall(p => p._1 != 5L && p._2 != 5L))
+  }
+
+  test("abTestK: per-arm counts and hand-computed pairwise-vs-control " +
+      "z; control arm z is NULL; missing control arm yields empty") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    // arms by user % 3: arm 0 = {3,6,9,12} with 2 converters (p=0.5),
+    // arm 1 = {1,4,7,10} with 1 (p=0.25), arm 2 = {2,5,8,11} all 4
+    // (p=1.0). z1 = (0.25-0.5)/sqrt(0.375*0.625*0.5) = -0.7303;
+    // z2 = (1.0-0.5)/sqrt(0.75*0.25*0.5) = 1.633
+    val ev = (1 to 12).map { u =>
+      val conv = (u % 3 == 0 && u <= 6) || u == 1 || u % 3 == 2
+      (u.toLong, if (conv) "c" else "x", t(u))
+    }.toDF("user_id", "event_type", "ts")
+    val got = Behavior.abTestK(ev, "user_id", "event_type", "c",
+        pmod($"user_id", lit(3L)), control = 0L)
+      .orderBy($"v")
+      .as[(Long, Long, Long, Long, Option[Double], Int)].collect().toList
+    assert(got == List(
+      (0L, 4L, 2L, 500000L, None, 0),
+      (1L, 4L, 1L, 250000L, Some(-0.7303), 0),
+      (2L, 4L, 4L, 1000000L, Some(1.633), 0)))
+    // no control arm → empty readout, not a partial one
+    assert(Behavior.abTestK(ev, "user_id", "event_type", "c",
+      pmod($"user_id", lit(3L)), control = 99L).count() == 0L)
+  }
+
   test("abTest: hand-computed two-proportion z; degenerate pooled " +
       "variance reports NULL z and not-significant") {
     import spark.implicits._
@@ -1629,6 +1678,46 @@ class NorthStarSpec extends SparkSpec {
     val b = Profiling.exactQuantiles(orders, col("o_custkey"), qs)
       .as[(Double, Long, Long, Long)].collect().toList.sortBy(_._1)
     assert(a == b)
+  }
+
+  test("exactQuantilesMulti == per-column exactQuantiles (one shared " +
+      "refinement loop, probes deduped per round — VERDICT r8 #1)") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val cols2 = Seq("o_custkey", "o_orderkey")
+    val multi = Profiling.exactQuantilesMulti(orders, cols2, qs)
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    val single = cols2.flatMap { c =>
+      Profiling.exactQuantiles(orders, col(c), qs)
+        .as[(Double, Long, Long, Long)].collect().toList
+        .map { case (q, n, k, v) => (c, q, n, k, v) }
+    }.sorted
+    assert(multi == single)
+    // tiny fanout → many rounds with diverging per-quantile ranges:
+    // the probe-dedup bookkeeping must still find each exact k-th
+    val multi2 = Profiling.exactQuantilesMulti(orders, cols2, qs,
+        fanout = 2)
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    assert(multi2 == single)
+  }
+
+  test("exactQuantilesMulti: per-column NULLs rank independently; an " +
+      "all-NULL column fails fast by name") {
+    import spark.implicits._
+    // x: 1..10 (+NULL rows via y), y: 100..104 on 5 rows, NULL after —
+    // each column's k = ceil(q*n) is against ITS non-null count
+    val df = (1 to 10).map(i =>
+      (i.toLong, if (i <= 5) Some(100L + i) else None)).toDF("x", "y")
+    val got = Profiling.exactQuantilesMulti(df, Seq("x", "y"), Seq(0.5))
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    assert(got == List(("x", 0.5, 10L, 5L, 5L), ("y", 0.5, 5L, 3L, 103L)))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantilesMulti(
+        df.withColumn("z", lit(null).cast("long")), Seq("x", "z"),
+        Seq(0.5))
+    }
+    assert(e.getMessage.contains("'z'"))
   }
 
   test("exactQuantiles ranks among NON-NULL values only and fails fast " +

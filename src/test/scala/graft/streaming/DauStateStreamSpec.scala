@@ -63,4 +63,27 @@ class DauStateStreamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rolled == exact) // sparse-mode HLL is exact at these counts
   }
+
+  test("an EMPTY micro-batch is a no-op: no snapshot committed, state " +
+      "unchanged, later batches still read it (ADVICE r8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("daustate_empty").toString + "/t"
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    // empty FIRST batch: must not create an empty snapshot that would
+    // wedge every later read
+    DauStateStream.sink(dir, 12, "dau")(empty, 0L)
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00"))).toDF("user_id", "ts")
+    DauStateStream.sink(dir, 12, "dau")(b1, 1L)
+    assert(estimates(dir) == Map(19723L -> 2L))
+    // empty MID-STREAM batch: version frozen, state intact
+    val v = ManifestTable.currentVersion(dir)
+    DauStateStream.sink(dir, 12, "dau")(empty, 2L)
+    assert(ManifestTable.currentVersion(dir) == v)
+    assert(estimates(dir) == Map(19723L -> 2L))
+    // and the stream continues normally after it
+    val b3 = Seq((3L, ts("2024-01-02 09:00:00"))).toDF("user_id", "ts")
+    DauStateStream.sink(dir, 12, "dau")(b3, 3L)
+    assert(estimates(dir) == Map(19723L -> 2L, 19724L -> 1L))
+  }
 }
