@@ -266,22 +266,21 @@ object Profiling {
     * the same IEEE double product, so the boundary is engine-exact.
     * Contract: the value SPAN (max − min) must fit a signed 64-bit long
     * — spans wider than 2⁶³−1 would wrap the width/bucket arithmetic,
-    * so they fail fast instead of refining toward a wrong answer. */
+    * so they fail fast instead of refining toward a wrong answer.
+    *
+    * Since r9 a wrapper over [[exactQuantilesMulti]] on the projected
+    * value (NULL ranking semantics unchanged — Multi counts and ranks
+    * non-null values only, failing fast on all-NULL input), inheriting
+    * the per-round probe dedup: quantiles still sharing a search range
+    * (always in round 1) share one histogram instead of one per
+    * quantile. The derived expression means the range predicates
+    * evaluate post-scan — [[exactQuantilesStored]] is the variant
+    * whose literals reach parquet. */
   def exactQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
-      qs: Seq[Double], fanout: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    // NULL values carry no rank: drop them BEFORE the count so
-    // k = ceil(q·n) is a rank among actual values — otherwise the
-    // per-round range filter silently drops NULLs, k can exceed the
-    // non-null row count, and the bucket walk never terminates
-    // (ADVICE r7); all-NULL input now fails fast as "empty input"
-    val vals = df.select(value.cast("long").as("v"))
-      .filter(col("v").isNotNull)
-    quantileRefine(spark, qs, fanout) { open =>
-      import spark.implicits._
-      quantileHistRound(vals, open.toDF("qid", "k", "lo", "hi", "width"))
-    } { vals.agg(count(lit(1)), min(col("v")), max(col("v"))).collect()(0) }
-  }
+      qs: Seq[Double], fanout: Int = 256): DataFrame =
+    exactQuantilesMulti(df.select(value.cast("long").as("v")), Seq("v"),
+      qs, fanout)
+      .select(col("q"), col("n"), col("k"), col("value"))
 
   /** [[exactQuantiles]] over a STORED numeric COLUMN (by name, not a
     * derived expression) — the same histogram-refinement algorithm, but
@@ -480,65 +479,4 @@ object Profiling {
       .agg(count(lit(1)).as("n"), min(c).as("lo"), max(c).as("hi"))
   }
 
-  /** Shared driver loop of [[exactQuantiles]] / [[exactQuantilesStored]]:
-    * walks ≤ fanout·|qs| bucket counts per round, narrowing each
-    * quantile's [lo, hi] until width 1. `hist(open)` runs ONE
-    * refinement-round aggregate for the open quantiles
-    * (qid, k, lo, hi, width) and returns (qid, bucket, count) rows;
-    * `stats` supplies (non-null count, min, max) as longs. Driver state
-    * is ≤ fanout·|qs| longs — broadcast-state regime, not a data
-    * collect. The post-walk `require(rem == 0)` is the invariant
-    * tripwire: any future mismatch between k and the histogram's row
-    * universe (the ADVICE r7 NULL trap) aborts with a clear error
-    * instead of looping forever. */
-  private def quantileRefine(spark: org.apache.spark.sql.SparkSession,
-      qs: Seq[Double], fanout: Int)
-      (hist: Seq[(Int, Long, Long, Long, Long)] => DataFrame)
-      (stats: => org.apache.spark.sql.Row): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
-    require(fanout >= 2, s"fanout=$fanout")
-    import spark.implicits._
-    val st = stats
-    require(!st.isNullAt(0) && st.getLong(0) > 0,
-      "exactQuantiles on empty (or all-NULL) input")
-    val n = st.getLong(0)
-    require(st.getLong(2) - st.getLong(1) >= 0,
-      s"value span ${st.getLong(1)}..${st.getLong(2)} exceeds 2^63-1 — " +
-        "the histogram arithmetic would wrap; rescale the column first")
-    // per-quantile search state: residual rank k within [lo, hi]
-    var state = qs.sorted.map { q =>
-      (q, math.ceil(q * n).toLong, st.getLong(1), st.getLong(2))
-    }
-    while (state.exists { case (_, _, lo, hi) => lo < hi }) {
-      val open = state.zipWithIndex.collect {
-        case ((_, k, lo, hi), i) if lo < hi =>
-          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), ≥ 1
-          (i, k, lo, hi, width)
-      }
-      val hists = hist(open)
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .groupBy(_._1)
-      val next = state.toArray
-      open.foreach { case (i, k, lo, _, width) =>
-        var rem = k
-        for ((_, b, c) <- hists.getOrElse(i, Array.empty).sortBy(_._2)) {
-          if (rem > 0) {
-            if (c >= rem) {
-              val lo2 = lo + b * width
-              next(i) = (state(i)._1, rem, lo2,
-                math.min(state(i)._4, lo2 + width - 1))
-              rem = 0
-            } else rem -= c
-          }
-        }
-        require(rem == 0,
-          s"exactQuantiles invariant broken: rank residual $rem not " +
-            s"covered by the [$lo, ${state(i)._4}] histogram")
-      }
-      state = next.toSeq
-    }
-    state.map { case (q, _, lo, _) =>
-      (q, n, math.ceil(q * n).toLong, lo)
-    }.toDF("q", "n", "k", "value")
-  }
 }
