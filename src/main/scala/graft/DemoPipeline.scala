@@ -1,8 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
-import graft.sources.{AlphaVantage, ParquetWarehouse, RawCache, RunLog}
+import graft.sources.{AlphaVantage, ManifestTable, ParquetWarehouse, RawCache, RunLog}
+import graft.streaming.{DauStateStream, GatedIngest, StreamingIngest}
 import graft.streaming.avsource.FakeAlphaVantageServer
 
 /** The reference's `main()` (etl.py:183-216) end-to-end, Spark-first:
@@ -15,14 +18,31 @@ import graft.streaming.avsource.FakeAlphaVantageServer
   * reference's INSERT IGNORE + per-day cache semantics) — the second run
   * fetches nothing and appends nothing.
   *
+  * STREAMING MODE (VERDICT r8 #8): `sbt "runMain graft.DemoPipeline
+  * --streaming /tmp/graft_demo_s 2025-10-05"` demonstrates the same
+  * scheduled-run semantics through the streaming stack in ONE command:
+  * the day's payloads land as files in a drop dir (the scheduler's
+  * fetch), ONE AvailableNow job drains them through watermark key-dedup
+  * into a composite foreachBatch sink — gated admission
+  * ([[graft.streaming.GatedIngest]]: exact/near text gate + frozen-cell
+  * semantic gate, txn-marked manifest commit) PLUS per-day
+  * distinct-symbol sketch state ([[graft.streaming.DauStateStream]]).
+  * Re-running the same day is a no-op at EVERY layer: the stream
+  * checkpoint skips consumed files, a re-dropped byte-identical payload
+  * under a new filename is dropped by the persisted text gate, and the
+  * sketch state is value-idempotent (HLL union of already-inserted
+  * values changes nothing).
+  *
   * The fetch is the deterministic stub standing in for the Alpha Vantage
   * HTTP GET (zero-egress environment); everything downstream is the real
   * engine. */
 object DemoPipeline {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/tmp/graft_demo")
-    val today = args.lift(1).getOrElse("2025-10-05")
-    val symbols = Seq("AAPL", "GOOG", "MSFT") // etl.py:205
+    val streaming = args.headOption.contains("--streaming")
+    val rest = if (streaming) args.drop(1) else args
+    val base = rest.headOption.getOrElse(
+      if (streaming) "/tmp/graft_demo_stream" else "/tmp/graft_demo")
+    val today = rest.lift(1).getOrElse("2025-10-05")
 
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -33,6 +53,15 @@ object DemoPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (streaming) runStreaming(spark, base, today)
+    else runBatch(spark, base, today)
+    spark.stop()
+  }
+
+  private val symbols = Seq("AAPL", "GOOG", "MSFT") // etl.py:205
+
+  /** The original batch pipeline (reference main() shape). */
+  def runBatch(spark: SparkSession, base: String, today: String): Unit = {
     // 1. extract: per-day cache, fetch on miss (etl.py:33-70)
     val cache = new RawCache(s"$base/raw_data")
     val fetched = symbols.count { sym =>
@@ -60,7 +89,59 @@ object DemoPipeline {
     // 5. audit line (etl.py:222-223)
     new RunLog(s"$base/etl_log.txt")
       .append(s"ETL run at ${java.time.Instant.now()} ($today, ${symbols.size} symbols)")
+  }
 
-    spark.stop()
+  /** One scheduled STREAMING run over `base` for day `today` — public
+    * and session-injected so the spec drives the identical code path
+    * the CLI runs. Layout under `base`: drop/ (landed payload files),
+    * ckpt/ (stream checkpoint), accepted/ txtidx/ centroids/ (gated
+    * admission state), symbol_state/ (per-day HLL sketch state). */
+  def runStreaming(spark: SparkSession, base: String, today: String): Unit = {
+    // 1. the scheduler's fetch: today's payloads land as drop files
+    //    (skip files already dropped — the per-day cache semantics)
+    val drop = new java.io.File(s"$base/drop"); drop.mkdirs()
+    val landed = symbols.count { sym =>
+      val f = new java.io.File(drop, s"${sym}_$today.json")
+      val isNew = !f.exists()
+      if (isNew) java.nio.file.Files.writeString(f.toPath,
+        FakeAlphaVantageServer.fetch(sym, today))
+      isNew
+    }
+    println(s"[drop] $landed new payload files, " +
+      s"${symbols.size - landed} already present")
+
+    // 2. ONE AvailableNow job: watermark key-dedup, then the composite
+    //    sink — gated admission + sketch-state maintenance, each with
+    //    its own exactly-once story (txn markers / value idempotence)
+    val sink = { (batch: DataFrame, batchId: Long) =>
+      GatedIngest.sink(s"$base/accepted", s"$base/txtidx",
+        s"$base/centroids", k = 2, textThreshold = 0.8,
+        cosThreshold = 0.999, "demo")(
+        StreamingIngest.stockDocForm(batch), batchId)
+      DauStateStream.sink(s"$base/symbol_state", 12, "demo-dau")(
+        batch.select(xxhash64(col("symbol")).as("user_id"),
+          col("date").cast("timestamp").as("ts")), batchId)
+    }
+    val q = StreamingIngest.withKeyDedup(
+        StreamingIngest.stockStream(spark, drop.getPath))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+    q.awaitTermination()
+
+    // 3. inspect both state surfaces
+    val accepted =
+      if (ManifestTable.currentVersion(s"$base/accepted") == 0L) 0L
+      else ManifestTable.read(spark, s"$base/accepted")._2.count()
+    println(s"[admitted] $accepted docs in the accepted manifest")
+    if (ManifestTable.currentVersion(s"$base/symbol_state") > 0L)
+      ManifestTable.read(spark, s"$base/symbol_state")._2
+        .select(col("d"), expr("hll_sketch_estimate(sk)").as("n_symbols"))
+        .orderBy(col("d")).show()
+    new RunLog(s"$base/etl_log.txt")
+      .append(s"streaming run at ${java.time.Instant.now()} ($today)")
   }
 }

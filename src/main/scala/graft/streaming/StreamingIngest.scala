@@ -78,6 +78,31 @@ object StreamingIngest {
       .filter(col("Meta Data").isNotNull &&
         col("`Time Series (Daily)`").isNotNull))
 
+  /** StockDaily rows → the gated-admission (doc_id, text, embedding)
+    * doc form ([[GatedIngest]]'s input contract): id and text are pure
+    * functions of (symbol, date, OHLCV) so a byte-identical re-delivered
+    * payload produces byte-identical docs (the exact-text gate then
+    * drops it); the embedding uses intraday DIFFERENCES
+    * (direction-bearing — raw OHLCV vectors of any two days are cosine
+    * ≈ 1.0 and would collapse the semantic gate). Shared by the
+    * `--streaming` demo pipeline and the GatedIngest end-to-end spec. */
+  def stockDocForm(df: DataFrame): DataFrame =
+    df.select(
+      org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.concat_ws("|",
+              col("symbol"), col("date"))), 1, 8), 16, 10)
+        .cast("long").as("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ", col("symbol"),
+        col("date"), col("open"), col("high"), col("low"), col("close"),
+        col("volume")).as("text"),
+      org.apache.spark.sql.functions.array(
+        col("open") - col("low"), col("high") - col("open"),
+        col("close") - col("low"), col("high") - col("close"),
+        col("volume") / org.apache.spark.sql.functions.lit(1e7))
+        .cast("array<double>").as("embedding"))
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * the (periodically re-read) static dimension — the streaming analog of
     * the broadcast dimension join; no stream state is kept. */

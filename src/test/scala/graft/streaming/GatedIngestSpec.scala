@@ -80,19 +80,11 @@ class GatedIngestSpec extends SparkSpec {
 
   private val fixtures = getClass.getResource("/raw_data").getPath
 
-  /** StockDaily rows → the pipeline's (doc_id, text, embedding) doc
-    * form: id and text are pure functions of (symbol, date, OHLCV), the
-    * embedding uses intraday DIFFERENCES (direction-bearing — raw OHLCV
-    * vectors of any two days are cosine ≈ 1.0 and would collapse). */
+  /** The library's stock → (doc_id, text, embedding) doc form — shared
+    * with the `--streaming` demo pipeline (see its scaladoc for the
+    * direction-bearing embedding rationale). */
   private def docForm(df: DataFrame): DataFrame =
-    df.select(
-      conv(substring(md5(concat_ws("|", col("symbol"), col("date"))), 1, 8),
-        16, 10).cast("long").as("doc_id"),
-      concat_ws(" ", col("symbol"), col("date"), col("open"), col("high"),
-        col("low"), col("close"), col("volume")).as("text"),
-      array(col("open") - col("low"), col("high") - col("open"),
-        col("close") - col("low"), col("high") - col("close"),
-        col("volume") / lit(1e7)).cast("array<double>").as("embedding"))
+    StreamingIngest.stockDocForm(df)
 
   private def runJob(drop: String, ckpt: String, sink: (DataFrame, Long) => Unit): Unit = {
     val q = docForm(StreamingIngest.withKeyDedup(
