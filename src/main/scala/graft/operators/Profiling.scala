@@ -369,23 +369,40 @@ object Profiling {
       // histogram — in round 1 that is ONE probe per column
       val probes = open.map { case (_, ci, _, lo, hi) => (ci, lo, hi) }
         .distinct.zipWithIndex.toMap
-      val branches = probes.toSeq.sortBy(_._2).map {
-        case ((ci, lo, hi), pid) =>
-          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), >= 1
-          val c = col(cols(ci))
-          when(c >= lit(lo) && c <= lit(hi),
-            struct(lit(pid).as("pid"),
-              expr(s"(CAST(${qn(cols(ci))} AS BIGINT) - ${lo}L) " +
-                s"div ${width}L").as("b")))
-      }
+      def bucket(ci: Int, lo: Long, width: Long) =
+        expr(s"(CAST(${qn(cols(ci))} AS BIGINT) - ${lo}L) div ${width}L")
       val scanFilter = probes.keys.map { case (ci, lo, hi) =>
         col(cols(ci)) >= lit(lo) && col(cols(ci)) <= lit(hi)
       }.reduce(_ || _)
-      val hists = df.filter(scanFilter)
-        .select(explode(filter(array(branches: _*), s => s.isNotNull))
-          .as("s"))
-        .groupBy(col("s.pid").as("pid"), col("s.b").as("b"))
-        .agg(count(lit(1)).as("c"))
+      // ONE probe (always true in round 1 — every quantile of every
+      // column still spans its full range, and ranges only diverge as
+      // quantiles narrow): a plain filter + integer-expr groupBy, no
+      // per-row array/explode generator — the full-scan round is the
+      // expensive one, so it gets the leanest plan. Multi-probe rounds
+      // (which touch ÷fanout fewer rows each) route each row to its
+      // probes via a null-filtered struct array explode.
+      val hist =
+        if (probes.size == 1) {
+          val ((ci, lo, hi), pid) = probes.head
+          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), >= 1
+          df.filter(scanFilter)
+            .groupBy(lit(pid).as("pid"), bucket(ci, lo, width).as("b"))
+            .agg(count(lit(1)).as("c"))
+        } else {
+          val branches = probes.toSeq.sortBy(_._2).map {
+            case ((ci, lo, hi), pid) =>
+              val width = (hi - lo) / fanout + 1
+              val c = col(cols(ci))
+              when(c >= lit(lo) && c <= lit(hi),
+                struct(lit(pid).as("pid"), bucket(ci, lo, width).as("b")))
+          }
+          df.filter(scanFilter)
+            .select(explode(filter(array(branches: _*), s => s.isNotNull))
+              .as("s"))
+            .groupBy(col("s.pid").as("pid"), col("s.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+        }
+      val hists = hist
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       val next = state.toArray
