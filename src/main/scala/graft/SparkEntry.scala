@@ -234,6 +234,8 @@ object SparkEntry {
     "q211_rfm_segments"  -> (NorthStar.rfm _),
     "q212_fuzzy_audit"   -> (NorthStar.fuzzyAudit _),
     "q213_ab_test_k"     -> (NorthStar.abReadoutK _),
+    "q214_engagement_gini" -> (NorthStar.engagementGini _),
+    "q215_lang_source_mi" -> (NorthStar.langSourceMi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3834,6 +3836,81 @@ object SparkEntry {
         |       CAST(coalesce(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END,
         |         0) AS INTEGER) AS significant
         |FROM zz ORDER BY v""".stripMargin,
+    // q214: engagement concentration — Lorenz points + Gini from the
+    // ACTIVITY-LEVEL histogram: closed-form rank-block sums (exact
+    // hugeint/decimal S), boundary ties exact because all tied users
+    // share one activity value; ceil via (a+99)//100 on non-negatives
+    // (floor- and truncating-div agree there); gini is the only float,
+    // computed in the identical op order and rounded 6 dp.
+    "q214_engagement_gini" ->
+      """WITH pu AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS x
+        |            FROM events GROUP BY 1),
+        |lv0 AS (SELECT x, CAST(count(*) AS BIGINT) AS nl
+        |        FROM pu GROUP BY 1),
+        |lv AS (SELECT x, nl,
+        |         sum(nl) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cum_users,
+        |         sum(nl * x) OVER (ORDER BY x DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+        |         coalesce(sum(nl) OVER (ORDER BY x ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |       FROM lv0),
+        |tt AS (SELECT CAST(sum(nl) AS BIGINT) AS n,
+        |         CAST(sum(nl * x) AS BIGINT) AS t,
+        |         sum(CAST(x AS HUGEINT) *
+        |           (below * nl + (nl * (nl + 1)) // 2)) AS s
+        |       FROM lv),
+        |p AS (SELECT * FROM (VALUES (1), (10), (50)) v(top_pct)),
+        |j AS (SELECT p.top_pct,
+        |        (p.top_pct * tt.n + 99) // 100 AS k_users,
+        |        tt.n, tt.t, tt.s, lv.x, lv.nl, lv.cum_users,
+        |        lv.cum_events
+        |      FROM p, tt, lv
+        |      WHERE lv.cum_users >= (p.top_pct * tt.n + 99) // 100
+        |        AND lv.cum_users - lv.nl <
+        |            (p.top_pct * tt.n + 99) // 100)
+        |SELECT CAST(top_pct AS INTEGER) AS top_pct,
+        |       CAST(k_users AS BIGINT) AS k_users,
+        |       CAST(cum_events - (cum_users - k_users) * x AS BIGINT)
+        |         AS events_covered,
+        |       CAST((cum_events - (cum_users - k_users) * x) * 1000000
+        |         // t AS BIGINT) AS share_ppm,
+        |       round(CAST(s AS DOUBLE) * 2.0 /
+        |           (CAST(n AS DOUBLE) * t) -
+        |           (CAST(n AS DOUBLE) + 1.0) / n, 6) + 0.0 AS gini
+        |FROM j ORDER BY top_pct""".stripMargin,
+    // q215: mutual information lang × source — exact integer counts
+    // from one (a,b) aggregate, per-cell/per-marginal contributions
+    // rounded to integer nano-nats BEFORE the exact 64-bit sum (the
+    // q197 PSI recipe), identical float op order in both engines.
+    "q215_lang_source_mi" ->
+      """WITH c AS (SELECT lang AS a, source AS b,
+        |             CAST(count(*) AS BIGINT) AS nab
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+        |       FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+        |       FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(nab) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_cells FROM c),
+        |mi AS (SELECT CAST(sum(CAST(round(
+        |           CAST(nab AS DOUBLE) / tt.n *
+        |           ln(CAST(nab AS DOUBLE) * tt.n /
+        |              (CAST(na AS DOUBLE) * nb)) * 1e9, 0)
+        |           AS BIGINT)) AS BIGINT) AS mi_nano
+        |       FROM c JOIN ma USING (a) JOIN mb USING (b), tt),
+        |ha AS (SELECT CAST(sum(CAST(round(
+        |           CAST(na AS DOUBLE) / tt.n * -1.0 *
+        |           ln(CAST(na AS DOUBLE) / tt.n) * 1e9, 0)
+        |           AS BIGINT)) AS BIGINT) AS h_a_nano FROM ma, tt),
+        |hb AS (SELECT CAST(sum(CAST(round(
+        |           CAST(nb AS DOUBLE) / tt.n * -1.0 *
+        |           ln(CAST(nb AS DOUBLE) / tt.n) * 1e9, 0)
+        |           AS BIGINT)) AS BIGINT) AS h_b_nano FROM mb, tt)
+        |SELECT n, n_cells, mi_nano, h_a_nano, h_b_nano
+        |FROM tt, mi, ha, hb""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -311,6 +311,87 @@ object Behavior {
     } finally metrics.unpersist(false)
   }
 
+  /** Engagement CONCENTRATION — the power-user curve: how much of all
+    * activity the top p% of users generate (exact Lorenz points) plus
+    * the Gini coefficient of per-user event counts. The "is our usage
+    * a whale economy" readout every event warehouse serves, and a
+    * skew PROFILE of the user key (pairs with
+    * [[Profiling.keySkewProfile]], which names the heavy keys; this
+    * quantifies the whole distribution's inequality).
+    *
+    * NTILE/sort-free: per-user counts (one key-sized aggregate)
+    * collapse into the ACTIVITY-LEVEL histogram (x, n_users-at-x) —
+    * levels-sized, bounded by distinct activity counts, tiny at any
+    * corpus size — and both outputs are closed forms over that frame:
+    *
+    *   - top-p%: k = ⌈p·n/100⌉ heaviest users; ties at the boundary
+    *     level all share the same x, so "which" tied users are taken
+    *     cannot change the covered-event count — share is exact and
+    *     deterministic: full levels above the boundary + (k − users
+    *     above) · x_boundary.
+    *   - Gini: users at level x occupy an ascending-rank block, so
+    *     Σᵢ rank·xᵢ = Σ_levels x·(n_below·n_l + n_l(n_l+1)/2)
+    *     (DECIMAL(38,0)-exact), and G = 2S/(nT) − (n+1)/n evaluates
+    *     per-row from exact integers in a fixed op order, rounded 6 dp
+    *     — engine-identical (the [[abTest]] z contract).
+    *
+    * The two windows run over the LEVELS frame — the deliberate
+    * unpartitioned-window broadcast-state regime ([[rateCusum]]'s
+    * argument), never over users. Returns one row per requested
+    * percentage: (top_pct, k_users, events_covered, share_ppm, gini)
+    * with gini constant across rows. */
+  def engagementConcentration(events: DataFrame, user: String,
+      topPcts: Seq[Int]): DataFrame = {
+    require(topPcts.nonEmpty && topPcts.forall(p => p >= 1 && p <= 100),
+      s"topPcts=$topPcts")
+    require(topPcts.distinct == topPcts, s"duplicate pcts in $topPcts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val levels = events.groupBy(col(user).as("u"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("nl"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val lv = levels
+      .withColumn("cum_users", sum(col("nl")).over(wDesc))
+      .withColumn("cum_events", sum(col("nl") * col("x")).over(wDesc))
+      .withColumn("below", coalesce(sum(col("nl")).over(wAsc), lit(0L)))
+    // S = Σ_levels x·(n_below·n_l + n_l(n_l+1)/2) as DECIMAL(38,0);
+    // the inner 64-bit products hold to ~3·10⁹ users (n_below·n_l ≤ n²
+    // < 2⁶³) — beyond that, cast `below`/`nl` to decimal too
+    val totals = lv.agg(
+      sum(col("nl")).as("n"),
+      sum(col("nl") * col("x")).as("t"),
+      sum(col("x").cast("decimal(38,0)") *
+        (col("below") * col("nl") + expr("(nl * (nl + 1)) div 2")))
+        .as("s"))
+    val pcts = topPcts.toDF("top_pct")
+    val gini = round(
+      (col("s").cast("double") * 2.0) /
+        (col("n").cast("double") * col("t")) -
+        (col("n").cast("double") + 1.0) / col("n"), 6) + lit(0.0)
+    // ceil on POSITIVE ints only: (a + 99) div 100 — truncating (Spark)
+    // and flooring (DuckDB) integer division agree on non-negatives,
+    // so the oracle replays the same k
+    broadcast(pcts).crossJoin(broadcast(totals))
+      .withColumn("k_users", expr("(top_pct * n + 99) div 100"))
+      .join(lv,
+        col("cum_users") >= col("k_users") &&
+          (col("cum_users") - col("nl")) < col("k_users"))
+      .select(col("top_pct"), col("k_users"),
+        (col("cum_events") -
+          (col("cum_users") - col("k_users")) * col("x"))
+          .as("events_covered"),
+        expr("(cum_events - (cum_users - k_users) * x) * 1000000 div t")
+          .as("share_ppm"),
+        gini.as("gini"))
+  }
+
   /** Daily-rate CUSUM changepoint monitor (Page 1954): per epoch day,
     * the flagged-event rate in integer ppm; the CUSUM statistic
     * S_d = max(0, S_{d−1} + (rate_d − baseline − slack)) accumulates

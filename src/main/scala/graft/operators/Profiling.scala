@@ -126,6 +126,59 @@ object Profiling {
     one.select(explode(rows).as("r")).select("r.*")
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * column-dependence profile that complements [[correlationMatrix]]
+    * (Pearson sees only numeric-linear association; MI sees any
+    * categorical co-occurrence structure — "is `source` predictive of
+    * `lang`" is an MI question). I(A;B) = Σ_ab p_ab·ln(p_ab/(p_a·p_b)),
+    * reported alongside both marginal entropies H(A), H(B) so the
+    * reader can normalize (NMI = I/min(H) or I/mean(H) as preferred).
+    *
+    * Determinism ([[embeddingDriftPsi]]'s recipe): all counts are exact
+    * integers from ONE (a, b)-keyed aggregate (marginals derive from
+    * the cells frame, never a second corpus scan); each cell's
+    * contribution is computed as a per-row double in a FIXED op order
+    * and rounded to integer NANO-nats BEFORE the sum — the sums are
+    * exact 64-bit addition, so both engines emit identical rows. NULL
+    * categories are excluded up front (a NULL group would survive the
+    * aggregate but silently vanish in the marginal equi-joins — the
+    * engines disagree on NULL join keys, so the contract is explicit
+    * instead). Returns one row: (n, n_cells, mi_nano, h_a_nano,
+    * h_b_nano).
+    *
+    * Scale shape: one key-sized shuffle on (a, b); everything after is
+    * cells-sized (marginals are groupBys OF the cells frame, the join
+    * back is cells × two tiny marginal tables). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    require(df.columns.contains(aCol) && df.columns.contains(bCol),
+      s"need columns '$aCol', '$bCol'")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"),
+      count(lit(1)).as("n_cells"))
+    def nano(term: org.apache.spark.sql.Column) =
+      sum(round(term * 1e9, 0).cast("long"))
+    val mi = cells.join(ma, "a").join(mb, "b")
+      .crossJoin(broadcast(tot))
+      .agg(nano((col("nab").cast("double") / col("n")) *
+        log((col("nab").cast("double") * col("n")) /
+          (col("na").cast("double") * col("nb")))).as("mi_nano"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(tot))
+        .agg(nano((col(cnt).cast("double") / col("n")) * lit(-1.0) *
+          log(col(cnt).cast("double") / col("n"))).as(out))
+    tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropy(ma, "na", "h_a_nano")))
+      .crossJoin(broadcast(entropy(mb, "nb", "h_b_nano")))
+      .select(col("n"), col("n_cells"), col("mi_nano"),
+        col("h_a_nano"), col("h_b_nano"))
+  }
+
   /** Data-contract checks — the dbt-test / Deequ-style expectation
     * gate a pipeline runs before publishing a table: NOT NULL, UNIQUE
     * (composite keys supported), ACCEPTED VALUES, and referential

@@ -1949,6 +1949,27 @@ object NorthStar {
       .orderBy($"v")
   }
 
+  /** X15 engagement concentration ([[graft.operators.Behavior
+    * .engagementConcentration]]): exact Lorenz points (share of all
+    * events from the top 1/10/50% of users, boundary ties exact by
+    * closed form) + the Gini coefficient of per-user activity — the
+    * power-user / whale-economy readout, ntile- and sort-free. */
+  def engagementGini(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.engagementConcentration(Tables.events(spark, d), "user_id",
+      Seq(1, 10, 50))
+      .orderBy($"top_pct")
+  }
+
+  /** X14 categorical mutual information ([[graft.operators.Profiling
+    * .mutualInformation]]): I(lang; source) over documents with both
+    * marginal entropies — the categorical-dependence profile beside
+    * q204's numeric correlation matrix; integer nano-nat rows replay
+    * exactly (the q197 PSI recipe). */
+  def langSourceMi(spark: SparkSession, d: String): DataFrame =
+    Profiling.mutualInformation(Tables.documents(spark, d), "lang",
+      "source")
+
   /** X14/X3 per-dimension PSI drift between the even-id "yesterday"
     * embedding snapshot and the full corpus
     * ([[graft.operators.Profiling.embeddingDriftPsi]]): 8 bins over

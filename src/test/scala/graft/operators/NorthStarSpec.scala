@@ -1541,6 +1541,50 @@ class NorthStarSpec extends SparkSpec {
       pmod($"user_id", lit(3L)), control = 99L).count() == 0L)
   }
 
+  test("engagementConcentration: hand-traced Lorenz points and Gini; " +
+      "boundary ties are exact; perfect equality gives gini 0") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    // counts: u1=5, u2=3, u3=1, u4=1 → sorted asc 1,1,3,5;
+    // Σ rank·x = 1+2+9+20 = 32; gini = 2·32/(4·10) − 5/4 = 0.35;
+    // top25% (k=1) → 5/10, top50% (k=2) → 8/10, top100% → all
+    val ev = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L))
+      .zipWithIndex.map { case (u, i) => (u, t(i)) }.toDF("user_id", "ts")
+    val got = Behavior.engagementConcentration(ev, "user_id",
+        Seq(25, 50, 100))
+      .orderBy($"top_pct")
+      .as[(Int, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (25, 1L, 5L, 500000L, 0.35),
+      (50, 2L, 8L, 800000L, 0.35),
+      (100, 4L, 10L, 1000000L, 0.35)))
+    // all users at ONE activity level: ties at every boundary — the
+    // closed form still yields the exact k-proportional share, gini 0
+    val eq = (1L to 4L).flatMap(u => Seq((u, t(u.toInt)), (u, t(u.toInt + 10))))
+      .toDF("user_id", "ts")
+    val g2 = Behavior.engagementConcentration(eq, "user_id", Seq(25))
+      .as[(Int, Long, Long, Long, Double)].collect().toList
+    assert(g2 == List((25, 1L, 2L, 250000L, 0.0)))
+  }
+
+  test("mutualInformation: ln2 nano-nats for perfect dependence, 0 for " +
+      "independence; marginal entropies alongside") {
+    import spark.implicits._
+    // dependent: b is a function of a → I = H(A) = H(B) = ln 2
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("lang", "source")
+    val gotDep = Profiling.mutualInformation(dep, "lang", "source")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // per cell: round(0.5·ln2·1e9) = 346573590, two cells
+    assert(gotDep == List((4L, 2L, 693147180L, 693147180L, 693147180L)))
+    // independent uniform 2×2 → every cell ratio is exactly 1 → I = 0
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("lang", "source")
+    val gotInd = Profiling.mutualInformation(ind, "lang", "source")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(gotInd == List((4L, 4L, 0L, 693147180L, 693147180L)))
+  }
+
   test("abTest: hand-computed two-proportion z; degenerate pooled " +
       "variance reports NULL z and not-significant") {
     import spark.implicits._
