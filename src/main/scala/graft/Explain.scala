@@ -68,7 +68,8 @@ object Explain {
       "q205_funnel_timing", "q206_resample_ffill", "q207_drawdown",
       "q208_equi_hist", "q209_fuzzy_pairs", "q210_ab_test",
       "q211_rfm_segments", "q212_fuzzy_audit", "q213_ab_test_k",
-      "q214_engagement_gini", "q215_lang_source_mi")
+      "q214_engagement_gini", "q215_lang_source_mi",
+      "q216_fuzzy_two_sided", "q217_revenue_acf")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -236,6 +236,8 @@ object SparkEntry {
     "q213_ab_test_k"     -> (NorthStar.abReadoutK _),
     "q214_engagement_gini" -> (NorthStar.engagementGini _),
     "q215_lang_source_mi" -> (NorthStar.langSourceMi _),
+    "q216_fuzzy_two_sided" -> (NorthStar.fuzzyDupsTwoSided _),
+    "q217_revenue_acf"   -> (NorthStar.revenueAcf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3911,6 +3913,64 @@ object SparkEntry {
         |           AS BIGINT)) AS BIGINT) AS h_b_nano FROM mb, tt)
         |SELECT n, n_cells, mi_nano, h_a_nano, h_b_nano
         |FROM tt, mi, ha, hb""".stripMargin,
+    // q216: two-sided fuzzy pairs — prefix OR suffix (reverse-prefix)
+    // block, candidates deduped before ONE exact levenshtein verify;
+    // same length-band prune and per-side hot-block cap as q209.
+    "q216_fuzzy_two_sided" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE text IS NOT NULL),
+        |tp AS (SELECT doc_id, text, len, substring(text, 1, 12) AS blk
+        |       FROM t),
+        |tr AS (SELECT doc_id, text, len,
+        |         substring(reverse(text), 1, 12) AS blk FROM t),
+        |okp AS (SELECT blk FROM tp GROUP BY 1 HAVING count(*) <= 1000),
+        |okr AS (SELECT blk FROM tr GROUP BY 1 HAVING count(*) <= 1000),
+        |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.text AS ta, b.text AS tb
+        |       FROM tp a JOIN tp b ON a.blk = b.blk
+        |         AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+        |       JOIN okp ON okp.blk = a.blk),
+        |cr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.text AS ta, b.text AS tb
+        |       FROM tr a JOIN tr b ON a.blk = b.blk
+        |         AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+        |       JOIN okr ON okr.blk = a.blk),
+        |c AS (SELECT DISTINCT doc_a, doc_b, ta, tb FROM
+        |        (SELECT * FROM cp UNION ALL SELECT * FROM cr))
+        |SELECT doc_a, doc_b,
+        |       CAST(levenshtein(ta, tb) AS INTEGER) AS dist
+        |FROM c WHERE levenshtein(ta, tb) <= 5
+        |ORDER BY 1, 2""".stripMargin,
+    // q217: daily-revenue sample ACF, lags 1..7 — per-lag DECIMAL(38)/
+    // hugeint sufficient statistics over (d, d+lag) observed-day
+    // pairs, each converted to double BEFORE the per-lag arithmetic in
+    // the same order as the Spark side (the q204 contract); one
+    // rounded division, degenerate variance → NULL.
+    "q217_revenue_acf" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT l.lag, a.cents AS x, b.cents AS y
+        |       FROM daily a, range(1, 8) l(lag), daily b
+        |       WHERE b.d = a.d + l.lag),
+        |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |       FROM pr GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+        |       CASE WHEN n_pairs >= 2 AND
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0
+        |         THEN round((n * sxy - sx * sy) /
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |           + 0.0
+        |       END AS acf
+        |FROM ag ORDER BY lag""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

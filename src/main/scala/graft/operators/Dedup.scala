@@ -860,6 +860,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** TWO-SIDED [[fuzzyPairs]] — the suffix-block recall pass its
+    * scaladoc promises: prefix blocking misses pairs whose edits fall
+    * in the first `blockPrefix` chars (a corrected typo in word one),
+    * so this variant also blocks on the first `blockPrefix` chars of
+    * the REVERSED text (= the suffix, via `reverse` — identical in
+    * both engines, unlike negative-index substring semantics) and
+    * verifies the UNION of candidates. A pair within `maxDist` edits
+    * is now missed only if edits touch BOTH ends — strictly wider
+    * recall at ≤ 2× the blocking cost. Candidates are deduped on
+    * (doc_a, doc_b) BEFORE the O(len²) `levenshtein`, so a pair
+    * sharing both blocks pays one verification. Same hot-block cap
+    * per side ([[fuzzyBlockAudit]] with the same args audits the
+    * prefix side; run it on reversed text for the suffix side), same
+    * NULL-text exclusion, same (doc_a, doc_b, dist) output. */
+  def fuzzyPairsTwoSided(docs: DataFrame, maxDist: Int,
+      blockPrefix: Int = 12, maxBlock: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && blockPrefix >= 1 && maxBlock >= 2,
+      s"maxDist=$maxDist blockPrefix=$blockPrefix maxBlock=$maxBlock")
+    def candidates(blkExpr: org.apache.spark.sql.Column): DataFrame = {
+      val t = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("len"), blkExpr.as("blk"))
+      val small = t.join(
+        t.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBlock).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = small.select(col("blk"), col("doc_id").as("doc_a"),
+        col("text").as("ta"), col("len").as("la"))
+      val b = small.select(col("blk"), col("doc_id").as("doc_b"),
+        col("text").as("tb"), col("len").as("lb"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("la") - col("lb")) <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+    }
+    candidates(substring(col("text"), 1, blockPrefix))
+      .unionByName(candidates(
+        substring(reverse(col("text")), 1, blockPrefix)))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** COVERAGE AUDIT of [[fuzzyPairs]] — what the cap and the NULL
     * filter excluded, as one exact-integer row: total docs, docs with
     * NULL text (never in any pair), total prefix blocks, blocks over

@@ -71,4 +71,60 @@ object TimeSeries {
       .withColumn("drawdown_cents",
         col("peak_cents") - col("revenue_cents"))
   }
+
+  /** Sample AUTOCORRELATION of the daily value series at lags
+    * 1..`maxLag` — the seasonality / persistence profile ("is revenue
+    * weekly-periodic", "how sticky is yesterday's error rate") that
+    * pairs with [[dailyDrawdown]] and [[Behavior.rateCusum]] on the
+    * same per-day aggregate. For each lag k, the Pearson correlation
+    * of (x_d, x_{d+k}) over all day pairs where BOTH days were
+    * observed (gap days pair with nothing — the available-case sample
+    * ACF; run [[resampleDailyFfill]] first if imputed-gap semantics
+    * are wanted).
+    *
+    * Exactness ([[Profiling.correlationMatrix]]'s contract): values
+    * quantized to integer cents at aggregation; each lag's five
+    * sufficient statistics accumulate as DECIMAL(38,0) — exact 128-bit
+    * integers in both engines — and the only float step is the final
+    * per-lag corr division, fixed op order, rounded 6 dp. A lag with
+    * < 2 pairs or zero variance on either margin reports NULL corr; a
+    * lag no day pair reaches at all (beyond the observed span) emits
+    * no row.
+    *
+    * Scale shape: ONE key-sized day aggregate of the log, then the
+    * days-sized series explodes each row into its `maxLag` lag keys
+    * (map-only) and equi-joins the series once — calendar × maxLag
+    * work, independent of event volume; the per-lag aggregate is
+    * maxLag rows. */
+  def autocorrelation(df: DataFrame, ts: String, value: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag")
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // x side explodes into (lag, d + lag) probe keys; y side joins by
+    // its own day — pairs (x_d, y_{d+k}) exist iff both days observed
+    val pairs = daily
+      .select(col("d"), col("cents").as("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("d2", col("d") + col("lag"))
+      .join(daily.select(col("d").as("d2"), col("cents").as("y")), "d2")
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    val num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    val den = sqrt(
+      (d("n_pairs") * d("sxx") - d("sx") * d("sx")) *
+        (d("n_pairs") * d("syy") - d("sy") * d("sy")))
+    agg.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && den =!= 0.0,
+        round(num / den, 6) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("acf"))
+  }
 }

@@ -1938,6 +1938,29 @@ object NorthStar {
   def fuzzyAudit(spark: SparkSession, d: String): DataFrame =
     Dedup.fuzzyBlockAudit(Tables.documents(spark, d))
 
+  /** X2 two-sided fuzzy pairs ([[graft.operators.Dedup
+    * .fuzzyPairsTwoSided]]): q209's prefix blocking plus a suffix
+    * (reversed-prefix) block — pairs whose edits fall in the first 12
+    * chars are recovered; candidates deduped before the levenshtein
+    * verify. */
+  def fuzzyDupsTwoSided(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.fuzzyPairsTwoSided(Tables.documents(spark, d), 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** X16 daily-revenue autocorrelation ([[graft.operators.TimeSeries
+    * .autocorrelation]]): sample ACF of integer-cents daily order
+    * totals at lags 1..7 — the weekly-seasonality / persistence
+    * profile, exact DECIMAL(38) sufficient statistics per lag, one
+    * rounded division (the q204 contract). */
+  def revenueAcf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.autocorrelation(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice", 7)
+      .orderBy($"lag")
+  }
+
   /** X15 k-arm experiment readout ([[graft.operators.Behavior
     * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
     * conversion, arm 0 as control — per-arm exact counts, ppm rates,

@@ -1492,6 +1492,47 @@ class NorthStarSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("fuzzyPairsTwoSided recovers pairs whose edits fall inside the " +
+      "prefix block, and counts a both-blocks pair once") {
+    import spark.implicits._
+    val docs = Seq(
+      // edit at char 1: DIFFERENT prefix blocks, same suffix block —
+      // one-sided prefix blocking cannot pair these
+      (1L, "Xhe quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      // edit mid-string: same prefix AND same suffix block — the pair
+      // appears in both candidate sets, must be emitted once
+      (3L, "the quick brown cat jumps over the lazy dog"),
+      (4L, "completely unrelated words that match neither end here")
+    ).toDF("doc_id", "text")
+    val oneSided = Dedup.fuzzyPairs(docs, 5, blockPrefix = 12)
+      .as[(Long, Long, Int)].collect().toList.sortBy(p => (p._1, p._2))
+    // prefix-only misses (1,2) and (1,3): doc 1's block differs
+    assert(oneSided == List((2L, 3L, 3)))
+    val twoSided = Dedup.fuzzyPairsTwoSided(docs, 5, blockPrefix = 12)
+      .as[(Long, Long, Int)].collect().toList.sortBy(p => (p._1, p._2))
+    // (1,2): X→t = 1; (1,3): that + fox→cat = 4; (2,3): fox→cat = 3
+    assert(twoSided == List((1L, 2L, 1), (1L, 3L, 4), (2L, 3L, 3)))
+  }
+
+  test("autocorrelation: perfectly linear daily series gives acf 1.0 " +
+      "per computable lag; single-pair and degenerate lags are NULL") {
+    import spark.implicits._
+    def t(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // daily cents 100, 200, 300, 400 on four consecutive days
+    val df = Seq((t(1), 1.0), (t(2), 2.0), (t(3), 3.0), (t(4), 4.0))
+      .toDF("ts", "value")
+    val got = TimeSeries.autocorrelation(df, "ts", col("value"), 4)
+      .orderBy($"lag")
+      .as[(Int, Long, Option[Double])].collect().toList
+    assert(got == List(
+      (1, 3L, Some(1.0)), // (1,2),(2,3),(3,4) — exactly linear
+      (2, 2L, Some(1.0)), // (1,3),(2,4)
+      (3, 1L, None)))     // one pair: NULL by contract; lag 4 pairs
+                          // nothing and emits no row at all
+  }
+
   test("fuzzyBlockAudit counts hot blocks, covered rows, and NULL-text " +
       "docs; fuzzyPairs excludes NULL text (VERDICT/ADVICE r8)") {
     import spark.implicits._
