@@ -69,7 +69,9 @@ object Explain {
       "q208_equi_hist", "q209_fuzzy_pairs", "q210_ab_test",
       "q211_rfm_segments", "q212_fuzzy_audit", "q213_ab_test_k",
       "q214_engagement_gini", "q215_lang_source_mi",
-      "q216_fuzzy_two_sided", "q217_revenue_acf")
+      "q216_fuzzy_two_sided", "q217_revenue_acf",
+      "q218_dup_triangles", "q219_naive_backtest",
+      "q220_group_quantiles")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -238,6 +238,9 @@ object SparkEntry {
     "q215_lang_source_mi" -> (NorthStar.langSourceMi _),
     "q216_fuzzy_two_sided" -> (NorthStar.fuzzyDupsTwoSided _),
     "q217_revenue_acf"   -> (NorthStar.revenueAcf _),
+    "q218_dup_triangles" -> (NorthStar.dupGraphTriangles _),
+    "q219_naive_backtest" -> (NorthStar.revenueNaiveBacktest _),
+    "q220_group_quantiles" -> (NorthStar.typeValueQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3971,6 +3974,89 @@ object SparkEntry {
         |           + 0.0
         |       END AS acf
         |FROM ag ORDER BY lag""".stripMargin,
+    // q218: triangle census of the J >= 0.5 near-dup graph — the
+    // canonical (a < b) edge set makes the a<b<c triangle join count
+    // each triangle exactly once; wedges = Σ deg(deg−1)/2; all exact
+    // integers.
+    "q218_dup_triangles" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |        CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |        CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |      FROM deg),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |       CAST(CASE WHEN n_wedges > 0
+        |         THEN 3 * n_triangles * 1000000 // n_wedges
+        |         ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM t, tri""".stripMargin,
+    // q219: seasonal-naive backtest, period 7 — exact integer error
+    // sums over (d, d−7) observed pairs; every integer division sees
+    // only non-negative operands (truncating vs flooring div agree),
+    // so the signed bias ships as a raw sum.
+    "q219_naive_backtest" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.d, a.cents, b.cents AS fc
+        |      FROM daily a JOIN daily b ON a.d = b.d + 7)
+        |SELECT CAST(7 AS INTEGER) AS period,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(cents - fc)) AS BIGINT)
+        |         AS sum_abs_err_cents,
+        |       CAST(sum(cents - fc) AS BIGINT) AS sum_err_cents,
+        |       CAST(sum(abs(cents - fc)) // count(*) AS BIGINT)
+        |         AS mae_cents,
+        |       CAST(sum(CASE WHEN cents > 0 THEN
+        |           abs(cents - fc) * 1000000 // cents END) //
+        |         count(CASE WHEN cents > 0 THEN 1 END) AS BIGINT)
+        |         AS mape_ppm,
+        |       CAST(count(CASE WHEN cents <= 0 THEN 1 END) AS BIGINT)
+        |         AS n_nonpos
+        |FROM p""".stripMargin,
+    // q220: per-group exact quantiles — the oracle replays each
+    // (event_type, q) boundary as the ceil(q·n)-th smallest by
+    // per-group ordering; k = ceil(q·n) is the same IEEE product in
+    // both engines (the q211 contract).
+    "q220_group_quantiles" ->
+      """WITH m AS (SELECT event_type AS g,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |      FROM m GROUP BY 1),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |      FROM m),
+        |q AS (SELECT * FROM (VALUES (0.5), (0.9)) x(q))
+        |SELECT n.g AS "group", q.q, n.n,
+        |       CAST(ceil(q.q * n.n) AS BIGINT) AS k,
+        |       r.v AS value
+        |FROM q, n JOIN r ON r.g = n.g
+        |WHERE r.rk = CAST(ceil(q.q * n.n) AS BIGINT)
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -358,6 +358,51 @@ object Profiling {
     exactQuantilesMulti(df, Seq(valueCol), qs, fanout)
       .select(col("q"), col("n"), col("k"), col("value"))
 
+  /** PER-GROUP exact quantiles for a LOW-CARDINALITY group column —
+    * "p50/p95 per event_type / per source / per shard" — composed
+    * directly on [[exactQuantilesMulti]]: each group pivots into a
+    * conditional column (`when(group = g, value)` — NULL outside the
+    * group, and NULLs carry no rank), so all (group, quantile) pairs
+    * refine in the ONE shared loop with probe dedup. No sort, no
+    * per-group window, no per-group job loop.
+    *
+    * The group set is collected to the driver first (one distinct
+    * aggregate) — that is the LOW-CARDINALITY contract, enforced by
+    * `maxGroups` fail-fast: this operator is for dashboard-grade group
+    * columns (event types, sources, regions — tens), not for per-user
+    * quantiles (use a t-digest-style sketch at that cardinality; exact
+    * per-key quantiles over millions of keys is a different problem).
+    * A group whose values are all NULL fails fast by group name (the
+    * [[exactQuantiles]] empty-input contract). Returns
+    * (group, q, n, k, value) with `group` as string. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], fanout: Int = 256,
+      maxGroups: Int = 100): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups=$maxGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df.select(col(groupCol).cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .distinct().orderBy(col("g")).limit(maxGroups + 1)
+      .as[String].collect().toSeq
+    require(groups.nonEmpty, s"no non-null groups in '$groupCol'")
+    require(groups.size <= maxGroups,
+      s"'$groupCol' has > $maxGroups distinct values — " +
+        "exactQuantilesByGroup is for low-cardinality group columns")
+    val wide = df.select(groups.zipWithIndex.map { case (g, i) =>
+      when(col(groupCol).cast("string") === g, col(valueCol))
+        .as(s"__g$i") }: _*)
+    val byName = groups.zipWithIndex
+      .map { case (g, i) => s"__g$i" -> g }.toMap
+    val back = byName.toSeq.foldLeft(col("col_name")) {
+      case (acc, (n, g)) => when(col("col_name") === n, g).otherwise(acc)
+    }
+    exactQuantilesMulti(wide, groups.indices.map(i => s"__g$i"), qs,
+        fanout)
+      .select(back.as("group"), col("q"), col("n"), col("k"),
+        col("value"))
+  }
+
   /** MULTI-COLUMN exact quantiles — ONE shared refinement loop for ALL
     * (column, quantile) pairs: per round, a single filtered scan
     * histograms every still-open pair, so k columns × m quantiles cost

@@ -96,6 +96,48 @@ object TimeSeries {
     * (map-only) and equi-joins the series once — calendar × maxLag
     * work, independent of event volume; the per-lag aggregate is
     * maxLag rows. */
+  /** SEASONAL-NAIVE BACKTEST — the forecasting floor every pipeline
+    * must beat before shipping a model: forecast_d = value_{d−period}
+    * (same day last week for period 7), scored over every day where
+    * both the actual and the lagged day were observed. One row:
+    * paired-day count, exact integer error sums (signed bias and
+    * absolute), MAE in cents, and MAPE in ppm (per-day |e|·10⁶ div
+    * actual, integer-averaged; days with actual ≤ 0 are excluded from
+    * the MAPE terms and counted in `n_nonpos` — a ratio against a
+    * non-positive base is undefined, not zero).
+    *
+    * Determinism: every metric is exact 64-bit integer arithmetic —
+    * integer `div` only ever sees NON-NEGATIVE operands (sums of
+    * absolute values), because truncating (Spark) and flooring
+    * (DuckDB) division disagree on negatives; the signed bias is
+    * therefore reported as the raw sum, not a mean. Scale: one
+    * key-sized day aggregate, one calendar-sized self equi-join. */
+  def seasonalNaiveBacktest(df: DataFrame, ts: String, value: Column,
+      period: Int): DataFrame = {
+    require(period >= 1, s"period=$period")
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+    val paired = daily
+      .join(daily.select((col("d") + period).as("d"),
+        col("cents").as("fc")), "d")
+    paired.agg(
+      lit(period).as("period"),
+      count(lit(1)).as("n_days"),
+      sum(abs(col("cents") - col("fc"))).as("sum_abs_err_cents"),
+      sum(col("cents") - col("fc")).as("sum_err_cents"),
+      expr("sum(abs(cents - fc)) div count(1)").as("mae_cents"),
+      coalesce(
+        expr("sum(CASE WHEN cents > 0 THEN abs(cents - fc) * 1000000 " +
+          "div cents END) div count(CASE WHEN cents > 0 THEN 1 END)"),
+        lit(null).cast("long")).as("mape_ppm"),
+      count(when(col("cents") <= 0, 1)).as("n_nonpos"))
+      .select(col("period"), col("n_days"), col("sum_abs_err_cents"),
+        col("sum_err_cents"), col("mae_cents"), col("mape_ppm"),
+        col("n_nonpos"))
+  }
+
   def autocorrelation(df: DataFrame, ts: String, value: Column,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag=$maxLag")

@@ -1961,6 +1961,43 @@ object NorthStar {
       .orderBy($"lag")
   }
 
+  /** X13 near-dup graph triangle census ([[graft.operators.Graph
+    * .triangleStats]]): exact triangle count + global clustering of
+    * the J ≥ 0.5 jaccard-pair graph — dense (clique-like) duplicate
+    * families vs accidental transitive chains, the density complement
+    * of q64's connected components. */
+  def dupGraphTriangles(spark: SparkSession, d: String): DataFrame =
+    Graph.triangleStats(
+      Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
+      "doc_a", "doc_b")
+
+  /** X16 seasonal-naive backtest ([[graft.operators.TimeSeries
+    * .seasonalNaiveBacktest]]): forecast = same weekday last week
+    * (period 7) over daily revenue — the exact-integer MAE/MAPE floor
+    * any forecasting model must beat; the q217 ACF says WHETHER a
+    * weekly structure exists, this measures how much of it the naive
+    * rule captures. */
+  def revenueNaiveBacktest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.seasonalNaiveBacktest(Tables.orders(spark, d),
+      "o_orderdate", $"o_totalprice", 7)
+  }
+
+  /** G6 per-group exact quantiles ([[graft.operators.Profiling
+    * .exactQuantilesByGroup]]): p50/p90 of integer-cents event value
+    * PER event_type — all (type, quantile) pairs refined in ONE
+    * shared loop via conditional-column pivot over the multi-column
+    * core; the per-key percentile dashboards serve everywhere. */
+  def typeValueQuantiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"event_type",
+        round($"value" * 100, 0).cast("long").as("cents"))
+    Profiling.exactQuantilesByGroup(ev, "event_type", "cents",
+        Seq(0.5, 0.9), fanout = 65536)
+      .orderBy($"group", $"q")
+  }
+
   /** X15 k-arm experiment readout ([[graft.operators.Behavior
     * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
     * conversion, arm 0 as control — per-arm exact counts, ppm rates,

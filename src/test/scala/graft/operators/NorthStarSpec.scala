@@ -1492,6 +1492,28 @@ class NorthStarSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("triangleStats: hand-traced triangle/wedge census; reversed " +
+      "duplicates and self-loops collapse first") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 3-4, isolated edge 5-6 (+ noise: a
+    // reversed duplicate of (1,2) and a self-loop on 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L),
+      (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    // deg: 1→2, 2→2, 3→3, 4→1, 5→1, 6→1; wedges = 1+1+3 = 5;
+    // one triangle; clustering = 3·1·10⁶ div 5 = 600000
+    val got = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((6L, 5L, 1L, 5L, 600000L)))
+    // two triangles sharing edge (1,2): the diamond 1-2-3 / 1-2-4
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    // deg: 1→3, 2→3, 3→2, 4→2; wedges = 3+3+1+1 = 8; T=2 →
+    // clustering = 6e6 div 8 = 750000
+    val g2 = Graph.triangleStats(diamond)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(g2 == List((4L, 5L, 2L, 8L, 750000L)))
+  }
+
   test("fuzzyPairsTwoSided recovers pairs whose edits fall inside the " +
       "prefix block, and counts a both-blocks pair once") {
     import spark.implicits._
@@ -1803,6 +1825,47 @@ class NorthStarSpec extends SparkSpec {
         Seq(0.5))
     }
     assert(e.getMessage.contains("'z'"))
+  }
+
+  test("exactQuantilesByGroup == per-group exactQuantiles via the " +
+      "conditional-column pivot; cardinality guard fails fast") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val qs = Seq(0.5, 0.9)
+    val byGroup = Profiling.exactQuantilesByGroup(ev, "event_type",
+        "user_id", qs)
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    val types = ev.select($"event_type").distinct()
+      .as[String].collect().sorted
+    val single = types.toList.flatMap { t =>
+      Profiling.exactQuantiles(ev.filter($"event_type" === t),
+          col("user_id"), qs)
+        .as[(Double, Long, Long, Long)].collect().toList
+        .map { case (q, n, k, v) => (t, q, n, k, v) }
+    }.sorted
+    assert(byGroup == single)
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantilesByGroup(ev, "user_id", "event_id",
+        Seq(0.5), maxGroups = 3)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+  }
+
+  test("seasonalNaiveBacktest: hand-traced MAE/MAPE at period 2; " +
+      "unpaired leading days are excluded") {
+    import spark.implicits._
+    def t(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // daily cents: d1=100, d2=200, d3=110, d4=150 → period-2 pairs:
+    // (d3: a=110 f=100 → |e|=10, ppm=90909), (d4: a=150 f=200 →
+    // |e|=50, ppm=333333); bias = 10 − 50 = −40;
+    // mae = 60 div 2 = 30; mape = (90909+333333) div 2 = 212121
+    val df = Seq((t(1), 1.0), (t(2), 2.0), (t(3), 1.1), (t(4), 1.5))
+      .toDF("ts", "value")
+    val got = TimeSeries.seasonalNaiveBacktest(df, "ts", col("value"), 2)
+      .as[(Int, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toList
+    assert(got == List((2, 2L, 60L, -40L, 30L, Some(212121L), 0L)))
   }
 
   test("exactQuantiles ranks among NON-NULL values only and fails fast " +
