@@ -183,6 +183,18 @@ object Explain {
             Seq("signup", "view", "purchase"), None)
           graft.operators.Behavior.transitionStatsAgg(
             graft.operators.Behavior.transitionDurations(times, 2), 2)
+        case "q214_engagement_gini" =>
+          // LAZY variant: the executable form pins the levels frame
+          // (eager localCheckpoint), which would reduce the dump to a
+          // checkpoint scan
+          graft.operators.Behavior.engagementConcentration(
+            Tables.events(spark, sfDir), "user_id", Seq(1, 10, 50),
+            lazyPlan = true)
+        case "q215_lang_source_mi" =>
+          // LAZY variant (same checkpoint-pin reason as q214)
+          graft.operators.Profiling.mutualInformation(
+            Tables.documents(spark, sfDir), "lang", "source",
+            lazyPlan = true)
         case "q208_equi_hist" =>
           // boundary probe = q190's stored-column refinement; the
           // final pass shown here buckets every row with a LITERAL

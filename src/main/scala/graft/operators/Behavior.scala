@@ -339,9 +339,13 @@ object Behavior {
     * unpartitioned-window broadcast-state regime ([[rateCusum]]'s
     * argument), never over users. Returns one row per requested
     * percentage: (top_pct, k_users, events_covered, share_ppm, gini)
-    * with gini constant across rows. */
+    * with gini constant across rows. The post-window levels frame is
+    * pinned with an eager localCheckpoint (tiny; the totals aggregate
+    * and the boundary join both re-read it — without the pin each
+    * replays the corpus scan); `lazyPlan = true` skips the pin for
+    * plan inspection. */
   def engagementConcentration(events: DataFrame, user: String,
-      topPcts: Seq[Int]): DataFrame = {
+      topPcts: Seq[Int], lazyPlan: Boolean = false): DataFrame = {
     require(topPcts.nonEmpty && topPcts.forall(p => p >= 1 && p <= 100),
       s"topPcts=$topPcts")
     require(topPcts.distinct == topPcts, s"duplicate pcts in $topPcts")
@@ -357,10 +361,11 @@ object Behavior {
     val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val lv = levels
+    val lv0 = levels
       .withColumn("cum_users", sum(col("nl")).over(wDesc))
       .withColumn("cum_events", sum(col("nl") * col("x")).over(wDesc))
       .withColumn("below", coalesce(sum(col("nl")).over(wAsc), lit(0L)))
+    val lv = if (lazyPlan) lv0 else lv0.localCheckpoint(true)
     // S = Σ_levels x·(n_below·n_l + n_l(n_l+1)/2) as DECIMAL(38,0);
     // the inner 64-bit products hold to ~3·10⁹ users (n_below·n_l ≤ n²
     // < 2⁶³) — beyond that, cast `below`/`nl` to decimal too

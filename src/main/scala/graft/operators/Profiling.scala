@@ -148,15 +148,21 @@ object Profiling {
     *
     * Scale shape: one key-sized shuffle on (a, b); everything after is
     * cells-sized (marginals are groupBys OF the cells frame, the join
-    * back is cells × two tiny marginal tables). */
-  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+    * back is cells × two tiny marginal tables). The cells frame is
+    * pinned with an eager localCheckpoint (the [[graft.operators.Dedup
+    * .jaccardPairs]] cache contract): the totals/MI/entropy branches
+    * all re-read it, and without the pin each branch would replay the
+    * corpus scan + (a, b) shuffle — ~7 scans instead of 1.
+    * `lazyPlan = true` skips the pin for plan inspection. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String,
+      lazyPlan: Boolean = false): DataFrame = {
     require(df.columns.contains(aCol) && df.columns.contains(bCol),
       s"need columns '$aCol', '$bCol'")
-    val cells = df
+    val cells0 = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("nab"))
+    val cells = if (lazyPlan) cells0 else cells0.localCheckpoint(true)
     val ma = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
     val mb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
     val tot = cells.agg(sum(col("nab")).as("n"),
