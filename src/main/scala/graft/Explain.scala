@@ -71,7 +71,7 @@ object Explain {
       "q214_engagement_gini", "q215_lang_source_mi",
       "q216_fuzzy_two_sided", "q217_revenue_acf",
       "q218_dup_triangles", "q219_naive_backtest",
-      "q220_group_quantiles")
+      "q220_group_quantiles", "q221_event_flow", "q222_gap_quantiles")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -97,7 +97,17 @@ object Explain {
         "refinement (⌈log⌉ rounds, probes deduped across the 7 " +
         "quantiles); the final counting pass below buckets every row " +
         "with a LITERAL when-chain — codegen'd comparisons, no join; " +
-        "shown with representative bounds."))
+        "shown with representative bounds."),
+      "q220_group_quantiles" -> ("Driver-loop composition (the " +
+        "multi-column refinement returns driver literals): shown below " +
+        "is the FIRST distributed pass — the conditional-column group " +
+        "pivot feeding one stats aggregate (representative two groups); " +
+        "the refinement rounds over the same pivot share q180's " +
+        "histogram shape."),
+      "q222_gap_quantiles" -> ("Driver-loop composition: shown below is " +
+        "the gaps projection (ONE keyed window shuffle) the refinement " +
+        "rounds then scan — the rounds share q180's histogram shape and " +
+        "the returned frame is driver literals."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -195,6 +205,28 @@ object Explain {
           graft.operators.Profiling.mutualInformation(
             Tables.documents(spark, sfDir), "lang", "source",
             lazyPlan = true)
+        case "q220_group_quantiles" =>
+          import org.apache.spark.sql.functions._
+          val ev = Tables.events(spark, sfDir)
+            .select(col("event_type"),
+              round(col("value") * 100, 0).cast("long").as("cents"))
+          val wide = ev.select(
+            when(col("event_type") === "view", col("cents")).as("__g0"),
+            when(col("event_type") === "purchase", col("cents"))
+              .as("__g1"))
+          wide.agg(count(col("__g0")), min(col("__g0")), max(col("__g0")),
+            count(col("__g1")), min(col("__g1")), max(col("__g1")))
+        case "q222_gap_quantiles" =>
+          import org.apache.spark.sql.functions._
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          Tables.events(spark, sfDir)
+            .select(col("user_id"), col("ts"), col("event_id"))
+            .withColumn("prev_t", lag(col("ts"), 1).over(w))
+            .filter(col("prev_t").isNotNull)
+            .select(expr(
+              "(unix_micros(ts) - unix_micros(prev_t)) div 1000000")
+              .as("gap_sec"))
         case "q208_equi_hist" =>
           // boundary probe = q190's stored-column refinement; the
           // final pass shown here buckets every row with a LITERAL

@@ -241,6 +241,8 @@ object SparkEntry {
     "q218_dup_triangles" -> (NorthStar.dupGraphTriangles _),
     "q219_naive_backtest" -> (NorthStar.revenueNaiveBacktest _),
     "q220_group_quantiles" -> (NorthStar.typeValueQuantiles _),
+    "q221_event_flow"    -> (NorthStar.eventFlow _),
+    "q222_gap_quantiles" -> (NorthStar.eventGapQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4057,6 +4059,42 @@ object SparkEntry {
         |FROM q, n JOIN r ON r.g = n.g
         |WHERE r.rk = CAST(ceil(q.q * n.n) AS BIGINT)
         |ORDER BY 1, 2""".stripMargin,
+    // q221: first-order Markov transition counts over each user's
+    // (ts, event_id)-ordered sequence; exact integers, ppm share of
+    // transitions leaving from_type.
+    "q221_event_flow" ->
+      """WITH s AS (SELECT user_id AS u, event_type AS to_type,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id)
+        |               AS from_type
+        |           FROM events),
+        |p AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       CAST(p.n * 1000000 // f.n_from AS BIGINT) AS p_ppm
+        |FROM p JOIN f USING (from_type)
+        |ORDER BY 1, 2""".stripMargin,
+    // q222: inter-event gap percentiles — exact integer-second gaps
+    // between consecutive events per user, exact k = ceil(q·n)-th
+    // smallest replayed by ordering (the q211/q220 contract).
+    "q222_gap_quantiles" ->
+      """WITH s AS (SELECT user_id AS u, ts, event_id,
+        |             lag(ts) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id)
+        |               AS prev_ts
+        |           FROM events),
+        |g AS (SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000
+        |               AS BIGINT) AS v
+        |      FROM s WHERE prev_ts IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM g),
+        |q AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) x(q))
+        |SELECT q.q, n.n, CAST(ceil(q.q * n.n) AS BIGINT) AS k,
+        |       r.v AS value_sec
+        |FROM q, n JOIN r ON r.rk = CAST(ceil(q.q * n.n) AS BIGINT)
+        |ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

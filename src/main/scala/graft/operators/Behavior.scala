@@ -397,6 +397,61 @@ object Behavior {
         gini.as("gini"))
   }
 
+  /** Event TRANSITION MATRIX — first-order Markov counts over each
+    * user's event sequence: for every (from_type, to_type) pair of
+    * CONSECUTIVE events (by the (ts, tie) total order within a user),
+    * the exact transition count and its integer-ppm share of all
+    * transitions leaving from_type. The "what do users do next"
+    * staple behind Sankey/journey views, and the sanity check on
+    * funnel step ordering (a funnel step pair with near-zero
+    * transition mass is mis-ordered). A user's first event has no
+    * predecessor and contributes no row. One key-sized window shuffle
+    * on the user, then a |types|²-bounded aggregate — nothing
+    * downstream of the first shuffle scales with events. Exact
+    * integers; both divisions see non-negative operands. */
+  def eventTransitions(events: DataFrame, user: String, ts: String,
+      tie: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("tk"))
+    val pairs = events
+      .select(col(user).as("u"), col(ts).as("t"), col(tie).as("tk"),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div n_from").as("p_ppm"))
+  }
+
+  /** INTER-EVENT GAP percentiles — the exact distribution of seconds
+    * between a user's consecutive events (by (ts, tie)): the
+    * principled way to pick [[Sessionize]]'s gap threshold (set it at
+    * the knee between the intra-session p50/p90 mass and the
+    * inter-session tail) instead of folklore constants. Gaps are
+    * exact integer seconds (µs difference, floored); the percentiles
+    * are exact k = ⌈q·n⌉-th smallest via the shared histogram
+    * refinement ([[Profiling.exactQuantilesMulti]] under
+    * [[Profiling.exactQuantiles]]) — one key-sized window shuffle to
+    * form gaps, then log-bounded filtered aggregates, never a global
+    * sort. Returns (q, n, k, value_sec). */
+  def interEventGapQuantiles(events: DataFrame, user: String,
+      ts: String, tie: String, qs: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("tk"))
+    val gaps = events
+      .select(col(user).as("u"), col(ts).as("t"), col(tie).as("tk"))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+      .select(expr("(unix_micros(t) - unix_micros(prev_t)) div 1000000")
+        .as("gap_sec"))
+    Profiling.exactQuantiles(gaps, col("gap_sec"), qs, fanout = 65536)
+      .select(col("q"), col("n"), col("k"), col("value").as("value_sec"))
+  }
+
   /** Daily-rate CUSUM changepoint monitor (Page 1954): per epoch day,
     * the flagged-event rate in integer ppm; the CUSUM statistic
     * S_d = max(0, S_{d−1} + (rate_d − baseline − slack)) accumulates

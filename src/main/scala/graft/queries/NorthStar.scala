@@ -1998,6 +1998,29 @@ object NorthStar {
       .orderBy($"group", $"q")
   }
 
+  /** X15 event transition matrix ([[graft.operators.Behavior
+    * .eventTransitions]]): exact first-order Markov counts +
+    * integer-ppm shares over each user's (ts, event_id)-ordered
+    * sequence — the journey/Sankey staple; |types|²-bounded after one
+    * keyed window shuffle. */
+  def eventFlow(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.eventTransitions(Tables.events(spark, d), "user_id", "ts",
+      "event_id", "event_type")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** X15/G6 inter-event gap percentiles ([[graft.operators.Behavior
+    * .interEventGapQuantiles]]): exact p50/p90/p99 of seconds between
+    * a user's consecutive events — the evidence-based session-gap
+    * threshold behind q33's sessionizer. */
+  def eventGapQuantiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.interEventGapQuantiles(Tables.events(spark, d), "user_id",
+      "ts", "event_id", Seq(0.5, 0.9, 0.99))
+      .orderBy($"q")
+  }
+
   /** X15 k-arm experiment readout ([[graft.operators.Behavior
     * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
     * conversion, arm 0 as control — per-arm exact counts, ppm rates,

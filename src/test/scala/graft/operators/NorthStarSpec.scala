@@ -1604,6 +1604,40 @@ class NorthStarSpec extends SparkSpec {
       pmod($"user_id", lit(3L)), control = 99L).count() == 0L)
   }
 
+  test("eventTransitions: hand-traced Markov counts and ppm shares; " +
+      "first events contribute no transition") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    // u1: a->b->c ; u2: a->b->b  =>  (a,b)x2, (b,b)x1, (b,c)x1
+    val ev = Seq(
+      (1L, 1L, t(1), "a"), (1L, 2L, t(2), "b"), (1L, 3L, t(3), "c"),
+      (2L, 4L, t(1), "a"), (2L, 5L, t(2), "b"), (2L, 6L, t(3), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Behavior.eventTransitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy($"from_type", $"to_type")
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", "b", 2L, 1000000L),
+      ("b", "b", 1L, 500000L),
+      ("b", "c", 1L, 500000L)))
+  }
+
+  test("interEventGapQuantiles: exact k-th smallest gap across users") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1 gaps: 10, 20 ; u2 gap: 100  =>  sorted 10, 20, 100
+    val ev = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(30)),
+      (2L, 4L, t(0)), (2L, 5L, t(100))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Behavior.interEventGapQuantiles(ev, "user_id", "ts",
+        "event_id", Seq(0.5, 1.0))
+      .orderBy($"q")
+      .as[(Double, Long, Long, Long)].collect().toList
+    assert(got == List((0.5, 3L, 2L, 20L), (1.0, 3L, 3L, 100L)))
+  }
+
   test("engagementConcentration: hand-traced Lorenz points and Gini; " +
       "boundary ties are exact; perfect equality gives gini 0") {
     import spark.implicits._
