@@ -243,6 +243,8 @@ object SparkEntry {
     "q220_group_quantiles" -> (NorthStar.typeValueQuantiles _),
     "q221_event_flow"    -> (NorthStar.eventFlow _),
     "q222_gap_quantiles" -> (NorthStar.eventGapQuantiles _),
+    "q223_user_value_sketch" -> (NorthStar.userValueSketch _),
+    "q224_stickiness"    -> (NorthStar.dauMauStickiness _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4094,6 +4096,53 @@ object SparkEntry {
         |SELECT q.q, n.n, CAST(ceil(q.q * n.n) AS BIGINT) AS k,
         |       r.v AS value_sec
         |FROM q, n JOIN r ON r.rk = CAST(ceil(q.q * n.n) AS BIGINT)
+        |ORDER BY 1""".stripMargin,
+    // q223: per-user log-histogram quantile brackets — bucket =
+    // length(bin(v)) (binary-string length, identical in both
+    // engines; no floor(log2) IEEE risk), cumulative bucket counts
+    // per user, k = ceil(q·n) (same IEEE product), bracket =
+    // [1<<(b-1), (1<<b)-1]. All exact integers.
+    "q223_user_value_sketch" ->
+      """WITH m AS (SELECT user_id AS key,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |bkt AS (SELECT key, CAST(length(bin(v)) AS INTEGER) AS b,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM m WHERE v >= 1 GROUP BY 1, 2),
+        |c AS (SELECT key, b, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY key ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+        |      FROM bkt),
+        |q AS (SELECT * FROM (VALUES (0.5), (0.95)) x(q))
+        |SELECT c.key, q.q, c.n,
+        |       CAST(ceil(q.q * c.n) AS BIGINT) AS k,
+        |       c.b AS bucket,
+        |       CAST(1::BIGINT << (c.b - 1) AS BIGINT) AS est_lo,
+        |       CAST((1::BIGINT << c.b) - 1 AS BIGINT) AS est_hi
+        |FROM q, c
+        |WHERE c.cum >= CAST(ceil(q.q * c.n) AS BIGINT)
+        |  AND c.cum - c.cnt < CAST(ceil(q.q * c.n) AS BIGINT)
+        |ORDER BY 1, 2""".stripMargin,
+    // q224: DAU/MAU stickiness — exact daily actives over exact
+    // trailing-28-day actives per observed day, integer ppm.
+    "q224_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |days AS (SELECT DISTINCT d AS end_day FROM a),
+        |dau AS (SELECT d AS end_day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM a GROUP BY 1),
+        |mau AS (SELECT days.end_day,
+        |          CAST(count(DISTINCT a.u) AS BIGINT) AS mau
+        |        FROM a JOIN days ON a.d >= days.end_day - 27
+        |                        AND a.d <= days.end_day
+        |        GROUP BY 1)
+        |SELECT dau.end_day, dau.dau, mau.mau,
+        |       CAST(dau.dau * 1000000 // mau.mau AS BIGINT)
+        |         AS stickiness_ppm
+        |FROM dau JOIN mau USING (end_day)
         |ORDER BY 1""".stripMargin,
   )
 

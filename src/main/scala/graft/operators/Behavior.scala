@@ -121,6 +121,36 @@ object Behavior {
       .agg(approx_count_distinct(col("u"), rsd).as("n_approx"))
   }
 
+  /** DAU/MAU STICKINESS — the engagement-frequency ratio product
+    * teams track daily: per observed day, the exact distinct actives
+    * that day (DAU), the exact distinct actives over the trailing
+    * `mauWindow` days (MAU — [[rollingDistinct]]'s map-only
+    * explode(sequence) expansion over the SHARED distinct user-day
+    * frame, computed once), and DAU·10⁶ div MAU. A stickiness of
+    * 1 000 000 means every monthly user shows up daily. Exact
+    * integers throughout; same observed-days semantics as
+    * [[rollingDistinct]] (a day with no activity emits no row). At
+    * sketch scale swap the two exact counts for the [[dauState]]
+    * ladder — this is the exact baseline. */
+  def stickiness(events: DataFrame, user: String, ts: String,
+      mauWindow: Int = 28): DataFrame = {
+    require(mauWindow >= 2, s"mauWindow=$mauWindow")
+    val acts = events
+      .select(col(user).as("u"), epochDay(col(ts)).as("d")).distinct()
+    val days = acts.select(col("d").as("end_day")).distinct()
+    val dau = acts.groupBy(col("d").as("end_day"))
+      .agg(count(lit(1)).as("dau")) // acts is distinct on (u, d)
+    val mau = acts
+      .withColumn("end_day",
+        explode(sequence(col("d"), col("d") + lit(mauWindow - 1))))
+      .join(broadcast(days), Seq("end_day"), "left_semi")
+      .groupBy(col("end_day"))
+      .agg(countDistinct(col("u")).as("mau"))
+    dau.join(mau, "end_day")
+      .select(col("end_day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
   /** Per-day HLL sketch STATE table — (d, sk): one DataSketches HLL
     * per epoch day, the PERSISTED mergeable form behind rolling
     * distinct counts. This is the true incremental-maintenance shape

@@ -409,6 +409,60 @@ object Profiling {
         col("value"))
   }
 
+  /** PER-KEY quantile ESTIMATES at UNBOUNDED key cardinality — the
+    * high-cardinality companion [[exactQuantilesByGroup]]'s contract
+    * points to: per-user/per-document percentiles where collecting the
+    * key set (let alone a per-key refinement) is impossible. The
+    * sketch is a power-of-two LOG HISTOGRAM: every value v ≥ 1 lands
+    * in bucket b = length(bin(v)) (= ⌊log₂ v⌋ + 1 — computed as the
+    * BINARY-STRING length, identical in Spark and DuckDB, with none of
+    * floor(log(v)/log(2))'s IEEE boundary risk), so the k = ⌈q·n⌉-th
+    * smallest value of a key provably lies in [2^{b−1}, 2^b − 1] of
+    * the bucket where the cumulative count first reaches k — a
+    * guaranteed ≤ 2× relative bracket, DETERMINISTIC (a pure function
+    * of the values, unlike t-digest/KLL whose state is order-
+    * dependent), and mergeable (bucket counts are additive — shard
+    * partials combine map-side like any counting sketch).
+    *
+    * Contract: values are ranked among v ≥ 1 only (≤ 0 has no log
+    * bucket; filter or shift first) and must stay < 2⁶² (bucket ≤ 63
+    * keeps the 1L << b bracket arithmetic exact). Returns per
+    * (key, q): n, k, bucket, est_lo = 2^{b−1}, est_hi = 2^b − 1.
+    *
+    * Scale shape: one (key, bucket) aggregate with map-side partials
+    * — at most 63 rows per key regardless of row count — then a
+    * ≤ 63-row-per-key window cumsum and a broadcast quantile probe;
+    * nothing downstream of the first shuffle exceeds keys × 63 rows.
+    * Spec-pinned: the exact per-key quantile always falls inside
+    * [est_lo, est_hi]. */
+  def logHistQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df
+      .select(col(keyCol).as("k"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1)
+      .groupBy(col("k"), length(bin(col("v"))).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    cum.crossJoin(broadcast(qs.sorted.toDF("q")))
+      .withColumn("kth", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("kth") &&
+        (col("cum") - col("cnt")) < col("kth"))
+      .select(col("k").as("key"), col("q"), col("n"), col("kth").as("k"),
+        col("b").as("bucket"),
+        expr("shiftleft(1L, CAST(b AS INT) - 1)").as("est_lo"),
+        expr("shiftleft(1L, CAST(b AS INT)) - 1").as("est_hi"))
+  }
+
   /** MULTI-COLUMN exact quantiles — ONE shared refinement loop for ALL
     * (column, quantile) pairs: per round, a single filtered scan
     * histograms every still-open pair, so k columns × m quantiles cost

@@ -2021,6 +2021,31 @@ object NorthStar {
       .orderBy($"q")
   }
 
+  /** X14/G6 per-key quantile estimates at unbounded cardinality
+    * ([[graft.operators.Profiling.logHistQuantiles]]): p50/p95 of
+    * integer-cents event value PER USER from the deterministic
+    * power-of-two log histogram — a guaranteed ≤ 2× bracket per
+    * (user, q), keys × ≤63 state, the high-cardinality companion of
+    * q220's exact per-group refinement. */
+  def userValueSketch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"user_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+    Profiling.logHistQuantiles(ev, "user_id", "cents", Seq(0.5, 0.95))
+      .orderBy($"key", $"q")
+  }
+
+  /** X15 DAU/MAU stickiness ([[graft.operators.Behavior.stickiness]]):
+    * per observed day, exact daily actives over exact trailing-28-day
+    * actives in integer ppm — the engagement-frequency ratio, exact
+    * baseline of the sketch ladder. */
+  def dauMauStickiness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.stickiness(Tables.events(spark, d), "user_id", "ts", 28)
+      .orderBy($"end_day")
+  }
+
   /** X15 k-arm experiment readout ([[graft.operators.Behavior
     * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
     * conversion, arm 0 as control — per-arm exact counts, ppm rates,

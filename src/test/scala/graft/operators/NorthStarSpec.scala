@@ -1604,6 +1604,51 @@ class NorthStarSpec extends SparkSpec {
       pmod($"user_id", lit(3L)), control = 99L).count() == 0L)
   }
 
+  test("logHistQuantiles: hand-traced buckets; the bracket always " +
+      "contains the exact per-key quantile; v < 1 excluded") {
+    import spark.implicits._
+    // key 10: values 1,2,3,8 (+ one 0, excluded) — buckets 1:{1},
+    // 2:{2,3}, 4:{8}; p50 k=2 -> bucket 2 [2,3] (exact 2nd = 2);
+    // p100 k=4 -> bucket 4 [8,15] (exact = 8). key 20: three 100s ->
+    // bucket 7 [64,127] at every q
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 8L), (10L, 0L),
+      (20L, 100L), (20L, 100L), (20L, 100L)).toDF("k", "v")
+    val got = Profiling.logHistQuantiles(df, "k", "v", Seq(0.5, 1.0))
+      .orderBy($"key", $"q")
+      .as[(Long, Double, Long, Long, Int, Long, Long)].collect().toList
+    assert(got == List(
+      (10L, 0.5, 4L, 2L, 2, 2L, 3L),
+      (10L, 1.0, 4L, 4L, 4, 8L, 15L),
+      (20L, 0.5, 3L, 2L, 7, 64L, 127L),
+      (20L, 1.0, 3L, 3L, 7, 64L, 127L)))
+    // bracket-contains-exact pinned against the refinement on a
+    // larger mixed fixture
+    val vals = (1 to 200).map(i => (i.toLong % 3, (i * i).toLong))
+      .toDF("k", "v")
+    val est = Profiling.logHistQuantiles(vals, "k", "v", Seq(0.9))
+      .as[(Long, Double, Long, Long, Int, Long, Long)].collect()
+    est.foreach { case (key, _, _, _, _, lo, hi) =>
+      val exact = Profiling.exactQuantiles(
+          vals.filter($"k" === key), col("v"), Seq(0.9))
+        .select(col("value")).collect()(0).getLong(0)
+      assert(exact >= lo && exact <= hi, s"key $key: $exact in [$lo,$hi]")
+    }
+  }
+
+  test("stickiness: hand-traced DAU/MAU ppm over a 2-day window") {
+    import spark.implicits._
+    def t(day: Int, u: Long) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00"))
+    // day1: users {1,2}; day2: {1} — window 2:
+    // day1 dau=2 mau=2 -> 1e6 ; day2 dau=1 mau=|{1,2}|=2 -> 5e5
+    val ev = Seq(t(1, 1L), t(1, 2L), t(2, 1L)).toDF("user_id", "ts")
+    val got = Behavior.stickiness(ev, "user_id", "ts", 2)
+      .orderBy($"end_day")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(r => (r._2, r._3, r._4)) ==
+      List((2L, 2L, 1000000L), (1L, 2L, 500000L)))
+  }
+
   test("eventTransitions: hand-traced Markov counts and ppm shares; " +
       "first events contribute no transition") {
     import spark.implicits._
