@@ -206,6 +206,11 @@ object Explain {
           graft.operators.Profiling.mutualInformation(
             Tables.documents(spark, sfDir), "lang", "source",
             lazyPlan = true)
+        case "q221_event_flow" =>
+          // LAZY variant (executable form pins the tiny pairs frame)
+          graft.operators.Behavior.eventTransitions(
+            Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+            "event_type", lazyPlan = true)
         case "q220_group_quantiles" =>
           import org.apache.spark.sql.functions._
           val ev = Tables.events(spark, sfDir)

@@ -438,18 +438,25 @@ object Behavior {
     * predecessor and contributes no row. One key-sized window shuffle
     * on the user, then a |types|²-bounded aggregate — nothing
     * downstream of the first shuffle scales with events. Exact
-    * integers; both divisions see non-negative operands. */
+    * integers; both divisions see non-negative operands. The tiny
+    * pairs frame is pinned with an eager localCheckpoint (the
+    * from-totals aggregate and the final join both re-read it —
+    * without the pin each replays the corpus window pass; the
+    * q214/q215 contract); `lazyPlan = true` skips the pin for plan
+    * inspection. */
   def eventTransitions(events: DataFrame, user: String, ts: String,
-      tie: String, typeCol: String): DataFrame = {
+      tie: String, typeCol: String, lazyPlan: Boolean = false)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("t"), col("tk"))
-    val pairs = events
+    val pairs0 = events
       .select(col(user).as("u"), col(ts).as("t"), col(tie).as("tk"),
         col(typeCol).as("to_type"))
       .withColumn("from_type", lag(col("to_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+    val pairs = if (lazyPlan) pairs0 else pairs0.localCheckpoint(true)
     val fromTotals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
     pairs.join(fromTotals, "from_type")
