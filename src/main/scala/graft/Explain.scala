@@ -72,7 +72,7 @@ object Explain {
       "q216_fuzzy_two_sided", "q217_revenue_acf",
       "q218_dup_triangles", "q219_naive_backtest",
       "q220_group_quantiles", "q221_event_flow", "q222_gap_quantiles",
-      "q223_user_value_sketch", "q224_stickiness")
+      "q223_user_value_sketch", "q224_stickiness", "q225_cohort_ltv")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

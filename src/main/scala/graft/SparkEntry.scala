@@ -245,6 +245,7 @@ object SparkEntry {
     "q222_gap_quantiles" -> (NorthStar.eventGapQuantiles _),
     "q223_user_value_sketch" -> (NorthStar.userValueSketch _),
     "q224_stickiness"    -> (NorthStar.dauMauStickiness _),
+    "q225_cohort_ltv"    -> (NorthStar.ltvCurve _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4144,6 +4145,31 @@ object SparkEntry {
         |         AS stickiness_ppm
         |FROM dau JOIN mau USING (end_day)
         |ORDER BY 1""".stripMargin,
+    // q225: cohort LTV curve — first-active-day cohorts, per-offset
+    // integer-cents revenue + cumulative + per-user (integer div,
+    // non-negative operands); exact 64-bit rows.
+    "q225_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |f AS (SELECT u, min(d) AS cohort_day FROM b GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM f GROUP BY 1),
+        |p AS (SELECT f.cohort_day, b.d - f.cohort_day AS day_offset,
+        |        CAST(sum(b.cents) AS BIGINT) AS cents
+        |      FROM b JOIN f USING (u) GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, day_offset, cents,
+        |        CAST(sum(cents) OVER (PARTITION BY cohort_day
+        |          ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |      FROM p)
+        |SELECT c.cohort_day, c.day_offset, sz.n_users, c.cents,
+        |       c.cum_cents,
+        |       CAST(c.cum_cents // sz.n_users AS BIGINT)
+        |         AS ltv_cents_per_user
+        |FROM c JOIN sz USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

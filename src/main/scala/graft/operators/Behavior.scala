@@ -44,6 +44,46 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV CURVE — [[cohortRetention]]'s revenue twin: users
+    * bucket by first-active epoch-day, and for each (cohort_day,
+    * day_offset) the curve reports that day's integer-cents revenue,
+    * the CUMULATIVE revenue through the offset, and cumulative cents
+    * PER COHORT USER (the "LTV by day N" read-out; integer division,
+    * non-negative operands — revenue assumed non-negative). Offsets
+    * with activity but no revenue still appear (zero cents); offsets
+    * with no activity at all emit no row, exactly like the retention
+    * triangle.
+    *
+    * Scale shape: min-day per user (key-sized), one join back to the
+    * log, one (cohort, offset) aggregate — all key-sized shuffles;
+    * the cumulative window runs per cohort over its ≤ calendar-span
+    * offsets (the [[rateCusum]] bounded-window regime, cohort-
+    * partitioned so no single-reducer stage). Exact 64-bit integers
+    * throughout — the oracle replays every row. */
+  def cohortLtv(events: DataFrame, user: String, ts: String,
+      valueCol: String): DataFrame = {
+    val base = events
+      .select(col(user).as("u"), epochDay(col(ts)).as("d"),
+        round(col(valueCol) * 100, 0).cast("long").as("cents"))
+    val first = base.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val perOffset = base.join(first, "u")
+      .groupBy(col("cohort_day"),
+        (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perOffset
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cents"), col("cum_cents"),
+        expr("cum_cents div n_users").as("ltv_cents_per_user"))
+  }
+
   /** Gaps-and-islands activity streaks: per user, maximal runs of
     * CONSECUTIVE active days (the tabibitosan idiom — day − row_number
     * is constant exactly within a consecutive run, so one window + one

@@ -2046,6 +2046,16 @@ object NorthStar {
       .orderBy($"end_day")
   }
 
+  /** X15 cohort LTV curve ([[graft.operators.Behavior.cohortLtv]]):
+    * per (first-active cohort day, day offset) — daily and cumulative
+    * integer-cents revenue and cumulative cents per cohort user; the
+    * revenue twin of q182's retention triangle, exact 64-bit rows. */
+  def ltvCurve(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.cohortLtv(Tables.events(spark, d), "user_id", "ts", "value")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   /** X15 k-arm experiment readout ([[graft.operators.Behavior
     * .abTestK]]): user_id mod 4 as the arm hash-split, purchase as
     * conversion, arm 0 as control — per-arm exact counts, ppm rates,

@@ -1604,6 +1604,27 @@ class NorthStarSpec extends SparkSpec {
       pmod($"user_id", lit(3L)), control = 99L).count() == 0L)
   }
 
+  test("cohortLtv: hand-traced cohorts, cumulative cents, per-user " +
+      "division; zero-revenue active days still emit rows") {
+    import spark.implicits._
+    def t(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // cohort d1 = {u1, u2}: day0 cents 100+200, day1 u1 spends 50;
+    // cohort d2 = {u3}: day0 cents 0.00 (active, no revenue)
+    val ev = Seq(
+      (1L, t(1), 1.0), (2L, t(1), 2.0), (1L, t(2), 0.5),
+      (3L, t(2), 0.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Behavior.cohortLtv(ev, "user_id", "ts", "value")
+      .orderBy($"cohort_day", $"day_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    val d1 = 19723L // 2024-01-01
+    assert(got == List(
+      (d1, 0L, 2L, 300L, 300L, 150L),
+      (d1, 1L, 2L, 50L, 350L, 175L),
+      (d1 + 1, 0L, 1L, 0L, 0L, 0L)))
+  }
+
   test("logHistQuantiles: hand-traced buckets; the bracket always " +
       "contains the exact per-key quantile; v < 1 excluded") {
     import spark.implicits._
