@@ -3883,7 +3883,8 @@ object SparkEntry {
         |       CAST(k_users AS BIGINT) AS k_users,
         |       CAST(cum_events - (cum_users - k_users) * x AS BIGINT)
         |         AS events_covered,
-        |       CAST((cum_events - (cum_users - k_users) * x) * 1000000
+        |       CAST(CAST(cum_events - (cum_users - k_users) * x
+        |           AS HUGEINT) * 1000000
         |         // t AS BIGINT) AS share_ppm,
         |       round(CAST(s AS DOUBLE) * 2.0 /
         |           (CAST(n AS DOUBLE) * t) -
@@ -4076,7 +4077,8 @@ object SparkEntry {
         |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
         |      FROM p GROUP BY 1)
         |SELECT p.from_type, p.to_type, p.n,
-        |       CAST(p.n * 1000000 // f.n_from AS BIGINT) AS p_ppm
+        |       CAST(CAST(p.n AS HUGEINT) * 1000000 // f.n_from
+        |         AS BIGINT) AS p_ppm
         |FROM p JOIN f USING (from_type)
         |ORDER BY 1, 2""".stripMargin,
     // q222: inter-event gap percentiles — exact integer-second gaps
@@ -4141,8 +4143,8 @@ object SparkEntry {
         |                        AND a.d <= days.end_day
         |        GROUP BY 1)
         |SELECT dau.end_day, dau.dau, mau.mau,
-        |       CAST(dau.dau * 1000000 // mau.mau AS BIGINT)
-        |         AS stickiness_ppm
+        |       CAST(CAST(dau.dau AS HUGEINT) * 1000000 // mau.mau
+        |         AS BIGINT) AS stickiness_ppm
         |FROM dau JOIN mau USING (end_day)
         |ORDER BY 1""".stripMargin,
     // q225: cohort LTV curve — first-active-day cohorts, per-offset

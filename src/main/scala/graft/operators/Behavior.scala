@@ -188,7 +188,10 @@ object Behavior {
       .agg(countDistinct(col("u")).as("mau"))
     dau.join(mau, "end_day")
       .select(col("end_day"), col("dau"), col("mau"),
-        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+        // DECIMAL(38,0) numerator: dau·10⁶ wraps 64-bit past ~9.2e12
+        // daily actives
+        expr("cast(cast(dau as decimal(38,0)) * 1000000 div mau " +
+          "as bigint)").as("stickiness_ppm"))
   }
 
   /** Per-day HLL sketch STATE table — (d, sk): one DataSketches HLL
@@ -462,7 +465,11 @@ object Behavior {
         (col("cum_events") -
           (col("cum_users") - col("k_users")) * col("x"))
           .as("events_covered"),
-        expr("(cum_events - (cum_users - k_users) * x) * 1000000 div t")
+        // ppm numerator as DECIMAL(38,0): events_covered·10⁶ wraps
+        // 64-bit past ~9.2e12 events (the joinStrategyPick pattern);
+        // div brings the share back into BIGINT range
+        expr("cast(cast(cum_events - (cum_users - k_users) * x " +
+          "as decimal(38,0)) * 1000000 div t as bigint)")
           .as("share_ppm"),
         gini.as("gini"))
   }
@@ -501,7 +508,10 @@ object Behavior {
       .agg(sum(col("n")).as("n_from"))
     pairs.join(fromTotals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        expr("n * 1000000 div n_from").as("p_ppm"))
+        // DECIMAL(38,0) numerator: n·10⁶ wraps 64-bit past ~9.2e12
+        // transitions on one (from, to) pair
+        expr("cast(cast(n as decimal(38,0)) * 1000000 div n_from " +
+          "as bigint)").as("p_ppm"))
   }
 
   /** INTER-EVENT GAP percentiles — the exact distribution of seconds

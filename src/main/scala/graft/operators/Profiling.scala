@@ -403,8 +403,22 @@ object Profiling {
     val back = byName.toSeq.foldLeft(col("col_name")) {
       case (acc, (n, g)) => when(col("col_name") === n, g).otherwise(acc)
     }
-    exactQuantilesMulti(wide, groups.indices.map(i => s"__g$i"), qs,
-        fanout)
+    // translate the Multi core's synthetic `__gN` column back to the
+    // caller's group value — "fails fast by group NAME" means the
+    // error must name the group, not the pivot column
+    val multi =
+      try exactQuantilesMulti(wide, groups.indices.map(i => s"__g$i"),
+        qs, fanout)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("__g") =>
+          val translated = byName.foldLeft(e.getMessage) {
+            case (m, (n, g)) =>
+              m.replace(s"'$n'", s"group '$groupCol' = '$g'")
+          }
+          throw new IllegalArgumentException(translated, e)
+      }
+    multi
       .select(back.as("group"), col("q"), col("n"), col("k"),
         col("value"))
   }

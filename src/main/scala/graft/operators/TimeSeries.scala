@@ -72,30 +72,6 @@ object TimeSeries {
         col("peak_cents") - col("revenue_cents"))
   }
 
-  /** Sample AUTOCORRELATION of the daily value series at lags
-    * 1..`maxLag` — the seasonality / persistence profile ("is revenue
-    * weekly-periodic", "how sticky is yesterday's error rate") that
-    * pairs with [[dailyDrawdown]] and [[Behavior.rateCusum]] on the
-    * same per-day aggregate. For each lag k, the Pearson correlation
-    * of (x_d, x_{d+k}) over all day pairs where BOTH days were
-    * observed (gap days pair with nothing — the available-case sample
-    * ACF; run [[resampleDailyFfill]] first if imputed-gap semantics
-    * are wanted).
-    *
-    * Exactness ([[Profiling.correlationMatrix]]'s contract): values
-    * quantized to integer cents at aggregation; each lag's five
-    * sufficient statistics accumulate as DECIMAL(38,0) — exact 128-bit
-    * integers in both engines — and the only float step is the final
-    * per-lag corr division, fixed op order, rounded 6 dp. A lag with
-    * < 2 pairs or zero variance on either margin reports NULL corr; a
-    * lag no day pair reaches at all (beyond the observed span) emits
-    * no row.
-    *
-    * Scale shape: ONE key-sized day aggregate of the log, then the
-    * days-sized series explodes each row into its `maxLag` lag keys
-    * (map-only) and equi-joins the series once — calendar × maxLag
-    * work, independent of event volume; the per-lag aggregate is
-    * maxLag rows. */
   /** SEASONAL-NAIVE BACKTEST — the forecasting floor every pipeline
     * must beat before shipping a model: forecast_d = value_{d−period}
     * (same day last week for period 7), scored over every day where
@@ -138,6 +114,30 @@ object TimeSeries {
         col("n_nonpos"))
   }
 
+  /** Sample AUTOCORRELATION of the daily value series at lags
+    * 1..`maxLag` — the seasonality / persistence profile ("is revenue
+    * weekly-periodic", "how sticky is yesterday's error rate") that
+    * pairs with [[dailyDrawdown]] and [[Behavior.rateCusum]] on the
+    * same per-day aggregate. For each lag k, the Pearson correlation
+    * of (x_d, x_{d+k}) over all day pairs where BOTH days were
+    * observed (gap days pair with nothing — the available-case sample
+    * ACF; run [[resampleDailyFfill]] first if imputed-gap semantics
+    * are wanted).
+    *
+    * Exactness ([[Profiling.correlationMatrix]]'s contract): values
+    * quantized to integer cents at aggregation; each lag's five
+    * sufficient statistics accumulate as DECIMAL(38,0) — exact 128-bit
+    * integers in both engines — and the only float step is the final
+    * per-lag corr division, fixed op order, rounded 6 dp. A lag with
+    * < 2 pairs or zero variance on either margin reports NULL corr; a
+    * lag no day pair reaches at all (beyond the observed span) emits
+    * no row.
+    *
+    * Scale shape: ONE key-sized day aggregate of the log, then the
+    * days-sized series explodes each row into its `maxLag` lag keys
+    * (map-only) and equi-joins the series once — calendar × maxLag
+    * work, independent of event volume; the per-lag aggregate is
+    * maxLag rows. */
   def autocorrelation(df: DataFrame, ts: String, value: Column,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag=$maxLag")

@@ -82,7 +82,10 @@ object StreamingIngest {
     * doc form ([[GatedIngest]]'s input contract): id and text are pure
     * functions of (symbol, date, OHLCV) so a byte-identical re-delivered
     * payload produces byte-identical docs (the exact-text gate then
-    * drops it); the embedding uses intraday DIFFERENCES
+    * drops it), while a CORRECTED payload for the same (symbol, date)
+    * with different prices mints a DISTINCT id and faces the gates as a
+    * new doc — never a same-id/different-text collision in the accepted
+    * manifest; the embedding uses intraday DIFFERENCES
     * (direction-bearing — raw OHLCV vectors of any two days are cosine
     * ≈ 1.0 and would collapse the semantic gate). Shared by the
     * `--streaming` demo pipeline and the GatedIngest end-to-end spec. */
@@ -92,7 +95,8 @@ object StreamingIngest {
         org.apache.spark.sql.functions.substring(
           org.apache.spark.sql.functions.md5(
             org.apache.spark.sql.functions.concat_ws("|",
-              col("symbol"), col("date"))), 1, 8), 16, 10)
+              col("symbol"), col("date"), col("open"), col("high"),
+              col("low"), col("close"), col("volume"))), 1, 8), 16, 10)
         .cast("long").as("doc_id"),
       org.apache.spark.sql.functions.concat_ws(" ", col("symbol"),
         col("date"), col("open"), col("high"), col("low"), col("close"),
