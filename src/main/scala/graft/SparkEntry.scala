@@ -246,6 +246,7 @@ object SparkEntry {
     "q223_user_value_sketch" -> (NorthStar.userValueSketch _),
     "q224_stickiness"    -> (NorthStar.dauMauStickiness _),
     "q225_cohort_ltv"    -> (NorthStar.ltvCurve _),
+    "q226_mmr_rerank"    -> (NorthStar.mmrPage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4172,6 +4173,43 @@ object SparkEntry {
         |         AS ltv_cents_per_user
         |FROM c JOIN sz USING (cohort_day)
         |ORDER BY 1, 2""".stripMargin,
+    // q226: greedy MMR unrolled to 5 pick stages — all-integer marginals
+    // (1e-4-unit rel/sim, λ = 7/10 → 7·rel − 3·maxsim) so the argmax
+    // trace is engine-independent; ties break on vec_id in every stage.
+    "q226_mmr_rerank" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |mpool AS (SELECT e.vec_id,
+        |        CAST(round($cosSql * 10000, 0) AS BIGINT) AS rel,
+        |        CAST(e.embedding AS DOUBLE[]) AS v
+        |      FROM embeddings e, q WHERE e.vec_id <> 0
+        |      ORDER BY rel DESC, e.vec_id LIMIT 20),
+        |msims AS (SELECT a.vec_id AS sa, b.vec_id AS sb,
+        |        CAST(round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(b.v, b.v))) * 10000, 0)
+        |          AS BIGINT) AS sim
+        |      FROM mpool a JOIN mpool b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel, 7 * rel AS mmr FROM mpool
+        |       ORDER BY rel DESC, vec_id LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM s1),
+        |${mmrStage("c2", "s2", "sel1")},
+        |sel2 AS (SELECT vec_id FROM sel1
+        |         UNION ALL SELECT vec_id FROM s2),
+        |${mmrStage("c3", "s3", "sel2")},
+        |sel3 AS (SELECT vec_id FROM sel2
+        |         UNION ALL SELECT vec_id FROM s3),
+        |${mmrStage("c4", "s4", "sel3")},
+        |sel4 AS (SELECT vec_id FROM sel3
+        |         UNION ALL SELECT vec_id FROM s4),
+        |${mmrStage("c5", "s5", "sel4")}
+        |SELECT CAST(1 AS INTEGER) AS pick, vec_id, rel AS rel_e4, mmr
+        |FROM s1
+        |UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+        |UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+        |UNION ALL SELECT 4, vec_id, rel, mmr FROM s4
+        |UNION ALL SELECT 5, vec_id, rel, mmr FROM s5
+        |ORDER BY pick""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
@@ -4425,6 +4463,20 @@ object SparkEntry {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One q226 MMR greedy stage: candidates = pool minus already-selected,
+    * marginal = 7·rel − 3·max(sim to any selected) (integer, λ = 7/10
+    * in 1e-4 units), argmax with vec_id tiebreak — the DuckDB twin of
+    * one iteration of `Similarity.mmrRerank`'s driver fold. */
+  private def mmrStage(ci: String, si: String, selPrev: String): String =
+    s"""$ci AS (SELECT p.vec_id, p.rel,
+       |        7 * p.rel - 3 * max(s.sim) AS mmr
+       |      FROM mpool p JOIN msims s ON s.sa = p.vec_id
+       |      WHERE s.sb IN (SELECT vec_id FROM $selPrev)
+       |        AND p.vec_id NOT IN (SELECT vec_id FROM $selPrev)
+       |      GROUP BY p.vec_id, p.rel),
+       |$si AS (SELECT vec_id, rel, mmr FROM $ci
+       |      ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
 
   /** Cosine spelled out with sequential dot products — the exact formula
     * the Spark side computes, so doubles agree bit-for-bit pre-round. */

@@ -1267,4 +1267,75 @@ object Similarity {
       .filter(col("crk") <= k)
       .select(col("qid"), col("vec_id"), col("hd"), col("cos"))
   }
+
+  /** X3 MMR diversified re-rank (Maximal Marginal Relevance, Carbonell &
+    * Goldstein, SIGIR 1998): from the exact top-`poolN` candidates for
+    * stored query `queryId`, greedily pick `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * redundancy-suppressing re-rank a retrieval pipeline applies after
+    * [[cosineTopK]] so the result page isn't `k` near-copies of the same
+    * document. λ is the rational `lamNum/lamDen` and every score is
+    * integer: relevance and pairwise cosines are quantized to 1e-4 units
+    * (`round(cos·10⁴)` as BIGINT), the marginal is the exact integer
+    * `lamNum·rel − (lamDen−lamNum)·maxSim` (units: 1e-4/lamDen), and ties
+    * break on smaller vec_id — the greedy trace replays bit-identically
+    * on any engine. The first pick has no diversity term: `lamNum·rel`.
+    *
+    * Scale shape: the corpus is touched ONLY by the distributed top-pool
+    * scan (broadcast query, TakeOrderedAndProject — [[cosineTopK]]'s
+    * plan); the pairwise matrix and the greedy loop run over the
+    * `poolN`-row pool (≤ 256 by contract), a constant independent of
+    * corpus size — bounded driver work like [[graft.operators.Behavior
+    * .funnelTiming]]'s stats fold, NOT a data-sized driver loop. The
+    * pool is pinned with an eager localCheckpoint so the pairwise stage
+    * and the collect don't replay the corpus scan. */
+  def mmrRerank(emb: DataFrame, queryId: Long, poolN: Int, k: Int,
+      lamNum: Int, lamDen: Int): DataFrame = {
+    require(k >= 1 && poolN >= k && poolN <= 256,
+      s"poolN=$poolN k=$k (need 1 <= k <= poolN <= 256)")
+    require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda=$lamNum/$lamDen not in [0, 1]")
+    val spark = emb.sparkSession
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val pool = withNorm(Par.fanOut(emb.filter(col("vec_id") =!= queryId)))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+          * 10000, 0).cast("long").as("rel_e4"))
+      .orderBy(col("rel_e4").desc, col("vec_id"))
+      .limit(poolN)
+      .localCheckpoint(true)
+    val a = pool.select(col("vec_id").as("sa"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = pool.select(col("vec_id").as("sb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val simRows = a.crossJoin(b).filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          * 10000, 0).cast("long").as("sim_e4"))
+      .collect()
+    val sim = simRows.flatMap { r =>
+      val (x, y, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq((x, y) -> s, (y, x) -> s)
+    }.toMap
+    val cands = pool.select(col("vec_id"), col("rel_e4")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long)] // (pick, id, rel, mmr)
+    val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
+    for (pick <- 1 to math.min(k, cands.length)) {
+      val best = remaining.map { case (id, rel) =>
+        val mmr =
+          if (selected.isEmpty) lamNum.toLong * rel
+          else lamNum.toLong * rel - (lamDen - lamNum).toLong *
+            selected.map(s => sim((id, s._2))).max
+        (id, rel, mmr)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += ((pick, best._1, best._2, best._3))
+      remaining.remove((best._1, best._2))
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("pick", "vec_id", "rel_e4", "mmr")
+  }
 }

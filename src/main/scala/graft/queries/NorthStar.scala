@@ -2128,4 +2128,15 @@ object NorthStar {
         $"est_rows", $"skew_x100_a", $"skew_x100_b", $"strategy")
       .orderBy($"pair")
   }
+
+  /** X3 MMR diversified re-rank ([[graft.operators.Similarity
+    * .mmrRerank]]): exact top-20 pool for stored query vec 0, greedy
+    * k = 5 at λ = 7/10 — integer 1e-4-unit marginals make the greedy
+    * trace replay exactly; the redundancy-suppressing page-assembly
+    * step after q41's raw top-k. */
+  def mmrPage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.mmrRerank(Tables.embeddings(spark, d), 0L, 20, 5, 7, 10)
+      .orderBy($"pick")
+  }
 }

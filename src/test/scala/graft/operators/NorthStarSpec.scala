@@ -2074,4 +2074,26 @@ class NorthStarSpec extends SparkSpec {
         assert(math.abs(x - y) <= 1e-2) }
     }
   }
+
+  test("mmrRerank displaces the near-duplicate of the top hit") {
+    import spark.implicits._
+    // q = (1,0); 1 is most relevant, 2 is a near-copy of 1 (cos(1,2)
+    // ≈ 0.9998), 3 is diverse but less relevant (cos(q,3) = 0.6).
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.99, 0.1)),
+      (2L, Array(0.98, 0.12)),
+      (3L, Array(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    // λ = 3/10: pick 2's marginal 3·rel − 7·sim(·,1) favors the
+    // diverse 3 (≈ −29418) over the near-copy 2 (≈ −40208)
+    val picks = Similarity.mmrRerank(emb, 0L, 3, 2, 3, 10)
+      .orderBy($"pick").select($"pick", $"vec_id").as[(Int, Long)]
+      .collect().toList
+    assert(picks == List((1, 1L), (2, 3L)))
+    // λ = 1 drops the diversity term: pure relevance order {1, 2}
+    val pure = Similarity.mmrRerank(emb, 0L, 3, 2, 1, 1)
+      .orderBy($"pick").select($"vec_id").as[Long].collect().toList
+    assert(pure == List(1L, 2L))
+  }
 }
