@@ -247,6 +247,7 @@ object SparkEntry {
     "q224_stickiness"    -> (NorthStar.dauMauStickiness _),
     "q225_cohort_ltv"    -> (NorthStar.ltvCurve _),
     "q226_mmr_rerank"    -> (NorthStar.mmrPage _),
+    "q227_churn_survival" -> (NorthStar.churnSurvival _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4210,6 +4211,42 @@ object SparkEntry {
         |UNION ALL SELECT 4, vec_id, rel, mmr FROM s4
         |UNION ALL SELECT 5, vec_id, rel, mmr FROM s5
         |ORDER BY pick""".stripMargin,
+    // q227: Kaplan–Meier — the survival product is the INTEGER ppm
+    // recurrence S_t = S_{t−1}·(n−d) // n replayed by a recursive CTE
+    // (HUGEINT intermediate), matching the Spark side's BigInt fold;
+    // censored-at-t users stay in the t risk set (deaths-first ties).
+    "q227_churn_survival" ->
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |         FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
+        |           AS t),
+        |km AS (SELECT g.t,
+        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 1) AS n_dead,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 0) AS n_censored
+        |       FROM grid g),
+        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
+        |             CAST(1000000 AS HUGEINT) AS surv
+        |      UNION ALL
+        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |      FROM s JOIN km ON km.t = s.t + 1)
+        |SELECT km.t, CAST(km.n_risk AS BIGINT) AS n_risk,
+        |       CAST(km.n_dead AS BIGINT) AS n_dead,
+        |       CAST(km.n_censored AS BIGINT) AS n_censored,
+        |       CAST(CAST(km.n_dead AS HUGEINT) * 1000000 // km.n_risk
+        |         AS BIGINT) AS hazard_ppm,
+        |       CAST(s.surv AS BIGINT) AS survival_ppm
+        |FROM km JOIN s USING (t)
+        |ORDER BY t""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -837,4 +837,60 @@ object Behavior {
       .agg(stageCounts.head, stageCounts.tail: _*)
       .withColumn("conv_ppm", expr(s"n_step$n * 1000000 div n_step1"))
   }
+
+  /** KAPLAN–MEIER churn survival curve (Kaplan & Meier, JASA 1958) over
+    * user LIFETIMES — the principled "how long do users stay" readout
+    * that handles the users who haven't churned yet, where a naive
+    * mean-lifetime silently treats still-active users as churned.
+    * Lifetime = last active epoch-day − first active epoch-day; a user
+    * whose last activity is ≥ `censorDays` before the observation
+    * horizon (the global max active day) is an observed CHURN (death)
+    * at its lifetime, anything more recent is right-CENSORED there —
+    * they may still come back. Per dense lifetime day t (0..max):
+    * n_risk (lifetimes ≥ t — censored-at-t users count, the standard
+    * deaths-before-censoring tie rule), n_dead, n_censored, the exact
+    * integer hazard d·10⁶ div n, and the KM survival via the integer
+    * recurrence S_t = S_{t−1}·(n_t − d_t) div n_t in ppm (S_{−1} =
+    * 10⁶) — engine-exact, no float product; the oracle replays it with
+    * a recursive CTE in HUGEINT, this side folds in BigInt.
+    *
+    * Scale shape: one key-sized (user → first/last) aggregate, then a
+    * lifetime-histogram aggregate whose size is bounded by the
+    * CALENDAR span, not the user count; the recurrence folds over that
+    * collected span-sized table on the driver ([[funnelTiming]]'s
+    * bounded-driver contract). */
+  def survivalCurve(events: DataFrame, user: String, ts: String,
+      censorDays: Int): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"))
+    val horizon = days.agg(max(col("d")).as("m"))
+    val hist = days.groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("t"),
+        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+      .groupBy(col("t"))
+      .agg(sum(col("dead")).as("nd"),
+        sum(lit(1) - col("dead")).as("nc"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = if (hist.isEmpty) Seq.empty[(Long, Long, Long, Long, Long, Long)]
+    else {
+      val maxT = hist.keys.max
+      var atRisk = hist.values.map { case (d, c) => d + c }.sum
+      var surv = BigInt(1000000)
+      (0L to maxT).map { t =>
+        val (nd, nc) = hist.getOrElse(t, (0L, 0L))
+        val n = atRisk
+        val hazardPpm = (BigInt(nd) * 1000000 / n).toLong
+        surv = surv * (n - nd) / n
+        atRisk -= nd + nc
+        (t, n, nd, nc, hazardPpm, surv.toLong)
+      }
+    }
+    rows.toDF("t", "n_risk", "n_dead", "n_censored", "hazard_ppm",
+      "survival_ppm")
+  }
 }

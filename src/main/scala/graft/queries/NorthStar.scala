@@ -2139,4 +2139,17 @@ object NorthStar {
     Similarity.mmrRerank(Tables.embeddings(spark, d), 0L, 20, 5, 7, 10)
       .orderBy($"pick")
   }
+
+  /** X15 Kaplan–Meier churn survival ([[graft.operators.Behavior
+    * .survivalCurve]]): user lifetimes with 14 days of end-of-window
+    * inactivity = observed churn, anything more recent right-censored;
+    * per lifetime day — at-risk/dead/censored counts, integer-ppm
+    * hazard, and the exact KM survival product via the integer
+    * recurrence (no float product; the oracle replays it with a
+    * recursive CTE). */
+  def churnSurvival(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.survivalCurve(Tables.events(spark, d), "user_id", "ts", 14)
+      .orderBy($"t")
+  }
 }

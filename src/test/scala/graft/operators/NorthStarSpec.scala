@@ -2096,4 +2096,28 @@ class NorthStarSpec extends SparkSpec {
       .orderBy($"pick").select($"vec_id").as[Long].collect().toList
     assert(pure == List(1L, 2L))
   }
+
+  test("survivalCurve matches the hand-traced Kaplan-Meier table") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // horizon m = 3, censorDays = 2:
+    //   u1 active days 0..3 → lifetime 3, m−l = 0 → censored at 3
+    //   u2 active day 0     → lifetime 0, m−l = 3 → dead at 0
+    //   u3 active days 1,2  → lifetime 1, m−l = 1 → censored at 1
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2))
+    ).toDF("user_id", "ts")
+    val got = Behavior.survivalCurve(ev, "user_id", "ts", 2)
+      .orderBy($"t")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    // t=0: risk 3, d=1 → hazard 333333, S = 2000000/3 = 666666
+    // t=1: risk 2 (u1, u3), c=1; t=2: risk 1; t=3: risk 1, c=1
+    assert(got == List(
+      (0L, 3L, 1L, 0L, 333333L, 666666L),
+      (1L, 2L, 0L, 1L, 0L, 666666L),
+      (2L, 1L, 0L, 0L, 0L, 666666L),
+      (3L, 1L, 0L, 1L, 0L, 666666L)))
+  }
 }
