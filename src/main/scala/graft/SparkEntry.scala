@@ -248,6 +248,7 @@ object SparkEntry {
     "q225_cohort_ltv"    -> (NorthStar.ltvCurve _),
     "q226_mmr_rerank"    -> (NorthStar.mmrPage _),
     "q227_churn_survival" -> (NorthStar.churnSurvival _),
+    "q228_theil_sen"     -> (NorthStar.revenueTheilSen _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4247,6 +4248,25 @@ object SparkEntry {
         |       CAST(s.surv AS BIGINT) AS survival_ppm
         |FROM km JOIN s USING (t)
         |ORDER BY t""".stripMargin,
+    // q228: Theil-Sen — slopes in integer micro-cents/day (HUGEINT
+    // numerator, // truncates toward zero exactly like Spark's div on
+    // DECIMAL(38,0)); median = exact lower ((n+1) // 2)-th smallest.
+    "q228_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(CAST(b.c - a.c AS HUGEINT) * 1000000
+        |        // (b.d - a.d) AS BIGINT) AS s
+        |      FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         min(s) AS mn, max(s) AS mx FROM p),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT nd.n_days, st.n_pairs, r.s AS median_slope_micro,
+        |       st.mn AS min_slope_micro, st.mx AS max_slope_micro
+        |FROM r, st, nd WHERE r.rn = (st.n_pairs + 1) // 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

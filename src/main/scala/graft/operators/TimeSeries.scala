@@ -169,4 +169,43 @@ object TimeSeries {
         round(num / den, 6) + lit(0.0))
         .otherwise(lit(null).cast("double")).as("acf"))
   }
+
+  /** THEIL–SEN robust trend of the daily value series (Theil 1950; Sen,
+    * JASA 1968): the median of all pairwise slopes (c_j − c_i)/(d_j −
+    * d_i) over observed day pairs i < j — the outlier-resistant
+    * alternative to [[Learn]]'s OLS trend (29% breakdown point vs 0%:
+    * one flash-sale day cannot drag it). All-integer: values quantize
+    * to day-sum cents, each slope is micro-cents/day with the numerator
+    * ×10⁶ as DECIMAL(38,0) (overflow-proof) and a truncating `div`
+    * (DuckDB's `//` truncates identically for negative operands); the
+    * median is the exact k = ⌈n/2⌉-th smallest (lower median — no float
+    * averaging of middle pairs). One row: n_days, n_pairs, median /
+    * min / max slope.
+    *
+    * Scale shape: ONE key-sized day aggregate of the log, then an
+    * O(days²/2) self-join and a ranking window — both CALENDAR-bounded
+    * (10 years ≈ 6.7M pairs) regardless of event volume; the
+    * single-partition window is safe by that bound, never data-sized. */
+  def theilSenTrend(df: DataFrame, ts: String, value: Column): DataFrame = {
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+    val a = daily.select(col("d").as("da"), col("c").as("ca"))
+    val b = daily.select(col("d").as("db"), col("c").as("cb"))
+    val slopes = a.join(b, col("da") < col("db"))
+      .select(expr("cast(cast(cb - ca as decimal(38,0)) * 1000000" +
+        " div (db - da) as bigint)").as("slope_micro"))
+    val stats = slopes.agg(count(lit(1)).as("n_pairs"),
+      min(col("slope_micro")).as("min_slope_micro"),
+      max(col("slope_micro")).as("max_slope_micro"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("slope_micro"))
+    slopes.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(nd))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_micro").as("median_slope_micro"),
+        col("min_slope_micro"), col("max_slope_micro"))
+  }
 }

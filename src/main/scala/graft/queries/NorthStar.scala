@@ -2152,4 +2152,14 @@ object NorthStar {
     Behavior.survivalCurve(Tables.events(spark, d), "user_id", "ts", 14)
       .orderBy($"t")
   }
+
+  /** X16 Theil–Sen robust revenue trend ([[graft.operators.TimeSeries
+    * .theilSenTrend]]): exact lower-median of all pairwise daily-total
+    * slopes in integer micro-cents/day — the outlier-resistant
+    * counterpart of q179's OLS trend, calendar²-bounded. */
+  def revenueTheilSen(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.theilSenTrend(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice")
+  }
 }

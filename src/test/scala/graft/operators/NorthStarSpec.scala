@@ -2120,4 +2120,18 @@ class NorthStarSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, 0L, 666666L),
       (3L, 1L, 0L, 1L, 0L, 666666L)))
   }
+
+  test("theilSenTrend picks the exact lower-median pairwise slope") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // day cents 100, 200, 400, 50 → six slopes (micro-cents/day):
+    // 1e8, 1.5e8, -50000000 div 3 = -16666666 (TRUNCATED toward zero,
+    // not floored), 2e8, -75000000, -350000000; sorted lower median
+    // (k = 3 of 6) = -16666666 — the truncation-sensitive value.
+    val df = Seq((at(0), 1.0), (at(1), 2.0), (at(2), 4.0), (at(3), 0.5))
+      .toDF("ts", "v")
+    val got = TimeSeries.theilSenTrend(df, "ts", $"v")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((4L, 6L, -16666666L, -350000000L, 200000000L)))
+  }
 }
