@@ -249,6 +249,7 @@ object SparkEntry {
     "q226_mmr_rerank"    -> (NorthStar.mmrPage _),
     "q227_churn_survival" -> (NorthStar.churnSurvival _),
     "q228_theil_sen"     -> (NorthStar.revenueTheilSen _),
+    "q229_benford"       -> (NorthStar.orderBenford _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4267,6 +4268,33 @@ object SparkEntry {
         |SELECT nd.n_days, st.n_pairs, r.s AS median_slope_micro,
         |       st.mn AS min_slope_micro, st.mx AS max_slope_micro
         |FROM r, st, nd WHERE r.rn = (st.n_pairs + 1) // 2""".stripMargin,
+    // q229: Benford — digit from the integer-cents string (no float
+    // log10); expected ppm are the canonical log10(1+1/d) constants,
+    // identical literals in both engines; chi2 contribution in exact
+    // ppb integers.
+    "q229_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |             AS cents FROM orders),
+        |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+        |         AS INTEGER) AS digit FROM c WHERE cents > 0),
+        |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM dg
+        |      GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |        (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |        (7, 57992), (8, 51153), (9, 45757))
+        |        AS t(digit, exp_ppm)),
+        |t AS (SELECT sum(cnt) AS total FROM n),
+        |j AS (SELECT e.digit, COALESCE(n.cnt, 0) AS n,
+        |        CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+        |      FROM e LEFT JOIN n USING (digit)),
+        |o AS (SELECT digit, n,
+        |        CAST(CAST(n AS HUGEINT) * 1000000 // t.total AS BIGINT)
+        |          AS obs_ppm, exp_ppm
+        |      FROM j, t)
+        |SELECT digit, n, obs_ppm, exp_ppm,
+        |       CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000
+        |         // exp_ppm AS BIGINT) AS chi2_ppb
+        |FROM o ORDER BY digit""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

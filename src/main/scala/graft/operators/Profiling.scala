@@ -668,4 +668,48 @@ object Profiling {
       .agg(count(lit(1)).as("n"), min(c).as("lo"), max(c).as("hi"))
   }
 
+  /** log10(1 + 1/d) in integer ppm for d = 1..9 — Benford's law
+    * (Benford 1938; Hill, Statistical Science 1995). The nine rounded
+    * constants sum to exactly 1,000,000. */
+  private[operators] val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** BENFORD first-significant-digit screen — the classic fabricated /
+    * truncated / fat-fingered-amounts detector for positive monetary
+    * columns: organic multiplicative data's leading digit follows
+    * P(d) = log10(1 + 1/d), and a column that deviates hard (uniform
+    * digits, missing 1s) warrants a look before it trains anything.
+    * The digit comes from the integer-cents STRING's first character —
+    * no float log10, so there is no powers-of-ten boundary to disagree
+    * on across engines. Per digit d = 1..9 (absent digits report n=0):
+    * count, observed integer-ppm share (DECIMAL(38,0) numerator — no
+    * 64-bit wrap at any corpus size), the canonical expected ppm, and
+    * the chi-square contribution (obs−exp)²·1000 div exp in exact ppb
+    * units (bounded: ppm deltas ≤ 10⁶ keep the numerator ≤ 10¹⁵).
+    *
+    * Scale shape: one scan-shaped groupBy over 9 keys + a 9-row
+    * broadcast join — pure map-side aggregation territory. */
+  def benfordScreen(df: DataFrame, value: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(round(value * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    benfordPpm.toDF("digit", "exp_ppm")
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("n"),
+        col("exp_ppm"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr(
+        "cast(cast(n as decimal(38,0)) * 1000000 div total as bigint)"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000" +
+          " div exp_ppm").as("chi2_ppb"))
+  }
 }

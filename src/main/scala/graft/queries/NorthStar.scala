@@ -2162,4 +2162,15 @@ object NorthStar {
     TimeSeries.theilSenTrend(Tables.orders(spark, d), "o_orderdate",
       $"o_totalprice")
   }
+
+  /** X14 Benford first-digit screen ([[graft.operators.Profiling
+    * .benfordScreen]]): leading digit of order totals (integer-cents
+    * string, no float log10) vs the canonical log10(1+1/d) ppm table,
+    * with exact ppb chi-square contributions — the fabricated-amounts
+    * tripwire beside q197's PSI drift. */
+  def orderBenford(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.benfordScreen(Tables.orders(spark, d), $"o_totalprice")
+      .orderBy($"digit")
+  }
 }

@@ -2134,4 +2134,23 @@ class NorthStarSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toList
     assert(got == List((4L, 6L, -16666666L, -350000000L, 200000000L)))
   }
+
+  test("benfordScreen digits from cents strings; absent digits n=0") {
+    import spark.implicits._
+    // cents: 100→1, 250→2, 19→1, 999→9; -5.0 and 0.001 (rounds to 0)
+    // are filtered → total 4: obs ppm 1:500000, 2:250000, 9:250000
+    val df = Seq(1.0, 2.5, 0.19, 9.99, -5.0, 0.001).toDF("v")
+    val got = Profiling.benfordScreen(df, $"v")
+      .orderBy($"digit")
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    def chi(obs: Long, exp: Long) = (obs - exp) * (obs - exp) * 1000 / exp
+    val exp = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val obs = Map(1 -> (2L, 500000L), 2 -> (1L, 250000L),
+      9 -> (1L, 250000L)).withDefaultValue((0L, 0L))
+    assert(got == (1 to 9).map { d =>
+      val (n, o) = obs(d)
+      (d, n, o, exp(d), chi(o, exp(d)))
+    }.toList)
+  }
 }
