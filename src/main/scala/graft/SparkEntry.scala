@@ -250,6 +250,7 @@ object SparkEntry {
     "q227_churn_survival" -> (NorthStar.churnSurvival _),
     "q228_theil_sen"     -> (NorthStar.revenueTheilSen _),
     "q229_benford"       -> (NorthStar.orderBenford _),
+    "q230_session_paths" -> (NorthStar.sessionPaths _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4295,6 +4296,29 @@ object SparkEntry {
         |       CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000
         |         // exp_ppm AS BIGINT) AS chi2_ppb
         |FROM o ORDER BY digit""".stripMargin,
+    // q230: session path bigrams — q33's gap rule (> 1800 s starts a
+    // session), (ts, event_id) order inside it; the top-15 cut is a
+    // total order on (n DESC, from, to).
+    "q230_session_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS sid FROM g),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id, sid
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM s)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, from_type, to_type
+        |LIMIT 15""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral / product-analytics operators over an event log — the
@@ -892,5 +893,41 @@ object Behavior {
     }
     rows.toDF("t", "n_risk", "n_dead", "n_censored", "hazard_ppm",
       "survival_ppm")
+  }
+
+  /** SESSION PATH BIGRAMS — the top consecutive event-type pairs WITHIN
+    * a session ([[graft.operators.Sessionize]]'s gap rule: strictly
+    * greater than `gapSec` starts a new session), vs
+    * [[eventTransitions]] which chains across a user's whole history:
+    * "checkout follows cart within a visit" is a different fact from
+    * "checkout follows cart within a lifetime". Deterministic order by
+    * (ts, tie) inside the session; output = top `topN` (from, to, n) by
+    * (n DESC, from, to) — a total order, so the cut is engine-exact.
+    *
+    * Scale shape: ONE shuffle on the user key; the session-id and lead
+    * windows share the same (u) partitioning and (t, tie) sort, so the
+    * second window adds no exchange; the bigram aggregate is
+    * |types|²-bounded and the top-N is a TakeOrderedAndProject. */
+  def sessionPathBigrams(events: DataFrame, user: String, ts: String,
+      tie: String, typeCol: String, gapSec: Long, topN: Int): DataFrame = {
+    require(gapSec >= 1 && topN >= 1, s"gapSec=$gapSec topN=$topN")
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("tk"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gap = col("t").cast("double") -
+      lag(col("t"), 1).over(w).cast("double")
+    val sess = events
+      .select(col(user).as("u"), col(ts).as("t"), col(tie).as("tk"),
+        col(typeCol).as("et"))
+      .withColumn("is_new",
+        when(gap.isNull || gap > gapSec, 1).otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+    val w2 = Window.partitionBy(col("u"), col("sid"))
+      .orderBy(col("t"), col("tk"))
+    sess.withColumn("to_type", lead(col("et"), 1).over(w2))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("et").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(topN)
   }
 }

@@ -2173,4 +2173,12 @@ object NorthStar {
     Profiling.benfordScreen(Tables.orders(spark, d), $"o_totalprice")
       .orderBy($"digit")
   }
+
+  /** X15 session path bigrams ([[graft.operators.Behavior
+    * .sessionPathBigrams]]): top within-session consecutive event-type
+    * pairs under q33's 1800 s gap rule — the visit-scoped journey
+    * counts beside q221's lifetime-scoped transition matrix. */
+  def sessionPaths(spark: SparkSession, d: String): DataFrame =
+    Behavior.sessionPathBigrams(Tables.events(spark, d), "user_id",
+      "ts", "event_id", "event_type", 1800L, 15)
 }

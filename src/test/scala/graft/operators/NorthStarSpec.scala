@@ -2153,4 +2153,21 @@ class NorthStarSpec extends SparkSpec {
       (d, n, o, exp(d), chi(o, exp(d)))
     }.toList)
   }
+
+  test("sessionPathBigrams counts only within-session consecutive pairs") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // u1: [a b] gap>1800 [a c b]; u2: [b a] — the b→a pair at the
+    // session break (10 → 2000) must NOT be counted
+    val ev = Seq(
+      (1L, at(0), 1L, "a"), (1L, at(10), 2L, "b"),
+      (1L, at(2000), 3L, "a"), (1L, at(2010), 4L, "c"),
+      (1L, at(2020), 5L, "b"),
+      (2L, at(0), 6L, "b"), (2L, at(5), 7L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.sessionPathBigrams(ev, "user_id", "ts",
+      "event_id", "event_type", 1800L, 3)
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L)))
+  }
 }
