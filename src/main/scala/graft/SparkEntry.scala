@@ -251,6 +251,7 @@ object SparkEntry {
     "q228_theil_sen"     -> (NorthStar.revenueTheilSen _),
     "q229_benford"       -> (NorthStar.orderBenford _),
     "q230_session_paths" -> (NorthStar.sessionPaths _),
+    "q231_resample_interp" -> (NorthStar.resampleInterpUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4319,6 +4320,43 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n DESC, from_type, to_type
         |LIMIT 15""".stripMargin,
+    // q231: linear-interp resample — q206's grid/day-value recipe, gap
+    // days on the exact integer-cents line (HUGEINT numerator, //
+    // truncating toward zero exactly like Spark's DECIMAL div).
+    "q231_resample_interp" ->
+      """WITH o AS (SELECT user_id AS u,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |             ts AS t, event_id AS tk,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |dv AS (SELECT u, d, v AS day_v FROM (
+        |         SELECT u, d, v, row_number() OVER
+        |           (PARTITION BY u, d ORDER BY t DESC, tk DESC) AS rk
+        |         FROM o) WHERE rk = 1),
+        |sp AS (SELECT u, min(d) AS d0, max(d) AS d1 FROM dv GROUP BY 1),
+        |g AS (SELECT sp.u, CAST(gs.d AS BIGINT) AS d
+        |      FROM sp, LATERAL unnest(range(sp.d0, sp.d1 + 1)) gs(d)),
+        |j AS (SELECT g.u, g.d, dv.day_v
+        |      FROM g LEFT JOIN dv ON dv.u = g.u AND dv.d = g.d),
+        |w AS (SELECT u, d, day_v,
+        |        last_value(day_v IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN day_v IS NOT NULL THEN d END
+        |          IGNORE NULLS) OVER wb AS pd,
+        |        first_value(day_v IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN day_v IS NOT NULL THEN d END
+        |          IGNORE NULLS) OVER wf AS nd
+        |      FROM j
+        |      WINDOW wb AS (PARTITION BY u ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wf AS (PARTITION BY u ORDER BY d
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT u AS k, d,
+        |       CAST(CASE WHEN day_v IS NOT NULL THEN 1 ELSE 0 END
+        |         AS INTEGER) AS observed,
+        |       CAST(CASE WHEN day_v IS NOT NULL THEN day_v
+        |            ELSE pv + CAST(CAST(nv - pv AS HUGEINT) * (d - pd)
+        |              // (nd - pd) AS BIGINT) END AS BIGINT) AS value
+        |FROM w ORDER BY k, d""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -170,6 +170,52 @@ object TimeSeries {
         .otherwise(lit(null).cast("double")).as("acf"))
   }
 
+  /** LINEAR-INTERPOLATION resample — [[resampleDailyFfill]]'s twin for
+    * metrics where a straight line beats a step (sensor readings,
+    * balances): per key, one row per calendar day of the observation
+    * span; a gap day gets `pv + (nv − pv)·(d − pd) div (nd − pd)`
+    * between its observed neighbors, on INTEGER values (the caller
+    * pre-quantizes, e.g. to cents) with a DECIMAL(38,0) numerator and
+    * truncating div — engine-exact, no float-lerp drift. Interior gaps
+    * only by construction: the grid spans min..max observed day, so
+    * every gap has both neighbors. NULL observations are gaps.
+    *
+    * Same scale shape as ffill: key-sized day aggregate, map-only span
+    * explode, ONE keyed window sort shared by the backward and forward
+    * fills (same partitioning + order, frames differ). */
+  def resampleDailyInterp(df: DataFrame, key: String, ts: String,
+      tie: String, value: String): DataFrame = {
+    val daily = df
+      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
+        col(ts).as("t"), col(tie).as("tk"),
+        col(value).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("k"), col("d"))
+      .agg(max(struct(col("t"), col("tk"), col("v"))).getField("v")
+        .as("day_v"))
+    val spans = daily.groupBy(col("k"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = spans
+      .withColumn("d", explode(sequence(col("d0"), col("d1"))))
+      .select(col("k"), col("d"))
+    val wb = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsD = when(col("day_v").isNotNull, col("d"))
+    grid.join(daily, Seq("k", "d"), "left")
+      .withColumn("pv", last(col("day_v"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(obsD, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("day_v"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(obsD, ignoreNulls = true).over(wf))
+      .select(col("k"), col("d"),
+        col("day_v").isNotNull.cast("int").as("observed"),
+        when(col("day_v").isNotNull, col("day_v"))
+          .otherwise(expr("pv + cast(cast(nv - pv as decimal(38,0))" +
+            " * (d - pd) div (nd - pd) as bigint)"))
+          .as("value"))
+  }
+
   /** THEIL–SEN robust trend of the daily value series (Theil 1950; Sen,
     * JASA 1968): the median of all pairwise slopes (c_j − c_i)/(d_j −
     * d_i) over observed day pairs i < j — the outlier-resistant

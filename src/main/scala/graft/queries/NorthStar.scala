@@ -2181,4 +2181,17 @@ object NorthStar {
   def sessionPaths(spark: SparkSession, d: String): DataFrame =
     Behavior.sessionPathBigrams(Tables.events(spark, d), "user_id",
       "ts", "event_id", "event_type", 1800L, 15)
+
+  /** X16 linear-interpolation resample ([[graft.operators.TimeSeries
+    * .resampleDailyInterp]]): per user, gap days filled on the exact
+    * integer-cents line between observed neighbors (truncating div) —
+    * q206's forward-fill twin for line-not-step metrics. */
+  def resampleInterpUsers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .withColumn("cents", round($"value" * 100, 0).cast("long"))
+    TimeSeries.resampleDailyInterp(ev, "user_id", "ts", "event_id",
+      "cents")
+      .orderBy($"k", $"d")
+  }
 }

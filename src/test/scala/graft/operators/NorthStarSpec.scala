@@ -2170,4 +2170,19 @@ class NorthStarSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toList
     assert(got == List(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L)))
   }
+
+  test("resampleDailyInterp lerps gaps with truncating integer division") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // span 0..3, observed 400 then 99: slope −301/3 per day, trunc
+    // toward zero → d1 = 400 − 100 = 300 (floor would give 299),
+    // d2 = 400 − 200 = 200
+    val df = Seq((1L, at(0), 1L, 400L), (1L, at(3), 2L, 99L))
+      .toDF("user_id", "ts", "event_id", "cents")
+    val got = TimeSeries.resampleDailyInterp(df, "user_id", "ts",
+      "event_id", "cents")
+      .orderBy($"d").as[(Long, Long, Int, Long)].collect().toList
+    assert(got == List((1L, 0L, 1, 400L), (1L, 1L, 0, 300L),
+      (1L, 2L, 0, 200L), (1L, 3L, 1, 99L)))
+  }
 }
