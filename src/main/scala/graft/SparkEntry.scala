@@ -252,6 +252,7 @@ object SparkEntry {
     "q229_benford"       -> (NorthStar.orderBenford _),
     "q230_session_paths" -> (NorthStar.sessionPaths _),
     "q231_resample_interp" -> (NorthStar.resampleInterpUsers _),
+    "q232_fano_burstiness" -> (NorthStar.typeBurstiness _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4357,6 +4358,29 @@ object SparkEntry {
         |            ELSE pv + CAST(CAST(nv - pv AS HUGEINT) * (d - pd)
         |              // (nd - pd) AS BIGINT) END AS BIGINT) AS value
         |FROM w ORDER BY k, d""".stripMargin,
+    // q232: Fano factor — zero-count days enter only through the span
+    // constant n (they add 0 to both sums); numerator n·S2 − S1² ≥ 0
+    // by Cauchy-Schwarz, so HUGEINT // truncation is engine-exact.
+    "q232_fano_burstiness" ->
+      """WITH b AS (SELECT event_type AS et,
+        |             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |           FROM events),
+        |sp AS (SELECT max(d) - min(d) + 1 AS n_days FROM b),
+        |c AS (SELECT et, d, CAST(count(*) AS BIGINT) AS c FROM b
+        |      GROUP BY 1, 2),
+        |s AS (SELECT et, CAST(sum(c) AS BIGINT) AS s1,
+        |        sum(CAST(c AS HUGEINT) * c) AS s2 FROM c GROUP BY 1),
+        |f AS (SELECT s.et AS event_type,
+        |        CAST(sp.n_days AS BIGINT) AS n_days, s.s1 AS n_events,
+        |        CAST((CAST(sp.n_days AS HUGEINT) * s.s2
+        |            - CAST(s.s1 AS HUGEINT) * s.s1) * 1000000
+        |          // (CAST(sp.n_days AS HUGEINT) * s.s1) AS BIGINT)
+        |          AS fano_micro
+        |      FROM s, sp)
+        |SELECT event_type, n_days, n_events, fano_micro,
+        |       CAST(CASE WHEN fano_micro > 1000000 THEN 1 ELSE 0 END
+        |         AS INTEGER) AS bursty
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -930,4 +930,40 @@ object Behavior {
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(topN)
   }
+
+  /** FANO-FACTOR burstiness per event type — the index of dispersion
+    * var/mean of DAILY counts over the global observed calendar
+    * (zero-count days included: a type absent on a day is a real 0).
+    * Fano ≈ 1 is Poisson arrival; ≫ 1 is bursty/clumped (incident
+    * spikes, batch jobs), ≪ 1 is more-regular-than-random — the
+    * arrival-process profile behind [[rateCusum]]'s changepoints.
+    * Exact: with n = span days, S1 = Σcount, S2 = Σcount², population
+    * Fano = (n·S2 − S1²)/(n·S1), emitted as integer micro units with
+    * DECIMAL(38,0) intermediates (the numerator is ≥ 0 by
+    * Cauchy–Schwarz since zero days are in the n, so truncation is
+    * engine-exact); NULL when the type has no events.
+    *
+    * Scale shape: one (type, day) aggregate of the log (map-side
+    * partials), then a |types|-sized stats aggregate — zero-count days
+    * never materialize because they contribute 0 to both sums; only
+    * the span constant n references the calendar. */
+  def fanoFactor(events: DataFrame, ts: String, typeCol: String)
+      : DataFrame = {
+    val base = events.select(col(typeCol).as("et"),
+      epochDay(col(ts)).as("d"))
+    val span = base.agg((max(col("d")) - min(col("d")) + 1).as("n_days"))
+    val counts = base.groupBy(col("et"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("et"))
+      .agg(sum(col("c")).as("s1"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("s2"))
+      .crossJoin(broadcast(span))
+      .select(col("et").as("event_type"), col("n_days"),
+        col("s1").as("n_events"),
+        expr("cast((cast(n_days as decimal(38,0)) * s2 -" +
+          " cast(s1 as decimal(38,0)) * s1) * 1000000" +
+          " div (cast(n_days as decimal(38,0)) * s1) as bigint)")
+          .as("fano_micro"))
+      .withColumn("bursty", (col("fano_micro") > 1000000L).cast("int"))
+  }
 }

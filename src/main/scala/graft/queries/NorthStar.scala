@@ -2194,4 +2194,14 @@ object NorthStar {
       "cents")
       .orderBy($"k", $"d")
   }
+
+  /** X11 Fano-factor burstiness ([[graft.operators.Behavior
+    * .fanoFactor]]): var/mean of daily counts per event type over the
+    * global calendar in exact integer micro units — Poisson ≈ 1,
+    * bursty ≫ 1; the arrival-process profile beside q201's CUSUM. */
+  def typeBurstiness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.fanoFactor(Tables.events(spark, d), "ts", "event_type")
+      .orderBy($"event_type")
+  }
 }

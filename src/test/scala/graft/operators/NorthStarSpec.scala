@@ -2185,4 +2185,19 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((1L, 0L, 1, 400L), (1L, 1L, 0, 300L),
       (1L, 2L, 0, 200L), (1L, 3L, 1, 99L)))
   }
+
+  test("fanoFactor counts zero days via the span; Poisson-flat type = 0") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // span 0..2 (n=3); a: days 0,0,2,2 → S1=4, S2=8,
+    // fano = (3·8 − 16)·1e6 / (3·4) = 666666; b: 1/day → 0
+    val ev = Seq(("a", at(0)), ("a", at(0)), ("a", at(2)), ("a", at(2)),
+      ("b", at(0)), ("b", at(1)), ("b", at(2)))
+      .toDF("event_type", "ts")
+    val got = Behavior.fanoFactor(ev, "ts", "event_type")
+      .orderBy($"event_type")
+      .as[(String, Long, Long, Long, Int)].collect().toList
+    assert(got == List(("a", 3L, 4L, 666666L, 0),
+      ("b", 3L, 3L, 0L, 0)))
+  }
 }
