@@ -253,6 +253,7 @@ object SparkEntry {
     "q230_session_paths" -> (NorthStar.sessionPaths _),
     "q231_resample_interp" -> (NorthStar.resampleInterpUsers _),
     "q232_fano_burstiness" -> (NorthStar.typeBurstiness _),
+    "q233_type_affinity" -> (NorthStar.typeAffinity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4381,6 +4382,30 @@ object SparkEntry {
         |       CAST(CASE WHEN fano_micro > 1000000 THEN 1 ELSE 0 END
         |         AS INTEGER) AS bursty
         |FROM f ORDER BY event_type""".stripMargin,
+    // q233: co-occurrence PMI — q215's nano recipe (one ln per pair,
+    // same operand order, rounded to integer nano); lift is the exact
+    // HUGEINT ppm.
+    "q233_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |            FROM events WHERE event_type IS NOT NULL),
+        |tt AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |       FROM ut),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ut
+        |       GROUP BY 1),
+        |p AS (SELECT a.t AS ta, b.t AS tb,
+        |        CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.ta AS type_a, p.tb AS type_b, tt.n_users,
+        |       pa.n_t AS n_a, pb.n_t AS n_b, p.n_both,
+        |       CAST(CAST(p.n_both AS HUGEINT) * tt.n_users * 1000000
+        |         // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT)
+        |         AS lift_ppm,
+        |       CAST(round(ln(CAST(p.n_both AS DOUBLE) * tt.n_users /
+        |         (CAST(pa.n_t AS DOUBLE) * pb.n_t)) * 1e9, 0)
+        |         AS BIGINT) AS pmi_nano
+        |FROM p JOIN pt pa ON pa.t = p.ta JOIN pt pb ON pb.t = p.tb, tt
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -966,4 +966,43 @@ object Behavior {
           .as("fano_micro"))
       .withColumn("bursty", (col("fano_micro") > 1000000L).cast("int"))
   }
+
+  /** EVENT-TYPE CO-OCCURRENCE PMI — for each unordered type pair, how
+    * much more often one user does BOTH than independence predicts, at
+    * the user grain: lift = P(a,b)/(P(a)·P(b)) as the exact integer
+    * ppm (n_both·U·10⁶) div (n_a·n_b) with DECIMAL(38,0) numerators,
+    * and pointwise mutual information ln(lift) in nano-nats via the
+    * q197/q215 recipe (ONE double ln per pair row, identical operand
+    * order in both engines, rounded to integer nano before any further
+    * use). The feature-affinity / market-basket readout ("users who
+    * error also churn") beside [[eventTransitions]]' sequential view.
+    *
+    * Scale shape: one distinct (user, type) reduction of the log, a
+    * per-user equi-join producing ≤ |types|² rows per user, and
+    * |types|²-bounded output; the per-type marginals broadcast. */
+  def typeCooccurrencePmi(events: DataFrame, user: String,
+      typeCol: String): DataFrame = {
+    val ut = events.select(col(user).as("u"), col(typeCol).as("t"))
+      .filter(col("t").isNotNull).distinct()
+    val total = ut.agg(countDistinct(col("u")).as("n_users"))
+    val perType = ut.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.select(col("u"), col("t").as("ta"))
+      .join(ut.select(col("u"), col("t").as("tb")), "u")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("ta"),
+        col("n_t").as("n_a"))), "ta")
+      .join(broadcast(perType.select(col("t").as("tb"),
+        col("n_t").as("n_b"))), "tb")
+      .crossJoin(broadcast(total))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_users"), col("n_a"), col("n_b"), col("n_both"),
+        expr("cast(cast(n_both as decimal(38,0)) * n_users * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_ppm"),
+        round(log(col("n_both").cast("double") * col("n_users") /
+          (col("n_a").cast("double") * col("n_b"))) * 1e9, 0)
+          .cast("long").as("pmi_nano"))
+  }
 }

@@ -2204,4 +2204,15 @@ object NorthStar {
     Behavior.fanoFactor(Tables.events(spark, d), "ts", "event_type")
       .orderBy($"event_type")
   }
+
+  /** X15/X14 event-type co-occurrence PMI ([[graft.operators.Behavior
+    * .typeCooccurrencePmi]]): user-grain lift in exact integer ppm +
+    * pointwise MI in nano-nats per unordered type pair — the
+    * market-basket affinity beside q221's sequential transitions. */
+  def typeAffinity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.typeCooccurrencePmi(Tables.events(spark, d), "user_id",
+      "event_type")
+      .orderBy($"type_a", $"type_b")
+  }
 }

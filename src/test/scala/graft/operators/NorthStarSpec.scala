@@ -2200,4 +2200,22 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List(("a", 3L, 4L, 666666L, 0),
       ("b", 3L, 3L, 0L, 0)))
   }
+
+  test("typeCooccurrencePmi matches hand-computed lift and nano PMI") {
+    import spark.implicits._
+    // users: 1{a,b} 2{a,b} 3{a} 4{b,c} → U=4, n_a=3 n_b=3 n_c=1,
+    // n_ab=2, n_bc=1; repeats of (u, t) must not double count
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    def nano(x: Double) = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = Behavior.typeCooccurrencePmi(ev, "user_id", "event_type")
+      .orderBy($"type_a", $"type_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      ("a", "b", 4L, 3L, 3L, 2L, 888888L, nano(math.log(2.0 * 4 / (3.0 * 3)))),
+      ("b", "c", 4L, 3L, 1L, 1L, 1333333L, nano(math.log(1.0 * 4 / (3.0 * 1))))))
+  }
 }
