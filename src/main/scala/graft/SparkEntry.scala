@@ -254,6 +254,7 @@ object SparkEntry {
     "q231_resample_interp" -> (NorthStar.resampleInterpUsers _),
     "q232_fano_burstiness" -> (NorthStar.typeBurstiness _),
     "q233_type_affinity" -> (NorthStar.typeAffinity _),
+    "q234_dup_assortativity" -> (NorthStar.dupGraphAssortativity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4406,6 +4407,50 @@ object SparkEntry {
         |         AS BIGINT) AS pmi_nano
         |FROM p JOIN pt pa ON pa.t = p.ta JOIN pt pb ON pb.t = p.tb, tt
         |ORDER BY type_a, type_b""".stripMargin,
+    // q234: degree assortativity over q218's J >= 0.5 edge set —
+    // Pearson over directed stubs, q217's DECIMAL-sums-then-one-double
+    // recipe with identical operand order.
+    "q234_dup_assortativity" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |st AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS deg
+        |        FROM st GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |xy AS (SELECT da.deg AS x, db.deg AS y
+        |       FROM st JOIN deg da ON da.n = st.a
+        |                 JOIN deg db ON db.n = st.b),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+        |        CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |       FROM xy)
+        |SELECT nn.n_nodes, ag.n_stubs,
+        |       CASE WHEN n_stubs >= 2 AND
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0
+        |         THEN round((n * sxy - sx * sy) /
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |           + 0.0
+        |       END AS assortativity
+        |FROM ag, nn""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -124,4 +124,53 @@ object Graph {
           expr("3 * n_triangles * 1000000 div n_wedges"))
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
+
+  /** DEGREE ASSORTATIVITY (Newman, PRL 89 2002) of an undirected edge
+    * set: Pearson correlation of endpoint degrees over directed STUBS
+    * (each edge in both orientations — the standard estimator).
+    * Positive r: hubs attach to hubs (core-heavy dup families);
+    * negative: hubs attach to leaves (star/template shapes) — which of
+    * the two a near-dup graph is decides whether cluster-collapse or
+    * centroid-pick dedup loses less data. Exactness
+    * ([[graft.operators.TimeSeries.autocorrelation]]'s contract): five
+    * DECIMAL(38,0) sufficient sums, one final double expression with
+    * fixed operand order, rounded 6 dp; NULL when < 2 stubs or either
+    * margin is variance-free. Self-loops and duplicate/reversed edges
+    * collapse first.
+    *
+    * Scale shape: degree = one node-key aggregate; the stub frame
+    * joins edges×degree twice on node keys (co-partitioned,
+    * node-sized); the stats aggregate is ONE row via map-side
+    * partials. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val both = e.unionByName(
+      e.select(col("b").as("a"), col("a").as("b")))
+    val deg = both.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val xy = both
+      .join(deg.select(col("a"), col("deg").as("x")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("y")), "b")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ag = xy.agg(count(lit(1)).as("n_stubs"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    def d(name: String) = col(name).cast("double")
+    val n = d("n_stubs")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((n * d("sxx") - d("sx") * d("sx")) *
+      (n * d("syy") - d("sy") * d("sy")))
+    ag.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_stubs"),
+        when(col("n_stubs") >= 2 && den =!= 0.0,
+          round(num / den, 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
 }

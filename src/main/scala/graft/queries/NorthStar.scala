@@ -2215,4 +2215,13 @@ object NorthStar {
       "event_type")
       .orderBy($"type_a", $"type_b")
   }
+
+  /** X13 degree assortativity of the J ≥ 0.5 near-dup graph
+    * ([[graft.operators.Graph.degreeAssortativity]]): hub-hub vs
+    * hub-leaf attachment over q218's edge set — star-shaped template
+    * families read negative, clique cores positive. */
+  def dupGraphAssortativity(spark: SparkSession, d: String): DataFrame =
+    Graph.degreeAssortativity(
+      Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
+      "doc_a", "doc_b")
 }

@@ -2218,4 +2218,18 @@ class NorthStarSpec extends SparkSpec {
       ("a", "b", 4L, 3L, 3L, 2L, 888888L, nano(math.log(2.0 * 4 / (3.0 * 3)))),
       ("b", "c", 4L, 3L, 1L, 1L, 1333333L, nano(math.log(1.0 * 4 / (3.0 * 1))))))
   }
+
+  test("degreeAssortativity: star = -1, degree-regular graph = NULL") {
+    import spark.implicits._
+    // K1,3: hub degree 3 vs leaf degree 1 on every stub → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star)
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(s == List((4L, 6L, Some(-1.0))))
+    // triangle: all degrees 2 → zero variance → NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(tri)
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(t == List((3L, 6L, None)))
+  }
 }
