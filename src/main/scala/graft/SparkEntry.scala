@@ -255,6 +255,7 @@ object SparkEntry {
     "q232_fano_burstiness" -> (NorthStar.typeBurstiness _),
     "q233_type_affinity" -> (NorthStar.typeAffinity _),
     "q234_dup_assortativity" -> (NorthStar.dupGraphAssortativity _),
+    "q235_value_sketch_fine" -> (NorthStar.userValueSketchFine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4451,6 +4452,40 @@ object SparkEntry {
         |           + 0.0
         |       END AS assortativity
         |FROM ag, nn""".stripMargin,
+    // q235: quarter-octave per-key brackets — q223's recipe with 4
+    // integer slices per octave; slice bounds are exact ceiling
+    // divisions, identical in both engines.
+    "q235_value_sketch_fine" ->
+      """WITH m AS (SELECT user_id AS key,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |base AS (SELECT key, v,
+        |           CAST(length(bin(v)) AS INTEGER) AS b,
+        |           CAST(1::BIGINT << (CAST(length(bin(v)) AS INTEGER)
+        |             - 1) AS BIGINT) AS lo
+        |         FROM m WHERE v >= 1),
+        |b2 AS (SELECT key, b, lo,
+        |         CAST((v - lo) * 4 // lo AS INTEGER) AS sub
+        |       FROM base),
+        |bkt AS (SELECT key, b, sub, lo, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM b2 GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT key, b, sub, lo, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY key ORDER BY b, sub
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+        |      FROM bkt),
+        |q AS (SELECT * FROM (VALUES (0.5), (0.95)) x(q))
+        |SELECT c.key, q.q, c.n,
+        |       CAST(ceil(q.q * c.n) AS BIGINT) AS k,
+        |       c.b AS bucket, c.sub,
+        |       CAST(c.lo + (c.sub * c.lo + 3) // 4 AS BIGINT) AS est_lo,
+        |       CAST(c.lo + ((c.sub + 1) * c.lo + 3) // 4 - 1 AS BIGINT)
+        |         AS est_hi
+        |FROM q, c
+        |WHERE c.cum >= CAST(ceil(q.q * c.n) AS BIGINT)
+        |  AND c.cum - c.cnt < CAST(ceil(q.q * c.n) AS BIGINT)
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -477,6 +477,53 @@ object Profiling {
         expr("shiftleft(1L, CAST(b AS INT)) - 1").as("est_hi"))
   }
 
+  /** [[logHistQuantiles]] with 2^`subBits` SUB-BUCKETS per octave —
+    * the tighter-bracket dial: sub = (v − 2^{b−1})·2^subBits div
+    * 2^{b−1} splits each power-of-two bucket into equal integer
+    * slices, shrinking the guaranteed bracket from ≤ 2× to
+    * ≤ (2^subBits + 1)/2^subBits (1.5× at 1 bit, 1.25× at 2) for
+    * 2^subBits× more state per key (still ≤ 63·2^subBits rows — tiny).
+    * Sub-bucket boundaries are exact ceiling divisions (all-integer,
+    * engine-identical): slice s of octave lo covers
+    * [lo + ⌈s·lo/m⌉, lo + ⌈(s+1)·lo/m⌉ − 1], m = 2^subBits. Same
+    * determinism/mergeability contract as the parent; values must stay
+    * below 2^{62−subBits} so the slice arithmetic cannot overflow.
+    * Returns per (key, q): n, k, bucket, sub, est_lo, est_hi. */
+  def logHistQuantilesFine(df: DataFrame, keyCol: String,
+      valueCol: String, qs: Seq[Double], subBits: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
+    require(subBits >= 1 && subBits <= 3, s"subBits=$subBits")
+    val m = 1 << subBits
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df
+      .select(col(keyCol).as("k"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1)
+      .withColumn("b", length(bin(col("v"))).cast("int"))
+      .withColumn("lo", expr("shiftleft(1L, b - 1)"))
+      .withColumn("sub", expr(s"cast((v - lo) * $m div lo as int)"))
+      .groupBy(col("k"), col("b"), col("sub"), col("lo"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("b"), col("sub"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    cum.crossJoin(broadcast(qs.sorted.toDF("q")))
+      .withColumn("kth", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("kth") &&
+        (col("cum") - col("cnt")) < col("kth"))
+      .select(col("k").as("key"), col("q"), col("n"), col("kth").as("k"),
+        col("b").as("bucket"), col("sub"),
+        expr(s"lo + (cast(sub as bigint) * lo + ${m - 1}) div $m")
+          .as("est_lo"),
+        expr(s"lo + ((cast(sub as bigint) + 1) * lo + ${m - 1}) div $m" +
+          " - 1").as("est_hi"))
+  }
+
   /** MULTI-COLUMN exact quantiles — ONE shared refinement loop for ALL
     * (column, quantile) pairs: per round, a single filtered scan
     * histograms every still-open pair, so k columns × m quantiles cost

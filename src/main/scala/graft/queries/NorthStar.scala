@@ -2224,4 +2224,19 @@ object NorthStar {
     Graph.degreeAssortativity(
       Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
       "doc_a", "doc_b")
+
+  /** X14/G6 per-key quantile brackets at quarter-octave resolution
+    * ([[graft.operators.Profiling.logHistQuantilesFine]], subBits = 2):
+    * q223's deterministic mergeable sketch with 4 integer slices per
+    * power-of-two bucket — guaranteed ≤ 1.25× brackets for 4× the
+    * (still ≤ 252-row-per-key) state. */
+  def userValueSketchFine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select($"user_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+    Profiling.logHistQuantilesFine(ev, "user_id", "cents",
+      Seq(0.5, 0.95), subBits = 2)
+      .orderBy($"key", $"q")
+  }
 }

@@ -2232,4 +2232,36 @@ class NorthStarSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().toList
     assert(t == List((3L, 6L, None)))
   }
+
+  test("logHistQuantilesFine: quarter-octave slices; bracket contains " +
+      "the exact quantile at ratio <= 1.25") {
+    import spark.implicits._
+    // key 10, values 4..7 (octave b=3, lo=4): sub = v−4, singleton
+    // slices; p50 k=2 → [5,5], p100 k=4 → [7,7]. key 20: 100×3 →
+    // b=7 lo=64, sub=(36·4)div 64=2 → [96,111]
+    val df = Seq((10L, 4L), (10L, 5L), (10L, 6L), (10L, 7L),
+      (20L, 100L), (20L, 100L), (20L, 100L)).toDF("k", "v")
+    val got = Profiling.logHistQuantilesFine(df, "k", "v",
+        Seq(0.5, 1.0), subBits = 2)
+      .orderBy($"key", $"q")
+      .as[(Long, Double, Long, Long, Int, Int, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      (10L, 0.5, 4L, 2L, 3, 1, 5L, 5L),
+      (10L, 1.0, 4L, 4L, 3, 3, 7L, 7L),
+      (20L, 0.5, 3L, 2L, 7, 2, 96L, 111L),
+      (20L, 1.0, 3L, 3L, 7, 2, 96L, 111L)))
+    // bracket-contains-exact + the 1.25x guarantee on a mixed fixture
+    val vals = (1 to 200).map(i => (i.toLong % 3, (i * i).toLong))
+      .toDF("k", "v")
+    val est = Profiling.logHistQuantilesFine(vals, "k", "v", Seq(0.9), 2)
+      .as[(Long, Double, Long, Long, Int, Int, Long, Long)].collect()
+    est.foreach { case (key, _, _, _, _, _, lo, hi) =>
+      assert(hi * 4 <= lo * 5, s"key $key: [$lo,$hi] over 1.25x")
+      val exact = Profiling.exactQuantiles(
+          vals.filter($"k" === key), col("v"), Seq(0.9))
+        .select(col("value")).collect()(0).getLong(0)
+      assert(exact >= lo && exact <= hi, s"key $key: $exact in [$lo,$hi]")
+    }
+  }
 }
