@@ -256,6 +256,7 @@ object SparkEntry {
     "q233_type_affinity" -> (NorthStar.typeAffinity _),
     "q234_dup_assortativity" -> (NorthStar.dupGraphAssortativity _),
     "q235_value_sketch_fine" -> (NorthStar.userValueSketchFine _),
+    "q236_fuzzy_audit_2s" -> (NorthStar.fuzzyAuditTwoSided _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4486,6 +4487,39 @@ object SparkEntry {
         |WHERE c.cum >= CAST(ceil(q.q * c.n) AS BIGINT)
         |  AND c.cum - c.cnt < CAST(ceil(q.q * c.n) AS BIGINT)
         |ORDER BY 1, 2""".stripMargin,
+    // q236: two-sided audit — q212's row per blocking side; the
+    // suffix side audits blocks of reverse(text), exactly q216's
+    // second candidate generator.
+    "q236_fuzzy_audit_2s" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(CASE WHEN text IS NULL THEN 1 END)
+        |          AS BIGINT) AS n_null_text
+        |      FROM documents),
+        |bp AS (SELECT substring(text, 1, 12) AS blk, count(*) AS bn
+        |       FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |bs AS (SELECT substring(reverse(text), 1, 12) AS blk,
+        |         count(*) AS bn
+        |       FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(count(CASE WHEN bn > 1000 THEN 1 END) AS BIGINT)
+        |          AS n_hot_blocks,
+        |        CAST(coalesce(sum(CASE WHEN bn > 1000 THEN bn END), 0)
+        |          AS BIGINT) AS n_hot_rows
+        |       FROM bp),
+        |ss AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(count(CASE WHEN bn > 1000 THEN 1 END) AS BIGINT)
+        |          AS n_hot_blocks,
+        |        CAST(coalesce(sum(CASE WHEN bn > 1000 THEN bn END), 0)
+        |          AS BIGINT) AS n_hot_rows
+        |       FROM bs)
+        |SELECT 'prefix' AS side, t.n_docs, t.n_null_text, sp.n_blocks,
+        |       sp.n_hot_blocks, sp.n_hot_rows
+        |FROM t, sp
+        |UNION ALL
+        |SELECT 'suffix', t.n_docs, t.n_null_text, ss.n_blocks,
+        |       ss.n_hot_blocks, ss.n_hot_rows
+        |FROM t, ss
+        |ORDER BY side""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

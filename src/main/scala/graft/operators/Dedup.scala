@@ -932,4 +932,23 @@ object Dedup {
       .select(col("n_docs"), col("n_null_text"), col("n_blocks"),
         col("n_hot_blocks"), col("n_hot_rows"))
   }
+
+  /** [[fuzzyBlockAudit]] for BOTH blocking sides of
+    * [[fuzzyPairsTwoSided]] — one row per side: 'prefix' audits the
+    * forward blocks, 'suffix' audits blocks of the REVERSED text
+    * (exactly the second candidate generator that pass runs), so the
+    * published coverage describes the two-sided run completely; a
+    * block hot on one side can be cold on the other, which is the
+    * whole point of blocking twice. Same args contract: pass the
+    * `blockPrefix`/`maxBlock` of the audited run. */
+  def fuzzyBlockAuditTwoSided(docs: DataFrame, blockPrefix: Int = 12,
+      maxBlock: Int = 1000): DataFrame = {
+    val p = fuzzyBlockAudit(docs, blockPrefix, maxBlock)
+      .select(lit("prefix").as("side"), col("*"))
+    val s = fuzzyBlockAudit(
+        docs.withColumn("text", reverse(col("text"))), blockPrefix,
+        maxBlock)
+      .select(lit("suffix").as("side"), col("*"))
+    p.unionByName(s)
+  }
 }

@@ -2239,4 +2239,15 @@ object NorthStar {
       Seq(0.5, 0.95), subBits = 2)
       .orderBy($"key", $"q")
   }
+
+  /** X2 two-sided fuzzy coverage audit ([[graft.operators.Dedup
+    * .fuzzyBlockAuditTwoSided]]): q212's no-silent-caps row for BOTH
+    * of q216's blocking sides — forward prefix and reversed-text
+    * prefix — so the published coverage describes the two-sided run
+    * completely. */
+  def fuzzyAuditTwoSided(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.fuzzyBlockAuditTwoSided(Tables.documents(spark, d))
+      .orderBy($"side")
+  }
 }

@@ -2264,4 +2264,19 @@ class NorthStarSpec extends SparkSpec {
       assert(exact >= lo && exact <= hi, s"key $key: $exact in [$lo,$hi]")
     }
   }
+
+  test("fuzzyBlockAuditTwoSided: hot on the prefix side, cold reversed") {
+    import spark.implicits._
+    // three docs share the 12-char prefix (hot at maxBlock=2) but end
+    // differently → reversed-text blocks are all distinct (cold)
+    val docs = Seq((1L, "aaaaaaaaaaaa1"), (2L, "aaaaaaaaaaaa2"),
+      (3L, "aaaaaaaaaaaa3"), (4L, null))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyBlockAuditTwoSided(docs, 12, 2)
+      .orderBy($"side")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("prefix", 4L, 1L, 1L, 1L, 3L),
+      ("suffix", 4L, 1L, 3L, 0L, 0L)))
+  }
 }
