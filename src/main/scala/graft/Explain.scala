@@ -72,7 +72,12 @@ object Explain {
       "q216_fuzzy_two_sided", "q217_revenue_acf",
       "q218_dup_triangles", "q219_naive_backtest",
       "q220_group_quantiles", "q221_event_flow", "q222_gap_quantiles",
-      "q223_user_value_sketch", "q224_stickiness", "q225_cohort_ltv")
+      "q223_user_value_sketch", "q224_stickiness", "q225_cohort_ltv",
+      "q226_mmr_rerank", "q227_churn_survival", "q228_theil_sen",
+      "q229_benford", "q230_session_paths", "q231_resample_interp",
+      "q232_fano_burstiness", "q233_type_affinity",
+      "q234_dup_assortativity", "q235_value_sketch_fine",
+      "q236_fuzzy_audit_2s")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -108,7 +113,17 @@ object Explain {
       "q222_gap_quantiles" -> ("Driver-loop composition: shown below is " +
         "the gaps projection (ONE keyed window shuffle) the refinement " +
         "rounds then scan — the rounds share q180's histogram shape and " +
-        "the returned frame is driver literals."))
+        "the returned frame is driver literals."),
+      "q226_mmr_rerank" -> ("The greedy MMR selection folds over the " +
+        "CONSTANT-size pool (<= 256 rows) on the driver, so the full " +
+        "query is not one lazy plan; shown below is the distributed " +
+        "stage — the integer-scored top-pool scan (broadcast query, " +
+        "TakeOrderedAndProject, q41's shape) the fold consumes."),
+      "q227_churn_survival" -> ("The KM survival product is an integer " +
+        "recurrence folded on the driver over the CALENDAR-bounded " +
+        "lifetime table, so the returned frame is driver literals; " +
+        "shown below is the distributed stage — the per-user " +
+        "first/last aggregate reduced to (lifetime, deaths, censored)."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -240,6 +255,11 @@ object Explain {
           graft.operators.Profiling.histogramFill(
             Tables.lineitem(spark, sfDir), "l_partkey",
             Seq(25L, 50L, 75L, 100L, 125L, 150L, 175L))
+        case "q226_mmr_rerank" => graft.operators.Similarity
+          .mmrPoolLazy(Tables.embeddings(spark, sfDir), 0L, 20)
+        case "q227_churn_survival" => graft.operators.Behavior
+          .survivalLifetimesLazy(Tables.events(spark, sfDir),
+            "user_id", "ts", 14)
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(

@@ -860,14 +860,14 @@ object Behavior {
     * CALENDAR span, not the user count; the recurrence folds over that
     * collected span-sized table on the driver ([[funnelTiming]]'s
     * bounded-driver contract). */
-  def survivalCurve(events: DataFrame, user: String, ts: String,
+  /** The DISTRIBUTED stage of [[survivalCurve]] — the calendar-bounded
+    * (lifetime t, deaths, censored) aggregate the driver recurrence
+    * folds over. Public for plan inspection (Explain feeds on it). */
+  def survivalLifetimesLazy(events: DataFrame, user: String, ts: String,
       censorDays: Int): DataFrame = {
-    require(censorDays >= 1, s"censorDays=$censorDays")
-    val spark = events.sparkSession
-    import spark.implicits._
     val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"))
     val horizon = days.agg(max(col("d")).as("m"))
-    val hist = days.groupBy(col("u"))
+    days.groupBy(col("u"))
       .agg(min(col("d")).as("f"), max(col("d")).as("l"))
       .crossJoin(broadcast(horizon))
       .select((col("l") - col("f")).as("t"),
@@ -875,6 +875,14 @@ object Behavior {
       .groupBy(col("t"))
       .agg(sum(col("dead")).as("nd"),
         sum(lit(1) - col("dead")).as("nc"))
+  }
+
+  def survivalCurve(events: DataFrame, user: String, ts: String,
+      censorDays: Int): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hist = survivalLifetimesLazy(events, user, ts, censorDays)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = if (hist.isEmpty) Seq.empty[(Long, Long, Long, Long, Long, Long)]

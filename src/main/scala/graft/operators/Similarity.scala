@@ -1289,6 +1289,24 @@ object Similarity {
     * .funnelTiming]]'s stats fold, NOT a data-sized driver loop. The
     * pool is pinned with an eager localCheckpoint so the pairwise stage
     * and the collect don't replay the corpus scan. */
+  /** The DISTRIBUTED stage of [[mmrRerank]] — the integer-scored
+    * top-`poolN` pool (broadcast query, TakeOrderedAndProject over the
+    * corpus scan, [[cosineTopK]]'s shape), carrying each candidate's
+    * vector + norm for the pairwise stage. Public for plan inspection
+    * (Explain feeds on it); mmrRerank pins it with an eager
+    * localCheckpoint before the bounded driver fold. */
+  def mmrPoolLazy(emb: DataFrame, queryId: Long, poolN: Int): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    withNorm(Par.fanOut(emb.filter(col("vec_id") =!= queryId)))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+          * 10000, 0).cast("long").as("rel_e4"))
+      .orderBy(col("rel_e4").desc, col("vec_id"))
+      .limit(poolN)
+  }
+
   def mmrRerank(emb: DataFrame, queryId: Long, poolN: Int, k: Int,
       lamNum: Int, lamDen: Int): DataFrame = {
     require(k >= 1 && poolN >= k && poolN <= 256,
@@ -1296,16 +1314,7 @@ object Similarity {
     require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
       s"lambda=$lamNum/$lamDen not in [0, 1]")
     val spark = emb.sparkSession
-    val q = withNorm(emb.filter(col("vec_id") === queryId))
-      .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    val pool = withNorm(Par.fanOut(emb.filter(col("vec_id") =!= queryId)))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
-          * 10000, 0).cast("long").as("rel_e4"))
-      .orderBy(col("rel_e4").desc, col("vec_id"))
-      .limit(poolN)
-      .localCheckpoint(true)
+    val pool = mmrPoolLazy(emb, queryId, poolN).localCheckpoint(true)
     val a = pool.select(col("vec_id").as("sa"), col("v").as("va"),
       col("nrm").as("na"))
     val b = pool.select(col("vec_id").as("sb"), col("v").as("vb"),

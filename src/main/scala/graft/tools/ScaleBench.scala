@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,6 +11,13 @@ import org.apache.spark.sql.functions._
   * warm-up on that plan shape, run 2 is the steady-state number
   * SCALING.md reports (min of both would hide nothing here — the
   * tables are re-scanned every run; only compiled code is reused).
+  *
+  * SKEW LENS (round 10): every line also carries the task-time profile
+  * of the run's COSTLIEST stage — task count, max and median task ms,
+  * and skew_x100 = 100·max/median — from a [[TaskLens]] listener. A
+  * planted hot key that wall-clock hides (32 cores absorb one slow
+  * task) shows up here as max ≫ median; conversely skew_x100 near 100
+  * on the dominant stage is the measured "no straggler" claim.
   *
   * Families (all through the exact SparkEntry plans the driver times):
   *   q196 rolling-DAU state (sketch algebra + window expansion)
@@ -27,6 +35,33 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
   */
 object ScaleBench {
+
+  /** Collects successful-task durations per stage. The listener bus is
+    * ASYNC: [[summarizeSlowest]] is called after a short settle sleep,
+    * good enough for a measurement tool (a straggler this lens exists
+    * to catch is orders of magnitude above the settle window). */
+  private final class TaskLens extends SparkListener {
+    private val stages =
+      scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      if (t.taskInfo != null && t.taskInfo.successful)
+        stages.getOrElseUpdate(t.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          t.taskInfo.duration
+    }
+    def reset(): Unit = synchronized(stages.clear())
+    /** (nTasks, maxMs, p50Ms, skew_x100) of the stage with the largest
+      * summed task time — the run's cost center. */
+    def summarizeSlowest(): (Int, Long, Long, Long) = synchronized {
+      if (stages.isEmpty) (0, 0L, 0L, 0L)
+      else {
+        val ds = stages.values.maxBy(_.sum).sorted
+        val med = math.max(ds((ds.size - 1) / 2), 1L)
+        (ds.size, ds.last, med, ds.last * 100 / med)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
@@ -41,6 +76,8 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
+    val lens = new TaskLens
+    spark.sparkContext.addSparkListener(lens)
 
     val fams: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q196_dau_state", "q158_semdedup_salted", "q185_binary_knn",
@@ -58,11 +95,16 @@ object ScaleBench {
     dirs.foreach { dir =>
       fams.foreach { case (name, fn) =>
         (1 to 2).foreach { run =>
+          lens.reset()
           val t0 = System.nanoTime()
           val rows = fn(spark, dir).count()
           val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the async listener bus drain
+          val (nt, mx, md, skew) = lens.summarizeSlowest()
           println(f"""{"dir":"$dir","query":"$name","run":$run,""" +
-            f""""sec":$sec%.3f,"rows":$rows}""")
+            f""""sec":$sec%.3f,"rows":$rows,"tasks":$nt,""" +
+            f""""task_max_ms":$mx,"task_p50_ms":$md,""" +
+            f""""task_skew_x100":$skew}""")
           graft.SessionHygiene.cleanup(spark)
         }
       }
