@@ -257,6 +257,7 @@ object SparkEntry {
     "q234_dup_assortativity" -> (NorthStar.dupGraphAssortativity _),
     "q235_value_sketch_fine" -> (NorthStar.userValueSketchFine _),
     "q236_fuzzy_audit_2s" -> (NorthStar.fuzzyAuditTwoSided _),
+    "q237_sorted_neighborhood" -> (NorthStar.sortedNeighborhood _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4520,6 +4521,23 @@ object SparkEntry {
         |       ss.n_hot_blocks, ss.n_hot_rows
         |FROM t, ss
         |ORDER BY side""".stripMargin,
+    // q237: sorted-neighborhood — rank within 2-char sort-key
+    // partitions, candidates = rank distance <= 5, one levenshtein
+    // verify; each unordered pair appears at one rank distance only.
+    "q237_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id, text, substring(text, 1, 2) AS blk
+        |           FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, text, blk, row_number() OVER
+        |        (PARTITION BY blk ORDER BY text, doc_id) AS rn
+        |      FROM t),
+        |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |        levenshtein(a.text, b.text) AS dist
+        |      FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn
+        |                        AND b.rn <= a.rn + 5)
+        |SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+        |       CAST(dist AS INTEGER) AS dist
+        |FROM c WHERE dist <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -951,4 +951,46 @@ object Dedup {
       .select(lit("suffix").as("side"), col("*"))
     p.unionByName(s)
   }
+
+  /** SORTED-NEIGHBORHOOD pairs (Hernández & Stolfo, SIGMOD 1995) — the
+    * third classic blocking family beside [[fuzzyPairs]]' equality
+    * blocks and [[jaccardPairs]]' shingle inversion: sort the corpus
+    * by the text itself and verify only records within `w` positions
+    * of each other, so near-identical strings that share no EXACT
+    * 12-char prefix (e.g. a one-char edit inside the prefix) still
+    * meet if they sort adjacently. Windowing runs WITHIN
+    * `prefixLen`-char sort-key partitions — the distributed form: each
+    * partition sorts independently and pairs never cross partitions,
+    * which is SNM's documented boundary-loss tradeoff (run multi-pass
+    * with a second key — e.g. reversed text — to recover, exactly the
+    * [[fuzzyPairsTwoSided]] trick). Candidates verify with one
+    * `levenshtein`; output (doc_a < doc_b, dist), each unordered pair
+    * once (it appears at one rank distance only).
+    *
+    * Scale shape: one shuffle on the sort-key prefix, an in-partition
+    * sort (the window), and a self-join on (block, rank band) emitting
+    * ≤ w rows per record — O(n·w) candidates by construction, no
+    * quadratic block risk at all (the hot-block cap problem this
+    * family simply does not have). */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int, maxDist: Int,
+      prefixLen: Int = 2): DataFrame = {
+    require(w >= 1 && maxDist >= 1 && prefixLen >= 1,
+      s"w=$w maxDist=$maxDist prefixLen=$prefixLen")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    val r = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, prefixLen).as("blk"))
+      .withColumn("rn", row_number().over(win))
+    val a = r.select(col("blk"), col("rn"), col("doc_id").as("ia"),
+      col("text").as("ta"))
+    val b = r.select(col("blk").as("blkb"), col("rn").as("rb"),
+      col("doc_id").as("ib"), col("text").as("tb"))
+    a.join(b, col("blk") === col("blkb") && col("rb") > col("rn") &&
+        col("rb") <= col("rn") + w)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("dist"))
+  }
 }

@@ -2250,4 +2250,16 @@ object NorthStar {
     Dedup.fuzzyBlockAuditTwoSided(Tables.documents(spark, d))
       .orderBy($"side")
   }
+
+  /** X2 sorted-neighborhood pairs ([[graft.operators.Dedup
+    * .sortedNeighborhoodPairs]]): verify only records within 5
+    * positions of the text-sorted order (2-char key partitions),
+    * levenshtein ≤ 5 — the third blocking family of the fuzzy ladder
+    * (prefix-equality q209, shingle-inversion q38, sort-adjacency
+    * here); O(n·w) candidates by construction. */
+  def sortedNeighborhood(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.sortedNeighborhoodPairs(Tables.documents(spark, d), 5, 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -2279,4 +2279,17 @@ class NorthStarSpec extends SparkSpec {
       ("prefix", 4L, 1L, 1L, 1L, 3L),
       ("suffix", 4L, 1L, 3L, 0L, 0L)))
   }
+
+  test("sortedNeighborhoodPairs pairs only within the rank window") {
+    import spark.implicits._
+    // block "ab": sorted texts "ab a" < "ab b" < "ab c"; w=1 pairs
+    // adjacent ranks only — (1,2) and (2,3) found at dist 1, (1,3)
+    // skipped despite dist 1 (rank distance 2); "zz far" is alone
+    val docs = Seq((1L, "ab a"), (2L, "ab b"), (3L, "ab c"),
+      (4L, "zz far")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, 1, 5)
+      .orderBy($"doc_a", $"doc_b")
+      .as[(Long, Long, Int)].collect().toList
+    assert(got == List((1L, 2L, 1), (2L, 3L, 1)))
+  }
 }
