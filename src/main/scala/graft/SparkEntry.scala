@@ -258,6 +258,7 @@ object SparkEntry {
     "q235_value_sketch_fine" -> (NorthStar.userValueSketchFine _),
     "q236_fuzzy_audit_2s" -> (NorthStar.fuzzyAuditTwoSided _),
     "q237_sorted_neighborhood" -> (NorthStar.sortedNeighborhood _),
+    "q238_trimmed_mean"  -> (NorthStar.typeTrimmedMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4538,6 +4539,28 @@ object SparkEntry {
         |       CAST(dist AS INTEGER) AS dist
         |FROM c WHERE dist <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q238: trimmed mean — rank cut k = n·10 // 100 per side; cut
+    // ties are value-identical so the kept sum is order-invariant;
+    // HUGEINT micro-mean truncates like Spark's DECIMAL div.
+    "q238_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM b),
+        |k AS (SELECT g, n, v FROM r
+        |      WHERE rn > n * 10 // 100 AND rn <= n - (n * 10 // 100)),
+        |a AS (SELECT g, CAST(max(n) AS BIGINT) AS n_total,
+        |        CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(sum(v) AS BIGINT) AS sum_kept
+        |      FROM k GROUP BY 1)
+        |SELECT g AS "group", n_total, n_kept, sum_kept,
+        |       CAST(CAST(sum_kept AS HUGEINT) * 1000000 // n_kept
+        |         AS BIGINT) AS mean_micro
+        |FROM a ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -722,6 +722,41 @@ object Profiling {
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
 
+  /** TRIMMED MEAN per group — the robust location estimate a metrics
+    * pipeline wants when plain means are whale-dominated: drop the
+    * lowest and highest `trimPct`% BY RANK (integer cut k =
+    * n·trimPct div 100) and average the rest in exact integer micro
+    * units. Rank ties are value-identical at the cut, so the kept
+    * multiset — hence the sum — is order-invariant and engine-exact;
+    * the only division is the final DECIMAL(38,0) micro-mean
+    * (truncating, matching DuckDB's //). Output per group: n_total,
+    * n_kept, sum_kept, mean_micro.
+    *
+    * Scale shape: ONE shuffle on the group key, an in-partition sort
+    * for the rank window (count over the same partition rides along),
+    * then a group aggregate — per-group state is O(1). */
+  def trimmedMean(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column, trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct=$trimPct")
+    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") > expr(s"n * $trimPct div 100") &&
+        col("rn") <= col("n") - expr(s"n * $trimPct div 100"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_total"), count(lit(1)).as("n_kept"),
+        sum(col("v")).as("sum_kept"))
+      .select(col("g").as("group"), col("n_total"), col("n_kept"),
+        col("sum_kept"),
+        expr("cast(cast(sum_kept as decimal(38,0)) * 1000000" +
+          " div n_kept as bigint)").as("mean_micro"))
+  }
+
   /** BENFORD first-significant-digit screen — the classic fabricated /
     * truncated / fat-fingered-amounts detector for positive monetary
     * columns: organic multiplicative data's leading digit follows

@@ -2262,4 +2262,15 @@ object NorthStar {
     Dedup.sortedNeighborhoodPairs(Tables.documents(spark, d), 5, 5)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** X14 trimmed mean ([[graft.operators.Profiling.trimmedMean]]):
+    * 10%-trimmed integer-cents mean per event type — the robust
+    * location estimate beside q211's RFM whale segments; exact micro
+    * units, rank-cut ties value-identical. */
+  def typeTrimmedMean(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.trimmedMean(Tables.events(spark, d), "event_type",
+      round($"value" * 100, 0), 10)
+      .orderBy($"group")
+  }
 }

@@ -2292,4 +2292,17 @@ class NorthStarSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toList
     assert(got == List((1L, 2L, 1), (2L, 3L, 1)))
   }
+
+  test("trimmedMean drops n*pct div 100 per side by rank") {
+    import spark.implicits._
+    // group a: cents 1..10, trim 20% → k=2 per side: keep 3..8 →
+    // sum 33, n_kept 6, mean_micro 5_500_000; group b: 3 rows, k=0
+    val df = ((1 to 10).map(i => ("a", i.toDouble / 100)) ++
+      Seq(("b", 0.05), ("b", 0.07), ("b", 0.09))).toDF("g", "v")
+    val got = Profiling.trimmedMean(df, "g", round($"v" * 100, 0), 20)
+      .orderBy($"group")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("a", 10L, 6L, 33L, 5500000L),
+      ("b", 3L, 3L, 21L, 7000000L)))
+  }
 }
