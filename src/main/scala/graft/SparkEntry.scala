@@ -259,6 +259,8 @@ object SparkEntry {
     "q236_fuzzy_audit_2s" -> (NorthStar.fuzzyAuditTwoSided _),
     "q237_sorted_neighborhood" -> (NorthStar.sortedNeighborhood _),
     "q238_trimmed_mean"  -> (NorthStar.typeTrimmedMean _),
+    "q239_source_hhi"    -> (NorthStar.langSourceHHI _),
+    "q240_percent_rank"  -> (NorthStar.docLengthPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4561,6 +4563,38 @@ object SparkEntry {
         |       CAST(CAST(sum_kept AS HUGEINT) * 1000000 // n_kept
         |         AS BIGINT) AS mean_micro
         |FROM a ORDER BY 1""".stripMargin,
+    // q239: Herfindahl concentration — (Σ n_c²)·1e6 // n², exact
+    // HUGEINT; 1e6 = one source, 1e6/k = even split over k.
+    "q239_source_hhi" ->
+      """WITH c AS (SELECT lang AS g, source AS c,
+        |             CAST(count(*) AS BIGINT) AS nc
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_cats,
+        |        sum(CAST(nc AS HUGEINT) * nc) AS s2
+        |      FROM c GROUP BY 1)
+        |SELECT g AS "group", n, n_cats,
+        |       CAST(s2 * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |         AS hhi_ppm
+        |FROM a ORDER BY 1""".stripMargin,
+    // q240: percent-rank ppm — ties-share rank() needs no tie-break
+    // for determinism; (rank−1)·1e6 // (n−1), single-member groups 0.
+    "q240_percent_rank" ->
+      """WITH b AS (SELECT doc_id AS id, lang AS g,
+        |             CAST(n_chars AS BIGINT) AS v
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT id, g, v,
+        |        rank() OVER (PARTITION BY g ORDER BY v) AS rnk,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM b)
+        |SELECT id, g AS "group", v AS value,
+        |       CAST(CASE WHEN n > 1
+        |         THEN CAST(rnk - 1 AS HUGEINT) * 1000000 // (n - 1)
+        |         ELSE 0 END AS BIGINT) AS pr_ppm
+        |FROM r ORDER BY 2, 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

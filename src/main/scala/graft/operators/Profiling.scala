@@ -757,6 +757,61 @@ object Profiling {
           " div n_kept as bigint)").as("mean_micro"))
   }
 
+  /** HERFINDAHL–HIRSCHMAN concentration index per group — "how
+    * single-sourced is each language's corpus": with per-category
+    * counts n_c and group total n, HHI = Σ (n_c/n)², emitted as the
+    * exact integer ppm (Σ n_c²)·10⁶ div n² with DECIMAL(38,0)
+    * intermediates. 10⁶ = fully concentrated on one category; 10⁶/k =
+    * evenly split over k — the one-number diversity gate a training
+    * mix wants per stratum (a language whose corpus is one scraped
+    * domain is a deduplication and bias risk regardless of volume).
+    * Output: (group, n, n_cats, hhi_ppm).
+    *
+    * Scale shape: one (group, category) aggregate with map-side
+    * partials, then a groups-sized reduction — nothing downstream of
+    * the first shuffle exceeds |groups × categories| rows. */
+  def concentrationHHI(df: DataFrame, groupCol: String, catCol: String)
+      : DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("nc"))
+    counts.groupBy(col("g"))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("n_cats"),
+        sum(expr("cast(nc as decimal(38,0)) * nc")).as("s2"))
+      .select(col("g").as("group"), col("n"), col("n_cats"),
+        expr("cast(s2 * 1000000 div (cast(n as decimal(38,0)) * n)" +
+          " as bigint)").as("hhi_ppm"))
+  }
+
+  /** PERCENT-RANK feature scaling in integer ppm — per group, value →
+    * (rank − 1)·10⁶ div (n − 1) with the TIES-SHARE `rank()` (equal
+    * values get equal ppm, so no tie-break column is needed for
+    * determinism); single-member groups map to 0. The quantile-uniform
+    * normalization a feature pipeline applies before mixing
+    * heterogeneous scales — exact integers, unlike the built-in
+    * `percent_rank`'s double. Output: (id, group, value, pr_ppm).
+    *
+    * Scale shape: one shuffle on the group key + in-partition sort;
+    * per-row output, no driver state. */
+  def percentRankPpm(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    df.select(col(idCol).as("id"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("id"), col("g").as("group"), col("v").as("value"),
+        when(col("n") > 1,
+          expr("cast(cast(rnk - 1 as decimal(38,0)) * 1000000" +
+            " div (n - 1) as bigint)"))
+          .otherwise(lit(0L)).as("pr_ppm"))
+  }
+
   /** BENFORD first-significant-digit screen — the classic fabricated /
     * truncated / fat-fingered-amounts detector for positive monetary
     * columns: organic multiplicative data's leading digit follows

@@ -2273,4 +2273,27 @@ object NorthStar {
       round($"value" * 100, 0), 10)
       .orderBy($"group")
   }
+
+  /** X14 source-concentration HHI ([[graft.operators.Profiling
+    * .concentrationHHI]]): per language, how concentrated the corpus
+    * is over sources — exact integer-ppm Herfindahl; the one-number
+    * diversity gate beside q215's lang×source MI. */
+  def langSourceHHI(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.concentrationHHI(Tables.documents(spark, d), "lang",
+      "source")
+      .orderBy($"group")
+  }
+
+  /** X14/X4 percent-rank scaling ([[graft.operators.Profiling
+    * .percentRankPpm]]): each document's length percentile within its
+    * language in exact integer ppm (ties share rank — deterministic
+    * with no tie-break) — the quantile-uniform feature normalization
+    * before cross-language mixing. */
+  def docLengthPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.percentRankPpm(Tables.documents(spark, d), "doc_id",
+      "lang", "n_chars")
+      .orderBy($"group", $"id")
+  }
 }

@@ -2305,4 +2305,33 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List(("a", 10L, 6L, 33L, 5500000L),
       ("b", 3L, 3L, 21L, 7000000L)))
   }
+
+  test("concentrationHHI: single source = 1e6, even split = 1e6/k") {
+    import spark.implicits._
+    // en: one source → 1e6; es: 2+2 over two sources → 5e5;
+    // fr: 3+1 → (9+1)·1e6/16 = 625000
+    val df = Seq(("en", "s1"), ("en", "s1"),
+      ("es", "s1"), ("es", "s1"), ("es", "s2"), ("es", "s2"),
+      ("fr", "s1"), ("fr", "s1"), ("fr", "s1"), ("fr", "s2"))
+      .toDF("lang", "source")
+    val got = Profiling.concentrationHHI(df, "lang", "source")
+      .orderBy($"group")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("en", 2L, 1L, 1000000L),
+      ("es", 4L, 2L, 500000L), ("fr", 4L, 2L, 625000L)))
+  }
+
+  test("percentRankPpm: ties share rank; singleton group maps to 0") {
+    import spark.implicits._
+    // group a values 10,20,20,40 → ranks 1,2,2,4 over n=4:
+    // ppm 0, 333333, 333333, 1000000; group b singleton → 0
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (5L, "b", 7L)).toDF("id", "g", "v")
+    val got = Profiling.percentRankPpm(df, "id", "g", "v")
+      .orderBy($"group", $"id")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(got == List((1L, "a", 10L, 0L), (2L, "a", 20L, 333333L),
+      (3L, "a", 20L, 333333L), (4L, "a", 40L, 1000000L),
+      (5L, "b", 7L, 0L)))
+  }
 }
