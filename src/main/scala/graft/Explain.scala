@@ -77,7 +77,8 @@ object Explain {
       "q229_benford", "q230_session_paths", "q231_resample_interp",
       "q232_fano_burstiness", "q233_type_affinity",
       "q234_dup_assortativity", "q235_value_sketch_fine",
-      "q236_fuzzy_audit_2s")
+      "q236_fuzzy_audit_2s", "q237_sorted_neighborhood",
+      "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -261,6 +261,10 @@ object SparkEntry {
     "q238_trimmed_mean"  -> (NorthStar.typeTrimmedMean _),
     "q239_source_hhi"    -> (NorthStar.langSourceHHI _),
     "q240_percent_rank"  -> (NorthStar.docLengthPercentiles _),
+    "q241_welch_t"       -> (NorthStar.welchRevenue _),
+    "q242_mann_whitney"  -> (NorthStar.mannWhitneyRevenue _),
+    "q243_chi_square"    -> (NorthStar.langSourceChi2 _),
+    "q244_basket_pairs"  -> (NorthStar.partBasketPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4536,7 +4540,9 @@ object SparkEntry {
         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
         |        levenshtein(a.text, b.text) AS dist
         |      FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn
-        |                        AND b.rn <= a.rn + 5)
+        |                        AND b.rn <= a.rn + 5
+        |                        AND abs(length(a.text)
+        |                          - length(b.text)) <= 5)
         |SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
         |       CAST(dist AS INTEGER) AS dist
         |FROM c WHERE dist <= 5
@@ -4595,6 +4601,136 @@ object SparkEntry {
         |         THEN CAST(rnk - 1 AS HUGEINT) * 1000000 // (n - 1)
         |         ELSE 0 END AS BIGINT) AS pr_ppm
         |FROM r ORDER BY 2, 1""".stripMargin,
+    // q241: Welch's t — HUGEINT sufficient stats, t/df the only float
+    // steps, operand order mirrored verbatim from the Spark side.
+    "q241_welch_t" ->
+      """WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(m AS HUGEINT)) AS s1,
+        |        sum(CAST(m AS HUGEINT) * m) AS s2
+        |      FROM pu GROUP BY 1),
+        |one AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN v = 0 THEN s1 END) AS s1_a,
+        |    sum(CASE WHEN v = 0 THEN s2 END) AS s2_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN v = 1 THEN s1 END) AS s1_b,
+        |    sum(CASE WHEN v = 1 THEN s2 END) AS s2_b
+        |  FROM g),
+        |w2 AS (SELECT *,
+        |    (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+        |      - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+        |      / CAST(n_a AS DOUBLE) AS sea,
+        |    (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+        |      - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+        |      / CAST(n_b AS DOUBLE) AS seb
+        |  FROM one),
+        |w3 AS (SELECT *, sea + seb AS se2 FROM w2)
+        |SELECT n_a, n_b,
+        |       CAST(s1_a * 1000000 // n_a AS BIGINT) AS mean_a_micro,
+        |       CAST(s1_b * 1000000 // n_b AS BIGINT) AS mean_b_micro,
+        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |         THEN round((CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |           - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           / sqrt(se2), 4) + 0.0 END AS t,
+        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |         THEN round(se2 * se2 / (sea * sea
+        |           / (CAST(n_a AS DOUBLE) - 1.0) + seb * seb
+        |           / (CAST(n_b AS DOUBLE) - 1.0)), 2) + 0.0 END AS df
+        |FROM w3""".stripMargin,
+    // q242: Mann-Whitney in DOUBLED rank units — all-integer (2·mid =
+    // 2p + c + 1); the midrank cumsum runs over distinct values.
+    "q242_mann_whitney" ->
+      """WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |vals AS (SELECT m,
+        |    CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS cb
+        |  FROM pu GROUP BY 1),
+        |r AS (SELECT ca, cb, sum(ca + cb) OVER (ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cum
+        |      FROM vals),
+        |r2 AS (SELECT ca, cb,
+        |        2 * (cum - (ca + cb)) + ca + cb + 1 AS two_mid
+        |      FROM r),
+        |a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b,
+        |        sum(CAST(ca AS HUGEINT) * two_mid) AS ra2,
+        |        sum(CAST(cb AS HUGEINT) * two_mid) AS rb2
+        |      FROM r2),
+        |b AS (SELECT n_a, n_b,
+        |        CAST(ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+        |          AS u2_a,
+        |        CAST(rb2 - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT)
+        |          AS u2_b
+        |      FROM a)
+        |SELECT n_a, n_b, u2_a, u2_b,
+        |       CAST((CAST(u2_a AS HUGEINT) - u2_b) * 1000000
+        |         // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |         AS rank_biserial_ppm
+        |FROM b""".stripMargin,
+    // q243: chi-square independence — q215's nano recipe; exp and the
+    // contribution use the exact Spark operand order.
+    "q243_chi_square" ->
+      """WITH c AS (SELECT lang AS a, source AS b,
+        |             CAST(count(*) AS BIGINT) AS nab
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+        |       FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+        |       FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(nab) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_cells FROM c),
+        |la AS (SELECT CAST(count(*) AS BIGINT) AS n_a_levels FROM ma),
+        |lb AS (SELECT CAST(count(*) AS BIGINT) AS n_b_levels FROM mb),
+        |x AS (SELECT CAST(sum(CAST(round(
+        |         (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+        |         * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+        |         / (CAST(na AS DOUBLE) * nb / n) * 1e9, 0) AS BIGINT))
+        |         AS BIGINT) AS chi2_nano
+        |      FROM c JOIN ma USING (a) JOIN mb USING (b), tt)
+        |SELECT tt.n, la.n_a_levels, lb.n_b_levels,
+        |       CAST((la.n_a_levels - 1) * (lb.n_b_levels - 1)
+        |         AS BIGINT) AS dof,
+        |       x.chi2_nano
+        |FROM tt, la, lb, x""".stripMargin,
+    // q244: market-basket pairs — exact ppm confidence/lift (HUGEINT),
+    // total-ordered top-15 cut.
+    "q244_basket_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |            FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL
+        |              AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets
+        |       FROM bi),
+        |pi AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi
+        |       GROUP BY 1),
+        |p AS (SELECT a.i AS ia, b.i AS ib,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+        |      GROUP BY 1, 2)
+        |SELECT p.ia AS item_a, p.ib AS item_b, p.n_ab,
+        |       pa.ni AS n_a, pb.ni AS n_b,
+        |       CAST(CAST(p.n_ab AS HUGEINT) * 1000000 // pa.ni
+        |         AS BIGINT) AS conf_ab_ppm,
+        |       CAST(CAST(p.n_ab AS HUGEINT) * 1000000 // pb.ni
+        |         AS BIGINT) AS conf_ba_ppm,
+        |       CAST(CAST(p.n_ab AS HUGEINT) * nb.n_baskets * 1000000
+        |         // (CAST(pa.ni AS HUGEINT) * pb.ni) AS BIGINT)
+        |         AS lift_ppm
+        |FROM p JOIN pi pa ON pa.i = p.ia JOIN pi pb ON pb.i = p.ib, nb
+        |ORDER BY n_ab DESC, item_a, item_b
+        |LIMIT 15""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -939,6 +939,48 @@ object Behavior {
       .limit(topN)
   }
 
+  /** MARKET-BASKET PAIRS — support / confidence / lift for the top
+    * co-occurring item pairs at the basket grain (orders × parts,
+    * sessions × pages): the A-priori first rung, exact. Per unordered
+    * pair: support n_ab (baskets containing both), per-item basket
+    * counts, both directional confidences n_ab·10⁶ div n_x, and lift
+    * n_ab·N·10⁶ div (n_a·n_b) — all DECIMAL(38,0)-exact integers
+    * ([[typeCooccurrencePmi]]'s contract at the basket grain). Top
+    * `topN` by (support DESC, item_a, item_b) — a total order.
+    *
+    * Scale shape: distinct (basket, item) reduction, then a per-basket
+    * equi-join emitting |basket|²/2 rows per basket — bounded by the
+    * LARGEST BASKET, not the corpus (order lineitems ≤ 7 in TPC-H;
+    * cap or pre-trim pathological baskets before calling at scale);
+    * item marginals join on item keys; TakeOrderedAndProject cut. */
+  def basketPairs(df: DataFrame, basket: String, item: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN=$topN")
+    val bi = df.select(col(basket).as("o"), col(item).as("i"))
+      .filter(col("o").isNotNull && col("i").isNotNull).distinct()
+    val nB = bi.agg(countDistinct(col("o")).as("n_baskets"))
+    val perItem = bi.groupBy(col("i")).agg(count(lit(1)).as("ni"))
+    val pairs = bi.select(col("o"), col("i").as("ia"))
+      .join(bi.select(col("o"), col("i").as("ib")), "o")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perItem.select(col("i").as("ia"), col("ni").as("n_a")), "ia")
+      .join(perItem.select(col("i").as("ib"), col("ni").as("n_b")), "ib")
+      .crossJoin(broadcast(nB))
+      .select(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        expr("cast(cast(n_ab as decimal(38,0)) * 1000000 div n_a" +
+          " as bigint)").as("conf_ab_ppm"),
+        expr("cast(cast(n_ab as decimal(38,0)) * 1000000 div n_b" +
+          " as bigint)").as("conf_ba_ppm"),
+        expr("cast(cast(n_ab as decimal(38,0)) * n_baskets * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+  }
+
   /** FANO-FACTOR burstiness per event type — the index of dispersion
     * var/mean of DAILY counts over the global observed calendar
     * (zero-count days included: a type absent on a day is a real 0).
@@ -973,6 +1015,109 @@ object Behavior {
           " div (cast(n_days as decimal(38,0)) * s1) as bigint)")
           .as("fano_micro"))
       .withColumn("bursty", (col("fano_micro") > 1000000L).cast("int"))
+  }
+
+  /** WELCH'S t — the continuous-metric A/B readout ([[abTest]] handles
+    * the binary-conversion case): per-user integer-cents totals under
+    * hash-split arms 0/1, compared by the unequal-variance t statistic
+    * (Welch, Biometrika 1947 — never pool variances you didn't verify
+    * equal). Determinism contract: per-arm n/Σx/Σx² accumulate as
+    * exact DECIMAL(38,0); means are exact integer micro units; t and
+    * the Welch–Satterthwaite df are the ONLY float steps, computed
+    * from those integers in a fixed operand order and rounded 4 / 2
+    * dp. NULL t when either arm has < 2 users or both sample
+    * variances are zero.
+    *
+    * Scale shape: (arm, user) aggregate → arm-sized stats → one row.
+    * Nothing after the first key-sized shuffle exceeds 2 rows. */
+  def welchT(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perUser = events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"))
+      .groupBy(col("v"), col("u"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("m"))
+    val g = perUser.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("m"))).as("s1"),
+        sum(dec(col("m")) * col("m")).as("s2"))
+    val one = g.agg(
+      sum(when(col("v") === 0, col("n"))).as("n_a"),
+      sum(when(col("v") === 0, col("s1"))).as("s1_a"),
+      sum(when(col("v") === 0, col("s2"))).as("s2_a"),
+      sum(when(col("v") === 1, col("n"))).as("n_b"),
+      sum(when(col("v") === 1, col("s1"))).as("s1_b"),
+      sum(when(col("v") === 1, col("s2"))).as("s2_b"))
+    def d(name: String) = col(name).cast("double")
+    // sample variance v = (n·S2 − S1²) / (n·(n−1)); se² = v_a/n_a +
+    // v_b/n_b — operand order mirrored verbatim in the oracle SQL
+    val va = (d("n_a") * d("s2_a") - d("s1_a") * d("s1_a")) /
+      (d("n_a") * (d("n_a") - lit(1.0)))
+    val vb = (d("n_b") * d("s2_b") - d("s1_b") * d("s1_b")) /
+      (d("n_b") * (d("n_b") - lit(1.0)))
+    val sea = va / d("n_a")
+    val seb = vb / d("n_b")
+    val se2 = sea + seb
+    val t = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+      round((d("s1_a") / d("n_a") - d("s1_b") / d("n_b")) / sqrt(se2), 4)
+        + lit(0.0)).otherwise(lit(null).cast("double"))
+    val df = when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0,
+      round(se2 * se2 / (sea * sea / (d("n_a") - lit(1.0)) +
+        seb * seb / (d("n_b") - lit(1.0))), 2) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    one.select(col("n_a"), col("n_b"),
+      expr("cast(s1_a * 1000000 div n_a as bigint)").as("mean_a_micro"),
+      expr("cast(s1_b * 1000000 div n_b as bigint)").as("mean_b_micro"),
+      t.as("t"), df.as("df"))
+  }
+
+  /** MANN–WHITNEY U — the nonparametric two-sample test for the same
+    * arms when means are the wrong question (heavy-tailed revenue,
+    * ordinal scores): ranks are over per-user integer metrics with the
+    * ties-share midrank, and everything stays EXACT INTEGER by working
+    * in DOUBLED rank units: a tie group of size c after p smaller
+    * values has 2·midrank = 2p + c + 1, so 2·U_A = Σ_values
+    * cntA·(2p + c + 1) − n_a·(n_a + 1) is an exact integer in both
+    * engines — no float anywhere. Also emits the rank-biserial effect
+    * size (U_A − U_B)/(n_a·n_b) in exact ppm. Invariant (spec-pinned):
+    * u2_a + u2_b = 2·n_a·n_b.
+    *
+    * Scale shape: (arm, user) aggregate, then a per-VALUE count frame;
+    * the midrank cumsum runs on the DISTINCT-VALUE frame — bounded by
+    * the metric's value range (integer cents), not by users; the final
+    * aggregate is one row. */
+  def mannWhitneyU(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perUser = events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"))
+      .groupBy(col("v"), col("u"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("m"))
+    val vals = perUser.groupBy(col("m"))
+      .agg(count(when(col("v") === 0, 1)).as("ca"),
+        count(when(col("v") === 1, 1)).as("cb"))
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .withColumn("cum", sum(col("ca") + col("cb")).over(w))
+      .withColumn("p", col("cum") - (col("ca") + col("cb")))
+      .withColumn("two_mid", lit(2) * col("p") + col("ca") + col("cb")
+        + lit(1))
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(dec(col("ca")) * col("two_mid")).as("ra2"),
+      sum(dec(col("cb")) * col("two_mid")).as("rb2"))
+    agg.select(col("n_a"), col("n_b"),
+      expr("cast(ra2 - cast(n_a as decimal(38,0)) * (n_a + 1)" +
+        " as bigint)").as("u2_a"),
+      expr("cast(rb2 - cast(n_b as decimal(38,0)) * (n_b + 1)" +
+        " as bigint)").as("u2_b"))
+      .withColumn("rank_biserial_ppm",
+        expr("cast((cast(u2_a as decimal(38,0)) - u2_b) * 1000000" +
+          " div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"))
   }
 
   /** EVENT-TYPE CO-OCCURRENCE PMI — for each unordered type pair, how

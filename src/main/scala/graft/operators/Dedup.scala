@@ -983,13 +983,20 @@ object Dedup {
         substring(col("text"), 1, prefixLen).as("blk"))
       .withColumn("rn", row_number().over(win))
     val a = r.select(col("blk"), col("rn"), col("doc_id").as("ia"),
-      col("text").as("ta"))
+      col("text").as("ta"), length(col("text")).as("la"))
     val b = r.select(col("blk").as("blkb"), col("rn").as("rb"),
-      col("doc_id").as("ib"), col("text").as("tb"))
+      col("doc_id").as("ib"), col("text").as("tb"),
+      length(col("text")).as("lb"))
+    // length band BEFORE the O(len²) verify (|la−lb| ≤ dist always,
+    // so no pair is lost), and the THRESHOLD levenshtein (early-exits
+    // at maxDist+1, returns −1 past it) — without both, sort-adjacent
+    // long texts make the verify the whole wall-clock (bench r10:
+    // 648 s → ~1 s at sf0.1)
     a.join(b, col("blk") === col("blkb") && col("rb") > col("rn") &&
-        col("rb") <= col("rn") + w)
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+        col("rb") <= col("rn") + w &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("dist"))
   }

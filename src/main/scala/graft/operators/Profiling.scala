@@ -757,6 +757,47 @@ object Profiling {
           " div n_kept as bigint)").as("mean_micro"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE test over two categorical columns — the
+    * significance companion of [[mutualInformation]] (MI says how much
+    * dependence; chi² says whether the dependence beats sampling
+    * noise): χ² = Σ_cells (obs − exp)²/exp with exp = rowΣ·colΣ/N.
+    * Determinism (the q197/q215 recipe): all counts are exact
+    * integers; each cell's contribution is ONE double expression in a
+    * fixed operand order, rounded to integer NANO units before the
+    * exact long sum — replays identically on any engine. Output one
+    * row: n, n_a_levels, n_b_levels, dof, chi2_nano.
+    *
+    * Scale shape: one (a, b) cell aggregate (map-side partials), two
+    * marginal reductions of the CELLS frame (never the data), and a
+    * cells-sized final sum. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells0 = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val cells = cells0.localCheckpoint(true)
+    val ma = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val la = ma.agg(count(lit(1)).as("n_a_levels"))
+    val lb = mb.agg(count(lit(1)).as("n_b_levels"))
+    // exp = na·nb/n; contrib = (nab − exp)²/exp — operand order
+    // mirrored verbatim in the oracle SQL, rounded to nano PRE-sum
+    val exp_ = col("na").cast("double") * col("nb") / col("n")
+    val diff = col("nab").cast("double") - exp_
+    val chi = cells.join(ma, "a").join(mb, "b")
+      .crossJoin(broadcast(tot))
+      .agg(sum(round(diff * diff / exp_ * 1e9, 0).cast("long"))
+        .as("chi2_nano"))
+    tot.crossJoin(broadcast(la)).crossJoin(broadcast(lb))
+      .crossJoin(broadcast(chi))
+      .select(col("n"), col("n_a_levels"), col("n_b_levels"),
+        ((col("n_a_levels") - 1) * (col("n_b_levels") - 1)).as("dof"),
+        col("chi2_nano"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN concentration index per group — "how
     * single-sourced is each language's corpus": with per-category
     * counts n_c and group total n, HHI = Σ (n_c/n)², emitted as the

@@ -229,9 +229,11 @@ object TimeSeries {
     * min / max slope.
     *
     * Scale shape: ONE key-sized day aggregate of the log, then an
-    * O(days²/2) self-join and a ranking window — both CALENDAR-bounded
-    * (10 years ≈ 6.7M pairs) regardless of event volume; the
-    * single-partition window is safe by that bound, never data-sized. */
+    * O(days²/2) self-join — CALENDAR-bounded (10 years ≈ 6.7M pairs)
+    * regardless of event volume — pinned once; the median is the
+    * shared histogram refinement ([[graft.operators.Profiling
+    * .exactQuantiles]]'s log-bounded filtered aggregates), never a
+    * global sort of the pairs. */
   def theilSenTrend(df: DataFrame, ts: String, value: Column): DataFrame = {
     val daily = df
       .select(Behavior.epochDay(col(ts)).as("d"),
@@ -239,19 +241,26 @@ object TimeSeries {
       .groupBy(col("d")).agg(sum(col("cents")).as("c"))
     val a = daily.select(col("d").as("da"), col("c").as("ca"))
     val b = daily.select(col("d").as("db"), col("c").as("cb"))
+    // pairs frame pinned once: the stats aggregate and every quantile
+    // refinement round re-read it (the jaccardPairs cache contract)
     val slopes = a.join(b, col("da") < col("db"))
       .select(expr("cast(cast(cb - ca as decimal(38,0)) * 1000000" +
         " div (db - da) as bigint)").as("slope_micro"))
+      .localCheckpoint(true)
     val stats = slopes.agg(count(lit(1)).as("n_pairs"),
       min(col("slope_micro")).as("min_slope_micro"),
       max(col("slope_micro")).as("max_slope_micro"))
     val nd = daily.agg(count(lit(1)).as("n_days"))
-    val w = Window.orderBy(col("slope_micro"))
-    slopes.withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(stats)).crossJoin(broadcast(nd))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+    // exact k = ⌈n/2⌉-th smallest via the shared histogram refinement
+    // — log-bounded filtered aggregates over the pinned pairs frame,
+    // never a global sort (the r10 bench finding: a single-partition
+    // ranking window over calendar² pairs was the query's wall-clock)
+    val med = Profiling.exactQuantiles(slopes, col("slope_micro"),
+        Seq(0.5), fanout = 65536)
+      .select(col("value").as("median_slope_micro"))
+    nd.crossJoin(broadcast(stats)).crossJoin(broadcast(med))
       .select(col("n_days"), col("n_pairs"),
-        col("slope_micro").as("median_slope_micro"),
+        col("median_slope_micro"),
         col("min_slope_micro"), col("max_slope_micro"))
   }
 }

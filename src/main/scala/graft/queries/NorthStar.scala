@@ -2296,4 +2296,40 @@ object NorthStar {
       "lang", "n_chars")
       .orderBy($"group", $"id")
   }
+
+  /** X15 Welch's t ([[graft.operators.Behavior.welchT]]): per-user
+    * revenue cents under the user_id mod 2 hash split — the
+    * continuous-metric A/B readout beside q210's conversion z; exact
+    * DECIMAL sufficient stats, t/df the only (fixed-order) floats. */
+  def welchRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.welchT(Tables.events(spark, d), "user_id",
+      round($"value" * 100, 0), pmod($"user_id", lit(2L)))
+  }
+
+  /** X15 Mann–Whitney U ([[graft.operators.Behavior.mannWhitneyU]]):
+    * the nonparametric twin of q241 in DOUBLED rank units — exact
+    * integers end to end, ties-share midranks, rank-biserial effect
+    * in exact ppm. */
+  def mannWhitneyRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.mannWhitneyU(Tables.events(spark, d), "user_id",
+      round($"value" * 100, 0), pmod($"user_id", lit(2L)))
+  }
+
+  /** X14 chi-square independence ([[graft.operators.Profiling
+    * .chiSquareIndependence]]): lang × source — the significance
+    * companion of q215's MI, per-cell nano contributions summed as
+    * exact longs. */
+  def langSourceChi2(spark: SparkSession, d: String): DataFrame =
+    Profiling.chiSquareIndependence(Tables.documents(spark, d), "lang",
+      "source")
+
+  /** X15 market-basket pairs ([[graft.operators.Behavior
+    * .basketPairs]]): top co-purchased part pairs at the order grain
+    * with exact ppm confidence / lift — A-priori's first rung over
+    * lineitem; per-basket work bounded by basket size (≤ 7). */
+  def partBasketPairs(spark: SparkSession, d: String): DataFrame =
+    Behavior.basketPairs(Tables.lineitem(spark, d), "l_orderkey",
+      "l_partkey", 15)
 }

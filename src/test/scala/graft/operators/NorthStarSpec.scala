@@ -2334,4 +2334,60 @@ class NorthStarSpec extends SparkSpec {
       (3L, "a", 20L, 333333L), (4L, "a", 40L, 1000000L),
       (5L, "b", 7L, 0L)))
   }
+
+  test("welchT matches the hand-computed t/df on a 2x2 fixture") {
+    import spark.implicits._
+    // arm0 (users 0,2): totals 100, 300 → mean 200, var 20000;
+    // arm1 (users 1,3): totals 200, 200 → var 0. se2 = 10000 →
+    // t = 0, df = 1 (all of se2 from arm0 with n−1 = 1)
+    val ev = Seq((0L, 1.0), (2L, 3.0), (1L, 2.0), (3L, 2.0))
+      .toDF("user_id", "value")
+    val got = Behavior.welchT(ev, "user_id", round($"value" * 100, 0),
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toList
+    assert(got == List((2L, 2L, 200000000L, 200000000L,
+      Some(0.0), Some(1.0))))
+  }
+
+  test("mannWhitneyU: doubled midranks exact; U_A + U_B = n_a*n_b") {
+    import spark.implicits._
+    // arm0 totals {100, 300}, arm1 {200, 200}: doubled midranks
+    // 2/5/5/8 → 2U_A = (2+8) − 2·3 = 4, 2U_B = 10 − 6 = 4, r_rb = 0
+    val ev = Seq((0L, 1.0), (2L, 3.0), (1L, 2.0), (3L, 2.0))
+      .toDF("user_id", "value")
+    val got = Behavior.mannWhitneyU(ev, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((2L, 2L, 4L, 4L, 0L)))
+    val (na, nb, u2a, u2b, _) = got.head
+    assert(u2a + u2b == 2 * na * nb)
+  }
+
+  test("chiSquareIndependence: 2x2 with all expected = 20 gives 20e9") {
+    import spark.implicits._
+    // cells (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30, n=80 → every
+    // expected 20, every contribution 100/20 = 5 → chi2 = 20
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val got = Profiling.chiSquareIndependence(
+        rows.toDF("lang", "source"), "lang", "source")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((80L, 2L, 2L, 1L, 20000000000L)))
+  }
+
+  test("basketPairs: support/confidence/lift on a hand-traced basket set") {
+    import spark.implicits._
+    // o1{1,2,3} o2{1,2} o3{2,3} o4{4}; N=4, n1=2 n2=3 n3=2
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 4L), (2L, 1L)) // dup (2,1) collapses
+      .toDF("l_orderkey", "l_partkey")
+    val got = Behavior.basketPairs(li, "l_orderkey", "l_partkey", 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      (1L, 2L, 2L, 2L, 3L, 1000000L, 666666L, 1333333L),
+      (2L, 3L, 2L, 3L, 2L, 666666L, 1000000L, 1333333L),
+      (1L, 3L, 1L, 2L, 2L, 500000L, 500000L, 1000000L)))
+  }
 }
