@@ -78,7 +78,9 @@ object Explain {
       "q232_fano_burstiness", "q233_type_affinity",
       "q234_dup_assortativity", "q235_value_sketch_fine",
       "q236_fuzzy_audit_2s", "q237_sorted_neighborhood",
-      "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank")
+      "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank",
+      "q241_welch_t", "q242_mann_whitney", "q243_chi_square",
+      "q244_basket_pairs")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -124,7 +126,17 @@ object Explain {
         "recurrence folded on the driver over the CALENDAR-bounded " +
         "lifetime table, so the returned frame is driver literals; " +
         "shown below is the distributed stage — the per-user " +
-        "first/last aggregate reduced to (lifetime, deaths, censored)."))
+        "first/last aggregate reduced to (lifetime, deaths, censored)."),
+      "q228_theil_sen" -> ("The median slope runs through the shared " +
+        "quantile refinement (q180's driver loop) over the pinned " +
+        "pairs frame, so the full query is not one lazy plan; shown " +
+        "below is the distributed core — the calendar-bounded pairwise " +
+        "slope join the stats aggregate and every refinement round " +
+        "scan."),
+      "q243_chi_square" -> ("Shown with lazyPlan = true: the " +
+        "executable form pins the cells aggregate with an eager " +
+        "localCheckpoint (the marginal/total/chi branches re-read it), " +
+        "which would reduce this dump to a checkpoint scan."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -261,6 +273,23 @@ object Explain {
         case "q227_churn_survival" => graft.operators.Behavior
           .survivalLifetimesLazy(Tables.events(spark, sfDir),
             "user_id", "ts", 14)
+        case "q228_theil_sen" => {
+          import org.apache.spark.sql.functions._
+          val daily = Tables.orders(spark, sfDir)
+            .select(floor(unix_timestamp(col("o_orderdate")) / 86400)
+              .cast("long").as("d"),
+              round(col("o_totalprice") * 100, 0).cast("long")
+                .as("cents"))
+            .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+          daily.select(col("d").as("da"), col("c").as("ca"))
+            .join(daily.select(col("d").as("db"), col("c").as("cb")),
+              col("da") < col("db"))
+            .select(expr("cast(cast(cb - ca as decimal(38,0)) *" +
+              " 1000000 div (db - da) as bigint)").as("slope_micro"))
+        }
+        case "q243_chi_square" => graft.operators.Profiling
+          .chiSquareIndependence(Tables.documents(spark, sfDir),
+            "lang", "source", lazyPlan = true)
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(

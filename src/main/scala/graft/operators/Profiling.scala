@@ -770,13 +770,15 @@ object Profiling {
     * Scale shape: one (a, b) cell aggregate (map-side partials), two
     * marginal reductions of the CELLS frame (never the data), and a
     * cells-sized final sum. */
-  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String,
+      lazyPlan: Boolean = false): DataFrame = {
     val cells0 = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("nab"))
-    val cells = cells0.localCheckpoint(true)
+    // cells pinned ([[mutualInformation]]'s contract): the marginal /
+    // total / chi branches all re-read it; lazyPlan skips for Explain
+    val cells = if (lazyPlan) cells0 else cells0.localCheckpoint(true)
     val ma = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
     val mb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
     val tot = cells.agg(sum(col("nab")).as("n"),
