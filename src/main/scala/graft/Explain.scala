@@ -80,7 +80,7 @@ object Explain {
       "q236_fuzzy_audit_2s", "q237_sorted_neighborhood",
       "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank",
       "q241_welch_t", "q242_mann_whitney", "q243_chi_square",
-      "q244_basket_pairs")
+      "q244_basket_pairs", "q245_weekday_profile", "q246_mad_outliers")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -136,7 +136,13 @@ object Explain {
       "q243_chi_square" -> ("Shown with lazyPlan = true: the " +
         "executable form pins the cells aggregate with an eager " +
         "localCheckpoint (the marginal/total/chi branches re-read it), " +
-        "which would reduce this dump to a checkpoint scan."))
+        "which would reduce this dump to a checkpoint scan."),
+      "q246_mad_outliers" -> ("The median and MAD are two shared-" +
+        "refinement driver loops (q180's shape) over the pinned daily " +
+        "aggregate, and the fence constants return as literals, so " +
+        "the full query is not one lazy plan; shown below is the " +
+        "distributed core — the calendar-bounded day aggregate every " +
+        "loop and the final filter scan."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -290,6 +296,15 @@ object Explain {
         case "q243_chi_square" => graft.operators.Profiling
           .chiSquareIndependence(Tables.documents(spark, sfDir),
             "lang", "source", lazyPlan = true)
+        case "q246_mad_outliers" => {
+          import org.apache.spark.sql.functions._
+          Tables.orders(spark, sfDir)
+            .select(floor(unix_timestamp(col("o_orderdate")) / 86400)
+              .cast("long").as("d"),
+              round(col("o_totalprice") * 100, 0).cast("long")
+                .as("cents"))
+            .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+        }
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(

@@ -265,6 +265,8 @@ object SparkEntry {
     "q242_mann_whitney"  -> (NorthStar.mannWhitneyRevenue _),
     "q243_chi_square"    -> (NorthStar.langSourceChi2 _),
     "q244_basket_pairs"  -> (NorthStar.partBasketPairs _),
+    "q245_weekday_profile" -> (NorthStar.revenueWeekday _),
+    "q246_mad_outliers"  -> (NorthStar.revenueOutlierDays _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4731,6 +4733,53 @@ object SparkEntry {
         |FROM p JOIN pi pa ON pa.i = p.ia JOIN pi pb ON pb.i = p.ib, nb
         |ORDER BY n_ab DESC, item_a, item_b
         |LIMIT 15""".stripMargin,
+    // q245: weekday profile — dow = (epochDay + 3) mod 7 (0 = Monday,
+    // pure integer); index = (total_dow·nd_all)·1e6 // (n_dow·tot_all)
+    // in one exact HUGEINT division.
+    "q245_weekday_profile" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |bd AS (SELECT (d + 3) % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS total_cents
+        |       FROM daily GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_days) AS BIGINT) AS nd_all,
+        |        CAST(sum(total_cents) AS BIGINT) AS tot_all FROM bd)
+        |SELECT bd.dow, bd.n_days, bd.total_cents,
+        |       CAST(bd.total_cents // bd.n_days AS BIGINT)
+        |         AS mean_cents,
+        |       CAST(CAST(bd.total_cents AS HUGEINT) * t.nd_all
+        |         * 1000000 // (CAST(bd.n_days AS HUGEINT) * t.tot_all)
+        |         AS BIGINT) AS index_ppm
+        |FROM bd, t ORDER BY dow""".stripMargin,
+    // q246: MAD fence — median and MAD are exact lower medians
+    // (k = (n+1) // 2), matching the refinement's ceil(q·n); only
+    // flagged days return.
+    "q246_mad_outliers" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |ms AS (SELECT c AS v, row_number() OVER (ORDER BY c) AS rn
+        |       FROM daily),
+        |med AS (SELECT v AS med FROM ms, n WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT abs(c - med.med) AS dev FROM daily, med),
+        |ds AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn
+        |       FROM dv),
+        |mad AS (SELECT dev AS mad FROM ds, n WHERE rn = (n + 1) // 2)
+        |SELECT dy.d, dy.c AS cents, med.med AS median_cents,
+        |       mad.mad AS mad_cents,
+        |       CASE WHEN dy.c > med.med + 2 * mad.mad THEN 'high'
+        |            ELSE 'low' END AS side
+        |FROM daily dy, med, mad
+        |WHERE dy.c > med.med + 2 * mad.mad
+        |   OR dy.c < med.med - 2 * mad.mad
+        |ORDER BY dy.d""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

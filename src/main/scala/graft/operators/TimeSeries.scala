@@ -216,6 +216,74 @@ object TimeSeries {
           .as("value"))
   }
 
+  /** DAY-OF-WEEK seasonality profile — the calendar decomposition that
+    * pairs with [[autocorrelation]] (ACF says IF a weekly cycle
+    * exists; this says WHAT it looks like): per weekday, observed-day
+    * count, total integer cents, exact mean cents (truncating div),
+    * and the seasonality index (total_dow·n_days_all)·10⁶ div
+    * (n_days_dow·total_all) — mean-vs-overall-mean in one exact
+    * DECIMAL division (10⁶ = an average day). Weekday from pure
+    * integer arithmetic: dow = (epochDay + 3) mod 7 with 0 = Monday
+    * (epoch day 0 was a Thursday) — no timezone/locale function to
+    * disagree on.
+    *
+    * Scale shape: one day aggregate of the log, then a 7-row
+    * reduction. */
+  def weekdayProfile(df: DataFrame, ts: String, value: Column)
+      : DataFrame = {
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+    val byDow = daily.groupBy(pmod(col("d") + 3, lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total_cents"))
+    val tot = byDow.agg(sum(col("n_days")).as("nd_all"),
+      sum(col("total_cents")).as("tot_all"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("total_cents"),
+        expr("total_cents div n_days").as("mean_cents"),
+        expr("cast(cast(total_cents as decimal(38,0)) * nd_all" +
+          " * 1000000 div (cast(n_days as decimal(38,0)) * tot_all)" +
+          " as bigint)").as("index_ppm"))
+  }
+
+  /** MAD OUTLIER DAYS — robust anomaly screen on the daily total:
+    * flag days beyond median ± k·MAD, where both the median and the
+    * median absolute deviation are EXACT integer k-th-smallest values
+    * via the shared histogram refinement ([[graft.operators.Profiling
+    * .exactQuantiles]], lower median ⌈n/2⌉) — the
+    * breakdown-point-50% alternative to [[graft.operators.Behavior
+    * .rateCusum]]'s mean/slack parameters and the z-score screen's
+    * outlier-inflated σ (one flash-sale day can't widen this fence).
+    * Returns ONLY the flagged days with the fence that caught them:
+    * (d, cents, median_cents, mad_cents, side ∈ {'high','low'}).
+    *
+    * Scale shape: one day aggregate (calendar-bounded, pinned), two
+    * log-bounded refinement loops over it, one final filter — no
+    * global sort. */
+  def madOutlierDays(df: DataFrame, ts: String, value: Column,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(true)
+    val med = Profiling.exactQuantiles(daily, col("cents"), Seq(0.5))
+      .select(col("value")).collect()(0).getLong(0)
+    val mad = Profiling.exactQuantiles(
+        daily.select(abs(col("cents") - med).as("dev")), col("dev"),
+        Seq(0.5))
+      .select(col("value")).collect()(0).getLong(0)
+    daily
+      .filter(col("cents") > med + k.toLong * mad ||
+        col("cents") < med - k.toLong * mad)
+      .select(col("d"), col("cents"), lit(med).as("median_cents"),
+        lit(mad).as("mad_cents"),
+        when(col("cents") > med + k.toLong * mad, lit("high"))
+          .otherwise(lit("low")).as("side"))
+  }
+
   /** THEIL–SEN robust trend of the daily value series (Theil 1950; Sen,
     * JASA 1968): the median of all pairwise slopes (c_j − c_i)/(d_j −
     * d_i) over observed day pairs i < j — the outlier-resistant

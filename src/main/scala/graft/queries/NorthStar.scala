@@ -2332,4 +2332,27 @@ object NorthStar {
   def partBasketPairs(spark: SparkSession, d: String): DataFrame =
     Behavior.basketPairs(Tables.lineitem(spark, d), "l_orderkey",
       "l_partkey", 15)
+
+  /** X16 day-of-week profile ([[graft.operators.TimeSeries
+    * .weekdayProfile]]): per weekday, exact cents totals/means and the
+    * seasonality index vs the overall mean in one exact DECIMAL ppm —
+    * the WHAT to q217's weekly-cycle IF. */
+  def revenueWeekday(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.weekdayProfile(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice")
+      .orderBy($"dow")
+  }
+
+  /** X11/X16 MAD outlier days ([[graft.operators.TimeSeries
+    * .madOutlierDays]]): days beyond median ± 2·MAD of the daily
+    * revenue total — both statistics exact integer medians via the
+    * shared refinement; the 50%-breakdown robust fence beside q201's
+    * CUSUM and q114's z-score. */
+  def revenueOutlierDays(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.madOutlierDays(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice", 2)
+      .orderBy($"d")
+  }
 }

@@ -2390,4 +2390,36 @@ class NorthStarSpec extends SparkSpec {
       (2L, 3L, 2L, 3L, 2L, 666666L, 1000000L, 1333333L),
       (1L, 3L, 1L, 2L, 2L, 500000L, 500000L, 1000000L)))
   }
+
+  test("weekdayProfile: integer dow (0=Monday) and exact index ppm") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // days 0..6 (epoch day 0 = Thursday = dow 3); Monday (d=4) sells
+    // 8.00, the rest 1.00: index_ppm Monday = 800·7e6/1400 = 4e6
+    val df = (0L to 6L).map(d =>
+      (at(d), if (d == 4) 8.0 else 1.0)).toDF("ts", "v")
+    val got = TimeSeries.weekdayProfile(df, "ts", $"v")
+      .orderBy($"dow")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val exp = (0L to 6L).map { dow =>
+      val cents = if (dow == 0) 800L else 100L
+      val idx = if (dow == 0) 4000000L else 500000L
+      (dow, 1L, cents, cents, idx)
+    }.toList
+    assert(got == exp)
+  }
+
+  test("madOutlierDays flags only days beyond median +- k*MAD") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // daily cents 100,110,90,105,95,100,1000: median 100 (k=4 of 7),
+    // devs sorted 0,0,5,5,10,10,900 → MAD 5; fence k=2 → [90,110]:
+    // only day 6 (1000) flags, high side
+    val vals = Seq(1.0, 1.1, 0.9, 1.05, 0.95, 1.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, d) => (at(d.toLong), v) }
+      .toDF("ts", "v")
+    val got = TimeSeries.madOutlierDays(df, "ts", $"v", 2)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got == List((6L, 1000L, 100L, 5L, "high")))
+  }
 }
