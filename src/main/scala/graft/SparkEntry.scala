@@ -267,6 +267,9 @@ object SparkEntry {
     "q244_basket_pairs"  -> (NorthStar.partBasketPairs _),
     "q245_weekday_profile" -> (NorthStar.revenueWeekday _),
     "q246_mad_outliers"  -> (NorthStar.revenueOutlierDays _),
+    "q247_funnel_by_arm" -> (NorthStar.funnelArms _),
+    "q248_mmr_batch"     -> (NorthStar.mmrServing _),
+    "q249_group_mode"    -> (NorthStar.typeValueMode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4780,6 +4783,80 @@ object SparkEntry {
         |WHERE dy.c > med.med + 2 * mad.mad
         |   OR dy.c < med.med - 2 * mad.mad
         |ORDER BY dy.d""".stripMargin,
+    // q247: per-arm funnel — q183's reach chain split by arm, q210's
+    // pooled-proportion z per (variant arm, step >= 2) vs arm 0.
+    "q247_funnel_by_arm" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY 1),
+        |f AS (SELECT s1.u, s1.t1, s2.t2, s3.t3 FROM s1
+        |      LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u),
+        |pa AS (SELECT u % 2 AS arm, CAST(count(*) AS BIGINT) AS n1,
+        |         CAST(count(t2) AS BIGINT) AS n2,
+        |         CAST(count(t3) AS BIGINT) AS n3
+        |       FROM f GROUP BY 1),
+        |lg AS (SELECT arm, n1, 1 AS step, n1 AS nr FROM pa
+        |       UNION ALL SELECT arm, n1, 2, n2 FROM pa
+        |       UNION ALL SELECT arm, n1, 3, n3 FROM pa),
+        |ct AS (SELECT step, n1 AS cn1, nr AS cnr FROM lg WHERE arm = 0),
+        |j AS (SELECT lg.arm, lg.step, lg.n1, lg.nr, ct.cn1, ct.cnr
+        |      FROM lg JOIN ct USING (step)),
+        |zc AS (SELECT *,
+        |    sqrt((CAST(nr + cnr AS DOUBLE) / (n1 + cn1))
+        |         * (1.0 - CAST(nr + cnr AS DOUBLE) / (n1 + cn1))
+        |         * (1.0 / n1 + 1.0 / cn1)) AS den
+        |  FROM j),
+        |zz AS (SELECT *,
+        |    CASE WHEN arm <> 0 AND step >= 2 AND den > 0 THEN
+        |      round((CAST(nr AS DOUBLE) / n1
+        |             - CAST(cnr AS DOUBLE) / cn1) / den, 4) + 0.0
+        |    END AS z
+        |  FROM zc)
+        |SELECT arm, CAST(step AS INTEGER) AS step, nr AS n_reached,
+        |       CAST(CAST(nr AS HUGEINT) * 1000000 // n1 AS BIGINT)
+        |         AS rate_ppm,
+        |       z,
+        |       CAST(coalesce(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0
+        |         END, 0) AS INTEGER) AS significant
+        |FROM zz ORDER BY arm, step""".stripMargin,
+    // q248: batch MMR — q226's 3-stage greedy unrolled per query id;
+    // one block of pool/sims/stages per qid, results unioned.
+    "q248_mmr_batch" ->
+      s"""WITH ${mmrBatchBlock("a", 0L)},
+        |${mmrBatchBlock("b", 1L)}
+        |SELECT CAST(0 AS BIGINT) AS qid, CAST(1 AS INTEGER) AS pick,
+        |       vec_id, rel AS rel_e4, mmr FROM sa1
+        |UNION ALL SELECT 0, 2, vec_id, rel, mmr FROM sa2
+        |UNION ALL SELECT 0, 3, vec_id, rel, mmr FROM sa3
+        |UNION ALL SELECT 1, 1, vec_id, rel, mmr FROM sb1
+        |UNION ALL SELECT 1, 2, vec_id, rel, mmr FROM sb2
+        |UNION ALL SELECT 1, 3, vec_id, rel, mmr FROM sb3
+        |ORDER BY qid, pick""".stripMargin,
+    // q249: exact per-group mode — (cnt DESC, v) total-order tiebreak;
+    // exact HUGEINT ppm share.
+    "q249_group_mode" ->
+      """WITH c AS (SELECT event_type AS g,
+        |             CAST(round(value * 100) AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY g ORDER BY cnt DESC, v) AS rn FROM c),
+        |t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_total,
+        |        CAST(count(*) AS BIGINT) AS n_distinct FROM c
+        |      GROUP BY 1)
+        |SELECT r.g AS "group", r.v AS mode_value, r.cnt AS n_mode,
+        |       t.n_total, t.n_distinct,
+        |       CAST(CAST(r.cnt AS HUGEINT) * 1000000 // t.n_total
+        |         AS BIGINT) AS share_ppm
+        |FROM r JOIN t USING (g) WHERE r.rn = 1 ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
@@ -5034,19 +5111,49 @@ object SparkEntry {
       |WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** One q226 MMR greedy stage: candidates = pool minus already-selected,
-    * marginal = 7·rel − 3·max(sim to any selected) (integer, λ = 7/10
-    * in 1e-4 units), argmax with vec_id tiebreak — the DuckDB twin of
-    * one iteration of `Similarity.mmrRerank`'s driver fold. */
-  private def mmrStage(ci: String, si: String, selPrev: String): String =
+  /** One q226/q248 MMR greedy stage: candidates = pool minus already-
+    * selected, marginal = 7·rel − 3·max(sim to any selected) (integer,
+    * λ = 7/10 in 1e-4 units), argmax with vec_id tiebreak — the DuckDB
+    * twin of one iteration of `Similarity.mmrGreedy`. */
+  private def mmrStage(ci: String, si: String, selPrev: String,
+      pool: String = "mpool", sims: String = "msims"): String =
     s"""$ci AS (SELECT p.vec_id, p.rel,
        |        7 * p.rel - 3 * max(s.sim) AS mmr
-       |      FROM mpool p JOIN msims s ON s.sa = p.vec_id
+       |      FROM $pool p JOIN $sims s ON s.sa = p.vec_id
        |      WHERE s.sb IN (SELECT vec_id FROM $selPrev)
        |        AND p.vec_id NOT IN (SELECT vec_id FROM $selPrev)
        |      GROUP BY p.vec_id, p.rel),
        |$si AS (SELECT vec_id, rel, mmr FROM $ci
        |      ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+
+  /** The per-query CTE block of q248's batch-MMR oracle: scored pool,
+    * pairwise sims, and the 3 unrolled greedy stages for one qid. */
+  private def mmrBatchBlock(t: String, qid: Long): String =
+    s"""q$t AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |        FROM embeddings WHERE vec_id = $qid),
+       |pool$t AS (SELECT e.vec_id,
+       |        CAST(round(list_dot_product(CAST(e.embedding
+       |            AS DOUBLE[]), q$t.qv) /
+       |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |            CAST(e.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(q$t.qv, q$t.qv))) * 10000, 0)
+       |          AS BIGINT) AS rel,
+       |        CAST(e.embedding AS DOUBLE[]) AS v
+       |      FROM embeddings e, q$t WHERE e.vec_id <> $qid
+       |      ORDER BY rel DESC, e.vec_id LIMIT 10),
+       |sims$t AS (SELECT a.vec_id AS sa, b.vec_id AS sb,
+       |        CAST(round(list_dot_product(a.v, b.v) /
+       |          (sqrt(list_dot_product(a.v, a.v)) *
+       |           sqrt(list_dot_product(b.v, b.v))) * 10000, 0)
+       |          AS BIGINT) AS sim
+       |      FROM pool$t a JOIN pool$t b ON a.vec_id <> b.vec_id),
+       |s${t}1 AS (SELECT vec_id, rel, 7 * rel AS mmr FROM pool$t
+       |       ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel${t}1 AS (SELECT vec_id FROM s${t}1),
+       |${mmrStage(s"c${t}2", s"s${t}2", s"sel${t}1", s"pool$t", s"sims$t")},
+       |sel${t}2 AS (SELECT vec_id FROM sel${t}1
+       |         UNION ALL SELECT vec_id FROM s${t}2),
+       |${mmrStage(s"c${t}3", s"s${t}3", s"sel${t}2", s"pool$t", s"sims$t")}""".stripMargin
 
   /** Cosine spelled out with sequential dot products — the exact formula
     * the Spark side computes, so doubles agree bit-for-bit pre-round. */

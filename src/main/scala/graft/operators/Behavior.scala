@@ -623,6 +623,58 @@ object Behavior {
         expr(s"n_step${steps.size} * 1000000 div n_step1"))
   }
 
+  /** A/B-SPLIT FUNNEL — the strictly-ordered funnel computed PER
+    * EXPERIMENT ARM with a per-step two-proportion z against the
+    * `control` arm: "did the variant move step-3 conversion" is a
+    * different (and usually the actual) question from q210's overall
+    * conversion. Step reach comes from [[stageTimes]]
+    * (first-matching-subsequence, same contract as [[funnel]]); the
+    * per-step rate is step-i reachers over the SAME arm's step-1
+    * reachers in exact integer ppm; z per (non-control arm, step ≥ 2)
+    * uses [[abTest]]'s pooled-proportion recipe — one fixed-operand-
+    * order float expression rounded 4 dp, NULL on the control arm,
+    * step 1, or zero pooled variance. Output: (arm, step, n_reached,
+    * rate_ppm, z, significant).
+    *
+    * Scale shape: stageTimes' key-sized join chain, one arms-sized
+    * aggregate, an arms×steps unpivot, and a broadcast of the
+    * steps-sized control rows. */
+  def funnelByArm(events: DataFrame, user: String, ts: String,
+      typeCol: String, steps: Seq[String],
+      armOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      control: Long): DataFrame = {
+    val nSteps = steps.size
+    val times = stageTimes(events, user, ts, typeCol, steps, None)
+    val perArm = times.groupBy(armOf(col("u")).as("arm"))
+      .agg(count(lit(1)).as("n1"),
+        (2 to nSteps).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    val stepStructs = (1 to nSteps).map(i =>
+      struct(lit(i).as("step"),
+        (if (i == 1) col("n1") else col(s"n$i")).as("nr")))
+    val long = perArm.select(col("arm"), col("n1"),
+        explode(array(stepStructs: _*)).as("s"))
+      .select(col("arm"), col("n1"), col("s.step").as("step"),
+        col("s.nr").as("n_reached"))
+    val ctrl = long.filter(col("arm") === control)
+      .select(col("step"), col("n1").as("cn1"),
+        col("n_reached").as("cnr"))
+    val j = long.join(broadcast(ctrl), "step")
+    val pArm = col("n_reached").cast("double") / col("n1")
+    val pCtl = col("cnr").cast("double") / col("cn1")
+    val pool = (col("n_reached") + col("cnr")).cast("double") /
+      (col("n1") + col("cn1"))
+    val den = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("cn1")))
+    val z = when(col("arm") =!= control && col("step") >= 2 &&
+        den > 0.0, round((pArm - pCtl) / den, 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    j.select(col("arm"), col("step"), col("n_reached"),
+      expr("cast(cast(n_reached as decimal(38,0)) * 1000000 div n1" +
+        " as bigint)").as("rate_ppm"),
+      z.as("z"),
+      coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+  }
+
   /** Per-user first-reach times (u, t1..tn) — the shared core of
     * [[funnel]] / [[funnelWindowed]] / [[funnelTiming]] (graft-visible
     * so Explain can dump q205's constituent plans). */

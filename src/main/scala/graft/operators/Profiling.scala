@@ -722,6 +722,37 @@ object Profiling {
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
 
+  /** EXACT MODE per group — the most frequent value with its count and
+    * exact ppm share: the one summary [[columnProfile]]'s min/max/
+    * distinct panel lacks, and the right "typical value" for discrete
+    * columns where mean and median are both meaningless (status codes,
+    * quantized prices). Ties break to the SMALLEST value — a total
+    * order, engine-exact. NULL values are excluded from both the mode
+    * race and the total.
+    *
+    * Scale shape: one (group, value) aggregate with map-side partials,
+    * a per-group rank window over the VALUE-DISTINCT frame (bounded by
+    * per-group distinct values, not rows), one totals reduction. */
+  def groupMode(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("cnt").desc, col("v"))
+    val totals = counts.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_total"),
+        count(lit(1)).as("n_distinct"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(totals, "g")
+      .select(col("g").as("group"), col("v").as("mode_value"),
+        col("cnt").as("n_mode"), col("n_total"), col("n_distinct"),
+        expr("cast(cast(cnt as decimal(38,0)) * 1000000 div n_total" +
+          " as bigint)").as("share_ppm"))
+  }
+
   /** TRIMMED MEAN per group — the robust location estimate a metrics
     * pipeline wants when plain means are whale-dominated: drop the
     * lowest and highest `trimPct`% BY RANK (integer cut k =

@@ -1329,7 +1329,19 @@ object Similarity {
       Seq((x, y) -> s, (y, x) -> s)
     }.toMap
     val cands = pool.select(col("vec_id"), col("rel_e4")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    mmrGreedy(cands, sim, k, lamNum, lamDen)
+      .toDF("pick", "vec_id", "rel_e4", "mmr")
+  }
+
+  /** One greedy MMR trace over a bounded candidate pool — the shared
+    * driver fold of [[mmrRerank]] and [[mmrRerankBatch]]: all-integer
+    * marginals `lamNum·rel − (lamDen−lamNum)·maxSim`, ties to the
+    * smaller id, first pick `lamNum·rel`. */
+  private def mmrGreedy(cands: Seq[(Long, Long)],
+      sim: Map[(Long, Long), Long], k: Int, lamNum: Int, lamDen: Int)
+      : Seq[(Int, Long, Long, Long)] = {
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Long, Long)] // (pick, id, rel, mmr)
     val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
@@ -1344,7 +1356,63 @@ object Similarity {
       selected += ((pick, best._1, best._2, best._3))
       remaining.remove((best._1, best._2))
     }
+    selected.toSeq
+  }
+
+  /** [[mmrRerank]] for a BATCH of query vectors — the SERVING form:
+    * ONE corpus scan scores every query (broadcast query side,
+    * [[knnJoin]]'s shape), per-query top-`poolN` through a rank window
+    * (WindowGroupLimit partial heaps — the per-query shuffle is pool-
+    * sized, never corpus-sized), one per-qid pairwise stage over the
+    * pooled candidates (|queries|·poolN² rows), then the same integer
+    * greedy per query on the driver — bounded by |queries|·poolN ≤
+    * 4096 rows by contract, not by the corpus. Output: (qid, pick,
+    * vec_id, rel_e4, mmr), the page each query serves. */
+  def mmrRerankBatch(emb: DataFrame, queries: DataFrame, poolN: Int,
+      k: Int, lamNum: Int, lamDen: Int): DataFrame = {
+    require(k >= 1 && poolN >= k && poolN <= 64,
+      s"poolN=$poolN k=$k (need 1 <= k <= poolN <= 64)")
+    require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda=$lamNum/$lamDen not in [0, 1]")
+    val spark = emb.sparkSession
+    val qs = withNorm(queries).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_e4").desc, col("vec_id"))
+    val pool = withNorm(Par.fanOut(emb))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+          * 10000, 0).cast("long").as("rel_e4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= poolN).drop("rk")
+      .localCheckpoint(true)
+    require(pool.count() <= 4096, "batch pool over the driver contract")
+    val a = pool.select(col("qid"), col("vec_id").as("sa"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = pool.select(col("qid"), col("vec_id").as("sb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val simByQ = a.join(b, Seq("qid")).filter(col("sa") < col("sb"))
+      .select(col("qid"), col("sa"), col("sb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          * 10000, 0).cast("long").as("sim_e4"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.flatMap { r =>
+        val (x, y, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        Seq((x, y) -> s, (y, x) -> s)
+      }.toMap }
+    val candsByQ = pool.select(col("qid"), col("vec_id"),
+        col("rel_e4")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq }
     import spark.implicits._
-    selected.toSeq.toDF("pick", "vec_id", "rel_e4", "mmr")
+    candsByQ.keys.toSeq.sorted.flatMap { q =>
+      mmrGreedy(candsByQ(q), simByQ.getOrElse(q, Map.empty), k,
+        lamNum, lamDen)
+        .map { case (pick, id, rel, mmr) => (q, pick, id, rel, mmr) }
+    }.toDF("qid", "pick", "vec_id", "rel_e4", "mmr")
   }
 }

@@ -2355,4 +2355,39 @@ object NorthStar {
       $"o_totalprice", 2)
       .orderBy($"d")
   }
+
+  /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
+    * the signup→view→purchase funnel per user_id mod 2 arm with a
+    * per-step two-proportion z vs arm 0 — "did the variant move
+    * step-level conversion", the per-step form of q210. */
+  def funnelArms(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.funnelByArm(Tables.events(spark, d), "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase"),
+      u => pmod(u, lit(2L)), 0L)
+      .orderBy($"arm", $"step")
+  }
+
+  /** X3 batch MMR serving ([[graft.operators.Similarity
+    * .mmrRerankBatch]]): q226's diversified page for queries {0, 1} in
+    * ONE corpus scan — per-query rank-window pools, per-qid pairwise
+    * stage, the same integer greedy; the constant-QPS serving form. */
+  def mmrServing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.mmrRerankBatch(emb, emb.filter($"vec_id" < 2), 10, 3,
+      7, 10)
+      .orderBy($"qid", $"pick")
+  }
+
+  /** X14 exact mode per group ([[graft.operators.Profiling
+    * .groupMode]]): most frequent integer-cents value per event type
+    * with exact ppm share (smallest-value tiebreak) — the discrete
+    * "typical value" beside q238's trimmed mean. */
+  def typeValueMode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.groupMode(Tables.events(spark, d), "event_type",
+      round($"value" * 100, 0))
+      .orderBy($"group")
+  }
 }

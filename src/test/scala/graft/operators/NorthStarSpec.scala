@@ -2422,4 +2422,57 @@ class NorthStarSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toList
     assert(got == List((6L, 1000L, 100L, 5L, "high")))
   }
+
+  test("funnelByArm: per-step rates and z vs control, hand-traced") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // arm0: u0 full funnel, u2 signup only; arm1: u1 signup+view
+    val ev = Seq(
+      (0L, at(0), "signup"), (0L, at(1), "view"), (0L, at(2), "purchase"),
+      (2L, at(0), "signup"),
+      (1L, at(0), "signup"), (1L, at(1), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnelByArm(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), u => pmod(u, lit(2L)), 0L)
+      .orderBy($"arm", $"step")
+      .as[(Long, Int, Long, Long, Option[Double], Int)]
+      .collect().toList
+    // arm1 step2: p=1 vs 0.5, pool=2/3, den=sqrt(1/3) → z=0.866
+    assert(got == List(
+      (0L, 1, 2L, 1000000L, None, 0),
+      (0L, 2, 1L, 500000L, None, 0),
+      (0L, 3, 1L, 500000L, None, 0),
+      (1L, 1, 1L, 1000000L, None, 0),
+      (1L, 2, 1L, 1000000L, Some(0.866), 0),
+      (1L, 3, 0L, 0L, Some(-0.866), 0)))
+  }
+
+  test("mmrRerankBatch runs each query's greedy independently") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (5L, Array(0.0, 1.0)),  // the queries
+      (1L, Array(0.99, 0.1)), (2L, Array(0.98, 0.12)),
+      (3L, Array(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    // λ=7/10: qid0 keeps relevance order {1,2}; qid5 picks 3 then 2
+    // (2's marginal −12279 beats 1's −13287 — diversity flips them)
+    val got = Similarity.mmrRerankBatch(emb,
+        emb.filter($"vec_id" === 0 || $"vec_id" === 5), 4, 2, 7, 10)
+      .orderBy($"qid", $"pick")
+      .select($"qid", $"pick", $"vec_id").as[(Long, Int, Long)]
+      .collect().toList
+    assert(got == List((0L, 1, 1L), (0L, 2, 2L),
+      (5L, 1, 3L), (5L, 2, 2L)))
+  }
+
+  test("groupMode breaks count ties to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 20L),
+      ("b", 5L), ("b", 7L), ("b", 7L), ("b", 5L)).toDF("g", "v")
+    val got = Profiling.groupMode(df, "g", $"v")
+      .orderBy($"group")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("a", 10L, 2L, 3L, 2L, 666666L),
+      ("b", 5L, 2L, 4L, 2L, 500000L)))
+  }
 }
