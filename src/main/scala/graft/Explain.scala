@@ -80,7 +80,8 @@ object Explain {
       "q236_fuzzy_audit_2s", "q237_sorted_neighborhood",
       "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank",
       "q241_welch_t", "q242_mann_whitney", "q243_chi_square",
-      "q244_basket_pairs", "q245_weekday_profile", "q246_mad_outliers")
+      "q244_basket_pairs", "q245_weekday_profile", "q246_mad_outliers",
+      "q247_funnel_by_arm", "q248_mmr_batch", "q249_group_mode")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -142,7 +143,13 @@ object Explain {
         "aggregate, and the fence constants return as literals, so " +
         "the full query is not one lazy plan; shown below is the " +
         "distributed core — the calendar-bounded day aggregate every " +
-        "loop and the final filter scan."))
+        "loop and the final filter scan."),
+      "q248_mmr_batch" -> ("The per-query greedy folds over the " +
+        "bounded pooled candidates on the driver (q226's contract, " +
+        "|queries|·poolN <= 4096), so the full query is not one lazy " +
+        "plan; shown below is the distributed stage — ONE corpus scan " +
+        "scoring all broadcast queries with the per-qid rank-window " +
+        "pool cut (WindowGroupLimit partial heaps)."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -296,6 +303,12 @@ object Explain {
         case "q243_chi_square" => graft.operators.Profiling
           .chiSquareIndependence(Tables.documents(spark, sfDir),
             "lang", "source", lazyPlan = true)
+        case "q248_mmr_batch" => {
+          import org.apache.spark.sql.functions._
+          val emb = Tables.embeddings(spark, sfDir)
+          graft.operators.Similarity.mmrBatchPoolLazy(emb,
+            emb.filter(col("vec_id") < 2), 10)
+        }
         case "q246_mad_outliers" => {
           import org.apache.spark.sql.functions._
           Tables.orders(spark, sfDir)

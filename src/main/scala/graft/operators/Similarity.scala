@@ -1359,6 +1359,26 @@ object Similarity {
     selected.toSeq
   }
 
+  /** The DISTRIBUTED stage of [[mmrRerankBatch]] — one corpus scan
+    * scoring every broadcast query, cut to the per-qid top-`poolN`
+    * through a rank window (WindowGroupLimit partial heaps). Public
+    * for plan inspection (Explain feeds on it). */
+  def mmrBatchPoolLazy(emb: DataFrame, queries: DataFrame,
+      poolN: Int): DataFrame = {
+    val qs = withNorm(queries).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_e4").desc, col("vec_id"))
+    withNorm(Par.fanOut(emb))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+          * 10000, 0).cast("long").as("rel_e4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= poolN).drop("rk")
+  }
+
   /** [[mmrRerank]] for a BATCH of query vectors — the SERVING form:
     * ONE corpus scan scores every query (broadcast query side,
     * [[knnJoin]]'s shape), per-query top-`poolN` through a rank window
@@ -1375,18 +1395,7 @@ object Similarity {
     require(lamDen >= 1 && lamNum >= 0 && lamNum <= lamDen,
       s"lambda=$lamNum/$lamDen not in [0, 1]")
     val spark = emb.sparkSession
-    val qs = withNorm(queries).select(col("vec_id").as("qid"),
-      col("v").as("qv"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("rel_e4").desc, col("vec_id"))
-    val pool = withNorm(Par.fanOut(emb))
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
-          * 10000, 0).cast("long").as("rel_e4"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= poolN).drop("rk")
+    val pool = mmrBatchPoolLazy(emb, queries, poolN)
       .localCheckpoint(true)
     require(pool.count() <= 4096, "batch pool over the driver contract")
     val a = pool.select(col("qid"), col("vec_id").as("sa"),
