@@ -38,10 +38,17 @@ import graft.streaming.avsource.FakeAlphaVantageServer
   * engine. */
 object DemoPipeline {
   def main(args: Array[String]): Unit = {
-    val streaming = args.headOption.contains("--streaming")
-    val rest = if (streaming) args.drop(1) else args
-    val base = rest.headOption.getOrElse(
-      if (streaming) "/tmp/graft_demo_stream" else "/tmp/graft_demo")
+    val mode = args.headOption match {
+      case Some("--streaming") => "streaming"
+      case Some("--stats") => "stats"
+      case _ => "batch"
+    }
+    val rest = if (mode == "batch") args else args.drop(1)
+    val base = rest.headOption.getOrElse(mode match {
+      case "streaming" => "/tmp/graft_demo_stream"
+      case "stats" => "/root/testdata/sf0.001"
+      case _ => "/tmp/graft_demo"
+    })
     val today = rest.lift(1).getOrElse("2025-10-05")
 
     val spark = SparkSession.builder()
@@ -53,8 +60,11 @@ object DemoPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (streaming) runStreaming(spark, base, today)
-    else runBatch(spark, base, today)
+    mode match {
+      case "streaming" => runStreaming(spark, base, today)
+      case "stats" => runStats(spark, base)
+      case _ => runBatch(spark, base, today)
+    }
     spark.stop()
   }
 
@@ -89,6 +99,38 @@ object DemoPipeline {
     // 5. audit line (etl.py:222-223)
     new RunLog(s"$base/etl_log.txt")
       .append(s"ETL run at ${java.time.Instant.now()} ($today, ${symbols.size} symbols)")
+  }
+
+  /** EXPERIMENT READOUT MODE (round 10): ONE experiment definition —
+    * arms = user_id mod 2 with arm 0 as control, conversion =
+    * 'purchase', metric = per-user revenue cents, funnel
+    * signup→view→purchase — pushed through the whole test battery in
+    * one command: the binary-conversion z (q210), continuous Welch t
+    * (q241), nonparametric Mann–Whitney U (q242), and the per-step
+    * funnel split with z vs control (q247). Each statistic answers a
+    * different failure of the others (non-normal metrics break t,
+    * binary z sees only the last step, U has no effect units), so a
+    * readout ships all four. Run:
+    * `sbt "runMain graft.DemoPipeline --stats /root/testdata/sf0.001"`.
+    * Public and session-injected so the spec drives the identical
+    * code path the CLI runs. */
+  def runStats(spark: SparkSession, sfDir: String): Unit = {
+    val ev = Tables.events(spark, sfDir)
+    val armOf = (u: org.apache.spark.sql.Column) => pmod(u, lit(2L))
+    val cents = round(col("value") * 100, 0)
+    println("[conversion z] purchase conversion, arm 0 vs arm 1")
+    operators.Behavior.abTest(ev, "user_id", "event_type", "purchase",
+      armOf(col("user_id"))).show(truncate = false)
+    println("[welch t] per-user revenue cents")
+    operators.Behavior.welchT(ev, "user_id", cents,
+      armOf(col("user_id"))).show(truncate = false)
+    println("[mann-whitney u] per-user revenue cents")
+    operators.Behavior.mannWhitneyU(ev, "user_id", cents,
+      armOf(col("user_id"))).show(truncate = false)
+    println("[funnel by arm] signup -> view -> purchase")
+    operators.Behavior.funnelByArm(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), armOf, 0L)
+      .orderBy(col("arm"), col("step")).show(truncate = false)
   }
 
   /** One scheduled STREAMING run over `base` for day `today` — public
