@@ -81,7 +81,8 @@ object Explain {
       "q238_trimmed_mean", "q239_source_hhi", "q240_percent_rank",
       "q241_welch_t", "q242_mann_whitney", "q243_chi_square",
       "q244_basket_pairs", "q245_weekday_profile", "q246_mad_outliers",
-      "q247_funnel_by_arm", "q248_mmr_batch", "q249_group_mode")
+      "q247_funnel_by_arm", "q248_mmr_batch", "q249_group_mode",
+      "q250_dup_kcore")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -149,7 +150,12 @@ object Explain {
         "|queries|·poolN <= 4096), so the full query is not one lazy " +
         "plan; shown below is the distributed stage — ONE corpus scan " +
         "scoring all broadcast queries with the per-qid rank-window " +
-        "pool cut (WindowGroupLimit partial heaps)."))
+        "pool cut (WindowGroupLimit partial heaps)."),
+      "q250_dup_kcore" -> ("The peel iterates to a fixpoint " +
+        "(fail-fast within maxRounds, each round localCheckpoint'd " +
+        "like a PageRank superstep), so the full query is not one " +
+        "lazy plan; shown below is ONE peel round — the degree " +
+        "aggregate + the two semi-joins of the shrinking edge set."))
     val out = new StringBuilder
     out.append("# EXPLAIN — physical plans of headline queries\n\n")
     out.append("Generated by `graft.Explain` (explain format: formatted; " +
@@ -303,6 +309,19 @@ object Explain {
         case "q243_chi_square" => graft.operators.Profiling
           .chiSquareIndependence(Tables.documents(spark, sfDir),
             "lang", "source", lazyPlan = true)
+        case "q250_dup_kcore" => {
+          import org.apache.spark.sql.functions._
+          // one peel round over the J >= 0.5 edge set (lazy form)
+          val e = graft.operators.Dedup
+            .jaccardPairsLazy(Tables.documents(spark, sfDir), 0.5)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          val keep = e.select(col("a").as("n"))
+            .unionAll(e.select(col("b").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2).select(col("n"))
+          e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        }
         case "q248_mmr_batch" => {
           import org.apache.spark.sql.functions._
           val emb = Tables.embeddings(spark, sfDir)

@@ -270,6 +270,7 @@ object SparkEntry {
     "q247_funnel_by_arm" -> (NorthStar.funnelArms _),
     "q248_mmr_batch"     -> (NorthStar.mmrServing _),
     "q249_group_mode"    -> (NorthStar.typeValueMode _),
+    "q250_dup_kcore"     -> (NorthStar.dupGraphKCore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4857,6 +4858,30 @@ object SparkEntry {
         |       CAST(CAST(r.cnt AS HUGEINT) * 1000000 // t.n_total
         |         AS BIGINT) AS share_ppm
         |FROM r JOIN t USING (g) WHERE r.rn = 1 ORDER BY 1""".stripMargin,
+    // q250: 2-core — q234's J >= 0.5 edge set, 8 unrolled peel rounds
+    // (the Spark side fail-fasts if its fixpoint needs more).
+    "q250_dup_kcore" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |${(1 to 8).map(i => kCorePeel(i, 2)).mkString(",\n")}
+        |SELECT node AS n, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
@@ -5154,6 +5179,20 @@ object SparkEntry {
        |sel${t}2 AS (SELECT vec_id FROM sel${t}1
        |         UNION ALL SELECT vec_id FROM s${t}2),
        |${mmrStage(s"c${t}3", s"s${t}3", s"sel${t}2", s"pool$t", s"sims$t")}""".stripMargin
+
+  /** One q250 k-core PEEL round: drop nodes under degree `k` in the
+    * round's edge set, keep only edges between survivors — the DuckDB
+    * twin of one `Graph.kCore` iteration; a converged graph passes
+    * through unchanged, so unrolling a FIXED round count equals the
+    * Spark side's converged-within-that-count fixpoint. */
+  private def kCorePeel(i: Int, k: Int): String =
+    s"""n$i AS MATERIALIZED (SELECT node FROM
+       |        (SELECT a AS node FROM e${i - 1}
+       |          UNION ALL SELECT b FROM e${i - 1})
+       |        GROUP BY 1 HAVING count(*) >= $k),
+       |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+       |        WHERE a IN (SELECT node FROM n$i)
+       |          AND b IN (SELECT node FROM n$i))""".stripMargin
 
   /** Cosine spelled out with sequential dot products — the exact formula
     * the Spark side computes, so doubles agree bit-for-bit pre-round. */

@@ -173,4 +173,62 @@ object Graph {
           round(num / den, 6) + lit(0.0))
           .otherwise(lit(null).cast("double")).as("assortativity"))
   }
+
+  /** K-CORE of an undirected edge set (Seidman 1983): the maximal
+    * subgraph where every node keeps degree ≥ k, found by the standard
+    * iterative PEEL — drop all nodes under degree k, recompute degrees
+    * in what remains, repeat to fixpoint. The density skeleton the
+    * triangle census summarizes: on a near-dup graph the 2-core is
+    * "documents in at least one duplication CYCLE" (chain ends peel
+    * off), which is where cluster-collapse dedup is safe. Returns the
+    * surviving nodes with their IN-CORE degree.
+    *
+    * Determinism/oracle contract: the peel itself is order-free (the
+    * fixpoint is unique), but a SQL oracle cannot iterate to an
+    * unbounded fixpoint — so the operator takes `maxRounds`, FAILS
+    * FAST if the fixpoint is not reached within it (no silent
+    * truncation), and the oracle unrolls exactly `maxRounds` peels:
+    * converged-in-R Spark output ≡ R-round SQL output. Peel rounds
+    * needed are tiny in practice (each round removes whole tree
+    * fringes; clique-shaped dup families converge in 1-2).
+    *
+    * Scale shape: each round is one degree aggregate + two semi-joins
+    * of the shrinking edge set on node keys (co-partitioned,
+    * node-sized shuffles — [[pageRankMicro]]'s superstep shape), with
+    * a localCheckpoint per round to keep the plan O(1) deep; rounds
+    * are bounded by `maxRounds`, not data. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"k=$k maxRounds=$maxRounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("n"))
+      val e2 = e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      converged = n2 == nEdges
+      e = e2; nEdges = n2
+    }
+    require(converged || nEdges == 0,
+      s"k-core peel did not converge within $maxRounds rounds — raise" +
+        " maxRounds (the oracle unrolls exactly this many)")
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+  }
 }

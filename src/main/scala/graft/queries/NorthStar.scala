@@ -2390,4 +2390,16 @@ object NorthStar {
       round($"value" * 100, 0))
       .orderBy($"group")
   }
+
+  /** X13 2-core of the J ≥ 0.5 near-dup graph ([[graft.operators
+    * .Graph.kCore]]): documents in at least one duplication CYCLE
+    * (chain fringes peel off) with their in-core degree — where
+    * cluster-collapse dedup is safe; fail-fast peel within 8 rounds,
+    * the oracle unrolls exactly 8. */
+  def dupGraphKCore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Graph.kCore(Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
+        2, 8, "doc_a", "doc_b")
+      .orderBy($"n")
+  }
 }

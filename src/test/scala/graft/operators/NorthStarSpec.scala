@@ -2475,4 +2475,20 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List(("a", 10L, 2L, 3L, 2L, 666666L),
       ("b", 5L, 2L, 4L, 2L, 500000L)))
   }
+
+  test("kCore peels chain fringes; fail-fast when rounds exhausted") {
+    import spark.implicits._
+    // path 1-2-3-4 peels away entirely; triangle 5-6-7 IS the 2-core
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, 2, 8)
+      .orderBy($"n").as[(Long, Long)].collect().toList
+    assert(got == List((5L, 2L), (6L, 2L), (7L, 2L)))
+    // a path cannot reach its (empty) fixpoint in one round: the
+    // no-silent-caps contract throws instead of returning a half-peel
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path, 2, maxRounds = 1)
+    }
+  }
 }
