@@ -967,11 +967,13 @@ object Dedup {
     * `levenshtein`; output (doc_a < doc_b, dist), each unordered pair
     * once (it appears at one rank distance only).
     *
-    * Scale shape: one shuffle on the sort-key prefix, an in-partition
-    * sort (the window), and a self-join on (block, rank band) emitting
-    * ≤ w rows per record — O(n·w) candidates by construction, no
-    * quadratic block risk at all (the hot-block cap problem this
-    * family simply does not have). */
+    * Scale shape: ONE shuffle on the sort-key prefix and one
+    * in-partition sort, shared by all w `lead(·, i)` neighbor columns
+    * (same window spec → one Window exec); the window emits each
+    * record's next-w neighbors directly, so there is NO self-join —
+    * the candidate fan-out is a map-side array+explode. O(n·w)
+    * candidates by construction, no quadratic block risk at all (the
+    * hot-block cap problem this family simply does not have). */
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int, maxDist: Int,
       prefixLen: Int = 2): DataFrame = {
     require(w >= 1 && maxDist >= 1 && prefixLen >= 1,
@@ -981,20 +983,26 @@ object Dedup {
     val r = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
         substring(col("text"), 1, prefixLen).as("blk"))
-      .withColumn("rn", row_number().over(win))
-    val a = r.select(col("blk"), col("rn"), col("doc_id").as("ia"),
-      col("text").as("ta"), length(col("text")).as("la"))
-    val b = r.select(col("blk").as("blkb"), col("rn").as("rb"),
-      col("doc_id").as("ib"), col("text").as("tb"),
-      length(col("text")).as("lb"))
+    // every lead shares `win`'s single sort; a neighbor past the
+    // partition end is NULL and drops in the filter below (the window
+    // exprs resolve in their own projection — generators can't nest
+    // unresolved window functions)
+    val led = r.select((col("doc_id").as("ia") +: col("text").as("ta") +:
+      (1 to w).map(i => struct(
+        lead(col("doc_id"), i).over(win).as("ib"),
+        lead(col("text"), i).over(win).as("tb")).as(s"nb_$i"))): _*)
+    val nbrs = led.select(col("ia"), col("ta"),
+      explode(array((1 to w).map(i => col(s"nb_$i")): _*)).as("nb"))
     // length band BEFORE the O(len²) verify (|la−lb| ≤ dist always,
     // so no pair is lost), and the THRESHOLD levenshtein (early-exits
     // at maxDist+1, returns −1 past it) — without both, sort-adjacent
     // long texts make the verify the whole wall-clock (bench r10:
     // 648 s → ~1 s at sf0.1)
-    a.join(b, col("blk") === col("blkb") && col("rb") > col("rn") &&
-        col("rb") <= col("rn") + w &&
-        abs(col("la") - col("lb")) <= maxDist)
+    nbrs
+      .select(col("ia"), col("ta"), col("nb.ib").as("ib"),
+        col("nb.tb").as("tb"))
+      .filter(col("ib").isNotNull &&
+        abs(length(col("ta")) - length(col("tb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("ia"), col("ib")).as("doc_a"),
