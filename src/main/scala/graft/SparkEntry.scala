@@ -271,6 +271,9 @@ object SparkEntry {
     "q248_mmr_batch"     -> (NorthStar.mmrServing _),
     "q249_group_mode"    -> (NorthStar.typeValueMode _),
     "q250_dup_kcore"     -> (NorthStar.dupGraphKCore _),
+    "q251_ks_test"       -> (NorthStar.ksRevenue _),
+    "q252_kendall_tau"   -> (NorthStar.revenueVolumeKendall _),
+    "q253_spearman_rho"  -> (NorthStar.revenueVolumeSpearman _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4882,6 +4885,116 @@ object SparkEntry {
         |SELECT node AS n, CAST(count(*) AS BIGINT) AS core_deg
         |FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q251: KS two-sample — cross-scaled integer CDF gaps
+    // |cumA·n_b − cumB·n_a| (HUGEINT), D in exact ppm of n_a·n_b,
+    // location = smallest metric value attaining the max.
+    "q251_ks_test" ->
+      """WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |vals AS (SELECT m,
+        |    CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS cb
+        |  FROM pu GROUP BY 1),
+        |c AS (SELECT m,
+        |        sum(ca) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cuma,
+        |        sum(cb) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cumb
+        |      FROM vals),
+        |t AS (SELECT CAST(max(cuma) AS BIGINT) AS n_a,
+        |        CAST(max(cumb) AS BIGINT) AS n_b FROM c),
+        |d AS (SELECT m, n_a, n_b,
+        |        abs(CAST(cuma AS HUGEINT) * n_b
+        |          - CAST(cumb AS HUGEINT) * n_a) AS dd
+        |      FROM c, t),
+        |mx AS (SELECT max(dd) AS mx FROM d)
+        |SELECT n_a, n_b,
+        |       CAST(mx * 1000000 // (CAST(n_a AS HUGEINT) * n_b)
+        |         AS BIGINT) AS d_ppm,
+        |       CAST(min(m) AS BIGINT) AS at_value
+        |FROM d, mx WHERE dd = mx
+        |GROUP BY n_a, n_b, mx""".stripMargin,
+    // q252: Kendall tau-b over the calendar-bounded daily frame —
+    // exact pair counts; tau_b the one fixed-order double (same
+    // CASE/sqrt operand order as the Spark expr).
+    "q252_kendall_tau" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT
+        |    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0
+        |      END AS sx,
+        |    CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0
+        |      END AS sy
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(CASE WHEN sx * sy > 0 THEN 1 END) AS BIGINT)
+        |      AS conc,
+        |    CAST(count(CASE WHEN sx * sy < 0 THEN 1 END) AS BIGINT)
+        |      AS disc,
+        |    CAST(count(CASE WHEN sx = 0 AND sy != 0 THEN 1 END)
+        |      AS BIGINT) AS tie_x,
+        |    CAST(count(CASE WHEN sy = 0 AND sx != 0 THEN 1 END)
+        |      AS BIGINT) AS tie_y,
+        |    CAST(count(CASE WHEN sx = 0 AND sy = 0 THEN 1 END)
+        |      AS BIGINT) AS tie_both
+        |  FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+        |SELECT n, n_pairs, conc, disc, tie_x, tie_y, tie_both,
+        |       CASE WHEN (n_pairs - (tie_x + tie_both)) > 0
+        |         AND (n_pairs - (tie_y + tie_both)) > 0
+        |         THEN round(CAST(conc - disc AS DOUBLE) /
+        |           sqrt(CAST(n_pairs - (tie_x + tie_both) AS DOUBLE) *
+        |             CAST(n_pairs - (tie_y + tie_both) AS DOUBLE)), 6)
+        |           + 0.0 END AS tau_b
+        |FROM g, n""".stripMargin,
+    // q253: Spearman rho — Pearson over DOUBLED midranks (2p + c + 1,
+    // the q242 device) with HUGEINT sufficient sums; rho the one
+    // fixed-order double.
+    "q253_spearman_rho" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c AS x, m AS y FROM daily
+        |         WHERE c IS NOT NULL AND m IS NOT NULL),
+        |vx AS (SELECT x AS v, count(*) AS cnt FROM base GROUP BY 1),
+        |rx AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+        |         UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + cnt + 1 AS rx
+        |       FROM vx),
+        |vy AS (SELECT y AS v, count(*) AS cnt FROM base GROUP BY 1),
+        |ry AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+        |         UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |         + cnt + 1 AS ry
+        |       FROM vy),
+        |r AS (SELECT rx.rx, ry.ry FROM base
+        |      JOIN rx ON base.x = rx.v
+        |      JOIN ry ON base.y = ry.v),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(rx AS HUGEINT)) AS sx,
+        |        sum(CAST(ry AS HUGEINT)) AS sy,
+        |        sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |        sum(CAST(ry AS HUGEINT) * ry) AS syy,
+        |        sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        |      FROM r)
+        |SELECT n,
+        |       CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) > 0
+        |         AND (CAST(n AS HUGEINT) * syy - sy * sy) > 0
+        |         THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+        |           AS DOUBLE) /
+        |           sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+        |             AS DOUBLE) *
+        |           CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+        |           6) + 0.0 END AS rho
+        |FROM a""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -923,4 +923,119 @@ object Profiling {
         expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000" +
           " div exp_ppm").as("chi2_ppb"))
   }
+
+  /** KENDALL τ-b rank correlation of two integer metrics over a
+    * BOUNDED keyed frame (Kendall 1938; the tie-adjusted τ-b of
+    * Kendall 1945) — the pairwise-agreement complement of
+    * [[corrMatrix]]'s Pearson and [[spearmanRho]]'s rank-Pearson:
+    * counts concordant / discordant / tied pairs exactly, so the
+    * statistic is robust to any monotone transform of either metric.
+    * All pair counts are exact integers; τ-b = (C − D)/√((n₀−T_x)
+    * (n₀−T_y)) is the ONE fixed-order double (operand order mirrored
+    * in the oracle), rounded to 6 places; NULL when either √ operand
+    * is zero (a constant metric has no rank order to correlate).
+    * Output one row: n, n_pairs, conc, disc, tie_x, tie_y, tie_both,
+    * tau_b.
+    *
+    * Scale shape: O(n²/2) pairs by DEFINITION — this operator is for
+    * key-bounded frames (daily/weekly aggregates of a log: calendar-
+    * bounded like [[TimeSeries.theilSenTrend]]'s slope join), NOT for
+    * raw rows; `maxRows` fail-fasts the contract (the
+    * [[exactQuantilesByGroup]] low-cardinality discipline). The pair
+    * join broadcasts one side — map-only, no shuffle of pairs. */
+  def kendallTauB(df: DataFrame, keyCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      maxRows: Int = 10000): DataFrame = {
+    require(maxRows >= 2, s"maxRows=$maxRows")
+    val base = df
+      .select(col(keyCol).as("k"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .filter(col("k").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint(true)
+    val n = base.count()
+    require(n >= 2 && n <= maxRows,
+      s"kendallTauB is for key-bounded frames: got $n rows " +
+        s"(allowed 2..$maxRows) — aggregate first or raise maxRows")
+    val a = base.select(col("k").as("ka"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("k").as("kb"), col("x").as("xb"),
+      col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("ka") < col("kb"))
+      .select(signum(col("xb") - col("xa")).cast("int").as("sx"),
+        signum(col("yb") - col("ya")).cast("int").as("sy"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(col("sx") * col("sy") > 0, 1)).as("conc"),
+      count(when(col("sx") * col("sy") < 0, 1)).as("disc"),
+      count(when(col("sx") === 0 && col("sy") =!= 0, 1)).as("tie_x"),
+      count(when(col("sy") === 0 && col("sx") =!= 0, 1)).as("tie_y"),
+      count(when(col("sx") === 0 && col("sy") === 0, 1)).as("tie_both"))
+    agg.select(lit(n).as("n"), col("n_pairs"), col("conc"), col("disc"),
+        col("tie_x"), col("tie_y"), col("tie_both"))
+      .withColumn("tau_b", expr(
+        "case when (n_pairs - (tie_x + tie_both)) > 0" +
+          " and (n_pairs - (tie_y + tie_both)) > 0 then" +
+          " round(cast(conc - disc as double) /" +
+          " sqrt(cast(n_pairs - (tie_x + tie_both) as double) *" +
+          " cast(n_pairs - (tie_y + tie_both) as double)), 6) + 0.0" +
+          " end"))
+  }
+
+  /** SPEARMAN ρ rank correlation of two integer metrics — Pearson
+    * over ties-share midranks, kept EXACT INTEGER until the last step
+    * by working in DOUBLED midrank units (a tie group of size c after
+    * p smaller values has 2·midrank = 2p + c + 1 — the
+    * [[Behavior.mannWhitneyU]] device): the five sufficient sums over
+    * doubled ranks are DECIMAL(38,0) integers, and ρ = (n·Σxy −
+    * Σx·Σy)/√((n·Σx² − Σx²)·(n·Σy² − Σy²)) is the ONE fixed-order
+    * double (rounded to 6; NULL when either variance term is zero —
+    * a constant metric). The doubling cancels: ρ over 2·midranks
+    * equals ρ over midranks. Output one row: (n, rho).
+    *
+    * Scale shape: one distinct-VALUE count frame per metric with a
+    * cumulative window BOUNDED by the metric's value range (the
+    * [[Behavior.mannWhitneyU]] contract), two equi-joins mapping rows
+    * to their value's rank (AQE broadcasts a small value frame; a
+    * near-unique metric shuffles on the value key — both scan-shaped),
+    * one sufficient-stats aggregate — no n² pairs,
+    * so this is the rank correlation that scales past
+    * [[kendallTauB]]'s bounded-frame contract. */
+  def spearmanRho(df: DataFrame,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+      : DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = df
+      .select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def twoMid(colName: String) = {
+      val vals = base.groupBy(col(colName).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      vals.withColumn("cum", sum(col("c")).over(w))
+        .select(col("v"),
+          (lit(2) * (col("cum") - col("c")) + col("c") + lit(1))
+            .as(s"r$colName"))
+    }
+    val ranked = base
+      .join(twoMid("x"), base("x") === col("v")).drop("v")
+      .join(twoMid("y"), base("y") === col("v")).drop("v")
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+      sum(dec(col("rx")) * col("rx")).as("sxx"),
+      sum(dec(col("ry")) * col("ry")).as("syy"),
+      sum(dec(col("rx")) * col("ry")).as("sxy"))
+    agg.select(col("n"),
+      expr("case when (cast(n as decimal(38,0)) * sxx - sx * sx) > 0" +
+        " and (cast(n as decimal(38,0)) * syy - sy * sy) > 0 then" +
+        " round(cast(cast(n as decimal(38,0)) * sxy - sx * sy" +
+        " as double) /" +
+        " sqrt(cast(cast(n as decimal(38,0)) * sxx - sx * sx" +
+        " as double) *" +
+        " cast(cast(n as decimal(38,0)) * syy - sy * sy as double))," +
+        " 6) + 0.0 end").as("rho"))
+  }
 }

@@ -2333,6 +2333,48 @@ object NorthStar {
     Behavior.basketPairs(Tables.lineitem(spark, d), "l_orderkey",
       "l_partkey", 15)
 
+  /** X15 Kolmogorov–Smirnov two-sample ([[graft.operators.Behavior
+    * .ksTest]]): per-user revenue cents under the user_id mod 2 hash
+    * split — the whole-distribution A/B readout beside q241's mean
+    * test and q242's rank test; D in exact ppm of n_a·n_b with the
+    * smallest metric value attaining it. */
+  def ksRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.ksTest(Tables.events(spark, d), "user_id",
+      round($"value" * 100, 0), pmod($"user_id", lit(2L)))
+  }
+
+  /** X14/X16 Kendall τ-b ([[graft.operators.Profiling.kendallTauB]])
+    * between daily revenue cents and daily order count — "do busier
+    * days make more money, monotonically?" over the calendar-bounded
+    * daily frame (the q228 pair-join shape); exact pair counts, τ-b
+    * the one fixed-order double. */
+  def revenueVolumeKendall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .select(floor(unix_timestamp($"o_orderdate") / 86400)
+          .cast("long").as("day"),
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum($"cents").as("c"), count(lit(1)).as("m"))
+    Profiling.kendallTauB(daily, "day", $"c", $"m")
+  }
+
+  /** X14/X16 Spearman ρ ([[graft.operators.Profiling.spearmanRho]])
+    * over the same daily (revenue, order-count) frame as q252 —
+    * rank-Pearson via exact doubled midranks, ρ the one fixed-order
+    * double; agrees in sign with τ-b but weighs rank distance. */
+  def revenueVolumeSpearman(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, d)
+      .select(floor(unix_timestamp($"o_orderdate") / 86400)
+          .cast("long").as("day"),
+        round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum($"cents").as("c"), count(lit(1)).as("m"))
+    Profiling.spearmanRho(daily, $"c", $"m")
+  }
+
   /** X16 day-of-week profile ([[graft.operators.TimeSeries
     * .weekdayProfile]]): per weekday, exact cents totals/means and the
     * seasonality index vs the overall mean in one exact DECIMAL ppm —

@@ -2364,6 +2364,60 @@ class NorthStarSpec extends SparkSpec {
     assert(u2a + u2b == 2 * na * nb)
   }
 
+  test("ksTest: cross-scaled integer CDF gap, smallest value at the max") {
+    import spark.implicits._
+    // arm0 totals {100, 300}, arm1 {200, 300}: pooled CDF gaps
+    // |cumA·n_b − cumB·n_a| at m=100/200/300 are 2/0/0 → D = 2 of
+    // n_a·n_b = 4 → 500000 ppm, attained first (and only) at m=100
+    val ev = Seq((0L, 1.0), (2L, 3.0), (1L, 2.0), (3L, 3.0))
+      .toDF("user_id", "value")
+    val got = Behavior.ksTest(ev, "user_id", round($"value" * 100, 0),
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((2L, 2L, 500000L, 100L)))
+  }
+
+  test("kendallTauB: hand-traced pair classes; tau_b = 0.4") {
+    import spark.implicits._
+    // (x,y) by key: (1,1) (2,2) (3,1) (3,4) → 6 pairs:
+    // conc {12,14,24}, disc {23}, tie_y {13}, tie_x {34} →
+    // tau_b = (3−1)/sqrt(5·5) = 0.4
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 1L),
+      (4L, 3L, 4L)).toDF("k", "x", "y")
+    val got = Profiling.kendallTauB(df, "k", $"x", $"y")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toList
+    assert(got == List((4L, 6L, 3L, 1L, 1L, 1L, 0L, Some(0.4))))
+  }
+
+  test("kendallTauB fail-fasts on frames over maxRows") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, i, i)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.kendallTauB(df, "k", $"x", $"y", maxRows = 4)
+    }
+    assert(e.getMessage.contains("key-bounded"))
+  }
+
+  test("spearmanRho: doubled midranks; rho = 64/72 on the tie fixture") {
+    import spark.implicits._
+    // x = 1,2,3,3 → 2·midranks 2,4,7,7; y = 1,1,2,4 → 3,3,6,8;
+    // n·Sxy − SxSy = 464 − 400 = 64, both variance terms 72 →
+    // rho = 64/72 = 0.888889
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 2L), (3L, 4L)).toDF("x", "y")
+    val got = Profiling.spearmanRho(df, $"x", $"y")
+      .as[(Long, Option[Double])].collect().toList
+    assert(got == List((4L, Some(0.888889))))
+  }
+
+  test("spearmanRho is NULL for a constant metric") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val got = Profiling.spearmanRho(df, $"x", $"y")
+      .as[(Long, Option[Double])].collect().toList
+    assert(got == List((3L, None)))
+  }
+
   test("chiSquareIndependence: 2x2 with all expected = 20 gives 20e9") {
     import spark.implicits._
     // cells (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30, n=80 → every
