@@ -274,6 +274,10 @@ object SparkEntry {
     "q251_ks_test"       -> (NorthStar.ksRevenue _),
     "q252_kendall_tau"   -> (NorthStar.revenueVolumeKendall _),
     "q253_spearman_rho"  -> (NorthStar.revenueVolumeSpearman _),
+    "q254_lf_vote"       -> (NorthStar.qualityLfVote _),
+    "q255_cohen_kappa"   -> (NorthStar.qualityLfKappa _),
+    "q256_auc_exact"     -> (NorthStar.lengthAucEnglish _),
+    "q257_calibration"   -> (NorthStar.lengthCalibration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4995,6 +4999,117 @@ object SparkEntry {
         |           CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
         |           6) + 0.0 END AS rho
         |FROM a""".stripMargin,
+    // q254: majority vote of 3 binary LFs + per-LF audit — vote is
+    // row-local (odd count, never a tie), ppm via HUGEINT.
+    "q254_lf_vote" ->
+      """WITH v AS (SELECT
+        |    CAST(n_chars >= 300 AS INTEGER) AS lf_long,
+        |    CAST(lang = 'en' AS INTEGER) AS lf_en,
+        |    CAST(len(string_split(text, ' ')) >= 50 AS INTEGER)
+        |      AS lf_wordy
+        |  FROM documents),
+        |v2 AS (SELECT *,
+        |    CASE WHEN 2 * (lf_long + lf_en + lf_wordy) > 3 THEN 1
+        |         WHEN 2 * (lf_long + lf_en + lf_wordy) < 3 THEN 0
+        |         END AS vote
+        |  FROM v),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(vote) AS BIGINT) AS n_covered,
+        |    CAST(count(CASE WHEN lf_long = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_long,
+        |    CAST(count(CASE WHEN lf_long = vote THEN 1 END) AS BIGINT)
+        |      AS agree_long,
+        |    CAST(count(CASE WHEN lf_en = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_en,
+        |    CAST(count(CASE WHEN lf_en = vote THEN 1 END) AS BIGINT)
+        |      AS agree_en,
+        |    CAST(count(CASE WHEN lf_wordy = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_wordy,
+        |    CAST(count(CASE WHEN lf_wordy = vote THEN 1 END) AS BIGINT)
+        |      AS agree_wordy
+        |  FROM v2),
+        |s AS (SELECT 'long' AS lf, n, n_covered, pos_long AS n_pos,
+        |        agree_long AS n_agree FROM one
+        |      UNION ALL
+        |      SELECT 'en', n, n_covered, pos_en, agree_en FROM one
+        |      UNION ALL
+        |      SELECT 'wordy', n, n_covered, pos_wordy, agree_wordy
+        |      FROM one)
+        |SELECT lf, n, n_covered, n_agree,
+        |       CASE WHEN n_covered > 0 THEN
+        |         CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_covered
+        |           AS BIGINT) END AS agree_ppm,
+        |       CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
+        |         AS pos_ppm
+        |FROM s ORDER BY lf""".stripMargin,
+    // q255: Cohen's kappa, denominators cleared — kappa_ppm =
+    // ((n00+n11)*n - (r0*c0 + r1*c1)) * 1e6 // (n^2 - (r0*c0 + r1*c1)).
+    "q255_cohen_kappa" ->
+      """WITH c AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN n_chars < 300
+        |      AND len(string_split(text, ' ')) < 50 THEN 1 END)
+        |      AS BIGINT) AS n00,
+        |    CAST(count(CASE WHEN n_chars < 300
+        |      AND len(string_split(text, ' ')) >= 50 THEN 1 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(count(CASE WHEN n_chars >= 300
+        |      AND len(string_split(text, ' ')) < 50 THEN 1 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(count(CASE WHEN n_chars >= 300
+        |      AND len(string_split(text, ' ')) >= 50 THEN 1 END)
+        |      AS BIGINT) AS n11
+        |  FROM documents)
+        |SELECT n, n00, n01, n10, n11,
+        |  CASE WHEN CAST(n AS HUGEINT) * n -
+        |      (CAST(n00 + n01 AS HUGEINT) * (n00 + n10)
+        |       + CAST(n10 + n11 AS HUGEINT) * (n01 + n11)) <> 0
+        |    THEN CAST((CAST(n00 + n11 AS HUGEINT) * n -
+        |      (CAST(n00 + n01 AS HUGEINT) * (n00 + n10)
+        |       + CAST(n10 + n11 AS HUGEINT) * (n01 + n11)))
+        |      * 1000000 // (CAST(n AS HUGEINT) * n -
+        |      (CAST(n00 + n01 AS HUGEINT) * (n00 + n10)
+        |       + CAST(n10 + n11 AS HUGEINT) * (n01 + n11)))
+        |      AS BIGINT) END AS kappa_ppm
+        |FROM c""".stripMargin,
+    // q256: exact AUC via doubled midranks (q242's device) — ppm of
+    // 2*n_pos*n_neg.
+    "q256_auc_exact" ->
+      """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vals AS (SELECT s,
+        |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS cp,
+        |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS cn
+        |  FROM base GROUP BY 1),
+        |r AS (SELECT cp, cn,
+        |        2 * (sum(cp + cn) OVER (ORDER BY s ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW) - (cp + cn))
+        |          + cp + cn + 1 AS two_mid
+        |      FROM vals),
+        |a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(cn) AS BIGINT) AS n_neg,
+        |        sum(CAST(cp AS HUGEINT) * two_mid) AS rp2
+        |      FROM r)
+        |SELECT n_pos, n_neg,
+        |       CAST((rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+        |         * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+        |         AS BIGINT) AS auc_ppm
+        |FROM a""".stripMargin,
+    // q257: calibration table — n_chars ppm of the fixed 600 ceiling,
+    // 10 equal-width bins, mean score vs positive rate in exact ppm.
+    "q257_calibration" ->
+      """WITH base AS (SELECT
+        |    least(1000000, n_chars * 1000000 // 600) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT CAST(least(9, s * 10 // 1000000) AS INTEGER) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT)
+        |         AS mean_score_ppm,
+        |       CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
+        |         * 1000000 // count(*) AS BIGINT) AS pos_ppm
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weak-supervision and label-quality operators — the "where do the
+  * labels come from and can we trust them" layer of a training-data
+  * platform (Ratner et al., Snorkel, VLDB 2018): rule-based labeling
+  * functions are voted into a consensus label, labeler pairs are
+  * audited for chance-corrected agreement, and any scalar quality
+  * score is evaluated against a reference label with an exact AUC and
+  * a calibration table. Everything is exact integer (counts, ppm via
+  * DECIMAL(38,0) numerators) so the DuckDB oracle replays every row —
+  * no resolution model or EM fitting, which would be float-iterative;
+  * majority vote IS Snorkel's documented cold-start baseline.
+  *
+  * Scale shape: every operator is one scan-shaped conditional
+  * aggregate (map-side partials, single-row or bins-sized output);
+  * [[aucExact]] adds the [[Behavior.mannWhitneyU]] distinct-value
+  * cumsum, bounded by the score's value range, not by rows. */
+object Labeling {
+
+  private def dec(c: Column) = c.cast("decimal(38,0)")
+
+  /** MAJORITY VOTE over binary labeling functions + per-LF audit:
+    * each named LF votes 0/1 per row; the consensus label is the
+    * strict majority (NULL = abstain on an exact tie, only possible
+    * for an even LF count). Returns one row per LF — (lf, n,
+    * n_covered, n_agree, agree_ppm, pos_ppm): how often the LF fires
+    * (pos_ppm of n), how much of the corpus reached a consensus
+    * (n_covered), and how often the LF agrees with it (agree_ppm of
+    * n_covered) — the Snorkel-style "which rule is the outlier"
+    * readout. Exact integer ppm, DECIMAL numerators.
+    *
+    * Scale shape: the vote is a row-local sum of the LF columns (no
+    * shuffle), then ONE conditional aggregate with 4·|LFs| partials;
+    * output is |LFs| rows unpivoted from the single aggregate row. */
+  def majorityVote(df: DataFrame, lfs: Seq[(String, Column)])
+      : DataFrame = {
+    require(lfs.nonEmpty, "at least one labeling function")
+    require(lfs.map(_._1).distinct.size == lfs.size,
+      s"duplicate LF names in ${lfs.map(_._1)}")
+    lfs.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"LF name '$n' must be [A-Za-z0-9_]+ (it becomes a column)") }
+    val k = lfs.size
+    val voted = df
+      .select(lfs.map { case (n, c) =>
+        c.cast("int").as(s"lf_$n") }: _*)
+      .withColumn("ones",
+        lfs.map { case (n, _) => col(s"lf_$n") }.reduce(_ + _))
+      .withColumn("vote",
+        when(lit(2) * col("ones") > k, 1)
+          .when(lit(2) * col("ones") < k, 0)
+          .otherwise(lit(null).cast("int")))
+    val aggs = Seq(count(lit(1)).as("n"),
+      count(col("vote")).as("n_covered")) ++
+      lfs.flatMap { case (n, _) => Seq(
+        count(when(col(s"lf_$n") === 1, 1)).as(s"pos_$n"),
+        count(when(col(s"lf_$n") === col("vote"), 1)).as(s"agree_$n"))
+      }
+    val one = voted.agg(aggs.head, aggs.tail: _*)
+    val stacked = lfs.map { case (n, _) =>
+      s"'$n', pos_$n, agree_$n" }.mkString(", ")
+    one.selectExpr("n", "n_covered",
+        s"stack($k, $stacked) as (lf, n_pos, n_agree)")
+      .select(col("lf"), col("n"), col("n_covered"), col("n_agree"),
+        expr("case when n_covered > 0 then" +
+          " cast(cast(n_agree as decimal(38,0)) * 1000000" +
+          " div n_covered as bigint) end").as("agree_ppm"),
+        expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n" +
+          " as bigint)").as("pos_ppm"))
+  }
+
+  /** COHEN'S KAPPA between two binary labelers (Cohen 1960) — the
+    * chance-corrected agreement audit for a labeler pair: κ =
+    * (p_o − p_e)/(1 − p_e), kept EXACT by clearing denominators:
+    * κ_ppm = ((n00+n11)·n − (r0·c0 + r1·c1)) · 10⁶ div
+    * (n² − (r0·c0 + r1·c1)) with every product DECIMAL(38,0) — no
+    * float probability anywhere. NULL when chance agreement is total
+    * (p_e = 1: both labelers constant — κ undefined). One row:
+    * (n, n00, n01, n10, n11, kappa_ppm); n01 counts a=0, b=1.
+    *
+    * Scale shape: ONE conditional aggregate over the scan — four
+    * confusion counts with map-side partials, 1-row output. */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df
+      .select(a.cast("int").as("a"), b.cast("int").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("a") === 0 && col("b") === 0, 1)).as("n00"),
+        count(when(col("a") === 0 && col("b") === 1, 1)).as("n01"),
+        count(when(col("a") === 1 && col("b") === 0, 1)).as("n10"),
+        count(when(col("a") === 1 && col("b") === 1, 1)).as("n11"))
+    cells.select(col("n"), col("n00"), col("n01"), col("n10"),
+        col("n11"),
+        expr("case when cast(n as decimal(38,0)) * n -" +
+          " (cast(n00 + n01 as decimal(38,0)) * (n00 + n10)" +
+          "  + cast(n10 + n11 as decimal(38,0)) * (n01 + n11)) <> 0" +
+          " then cast((cast(n00 + n11 as decimal(38,0)) * n -" +
+          " (cast(n00 + n01 as decimal(38,0)) * (n00 + n10)" +
+          "  + cast(n10 + n11 as decimal(38,0)) * (n01 + n11)))" +
+          " * 1000000 div (cast(n as decimal(38,0)) * n -" +
+          " (cast(n00 + n01 as decimal(38,0)) * (n00 + n10)" +
+          "  + cast(n10 + n11 as decimal(38,0)) * (n01 + n11)))" +
+          " as bigint) end").as("kappa_ppm"))
+  }
+
+  /** EXACT AUC of a scalar score against a binary label — the
+    * probability a random positive outscores a random negative (ties
+    * half credit), which is exactly U⁺/(n⁺·n⁻) (Mann–Whitney; Hanley
+    * & McNeil 1982). Stays EXACT INTEGER via the [[Behavior
+    * .mannWhitneyU]] DOUBLED-midrank device (2·mid = 2p + c + 1 per
+    * distinct score value): auc_ppm = (Σ⁺2·mid − n⁺·(n⁺+1)) · 10⁶
+    * div (2·n⁺·n⁻). One row: (n_pos, n_neg, auc_ppm). The
+    * threshold-free twin of [[calibrationBins]]' threshold-table
+    * view; both engines agree to the ppm.
+    *
+    * Scale shape: per-VALUE count frame + the distinct-value cumsum
+    * window (bounded by the score's value range, not rows), one
+    * final 1-row aggregate. */
+  def aucExact(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = df
+      .select(score.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val vals = base.groupBy(col("s"))
+      .agg(count(when(col("y") === 1, 1)).as("cp"),
+        count(when(col("y") === 0, 1)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = vals
+      .withColumn("cum", sum(col("cp") + col("cn")).over(w))
+      .withColumn("two_mid",
+        lit(2) * (col("cum") - (col("cp") + col("cn")))
+          + col("cp") + col("cn") + lit(1))
+    ranked.agg(sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
+        sum(dec(col("cp")) * col("two_mid")).as("rp2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast((rp2 - cast(n_pos as decimal(38,0)) * (n_pos + 1))" +
+          " * 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg)" +
+          " as bigint)").as("auc_ppm"))
+  }
+
+  /** CALIBRATION TABLE of a ppm-scaled score against a binary label —
+    * the reliability diagram as exact integers: rows land in
+    * `bins` equal-width score buckets (bin = score·bins div 10⁶,
+    * clamped to bins−1 so score = 10⁶ joins the top bucket), and each
+    * bucket reports (bin, n, mean_score_ppm, pos_ppm) — a calibrated
+    * scorer has mean_score_ppm ≈ pos_ppm per row. Scores must already
+    * be in [0, 10⁶] (fail-fast otherwise): calibration is a claim
+    * about probabilities, so the caller picks the probability scale.
+    *
+    * Scale shape: one groupBy over ≤ `bins` keys — pure map-side
+    * aggregation; empty buckets are absent (count is zero). */
+  def calibrationBins(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    val base = df
+      .select(scorePpm.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    base
+      .withColumn("ok",
+        assert_true(col("s") >= 0 && col("s") <= 1000000,
+          lit("calibrationBins: score out of [0, 1000000] ppm")))
+      .filter(col("ok").isNull)
+      .groupBy(least(lit(bins - 1),
+        expr(s"s * $bins div 1000000")).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(s as decimal(38,0))) div count(1)" +
+          " as bigint)").as("mean_score_ppm"),
+        expr("cast(cast(count(if(y = 1, 1, null)) as decimal(38,0))" +
+          " * 1000000 div count(1) as bigint)").as("pos_ppm"))
+  }
+}

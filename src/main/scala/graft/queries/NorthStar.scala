@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Behavior, Curation, Dedup, Graph, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, TimeSeries, Upsert}
+import graft.operators.{Behavior, Curation, Dedup, Graph, Labeling, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, TimeSeries, Upsert}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -2373,6 +2373,62 @@ object NorthStar {
       .groupBy($"day")
       .agg(sum($"cents").as("c"), count(lit(1)).as("m"))
     Profiling.spearmanRho(daily, $"c", $"m")
+  }
+
+  /** The three rule-based labeling functions every Labeling query
+    * shares — "is this a high-quality doc": long enough (n_chars ≥
+    * 300), English, and ≥ 50 whitespace tokens. Deterministic,
+    * SQL-replayable row-local predicates (the Snorkel LF shape). */
+  private def qualityLfs(spark: SparkSession)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import spark.implicits._
+    Seq(
+      "long"  -> ($"n_chars" >= 300).cast("int"),
+      "en"    -> ($"lang" === "en").cast("int"),
+      "wordy" -> (size(split($"text", " ")) >= 50).cast("int"))
+  }
+
+  /** X17 weak-supervision majority vote ([[graft.operators.Labeling
+    * .majorityVote]]): three quality LFs voted into a consensus
+    * label, one audit row per LF (coverage, agreement, fire rate in
+    * exact ppm) — "which rule is the outlier". */
+  def qualityLfVote(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.majorityVote(Tables.documents(spark, d),
+        qualityLfs(spark))
+      .orderBy($"lf")
+  }
+
+  /** X17 Cohen's κ ([[graft.operators.Labeling.cohenKappa]]) between
+    * the length and word-count LFs — chance-corrected labeler
+    * agreement, exact ppm with DECIMAL-cleared denominators. */
+  def qualityLfKappa(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.cohenKappa(Tables.documents(spark, d),
+      ($"n_chars" >= 300).cast("int"),
+      (size(split($"text", " ")) >= 50).cast("int"))
+  }
+
+  /** X17 exact AUC ([[graft.operators.Labeling.aucExact]]): does raw
+    * length (n_chars) predict the English label? U⁺/(n⁺·n⁻) in exact
+    * ppm via doubled midranks — the threshold-free scorer audit. */
+  def lengthAucEnglish(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.aucExact(Tables.documents(spark, d), $"n_chars",
+      ($"lang" === "en").cast("int"))
+  }
+
+  /** X17 calibration table ([[graft.operators.Labeling
+    * .calibrationBins]]): n_chars rescaled to ppm of the fixed 600
+    * ceiling as a mock probability, binned into 10 equal-width
+    * buckets against the English label — mean score vs positive rate
+    * per bucket, all exact integers. */
+  def lengthCalibration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.calibrationBins(Tables.documents(spark, d),
+        least(lit(1000000L), expr("n_chars * 1000000 div 600")),
+        ($"lang" === "en").cast("int"), 10)
+      .orderBy($"bin")
   }
 
   /** X16 day-of-week profile ([[graft.operators.TimeSeries

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LabelingSpec extends SparkSpec {
+
+  test("majorityVote: 3-LF consensus + per-LF audit, hand-traced") {
+    import spark.implicits._
+    // rows (a,b,c): (1,1,1) (1,1,0) (1,0,0) (0,0,0) → votes 1,1,0,0;
+    // n=4 covered=4. a: pos 3, agree {r1,r2,r4} = 3; b: pos 2,
+    // agree 4; c: pos 1, agree 3
+    val df = Seq((1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Labeling.majorityVote(df,
+        Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      .orderBy($"lf")
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().toList
+    assert(got == List(
+      ("a", 4L, 4L, 3L, Some(750000L), 750000L),
+      ("b", 4L, 4L, 4L, Some(1000000L), 500000L),
+      ("c", 4L, 4L, 3L, Some(750000L), 250000L)))
+  }
+
+  test("majorityVote abstains on an exact 2-LF tie") {
+    import spark.implicits._
+    // (1,0) ties → vote NULL: covered only counts decided rows
+    val df = Seq((1, 0), (1, 1), (0, 0)).toDF("a", "b")
+    val got = Labeling.majorityVote(df, Seq("a" -> $"a", "b" -> $"b"))
+      .orderBy($"lf")
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().toList
+    // decided rows: (1,1)→1, (0,0)→0; both LFs agree on both
+    assert(got == List(
+      ("a", 3L, 2L, 2L, Some(1000000L), 666666L),
+      ("b", 3L, 2L, 2L, Some(1000000L), 333333L)))
+  }
+
+  test("cohenKappa: textbook 2x2 fixture gives kappa = 0.4") {
+    import spark.implicits._
+    // n00=20 n01=5 n10=10 n11=15, n=50: po=35/50=0.7,
+    // pe=(25·30+25·20)/2500 = 1250/2500 = 0.5 → kappa = 0.2/0.5
+    //  = 0.4 → 400000 ppm
+    val rows = Seq.fill(20)((0, 0)) ++ Seq.fill(5)((0, 1)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(15)((1, 1))
+    val got = Labeling.cohenKappa(rows.toDF("a", "b"), $"a", $"b")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toList
+    assert(got == List((50L, 20L, 5L, 10L, 15L, Some(400000L))))
+  }
+
+  test("cohenKappa is NULL when both labelers are constant") {
+    import spark.implicits._
+    val rows = Seq.fill(4)((1, 1))
+    val got = Labeling.cohenKappa(rows.toDF("a", "b"), $"a", $"b")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toList
+    assert(got == List((4L, 0L, 0L, 0L, 4L, None)))
+  }
+
+  test("aucExact: ties get half credit; perfect ranking gives 1e6") {
+    import spark.implicits._
+    // scores/labels: (1,0) (2,0) (2,1) (3,1): pair credit — pos@2 vs
+    // neg{1,2}: 1 + 0.5; pos@3 vs both negs: 2 → U+ = 3.5 of 4
+    //  → 875000 ppm
+    val df = Seq((1L, 0), (2L, 0), (2L, 1), (3L, 1)).toDF("s", "y")
+    val got = Labeling.aucExact(df, $"s", $"y")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((2L, 2L, 875000L)))
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("s", "y")
+    assert(Labeling.aucExact(perfect, $"s", $"y")
+      .as[(Long, Long, Long)].collect().head._3 == 1000000L)
+  }
+
+  test("calibrationBins: equal-width ppm bins, top edge joins bin 9") {
+    import spark.implicits._
+    // scores 50000(y=0), 150000(y=1), 150000(y=0), 1000000(y=1):
+    // bins 0, 1, 1, 9 (the 1e6 edge clamps into 9)
+    val df = Seq((50000L, 0), (150000L, 1), (150000L, 0),
+      (1000000L, 1)).toDF("s", "y")
+    val got = Labeling.calibrationBins(df, $"s", $"y", 10)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 1L, 50000L, 0L),
+      (1, 2L, 150000L, 500000L),
+      (9, 1L, 1000000L, 1000000L)))
+  }
+
+  test("calibrationBins fail-fasts on out-of-range scores") {
+    import spark.implicits._
+    val df = Seq((2000000L, 1)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Labeling.calibrationBins(df, $"s", $"y", 10).collect()
+    }
+    assert(e.getMessage.contains("out of [0, 1000000]") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("out of [0, 1000000]")))
+  }
+}
