@@ -278,6 +278,8 @@ object SparkEntry {
     "q255_cohen_kappa"   -> (NorthStar.qualityLfKappa _),
     "q256_auc_exact"     -> (NorthStar.lengthAucEnglish _),
     "q257_calibration"   -> (NorthStar.lengthCalibration _),
+    "q258_roc_points"    -> (NorthStar.lengthRocPoints _),
+    "q259_fleiss_kappa"  -> (NorthStar.qualityLfFleiss _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5110,6 +5112,65 @@ object SparkEntry {
         |       CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
         |         * 1000000 // count(*) AS BIGINT) AS pos_ppm
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q258: ROC staircase — one row per distinct threshold v
+    // ("predict 1 when s >= v"); TP/FP from the ascending cumsums.
+    "q258_roc_points" ->
+      """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vals AS (SELECT s,
+        |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS cp,
+        |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS cn
+        |  FROM base GROUP BY 1),
+        |c AS (SELECT s, cp, cn,
+        |        sum(cp) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cum_p,
+        |        sum(cn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cum_n,
+        |        sum(cp) OVER () AS n_pos, sum(cn) OVER () AS n_neg
+        |      FROM vals),
+        |t AS (SELECT s AS threshold,
+        |        CAST(n_pos - cum_p + cp AS BIGINT) AS tp,
+        |        CAST(n_neg - cum_n + cn AS BIGINT) AS fp,
+        |        CAST(n_pos AS BIGINT) AS n_pos,
+        |        CAST(n_neg AS BIGINT) AS n_neg
+        |      FROM c)
+        |SELECT threshold, tp, fp,
+        |       CAST(CAST(tp AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+        |         AS tpr_ppm,
+        |       CAST(CAST(fp AS HUGEINT) * 1000000 // n_neg AS BIGINT)
+        |         AS fpr_ppm,
+        |       CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp)
+        |         AS BIGINT) AS precision_ppm
+        |FROM t ORDER BY threshold""".stripMargin,
+    // q259: Fleiss' kappa, denominators cleared — A = sum(x^2 +
+    // (k-x)^2 - k), C = S1^2 + S0^2, E = (nk)^2, B = nk(k-1);
+    // kappa_ppm = (A*E - B*C) * 1e6 // (B * (E - C)).
+    "q259_fleiss_kappa" ->
+      """WITH v AS (SELECT
+        |    CAST(n_chars >= 300 AS INTEGER)
+        |    + CAST(lang = 'en' AS INTEGER)
+        |    + CAST(len(string_split(text, ' ')) >= 50 AS INTEGER)
+        |      AS x
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(x * x + (3 - x) * (3 - x) - 3 AS HUGEINT))
+        |          AS a,
+        |        sum(CAST(x AS HUGEINT)) AS s1
+        |      FROM v WHERE x IS NOT NULL),
+        |h AS (SELECT n, a,
+        |        s1 * s1 + (CAST(n AS HUGEINT) * 3 - s1)
+        |          * (CAST(n AS HUGEINT) * 3 - s1) AS c_num
+        |      FROM g)
+        |SELECT n, 3 AS k, CAST(a AS BIGINT) AS a,
+        |       CASE WHEN CAST(n AS HUGEINT) * n * 3 * 3 - c_num <> 0
+        |         THEN CAST((a * CAST(n AS HUGEINT) * n * 3 * 3
+        |           - CAST(n AS HUGEINT) * 3 * (3 - 1) * c_num)
+        |           * 1000000
+        |           // (CAST(n AS HUGEINT) * 3 * (3 - 1)
+        |           * (CAST(n AS HUGEINT) * n * 3 * 3 - c_num))
+        |           AS BIGINT) END AS kappa_ppm
+        |FROM h""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -144,6 +144,98 @@ object Labeling {
           " as bigint)").as("auc_ppm"))
   }
 
+  /** ROC OPERATING POINTS of a scalar score against a binary label —
+    * one row per DISTINCT score value v, read as the threshold
+    * "predict positive when score ≥ v": exact TP/FP counts plus
+    * tpr/fpr/precision in exact ppm (DECIMAL numerators). The curve
+    * behind [[aucExact]]'s single number — pick a threshold by
+    * reading the row, not by re-scoring; the (tpr, fpr) staircase
+    * integrates to the same AUC (ties give [[aucExact]] half
+    * credit). Thresholds ascend, so tpr/fpr DESCEND down the output.
+    *
+    * Scale shape: the same per-VALUE count frame + distinct-value
+    * cumsum window as [[aucExact]] (bounded by the score's value
+    * range, not rows) with the two grand totals as whole-frame
+    * window sums over the SAME ordering — one sort, one pass, output
+    * |distinct values| rows. */
+  def rocPoints(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = df
+      .select(score.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val vals = base.groupBy(col("s"))
+      .agg(count(when(col("y") === 1, 1)).as("cp"),
+        count(when(col("y") === 0, 1)).as("cn"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("s"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("s"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    vals
+      .withColumn("cum_p", sum(col("cp")).over(w))
+      .withColumn("cum_n", sum(col("cn")).over(w))
+      .withColumn("n_pos", sum(col("cp")).over(wAll))
+      .withColumn("n_neg", sum(col("cn")).over(wAll))
+      // predict 1 when s >= v: positives/negatives at or above v
+      .select(col("s").as("threshold"),
+        (col("n_pos") - col("cum_p") + col("cp")).as("tp"),
+        (col("n_neg") - col("cum_n") + col("cn")).as("fp"),
+        col("n_pos"), col("n_neg"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        expr("cast(cast(tp as decimal(38,0)) * 1000000 div n_pos" +
+          " as bigint)").as("tpr_ppm"),
+        expr("cast(cast(fp as decimal(38,0)) * 1000000 div n_neg" +
+          " as bigint)").as("fpr_ppm"),
+        expr("cast(cast(tp as decimal(38,0)) * 1000000 div (tp + fp)" +
+          " as bigint)").as("precision_ppm"))
+  }
+
+  /** FLEISS' KAPPA over k ≥ 2 binary raters (Fleiss 1971) — the
+    * multi-rater generalization of [[cohenKappa]] for the LF panels
+    * [[majorityVote]] audits pairwise: with x_i raters voting 1 on
+    * subject i, observed agreement P̄ = A/B for the integer sums
+    * A = Σ_i (x_i² + (k−x_i)² − k), B = n·k·(k−1), and chance
+    * agreement P̄_e = (S1² + S0²)/(nk)² for the integer vote totals;
+    * clearing denominators gives κ_ppm = (A·E − B·C)·10⁶ div
+    * (B·(E − C)) for C = S1² + S0², E = (nk)², every product
+    * DECIMAL(38,0) — exact, no float probability (A·E ≤ n³k⁴, so
+    * 10⁹ subjects × 10 raters stays under 38 digits). NULL when
+    * E = C (all raters constant: P̄_e = 1). One row: (n, k, a,
+    * kappa_ppm) with a = A, the observed-agreement numerator. Rows
+    * where any rater abstains (NULL) are excluded — Fleiss assumes
+    * complete panels.
+    *
+    * Scale shape: ONE conditional aggregate over the scan (x is a
+    * row-local sum), 1-row output. */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val k = raters.size
+    val x = raters.map(_.cast("int")).reduce(_ + _)
+    val agg = df
+      .select(x.as("x"))
+      .filter(col("x").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x") * col("x")
+          + (lit(k) - col("x")) * (lit(k) - col("x")) - lit(k)))
+          .as("a"),
+        sum(dec(col("x"))).as("s1"))
+    agg.select(col("n"), lit(k).as("k"), col("a"),
+        (col("s1") * col("s1")
+          + (dec(col("n")) * k - col("s1"))
+            * (dec(col("n")) * k - col("s1"))).as("c_num"))
+      .select(col("n"), col("k"),
+        expr("cast(a as bigint)").as("a"),
+        expr(
+          s"case when cast(n as decimal(38,0)) * n * $k * $k - c_num" +
+            " <> 0 then" +
+            s" cast((a * cast(n as decimal(38,0)) * n * $k * $k" +
+            s" - cast(n as decimal(38,0)) * $k * ($k - 1) * c_num)" +
+            " * 1000000" +
+            s" div (cast(n as decimal(38,0)) * $k * ($k - 1)" +
+            s" * (cast(n as decimal(38,0)) * n * $k * $k - c_num))" +
+            " as bigint) end").as("kappa_ppm"))
+  }
+
   /** CALIBRATION TABLE of a ppm-scaled score against a binary label —
     * the reliability diagram as exact integers: rows land in
     * `bins` equal-width score buckets (bin = score·bins div 10⁶,

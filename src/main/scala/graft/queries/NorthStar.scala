@@ -2431,6 +2431,27 @@ object NorthStar {
       .orderBy($"bin")
   }
 
+  /** X17 ROC operating points ([[graft.operators.Labeling
+    * .rocPoints]]): one row per distinct n_chars threshold against
+    * the English label — exact TP/FP with tpr/fpr/precision ppm, the
+    * curve behind q256's AUC. */
+  def lengthRocPoints(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.rocPoints(Tables.documents(spark, d), $"n_chars",
+        ($"lang" === "en").cast("int"))
+      .orderBy($"threshold")
+  }
+
+  /** X17 Fleiss' κ ([[graft.operators.Labeling.fleissKappa]]) over
+    * the three quality LFs as a rater panel — multi-rater
+    * chance-corrected agreement in exact ppm with cleared
+    * denominators; the panel-level companion of q255's pairwise κ. */
+  def qualityLfFleiss(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.fleissKappa(Tables.documents(spark, d),
+      qualityLfs(spark).map(_._2))
+  }
+
   /** X16 day-of-week profile ([[graft.operators.TimeSeries
     * .weekdayProfile]]): per weekday, exact cents totals/means and the
     * seasonality index vs the overall mean in one exact DECIMAL ppm —

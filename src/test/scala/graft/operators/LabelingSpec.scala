@@ -74,6 +74,40 @@ class LabelingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head._3 == 1000000L)
   }
 
+  test("rocPoints: staircase thresholds with exact tp/fp, hand-traced") {
+    import spark.implicits._
+    // same fixture as aucExact's tie case — thresholds 1/2/3:
+    // t=1 predicts all 1 → tp=2 fp=2; t=2 → tp=2 fp=1; t=3 → tp=1 fp=0
+    val df = Seq((1L, 0), (2L, 0), (2L, 1), (3L, 1)).toDF("s", "y")
+    val got = Labeling.rocPoints(df, $"s", $"y")
+      .orderBy($"threshold")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 2L, 1000000L, 1000000L, 500000L),
+      (2L, 2L, 1L, 1000000L, 500000L, 666666L),
+      (3L, 1L, 0L, 500000L, 0L, 1000000L)))
+  }
+
+  test("fleissKappa: cleared-denominator exact ppm on a 4x3 panel") {
+    import spark.implicits._
+    // x per subject: 3, 0, 3, 1 → A = 6+6+6+2 = 20, B = 24,
+    // S1 = 7, C = 49+25 = 74, E = 144 → kappa = 46/70 → 657142 ppm
+    val df = Seq((1, 1, 1), (0, 0, 0), (1, 1, 1), (1, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Labeling.fleissKappa(df, Seq($"a", $"b", $"c"))
+      .as[(Long, Int, Long, Option[Long])].collect().toList
+    assert(got == List((4L, 3, 20L, Some(657142L))))
+  }
+
+  test("fleissKappa is NULL when every rater is constant") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 1), (1, 1)).toDF("a", "b")
+    val got = Labeling.fleissKappa(df, Seq($"a", $"b"))
+      .as[(Long, Int, Long, Option[Long])].collect().toList
+    // x = 2 each: A = sum(4+0-2) = 6, but P_e = 1 → NULL
+    assert(got == List((3L, 2, 6L, None)))
+  }
+
   test("calibrationBins: equal-width ppm bins, top edge joins bin 9") {
     import spark.implicits._
     // scores 50000(y=0), 150000(y=1), 150000(y=0), 1000000(y=1):
