@@ -82,7 +82,10 @@ object Explain {
       "q241_welch_t", "q242_mann_whitney", "q243_chi_square",
       "q244_basket_pairs", "q245_weekday_profile", "q246_mad_outliers",
       "q247_funnel_by_arm", "q248_mmr_batch", "q249_group_mode",
-      "q250_dup_kcore")
+      "q250_dup_kcore", "q251_ks_test", "q252_kendall_tau",
+      "q253_spearman_rho", "q254_lf_vote", "q255_cohen_kappa",
+      "q256_auc_exact", "q257_calibration", "q258_roc_points",
+      "q259_fleiss_kappa")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -130,11 +133,18 @@ object Explain {
         "shown below is the distributed stage — the per-user " +
         "first/last aggregate reduced to (lifetime, deaths, censored)."),
       "q228_theil_sen" -> ("The median slope runs through the shared " +
-        "quantile refinement (q180's driver loop) over the pinned " +
-        "pairs frame, so the full query is not one lazy plan; shown " +
-        "below is the distributed core — the calendar-bounded pairwise " +
-        "slope join the stats aggregate and every refinement round " +
-        "scan."),
+        "quantile refinement (q180's driver loop) over the PINNED " +
+        "pairs frame (long-decomposed slope arithmetic — the " +
+        "DECIMAL numerator was 7x the cost — with a decimal fallback " +
+        "chosen from the day-sum span), so the full query is not one " +
+        "lazy plan; shown below is the distributed core — the " +
+        "calendar-bounded pairwise slope join the min/max aggregate " +
+        "and every refinement round scan."),
+      "q252_kendall_tau" -> ("The row count (maxRows fail-fast) and " +
+        "the calendar-bounded base frame pin eagerly, so shown below " +
+        "is the distributed core — the broadcast theta-join over the " +
+        "pinned days classifying every pair into " +
+        "concordant/discordant/tied in ONE map-only aggregate."),
       "q243_chi_square" -> ("Shown with lazyPlan = true: the " +
         "executable form pins the cells aggregate with an eager " +
         "localCheckpoint (the marginal/total/chi branches re-read it), " +
