@@ -41,12 +41,13 @@ object DemoPipeline {
     val mode = args.headOption match {
       case Some("--streaming") => "streaming"
       case Some("--stats") => "stats"
+      case Some("--labels") => "labels"
       case _ => "batch"
     }
     val rest = if (mode == "batch") args else args.drop(1)
     val base = rest.headOption.getOrElse(mode match {
       case "streaming" => "/tmp/graft_demo_stream"
-      case "stats" => "/root/testdata/sf0.001"
+      case "stats" | "labels" => "/root/testdata/sf0.001"
       case _ => "/tmp/graft_demo"
     })
     val today = rest.lift(1).getOrElse("2025-10-05")
@@ -63,6 +64,7 @@ object DemoPipeline {
     mode match {
       case "streaming" => runStreaming(spark, base, today)
       case "stats" => runStats(spark, base)
+      case "labels" => runLabels(spark, base)
       case _ => runBatch(spark, base, today)
     }
     spark.stop()
@@ -131,6 +133,51 @@ object DemoPipeline {
     operators.Behavior.funnelByArm(ev, "user_id", "ts", "event_type",
         Seq("signup", "view", "purchase"), armOf, 0L)
       .orderBy(col("arm"), col("step")).show(truncate = false)
+  }
+
+  /** LABEL-QUALITY READOUT MODE (round 10): ONE weak-supervision
+    * panel — the three document-quality labeling functions (length ≥
+    * 300 chars, English, ≥ 50 tokens) — pushed through the whole
+    * audit battery in one command: majority-vote consensus with the
+    * per-LF agreement table (q254), pairwise Cohen's κ for the two
+    * length-flavored LFs (q255) and panel-level Fleiss' κ (q259) to
+    * catch a redundant or adversarial rule, then the raw-length
+    * scorer evaluated against the English label — exact AUC (q256),
+    * the five ROC operating points nearest the staircase corners
+    * (q258), and the 10-bin calibration table (q257). The Snorkel
+    * cold-start loop as one deterministic command:
+    * `sbt "runMain graft.DemoPipeline --labels /root/testdata/sf0.001"`.
+    * Public and session-injected so the spec drives the identical
+    * code path the CLI runs. */
+  def runLabels(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val lfLong = (col("n_chars") >= 300).cast("int")
+    val lfEn = (col("lang") === "en").cast("int")
+    val lfWordy = (size(split(col("text"), " ")) >= 50).cast("int")
+    val lfs = Seq("long" -> lfLong, "en" -> lfEn, "wordy" -> lfWordy)
+    println("[lf vote] 3-LF majority consensus, per-LF audit")
+    operators.Labeling.majorityVote(docs, lfs)
+      .orderBy(col("lf")).show(truncate = false)
+    println("[cohen kappa] long vs wordy (are the length rules one rule?)")
+    operators.Labeling.cohenKappa(docs, lfLong, lfWordy)
+      .show(truncate = false)
+    println("[fleiss kappa] the full 3-LF panel")
+    operators.Labeling.fleissKappa(docs, lfs.map(_._2))
+      .show(truncate = false)
+    println("[auc] n_chars scoring the English label")
+    operators.Labeling.aucExact(docs, col("n_chars"), lfEn)
+      .show(truncate = false)
+    println("[roc] 5 operating points spread over the threshold range")
+    val roc = operators.Labeling.rocPoints(docs, col("n_chars"), lfEn)
+      .orderBy(col("threshold"))
+    val every = math.max(1L, roc.count() / 5L)
+    roc.withColumn("i", monotonically_increasing_id())
+      .filter(pmod(col("i"), lit(every)) === 0).drop("i")
+      .show(truncate = false)
+    println("[calibration] n_chars/600 as a mock probability, 10 bins")
+    operators.Labeling.calibrationBins(docs,
+        least(lit(1000000L), expr("n_chars * 1000000 div 600")), lfEn, 10)
+      .orderBy(col("bin")).show(truncate = false)
   }
 
   /** One scheduled STREAMING run over `base` for day `today` — public
