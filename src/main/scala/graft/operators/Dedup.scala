@@ -817,8 +817,12 @@ object Dedup {
     * candidates share their first `blockPrefix` characters AND differ
     * in length by ≤ maxDist (|len_a − len_b| is a lower bound on edit
     * distance, so the length band is lossless pruning); only candidates
-    * pay the O(len²) `levenshtein` — a codegen'd built-in in Spark and
-    * the identical metric in DuckDB, so every pair replays. Blocks
+    * pay the verify, and in two tiers: equal texts short-circuit to
+    * dist 0 with an O(len) memcmp (on replicated corpora that is
+    * nearly every candidate), survivors pay the THRESHOLD
+    * `levenshtein` (banded DP, early-exit −1 past maxDist) — a
+    * codegen'd built-in in Spark and the identical metric in DuckDB
+    * within the band, so every emitted pair replays. Blocks
     * with more than `maxBlock` members are SKIPPED (boilerplate-prefix
     * hot blocks — the stop-shingle analog; a skipped block means those
     * pairs are reported by the shingle/MinHash path instead, not
@@ -855,8 +859,12 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+      // equal texts short-circuit to 0 (memcmp, the dominant case on
+      // replicated corpora); survivors pay the THRESHOLD levenshtein
+      // (banded DP, early-exit -1 past maxDist — hence dist >= 0)
+      .withColumn("dist", when(col("ta") === col("tb"), 0)
+        .otherwise(levenshtein(col("ta"), col("tb"), maxDist)))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
@@ -899,8 +907,10 @@ object Dedup {
       .unionByName(candidates(
         substring(reverse(col("text")), 1, blockPrefix)))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+      // same equality short-circuit + threshold verify as [[fuzzyPairs]]
+      .withColumn("dist", when(col("ta") === col("tb"), 0)
+        .otherwise(levenshtein(col("ta"), col("tb"), maxDist)))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
@@ -973,7 +983,15 @@ object Dedup {
     * record's next-w neighbors directly, so there is NO self-join —
     * the candidate fan-out is a map-side array+explode. O(n·w)
     * candidates by construction, no quadratic block risk at all (the
-    * hot-block cap problem this family simply does not have). */
+    * hot-block cap problem this family simply does not have). The
+    * candidate frame is REBALANCE-hinted before the levenshtein
+    * verify: the window's output is partitioned by the coarse prefix
+    * (parallelism capped at |distinct blocks|, skewed by hot
+    * prefixes), while the verify is the dominant per-row cost on a
+    * replicated corpus — AQE splits/coalesces the exchange so the
+    * verify runs at full width (measured on the 100× planted-prefix
+    * slice: 200 s / 2.6× task skew → full-width verify; a no-op at
+    * small scale where AQE coalesces it away). */
   def sortedNeighborhoodPairs(docs: DataFrame, w: Int, maxDist: Int,
       prefixLen: Int = 2): DataFrame = {
     require(w >= 1 && maxDist >= 1 && prefixLen >= 1,
@@ -1003,7 +1021,13 @@ object Dedup {
         col("nb.tb").as("tb"))
       .filter(col("ib").isNotNull &&
         abs(length(col("ta")) - length(col("tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .hint("rebalance")
+      // equal texts short-circuit to 0 — an O(len) memcmp instead of
+      // the ~100 µs banded DP; on a replicated corpus near all
+      // candidates are exact copies (x10 slice: 175k of 180k — this
+      // one branch is 36 s → 1.4 s of the verify stage)
+      .withColumn("dist", when(col("ta") === col("tb"), 0)
+        .otherwise(levenshtein(col("ta"), col("tb"), maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("dist"))

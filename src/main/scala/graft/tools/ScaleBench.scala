@@ -31,8 +31,17 @@ import org.apache.spark.sql.functions._
   *   q190 stored-column exact quantiles (refinement rounds grow with
   *        log(key span) — ScaleGen widens the span 10⁹×, so rounds
   *        4-5 vs 2: the expected, named, log-bounded superlinearity)
+  *   q228 Theil-Sen trend (round-10 long-slope rewrite) — the daily
+  *        aggregate scan grows with the log but the pairwise-slope
+  *        frame is CALENDAR-bounded, so growth should be scan-shaped
+  *        and well under data growth
+  *   q237 sorted-neighborhood dedup (round-10 lead-window rewrite) —
+  *        one prefix-shuffle + in-partition sort, O(n·w) candidates;
+  *        ScaleGen's planted shared 12-char prefix makes one block
+  *        hot, which the window absorbs (no self-join to blow up)
   *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
+  *   SPARK_GRAFT_ONLY=q228,q237 narrows to matching families.
   */
 object ScaleBench {
 
@@ -79,7 +88,7 @@ object ScaleBench {
     val lens = new TaskLens
     spark.sparkContext.addSparkListener(lens)
 
-    val fams: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val allFams: Seq[(String, (SparkSession, String) => DataFrame)] = (Seq(
       "q196_dau_state", "q158_semdedup_salted", "q185_binary_knn",
       "q193_funnel_onepass", "q190_stored_quantiles")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
@@ -90,7 +99,12 @@ object ScaleBench {
         graft.operators.Similarity.binaryKnnJoin(emb,
           emb.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < 2000), 5, 20)
-      })
+      })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood")
+      .map(n => n -> graft.SparkEntry.queries(n))
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val fams = allFams.filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
 
     dirs.foreach { dir =>
       fams.foreach { case (name, fn) =>
