@@ -280,6 +280,7 @@ object SparkEntry {
     "q257_calibration"   -> (NorthStar.lengthCalibration _),
     "q258_roc_points"    -> (NorthStar.lengthRocPoints _),
     "q259_fleiss_kappa"  -> (NorthStar.qualityLfFleiss _),
+    "q260_snapshot_diff" -> (NorthStar.documentSnapshotDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5171,6 +5172,68 @@ object SparkEntry {
         |           * (CAST(n AS HUGEINT) * n * 3 * 3 - c_num))
         |           AS BIGINT) END AS kappa_ppm
         |FROM h""".stripMargin,
+    // q260: CDC snapshot diff — full outer join on doc_id, NULL-SAFE
+    // per-column compare (IS NOT DISTINCT FROM = Spark's <=>),
+    // long-format (dim, n) counters.
+    "q260_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+        |      AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 3 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT v1.doc_id AS ka, v2.doc_id AS kb,
+        |        v1.text AS ta, v2.text AS tb,
+        |        v1.lang AS la, v2.lang AS lb,
+        |        v1.source AS sa, v2.source AS sb,
+        |        v1.n_chars AS ca, v2.n_chars AS cb
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        |o AS (SELECT
+        |    CAST(count(ka) AS BIGINT) AS n_a,
+        |    CAST(count(kb) AS BIGINT) AS n_b,
+        |    CAST(count(CASE WHEN ka IS NULL THEN 1 END) AS BIGINT)
+        |      AS added,
+        |    CAST(count(CASE WHEN kb IS NULL THEN 1 END) AS BIGINT)
+        |      AS removed,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND NOT (ta IS NOT DISTINCT FROM tb
+        |        AND la IS NOT DISTINCT FROM lb
+        |        AND sa IS NOT DISTINCT FROM sb
+        |        AND ca IS NOT DISTINCT FROM cb) THEN 1 END) AS BIGINT)
+        |      AS changed,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND ta IS NOT DISTINCT FROM tb
+        |      AND la IS NOT DISTINCT FROM lb
+        |      AND sa IS NOT DISTINCT FROM sb
+        |      AND ca IS NOT DISTINCT FROM cb THEN 1 END) AS BIGINT)
+        |      AS unchanged,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND NOT (ta IS NOT DISTINCT FROM tb) THEN 1 END)
+        |      AS BIGINT) AS chg_text,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND NOT (la IS NOT DISTINCT FROM lb) THEN 1 END)
+        |      AS BIGINT) AS chg_lang,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND NOT (sa IS NOT DISTINCT FROM sb) THEN 1 END)
+        |      AS BIGINT) AS chg_source,
+        |    CAST(count(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |      AND NOT (ca IS NOT DISTINCT FROM cb) THEN 1 END)
+        |      AS BIGINT) AS chg_n_chars
+        |  FROM j)
+        |SELECT 'n_a' AS dim, n_a AS n FROM o
+        |UNION ALL SELECT 'n_b', n_b FROM o
+        |UNION ALL SELECT 'added', added FROM o
+        |UNION ALL SELECT 'removed', removed FROM o
+        |UNION ALL SELECT 'changed', changed FROM o
+        |UNION ALL SELECT 'unchanged', unchanged FROM o
+        |UNION ALL SELECT 'changed:text', chg_text FROM o
+        |UNION ALL SELECT 'changed:lang', chg_lang FROM o
+        |UNION ALL SELECT 'changed:source', chg_source FROM o
+        |UNION ALL SELECT 'changed:n_chars', chg_n_chars FROM o
+        |ORDER BY dim""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lag, lead, row_number, when}
+import org.apache.spark.sql.functions.{col, count, lag, lead, lit,
+  row_number, struct, when}
 
 /** A7 idempotent upsert-ignore (SURVEY.md §2.4): the reference's
   * `INSERT IGNORE` + `UNIQUE(symbol, date)` sink contract (etl.py:127,
@@ -92,5 +93,55 @@ object Upsert {
     scd2(reopened.unionByName(
         batch.select(col(key), col(tie), col(state), col(ts))),
       key, state, ts, tie)
+  }
+
+  /** SNAPSHOT DIFF — the change-data-capture audit between two
+    * versions of a keyed table ("what did this batch/backfill DO"):
+    * one FULL OUTER join on the key classifies every key as added
+    * (only in `b`, the new snapshot), removed (only in `a`), changed
+    * or unchanged (NULL-SAFE struct compare over all non-key columns,
+    * so a column going NULL counts as a change — the [[scd2]] `<=>`
+    * rule), plus a per-column change profile (which columns drive the
+    * churn — `changed:<col>` counts changed-or-nulled values among
+    * rows present in both). Output long-format (dim, n) rows:
+    * n_a, n_b, added, removed, changed, unchanged, changed:<col>….
+    * CONTRACT: the key is unique within each snapshot (the
+    * manifest/SCD grain) — a duplicated key would fan the outer join
+    * out and double-count; enforce upstream with the q202
+    * data-contract UNIQUE check.
+    *
+    * Scale shape: ONE key-keyed outer join (the same shuffle any
+    * merge pays) feeding ONE conditional aggregate with 6 + |cols|
+    * counters, then a constant-size unpivot — no second pass, no
+    * row materialization of the diff. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    require(a.columns.contains(key), s"'$key' missing from a")
+    require(a.columns.toSet == b.columns.toSet,
+      s"snapshot schemas differ: ${a.columns.toSet} vs ${b.columns.toSet}")
+    val cols = a.columns.filterNot(_ == key).toSeq
+    require(cols.nonEmpty, "need at least one non-key column")
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"column '$c' must be [A-Za-z0-9_]+ (it becomes a stack label)"))
+    val aa = a.select(col(key).as("k"),
+      struct(cols.map(col): _*).as("va"))
+    val bb = b.select(col(key).as("k"),
+      struct(cols.map(col): _*).as("vb"))
+    val both = col("va").isNotNull && col("vb").isNotNull
+    val aggs = Seq(
+      count(col("va")).as("n_a"),
+      count(col("vb")).as("n_b"),
+      count(when(col("va").isNull, 1)).as("added"),
+      count(when(col("vb").isNull, 1)).as("removed"),
+      count(when(both && !(col("va") <=> col("vb")), 1)).as("changed"),
+      count(when(both && (col("va") <=> col("vb")), 1)).as("unchanged")
+    ) ++ cols.map(c => count(when(both &&
+      !(col(s"va.$c") <=> col(s"vb.$c")), 1)).as(s"chg_$c"))
+    val one = aa.join(bb, Seq("k"), "full_outer")
+      .agg(aggs.head, aggs.tail: _*)
+    val labels = Seq("n_a", "n_b", "added", "removed", "changed",
+      "unchanged").map(d => s"'$d', $d") ++
+      cols.map(c => s"'changed:$c', chg_$c")
+    one.selectExpr(
+      s"stack(${labels.size}, ${labels.mkString(", ")}) as (dim, n)")
   }
 }

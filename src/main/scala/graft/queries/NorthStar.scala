@@ -2452,6 +2452,24 @@ object NorthStar {
       qualityLfs(spark).map(_._2))
   }
 
+  /** A-ext snapshot diff ([[graft.operators.Upsert.snapshotDiff]]):
+    * CDC audit between two simulated document-table versions — v1
+    * drops doc_id % 5 = 0, v2 drops doc_id % 7 = 0 and rewrites
+    * text/n_chars where doc_id % 3 = 0 — one outer join classifying
+    * every key added/removed/changed/unchanged plus the per-column
+    * churn profile, long-format (dim, n). */
+  def documentSnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val v1 = docs.filter(pmod($"doc_id", lit(5L)) =!= 0)
+    val v2 = docs.filter(pmod($"doc_id", lit(7L)) =!= 0)
+      .withColumn("text", when(pmod($"doc_id", lit(3L)) === 0,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+      .withColumn("n_chars", when(pmod($"doc_id", lit(3L)) === 0,
+        $"n_chars" + 3).otherwise($"n_chars"))
+    Upsert.snapshotDiff(v1, v2, "doc_id").orderBy($"dim")
+  }
+
   /** X16 day-of-week profile ([[graft.operators.TimeSeries
     * .weekdayProfile]]): per weekday, exact cents totals/means and the
     * seasonality index vs the overall mean in one exact DECIMAL ppm —

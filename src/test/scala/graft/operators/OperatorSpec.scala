@@ -179,6 +179,33 @@ class OperatorSpec extends SparkSpec {
     assert(merged.map(_._1).distinct == List(10L, 20L, 30L))
   }
 
+  test("Upsert.snapshotDiff classifies added/removed/changed/unchanged " +
+      "with NULL-safe per-column compare") {
+    import spark.implicits._
+    // a: 1→(1,p) 2→(2,p) 3→(null,p); b: 2→(5,p) 3→(null,p) 4→(7,q)
+    // added {4}, removed {1}, changed {2} (x only), unchanged {3}
+    // (null <=> null is a match, not a change)
+    val a = Seq((1L, Some(1L), "p"), (2L, Some(2L), "p"),
+      (3L, None, "p")).toDF("k", "x", "s")
+    val b = Seq((2L, Some(5L), "p"), (3L, None, "p"),
+      (4L, Some(7L), "q")).toDF("k", "x", "s")
+    val got = Upsert.snapshotDiff(a, b, "k")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("n_a" -> 3L, "n_b" -> 3L, "added" -> 1L,
+      "removed" -> 1L, "changed" -> 1L, "unchanged" -> 1L,
+      "changed:x" -> 1L, "changed:s" -> 0L))
+  }
+
+  test("Upsert.snapshotDiff fail-fasts on schema drift between snapshots") {
+    import spark.implicits._
+    val a = Seq((1L, 1L)).toDF("k", "x")
+    val b = Seq((1L, 1L)).toDF("k", "y")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(a, b, "k")
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
   test("Sessionize splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val ev = Seq(
