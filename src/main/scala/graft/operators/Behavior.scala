@@ -256,7 +256,18 @@ object Behavior {
       .select(variant.as("v"), col(user).as("u"),
         (col(typeCol) === lit(convType)).cast("int").as("c"))
       .groupBy(col("v"), col("u")).agg(max(col("c")).as("conv"))
-    val g = perUser.groupBy(col("v"))
+    abTestFromState(perUser)
+  }
+
+  /** [[abTest]]'s readout over an ALREADY-MAINTAINED per-user state
+    * frame (v, u, conv ∈ {0,1}) — the conversion twin of
+    * [[welchTFromState]]: per-user converted flags merge by max
+    * across batches, so a stream keeps the state current and this
+    * readout never rescans the log. Identical plan tail (and values)
+    * to [[abTest]] on the full log. */
+  def abTestFromState(perUser: DataFrame): DataFrame = {
+    val g = perUser.select(col("v"), col("u"), col("conv"))
+      .groupBy(col("v"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
     val one = g.agg(
       sum(when(col("v") === 0, col("n"))).as("n_a"),
@@ -279,6 +290,35 @@ object Behavior {
       z.as("z"),
       coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
   }
+
+  /** EXPERIMENT STATE for one micro-batch — the mergeable per-user
+    * sufficient statistics BOTH A/B readouts need, at the (variant,
+    * user) grain: m = integer-cents metric sum (feeds
+    * [[welchTFromState]]) and conv = converted flag (feeds
+    * [[abTestFromState]]). The grain is the point: per-user sums ADD
+    * and flags OR across batches ([[mergeExperimentState]]), so a
+    * stream maintains exact experiment metrics without ever rescanning
+    * the log — the [[Learn.trendStats]] incremental-maintenance
+    * pattern on the experiment axis. O(batch) work per batch,
+    * users-sized state. */
+  def experimentState(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column, typeCol: String,
+      convType: String,
+      variant: org.apache.spark.sql.Column): DataFrame =
+    events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"),
+        (col(typeCol) === lit(convType)).cast("int").as("c"))
+      .groupBy(col("v"), col("u"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("m"),
+        max(col("c")).as("conv"))
+
+  /** Exact merge of two [[experimentState]] frames — sums add, flags
+    * max; split-batch merge == full rebuild (spec-pinned). */
+  def mergeExperimentState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("v"), col("u"))
+      .agg(sum(col("m")).as("m"), max(col("conv")).as("conv"))
 
   /** k-ARM experiment readout — [[abTest]] generalized past two
     * variants (VERDICT r8 #5): one row per arm with its exact user and
@@ -1085,13 +1125,24 @@ object Behavior {
   def welchT(events: DataFrame, user: String,
       value: org.apache.spark.sql.Column,
       variant: org.apache.spark.sql.Column): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val perUser = events
       .select(variant.as("v"), col(user).as("u"),
         value.cast("long").as("cents"))
       .groupBy(col("v"), col("u"))
       .agg(coalesce(sum(col("cents")), lit(0L)).as("m"))
-    val g = perUser.groupBy(col("v"))
+    welchTFromState(perUser)
+  }
+
+  /** [[welchT]]'s readout over an ALREADY-MAINTAINED per-user state
+    * frame (v, u, m) — the incremental-maintenance split: the state
+    * grain is mergeable (per-user sums add across batches, see
+    * [[mergeExperimentState]]), so a stream keeps (v, u, m) current
+    * and this readout never rescans the event log. Identical plan
+    * tail (and so identical values) to [[welchT]] on the full log. */
+  def welchTFromState(perUser: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = perUser.select(col("v"), col("u"), col("m"))
+      .groupBy(col("v"))
       .agg(count(lit(1)).as("n"), sum(dec(col("m"))).as("s1"),
         sum(dec(col("m")) * col("m")).as("s2"))
     val one = g.agg(
