@@ -281,6 +281,7 @@ object SparkEntry {
     "q258_roc_points"    -> (NorthStar.lengthRocPoints _),
     "q259_fleiss_kappa"  -> (NorthStar.qualityLfFleiss _),
     "q260_snapshot_diff" -> (NorthStar.documentSnapshotDiff _),
+    "q261_kruskal"       -> (NorthStar.revenueKruskal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5234,6 +5235,53 @@ object SparkEntry {
         |UNION ALL SELECT 'changed:source', chg_source FROM o
         |UNION ALL SELECT 'changed:n_chars', chg_n_chars FROM o
         |ORDER BY dim""".stripMargin,
+    // q261: Kruskal-Wallis H over 3 hash arms — doubled midranks,
+    // HUGEINT rank sums + tie term, H the one fixed-order float
+    // chain (same operand order as the Spark expr).
+    "q261_kruskal" ->
+      """WITH pu AS (SELECT user_id % 3 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |vals AS (SELECT m,
+        |    CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS c0,
+        |    CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS c1,
+        |    CAST(count(CASE WHEN v = 2 THEN 1 END) AS BIGINT) AS c2
+        |  FROM pu GROUP BY 1),
+        |r AS (SELECT c0, c1, c2, c0 + c1 + c2 AS t,
+        |        sum(c0 + c1 + c2) OVER (ORDER BY m ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM vals),
+        |r2 AS (SELECT c0, c1, c2, t,
+        |        2 * (cum - t) + t + 1 AS two_mid FROM r),
+        |a AS (SELECT
+        |    CAST(sum(c0) AS BIGINT) AS n_0,
+        |    sum(CAST(c0 AS HUGEINT) * two_mid) AS r2_0,
+        |    CAST(sum(c1) AS BIGINT) AS n_1,
+        |    sum(CAST(c1 AS HUGEINT) * two_mid) AS r2_1,
+        |    CAST(sum(c2) AS BIGINT) AS n_2,
+        |    sum(CAST(c2 AS HUGEINT) * two_mid) AS r2_2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+        |  FROM r2),
+        |b AS (SELECT *, n_0 + n_1 + n_2 AS n FROM a),
+        |c AS (SELECT *,
+        |    CASE WHEN (1.0 - CAST(tie AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * n * n - n)) > 0 THEN
+        |      round(((3.0 / (CAST(n AS DOUBLE) * (n + 1))) *
+        |        (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE) / n_0
+        |         + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE) / n_1
+        |         + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / n_2)
+        |        - 3.0 * (n + 1))
+        |        / (1.0 - CAST(tie AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0 END AS h
+        |  FROM b)
+        |SELECT CAST(0 AS BIGINT) AS v, n_0 AS n_arm,
+        |       CAST(r2_0 // n_0 AS BIGINT) AS mean_rank2, h FROM c
+        |UNION ALL
+        |SELECT 1, n_1, CAST(r2_1 // n_1 AS BIGINT), h FROM c
+        |UNION ALL
+        |SELECT 2, n_2, CAST(r2_2 // n_2 AS BIGINT), h FROM c
+        |ORDER BY v""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -1223,6 +1223,73 @@ object Behavior {
           " div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"))
   }
 
+  /** KRUSKAL–WALLIS H over k ≥ 2 hash arms (Kruskal & Wallis, JASA
+    * 1952) — the k-arm generalization of [[mannWhitneyU]] and the
+    * rank-based companion of [[abTestK]]: "did ANY arm's metric
+    * distribution shift", on the same per-user integer metric. Exact
+    * integer machinery end to end via DOUBLED midranks (2·mid =
+    * 2p + c + 1 per distinct pooled value): per-arm n_i and doubled
+    * rank sums R2_i are DECIMAL(38,0) integers, the tie term
+    * Σ(t³ − t) likewise; H with the standard tie correction
+    * H = [3/(n(n+1)) · Σ R2_i²/n_i − 3(n+1)] / [1 − Σ(t³−t)/(n³−n)]
+    * is the ONE fixed-order float chain (arm-ordered left-fold sum,
+    * operand order mirrored in the oracle), rounded to 6; NULL when
+    * the tie correction is 0 (every value identical — no ranking).
+    * Output one row per arm: (v, n_arm, mean_rank2 = R2_i div n_i,
+    * the exact doubled mean rank; h repeated on each row, the
+    * [[abTestK]] layout). Arms must be 0..k−1 (hash-split contract).
+    *
+    * Scale shape: (arm, user) aggregate, per-VALUE count frame with k
+    * conditional counters, ONE distinct-value cumsum sort (the
+    * [[mannWhitneyU]] window contract), one 1-row aggregate, k-row
+    * output. */
+  def kruskalWallis(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perUser = events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"))
+      .groupBy(col("v"), col("u"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("m"))
+    val armCnts = (0 until k).map(i =>
+      count(when(col("v") === i, 1)).as(s"c$i"))
+    val vals = perUser.groupBy(col("m"))
+      .agg(armCnts.head, armCnts.tail: _*)
+    val total = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
+    val w = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .withColumn("t", total)
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("two_mid",
+        lit(2) * (col("cum") - col("t")) + col("t") + lit(1))
+    val aggs = (0 until k).flatMap(i => Seq(
+      sum(col(s"c$i")).as(s"n_$i"),
+      sum(dec(col(s"c$i")) * col("two_mid")).as(s"r2_$i"))) :+
+      sum(dec(col("t")) * col("t") * col("t") - col("t")).as("tie")
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val nExpr = (0 until k).map(i => s"n_$i").mkString(" + ")
+    val sumTerm = (0 until k).map(i =>
+      s"cast(r2_$i as double) * cast(r2_$i as double) / n_$i")
+      .mkString(" + ")
+    val h = s"""case when (1.0 - cast(tie as double) /
+      (cast(n as double) * n * n - n)) > 0 then
+      round(((3.0 / (cast(n as double) * (n + 1))) * ($sumTerm)
+        - 3.0 * (n + 1))
+        / (1.0 - cast(tie as double)
+          / (cast(n as double) * n * n - n)), 6) + 0.0 end"""
+    val wide = one.withColumn("n", expr(nExpr))
+      .withColumn("h", expr(h))
+    val stacked = (0 until k).map(i =>
+      s"$i, n_$i, cast(r2_$i div n_$i as bigint)").mkString(", ")
+    wide.selectExpr("h",
+        s"stack($k, $stacked) as (v, n_arm, mean_rank2)")
+      .select(col("v").cast("long").as("v"), col("n_arm"),
+        col("mean_rank2"), col("h"))
+  }
+
   /** KOLMOGOROV–SMIRNOV two-sample test on the same per-user integer
     * metric and arms as [[welchT]]/[[mannWhitneyU]] — the
     * whole-distribution A/B readout ("did the SHAPE move, not just the

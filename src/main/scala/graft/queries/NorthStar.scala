@@ -2452,6 +2452,18 @@ object NorthStar {
       qualityLfs(spark).map(_._2))
   }
 
+  /** X15 Kruskal–Wallis H ([[graft.operators.Behavior
+    * .kruskalWallis]]): per-user revenue cents across user_id mod 3
+    * arms — "did ANY arm shift", the k-arm rank companion of q213's
+    * conversion readout and q242's two-arm U; exact doubled-midrank
+    * machinery, H the one fixed-order float chain. */
+  def revenueKruskal(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.kruskalWallis(Tables.events(spark, d), "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(3L)), 3)
+      .orderBy($"v")
+  }
+
   /** A-ext snapshot diff ([[graft.operators.Upsert.snapshotDiff]]):
     * CDC audit between two simulated document-table versions — v1
     * drops doc_id % 5 = 0, v2 drops doc_id % 7 = 0 and rewrites

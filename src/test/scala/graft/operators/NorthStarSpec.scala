@@ -2418,6 +2418,32 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((3L, None)))
   }
 
+  test("kruskalWallis: perfect separation H = 2.4; doubled mean ranks") {
+    import spark.implicits._
+    // arm0 totals {100, 200}, arm1 {300, 400}: no ties, doubled
+    // midranks 2/4/6/8 → R2_0 = 6, R2_1 = 14, n = 4:
+    // H = 3/(4·5)·(36/2 + 196/2) − 3·5 = 17.4 − 15 = 2.4, C = 1
+    val ev = Seq((0L, 1.0), (2L, 2.0), (1L, 3.0), (3L, 4.0))
+      .toDF("user_id", "value")
+    val got = Behavior.kruskalWallis(ev, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)), 2)
+      .orderBy($"v")
+      .as[(Long, Long, Long, Option[Double])].collect().toList
+    assert(got == List((0L, 2L, 3L, Some(2.4)), (1L, 2L, 7L, Some(2.4))))
+  }
+
+  test("kruskalWallis is NULL when every pooled value is identical") {
+    import spark.implicits._
+    val ev = Seq((0L, 5.0), (1L, 5.0), (2L, 5.0), (3L, 5.0))
+      .toDF("user_id", "value")
+    val got = Behavior.kruskalWallis(ev, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)), 2)
+      .orderBy($"v")
+      .as[(Long, Long, Long, Option[Double])].collect().toList
+    // one tie group of 4: two_mid = 5 everywhere, C = 0 → H NULL
+    assert(got == List((0L, 2L, 5L, None), (1L, 2L, 5L, None)))
+  }
+
   test("chiSquareIndependence: 2x2 with all expected = 20 gives 20e9") {
     import spark.implicits._
     // cells (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30, n=80 → every
