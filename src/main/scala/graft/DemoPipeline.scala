@@ -161,8 +161,14 @@ object DemoPipeline {
     println("[cohen kappa] long vs wordy (are the length rules one rule?)")
     operators.Labeling.cohenKappa(docs, lfLong, lfWordy)
       .show(truncate = false)
+    println("[mcnemar] long vs wordy — is the disagreement one-sided?")
+    operators.Labeling.mcnemar(docs, lfLong, lfWordy)
+      .show(truncate = false)
     println("[fleiss kappa] the full 3-LF panel")
     operators.Labeling.fleissKappa(docs, lfs.map(_._2))
+      .show(truncate = false)
+    println("[cochran q] do the 3 LFs fire at different rates? (df = 2)")
+    operators.Labeling.cochranQ(docs, lfs.map(_._2))
       .show(truncate = false)
     println("[auc] n_chars scoring the English label")
     operators.Labeling.aucExact(docs, col("n_chars"), lfEn)

@@ -282,6 +282,8 @@ object SparkEntry {
     "q259_fleiss_kappa"  -> (NorthStar.qualityLfFleiss _),
     "q260_snapshot_diff" -> (NorthStar.documentSnapshotDiff _),
     "q261_kruskal"       -> (NorthStar.revenueKruskal _),
+    "q262_mcnemar"       -> (NorthStar.qualityLfMcnemar _),
+    "q263_cochran_q"     -> (NorthStar.qualityLfCochran _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5282,6 +5284,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, n_2, CAST(r2_2 // n_2 AS BIGINT), h FROM c
         |ORDER BY v""".stripMargin,
+    // q262: McNemar — discordant cells only; chi2 in exact ppm.
+    "q262_mcnemar" ->
+      """WITH c AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN n_chars < 300
+        |      AND len(string_split(text, ' ')) >= 50 THEN 1 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(count(CASE WHEN n_chars >= 300
+        |      AND len(string_split(text, ' ')) < 50 THEN 1 END)
+        |      AS BIGINT) AS n10
+        |  FROM documents)
+        |SELECT n, n01, n10,
+        |       CASE WHEN n01 + n10 > 0 THEN
+        |         CAST(CAST(n01 - n10 AS HUGEINT) * (n01 - n10)
+        |           * 1000000 // (n01 + n10) AS BIGINT) END AS chi2_ppm
+        |FROM c""".stripMargin,
+    // q263: Cochran's Q over the 3-LF panel — Q = (k(k-1)*sum(G^2)
+    // - (k-1)*T1^2) * 1e6 // (k*T1 - T2), all HUGEINT.
+    "q263_cochran_q" ->
+      """WITH v AS (SELECT
+        |    CAST(n_chars >= 300 AS INTEGER) AS r0,
+        |    CAST(lang = 'en' AS INTEGER) AS r1,
+        |    CAST(len(string_split(text, ' ')) >= 50 AS INTEGER) AS r2
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(r0 + r1 + r2 AS HUGEINT)) AS t1,
+        |        sum(CAST(r0 + r1 + r2 AS HUGEINT)
+        |          * (r0 + r1 + r2)) AS t2,
+        |        sum(CAST(r0 AS HUGEINT)) AS g0,
+        |        sum(CAST(r1 AS HUGEINT)) AS g1,
+        |        sum(CAST(r2 AS HUGEINT)) AS g2
+        |      FROM v)
+        |SELECT n, 3 AS k, CAST(t1 AS BIGINT) AS t1,
+        |       CASE WHEN 3 * t1 - t2 <> 0 THEN
+        |         CAST((3 * (3 - 1) * (g0 * g0 + g1 * g1 + g2 * g2)
+        |           - (3 - 1) * t1 * t1)
+        |           * 1000000 // (3 * t1 - t2) AS BIGINT) END
+        |         AS chi2_ppm
+        |FROM g""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -106,6 +106,65 @@ object Labeling {
           " as bigint) end").as("kappa_ppm"))
   }
 
+  /** McNEMAR'S TEST between two binary labelers on the same rows
+    * (McNemar 1947) — the paired-disagreement SIGNIFICANCE companion
+    * of [[cohenKappa]]'s agreement MAGNITUDE: only the discordant
+    * cells carry signal (n01: a=0∧b=1, n10: a=1∧b=0), and the test
+    * statistic (n01 − n10)²/(n01 + n10) is a ratio of exact integers
+    * — emitted in exact ppm (DECIMAL numerator), NULL when the
+    * labelers never disagree (statistic undefined, nothing to test).
+    * One row: (n, n01, n10, chi2_ppm).
+    *
+    * Scale shape: ONE conditional aggregate over the scan, 1-row
+    * output. */
+  def mcnemar(df: DataFrame, a: Column, b: Column): DataFrame =
+    df.select(a.cast("int").as("a"), b.cast("int").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("a") === 0 && col("b") === 1, 1)).as("n01"),
+        count(when(col("a") === 1 && col("b") === 0, 1)).as("n10"))
+      .select(col("n"), col("n01"), col("n10"),
+        expr("case when n01 + n10 > 0 then" +
+          " cast(cast(n01 - n10 as decimal(38,0)) * (n01 - n10)" +
+          " * 1000000 div (n01 + n10) as bigint) end").as("chi2_ppm"))
+
+  /** COCHRAN'S Q over k ≥ 2 binary raters (Cochran 1950) — the
+    * k-rater SIGNIFICANCE companion of [[fleissKappa]]'s agreement
+    * magnitude ("do the raters fire at different rates at all"):
+    * with per-subject success counts L_i and per-rater totals G_j,
+    * Q = (k(k−1)·ΣG_j² − (k−1)·T1²) / (k·T1 − T2) for T1 = ΣL_i,
+    * T2 = ΣL_i² — every term an exact DECIMAL(38,0) integer, Q in
+    * exact ppm; NULL when k·T1 = T2 (every subject unanimous —
+    * no within-subject variance to test). One row:
+    * (n, k, t1, chi2_ppm); df for the caller's p-value is k−1. Rows
+    * with any NULL rater are excluded (complete panels, the
+    * [[fleissKappa]] rule).
+    *
+    * Scale shape: ONE conditional aggregate (k + 3 counters) over
+    * the scan, 1-row output. */
+  def cochranQ(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val k = raters.size
+    val cast = raters.map(_.cast("int"))
+    val li = cast.reduce(_ + _)
+    val base = df
+      .select((li.as("li") +: cast.zipWithIndex.map { case (c, i) =>
+        c.as(s"r$i") }): _*)
+      .filter(col("li").isNotNull)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(dec(col("li"))).as("t1"),
+      sum(dec(col("li")) * col("li")).as("t2")) ++
+      (0 until k).map(i => sum(dec(col(s"r$i"))).as(s"g$i"))
+    val sumG2 = (0 until k).map(i => s"g$i * g$i").mkString(" + ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), lit(k).as("k"),
+        expr("cast(t1 as bigint)").as("t1"),
+        expr(s"case when $k * t1 - t2 <> 0 then" +
+          s" cast(($k * ($k - 1) * ($sumG2) - ($k - 1) * t1 * t1)" +
+          s" * 1000000 div ($k * t1 - t2) as bigint) end")
+          .as("chi2_ppm"))
+  }
+
   /** EXACT AUC of a scalar score against a binary label — the
     * probability a random positive outscores a random negative (ties
     * half credit), which is exactly U⁺/(n⁺·n⁻) (Mann–Whitney; Hanley

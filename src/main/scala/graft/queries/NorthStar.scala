@@ -2452,6 +2452,27 @@ object NorthStar {
       qualityLfs(spark).map(_._2))
   }
 
+  /** X17 McNemar's test ([[graft.operators.Labeling.mcnemar]])
+    * between the length and word-count LFs — is the disagreement
+    * DIRECTION significant (the significance companion of q255's
+    * κ magnitude); exact ppm from the discordant cells. */
+  def qualityLfMcnemar(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.mcnemar(Tables.documents(spark, d),
+      ($"n_chars" >= 300).cast("int"),
+      (size(split($"text", " ")) >= 50).cast("int"))
+  }
+
+  /** X17 Cochran's Q ([[graft.operators.Labeling.cochranQ]]) over
+    * the 3-LF panel — do the rules fire at significantly different
+    * rates (the panel-level significance beside q259's Fleiss κ);
+    * exact ppm, df = k−1 = 2. */
+  def qualityLfCochran(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.cochranQ(Tables.documents(spark, d),
+      qualityLfs(spark).map(_._2))
+  }
+
   /** X15 Kruskal–Wallis H ([[graft.operators.Behavior
     * .kruskalWallis]]): per-user revenue cents across user_id mod 3
     * arms — "did ANY arm shift", the k-arm rank companion of q213's

@@ -74,6 +74,32 @@ class LabelingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head._3 == 1000000L)
   }
 
+  test("mcnemar: discordant-cell chi2 in exact ppm; NULL at zero") {
+    import spark.implicits._
+    // n01=1, n10=4, n=10 → (1-4)^2 * 1e6 // 5 = 1800000
+    val rows = Seq((0, 1)) ++ Seq.fill(4)((1, 0)) ++ Seq.fill(5)((1, 1))
+    val got = Labeling.mcnemar(rows.toDF("a", "b"), $"a", $"b")
+      .as[(Long, Long, Long, Option[Long])].collect().toList
+    assert(got == List((10L, 1L, 4L, Some(1800000L))))
+    val agree = Seq((1, 1), (0, 0)).toDF("a", "b")
+    assert(Labeling.mcnemar(agree, $"a", $"b")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  test("cochranQ: textbook 4x3 panel gives Q = 3; unanimous is NULL") {
+    import spark.implicits._
+    // L = 3,2,1,0 → T1=6 T2=14; G = (3,2,1) → sumG2 = 14:
+    // Q = (3·2·14 − 2·36)/(18 − 14) = 12/4 = 3 → 3000000 ppm
+    val df = Seq((1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Labeling.cochranQ(df, Seq($"a", $"b", $"c"))
+      .as[(Long, Int, Long, Option[Long])].collect().toList
+    assert(got == List((4L, 3, 6L, Some(3000000L))))
+    val unanimous = Seq((1, 1, 1), (1, 1, 1)).toDF("a", "b", "c")
+    assert(Labeling.cochranQ(unanimous, Seq($"a", $"b", $"c"))
+      .as[(Long, Int, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
   test("rocPoints: staircase thresholds with exact tp/fp, hand-traced") {
     import spark.implicits._
     // same fixture as aucExact's tie case — thresholds 1/2/3:
