@@ -158,6 +158,9 @@ object DemoPipeline {
     println("[lf vote] 3-LF majority consensus, per-LF audit")
     operators.Labeling.majorityVote(docs, lfs)
       .orderBy(col("lf")).show(truncate = false)
+    println("[weighted revote] pass-1 agreement as weights (Snorkel rung 2)")
+    operators.Labeling.weightedVote(docs, lfs)
+      .orderBy(col("lf")).show(truncate = false)
     println("[cohen kappa] long vs wordy (are the length rules one rule?)")
     operators.Labeling.cohenKappa(docs, lfLong, lfWordy)
       .show(truncate = false)

@@ -284,6 +284,7 @@ object SparkEntry {
     "q261_kruskal"       -> (NorthStar.revenueKruskal _),
     "q262_mcnemar"       -> (NorthStar.qualityLfMcnemar _),
     "q263_cochran_q"     -> (NorthStar.qualityLfCochran _),
+    "q264_weighted_vote" -> (NorthStar.qualityLfWeightedVote _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5323,6 +5324,67 @@ object SparkEntry {
         |           * 1000000 // (3 * t1 - t2) AS BIGINT) END
         |         AS chi2_ppm
         |FROM g""".stripMargin,
+    // q264: accuracy-weighted revote — pass 1 replays q254's audit to
+    // integer-ppm weights, pass 2 revotes 2*score vs total in exact
+    // integers; audit rows are against the REVOTED consensus.
+    "q264_weighted_vote" ->
+      """WITH v AS (SELECT
+        |    CAST(n_chars >= 300 AS INTEGER) AS lf_long,
+        |    CAST(lang = 'en' AS INTEGER) AS lf_en,
+        |    CAST(len(string_split(text, ' ')) >= 50 AS INTEGER)
+        |      AS lf_wordy
+        |  FROM documents),
+        |v1 AS (SELECT *,
+        |    CASE WHEN 2 * (lf_long + lf_en + lf_wordy) > 3 THEN 1
+        |         WHEN 2 * (lf_long + lf_en + lf_wordy) < 3 THEN 0
+        |         END AS vote
+        |  FROM v),
+        |w AS (SELECT
+        |    CAST(CAST(count(CASE WHEN lf_long = vote THEN 1 END)
+        |      AS HUGEINT) * 1000000 // count(vote) AS BIGINT) AS wl,
+        |    CAST(CAST(count(CASE WHEN lf_en = vote THEN 1 END)
+        |      AS HUGEINT) * 1000000 // count(vote) AS BIGINT) AS we,
+        |    CAST(CAST(count(CASE WHEN lf_wordy = vote THEN 1 END)
+        |      AS HUGEINT) * 1000000 // count(vote) AS BIGINT) AS ww
+        |  FROM v1),
+        |v2 AS (SELECT lf_long, lf_en, lf_wordy, wl, we, ww,
+        |    CASE WHEN 2 * (lf_long * wl + lf_en * we + lf_wordy * ww)
+        |           > wl + we + ww THEN 1
+        |         WHEN 2 * (lf_long * wl + lf_en * we + lf_wordy * ww)
+        |           < wl + we + ww THEN 0
+        |         END AS vote
+        |  FROM v, w),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(vote) AS BIGINT) AS n_covered,
+        |    any_value(wl) AS wl, any_value(we) AS we,
+        |    any_value(ww) AS ww,
+        |    CAST(count(CASE WHEN lf_long = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_long,
+        |    CAST(count(CASE WHEN lf_long = vote THEN 1 END) AS BIGINT)
+        |      AS agree_long,
+        |    CAST(count(CASE WHEN lf_en = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_en,
+        |    CAST(count(CASE WHEN lf_en = vote THEN 1 END) AS BIGINT)
+        |      AS agree_en,
+        |    CAST(count(CASE WHEN lf_wordy = 1 THEN 1 END) AS BIGINT)
+        |      AS pos_wordy,
+        |    CAST(count(CASE WHEN lf_wordy = vote THEN 1 END) AS BIGINT)
+        |      AS agree_wordy
+        |  FROM v2),
+        |s AS (SELECT 'long' AS lf, wl AS w_ppm, n, n_covered,
+        |        pos_long AS n_pos, agree_long AS n_agree FROM one
+        |      UNION ALL
+        |      SELECT 'en', we, n, n_covered, pos_en, agree_en FROM one
+        |      UNION ALL
+        |      SELECT 'wordy', ww, n, n_covered, pos_wordy, agree_wordy
+        |      FROM one)
+        |SELECT lf, w_ppm, n, n_covered, n_agree,
+        |       CASE WHEN n_covered > 0 THEN
+        |         CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_covered
+        |           AS BIGINT) END AS agree_ppm,
+        |       CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
+        |         AS pos_ppm
+        |FROM s ORDER BY lf""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

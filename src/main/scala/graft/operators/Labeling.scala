@@ -106,6 +106,64 @@ object Labeling {
           " as bigint) end").as("kappa_ppm"))
   }
 
+  /** ACCURACY-WEIGHTED REVOTE — the second rung of the Snorkel
+    * ladder after [[majorityVote]]: pass 1 computes each LF's
+    * agreement with the majority consensus (exact ppm, the
+    * [[majorityVote]] audit); pass 2 revotes every row with those
+    * agreement rates as weights — label 1 when Σ w_i·lf_i >
+    * (Σ w_i)/2, abstain on the exact tie — so a rule that usually
+    * disagrees with its peers loses influence without being dropped.
+    * Deterministic and exact: weights are integer ppm, the revote
+    * compares 2·Σ w_i·lf_i against Σ w_i in integers (no halves).
+    * Returns one row per LF mirroring the [[majorityVote]] audit
+    * against the REVOTED label, plus a `w_ppm` column carrying the
+    * weight each LF voted with — rows where the two consensus labels
+    * differ are exactly where the weighting mattered.
+    *
+    * Scale shape: two scan passes (pass 1 is [[majorityVote]]'s
+    * single aggregate; its |LFs|-row result collects to the driver —
+    * broadcast-state regime) + one weighted-vote aggregate; no
+    * shuffle beyond the aggregates. */
+  def weightedVote(df: DataFrame, lfs: Seq[(String, Column)])
+      : DataFrame = {
+    val audit = majorityVote(df, lfs)
+      .select(col("lf"), col("agree_ppm"))
+      .collect().map { r =>
+        require(!r.isNullAt(1), s"LF '${r.getString(0)}': pass-1 " +
+          "consensus never decided (all ties) — weights undefined")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    val k = lfs.size
+    val weights = lfs.map { case (n, _) => audit(n) }
+    val voted = df
+      .select(lfs.map { case (n, c) => c.cast("int").as(s"lf_$n") }: _*)
+      .withColumn("score",
+        lfs.zip(weights).map { case ((n, _), w) =>
+          col(s"lf_$n").cast("long") * w }.reduce(_ + _))
+      .withColumn("vote",
+        when(lit(2) * col("score") > weights.sum, 1)
+          .when(lit(2) * col("score") < weights.sum, 0)
+          .otherwise(lit(null).cast("int")))
+    val aggs = Seq(count(lit(1)).as("n"),
+      count(col("vote")).as("n_covered")) ++
+      lfs.flatMap { case (n, _) => Seq(
+        count(when(col(s"lf_$n") === 1, 1)).as(s"pos_$n"),
+        count(when(col(s"lf_$n") === col("vote"), 1)).as(s"agree_$n"))
+      }
+    val one = voted.agg(aggs.head, aggs.tail: _*)
+    val stacked = lfs.zip(weights).map { case ((n, _), w) =>
+      s"'$n', ${w}L, pos_$n, agree_$n" }.mkString(", ")
+    one.selectExpr("n", "n_covered",
+        s"stack($k, $stacked) as (lf, w_ppm, n_pos, n_agree)")
+      .select(col("lf"), col("w_ppm"), col("n"), col("n_covered"),
+        col("n_agree"),
+        expr("case when n_covered > 0 then" +
+          " cast(cast(n_agree as decimal(38,0)) * 1000000" +
+          " div n_covered as bigint) end").as("agree_ppm"),
+        expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n" +
+          " as bigint)").as("pos_ppm"))
+  }
+
   /** McNEMAR'S TEST between two binary labelers on the same rows
     * (McNemar 1947) — the paired-disagreement SIGNIFICANCE companion
     * of [[cohenKappa]]'s agreement MAGNITUDE: only the discordant

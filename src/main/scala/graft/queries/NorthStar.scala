@@ -2452,6 +2452,17 @@ object NorthStar {
       qualityLfs(spark).map(_._2))
   }
 
+  /** X17 accuracy-weighted revote ([[graft.operators.Labeling
+    * .weightedVote]]): pass-1 agreement rates become integer-ppm
+    * weights, every doc revotes — the Snorkel second rung; audit
+    * rows against the REVOTED consensus with each LF's weight. */
+  def qualityLfWeightedVote(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.weightedVote(Tables.documents(spark, d),
+        qualityLfs(spark))
+      .orderBy($"lf")
+  }
+
   /** X17 McNemar's test ([[graft.operators.Labeling.mcnemar]])
     * between the length and word-count LFs — is the disagreement
     * DIRECTION significant (the significance companion of q255's

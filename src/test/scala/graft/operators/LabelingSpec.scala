@@ -74,6 +74,35 @@ class LabelingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head._3 == 1000000L)
   }
 
+  test("weightedVote: pass-1 agreement becomes integer-ppm weights; " +
+      "audit is against the revoted consensus") {
+    import spark.implicits._
+    // pass 1 (q254 fixture): votes 1,1,0,0; agree a=3 b=4 c=3 →
+    // weights 750000/1000000/750000, total 2.5e6. Revote scores
+    // 2.5e6/1.75e6/0.75e6/0 → same labels → audit equals pass 1,
+    // plus the weight column
+    val df = Seq((1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Labeling.weightedVote(df,
+        Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      .orderBy($"lf")
+      .as[(String, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toList
+    assert(got == List(
+      ("a", 750000L, 4L, 4L, 3L, Some(750000L), 750000L),
+      ("b", 1000000L, 4L, 4L, 4L, Some(1000000L), 500000L),
+      ("c", 750000L, 4L, 4L, 3L, Some(750000L), 250000L)))
+  }
+
+  test("weightedVote fail-fasts when pass 1 never reaches a consensus") {
+    import spark.implicits._
+    val df = Seq((1, 0), (0, 1)).toDF("a", "b") // every row ties
+    val e = intercept[IllegalArgumentException] {
+      Labeling.weightedVote(df, Seq("a" -> $"a", "b" -> $"b"))
+    }
+    assert(e.getMessage.contains("never decided"))
+  }
+
   test("mcnemar: discordant-cell chi2 in exact ppm; NULL at zero") {
     import spark.implicits._
     // n01=1, n10=4, n=10 → (1-4)^2 * 1e6 // 5 = 1800000
