@@ -85,7 +85,8 @@ object Explain {
       "q250_dup_kcore", "q251_ks_test", "q252_kendall_tau",
       "q253_spearman_rho", "q254_lf_vote", "q255_cohen_kappa",
       "q256_auc_exact", "q257_calibration", "q258_roc_points",
-      "q259_fleiss_kappa")
+      "q259_fleiss_kappa", "q260_snapshot_diff", "q261_kruskal",
+      "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -145,6 +146,11 @@ object Explain {
         "is the distributed core — the broadcast theta-join over the " +
         "pinned days classifying every pair into " +
         "concordant/discordant/tied in ONE map-only aggregate."),
+      "q264_weighted_vote" -> ("Two-pass by design: pass 1 (the q254 " +
+        "majority-vote aggregate) collects |LFs| agreement rows to " +
+        "the driver as integer-ppm weights — broadcast-state regime — " +
+        "so the plan below is pass 2 only: the weighted revote " +
+        "aggregate with the weights as literals."),
       "q243_chi_square" -> ("Shown with lazyPlan = true: the " +
         "executable form pins the cells aggregate with an eager " +
         "localCheckpoint (the marginal/total/chi branches re-read it), " +
