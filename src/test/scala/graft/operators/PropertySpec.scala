@@ -671,4 +671,100 @@ object PropertySpec extends Properties("graft.operators") {
         n1 >= n2 && n2 >= n3 && n1 >= 1 && ppm >= 0 && ppm <= 1000000L
       }
     }
+
+  // per-user (user, value-cents) logs with both arms populated —
+  // user 0 and 1 anchor arm 0/1 so the A/B operators never divide
+  // by an empty arm
+  private val abRows = Gen.listOfN(16,
+    Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(-20L, 20L)))
+    .map(rs => (0L, 1L) :: (1L, 2L) :: rs)
+
+  // ONE ROW PER USER (ids = indices): the rank-invariance properties
+  // map the metric affinely, which is only monotone on the PER-USER
+  // sums when each user has exactly one event (sum of mapped events
+  // = 3·sum + 7·n_events otherwise — not order-preserving)
+  private val abOneRowPerUser = Gen.listOfN(14,
+    Gen.chooseNum(-20L, 20L))
+    .map(vs => vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+
+  property("ksTest D is rank-based: invariant under any strictly " +
+      "increasing metric map (m -> 3m + 7)") =
+    Prop.forAllNoShrink(abOneRowPerUser) { rows =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val ev = rows.toDF("user_id", "value")
+      def d(v: org.apache.spark.sql.Column) =
+        Behavior.ksTest(ev, "user_id", v, pmod($"user_id", lit(2L)))
+          .select($"d_ppm").as[Long].collect().head
+      d($"value") == d($"value" * 3 + 7)
+    }
+
+  property("kruskalWallis H is arm-label symmetric and rank-based " +
+      "(k = 2: swap arms, map m -> 2m + 1)") =
+    Prop.forAllNoShrink(abOneRowPerUser) { rows =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val ev = rows.toDF("user_id", "value")
+      def h(v: org.apache.spark.sql.Column,
+          arm: org.apache.spark.sql.Column) =
+        Behavior.kruskalWallis(ev, "user_id", v, arm, 2)
+          .select($"h").as[Option[Double]].collect().head
+      val arm = pmod($"user_id", lit(2L))
+      val swapped = lit(1L) - arm
+      h($"value", arm) == h($"value", swapped) &&
+        h($"value", arm) == h($"value" * 2 + 1, arm)
+    }
+
+  property("aucExact: flipping the label complements AUC " +
+      "(auc + auc_flipped == 1e6, ties half credit)") =
+    Prop.forAllNoShrink(abRows) { rows =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // score = cents, label = user parity (both classes anchored)
+      val df = rows.toDF("u", "s")
+      def auc(y: org.apache.spark.sql.Column) =
+        Labeling.aucExact(df, $"s", y).select($"auc_ppm")
+          .as[Long].collect().head
+      val y = pmod($"u", lit(2L)).cast("int")
+      val a = auc(y)
+      val b = auc(lit(1) - y)
+      // exact complement up to the two truncating ppm divisions
+      math.abs(a + b - 1000000L) <= 1
+    }
+
+  property("snapshotDiff(a, a) is pure-unchanged; added+changed+" +
+      "unchanged == n_b on any pair") =
+    Prop.forAllNoShrink(kvRows, kvRows) { (ra, rb) =>
+      import spark.implicits._
+      val a = ra.toDF("k", "v").dropDuplicates("k")
+      val b = rb.toDF("k", "v").dropDuplicates("k")
+      val self = Upsert.snapshotDiff(a, a, "k")
+        .as[(String, Long)].collect().toMap
+      val cross = Upsert.snapshotDiff(a, b, "k")
+        .as[(String, Long)].collect().toMap
+      self("added") == 0 && self("removed") == 0 &&
+        self("changed") == 0 && self("unchanged") == self("n_a") &&
+        cross("added") + cross("changed") + cross("unchanged") ==
+          cross("n_b") &&
+        cross("removed") + cross("changed") + cross("unchanged") ==
+          cross("n_a")
+    }
+
+  property("mergeExperimentState(split) == experimentState(full) at " +
+      "any cut") =
+    Prop.forAllNoShrink(abRows, Gen.chooseNum(0, 17)) { (rows, cut) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def st(rs: List[(Long, Long)]) =
+        Behavior.experimentState(
+          rs.toDF("user_id", "value")
+            .withColumn("event_type", lit("view")),
+          "user_id", $"value", "event_type", "purchase",
+          pmod($"user_id", lit(2L)))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Long, Int)].collect().toList.sorted
+      val c = math.min(cut, rows.size)
+      canon(Behavior.mergeExperimentState(
+        st(rows.take(c)), st(rows.drop(c)))) == canon(st(rows))
+    }
 }
