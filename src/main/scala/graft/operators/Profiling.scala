@@ -548,30 +548,53 @@ object Profiling {
     * k = ⌈q·n⌉-th smallest of that column. Same contracts: non-empty
     * non-null input per column, per-column span < 2⁶³. Driver state is
     * ≤ fanout·(open probes) longs per round — broadcast-state regime.
-    * Spec-pinned equal to per-column [[exactQuantiles]]. */
+    * Spec-pinned equal to per-column [[exactQuantiles]].
+    *
+    * `seeds` (per column, aligned with `cols`): an optional EXACT
+    * non-null count plus a CONSERVATIVE [lo, hi] bound — callers that
+    * already know them (a closed-form pair count; bounds derived from
+    * a tiny upstream aggregate) skip the stats pass entirely. The
+    * count must be exact (k = ⌈q·n⌉ and the rank-walk invariant both
+    * depend on it — a wrong n fail-fasts on the residual check); the
+    * bounds only need to CONTAIN the values (wider bounds cost at
+    * most one extra log-bounded round, results identical —
+    * spec-pinned). */
   def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
-      qs: Seq[Double], fanout: Int = 256): DataFrame = {
+      qs: Seq[Double], fanout: Int = 256,
+      seeds: Option[Seq[(Long, Long, Long)]] = None): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     require(cols.distinct == cols, s"duplicate columns in $cols")
     cols.foreach(c => require(df.columns.contains(c), s"no column '$c'"))
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
     require(fanout >= 2, s"fanout=$fanout")
+    seeds.foreach(ss => require(ss.size == cols.size,
+      s"seeds.size ${ss.size} != cols.size ${cols.size}"))
     val spark = df.sparkSession
     import spark.implicits._
     def qn(c: String) = "`" + c.replace("`", "``") + "`"
-    // ONE stats pass for every column: non-null count, min, max
-    val statAggs = cols.flatMap { c =>
-      val cl = col(c).cast("long")
-      Seq(count(cl), min(cl), max(cl))
+    // ONE stats pass for every column (non-null count, min, max) —
+    // skipped entirely when the caller seeds them
+    val stats: Seq[(Long, Long, Long)] = seeds.getOrElse {
+      val statAggs = cols.flatMap { c =>
+        val cl = col(c).cast("long")
+        Seq(count(cl), min(cl), max(cl))
+      }
+      val st = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      // an all-NULL column has NULL min/max — don't getLong them;
+      // the n > 0 require below owns that failure (by column name)
+      cols.indices.map { i =>
+        val n = st.getLong(3 * i)
+        if (n == 0) (0L, 0L, 0L)
+        else (n, st.getLong(3 * i + 1), st.getLong(3 * i + 2))
+      }
     }
-    val st = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val ns = cols.indices.map { i =>
-      val n = st.getLong(3 * i)
+      val (n, lo, hi) = stats(i)
       require(n > 0,
         s"exactQuantilesMulti: column '${cols(i)}' is empty or all-NULL")
-      require(st.getLong(3 * i + 2) - st.getLong(3 * i + 1) >= 0,
-        s"column '${cols(i)}' span ${st.getLong(3 * i + 1)}.." +
-          s"${st.getLong(3 * i + 2)} exceeds 2^63-1 — rescale first")
+      require(hi - lo >= 0,
+        s"column '${cols(i)}' span $lo..$hi exceeds 2^63-1 — " +
+          "rescale first")
       n
     }
     val sortedQs = qs.sorted
@@ -579,7 +602,7 @@ object Profiling {
     var state: Vector[(Int, Double, Long, Long, Long)] =
       (for (ci <- cols.indices; q <- sortedQs) yield
         (ci, q, math.ceil(q * ns(ci)).toLong,
-          st.getLong(3 * ci + 1), st.getLong(3 * ci + 2))).toVector
+          stats(ci)._2, stats(ci)._3)).toVector
     while (state.exists { case (_, _, _, lo, hi) => lo < hi }) {
       val open = state.zipWithIndex.collect {
         case ((ci, _, k, lo, hi), gi) if lo < hi => (gi, ci, k, lo, hi)

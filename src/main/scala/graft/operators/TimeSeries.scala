@@ -347,14 +347,18 @@ object TimeSeries {
     val slopes = a.join(broadcast(b), col("da") < col("db"))
       .select(slopeExpr.as("slope_micro"))
       .localCheckpoint(true)
-    val stats = slopes.agg(min(col("slope_micro")).as("min_slope_micro"),
-      max(col("slope_micro")).as("max_slope_micro"))
-    val med = Profiling.exactQuantiles(slopes, col("slope_micro"),
-        Seq(0.5), fanout = 65536)
+    // ONE stats pass serves both the output min/max AND the median
+    // refinement's seed (n_pairs is closed form) — without the seed,
+    // exactQuantilesMulti would re-scan the pairs for its own stats
+    val st2 = slopes.agg(min(col("slope_micro")),
+      max(col("slope_micro"))).collect()(0)
+    val (minS, maxS) = (st2.getLong(0), st2.getLong(1))
+    val med = Profiling.exactQuantilesMulti(
+        slopes.select(col("slope_micro").as("v")), Seq("v"), Seq(0.5),
+        fanout = 65536, seeds = Some(Seq((nPairs, minS, maxS))))
       .select(col("value").as("median_slope_micro"))
-    med.crossJoin(broadcast(stats))
-      .select(lit(nDays).as("n_days"), lit(nPairs).as("n_pairs"),
-        col("median_slope_micro"),
-        col("min_slope_micro"), col("max_slope_micro"))
+    med.select(lit(nDays).as("n_days"), lit(nPairs).as("n_pairs"),
+      col("median_slope_micro"),
+      lit(minS).as("min_slope_micro"), lit(maxS).as("max_slope_micro"))
   }
 }

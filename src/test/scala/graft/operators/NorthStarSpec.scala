@@ -1909,6 +1909,29 @@ class NorthStarSpec extends SparkSpec {
     assert(multi2 == single)
   }
 
+  test("exactQuantilesMulti seeds: exact count + conservative bounds " +
+      "give identical results to the stats-pass form") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.99)
+    val n = orders.filter($"o_custkey".isNotNull).count()
+    val unseeded = Profiling.exactQuantilesMulti(orders,
+        Seq("o_custkey"), qs)
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    // deliberately WIDE bounds: correctness must not depend on tight
+    // seeds (they only cost at most one extra log-bounded round)
+    val seeded = Profiling.exactQuantilesMulti(orders,
+        Seq("o_custkey"), qs,
+        seeds = Some(Seq((n, -1000000L, 100000000L))))
+      .as[(String, Double, Long, Long, Long)].collect().toList.sorted
+    assert(seeded == unseeded)
+    val e = intercept[IllegalArgumentException] {
+      Profiling.exactQuantilesMulti(orders, Seq("o_custkey"), qs,
+        seeds = Some(Seq((n, 0L, 1L), (n, 0L, 1L))))
+    }
+    assert(e.getMessage.contains("seeds.size"))
+  }
+
   test("exactQuantilesMulti: per-column NULLs rank independently; an " +
       "all-NULL column fails fast by name") {
     import spark.implicits._
