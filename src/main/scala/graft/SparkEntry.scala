@@ -285,6 +285,7 @@ object SparkEntry {
     "q262_mcnemar"       -> (NorthStar.qualityLfMcnemar _),
     "q263_cochran_q"     -> (NorthStar.qualityLfCochran _),
     "q264_weighted_vote" -> (NorthStar.qualityLfWeightedVote _),
+    "q265_length_psi"    -> (NorthStar.lengthDriftPsi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5385,6 +5386,34 @@ object SparkEntry {
         |       CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
         |         AS pos_ppm
         |FROM s ORDER BY lf""".stripMargin,
+    // q265: scalar PSI — integer bucket edges ((v-lo)*bins div span,
+    // clamped), +1 Laplace ppm, per-bin nano contributions (q197
+    // recipe, same operand order).
+    "q265_length_psi" ->
+      """WITH ca AS (SELECT least(9, greatest(0,
+        |      CAST((n_chars - 0) * 10 // 600 AS INTEGER))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS ca0
+        |  FROM documents WHERE length(source) = 4 GROUP BY 1),
+        |cb AS (SELECT least(9, greatest(0,
+        |      CAST((n_chars - 0) * 10 // 600 AS INTEGER))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cb0
+        |  FROM documents WHERE length(source) > 4 GROUP BY 1),
+        |s AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+        |j AS (SELECT s.bin,
+        |        coalesce(ca0, 0) AS ca, coalesce(cb0, 0) AS cb
+        |      FROM s LEFT JOIN ca ON s.bin = ca.bin
+        |             LEFT JOIN cb ON s.bin = cb.bin),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM j)
+        |SELECT bin, ca, cb,
+        |       (ca + 1) * 1000000 // (n_a + 10) AS pa_ppm,
+        |       (cb + 1) * 1000000 // (n_b + 10) AS pb_ppm,
+        |       CAST(round(CAST((ca + 1) * 1000000 // (n_a + 10)
+        |           - (cb + 1) * 1000000 // (n_b + 10) AS DOUBLE)
+        |         * ln(CAST((ca + 1) * 1000000 // (n_a + 10) AS DOUBLE)
+        |           / ((cb + 1) * 1000000 // (n_b + 10))) * 1000.0, 0)
+        |         AS BIGINT) AS contrib_nano
+        |FROM j, t ORDER BY bin""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

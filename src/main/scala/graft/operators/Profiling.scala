@@ -185,6 +185,58 @@ object Profiling {
         col("h_a_nano"), col("h_b_nano"))
   }
 
+  /** SCALAR-COLUMN PSI between two slices — the ingest-drift monitor
+    * for ONE numeric column ("did incoming docs' length distribution
+    * move vs the accepted corpus"), the scalar sibling of
+    * [[embeddingDriftPsi]] with the identical determinism recipe:
+    * each side pays ONE scan into a bins-sized count table (integer
+    * buckets — `(v − lo)·bins div (hi − lo)` clamped, so the bucket
+    * edge is engine-exact integer arithmetic, no float width), then
+    * tiny-table algebra on a dense bins scaffold with +1 Laplace
+    * smoothing in integer ppm and per-bin contributions rounded to
+    * integer nano-PSI BEFORE the exact 64-bit sum. Returns one row
+    * per bin — (bin, ca, cb, pa_ppm, pb_ppm, contrib_nano) — plus
+    * the caller sums contrib_nano for the headline PSI (> 0.2 ≈
+    * 200,000,000 nano conventionally flags action); per-bin rows ARE
+    * the diagnosis ("WHERE did it move"). Values outside [lo, hi)
+    * clamp into the edge bins — drift into the tails is still drift.
+    *
+    * Scale shape: two scan-shaped aggregates with map-side partials
+    * into ≤ bins groups, then bins-sized joins — no shuffle beyond
+    * the two aggregates. */
+  def numericPsi(a: DataFrame, b: DataFrame,
+      value: org.apache.spark.sql.Column, bins: Int, lo: Long,
+      hi: Long): DataFrame = {
+    require(bins >= 2 && hi > lo, s"bins=$bins range=[$lo,$hi]")
+    val spark = a.sparkSession
+    def counts(df: DataFrame, side: String) = df
+      .select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .select(least(lit(bins - 1), greatest(lit(0),
+        expr(s"(v - ${lo}L) * $bins div ${hi - lo}L").cast("int")))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(side))
+    val scaffold = spark.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = scaffold
+      .join(counts(a, "ca0"), Seq("bin"), "left")
+      .join(counts(b, "cb0"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca0"), lit(0L)).as("ca"),
+        coalesce(col("cb0"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("pa_ppm", expr(s"(ca + 1) * 1000000 div (n_a + $bins)"))
+      .withColumn("pb_ppm", expr(s"(cb + 1) * 1000000 div (n_b + $bins)"))
+      .withColumn("contrib_nano",
+        round((col("pa_ppm") - col("pb_ppm")).cast("double") *
+          log(col("pa_ppm").cast("double") / col("pb_ppm")) * 1000.0, 0)
+          .cast("long"))
+      .select(col("bin"), col("ca"), col("cb"), col("pa_ppm"),
+        col("pb_ppm"), col("contrib_nano"))
+  }
+
   /** Data-contract checks — the dbt-test / Deequ-style expectation
     * gate a pipeline runs before publishing a table: NOT NULL, UNIQUE
     * (composite keys supported), ACCEPTED VALUES, and referential

@@ -2452,6 +2452,20 @@ object NorthStar {
       qualityLfs(spark).map(_._2))
   }
 
+  /** X14 scalar PSI drift ([[graft.operators.Profiling.numericPsi]]):
+    * n_chars distribution of sources src0–src9 vs the rest, 10 bins
+    * over [0, 600) — the ingest-drift monitor on one column, per-bin
+    * rows as the WHERE of the drift; q197's nano recipe. */
+  def lengthDriftPsi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    // src0..src9 sort before src10+ lexicographically via length+name
+    val aSide = docs.filter(length($"source") === 4)  // src0..src9
+    val bSide = docs.filter(length($"source") > 4)    // src10..src19
+    Profiling.numericPsi(aSide, bSide, $"n_chars", 10, 0L, 600L)
+      .orderBy($"bin")
+  }
+
   /** X17 accuracy-weighted revote ([[graft.operators.Labeling
     * .weightedVote]]): pass-1 agreement rates become integer-ppm
     * weights, every doc revotes — the Snorkel second rung; audit

@@ -1909,6 +1909,31 @@ class NorthStarSpec extends SparkSpec {
     assert(multi2 == single)
   }
 
+  test("numericPsi: integer bucket edges + Laplace ppm, hand-traced; " +
+      "identical slices give zero contributions") {
+    import spark.implicits._
+    // a = [0,100,100] → bins 0,1,1; b = [500] clamps into bin 4;
+    // Laplace: pa = (ca+1)e6 div 8, pb = (cb+1)e6 div 6
+    val a = Seq(0L, 100L, 100L).toDF("v")
+    val b = Seq(500L).toDF("v")
+    val got = Profiling.numericPsi(a, b, $"v", 5, 0L, 500L)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == List(
+      (0, 1L, 0L, 250000L, 166666L),
+      (1, 2L, 0L, 375000L, 166666L),
+      (2, 0L, 0L, 125000L, 166666L),
+      (3, 0L, 0L, 125000L, 166666L),
+      (4, 0L, 1L, 125000L, 333333L)))
+    // contribution sign follows (pa − pb); (x−y)·ln(x/y) > 0 for x≠y
+    assert(got.forall { case (_, _, _, pa, pb, c) =>
+      if (pa == pb) c == 0 else c > 0
+    })
+    val self = Profiling.numericPsi(a, a, $"v", 5, 0L, 500L)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    assert(self.forall(_._6 == 0L))
+  }
+
   test("exactQuantilesMulti seeds: exact count + conservative bounds " +
       "give identical results to the stats-pass form") {
     import spark.implicits._
