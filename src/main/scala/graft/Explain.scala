@@ -86,7 +86,8 @@ object Explain {
       "q253_spearman_rho", "q254_lf_vote", "q255_cohen_kappa",
       "q256_auc_exact", "q257_calibration", "q258_roc_points",
       "q259_fleiss_kappa", "q260_snapshot_diff", "q261_kruskal",
-      "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote")
+      "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote",
+      "q265_length_psi")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
