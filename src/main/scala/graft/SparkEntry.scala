@@ -286,6 +286,7 @@ object SparkEntry {
     "q263_cochran_q"     -> (NorthStar.qualityLfCochran _),
     "q264_weighted_vote" -> (NorthStar.qualityLfWeightedVote _),
     "q265_length_psi"    -> (NorthStar.lengthDriftPsi _),
+    "q266_winsor_mean"   -> (NorthStar.typeWinsorizedMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5414,6 +5415,34 @@ object SparkEntry {
         |           / ((cb + 1) * 1000000 // (n_b + 10))) * 1000.0, 0)
         |         AS BIGINT) AS contrib_nano
         |FROM j, t ORDER BY bin""".stripMargin,
+    // q266: winsorized mean — tails CLAMPED to the exact rank fences
+    // (k = n*10 // 100), denominator stays n; fence ties are
+    // value-identical so the clamped sum is order-invariant.
+    "q266_winsor_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM b),
+        |f AS (SELECT g, v, n,
+        |        max(CASE WHEN rn = n * 10 // 100 + 1 THEN v END)
+        |          OVER (PARTITION BY g) AS lo_v,
+        |        max(CASE WHEN rn = n - (n * 10 // 100) THEN v END)
+        |          OVER (PARTITION BY g) AS hi_v
+        |      FROM r),
+        |a AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |        CAST(max(lo_v) AS BIGINT) AS lo_v,
+        |        CAST(max(hi_v) AS BIGINT) AS hi_v,
+        |        CAST(sum(least(greatest(v, lo_v), hi_v)) AS BIGINT)
+        |          AS sum_winsor
+        |      FROM f GROUP BY 1)
+        |SELECT g AS "group", n, lo_v, hi_v, sum_winsor,
+        |       CAST(CAST(sum_winsor AS HUGEINT) * 1000000 // n
+        |         AS BIGINT) AS mean_micro
+        |FROM a ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -185,6 +185,50 @@ object Profiling {
         col("h_a_nano"), col("h_b_nano"))
   }
 
+  /** WINSORIZED MEAN per group — [[trimmedMean]]'s clamping twin
+    * (Winsor/Tukey): instead of DROPPING each tail's n·pct/100 rows,
+    * every value below the lower boundary is SET TO it and every
+    * value above the upper boundary likewise, so n stays the sample
+    * size and extreme rows still count once at the fence — the
+    * robust mean that does not change the denominator. Boundaries
+    * are the exact rank-(k+1) and rank-(n−k) values (k = n·pct div
+    * 100, integer arithmetic; ties at the fence are value-identical
+    * so the clamped sum is order-invariant). Output per group:
+    * (group, n, lo_v, hi_v, sum_winsor, mean_micro) — all exact
+    * integers, mean in truncated micro units.
+    *
+    * Scale shape: identical to [[trimmedMean]] — one hash shuffle on
+    * the group, ONE in-partition sort shared by the ranking and both
+    * boundary-extraction window expressions, one aggregate. Same
+    * per-group-volume caveat: rank windows are per-key-sized. */
+  def winsorizedMean(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct < 50, s"pct=$pct")
+    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo_v", max(when(
+        col("rn") === expr(s"n * $pct div 100") + 1, col("v")))
+        .over(wAll))
+      .withColumn("hi_v", max(when(
+        col("rn") === col("n") - expr(s"n * $pct div 100"), col("v")))
+        .over(wAll))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo_v")).as("lo_v"), max(col("hi_v")).as("hi_v"),
+        sum(least(greatest(col("v"), col("lo_v")), col("hi_v")))
+          .as("sum_winsor"))
+      .select(col("g").as("group"), col("n"), col("lo_v"), col("hi_v"),
+        col("sum_winsor"),
+        expr("cast(cast(sum_winsor as decimal(38,0)) * 1000000" +
+          " div n as bigint)").as("mean_micro"))
+  }
+
   /** SCALAR-COLUMN PSI between two slices — the ingest-drift monitor
     * for ONE numeric column ("did incoming docs' length distribution
     * move vs the accepted corpus"), the scalar sibling of

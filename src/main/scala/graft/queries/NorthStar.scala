@@ -2274,6 +2274,17 @@ object NorthStar {
       .orderBy($"group")
   }
 
+  /** X14 winsorized mean ([[graft.operators.Profiling
+    * .winsorizedMean]]): q238's clamping twin — tails SET TO the
+    * exact rank fences instead of dropped, denominator unchanged;
+    * exact micro units with the fences reported. */
+  def typeWinsorizedMean(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.winsorizedMean(Tables.events(spark, d), "event_type",
+      round($"value" * 100, 0), 10)
+      .orderBy($"group")
+  }
+
   /** X14 source-concentration HHI ([[graft.operators.Profiling
     * .concentrationHHI]]): per language, how concentrated the corpus
     * is over sources — exact integer-ppm Herfindahl; the one-number

@@ -1909,6 +1909,24 @@ class NorthStarSpec extends SparkSpec {
     assert(multi2 == single)
   }
 
+  test("winsorizedMean clamps to the exact rank fences, n unchanged") {
+    import spark.implicits._
+    // values 1..10, pct 20: k = 2 → fences rank 3 (=3) and rank 8
+    // (=8): clamped sum = 3+3+3+4+5+6+7+8+8+8 = 55 → mean 5.5e6 micro
+    // (the 20%-trim of the same data averages 3..8 = 5.5 too — use a
+    // skewed group to tell them apart: 1,1,1,1,100 pct 20 → k = 1,
+    // fences rank 2 (=1) and rank 4 (=1): sum = 1·5 = 5, mean 1e6)
+    val df = ((1L to 10L).map(v => ("x", v)) ++
+      Seq(("y", 1L), ("y", 1L), ("y", 1L), ("y", 1L), ("y", 100L)))
+      .toDF("g", "v")
+    val got = Profiling.winsorizedMean(df, "g", $"v" * 1, 20)
+      .orderBy($"group")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("x", 10L, 3L, 8L, 55L, 5500000L),
+      ("y", 5L, 1L, 1L, 5L, 1000000L)))
+  }
+
   test("numericPsi: integer bucket edges + Laplace ppm, hand-traced; " +
       "identical slices give zero contributions") {
     import spark.implicits._
