@@ -54,7 +54,36 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o =>
         o.contains(n) || o.contains(n.takeWhile(_ != '_'))) }
-    val timed = selected.map { case (name, fn) =>
+    // CONTENTION CONTROLS (VERDICT r10 #1): the same fixed pair (q02 hash
+    // agg + q05 top-k — scan-shaped, plan-stable since r1) timed at bench
+    // START, MIDDLE, and END. Round 10 burned real analysis on
+    // 18.4-vs-9.2-vs-3.8 s readings of one query across three windows on
+    // identical code; a flat control triple proves the window was quiet,
+    // a drifting one marks every co-timed number as environment noise.
+    // Rule (also in README): a per-query regression claim requires the
+    // controls of BOTH runs being compared to be flat (end/start < ~1.5x).
+    val controlNames = Seq("q02_agg_groupby", "q05_topk")
+    def r3n(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val controls = scala.collection.mutable.ArrayBuffer[String]()
+    def controlRun(pos: String): Unit = {
+      val ts = System.currentTimeMillis()
+      val parts = controlNames.map { n =>
+        val sec = SparkEntry.queries.get(n).map { fn =>
+          val t0 = System.nanoTime()
+          try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        cleanup()
+        s""""${n.takeWhile(_ != '_')}":${sec.map(r3n).getOrElse("null")}"""
+      }
+      controls +=
+        s"""{"pos":"$pos","ts":$ts,${parts.mkString(",")}}"""
+    }
+    controlRun("start")
+    val timed = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      if (selected.size >= 4 && idx == selected.size / 2) controlRun("mid")
+      val ts = System.currentTimeMillis()
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
@@ -65,9 +94,10 @@ object Bench {
       // is the signature of leaked blocks, visible without re-running
       val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, remaining) => max - remaining }.sum
-      (name, sec, ok, gcSec, memUsed)
+      (name, sec, ok, gcSec, memUsed, idx, ts)
     }
-    val failed = timed.collect { case (n, _, false, _, _) => n }
+    controlRun("end")
+    val failed = timed.collect { case (n, _, false, _, _, _, _) => n }
     // Short key = "q01_filter_project" -> "01" (the uniform 'q' prefix
     // carries no information and cost 156 chars of the ~1700-char line
     // budget at r6 — VERDICT r6 #2); collisions would be a naming bug,
@@ -83,8 +113,9 @@ object Bench {
     def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // only SUCCESSFUL timings go in the map (a failure's time-to-exception
     // is not a runtime); failures are named in the separate list
-    val entries = timed.collect { case (n, s, true, _, _) => (short(n), s) }
-    val total = timed.collect { case (_, s, true, _, _) => s }.sum
+    val entries = timed.collect { case (n, s, true, _, _, _, _) =>
+      (short(n), s) }
+    val total = timed.collect { case (_, s, true, _, _, _, _) => s }.sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(n => s""""${short(n)}"""").mkString(""","failed":[""", ",", "]")
@@ -117,11 +148,16 @@ object Bench {
     // fallback path that would re-create the r1/r2 clipping failure.
     val line = (Iterator(0.0) ++ Iterator.iterate(0.15)(_ * 2))
       .map(lineFor).find(_.length <= 1700).get
-    // Full-name, full-precision record for humans / the judge.
-    val fullQs = timed.map { case (n, s, ok, gc, mem) =>
-      s""""$n":{"sec":$s,"ok":$ok,"gc_sec":$gc,"mem_used":$mem}""" }
+    // Full-name, full-precision record for humans / the judge. Per query:
+    // idx = run-order position, ts = wall-clock start (epoch ms) — with
+    // the controls array these make "was this window quiet" a mechanical
+    // check instead of a re-run (VERDICT r10 #1).
+    val fullQs = timed.map { case (n, s, ok, gc, mem, idx, ts) =>
+      s""""$n":{"sec":$s,"ok":$ok,"gc_sec":$gc,"mem_used":$mem,""" +
+        s""""idx":$idx,"ts":$ts}""" }
       .mkString("{\n  ", ",\n  ", "\n}")
-    val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs}"""
+    val controlsJson = controls.mkString("[", ",", "]")
+    val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","controls":$controlsJson,"queries":$fullQs}"""
     // A filtered (SPARK_GRAFT_ONLY) run must NOT clobber the committed
     // full-suite record.
     if (only.isEmpty)
@@ -129,6 +165,10 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         local.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
+    // Filtered runs don't write BENCH_LOCAL.json, but their readings are
+    // exactly the ones compared against it — surface the controls so a
+    // solo rerun carries its own contention lens.
+    else System.err.println(s"[bench] controls: $controlsJson")
     spark.stop()
     // Emit on the REAL process stdout (FileDescriptor.out): when run via
     // `sbt runMain`, System.out is captured by sbt's logger and the line

@@ -3394,8 +3394,10 @@ object SparkEntry {
         |         CAST(sum(cb) AS BIGINT) AS n_b
         |       FROM j GROUP BY 1),
         |p AS (SELECT j.dim, tt.n_a, tt.n_b,
-        |        (j.ca + 1) * 1000000 // (tt.n_a + 8) AS pa_ppm,
-        |        (j.cb + 1) * 1000000 // (tt.n_b + 8) AS pb_ppm
+        |        greatest(1, (j.ca + 1) * 1000000 // (tt.n_a + 8))
+        |          AS pa_ppm,
+        |        greatest(1, (j.cb + 1) * 1000000 // (tt.n_b + 8))
+        |          AS pb_ppm
         |      FROM j JOIN tt ON j.dim = tt.dim)
         |SELECT dim, n_a, n_b,
         |       CAST(sum(CAST(round((pa_ppm - pb_ppm) *
@@ -5405,16 +5407,18 @@ object SparkEntry {
         |      FROM s LEFT JOIN ca ON s.bin = ca.bin
         |             LEFT JOIN cb ON s.bin = cb.bin),
         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-        |        CAST(sum(cb) AS BIGINT) AS n_b FROM j)
-        |SELECT bin, ca, cb,
-        |       (ca + 1) * 1000000 // (n_a + 10) AS pa_ppm,
-        |       (cb + 1) * 1000000 // (n_b + 10) AS pb_ppm,
-        |       CAST(round(CAST((ca + 1) * 1000000 // (n_a + 10)
-        |           - (cb + 1) * 1000000 // (n_b + 10) AS DOUBLE)
-        |         * ln(CAST((ca + 1) * 1000000 // (n_a + 10) AS DOUBLE)
-        |           / ((cb + 1) * 1000000 // (n_b + 10))) * 1000.0, 0)
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM j),
+        |p AS (SELECT bin, ca, cb,
+        |        greatest(1, (ca + 1) * 1000000 // (n_a + 10))
+        |          AS pa_ppm,
+        |        greatest(1, (cb + 1) * 1000000 // (n_b + 10))
+        |          AS pb_ppm
+        |      FROM j, t)
+        |SELECT bin, ca, cb, pa_ppm, pb_ppm,
+        |       CAST(round(CAST(pa_ppm - pb_ppm AS DOUBLE)
+        |         * ln(CAST(pa_ppm AS DOUBLE) / pb_ppm) * 1000.0, 0)
         |         AS BIGINT) AS contrib_nano
-        |FROM j, t ORDER BY bin""".stripMargin,
+        |FROM p ORDER BY bin""".stripMargin,
     // q266: winsorized mean — tails CLAMPED to the exact rank fences
     // (k = n*10 // 100), denominator stays n; fence ties are
     // value-identical so the clamped sum is order-invariant.

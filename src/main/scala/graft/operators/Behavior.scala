@@ -698,7 +698,11 @@ object Behavior {
     val ctrl = long.filter(col("arm") === control)
       .select(col("step"), col("n1").as("cn1"),
         col("n_reached").as("cnr"))
-    val j = long.join(broadcast(ctrl), "step")
+    // LEFT join: with no control-arm step-1 reachers the ctrl frame is
+    // empty, and an inner join would silently return zero rows — each
+    // arm's rates must still report, just with NULL z (the when() below
+    // evaluates NULL on the missing cnr/cn1 and falls to otherwise)
+    val j = long.join(broadcast(ctrl), Seq("step"), "left")
     val pArm = col("n_reached").cast("double") / col("n1")
     val pCtl = col("cnr").cast("double") / col("cn1")
     val pool = (col("n_reached") + col("cnr")).cast("double") /

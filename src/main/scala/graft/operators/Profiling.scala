@@ -271,8 +271,14 @@ object Profiling {
     val totals = joined.agg(sum(col("ca")).as("n_a"),
       sum(col("cb")).as("n_b"))
     joined.crossJoin(broadcast(totals))
-      .withColumn("pa_ppm", expr(s"(ca + 1) * 1000000 div (n_a + $bins)"))
-      .withColumn("pb_ppm", expr(s"(cb + 1) * 1000000 div (n_b + $bins)"))
+      // clamp the smoothed share to >= 1 ppm: past ~1e6 rows/side a
+      // sparse bin's integer div truncates to 0 and ln(0) / div-by-0
+      // would poison contrib_nano — the floor keeps every term finite
+      // and is exact-integer in both engines
+      .withColumn("pa_ppm",
+        expr(s"greatest(1L, (ca + 1) * 1000000 div (n_a + $bins))"))
+      .withColumn("pb_ppm",
+        expr(s"greatest(1L, (cb + 1) * 1000000 div (n_b + $bins))"))
       .withColumn("contrib_nano",
         round((col("pa_ppm") - col("pb_ppm")).cast("double") *
           log(col("pa_ppm").cast("double") / col("pb_ppm")) * 1000.0, 0)
@@ -373,9 +379,13 @@ object Profiling {
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     joined.join(totals, "dim")
       // +1/(n+bins) Laplace smoothing in integer ppm: identical in any
-      // engine, and zero-count bins contribute a finite term
-      .withColumn("pa_ppm", expr(s"(ca + 1) * 1000000 div (n_a + $bins)"))
-      .withColumn("pb_ppm", expr(s"(cb + 1) * 1000000 div (n_b + $bins)"))
+      // engine, and zero-count bins contribute a finite term; clamped
+      // to >= 1 ppm so a sparse bin past ~1e6 rows/side can't truncate
+      // to 0 and poison the log/div below
+      .withColumn("pa_ppm",
+        expr(s"greatest(1L, (ca + 1) * 1000000 div (n_a + $bins))"))
+      .withColumn("pb_ppm",
+        expr(s"greatest(1L, (cb + 1) * 1000000 div (n_b + $bins))"))
       .withColumn("contrib_nano",
         round((col("pa_ppm") - col("pb_ppm")).cast("double") *
           log(col("pa_ppm").cast("double") / col("pb_ppm")) * 1000.0, 0)
@@ -597,7 +607,15 @@ object Profiling {
       .filter(col("v") >= 1)
       .withColumn("b", length(bin(col("v"))).cast("int"))
       .withColumn("lo", expr("shiftleft(1L, b - 1)"))
-      .withColumn("sub", expr(s"cast((v - lo) * $m div lo as int)"))
+      // enforce the documented contract v < 2^(62-subBits): beyond it
+      // (v - lo) * m wraps in non-ANSI mode and lands in a wrong
+      // sub-bucket silently — fail fast instead
+      .withColumn("sub", expr(
+        s"if(v < ${1L << (62 - subBits)}L, " +
+          s"cast((v - lo) * $m div lo as int), " +
+          "cast(raise_error(concat('logHistQuantilesFine: value ', v," +
+          s" ' >= 2^${62 - subBits} overflows sub-bucket arithmetic'))" +
+          " as int))"))
       .groupBy(col("k"), col("b"), col("sub"), col("lo"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1076,6 +1094,14 @@ object Profiling {
     require(n >= 2 && n <= maxRows,
       s"kendallTauB is for key-bounded frames: got $n rows " +
         s"(allowed 2..$maxRows) — aggregate first or raise maxRows")
+    // the pair join's ka < kb condition assumes keys are UNIQUE —
+    // duplicate keys would silently drop every within-key pair and
+    // skew conc/disc/n_pairs, so fail fast (base is already
+    // materialized by the localCheckpoint; this is a cheap re-agg)
+    val nKeys = base.select(col("k")).distinct().count()
+    require(nKeys == n,
+      s"kendallTauB requires unique keys: $n rows but $nKeys distinct " +
+        s"'$keyCol' values — aggregate to one row per key first")
     val a = base.select(col("k").as("ka"), col("x").as("xa"),
       col("y").as("ya"))
     val b = base.select(col("k").as("kb"), col("x").as("xb"),

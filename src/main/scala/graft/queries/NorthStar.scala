@@ -1727,6 +1727,12 @@ object NorthStar {
     ManifestTable.create(dir, Seq("l_partkey", "l_suppkey"))
     ManifestTable.overwriteWithRetry(spark, dir, li)
     ManifestTable.optimizeZorder(spark, dir, "l_partkey", "l_suppkey", 8)
+    // retention vacuum: the maintenance write re-runs per invocation
+    // (the op IS the query), so without this the data dir accumulates
+    // every prior run's files unboundedly across bench runs — keep the
+    // current version plus one (the time-travel window a demo needs),
+    // which bounds steady-state size at ~2 snapshots
+    ManifestTable.vacuum(dir, retainVersions = 1)
     val (_, boxDf, _, _) = ManifestTable.readWhereBetween(spark, dir,
       "l_partkey", 10L, 60L)
     boxDf

@@ -75,4 +75,24 @@ class MaintenanceSpec extends SparkSpec {
       s"z-order must prune the x box: kept $keptAfter of $totAfter")
     assert(boxDf.filter($"x".between(0, 7)).count() == 8L * 64)
   }
+
+  test("zorderOptimize demo is steady-state on disk: the retention " +
+      "vacuum bounds the maintenance dir across consecutive runs") {
+    import graft.queries.NorthStar
+    val sfDir = "/root/testdata/sf0.001"
+    def dataFiles = {
+      val d = new File(NorthStar.maintDir(sfDir, "zopt") + "/data")
+      Option(d.listFiles()).getOrElse(Array.empty[File]).filter(_.isFile)
+    }
+    NorthStar.zorderOptimize(spark, sfDir).count()
+    val afterFirst = (dataFiles.length, dataFiles.map(_.length()).sum)
+    NorthStar.zorderOptimize(spark, sfDir).count()
+    val afterSecond = (dataFiles.length, dataFiles.map(_.length()).sum)
+    // identical inputs → identical retained snapshots: the dir must not
+    // grow run-over-run (pre-fix it gained one full table copy per run)
+    assert(afterSecond._1 == afterFirst._1,
+      s"file count grew: $afterFirst -> $afterSecond")
+    assert(afterSecond._2 <= (afterFirst._2 * 1.05).toLong,
+      s"bytes grew: $afterFirst -> $afterSecond")
+  }
 }

@@ -1952,6 +1952,21 @@ class NorthStarSpec extends SparkSpec {
     assert(self.forall(_._6 == 0L))
   }
 
+  test("numericPsi: smoothed ppm is clamped >= 1 past 1e6 rows/side " +
+      "(sparse bin would otherwise truncate to 0 and poison the log)") {
+    import spark.implicits._
+    // 1.2e6 rows all in bin 0: an empty bin's (0+1)*1e6 div (1.2e6+5)
+    // = 0 pre-clamp → ln(0/..) = -Inf → Long.MaxValue-scale garbage
+    val a = spark.range(1200000L).select(lit(0L).as("v"))
+    val b = Seq(500L).toDF("v")
+    val got = Profiling.numericPsi(a, b, $"v", 5, 0L, 500L)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.size == 5)
+    assert(got.forall { case (_, _, _, pa, pb, _) => pa >= 1 && pb >= 1 })
+    // finite, sane magnitudes: |contrib| far below Long.MaxValue scale
+    assert(got.forall(r => math.abs(r._6) < 1000000L * 20 * 1000))
+  }
+
   test("exactQuantilesMulti seeds: exact count + conservative bounds " +
       "give identical results to the stats-pass form") {
     import spark.implicits._
@@ -2331,6 +2346,16 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("logHistQuantilesFine fail-fasts when a value would overflow " +
+      "the sub-bucket arithmetic (v >= 2^(62-subBits))") {
+    import spark.implicits._
+    val df = Seq((1L, 1L << 61), (1L, 4L)).toDF("k", "v")
+    val e = intercept[org.apache.spark.SparkThrowable] {
+      Profiling.logHistQuantilesFine(df, "k", "v", Seq(0.5), 1).collect()
+    }
+    assert(e.asInstanceOf[Throwable].getMessage.contains("overflows"))
+  }
+
   test("fuzzyBlockAuditTwoSided: hot on the prefix side, cold reversed") {
     import spark.implicits._
     // three docs share the 12-char prefix (hot at maxBlock=2) but end
@@ -2465,6 +2490,17 @@ class NorthStarSpec extends SparkSpec {
     assert(e.getMessage.contains("key-bounded"))
   }
 
+  test("kendallTauB fail-fasts on duplicate keys (ka < kb would drop " +
+      "within-key pairs silently)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.kendallTauB(df, "k", $"x", $"y")
+    }
+    assert(e.getMessage.contains("unique keys"))
+  }
+
   test("spearmanRho: doubled midranks; rho = 64/72 on the tie fixture") {
     import spark.implicits._
     // x = 1,2,3,3 → 2·midranks 2,4,7,7; y = 1,1,2,4 → 3,3,6,8;
@@ -2591,6 +2627,25 @@ class NorthStarSpec extends SparkSpec {
       (1L, 1, 1L, 1000000L, None, 0),
       (1L, 2, 1L, 1000000L, Some(0.866), 0),
       (1L, 3, 0L, 0L, Some(-0.866), 0)))
+  }
+
+  test("funnelByArm: empty control arm still reports per-arm rates " +
+      "with NULL z (left join to the control frame)") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // all reachers are arm 1 (odd user ids); control arm 0 is empty
+    val ev = Seq(
+      (1L, at(0), "signup"), (1L, at(1), "view"),
+      (3L, at(0), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnelByArm(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"), u => pmod(u, lit(2L)), 0L)
+      .orderBy($"arm", $"step")
+      .as[(Long, Int, Long, Long, Option[Double], Int)]
+      .collect().toList
+    assert(got == List(
+      (1L, 1, 2L, 1000000L, None, 0),
+      (1L, 2, 1L, 500000L, None, 0)))
   }
 
   test("mmrRerankBatch runs each query's greedy independently") {
