@@ -287,6 +287,7 @@ object SparkEntry {
     "q264_weighted_vote" -> (NorthStar.qualityLfWeightedVote _),
     "q265_length_psi"    -> (NorthStar.lengthDriftPsi _),
     "q266_winsor_mean"   -> (NorthStar.typeWinsorizedMean _),
+    "q267_ivf_append"    -> (NorthStar.ivfAppendServe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5447,6 +5448,14 @@ object SparkEntry {
         |       CAST(CAST(sum_winsor AS HUGEINT) * 1000000 // n
         |         AS BIGINT) AS mean_micro
         |FROM a ORDER BY 1""".stripMargin,
+    // q267: incremental IVF append — the oracle pins the deployment
+    // identity EXACTLY (serve-over-appended == serve-over-rebuilt at a
+    // frozen codebook, zero assignment disagreements); the Spark side
+    // computes every flag honestly, so any divergence fails the gate.
+    "q267_ivf_append" ->
+      """SELECT CAST(range + 1 AS BIGINT) AS rank, 1 AS same,
+        |       CAST(0 AS BIGINT) AS assign_diff
+        |FROM range(10) ORDER BY 1""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

@@ -36,6 +36,21 @@ object Labeling {
     * shuffle), then ONE conditional aggregate with 4·|LFs| partials;
     * output is |LFs| rows unpivoted from the single aggregate row. */
   def majorityVote(df: DataFrame, lfs: Seq[(String, Column)])
+      : DataFrame = majorityVoteFromState(labelState(df, lfs))
+
+  /** PER-LF SUFFICIENT STATISTICS of the majority vote — the
+    * MERGEABLE state behind [[majorityVote]] and [[weightedVote]]'s
+    * pass 1: one row per LF with exact counts (lf, n, n_covered,
+    * n_pos, n_agree). The consensus vote is ROW-LOCAL (a row's label
+    * depends only on that row's LF columns), so per-batch states sum
+    * exactly ([[mergeLabelState]]) and split-batch maintenance equals
+    * a full-log rebuild — the property that makes the always-on
+    * [[graft.streaming.LabelStateStream]] form exact, not a sketch.
+    *
+    * Scale shape: the vote is a row-local sum of the LF columns (no
+    * shuffle), then ONE conditional aggregate with 4·|LFs| partials;
+    * output is |LFs| rows unpivoted from the single aggregate row. */
+  def labelState(df: DataFrame, lfs: Seq[(String, Column)])
       : DataFrame = {
     require(lfs.nonEmpty, "at least one labeling function")
     require(lfs.map(_._1).distinct.size == lfs.size,
@@ -64,13 +79,30 @@ object Labeling {
       s"'$n', pos_$n, agree_$n" }.mkString(", ")
     one.selectExpr("n", "n_covered",
         s"stack($k, $stacked) as (lf, n_pos, n_agree)")
-      .select(col("lf"), col("n"), col("n_covered"), col("n_agree"),
-        expr("case when n_covered > 0 then" +
-          " cast(cast(n_agree as decimal(38,0)) * 1000000" +
-          " div n_covered as bigint) end").as("agree_ppm"),
-        expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n" +
-          " as bigint)").as("pos_ppm"))
+      .select(col("lf"), col("n"), col("n_covered"), col("n_pos"),
+        col("n_agree"))
   }
+
+  /** Exact merge of two [[labelState]] frames — all four counts add;
+    * split-batch merge == full rebuild (spec- and property-pinned). */
+  def mergeLabelState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("lf"))
+      .agg(sum(col("n")).as("n"), sum(col("n_covered")).as("n_covered"),
+        sum(col("n_pos")).as("n_pos"), sum(col("n_agree")).as("n_agree"))
+
+  /** The [[majorityVote]] audit readout over a persisted
+    * [[labelState]] frame — value-identical to the full-log form
+    * (majorityVote IS this readout over a freshly aggregated state);
+    * the always-on pipeline reads the maintained state, never the
+    * label log. Tiny-frame algebra: |LFs| rows in, |LFs| rows out. */
+  def majorityVoteFromState(state: DataFrame): DataFrame =
+    state.select(col("lf"), col("n"), col("n_covered"), col("n_agree"),
+      expr("case when n_covered > 0 then" +
+        " cast(cast(n_agree as decimal(38,0)) * 1000000" +
+        " div n_covered as bigint) end").as("agree_ppm"),
+      expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n" +
+        " as bigint)").as("pos_ppm"))
 
   /** COHEN'S KAPPA between two binary labelers (Cohen 1960) — the
     * chance-corrected agreement audit for a labeler pair: κ =
@@ -125,14 +157,29 @@ object Labeling {
     * broadcast-state regime) + one weighted-vote aggregate; no
     * shuffle beyond the aggregates. */
   def weightedVote(df: DataFrame, lfs: Seq[(String, Column)])
-      : DataFrame = {
-    val audit = majorityVote(df, lfs)
+      : DataFrame = weightedVoteFromState(df, lfs, labelState(df, lfs))
+
+  /** [[weightedVote]] with pass 1 read from a persisted
+    * [[labelState]] frame instead of re-aggregating the label log —
+    * the weights come from the streaming-maintained state
+    * ([[graft.streaming.LabelStateStream]]), so only the pass-2
+    * revote scans `df`. Value-identical to [[weightedVote]] when the
+    * state covers exactly `df` (spec-pinned); in the always-on form
+    * the state covers MORE log than any one revote slice — that is
+    * the point: stable accumulated weights applied to fresh rows. */
+  def weightedVoteFromState(df: DataFrame, lfs: Seq[(String, Column)],
+      state: DataFrame): DataFrame = {
+    val audit = majorityVoteFromState(state)
       .select(col("lf"), col("agree_ppm"))
       .collect().map { r =>
         require(!r.isNullAt(1), s"LF '${r.getString(0)}': pass-1 " +
           "consensus never decided (all ties) — weights undefined")
         r.getString(0) -> r.getLong(1)
       }.toMap
+    lfs.foreach { case (n, _) =>
+      require(audit.contains(n),
+        s"LF '$n' missing from the label state (state has " +
+          s"${audit.keys.toSeq.sorted.mkString(", ")})") }
     val k = lfs.size
     val weights = lfs.map { case (n, _) => audit(n) }
     val voted = df

@@ -167,6 +167,92 @@ object NorthStar {
   def ivfIndexDir(d: String): String =
     s"spark-warehouse/graft_index/ivf_${new java.io.File(d).getName}"
 
+  /** Per-SF root of the INCREMENTAL IVF index (frozen codebook + the
+    * growing member ManifestTable). */
+  def ivfAppendDir(d: String): String =
+    s"spark-warehouse/graft_index/ivf_append_${new java.io.File(d).getName}"
+
+  /** X3 INCREMENTAL IVF INDEX APPEND, oracled as an exact identity
+    * ([[graft.streaming.IvfIndexStream]]): the even-id half of the
+    * corpus trains the frozen per-label-mean codebook (q138's recipe)
+    * and seeds the persisted member table; the odd-id half then
+    * ARRIVES and is appended through the maintenance sink — map-only
+    * assignment against the frozen codebook, one txn-marked snapshot
+    * (re-running this query replays the same txn and is a no-op, so
+    * the state is stable across Verify/Bench runs). The oracle pins
+    * the deployment invariant exactly: because assignment against a
+    * FIXED codebook is a pure per-row function, serving the top-10
+    * over the APPENDED index is value-identical, rank by rank (id and
+    * rounded cosine), to serving over a full REBUILD (the whole corpus
+    * re-assigned against the same codebook), and the two member
+    * tables' assignments disagree on zero vec_ids. Output: (rank,
+    * same, assign_diff) — all 1/0 literals the Spark side computes
+    * honestly; any divergence flips a flag and fails the gate.
+    *
+    * Scale shape: the append is O(batch) map-only + one commit; both
+    * serving arms are the q138 probe (cell-pruned scan, broadcast
+    * query); the assignment diff is one key-sized full-outer join.
+    * Rebuild-on-drift stays offline (q186 is the trigger). */
+  def ivfAppendServe(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val emb = Tables.embeddings(spark, d)
+    val init = emb.filter(pmod($"vec_id", lit(2L)) === 0)
+    val incoming = emb.filter(pmod($"vec_id", lit(2L)) === 1)
+    val centDir = s"${ivfAppendDir(d)}/centroids"
+    val memDir = s"${ivfAppendDir(d)}/members"
+    ManifestTable.create(centDir)
+    ManifestTable.create(memDir)
+    // frozen codebook: per-label mean of the INITIAL corpus, committed
+    // once (the offline training step of a real deployment)
+    if (ManifestTable.files(centDir,
+        ManifestTable.currentVersion(centDir)).isEmpty)
+      ManifestTable.appendWithRetry(spark, centDir,
+        Similarity.ivfCells(init)
+          .select($"label".cast("long").as("cid"), $"centroid".as("c")))
+    val cents = Similarity.centroidsOf(
+      ManifestTable.read(spark, centDir)._2)
+    // member v1: the initial corpus assigned against the frozen codebook
+    if (!ManifestTable.hasCommittedTxn(memDir, "ivfappend-init"))
+      ManifestTable.appendWithRetry(spark, memDir,
+        init.select($"vec_id",
+            $"embedding".cast("array<double>").as("embedding"))
+          .join(Similarity.assignWith(init, cents), "vec_id"),
+        txn = Some("ivfappend-init"))
+    // THE APPEND under test: odd ids arrive through the maintenance
+    // sink (map-only assignment, txn-marked — replays are no-ops)
+    graft.streaming.IvfIndexStream.sink(memDir, centDir, "ivfappend")(
+      incoming, 1L)
+    val members = ManifestTable.read(spark, memDir)._2
+    // the REBUILD arm: whole corpus re-assigned against the SAME codebook
+    val rebuilt = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .join(Similarity.assignWith(emb, cents), "vec_id")
+    def serve(idx: DataFrame) = Similarity.ivfTopKWith(
+      ManifestTable.read(spark, centDir)._2
+        .select($"cid".as("label"), $"c".as("centroid")),
+      idx.withColumnRenamed("cid", "label"), 0L, 10)
+    // the ranking windows run over 10-row frames — single-partition safe
+    def ranked(df: DataFrame, p: String) = df
+      .select($"vec_id".as(s"${p}_id"), $"cos".as(s"${p}_cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(s"${p}_cos").desc, col(s"${p}_id"))))
+    val a = ranked(serve(members), "a")
+    val b = ranked(serve(rebuilt), "b")
+    val assignDiff = members.select($"vec_id", $"cid".as("ca"))
+      .join(rebuilt.select($"vec_id", $"cid".as("cb")), Seq("vec_id"),
+        "full_outer")
+      .filter(!($"ca" <=> $"cb"))
+      .agg(count(lit(1)).as("assign_diff"))
+    a.join(b, "rank")
+      .select($"rank".cast("long").as("rank"),
+        ($"a_id" === $"b_id" && $"a_cos" === $"b_cos")
+          .cast("int").as("same"))
+      .crossJoin(broadcast(assignDiff))
+      .orderBy($"rank")
+  }
+
   /** X4 language-ID heuristic vs the labeled lang column. */
   def langId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

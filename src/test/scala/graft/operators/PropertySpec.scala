@@ -767,4 +767,23 @@ object PropertySpec extends Properties("graft.operators") {
       canon(Behavior.mergeExperimentState(
         st(rows.take(c)), st(rows.drop(c)))) == canon(st(rows))
     }
+
+  private val lfRows = Gen.listOfN(12, Gen.zip(
+    Gen.oneOf(0, 1), Gen.oneOf(0, 1), Gen.oneOf(0, 1)))
+
+  property("mergeLabelState(split) == labelState(full) at any cut " +
+      "(the vote is row-local, so batch states sum exactly)") =
+    Prop.forAllNoShrink(lfRows.suchThat(_.nonEmpty),
+        Gen.chooseNum(1, 11)) { (rows, cut) =>
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val lfs = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"))
+      def st(rs: List[(Int, Int, Int)]) =
+        Labeling.labelState(rs.toDF("a", "b", "c"), lfs)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.as[(String, Long, Long, Long, Long)].collect().toList.sorted
+      val c = math.min(cut, rows.size - 1)
+      canon(Labeling.mergeLabelState(
+        st(rows.take(c)), st(rows.drop(c)))) == canon(st(rows))
+    }
 }

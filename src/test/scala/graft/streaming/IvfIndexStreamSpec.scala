@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.sources.ManifestTable
+
+/** The incremental IVF index maintainer (q267's machinery): map-only
+  * assignment of arriving vectors against a FROZEN codebook, appended
+  * as txn-marked snapshots. Contracts: (1) appended members carry the
+  * same assignments a full rebuild against the same codebook would
+  * give (the serve-identity premise), (2) a replayed batch is a no-op,
+  * (3) an empty batch commits nothing, (4) an empty codebook
+  * fail-fasts instead of training mid-stream. */
+class IvfIndexStreamSpec extends SparkSpec {
+
+  private def mkCodebook(dir: String): Unit = {
+    import spark.implicits._
+    ManifestTable.create(dir)
+    // two unit cells on the axes
+    ManifestTable.appendWithRetry(spark, dir,
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "c"))
+  }
+
+  test("streamed appends == full rebuild assignments; replay + empty " +
+      "batches are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("ivfidx").toString
+    val centDir = s"$root/centroids"
+    val memDir = s"$root/members"
+    mkCodebook(centDir)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(IvfIndexStream.sink(memDir, centDir, "ivf") _)
+      .start()
+    val b1 = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.2, 0.8)))
+    val b2 = Seq((3L, Seq(0.6, 0.5)), (4L, Seq(-1.0, 0.0)))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val members = ManifestTable.read(spark, memDir)._2
+      .select($"vec_id", $"cid")
+      .as[(Long, Long)].collect().toList.sorted
+    // rebuild: all four vectors assigned in one pass, same codebook
+    val all = (b1 ++ b2).toDF("vec_id", "embedding")
+    val cents = Similarity.centroidsOf(
+      ManifestTable.read(spark, centDir)._2)
+    val rebuilt = Similarity.assignWith(all, cents)
+      .as[(Long, Long)].collect().toList.sorted
+    assert(members.size == 4 && members == rebuilt)
+    // replayed batch: version frozen, members identical
+    val v = ManifestTable.currentVersion(memDir)
+    IvfIndexStream.sink(memDir, centDir, "ivf")(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(ManifestTable.currentVersion(memDir) == v)
+    // empty batch: no snapshot
+    IvfIndexStream.sink(memDir, centDir, "ivf")(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"), 99L)
+    assert(ManifestTable.currentVersion(memDir) == v)
+  }
+
+  test("fail-fasts on an empty codebook (train offline first)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfidx2").toString
+    ManifestTable.create(s"$root/centroids")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStream.sink(s"$root/members", s"$root/centroids", "ivf")(
+        Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"), 0L)
+    }
+    assert(e.getMessage.contains("no frozen codebook"))
+  }
+}
