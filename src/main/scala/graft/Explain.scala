@@ -87,7 +87,7 @@ object Explain {
       "q256_auc_exact", "q257_calibration", "q258_roc_points",
       "q259_fleiss_kappa", "q260_snapshot_diff", "q261_kruskal",
       "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote",
-      "q265_length_psi", "q266_winsor_mean")
+      "q265_length_psi", "q266_winsor_mean", "q267_ivf_append")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -152,6 +152,13 @@ object Explain {
         "the driver as integer-ppm weights — broadcast-state regime — " +
         "so the plan below is pass 2 only: the weighted revote " +
         "aggregate with the weights as literals."),
+      "q267_ivf_append" -> ("The maintenance half (frozen-codebook " +
+        "training, the txn-marked member append, the replay check) " +
+        "runs eagerly before the returned plan; shown below is the " +
+        "serve-and-compare tail — two q138-shaped IVF probes (cell-" +
+        "pruned member scans × broadcast query) rank-joined, plus the " +
+        "key-sized full-outer assignment diff. Ten-row ranking " +
+        "windows are single-partition by design."),
       "q243_chi_square" -> ("Shown with lazyPlan = true: the " +
         "executable form pins the cells aggregate with an eager " +
         "localCheckpoint (the marginal/total/chi branches re-read it), " +

@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   *        one prefix-shuffle + in-partition sort, O(n·w) candidates;
   *        ScaleGen's planted shared 12-char prefix makes one block
   *        hot, which the window absorbs (no self-join to blow up)
+  *   q254 majority vote + q264 weighted revote (X17, round 11) — the
+  *        vote is a row-local sum, so both should be scan-shaped: one
+  *        conditional aggregate (q264 pays two passes by design);
+  *        skew-free by construction (no key shuffle at all)
+  *   q210 A/B readout (experiment-state family) — (variant, user)
+  *        sufficient-stats aggregate; ScaleGen's planted hot user 7
+  *        concentrates every 20th event on one user key, the exact
+  *        skew the per-user pre-aggregate absorbs
   *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
   *   SPARK_GRAFT_ONLY=q228,q237 narrows to matching families.
@@ -99,7 +107,8 @@ object ScaleBench {
         graft.operators.Similarity.binaryKnnJoin(emb,
           emb.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < 2000), 5, 20)
-      })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood")
+      })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood",
+        "q254_lf_vote", "q264_weighted_vote", "q210_ab_test")
       .map(n => n -> graft.SparkEntry.queries(n))
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
