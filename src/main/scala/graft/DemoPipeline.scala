@@ -161,6 +161,9 @@ object DemoPipeline {
     println("[weighted revote] pass-1 agreement as weights (Snorkel rung 2)")
     operators.Labeling.weightedVote(docs, lfs)
       .orderBy(col("lf")).show(truncate = false)
+    println("[conflict matrix] which LF pairs fight each other")
+    operators.Labeling.conflictMatrix(docs, lfs)
+      .orderBy(col("lf_a"), col("lf_b")).show(truncate = false)
     println("[cohen kappa] long vs wordy (are the length rules one rule?)")
     operators.Labeling.cohenKappa(docs, lfLong, lfWordy)
       .show(truncate = false)

@@ -288,6 +288,8 @@ object SparkEntry {
     "q265_length_psi"    -> (NorthStar.lengthDriftPsi _),
     "q266_winsor_mean"   -> (NorthStar.typeWinsorizedMean _),
     "q267_ivf_append"    -> (NorthStar.ivfAppendServe _),
+    "q268_lf_conflicts"  -> (NorthStar.qualityLfConflicts _),
+    "q269_revenue_ewma"  -> (NorthStar.revenueEwma _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5456,6 +5458,63 @@ object SparkEntry {
       """SELECT CAST(range + 1 AS BIGINT) AS rank, 1 AS same,
         |       CAST(0 AS BIGINT) AS assign_diff
         |FROM range(10) ORDER BY 1""".stripMargin,
+    // q268: pairwise LF conflict matrix — exact counts from one
+    // conditional aggregate; pair order follows the LF list (long,
+    // en), (long, wordy), (en, wordy).
+    "q268_lf_conflicts" ->
+      """WITH v AS (SELECT
+        |    CAST(n_chars >= 300 AS INTEGER) AS lf_long,
+        |    CAST(lang = 'en' AS INTEGER) AS lf_en,
+        |    CAST(len(string_split(text, ' ')) >= 50 AS INTEGER)
+        |      AS lf_wordy
+        |  FROM documents),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN lf_long = lf_en THEN 1 END)
+        |      AS BIGINT) AS ag_le,
+        |    CAST(count(CASE WHEN lf_long = 1 AND lf_en = 1 THEN 1 END)
+        |      AS BIGINT) AS bp_le,
+        |    CAST(count(CASE WHEN lf_long = lf_wordy THEN 1 END)
+        |      AS BIGINT) AS ag_lw,
+        |    CAST(count(CASE WHEN lf_long = 1 AND lf_wordy = 1 THEN 1
+        |      END) AS BIGINT) AS bp_lw,
+        |    CAST(count(CASE WHEN lf_en = lf_wordy THEN 1 END)
+        |      AS BIGINT) AS ag_ew,
+        |    CAST(count(CASE WHEN lf_en = 1 AND lf_wordy = 1 THEN 1 END)
+        |      AS BIGINT) AS bp_ew
+        |  FROM v),
+        |s AS (SELECT 'long' AS lf_a, 'en' AS lf_b, n, ag_le AS n_agree,
+        |        bp_le AS n_both_pos FROM one
+        |      UNION ALL SELECT 'long', 'wordy', n, ag_lw, bp_lw FROM one
+        |      UNION ALL SELECT 'en', 'wordy', n, ag_ew, bp_ew FROM one)
+        |SELECT lf_a, lf_b, n, n_agree, n - n_agree AS n_conflict,
+        |       n_both_pos,
+        |       CAST(CAST(n_agree AS HUGEINT) * 1000000 // n AS BIGINT)
+        |         AS agree_ppm
+        |FROM s ORDER BY lf_a, lf_b""".stripMargin,
+    // q269: exact-integer EWMA — the alpha = 1/4 rational recursion
+    // s_t = (1*x_t + 3*s_{t-1}) // 4 replayed by a recursive CTE in
+    // strict day order; all operands non-negative integers, so
+    // truncating and floor division agree.
+    "q269_revenue_ewma" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS k,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT k, d, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |       FROM b),
+        |rec AS (
+        |  SELECT k, d, x, rn, x AS s FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.k, r0.d, r0.x, r0.rn,
+        |         (1 * r0.x + 3 * rec.s) // 4
+        |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
+        |SELECT k, d, x, CAST(s AS BIGINT) AS ewma
+        |FROM rec ORDER BY k, d""".stripMargin,
   )
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every

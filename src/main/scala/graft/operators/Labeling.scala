@@ -104,6 +104,52 @@ object Labeling {
       expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n" +
         " as bigint)").as("pos_ppm"))
 
+  /** PAIRWISE LF CONFLICT MATRIX — the Snorkel `LFAnalysis`-style
+    * "which rules fight each other" diagnostic that [[majorityVote]]'s
+    * per-LF-vs-consensus audit cannot show (two LFs can each agree
+    * with the consensus 70% of the time yet conflict with EACH OTHER
+    * constantly on the minority rows): one row per unordered LF pair
+    * (lf_a < lf_b in the given order) with exact counts — n, n_agree
+    * (equal votes), n_conflict (= n − n_agree), n_both_pos (both
+    * fire) — and agree_ppm. Read beside [[cohenKappa]]: this is the
+    * raw-count matrix over ALL pairs in one pass; kappa is the
+    * chance-corrected deep-dive on a pair the matrix flags.
+    *
+    * Scale shape: ONE conditional aggregate over the scan with
+    * 2·C(k,2) count partials (map-side combined), output C(k,2) rows
+    * unpivoted from the single aggregate row — no join, no shuffle
+    * beyond the aggregate. */
+  def conflictMatrix(df: DataFrame, lfs: Seq[(String, Column)])
+      : DataFrame = {
+    require(lfs.size >= 2, s"need >= 2 labeling functions, got ${lfs.size}")
+    require(lfs.map(_._1).distinct.size == lfs.size,
+      s"duplicate LF names in ${lfs.map(_._1)}")
+    lfs.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"LF name '$n' must be [A-Za-z0-9_]+ (it becomes a column)") }
+    val cast = df.select(lfs.map { case (n, c) =>
+      c.cast("int").as(s"lf_$n") }: _*)
+    val pairs = for {
+      i <- lfs.indices; j <- (i + 1) until lfs.size
+    } yield (lfs(i)._1, lfs(j)._1)
+    val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (a, b) =>
+      Seq(count(when(col(s"lf_$a") === col(s"lf_$b"), 1))
+          .as(s"agree_${a}_$b"),
+        count(when(col(s"lf_$a") === 1 && col(s"lf_$b") === 1, 1))
+          .as(s"both_${a}_$b"))
+    }
+    val one = cast.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', agree_${a}_$b, both_${a}_$b" }.mkString(", ")
+    one.selectExpr("n", s"stack(${pairs.size}, $stacked)" +
+        " as (lf_a, lf_b, n_agree, n_both_pos)")
+      .select(col("lf_a"), col("lf_b"), col("n"), col("n_agree"),
+        (col("n") - col("n_agree")).as("n_conflict"),
+        col("n_both_pos"),
+        expr("cast(cast(n_agree as decimal(38,0)) * 1000000 div n" +
+          " as bigint)").as("agree_ppm"))
+  }
+
   /** COHEN'S KAPPA between two binary labelers (Cohen 1960) — the
     * chance-corrected agreement audit for a labeler pair: κ =
     * (p_o − p_e)/(1 − p_e), kept EXACT by clearing denominators:

@@ -51,6 +51,54 @@ object TimeSeries {
         col("day_v").isNotNull.cast("int").as("observed"), col("filled"))
   }
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE of a per-key daily total,
+    * EXACT INTEGER — the standard smoothing monitor (Holt's level
+    * term; anomaly baselines; "is today's revenue off trend") made
+    * oracle-replayable: alpha is the RATIONAL num/den and the
+    * recursion is s₁ = x₁; s_t = (num·x_t + (den−num)·s_{t−1}) div
+    * den — all-integer with exactly ONE evaluation order (day order),
+    * where a float EWMA would drift engine-to-engine. Values must be
+    * NON-NEGATIVE (fail-fast): integer division of negatives is
+    * truncation-vs-floor ambiguous across engines. The recursion
+    * steps on OBSERVED days — compose with [[resampleDailyFfill]]
+    * first if gaps should decay the level. Output per (key, observed
+    * day): (k, d, x, ewma).
+    *
+    * Scale shape: one keyed daily aggregate (map-side partials) into
+    * a per-key CALENDAR-bounded frame, then a per-key sorted-array
+    * fold (collect_list of days — the [[resampleDailyFfill]] regime:
+    * thousands of days, never data-sized) exploded back to rows. An
+    * EWMA is inherently sequential per key; the calendar bound is
+    * what makes the sequential part safe at any corpus size. */
+  def ewmaDaily(df: DataFrame, key: String, ts: String, value: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den > num,
+      s"alpha = num/den needs 1 <= num < den, got $num/$den")
+    val daily = df
+      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
+        value.cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("v")).as("x0"))
+      .withColumn("x", expr("if(x0 >= 0, x0, " +
+        "cast(raise_error(concat('ewmaDaily: negative daily total ', " +
+        "x0, ' — integer div on negatives is truncation-vs-floor " +
+        "ambiguous across engines; shift or clamp first')) as bigint))"))
+    daily.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .select(col("k"), explode(expr(
+        s"""aggregate(a,
+           |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
+           |  (acc, e) -> acc || array(named_struct(
+           |    'd', e.d, 'x', e.x,
+           |    's', case when size(acc) = 0 then e.x
+           |              else (${num}L * e.x +
+           |                ${den - num}L * element_at(acc, -1).s)
+           |                div ${den}L end)))""".stripMargin)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.s").as("ewma"))
+  }
+
   /** Drawdown curve of a daily total: per day, the running peak of the
     * cumulative-to-date daily aggregate and the shortfall from it —
     * drawdown_d = max_{j≤d}(v_j) − v_d, the classic "how far below the

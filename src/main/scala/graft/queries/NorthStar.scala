@@ -2654,6 +2654,30 @@ object NorthStar {
       .orderBy($"d")
   }
 
+  /** X17 pairwise LF conflict matrix ([[graft.operators.Labeling
+    * .conflictMatrix]]): exact agree/conflict/co-fire counts for every
+    * pair of the three quality LFs in ONE aggregate — "which rules
+    * fight each other", the diagnostic q254's per-LF-vs-consensus
+    * audit cannot show. */
+  def qualityLfConflicts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.conflictMatrix(Tables.documents(spark, d),
+        qualityLfs(spark))
+      .orderBy($"lf_a", $"lf_b")
+  }
+
+  /** X16 exact-integer EWMA ([[graft.operators.TimeSeries
+    * .ewmaDaily]]): per event type, the alpha = 1/4 exponentially-
+    * weighted level of daily revenue cents — the rational-alpha
+    * integer recursion (s_t = (x_t + 3·s_{t−1}) div 4) replays
+    * engine-exactly in day order, where a float EWMA would drift. */
+  def revenueEwma(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.ewmaDaily(Tables.events(spark, d), "event_type", "ts",
+      round($"value" * 100, 0), 1, 4)
+      .orderBy($"k", $"d")
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

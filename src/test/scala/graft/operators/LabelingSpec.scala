@@ -38,6 +38,35 @@ class LabelingSpec extends SparkSpec {
       ("b", 3L, 2L, 2L, Some(1000000L), 333333L)))
   }
 
+  test("conflictMatrix: exact pairwise agree/conflict/co-fire counts " +
+      "on the 3-LF fixture") {
+    import spark.implicits._
+    // rows (a,b,c): (1,1,1) (1,1,0) (1,0,0) (0,0,0)
+    // (a,b): agree r1,r2,r4 = 3, both-pos r1,r2 = 2
+    // (a,c): agree r1,r4 = 2, both-pos r1 = 1
+    // (b,c): agree r1,r3,r4 = 3, both-pos r1 = 1
+    val df = Seq((1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val got = Labeling.conflictMatrix(df,
+        Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      .orderBy($"lf_a", $"lf_b")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      ("a", "b", 4L, 3L, 1L, 2L, 750000L),
+      ("a", "c", 4L, 2L, 2L, 1L, 500000L),
+      ("b", "c", 4L, 3L, 1L, 1L, 750000L)))
+  }
+
+  test("conflictMatrix fail-fasts on fewer than two LFs") {
+    import spark.implicits._
+    val df = Seq(Tuple1(1)).toDF("a")
+    val e = intercept[IllegalArgumentException] {
+      Labeling.conflictMatrix(df, Seq("a" -> $"a"))
+    }
+    assert(e.getMessage.contains(">= 2 labeling functions"))
+  }
+
   test("cohenKappa: textbook 2x2 fixture gives kappa = 0.4") {
     import spark.implicits._
     // n00=20 n01=5 n10=10 n11=15, n=50: po=35/50=0.7,

@@ -2605,6 +2605,36 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((6L, 1000L, 100L, 5L, "high")))
   }
 
+  test("ewmaDaily: alpha=1/2 integer recursion, hand-traced; day " +
+      "totals aggregate before smoothing") {
+    import spark.implicits._
+    def at(day: Long, off: Long = 0) =
+      new java.sql.Timestamp((day * 86400L + off) * 1000)
+    // day 0: 5+3=8, day 1: 4, day 2: 100, day 3: 0
+    // s = 8, (4+8)div2=6, (100+6)div2=53, (0+53)div2=26
+    val df = Seq((at(0), 5L), (at(0, 60), 3L), (at(1), 4L),
+      (at(2), 100L), (at(3), 0L))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val got = TimeSeries.ewmaDaily(df, "k", "ts", $"v", 1, 2)
+      .orderBy($"d")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", 0L, 8L, 8L), ("a", 1L, 4L, 6L),
+      ("a", 2L, 100L, 53L), ("a", 3L, 0L, 26L)))
+  }
+
+  test("ewmaDaily fail-fasts on a negative daily total (truncation vs " +
+      "floor division differs across engines)") {
+    import spark.implicits._
+    val df = Seq((new java.sql.Timestamp(0L), -5L))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val e = intercept[org.apache.spark.SparkThrowable] {
+      TimeSeries.ewmaDaily(df, "k", "ts", $"v", 1, 2).collect()
+    }
+    assert(e.asInstanceOf[Throwable].getMessage
+      .contains("negative daily total"))
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
