@@ -210,8 +210,8 @@ object NorthStar {
       ManifestTable.appendWithRetry(spark, centDir,
         Similarity.ivfCells(init)
           .select($"label".cast("long").as("cid"), $"centroid".as("c")))
-    val cents = Similarity.centroidsOf(
-      ManifestTable.read(spark, centDir)._2)
+    val cellsDf = ManifestTable.read(spark, centDir)._2
+    val cents = Similarity.centroidsOf(cellsDf)
     // member v1: the initial corpus assigned against the frozen codebook
     if (!ManifestTable.hasCommittedTxn(memDir, "ivfappend-init"))
       ManifestTable.appendWithRetry(spark, memDir,
@@ -229,8 +229,7 @@ object NorthStar {
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
       .join(Similarity.assignWith(emb, cents), "vec_id")
     def serve(idx: DataFrame) = Similarity.ivfTopKWith(
-      ManifestTable.read(spark, centDir)._2
-        .select($"cid".as("label"), $"c".as("centroid")),
+      cellsDf.select($"cid".as("label"), $"c".as("centroid")),
       idx.withColumnRenamed("cid", "label"), 0L, 10)
     // the ranking windows run over 10-row frames — single-partition safe
     def ranked(df: DataFrame, p: String) = df
