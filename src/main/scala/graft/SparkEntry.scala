@@ -290,6 +290,7 @@ object SparkEntry {
     "q267_ivf_append"    -> (NorthStar.ivfAppendServe _),
     "q268_lf_conflicts"  -> (NorthStar.qualityLfConflicts _),
     "q269_revenue_ewma"  -> (NorthStar.revenueEwma _),
+    "q270_ewma_append"   -> (NorthStar.revenueEwmaAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5496,6 +5497,30 @@ object SparkEntry {
     // strict day order; all operands non-negative integers, so
     // truncating and floor division agree.
     "q269_revenue_ewma" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS k,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT k, d, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |       FROM b),
+        |rec AS (
+        |  SELECT k, d, x, rn, x AS s FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.k, r0.d, r0.x, r0.rn,
+        |         (1 * r0.x + 3 * rec.s) // 4
+        |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
+        |SELECT k, d, x, CAST(s AS BIGINT) AS ewma
+        |FROM rec ORDER BY k, d""".stripMargin,
+    // q270: EWMA state form — Spark builds the first half as prior
+    // state and FOLDS the second half through ewmaDailyAppend; the
+    // oracle replays ONE recursion over the full log, so every row
+    // (including the split-boundary seam) must match exactly.
+    "q270_ewma_append" ->
       """WITH RECURSIVE b AS (
         |  SELECT event_type AS k,
         |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,

@@ -99,6 +99,70 @@ object TimeSeries {
         col("e.s").as("ewma"))
   }
 
+  /** Incremental continuation of [[ewmaDaily]] — the STATE form: fold
+    * NEW daily totals on top of each key's persisted level. An EWMA is
+    * ORDER-DEPENDENT, so unlike the mergeable sufficient-stats states
+    * ([[graft.operators.Labeling.mergeLabelState]], [[graft.operators
+    * .Behavior.mergeExperimentState]]) its maintenance form is ordered
+    * APPEND, not merge: every incoming day must land STRICTLY AFTER
+    * the key's stored last day (fail-fast otherwise — an overlapping
+    * or out-of-order day cannot be folded into an already-collapsed
+    * level without silently changing history). `prior` is the
+    * (k, d, x, ewma) output of a previous [[ewmaDaily]] /
+    * [[ewmaDailyAppend]] run — only each key's LAST row is read; keys
+    * with no prior start fresh at s₁ = x₁. Returns ONLY the new days'
+    * rows; prior ∪ appended is value-identical to re-running
+    * [[ewmaDaily]] over the concatenated history (spec- and
+    * oracle-pinned, q270).
+    *
+    * Scale shape: one keyed daily aggregate over the INCREMENT, one
+    * keys-sized max-struct reduction of the prior, one keyed join,
+    * then the same calendar-bounded per-key fold as [[ewmaDaily]] —
+    * cost is O(increment + keys), never O(history). */
+  def ewmaDailyAppend(prior: DataFrame, df: DataFrame, key: String,
+      ts: String, value: Column, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den > num,
+      s"alpha = num/den needs 1 <= num < den, got $num/$den")
+    val last = prior.groupBy(col("k"))
+      .agg(max(struct(col("d"), col("ewma"))).as("m"))
+      .select(col("k"), col("m.d").as("d0"), col("m.ewma").as("s0"))
+    val daily = df
+      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
+        value.cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("v")).as("x0"))
+      .withColumn("x", expr("if(x0 >= 0, x0, " +
+        "cast(raise_error(concat('ewmaDailyAppend: negative daily " +
+        "total ', x0, ' — integer div on negatives is truncation-vs-" +
+        "floor ambiguous across engines; shift or clamp first')) " +
+        "as bigint))"))
+    daily.join(last, Seq("k"), "left")
+      // the append contract: folding an already-collapsed day would
+      // silently rewrite history — refuse instead
+      .withColumn("d", expr("if(d0 is null or d > d0, d, " +
+        "cast(raise_error(concat('ewmaDailyAppend: day ', d, " +
+        "' does not land after the stored last day ', d0, " +
+        "' — the EWMA recursion is append-only')) as bigint))"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
+        max(col("s0")).as("s0")) // constant per key after the join
+      .select(col("k"), explode(expr(
+        s"""aggregate(a,
+           |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
+           |  (acc, e) -> acc || array(named_struct(
+           |    'd', e.d, 'x', e.x,
+           |    's', case
+           |      when size(acc) = 0 and s0 is null then e.x
+           |      when size(acc) = 0 then
+           |        (${num}L * e.x + ${den - num}L * s0) div ${den}L
+           |      else (${num}L * e.x +
+           |        ${den - num}L * element_at(acc, -1).s)
+           |        div ${den}L end)))""".stripMargin)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.s").as("ewma"))
+  }
+
   /** Drawdown curve of a daily total: per day, the running peak of the
     * cumulative-to-date daily aggregate and the shortfall from it —
     * drawdown_d = max_{j≤d}(v_j) − v_d, the classic "how far below the

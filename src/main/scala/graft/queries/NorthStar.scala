@@ -2677,6 +2677,37 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** X16 EWMA STATE FORM ([[graft.operators.TimeSeries
+    * .ewmaDailyAppend]]), oracled as a REAL identity: the event log is
+    * split at its median day; the first half builds the prior state
+    * ([[graft.operators.TimeSeries.ewmaDaily]]), the second half is
+    * folded on top through the append path (cost O(increment), never
+    * O(history)), and prior ∪ appended must equal the oracle's ONE
+    * recursion over the FULL log — the oracle replays every row, so
+    * any seam error at the split boundary fails the gate. This is
+    * q269 in always-on form: the daily monitor folds yesterday onto a
+    * persisted level instead of re-reading the log. */
+  def revenueEwmaAppend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    // deterministic split day: midpoint of the observed day span
+    val (d0, d1) = {
+      val r = ev.agg(
+        min(floor(unix_timestamp($"ts") / 86400)).cast("long"),
+        max(floor(unix_timestamp($"ts") / 86400)).cast("long"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val cut = (d0 + d1) / 2
+    val day = floor(unix_timestamp($"ts") / 86400).cast("long")
+    val prior = TimeSeries.ewmaDaily(ev.filter(day < cut),
+      "event_type", "ts", round($"value" * 100, 0), 1, 4)
+    val appended = TimeSeries.ewmaDailyAppend(prior,
+      ev.filter(day >= cut), "event_type", "ts",
+      round($"value" * 100, 0), 1, 4)
+    prior.unionByName(appended).orderBy($"k", $"d")
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

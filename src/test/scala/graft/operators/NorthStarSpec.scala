@@ -2623,6 +2623,45 @@ class NorthStarSpec extends SparkSpec {
       ("a", 2L, 100L, 53L), ("a", 3L, 0L, 26L)))
   }
 
+  test("ewmaDailyAppend: prior ++ appended == ewmaDaily(full) at any " +
+      "split; fresh keys start at s1 = x1") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // key a spans the split; key b is entirely in the increment
+    val full = Seq(("a", at(0), 8L), ("a", at(1), 4L), ("a", at(2), 100L),
+      ("a", at(3), 0L), ("b", at(2), 10L), ("b", at(3), 20L))
+      .toDF("k", "ts", "v")
+    val want = TimeSeries.ewmaDaily(full, "k", "ts", $"v", 1, 2)
+      .orderBy($"k", $"d")
+      .as[(String, Long, Long, Long)].collect().toList
+    (1L to 3L).foreach { cut =>
+      val day = floor(unix_timestamp($"ts") / 86400).cast("long")
+      val prior = TimeSeries.ewmaDaily(full.filter(day < cut),
+        "k", "ts", $"v", 1, 2)
+      val app = TimeSeries.ewmaDailyAppend(prior,
+        full.filter(day >= cut), "k", "ts", $"v", 1, 2)
+      val got = prior.unionByName(app).orderBy($"k", $"d")
+        .as[(String, Long, Long, Long)].collect().toList
+      assert(got == want, s"cut=$cut")
+    }
+  }
+
+  test("ewmaDailyAppend fail-fasts on a day at or before the stored " +
+      "last day (append-only recursion)") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val prior = TimeSeries.ewmaDaily(
+      Seq(("a", at(0), 8L), ("a", at(1), 4L)).toDF("k", "ts", "v"),
+      "k", "ts", $"v", 1, 2)
+    val e = intercept[org.apache.spark.SparkThrowable] {
+      TimeSeries.ewmaDailyAppend(prior,
+        Seq(("a", at(1), 9L)).toDF("k", "ts", "v"),
+        "k", "ts", $"v", 1, 2).collect()
+    }
+    assert(e.asInstanceOf[Throwable].getMessage
+      .contains("append-only"))
+  }
+
   test("ewmaDaily fail-fasts on a negative daily total (truncation vs " +
       "floor division differs across engines)") {
     import spark.implicits._
