@@ -69,10 +69,14 @@ object Bench {
     def controlRun(pos: String): Unit = {
       val ts = System.currentTimeMillis()
       val parts = controlNames.map { n =>
-        val sec = SparkEntry.queries.get(n).map { fn =>
+        // a failed control must read as null, NOT its time-to-throw: a
+        // garbage reading would make the triple look spuriously flat
+        // (certifying a noisy window) or spuriously drifting
+        // (discarding a real regression) — the opposite of its job
+        val sec: Option[Double] = SparkEntry.queries.get(n).flatMap { fn =>
           val t0 = System.nanoTime()
-          try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
         cleanup()
         s""""${n.takeWhile(_ != '_')}":${sec.map(r3n).getOrElse("null")}"""

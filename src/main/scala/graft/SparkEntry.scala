@@ -5461,7 +5461,8 @@ object SparkEntry {
         |FROM range(10) ORDER BY 1""".stripMargin,
     // q268: pairwise LF conflict matrix — exact counts from one
     // conditional aggregate; pair order follows the LF list (long,
-    // en), (long, wordy), (en, wordy).
+    // en), (long, wordy), (en, wordy). A NULL LF input is an
+    // abstention: conflicts count only both-voted disagreements.
     "q268_lf_conflicts" ->
       """WITH v AS (SELECT
         |    CAST(n_chars >= 300 AS INTEGER) AS lf_long,
@@ -5470,77 +5471,77 @@ object SparkEntry {
         |      AS lf_wordy
         |  FROM documents),
         |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN lf_long IS NOT NULL
+        |      AND lf_en IS NOT NULL THEN 1 END) AS BIGINT) AS vt_le,
         |    CAST(count(CASE WHEN lf_long = lf_en THEN 1 END)
         |      AS BIGINT) AS ag_le,
         |    CAST(count(CASE WHEN lf_long = 1 AND lf_en = 1 THEN 1 END)
         |      AS BIGINT) AS bp_le,
+        |    CAST(count(CASE WHEN lf_long IS NOT NULL
+        |      AND lf_wordy IS NOT NULL THEN 1 END) AS BIGINT) AS vt_lw,
         |    CAST(count(CASE WHEN lf_long = lf_wordy THEN 1 END)
         |      AS BIGINT) AS ag_lw,
         |    CAST(count(CASE WHEN lf_long = 1 AND lf_wordy = 1 THEN 1
         |      END) AS BIGINT) AS bp_lw,
+        |    CAST(count(CASE WHEN lf_en IS NOT NULL
+        |      AND lf_wordy IS NOT NULL THEN 1 END) AS BIGINT) AS vt_ew,
         |    CAST(count(CASE WHEN lf_en = lf_wordy THEN 1 END)
         |      AS BIGINT) AS ag_ew,
         |    CAST(count(CASE WHEN lf_en = 1 AND lf_wordy = 1 THEN 1 END)
         |      AS BIGINT) AS bp_ew
         |  FROM v),
-        |s AS (SELECT 'long' AS lf_a, 'en' AS lf_b, n, ag_le AS n_agree,
-        |        bp_le AS n_both_pos FROM one
-        |      UNION ALL SELECT 'long', 'wordy', n, ag_lw, bp_lw FROM one
-        |      UNION ALL SELECT 'en', 'wordy', n, ag_ew, bp_ew FROM one)
-        |SELECT lf_a, lf_b, n, n_agree, n - n_agree AS n_conflict,
-        |       n_both_pos,
-        |       CAST(CAST(n_agree AS HUGEINT) * 1000000 // n AS BIGINT)
-        |         AS agree_ppm
+        |s AS (SELECT 'long' AS lf_a, 'en' AS lf_b, n, vt_le AS n_voted,
+        |        ag_le AS n_agree, bp_le AS n_both_pos FROM one
+        |      UNION ALL SELECT 'long', 'wordy', n, vt_lw, ag_lw, bp_lw
+        |      FROM one
+        |      UNION ALL SELECT 'en', 'wordy', n, vt_ew, ag_ew, bp_ew
+        |      FROM one)
+        |SELECT lf_a, lf_b, n, n_voted, n_agree,
+        |       n_voted - n_agree AS n_conflict, n_both_pos,
+        |       CASE WHEN n_voted > 0 THEN
+        |         CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_voted
+        |           AS BIGINT) END AS agree_ppm
         |FROM s ORDER BY lf_a, lf_b""".stripMargin,
     // q269: exact-integer EWMA — the alpha = 1/4 rational recursion
     // s_t = (1*x_t + 3*s_{t-1}) // 4 replayed by a recursive CTE in
     // strict day order; all operands non-negative integers, so
     // truncating and floor division agree.
-    "q269_revenue_ewma" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT event_type AS k,
-        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |           AS BIGINT) AS x
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |  GROUP BY 1, 2),
-        |r0 AS (SELECT k, d, x,
-        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
-        |       FROM b),
-        |rec AS (
-        |  SELECT k, d, x, rn, x AS s FROM r0 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r0.k, r0.d, r0.x, r0.rn,
-        |         (1 * r0.x + 3 * rec.s) // 4
-        |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
-        |SELECT k, d, x, CAST(s AS BIGINT) AS ewma
-        |FROM rec ORDER BY k, d""".stripMargin,
+    "q269_revenue_ewma" -> ewmaRecursionSql,
     // q270: EWMA state form — Spark builds the first half as prior
     // state and FOLDS the second half through ewmaDailyAppend; the
-    // oracle replays ONE recursion over the full log, so every row
-    // (including the split-boundary seam) must match exactly.
-    "q270_ewma_append" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT event_type AS k,
-        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |           AS BIGINT) AS x
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |  GROUP BY 1, 2),
-        |r0 AS (SELECT k, d, x,
-        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
-        |       FROM b),
-        |rec AS (
-        |  SELECT k, d, x, rn, x AS s FROM r0 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r0.k, r0.d, r0.x, r0.rn,
-        |         (1 * r0.x + 3 * rec.s) // 4
-        |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
-        |SELECT k, d, x, CAST(s AS BIGINT) AS ewma
-        |FROM rec ORDER BY k, d""".stripMargin,
+    // oracle replays the SAME one recursion over the full log
+    // (literally q269's SQL — one shared constant, so the two keys
+    // can never drift apart), so every row including the
+    // split-boundary seam must match exactly.
+    "q270_ewma_append" -> ewmaRecursionSql,
   )
+
+  /** The one EWMA oracle recursion, shared verbatim by q269 (direct
+    * form) and q270 (append/state form): the two Spark plans differ,
+    * the semantics must not. ts IS NOT NULL mirrors the operators'
+    * null-day drop (a NULL ts has no day; engines disagree on where a
+    * NULL sorts, so it must not seed the recursion). */
+  private val ewmaRecursionSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT event_type AS k,
+      |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |           AS BIGINT) AS x
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r0 AS (SELECT k, d, x,
+      |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |       FROM b),
+      |rec AS (
+      |  SELECT k, d, x, rn, x AS s FROM r0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r0.k, r0.d, r0.x, r0.rn,
+      |         (1 * r0.x + 3 * rec.s) // 4
+      |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
+      |SELECT k, d, x, CAST(s AS BIGINT) AS ewma
+      |FROM rec ORDER BY k, d""".stripMargin
 
   /** One k-means ASSIGNMENT CTE block: nearest centroid in `c` for every
     * vector, squared-L2 via dot products (all left folds), ties to the

@@ -109,14 +109,17 @@ object Labeling {
     * per-LF-vs-consensus audit cannot show (two LFs can each agree
     * with the consensus 70% of the time yet conflict with EACH OTHER
     * constantly on the minority rows): one row per unordered LF pair
-    * (lf_a < lf_b in the given order) with exact counts — n, n_agree
-    * (equal votes), n_conflict (= n − n_agree), n_both_pos (both
-    * fire) — and agree_ppm. Read beside [[cohenKappa]]: this is the
+    * (lf_a < lf_b in the given order) with exact counts — n (total
+    * rows), n_voted (BOTH voted, i.e. both non-NULL: a NULL vote is
+    * an abstention and abstaining is not conflicting — the Snorkel
+    * LFAnalysis convention), n_agree (both voted, equal), n_conflict
+    * (= n_voted − n_agree), n_both_pos (both fire) — and agree_ppm
+    * over the VOTED rows (NULL when the pair never co-votes). Read beside [[cohenKappa]]: this is the
     * raw-count matrix over ALL pairs in one pass; kappa is the
     * chance-corrected deep-dive on a pair the matrix flags.
     *
     * Scale shape: ONE conditional aggregate over the scan with
-    * 2·C(k,2) count partials (map-side combined), output C(k,2) rows
+    * 3·C(k,2) count partials (map-side combined), output C(k,2) rows
     * unpivoted from the single aggregate row — no join, no shuffle
     * beyond the aggregate. */
   def conflictMatrix(df: DataFrame, lfs: Seq[(String, Column)])
@@ -127,27 +130,34 @@ object Labeling {
     lfs.foreach { case (n, _) =>
       require(n.matches("[A-Za-z0-9_]+"),
         s"LF name '$n' must be [A-Za-z0-9_]+ (it becomes a column)") }
-    val cast = df.select(lfs.map { case (n, c) =>
-      c.cast("int").as(s"lf_$n") }: _*)
+    // positional column aliases: NAME-based ones (agree_${a}_${b})
+    // would collide for underscore-bearing names ('a','b_c' vs 'a_b','c')
+    val cast = df.select(lfs.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("int").as(s"lf_$i") }: _*)
     val pairs = for {
       i <- lfs.indices; j <- (i + 1) until lfs.size
-    } yield (lfs(i)._1, lfs(j)._1)
-    val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (a, b) =>
-      Seq(count(when(col(s"lf_$a") === col(s"lf_$b"), 1))
-          .as(s"agree_${a}_$b"),
-        count(when(col(s"lf_$a") === 1 && col(s"lf_$b") === 1, 1))
-          .as(s"both_${a}_$b"))
+    } yield (i, j)
+    val aggs = count(lit(1)).as("n") +: pairs.flatMap { case (i, j) =>
+      Seq(count(when(col(s"lf_$i").isNotNull &&
+            col(s"lf_$j").isNotNull, 1)).as(s"voted_${i}_$j"),
+        count(when(col(s"lf_$i") === col(s"lf_$j"), 1))
+          .as(s"agree_${i}_$j"),
+        count(when(col(s"lf_$i") === 1 && col(s"lf_$j") === 1, 1))
+          .as(s"both_${i}_$j"))
     }
     val one = cast.agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (a, b) =>
-      s"'$a', '$b', agree_${a}_$b, both_${a}_$b" }.mkString(", ")
+    val stacked = pairs.map { case (i, j) =>
+      s"'${lfs(i)._1}', '${lfs(j)._1}', voted_${i}_$j," +
+        s" agree_${i}_$j, both_${i}_$j" }.mkString(", ")
     one.selectExpr("n", s"stack(${pairs.size}, $stacked)" +
-        " as (lf_a, lf_b, n_agree, n_both_pos)")
-      .select(col("lf_a"), col("lf_b"), col("n"), col("n_agree"),
-        (col("n") - col("n_agree")).as("n_conflict"),
+        " as (lf_a, lf_b, n_voted, n_agree, n_both_pos)")
+      .select(col("lf_a"), col("lf_b"), col("n"), col("n_voted"),
+        col("n_agree"),
+        (col("n_voted") - col("n_agree")).as("n_conflict"),
         col("n_both_pos"),
-        expr("cast(cast(n_agree as decimal(38,0)) * 1000000 div n" +
-          " as bigint)").as("agree_ppm"))
+        expr("case when n_voted > 0 then" +
+          " cast(cast(n_agree as decimal(38,0)) * 1000000 div n_voted" +
+          " as bigint) end").as("agree_ppm"))
   }
 
   /** COHEN'S KAPPA between two binary labelers (Cohen 1960) — the

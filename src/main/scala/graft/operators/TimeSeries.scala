@@ -74,30 +74,48 @@ object TimeSeries {
       num: Int, den: Int): DataFrame = {
     require(num >= 1 && den > num,
       s"alpha = num/den needs 1 <= num < den, got $num/$den")
-    val daily = df
-      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
-        value.cast("long").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull)
-      .groupBy(col("k"), col("d"))
-      .agg(sum(col("v")).as("x0"))
-      .withColumn("x", expr("if(x0 >= 0, x0, " +
-        "cast(raise_error(concat('ewmaDaily: negative daily total ', " +
-        "x0, ' — integer div on negatives is truncation-vs-floor " +
-        "ambiguous across engines; shift or clamp first')) as bigint))"))
-    daily.groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
-      .select(col("k"), explode(expr(
-        s"""aggregate(a,
-           |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
-           |  (acc, e) -> acc || array(named_struct(
-           |    'd', e.d, 'x', e.x,
-           |    's', case when size(acc) = 0 then e.x
-           |              else (${num}L * e.x +
-           |                ${den - num}L * element_at(acc, -1).s)
-           |                div ${den}L end)))""".stripMargin)).as("e"))
+    ewmaDailyTotals(df, key, ts, value, "ewmaDaily")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
+        lit(null).cast("long").as("s0")) // no prior: s1 = x1
+      .select(col("k"), explode(expr(ewmaFoldExpr(num, den))).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.s").as("ewma"))
   }
+
+  /** Shared daily-total stage of [[ewmaDaily]]/[[ewmaDailyAppend]]:
+    * (k, d, x) with NULL keys, NULL VALUES and NULL DAYS dropped (a
+    * NULL ts has no day — and the engines disagree on where a NULL
+    * sorts, so including it would silently seed the recursion
+    * differently per engine) and the non-negative contract enforced. */
+  private def ewmaDailyTotals(df: DataFrame, key: String, ts: String,
+      value: Column, op: String): DataFrame = df
+    .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
+      value.cast("long").as("v"))
+    .filter(col("k").isNotNull && col("d").isNotNull &&
+      col("v").isNotNull)
+    .groupBy(col("k"), col("d"))
+    .agg(sum(col("v")).as("x0"))
+    .withColumn("x", expr(s"if(x0 >= 0, x0, " +
+      s"cast(raise_error(concat('$op: negative daily total ', " +
+      "x0, ' — integer div on negatives is truncation-vs-floor " +
+      "ambiguous across engines; shift or clamp first')) as bigint))"))
+
+  /** The one EWMA recursion, shared by both forms: fold the sorted
+    * (d, x) array into (d, x, s) rows; `s0` (a column in scope, NULL
+    * when there is no prior level) seeds the first step. */
+  private def ewmaFoldExpr(num: Int, den: Int): String =
+    s"""aggregate(a,
+       |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
+       |  (acc, e) -> acc || array(named_struct(
+       |    'd', e.d, 'x', e.x,
+       |    's', case
+       |      when size(acc) = 0 and s0 is null then e.x
+       |      when size(acc) = 0 then
+       |        (${num}L * e.x + ${den - num}L * s0) div ${den}L
+       |      else (${num}L * e.x +
+       |        ${den - num}L * element_at(acc, -1).s)
+       |        div ${den}L end)))""".stripMargin
 
   /** Incremental continuation of [[ewmaDaily]] — the STATE form: fold
     * NEW daily totals on top of each key's persisted level. An EWMA is
@@ -126,18 +144,8 @@ object TimeSeries {
     val last = prior.groupBy(col("k"))
       .agg(max(struct(col("d"), col("ewma"))).as("m"))
       .select(col("k"), col("m.d").as("d0"), col("m.ewma").as("s0"))
-    val daily = df
-      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
-        value.cast("long").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull)
-      .groupBy(col("k"), col("d"))
-      .agg(sum(col("v")).as("x0"))
-      .withColumn("x", expr("if(x0 >= 0, x0, " +
-        "cast(raise_error(concat('ewmaDailyAppend: negative daily " +
-        "total ', x0, ' — integer div on negatives is truncation-vs-" +
-        "floor ambiguous across engines; shift or clamp first')) " +
-        "as bigint))"))
-    daily.join(last, Seq("k"), "left")
+    ewmaDailyTotals(df, key, ts, value, "ewmaDailyAppend")
+      .join(last, Seq("k"), "left")
       // the append contract: folding an already-collapsed day would
       // silently rewrite history — refuse instead
       .withColumn("d", expr("if(d0 is null or d > d0, d, " +
@@ -147,18 +155,7 @@ object TimeSeries {
       .groupBy(col("k"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
         max(col("s0")).as("s0")) // constant per key after the join
-      .select(col("k"), explode(expr(
-        s"""aggregate(a,
-           |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
-           |  (acc, e) -> acc || array(named_struct(
-           |    'd', e.d, 'x', e.x,
-           |    's', case
-           |      when size(acc) = 0 and s0 is null then e.x
-           |      when size(acc) = 0 then
-           |        (${num}L * e.x + ${den - num}L * s0) div ${den}L
-           |      else (${num}L * e.x +
-           |        ${den - num}L * element_at(acc, -1).s)
-           |        div ${den}L end)))""".stripMargin)).as("e"))
+      .select(col("k"), explode(expr(ewmaFoldExpr(num, den))).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.s").as("ewma"))
   }

@@ -168,9 +168,18 @@ object NorthStar {
     s"spark-warehouse/graft_index/ivf_${new java.io.File(d).getName}"
 
   /** Per-SF root of the INCREMENTAL IVF index (frozen codebook + the
-    * growing member ManifestTable). */
-  def ivfAppendDir(d: String): String =
-    s"spark-warehouse/graft_index/ivf_append_${new java.io.File(d).getName}"
+    * growing member ManifestTable). The SOURCE FINGERPRINT is part of
+    * the path (first 12 hex of the IndexStore digest): the state dirs
+    * have create-once/txn-no-op guards, so a regenerated source at the
+    * same path must land in a FRESH root — a stale codebook + member
+    * table would otherwise survive the guards and fail q267's
+    * assignment-diff forever (the IndexStore "a stale read is silently
+    * wrong" rule, applied to manifest-backed state). */
+  def ivfAppendDir(d: String): String = {
+    val fp = graft.sources.IndexStore.sourceFingerprint(
+      s"$d/embeddings.parquet", "ivf-append=v1").take(12)
+    s"spark-warehouse/graft_index/ivf_append_${new java.io.File(d).getName}_$fp"
+  }
 
   /** X3 INCREMENTAL IVF INDEX APPEND, oracled as an exact identity
     * ([[graft.streaming.IvfIndexStream]]): the even-id half of the

@@ -38,24 +38,40 @@ class LabelingSpec extends SparkSpec {
       ("b", 3L, 2L, 2L, Some(1000000L), 333333L)))
   }
 
-  test("conflictMatrix: exact pairwise agree/conflict/co-fire counts " +
-      "on the 3-LF fixture") {
+  test("conflictMatrix: exact pairwise voted/agree/conflict/co-fire " +
+      "counts; a NULL vote abstains, it does not conflict") {
     import spark.implicits._
-    // rows (a,b,c): (1,1,1) (1,1,0) (1,0,0) (0,0,0)
-    // (a,b): agree r1,r2,r4 = 3, both-pos r1,r2 = 2
-    // (a,c): agree r1,r4 = 2, both-pos r1 = 1
-    // (b,c): agree r1,r3,r4 = 3, both-pos r1 = 1
-    val df = Seq((1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 0, 0))
+    // rows (a,b,c): (1,1,1) (1,1,0) (1,0,0) (0,0,0) (NULL,1,1)
+    // (a,b): voted 4, agree r1,r2,r4 = 3, both-pos r1,r2 = 2
+    // (a,c): voted 4, agree r1,r4 = 2, both-pos r1 = 1
+    // (b,c): voted 5, agree r1,r3,r4,r5 = 4, both-pos r1,r5 = 2
+    val df = Seq[(Option[Int], Int, Int)](
+      (Some(1), 1, 1), (Some(1), 1, 0), (Some(1), 0, 0),
+      (Some(0), 0, 0), (None, 1, 1))
       .toDF("a", "b", "c")
     val got = Labeling.conflictMatrix(df,
         Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
       .orderBy($"lf_a", $"lf_b")
-      .as[(String, String, Long, Long, Long, Long, Long)]
+      .as[(String, String, Long, Long, Long, Long, Long, Option[Long])]
       .collect().toList
     assert(got == List(
-      ("a", "b", 4L, 3L, 1L, 2L, 750000L),
-      ("a", "c", 4L, 2L, 2L, 1L, 500000L),
-      ("b", "c", 4L, 3L, 1L, 1L, 750000L)))
+      ("a", "b", 5L, 4L, 3L, 1L, 2L, Some(750000L)),
+      ("a", "c", 5L, 4L, 2L, 2L, 1L, Some(500000L)),
+      ("b", "c", 5L, 5L, 4L, 1L, 2L, Some(800000L))))
+  }
+
+  test("conflictMatrix: underscore-bearing LF names cannot collide " +
+      "(positional aliases)") {
+    import spark.implicits._
+    // name-based aliases would merge pair (a, b_c) with pair (a_b, c)
+    val df = Seq((1, 1, 0, 1), (0, 1, 1, 1)).toDF("w", "x", "y", "z")
+    val got = Labeling.conflictMatrix(df,
+        Seq("a" -> $"w", "b_c" -> $"x", "a_b" -> $"y", "c" -> $"z"))
+      .select($"lf_a", $"lf_b", $"n_agree")
+      .as[(String, String, Long)].collect().toList
+    assert(got.size == 6)
+    assert(got.contains(("a", "b_c", 1L)) &&
+      got.contains(("a_b", "c", 1L)))
   }
 
   test("conflictMatrix fail-fasts on fewer than two LFs") {
