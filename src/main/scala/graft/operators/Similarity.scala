@@ -491,6 +491,18 @@ object Similarity {
     assignTo(emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
       centroids).select(col("vec_id"), col("cid"))
 
+  /** [[assignWith]] KEEPING the vector — (vec_id, embedding, cid) in
+    * ONE map-only projection. This is the index-build/member shape:
+    * joining [[assignWith]]'s (vec_id, cid) back onto the vectors
+    * would shuffle-sort the corpus's arrays through an SMJ just to
+    * re-attach a column the map already had (measured 52 s → 2 s on
+    * the 2M-vector serve-identity arm at 100×). */
+  def assignWithVec(emb: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .withColumn("cid",
+        argminStruct(col("embedding"), centroids).getField("cid"))
+
   /** Sample-trained (mini-batch-style) Lloyd: the UPDATE passes run over
     * the deterministic `vec_id % sampleMod == 0` sample only; the final
     * assignment covers the FULL corpus. This is the 100 TB iteration-cost

@@ -222,21 +222,29 @@ object NorthStar {
     val cellsDf = ManifestTable.read(spark, centDir)._2
     val cents = Similarity.centroidsOf(cellsDf)
     // member v1: the initial corpus assigned against the frozen codebook
+    // (map-only — assignWithVec keeps the vector in the projection)
     if (!ManifestTable.hasCommittedTxn(memDir, "ivfappend-init"))
       ManifestTable.appendWithRetry(spark, memDir,
-        init.select($"vec_id",
-            $"embedding".cast("array<double>").as("embedding"))
-          .join(Similarity.assignWith(init, cents), "vec_id"),
+        Similarity.assignWithVec(init, cents),
         txn = Some("ivfappend-init"))
     // THE APPEND under test: odd ids arrive through the maintenance
     // sink (map-only assignment, txn-marked — replays are no-ops)
     graft.streaming.IvfIndexStream.sink(memDir, centDir, "ivfappend")(
       incoming, 1L)
     val members = ManifestTable.read(spark, memDir)._2
-    // the REBUILD arm: whole corpus re-assigned against the SAME codebook
-    val rebuilt = emb
-      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      .join(Similarity.assignWith(emb, cents), "vec_id")
+    // the REBUILD arm: whole corpus re-assigned against the SAME
+    // codebook — one map-only projection, MATERIALIZED before use.
+    // The pin is load-bearing, not hygiene: left lazy, the optimizer
+    // inlines the argmin expression into the serve arm's cell-prune
+    // join key and the assign-diff predicate, where codegen does NO
+    // subexpression elimination — the float→double cast + 16 dot
+    // products re-evaluate ~24× per row (measured 47 s vs 2 s on the
+    // 2M-vector 100× slice; a Project evaluates the same expression
+    // once with CSE in 1.7 s). A full rebuild materializes its
+    // assignment table by definition, so the pin is also the honest
+    // cost model.
+    val rebuilt = Similarity.assignWithVec(emb, cents)
+      .localCheckpoint(true)
     def serve(idx: DataFrame) = Similarity.ivfTopKWith(
       cellsDf.select($"cid".as("label"), $"c".as("centroid")),
       idx.withColumnRenamed("cid", "label"), 0L, 10)

@@ -49,10 +49,10 @@ object IvfIndexStream {
         "commit (cid, c) centroids before appending members")
     val cents = Similarity.centroidsOf(
       ManifestTable.read(spark, centroidDir)._2)
-    val assigned = batch
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .join(Similarity.assignWith(batch, cents), "vec_id")
+    // map-only: the vector rides along in the same projection as its
+    // cell — no join-back (assignWithVec's scaladoc has the measured
+    // cost of getting this wrong)
+    val assigned = Similarity.assignWithVec(batch, cents)
     ManifestTable.appendWithRetry(spark, memberDir, assigned,
       txn = Some(s"$streamId-$batchId"))
   }

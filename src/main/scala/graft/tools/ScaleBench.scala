@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   *        sufficient-stats aggregate; ScaleGen's planted hot user 7
   *        concentrates every 20th event on one user key, the exact
   *        skew the per-user pre-aggregate absorbs
+  *   q267 incremental IVF append + serve-identity (round 11) — the
+  *        append is map-only over the increment; both serve arms are
+  *        cell-pruned probes; the rebuilt arm's reassignment is the
+  *        only corpus-linear stage (run 1 at a new dir also pays the
+  *        one-time index build; run 2 is the steady state)
+  *   q269 exact-integer EWMA (round 11) — keyed daily aggregate into
+  *        a CALENDAR-bounded per-key fold; growth should be
+  *        scan-shaped (the fold is days-sized regardless of rows)
   *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
   *   SPARK_GRAFT_ONLY=q228,q237 narrows to matching families.
@@ -108,7 +116,8 @@ object ScaleBench {
           emb.filter(col("vec_id") % 100 === 0 &&
             col("vec_id") < 2000), 5, 20)
       })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood",
-        "q254_lf_vote", "q264_weighted_vote", "q210_ab_test")
+        "q254_lf_vote", "q264_weighted_vote", "q210_ab_test",
+        "q267_ivf_append", "q269_revenue_ewma")
       .map(n => n -> graft.SparkEntry.queries(n))
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
