@@ -129,6 +129,15 @@ object DemoPipeline {
     println("[mann-whitney u] per-user revenue cents")
     operators.Behavior.mannWhitneyU(ev, "user_id", cents,
       armOf(col("user_id"))).show(truncate = false)
+    println("[cuped welch t] post-period revenue, pre-period adjusted" +
+      " (median-day split)")
+    val span = ev.agg(
+      min(floor(unix_timestamp(col("ts")) / 86400)).cast("long"),
+      max(floor(unix_timestamp(col("ts")) / 86400)).cast("long"))
+      .collect()(0)
+    operators.Behavior.cupedWelchT(ev, "user_id", "ts", cents,
+      armOf(col("user_id")), (span.getLong(0) + span.getLong(1)) / 2)
+      .show(truncate = false)
     println("[funnel by arm] signup -> view -> purchase")
     operators.Behavior.funnelByArm(ev, "user_id", "ts", "event_type",
         Seq("signup", "view", "purchase"), armOf, 0L)

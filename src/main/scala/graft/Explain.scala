@@ -88,7 +88,8 @@ object Explain {
       "q259_fleiss_kappa", "q260_snapshot_diff", "q261_kruskal",
       "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote",
       "q265_length_psi", "q266_winsor_mean", "q267_ivf_append",
-      "q268_lf_conflicts", "q269_revenue_ewma", "q270_ewma_append")
+      "q268_lf_conflicts", "q269_revenue_ewma", "q270_ewma_append",
+      "q271_cuped")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -291,6 +291,7 @@ object SparkEntry {
     "q268_lf_conflicts"  -> (NorthStar.qualityLfConflicts _),
     "q269_revenue_ewma"  -> (NorthStar.revenueEwma _),
     "q270_ewma_append"   -> (NorthStar.revenueEwmaAppend _),
+    "q271_cuped"         -> (NorthStar.revenueCuped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5507,6 +5508,100 @@ object SparkEntry {
     // strict day order; all operands non-negative integers, so
     // truncating and floor division agree.
     "q269_revenue_ewma" -> ewmaRecursionSql,
+    // q271: CUPED variance-reduced Welch t — six exact HUGEINT sums
+    // per arm (n, Σx, Σy, Σx², Σy², Σxy over per-user pre/post
+    // cents), theta and the adjusted means/variances derived from
+    // them in the same fixed operand order as the Spark plan.
+    "q271_cuped" ->
+      """WITH span AS (SELECT
+        |    (CAST(min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+        |       AS BIGINT)
+        |     + CAST(max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+        |       AS BIGINT)) // 2 AS cut
+        |  FROM events),
+        |pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CASE WHEN
+        |        CAST(floor(epoch(ts) / 86400) AS BIGINT) < cut
+        |        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+        |      AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN
+        |        CAST(floor(epoch(ts) / 86400) AS BIGINT) >= cut
+        |        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y
+        |  FROM events, span
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM pu GROUP BY 1),
+        |one AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN v = 0 THEN sx END) AS sx_a,
+        |    sum(CASE WHEN v = 0 THEN sy END) AS sy_a,
+        |    sum(CASE WHEN v = 0 THEN sxx END) AS sxx_a,
+        |    sum(CASE WHEN v = 0 THEN syy END) AS syy_a,
+        |    sum(CASE WHEN v = 0 THEN sxy END) AS sxy_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN v = 1 THEN sx END) AS sx_b,
+        |    sum(CASE WHEN v = 1 THEN sy END) AS sy_b,
+        |    sum(CASE WHEN v = 1 THEN sxx END) AS sxx_b,
+        |    sum(CASE WHEN v = 1 THEN syy END) AS syy_b,
+        |    sum(CASE WHEN v = 1 THEN sxy END) AS sxy_b
+        |  FROM g),
+        |p AS (SELECT *, CAST(n_a AS HUGEINT) + n_b AS np,
+        |    sx_a + sx_b AS sxp, sy_a + sy_b AS syp,
+        |    sxx_a + sxx_b AS sxxp, sxy_a + sxy_b AS sxyp
+        |  FROM one),
+        |t2 AS (SELECT *,
+        |    CASE WHEN np * sxxp - sxp * sxp = 0 THEN 0.0
+        |      ELSE CAST(np * sxyp - sxp * syp AS DOUBLE)
+        |        / CAST(np * sxxp - sxp * sxp AS DOUBLE) END AS theta,
+        |    CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE) AS xbar
+        |  FROM p),
+        |m AS (SELECT *,
+        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - xbar) AS mean_a,
+        |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        - xbar) AS mean_b,
+        |    CAST(CAST(n_a AS HUGEINT) * syy_a - sy_a * sy_a AS DOUBLE)
+        |      AS aa,
+        |    CAST(CAST(n_a AS HUGEINT) * sxy_a - sx_a * sy_a AS DOUBLE)
+        |      AS ba,
+        |    CAST(CAST(n_a AS HUGEINT) * sxx_a - sx_a * sx_a AS DOUBLE)
+        |      AS ca,
+        |    CAST(CAST(n_b AS HUGEINT) * syy_b - sy_b * sy_b AS DOUBLE)
+        |      AS ab,
+        |    CAST(CAST(n_b AS HUGEINT) * sxy_b - sx_b * sy_b AS DOUBLE)
+        |      AS bb,
+        |    CAST(CAST(n_b AS HUGEINT) * sxx_b - sx_b * sx_b AS DOUBLE)
+        |      AS cb
+        |  FROM t2),
+        |v2 AS (SELECT *,
+        |    (aa - 2.0 * theta * ba + theta * theta * ca)
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+        |      / CAST(n_a AS DOUBLE) AS sea,
+        |    (ab - 2.0 * theta * bb + theta * theta * cb)
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+        |      / CAST(n_b AS DOUBLE) AS seb
+        |  FROM m),
+        |v3 AS (SELECT *, sea + seb AS se2 FROM v2)
+        |SELECT n_a, n_b, round(theta, 6) + 0.0 AS theta,
+        |       round(mean_a, 4) + 0.0 AS mean_adj_a,
+        |       round(mean_b, 4) + 0.0 AS mean_adj_b,
+        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |         THEN round((mean_a - mean_b) / sqrt(se2), 4) + 0.0
+        |         END AS t,
+        |       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |         THEN round(se2 * se2 / (sea * sea
+        |           / (CAST(n_a AS DOUBLE) - 1.0) + seb * seb
+        |           / (CAST(n_b AS DOUBLE) - 1.0)), 2) + 0.0 END AS df
+        |FROM v3""".stripMargin,
     // q270: EWMA state form — Spark builds the first half as prior
     // state and FOLDS the second half through ewmaDailyAppend; the
     // oracle replays the SAME one recursion over the full log

@@ -259,6 +259,133 @@ object Behavior {
     abTestFromState(perUser)
   }
 
+  /** CUPED-ADJUSTED WELCH t (Deng, Xu, Kohavi & Walker, "Improving the
+    * sensitivity of online controlled experiments by utilizing
+    * pre-experiment data", WSDM 2013) — the industry-standard
+    * variance-reduction readout: each user's post-period metric is
+    * adjusted by their own PRE-period behavior, ŷ = y − θ·(x − x̄)
+    * with θ = cov(x, y)/var(x) pooled across arms, and Welch's t runs
+    * on the adjusted values — same treatment estimate, tighter
+    * confidence, because the pre-period explains away stable
+    * between-user variance. Kept ORACLE-EXACT by never materializing
+    * a per-user float: mean and variance of ŷ per arm are algebra
+    * over SIX exact DECIMAL(38,0) sums per arm (n, Σx, Σy, Σx²,
+    * Σy², Σxy), so the whole readout is one conditional aggregate
+    * plus a fixed-operand-order float chain at the very end (θ
+    * rounded 6, means 4, t 4, df 2 — mirrored verbatim in the
+    * oracle). θ = 0 when pooled var(x) = 0 (no pre-signal → plain
+    * Welch; the zero test is on exact integers). NULL t/df when
+    * either arm has < 2 users or the adjusted variance is zero.
+    * Output: (n_a, n_b, theta, mean_adj_a, mean_adj_b, t, df); arm 0
+    * is a, arm 1 is b (the [[welchT]] convention).
+    *
+    * Scale shape: one (variant, user) two-period aggregate (map-side
+    * partials) into a users-sized frame, then ONE 6·2-sum conditional
+    * aggregate — [[welchT]]'s shape with a second metric column. */
+  def cupedWelchT(events: DataFrame, user: String, ts: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column, splitDay: Long): DataFrame =
+    cupedWelchTFromState(
+      cupedState(events, user, ts, value, variant, splitDay))
+
+  /** The mergeable per-user state behind [[cupedWelchT]]: (v, u, x,
+    * y) with x = pre-period cents (day < splitDay), y = post-period
+    * cents — both sums, so batch states ADD ([[mergeCupedState]]),
+    * the [[experimentState]] pattern with a second period column.
+    * NULL-day rows (NULL ts) are dropped — a row with no day belongs
+    * to no period. */
+  def cupedState(events: DataFrame, user: String, ts: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column, splitDay: Long): DataFrame =
+    events
+      .select(variant.as("v"), col(user).as("u"),
+        epochDay(col(ts)).as("d"), value.cast("long").as("cents"))
+      .filter(col("u").isNotNull && col("d").isNotNull &&
+        col("cents").isNotNull)
+      .groupBy(col("v"), col("u"))
+      .agg(coalesce(sum(when(col("d") < splitDay, col("cents"))),
+          lit(0L)).as("x"),
+        coalesce(sum(when(col("d") >= splitDay, col("cents"))),
+          lit(0L)).as("y"))
+
+  /** Exact merge of two [[cupedState]] frames — both period sums
+    * add; split-batch merge == full rebuild (spec-pinned). */
+  def mergeCupedState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("v"), col("u"))
+      .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+
+  /** [[cupedWelchT]]'s readout over an ALREADY-MAINTAINED (v, u, x,
+    * y) state frame — identical plan tail (and so identical values)
+    * to the full-log form. */
+  def cupedWelchTFromState(perUser: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = perUser.select(col("v"), col("u"), col("x"), col("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"),
+        sum(dec(col("x")) * col("y")).as("sxy"))
+    def side(v: Int, c: String) =
+      sum(when(col("v") === v, col(c))).as(s"${c}_${if (v == 0) "a" else "b"}")
+    val one = g.agg(
+      side(0, "n"), side(0, "sx"), side(0, "sy"), side(0, "sxx"),
+      side(0, "syy"), side(0, "sxy"),
+      side(1, "n"), side(1, "sx"), side(1, "sy"), side(1, "sxx"),
+      side(1, "syy"), side(1, "sxy"))
+    def d(name: String) = col(name).cast("double")
+    // pooled sums are EXACT DECIMAL adds of the per-arm sums
+    val np = col("n_a") + col("n_b")
+    val sxp = col("sx_a") + col("sx_b")
+    val syp = col("sy_a") + col("sy_b")
+    val sxxp = col("sxx_a") + col("sxx_b")
+    val sxyp = col("sxy_a") + col("sxy_b")
+    // theta = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²), pooled; the zero test is
+    // on the EXACT decimal denominator, the division is the first
+    // float op — operand order mirrored verbatim in the oracle
+    val thDen = np.cast("decimal(38,0)") * sxxp - sxp * sxp
+    val theta = when(thDen === 0, lit(0.0)).otherwise(
+      (np.cast("decimal(38,0)") * sxyp - sxp * syp).cast("double") /
+        thDen.cast("double"))
+    val xbar = sxp.cast("double") / np.cast("double")
+    def meanAdj(s: String) =
+      d(s"sy_$s") / d(s"n_$s") -
+        theta * (d(s"sx_$s") / d(s"n_$s") - xbar)
+    // per-arm adjusted sample variance from the exact sums:
+    // v = (A − 2θB + θ²C) / (n(n−1)) with A = n·Σy² − Σy², B = n·Σxy
+    // − Σx·Σy, C = n·Σx² − Σx² — A/B/C exact DECIMAL, cast once
+    def abc(s: String) = (
+      (col(s"n_$s").cast("decimal(38,0)") * col(s"syy_$s") -
+        col(s"sy_$s") * col(s"sy_$s")).cast("double"),
+      (col(s"n_$s").cast("decimal(38,0)") * col(s"sxy_$s") -
+        col(s"sx_$s") * col(s"sy_$s")).cast("double"),
+      (col(s"n_$s").cast("decimal(38,0)") * col(s"sxx_$s") -
+        col(s"sx_$s") * col(s"sx_$s")).cast("double"))
+    def varAdj(s: String) = {
+      val (a, b, c) = abc(s)
+      (a - lit(2.0) * theta * b + theta * theta * c) /
+        (d(s"n_$s") * (d(s"n_$s") - lit(1.0)))
+    }
+    val sea = varAdj("a") / d("n_a")
+    val seb = varAdj("b") / d("n_b")
+    val se2 = sea + seb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    val t = when(ok,
+      round((meanAdj("a") - meanAdj("b")) / sqrt(se2), 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    val dfC = when(ok,
+      round(se2 * se2 / (sea * sea / (d("n_a") - lit(1.0)) +
+        seb * seb / (d("n_b") - lit(1.0))), 2) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    one.select(col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      (round(theta, 6) + lit(0.0)).as("theta"),
+      (round(meanAdj("a"), 4) + lit(0.0)).as("mean_adj_a"),
+      (round(meanAdj("b"), 4) + lit(0.0)).as("mean_adj_b"),
+      t.as("t"), dfC.as("df"))
+  }
+
   /** [[abTest]]'s readout over an ALREADY-MAINTAINED per-user state
     * frame (v, u, conv ∈ {0,1}) — the conversion twin of
     * [[welchTFromState]]: per-user converted flags merge by max

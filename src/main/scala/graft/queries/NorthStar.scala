@@ -2725,6 +2725,25 @@ object NorthStar {
     prior.unionByName(appended).orderBy($"k", $"d")
   }
 
+  /** X15 CUPED variance-reduced Welch t ([[graft.operators.Behavior
+    * .cupedWelchT]]): per-user post-period revenue adjusted by the
+    * same user's PRE-period revenue (θ = pooled cov/var, the Deng
+    * et al. 2013 estimator) under the user_id mod 2 split, periods
+    * split at the median observed day — q241's readout with the
+    * between-user variance explained away. Six exact DECIMAL sums
+    * per arm; θ/means/t/df the only (fixed-order) floats. */
+  def revenueCuped(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val r = ev.agg(
+      min(floor(unix_timestamp($"ts") / 86400)).cast("long"),
+      max(floor(unix_timestamp($"ts") / 86400)).cast("long"))
+      .collect()(0)
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    Behavior.cupedWelchT(ev, "user_id", "ts", round($"value" * 100, 0),
+      pmod($"user_id", lit(2L)), cut)
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

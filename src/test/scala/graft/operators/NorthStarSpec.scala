@@ -2605,6 +2605,55 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((6L, 1000L, 100L, 5L, "high")))
   }
 
+  test("cupedWelchT: hand-traced theta/adjusted means/variances; " +
+      "t = 1.4142, df = 2.0") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // per-user (pre x, post y) cents: u1(arm1) (10,20), u2(arm0)
+    // (0,10), u3(arm1) (20,40), u4(arm0) (10,30); split day 5.
+    // pooled: n=4 Sx=40 Sy=100 Sxx=600 Sxy=1300 → theta = 1200/800
+    // = 1.5, xbar = 10. arm0: mean_adj = 20 − 1.5·(5−10) = 27.5,
+    // var_adj = (400 − 600 + 225)/2 = 12.5; arm1: 22.5, 12.5.
+    // se2 = 12.5 → t = 5/sqrt(12.5) = 1.4142, df = 2.0
+    val ev = Seq(
+      (1L, at(0), 10L), (1L, at(10), 20L),
+      (2L, at(10), 10L),
+      (3L, at(0), 20L), (3L, at(10), 40L),
+      (4L, at(0), 10L), (4L, at(10), 30L))
+      .toDF("user_id", "ts", "v")
+    val got = Behavior.cupedWelchT(ev, "user_id", "ts", $"v",
+        pmod($"user_id", lit(2L)), 5L)
+      .as[(Long, Long, Double, Double, Double, Option[Double],
+        Option[Double])].collect().toList
+    assert(got == List(
+      (2L, 2L, 1.5, 27.5, 22.5, Some(1.4142), Some(2.0))))
+  }
+
+  test("cupedWelchT: theta = 0 (plain Welch) when the pre-period is " +
+      "constant; mergeCupedState(split) == cupedState(full)") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val ev = Seq(
+      (1L, at(0), 5L), (1L, at(10), 20L),
+      (2L, at(0), 5L), (2L, at(10), 10L),
+      (3L, at(0), 5L), (3L, at(10), 40L),
+      (4L, at(0), 5L), (4L, at(10), 30L))
+      .toDF("user_id", "ts", "v")
+    val got = Behavior.cupedWelchT(ev, "user_id", "ts", $"v",
+      pmod($"user_id", lit(2L)), 5L).collect()(0)
+    assert(got.getDouble(2) == 0.0) // theta: var(x) = 0 → no adjust
+    def st(df: org.apache.spark.sql.DataFrame) =
+      Behavior.cupedState(df, "user_id", "ts", $"v",
+        pmod($"user_id", lit(2L)), 5L)
+    val full = st(ev).orderBy($"v", $"u")
+      .as[(Long, Long, Long, Long)].collect().toList
+    val merged = Behavior.mergeCupedState(
+        st(ev.limit(3)), st(ev.except(ev.limit(3))))
+      .orderBy($"v", $"u")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(full.nonEmpty && merged == full)
+  }
+
   test("ewmaDaily: alpha=1/2 integer recursion, hand-traced; day " +
       "totals aggregate before smoothing") {
     import spark.implicits._
