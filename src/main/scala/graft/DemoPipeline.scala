@@ -131,12 +131,9 @@ object DemoPipeline {
       armOf(col("user_id"))).show(truncate = false)
     println("[cuped welch t] post-period revenue, pre-period adjusted" +
       " (median-day split)")
-    val span = ev.agg(
-      min(floor(unix_timestamp(col("ts")) / 86400)).cast("long"),
-      max(floor(unix_timestamp(col("ts")) / 86400)).cast("long"))
-      .collect()(0)
     operators.Behavior.cupedWelchT(ev, "user_id", "ts", cents,
-      armOf(col("user_id")), (span.getLong(0) + span.getLong(1)) / 2)
+      armOf(col("user_id")),
+      queries.NorthStar.medianObservedDay(ev, "ts"))
       .show(truncate = false)
     println("[funnel by arm] signup -> view -> purchase")
     operators.Behavior.funnelByArm(ev, "user_id", "ts", "event_type",

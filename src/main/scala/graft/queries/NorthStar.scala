@@ -208,8 +208,12 @@ object NorthStar {
     val emb = Tables.embeddings(spark, d)
     val init = emb.filter(pmod($"vec_id", lit(2L)) === 0)
     val incoming = emb.filter(pmod($"vec_id", lit(2L)) === 1)
-    val centDir = s"${ivfAppendDir(d)}/centroids"
-    val memDir = s"${ivfAppendDir(d)}/members"
+    // hoisted: ONE fingerprint walk, and centroids + members are
+    // atomically under the same root even if the source changes
+    // between the two lookups
+    val idxRoot = ivfAppendDir(d)
+    val centDir = s"$idxRoot/centroids"
+    val memDir = s"$idxRoot/members"
     ManifestTable.create(centDir)
     ManifestTable.create(memDir)
     // frozen codebook: per-label mean of the INITIAL corpus, committed
@@ -2694,6 +2698,24 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** Median OBSERVED epoch day of a timestamped frame — the shared
+    * deterministic split point of q270/q271 and the --stats demo.
+    * FLOOR-divides the midpoint (Math.floorDiv) so the value matches
+    * DuckDB's `//` even when min+max is negative and odd (JVM `/`
+    * truncates toward zero — the exact truncation-vs-floor ambiguity
+    * ewmaDaily fail-fasts over). Fails fast with a message on an
+    * empty or all-NULL-ts frame instead of NPE-ing on a NULL row. */
+  private[graft] def medianObservedDay(df: DataFrame, ts: String)
+      : Long = {
+    val r = df.agg(
+      min(floor(unix_timestamp(col(ts)) / 86400)).cast("long"),
+      max(floor(unix_timestamp(col(ts)) / 86400)).cast("long"))
+      .collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"medianObservedDay: no non-NULL '$ts' rows — nothing to split")
+    Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
+  }
+
   /** X16 EWMA STATE FORM ([[graft.operators.TimeSeries
     * .ewmaDailyAppend]]), oracled as a REAL identity: the event log is
     * split at its median day; the first half builds the prior state
@@ -2708,14 +2730,7 @@ object NorthStar {
     import spark.implicits._
     val ev = Tables.events(spark, d)
     // deterministic split day: midpoint of the observed day span
-    val (d0, d1) = {
-      val r = ev.agg(
-        min(floor(unix_timestamp($"ts") / 86400)).cast("long"),
-        max(floor(unix_timestamp($"ts") / 86400)).cast("long"))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val cut = (d0 + d1) / 2
+    val cut = medianObservedDay(ev, "ts")
     val day = floor(unix_timestamp($"ts") / 86400).cast("long")
     val prior = TimeSeries.ewmaDaily(ev.filter(day < cut),
       "event_type", "ts", round($"value" * 100, 0), 1, 4)
@@ -2735,13 +2750,8 @@ object NorthStar {
   def revenueCuped(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, d)
-    val r = ev.agg(
-      min(floor(unix_timestamp($"ts") / 86400)).cast("long"),
-      max(floor(unix_timestamp($"ts") / 86400)).cast("long"))
-      .collect()(0)
-    val cut = (r.getLong(0) + r.getLong(1)) / 2
     Behavior.cupedWelchT(ev, "user_id", "ts", round($"value" * 100, 0),
-      pmod($"user_id", lit(2L)), cut)
+      pmod($"user_id", lit(2L)), medianObservedDay(ev, "ts"))
   }
 
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
