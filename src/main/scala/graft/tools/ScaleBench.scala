@@ -55,6 +55,9 @@ import org.apache.spark.sql.functions._
   *   q269 exact-integer EWMA (round 11) — keyed daily aggregate into
   *        a CALENDAR-bounded per-key fold; growth should be
   *        scan-shaped (the fold is days-sized regardless of rows)
+  *   q271 CUPED Welch t (round 11) — q210's aggregate family with a
+  *        second period column; the planted hot user collapses
+  *        map-side like every per-user pre-aggregate
   *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
   *   SPARK_GRAFT_ONLY=q228,q237 narrows to matching families.
@@ -117,7 +120,7 @@ object ScaleBench {
             col("vec_id") < 2000), 5, 20)
       })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood",
         "q254_lf_vote", "q264_weighted_vote", "q210_ab_test",
-        "q267_ivf_append", "q269_revenue_ewma")
+        "q267_ivf_append", "q269_revenue_ewma", "q271_cuped")
       .map(n => n -> graft.SparkEntry.queries(n))
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
