@@ -155,8 +155,12 @@ object Explain {
         "so the plan below is pass 2 only: the weighted revote " +
         "aggregate with the weights as literals."),
       "q267_ivf_append" -> ("The maintenance half (frozen-codebook " +
-        "training, the txn-marked member append, the replay check) " +
-        "runs eagerly before the returned plan; shown below is the " +
+        "training, the txn-marked member append, the replay check, " +
+        "and the rebuild arm's eagerly-pinned reassignment — the pin " +
+        "is load-bearing: left lazy, the argmin expression inlines " +
+        "into the join key/diff predicate where codegen does no " +
+        "subexpression elimination, measured 25x slower at 100x) " +
+        "runs before the returned plan; shown below is the " +
         "serve-and-compare tail — two q138-shaped IVF probes (cell-" +
         "pruned member scans × broadcast query) rank-joined, plus the " +
         "key-sized full-outer assignment diff. Ten-row ranking " +
