@@ -292,6 +292,7 @@ object SparkEntry {
     "q269_revenue_ewma"  -> (NorthStar.revenueEwma _),
     "q270_ewma_append"   -> (NorthStar.revenueEwmaAppend _),
     "q271_cuped"         -> (NorthStar.revenueCuped _),
+    "q272_ewma_chart"    -> (NorthStar.revenueEwmaChart _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5602,6 +5603,39 @@ object SparkEntry {
         |           / (CAST(n_a AS DOUBLE) - 1.0) + seb * seb
         |           / (CAST(n_b AS DOUBLE) - 1.0)), 2) + 0.0 END AS df
         |FROM v3""".stripMargin,
+    // q272: EWMA control chart — level + deviation recursions and the
+    // prior-threshold flag replayed by one recursive CTE; rn - 1 =
+    // the number of PRIOR observations (Spark's size(acc)).
+    "q272_ewma_chart" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS k,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT k, d, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |       FROM b),
+        |rec AS (
+        |  SELECT k, d, x, rn, x AS s, CAST(0 AS BIGINT) AS r,
+        |         CAST(0 AS BIGINT) AS dev, 0 AS flag
+        |  FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r0.k, r0.d, r0.x, r0.rn,
+        |         (1 * r0.x + 3 * rec.s) // 4,
+        |         abs(r0.x - rec.s),
+        |         (1 * abs(r0.x - rec.s) + 3 * rec.dev) // 4,
+        |         CASE WHEN r0.rn - 1 >= 3 AND rec.dev > 0
+        |           AND abs(r0.x - rec.s) > 3 * rec.dev
+        |           THEN 1 ELSE 0 END
+        |  FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1)
+        |SELECT k, d, x, CAST(s AS BIGINT) AS ewma,
+        |       CAST(r AS BIGINT) AS r, CAST(dev AS BIGINT) AS dev,
+        |       CAST(flag AS INTEGER) AS flag
+        |FROM rec ORDER BY k, d""".stripMargin,
     // q270: EWMA state form — Spark builds the first half as prior
     // state and FOLDS the second half through ewmaDailyAppend; the
     // oracle replays the SAME one recursion over the full log

@@ -117,6 +117,62 @@ object TimeSeries {
        |        ${den - num}L * element_at(acc, -1).s)
        |        div ${den}L end)))""".stripMargin
 
+  /** EWMA CONTROL CHART over a per-key daily total — the self-tuning
+    * anomaly monitor beside [[graft.operators.Behavior.rateCusum]]
+    * (CUSUM detects sustained shifts; this flags single-day spikes
+    * against a level AND scale that both adapt): per observed day,
+    * level s_t = (num·x_t + (den−num)·s_{t−1}) div den ([[ewmaDaily]]'s
+    * recursion), residual r_t = |x_t − s_{t−1}| against the PRIOR
+    * level, deviation dev_t = EWMA of the residuals (devNum/devDen),
+    * and flag_t = 1 when r_t > kSigma·dev_{t−1} — the PRIOR deviation,
+    * so a spike cannot inflate its own threshold — after `warmup`
+    * prior observations and only while dev_{t−1} > 0 (a perfectly
+    * constant history has no scale to test against; the first break
+    * of a constant series trains the scale instead of flagging — the
+    * standard self-tuned-chart cold start, document it to your
+    * on-call). ALL-INTEGER recursions in strict day order, so every
+    * row replays engine-exactly (recursive-CTE oracle). Output per
+    * (key, observed day): (k, d, x, ewma, r, dev, flag).
+    *
+    * Scale shape: identical to [[ewmaDaily]] — one keyed daily
+    * aggregate into a CALENDAR-bounded per-key sorted fold. */
+  def ewmaControlChart(df: DataFrame, key: String, ts: String,
+      value: Column, num: Int, den: Int, devNum: Int, devDen: Int,
+      kSigma: Int, warmup: Int): DataFrame = {
+    require(num >= 1 && den > num,
+      s"level alpha = num/den needs 1 <= num < den, got $num/$den")
+    require(devNum >= 1 && devDen > devNum,
+      s"dev alpha needs 1 <= devNum < devDen, got $devNum/$devDen")
+    require(kSigma >= 1 && warmup >= 1, s"kSigma=$kSigma warmup=$warmup")
+    val fold =
+      s"""aggregate(a,
+         |  cast(array() as array<struct<
+         |    d:bigint,x:bigint,s:bigint,r:bigint,dev:bigint,flag:int>>),
+         |  (acc, e) -> acc || array(named_struct(
+         |    'd', e.d, 'x', e.x,
+         |    's', case when size(acc) = 0 then e.x
+         |      else (${num}L * e.x +
+         |        ${den - num}L * element_at(acc, -1).s) div ${den}L end,
+         |    'r', case when size(acc) = 0 then 0L
+         |      else abs(e.x - element_at(acc, -1).s) end,
+         |    'dev', case when size(acc) = 0 then 0L
+         |      else (${devNum}L * abs(e.x - element_at(acc, -1).s) +
+         |        ${devDen - devNum}L * element_at(acc, -1).dev)
+         |        div ${devDen}L end,
+         |    'flag', case when size(acc) >= $warmup
+         |        and element_at(acc, -1).dev > 0L
+         |        and abs(e.x - element_at(acc, -1).s) >
+         |          ${kSigma}L * element_at(acc, -1).dev
+         |      then 1 else 0 end)))""".stripMargin
+    ewmaDailyTotals(df, key, ts, value, "ewmaControlChart")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .select(col("k"), explode(expr(fold)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.s").as("ewma"), col("e.r").as("r"),
+        col("e.dev").as("dev"), col("e.flag").as("flag"))
+  }
+
   /** Incremental continuation of [[ewmaDaily]] — the STATE form: fold
     * NEW daily totals on top of each key's persisted level. An EWMA is
     * ORDER-DEPENDENT, so unlike the mergeable sufficient-stats states

@@ -2754,6 +2754,19 @@ object NorthStar {
       pmod($"user_id", lit(2L)), medianObservedDay(ev, "ts"))
   }
 
+  /** X16/X11 EWMA control chart ([[graft.operators.TimeSeries
+    * .ewmaControlChart]]): per event type, daily revenue flagged when
+    * the residual vs the adaptive level exceeds 3× the adaptive
+    * deviation (alpha = 1/4 for both, 3-day warmup) — the self-tuning
+    * spike monitor beside q201's CUSUM shift monitor, all-integer
+    * recursions in day order. */
+  def revenueEwmaChart(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.ewmaControlChart(Tables.events(spark, d), "event_type",
+      "ts", round($"value" * 100, 0), 1, 4, 1, 4, 3, 3)
+      .orderBy($"k", $"d")
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -2672,6 +2672,44 @@ class NorthStarSpec extends SparkSpec {
       ("a", 2L, 100L, 53L), ("a", 3L, 0L, 26L)))
   }
 
+  test("ewmaControlChart: hand-traced level/deviation/flag; a spike " +
+      "flags against the PRIOR threshold and recovery does not") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // alpha=1/2 both, k=3, warmup=2; x = 100,110,90,105,1000,100:
+    // s: 100,105,97,101,550,325; r: 0,10,15,8,899,450;
+    // dev: 0,5,10,9,454,452; flags: only day 4 (899 > 3*9=27);
+    // day 5's r=450 < 3*454 — the inflated scale absorbs recovery
+    val vals = Seq(100L, 110L, 90L, 105L, 1000L, 100L)
+    val df = vals.zipWithIndex.map { case (v, d) => (at(d.toLong), v) }
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val got = TimeSeries.ewmaControlChart(df, "k", "ts", $"v",
+        1, 2, 1, 2, 3, 2)
+      .orderBy($"d")
+      .as[(String, Long, Long, Long, Long, Long, Int)]
+      .collect().toList
+    assert(got == List(
+      ("a", 0L, 100L, 100L, 0L, 0L, 0),
+      ("a", 1L, 110L, 105L, 10L, 5L, 0),
+      ("a", 2L, 90L, 97L, 15L, 10L, 0),
+      ("a", 3L, 105L, 101L, 8L, 9L, 0),
+      ("a", 4L, 1000L, 550L, 899L, 454L, 1),
+      ("a", 5L, 100L, 325L, 450L, 452L, 0)))
+  }
+
+  test("ewmaControlChart: a constant history has no scale — the first " +
+      "break trains the deviation instead of flagging") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val df = Seq(100L, 100L, 100L, 100L, 1000L).zipWithIndex
+      .map { case (v, d) => (at(d.toLong), v) }
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val got = TimeSeries.ewmaControlChart(df, "k", "ts", $"v",
+        1, 2, 1, 2, 3, 2)
+      .orderBy($"d").select($"flag").as[Int].collect().toList
+    assert(got == List(0, 0, 0, 0, 0)) // dev was 0 at the break
+  }
+
   test("ewmaDailyAppend: prior ++ appended == ewmaDaily(full) at any " +
       "split; fresh keys start at s1 = x1") {
     import spark.implicits._
