@@ -4831,7 +4831,7 @@ object SparkEntry {
         |       UNION ALL SELECT arm, n1, 3, n3 FROM pa),
         |ct AS (SELECT step, n1 AS cn1, nr AS cnr FROM lg WHERE arm = 0),
         |j AS (SELECT lg.arm, lg.step, lg.n1, lg.nr, ct.cn1, ct.cnr
-        |      FROM lg JOIN ct USING (step)),
+        |      FROM lg LEFT JOIN ct USING (step)),
         |zc AS (SELECT *,
         |    sqrt((CAST(nr + cnr AS DOUBLE) / (n1 + cn1))
         |         * (1.0 - CAST(nr + cnr AS DOUBLE) / (n1 + cn1))

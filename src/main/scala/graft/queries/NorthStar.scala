@@ -217,12 +217,15 @@ object NorthStar {
     ManifestTable.create(centDir)
     ManifestTable.create(memDir)
     // frozen codebook: per-label mean of the INITIAL corpus, committed
-    // once (the offline training step of a real deployment)
-    if (ManifestTable.files(centDir,
-        ManifestTable.currentVersion(centDir)).isEmpty)
+    // once (the offline training step of a real deployment). Txn-marked
+    // like the member init: a bare emptiness check is check-then-act —
+    // two concurrent first runs could both see empty and double-append
+    // the centroids (duplicate cids, nondeterministic assignment ties).
+    if (!ManifestTable.hasCommittedTxn(centDir, "ivfappend-cents"))
       ManifestTable.appendWithRetry(spark, centDir,
         Similarity.ivfCells(init)
-          .select($"label".cast("long").as("cid"), $"centroid".as("c")))
+          .select($"label".cast("long").as("cid"), $"centroid".as("c")),
+        txn = Some("ivfappend-cents"))
     val cellsDf = ManifestTable.read(spark, centDir)._2
     val cents = Similarity.centroidsOf(cellsDf)
     // member v1: the initial corpus assigned against the frozen codebook

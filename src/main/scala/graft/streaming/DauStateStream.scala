@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 
 import graft.operators.Behavior
-import graft.sources.ManifestTable
 
 /** Streaming maintenance of the per-day HLL DAU state
   * ([[graft.operators.Behavior.dauState]]): each micro-batch sketches
@@ -33,17 +32,8 @@ object DauStateStream {
   def sink(stateDir: String, lgK: Int, streamId: String)
       (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    ManifestTable.create(stateDir)
-    if (!ManifestTable.hasCommittedTxn(stateDir, s"$streamId-$batchId")) {
-      val bState = Behavior.dauState(batch, "user_id", "ts", lgK)
-      val cur = ManifestTable.currentVersion(stateDir)
-      val merged =
-        if (cur == 0L) bState
-        else Behavior.mergeDauState(
-          ManifestTable.read(spark, stateDir)._2, bState)
-      ManifestTable.overwrite(spark, stateDir, merged, cur,
-        txn = Some(s"$streamId-$batchId"))
-    }
+    StateCommit.mergeCommit(stateDir,
+      Behavior.dauState(batch, "user_id", "ts", lgK),
+      Behavior.mergeDauState, s"$streamId-$batchId")
   }
 }

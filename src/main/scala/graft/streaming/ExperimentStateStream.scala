@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 
 import graft.operators.Behavior
-import graft.sources.ManifestTable
 
 /** Streaming maintenance of the A/B experiment state
   * ([[graft.operators.Behavior.experimentState]]): each micro-batch
@@ -29,23 +28,14 @@ object ExperimentStateStream {
   def sink(stateDir: String, convType: String, streamId: String)
       (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    ManifestTable.create(stateDir)
-    if (!ManifestTable.hasCommittedTxn(stateDir, s"$streamId-$batchId")) {
-      val bState = Behavior.experimentState(batch, "user_id",
-        org.apache.spark.sql.functions.round(
-          org.apache.spark.sql.functions.col("value") * 100, 0),
-        "event_type", convType,
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("user_id"),
-          org.apache.spark.sql.functions.lit(2L)))
-      val cur = ManifestTable.currentVersion(stateDir)
-      val merged =
-        if (cur == 0L) bState
-        else Behavior.mergeExperimentState(
-          ManifestTable.read(spark, stateDir)._2, bState)
-      ManifestTable.overwrite(spark, stateDir, merged, cur,
-        txn = Some(s"$streamId-$batchId"))
-    }
+    val bState = Behavior.experimentState(batch, "user_id",
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100, 0),
+      "event_type", convType,
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(2L)))
+    StateCommit.mergeCommit(stateDir, bState,
+      Behavior.mergeExperimentState, s"$streamId-$batchId")
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.operators.Labeling
-import graft.sources.ManifestTable
 
 /** Streaming maintenance of the weak-supervision label-quality state
   * ([[graft.operators.Labeling.labelState]]): each micro-batch of
@@ -11,10 +10,12 @@ import graft.sources.ManifestTable
   * n_covered, n_pos, n_agree — all exact counts; the majority vote is
   * row-local, so batch states SUM to the full-log state), merges into
   * the persisted |LFs|-row state, and commits ONE atomic snapshot
-  * carrying the batch's txn marker (the [[graft.sources
-  * .ManifestTable]] protocol, same as [[ExperimentStateStream]]): a
-  * replayed batch after restart is a no-op, so the state is
-  * exactly-once. Downstream, the label-quality dashboards read the
+  * carrying the batch's txn marker via [[StateCommit.mergeCommit]]
+  * (the [[graft.sources.ManifestTable]] protocol, same as
+  * [[ExperimentStateStream]]): a replayed batch after restart is a
+  * no-op, so the state is exactly-once, and a CONCURRENT writer
+  * landing between the state read and the commit is absorbed by
+  * re-read-merge-retry, not lost and not an error. Downstream, the label-quality dashboards read the
   * state, never the log: [[graft.operators.Labeling
   * .majorityVoteFromState]] for the per-LF audit and
   * [[graft.operators.Labeling.weightedVoteFromState]] for the
@@ -35,17 +36,7 @@ object LabelStateStream {
   def sink(stateDir: String, lfs: Seq[(String, Column)],
       streamId: String)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    ManifestTable.create(stateDir)
-    if (!ManifestTable.hasCommittedTxn(stateDir, s"$streamId-$batchId")) {
-      val bState = Labeling.labelState(batch, lfs)
-      val cur = ManifestTable.currentVersion(stateDir)
-      val merged =
-        if (cur == 0L) bState
-        else Labeling.mergeLabelState(
-          ManifestTable.read(spark, stateDir)._2, bState)
-      ManifestTable.overwrite(spark, stateDir, merged, cur,
-        txn = Some(s"$streamId-$batchId"))
-    }
+    StateCommit.mergeCommit(stateDir, Labeling.labelState(batch, lfs),
+      Labeling.mergeLabelState, s"$streamId-$batchId")
   }
 }
