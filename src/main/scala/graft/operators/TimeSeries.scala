@@ -66,8 +66,11 @@ object TimeSeries {
     *
     * Scale shape: one keyed daily aggregate (map-side partials) into
     * a per-key CALENDAR-bounded frame, then a per-key sorted-array
-    * fold (collect_list of days — the [[resampleDailyFfill]] regime:
-    * thousands of days, never data-sized) exploded back to rows. An
+    * scan (collect_list of days — the [[resampleDailyFfill]] regime:
+    * thousands of days, never data-sized) exploded back to rows. The
+    * scan is [[graft.plans.EwmaScan]], a LINEAR custom expression —
+    * SQL `aggregate`'s `acc || array(step)` copies the accumulator
+    * every step, O(span²) for a long-lived key (VERDICT r11). An
     * EWMA is inherently sequential per key; the calendar bound is
     * what makes the sequential part safe at any corpus size. */
   def ewmaDaily(df: DataFrame, key: String, ts: String, value: Column,
@@ -78,7 +81,8 @@ object TimeSeries {
       .groupBy(col("k"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
         lit(null).cast("long").as("s0")) // no prior: s1 = x1
-      .select(col("k"), explode(expr(ewmaFoldExpr(num, den))).as("e"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .ewma_scan(col("a"), col("s0"), num, den)).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.s").as("ewma"))
   }
@@ -100,22 +104,6 @@ object TimeSeries {
       s"cast(raise_error(concat('$op: negative daily total ', " +
       "x0, ' — integer div on negatives is truncation-vs-floor " +
       "ambiguous across engines; shift or clamp first')) as bigint))"))
-
-  /** The one EWMA recursion, shared by both forms: fold the sorted
-    * (d, x) array into (d, x, s) rows; `s0` (a column in scope, NULL
-    * when there is no prior level) seeds the first step. */
-  private def ewmaFoldExpr(num: Int, den: Int): String =
-    s"""aggregate(a,
-       |  cast(array() as array<struct<d:bigint,x:bigint,s:bigint>>),
-       |  (acc, e) -> acc || array(named_struct(
-       |    'd', e.d, 'x', e.x,
-       |    's', case
-       |      when size(acc) = 0 and s0 is null then e.x
-       |      when size(acc) = 0 then
-       |        (${num}L * e.x + ${den - num}L * s0) div ${den}L
-       |      else (${num}L * e.x +
-       |        ${den - num}L * element_at(acc, -1).s)
-       |        div ${den}L end)))""".stripMargin
 
   /** EWMA CONTROL CHART over a per-key daily total — the self-tuning
     * anomaly monitor beside [[graft.operators.Behavior.rateCusum]]
@@ -144,30 +132,12 @@ object TimeSeries {
     require(devNum >= 1 && devDen > devNum,
       s"dev alpha needs 1 <= devNum < devDen, got $devNum/$devDen")
     require(kSigma >= 1 && warmup >= 1, s"kSigma=$kSigma warmup=$warmup")
-    val fold =
-      s"""aggregate(a,
-         |  cast(array() as array<struct<
-         |    d:bigint,x:bigint,s:bigint,r:bigint,dev:bigint,flag:int>>),
-         |  (acc, e) -> acc || array(named_struct(
-         |    'd', e.d, 'x', e.x,
-         |    's', case when size(acc) = 0 then e.x
-         |      else (${num}L * e.x +
-         |        ${den - num}L * element_at(acc, -1).s) div ${den}L end,
-         |    'r', case when size(acc) = 0 then 0L
-         |      else abs(e.x - element_at(acc, -1).s) end,
-         |    'dev', case when size(acc) = 0 then 0L
-         |      else (${devNum}L * abs(e.x - element_at(acc, -1).s) +
-         |        ${devDen - devNum}L * element_at(acc, -1).dev)
-         |        div ${devDen}L end,
-         |    'flag', case when size(acc) >= $warmup
-         |        and element_at(acc, -1).dev > 0L
-         |        and abs(e.x - element_at(acc, -1).s) >
-         |          ${kSigma}L * element_at(acc, -1).dev
-         |      then 1 else 0 end)))""".stripMargin
     ewmaDailyTotals(df, key, ts, value, "ewmaControlChart")
       .groupBy(col("k"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
-      .select(col("k"), explode(expr(fold)).as("e"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .ewma_chart_scan(col("a"), num, den, devNum, devDen, kSigma,
+          warmup)).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.s").as("ewma"), col("e.r").as("r"),
         col("e.dev").as("dev"), col("e.flag").as("flag"))
@@ -211,7 +181,8 @@ object TimeSeries {
       .groupBy(col("k"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
         max(col("s0")).as("s0")) // constant per key after the join
-      .select(col("k"), explode(expr(ewmaFoldExpr(num, den))).as("e"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .ewma_scan(col("a"), col("s0"), num, den)).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.s").as("ewma"))
   }

@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Linear-time per-key scans for the exact-integer EWMA family
+  * ([[graft.operators.TimeSeries.ewmaDaily]] / `ewmaDailyAppend` /
+  * `ewmaControlChart`; SURVEY.md §4.2 X16).
+  *
+  * Why not SQL `aggregate(...)`: Catalyst's fold builds the result with
+  * `acc || array(step)`, which COPIES the accumulator array every step —
+  * O(span²) struct copies per key (a key observed daily for 10 years does
+  * ~6.7M copies per evaluation; VERDICT r11 #2). A scan is inherently
+  * sequential per key, but it is O(span): these expressions run the same
+  * recursion as a primitive `long` loop over the sorted (d, x) array,
+  * appending to a pre-sized buffer. Evaluation cost is one interpreted
+  * call PER KEY (not per row) on a calendar-bounded array — the regime
+  * where CodegenFallback dispatch is noise — so `doGenCode` is
+  * deliberately omitted.
+  *
+  * Semantics are EXACTLY the SQL fold they replace, step by step: all
+  * arithmetic is 64-bit integer, `div` on the non-negative operands the
+  * callers enforce equals Java `/` (truncation), and rows are emitted in
+  * the input array's order (callers sort by day). Oracle hashes are
+  * unaffected (q269/q270/q272 pinned).
+  *
+  * Null handling: a null input array → null (never produced by the
+  * `collect_list` callers, but propagated for safety); array ELEMENTS are
+  * non-null by the callers' filter contract. */
+case class EwmaScan(arr: Expression, prior: Expression, num: Int, den: Int)
+    extends Expression with CodegenFallback {
+  require(num >= 1 && den > num, s"alpha needs 1 <= num < den, got $num/$den")
+
+  override def children: Seq[Expression] = Seq(arr, prior)
+  override def nullable: Boolean = arr.nullable
+  override def prettyName: String = "ewma_scan"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("s", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (arr.dataType,
+      prior.dataType) match {
+    case (ArrayType(StructType(Array(d, x)), _), LongType)
+        if d.dataType == LongType && x.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, p) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<bigint,bigint>>, bigint), got " +
+        s"${a.simpleString}, ${p.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val p = prior.eval(input)
+    var hasPrev = p != null
+    var prev = if (hasPrev) p.asInstanceOf[Long] else 0L
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = ad.getStruct(i, 2)
+      val d = e.getLong(0)
+      val x = e.getLong(1)
+      val s =
+        if (!hasPrev) x
+        else (num * x + (den - num) * prev) / den
+      out(i) = new GenericInternalRow(Array[Any](d, x, s))
+      prev = s
+      hasPrev = true
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EwmaScan =
+    copy(arr = newChildren(0), prior = newChildren(1))
+}
+
+/** The control-chart sibling of [[EwmaScan]]: level, residual against the
+  * PRIOR level, adaptive deviation, and a flag against the PRIOR deviation
+  * (so a spike cannot inflate its own gate) — the
+  * [[graft.operators.TimeSeries.ewmaControlChart]] recursion as one linear
+  * scan. Step-identical to the SQL fold it replaces. */
+case class EwmaChartScan(arr: Expression, num: Int, den: Int, devNum: Int,
+    devDen: Int, kSigma: Int, warmup: Int)
+    extends Expression with CodegenFallback {
+  require(num >= 1 && den > num, s"alpha needs 1 <= num < den, got $num/$den")
+  require(devNum >= 1 && devDen > devNum,
+    s"dev alpha needs 1 <= devNum < devDen, got $devNum/$devDen")
+  require(kSigma >= 1 && warmup >= 1, s"kSigma=$kSigma warmup=$warmup")
+
+  override def children: Seq[Expression] = Seq(arr)
+  override def nullable: Boolean = arr.nullable
+  override def prettyName: String = "ewma_chart_scan"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("s", LongType, nullable = false),
+    StructField("r", LongType, nullable = false),
+    StructField("dev", LongType, nullable = false),
+    StructField("flag", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
+    case ArrayType(StructType(Array(d, x)), _)
+        if d.dataType == LongType && x.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case a => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<bigint,bigint>>, got ${a.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val out = new Array[Any](n)
+    var prevS = 0L
+    var prevDev = 0L
+    var i = 0
+    while (i < n) {
+      val e = ad.getStruct(i, 2)
+      val d = e.getLong(0)
+      val x = e.getLong(1)
+      var s = x
+      var r = 0L
+      var dev = 0L
+      var flag = 0
+      if (i > 0) {
+        r = math.abs(x - prevS)
+        s = (num * x + (den - num) * prevS) / den
+        dev = (devNum * r + (devDen - devNum) * prevDev) / devDen
+        if (i >= warmup && prevDev > 0L && r > kSigma * prevDev) flag = 1
+      }
+      out(i) = new GenericInternalRow(Array[Any](d, x, s, r, dev, flag))
+      prevS = s
+      prevDev = dev
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EwmaChartScan =
+    copy(arr = newChildren(0))
+}
+
+object ScanExpressions {
+  /** Column form of [[EwmaScan]]: `a` is the sorted (d, x) array, `s0`
+    * the nullable prior level (NULL ⇒ s₁ = x₁). */
+  def ewma_scan(a: Column, s0: Column, num: Int, den: Int): Column =
+    ColumnBridge.column(EwmaScan(ColumnBridge.expression(a),
+      ColumnBridge.expression(s0), num, den))
+
+  /** Column form of [[EwmaChartScan]]. */
+  def ewma_chart_scan(a: Column, num: Int, den: Int, devNum: Int,
+      devDen: Int, kSigma: Int, warmup: Int): Column =
+    ColumnBridge.column(EwmaChartScan(ColumnBridge.expression(a),
+      num, den, devNum, devDen, kSigma, warmup))
+}
