@@ -266,9 +266,9 @@ object Explain {
           // driver-side literals — dump the stats aggregate (the
           // non-median final pass; the refinement rounds share q180's
           // histogram shape)
-          val times = graft.operators.Behavior.stageTimes(
+          val times = graft.operators.Behavior.stageTimesSinglePass(
             Tables.events(spark, sfDir), "user_id", "ts", "event_type",
-            Seq("signup", "view", "purchase"), None)
+            Seq("signup", "view", "purchase"))
           graft.operators.Behavior.transitionStatsAgg(
             graft.operators.Behavior.transitionDurations(times, 2), 2)
         case "q214_engagement_gini" =>

@@ -1269,6 +1269,37 @@ class NorthStarSpec extends SparkSpec {
       run(Behavior.funnel(ev, "user_id", "ts", "event_type", steps)))
   }
 
+  test("stageTimesSinglePass == stageTimes on the strict-order fixture " +
+      "AND on real events (q205's stage-times source, VERDICT r11 #3)") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, "signup", t("2024-01-01 10:00:00")),
+      (1L, "view", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      (2L, "signup", t("2024-01-01 10:00:00")),
+      (2L, "purchase", t("2024-01-01 10:30:00")), // before view: no t3
+      (2L, "view", t("2024-01-01 11:00:00")),
+      (3L, "view", t("2024-01-01 09:00:00")),     // never signs up
+      (4L, "signup", t("2024-01-02 09:00:00")),
+      // same-µs tie: view AT the signup instant must NOT count (strict >)
+      (5L, "signup", t("2024-01-03 09:00:00")),
+      (5L, "view", t("2024-01-03 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "purchase")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"u").collect().map(_.toSeq).toList
+    assert(run(Behavior.stageTimesSinglePass(fixture, "user_id", "ts",
+        "event_type", steps)) ==
+      run(Behavior.stageTimes(fixture, "user_id", "ts", "event_type",
+        steps, None)))
+    val ev = graft.Tables.events(spark, sf)
+    assert(run(Behavior.stageTimesSinglePass(ev, "user_id", "ts",
+        "event_type", steps)) ==
+      run(Behavior.stageTimes(ev, "user_id", "ts", "event_type",
+        steps, None)))
+  }
+
   test("funnelSinglePass fails fast past maxEventsPerUser instead of " +
       "building an unbounded per-user row") {
     import spark.implicits._
