@@ -58,6 +58,14 @@ import org.apache.spark.sql.functions._
   *   q271 CUPED Welch t (round 11) — q210's aggregate family with a
   *        second period column; the planted hot user collapses
   *        map-side like every per-user pre-aggregate
+  *   q268 LF conflict matrix (round 12) — ONE conditional aggregate
+  *        with 3·C(k,2) map-side partials; skew-free by construction
+  *        (no key shuffle at all)
+  *   q270 EWMA append-state seam (round 12) — q269's shape twice
+  *        (prior build + ordered append); the fold is days-sized at
+  *        any row count
+  *   q272 EWMA control chart (round 12) — q269's keyed daily
+  *        aggregate into the linear chart scan (level + deviation)
   *
   *   sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.01 /root/testdata/sf0.1 scaledata/x10"
   *   SPARK_GRAFT_ONLY=q228,q237 narrows to matching families.
@@ -120,7 +128,8 @@ object ScaleBench {
             col("vec_id") < 2000), 5, 20)
       })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood",
         "q254_lf_vote", "q264_weighted_vote", "q210_ab_test",
-        "q267_ivf_append", "q269_revenue_ewma", "q271_cuped")
+        "q267_ivf_append", "q269_revenue_ewma", "q271_cuped",
+        "q268_lf_conflicts", "q270_ewma_append", "q272_ewma_chart")
       .map(n => n -> graft.SparkEntry.queries(n))
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
