@@ -293,6 +293,7 @@ object SparkEntry {
     "q270_ewma_append"   -> (NorthStar.revenueEwmaAppend _),
     "q271_cuped"         -> (NorthStar.revenueCuped _),
     "q272_ewma_chart"    -> (NorthStar.revenueEwmaChart _),
+    "q273_revenue_holt"  -> (NorthStar.revenueHolt _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5643,6 +5644,52 @@ object SparkEntry {
     // can never drift apart), so every row including the
     // split-boundary seam must match exactly.
     "q270_ewma_append" -> ewmaRecursionSql,
+    // q273: Holt linear trend — q269's recursion with a signed TREND
+    // state, so every division is the sign-safe truncation
+    // tdiv(v, den) = sign(v)·(|v| // den): both branches divide
+    // non-negative operands, where DuckDB's // and Spark's div agree
+    // (for negatives they may not — the STATUS r11 rule). The level
+    // update needs l_t inside the trend update, hence the nested
+    // subquery in the recursive term.
+    "q273_revenue_holt" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS k,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT k, d, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |       FROM b),
+        |rec AS (
+        |  SELECT k, d, x, rn, CAST(x AS HUGEINT) AS l,
+        |         CAST(0 AS HUGEINT) AS tr, CAST(x AS HUGEINT) AS f
+        |  FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k, d, x, rn, l2 AS l,
+        |         CASE WHEN 1 * (l2 - l1) + 7 * tr1 >= 0
+        |              THEN (1 * (l2 - l1) + 7 * tr1) // 8
+        |              ELSE -((-(1 * (l2 - l1) + 7 * tr1)) // 8)
+        |         END AS tr,
+        |         f2 AS f
+        |  FROM (
+        |    SELECT r0.k, r0.d, r0.x, r0.rn, rec.l AS l1,
+        |           rec.tr AS tr1, rec.l + rec.tr AS f2,
+        |           CASE WHEN 1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr) >= 0
+        |                THEN (1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr)) // 4
+        |                ELSE -((-(1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr))) // 4)
+        |           END AS l2
+        |    FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1))
+        |SELECT k, d, x, CAST(l AS BIGINT) AS level,
+        |       CAST(tr AS BIGINT) AS trend,
+        |       CAST(f AS BIGINT) AS forecast
+        |FROM rec ORDER BY k, d""".stripMargin,
   )
 
   /** The one EWMA oracle recursion, shared verbatim by q269 (direct

@@ -187,6 +187,40 @@ object TimeSeries {
         col("e.s").as("ewma"))
   }
 
+  /** HOLT LINEAR TREND (double exponential smoothing, Holt 1957) of a
+    * per-key daily total, EXACT INTEGER — the level+trend forecaster
+    * beside [[ewmaDaily]] (an EWMA permanently LAGS a drifting series;
+    * Holt's trend term follows the drift): per observed day,
+    * f_t = l_{t−1} + b_{t−1} (the one-step-ahead forecast — compare
+    * against x_t for the forecast-error monitor), then
+    * l_t = tdiv(aNum·x_t + (aDen−aNum)·f_t, aDen) and
+    * b_t = tdiv(bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}, bDen),
+    * seeded l₁ = x₁, b₁ = 0, f₁ = x₁. Unlike the EWMA recursions the
+    * TREND is signed, so every division is the sign-safe truncation
+    * tdiv(v, den) = sign(v)·(|v| div den) — replayable on any engine
+    * without the truncation-vs-floor ambiguity ([[graft.plans
+    * .HoltScan]] has the portable oracle form). Daily totals keep the
+    * non-negative contract of the family. Output per (key, observed
+    * day): (k, d, x, level, trend, forecast).
+    *
+    * Scale shape: identical to [[ewmaDaily]] — one keyed daily
+    * aggregate into a calendar-bounded per-key LINEAR scan. */
+  def holtDaily(df: DataFrame, key: String, ts: String, value: Column,
+      aNum: Int, aDen: Int, bNum: Int, bDen: Int): DataFrame = {
+    require(aNum >= 1 && aDen > aNum,
+      s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+    require(bNum >= 1 && bDen > bNum,
+      s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+    ewmaDailyTotals(df, key, ts, value, "holtDaily")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .holt_scan(col("a"), aNum, aDen, bNum, bDen)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.l").as("level"), col("e.b").as("trend"),
+        col("e.f").as("forecast"))
+  }
+
   /** Drawdown curve of a daily total: per day, the running peak of the
     * cumulative-to-date daily aggregate and the shortfall from it —
     * drawdown_d = max_{j≤d}(v_j) − v_d, the classic "how far below the

@@ -157,6 +157,85 @@ case class EwmaChartScan(arr: Expression, num: Int, den: Int, devNum: Int,
     copy(arr = newChildren(0))
 }
 
+/** HOLT LINEAR TREND (double exponential smoothing) as one linear scan —
+  * the level+trend sibling of [[EwmaScan]] (Holt 1957; the standard
+  * "level is drifting, follow the drift" forecaster an EWMA lags on):
+  *
+  *   f_t = l_{t−1} + b_{t−1}                      (one-step forecast)
+  *   l_t = tdiv(aNum·x_t + (aDen−aNum)·f_t, aDen) (level)
+  *   b_t = tdiv(bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}, bDen)
+  *
+  * seeded l₁ = x₁, b₁ = 0, f₁ = x₁ (zero first-step error). All-integer
+  * like the EWMA family, with one extra care: the TREND (and hence a
+  * forecast or level) can be NEGATIVE, and truncating vs flooring
+  * division diverge there across engines — so every division is the
+  * SIGN-SAFE truncation tdiv(v, den) = sign(v)·(|v| div den), which
+  * Java's `/` computes directly and an oracle reproduces portably as
+  * CASE WHEN v >= 0 THEN v // den ELSE -((-v) // den) END (both
+  * branches divide non-negative operands, where `//` and `div` agree
+  * everywhere). Same calendar-bounded per-key evaluation regime and
+  * null handling as [[EwmaScan]]. */
+case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
+    bDen: Int) extends Expression with CodegenFallback {
+  require(aNum >= 1 && aDen > aNum,
+    s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+  require(bNum >= 1 && bDen > bNum,
+    s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+
+  override def children: Seq[Expression] = Seq(arr)
+  override def nullable: Boolean = arr.nullable
+  override def prettyName: String = "holt_scan"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("l", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("f", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
+    case ArrayType(StructType(Array(d, x)), _)
+        if d.dataType == LongType && x.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case a => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<bigint,bigint>>, got ${a.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val out = new Array[Any](n)
+    var prevL = 0L
+    var prevB = 0L
+    var i = 0
+    while (i < n) {
+      val e = ad.getStruct(i, 2)
+      val d = e.getLong(0)
+      val x = e.getLong(1)
+      var l = x
+      var b = 0L
+      var f = x
+      if (i > 0) {
+        f = prevL + prevB
+        // Java `/` truncates toward zero for either sign — exactly tdiv
+        l = (aNum * x + (aDen - aNum) * f) / aDen
+        b = (bNum * (l - prevL) + (bDen - bNum) * prevB) / bDen
+      }
+      out(i) = new GenericInternalRow(Array[Any](d, x, l, b, f))
+      prevL = l
+      prevB = b
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HoltScan =
+    copy(arr = newChildren(0))
+}
+
 object ScanExpressions {
   /** Column form of [[EwmaScan]]: `a` is the sorted (d, x) array, `s0`
     * the nullable prior level (NULL ⇒ s₁ = x₁). */
@@ -169,4 +248,10 @@ object ScanExpressions {
       devDen: Int, kSigma: Int, warmup: Int): Column =
     ColumnBridge.column(EwmaChartScan(ColumnBridge.expression(a),
       num, den, devNum, devDen, kSigma, warmup))
+
+  /** Column form of [[HoltScan]]. */
+  def holt_scan(a: Column, aNum: Int, aDen: Int, bNum: Int,
+      bDen: Int): Column =
+    ColumnBridge.column(HoltScan(ColumnBridge.expression(a),
+      aNum, aDen, bNum, bDen))
 }

@@ -2770,6 +2770,19 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** X16 Holt linear trend ([[graft.operators.TimeSeries.holtDaily]]):
+    * per event type, level + trend + one-step forecast of daily
+    * revenue cents (alpha = 1/4, beta = 1/8) — the drift-following
+    * forecaster beside q269's level-only EWMA, all-integer with
+    * sign-safe truncating division (the trend is signed), so every
+    * row replays engine-exactly against a recursive-CTE oracle. */
+  def revenueHolt(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.holtDaily(Tables.events(spark, d), "event_type", "ts",
+      round($"value" * 100, 0), 1, 4, 1, 8)
+      .orderBy($"k", $"d")
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -2834,6 +2834,40 @@ class NorthStarSpec extends SparkSpec {
     assert(gotChart.toSeq == refChart.toSeq)
   }
 
+  test("holtDaily: hand-traced level/trend/forecast with a signed " +
+      "trend; tracks a linear ramp an EWMA would lag") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // alpha=1/2, beta=1/2; x = 100, 80, 60:
+    // t1: l=100 b=0 f=100
+    // t2: f=100, l=(80+100)/2=90, b=((90-100)+0)/2 = -10/2 = -5
+    //     (tdiv: -10/2 = -5 exactly)
+    // t3: f=90-5=85, l=(60+85)/2=72 (145/2 truncates),
+    //     b=((72-90)+(-5))/2 = -23/2 = -11 (truncation toward zero,
+    //     where floor division would give -12 — the divergence the
+    //     sign-safe tdiv exists to pin)
+    val df = Seq((at(0), 100L), (at(1), 80L), (at(2), 60L))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val got = TimeSeries.holtDaily(df, "k", "ts", $"v", 1, 2, 1, 2)
+      .orderBy($"d")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", 0L, 100L, 100L, 0L, 100L),
+      ("a", 1L, 80L, 90L, -5L, 100L),
+      ("a", 2L, 60L, 72L, -11L, 85L)))
+    // drift-following: on a steady +10/day ramp Holt's forecast locks
+    // on (error -> 0) while an EWMA level lags permanently below
+    val ramp = (0 until 40).map(i => (at(i.toLong), 100L + 10L * i))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val lastHolt = TimeSeries.holtDaily(ramp, "k", "ts", $"v", 1, 2, 1, 2)
+      .orderBy($"d").as[(String, Long, Long, Long, Long, Long)]
+      .collect().last
+    assert(math.abs(lastHolt._3 - lastHolt._6) <= 1) // |x - forecast|
+    val lastEwma = TimeSeries.ewmaDaily(ramp, "k", "ts", $"v", 1, 2)
+      .orderBy($"d").as[(String, Long, Long, Long)].collect().last
+    assert(lastEwma._3 - lastEwma._4 >= 9) // EWMA lags ~one step below
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
