@@ -294,6 +294,7 @@ object SparkEntry {
     "q271_cuped"         -> (NorthStar.revenueCuped _),
     "q272_ewma_chart"    -> (NorthStar.revenueEwmaChart _),
     "q273_revenue_holt"  -> (NorthStar.revenueHolt _),
+    "q274_ate_stratified" -> (NorthStar.revenueAteStratified _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5690,7 +5691,70 @@ object SparkEntry {
         |       CAST(tr AS BIGINT) AS trend,
         |       CAST(f AS BIGINT) AS forecast
         |FROM rec ORDER BY k, d""".stripMargin,
+    // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
+    // exact HUGEINT sufficient statistics in ONE conditional
+    // aggregate; the float tail folds the FIXED tier order 0,1,2
+    // (left-associative + in both engines) with the testable-strata
+    // guard (n >= 2 in BOTH arms) mirrored term by term.
+    "q274_ate_stratified" -> ateStratifiedSql,
   )
+
+  /** q274's oracle, assembled from per-tier fragments so the 3×2×3
+    * conditional-aggregate block and the fixed-order float folds stay
+    * mechanically in lockstep with `Behavior.postStratifiedAte`. */
+  private val ateStratifiedSql: String = {
+    val tiers = 0 until 3
+    def sides = Seq(0 -> "a", 1 -> "b")
+    val aggs = tiers.flatMap { t => sides.flatMap { case (a, s) =>
+      val in = s"t = $t AND v = $a"
+      Seq(s"count(CASE WHEN $in THEN 1 END) AS n_${t}_$s",
+        s"coalesce(sum(CASE WHEN $in THEN CAST(m AS HUGEINT) END), 0)" +
+          s" AS s1_${t}_$s",
+        s"coalesce(sum(CASE WHEN $in THEN CAST(m AS HUGEINT) * m END)," +
+          s" 0) AS s2_${t}_$s")
+    } }.mkString(",\n    ")
+    def testable(t: Int) = s"(n_${t}_a >= 2 AND n_${t}_b >= 2)"
+    val nUsed = tiers.map(t => s"(CASE WHEN ${testable(t)} THEN " +
+      s"n_${t}_a + n_${t}_b ELSE 0 END)").mkString(" + ")
+    val nStr = tiers.map(t =>
+      s"(CASE WHEN ${testable(t)} THEN 1 ELSE 0 END)").mkString(" + ")
+    def w(t: Int) = s"((CAST(n_${t}_a AS DOUBLE) + " +
+      s"CAST(n_${t}_b AS DOUBLE)) / CAST(nu AS DOUBLE))"
+    def diff(t: Int) =
+      s"(CAST(s1_${t}_b AS DOUBLE) / CAST(n_${t}_b AS DOUBLE) - " +
+        s"CAST(s1_${t}_a AS DOUBLE) / CAST(n_${t}_a AS DOUBLE))"
+    def vm(t: Int, s: String) =
+      s"(CAST(CAST(n_${t}_$s AS HUGEINT) * s2_${t}_$s - s1_${t}_$s * " +
+        s"s1_${t}_$s AS DOUBLE) / (CAST(n_${t}_$s AS DOUBLE) * " +
+        s"(CAST(n_${t}_$s AS DOUBLE) - 1.0)) / CAST(n_${t}_$s AS DOUBLE))"
+    val ate = tiers.map(t => s"(CASE WHEN ${testable(t)} THEN " +
+      s"${w(t)} * ${diff(t)} ELSE 0.0 END)").mkString(" + ")
+    val se2 = tiers.map(t => s"(CASE WHEN ${testable(t)} THEN " +
+      s"${w(t)} * ${w(t)} * (${vm(t, "a")} + ${vm(t, "b")}) " +
+      "ELSE 0.0 END)").mkString(" + ")
+    s"""WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |pt AS (SELECT v, u, m,
+       |         least(greatest(cnt - 50, 0) // 10, 2) AS t FROM pu),
+       |g AS (SELECT
+       |    $aggs
+       |  FROM pt),
+       |n0 AS (SELECT *, $nUsed AS nu, $nStr AS ns FROM g),
+       |f AS (SELECT *, $ate AS ate, $se2 AS se2 FROM n0)
+       |SELECT CAST(nu AS BIGINT) AS n_used, CAST(ns AS INTEGER) AS n_strata,
+       |  CASE WHEN ns >= 1 THEN round(ate, 4) + 0.0 END AS ate,
+       |  CASE WHEN ns >= 1 AND se2 > 0.0
+       |    THEN round(sqrt(se2), 4) + 0.0 END AS se,
+       |  CASE WHEN ns >= 1 AND se2 > 0.0
+       |    THEN round(ate / sqrt(se2), 4) + 0.0 END AS z,
+       |  CAST(coalesce(CASE WHEN abs(CASE WHEN ns >= 1 AND se2 > 0.0
+       |    THEN round(ate / sqrt(se2), 4) + 0.0 END) >= 1.96
+       |    THEN 1 ELSE 0 END, 0) AS INTEGER) AS significant
+       |FROM f""".stripMargin
+  }
 
   /** The one EWMA oracle recursion, shared verbatim by q269 (direct
     * form) and q270 (append/state form): the two Spark plans differ,

@@ -386,6 +386,99 @@ object Behavior {
       t.as("t"), dfC.as("df"))
   }
 
+  /** POST-STRATIFIED TREATMENT EFFECT — the ATE estimator under
+    * stratified reweighting (Neyman post-stratification; the
+    * design-based cousin of [[cupedWelchT]]'s regression adjustment):
+    * users are bucketed into `nTiers` strata by `tierOf` (a
+    * PRE-TREATMENT covariate — here a function of the user's event
+    * count), and the effect is the stratum-share-weighted sum of
+    * per-stratum arm-mean differences,
+    *
+    *   ATE = Σ_t w_t · (ȳ_{b,t} − ȳ_{a,t}),   w_t = N_t / N
+    *   SE² = Σ_t w_t² · (s²_{a,t}/n_{a,t} + s²_{b,t}/n_{b,t})
+    *
+    * over the TESTABLE strata only (n ≥ 2 in BOTH arms — a stratum
+    * one arm never reaches has no estimable difference; N counts only
+    * testable strata, so weights renormalize). Removes the
+    * between-stratum component of the variance exactly as blocking
+    * would have, on data that was not blocked.
+    *
+    * Determinism contract: per-(stratum, arm) sufficient statistics
+    * (n, Σm, Σm²) are EXACT DECIMAL(38,0) sums from ONE conditional
+    * aggregate (3·2·nTiers partials, map-side combined — no stratum
+    * shuffle); the float tail folds the FIXED stratum order 0..n−1
+    * (float + is not associative; an unordered SUM over stratum rows
+    * would be engine-nondeterministic), operand order mirrored
+    * verbatim in the oracle; ate/se/z round 4 dp. One row out:
+    * (n_used, n_strata, ate, se, z, significant).
+    *
+    * Scale shape: one key-sized per-user aggregate, one conditional
+    * aggregate to a single row, literal algebra — the [[abTest]]
+    * family's cost at any corpus size. */
+  def postStratifiedAte(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column,
+      tierOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      nTiers: Int): DataFrame = {
+    require(nTiers >= 2 && nTiers <= 16, s"nTiers=$nTiers")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pu = events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"))
+      .filter(col("u").isNotNull && col("cents").isNotNull)
+      .groupBy(col("v"), col("u"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("m"))
+      .withColumn("t", tierOf(col("cnt")))
+    val aggs = (0 until nTiers).flatMap { t =>
+      Seq(0, 1).flatMap { a =>
+        val in = col("t") === t && col("v") === a
+        val s = s"${t}_${if (a == 0) "a" else "b"}"
+        Seq(count(when(in, lit(1))).as(s"n_$s"),
+          coalesce(sum(when(in, dec(col("m")))), lit(0).cast(
+            "decimal(38,0)")).as(s"s1_$s"),
+          coalesce(sum(when(in, dec(col("m")) * col("m"))), lit(0)
+            .cast("decimal(38,0)")).as(s"s2_$s"))
+      }
+    }
+    val one = pu.agg(aggs.head, aggs.tail: _*)
+    def d(n: String) = col(n).cast("double")
+    def testable(t: Int) =
+      col(s"n_${t}_a") >= 2 && col(s"n_${t}_b") >= 2
+    // exact integer totals over testable strata (weights renormalize)
+    val nUsed = (0 until nTiers).map(t => when(testable(t),
+      col(s"n_${t}_a") + col(s"n_${t}_b")).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val nStrata = (0 until nTiers).map(t =>
+      testable(t).cast("int")).reduce(_ + _)
+    def w(t: Int) = (d(s"n_${t}_a") + d(s"n_${t}_b")) / nUsed.cast("double")
+    def diff(t: Int) =
+      d(s"s1_${t}_b") / d(s"n_${t}_b") - d(s"s1_${t}_a") / d(s"n_${t}_a")
+    // variance of the stratum-arm mean from the exact sums:
+    // (n·Σm² − (Σm)²) exact DECIMAL, then /(n(n−1))/n as floats
+    def vm(t: Int, s: String) =
+      (col(s"n_${t}_$s").cast("decimal(38,0)") * col(s"s2_${t}_$s") -
+        col(s"s1_${t}_$s") * col(s"s1_${t}_$s")).cast("double") /
+        (d(s"n_${t}_$s") * (d(s"n_${t}_$s") - lit(1.0))) / d(s"n_${t}_$s")
+    // FIXED-ORDER folds: ((t0 + t1) + t2) + ... — mirrored in the oracle
+    val ate = (0 until nTiers).map(t =>
+      when(testable(t), w(t) * diff(t)).otherwise(lit(0.0))).reduce(_ + _)
+    val se2 = (0 until nTiers).map(t =>
+      when(testable(t), w(t) * w(t) * (vm(t, "a") + vm(t, "b")))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val any = nStrata >= 1
+    val ok = any && se2 > 0.0
+    val z = when(ok, round(ate / sqrt(se2), 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    one.select(nUsed.cast("long").as("n_used"),
+      nStrata.cast("int").as("n_strata"),
+      when(any, round(ate, 4) + lit(0.0)).otherwise(lit(null)
+        .cast("double")).as("ate"),
+      when(ok, round(sqrt(se2), 4) + lit(0.0)).otherwise(lit(null)
+        .cast("double")).as("se"),
+      z.as("z"),
+      coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+  }
+
   /** [[abTest]]'s readout over an ALREADY-MAINTAINED per-user state
     * frame (v, u, conv ∈ {0,1}) — the conversion twin of
     * [[welchTFromState]]: per-user converted flags merge by max

@@ -2783,6 +2783,21 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** X15 post-stratified ATE ([[graft.operators.Behavior
+    * .postStratifiedAte]]): per-user revenue cents under the
+    * user_id mod 2 split, stratified into three engagement tiers by
+    * event count (clamped BEFORE the integer division so no negative
+    * operand ever reaches `div`) — the design-based variance
+    * reduction beside q271's regression-based CUPED; testable-strata
+    * guard keeps the estimator defined at every SF. */
+  def revenueAteStratified(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.postStratifiedAte(Tables.events(spark, d), "user_id",
+      round($"value" * 100, 0), pmod($"user_id", lit(2L)),
+      c => least(floor(greatest(c - 50, lit(0)) / 10), lit(2))
+        .cast("long"), 3)
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -2868,6 +2868,44 @@ class NorthStarSpec extends SparkSpec {
     assert(lastEwma._3 - lastEwma._4 >= 9) // EWMA lags ~one step below
   }
 
+  test("postStratifiedAte: hand-traced two-strata estimate; an " +
+      "untestable stratum is excluded and weights renormalize; all " +
+      "strata untestable -> NULL estimate") {
+    import spark.implicits._
+    def t(n: Int) = new java.sql.Timestamp(1700000000000L + n * 1000L)
+    // tier = (event count >= 3); per user (arm = uid % 2):
+    // tier0: a {300, 400} b {500, 600}; tier1: a {300, 600} b {900, 1200}
+    // diffs 200 / 600, w = 0.5 each -> ate 400; vm = 2500/2500/22500/22500
+    // -> se2 = 12500, se = 111.8034, z = 3.5777, significant
+    def user(u: Long, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (u, t(i), v) }
+    val ev = (user(0L, Seq(1.0, 2.0)) ++ user(2L, Seq(2.0, 2.0)) ++
+      user(1L, Seq(2.0, 3.0)) ++ user(3L, Seq(3.0, 3.0)) ++
+      user(4L, Seq(1.0, 1.0, 1.0)) ++ user(6L, Seq(2.0, 2.0, 2.0)) ++
+      user(5L, Seq(3.0, 3.0, 3.0)) ++ user(7L, Seq(4.0, 4.0, 4.0)))
+      .toDF("user_id", "ts", "value")
+    val tierOf = (c: org.apache.spark.sql.Column) =>
+      (c >= 3).cast("long")
+    val got = Behavior.postStratifiedAte(ev, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)), tierOf, 2)
+      .as[(Long, Int, Double, Double, Double, Int)].collect().head
+    assert(got == ((8L, 2, 400.0, 111.8034, 3.5777, 1)))
+    // drop u2/u3: tier0 has 1 user per arm -> untestable, excluded;
+    // the estimate becomes tier1's alone with w = 1
+    val ev2 = ev.filter(!$"user_id".isin(2L, 3L))
+    val got2 = Behavior.postStratifiedAte(ev2, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)), tierOf, 2)
+      .as[(Long, Int, Double, Double, Double, Int)].collect().head
+    assert(got2._1 == 4L && got2._2 == 1 && got2._3 == 600.0)
+    // a single user everywhere -> zero testable strata -> NULLs
+    val ev3 = ev.filter($"user_id".isin(0L, 1L))
+    val r3 = Behavior.postStratifiedAte(ev3, "user_id",
+        round($"value" * 100, 0), pmod($"user_id", lit(2L)), tierOf, 2)
+      .collect().head
+    assert(r3.getLong(0) == 0L && r3.getInt(1) == 0 && r3.isNullAt(2) &&
+      r3.isNullAt(3) && r3.isNullAt(4) && r3.getInt(5) == 0)
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
