@@ -295,6 +295,7 @@ object SparkEntry {
     "q272_ewma_chart"    -> (NorthStar.revenueEwmaChart _),
     "q273_revenue_holt"  -> (NorthStar.revenueHolt _),
     "q274_ate_stratified" -> (NorthStar.revenueAteStratified _),
+    "q275_linkage_weights" -> (NorthStar.customerLinkageWeights _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5691,6 +5692,40 @@ object SparkEntry {
         |       CAST(tr AS BIGINT) AS trend,
         |       CAST(f AS BIGINT) AS forecast
         |FROM rec ORDER BY k, d""".stripMargin,
+    // q275: Fellegi–Sunter field weights — u from the exact value
+    // histogram (Σ c·(c−1) / n·(n−1), HUGEINT), odds not log-weights
+    // (log is not IEEE correctly-rounded across engines; see the
+    // operator scaladoc). The 0.95/0.05 literals cast to the same
+    // doubles the Spark side derives from ppm integers — NEVER write
+    // (1.0 − 0.95) here: DuckDB evaluates that in exact DECIMAL
+    // (0.05), one ulp off the double subtraction.
+    "q275_linkage_weights" ->
+      """WITH st AS (
+        |  SELECT 'segment' AS f, CAST(c_mktsegment AS VARCHAR) AS v
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT 'nation', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'bal_h', CAST(CAST(floor(c_acctbal / 100) AS BIGINT)
+        |      AS VARCHAR)
+        |    FROM customer),
+        |cnt AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM st WHERE v IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        sum(CAST(c AS HUGEINT) * (c - 1)) AS ap
+        |      FROM cnt GROUP BY 1),
+        |t AS (SELECT *, CAST(n AS HUGEINT) * (n - 1) AS tp FROM g)
+        |SELECT f AS field, n, n_distinct,
+        |  CASE WHEN tp > 0 THEN CAST(ap * 1000000 // tp AS BIGINT)
+        |    END AS u_ppm,
+        |  CASE WHEN tp > 0 AND ap > 0 THEN
+        |    round(0.95 / (CAST(ap AS DOUBLE) / CAST(tp AS DOUBLE)), 4)
+        |      + 0.0 END AS match_odds,
+        |  CASE WHEN tp > ap THEN
+        |    round(0.05 / (1.0 - CAST(ap AS DOUBLE)
+        |      / CAST(tp AS DOUBLE)), 4) + 0.0 END AS nonmatch_odds
+        |FROM t ORDER BY field""".stripMargin,
     // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
     // exact HUGEINT sufficient statistics in ONE conditional
     // aggregate; the float tail folds the FIXED tier order 0,1,2

@@ -1032,4 +1032,70 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("dist"))
   }
+
+  /** FELLEGI–SUNTER FIELD WEIGHTS from value frequencies — the
+    * record-linkage preparation step (Fellegi & Sunter, JASA 1969;
+    * Splink's "term-frequency u probabilities"): for each comparison
+    * field, the chance-agreement probability of two DISTINCT random
+    * records,
+    *
+    *   u_k = Σ_v c_v·(c_v − 1) / (n_k·(n_k − 1))
+    *
+    * computed EXACTLY from the field's value histogram (the classic
+    * frequency-based u estimate — a field that agrees by chance 20% of
+    * the time carries far less match evidence than one that agrees
+    * 0.1%), plus the match/non-match odds at an assumed reliability
+    * m: match_odds = m/u (the agreement weight's odds form) and
+    * nonmatch_odds = (1−m)/(1−u) (the disagreement penalty). ODDS,
+    * not log-weights, deliberately: log is not IEEE
+    * correctly-rounded, so log values can differ in the last ulp
+    * across engines — every float op this library oracles is from
+    * the correctly-rounded set (+ − × ÷ sqrt), and odds rank pairs
+    * identically. One row per field: (field, n, n_distinct, u_ppm
+    * exact via DECIMAL, match_odds, nonmatch_odds rounded 4 dp; NULL
+    * odds when n < 2 or every value is identical — no pair evidence).
+    *
+    * Scale shape: the fields stack map-side (one generator, no join),
+    * ONE (field, value) aggregate — the only shuffle, map-side
+    * combined — then a fields-sized aggregate; value histograms never
+    * reach the driver. */
+  def linkageFieldWeights(df: DataFrame,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long = 950000L): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field names in ${fields.map(_._1)}")
+    require(mPpm >= 1 && mPpm <= 999999, s"mPpm=$mPpm")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val stacked = df
+      .select(explode(array(fields.map { case (n, c) =>
+        struct(lit(n).as("f"), c.cast("string").as("v")) }: _*)).as("s"))
+      .select(col("s.f").as("f"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+    // m and 1−m derive from the SAME exact ppm integer: Scala's
+    // 1.0 − 0.95 is a double op one ulp off DuckDB's decimal-literal
+    // 0.05 — dividing exact integers sidesteps the literal-arithmetic
+    // mismatch entirely (both engines' ÷ is correctly rounded)
+    val m = mPpm.toDouble / 1e6
+    val nm = (1000000L - mPpm).toDouble / 1e6
+    stacked.groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("f"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(dec(col("c")) * (col("c") - 1)).as("ap"))
+      .withColumn("tp", dec(col("n")) * (col("n") - 1))
+      .select(col("f").as("field"), col("n").cast("long").as("n"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        when(col("tp") > 0, expr(
+          "cast(ap * 1000000 div tp as bigint)")).as("u_ppm"),
+        // ap = 0 (every value unique) means u = 0: agreement carries
+        // unbounded evidence — NULL, like the all-identical other edge
+        when(col("tp") > 0 && col("ap") > 0,
+          round(lit(m) / (col("ap").cast("double") /
+            col("tp").cast("double")), 4) + lit(0.0)).as("match_odds"),
+        when(col("tp") > col("ap"),
+          round(lit(nm) / (lit(1.0) - col("ap").cast("double") /
+            col("tp").cast("double")), 4) + lit(0.0))
+          .as("nonmatch_odds"))
+  }
 }

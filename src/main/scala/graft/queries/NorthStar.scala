@@ -2798,6 +2798,23 @@ object NorthStar {
         .cast("long"), 3)
   }
 
+  /** X2 Fellegi–Sunter linkage field weights ([[graft.operators.Dedup
+    * .linkageFieldWeights]]): frequency-based chance-agreement u per
+    * comparison field of the customer table (market segment, nation,
+    * hundred-bucketed balance) and the match/non-match odds at
+    * m = 0.95 — the field-evidence calibration that precedes any
+    * probabilistic record-linkage join. floor(acctbal / 100) is
+    * IEEE-exact in both engines (÷ and floor are correctly rounded). */
+  def customerLinkageWeights(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d)
+    Dedup.linkageFieldWeights(c, Seq(
+      "segment" -> $"c_mktsegment",
+      "nation" -> $"c_nationkey",
+      "bal_h" -> floor($"c_acctbal" / 100).cast("long")))
+      .orderBy($"field")
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -2906,6 +2906,33 @@ class NorthStarSpec extends SparkSpec {
       r3.isNullAt(3) && r3.isNullAt(4) && r3.getInt(5) == 0)
   }
 
+  test("linkageFieldWeights: hand-traced u / odds from the value " +
+      "histogram; all-unique, all-identical and n<2 edges go NULL") {
+    import spark.implicits._
+    // seg [A,A,A,B]: ap = 3·2 = 6, tp = 12 -> u = 0.5,
+    //   match 0.95/0.5 = 1.9, nonmatch 0.05/0.5 = 0.1
+    // id  [1,2,3,4]:  ap = 0 -> u = 0, match NULL, nonmatch 0.05
+    // cst [x,x,x,x]:  ap = tp = 12 -> u = 1, match 0.95, nonmatch NULL
+    // one [only 1 non-null]: tp = 0 -> everything NULL
+    val df = Seq(
+      ("A", 1L, "x", Some("s")), ("A", 2L, "x", None),
+      ("A", 3L, "x", None), ("B", 4L, "x", None))
+      .toDF("seg", "id", "cst", "one")
+    val got = Dedup.linkageFieldWeights(df, Seq(
+        "seg" -> $"seg", "id" -> $"id", "cst" -> $"cst",
+        "one" -> $"one"))
+      .orderBy($"field")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).toList
+    assert(got == List(
+      ("cst", 4L, 1L, 1000000L, 0.95, null),
+      ("id", 4L, 4L, 0L, null, 0.05),
+      ("one", 1L, 1L, null, null, null),
+      ("seg", 4L, 2L, 500000L, 1.9, 0.1)))
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
