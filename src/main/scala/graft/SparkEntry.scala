@@ -296,6 +296,7 @@ object SparkEntry {
     "q273_revenue_holt"  -> (NorthStar.revenueHolt _),
     "q274_ate_stratified" -> (NorthStar.revenueAteStratified _),
     "q275_linkage_weights" -> (NorthStar.customerLinkageWeights _),
+    "q276_linkage_pairs" -> (NorthStar.customerLinkagePairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5726,6 +5727,69 @@ object SparkEntry {
         |    round(0.05 / (1.0 - CAST(ap AS DOUBLE)
         |      / CAST(tp AS DOUBLE)), 4) + 0.0 END AS nonmatch_odds
         |FROM t ORDER BY field""".stripMargin,
+    // q276: Fellegi–Sunter pair scoring — q275's u's (ppm-clamped),
+    // pairs blocked by nation, score = the exact HUGEINT product of
+    // per-field odds_ppm; > 10¹² (the 2-field neutral) = net positive
+    // match evidence. No float anywhere.
+    "q276_linkage_pairs" ->
+      """WITH st AS (
+        |  SELECT 'seg' AS f, CAST(c_mktsegment AS VARCHAR) AS v
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT 'bal', CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+        |      AS VARCHAR)
+        |    FROM customer),
+        |cnt AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM st WHERE v IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT) * (c - 1)) AS ap
+        |      FROM cnt GROUP BY 1),
+        |u AS (SELECT
+        |    coalesce(max(CASE WHEN f = 'seg' THEN
+        |      greatest(1, least(999999,
+        |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
+        |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+        |          AS BIGINT)
+        |        ELSE 500000 END)) END), 500000) AS u_seg,
+        |    coalesce(max(CASE WHEN f = 'bal' THEN
+        |      greatest(1, least(999999,
+        |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
+        |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+        |          AS BIGINT)
+        |        ELSE 500000 END)) END), 500000) AS u_bal
+        |  FROM g),
+        |base AS (SELECT c_custkey AS pid, c_nationkey AS blk,
+        |    CAST(c_mktsegment AS VARCHAR) AS f_seg,
+        |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+        |      AS f_bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+        |p AS (SELECT a.pid AS id_a, b.pid AS id_b,
+        |    a.f_seg AS a_seg, b.f_seg AS b_seg,
+        |    a.f_bal AS a_bal, b.f_bal AS b_bal
+        |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid),
+        |sc AS (SELECT id_a, id_b,
+        |    (CASE WHEN a_seg IS NOT NULL AND b_seg IS NOT NULL
+        |       AND a_seg = b_seg THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a_bal IS NOT NULL AND b_bal IS NOT NULL
+        |       AND a_bal = b_bal THEN 1 ELSE 0 END) AS n_agree,
+        |    (CASE WHEN a_seg IS NULL OR b_seg IS NULL
+        |       THEN CAST(1000000 AS HUGEINT)
+        |     WHEN a_seg = b_seg
+        |       THEN CAST(950000 AS HUGEINT) * 1000000 // u_seg
+        |     ELSE CAST(50000 AS HUGEINT) * 1000000 // (1000000 - u_seg)
+        |     END) *
+        |    (CASE WHEN a_bal IS NULL OR b_bal IS NULL
+        |       THEN CAST(1000000 AS HUGEINT)
+        |     WHEN a_bal = b_bal
+        |       THEN CAST(950000 AS HUGEINT) * 1000000 // u_bal
+        |     ELSE CAST(50000 AS HUGEINT) * 1000000 // (1000000 - u_bal)
+        |     END) AS score_pp
+        |  FROM p, u)
+        |SELECT id_a, id_b, CAST(n_agree AS INTEGER) AS n_agree,
+        |       CAST(score_pp AS BIGINT) AS score_pp
+        |FROM sc WHERE score_pp > CAST(1000000 AS HUGEINT) * 1000000
+        |ORDER BY score_pp DESC, id_a, id_b""".stripMargin,
     // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
     // exact HUGEINT sufficient statistics in ONE conditional
     // aggregate; the float tail folds the FIXED tier order 0,1,2

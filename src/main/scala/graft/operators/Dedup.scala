@@ -1059,6 +1059,104 @@ object Dedup {
     * ONE (field, value) aggregate — the only shuffle, map-side
     * combined — then a fields-sized aggregate; value histograms never
     * reach the driver. */
+  /** FELLEGI–SUNTER PAIR SCORING, exact integer — the probabilistic
+    * record-linkage join [[linkageFieldWeights]] calibrates: candidate
+    * pairs (same `block`, id_a < id_b — BLOCKED, never all-pairs)
+    * scored by the product of per-field evidence odds,
+    *
+    *   score = Π_k (agree_k ? m/u_k : (1−m)/(1−u_k))
+    *
+    * carried entirely in ppm INTEGERS (odds_ppm = m_ppm·10⁶ div u_ppm
+    * etc., product in DECIMAL(38,0)) so the score is engine-exact with
+    * no float in the chain at all — 10⁶ᵏ is the neutral score (every
+    * field's evidence exactly cancelling); `minScorePp` defaults to it,
+    * returning pairs with NET POSITIVE match evidence. u_k comes from
+    * the same exact value histogram as [[linkageFieldWeights]], clamped
+    * to [1, 10⁶−1] ppm (an all-unique or all-identical field would
+    * otherwise make one branch's odds undefined — the PSI ppm-clamp
+    * rule). Fields with a NULL value on either side contribute
+    * NEUTRAL evidence (10⁶ — abstention, the [[graft.operators
+    * .Labeling.conflictMatrix]] convention). Output per candidate
+    * pair: (id_a, id_b, n_agree, score_pp), score-descending.
+    *
+    * Scale shape: ONE u-histogram aggregate broadcast as a 1-row
+    * frame, one blocked self equi-join (choose a block key with
+    * cluster-scale cardinality — a 25-value block key is a demo; a
+    * phonetic/prefix key is the production shape), map-only scoring.
+    * No all-pairs product ever forms. */
+  def linkagePairScores(df: DataFrame, id: String, block: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long = 950000L,
+      minScorePp: Option[java.math.BigDecimal] = None): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 3,
+      s"1..3 comparison fields (odds_ppm^k must fit DECIMAL(38)), " +
+        s"got ${fields.size}")
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field names in ${fields.map(_._1)}")
+    require(mPpm >= 1 && mPpm <= 999999, s"mPpm=$mPpm")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(id).isNotNull && col(block).isNotNull)
+      .select(Seq(col(id).as("pid"), col(block).as("blk")) ++
+        fields.map { case (n, c) => c.cast("string").as(s"f_$n") }: _*)
+    // ---- stage 1: clamped per-field u_ppm, ONE stacked histogram scan
+    // pivoted to a single broadcastable row
+    val uRow = base
+      .select(explode(array(fields.map { case (n, _) =>
+        struct(lit(n).as("f"), col(s"f_$n").as("v")) }: _*)).as("s"))
+      .select(col("s.f").as("f"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("f"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("f"))
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("c")) * (col("c") - 1)).as("ap"))
+      .agg(linkageUCol(fields.head._1),
+        fields.tail.map(f => linkageUCol(f._1)): _*)
+    // ---- stage 2: blocked pairs, map-only integer scoring
+    val a = base.select(Seq(col("pid").as("id_a"), col("blk")) ++
+      fields.map { case (n, _) => col(s"f_$n").as(s"a_$n") }: _*)
+    val b = base.select(Seq(col("pid").as("id_b"), col("blk")) ++
+      fields.map { case (n, _) => col(s"f_$n").as(s"b_$n") }: _*)
+    val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(uRow))
+    val neutral = dec(lit(1000000L))
+    def fieldScore(n: String) = {
+      val mOdds = expr(s"cast($mPpm as decimal(38,0)) * 1000000" +
+        s" div u_$n")
+      val nmOdds = expr(s"cast(${1000000L - mPpm} as decimal(38,0))" +
+        s" * 1000000 div (1000000 - u_$n)")
+      when(col(s"a_$n").isNull || col(s"b_$n").isNull, neutral)
+        .when(col(s"a_$n") === col(s"b_$n"), dec(mOdds))
+        .otherwise(dec(nmOdds))
+    }
+    val score = fields.map { case (n, _) => fieldScore(n) }
+      .reduce((x, y) => dec(x * y))
+    val nAgree = fields.map { case (n, _) =>
+      (col(s"a_$n").isNotNull && col(s"b_$n").isNotNull &&
+        col(s"a_$n") === col(s"b_$n")).cast("int") }.reduce(_ + _)
+    val cut = minScorePp.map(v => lit(v).cast("decimal(38,0)"))
+      .getOrElse(dec(lit(java.math.BigDecimal.valueOf(1000000L)
+        .pow(fields.size))))
+    pairs
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.cast("decimal(38,0)").as("score_pp"))
+      .filter(col("score_pp") > cut)
+      .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
+  }
+
+  /** One pivoted u_ppm aggregate column of [[linkagePairScores]]'
+    * stage 1: the field's chance-agreement ppm from its (f, n, ap)
+    * histogram row, clamped to [1, 10⁶−1] (the PSI ppm-clamp rule —
+    * an all-unique or all-identical field would make one odds branch
+    * undefined); 500000 (neutral-ish) when the field has < 2 non-NULL
+    * values or is absent from the histogram entirely. */
+  private def linkageUCol(n: String): org.apache.spark.sql.Column =
+    coalesce(max(when(col("f") === n,
+      greatest(lit(1L), least(lit(999999L),
+        when(col("n").cast("decimal(38,0)") * (col("n") - 1) > 0,
+          expr("cast(ap * 1000000 div (cast(n as decimal(38,0))" +
+            " * (n - 1)) as bigint)"))
+          .otherwise(lit(500000L)))))), lit(500000L)).as(s"u_$n")
+
   def linkageFieldWeights(df: DataFrame,
       fields: Seq[(String, org.apache.spark.sql.Column)],
       mPpm: Long = 950000L): DataFrame = {

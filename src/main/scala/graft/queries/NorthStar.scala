@@ -2815,6 +2815,24 @@ object NorthStar {
       .orderBy($"field")
   }
 
+  /** X2 Fellegi–Sunter pair scoring ([[graft.operators.Dedup
+    * .linkagePairScores]]): customer pairs blocked by nation, scored
+    * by the exact-integer product of per-field evidence odds over
+    * (market segment, thousand-bucketed balance) — pairs above the
+    * neutral 10¹² pp cut carry NET POSITIVE match evidence (here:
+    * agreement on both fields). The blocked probabilistic-linkage
+    * join q275's weights calibrate; no float anywhere in the score. */
+  def customerLinkagePairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.linkagePairScores(Tables.customer(spark, d), "c_custkey",
+      "c_nationkey", Seq(
+        "seg" -> $"c_mktsegment",
+        "bal" -> floor($"c_acctbal" / 1000).cast("long")))
+      // DECIMAL(38,0) → BIGINT for the gate (bounded: both u's are
+      // ≥ ~9% here, so the score tops out near 5·10¹³ ≪ 2⁶³)
+      .withColumn("score_pp", $"score_pp".cast("long"))
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -2933,6 +2933,53 @@ class NorthStarSpec extends SparkSpec {
       ("seg", 4L, 2L, 500000L, 1.9, 0.1)))
   }
 
+  test("linkagePairScores: exact-integer pair scores match a BigInt " +
+      "reference; NULL fields abstain; cross-block pairs never form") {
+    import spark.implicits._
+    // block X: 5 records, block Y: 1 (can never pair)
+    val recs = Seq(
+      (1L, "X", Some("A"), Some("p")), (2L, "X", Some("A"), Some("q")),
+      (3L, "X", Some("B"), Some("p")), (5L, "X", Some("A"), Some("p")),
+      (6L, "X", Some("A"), None), (4L, "Y", Some("A"), Some("p")))
+    val df = recs.toDF("id", "blk", "f1", "f2")
+    val got = Dedup.linkagePairScores(df, "id", "blk",
+        Seq("f1" -> $"f1", "f2" -> $"f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDecimal(3).toBigInteger.longValueExact())).toList
+    // reference: clamped u from the value histogram, odds_ppm by
+    // truncating division, score = product, cut = 10^12
+    def uPpm(vals: Seq[String]): Long = {
+      val n = vals.size.toLong
+      val ap = vals.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      if (n < 2) 500000L
+      else math.max(1L, math.min(999999L, ap * 1000000L / (n * (n - 1))))
+    }
+    val u1 = uPpm(recs.flatMap(_._3)); val u2 = uPpm(recs.flatMap(_._4))
+    def odds(u: Long, agree: Boolean): BigInt =
+      if (agree) BigInt(950000L) * 1000000 / u
+      else BigInt(50000L) * 1000000 / (1000000 - u)
+    val want = (for {
+      (ia, ba, a1, a2) <- recs; (ib, bb, b1, b2) <- recs
+      if ba == bb && ia < ib
+    } yield {
+      def fs(u: Long, x: Option[String], y: Option[String]): BigInt =
+        if (x.isEmpty || y.isEmpty) BigInt(1000000)
+        else odds(u, x == y)
+      val score = fs(u1, a1, b1) * fs(u2, a2, b2)
+      val nAgree = Seq((a1, b1), (a2, b2)).count { case (x, y) =>
+        x.isDefined && y.isDefined && x == y }
+      (ia, ib, nAgree, score)
+    }).filter(_._4 > BigInt(1000000L) * 1000000)
+      .sortBy { case (a, b, _, s) => (-s, a, b) }
+      .map { case (a, b, n, s) => (a, b, n, s.toLong) }
+    assert(want.nonEmpty && got == want)
+    // the abstaining-field pair (1,6) must be present: one agreement
+    // on a selective field is net-positive evidence on its own here
+    assert(got.exists { case (a, b, n, _) => a == 1L && b == 6L && n == 1 })
+    assert(!got.exists { case (a, b, _, _) => b == 4L || a == 4L })
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
