@@ -297,6 +297,7 @@ object SparkEntry {
     "q274_ate_stratified" -> (NorthStar.revenueAteStratified _),
     "q275_linkage_weights" -> (NorthStar.customerLinkageWeights _),
     "q276_linkage_pairs" -> (NorthStar.customerLinkagePairs _),
+    "q277_holt_append"   -> (NorthStar.revenueHoltAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5654,45 +5655,15 @@ object SparkEntry {
     // (for negatives they may not — the STATUS r11 rule). The level
     // update needs l_t inside the trend update, hence the nested
     // subquery in the recursive term.
-    "q273_revenue_holt" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT event_type AS k,
-        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
-        |           AS BIGINT) AS x
-        |  FROM events
-        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
-        |    AND ts IS NOT NULL
-        |  GROUP BY 1, 2),
-        |r0 AS (SELECT k, d, x,
-        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
-        |       FROM b),
-        |rec AS (
-        |  SELECT k, d, x, rn, CAST(x AS HUGEINT) AS l,
-        |         CAST(0 AS HUGEINT) AS tr, CAST(x AS HUGEINT) AS f
-        |  FROM r0 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT k, d, x, rn, l2 AS l,
-        |         CASE WHEN 1 * (l2 - l1) + 7 * tr1 >= 0
-        |              THEN (1 * (l2 - l1) + 7 * tr1) // 8
-        |              ELSE -((-(1 * (l2 - l1) + 7 * tr1)) // 8)
-        |         END AS tr,
-        |         f2 AS f
-        |  FROM (
-        |    SELECT r0.k, r0.d, r0.x, r0.rn, rec.l AS l1,
-        |           rec.tr AS tr1, rec.l + rec.tr AS f2,
-        |           CASE WHEN 1 * CAST(r0.x AS HUGEINT)
-        |                     + 3 * (rec.l + rec.tr) >= 0
-        |                THEN (1 * CAST(r0.x AS HUGEINT)
-        |                     + 3 * (rec.l + rec.tr)) // 4
-        |                ELSE -((-(1 * CAST(r0.x AS HUGEINT)
-        |                     + 3 * (rec.l + rec.tr))) // 4)
-        |           END AS l2
-        |    FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1))
-        |SELECT k, d, x, CAST(l AS BIGINT) AS level,
-        |       CAST(tr AS BIGINT) AS trend,
-        |       CAST(f AS BIGINT) AS forecast
-        |FROM rec ORDER BY k, d""".stripMargin,
+    "q273_revenue_holt" -> holtRecursionSql,
+    // q277: the append/state form — the Spark side splits the log at
+    // the median day, persists the prior and FOLDS the second half
+    // through holtDailyAppend onto each key's stored (level, trend);
+    // the oracle replays the SAME one full-log recursion (literally
+    // q273's SQL — one shared constant, so the two keys can never
+    // drift apart), so every row including the split-boundary seam
+    // must match exactly.
+    "q277_holt_append" -> holtRecursionSql,
     // q275: Fellegi–Sunter field weights — u from the exact value
     // histogram (Σ c·(c−1) / n·(n−1), HUGEINT), odds not log-weights
     // (log is not IEEE correctly-rounded across engines; see the
@@ -5797,6 +5768,50 @@ object SparkEntry {
     // guard (n >= 2 in BOTH arms) mirrored term by term.
     "q274_ate_stratified" -> ateStratifiedSql,
   )
+
+  /** The one Holt oracle recursion, shared verbatim by q273 (direct
+    * form) and q277 (append/state form) — the [[ewmaRecursionSql]]
+    * pattern with the TWO-component (level, trend) state and the
+    * sign-safe truncating division (see the q273 comment). */
+  private val holtRecursionSql: String =
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS k,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT k, d, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |       FROM b),
+        |rec AS (
+        |  SELECT k, d, x, rn, CAST(x AS HUGEINT) AS l,
+        |         CAST(0 AS HUGEINT) AS tr, CAST(x AS HUGEINT) AS f
+        |  FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k, d, x, rn, l2 AS l,
+        |         CASE WHEN 1 * (l2 - l1) + 7 * tr1 >= 0
+        |              THEN (1 * (l2 - l1) + 7 * tr1) // 8
+        |              ELSE -((-(1 * (l2 - l1) + 7 * tr1)) // 8)
+        |         END AS tr,
+        |         f2 AS f
+        |  FROM (
+        |    SELECT r0.k, r0.d, r0.x, r0.rn, rec.l AS l1,
+        |           rec.tr AS tr1, rec.l + rec.tr AS f2,
+        |           CASE WHEN 1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr) >= 0
+        |                THEN (1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr)) // 4
+        |                ELSE -((-(1 * CAST(r0.x AS HUGEINT)
+        |                     + 3 * (rec.l + rec.tr))) // 4)
+        |           END AS l2
+        |    FROM r0 JOIN rec ON r0.k = rec.k AND r0.rn = rec.rn + 1))
+        |SELECT k, d, x, CAST(l AS BIGINT) AS level,
+        |       CAST(tr AS BIGINT) AS trend,
+        |       CAST(f AS BIGINT) AS forecast
+        |FROM rec ORDER BY k, d""".stripMargin
 
   /** q274's oracle, assembled from per-tier fragments so the 3×2×3
     * conditional-aggregate block and the fixed-order float folds stay

@@ -213,9 +213,52 @@ object TimeSeries {
       s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
     ewmaDailyTotals(df, key, ts, value, "holtDaily")
       .groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
+        lit(null).cast("long").as("l0"), // no prior: l1 = x1, b1 = 0
+        lit(null).cast("long").as("b0"))
       .select(col("k"), explode(graft.plans.ScanExpressions
-        .holt_scan(col("a"), aNum, aDen, bNum, bDen)).as("e"))
+        .holt_scan(col("a"), col("l0"), col("b0"), aNum, aDen, bNum,
+          bDen)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.l").as("level"), col("e.b").as("trend"),
+        col("e.f").as("forecast"))
+  }
+
+  /** Incremental continuation of [[holtDaily]] — the STATE form, the
+    * [[ewmaDailyAppend]] pattern with a TWO-component state: fold NEW
+    * daily totals on top of each key's persisted (level, trend). Holt
+    * is order-dependent, so maintenance is ordered APPEND with the
+    * same fail-fast on a day at or before the stored last day.
+    * `prior` is the (k, d, x, level, trend, forecast) output of a
+    * previous [[holtDaily]] / [[holtDailyAppend]] run — only each
+    * key's LAST row is read; keys with no prior start fresh. Returns
+    * ONLY the new days' rows; prior ∪ appended is value-identical to
+    * re-running [[holtDaily]] over the concatenated history (spec-
+    * and oracle-pinned, q277). Cost O(increment + keys). */
+  def holtDailyAppend(prior: DataFrame, df: DataFrame, key: String,
+      ts: String, value: Column, aNum: Int, aDen: Int, bNum: Int,
+      bDen: Int): DataFrame = {
+    require(aNum >= 1 && aDen > aNum,
+      s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+    require(bNum >= 1 && bDen > bNum,
+      s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+    val last = prior.groupBy(col("k"))
+      .agg(max(struct(col("d"), col("level"), col("trend"))).as("m"))
+      .select(col("k"), col("m.d").as("d0"), col("m.level").as("l0"),
+        col("m.trend").as("b0"))
+    ewmaDailyTotals(df, key, ts, value, "holtDailyAppend")
+      .join(last, Seq("k"), "left")
+      .withColumn("d", expr("if(d0 is null or d > d0, d, " +
+        "cast(raise_error(concat('holtDailyAppend: day ', d, " +
+        "' does not land after the stored last day ', d0, " +
+        "' — the Holt recursion is append-only')) as bigint))"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
+        max(col("l0")).as("l0"), // constant per key after the join
+        max(col("b0")).as("b0"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .holt_scan(col("a"), col("l0"), col("b0"), aNum, aDen, bNum,
+          bDen)).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.l").as("level"), col("e.b").as("trend"),
         col("e.f").as("forecast"))

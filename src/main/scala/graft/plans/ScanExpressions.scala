@@ -175,14 +175,15 @@ case class EwmaChartScan(arr: Expression, num: Int, den: Int, devNum: Int,
   * branches divide non-negative operands, where `//` and `div` agree
   * everywhere). Same calendar-bounded per-key evaluation regime and
   * null handling as [[EwmaScan]]. */
-case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
+case class HoltScan(arr: Expression, priorL: Expression,
+    priorB: Expression, aNum: Int, aDen: Int, bNum: Int,
     bDen: Int) extends Expression with CodegenFallback {
   require(aNum >= 1 && aDen > aNum,
     s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
   require(bNum >= 1 && bDen > bNum,
     s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
 
-  override def children: Seq[Expression] = Seq(arr)
+  override def children: Seq[Expression] = Seq(arr, priorL, priorB)
   override def nullable: Boolean = arr.nullable
   override def prettyName: String = "holt_scan"
 
@@ -193,12 +194,15 @@ case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
     StructField("b", LongType, nullable = false),
     StructField("f", LongType, nullable = false))), containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
-    case ArrayType(StructType(Array(d, x)), _)
+  override def checkInputDataTypes(): TypeCheckResult = (arr.dataType,
+      priorL.dataType, priorB.dataType) match {
+    case (ArrayType(StructType(Array(d, x)), _), LongType, LongType)
         if d.dataType == LongType && x.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
-    case a => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<struct<bigint,bigint>>, got ${a.simpleString}")
+    case (a, pl, pb) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<bigint,bigint>>, bigint, " +
+        s"bigint), got ${a.simpleString}, ${pl.simpleString}, " +
+        s"${pb.simpleString}")
   }
 
   override def eval(input: InternalRow): Any = {
@@ -206,9 +210,14 @@ case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
     if (a == null) return null
     val ad = a.asInstanceOf[ArrayData]
     val n = ad.numElements()
+    // prior (level, trend) seed the continuation ([[graft.operators
+    // .TimeSeries.holtDailyAppend]]); both NULL means a fresh key
+    val pl = priorL.eval(input)
+    val pb = priorB.eval(input)
+    var hasPrev = pl != null
+    var prevL = if (hasPrev) pl.asInstanceOf[Long] else 0L
+    var prevB = if (hasPrev && pb != null) pb.asInstanceOf[Long] else 0L
     val out = new Array[Any](n)
-    var prevL = 0L
-    var prevB = 0L
     var i = 0
     while (i < n) {
       val e = ad.getStruct(i, 2)
@@ -217,7 +226,7 @@ case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
       var l = x
       var b = 0L
       var f = x
-      if (i > 0) {
+      if (hasPrev) {
         f = prevL + prevB
         // Java `/` truncates toward zero for either sign — exactly tdiv
         l = (aNum * x + (aDen - aNum) * f) / aDen
@@ -226,6 +235,7 @@ case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
       out(i) = new GenericInternalRow(Array[Any](d, x, l, b, f))
       prevL = l
       prevB = b
+      hasPrev = true
       i += 1
     }
     new GenericArrayData(out)
@@ -233,7 +243,8 @@ case class HoltScan(arr: Expression, aNum: Int, aDen: Int, bNum: Int,
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HoltScan =
-    copy(arr = newChildren(0))
+    copy(arr = newChildren(0), priorL = newChildren(1),
+      priorB = newChildren(2))
 }
 
 object ScanExpressions {
@@ -249,9 +260,11 @@ object ScanExpressions {
     ColumnBridge.column(EwmaChartScan(ColumnBridge.expression(a),
       num, den, devNum, devDen, kSigma, warmup))
 
-  /** Column form of [[HoltScan]]. */
-  def holt_scan(a: Column, aNum: Int, aDen: Int, bNum: Int,
-      bDen: Int): Column =
+  /** Column form of [[HoltScan]]: `l0`/`b0` the nullable prior
+    * (level, trend) seed (both NULL ⇒ fresh key: l₁ = x₁, b₁ = 0). */
+  def holt_scan(a: Column, l0: Column, b0: Column, aNum: Int, aDen: Int,
+      bNum: Int, bDen: Int): Column =
     ColumnBridge.column(HoltScan(ColumnBridge.expression(a),
+      ColumnBridge.expression(l0), ColumnBridge.expression(b0),
       aNum, aDen, bNum, bDen))
 }

@@ -2783,6 +2783,27 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** X16 Holt append-state seam ([[graft.operators.TimeSeries
+    * .holtDailyAppend]]): q273's recursion maintained incrementally —
+    * the first half of the log builds the prior, the second half
+    * FOLDS onto each key's persisted (level, trend); prior ∪ appended
+    * is oracled row-identical to ONE full-log recursion (the same
+    * shared SQL constant as q273, so the two oracles cannot drift),
+    * including the split-boundary seam where the first appended day
+    * reads the stored two-component state. */
+  def revenueHoltAppend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cut = medianObservedDay(ev, "ts")
+    val day = floor(unix_timestamp($"ts") / 86400).cast("long")
+    val prior = TimeSeries.holtDaily(ev.filter(day < cut),
+      "event_type", "ts", round($"value" * 100, 0), 1, 4, 1, 8)
+    val appended = TimeSeries.holtDailyAppend(prior,
+      ev.filter(day >= cut), "event_type", "ts",
+      round($"value" * 100, 0), 1, 4, 1, 8)
+    prior.unionByName(appended).orderBy($"k", $"d")
+  }
+
   /** X15 post-stratified ATE ([[graft.operators.Behavior
     * .postStratifiedAte]]): per-user revenue cents under the
     * user_id mod 2 split, stratified into three engagement tiers by

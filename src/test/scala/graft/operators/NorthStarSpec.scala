@@ -2780,6 +2780,39 @@ class NorthStarSpec extends SparkSpec {
       .contains("append-only"))
   }
 
+  test("holtDailyAppend: prior ++ appended == holtDaily(full) at any " +
+      "split (two-component state crosses the seam); fresh keys start " +
+      "fresh; out-of-order day fail-fasts") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // a declining series makes the trend NEGATIVE across the seam —
+    // the sign-safe division must replay identically on both paths
+    val full = Seq(("a", at(0), 100L), ("a", at(1), 80L),
+      ("a", at(2), 60L), ("a", at(3), 70L), ("b", at(2), 10L),
+      ("b", at(3), 20L)).toDF("k", "ts", "v")
+    val want = TimeSeries.holtDaily(full, "k", "ts", $"v", 1, 2, 1, 2)
+      .orderBy($"k", $"d")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    (1L to 3L).foreach { cut =>
+      val day = floor(unix_timestamp($"ts") / 86400).cast("long")
+      val prior = TimeSeries.holtDaily(full.filter(day < cut),
+        "k", "ts", $"v", 1, 2, 1, 2)
+      val app = TimeSeries.holtDailyAppend(prior,
+        full.filter(day >= cut), "k", "ts", $"v", 1, 2, 1, 2)
+      val got = prior.unionByName(app).orderBy($"k", $"d")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toList
+      assert(got == want, s"cut=$cut")
+    }
+    val prior = TimeSeries.holtDaily(
+      full.filter($"k" === "a"), "k", "ts", $"v", 1, 2, 1, 2)
+    val e = intercept[org.apache.spark.SparkThrowable] {
+      TimeSeries.holtDailyAppend(prior,
+        Seq(("a", at(3), 9L)).toDF("k", "ts", "v"),
+        "k", "ts", $"v", 1, 2, 1, 2).collect()
+    }
+    assert(e.asInstanceOf[Throwable].getMessage.contains("append-only"))
+  }
+
   test("ewmaDaily fail-fasts on a negative daily total (truncation vs " +
       "floor division differs across engines)") {
     import spark.implicits._
