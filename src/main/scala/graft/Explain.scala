@@ -89,7 +89,9 @@ object Explain {
       "q262_mcnemar", "q263_cochran_q", "q264_weighted_vote",
       "q265_length_psi", "q266_winsor_mean", "q267_ivf_append",
       "q268_lf_conflicts", "q269_revenue_ewma", "q270_ewma_append",
-      "q271_cuped", "q272_ewma_chart")
+      "q271_cuped", "q272_ewma_chart", "q273_revenue_holt",
+      "q274_ate_stratified", "q275_linkage_weights",
+      "q276_linkage_pairs", "q277_holt_append")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
