@@ -298,6 +298,7 @@ object SparkEntry {
     "q275_linkage_weights" -> (NorthStar.customerLinkageWeights _),
     "q276_linkage_pairs" -> (NorthStar.customerLinkagePairs _),
     "q277_holt_append"   -> (NorthStar.revenueHoltAppend _),
+    "q278_isotonic_cal"  -> (NorthStar.lengthIsotonic _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5132,6 +5133,36 @@ object SparkEntry {
         |       CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
         |         * 1000000 // count(*) AS BIGINT) AS pos_ppm
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q278: isotonic (PAV) recalibration of q257's bins — the exact
+    // minimax form cal(i) = max_{j<=i} min_{k>=i} pooled ppm rate,
+    // range aggregates over the bins-sized table; monotone by
+    // construction regardless of the truncating division.
+    "q278_isotonic_cal" ->
+      """WITH base AS (SELECT
+        |    least(1000000, n_chars * 1000000 // 600) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |bn AS (SELECT CAST(least(9, s * 10 // 1000000) AS INTEGER) AS b,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS p
+        |       FROM base GROUP BY 1),
+        |rg AS (SELECT j.b AS j, k.b AS k,
+        |         CAST(sum(CAST(m.p AS HUGEINT)) * 1000000
+        |           // sum(CAST(m.n AS HUGEINT)) AS BIGINT) AS r
+        |       FROM bn j JOIN bn k ON j.b <= k.b
+        |       JOIN bn m ON m.b BETWEEN j.b AND k.b
+        |       GROUP BY 1, 2),
+        |mn AS (SELECT rg.j, i.b AS i, min(rg.r) AS mn
+        |       FROM rg JOIN bn i ON rg.j <= i.b AND rg.k >= i.b
+        |       GROUP BY 1, 2),
+        |cal AS (SELECT i, max(mn) AS cal_ppm FROM mn GROUP BY 1)
+        |SELECT bn.b AS bin, bn.n,
+        |  CAST(CAST(bn.p AS HUGEINT) * 1000000 // bn.n AS BIGINT)
+        |    AS pos_ppm,
+        |  cal.cal_ppm
+        |FROM bn JOIN cal ON bn.b = cal.i
+        |ORDER BY bin""".stripMargin,
     // q258: ROC staircase — one row per distinct threshold v
     // ("predict 1 when s >= v"); TP/FP from the ascending cumsums.
     "q258_roc_points" ->

@@ -486,4 +486,58 @@ object Labeling {
         expr("cast(cast(count(if(y = 1, 1, null)) as decimal(38,0))" +
           " * 1000000 div count(1) as bigint)").as("pos_ppm"))
   }
+
+  /** ISOTONIC (PAV) CALIBRATION over the [[calibrationBins]] table —
+    * the monotone recalibration map (Zadrozny & Elkan, KDD 2002) that
+    * turns a raw score into a probability: the pool-adjacent-violators
+    * fit, computed by its exact MINIMAX characterization
+    *
+    *   cal(i) = max_{j ≤ i} min_{k ≥ i} rate(j..k),
+    *   rate(j..k) = Σ pos · 10⁶ div Σ n   over bins j..k
+    *
+    * — no sequential pooling loop, just range aggregates over the
+    * BINS-SIZED table (B bins → B·(B+1)/2 ranges, ≤ B³ comparisons:
+    * tiny-frame algebra, the [[majorityVoteFromState]] regime). Rates
+    * are exact truncating-division ppm INTEGERS, so the fit replays
+    * engine-exactly; monotonicity is structural (max-of-min over
+    * nested k-sets), unaffected by the truncation. Empty bins simply
+    * don't appear (no row, no pooled weight — exactly PAV on the
+    * present bins). Output per present bin: (bin, n, pos_ppm raw,
+    * cal_ppm fitted), cal_ppm non-decreasing in bin.
+    *
+    * Scale shape: one scan to the B-row bin table (the only
+    * data-sized work), then literal algebra on B-row frames. */
+  def isotonicCalibration(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    val binned = df
+      .select(scorePpm.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("ok",
+        assert_true(col("s") >= 0 && col("s") <= 1000000,
+          lit("isotonicCalibration: score out of [0, 1000000] ppm")))
+      .filter(col("ok").isNull)
+      .groupBy(least(lit(bins - 1),
+        expr(s"s * $bins div 1000000")).cast("int").as("b"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("y") === 1, lit(1))).as("p"))
+    // pooled rate of every bin range j..k (exact ppm, truncating div)
+    val ranges = binned.select(col("b").as("j"))
+      .join(binned.select(col("b").as("k")), col("j") <= col("k"))
+      .join(binned, col("b").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("cast(cast(sum(p) as decimal(38,0)) * 1000000" +
+        " div sum(n) as bigint)").as("r"))
+    // cal(i) = max over j<=i of (min over k>=i of r(j,k))
+    val cal = ranges
+      .join(binned.select(col("b").as("i")),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("j"), col("i")).agg(min(col("r")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("cal_ppm"))
+    binned.join(cal, col("b") === col("i"))
+      .select(col("b").as("bin"), col("n"),
+        expr("cast(cast(p as decimal(38,0)) * 1000000 div n" +
+          " as bigint)").as("pos_ppm"),
+        col("cal_ppm"))
+  }
 }

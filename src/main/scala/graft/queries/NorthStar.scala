@@ -2557,6 +2557,20 @@ object NorthStar {
       .orderBy($"bin")
   }
 
+  /** X17 isotonic (PAV) recalibration ([[graft.operators.Labeling
+    * .isotonicCalibration]]): q257's mock probability fitted to a
+    * MONOTONE calibration map by pool-adjacent-violators via the
+    * exact minimax characterization — per bin, the non-decreasing
+    * calibrated ppm beside the raw positive rate; all rates exact
+    * truncating-division integers over the bins-sized table. */
+  def lengthIsotonic(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.isotonicCalibration(Tables.documents(spark, d),
+        least(lit(1000000L), expr("n_chars * 1000000 div 600")),
+        ($"lang" === "en").cast("int"), 10)
+      .orderBy($"bin")
+  }
+
   /** X17 ROC operating points ([[graft.operators.Labeling
     * .rocPoints]]): one row per distinct n_chars threshold against
     * the English label — exact TP/FP with tpr/fpr/precision ppm, the

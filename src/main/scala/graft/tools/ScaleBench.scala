@@ -129,8 +129,24 @@ object ScaleBench {
       })) ++ Seq("q228_theil_sen", "q237_sorted_neighborhood",
         "q254_lf_vote", "q264_weighted_vote", "q210_ab_test",
         "q267_ivf_append", "q269_revenue_ewma", "q271_cuped",
-        "q268_lf_conflicts", "q270_ewma_append", "q272_ewma_chart")
-      .map(n => n -> graft.SparkEntry.queries(n))
+        "q268_lf_conflicts", "q270_ewma_append", "q272_ewma_chart",
+        "q276_linkage_pairs")
+      .map(n => n -> graft.SparkEntry.queries(n)) :+
+      ("q276_fineblock" -> { (s: SparkSession, d: String) =>
+        // the blocking FIX measured beside the named quadratic: a
+        // composite block (nation, custkey div 10⁹ = ScaleGen copy)
+        // keeps every block at its sf0.1 size, so pairs grow linearly
+        // with R instead of R² — the production answer to a coarse
+        // block key (at a real deployment the second component is a
+        // phonetic/prefix key, not the copy id)
+        import org.apache.spark.sql.functions.{concat_ws, col, expr}
+        val c = graft.Tables.customer(s, d)
+          .withColumn("blk2", concat_ws("_", col("c_nationkey"),
+            expr("c_custkey div 1000000000")))
+        graft.operators.Dedup.linkagePairScores(c, "c_custkey", "blk2",
+          Seq("seg" -> col("c_mktsegment"),
+            "bal" -> expr("cast(floor(c_acctbal / 1000) as bigint)")))
+      })
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val fams = allFams.filter { case (n, _) =>

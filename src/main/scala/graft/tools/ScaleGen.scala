@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Scaling-evidence generator (VERDICT r8 #4): the driver's testdata
   * stops at sf0.1, so this tool fabricates a DELIBERATELY SKEWED ~R×
-  * slice of the four tables the heaviest operator families read
-  * (events, documents, embeddings, orders) by replicating sf0.1 with
-  * per-copy id remapping PLUS planted pathologies a 100 TB corpus
-  * would show:
+  * slice of the five tables the heaviest operator families read
+  * (events, documents, embeddings, orders, customer) by replicating
+  * sf0.1 with per-copy id remapping PLUS planted pathologies a 100 TB
+  * corpus would show:
   *
   *   - events: a single HOT USER absorbs every ~20th event across all
   *     copies (a bot account — the funnel / DAU skew case), on top of
@@ -83,10 +83,22 @@ object ScaleGen {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
 
-    Seq("events", "documents", "embeddings", "orders").foreach { t =>
-      val n = spark.read.parquet(s"$out/$t.parquet").count()
-      println(s"SCALEGEN $t rows=$n")
-    }
+    // customer: R× rows with remapped custkeys but the ORIGINAL 25
+    // nation keys — so the q276 blocked-linkage block SIZE grows R×
+    // and within-block pairs grow R²: the deliberate worst case for a
+    // coarse block key (the named quadratic; ScaleBench pairs it with
+    // a fine-block control that restores linear growth)
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    copies(cust) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * Offset))
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+
+    Seq("events", "documents", "embeddings", "orders", "customer")
+      .foreach { t =>
+        val n = spark.read.parquet(s"$out/$t.parquet").count()
+        println(s"SCALEGEN $t rows=$n")
+      }
     spark.stop()
   }
 }

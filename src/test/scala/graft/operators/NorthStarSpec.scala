@@ -3013,6 +3013,33 @@ class NorthStarSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _, _) => b == 4L || a == 4L })
   }
 
+  test("isotonicCalibration: minimax PAV hand-traced — adjacent " +
+      "violators pool to one weighted mean; monotone input unchanged") {
+    import spark.implicits._
+    // bins (n=10 each, pos): 8, 6, 9, 2 -> rates 800k, 600k, 900k,
+    // 200k ppm; sequential PAV pools everything to (25/40) = 625000:
+    //   [800] +600 -> pool 700 | +900 ok | +200 -> 550 < 700 -> 625
+    def rows(binScore: Long, pos: Int): Seq[(Long, Int)] =
+      (0 until 10).map(i => (binScore, if (i < pos) 1 else 0))
+    val df = (rows(50000L, 8) ++ rows(150000L, 6) ++ rows(250000L, 9)
+      ++ rows(350000L, 2)).toDF("s", "y")
+    val got = Labeling.isotonicCalibration(df, $"s", $"y", 10)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 10L, 800000L, 625000L), (1, 10L, 600000L, 625000L),
+      (2, 10L, 900000L, 625000L), (3, 10L, 200000L, 625000L)))
+    // an already-monotone table is a fixed point
+    val mono = (rows(50000L, 1) ++ rows(150000L, 5) ++ rows(250000L, 9))
+      .toDF("s", "y")
+    val gotM = Labeling.isotonicCalibration(mono, $"s", $"y", 10)
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(gotM == List(
+      (0, 10L, 100000L, 100000L), (1, 10L, 500000L, 500000L),
+      (2, 10L, 900000L, 900000L)))
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
