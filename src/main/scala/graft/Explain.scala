@@ -91,7 +91,7 @@ object Explain {
       "q268_lf_conflicts", "q269_revenue_ewma", "q270_ewma_append",
       "q271_cuped", "q272_ewma_chart", "q273_revenue_holt",
       "q274_ate_stratified", "q275_linkage_weights",
-      "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal")
+      "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal", "q279_linkage_em")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -299,6 +299,7 @@ object SparkEntry {
     "q276_linkage_pairs" -> (NorthStar.customerLinkagePairs _),
     "q277_holt_append"   -> (NorthStar.revenueHoltAppend _),
     "q278_isotonic_cal"  -> (NorthStar.lengthIsotonic _),
+    "q279_linkage_em"    -> (NorthStar.customerLinkageEm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5792,6 +5793,10 @@ object SparkEntry {
         |       CAST(score_pp AS BIGINT) AS score_pp
         |FROM sc WHERE score_pp > CAST(1000000 AS HUGEINT) * 1000000
         |ORDER BY score_pp DESC, id_a, id_b""".stripMargin,
+    // q279: Fellegi–Sunter EM — two unrolled iterations over the four
+    // agreement-pattern counts, all-HUGEINT, built by the same
+    // fragment generator shape as the Spark side (linkageEmSql).
+    "q279_linkage_em" -> linkageEmSql,
     // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
     // exact HUGEINT sufficient statistics in ONE conditional
     // aggregate; the float tail folds the FIXED tier order 0,1,2
@@ -5843,6 +5848,90 @@ object SparkEntry {
         |       CAST(tr AS BIGINT) AS trend,
         |       CAST(f AS BIGINT) AS forecast
         |FROM rec ORDER BY k, d""".stripMargin
+
+  /** q279's oracle: the two unrolled EM iterations as chained CTE
+    * pairs (E-step responsibilities, M-step clamped updates),
+    * assembled from per-pattern fragments that mirror
+    * `Dedup.linkageEmMU`'s column expressions term by term — fixed
+    * operand order, HUGEINT products, truncating `//` on non-negative
+    * operands only, the [1, 10⁶−1] clamp on every update. */
+  private val linkageEmSql: String = {
+    val ps = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+    def eBlock(src: String, out: String): String = {
+      val cols = ps.map { case (g1, g2) =>
+        val t1 = if (g1 == 1) "m1" else "(1000000 - m1)"
+        val t2 = if (g2 == 1) "m2" else "(1000000 - m2)"
+        val s1 = if (g1 == 1) "u1" else "(1000000 - u1)"
+        val s2 = if (g2 == 1) "u2" else "(1000000 - u2)"
+        val wm = s"(CAST(lam AS HUGEINT) * $t1 * $t2)"
+        val wu = s"(CAST(1000000 - lam AS HUGEINT) * $s1 * $s2)"
+        s"CAST($wm * 1000000 // ($wm + $wu) AS BIGINT) AS r_$g1$g2"
+      }
+      s"$out AS (SELECT n_00, n_01, n_10, n_11, lam, m1, m2, u1, u2," +
+        s"\n    ${cols.mkString(",\n    ")}\n  FROM $src)"
+    }
+    def mBlock(src: String, out: String): String = {
+      def S(f: ((Int, Int)) => String) = ps.map(f).mkString(" + ")
+      val t = S { case (a, b) => s"CAST(r_$a$b AS HUGEINT) * n_$a$b" }
+      val tc = S { case (a, b) =>
+        s"CAST(1000000 - r_$a$b AS HUGEINT) * n_$a$b" }
+      val n = S { case (a, b) => s"CAST(n_$a$b AS HUGEINT)" }
+      def clamp(x: String) =
+        s"greatest(1, least(999999, CAST($x AS BIGINT)))"
+      def mu(k: Int) = {
+        val num = ps.filter(p => (if (k == 1) p._1 else p._2) == 1)
+          .map { case (a, b) => s"CAST(r_$a$b AS HUGEINT) * n_$a$b" }
+          .mkString(" + ")
+        s"CASE WHEN ($t) > 0 THEN " +
+          s"${clamp(s"($num) * 1000000 // ($t)")} END AS m$k"
+      }
+      def uu(k: Int) = {
+        val num = ps.filter(p => (if (k == 1) p._1 else p._2) == 1)
+          .map { case (a, b) =>
+            s"CAST(1000000 - r_$a$b AS HUGEINT) * n_$a$b" }
+          .mkString(" + ")
+        s"CASE WHEN ($tc) > 0 THEN " +
+          s"${clamp(s"($num) * 1000000 // ($tc)")} END AS u$k"
+      }
+      val lam = s"CASE WHEN ($n) > 0 THEN " +
+        s"${clamp(s"($t) // ($n)")} END AS lam"
+      s"$out AS (SELECT n_00, n_01, n_10, n_11,\n    $lam," +
+        s"\n    ${mu(1)},\n    ${mu(2)},\n    ${uu(1)},\n    ${uu(2)}" +
+        s"\n  FROM $src)"
+    }
+    val blocks = (1 to 2).flatMap(i => Seq(
+      eBlock(if (i == 1) "it0" else s"it${i - 1}", s"e$i"),
+      mBlock(s"e$i", s"it$i"))).mkString(",\n")
+    """WITH base AS (SELECT c_custkey AS pid, c_nationkey AS blk,
+      |    CAST(c_mktsegment AS VARCHAR) AS f1,
+      |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS f2
+      |  FROM customer
+      |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+      |pp AS (SELECT CAST(a.f1 = b.f1 AS INTEGER) AS g1,
+      |    CAST(a.f2 = b.f2 AS INTEGER) AS g2
+      |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid
+      |  WHERE a.f1 IS NOT NULL AND b.f1 IS NOT NULL
+      |    AND a.f2 IS NOT NULL AND b.f2 IS NOT NULL),
+      |c AS (SELECT
+      |    CAST(count(CASE WHEN g1 = 0 AND g2 = 0 THEN 1 END) AS BIGINT)
+      |      AS n_00,
+      |    CAST(count(CASE WHEN g1 = 0 AND g2 = 1 THEN 1 END) AS BIGINT)
+      |      AS n_01,
+      |    CAST(count(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 END) AS BIGINT)
+      |      AS n_10,
+      |    CAST(count(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 END) AS BIGINT)
+      |      AS n_11
+      |  FROM pp),
+      |it0 AS (SELECT *, CAST(10000 AS BIGINT) AS lam,
+      |    CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+      |    CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2
+      |  FROM c),
+      |""".stripMargin + blocks + """
+      |SELECT CAST(n_00 + n_01 + n_10 + n_11 AS BIGINT) AS n_pairs,
+      |  lam AS lambda_ppm, m1 AS m1_ppm, m2 AS m2_ppm,
+      |  u1 AS u1_ppm, u2 AS u2_ppm
+      |FROM it2""".stripMargin
+  }
 
   /** q274's oracle, assembled from per-tier fragments so the 3×2×3
     * conditional-aggregate block and the fixed-order float folds stay

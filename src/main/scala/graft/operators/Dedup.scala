@@ -1143,6 +1143,115 @@ object Dedup {
       .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
   }
 
+  /** FELLEGI–SUNTER EM — UNSUPERVISED m/u estimation over blocked
+    * pairs (the Splink/fastLink core loop; Winkler 1988): with no
+    * labeled matches, the two-field agreement-pattern counts are a
+    * mixture of a match class (agreement probability m_k) and a
+    * non-match class (u_k), and EM separates them. FIXED `iters`
+    * iterations, ALL-INTEGER ppm arithmetic:
+    *
+    *   E: r(p) = w_m(p)·10⁶ div (w_m(p) + w_u(p)),
+    *      w_m(p) = λ·Π(p_k ? m_k : 10⁶−m_k),  w_u analogous with u
+    *   M: m_k = Σ_{p:p_k=1} r(p)·n_p · 10⁶ div Σ_p r(p)·n_p,
+    *      u_k analogous with (10⁶−r), λ = Σ_p r(p)·n_p div N
+    *
+    * every division truncating on non-negative operands (engine-
+    * portable) and every updated parameter clamped to [1, 10⁶−1] ppm
+    * (the PSI clamp rule — a parameter pinned at 0 or 1 would zero a
+    * weight product and poison the next E-step). Pairs with a NULL on
+    * either side of either field are EXCLUDED from estimation (an
+    * abstention carries no pattern evidence). Starting point m⁰ =
+    * 900000, u⁰ = 100000, λ⁰ = 10000 ppm — the standard
+    * informative-but-vague init. One row out: (n_pairs, lambda_ppm,
+    * m1_ppm, m2_ppm, u1_ppm, u2_ppm); NULL parameters when no pattern
+    * mass (n_pairs = 0 or a degenerate responsibility sum).
+    *
+    * Scale shape: one blocked self equi-join reduced to FOUR pattern
+    * counts in one conditional aggregate (map-side combined) — the
+    * EM itself is literal algebra on one row, `iters` chained
+    * projections deep. Deterministic: fixed iterations, fixed
+    * operand order, no float anywhere. */
+  def linkageEmMU(df: DataFrame, id: String, block: String,
+      f1: org.apache.spark.sql.Column, f2: org.apache.spark.sql.Column,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters=$iters")
+    val base = df.filter(col(id).isNotNull && col(block).isNotNull)
+      .select(col(id).as("pid"), col(block).as("blk"),
+        f1.cast("string").as("f1"), f2.cast("string").as("f2"))
+    val a = base.select(col("pid").as("ia"), col("blk"),
+      col("f1").as("a1"), col("f2").as("a2"))
+    val b = base.select(col("pid").as("ib"), col("blk"),
+      col("f1").as("b1"), col("f2").as("b2"))
+    val pats = a.join(b, Seq("blk")).filter(col("ia") < col("ib"))
+      .filter(col("a1").isNotNull && col("b1").isNotNull &&
+        col("a2").isNotNull && col("b2").isNotNull)
+      .select((col("a1") === col("b1")).cast("int").as("g1"),
+        (col("a2") === col("b2")).cast("int").as("g2"))
+    val ps = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+    val cnt = pats.agg(
+      count(when(col("g1") === 0 && col("g2") === 0, 1)).as("n_00"),
+      count(when(col("g1") === 0 && col("g2") === 1, 1)).as("n_01"),
+      count(when(col("g1") === 1 && col("g2") === 0, 1)).as("n_10"),
+      count(when(col("g1") === 1 && col("g2") === 1, 1)).as("n_11"))
+    var st = cnt.select(col("n_00"), col("n_01"), col("n_10"),
+      col("n_11"), lit(10000L).as("lam"), lit(900000L).as("m1"),
+      lit(900000L).as("m2"), lit(100000L).as("u1"),
+      lit(100000L).as("u2"))
+    val keep = Seq("n_00", "n_01", "n_10", "n_11").map(col)
+    (1 to iters).foreach { _ =>
+      // E-step: responsibilities per pattern (ppm), one projection
+      val rCols = ps.map { case (g1, g2) =>
+        def side(p: String, q: String) = {
+          val t1 = if (g1 == 1) p else s"(1000000 - $p)"
+          val t2 = if (g2 == 1) q else s"(1000000 - $q)"
+          s"cast($t1 as decimal(38,0)) * $t2"
+        }
+        val wm = s"(cast(lam as decimal(38,0)) * ${side("m1", "m2")})"
+        val wu = s"(cast(1000000 - lam as decimal(38,0)) * " +
+          s"${side("u1", "u2")})"
+        expr(s"cast($wm * 1000000 div ($wm + $wu) as bigint)")
+          .as(s"r_$g1$g2")
+      }
+      val e = st.select(keep ++ Seq(col("lam"), col("m1"), col("m2"),
+        col("u1"), col("u2")) ++ rCols: _*)
+      // M-step: clamped parameter updates, one projection
+      def S(f: (Int, Int) => String) =
+        ps.map { case (g1, g2) => f(g1, g2) }.mkString(" + ")
+      val t = S((g1, g2) => s"cast(r_$g1$g2 as decimal(38,0)) * n_$g1$g2")
+      val tc = S((g1, g2) =>
+        s"cast(1000000 - r_$g1$g2 as decimal(38,0)) * n_$g1$g2")
+      val nTot = S((g1, g2) => s"cast(n_$g1$g2 as decimal(38,0))")
+      def clamp(x: String) =
+        s"greatest(1L, least(999999L, cast($x as bigint)))"
+      def mUp(k: Int) = {
+        val num = ps.filter(p => (if (k == 1) p._1 else p._2) == 1)
+          .map { case (g1, g2) =>
+            s"cast(r_$g1$g2 as decimal(38,0)) * n_$g1$g2" }
+          .mkString(" + ")
+        expr(s"if(($t) > 0, ${clamp(s"($num) * 1000000 div ($t)")}, " +
+          "cast(null as bigint))").as(s"m$k")
+      }
+      def uUp(k: Int) = {
+        val num = ps.filter(p => (if (k == 1) p._1 else p._2) == 1)
+          .map { case (g1, g2) =>
+            s"cast(1000000 - r_$g1$g2 as decimal(38,0)) * n_$g1$g2" }
+          .mkString(" + ")
+        expr(s"if(($tc) > 0, ${clamp(s"($num) * 1000000 div ($tc)")}, " +
+          "cast(null as bigint))").as(s"u$k")
+      }
+      val lamUp = expr(s"if(($nTot) > 0, " +
+        s"${clamp(s"($t) div ($nTot)")}, cast(null as bigint))")
+        .as("lam")
+      st = e.select(keep ++ Seq(lamUp, mUp(1), mUp(2), uUp(1),
+        uUp(2)): _*)
+    }
+    st.select(
+      expr("n_00 + n_01 + n_10 + n_11").cast("long").as("n_pairs"),
+      col("lam").as("lambda_ppm"), col("m1").as("m1_ppm"),
+      col("m2").as("m2_ppm"), col("u1").as("u1_ppm"),
+      col("u2").as("u2_ppm"))
+  }
+
   /** One pivoted u_ppm aggregate column of [[linkagePairScores]]'
     * stage 1: the field's chance-agreement ppm from its (f, n, ap)
     * histogram row, clamped to [1, 10⁶−1] (the PSI ppm-clamp rule —

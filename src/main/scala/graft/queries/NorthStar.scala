@@ -2557,6 +2557,20 @@ object NorthStar {
       .orderBy($"bin")
   }
 
+  /** X2 Fellegi–Sunter EM ([[graft.operators.Dedup.linkageEmMU]]):
+    * unsupervised m/u estimation over the q276 candidate pairs — two
+    * fixed EM iterations in exact ppm integers separate the
+    * match-class agreement rates (m) from chance (u) with no labels;
+    * the parameter-fitting rung above q275's frequency-based u and
+    * q276's assumed-m scoring. Deterministic: fixed iterations, fixed
+    * operand order, every division truncating on non-negatives. */
+  def customerLinkageEm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.linkageEmMU(Tables.customer(spark, d), "c_custkey",
+      "c_nationkey", $"c_mktsegment",
+      floor($"c_acctbal" / 1000).cast("long"), iters = 2)
+  }
+
   /** X17 isotonic (PAV) recalibration ([[graft.operators.Labeling
     * .isotonicCalibration]]): q257's mock probability fitted to a
     * MONOTONE calibration map by pool-adjacent-violators via the

@@ -3040,6 +3040,63 @@ class NorthStarSpec extends SparkSpec {
       (2, 10L, 900000L, 900000L)))
   }
 
+  test("linkageEmMU: two integer-ppm EM iterations match a BigInt " +
+      "reference; NULL-field pairs excluded; empty input -> NULLs") {
+    import spark.implicits._
+    // one block of 6 records: a planted duplicate trio (same f1+f2)
+    // plus three singletons — pattern counts the reference recomputes
+    val recs = Seq(
+      (1L, "D", "9"), (2L, "D", "9"), (3L, "D", "9"),
+      (4L, "A", "1"), (5L, "B", "2"), (6L, "A", "3"))
+    val df = recs.map { case (i, a, b) => (i, "X", a, b) }
+      .toDF("id", "blk", "f1", "f2")
+    val got = Dedup.linkageEmMU(df, "id", "blk", $"f1", $"f2", 2)
+      .collect().head
+    // reference EM over exact pattern counts
+    val pairs = for {
+      (ia, a1, a2) <- recs; (ib, b1, b2) <- recs if ia < ib
+    } yield ((a1 == b1), (a2 == b2))
+    val n = Seq((false, false), (false, true), (true, false),
+      (true, true)).map(p => pairs.count(_ == p).toLong)
+    var (lam, m1, m2, u1, u2) =
+      (BigInt(10000), BigInt(900000), BigInt(900000), BigInt(100000),
+        BigInt(100000))
+    val M = BigInt(1000000)
+    def clamp(x: BigInt) = x.max(BigInt(1)).min(BigInt(999999))
+    (1 to 2).foreach { _ =>
+      val r = Seq((0, 0), (0, 1), (1, 0), (1, 1)).map { case (g1, g2) =>
+        val wm = lam * (if (g1 == 1) m1 else M - m1) *
+          (if (g2 == 1) m2 else M - m2)
+        val wu = (M - lam) * (if (g1 == 1) u1 else M - u1) *
+          (if (g2 == 1) u2 else M - u2)
+        wm * M / (wm + wu)
+      }
+      val t = r.zip(n).map { case (ri, ni) => ri * ni }.sum
+      val tc = r.zip(n).map { case (ri, ni) => (M - ri) * ni }.sum
+      m1 = clamp((r(2) * n(2) + r(3) * n(3)) * M / t)
+      m2 = clamp((r(1) * n(1) + r(3) * n(3)) * M / t)
+      u1 = clamp(((M - r(2)) * n(2) + (M - r(3)) * n(3)) * M / tc)
+      u2 = clamp(((M - r(1)) * n(1) + (M - r(3)) * n(3)) * M / tc)
+      lam = clamp(t / n.sum)
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      (15L, lam.toLong, m1.toLong, m2.toLong, u1.toLong, u2.toLong))
+    // EM separated the planted duplicates: match-class agreement far
+    // above chance on both fields
+    assert(got.getLong(2) > 700000L && got.getLong(4) < 400000L)
+    // a NULL field value drops the pair from estimation entirely
+    val withNull = (recs :+ ((7L, null, "9"))).map { case (i, a, b) =>
+      (i, "X", a, b) }.toDF("id", "blk", "f1", "f2")
+    assert(Dedup.linkageEmMU(withNull, "id", "blk", $"f1", $"f2", 2)
+      .collect().head.getLong(0) == 15L)
+    // no pairs at all -> count 0, NULL parameters
+    val solo = Seq((1L, "X", "A", "1")).toDF("id", "blk", "f1", "f2")
+    val r0 = Dedup.linkageEmMU(solo, "id", "blk", $"f1", $"f2", 2)
+      .collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(2))
+  }
+
   test("funnelByArm: per-step rates and z vs control, hand-traced") {
     import spark.implicits._
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
