@@ -153,7 +153,8 @@ object DemoPipeline {
     * catch a redundant or adversarial rule, then the raw-length
     * scorer evaluated against the English label — exact AUC (q256),
     * the five ROC operating points nearest the staircase corners
-    * (q258), and the 10-bin calibration table (q257). The Snorkel
+    * (q258), the 10-bin calibration table (q257), and its isotonic (PAV)
+    * recalibration (q278). The Snorkel
     * cold-start loop as one deterministic command:
     * `sbt "runMain graft.DemoPipeline --labels /root/testdata/sf0.001"`.
     * Public and session-injected so the spec drives the identical
@@ -197,6 +198,10 @@ object DemoPipeline {
       .show(truncate = false)
     println("[calibration] n_chars/600 as a mock probability, 10 bins")
     operators.Labeling.calibrationBins(docs,
+        least(lit(1000000L), expr("n_chars * 1000000 div 600")), lfEn, 10)
+      .orderBy(col("bin")).show(truncate = false)
+    println("[isotonic] PAV-recalibrated (monotone) rate per bin")
+    operators.Labeling.isotonicCalibration(docs,
         least(lit(1000000L), expr("n_chars * 1000000 div 600")), lfEn, 10)
       .orderBy(col("bin")).show(truncate = false)
   }
