@@ -66,6 +66,10 @@ object Bench {
     def r3n(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val controls = scala.collection.mutable.ArrayBuffer[String]()
+    // numeric control readings by (pos, controlName) for the mechanized
+    // contention verdict below (VERDICT r12 #2)
+    val controlVals =
+      scala.collection.mutable.Map[(String, String), Option[Double]]()
     def controlRun(pos: String): Unit = {
       val ts = System.currentTimeMillis()
       val parts = controlNames.map { n =>
@@ -79,6 +83,7 @@ object Bench {
           catch { case _: Throwable => None }
         }
         cleanup()
+        controlVals((pos, n)) = sec
         s""""${n.takeWhile(_ != '_')}":${sec.map(r3n).getOrElse("null")}"""
       }
       controls +=
@@ -101,6 +106,33 @@ object Bench {
       (name, sec, ok, gcSec, memUsed, idx, ts)
     }
     controlRun("end")
+    // MECHANIZED CONTENTION VERDICT (VERDICT r12 #2): round 12's
+    // round-end bench started in a contended window (q02 control
+    // 0.602 → 0.432 → 0.330 s across the run) and its early-window
+    // "regressions" cost a full judging cycle to un-adjudicate. The
+    // flat-controls rule is now stamped INTO the artifact by the bench
+    // itself: if any control query's start/end readings deviate more
+    // than SPARK_GRAFT_CONTROL_TOL (default 25%), the run is marked
+    // "contended": true — machine-readable, so a contended run can
+    // never silently become the committed round-end number. A missing
+    // control reading (query threw) also marks the run contended: an
+    // unverifiable window is not a certified-quiet one.
+    val controlTol = sys.env.get("SPARK_GRAFT_CONTROL_TOL")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.25)
+    val contended = controlNames.exists { n =>
+      (controlVals.getOrElse(("start", n), None),
+        controlVals.getOrElse(("end", n), None)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 =>
+          math.max(a, b) / math.min(a, b) > 1.0 + controlTol
+        case _ => true
+      }
+    }
+    val contendedJson = if (contended) ""","contended":true""" else ""
+    if (contended)
+      System.err.println(
+        s"WARNING: bench window CONTENDED (start/end controls deviate " +
+          s">${(controlTol * 100).round}%) — per-query readings are " +
+          "environment noise; re-measure in a quiet window")
     val failed = timed.collect { case (n, _, false, _, _, _, _) => n }
     // Short key = "q01_filter_project" -> "01" (the uniform 'q' prefix
     // carries no information and cost 156 chars of the ~1700-char line
@@ -144,7 +176,7 @@ object Bench {
       val fastJson =
         if (fastQ.isEmpty) ""
         else s""","fast":{"n":${fastQ.size},"sum":${r3(fastQ.map(_._2).sum)},"cut":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(cut))}}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastJson$failedJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$fastJson$failedJson$contendedJson,"sf":"$sfName"}"""
     }
     // Unbounded escalation: doubling the cut eventually drops every
     // entry (the map degenerates to "{}" + the fast aggregate, ~200
@@ -161,7 +193,7 @@ object Bench {
         s""""idx":$idx,"ts":$ts}""" }
       .mkString("{\n  ", ",\n  ", "\n}")
     val controlsJson = controls.mkString("[", ",", "]")
-    val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","controls":$controlsJson,"queries":$fullQs}"""
+    val local = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$contendedJson,"controls":$controlsJson,"queries":$fullQs}"""
     // A filtered (SPARK_GRAFT_ONLY) run must NOT clobber the committed
     // full-suite record.
     if (only.isEmpty) {
@@ -185,9 +217,11 @@ object Bench {
           val nOk = entries.size
           val failNote =
             if (failed.isEmpty) "" else s"; ${failed.size} FAILED"
+          val contNote =
+            if (contended) "; window CONTENDED — numbers are noise" else ""
           val stamp = s"$mS**${r3(total)} s for $nOk queries** at " +
             s"$sfName at local[$cpus] solo (**${r3(total / math.max(1, nOk))} " +
-            s"s/query**$failNote; auto-stamped by graft.Bench, " +
+            s"s/query**$failNote$contNote; auto-stamped by graft.Bench, " +
             s"${java.time.LocalDate.now(java.time.ZoneOffset.UTC)})"
           java.nio.file.Files.write(p,
             (txt.substring(0, i) + stamp + txt.substring(j))

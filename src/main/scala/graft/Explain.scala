@@ -91,7 +91,8 @@ object Explain {
       "q268_lf_conflicts", "q269_revenue_ewma", "q270_ewma_append",
       "q271_cuped", "q272_ewma_chart", "q273_revenue_holt",
       "q274_ate_stratified", "q275_linkage_weights",
-      "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal", "q279_linkage_em")
+      "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal",
+      "q279_linkage_em", "q280_linkage_entities", "q281_isotonic_apply")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -108,6 +109,12 @@ object Explain {
         "repartitionByRange → sortWithinPartitions, executed eagerly " +
         "before this plan exists), then the stats-pruned box read-back " +
         "dumped below — the write side cannot appear in a lazy plan."),
+      "q280_linkage_entities" -> ("Iterative composition: q276's " +
+        "blocked scoring feeds the q64 CC loop (neighbor-min + pointer " +
+        "doubling, each round localCheckpoint-pinned), so the dump " +
+        "below shows the FINAL pass — converged labels (checkpoint " +
+        "scan) joined to the component-size aggregate; the per-round " +
+        "plan is q64's."),
       "q205_funnel_timing" -> ("Driver-loop composition: stage times " +
         "(windowless per-stage min-aggregates) feed ONE conditional " +
         "stats aggregate (below) plus a shared multi-column median " +

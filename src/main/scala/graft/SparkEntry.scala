@@ -300,6 +300,8 @@ object SparkEntry {
     "q277_holt_append"   -> (NorthStar.revenueHoltAppend _),
     "q278_isotonic_cal"  -> (NorthStar.lengthIsotonic _),
     "q279_linkage_em"    -> (NorthStar.customerLinkageEm _),
+    "q280_linkage_entities" -> (NorthStar.customerLinkageEntities _),
+    "q281_isotonic_apply" -> (NorthStar.lengthIsotonicApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5139,31 +5141,29 @@ object SparkEntry {
     // range aggregates over the bins-sized table; monotone by
     // construction regardless of the truncating division.
     "q278_isotonic_cal" ->
-      """WITH base AS (SELECT
-        |    least(1000000, n_chars * 1000000 // 600) AS s,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        |  FROM documents
-        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
-        |bn AS (SELECT CAST(least(9, s * 10 // 1000000) AS INTEGER) AS b,
-        |         CAST(count(*) AS BIGINT) AS n,
-        |         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS p
-        |       FROM base GROUP BY 1),
-        |rg AS (SELECT j.b AS j, k.b AS k,
-        |         CAST(sum(CAST(m.p AS HUGEINT)) * 1000000
-        |           // sum(CAST(m.n AS HUGEINT)) AS BIGINT) AS r
-        |       FROM bn j JOIN bn k ON j.b <= k.b
-        |       JOIN bn m ON m.b BETWEEN j.b AND k.b
-        |       GROUP BY 1, 2),
-        |mn AS (SELECT rg.j, i.b AS i, min(rg.r) AS mn
-        |       FROM rg JOIN bn i ON rg.j <= i.b AND rg.k >= i.b
-        |       GROUP BY 1, 2),
-        |cal AS (SELECT i, max(mn) AS cal_ppm FROM mn GROUP BY 1)
-        |SELECT bn.b AS bin, bn.n,
+      ("WITH " + isotonicCalCtes + "\n" +
+        """SELECT bn.b AS bin, bn.n,
         |  CAST(CAST(bn.p AS HUGEINT) * 1000000 // bn.n AS BIGINT)
         |    AS pos_ppm,
         |  cal.cal_ppm
         |FROM bn JOIN cal ON bn.b = cal.i
-        |ORDER BY bin""".stripMargin,
+        |ORDER BY bin""".stripMargin),
+    // q281: apply-side isotonic calibration — q278's trained PAV map
+    // joined back onto every document's (score, bin); bins never seen
+    // in training calibrate to NULL (LEFT JOIN).
+    "q281_isotonic_apply" ->
+      ("WITH " + isotonicCalCtes + ",\n" +
+        """ap AS (SELECT doc_id,
+        |    least(1000000, n_chars * 1000000 // 600) AS score_ppm
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT ap.doc_id, ap.score_ppm,
+        |  CAST(least(9, ap.score_ppm * 10 // 1000000) AS INTEGER)
+        |    AS bin,
+        |  cal.cal_ppm
+        |FROM ap LEFT JOIN cal
+        |  ON CAST(least(9, ap.score_ppm * 10 // 1000000) AS INTEGER)
+        |     = cal.i
+        |ORDER BY doc_id""".stripMargin),
     // q258: ROC staircase — one row per distinct threshold v
     // ("predict 1 when s >= v"); TP/FP from the ascending cumsums.
     "q258_roc_points" ->
@@ -5731,68 +5731,43 @@ object SparkEntry {
         |      / CAST(tp AS DOUBLE)), 4) + 0.0 END AS nonmatch_odds
         |FROM t ORDER BY field""".stripMargin,
     // q276: Fellegi–Sunter pair scoring — q275's u's (ppm-clamped),
-    // pairs blocked by nation, score = the exact HUGEINT product of
-    // per-field odds_ppm; > 10¹² (the 2-field neutral) = net positive
-    // match evidence. No float anywhere.
+    // pairs blocked by the FINE composite key (nation × hundred-dollar
+    // balance bucket — the scale-safe wiring; the 25-value nation-only
+    // block is SCALING.md's named quadratic lesson), score = the exact
+    // HUGEINT product of per-field odds_ppm over (segment, exact
+    // balance cents — NOT nested in the block key) at reliability
+    // m = 0.7; > 10¹² (the 2-field neutral) = net positive match
+    // evidence. No float anywhere; u from the UNFILTERED table
+    // (ADVICE r12).
     "q276_linkage_pairs" ->
-      """WITH st AS (
-        |  SELECT 'seg' AS f, CAST(c_mktsegment AS VARCHAR) AS v
-        |    FROM customer
-        |  UNION ALL
-        |  SELECT 'bal', CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
-        |      AS VARCHAR)
-        |    FROM customer),
-        |cnt AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c
-        |        FROM st WHERE v IS NOT NULL GROUP BY 1, 2),
-        |g AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
-        |        sum(CAST(c AS HUGEINT) * (c - 1)) AS ap
-        |      FROM cnt GROUP BY 1),
-        |u AS (SELECT
-        |    coalesce(max(CASE WHEN f = 'seg' THEN
-        |      greatest(1, least(999999,
-        |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
-        |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
-        |          AS BIGINT)
-        |        ELSE 500000 END)) END), 500000) AS u_seg,
-        |    coalesce(max(CASE WHEN f = 'bal' THEN
-        |      greatest(1, least(999999,
-        |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
-        |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
-        |          AS BIGINT)
-        |        ELSE 500000 END)) END), 500000) AS u_bal
-        |  FROM g),
-        |base AS (SELECT c_custkey AS pid, c_nationkey AS blk,
-        |    CAST(c_mktsegment AS VARCHAR) AS f_seg,
-        |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
-        |      AS f_bal
-        |  FROM customer
-        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
-        |p AS (SELECT a.pid AS id_a, b.pid AS id_b,
-        |    a.f_seg AS a_seg, b.f_seg AS b_seg,
-        |    a.f_bal AS a_bal, b.f_bal AS b_bal
-        |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid),
-        |sc AS (SELECT id_a, id_b,
-        |    (CASE WHEN a_seg IS NOT NULL AND b_seg IS NOT NULL
-        |       AND a_seg = b_seg THEN 1 ELSE 0 END) +
-        |    (CASE WHEN a_bal IS NOT NULL AND b_bal IS NOT NULL
-        |       AND a_bal = b_bal THEN 1 ELSE 0 END) AS n_agree,
-        |    (CASE WHEN a_seg IS NULL OR b_seg IS NULL
-        |       THEN CAST(1000000 AS HUGEINT)
-        |     WHEN a_seg = b_seg
-        |       THEN CAST(950000 AS HUGEINT) * 1000000 // u_seg
-        |     ELSE CAST(50000 AS HUGEINT) * 1000000 // (1000000 - u_seg)
-        |     END) *
-        |    (CASE WHEN a_bal IS NULL OR b_bal IS NULL
-        |       THEN CAST(1000000 AS HUGEINT)
-        |     WHEN a_bal = b_bal
-        |       THEN CAST(950000 AS HUGEINT) * 1000000 // u_bal
-        |     ELSE CAST(50000 AS HUGEINT) * 1000000 // (1000000 - u_bal)
-        |     END) AS score_pp
-        |  FROM p, u)
-        |SELECT id_a, id_b, CAST(n_agree AS INTEGER) AS n_agree,
+      ("WITH " + linkagePairsCtes + "\n" +
+        """SELECT id_a, id_b, CAST(n_agree AS INTEGER) AS n_agree,
         |       CAST(score_pp AS BIGINT) AS score_pp
         |FROM sc WHERE score_pp > CAST(1000000 AS HUGEINT) * 1000000
-        |ORDER BY score_pp DESC, id_a, id_b""".stripMargin,
+        |ORDER BY score_pp DESC, id_a, id_b""".stripMargin),
+    // q280: linkage entity clustering — the rung Splink ships after
+    // scoring: q276's net-positive pairs as an undirected graph, the
+    // q64 recursive min-label walk assigns each clustered record its
+    // canonical entity id (min custkey reachable), plus cluster size.
+    "q280_linkage_entities" ->
+      ("WITH RECURSIVE " + linkagePairsCtes + ",\n" +
+        """passed AS (SELECT id_a, id_b FROM sc
+        |  WHERE score_pp > CAST(1000000 AS HUGEINT) * 1000000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM passed
+        |          UNION SELECT id_b, id_a FROM passed),
+        |walk AS (SELECT src, src AS lbl
+        |           FROM (SELECT DISTINCT src FROM edges)
+        |         UNION
+        |         SELECT e.dst AS src, w.lbl FROM walk w
+        |         JOIN edges e ON e.src = w.src),
+        |comp AS (SELECT src AS c_custkey, min(lbl) AS entity_id
+        |         FROM walk GROUP BY src),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT)
+        |         AS cluster_size
+        |       FROM comp GROUP BY 1)
+        |SELECT c.c_custkey, c.entity_id, s.cluster_size
+        |FROM comp c JOIN sz s USING (entity_id)
+        |ORDER BY c_custkey""".stripMargin),
     // q279: Fellegi–Sunter EM — two unrolled iterations over the four
     // agreement-pattern counts, all-HUGEINT, built by the same
     // fragment generator shape as the Spark side (linkageEmSql).
@@ -5849,6 +5824,97 @@ object SparkEntry {
         |       CAST(f AS BIGINT) AS forecast
         |FROM rec ORDER BY k, d""".stripMargin
 
+  /** Shared CTE body of the q278/q281 oracles: the binned length-score
+    * table (`bn`), the range rates (`rg`), and the minimax PAV fit
+    * (`cal`), mirroring `Labeling.isotonicCalibration` term by term —
+    * q278 reads the fitted bins; q281 LEFT JOINs every document's
+    * score through `cal` (the apply seam). ONE string so train and
+    * apply oracles can never drift. */
+  private val isotonicCalCtes: String =
+    """base AS (SELECT
+      |    least(1000000, n_chars * 1000000 // 600) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |bn AS (SELECT CAST(least(9, s * 10 // 1000000) AS INTEGER) AS b,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS p
+      |       FROM base GROUP BY 1),
+      |rg AS (SELECT j.b AS j, k.b AS k,
+      |         CAST(sum(CAST(m.p AS HUGEINT)) * 1000000
+      |           // sum(CAST(m.n AS HUGEINT)) AS BIGINT) AS r
+      |       FROM bn j JOIN bn k ON j.b <= k.b
+      |       JOIN bn m ON m.b BETWEEN j.b AND k.b
+      |       GROUP BY 1, 2),
+      |mn AS (SELECT rg.j, i.b AS i, min(rg.r) AS mn
+      |       FROM rg JOIN bn i ON rg.j <= i.b AND rg.k >= i.b
+      |       GROUP BY 1, 2),
+      |cal AS (SELECT i, max(mn) AS cal_ppm FROM mn GROUP BY 1)""".stripMargin
+
+  /** Shared CTE body of the q276/q280 oracles (`st` value histogram →
+    * clamped `u` ppm row → fine-composite-blocked pairs `p` → scored
+    * `sc`), mirroring `Dedup.linkagePairScores` term by term at
+    * m = 0.7 — q276 selects the net-positive pairs from `sc`; q280
+    * walks them to connected components. Kept as ONE string so the
+    * two oracles can never drift apart. */
+  private val linkagePairsCtes: String =
+    """st AS (
+      |  SELECT 'seg' AS f, CAST(c_mktsegment AS VARCHAR) AS v
+      |    FROM customer
+      |  UNION ALL
+      |  SELECT 'cents', CAST(CAST(floor(c_acctbal * 100) AS BIGINT)
+      |      AS VARCHAR)
+      |    FROM customer),
+      |cnt AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c
+      |        FROM st WHERE v IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT f, CAST(sum(c) AS BIGINT) AS n,
+      |        sum(CAST(c AS HUGEINT) * (c - 1)) AS ap
+      |      FROM cnt GROUP BY 1),
+      |u AS (SELECT
+      |    coalesce(max(CASE WHEN f = 'seg' THEN
+      |      greatest(1, least(999999,
+      |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
+      |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+      |          AS BIGINT)
+      |        ELSE 500000 END)) END), 500000) AS u_seg,
+      |    coalesce(max(CASE WHEN f = 'cents' THEN
+      |      greatest(1, least(999999,
+      |        CASE WHEN CAST(n AS HUGEINT) * (n - 1) > 0
+      |        THEN CAST(ap * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+      |          AS BIGINT)
+      |        ELSE 500000 END)) END), 500000) AS u_cents
+      |  FROM g),
+      |base AS (SELECT c_custkey AS pid,
+      |    concat_ws('_', c_nationkey,
+      |      CAST(floor(c_acctbal / 100) AS BIGINT)) AS blk,
+      |    CAST(c_mktsegment AS VARCHAR) AS f_seg,
+      |    CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+      |      AS f_cents
+      |  FROM customer
+      |  WHERE c_custkey IS NOT NULL),
+      |p AS (SELECT a.pid AS id_a, b.pid AS id_b,
+      |    a.f_seg AS a_seg, b.f_seg AS b_seg,
+      |    a.f_cents AS a_cents, b.f_cents AS b_cents
+      |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid),
+      |sc AS (SELECT id_a, id_b,
+      |    (CASE WHEN a_seg IS NOT NULL AND b_seg IS NOT NULL
+      |       AND a_seg = b_seg THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a_cents IS NOT NULL AND b_cents IS NOT NULL
+      |       AND a_cents = b_cents THEN 1 ELSE 0 END) AS n_agree,
+      |    (CASE WHEN a_seg IS NULL OR b_seg IS NULL
+      |       THEN CAST(1000000 AS HUGEINT)
+      |     WHEN a_seg = b_seg
+      |       THEN CAST(700000 AS HUGEINT) * 1000000 // u_seg
+      |     ELSE CAST(300000 AS HUGEINT) * 1000000 // (1000000 - u_seg)
+      |     END) *
+      |    (CASE WHEN a_cents IS NULL OR b_cents IS NULL
+      |       THEN CAST(1000000 AS HUGEINT)
+      |     WHEN a_cents = b_cents
+      |       THEN CAST(700000 AS HUGEINT) * 1000000 // u_cents
+      |     ELSE CAST(300000 AS HUGEINT) * 1000000 // (1000000 - u_cents)
+      |     END) AS score_pp
+      |  FROM p, u)""".stripMargin
+
   /** q279's oracle: the two unrolled EM iterations as chained CTE
     * pairs (E-step responsibilities, M-step clamped updates),
     * assembled from per-pattern fragments that mirror
@@ -5902,11 +5968,13 @@ object SparkEntry {
     val blocks = (1 to 2).flatMap(i => Seq(
       eBlock(if (i == 1) "it0" else s"it${i - 1}", s"e$i"),
       mBlock(s"e$i", s"it$i"))).mkString(",\n")
-    """WITH base AS (SELECT c_custkey AS pid, c_nationkey AS blk,
+    """WITH base AS (SELECT c_custkey AS pid,
+      |    concat_ws('_', c_nationkey,
+      |      CAST(floor(c_acctbal / 100) AS BIGINT)) AS blk,
       |    CAST(c_mktsegment AS VARCHAR) AS f1,
-      |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS f2
+      |    CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS f2
       |  FROM customer
-      |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+      |  WHERE c_custkey IS NOT NULL),
       |pp AS (SELECT CAST(a.f1 = b.f1 AS INTEGER) AS g1,
       |    CAST(a.f2 = b.f2 AS INTEGER) AS g2
       |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid

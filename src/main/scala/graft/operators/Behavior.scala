@@ -977,9 +977,17 @@ object Behavior {
     * trap at 10⁹ converters; the shared refinement pays ⌈log(span)⌉
     * filtered aggregates total instead. One row per
     * transition; a transition nobody completed reports n = 0 with NULL
-    * timing columns. */
+    * timing columns.
+    *
+    * Skew contract (ADVICE r12): the single-pass stage fold collects a
+    * user's step events into one in-memory array, so a user with more
+    * than `maxEventsPerUser` STEP events fails fast (raise_error)
+    * rather than silently OOMing an executor — on logs with hot/bot
+    * users, raise the cap or pre-filter the bot ids. The cap bounds
+    * per-user state, not total data. */
   def funnelTiming(events: DataFrame, user: String, ts: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxEventsPerUser: Int = 1000000): DataFrame = {
     // the per-user stage times feed ONE stats aggregate plus the shared
     // median refinement's ⌈log(span)⌉ rounds — persist the users-sized
     // frame once instead of re-running the stage fold per round
@@ -987,7 +995,8 @@ object Behavior {
     // Single-pass source (VERDICT r11 #3): the timing query reads every
     // stage's time anyway, so the one-shuffle fold strictly dominates
     // the per-stage join chain.
-    val times = stageTimesSinglePass(events, user, ts, typeCol, steps)
+    val times = stageTimesSinglePass(events, user, ts, typeCol, steps,
+        maxEventsPerUser)
       .persist()
     val spark = events.sparkSession
     import spark.implicits._

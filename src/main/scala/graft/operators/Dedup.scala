@@ -1033,32 +1033,6 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("doc_b"), col("dist"))
   }
 
-  /** FELLEGI–SUNTER FIELD WEIGHTS from value frequencies — the
-    * record-linkage preparation step (Fellegi & Sunter, JASA 1969;
-    * Splink's "term-frequency u probabilities"): for each comparison
-    * field, the chance-agreement probability of two DISTINCT random
-    * records,
-    *
-    *   u_k = Σ_v c_v·(c_v − 1) / (n_k·(n_k − 1))
-    *
-    * computed EXACTLY from the field's value histogram (the classic
-    * frequency-based u estimate — a field that agrees by chance 20% of
-    * the time carries far less match evidence than one that agrees
-    * 0.1%), plus the match/non-match odds at an assumed reliability
-    * m: match_odds = m/u (the agreement weight's odds form) and
-    * nonmatch_odds = (1−m)/(1−u) (the disagreement penalty). ODDS,
-    * not log-weights, deliberately: log is not IEEE
-    * correctly-rounded, so log values can differ in the last ulp
-    * across engines — every float op this library oracles is from
-    * the correctly-rounded set (+ − × ÷ sqrt), and odds rank pairs
-    * identically. One row per field: (field, n, n_distinct, u_ppm
-    * exact via DECIMAL, match_odds, nonmatch_odds rounded 4 dp; NULL
-    * odds when n < 2 or every value is identical — no pair evidence).
-    *
-    * Scale shape: the fields stack map-side (one generator, no join),
-    * ONE (field, value) aggregate — the only shuffle, map-side
-    * combined — then a fields-sized aggregate; value histograms never
-    * reach the driver. */
   /** FELLEGI–SUNTER PAIR SCORING, exact integer — the probabilistic
     * record-linkage join [[linkageFieldWeights]] calibrates: candidate
     * pairs (same `block`, id_a < id_b — BLOCKED, never all-pairs)
@@ -1099,10 +1073,14 @@ object Dedup {
       .select(Seq(col(id).as("pid"), col(block).as("blk")) ++
         fields.map { case (n, c) => c.cast("string").as(s"f_$n") }: _*)
     // ---- stage 1: clamped per-field u_ppm, ONE stacked histogram scan
-    // pivoted to a single broadcastable row
-    val uRow = base
-      .select(explode(array(fields.map { case (n, _) =>
-        struct(lit(n).as("f"), col(s"f_$n").as("v")) }: _*)).as("s"))
+    // pivoted to a single broadcastable row. Computed from the FULL
+    // table (before the id/block null filter) — the exact same value
+    // histogram [[linkageFieldWeights]] sees: a record with a NULL id
+    // can't pair, but its field values still shape the population's
+    // chance-agreement rates (ADVICE r12).
+    val uRow = df
+      .select(explode(array(fields.map { case (n, c) =>
+        struct(lit(n).as("f"), c.cast("string").as("v")) }: _*)).as("s"))
       .select(col("s.f").as("f"), col("s.v").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("f"), col("v")).agg(count(lit(1)).as("c"))
@@ -1266,6 +1244,32 @@ object Dedup {
             " * (n - 1)) as bigint)"))
           .otherwise(lit(500000L)))))), lit(500000L)).as(s"u_$n")
 
+  /** FELLEGI–SUNTER FIELD WEIGHTS from value frequencies — the
+    * record-linkage preparation step (Fellegi & Sunter, JASA 1969;
+    * Splink's "term-frequency u probabilities"): for each comparison
+    * field, the chance-agreement probability of two DISTINCT random
+    * records,
+    *
+    *   u_k = Σ_v c_v·(c_v − 1) / (n_k·(n_k − 1))
+    *
+    * computed EXACTLY from the field's value histogram (the classic
+    * frequency-based u estimate — a field that agrees by chance 20% of
+    * the time carries far less match evidence than one that agrees
+    * 0.1%), plus the match/non-match odds at an assumed reliability
+    * m: match_odds = m/u (the agreement weight's odds form) and
+    * nonmatch_odds = (1−m)/(1−u) (the disagreement penalty). ODDS,
+    * not log-weights, deliberately: log is not IEEE
+    * correctly-rounded, so log values can differ in the last ulp
+    * across engines — every float op this library oracles is from
+    * the correctly-rounded set (+ − × ÷ sqrt), and odds rank pairs
+    * identically. One row per field: (field, n, n_distinct, u_ppm
+    * exact via DECIMAL, match_odds, nonmatch_odds rounded 4 dp; NULL
+    * odds when n < 2 or every value is identical — no pair evidence).
+    *
+    * Scale shape: the fields stack map-side (one generator, no join),
+    * ONE (field, value) aggregate — the only shuffle, map-side
+    * combined — then a fields-sized aggregate; value histograms never
+    * reach the driver. */
   def linkageFieldWeights(df: DataFrame,
       fields: Seq[(String, org.apache.spark.sql.Column)],
       mPpm: Long = 950000L): DataFrame = {

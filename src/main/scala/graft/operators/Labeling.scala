@@ -540,4 +540,35 @@ object Labeling {
           " as bigint)").as("pos_ppm"),
         col("cal_ppm"))
   }
+
+  /** APPLY-side isotonic calibration — closes the train→apply loop
+    * over [[isotonicCalibration]] (the bpeMerges→bpeEncode pattern):
+    * each row's raw ppm score maps to the monotone calibrated rate
+    * the PAV table assigns its bin. The calibration table is
+    * BINS-SIZED, so the apply plan is MAP-ONLY: one broadcast hash
+    * join against the B-row map, no shuffle of the scored frame at
+    * all — the shape that serves 100 TB of scores untouched. Scores
+    * landing in a bin the training table never saw (possible when
+    * train and apply frames differ) calibrate to NULL — surfacing the
+    * coverage gap beats silently extrapolating. Output: the input
+    * columns plus (bin, cal_ppm); same [0, 10⁶] ppm fail-fast as
+    * training. `cal` must be [[isotonicCalibration]]'s output (its
+    * (bin, cal_ppm) columns are read; built with the same `bins`). */
+  def isotonicApply(df: DataFrame, scorePpm: Column, cal: DataFrame,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    val scored = df
+      .withColumn("score_ppm_", scorePpm.cast("long"))
+      .filter(col("score_ppm_").isNotNull)
+      .withColumn("ok",
+        assert_true(col("score_ppm_") >= 0 && col("score_ppm_") <= 1000000,
+          lit("isotonicApply: score out of [0, 1000000] ppm")))
+      .filter(col("ok").isNull).drop("ok")
+      .withColumn("bin", least(lit(bins - 1),
+        expr(s"score_ppm_ * $bins div 1000000")).cast("int"))
+      .drop("score_ppm_")
+    scored.join(
+      broadcast(cal.select(col("bin"), col("cal_ppm"))),
+      Seq("bin"), "left")
+  }
 }

@@ -2562,13 +2562,17 @@ object NorthStar {
     * fixed EM iterations in exact ppm integers separate the
     * match-class agreement rates (m) from chance (u) with no labels;
     * the parameter-fitting rung above q275's frequency-based u and
-    * q276's assumed-m scoring. Deterministic: fixed iterations, fixed
-    * operand order, every division truncating on non-negatives. */
+    * q276's assumed-m scoring. Same FINE composite block and
+    * comparison fields as q276 (nation × hundred-dollar bucket; segment +
+    * exact cents — the scale-safe wiring, see customerLinkagePairs).
+    * Deterministic: fixed iterations, fixed operand order, every
+    * division truncating on non-negatives. */
   def customerLinkageEm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Dedup.linkageEmMU(Tables.customer(spark, d), "c_custkey",
-      "c_nationkey", $"c_mktsegment",
-      floor($"c_acctbal" / 1000).cast("long"), iters = 2)
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkageEmMU(c, "c_custkey", "blk_fine", $"c_mktsegment",
+      floor($"c_acctbal" * 100).cast("long"), iters = 2)
   }
 
   /** X17 isotonic (PAV) recalibration ([[graft.operators.Labeling
@@ -2583,6 +2587,25 @@ object NorthStar {
         least(lit(1000000L), expr("n_chars * 1000000 div 600")),
         ($"lang" === "en").cast("int"), 10)
       .orderBy($"bin")
+  }
+
+  /** X17 apply-side isotonic calibration ([[graft.operators.Labeling
+    * .isotonicApply]]): q278's trained monotone map scored back over
+    * every document — per doc, the raw length score, its bin, and the
+    * calibrated ppm; the train→apply seam (the bpeMerges→bpeEncode
+    * pattern). Map-only apply: the bins-sized calibration table
+    * broadcasts, the document frame is never shuffled. */
+  def lengthIsotonicApply(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val score = least(lit(1000000L), expr("n_chars * 1000000 div 600"))
+    val cal = Labeling.isotonicCalibration(docs, score,
+      ($"lang" === "en").cast("int"), 10)
+    Labeling.isotonicApply(
+        docs.select($"doc_id", score.as("score_ppm")),
+        $"score_ppm", cal, 10)
+      .select($"doc_id", $"score_ppm", $"bin", $"cal_ppm")
+      .orderBy($"doc_id")
   }
 
   /** X17 ROC operating points ([[graft.operators.Labeling
@@ -2865,21 +2888,62 @@ object NorthStar {
   }
 
   /** X2 Fellegi–Sunter pair scoring ([[graft.operators.Dedup
-    * .linkagePairScores]]): customer pairs blocked by nation, scored
-    * by the exact-integer product of per-field evidence odds over
-    * (market segment, thousand-bucketed balance) — pairs above the
-    * neutral 10¹² pp cut carry NET POSITIVE match evidence (here:
-    * agreement on both fields). The blocked probabilistic-linkage
-    * join q275's weights calibrate; no float anywhere in the score. */
+    * .linkagePairScores]]): customer pairs blocked by the FINE
+    * composite key (nation, hundred-dollar balance bucket) — the
+    * scale-safe production shape (a 25-value nation-only block is the
+    * measured R² quadratic; SCALING.md keeps it as the named lesson
+    * row `q276_coarseblock`) — scored by the exact-integer product of
+    * per-field evidence odds over (market segment, exact balance
+    * cents). The cents field is deliberately NOT nested in the block
+    * key (a comparison field the block fixes would degenerate to
+    * always-agree — the Splink blocking rule): within a hundred-dollar
+    * window, cents agreement means the balances are identical, the
+    * "same entity" signal. Pairs above the neutral 10¹² pp cut carry
+    * NET POSITIVE match evidence at reliability m = 0.7 (dirty-data
+    * realism: a true match agrees on a recorded field 70% of the
+    * time) — under which segment agreement alone is net positive
+    * (LR 3.5 × 0.3 > 1) while identical-balance pairs rank far above;
+    * the blocked probabilistic-linkage join q275's weights calibrate;
+    * no float anywhere in the score (floor(c_acctbal·100) is the
+    * correctly-rounded double product floored — engine-exact, STATUS
+    * float rules). */
   def customerLinkagePairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Dedup.linkagePairScores(Tables.customer(spark, d), "c_custkey",
-      "c_nationkey", Seq(
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkagePairScores(c, "c_custkey", "blk_fine", Seq(
         "seg" -> $"c_mktsegment",
-        "bal" -> floor($"c_acctbal" / 1000).cast("long")))
-      // DECIMAL(38,0) → BIGINT for the gate (bounded: both u's are
-      // ≥ ~9% here, so the score tops out near 5·10¹³ ≪ 2⁶³)
+        "cents" -> floor($"c_acctbal" * 100).cast("long")),
+      mPpm = 700000L)
+      // DECIMAL(38,0) → BIGINT for the gate (bounded: a both-agree
+      // pair tops out at odds_seg × odds_cents ≈ 3.5·10⁶ ppm ×
+      // 7·10¹¹ ppm (u_cents clamps at 1 ppm on a near-unique
+      // field) ≈ 2.5·10¹⁸ < 2⁶³ ≈ 9.2·10¹⁸)
       .withColumn("score_pp", $"score_pp".cast("long"))
+  }
+
+  /** X2 linkage entity clustering ([[graft.operators.Dedup
+    * .connectedComponents]] over [[customerLinkagePairs]]): the rung
+    * Splink ships after pair scoring — q276's net-positive pairs as
+    * an undirected graph, min-label connected components assign each
+    * clustered record its canonical entity id (the q64 machinery:
+    * neighbor-min + pointer doubling, O(log diameter) rounds), plus
+    * the entity's cluster size. Records in no passing pair are
+    * unclustered and omitted (they keep their own identity).
+    * Scale shape: q276's blocked scoring, then edge-sized iterative
+    * joins — cluster sizes via one component-keyed aggregate+join,
+    * never a driver collect. */
+  def customerLinkageEntities(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pairs = customerLinkagePairs(spark, d)
+    val comp = Dedup.connectedComponents(
+      pairs.select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+    val sizes = comp.groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select($"doc_id".as("c_custkey"), $"component".as("entity_id"),
+        $"cluster_size")
+      .orderBy($"c_custkey")
   }
 
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):

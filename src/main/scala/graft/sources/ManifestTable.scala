@@ -50,8 +50,40 @@ object ManifestTable {
   private def dataDir(dir: String): Path = Paths.get(dir, "data")
   private def currentPtr(dir: String): Path = manifestDir(dir).resolve("CURRENT")
   private def propsPath(dir: String): Path = manifestDir(dir).resolve("PROPS")
+  private def layoutPath(dir: String): Path = manifestDir(dir).resolve("LAYOUT")
   private def manifestPath(dir: String, v: Long): Path =
     manifestDir(dir).resolve(s"v$v.manifest")
+
+  /** On-disk LAYOUT version stamped into every table root at creation
+    * (VERDICT r12 #7). Bump it whenever the persisted contract changes
+    * incompatibly — the round-12 `ivfappend-cents` txn-marker migration
+    * required hand-wiping legacy state dirs because nothing on disk said
+    * "this dir predates the guard", and an un-wiped dir silently
+    * double-appended. With the stamp, opening a root written by a
+    * different layout (or by a pre-stamp build: no LAYOUT file beside an
+    * existing CURRENT) fails FAST with a migration message instead. */
+  val LayoutVersion = 1L
+
+  /** Fail fast when `dir` is an existing table root whose on-disk layout
+    * is not this build's [[LayoutVersion]]. Every open path (create /
+    * read) calls this; state dirs regenerate deterministically, so the
+    * documented migration is wipe-and-rerun. */
+  private def checkLayout(dir: String): Unit = {
+    if (!Files.exists(currentPtr(dir))) return // not a table root (yet)
+    if (!Files.exists(layoutPath(dir)))
+      throw new IllegalStateException(
+        s"state dir '$dir' was written by a pre-layout-stamp build " +
+          s"(no LAYOUT marker; this build is layout v$LayoutVersion): " +
+          "wipe the dir — its contents regenerate deterministically — " +
+          "or migrate it by hand before reusing")
+    val v = new String(Files.readAllBytes(layoutPath(dir)),
+      StandardCharsets.UTF_8).trim.toLong
+    if (v != LayoutVersion)
+      throw new IllegalStateException(
+        s"state dir '$dir' has layout v$v but this build reads/writes " +
+          s"layout v$LayoutVersion: wipe the dir (contents regenerate " +
+          "deterministically) or migrate it by hand before reusing")
+  }
 
   /** Create an empty table (version 0, no files). No-op if it exists.
     * `statsColumns` opts the table into per-file min/max statistics: every
@@ -67,11 +99,16 @@ object ManifestTable {
     Files.createDirectories(manifestDir(dir))
     require(statsColumns.forall(c => !c.exists(ch => ch == '\t' || ch == '\n')),
       "stats column names must not contain tab/newline")
+    checkLayout(dir)
     if (!Files.exists(currentPtr(dir))) {
       if (statsColumns.nonEmpty)
         Files.write(propsPath(dir),
           s"stats=${statsColumns.mkString(",")}"
             .getBytes(StandardCharsets.UTF_8))
+      // LAYOUT before CURRENT: a crash between the two leaves a dir
+      // with no CURRENT, which the next create() re-initializes
+      Files.write(layoutPath(dir),
+        LayoutVersion.toString.getBytes(StandardCharsets.UTF_8))
       Files.write(manifestPath(dir, 0L), Array.empty[Byte])
       publish(dir, 0L)
     }
@@ -322,6 +359,7 @@ object ManifestTable {
     * from zero files; callers check `files(dir, currentVersion(dir))`
     * first if emptiness is expected. */
   def read(spark: SparkSession, dir: String): (Long, DataFrame) = {
+    checkLayout(dir)
     val v = currentVersion(dir)
     val fs = files(dir, v)
     require(fs.nonEmpty, s"snapshot v$v is empty — nothing to read")
@@ -680,6 +718,7 @@ object ManifestTable {
   private def commit(dir: String, expectedVersion: Long, keepOld: Boolean,
       txn: Option[String], removeFiles: Set[String] = Set.empty)
       (write: Path => Unit): Long = {
+    checkLayout(dir)
     val staging = Files.createTempDirectory(Paths.get(dir), ".commit_")
     try {
       write(staging)

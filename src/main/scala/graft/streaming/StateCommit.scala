@@ -33,22 +33,34 @@ object StateCommit {
     ManifestTable.create(stateDir)
     if (ManifestTable.hasCommittedTxn(stateDir, txn)) return
     val pinned = bState.localCheckpoint(true)
-    var attempt = 0
-    var done = false
-    while (!done) {
-      val cur = ManifestTable.currentVersion(stateDir)
-      val merged =
-        if (cur == 0L) pinned
-        else merge(ManifestTable.read(spark, stateDir)._2, pinned)
-      try {
-        ManifestTable.overwrite(spark, stateDir, merged, cur,
-          txn = Some(txn))
-        done = true
-      } catch {
-        case e: ManifestTable.ConcurrentCommitException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
+    try {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val cur = ManifestTable.currentVersion(stateDir)
+        val merged =
+          if (cur == 0L) pinned
+          else merge(ManifestTable.read(spark, stateDir)._2, pinned)
+        try {
+          ManifestTable.overwrite(spark, stateDir, merged, cur,
+            txn = Some(txn))
+          done = true
+        } catch {
+          case e: ManifestTable.ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
       }
-    }
+    } finally
+      // release the pinned blocks once the commit loop exits (success
+      // or throw): the committed snapshot is on disk, so the
+      // checkpointed RDD is dead weight — on a long-lived stream the
+      // per-micro-batch pins would otherwise accumulate in executor
+      // storage until the driver GCs the DataFrame (ADVICE r12).
+      // RDD-level unpersist, NOT DataFrame.unpersist: localCheckpoint
+      // storage lives on the RDD, outside the CacheManager that
+      // DataFrame.unpersist clears.
+      org.apache.spark.sql.graft.ColumnBridge.persistedRdd(pinned)
+        .foreach(_.unpersist(false))
   }
 }

@@ -131,14 +131,22 @@ object ScaleBench {
         "q267_ivf_append", "q269_revenue_ewma", "q271_cuped",
         "q268_lf_conflicts", "q270_ewma_append", "q272_ewma_chart",
         "q276_linkage_pairs")
+      .map(n => n -> graft.SparkEntry.queries(n)) ++
+      // round-12/13 additions: Holt trend + append seam (per-key
+      // calendar-bounded folds — expect flat), post-stratified ATE +
+      // field weights + EM + isotonic train/apply (aggregate-sized),
+      // linkage entity clustering (blocked pairs + edge-sized CC)
+      Seq("q273_revenue_holt", "q274_ate_stratified",
+        "q275_linkage_weights", "q277_holt_append",
+        "q278_isotonic_cal", "q279_linkage_em",
+        "q280_linkage_entities", "q281_isotonic_apply")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
-        // the blocking FIX measured beside the named quadratic: a
-        // composite block (nation, custkey div 10⁹ = ScaleGen copy)
+        // linear-growth control beside the shipped fine content block:
+        // a composite block (nation, custkey div 10⁹ = ScaleGen copy)
         // keeps every block at its sf0.1 size, so pairs grow linearly
-        // with R instead of R² — the production answer to a coarse
-        // block key (at a real deployment the second component is a
-        // phonetic/prefix key, not the copy id)
+        // with R instead of R² — isolates replication-induced pair
+        // growth (true cross-copy duplicates) from block-key quality
         import org.apache.spark.sql.functions.{concat_ws, col, expr}
         val c = graft.Tables.customer(s, d)
           .withColumn("blk2", concat_ws("_", col("c_nationkey"),
@@ -146,11 +154,28 @@ object ScaleBench {
         graft.operators.Dedup.linkagePairScores(c, "c_custkey", "blk2",
           Seq("seg" -> col("c_mktsegment"),
             "bal" -> expr("cast(floor(c_acctbal / 1000) as bigint)")))
+      }) :+
+      ("q276_coarseblock" -> { (s: SparkSession, d: String) =>
+        // the NAMED QUADRATIC LESSON (round 12's shipped wiring, now
+        // demoted here): a 25-value nation-only block grows
+        // within-block pairs R² — 25 s at 10×, 192 s at 30×,
+        // terminated >1100 s at 100×. Run it only with
+        // SPARK_GRAFT_ONLY=q276_coarseblock on dirs ≤ 30× — at 100× it
+        // does not finish; the shipped q276_linkage_pairs entry above
+        // carries the fine composite block that does.
+        import org.apache.spark.sql.functions.{col, expr}
+        graft.operators.Dedup.linkagePairScores(
+          graft.Tables.customer(s, d), "c_custkey", "c_nationkey",
+          Seq("seg" -> col("c_mktsegment"),
+            "bal" -> expr("cast(floor(c_acctbal / 1000) as bigint)")))
       })
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val fams = allFams.filter { case (n, _) =>
-      only.forall(_.exists(n.contains)) }
+      // the named-quadratic lesson row never runs implicitly (it does
+      // not finish at 100×): opt in with SPARK_GRAFT_ONLY
+      if (n == "q276_coarseblock") only.exists(_.exists(n.contains))
+      else only.forall(_.exists(n.contains)) }
 
     dirs.foreach { dir =>
       fams.foreach { case (name, fn) =>

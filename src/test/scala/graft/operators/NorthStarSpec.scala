@@ -3169,6 +3169,72 @@ class NorthStarSpec extends SparkSpec {
       ("b", 5L, 2L, 4L, 2L, 500000L)))
   }
 
+  test("isotonicApply: scores map through the trained PAV table; " +
+      "untrained bins calibrate to NULL; out-of-range fails fast") {
+    import spark.implicits._
+    // the PAV hand-trace table: bins 0-3 all pool to 625000 ppm
+    def rows(binScore: Long, pos: Int): Seq[(Long, Int)] =
+      (0 until 10).map(i => (binScore, if (i < pos) 1 else 0))
+    val train = (rows(50000L, 8) ++ rows(150000L, 6) ++ rows(250000L, 9)
+      ++ rows(350000L, 2)).toDF("s", "y")
+    val cal = Labeling.isotonicCalibration(train, $"s", $"y", 10)
+    // apply: bins 0 and 3 are trained; 999999 and the 10^6 boundary
+    // land in bin 9, which training never saw -> NULL
+    val ap = Seq((1L, 80000L), (2L, 399999L), (3L, 999999L),
+      (4L, 1000000L)).toDF("id", "sc")
+    val got = Labeling.isotonicApply(ap, $"sc", cal, 10)
+      .select($"id", $"bin", $"cal_ppm").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toList
+    assert(got == List((1L, 0, 625000L), (2L, 3, 625000L),
+      (3L, 9, -1L), (4L, 9, -1L)))
+    // the train-side [0, 10^6] ppm contract holds on apply too
+    val bad = Seq((9L, 1000001L)).toDF("id", "sc")
+    val e = intercept[Exception] {
+      Labeling.isotonicApply(bad, $"sc", cal, 10).collect()
+    }
+    assert(e.getMessage.contains("out of [0, 1000000]") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("out of [0, 1000000]")))
+  }
+
+  test("linkage entity clustering: q280 wiring on sf0.01 — entities " +
+      "are transitive closures of the net-positive pairs, min-id " +
+      "canonical, sizes consistent") {
+    // sf0.01, not sf0.001: the fine composite block admits no
+    // candidate pairs at all at sf0.001 (150 customers over ~27k
+    // block values), so the smaller dir would test nothing
+    val d = "/root/testdata/sf0.01"
+    val pairs = graft.queries.NorthStar.customerLinkagePairs(spark, d)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val got = graft.queries.NorthStar.customerLinkageEntities(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    // reference union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toList.map(k => (k, find(k)))
+    val minLabel = members.groupBy(_._2).flatMap { case (_, ms) =>
+      val lbl = ms.map(_._1).min
+      ms.map(m => (m._1, lbl))
+    }
+    val sizes = minLabel.groupBy(_._2).map { case (l, ms) =>
+      (l, ms.size.toLong) }
+    val want = minLabel.toList
+      .map { case (id, l) => (id, l, sizes(l)) }.sortBy(_._1)
+    assert(got.nonEmpty && got == want)
+    // every member of a cluster is in some pair; no singletons emitted
+    assert(got.forall(_._3 >= 2))
+  }
+
   test("kCore peels chain fringes; fail-fast when rounds exhausted") {
     import spark.implicits._
     // path 1-2-3-4 peels away entirely; triangle 5-6-7 IS the 2-core

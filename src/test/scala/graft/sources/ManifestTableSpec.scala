@@ -519,4 +519,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(dir) == vBefore)
     assert(state() == want)
   }
+
+  test("layout stamp: pre-stamp and wrong-version roots fail fast on " +
+      "every open path; fresh roots are stamped") {
+    import java.nio.file.{Files => F, Paths}
+    // a fresh root carries the stamp
+    val dir = freshTable()
+    val layout = Paths.get(dir, "_manifests", "LAYOUT")
+    assert(F.exists(layout) && new String(F.readAllBytes(layout)).trim ==
+      ManifestTable.LayoutVersion.toString)
+    ManifestTable.append(spark, dir, Seq((1L, "a")).toDF("id", "s"), 0L)
+    // simulate a legacy (pre-stamp) root: CURRENT without LAYOUT —
+    // the round-12 migration hazard that silently double-appended
+    F.delete(layout)
+    val eCreate = intercept[IllegalStateException] {
+      ManifestTable.create(dir)
+    }
+    assert(eCreate.getMessage.contains("pre-layout-stamp") &&
+      eCreate.getMessage.contains("wipe"))
+    intercept[IllegalStateException] { ManifestTable.read(spark, dir) }
+    intercept[IllegalStateException] {
+      ManifestTable.append(spark, dir, Seq((2L, "b")).toDF("id", "s"), 1L)
+    }
+    // a FUTURE layout is rejected just as fast (no silent downgrade)
+    F.write(layout, s"${ManifestTable.LayoutVersion + 1}".getBytes)
+    val eVer = intercept[IllegalStateException] {
+      ManifestTable.read(spark, dir)
+    }
+    assert(eVer.getMessage.contains(
+      s"layout v${ManifestTable.LayoutVersion + 1}"))
+    // restoring the right stamp restores access — nothing was mutated
+    F.write(layout, ManifestTable.LayoutVersion.toString.getBytes)
+    assert(ManifestTable.read(spark, dir)._2.count() == 1)
+  }
 }
