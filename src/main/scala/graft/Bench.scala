@@ -27,9 +27,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/scan warmup so the first timed query isn't charged for
     // session bring-up (classloading, codegen compiler, parquet footers).
+    // BOTH control queries warm up untimed: the start control must be a
+    // steady-state reading, or its own first-run cost (codegen for that
+    // plan shape) trips the contended gate on every quiet run.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q02_agg_groupby").foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    Seq("q02_agg_groupby", "q05_topk").foreach(n =>
+      SparkEntry.queries.get(n).foreach(fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }))
     // count() lets Catalyst prune unused projections; the noop sink forces
     // every output row to fully materialize — the honest per-query cost.
     // Default stays count for cross-round comparability.
