@@ -1062,24 +1062,41 @@ object Dedup {
       fields: Seq[(String, org.apache.spark.sql.Column)],
       mPpm: Long = 950000L,
       minScorePp: Option[java.math.BigDecimal] = None): DataFrame = {
+    linkageChecks(fields, mPpm)
+    linkageScoredPairs(linkageBase(df, id, block, fields),
+        linkageURow(df, fields), fields, mPpm, minScorePp)
+      .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
+  }
+
+  private def linkageChecks(
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long): Unit = {
     require(fields.nonEmpty && fields.size <= 3,
       s"1..3 comparison fields (odds_ppm^k must fit DECIMAL(38)), " +
         s"got ${fields.size}")
     require(fields.map(_._1).distinct.size == fields.size,
       s"duplicate field names in ${fields.map(_._1)}")
     require(mPpm >= 1 && mPpm <= 999999, s"mPpm=$mPpm")
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val base = df.filter(col(id).isNotNull && col(block).isNotNull)
+  }
+
+  /** (pid, blk, f_*) projection of the linkage input — the null-id /
+    * null-block rows can never pair and are dropped here. */
+  private def linkageBase(df: DataFrame, id: String, block: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.filter(col(id).isNotNull && col(block).isNotNull)
       .select(Seq(col(id).as("pid"), col(block).as("blk")) ++
         fields.map { case (n, c) => c.cast("string").as(s"f_$n") }: _*)
-    // ---- stage 1: clamped per-field u_ppm, ONE stacked histogram scan
-    // pivoted to a single broadcastable row. Computed from the FULL
-    // table (before the id/block null filter) — the exact same value
-    // histogram [[linkageFieldWeights]] sees: a record with a NULL id
-    // can't pair, but its field values still shape the population's
-    // chance-agreement rates (ADVICE r12).
-    val uRow = df
-      .select(explode(array(fields.map { case (n, c) =>
+
+  /** Stage 1 of [[linkagePairScores]]: clamped per-field u_ppm, ONE
+    * stacked histogram scan pivoted to a single broadcastable row.
+    * Computed from the FULL table (before the id/block null filter) —
+    * the exact same value histogram [[linkageFieldWeights]] sees: a
+    * record with a NULL id can't pair, but its field values still
+    * shape the population's chance-agreement rates (ADVICE r12). */
+  private def linkageURow(df: DataFrame,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    df.select(explode(array(fields.map { case (n, c) =>
         struct(lit(n).as("f"), c.cast("string").as("v")) }: _*)).as("s"))
       .select(col("s.f").as("f"), col("s.v").as("v"))
       .filter(col("v").isNotNull)
@@ -1089,7 +1106,15 @@ object Dedup {
         sum(dec(col("c")) * (col("c") - 1)).as("ap"))
       .agg(linkageUCol(fields.head._1),
         fields.tail.map(f => linkageUCol(f._1)): _*)
-    // ---- stage 2: blocked pairs, map-only integer scoring
+  }
+
+  /** Stage 2 of [[linkagePairScores]]: blocked pairs over `base`,
+    * map-only integer scoring against the broadcast `uRow`, cut
+    * filter. Unordered — callers order (or feed the CC walk). */
+  private def linkageScoredPairs(base: DataFrame, uRow: DataFrame,
+      fields: Seq[(String, org.apache.spark.sql.Column)], mPpm: Long,
+      minScorePp: Option[java.math.BigDecimal]): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val a = base.select(Seq(col("pid").as("id_a"), col("blk")) ++
       fields.map { case (n, _) => col(s"f_$n").as(s"a_$n") }: _*)
     val b = base.select(Seq(col("pid").as("id_b"), col("blk")) ++
@@ -1118,7 +1143,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
         score.cast("decimal(38,0)").as("score_pp"))
       .filter(col("score_pp") > cut)
-      .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
+  }
+
+  /** LINKAGE ENTITY CLUSTERING — the rung Splink ships after pair
+    * scoring: connected components of the net-positive pair graph,
+    * each clustered record labeled with its canonical entity id (the
+    * min reachable id) and the entity's cluster size. Records in no
+    * passing pair are unclustered and omitted.
+    *
+    * Value-identical to `connectedComponents(linkagePairScores(...))`
+    * but NEVER materializes the full pair set — on duplicate-dense
+    * data (the 100 TB case: a corpus where every record has many true
+    * copies) the passing-pair set grows QUADRATICALLY in the copy
+    * count, while this operator's edge set stays linear:
+    *
+    *   1. SIGNATURE GROUPING: records identical on (block, every
+    *      comparison field), all fields non-NULL, are pairwise
+    *      all-agree — and all-agree pairs pass the cut (runtime-
+    *      guarded below), so each signature group is a clique. A
+    *      STAR to the group's min id (member → rep) preserves its
+    *      connectivity with |group|−1 edges instead of |group|²/2.
+    *   2. REPRESENTATIVE SCORING: a pair's score depends only on
+    *      (block, field values) = the signature, so scoring DISTINCT
+    *      signatures covers every cross-signature pair — the rep-pair
+    *      frame is signature-count-sized (copy-count-invariant), not
+    *      record-count-sized. Records with a NULL comparison field
+    *      are their own signature (NULL-abstention pairs score
+    *      per-pair, exactly as in [[linkagePairScores]]).
+    *   3. CC over stars ∪ rep pairs ([[connectedComponents]]:
+    *      neighbor-min + pointer doubling, O(log diameter) rounds),
+    *      then one component-keyed size aggregate.
+    *
+    * Components, membership, canonical ids, and sizes are EXACTLY
+    * those of the full pair graph (the q280 oracle walks the full
+    * pair set and hash-matches). Runtime guard: if the all-agree
+    * score does not clear the cut (a field whose chance agreement u
+    * exceeds m would carry negative evidence even on agreement), the
+    * star assumption is invalid and this THROWS — fall back to
+    * `connectedComponents(linkagePairScores(...))` there.
+    *
+    * Scale shape: one signature aggregate (the only record-sized
+    * shuffle), a signature-sized blocked self-join, edge-linear CC
+    * rounds; the u-row guard is a fields-sized driver read. */
+  def linkageEntities(df: DataFrame, id: String, block: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long = 950000L,
+      minScorePp: Option[java.math.BigDecimal] = None,
+      maxIter: Int = 25): DataFrame = {
+    linkageChecks(fields, mPpm)
+    val base = linkageBase(df, id, block, fields).persist()
+    val uRow = linkageURow(df, fields)
+    // the star-validity guard: all-agree must clear the cut
+    val u = uRow.collect().head
+    val cutV = minScorePp.map(v => BigInt(v.toBigInteger))
+      .getOrElse(BigInt(1000000L).pow(fields.size))
+    val allAgree = fields.map { case (n, _) =>
+      BigInt(mPpm) * 1000000L / BigInt(u.getAs[Long](s"u_$n")) }.product
+    require(allAgree > cutV,
+      s"linkageEntities: the all-agree score $allAgree does not clear " +
+        s"the cut $cutV (some field's agreement carries non-positive " +
+        "evidence), so identical-signature records need not pair — " +
+        "use connectedComponents(linkagePairScores(...)) instead")
+    val fcols = fields.map { case (n, _) => col(s"f_$n") }
+    val sigCols = "blk" +: fields.map { case (n, _) => s"f_$n" }
+    val isClean = fields.map { case (n, _) => col(s"f_$n").isNotNull }
+      .reduce(_ && _)
+    val clean = base.filter(isClean)
+    val sig = clean.groupBy((col("blk") +: fcols): _*)
+      .agg(min(col("pid")).as("rep"))
+    val stars = clean.join(sig, sigCols)
+      .filter(col("pid") =!= col("rep"))
+      .select(col("pid").as("doc_a"), col("rep").as("doc_b"))
+    val reps = sig
+      .select(Seq(col("rep").as("pid"), col("blk")) ++ fcols: _*)
+      .unionByName(base.filter(!isClean))
+    val repPairs = linkageScoredPairs(reps, uRow, fields, mPpm,
+        minScorePp)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = connectedComponents(stars.unionByName(repPairs), maxIter)
+    base.unpersist(false) // CC materialized the edges eagerly
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id").as(id), col("component").as("entity_id"),
+        col("cluster_size"))
+      .orderBy(col(id))
   }
 
   /** FELLEGI–SUNTER EM — UNSUPERVISED m/u estimation over blocked

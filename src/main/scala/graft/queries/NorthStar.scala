@@ -2923,27 +2923,26 @@ object NorthStar {
   }
 
   /** X2 linkage entity clustering ([[graft.operators.Dedup
-    * .connectedComponents]] over [[customerLinkagePairs]]): the rung
-    * Splink ships after pair scoring — q276's net-positive pairs as
-    * an undirected graph, min-label connected components assign each
-    * clustered record its canonical entity id (the q64 machinery:
-    * neighbor-min + pointer doubling, O(log diameter) rounds), plus
-    * the entity's cluster size. Records in no passing pair are
-    * unclustered and omitted (they keep their own identity).
-    * Scale shape: q276's blocked scoring, then edge-sized iterative
-    * joins — cluster sizes via one component-keyed aggregate+join,
-    * never a driver collect. */
+    * .linkageEntities]]): the rung Splink ships after pair scoring —
+    * q276's net-positive pairs as an undirected graph, min-label
+    * connected components assign each clustered record its canonical
+    * entity id plus the entity's cluster size. Records in no passing
+    * pair are unclustered and omitted. The operator never
+    * materializes the full pair set: identical-signature records
+    * star-connect to a representative (their mutual pairs always
+    * pass — runtime-guarded) and only DISTINCT signatures score
+    * pairwise, so the edge set stays record-linear on duplicate-dense
+    * data where passing pairs grow quadratically — value-identical to
+    * CC over q276's full output (the oracle walks the full pair set
+    * and hash-matches). Same fine block / fields / m as q276. */
   def customerLinkageEntities(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val pairs = customerLinkagePairs(spark, d)
-    val comp = Dedup.connectedComponents(
-      pairs.select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
-    val sizes = comp.groupBy($"component")
-      .agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "component")
-      .select($"doc_id".as("c_custkey"), $"component".as("entity_id"),
-        $"cluster_size")
-      .orderBy($"c_custkey")
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkageEntities(c, "c_custkey", "blk_fine", Seq(
+        "seg" -> $"c_mktsegment",
+        "cents" -> floor($"c_acctbal" * 100).cast("long")),
+      mPpm = 700000L)
   }
 
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
