@@ -302,6 +302,7 @@ object SparkEntry {
     "q279_linkage_em"    -> (NorthStar.customerLinkageEm _),
     "q280_linkage_entities" -> (NorthStar.customerLinkageEntities _),
     "q281_isotonic_apply" -> (NorthStar.lengthIsotonicApply _),
+    "q282_linkage_tf" -> (NorthStar.customerLinkageTf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5772,6 +5773,9 @@ object SparkEntry {
     // agreement-pattern counts, all-HUGEINT, built by the same
     // fragment generator shape as the Spark side (linkageEmSql).
     "q279_linkage_em" -> linkageEmSql,
+    // q282: tf-adjusted rescoring of the same blocked pairs (Splink's
+    // tf_adjustments) — see linkageTfSql.
+    "q282_linkage_tf" -> linkageTfSql,
     // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
     // exact HUGEINT sufficient statistics in ONE conditional
     // aggregate; the float tail folds the FIXED tier order 0,1,2
@@ -5914,6 +5918,58 @@ object SparkEntry {
       |     ELSE CAST(300000 AS HUGEINT) * 1000000 // (1000000 - u_cents)
       |     END) AS score_pp
       |  FROM p, u)""".stripMargin
+
+  /** q282's oracle: the shared linkage CTEs plus the tf-adjusted
+    * rescoring — the per-field branch is generated once and
+    * instantiated per field name so the two fields can never drift;
+    * the agreed value's count (ac_k, carried on the a-side row; both
+    * sides share the value, hence the count) replaces the field-level
+    * u inside the SAME clamp shape. Presented as DOUBLE: a both-agree
+    * tf score can exceed int64, and an exact-integer → double cast is
+    * correctly rounded identically in both engines. */
+  private val linkageTfSql: String = {
+    def branch(n: String) =
+      s"""    (CASE WHEN a_$n IS NULL OR b_$n IS NULL
+         |       THEN CAST(1000000 AS HUGEINT)
+         |     WHEN a_$n = b_$n
+         |       THEN CAST(700000 AS HUGEINT) * 1000000
+         |         // greatest(1, least(999999,
+         |           CASE WHEN CAST(n_$n AS HUGEINT) * (n_$n - 1) > 0
+         |           THEN CAST(CAST(ac_$n AS HUGEINT) * (ac_$n - 1)
+         |             * 1000000 // (CAST(n_$n AS HUGEINT) * (n_$n - 1))
+         |             AS BIGINT)
+         |           ELSE 500000 END))
+         |     ELSE CAST(300000 AS HUGEINT) * 1000000
+         |       // (1000000 - u_$n) END)""".stripMargin
+    def agree(n: String) =
+      s"(CASE WHEN a_$n IS NOT NULL AND b_$n IS NOT NULL " +
+        s"AND a_$n = b_$n THEN 1 ELSE 0 END)"
+    "WITH " + linkagePairsCtes + ",\n" +
+      s"""nn AS (SELECT
+        |    max(CASE WHEN f = 'seg' THEN n END) AS n_seg,
+        |    max(CASE WHEN f = 'cents' THEN n END) AS n_cents
+        |  FROM g),
+        |bt AS (SELECT b.pid, b.blk, b.f_seg, b.f_cents,
+        |    cs.c AS c_seg, cc.c AS c_cents
+        |  FROM base b
+        |  LEFT JOIN cnt cs ON cs.f = 'seg' AND cs.v = b.f_seg
+        |  LEFT JOIN cnt cc ON cc.f = 'cents' AND cc.v = b.f_cents),
+        |pt AS (SELECT a.pid AS id_a, b.pid AS id_b,
+        |    a.f_seg AS a_seg, b.f_seg AS b_seg, a.c_seg AS ac_seg,
+        |    a.f_cents AS a_cents, b.f_cents AS b_cents,
+        |    a.c_cents AS ac_cents
+        |  FROM bt a JOIN bt b ON a.blk = b.blk AND a.pid < b.pid),
+        |sct AS (SELECT id_a, id_b,
+        |    ${agree("seg")} + ${agree("cents")} AS n_agree,
+        |${branch("seg")}
+        |    *
+        |${branch("cents")} AS score_pp
+        |  FROM pt, u, nn)
+        |SELECT id_a, id_b, CAST(n_agree AS INTEGER) AS n_agree,
+        |       CAST(score_pp AS DOUBLE) AS score_pp
+        |FROM sct WHERE score_pp > CAST(1000000 AS HUGEINT) * 1000000
+        |ORDER BY score_pp DESC, id_a, id_b""".stripMargin
+  }
 
   /** q279's oracle: the two unrolled EM iterations as chained CTE
     * pairs (E-step responsibilities, M-step clamped updates),

@@ -1145,6 +1145,94 @@ object Dedup {
       .filter(col("score_pp") > cut)
   }
 
+  /** TERM-FREQUENCY-ADJUSTED PAIR SCORING — Splink's `tf_adjustments`
+    * rung over [[linkagePairScores]]: an agreement's evidence uses the
+    * AGREED VALUE's own chance-agreement rate instead of the field
+    * average,
+    *
+    *   u_v = c_v·(c_v − 1) / (n_k·(n_k − 1))   (clamped [1, 10⁶−1] ppm)
+    *
+    * so two records sharing a RARE value (c_v small → u_v near the
+    * 1 ppm clamp) score far higher than two sharing the field's most
+    * common value — the "agreeing on 'John' means less than agreeing
+    * on 'Thaddeus'" correction. Disagreements keep the field-level
+    * non-match odds (a disagreement names no value to adjust by);
+    * NULLs abstain at neutral, exactly as in the unadjusted form. All
+    * arithmetic stays exact-integer ppm — no float anywhere.
+    *
+    * Scale shape: the per-(field, value) count table (the same
+    * histogram [[linkageFieldWeights]] scans, full-table per ADVICE
+    * r12) joins each RECORD once per field — record-linear, never
+    * pair-sized; an agreeing pair then reads the value count off its
+    * own row (both sides carry the same value, hence the same count).
+    * A value covering a large share of records concentrates that
+    * join's key — the same contract as any aggregate keyed on the
+    * value; the pair stage is unchanged from [[linkagePairScores]]. */
+  def linkagePairScoresTf(df: DataFrame, id: String, block: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long = 950000L,
+      minScorePp: Option[java.math.BigDecimal] = None): DataFrame = {
+    linkageChecks(fields, mPpm)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = linkageBase(df, id, block, fields)
+    val uRow = linkageURow(df, fields)
+    // per-(field, value) counts + per-field totals from the FULL table
+    val cnt = df
+      .select(explode(array(fields.map { case (n, c) =>
+        struct(lit(n).as("f"), c.cast("string").as("v")) }: _*)).as("s"))
+      .select(col("s.f").as("f"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("f"), col("v")).agg(count(lit(1)).as("c"))
+    val nRow = cnt.groupBy(col("f")).agg(sum(col("c")).as("fn"))
+      .agg(max(when(col("f") === fields.head._1, col("fn")))
+          .as(s"n_${fields.head._1}"),
+        fields.tail.map(fd => max(when(col("f") === fd._1, col("fn")))
+          .as(s"n_${fd._1}")): _*)
+    // record-side tf: each record carries its own value's count c_k
+    val bt = fields.foldLeft(base) { case (acc, (n, _)) =>
+      acc.join(cnt.filter(col("f") === n)
+        .select(col("v").as(s"f_$n"), col("c").as(s"c_$n")),
+        Seq(s"f_$n"), "left")
+    }
+    val a = bt.select(Seq(col("pid").as("id_a"), col("blk")) ++
+      fields.flatMap { case (n, _) => Seq(col(s"f_$n").as(s"a_$n"),
+        col(s"c_$n").as(s"ac_$n")) }: _*)
+    val b = bt.select(Seq(col("pid").as("id_b"), col("blk")) ++
+      fields.map { case (n, _) => col(s"f_$n").as(s"b_$n") }: _*)
+    val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(uRow.crossJoin(nRow)))
+    val neutral = dec(lit(1000000L))
+    def fieldScore(n: String) = {
+      // value-level u for the agreed value, same clamp shape as the
+      // field-level linkageUCol (500000 fallback when n_k < 2)
+      val uv = s"greatest(1L, least(999999L, if(" +
+        s"cast(n_$n as decimal(38,0)) * (n_$n - 1) > 0, " +
+        s"cast(cast(ac_$n as decimal(38,0)) * (ac_$n - 1) * 1000000 " +
+        s"div (cast(n_$n as decimal(38,0)) * (n_$n - 1)) as bigint), " +
+        s"500000L)))"
+      val mOdds = expr(s"cast($mPpm as decimal(38,0)) * 1000000" +
+        s" div ($uv)")
+      val nmOdds = expr(s"cast(${1000000L - mPpm} as decimal(38,0))" +
+        s" * 1000000 div (1000000 - u_$n)")
+      when(col(s"a_$n").isNull || col(s"b_$n").isNull, neutral)
+        .when(col(s"a_$n") === col(s"b_$n"), dec(mOdds))
+        .otherwise(dec(nmOdds))
+    }
+    val score = fields.map { case (n, _) => fieldScore(n) }
+      .reduce((x, y) => dec(x * y))
+    val nAgree = fields.map { case (n, _) =>
+      (col(s"a_$n").isNotNull && col(s"b_$n").isNotNull &&
+        col(s"a_$n") === col(s"b_$n")).cast("int") }.reduce(_ + _)
+    val cut = minScorePp.map(v => lit(v).cast("decimal(38,0)"))
+      .getOrElse(dec(lit(java.math.BigDecimal.valueOf(1000000L)
+        .pow(fields.size))))
+    pairs
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.cast("decimal(38,0)").as("score_pp"))
+      .filter(col("score_pp") > cut)
+      .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
+  }
+
   /** LINKAGE ENTITY CLUSTERING — the rung Splink ships after pair
     * scoring: connected components of the net-positive pair graph,
     * each clustered record labeled with its canonical entity id (the

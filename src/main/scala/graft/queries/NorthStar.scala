@@ -2945,6 +2945,26 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X2 term-frequency-adjusted linkage scoring ([[graft.operators
+    * .Dedup.linkagePairScoresTf]]): q276's blocked pairs rescored with
+    * Splink's tf_adjustments — an agreement's evidence uses the AGREED
+    * VALUE's own chance-agreement rate (two customers sharing a rare
+    * exact balance score far above two sharing the most common
+    * segment), disagreements keep the field-level penalty. Same fine
+    * block / fields / m as q276; all-integer chain, presented as
+    * DOUBLE (a both-agree tf score can exceed int64; an exact integer
+    * → double cast is correctly rounded identically in both engines). */
+  def customerLinkageTf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkagePairScoresTf(c, "c_custkey", "blk_fine", Seq(
+        "seg" -> $"c_mktsegment",
+        "cents" -> floor($"c_acctbal" * 100).cast("long")),
+      mPpm = 700000L)
+      .withColumn("score_pp", $"score_pp".cast("double"))
+  }
+
   /** X15 A/B-split funnel ([[graft.operators.Behavior.funnelByArm]]):
     * the signup→view→purchase funnel per user_id mod 2 arm with a
     * per-step two-proportion z vs arm 0 — "did the variant move

@@ -3040,6 +3040,70 @@ class NorthStarSpec extends SparkSpec {
       (2, 10L, 900000L, 900000L)))
   }
 
+  test("linkagePairScoresTf: agreed-value frequency replaces the " +
+      "field-level u — rare-value agreement outscores common-value " +
+      "agreement; BigInt reference match") {
+    import spark.implicits._
+    // f1: 'A' is common (5 of 7), 'R' rare (2 of 7); f2 all distinct
+    val recs = Seq(
+      (1L, Some("A"), Some("p")), (2L, Some("A"), Some("q")),
+      (3L, Some("A"), Some("r")), (4L, Some("A"), Some("s")),
+      (5L, Some("R"), Some("t")), (6L, Some("R"), None),
+      (7L, Some("A"), None))
+    val df = recs.map { case (i, a, b) => (i, "X", a, b) }
+      .toDF("id", "blk", "f1", "f2")
+    val got = Dedup.linkagePairScoresTf(df, "id", "blk",
+        Seq("f1" -> $"f1", "f2" -> $"f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDecimal(3).toBigInteger)).toList
+    // BigInt reference: per-value u for agreements, field-level u for
+    // disagreements, identical clamps
+    val M = BigInt(1000000)
+    def clampU(x: BigInt) = x.max(BigInt(1)).min(BigInt(999999))
+    def vals(side: Int) = recs.flatMap(r =>
+      if (side == 1) r._2 else r._3)
+    def fieldU(vs: Seq[String]): BigInt = {
+      val n = BigInt(vs.size)
+      val ap = vs.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1)).sum
+      if (n < 2) BigInt(500000)
+      else clampU(ap * M / (n * (n - 1)))
+    }
+    def valueU(vs: Seq[String], v: String): BigInt = {
+      val n = BigInt(vs.size)
+      val c = BigInt(vs.count(_ == v))
+      if (n * (n - 1) <= 0) BigInt(500000)
+      else clampU(c * (c - 1) * M / (n * (n - 1)))
+    }
+    val (v1, v2) = (vals(1).map(_.toString), vals(2).map(_.toString))
+    def fs(side: Int, x: Option[String], y: Option[String]): BigInt = {
+      val vs = if (side == 1) v1 else v2
+      if (x.isEmpty || y.isEmpty) M
+      else if (x == y) BigInt(950000) * M / valueU(vs, x.get)
+      else BigInt(50000) * M / (M - fieldU(vs))
+    }
+    val want = (for {
+      (ia, a1, a2) <- recs; (ib, b1, b2) <- recs if ia < ib
+    } yield {
+      val score = fs(1, a1, b1) * fs(2, a2, b2)
+      val nAgree = Seq((a1, b1), (a2, b2)).count { case (x, y) =>
+        x.isDefined && y.isDefined && x == y }
+      (ia, ib, nAgree, score)
+    }).filter(_._4 > M * M)
+      .sortBy { case (a, b, _, s) => (s, a, b) }
+      .sortBy { case (_, _, _, s) => s }.reverse
+      .map { case (a, b, n, s) => (a, b, n, s.bigInteger) }
+    val wantSorted = want.sortBy { case (a, b, _, _) => (a, b) }
+    assert(got.nonEmpty &&
+      got.sortBy { case (a, b, _, _) => (a, b) } == wantSorted)
+    // same pair shape (one agreement + one NULL abstention): the
+    // rare-'R' agreement (5,6) must outscore the common-'A' one (1,7)
+    val score56 = got.find(p => p._1 == 5L && p._2 == 6L).map(_._4)
+    val score17 = got.find(p => p._1 == 1L && p._2 == 7L).map(_._4)
+    assert(score56.isDefined && score17.isDefined &&
+      score56.get.compareTo(score17.get) > 0)
+  }
+
   test("linkageEmMU: two integer-ppm EM iterations match a BigInt " +
       "reference; NULL-field pairs excluded; empty input -> NULLs") {
     import spark.implicits._
