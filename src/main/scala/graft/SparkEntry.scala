@@ -303,6 +303,8 @@ object SparkEntry {
     "q280_linkage_entities" -> (NorthStar.customerLinkageEntities _),
     "q281_isotonic_apply" -> (NorthStar.lengthIsotonicApply _),
     "q282_linkage_tf" -> (NorthStar.customerLinkageTf _),
+    "q284_block_audit" -> (NorthStar.customerBlockAudit _),
+    "q285_krippendorff" -> (NorthStar.qualityKrippendorff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5776,6 +5778,81 @@ object SparkEntry {
     // q282: tf-adjusted rescoring of the same blocked pairs (Splink's
     // tf_adjustments) — see linkageTfSql.
     "q282_linkage_tf" -> linkageTfSql,
+    // q285: Krippendorff's alpha (nominal) — coincidence-matrix
+    // identities, no rating pair ever forms; per-unit and final
+    // divisions truncating, sign-safe alpha (STATUS signed-division
+    // rule).
+    "q285_krippendorff" ->
+      """WITH st AS (
+        |  SELECT u, CAST(v AS VARCHAR) AS v FROM (
+        |    SELECT doc_id AS u, unnest([r1, r2, r3]) AS v FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN n_chars >= 50
+        |          THEN CAST(n_chars >= 300 AS INTEGER) END AS r1,
+        |        CASE WHEN doc_id % 7 <> 0
+        |          THEN CAST(lang = 'en' AS INTEGER) END AS r2,
+        |        CASE WHEN doc_id % 5 <> 0
+        |          THEN CAST(len(string_split(text, ' ')) >= 50
+        |            AS INTEGER) END AS r3
+        |      FROM documents))
+        |  WHERE u IS NOT NULL AND v IS NOT NULL),
+        |uc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM st GROUP BY 1, 2),
+        |um AS (SELECT u, CAST(sum(c) AS BIGINT) AS m,
+        |         sum(CAST(c AS HUGEINT) * c) AS s2
+        |       FROM uc GROUP BY 1 HAVING sum(c) >= 2),
+        |dr AS (SELECT coalesce(sum((CAST(m AS HUGEINT) * m - s2)
+        |           * 1000000 // (m - 1)), 0) AS do_ppm,
+        |         CAST(count(*) AS BIGINT) AS n_units
+        |       FROM um),
+        |nc AS (SELECT v, CAST(sum(c) AS BIGINT) AS ncv
+        |       FROM uc JOIN um USING (u) GROUP BY 1),
+        |de AS (SELECT coalesce(CAST(sum(ncv) AS BIGINT), 0) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_values,
+        |         coalesce(sum(CAST(ncv AS HUGEINT) * ncv), 0) AS sc2
+        |       FROM nc),
+        |fin AS (SELECT dr.n_units, de.n_values, de.n,
+        |    CAST(dr.do_ppm AS BIGINT) AS do_ppm,
+        |    CASE WHEN de.n > 1 THEN
+        |      CAST((CAST(de.n AS HUGEINT) * de.n - de.sc2) * 1000000
+        |        // (de.n - 1) AS BIGINT) END AS de_ppm
+        |  FROM dr, de)
+        |SELECT n_units, n_values, n, do_ppm, de_ppm,
+        |  CASE WHEN de_ppm > 0 THEN
+        |    CAST(CAST(sign(de_ppm - do_ppm) AS HUGEINT)
+        |      * (abs(CAST(de_ppm AS HUGEINT) - do_ppm) * 1000000
+        |         // de_ppm) AS BIGINT) END AS alpha_ppm
+        |FROM fin""".stripMargin,
+    // q284: blocking pre-flight — exact candidate-pair bill per block
+    // key from ONE key-sized aggregate, never a pair.
+    "q284_block_audit" ->
+      """WITH a AS (
+        |  SELECT 'nation_bal100_fine' AS block_key,
+        |    concat_ws('_', c_nationkey,
+        |      CAST(floor(c_acctbal / 100) AS BIGINT)) AS blk
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'nation_coarse', CAST(c_nationkey AS VARCHAR)
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+        |sz AS (SELECT block_key, blk, CAST(count(*) AS BIGINT) AS c
+        |       FROM a GROUP BY 1, 2)
+        |SELECT block_key,
+        |  CAST(sum(c) AS BIGINT) AS n_records,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CAST(c AS HUGEINT) * (c - 1)) // 2 AS BIGINT)
+        |    AS candidate_pairs,
+        |  CAST(max(c) AS BIGINT) AS max_block,
+        |  CASE WHEN sum(CAST(c AS HUGEINT) * (c - 1)) > 0 THEN
+        |    CAST(max(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+        |      // sum(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+        |  ELSE 0 END AS hot_block_pairs_ppm,
+        |  CASE WHEN sum(c) > 1 THEN
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+        |      // (CAST(sum(c) AS HUGEINT) * (CAST(sum(c) AS HUGEINT)
+        |          - 1)) AS BIGINT)
+        |  ELSE 0 END AS vs_allpairs_ppm
+        |FROM sz GROUP BY 1 ORDER BY block_key""".stripMargin,
     // q274: post-stratified ATE — 3 engagement tiers × 2 arms of
     // exact HUGEINT sufficient statistics in ONE conditional
     // aggregate; the float tail folds the FIXED tier order 0,1,2

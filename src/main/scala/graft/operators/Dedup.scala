@@ -1145,6 +1145,49 @@ object Dedup {
       .filter(col("score_pp") > cut)
   }
 
+  /** BLOCKING PRE-FLIGHT AUDIT — Splink's "count comparisons" step:
+    * the exact candidate-pair bill a block key will generate, BEFORE
+    * any pair forms. One row per audited key: record/block counts,
+    * Σ c·(c−1)/2 candidate pairs (exact, DECIMAL), the largest
+    * block, the largest block's share of all candidates (ppm), and
+    * the reduction ratio vs the unblocked n·(n−1)/2 cross product
+    * (ppm). This is the operator form of SCALING.md's q276 lesson:
+    * the coarse 25-value nation block reads ~4.5M pairs at sf0.1
+    * where the shipped fine composite reads ~41k — and the audit
+    * costs ONE key-sized aggregate, not the quadratic it predicts.
+    * Run it before every linkage job; a candidate count that grows
+    * faster than records round-over-round is the R² signature.
+    *
+    * Scale shape: one groupBy(block) count (map-side combined) per
+    * key, then a blocks-sized aggregate — never a pair. */
+  def linkageBlockAudit(df: DataFrame, id: String,
+      blocks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(blocks.nonEmpty, "at least one block key to audit")
+    require(blocks.map(_._1).distinct.size == blocks.size,
+      s"duplicate block-key names in ${blocks.map(_._1)}")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    blocks.map { case (name, blockCol) =>
+      val sizes = df.filter(col(id).isNotNull && blockCol.isNotNull)
+        .select(blockCol.cast("string").as("blk"))
+        .groupBy(col("blk")).agg(count(lit(1)).as("c"))
+      sizes.agg(
+          sum(col("c")).cast("bigint").as("n_records"),
+          count(lit(1)).cast("bigint").as("n_blocks"),
+          sum(dec(col("c")) * (col("c") - 1)).as("p2"),
+          max(col("c")).cast("bigint").as("max_block"),
+          max(dec(col("c")) * (col("c") - 1)).as("mp2"))
+        .select(lit(name).as("block_key"), col("n_records"),
+          col("n_blocks"),
+          expr("cast(p2 div 2 as bigint)").as("candidate_pairs"),
+          col("max_block"),
+          expr("case when p2 > 0 then cast(mp2 * 1000000 div p2" +
+            " as bigint) else 0L end").as("hot_block_pairs_ppm"),
+          expr("case when n_records > 1 then cast(p2 * 1000000 div" +
+            " (cast(n_records as decimal(38,0)) * (n_records - 1))" +
+            " as bigint) else 0L end").as("vs_allpairs_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** TERM-FREQUENCY-ADJUSTED PAIR SCORING — Splink's `tf_adjustments`
     * rung over [[linkagePairScores]]: an agreement's evidence uses the
     * AGREED VALUE's own chance-agreement rate instead of the field

@@ -456,6 +456,69 @@ object Labeling {
             " as bigint) end").as("kappa_ppm"))
   }
 
+  /** KRIPPENDORFF'S ALPHA, nominal metric — the agreement coefficient
+    * that HANDLES MISSING RATINGS, which Cohen's κ (pairs only) and
+    * Fleiss' κ (every rater rates every unit) cannot: raters may
+    * abstain per unit (NULL), and any unit with ≥ 2 ratings
+    * contributes. Computed from the coincidence-matrix identities so
+    * no pair of ratings ever forms:
+    *
+    *   Do·10⁶ = Σ_{units u, m_u ≥ 2} (m_u² − Σ_c n_uc²)·10⁶ div (m_u−1)
+    *   De·10⁶ = (n² − Σ_c n_c²)·10⁶ div (n−1)
+    *   α      = (De − Do) / De        (sign-safe truncating ppm)
+    *
+    * where n_uc = unit u's count of value c, m_u = Σ_c n_uc, and
+    * n_c / n sum over PAIRABLE units only (the Krippendorff 2011
+    * recipe). m_u² − Σ n_uc² is the unit's ordered disagreeing-pair
+    * count — an integer — so every term is exact; the per-unit and
+    * final divisions truncate (sign-safe form for α, which is
+    * negative under systematic disagreement). Values are compared
+    * nominally as strings. One row: (n_units pairable, n_values,
+    * n ratings, do_ppm, de_ppm, alpha_ppm); NULL α when De = 0
+    * (fewer than 2 ratings total, or a single value everywhere —
+    * agreement is then undefined, not perfect).
+    *
+    * Scale shape: one generator explode (unit, value), ONE
+    * (unit, value) count aggregate — the only data-sized shuffle —
+    * then unit-sized and values-sized aggregates. No rating pair
+    * ever materializes. */
+  def krippendorffAlpha(df: DataFrame, unit: Column,
+      raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    val stacked = df
+      .select(unit.as("u"), explode(array(raters.map(
+        _.cast("string")): _*)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val uc = stacked.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val um = uc.groupBy(col("u"))
+      .agg(sum(col("c")).as("m"), sum(dec(col("c")) * col("c")).as("s2"))
+      .filter(col("m") >= 2)
+    val doRow = um
+      .select(expr("(cast(m as decimal(38,0)) * m - s2) * 1000000" +
+        " div (m - 1)").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0).cast("decimal(38,0)"))
+        .as("do_ppm"), count(lit(1)).as("n_units"))
+    val nc = uc.join(um.select(col("u")), Seq("u"))
+      .groupBy(col("v")).agg(sum(col("c")).as("ncv"))
+    val deRow = nc.agg(
+      coalesce(sum(col("ncv")), lit(0)).as("n"),
+      count(lit(1)).as("n_values"),
+      coalesce(sum(dec(col("ncv")) * col("ncv")),
+        lit(0).cast("decimal(38,0)")).as("sc2"))
+    doRow.crossJoin(deRow)
+      .select(col("n_units"), col("n_values"),
+        col("n").cast("bigint").as("n"),
+        expr("cast(do_ppm as bigint)").as("do_ppm"),
+        expr("case when n > 1 then cast((cast(n as decimal(38,0)) * n" +
+          " - sc2) * 1000000 div (n - 1) as bigint) end").as("de_ppm"))
+      .withColumn("alpha_ppm",
+        expr("case when de_ppm > 0 then cast(cast(sign(de_ppm" +
+          " - do_ppm) as decimal(38,0)) * (abs(cast(de_ppm as" +
+          " decimal(38,0)) - do_ppm) * 1000000 div de_ppm)" +
+          " as bigint) end"))
+  }
+
   /** CALIBRATION TABLE of a ppm-scaled score against a binary label —
     * the reliability diagram as exact integers: rows land in
     * `bins` equal-width score buckets (bin = score·bins div 10⁶,

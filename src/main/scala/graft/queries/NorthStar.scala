@@ -2945,6 +2945,39 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X17 Krippendorff's alpha ([[graft.operators.Labeling
+    * .krippendorffAlpha]]): the three quality LFs as a rater panel
+    * WITH ABSTENTIONS — the length rule abstains on very short docs
+    * (< 50 chars: too little signal to judge), the language rule
+    * skips every 7th doc and the wordiness rule every 5th (sampled
+    * labeling) — the missing-ratings agreement coefficient q255's
+    * pairwise κ and q259's complete-panel Fleiss cannot compute. */
+  def qualityKrippendorff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.krippendorffAlpha(Tables.documents(spark, d), $"doc_id",
+      Seq(
+        when($"n_chars" >= 50, ($"n_chars" >= 300).cast("int")),
+        when(pmod($"doc_id", lit(7L)) =!= 0,
+          ($"lang" === "en").cast("int")),
+        when(pmod($"doc_id", lit(5L)) =!= 0,
+          (size(split($"text", " ")) >= 50).cast("int"))))
+  }
+
+  /** X2 blocking pre-flight audit ([[graft.operators.Dedup
+    * .linkageBlockAudit]]): the exact candidate-pair bill of the
+    * coarse nation block vs the shipped fine composite, side by side
+    * — Splink's "count comparisons" step, the one-aggregate check
+    * that catches SCALING.md's q276 R² quadratic BEFORE any pair
+    * forms (at sf0.1: ~4.5M candidates coarse vs ~41k fine). */
+  def customerBlockAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.linkageBlockAudit(Tables.customer(spark, d), "c_custkey", Seq(
+        "nation_bal100_fine" -> concat_ws("_", $"c_nationkey",
+          floor($"c_acctbal" / 100).cast("long")),
+        "nation_coarse" -> $"c_nationkey"))
+      .orderBy($"block_key")
+  }
+
   /** X2 term-frequency-adjusted linkage scoring ([[graft.operators
     * .Dedup.linkagePairScoresTf]]): q276's blocked pairs rescored with
     * Splink's tf_adjustments — an agreement's evidence uses the AGREED

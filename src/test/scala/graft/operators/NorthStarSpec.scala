@@ -3040,6 +3040,53 @@ class NorthStarSpec extends SparkSpec {
       (2, 10L, 900000L, 900000L)))
   }
 
+  test("krippendorffAlpha: hand-traced nominal alpha with missing " +
+      "ratings; unpairable units excluded; negative alpha sign-safe") {
+    import spark.implicits._
+    // u1 (A,A) agree; u2 (A,B) disagree; u3 (B,B,B) agree; u4 (A,-)
+    // unpairable -> excluded. Pairable n=7, n_A=3, n_B=4:
+    // do = 0 + 2e6/1 + 0 = 2e6; de = (49-25)e6/6 = 4e6; alpha = 0.5
+    val df = Seq(
+      (1L, Some("A"), Some("A"), None),
+      (2L, Some("A"), Some("B"), None),
+      (3L, Some("B"), Some("B"), Some("B")),
+      (4L, Some("A"), None, None)).toDF("u", "r1", "r2", "r3")
+    val got = Labeling.krippendorffAlpha(df, $"u",
+      Seq($"r1", $"r2", $"r3")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      (3L, 2L, 7L, 2000000L, 4000000L, 500000L))
+    // systematic disagreement -> negative alpha through the sign-safe
+    // truncation: do = 4e6, de = (16-8)e6/3 = 2666666, alpha =
+    // -(1333334*1e6 div 2666666) = -500000
+    val dis = Seq((1L, "A", "B"), (2L, "A", "B")).toDF("u", "r1", "r2")
+    val gotD = Labeling.krippendorffAlpha(dis, $"u", Seq($"r1", $"r2"))
+      .collect().head
+    assert(gotD.getLong(4) == 2666666L && gotD.getLong(5) == -500000L)
+    // a single value everywhere: de = 0 -> alpha NULL, not perfect
+    val mono = Seq((1L, "A", "A"), (2L, "A", "A")).toDF("u", "r1", "r2")
+    assert(Labeling.krippendorffAlpha(mono, $"u", Seq($"r1", $"r2"))
+      .collect().head.isNullAt(5))
+  }
+
+  test("linkageBlockAudit: exact candidate-pair bill per block key; " +
+      "NULL blocks dropped; two keys audited in one call") {
+    import spark.implicits._
+    // key k: block sizes 3,2,1 -> p2 = 6+2+0 = 8 -> 4 candidate
+    // pairs; hot share 6/8 = 750000 ppm; vs all-pairs 8/(6*5)
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "b"), (6L, "c")).toDF("id", "k")
+      .withColumn("k2", when($"id" <= 2, lit("x")))
+    val rows = Dedup.linkageBlockAudit(df, "id",
+        Seq("k" -> $"k", "k2" -> $"k2"))
+      .orderBy($"block_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(rows == List(
+      ("k", 6L, 3L, 4L, 3L, 750000L, 266666L),
+      ("k2", 2L, 1L, 1L, 2L, 1000000L, 1000000L)))
+  }
+
   test("linkagePairScoresTf: agreed-value frequency replaces the " +
       "field-level u — rare-value agreement outscores common-value " +
       "agreement; BigInt reference match") {
