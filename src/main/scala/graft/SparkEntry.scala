@@ -305,6 +305,7 @@ object SparkEntry {
     "q282_linkage_tf" -> (NorthStar.customerLinkageTf _),
     "q284_block_audit" -> (NorthStar.customerBlockAudit _),
     "q285_krippendorff" -> (NorthStar.qualityKrippendorff _),
+    "q286_diff_in_diff" -> (NorthStar.revenueDiffInDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5778,6 +5779,61 @@ object SparkEntry {
     // q282: tf-adjusted rescoring of the same blocked pairs (Splink's
     // tf_adjustments) — see linkageTfSql.
     "q282_linkage_tf" -> linkageTfSql,
+    // q286: difference-in-differences — per-user post-minus-pre cents
+    // delta (silent period = 0, not missing), Welch SE over the
+    // deltas; exact HUGEINT sufficient stats, q274's vm form (exact
+    // integer difference, THEN the double cast), fixed fold order.
+    "q286_diff_in_diff" ->
+      """WITH pu AS (SELECT user_id % 2 AS v, user_id AS u,
+        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP
+        |        '2024-01-16 00:00:00'
+        |        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+        |      - coalesce(sum(CASE WHEN NOT (ts >= TIMESTAMP
+        |        '2024-01-16 00:00:00')
+        |        THEN CAST(round(value * 100) AS BIGINT) END), 0)
+        |      AS BIGINT) AS d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |one AS (SELECT
+        |    CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    coalesce(sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) END),
+        |      0) AS s1_a,
+        |    coalesce(sum(CASE WHEN v = 0 THEN CAST(d AS HUGEINT) * d
+        |      END), 0) AS s2_a,
+        |    CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    coalesce(sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) END),
+        |      0) AS s1_b,
+        |    coalesce(sum(CASE WHEN v = 1 THEN CAST(d AS HUGEINT) * d
+        |      END), 0) AS s2_b
+        |  FROM pu),
+        |w AS (SELECT *,
+        |    CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    CAST(CAST(n_a AS HUGEINT) * s2_a - s1_a * s1_a AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+        |      / CAST(n_a AS DOUBLE) AS va,
+        |    CAST(CAST(n_b AS HUGEINT) * s2_b - s1_b * s1_b AS DOUBLE)
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+        |      / CAST(n_b AS DOUBLE) AS vb
+        |  FROM one),
+        |w2 AS (SELECT *, mb - ma AS did, va + vb AS se2 FROM w),
+        |w3 AS (SELECT *,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |      THEN round(did / sqrt(se2), 4) + 0.0 END AS z
+        |  FROM w2)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a >= 1 THEN round(ma, 4) + 0.0 END AS dbar_a,
+        |  CASE WHEN n_b >= 1 THEN round(mb, 4) + 0.0 END AS dbar_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(did, 4) + 0.0
+        |    END AS did,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |    THEN round(sqrt(se2), 4) + 0.0 END AS se,
+        |  z,
+        |  CAST(coalesce(abs(z) >= 1.96, false) AS INTEGER)
+        |    AS significant
+        |FROM w3""".stripMargin,
     // q285: Krippendorff's alpha (nominal) — coincidence-matrix
     // identities, no rating pair ever forms; per-unit and final
     // divisions truncating, sign-safe alpha (STATUS signed-division

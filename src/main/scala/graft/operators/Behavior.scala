@@ -479,6 +479,79 @@ object Behavior {
       coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the two-period panel estimator: per
+    * user, the metric's post-minus-pre delta d_u (a user silent in a
+    * period contributes 0 there, not a missing value — absence of
+    * revenue IS the observation), then
+    *
+    *   DiD = mean(d | treated) − mean(d | control)
+    *
+    * with a Welch SE over the per-user deltas — differencing removes
+    * each user's level (the user fixed effect), so time-invariant
+    * user heterogeneity never biases the contrast; what remains is
+    * the parallel-trends assumption, which is the analyst's to
+    * defend. Sufficient statistics are EXACT: per arm n, Σd, Σd² in
+    * DECIMAL(38,0) over integer cents (deltas are signed — the
+    * squares are fine), the float tail (means, variance, z) folds in
+    * fixed operand order and rounds 4 dp. One row: (n_a, n_b, dbar_a,
+    * dbar_b, did, se, z, significant); se/z NULL under n < 2 in
+    * either arm or zero variance.
+    *
+    * Scale shape: ONE (variant, user) conditional aggregate — the
+    * only data-sized shuffle, map-side combined (a planted hot user
+    * collapses before the shuffle) — then a 6-number fold. */
+  def diffInDiff(events: DataFrame, user: String,
+      value: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column,
+      post: org.apache.spark.sql.Column): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pu = events
+      .select(variant.as("v"), col(user).as("u"),
+        value.cast("long").as("cents"), post.as("p"))
+      .filter(col("u").isNotNull && col("cents").isNotNull &&
+        col("p").isNotNull)
+      .groupBy(col("v"), col("u"))
+      .agg((coalesce(sum(when(col("p"), col("cents"))), lit(0L)) -
+        coalesce(sum(when(!col("p"), col("cents"))), lit(0L))).as("d"))
+    val one = pu.agg(
+      count(when(col("v") === 0, lit(1))).as("n_a"),
+      coalesce(sum(when(col("v") === 0, dec(col("d")))),
+        lit(0).cast("decimal(38,0)")).as("s1_a"),
+      coalesce(sum(when(col("v") === 0, dec(col("d")) * col("d"))),
+        lit(0).cast("decimal(38,0)")).as("s2_a"),
+      count(when(col("v") === 1, lit(1))).as("n_b"),
+      coalesce(sum(when(col("v") === 1, dec(col("d")))),
+        lit(0).cast("decimal(38,0)")).as("s1_b"),
+      coalesce(sum(when(col("v") === 1, dec(col("d")) * col("d"))),
+        lit(0).cast("decimal(38,0)")).as("s2_b"))
+    def d(n: String) = col(n).cast("double")
+    def mean(s: String) = d(s"s1_$s") / d(s"n_$s")
+    // per-arm variance of the mean from the exact sums (q274's vm)
+    def vm(s: String) =
+      (col(s"n_$s").cast("decimal(38,0)") * col(s"s2_$s") -
+        col(s"s1_$s") * col(s"s1_$s")).cast("double") /
+        (d(s"n_$s") * (d(s"n_$s") - lit(1.0))) / d(s"n_$s")
+    val any = col("n_a") >= 1 && col("n_b") >= 1
+    val okN = col("n_a") >= 2 && col("n_b") >= 2
+    val did = mean("b") - mean("a")
+    val se2 = vm("a") + vm("b")
+    val ok = okN && se2 > 0.0
+    val z = when(ok, round(did / sqrt(se2), 4) + lit(0.0))
+      .otherwise(lit(null).cast("double"))
+    one.select(col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      when(col("n_a") >= 1, round(mean("a"), 4) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("dbar_a"),
+      when(col("n_b") >= 1, round(mean("b"), 4) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("dbar_b"),
+      when(any, round(did, 4) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("did"),
+      when(ok, round(sqrt(se2), 4) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("se"),
+      z.as("z"),
+      coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+  }
+
   /** [[abTest]]'s readout over an ALREADY-MAINTAINED per-user state
     * frame (v, u, conv ∈ {0,1}) — the conversion twin of
     * [[welchTFromState]]: per-user converted flags merge by max

@@ -2945,6 +2945,19 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X15 difference-in-differences ([[graft.operators.Behavior
+    * .diffInDiff]]): per-user revenue-cents delta across the
+    * mid-month cutoff (2024-01-16), treated = user_id mod 2 — the
+    * two-period panel estimator whose differencing removes user-level
+    * heterogeneity; the quasi-experimental rung beside q210's A/B,
+    * q271's CUPED and q274's post-stratified ATE. */
+  def revenueDiffInDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.diffInDiff(Tables.events(spark, d), "user_id",
+      round($"value" * 100, 0), pmod($"user_id", lit(2L)),
+      $"ts" >= expr("TIMESTAMP '2024-01-16 00:00:00'"))
+  }
+
   /** X17 Krippendorff's alpha ([[graft.operators.Labeling
     * .krippendorffAlpha]]): the three quality LFs as a rater panel
     * WITH ABSTENTIONS — the length rule abstains on very short docs

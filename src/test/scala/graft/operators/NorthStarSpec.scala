@@ -3040,6 +3040,33 @@ class NorthStarSpec extends SparkSpec {
       (2, 10L, 900000L, 900000L)))
   }
 
+  test("diffInDiff: hand-traced two-period panel estimate — silent " +
+      "periods count as zero; Welch SE over per-user deltas") {
+    import spark.implicits._
+    // arm0: u0 d=+200, u2 d=+100 (silent pre = 0); arm1: u1 d=-100,
+    // u3 d=0. dbar_a=150, dbar_b=-50, did=-200; va=vb=2500 ->
+    // se=sqrt(5000)=70.7107, z=-2.8284 -> significant
+    val ev = Seq(
+      (0L, 0L, 100L), (0L, 10L, 300L),
+      (2L, 10L, 100L),
+      (1L, 0L, 500L), (1L, 10L, 400L),
+      (3L, 0L, 200L), (3L, 10L, 200L)).toDF("user_id", "t", "cents")
+    val got = Behavior.diffInDiff(ev, "user_id", $"cents",
+      pmod($"user_id", lit(2L)), $"t" >= 5L).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2),
+      got.getDouble(3), got.getDouble(4)) ==
+      (2L, 2L, 150.0, -50.0, -200.0))
+    assert(got.getDouble(5) == 70.7107 && got.getDouble(6) == -2.8284
+      && got.getInt(7) == 1)
+    // one-user arms: estimate defined, se/z NULL, never significant
+    val tiny = Seq((0L, 0L, 100L), (0L, 10L, 200L), (1L, 10L, 50L))
+      .toDF("user_id", "t", "cents")
+    val g2 = Behavior.diffInDiff(tiny, "user_id", $"cents",
+      pmod($"user_id", lit(2L)), $"t" >= 5L).collect().head
+    assert(g2.getDouble(4) == -50.0 && g2.isNullAt(5) && g2.isNullAt(6)
+      && g2.getInt(7) == 0)
+  }
+
   test("krippendorffAlpha: hand-traced nominal alpha with missing " +
       "ratings; unpairable units excluded; negative alpha sign-safe") {
     import spark.implicits._
