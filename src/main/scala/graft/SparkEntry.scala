@@ -306,6 +306,7 @@ object SparkEntry {
     "q284_block_audit" -> (NorthStar.customerBlockAudit _),
     "q285_krippendorff" -> (NorthStar.qualityKrippendorff _),
     "q286_diff_in_diff" -> (NorthStar.revenueDiffInDiff _),
+    "q287_dawid_skene" -> (NorthStar.qualityDawidSkene _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5779,6 +5780,9 @@ object SparkEntry {
     // q282: tf-adjusted rescoring of the same blocked pairs (Splink's
     // tf_adjustments) — see linkageTfSql.
     "q282_linkage_tf" -> linkageTfSql,
+    // q287: Dawid–Skene — two unrolled EM iterations, all-HUGEINT
+    // ppm, generated per rater (see dawidSkeneSql).
+    "q287_dawid_skene" -> dawidSkeneSql,
     // q286: difference-in-differences — per-user post-minus-pre cents
     // delta (silent period = 0, not missing), Welch SE over the
     // deltas; exact HUGEINT sufficient stats, q274's vm form (exact
@@ -6051,6 +6055,79 @@ object SparkEntry {
       |     ELSE CAST(300000 AS HUGEINT) * 1000000 // (1000000 - u_cents)
       |     END) AS score_pp
       |  FROM p, u)""".stripMargin
+
+  /** q287's oracle: Dawid–Skene's two EM iterations unrolled as
+    * generated CTE pairs (E: per-unit responsibility against the
+    * previous parameter row; M: clamped conditional aggregates with
+    * max(prev) as the empty-update fallback), fragment-generated per
+    * rater so the Spark fold and the SQL can never drift. All-HUGEINT
+    * ppm, truncating `//` on non-negative operands only. */
+  private val dawidSkeneSql: String = {
+    val k = 3
+    def f1(j: Int) = s"(CASE WHEN v$j IS NULL THEN 1000000 " +
+      s"WHEN v$j = 1 THEN a$j ELSE 1000000 - a$j END)"
+    def f0(j: Int) = s"(CASE WHEN v$j IS NULL THEN 1000000 " +
+      s"WHEN v$j = 1 THEN 1000000 - b$j ELSE b$j END)"
+    def eCte(pSrc: String, out: String) = {
+      val w1 = ("CAST(pi AS HUGEINT)" +: (0 until k).map(f1))
+        .mkString(" * ")
+      val w0 = ("CAST(1000000 - pi AS HUGEINT)" +: (0 until k).map(f0))
+        .mkString(" * ")
+      s"$out AS (SELECT u.*, p.*,\n    CAST(($w1) * 1000000 " +
+        s"// (($w1) + ($w0)) AS BIGINT) AS r\n" +
+        s"  FROM u0 u CROSS JOIN $pSrc p)"
+    }
+    def clamp(x: String) =
+      s"greatest(1, least(999999, CAST($x AS BIGINT)))"
+    def pCte(src: String, out: String) = {
+      val cols = (0 until k).flatMap { j =>
+        val da = s"coalesce(sum(CASE WHEN v$j IS NOT NULL THEN " +
+          s"CAST(r AS HUGEINT) END), 0)"
+        val na = s"coalesce(sum(CASE WHEN v$j = 1 THEN " +
+          s"CAST(r AS HUGEINT) END), 0)"
+        val db = s"coalesce(sum(CASE WHEN v$j IS NOT NULL THEN " +
+          s"CAST(1000000 - r AS HUGEINT) END), 0)"
+        val nb = s"coalesce(sum(CASE WHEN v$j = 0 THEN " +
+          s"CAST(1000000 - r AS HUGEINT) END), 0)"
+        Seq(
+          s"CASE WHEN $da > 0 THEN " +
+            s"${clamp(s"$na * 1000000 // ($da)")} " +
+            s"ELSE max(a$j) END AS a$j",
+          s"CASE WHEN $db > 0 THEN " +
+            s"${clamp(s"$nb * 1000000 // ($db)")} " +
+            s"ELSE max(b$j) END AS b$j")
+      }
+      val piCol = s"CASE WHEN count(*) > 0 THEN " +
+        s"${clamp(s"coalesce(sum(CAST(r AS HUGEINT)), 0) // count(*)")}" +
+        s" ELSE CAST(NULL AS BIGINT) END AS pi"
+      s"$out AS (SELECT CAST(count(*) AS BIGINT) AS n,\n    $piCol," +
+        s"\n    ${cols.mkString(",\n    ")}\n  FROM $src)"
+    }
+    val inits = ("CAST(500000 AS BIGINT) AS pi" +:
+      (0 until k).flatMap(j => Seq(s"CAST(700000 AS BIGINT) AS a$j",
+        s"CAST(700000 AS BIGINT) AS b$j"))).mkString(", ")
+    val finals = ("p2.n AS n_units" +: "p2.pi AS pi_ppm" +:
+      ((0 until k).map(j => s"p2.a$j AS a${j}_ppm") ++
+        (0 until k).map(j => s"p2.b$j AS b${j}_ppm"))).mkString(",\n  ")
+    s"""WITH u0 AS (SELECT r1 AS v0, r2 AS v1, r3 AS v2 FROM (
+      |    SELECT
+      |      CASE WHEN n_chars >= 50
+      |        THEN CAST(n_chars >= 300 AS INTEGER) END AS r1,
+      |      CASE WHEN doc_id % 7 <> 0
+      |        THEN CAST(lang = 'en' AS INTEGER) END AS r2,
+      |      CASE WHEN doc_id % 5 <> 0
+      |        THEN CAST(len(string_split(text, ' ')) >= 50
+      |          AS INTEGER) END AS r3
+      |    FROM documents)
+      |  WHERE r1 IS NOT NULL OR r2 IS NOT NULL OR r3 IS NOT NULL),
+      |p0 AS (SELECT $inits),
+      |${eCte("p0", "e1")},
+      |${pCte("e1", "p1")},
+      |${eCte("p1", "e2")},
+      |${pCte("e2", "p2")}
+      |SELECT $finals
+      |FROM p2""".stripMargin
+  }
 
   /** q282's oracle: the shared linkage CTEs plus the tf-adjusted
     * rescoring — the per-field branch is generated once and

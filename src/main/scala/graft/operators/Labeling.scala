@@ -456,6 +456,122 @@ object Labeling {
             " as bigint) end").as("kappa_ppm"))
   }
 
+  /** DAWID–SKENE, binary form — the crowdsourcing-standard label
+    * model (Dawid & Skene 1979; the confusion-matrix rung above
+    * [[weightedVote]]'s single accuracy number): each rater j gets a
+    * SENSITIVITY a_j = P(vote 1 | true 1) and SPECIFICITY
+    * b_j = P(vote 0 | true 0), estimated jointly with the class prior
+    * π by EM over the unlabeled votes. FIXED `iters` iterations,
+    * ALL-INTEGER ppm:
+    *
+    *   E (per unit): r_u = w₁·10⁶ div (w₁ + w₀),
+    *     w₁ = π·Π_j f₁ⱼ,  f₁ⱼ = vⱼ NULL ? 10⁶ : vⱼ=1 ? a_j : 10⁶−a_j
+    *     w₀ = (10⁶−π)·Π_j f₀ⱼ, f₀ⱼ = vⱼ NULL ? 10⁶ : vⱼ=1 ? 10⁶−b_j : b_j
+    *   M: a_j = Σ_{vⱼ=1} r_u · 10⁶ div Σ_{vⱼ≠NULL} r_u   (clamped)
+    *      b_j = Σ_{vⱼ=0} (10⁶−r_u) · 10⁶ div Σ_{vⱼ≠NULL} (10⁶−r_u)
+    *      π   = Σ r_u div n_units
+    *
+    * Abstentions (NULL votes) contribute the NEUTRAL factor 10⁶, so
+    * both weights keep the same 10⁶·(10⁶)ᵏ scale and the
+    * responsibility stays a clean ratio — the model Dawid–Skene's
+    * missing-at-random reading implies. Every division truncates on
+    * non-negative operands; every updated parameter clamps to
+    * [1, 10⁶−1] ppm (the PSI rule — a pinned 0/1 would zero a weight
+    * product). Init π⁰ = 500000, a⁰ = b⁰ = 700000 (better-than-chance
+    * raters — the standard symmetric start; EM cannot break the
+    * label-swap symmetry from a perfectly uninformative start). A
+    * rater with zero responsibility mass in an iteration keeps its
+    * previous estimate (the EM fixed-point reading of an empty
+    * update). One row: (n_units, pi_ppm, a0..a{k−1}_ppm, b0.._ppm);
+    * NULL parameters when no unit carries a vote at all.
+    *
+    * Scale shape: the units frame (one int column per rater) is the
+    * only data-sized object; each iteration is one map-only E
+    * projection (parameters are 2k+1 ppm literals — bounded driver
+    * state, the refinement-loop convention) into ONE conditional M
+    * aggregate (map-side combined) — iters jobs, no key shuffle at
+    * all. */
+  def dawidSkene(df: DataFrame, raters: Seq[Column],
+      iters: Int = 2): DataFrame = {
+    require(raters.size >= 2 && raters.size <= 4,
+      s"2..4 raters (weight products must fit DECIMAL(38)), " +
+        s"got ${raters.size}")
+    require(iters >= 1 && iters <= 3, s"iters=$iters")
+    val k = raters.size
+    val spark = df.sparkSession
+    val units = df
+      .select(raters.zipWithIndex.map { case (c, j) =>
+        c.cast("int").as(s"v$j") }: _*)
+      .filter((0 until k).map(j => col(s"v$j").isNotNull)
+        .reduce(_ || _))
+      .persist()
+    try {
+      // parameters are 2k+1 ppm longs — BOUNDED driver state (the
+      // q180 refinement-loop convention); each iteration is one job
+      var pi = 500000L
+      val a = Array.fill(k)(700000L)
+      val b = Array.fill(k)(700000L)
+      var n = 0L
+      var dead = false // no voting unit at all -> NULL parameters
+      (1 to iters).foreach { it =>
+        if (!dead) {
+          def f(j: Int, cls: Int) =
+            if (cls == 1)
+              s"(case when v$j is null then 1000000L when v$j = 1 " +
+                s"then ${a(j)}L else ${1000000L - a(j)}L end)"
+            else
+              s"(case when v$j is null then 1000000L when v$j = 1 " +
+                s"then ${1000000L - b(j)}L else ${b(j)}L end)"
+          val w1 = (s"cast(${pi}L as decimal(38,0))" +:
+            (0 until k).map(f(_, 1))).mkString(" * ")
+          val w0 = (s"cast(${1000000L - pi}L as decimal(38,0))" +:
+            (0 until k).map(f(_, 0))).mkString(" * ")
+          val e = units.withColumn("r",
+            expr(s"cast(($w1) * 1000000 div (($w1) + ($w0))" +
+              " as bigint)"))
+          def dec(s: String) = s"cast($s as decimal(38,0))"
+          val aggs = (0 until k).flatMap { j => Seq(
+            sum(when(col(s"v$j").isNotNull,
+              expr(dec("r")))).as(s"d_a$j"),
+            sum(when(col(s"v$j") === 1,
+              expr(dec("r")))).as(s"n_a$j"),
+            sum(when(col(s"v$j").isNotNull,
+              expr(dec("1000000 - r")))).as(s"d_b$j"),
+            sum(when(col(s"v$j") === 0,
+              expr(dec("1000000 - r")))).as(s"n_b$j"))
+          }
+          val row = e.agg(count(lit(1)).as("n"),
+            (sum(expr(dec("r"))).as("s_r") +: aggs): _*).collect().head
+          n = row.getLong(0)
+          if (n == 0) dead = true
+          else {
+            def clamp(x: BigInt): Long =
+              x.max(BigInt(1)).min(BigInt(999999)).toLong
+            def big(i: Int): BigInt =
+              if (row.isNullAt(i)) BigInt(0)
+              else BigInt(row.getDecimal(i).toBigInteger)
+            pi = clamp(big(1) / n)
+            (0 until k).foreach { j =>
+              val base = 2 + j * 4
+              val (da, na, db, nb) =
+                (big(base), big(base + 1), big(base + 2), big(base + 3))
+              if (da > 0) a(j) = clamp(na * 1000000 / da)
+              if (db > 0) b(j) = clamp(nb * 1000000 / db)
+            }
+          }
+        }
+      }
+      val out = Seq(lit(n).as("n_units")) ++
+        Seq(if (dead) lit(null).cast("bigint").as("pi_ppm")
+          else lit(pi).as("pi_ppm")) ++
+        (0 until k).map(j => if (dead) lit(null).cast("bigint")
+          .as(s"a${j}_ppm") else lit(a(j)).as(s"a${j}_ppm")) ++
+        (0 until k).map(j => if (dead) lit(null).cast("bigint")
+          .as(s"b${j}_ppm") else lit(b(j)).as(s"b${j}_ppm"))
+      spark.range(1).select(out: _*)
+    } finally units.unpersist(false)
+  }
+
   /** KRIPPENDORFF'S ALPHA, nominal metric — the agreement coefficient
     * that HANDLES MISSING RATINGS, which Cohen's κ (pairs only) and
     * Fleiss' κ (every rater rates every unit) cannot: raters may

@@ -2945,6 +2945,21 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X17 Dawid–Skene ([[graft.operators.Labeling.dawidSkene]]): the
+    * crowdsourcing-standard label model fitted to the same abstaining
+    * quality-LF panel as q285 — per-rater sensitivity/specificity and
+    * the class prior, two fixed all-integer-ppm EM iterations; the
+    * confusion-matrix rung above q264's single accuracy weight. */
+  def qualityDawidSkene(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.dawidSkene(Tables.documents(spark, d), Seq(
+      when($"n_chars" >= 50, ($"n_chars" >= 300).cast("int")),
+      when(pmod($"doc_id", lit(7L)) =!= 0,
+        ($"lang" === "en").cast("int")),
+      when(pmod($"doc_id", lit(5L)) =!= 0,
+        (size(split($"text", " ")) >= 50).cast("int"))), iters = 2)
+  }
+
   /** X15 difference-in-differences ([[graft.operators.Behavior
     * .diffInDiff]]): per-user revenue-cents delta across the
     * mid-month cutoff (2024-01-16), treated = user_id mod 2 — the

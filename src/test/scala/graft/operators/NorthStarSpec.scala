@@ -3040,6 +3040,67 @@ class NorthStarSpec extends SparkSpec {
       (2, 10L, 900000L, 900000L)))
   }
 
+  test("dawidSkene: two integer-ppm EM iterations match a BigInt " +
+      "reference; abstentions neutral; parameters move off the " +
+      "symmetric init") {
+    import spark.implicits._
+    // true label = idx < 5; r1 perfect, r2 flips idx 0,5,7, r3
+    // abstains on odd idx and is otherwise perfect
+    val recs: Seq[(Option[Int], Option[Int], Option[Int])] =
+      (0 until 10).map { i =>
+        val t = if (i < 5) 1 else 0
+        val r2 = if (Set(0, 5, 7)(i)) 1 - t else t
+        val r3 = if (i % 2 == 1) None else Some(t)
+        (Some(t), Some(r2), r3)
+      }
+    val df = recs.toDF("r1", "r2", "r3")
+    val got = Labeling.dawidSkene(df, Seq($"r1", $"r2", $"r3"), 2)
+      .collect().head
+    // BigInt reference replaying the exact recursion
+    val M = BigInt(1000000)
+    def clamp(x: BigInt) = x.max(BigInt(1)).min(BigInt(999999))
+    var pi = BigInt(500000)
+    val a = Array.fill(3)(BigInt(700000))
+    val b = Array.fill(3)(BigInt(700000))
+    val units = recs.map(t => Seq(t._1, t._2, t._3))
+    (1 to 2).foreach { _ =>
+      val rs = units.map { vs =>
+        val w1 = vs.zipWithIndex.foldLeft(pi) { case (acc, (v, j)) =>
+          acc * (v match { case None => M; case Some(1) => a(j)
+            case Some(_) => M - a(j) }) }
+        val w0 = vs.zipWithIndex.foldLeft(M - pi) {
+          case (acc, (v, j)) =>
+            acc * (v match { case None => M; case Some(1) => M - b(j)
+              case Some(_) => b(j) }) }
+        w1 * M / (w1 + w0)
+      }
+      val piNew = clamp(rs.sum / units.size)
+      (0 until 3).foreach { j =>
+        val da = units.zip(rs).collect {
+          case (vs, r) if vs(j).isDefined => r }.sum
+        val na = units.zip(rs).collect {
+          case (vs, r) if vs(j).contains(1) => r }.sum
+        val db = units.zip(rs).collect {
+          case (vs, r) if vs(j).isDefined => M - r }.sum
+        val nb = units.zip(rs).collect {
+          case (vs, r) if vs(j).contains(0) => M - r }.sum
+        if (da > 0) a(j) = clamp(na * M / da)
+        if (db > 0) b(j) = clamp(nb * M / db)
+      }
+      pi = piNew
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5), got.getLong(6),
+      got.getLong(7)) == (10L, pi.toLong, a(0).toLong, a(1).toLong,
+      a(2).toLong, b(0).toLong, b(1).toLong, b(2).toLong))
+    // the parameters moved off the symmetric init (EM did something)
+    // — after only 2 fixed iterations the responsibilities are soft,
+    // so rater ORDERING is not asserted, only the exact recursion
+    // match above
+    assert(a.toSet != Set(BigInt(700000)) ||
+      b.toSet != Set(BigInt(700000)))
+  }
+
   test("diffInDiff: hand-traced two-period panel estimate — silent " +
       "periods count as zero; Welch SE over per-user deltas") {
     import spark.implicits._
