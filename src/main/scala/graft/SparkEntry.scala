@@ -307,6 +307,7 @@ object SparkEntry {
     "q285_krippendorff" -> (NorthStar.qualityKrippendorff _),
     "q286_diff_in_diff" -> (NorthStar.revenueDiffInDiff _),
     "q287_dawid_skene" -> (NorthStar.qualityDawidSkene _),
+    "q288_ds_posterior" -> (NorthStar.qualityDsPosterior _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5782,7 +5783,10 @@ object SparkEntry {
     "q282_linkage_tf" -> linkageTfSql,
     // q287: Dawid–Skene — two unrolled EM iterations, all-HUGEINT
     // ppm, generated per rater (see dawidSkeneSql).
-    "q287_dawid_skene" -> dawidSkeneSql,
+    "q287_dawid_skene" -> dawidSkeneParamsSql,
+    // q288: Dawid–Skene posterior labels — the same CTE chain plus
+    // one more E projection through the fitted parameter row.
+    "q288_ds_posterior" -> dawidSkenePosteriorSql,
     // q286: difference-in-differences — per-user post-minus-pre cents
     // delta (silent period = 0, not missing), Welch SE over the
     // deltas; exact HUGEINT sufficient stats, q274's vm form (exact
@@ -6106,11 +6110,10 @@ object SparkEntry {
     val inits = ("CAST(500000 AS BIGINT) AS pi" +:
       (0 until k).flatMap(j => Seq(s"CAST(700000 AS BIGINT) AS a$j",
         s"CAST(700000 AS BIGINT) AS b$j"))).mkString(", ")
-    val finals = ("p2.n AS n_units" +: "p2.pi AS pi_ppm" +:
-      ((0 until k).map(j => s"p2.a$j AS a${j}_ppm") ++
-        (0 until k).map(j => s"p2.b$j AS b${j}_ppm"))).mkString(",\n  ")
-    s"""WITH u0 AS (SELECT r1 AS v0, r2 AS v1, r3 AS v2 FROM (
-      |    SELECT
+    // u0 carries doc_id so the SAME CTE chain serves q287 (parameter
+    // row) and q288 (per-unit posterior apply)
+    s"""WITH u0 AS (SELECT doc_id, r1 AS v0, r2 AS v1, r3 AS v2 FROM (
+      |    SELECT doc_id,
       |      CASE WHEN n_chars >= 50
       |        THEN CAST(n_chars >= 300 AS INTEGER) END AS r1,
       |      CASE WHEN doc_id % 7 <> 0
@@ -6124,10 +6127,26 @@ object SparkEntry {
       |${eCte("p0", "e1")},
       |${pCte("e1", "p1")},
       |${eCte("p1", "e2")},
-      |${pCte("e2", "p2")}
-      |SELECT $finals
-      |FROM p2""".stripMargin
+      |${pCte("e2", "p2")},
+      |${eCte("p2", "e3")}
+      |SELECT""".stripMargin
   }
+
+  /** q287's oracle: the fitted parameter row. */
+  private val dawidSkeneParamsSql: String =
+    dawidSkeneSql + """
+      |  p2.n AS n_units, p2.pi AS pi_ppm,
+      |  p2.a0 AS a0_ppm, p2.a1 AS a1_ppm, p2.a2 AS a2_ppm,
+      |  p2.b0 AS b0_ppm, p2.b1 AS b1_ppm, p2.b2 AS b2_ppm
+      |FROM p2""".stripMargin
+
+  /** q288's oracle: one more E projection through the fitted row —
+    * per unit, the exact-ppm posterior and the MAP label. */
+  private val dawidSkenePosteriorSql: String =
+    dawidSkeneSql + """
+      |  doc_id AS unit, r AS posterior_ppm,
+      |  CAST(r >= 500000 AS INTEGER) AS label
+      |FROM e3 ORDER BY doc_id""".stripMargin
 
   /** q282's oracle: the shared linkage CTEs plus the tf-adjusted
     * rescoring — the per-field branch is generated once and

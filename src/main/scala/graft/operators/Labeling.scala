@@ -491,44 +491,37 @@ object Labeling {
     * state, the refinement-loop convention) into ONE conditional M
     * aggregate (map-side combined) — iters jobs, no key shuffle at
     * all. */
-  def dawidSkene(df: DataFrame, raters: Seq[Column],
-      iters: Int = 2): DataFrame = {
-    require(raters.size >= 2 && raters.size <= 4,
-      s"2..4 raters (weight products must fit DECIMAL(38)), " +
-        s"got ${raters.size}")
-    require(iters >= 1 && iters <= 3, s"iters=$iters")
-    val k = raters.size
-    val spark = df.sparkSession
-    val units = df
-      .select(raters.zipWithIndex.map { case (c, j) =>
-        c.cast("int").as(s"v$j") }: _*)
-      .filter((0 until k).map(j => col(s"v$j").isNotNull)
-        .reduce(_ || _))
-      .persist()
-    try {
-      // parameters are 2k+1 ppm longs — BOUNDED driver state (the
-      // q180 refinement-loop convention); each iteration is one job
-      var pi = 500000L
-      val a = Array.fill(k)(700000L)
-      val b = Array.fill(k)(700000L)
-      var n = 0L
-      var dead = false // no voting unit at all -> NULL parameters
-      (1 to iters).foreach { it =>
-        if (!dead) {
-          def f(j: Int, cls: Int) =
-            if (cls == 1)
-              s"(case when v$j is null then 1000000L when v$j = 1 " +
-                s"then ${a(j)}L else ${1000000L - a(j)}L end)"
-            else
-              s"(case when v$j is null then 1000000L when v$j = 1 " +
-                s"then ${1000000L - b(j)}L else ${b(j)}L end)"
-          val w1 = (s"cast(${pi}L as decimal(38,0))" +:
-            (0 until k).map(f(_, 1))).mkString(" * ")
-          val w0 = (s"cast(${1000000L - pi}L as decimal(38,0))" +:
-            (0 until k).map(f(_, 0))).mkString(" * ")
-          val e = units.withColumn("r",
-            expr(s"cast(($w1) * 1000000 div (($w1) + ($w0))" +
-              " as bigint)"))
+  /** The E-step responsibility expression for the CURRENT parameter
+    * literals — shared by the fit loop and the posterior projection. */
+  private def dsRespExpr(k: Int, pi: Long, a: Array[Long],
+      b: Array[Long]): String = {
+    def f(j: Int, cls: Int) =
+      if (cls == 1)
+        s"(case when v$j is null then 1000000L when v$j = 1 " +
+          s"then ${a(j)}L else ${1000000L - a(j)}L end)"
+      else
+        s"(case when v$j is null then 1000000L when v$j = 1 " +
+          s"then ${1000000L - b(j)}L else ${b(j)}L end)"
+    val w1 = (s"cast(${pi}L as decimal(38,0))" +:
+      (0 until k).map(f(_, 1))).mkString(" * ")
+    val w0 = (s"cast(${1000000L - pi}L as decimal(38,0))" +:
+      (0 until k).map(f(_, 0))).mkString(" * ")
+    s"cast(($w1) * 1000000 div (($w1) + ($w0)) as bigint)"
+  }
+
+  /** [[dawidSkene]]'s EM loop over a prepared units frame (columns
+    * v0..v{k−1}, possibly extra carried columns) — returns
+    * (n_units, pi, a, b, dead). */
+  private def dsFit(units: DataFrame, k: Int, iters: Int)
+      : (Long, Long, Array[Long], Array[Long], Boolean) = {
+    var pi = 500000L
+    val a = Array.fill(k)(700000L)
+    val b = Array.fill(k)(700000L)
+    var n = 0L
+    var dead = false // no voting unit at all -> NULL parameters
+    (1 to iters).foreach { it =>
+      if (!dead) {
+        val e = units.withColumn("r", expr(dsRespExpr(k, pi, a, b)))
           def dec(s: String) = s"cast($s as decimal(38,0))"
           val aggs = (0 until k).flatMap { j => Seq(
             sum(when(col(s"v$j").isNotNull,
@@ -559,8 +552,27 @@ object Labeling {
               if (db > 0) b(j) = clamp(nb * 1000000 / db)
             }
           }
-        }
       }
+    }
+    (n, pi, a, b, dead)
+  }
+
+  def dawidSkene(df: DataFrame, raters: Seq[Column],
+      iters: Int = 2): DataFrame = {
+    require(raters.size >= 2 && raters.size <= 4,
+      s"2..4 raters (weight products must fit DECIMAL(38)), " +
+        s"got ${raters.size}")
+    require(iters >= 1 && iters <= 3, s"iters=$iters")
+    val k = raters.size
+    val spark = df.sparkSession
+    val units = df
+      .select(raters.zipWithIndex.map { case (c, j) =>
+        c.cast("int").as(s"v$j") }: _*)
+      .filter((0 until k).map(j => col(s"v$j").isNotNull)
+        .reduce(_ || _))
+      .persist()
+    try {
+      val (n, pi, a, b, dead) = dsFit(units, k, iters)
       val out = Seq(lit(n).as("n_units")) ++
         Seq(if (dead) lit(null).cast("bigint").as("pi_ppm")
           else lit(pi).as("pi_ppm")) ++
@@ -569,6 +581,46 @@ object Labeling {
         (0 until k).map(j => if (dead) lit(null).cast("bigint")
           .as(s"b${j}_ppm") else lit(b(j)).as(s"b${j}_ppm"))
       spark.range(1).select(out: _*)
+    } finally units.unpersist(false)
+  }
+
+  /** DAWID–SKENE POSTERIOR LABELS — the apply seam over
+    * [[dawidSkene]] (the bpeMerges→bpeEncode / isotonic train→apply
+    * pattern): fit the model's 2k+1 ppm parameters, then ONE more
+    * map-only E projection assigns every voting unit its posterior
+    * P(true = 1 | votes) in exact ppm and the MAP label
+    * (posterior ≥ 500000). Units where every rater abstains carry no
+    * evidence and are omitted (they would all read the prior). The
+    * probabilistic consensus [[majorityVote]]'s hard count cannot
+    * express: a vote from a high-sensitivity rater moves the
+    * posterior more than one from a coin-flipper.
+    *
+    * Scale shape: the fit's iters bounded-state jobs, then one
+    * map-only projection — parameters are literals, the frame is
+    * never shuffled (the ORDER BY is presentation). */
+  def dawidSkenePosterior(df: DataFrame, unit: Column,
+      raters: Seq[Column], iters: Int = 2): DataFrame = {
+    require(raters.size >= 2 && raters.size <= 4,
+      s"2..4 raters (weight products must fit DECIMAL(38)), " +
+        s"got ${raters.size}")
+    require(iters >= 1 && iters <= 3, s"iters=$iters")
+    val k = raters.size
+    val units = df
+      .select(unit.as("unit") +: raters.zipWithIndex.map {
+        case (c, j) => c.cast("int").as(s"v$j") }: _*)
+      .filter((0 until k).map(j => col(s"v$j").isNotNull)
+        .reduce(_ || _))
+      .persist()
+    try {
+      val (_, pi, a, b, dead) = dsFit(units, k, iters)
+      val scored =
+        if (dead) units.filter(lit(false))
+        else units
+      scored
+        .withColumn("posterior_ppm", expr(dsRespExpr(k, pi, a, b)))
+        .select(col("unit"), col("posterior_ppm"),
+          (col("posterior_ppm") >= 500000L).cast("int").as("label"))
+        .orderBy(col("unit"))
     } finally units.unpersist(false)
   }
 

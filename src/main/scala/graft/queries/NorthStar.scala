@@ -2960,6 +2960,24 @@ object NorthStar {
         (size(split($"text", " ")) >= 50).cast("int"))), iters = 2)
   }
 
+  /** X17 Dawid–Skene posterior labels ([[graft.operators.Labeling
+    * .dawidSkenePosterior]]): q287's fitted model applied back over
+    * every voting document — exact-ppm posterior P(true|votes) and
+    * the MAP label; the probabilistic consensus where a
+    * high-sensitivity rater's vote outweighs a coin-flipper's
+    * (q254's hard majority cannot express that). */
+  def qualityDsPosterior(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.dawidSkenePosterior(Tables.documents(spark, d), $"doc_id",
+      Seq(
+        when($"n_chars" >= 50, ($"n_chars" >= 300).cast("int")),
+        when(pmod($"doc_id", lit(7L)) =!= 0,
+          ($"lang" === "en").cast("int")),
+        when(pmod($"doc_id", lit(5L)) =!= 0,
+          (size(split($"text", " ")) >= 50).cast("int"))), iters = 2)
+      .select($"unit".as("unit"), $"posterior_ppm", $"label")
+  }
+
   /** X15 difference-in-differences ([[graft.operators.Behavior
     * .diffInDiff]]): per-user revenue-cents delta across the
     * mid-month cutoff (2024-01-16), treated = user_id mod 2 — the

@@ -3101,6 +3101,44 @@ class NorthStarSpec extends SparkSpec {
       b.toSet != Set(BigInt(700000)))
   }
 
+  test("dawidSkenePosterior: per-unit posterior is the E-step " +
+      "through the fitted parameters; all-abstain units omitted") {
+    import spark.implicits._
+    val recs: Seq[(Long, Option[Int], Option[Int])] = Seq(
+      (1L, Some(1), Some(1)), (2L, Some(1), Some(0)),
+      (3L, Some(0), Some(0)), (4L, Some(1), None),
+      (5L, None, None))
+    val df = recs.toDF("id", "r1", "r2")
+    val fit = Labeling.dawidSkene(df, Seq($"r1", $"r2"), 2)
+      .collect().head
+    val (pi, a, b) = (fit.getLong(1),
+      Array(fit.getLong(2), fit.getLong(3)),
+      Array(fit.getLong(4), fit.getLong(5)))
+    val M = BigInt(1000000)
+    def post(vs: Seq[Option[Int]]): Long = {
+      val w1 = vs.zipWithIndex.foldLeft(BigInt(pi)) {
+        case (acc, (v, j)) => acc * (v match { case None => M
+          case Some(1) => BigInt(a(j)); case Some(_) => M - a(j) }) }
+      val w0 = vs.zipWithIndex.foldLeft(M - pi) {
+        case (acc, (v, j)) => acc * (v match { case None => M
+          case Some(1) => M - b(j); case Some(_) => BigInt(b(j)) }) }
+      (w1 * M / (w1 + w0)).toLong
+    }
+    val want = recs.filter(r => r._2.isDefined || r._3.isDefined)
+      .map(r => (r._1, post(Seq(r._2, r._3)),
+        if (post(Seq(r._2, r._3)) >= 500000L) 1 else 0))
+    val got = Labeling.dawidSkenePosterior(df, $"id",
+        Seq($"r1", $"r2"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toList
+    assert(got == want)
+    assert(!got.exists(_._1 == 5L)) // all-abstain unit omitted
+    // agreement on both raters beats a split vote
+    val p1 = got.find(_._1 == 1L).get._2
+    val p2 = got.find(_._1 == 2L).get._2
+    assert(p1 > p2)
+  }
+
   test("diffInDiff: hand-traced two-period panel estimate — silent " +
       "periods count as zero; Welch SE over per-user deltas") {
     import spark.implicits._
