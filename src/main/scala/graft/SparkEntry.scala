@@ -308,6 +308,7 @@ object SparkEntry {
     "q286_diff_in_diff" -> (NorthStar.revenueDiffInDiff _),
     "q287_dawid_skene" -> (NorthStar.qualityDawidSkene _),
     "q288_ds_posterior" -> (NorthStar.qualityDsPosterior _),
+    "q289_holt_winters" -> (NorthStar.revenueHoltWinters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5702,6 +5703,10 @@ object SparkEntry {
     // drift apart), so every row including the split-boundary seam
     // must match exactly.
     "q277_holt_append" -> holtRecursionSql,
+    // q289: Holt–Winters additive — the recursion unrolled with the 7
+    // seasonal slots carried through the recursive CTE (generated;
+    // see holtWintersSql).
+    "q289_holt_winters" -> holtWintersSql,
     // q275: Fellegi–Sunter field weights — u from the exact value
     // histogram (Σ c·(c−1) / n·(n−1), HUGEINT), odds not log-weights
     // (log is not IEEE correctly-rounded across engines; see the
@@ -5968,6 +5973,69 @@ object SparkEntry {
         |       CAST(tr AS BIGINT) AS trend,
         |       CAST(f AS BIGINT) AS forecast
         |FROM rec ORDER BY k, d""".stripMargin
+
+  /** q289's oracle: the Holt–Winters additive recursion unrolled as a
+    * recursive CTE carrying level, trend, and the 7 seasonal slots —
+    * generated per slot so the CASE carries and the Spark scan
+    * ([[graft.plans.HoltWintersScan]]) can never drift; every signed
+    * division in the portable sign-safe tdiv form. */
+  private val holtWintersSql: String = {
+    val (aN, aD, bN, bD, gN, gD, m) = (1, 4, 1, 8, 1, 4, 7)
+    def tdiv(v: String, den: Int) =
+      s"CASE WHEN $v >= 0 THEN ($v) // $den ELSE -((-($v)) // $den) END"
+    val sdowCase = s"CASE CAST(r0.d % $m AS INTEGER) " +
+      (0 until m).map(j => s"WHEN $j THEN rec.s$j").mkString(" ") +
+      " END"
+    val seedS = (0 until m).map(j => s"CAST(0 AS HUGEINT) AS s$j")
+      .mkString(",\n         ")
+    val carryS = (0 until m).map(j =>
+      s"CASE WHEN d % $m = $j THEN su2 ELSE s$j END AS s$j")
+      .mkString(",\n         ")
+    s"""WITH RECURSIVE b AS (
+      |  SELECT event_type AS k,
+      |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |           AS BIGINT) AS x
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r0 AS (SELECT k, d, x,
+      |         row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+      |       FROM b),
+      |rec AS (
+      |  SELECT k, d, x, rn, CAST(x AS HUGEINT) AS l,
+      |         CAST(0 AS HUGEINT) AS tr,
+      |         $seedS,
+      |         CAST(0 AS HUGEINT) AS su, CAST(x AS HUGEINT) AS f
+      |  FROM r0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT k, d, x, rn, l2 AS l,
+      |         ${tdiv(s"$bN * (l2 - l1) + ${bD - bN} * tr1", bD)} AS tr,
+      |         $carryS,
+      |         su2 AS su, f2 AS f
+      |  FROM (
+      |    SELECT *,
+      |      ${tdiv(s"$gN * (CAST(x AS HUGEINT) - l2) + " +
+        s"${gD - gN} * sdow", gD)} AS su2
+      |    FROM (
+      |      SELECT *, (l1 + tr1 + sdow) AS f2,
+      |        ${tdiv(s"$aN * (CAST(x AS HUGEINT) - sdow) + " +
+        s"${aD - aN} * (l1 + tr1)", aD)} AS l2
+      |      FROM (
+      |        SELECT r0.k, r0.d, r0.x, r0.rn, rec.l AS l1,
+      |               rec.tr AS tr1,
+      |               ${(0 until m).map(j => s"rec.s$j AS s$j")
+        .mkString(", ")},
+      |               $sdowCase AS sdow
+      |        FROM r0 JOIN rec ON r0.k = rec.k
+      |                        AND r0.rn = rec.rn + 1))))
+      |SELECT k, d, x, CAST(l AS BIGINT) AS level,
+      |       CAST(tr AS BIGINT) AS trend,
+      |       CAST(su AS BIGINT) AS seasonal,
+      |       CAST(f AS BIGINT) AS forecast
+      |FROM rec ORDER BY k, d""".stripMargin
+  }
 
   /** Shared CTE body of the q278/q281 oracles: the binned length-score
     * table (`bn`), the range rates (`rg`), and the minimax PAV fit

@@ -224,6 +224,41 @@ object TimeSeries {
         col("e.f").as("forecast"))
   }
 
+  /** HOLT–WINTERS ADDITIVE (triple exponential smoothing, Winters
+    * 1960) of a per-key daily total, EXACT INTEGER — the seasonal
+    * rung above [[holtDaily]] (a Holt forecast permanently mis-times
+    * a weekly cycle; the seasonal slots absorb it). Seasonal state is
+    * SLOT-KEYED by d mod period (weekday identity survives calendar
+    * gaps), seeded level = x₁, trend = 0, seasonals = 0; every
+    * division is the sign-safe truncation (trend and seasonals are
+    * signed) — see [[graft.plans.HoltWintersScan]] for the recursion
+    * and its portable oracle form. Output per (key, observed day):
+    * (k, d, x, level, trend, seasonal, forecast) where seasonal is
+    * the day's UPDATED slot and forecast the one-step-ahead
+    * prediction made before seeing x.
+    *
+    * Scale shape: identical to [[ewmaDaily]] — one keyed daily
+    * aggregate into a calendar-bounded per-key LINEAR scan. */
+  def holtWintersDaily(df: DataFrame, key: String, ts: String,
+      value: Column, aNum: Int, aDen: Int, bNum: Int, bDen: Int,
+      gNum: Int, gDen: Int, period: Int = 7): DataFrame = {
+    require(aNum >= 1 && aDen > aNum,
+      s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+    require(bNum >= 1 && bDen > bNum,
+      s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+    require(gNum >= 1 && gDen > gNum,
+      s"seasonal gamma needs 1 <= gNum < gDen, got $gNum/$gDen")
+    ewmaDailyTotals(df, key, ts, value, "holtWintersDaily")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .holt_winters_scan(col("a"), aNum, aDen, bNum, bDen, gNum,
+          gDen, period)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.l").as("level"), col("e.b").as("trend"),
+        col("e.s").as("seasonal"), col("e.f").as("forecast"))
+  }
+
   /** Incremental continuation of [[holtDaily]] — the STATE form, the
     * [[ewmaDailyAppend]] pattern with a TWO-component state: fold NEW
     * daily totals on top of each key's persisted (level, trend). Holt

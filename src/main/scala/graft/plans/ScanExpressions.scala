@@ -247,6 +247,98 @@ case class HoltScan(arr: Expression, priorL: Expression,
       priorB = newChildren(2))
 }
 
+/** HOLT–WINTERS ADDITIVE (triple exponential smoothing, Winters 1960)
+  * as one linear scan — the seasonal rung above [[HoltScan]] (a Holt
+  * forecast permanently mis-times a weekly cycle; the seasonal term
+  * absorbs it). State = level, trend, and `period` seasonal slots
+  * indexed by d mod period (slot-keyed, not position-keyed, so gaps
+  * in the calendar stay aligned to their weekday):
+  *
+  *   sd  = seas[d mod m]                      (this day's stored slot)
+  *   f_t = l_{t−1} + b_{t−1} + sd             (one-step forecast)
+  *   l_t = tdiv(aNum·(x_t − sd) + (aDen−aNum)·(l_{t−1} + b_{t−1}), aDen)
+  *   b_t = tdiv(bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}, bDen)
+  *   s_t = tdiv(gNum·(x_t − l_t) + (gDen−gNum)·sd, gDen)  → seas[d mod m]
+  *
+  * seeded l₁ = x₁, b₁ = 0, seas = 0 (the first seasonal update is then
+  * exactly 0, so the seed and the uniform update agree). Every division
+  * is the sign-safe truncation (trend and seasonals are signed) — Java
+  * `/` directly, the portable CASE form in the oracle. Same
+  * calendar-bounded per-key evaluation regime as [[EwmaScan]]. */
+case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
+    bNum: Int, bDen: Int, gNum: Int, gDen: Int, period: Int)
+    extends Expression with CodegenFallback {
+  require(aNum >= 1 && aDen > aNum,
+    s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+  require(bNum >= 1 && bDen > bNum,
+    s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+  require(gNum >= 1 && gDen > gNum,
+    s"seasonal gamma needs 1 <= gNum < gDen, got $gNum/$gDen")
+  require(period >= 2 && period <= 366, s"period=$period")
+
+  override def children: Seq[Expression] = Seq(arr)
+  override def nullable: Boolean = arr.nullable
+  override def prettyName: String = "holt_winters_scan"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("l", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("s", LongType, nullable = false),
+    StructField("f", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
+    case ArrayType(StructType(Array(d, x)), _)
+        if d.dataType == LongType && x.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case a => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<bigint,bigint>>, got " +
+        a.simpleString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val seas = new Array[Long](period)
+    var prevL = 0L
+    var prevB = 0L
+    var hasPrev = false
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = ad.getStruct(i, 2)
+      val d = e.getLong(0)
+      val x = e.getLong(1)
+      val dow = (d % period).toInt
+      var l = x
+      var b = 0L
+      var f = x
+      if (hasPrev) {
+        val sd = seas(dow)
+        f = prevL + prevB + sd
+        // Java `/` truncates toward zero for either sign — exactly tdiv
+        l = (aNum * (x - sd) + (aDen - aNum) * (prevL + prevB)) / aDen
+        b = (bNum * (l - prevL) + (bDen - bNum) * prevB) / bDen
+      }
+      val s = (gNum * (x - l) + (gDen - gNum) * seas(dow)) / gDen
+      seas(dow) = s
+      out(i) = new GenericInternalRow(Array[Any](d, x, l, b, s, f))
+      prevL = l
+      prevB = b
+      hasPrev = true
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HoltWintersScan =
+    copy(arr = newChildren(0))
+}
+
 object ScanExpressions {
   /** Column form of [[EwmaScan]]: `a` is the sorted (d, x) array, `s0`
     * the nullable prior level (NULL ⇒ s₁ = x₁). */
@@ -259,6 +351,12 @@ object ScanExpressions {
       devDen: Int, kSigma: Int, warmup: Int): Column =
     ColumnBridge.column(EwmaChartScan(ColumnBridge.expression(a),
       num, den, devNum, devDen, kSigma, warmup))
+
+  /** Column form of [[HoltWintersScan]]. */
+  def holt_winters_scan(a: Column, aNum: Int, aDen: Int, bNum: Int,
+      bDen: Int, gNum: Int, gDen: Int, period: Int): Column =
+    ColumnBridge.column(HoltWintersScan(ColumnBridge.expression(a),
+      aNum, aDen, bNum, bDen, gNum, gDen, period))
 
   /** Column form of [[HoltScan]]: `l0`/`b0` the nullable prior
     * (level, trend) seed (both NULL ⇒ fresh key: l₁ = x₁, b₁ = 0). */

@@ -2945,6 +2945,19 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X16 Holt–Winters additive ([[graft.operators.TimeSeries
+    * .holtWintersDaily]]): per-event-type daily revenue cents through
+    * triple exponential smoothing — level + trend + weekly seasonal
+    * slots (d mod 7), α = 1/4, β = 1/8, γ = 1/4, all exact sign-safe
+    * integer; the seasonal rung above q273's Holt (which permanently
+    * mis-times a weekly cycle). */
+  def revenueHoltWinters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.holtWintersDaily(Tables.events(spark, d), "event_type",
+        "ts", round($"value" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+      .orderBy($"k", $"d")
+  }
+
   /** X17 Dawid–Skene ([[graft.operators.Labeling.dawidSkene]]): the
     * crowdsourcing-standard label model fitted to the same abstaining
     * quality-LF panel as q285 — per-rater sensitivity/specificity and

@@ -3101,6 +3101,44 @@ class NorthStarSpec extends SparkSpec {
       b.toSet != Set(BigInt(700000)))
   }
 
+  test("holtWintersDaily: matches the reference triple-smoothing " +
+      "recursion; the planted weekly bump accumulates in its slot") {
+    import spark.implicits._
+    // 4 weeks of daily totals: base 1000 cents + a 700 bump every
+    // dow 3 (d mod 7 == 3)
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows = (0L until 28L).map(d =>
+      ("a", at(d), if (d % 7 == 3) 17.0 else 10.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = TimeSeries.holtWintersDaily(df, "k", "ts",
+        round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+      .orderBy($"d")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    // reference recursion (Java / IS the sign-safe truncation)
+    val seas = new Array[Long](7)
+    var (pl, pb) = (0L, 0L)
+    var has = false
+    val want = (0L until 28L).map { d =>
+      val x = if (d % 7 == 3) 1700L else 1000L
+      val dow = (d % 7).toInt
+      var (l, b, f) = (x, 0L, x)
+      if (has) {
+        val sd = seas(dow)
+        f = pl + pb + sd
+        l = (1 * (x - sd) + 3 * (pl + pb)) / 4
+        b = (1 * (l - pl) + 7 * pb) / 8
+      }
+      val s = (1 * (x - l) + 3 * seas(dow)) / 4
+      seas(dow) = s
+      pl = l; pb = b; has = true
+      (d, x, l, b, s, f)
+    }.toList
+    assert(got == want)
+    // the bump day's slot carries the cycle; a flat day's does not
+    assert(seas(3) > 100L && seas(3) > seas(1))
+  }
+
   test("dawidSkenePosterior: per-unit posterior is the E-step " +
       "through the fitted parameters; all-abstain units omitted") {
     import spark.implicits._
