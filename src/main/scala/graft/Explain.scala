@@ -92,7 +92,10 @@ object Explain {
       "q271_cuped", "q272_ewma_chart", "q273_revenue_holt",
       "q274_ate_stratified", "q275_linkage_weights",
       "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal",
-      "q279_linkage_em", "q280_linkage_entities", "q281_isotonic_apply")
+      "q279_linkage_em", "q280_linkage_entities", "q281_isotonic_apply",
+      "q282_linkage_tf", "q284_block_audit", "q285_krippendorff",
+      "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
+      "q289_holt_winters")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -115,6 +118,16 @@ object Explain {
         "below shows the FINAL pass — converged labels (checkpoint " +
         "scan) joined to the component-size aggregate; the per-round " +
         "plan is q64's."),
+      "q287_dawid_skene" -> ("Driver-loop composition (the q180 " +
+        "refinement convention): each EM iteration is one map-only " +
+        "responsibility projection into one conditional aggregate, " +
+        "parameters are 2k+1 ppm literals collected per iteration; " +
+        "the returned frame is literals, so the dump below is the " +
+        "final iteration's aggregate shape."),
+      "q288_ds_posterior" -> ("Same fit loop as q287, then the dump " +
+        "below: ONE map-only posterior projection through the fitted " +
+        "literal parameters — the frame is never shuffled (the ORDER " +
+        "BY exchange is presentation)."),
       "q205_funnel_timing" -> ("Driver-loop composition: stage times " +
         "(windowless per-stage min-aggregates) feed ONE conditional " +
         "stats aggregate (below) plus a shared multi-column median " +

@@ -309,6 +309,7 @@ object SparkEntry {
     "q287_dawid_skene" -> (NorthStar.qualityDawidSkene _),
     "q288_ds_posterior" -> (NorthStar.qualityDsPosterior _),
     "q289_holt_winters" -> (NorthStar.revenueHoltWinters _),
+    "q283_hw_backtest" -> (NorthStar.revenueHwBacktest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5706,7 +5707,10 @@ object SparkEntry {
     // q289: Holt–Winters additive — the recursion unrolled with the 7
     // seasonal slots carried through the recursive CTE (generated;
     // see holtWintersSql).
-    "q289_holt_winters" -> holtWintersSql,
+    "q289_holt_winters" -> holtWintersRowsSql,
+    // q283: Holt–Winters one-step backtest — forecast MAE vs the
+    // seasonal-naive baseline over the same recursion (shared CTEs).
+    "q283_hw_backtest" -> holtWintersBacktestSql,
     // q275: Fellegi–Sunter field weights — u from the exact value
     // histogram (Σ c·(c−1) / n·(n−1), HUGEINT), odds not log-weights
     // (log is not IEEE correctly-rounded across engines; see the
@@ -6030,12 +6034,37 @@ object SparkEntry {
       |               $sdowCase AS sdow
       |        FROM r0 JOIN rec ON r0.k = rec.k
       |                        AND r0.rn = rec.rn + 1))))
-      |SELECT k, d, x, CAST(l AS BIGINT) AS level,
-      |       CAST(tr AS BIGINT) AS trend,
-      |       CAST(su AS BIGINT) AS seasonal,
-      |       CAST(f AS BIGINT) AS forecast
-      |FROM rec ORDER BY k, d""".stripMargin
+      |SELECT""".stripMargin
   }
+
+  /** q289's oracle: the full per-row Holt–Winters readout. */
+  private val holtWintersRowsSql: String =
+    holtWintersSql + """
+      |  k, d, x, CAST(l AS BIGINT) AS level,
+      |  CAST(tr AS BIGINT) AS trend,
+      |  CAST(su AS BIGINT) AS seasonal,
+      |  CAST(f AS BIGINT) AS forecast
+      |FROM rec ORDER BY k, d""".stripMargin
+
+  /** q283's oracle: the same recursion, then per key the one-step
+    * forecast MAE vs the seasonal-naive (x seven observations back)
+    * over the rows where both are defined (rn > 7). */
+  private val holtWintersBacktestSql: String =
+    holtWintersSql + """
+      |  * FROM (
+      |  WITH w AS (SELECT k, d, x, rn, CAST(f AS BIGINT) AS forecast,
+      |          lag(x, 7) OVER (PARTITION BY k ORDER BY d) AS x7
+      |        FROM rec),
+      |  g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(abs(forecast - x)) AS BIGINT) AS eh,
+      |          CAST(sum(abs(x7 - x)) AS BIGINT) AS es
+      |        FROM w WHERE rn > 7 GROUP BY 1)
+      |  SELECT k, n, eh // n AS mae_hw_cents,
+      |         es // n AS mae_snaive_cents,
+      |         CASE WHEN es > 0 THEN
+      |           CAST(CAST(eh AS HUGEINT) * 1000000 // es AS BIGINT)
+      |           END AS skill_ppm
+      |  FROM g) ORDER BY k""".stripMargin
 
   /** Shared CTE body of the q278/q281 oracles: the binned length-score
     * table (`bn`), the range rates (`rg`), and the minimax PAV fit

@@ -259,6 +259,41 @@ object TimeSeries {
         col("e.s").as("seasonal"), col("e.f").as("forecast"))
   }
 
+  /** HOLT–WINTERS ONE-STEP BACKTEST — the skill check that keeps a
+    * forecaster honest (the MASE idea, Hyndman & Koehler 2006, in
+    * exact integers): per key, the model's one-step forecast MAE
+    * against the SEASONAL-NAIVE baseline (x seven observations back —
+    * the forecast you get for free), over the rows where both are
+    * defined (rn > period). skill_ppm = mae_model·10⁶ div mae_naive:
+    * under 10⁶ the model beats the baseline; NULL when the naive
+    * error is zero (a perfectly periodic series — no skill to
+    * measure). All integer cents; the observation-lag form (not
+    * calendar-lag) is deliberate: it is defined on gappy histories
+    * and equals calendar lag on dense ones.
+    *
+    * Scale shape: [[holtWintersDaily]]'s keyed scan, one keyed window
+    * (calendar-bounded partitions), one key-sized aggregate. */
+  def holtWintersBacktest(df: DataFrame, key: String, ts: String,
+      value: Column, aNum: Int, aDen: Int, bNum: Int, bDen: Int,
+      gNum: Int, gDen: Int, period: Int = 7): DataFrame = {
+    val hw = holtWintersDaily(df, key, ts, value, aNum, aDen, bNum,
+      bDen, gNum, gDen, period)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("d"))
+    hw.withColumn("x7", lag(col("x"), period).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > period)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("forecast") - col("x"))).as("eh"),
+        sum(abs(col("x7") - col("x"))).as("es"))
+      .select(col("k"), col("n"),
+        expr("eh div n").as("mae_hw_cents"),
+        expr("es div n").as("mae_snaive_cents"),
+        expr("case when es > 0 then cast(cast(eh as decimal(38,0))" +
+          " * 1000000 div es as bigint) end").as("skill_ppm"))
+  }
+
   /** Incremental continuation of [[holtDaily]] — the STATE form, the
     * [[ewmaDailyAppend]] pattern with a TWO-component state: fold NEW
     * daily totals on top of each key's persisted (level, trend). Holt

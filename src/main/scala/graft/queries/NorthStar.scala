@@ -2958,6 +2958,19 @@ object NorthStar {
       .orderBy($"k", $"d")
   }
 
+  /** X16 Holt–Winters backtest ([[graft.operators.TimeSeries
+    * .holtWintersBacktest]]): per event type, q289's one-step
+    * forecast MAE against the seasonal-naive baseline — the
+    * MASE-style skill readout (skill_ppm < 10⁶ = the model earns its
+    * keep), exact integer cents. */
+  def revenueHwBacktest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.holtWintersBacktest(Tables.events(spark, d),
+        "event_type", "ts", round($"value" * 100, 0), 1, 4, 1, 8, 1,
+        4, 7)
+      .orderBy($"k")
+  }
+
   /** X17 Dawid–Skene ([[graft.operators.Labeling.dawidSkene]]): the
     * crowdsourcing-standard label model fitted to the same abstaining
     * quality-LF panel as q285 — per-rater sensitivity/specificity and

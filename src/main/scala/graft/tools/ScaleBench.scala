@@ -139,7 +139,14 @@ object ScaleBench {
       Seq("q273_revenue_holt", "q274_ate_stratified",
         "q275_linkage_weights", "q277_holt_append",
         "q278_isotonic_cal", "q279_linkage_em",
-        "q280_linkage_entities", "q281_isotonic_apply")
+        "q280_linkage_entities", "q281_isotonic_apply",
+        // round-13 batch 2: tf-adjusted scoring (pair-sized like
+        // q276 + the record-linear value-count join), block audit +
+        // Krippendorff + DiD + Dawid–Skene train/apply (aggregate-
+        // sized), Holt–Winters (calendar-bounded per-key scan)
+        "q282_linkage_tf", "q284_block_audit", "q285_krippendorff",
+        "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
+        "q289_holt_winters")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

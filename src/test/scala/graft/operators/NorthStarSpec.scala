@@ -3139,6 +3139,42 @@ class NorthStarSpec extends SparkSpec {
     assert(seas(3) > 100L && seas(3) > seas(1))
   }
 
+  test("holtWintersBacktest: MAE vs seasonal-naive matches the " +
+      "reference recursion; naive error is exact on a trending series") {
+    import spark.implicits._
+    // trend +10/day plus a weekly +700 bump: the seasonal-naive error
+    // is exactly 70 cents on every comparable day
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows = (0L until 28L).map(d =>
+      ("a", at(d), (1000.0 + 10.0 * d + (if (d % 7 == 3) 700.0 else 0.0)) / 100.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = TimeSeries.holtWintersBacktest(df, "k", "ts",
+      round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7).collect().head
+    // reference: replay the recursion, then the same aggregates
+    val seas = new Array[Long](7)
+    var (pl, pb) = (0L, 0L); var has = false
+    val hw = (0L until 28L).map { d =>
+      val x = 1000L + 10L * d + (if (d % 7 == 3) 700L else 0L)
+      val dow = (d % 7).toInt
+      var (l, b, f) = (x, 0L, x)
+      if (has) {
+        val sd = seas(dow); f = pl + pb + sd
+        l = (1 * (x - sd) + 3 * (pl + pb)) / 4
+        b = (1 * (l - pl) + 7 * pb) / 8
+      }
+      val s = (1 * (x - l) + 3 * seas(dow)) / 4
+      seas(dow) = s; pl = l; pb = b; has = true
+      (d, x, f)
+    }
+    val cmp = hw.drop(7).map { case (d, x, f) =>
+      (math.abs(f - x), math.abs(hw((d - 7).toInt)._2 - x)) }
+    val (eh, es, n) = (cmp.map(_._1).sum, cmp.map(_._2).sum, cmp.size)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == (n.toLong, eh / n, es / n,
+      BigInt(eh) * 1000000 / es))
+    assert(got.getLong(3) == 70L) // the exact naive error
+  }
+
   test("dawidSkenePosterior: per-unit posterior is the E-step " +
       "through the fitted parameters; all-abstain units omitted") {
     import spark.implicits._
