@@ -93,7 +93,8 @@ object Explain {
       "q274_ate_stratified", "q275_linkage_weights",
       "q276_linkage_pairs", "q277_holt_append", "q278_isotonic_cal",
       "q279_linkage_em", "q280_linkage_entities", "q281_isotonic_apply",
-      "q282_linkage_tf", "q284_block_audit", "q285_krippendorff",
+      "q282_linkage_tf", "q283_hw_backtest", "q284_block_audit",
+      "q285_krippendorff",
       "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
       "q289_holt_winters")
     // Reader-facing notes for queries whose dump is a constituent plan
