@@ -310,6 +310,7 @@ object SparkEntry {
     "q288_ds_posterior" -> (NorthStar.qualityDsPosterior _),
     "q289_holt_winters" -> (NorthStar.revenueHoltWinters _),
     "q283_hw_backtest" -> (NorthStar.revenueHwBacktest _),
+    "q290_hw_append" -> (NorthStar.revenueHwAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5711,6 +5712,12 @@ object SparkEntry {
     // q283: Holt–Winters one-step backtest — forecast MAE vs the
     // seasonal-naive baseline over the same recursion (shared CTEs).
     "q283_hw_backtest" -> holtWintersBacktestSql,
+    // q290: the HW append/state form — the Spark side splits the log
+    // at the median day and folds the second half onto each key's
+    // persisted (level, trend, seasonal ring); the oracle replays the
+    // SAME full-log recursion (q289's SQL constant — the q277 seam
+    // pattern), so every row including the split boundary must match.
+    "q290_hw_append" -> holtWintersRowsSql,
     // q275: Fellegi–Sunter field weights — u from the exact value
     // histogram (Σ c·(c−1) / n·(n−1), HUGEINT), odds not log-weights
     // (log is not IEEE correctly-rounded across engines; see the

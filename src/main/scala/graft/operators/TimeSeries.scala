@@ -252,8 +252,70 @@ object TimeSeries {
       .groupBy(col("k"))
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"))
       .select(col("k"), explode(graft.plans.ScanExpressions
-        .holt_winters_scan(col("a"), aNum, aDen, bNum, bDen, gNum,
-          gDen, period)).as("e"))
+        .holt_winters_scan(col("a"), lit(null).cast("long"),
+          lit(null).cast("long"), lit(null).cast("array<bigint>"),
+          aNum, aDen, bNum, bDen, gNum, gDen, period)).as("e"))
+      .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
+        col("e.l").as("level"), col("e.b").as("trend"),
+        col("e.s").as("seasonal"), col("e.f").as("forecast"))
+  }
+
+  /** Incremental continuation of [[holtWintersDaily]] — the STATE
+    * form, the [[holtDailyAppend]] pattern with a THREE-component
+    * state: fold NEW daily totals on top of each key's persisted
+    * (level, trend, seasonal ring). The ring is reconstructed from
+    * the prior's rows by slot — each (key, d mod period)'s LATEST
+    * seasonal — so the state is exactly what a re-run would have held;
+    * slots never observed stay 0 (the fresh seed). Ordered APPEND
+    * with the family's fail-fast on a day at or before the stored
+    * last day. `prior` is the (k, d, x, level, trend, seasonal,
+    * forecast) output of a previous [[holtWintersDaily]] /
+    * [[holtWintersDailyAppend]] run; keys with no prior start fresh.
+    * Returns ONLY the new days' rows; prior ∪ appended is
+    * value-identical to re-running [[holtWintersDaily]] over the
+    * concatenated history (spec- and oracle-pinned, q290). Cost
+    * O(increment + keys·period). */
+  def holtWintersDailyAppend(prior: DataFrame, df: DataFrame,
+      key: String, ts: String, value: Column, aNum: Int, aDen: Int,
+      bNum: Int, bDen: Int, gNum: Int, gDen: Int,
+      period: Int = 7): DataFrame = {
+    require(aNum >= 1 && aDen > aNum,
+      s"level alpha needs 1 <= aNum < aDen, got $aNum/$aDen")
+    require(bNum >= 1 && bDen > bNum,
+      s"trend beta needs 1 <= bNum < bDen, got $bNum/$bDen")
+    require(gNum >= 1 && gDen > gNum,
+      s"seasonal gamma needs 1 <= gNum < gDen, got $gNum/$gDen")
+    val last = prior.groupBy(col("k"))
+      .agg(max(struct(col("d"), col("level"), col("trend"))).as("m"))
+      .select(col("k"), col("m.d").as("d0"), col("m.level").as("l0"),
+        col("m.trend").as("b0"))
+    // the seasonal ring: each slot's LATEST value, scattered into a
+    // period-sized array (missing slots 0 — the fresh-seed value)
+    val ring = prior
+      .groupBy(col("k"), pmod(col("d"), lit(period.toLong))
+        .cast("int").as("dow"))
+      .agg(max(struct(col("d"), col("seasonal"))).as("m"))
+      .groupBy(col("k"))
+      .agg(map_from_entries(collect_list(struct(col("dow"),
+        col("m.seasonal")))).as("smap"))
+      .select(col("k"), expr(s"transform(sequence(0, ${period - 1}), " +
+        "i -> coalesce(smap[cast(i as int)], 0L))").as("seas0"))
+    ewmaDailyTotals(df, key, ts, value, "holtWintersDailyAppend")
+      .join(last, Seq("k"), "left")
+      .join(ring, Seq("k"), "left")
+      .withColumn("d", expr("if(d0 is null or d > d0, d, " +
+        "cast(raise_error(concat('holtWintersDailyAppend: day ', d, " +
+        "' does not land after the stored last day ', d0, " +
+        "' — the Holt-Winters recursion is append-only')) as bigint))"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("a"),
+        max(col("l0")).as("l0"), // constant per key after the join
+        max(col("b0")).as("b0"),
+        first(col("seas0")).as("seas0"))
+      .select(col("k"), explode(graft.plans.ScanExpressions
+        .holt_winters_scan(col("a"), col("l0"), col("b0"),
+          col("seas0"), aNum, aDen, bNum, bDen, gNum, gDen,
+          period)).as("e"))
       .select(col("k"), col("e.d").as("d"), col("e.x").as("x"),
         col("e.l").as("level"), col("e.b").as("trend"),
         col("e.s").as("seasonal"), col("e.f").as("forecast"))

@@ -265,7 +265,8 @@ case class HoltScan(arr: Expression, priorL: Expression,
   * is the sign-safe truncation (trend and seasonals are signed) — Java
   * `/` directly, the portable CASE form in the oracle. Same
   * calendar-bounded per-key evaluation regime as [[EwmaScan]]. */
-case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
+case class HoltWintersScan(arr: Expression, priorL: Expression,
+    priorB: Expression, priorSeas: Expression, aNum: Int, aDen: Int,
     bNum: Int, bDen: Int, gNum: Int, gDen: Int, period: Int)
     extends Expression with CodegenFallback {
   require(aNum >= 1 && aDen > aNum,
@@ -276,7 +277,8 @@ case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
     s"seasonal gamma needs 1 <= gNum < gDen, got $gNum/$gDen")
   require(period >= 2 && period <= 366, s"period=$period")
 
-  override def children: Seq[Expression] = Seq(arr)
+  override def children: Seq[Expression] =
+    Seq(arr, priorL, priorB, priorSeas)
   override def nullable: Boolean = arr.nullable
   override def prettyName: String = "holt_winters_scan"
 
@@ -288,13 +290,16 @@ case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
     StructField("s", LongType, nullable = false),
     StructField("f", LongType, nullable = false))), containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = arr.dataType match {
-    case ArrayType(StructType(Array(d, x)), _)
+  override def checkInputDataTypes(): TypeCheckResult = (arr.dataType,
+      priorL.dataType, priorB.dataType, priorSeas.dataType) match {
+    case (ArrayType(StructType(Array(d, x)), _), LongType, LongType,
+        ArrayType(LongType, _))
         if d.dataType == LongType && x.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
-    case a => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<struct<bigint,bigint>>, got " +
-        a.simpleString)
+    case (a, pl, pb, ps) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<bigint,bigint>>, bigint, " +
+        s"bigint, array<bigint>), got ${a.simpleString}, " +
+        s"${pl.simpleString}, ${pb.simpleString}, ${ps.simpleString}")
   }
 
   override def eval(input: InternalRow): Any = {
@@ -303,9 +308,23 @@ case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
     val ad = a.asInstanceOf[ArrayData]
     val n = ad.numElements()
     val seas = new Array[Long](period)
-    var prevL = 0L
-    var prevB = 0L
-    var hasPrev = false
+    // prior (level, trend, seasonal ring) seed the continuation
+    // ([[graft.operators.TimeSeries.holtWintersDailyAppend]]); a NULL
+    // priorL means a fresh key, a NULL ring means all-zero slots
+    val pl = priorL.eval(input)
+    val pb = priorB.eval(input)
+    val ps = priorSeas.eval(input)
+    var hasPrev = pl != null
+    var prevL = if (hasPrev) pl.asInstanceOf[Long] else 0L
+    var prevB = if (hasPrev && pb != null) pb.asInstanceOf[Long] else 0L
+    if (ps != null) {
+      val pr = ps.asInstanceOf[ArrayData]
+      require(pr.numElements() == period,
+        s"$prettyName: prior seasonal ring has ${pr.numElements()} " +
+          s"slots, period is $period")
+      var j = 0
+      while (j < period) { seas(j) = pr.getLong(j); j += 1 }
+    }
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -336,7 +355,8 @@ case class HoltWintersScan(arr: Expression, aNum: Int, aDen: Int,
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HoltWintersScan =
-    copy(arr = newChildren(0))
+    copy(arr = newChildren(0), priorL = newChildren(1),
+      priorB = newChildren(2), priorSeas = newChildren(3))
 }
 
 object ScanExpressions {
@@ -352,10 +372,15 @@ object ScanExpressions {
     ColumnBridge.column(EwmaChartScan(ColumnBridge.expression(a),
       num, den, devNum, devDen, kSigma, warmup))
 
-  /** Column form of [[HoltWintersScan]]. */
-  def holt_winters_scan(a: Column, aNum: Int, aDen: Int, bNum: Int,
+  /** Column form of [[HoltWintersScan]]: `l0`/`b0`/`seas0` the
+    * nullable prior (level, trend, seasonal ring) seed (NULL l0 ⇒
+    * fresh key; NULL ring ⇒ all-zero slots). */
+  def holt_winters_scan(a: Column, l0: Column, b0: Column,
+      seas0: Column, aNum: Int, aDen: Int, bNum: Int,
       bDen: Int, gNum: Int, gDen: Int, period: Int): Column =
     ColumnBridge.column(HoltWintersScan(ColumnBridge.expression(a),
+      ColumnBridge.expression(l0), ColumnBridge.expression(b0),
+      ColumnBridge.expression(seas0),
       aNum, aDen, bNum, bDen, gNum, gDen, period))
 
   /** Column form of [[HoltScan]]: `l0`/`b0` the nullable prior

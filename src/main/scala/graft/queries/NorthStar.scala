@@ -2971,6 +2971,26 @@ object NorthStar {
       .orderBy($"k")
   }
 
+  /** X16 Holt–Winters append state ([[graft.operators.TimeSeries
+    * .holtWintersDailyAppend]]): the three-component state seam —
+    * the log split at its median observed day, the first half folded
+    * by q289's recursion, the second half APPENDED onto each key's
+    * persisted (level, trend, seasonal ring); prior ∪ appended must
+    * equal the full-history run row-exactly (the q270/q277 seam
+    * pattern — the oracle IS q289's SQL constant). */
+  def revenueHwAppend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cut = medianObservedDay(ev, "ts")
+    val day = floor(unix_timestamp($"ts") / 86400).cast("long")
+    val prior = TimeSeries.holtWintersDaily(ev.filter(day < cut),
+      "event_type", "ts", round($"value" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+    val appended = TimeSeries.holtWintersDailyAppend(prior,
+      ev.filter(day >= cut), "event_type", "ts",
+      round($"value" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+    prior.unionByName(appended).orderBy($"k", $"d")
+  }
+
   /** X17 Dawid–Skene ([[graft.operators.Labeling.dawidSkene]]): the
     * crowdsourcing-standard label model fitted to the same abstaining
     * quality-LF panel as q285 — per-rater sensitivity/specificity and

@@ -3139,6 +3139,46 @@ class NorthStarSpec extends SparkSpec {
     assert(seas(3) > 100L && seas(3) > seas(1))
   }
 
+  test("holtWintersDailyAppend: prior + appended equals the full run " +
+      "at every cut; out-of-order day fails fast; fresh keys seed") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows = (0L until 21L).flatMap(d => Seq(
+      ("a", at(d), if (d % 7 == 3) 17.0 else 10.0),
+      ("b", at(d), 5.0 + (d % 7).toDouble)))
+    val df = rows.toDF("k", "ts", "v")
+    val full = TimeSeries.holtWintersDaily(df, "k", "ts",
+        round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+      .orderBy($"k", $"d").collect().toList
+    Seq(1L, 8L, 15L).foreach { cut =>
+      val prior = TimeSeries.holtWintersDaily(
+        df.filter(unix_timestamp($"ts") / 86400 < cut), "k", "ts",
+        round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+      val app = TimeSeries.holtWintersDailyAppend(prior,
+        df.filter(unix_timestamp($"ts") / 86400 >= cut), "k", "ts",
+        round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+      assert(prior.unionByName(app).orderBy($"k", $"d")
+        .collect().toList == full, s"seam broke at cut $cut")
+    }
+    // a day at or before the stored last day is refused
+    val prior = TimeSeries.holtWintersDaily(df, "k", "ts",
+      round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7)
+    val e = intercept[Exception] {
+      TimeSeries.holtWintersDailyAppend(prior,
+        Seq(("a", at(5L), 1.0)).toDF("k", "ts", "v"), "k", "ts",
+        round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7).collect()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("append-only")))
+    // a key absent from the prior starts fresh inside the same append
+    val app2 = TimeSeries.holtWintersDailyAppend(prior,
+      Seq(("c", at(30L), 2.0)).toDF("k", "ts", "v"), "k", "ts",
+      round($"v" * 100, 0), 1, 4, 1, 8, 1, 4, 7).collect()
+    assert(app2.length == 1 && app2.head.getLong(3) == 200L &&
+      app2.head.getLong(4) == 0L)
+  }
+
   test("holtWintersBacktest: MAE vs seasonal-naive matches the " +
       "reference recursion; naive error is exact on a trending series") {
     import spark.implicits._
