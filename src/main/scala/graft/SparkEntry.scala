@@ -311,6 +311,7 @@ object SparkEntry {
     "q289_holt_winters" -> (NorthStar.revenueHoltWinters _),
     "q283_hw_backtest" -> (NorthStar.revenueHwBacktest _),
     "q290_hw_append" -> (NorthStar.revenueHwAppend _),
+    "q291_linkage_evidence" -> (NorthStar.customerLinkageEvidence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5903,6 +5904,9 @@ object SparkEntry {
         |      * (abs(CAST(de_ppm AS HUGEINT) - do_ppm) * 1000000
         |         // de_ppm) AS BIGINT) END AS alpha_ppm
         |FROM fin""".stripMargin,
+    // q291: per-field evidence waterfall on the passing pairs — the
+    // generated odds branches (see linkageEvidenceSql).
+    "q291_linkage_evidence" -> linkageEvidenceSql,
     // q284: blocking pre-flight — exact candidate-pair bill per block
     // key from ONE key-sized aggregate, never a pair.
     "q284_block_audit" ->
@@ -6163,6 +6167,37 @@ object SparkEntry {
       |     ELSE CAST(300000 AS HUGEINT) * 1000000 // (1000000 - u_cents)
       |     END) AS score_pp
       |  FROM p, u)""".stripMargin
+
+  /** q291's oracle: the shared linkage CTEs, each PASSING pair
+    * unpacked one row per field — generated per field name so the
+    * odds branch can never drift from the scoring CTE. */
+  private val linkageEvidenceSql: String = {
+    def odds(n: String) =
+      s"CAST((CASE WHEN a_$n IS NULL OR b_$n IS NULL\n" +
+        s"       THEN CAST(1000000 AS HUGEINT)\n" +
+        s"     WHEN a_$n = b_$n\n" +
+        s"       THEN CAST(700000 AS HUGEINT) * 1000000 // u_$n\n" +
+        s"     ELSE CAST(300000 AS HUGEINT) * 1000000\n" +
+        s"       // (1000000 - u_$n) END) AS BIGINT)"
+    def state(n: String) =
+      s"CASE WHEN a_$n IS NULL OR b_$n IS NULL THEN 'abstain' " +
+        s"WHEN a_$n = b_$n THEN 'agree' ELSE 'disagree' END"
+    "WITH " + linkagePairsCtes + ",\n" +
+      s"""pf AS (
+        |  SELECT id_a, id_b, 'seg' AS field,
+        |    ${state("seg")} AS state,
+        |    ${odds("seg")} AS odds_ppm
+        |  FROM p, u
+        |  UNION ALL
+        |  SELECT id_a, id_b, 'cents',
+        |    ${state("cents")},
+        |    ${odds("cents")}
+        |  FROM p, u)
+        |SELECT pf.id_a, pf.id_b, pf.field, pf.state, pf.odds_ppm
+        |FROM pf JOIN sc ON pf.id_a = sc.id_a AND pf.id_b = sc.id_b
+        |WHERE sc.score_pp > CAST(1000000 AS HUGEINT) * 1000000
+        |ORDER BY pf.id_a, pf.id_b, pf.field""".stripMargin
+  }
 
   /** q287's oracle: Dawid–Skene's two EM iterations unrolled as
     * generated CTE pairs (E: per-unit responsibility against the

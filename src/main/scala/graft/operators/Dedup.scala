@@ -1113,7 +1113,8 @@ object Dedup {
     * filter. Unordered — callers order (or feed the CC walk). */
   private def linkageScoredPairs(base: DataFrame, uRow: DataFrame,
       fields: Seq[(String, org.apache.spark.sql.Column)], mPpm: Long,
-      minScorePp: Option[java.math.BigDecimal]): DataFrame = {
+      minScorePp: Option[java.math.BigDecimal],
+      keepEvidence: Boolean = false): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val a = base.select(Seq(col("pid").as("id_a"), col("blk")) ++
       fields.map { case (n, _) => col(s"f_$n").as(s"a_$n") }: _*)
@@ -1139,10 +1140,53 @@ object Dedup {
     val cut = minScorePp.map(v => lit(v).cast("decimal(38,0)"))
       .getOrElse(dec(lit(java.math.BigDecimal.valueOf(1000000L)
         .pow(fields.size))))
+    val evidence =
+      if (!keepEvidence) Nil
+      else fields.flatMap { case (n, _) => Seq(
+        col(s"a_$n"), col(s"b_$n"),
+        // a per-FIELD odds always fits int64 (max mPpm·10⁶ at the
+        // 1 ppm u clamp)
+        fieldScore(n).cast("bigint").as(s"odds_$n")) }
     pairs
-      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
-        score.cast("decimal(38,0)").as("score_pp"))
+      .select(Seq(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.cast("decimal(38,0)").as("score_pp")) ++ evidence: _*)
       .filter(col("score_pp") > cut)
+  }
+
+  /** PER-FIELD EVIDENCE READOUT on the passing pairs — the data
+    * behind Splink's waterfall chart: for every net-positive pair,
+    * one row PER COMPARISON FIELD naming its state (agree / disagree
+    * / abstain) and the exact odds_ppm that multiplied into the
+    * score (abstentions read the neutral 10⁶) — "which field's
+    * evidence carried this match" made queryable, the explainability
+    * rung reviewers of a linkage decision actually ask for. The
+    * product of a pair's odds rows over 10⁶ᵏ⁻¹ reproduces its
+    * [[linkagePairScores]] score exactly.
+    *
+    * Scale shape: [[linkagePairScores]]' blocked join + map-only
+    * scoring, then a k-wide generator explode on the PASSING pairs
+    * only — output-sized work. */
+  def linkagePairEvidence(df: DataFrame, id: String, block: String,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      mPpm: Long = 950000L,
+      minScorePp: Option[java.math.BigDecimal] = None): DataFrame = {
+    linkageChecks(fields, mPpm)
+    val scored = linkageScoredPairs(linkageBase(df, id, block, fields),
+      linkageURow(df, fields), fields, mPpm, minScorePp,
+      keepEvidence = true)
+    val fieldStructs = fields.map { case (n, _) =>
+      struct(lit(n).as("field"),
+        when(col(s"a_$n").isNull || col(s"b_$n").isNull, lit("abstain"))
+          .when(col(s"a_$n") === col(s"b_$n"), lit("agree"))
+          .otherwise(lit("disagree")).as("state"),
+        col(s"odds_$n").as("odds_ppm"))
+    }
+    scored
+      .select(col("id_a"), col("id_b"),
+        explode(array(fieldStructs: _*)).as("e"))
+      .select(col("id_a"), col("id_b"), col("e.field").as("field"),
+        col("e.state").as("state"), col("e.odds_ppm").as("odds_ppm"))
+      .orderBy(col("id_a"), col("id_b"), col("field"))
   }
 
   /** BLOCKING PRE-FLIGHT AUDIT — Splink's "count comparisons" step:

@@ -3055,6 +3055,21 @@ object NorthStar {
           (size(split($"text", " ")) >= 50).cast("int"))))
   }
 
+  /** X2 linkage evidence waterfall ([[graft.operators.Dedup
+    * .linkagePairEvidence]]): q276's passing pairs unpacked one row
+    * per comparison field — state (agree/disagree/abstain) and the
+    * exact odds_ppm that multiplied into the score; the Splink
+    * waterfall-chart data, "which field carried this match". */
+  def customerLinkageEvidence(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkagePairEvidence(c, "c_custkey", "blk_fine", Seq(
+        "seg" -> $"c_mktsegment",
+        "cents" -> floor($"c_acctbal" * 100).cast("long")),
+      mPpm = 700000L)
+  }
+
   /** X2 blocking pre-flight audit ([[graft.operators.Dedup
     * .linkageBlockAudit]]): the exact candidate-pair bill of the
     * coarse nation block vs the shipped fine composite, side by side

@@ -3309,6 +3309,34 @@ class NorthStarSpec extends SparkSpec {
       .collect().head.isNullAt(5))
   }
 
+  test("linkagePairEvidence: one row per field per passing pair; " +
+      "the odds rows multiply back to the exact pair score") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "X", Some("A"), Some("p")), (2L, "X", Some("A"), Some("q")),
+      (3L, "X", Some("B"), Some("p")), (5L, "X", Some("A"), Some("p")),
+      (6L, "X", Some("A"), None), (4L, "Y", Some("A"), Some("p")))
+    val df = recs.toDF("id", "blk", "f1", "f2")
+    val scores = Dedup.linkagePairScores(df, "id", "blk",
+        Seq("f1" -> $"f1", "f2" -> $"f2"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        BigInt(r.getDecimal(3).toBigInteger))).toMap
+    val ev = Dedup.linkagePairEvidence(df, "id", "blk",
+        Seq("f1" -> $"f1", "f2" -> $"f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList
+    // exactly the passing pairs, two rows each, fields ordered
+    assert(ev.map(e => (e._1, e._2)).distinct.toSet == scores.keySet)
+    assert(ev.size == 2 * scores.size)
+    // the waterfall invariant: product of the pair's odds == score
+    ev.groupBy(e => (e._1, e._2)).foreach { case (pair, rows) =>
+      val prod = rows.map(r => BigInt(r._5)).product
+      assert(prod == scores(pair), s"waterfall broke for $pair")
+    }
+    // the abstaining pair (1,6) reads neutral on f2
+    assert(ev.contains((1L, 6L, "f2", "abstain", 1000000L)))
+  }
+
   test("linkageBlockAudit: exact candidate-pair bill per block key; " +
       "NULL blocks dropped; two keys audited in one call") {
     import spark.implicits._
