@@ -42,6 +42,7 @@ object DemoPipeline {
       case Some("--streaming") => "streaming"
       case Some("--stats") => "stats"
       case Some("--labels") => "labels"
+      case Some("--linkage") => "linkage"
       case Some("--e2e") => "e2e"
       case _ => "batch"
     }
@@ -50,6 +51,9 @@ object DemoPipeline {
       case "streaming" => "/tmp/graft_demo_stream"
       case "e2e" => "/tmp/graft_demo_e2e"
       case "stats" | "labels" => "/root/testdata/sf0.001"
+      // sf0.01, not sf0.001: the fine composite block admits no
+      // candidate pairs at all at sf0.001 (150 customers)
+      case "linkage" => "/root/testdata/sf0.01"
       case _ => "/tmp/graft_demo"
     })
     val today = rest.lift(1).getOrElse("2025-10-05")
@@ -67,6 +71,7 @@ object DemoPipeline {
       case "streaming" => runStreaming(spark, base, today)
       case "stats" => runStats(spark, base)
       case "labels" => runLabels(spark, base)
+      case "linkage" => runLinkage(spark, base)
       case "e2e" => runE2e(spark, base, today)
       case _ => runBatch(spark, base, today)
     }
@@ -159,6 +164,55 @@ object DemoPipeline {
     * `sbt "runMain graft.DemoPipeline --labels /root/testdata/sf0.001"`.
     * Public and session-injected so the spec drives the identical
     * code path the CLI runs. */
+  /** The full probabilistic record-linkage ladder on the customer
+    * table, each rung one operator — the Splink workflow end to end:
+    * audit the block key BEFORE any pair forms, calibrate field
+    * evidence, score blocked pairs (field-level and tf-adjusted),
+    * explain a match, fit m/u unsupervised, and collapse matches to
+    * entities. `sbt "runMain graft.DemoPipeline --linkage"`. */
+  def runLinkage(spark: SparkSession, sfDir: String): Unit = {
+    val cust = Tables.customer(spark, sfDir).withColumn("blk_fine",
+      concat_ws("_", col("c_nationkey"),
+        floor(col("c_acctbal") / 100).cast("long")))
+    val fields = Seq("seg" -> col("c_mktsegment"),
+      "cents" -> floor(col("c_acctbal") * 100).cast("long"))
+    println("[block audit] the candidate-pair bill, coarse vs fine " +
+      "— run this BEFORE any linkage job")
+    operators.Dedup.linkageBlockAudit(cust, "c_custkey", Seq(
+        "nation_coarse" -> col("c_nationkey"),
+        "nation_bal100_fine" -> col("blk_fine")))
+      .orderBy(col("block_key")).show(truncate = false)
+    println("[field weights] chance-agreement u + match/non-match " +
+      "odds per field")
+    operators.Dedup.linkageFieldWeights(cust, fields)
+      .orderBy(col("field")).show(truncate = false)
+    println("[pair scoring] top net-positive pairs, exact-integer " +
+      "odds product (m = 0.7)")
+    val pairs = operators.Dedup.linkagePairScores(cust, "c_custkey",
+      "blk_fine", fields, mPpm = 700000L)
+    pairs.show(10, truncate = false)
+    println("[tf adjustment] the same pairs rescored by the agreed " +
+      "VALUE's rarity (Splink tf_adjustments)")
+    operators.Dedup.linkagePairScoresTf(cust, "c_custkey", "blk_fine",
+        fields, mPpm = 700000L)
+      .show(10, truncate = false)
+    println("[evidence waterfall] which field carried the top match")
+    operators.Dedup.linkagePairEvidence(cust, "c_custkey", "blk_fine",
+        fields, mPpm = 700000L)
+      .show(6, truncate = false)
+    println("[EM] unsupervised m/u over the blocked pairs " +
+      "(two all-integer-ppm iterations)")
+    operators.Dedup.linkageEmMU(cust, "c_custkey", "blk_fine",
+        col("c_mktsegment"), floor(col("c_acctbal") * 100).cast("long"))
+      .show(truncate = false)
+    println("[entities] matches collapsed to canonical ids — " +
+      "largest clusters (signature-star CC, never the full pair set)")
+    operators.Dedup.linkageEntities(cust, "c_custkey", "blk_fine",
+        fields, mPpm = 700000L)
+      .orderBy(col("cluster_size").desc, col("c_custkey"))
+      .show(10, truncate = false)
+  }
+
   def runLabels(spark: SparkSession, sfDir: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
     val lfLong = (col("n_chars") >= 300).cast("int")
