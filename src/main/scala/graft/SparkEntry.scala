@@ -312,6 +312,7 @@ object SparkEntry {
     "q283_hw_backtest" -> (NorthStar.revenueHwBacktest _),
     "q290_hw_append" -> (NorthStar.revenueHwAppend _),
     "q291_linkage_evidence" -> (NorthStar.customerLinkageEvidence _),
+    "q292_linkage_leveled" -> (NorthStar.customerLinkageLeveled _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5907,6 +5908,72 @@ object SparkEntry {
     // q291: per-field evidence waterfall on the passing pairs — the
     // generated odds branches (see linkageEvidenceSql).
     "q291_linkage_evidence" -> linkageEvidenceSql,
+    // q292: graded comparison levels — per-level u from the CANDIDATE
+    // population (count of blocked pairs at the level), per-level m
+    // from the query; every candidate ranked, no cut.
+    "q292_linkage_leveled" ->
+      """WITH base AS (SELECT c_custkey AS pid,
+        |    concat_ws('_', c_nationkey,
+        |      CAST(floor(c_acctbal / 100) AS BIGINT)) AS blk,
+        |    c_mktsegment AS f_seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS f_cents
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |p AS (SELECT a.pid AS id_a, b.pid AS id_b,
+        |    a.f_seg AS a_seg, b.f_seg AS b_seg,
+        |    a.f_cents AS a_cents, b.f_cents AS b_cents
+        |  FROM base a JOIN base b ON a.blk = b.blk AND a.pid < b.pid),
+        |lv AS (SELECT id_a, id_b,
+        |    CASE WHEN a_seg IS NULL OR b_seg IS NULL THEN -1
+        |         WHEN a_seg = b_seg THEN 0 ELSE 1 END AS lvl_seg,
+        |    CASE WHEN a_cents IS NULL OR b_cents IS NULL THEN -1
+        |         WHEN a_cents = b_cents THEN 0
+        |         WHEN abs(a_cents - b_cents) <= 100 THEN 1
+        |         ELSE 2 END AS lvl_cents
+        |  FROM p),
+        |u AS (SELECT
+        |    greatest(1, least(999999, CAST(coalesce(count(CASE WHEN
+        |      lvl_seg = 0 THEN 1 END), 0) * 1000000 // greatest(1,
+        |      count(CASE WHEN lvl_seg >= 0 THEN 1 END)) AS BIGINT)))
+        |      AS u_seg_0,
+        |    greatest(1, least(999999, CAST(coalesce(count(CASE WHEN
+        |      lvl_seg = 1 THEN 1 END), 0) * 1000000 // greatest(1,
+        |      count(CASE WHEN lvl_seg >= 0 THEN 1 END)) AS BIGINT)))
+        |      AS u_seg_1,
+        |    greatest(1, least(999999, CAST(coalesce(count(CASE WHEN
+        |      lvl_cents = 0 THEN 1 END), 0) * 1000000 // greatest(1,
+        |      count(CASE WHEN lvl_cents >= 0 THEN 1 END)) AS BIGINT)))
+        |      AS u_cents_0,
+        |    greatest(1, least(999999, CAST(coalesce(count(CASE WHEN
+        |      lvl_cents = 1 THEN 1 END), 0) * 1000000 // greatest(1,
+        |      count(CASE WHEN lvl_cents >= 0 THEN 1 END)) AS BIGINT)))
+        |      AS u_cents_1,
+        |    greatest(1, least(999999, CAST(coalesce(count(CASE WHEN
+        |      lvl_cents = 2 THEN 1 END), 0) * 1000000 // greatest(1,
+        |      count(CASE WHEN lvl_cents >= 0 THEN 1 END)) AS BIGINT)))
+        |      AS u_cents_2
+        |  FROM lv),
+        |sc AS (SELECT id_a, id_b, lvl_seg, lvl_cents,
+        |    (CASE lvl_seg
+        |       WHEN -1 THEN CAST(1000000 AS HUGEINT)
+        |       WHEN 0 THEN CAST(700000 AS HUGEINT) * 1000000 // u_seg_0
+        |       ELSE CAST(300000 AS HUGEINT) * 1000000 // u_seg_1 END)
+        |  * (CASE lvl_cents
+        |       WHEN -1 THEN CAST(1000000 AS HUGEINT)
+        |       WHEN 0 THEN CAST(600000 AS HUGEINT) * 1000000
+        |         // u_cents_0
+        |       WHEN 1 THEN CAST(300000 AS HUGEINT) * 1000000
+        |         // u_cents_1
+        |       ELSE CAST(100000 AS HUGEINT) * 1000000 // u_cents_2
+        |       END) AS score_pp
+        |  FROM lv, u)
+        |SELECT id_a, id_b,
+        |  CASE lvl_seg WHEN -1 THEN 'abstain' WHEN 0 THEN 'agree'
+        |    ELSE 'disagree' END AS level_seg,
+        |  CASE lvl_cents WHEN -1 THEN 'abstain' WHEN 0 THEN 'exact'
+        |    WHEN 1 THEN 'close' ELSE 'far' END AS level_cents,
+        |  CAST(score_pp AS BIGINT) AS score_pp
+        |FROM sc WHERE score_pp > 0
+        |ORDER BY score_pp DESC, id_a, id_b""".stripMargin,
     // q284: blocking pre-flight — exact candidate-pair bill per block
     // key from ONE key-sized aggregate, never a pair.
     "q284_block_audit" ->

@@ -1320,6 +1320,110 @@ object Dedup {
       .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
   }
 
+  /** GRADED COMPARISON LEVELS — Splink's multi-level comparisons over
+    * [[linkagePairScores]]' binary agree/disagree: each field grades a
+    * pair into ordered LEVELS (e.g. a numeric's exact / close / far),
+    * first matching level wins, the LAST level is the unconditional
+    * fallback. Per level ℓ the evidence odds are m_ℓ/u_ℓ where m_ℓ is
+    * the caller's P(level | match) in ppm (must sum to 10⁶ per field —
+    * levels partition the match class) and u_ℓ is ESTIMATED FROM THE
+    * CANDIDATE POPULATION: the share of blocked pairs at that level
+    * (Splink's estimate-u-from-random-pairs, specialized to the
+    * blocked population a leveled predicate like |Δ| ≤ τ is actually
+    * scored against — a record-value histogram cannot price a
+    * two-sided predicate; the binary form's histogram u is
+    * [[linkagePairScores]]). u clamps to [1, 10⁶−1] ppm; a field with
+    * a NULL on either side abstains at neutral 10⁶. Score = exact
+    * DECIMAL product of the per-level odds_ppm; pairs above
+    * `minScorePp` (default the 10⁶ᵏ neutral) survive. Output:
+    * (id_a, id_b, one level-name column per field, score_pp).
+    *
+    * Scale shape: the same ONE blocked self equi-join evaluated twice
+    * — once aggregated to the (k·L)-cell level histogram (map-side
+    * combined, broadcast back as one row), once scored map-only.
+    * Never all-pairs; the block-key contract is unchanged. */
+  def linkagePairScoresLeveled(df: DataFrame, id: String, block: String,
+      comparisons: Seq[(String, org.apache.spark.sql.Column,
+        Seq[(String, (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+          Long)])],
+      minScorePp: Option[java.math.BigDecimal] = None): DataFrame = {
+    require(comparisons.nonEmpty && comparisons.size <= 3,
+      s"1..3 comparison fields, got ${comparisons.size}")
+    require(comparisons.map(_._1).distinct.size == comparisons.size,
+      s"duplicate field names in ${comparisons.map(_._1)}")
+    comparisons.foreach { case (n, _, levels) =>
+      require(levels.size >= 2 && levels.size <= 4,
+        s"field $n: 2..4 levels, got ${levels.size}")
+      require(levels.map(_._3).sum == 1000000L,
+        s"field $n: level m_ppm must sum to 1000000 (levels " +
+          s"partition the match class), got ${levels.map(_._3).sum}")
+      require(levels.map(_._1).distinct.size == levels.size,
+        s"field $n: duplicate level names")
+    }
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(id).isNotNull && col(block).isNotNull)
+      .select(Seq(col(id).as("pid"), col(block).as("blk")) ++
+        comparisons.map { case (n, c, _) => c.as(s"f_$n") }: _*)
+    val a = base.select(Seq(col("pid").as("id_a"), col("blk")) ++
+      comparisons.map { case (n, _, _) => col(s"f_$n").as(s"a_$n") }: _*)
+    val b = base.select(Seq(col("pid").as("id_b"), col("blk")) ++
+      comparisons.map { case (n, _, _) => col(s"f_$n").as(s"b_$n") }: _*)
+    val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+    // level index per field: first matching predicate wins, the last
+    // level is the fallback; NULL on either side -> -1 (abstain)
+    def lvlIdx(n: String,
+        levels: Seq[(String, (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+          Long)]): org.apache.spark.sql.Column = {
+      val av = col(s"a_$n"); val bv = col(s"b_$n")
+      val graded = levels.init.zipWithIndex
+        .foldLeft(when(av.isNull || bv.isNull, lit(-1))) {
+          case (acc, ((_, p, _), i)) => acc.when(p(av, bv), lit(i))
+        }
+      graded.otherwise(lit(levels.size - 1))
+    }
+    val leveled = pairs.select(Seq(col("id_a"), col("id_b")) ++
+      comparisons.map { case (n, _, levels) =>
+        lvlIdx(n, levels).as(s"lvl_$n") }: _*)
+    // ONE candidate-population histogram, pivoted to a broadcast row
+    // of clamped u_ppm per (field, level)
+    val uAggs = comparisons.flatMap { case (n, _, levels) =>
+      levels.indices.map { i =>
+        expr(s"greatest(1L, least(999999L, cast(coalesce(" +
+          s"count(if(lvl_$n = $i, 1, null)), 0) * 1000000 div " +
+          s"greatest(1L, count(if(lvl_$n >= 0, 1, null))) as bigint)))")
+          .as(s"u_${n}_$i")
+      }
+    }
+    val uRow = leveled.agg(uAggs.head, uAggs.tail: _*)
+    val scored = leveled.crossJoin(broadcast(uRow))
+    val fieldScore = comparisons.map { case (n, _, levels) =>
+      levels.indices.foldLeft(
+        when(col(s"lvl_$n") === -1, dec(lit(1000000L)))) {
+        case (acc, i) =>
+          acc.when(col(s"lvl_$n") === i,
+            dec(expr(s"cast(${levels(i)._3} as decimal(38,0)) " +
+              s"* 1000000 div u_${n}_$i")))
+      }.otherwise(dec(lit(1000000L)))
+    }.reduce((x, y) => dec(x * y))
+    val cut = minScorePp.map(v => lit(v).cast("decimal(38,0)"))
+      .getOrElse(dec(lit(java.math.BigDecimal.valueOf(1000000L)
+        .pow(comparisons.size))))
+    val lvlName = comparisons.map { case (n, _, levels) =>
+      levels.indices.foldLeft(
+        when(col(s"lvl_$n") === -1, lit("abstain"))) {
+        case (acc, i) => acc.when(col(s"lvl_$n") === i,
+          lit(levels(i)._1))
+      }.otherwise(lit("?")).as(s"level_$n")
+    }
+    scored
+      .select(Seq(col("id_a"), col("id_b")) ++ lvlName ++
+        Seq(fieldScore.cast("decimal(38,0)").as("score_pp")): _*)
+      .filter(col("score_pp") > cut)
+      .orderBy(col("score_pp").desc, col("id_a"), col("id_b"))
+  }
+
   /** LINKAGE ENTITY CLUSTERING — the rung Splink ships after pair
     * scoring: connected components of the net-positive pair graph,
     * each clustered record labeled with its canonical entity id (the

@@ -3070,6 +3070,36 @@ object NorthStar {
       mPpm = 700000L)
   }
 
+  /** X2 graded comparison levels ([[graft.operators.Dedup
+    * .linkagePairScoresLeveled]]): q276's blocked candidates graded
+    * instead of binary — segment agree/disagree, balance cents
+    * exact / close (within $1) / far — with per-level m (caller) and
+    * per-level u estimated from the candidate population; every
+    * candidate emitted ranked with its level names and exact-integer
+    * score (no cut: the leveled readout ranks, the consumer cuts —
+    * q276 carries the net-positive convention). */
+  def customerLinkageLeveled(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d).withColumn("blk_fine",
+      concat_ws("_", $"c_nationkey", floor($"c_acctbal" / 100).cast("long")))
+    Dedup.linkagePairScoresLeveled(c, "c_custkey", "blk_fine", Seq(
+        ("seg", $"c_mktsegment", Seq(
+          ("agree", (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) => a === b, 700000L),
+          ("disagree", (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) => lit(true), 300000L))),
+        ("cents", floor($"c_acctbal" * 100).cast("long"), Seq(
+          ("exact", (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) => a === b, 600000L),
+          ("close", (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) => abs(a - b) <= 100, 300000L),
+          ("far", (a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) => lit(true), 100000L)))),
+      minScorePp = Some(java.math.BigDecimal.ZERO))
+      // bounded: max odds product ~ 3.5e6 ppm x 6e11 ppm ~ 2.1e18 < 2^63
+      .withColumn("score_pp", $"score_pp".cast("long"))
+  }
+
   /** X2 blocking pre-flight audit ([[graft.operators.Dedup
     * .linkageBlockAudit]]): the exact candidate-pair bill of the
     * coarse nation block vs the shipped fine composite, side by side

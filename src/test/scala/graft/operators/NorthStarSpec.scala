@@ -3309,6 +3309,58 @@ class NorthStarSpec extends SparkSpec {
       .collect().head.isNullAt(5))
   }
 
+  test("linkagePairScoresLeveled: graded levels with candidate-" +
+      "population u match a BigInt reference; NULLs abstain") {
+    import spark.implicits._
+    val recs = Seq((1L, Some("A"), Some(100L)), (2L, Some("A"),
+      Some(150L)), (3L, Some("B"), Some(100L)),
+      (4L, Some("A"), Some(5000L)), (5L, Some("A"), None))
+    val df = recs.map { case (i, s0, c0) => (i, "X", s0, c0) }
+      .toDF("id", "blk", "seg", "cents")
+    type C = org.apache.spark.sql.Column
+    val got = Dedup.linkagePairScoresLeveled(df, "id", "blk", Seq(
+        ("seg", $"seg", Seq(
+          ("agree", (a: C, b: C) => a === b, 700000L),
+          ("disagree", (a: C, b: C) => lit(true), 300000L))),
+        ("cents", $"cents", Seq(
+          ("exact", (a: C, b: C) => a === b, 600000L),
+          ("close", (a: C, b: C) => abs(a - b) <= 100, 300000L),
+          ("far", (a: C, b: C) => lit(true), 100000L)))),
+      minScorePp = Some(java.math.BigDecimal.ZERO))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getString(3),
+          BigInt(r.getDecimal(4).toBigInteger)))).toMap
+    // BigInt reference: level per pair, u = level share of graded
+    // candidates, odds = m*1e6 div u (clamped u), product
+    val M = BigInt(1000000)
+    def segLvl(a: Option[String], b: Option[String]) =
+      if (a.isEmpty || b.isEmpty) -1 else if (a == b) 0 else 1
+    def centsLvl(a: Option[Long], b: Option[Long]) =
+      if (a.isEmpty || b.isEmpty) -1
+      else if (a == b) 0
+      else if (math.abs(a.get - b.get) <= 100) 1 else 2
+    val prs = for { (ia, sa, ca) <- recs; (ib, sb, cb) <- recs
+      if ia < ib } yield (ia, ib, segLvl(sa, sb), centsLvl(ca, cb))
+    def u(lvls: Seq[Int], l: Int): BigInt = {
+      val graded = lvls.count(_ >= 0).max(1)
+      (BigInt(lvls.count(_ == l)) * M / graded).max(1).min(999999)
+    }
+    val (segLs, centLs) = (prs.map(_._3), prs.map(_._4))
+    val segM = Seq(700000L, 300000L); val centM = Seq(600000L,
+      300000L, 100000L)
+    val segN = Seq("agree", "disagree"); val centN = Seq("exact",
+      "close", "far")
+    prs.foreach { case (ia, ib, ls, lc) =>
+      val oS = if (ls == -1) M else BigInt(segM(ls)) * M / u(segLs, ls)
+      val oC = if (lc == -1) M else BigInt(centM(lc)) * M / u(centLs, lc)
+      val (gs, gc, gScore) = got((ia, ib))
+      assert(gs == (if (ls == -1) "abstain" else segN(ls)))
+      assert(gc == (if (lc == -1) "abstain" else centN(lc)))
+      assert(gScore == oS * oC, s"score broke for ($ia,$ib)")
+    }
+    assert(got.size == prs.size)
+  }
+
   test("linkagePairEvidence: one row per field per passing pair; " +
       "the odds rows multiply back to the exact pair score") {
     import spark.implicits._
