@@ -96,7 +96,8 @@ object Explain {
       "q282_linkage_tf", "q283_hw_backtest", "q284_block_audit",
       "q285_krippendorff",
       "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
-      "q289_holt_winters", "q290_hw_append", "q291_linkage_evidence")
+      "q289_holt_winters", "q290_hw_append", "q291_linkage_evidence",
+      "q292_linkage_leveled")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

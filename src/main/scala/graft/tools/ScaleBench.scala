@@ -147,7 +147,8 @@ object ScaleBench {
         "q282_linkage_tf", "q283_hw_backtest", "q284_block_audit",
         "q285_krippendorff", "q286_diff_in_diff", "q287_dawid_skene",
         "q288_ds_posterior", "q289_holt_winters",
-        "q290_hw_append", "q291_linkage_evidence")
+        "q290_hw_append", "q291_linkage_evidence",
+        "q292_linkage_leveled")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
