@@ -313,6 +313,7 @@ object SparkEntry {
     "q290_hw_append" -> (NorthStar.revenueHwAppend _),
     "q291_linkage_evidence" -> (NorthStar.customerLinkageEvidence _),
     "q292_linkage_leveled" -> (NorthStar.customerLinkageLeveled _),
+    "q293_log_rank" -> (NorthStar.churnLogRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6010,6 +6011,53 @@ object SparkEntry {
     // (left-associative + in both engines) with the testable-strata
     // guard (n >= 2 in BOTH arms) mirrored term by term.
     "q274_ate_stratified" -> ateStratifiedSql,
+    // q293: log-rank test — q227's lifetime/censor model split by the
+    // user_id mod 2 arm; per-day hypergeometric moments accumulate as
+    // exact truncating-division integers (E in ppm, V in ppt with
+    // HUGEINT numerators); z is the only float, fixed operand order.
+    "q293_log_rank" ->
+      """WITH days AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(user_id % 2 AS INT) AS g FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l, max(g) AS g
+        |      FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t, g,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |h AS (SELECT t,
+        |    sum(CASE WHEN g = 1 THEN dead ELSE 0 END) AS d1,
+        |    sum(CASE WHEN g = 1 THEN 1 - dead ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g <> 1 THEN dead ELSE 0 END) AS d0,
+        |    sum(CASE WHEN g <> 1 THEN 1 - dead ELSE 0 END) AS c0
+        |  FROM lt GROUP BY 1),
+        |r AS (SELECT t, d1, d0,
+        |    sum(d1 + c1) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(d0 + c0) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        |  FROM h),
+        |c AS (SELECT d1, d0 + d1 AS dd, n0 + n1 AS nn, n1, n0
+        |      FROM r WHERE d0 + d1 > 0 AND n0 + n1 >= 2),
+        |mo AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(CAST(dd AS HUGEINT) * n1 * 1000000 // nn)
+        |      AS BIGINT) AS e1_ppm,
+        |    CAST(sum(CAST(dd AS HUGEINT) * n1 * n0 * (nn - dd)
+        |        * 1000000000000
+        |        // (CAST(nn AS HUGEINT) * nn * (nn - 1)))
+        |      AS BIGINT) AS v_ppt
+        |  FROM c),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0_users,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_users
+        |  FROM lt)
+        |SELECT n0_users, n1_users, o1, e1_ppm, v_ppt,
+        |  CASE WHEN v_ppt > 0 THEN
+        |    CAST(o1 * 1000000 - e1_ppm AS DOUBLE) / sqrt(CAST(v_ppt
+        |      AS DOUBLE)) END AS z
+        |FROM mo, tot""".stripMargin,
   )
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct

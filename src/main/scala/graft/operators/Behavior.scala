@@ -1729,4 +1729,72 @@ object Behavior {
           (col("n_a").cast("double") * col("n_b"))) * 1e9, 0)
           .cast("long").as("pmi_nano"))
   }
+
+  /** LOG-RANK TEST — does survival differ between two arms? The
+    * Mantel–Cox statistic over [[survivalCurve]]'s lifetime/censoring
+    * model (same deaths-before-censoring tie rule, same end-of-window
+    * censor): at every lifetime day t with any death and ≥ 2 at risk,
+    * arm 1's observed deaths are compared with the hypergeometric
+    * expectation d·n₁/n and variance d·n₁·n₀·(n−d)/(n²·(n−1)). Both
+    * moments accumulate as EXACT truncating-division integers —
+    * expectation in ppm, variance in ppt (10¹²; DECIMAL(38,0)
+    * numerators) — so every engine replays the identical sums; the
+    * only floats are the final z = (O₁·10⁶ − E₁ppm)/√Vppt and its
+    * fixed-order operands (the [[diffInDiff]] edge convention). The
+    * survival counterpart of [[abTest]]'s conversion z: "does the
+    * variant RETAIN users longer", not "does it convert more".
+    *
+    * `arm` is any expression over the event row that is constant per
+    * user (the per-user reduction takes max; a hash-split of the user
+    * key is the intended use). Arm 1 is the treatment side.
+    *
+    * Scale shape: one key-sized (user → lifetime, arm) aggregate,
+    * then a CALENDAR-bounded per-day table; the reverse-cumsum risk
+    * window and the final fold run over that span-sized frame (the
+    * [[survivalCurve]] bounded contract), never over users. */
+  def logRankTest(events: DataFrame, user: String, ts: String,
+      censorDays: Int, arm: org.apache.spark.sql.Column): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
+      arm.cast("int").as("g"))
+    val horizon = days.agg(max(col("d")).as("m"))
+    val lt = days.groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
+        max(col("g")).as("g"))
+      .crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("t"), col("g"),
+        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+    val hist = lt.groupBy(col("t")).agg(
+      sum(when(col("g") === 1, col("dead")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c1"),
+      sum(when(col("g") =!= 1, col("dead")).otherwise(0L)).as("d0"),
+      sum(when(col("g") =!= 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c0"))
+    // at-risk per arm: reverse cumsum over the calendar-bounded t table
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = hist
+      .withColumn("n1", sum(col("d1") + col("c1")).over(w))
+      .withColumn("n0", sum(col("d0") + col("c0")).over(w))
+      .withColumn("dd", col("d0") + col("d1"))
+      .withColumn("nn", col("n0") + col("n1"))
+      .filter(col("dd") > 0 && col("nn") >= 2)
+    val moments = risk.agg(
+      sum(col("d1")).as("o1"),
+      sum(expr("dd * cast(n1 as decimal(38,0)) * 1000000 div nn"))
+        .cast("long").as("e1_ppm"),
+      sum(expr("dd * cast(n1 as decimal(38,0)) * n0 * (nn - dd) * " +
+        "1000000000000 div (cast(nn as decimal(38,0)) * nn * (nn - 1))"))
+        .cast("long").as("v_ppt"))
+    val totals = lt.agg(
+      sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n0_users"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1_users"))
+    moments.crossJoin(broadcast(totals))
+      .select(col("n0_users"), col("n1_users"), col("o1"),
+        col("e1_ppm"), col("v_ppt"),
+        when(col("v_ppt") > 0,
+          (col("o1") * 1000000L - col("e1_ppm")).cast("double") /
+            sqrt(col("v_ppt").cast("double"))).as("z"))
+  }
 }

@@ -3181,4 +3181,16 @@ object NorthStar {
         2, 8, "doc_a", "doc_b")
       .orderBy($"n")
   }
+
+  /** X15 log-rank survival test ([[graft.operators.Behavior
+    * .logRankTest]]): does the user_id mod 2 arm split RETAIN users
+    * differently — q227's lifetime/censoring model (14-day censor)
+    * compared between arms with the Mantel–Cox statistic; O₁/E₁/V
+    * accumulate as exact truncating-division integers (ppm/ppt), z is
+    * the only float. The survival companion of q213's conversion z. */
+  def churnLogRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.logRankTest(Tables.events(spark, d), "user_id", "ts", 14,
+      pmod($"user_id", lit(2L)))
+  }
 }

@@ -2233,6 +2233,32 @@ class NorthStarSpec extends SparkSpec {
       (3L, 1L, 0L, 1L, 0L, 666666L)))
   }
 
+  test("logRankTest hand-trace: exact ppm/ppt moments, z at the edge") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // horizon m = 3, censorDays = 2; arm = user_id mod 2:
+    //   u1 arm1 days 0..3 → t=3 censored;  u2 arm0 day 0 → t=0 dead
+    //   u3 arm1 days 1,2  → t=1 censored;  u4 arm0 days 0,1 → t=1 dead
+    // risk sets (reverse cumsum): t=0 n1=2 n0=2; t=1 n1=2 n0=1; t=3 n1=1
+    // t=0: d=1 → e1 = 1·2·1e6 div 4 = 500000,
+    //            v = 1·2·2·3·1e12 div 48 = 250000000000
+    // t=1: d=1 → e1 = 1·2·1e6 div 3 = 666666,
+    //            v = 1·2·1·2·1e12 div 18 = 222222222222
+    // t=3: no death → skipped. o1 = 0 (both deaths in arm 0).
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2)),
+      (4L, at(0)), (4L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Behavior.logRankTest(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toList
+    assert(got == List((2L, 2L, 0L, 1166666L, 472222222222L,
+      Some(-1166666.0 / math.sqrt(472222222222.0)))))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
