@@ -314,6 +314,7 @@ object SparkEntry {
     "q291_linkage_evidence" -> (NorthStar.customerLinkageEvidence _),
     "q292_linkage_leveled" -> (NorthStar.customerLinkageLeveled _),
     "q293_log_rank" -> (NorthStar.churnLogRank _),
+    "q294_sprt" -> (NorthStar.purchaseSprt _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6058,6 +6059,35 @@ object SparkEntry {
         |    CAST(o1 * 1000000 - e1_ppm AS DOUBLE) / sqrt(CAST(v_ppt
         |      AS DOUBLE)) END AS z
         |FROM mo, tot""".stripMargin,
+    // q294: Wald SPRT — users as Bernoulli trials in arrival order;
+    // the LLR walk and its bounds are the documented micro-nat
+    // LITERALS (ln(2), ln(0.75), ±ln(19)), pure integer end to end.
+    "q294_sprt" ->
+      """WITH u AS (SELECT user_id AS u,
+        |    CAST(max(user_id % 2) AS INT) AS g, min(ts) AS t0,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT g,
+        |    CAST(row_number() OVER win AS BIGINT) AS n,
+        |    sum(CASE WHEN x = 1 THEN 693147 ELSE -287682 END)
+        |      OVER win AS llr
+        |  FROM u WINDOW win AS (PARTITION BY g ORDER BY t0, u
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT g, n, llr,
+        |    CASE WHEN llr >= 2944439 THEN 'h1'
+        |         WHEN llr <= -2944439 THEN 'h0' END AS dec
+        |  FROM w),
+        |f AS (SELECT g, min(n) AS n_dec FROM c WHERE dec IS NOT NULL
+        |      GROUP BY 1),
+        |t AS (SELECT g, max(n) AS n_trials FROM c GROUP BY 1)
+        |SELECT t.g AS arm, t.n_trials,
+        |  coalesce(f.n_dec, t.n_trials) AS n_at_decision,
+        |  CAST(c.llr AS BIGINT) AS llr_micro,
+        |  coalesce(c.dec, 'continue') AS decision
+        |FROM t LEFT JOIN f USING (g)
+        |JOIN c ON c.g = t.g AND c.n = coalesce(f.n_dec, t.n_trials)
+        |ORDER BY arm""".stripMargin,
   )
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct

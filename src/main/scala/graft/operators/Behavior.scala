@@ -1797,4 +1797,61 @@ object Behavior {
           (col("o1") * 1000000L - col("e1_ppm")).cast("double") /
             sqrt(col("v_ppt").cast("double"))).as("z"))
   }
+
+  /** SPRT — Wald's sequential probability ratio test over per-user
+    * conversion, the always-on companion of [[abTest]]'s fixed-horizon
+    * z: users become Bernoulli trials in ARRIVAL order (first event
+    * ts, user key as the tie), the log-likelihood ratio walks up
+    * `upMicro` on a conversion and down `downMicro` otherwise, and the
+    * experiment stops at the first trial where the walk leaves
+    * (rejectMicro, acceptMicro) — 'h1' above, 'h0' below, 'continue'
+    * if the data runs out first. All increments/bounds are
+    * caller-supplied micro-nat LITERALS (ln(p1/p0), ln((1−p1)/(1−p0)),
+    * ln((1−β)/α), ln(β/(1−α)) computed offline — document them at the
+    * call site), so the walk is pure 64-bit integer arithmetic and
+    * replays engine-exactly; no runtime float anywhere.
+    *
+    * Output per arm: total trials, the decision trial (total if no
+    * crossing), the walk value there, and the decision.
+    *
+    * Scale shape: one key-sized user aggregate, then a per-arm ordered
+    * cumsum — SPRT is inherently sequential, so the ARM is the
+    * parallel grain (a window per arm, never a global sort); the
+    * crossing pick and totals are arm-sized aggregates. */
+  def sprtConversion(events: DataFrame, user: String, ts: String,
+      typeCol: String, convType: String, arm: org.apache.spark.sql.Column,
+      upMicro: Long, downMicro: Long,
+      acceptMicro: Long, rejectMicro: Long): DataFrame = {
+    require(upMicro > 0 && downMicro < 0,
+      s"upMicro=$upMicro downMicro=$downMicro")
+    require(acceptMicro > 0 && rejectMicro < 0,
+      s"acceptMicro=$acceptMicro rejectMicro=$rejectMicro")
+    val u = events
+      .select(col(user).as("u"), col(ts).as("t"),
+        arm.cast("int").as("g"),
+        (col(typeCol) === convType).cast("int").as("x"))
+      .groupBy(col("u"))
+      .agg(max(col("g")).as("g"), min(col("t")).as("t0"),
+        max(col("x")).as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t0"), col("u"))
+    val walk = u
+      .withColumn("n", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(when(col("x") === 1, upMicro)
+        .otherwise(downMicro)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dec", when(col("llr") >= acceptMicro, "h1")
+        .when(col("llr") <= rejectMicro, "h0"))
+      .select(col("g"), col("n"), col("llr"), col("dec"))
+    val first = walk.filter(col("dec").isNotNull)
+      .groupBy(col("g")).agg(min(col("n")).as("n_dec"))
+    walk.groupBy(col("g")).agg(max(col("n")).as("n_trials"))
+      .join(first, Seq("g"), "left")
+      .withColumn("n_at_decision",
+        coalesce(col("n_dec"), col("n_trials")))
+      .join(walk.select(col("g"), col("n").as("n_at_decision"),
+        col("llr"), col("dec")), Seq("g", "n_at_decision"))
+      .select(col("g").as("arm"), col("n_trials"),
+        col("n_at_decision"), col("llr").as("llr_micro"),
+        coalesce(col("dec"), lit("continue")).as("decision"))
+  }
 }

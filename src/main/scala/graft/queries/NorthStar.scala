@@ -3193,4 +3193,19 @@ object NorthStar {
     Behavior.logRankTest(Tables.events(spark, d), "user_id", "ts", 14,
       pmod($"user_id", lit(2L)))
   }
+
+  /** X15 Wald SPRT ([[graft.operators.Behavior.sprtConversion]]):
+    * always-on sequential monitor of purchase conversion per user_id
+    * mod 2 arm — H0 p=0.2 vs H1 p=0.4 at α=β=0.05, so the micro-nat
+    * literals are ln(2)=693147 up, ln(0.75)=−287682 down, and
+    * ±ln(19)=2944439 bounds (computed offline; the walk itself is
+    * pure integer). "How FEW users until a verdict", where q213
+    * waits for the fixed horizon. */
+  def purchaseSprt(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.sprtConversion(Tables.events(spark, d), "user_id", "ts",
+      "event_type", "purchase", pmod($"user_id", lit(2L)),
+      693147L, -287682L, 2944439L, -2944439L)
+      .orderBy($"arm")
+  }
 }

@@ -2259,6 +2259,28 @@ class NorthStarSpec extends SparkSpec {
       Some(-1166666.0 / math.sqrt(472222222222.0)))))
   }
 
+  test("sprtConversion: h1 crossing at the exact trial; continue arm " +
+      "reports its final walk") {
+    import spark.implicits._
+    def at(s: Long) = new java.sql.Timestamp(s * 1000)
+    // up=+7 down=-3, accept=14 reject=-6; arm = user_id mod 2:
+    //   arm1 trials (arrival order): u1 conv → 7, u3 conv → 14 = h1@2
+    //   arm0 trials: u2 no → -3 (never leaves (−6,14)) = continue@1
+    val ev = Seq(
+      (1L, at(0), "purchase"),
+      (2L, at(1), "view"),
+      (3L, at(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.sprtConversion(ev, "user_id", "ts",
+        "event_type", "purchase", pmod($"user_id", lit(2L)),
+        7L, -3L, 14L, -6L)
+      .orderBy($"arm")
+      .as[(Int, Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (0, 1L, 1L, -3L, "continue"),
+      (1, 2L, 2L, 14L, "h1")))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
