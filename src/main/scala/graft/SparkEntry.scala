@@ -315,6 +315,7 @@ object SparkEntry {
     "q292_linkage_leveled" -> (NorthStar.customerLinkageLeveled _),
     "q293_log_rank" -> (NorthStar.churnLogRank _),
     "q294_sprt" -> (NorthStar.purchaseSprt _),
+    "q295_changepoint" -> (NorthStar.valueChangepoint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6088,6 +6089,38 @@ object SparkEntry {
         |FROM t LEFT JOIN f USING (g)
         |JOIN c ON c.g = t.g AND c.n = coalesce(f.n_dec, t.n_trials)
         |ORDER BY arm""".stripMargin,
+    // q295: single changepoint per event type — prefix-sum g(t) in
+    // exact integer cents² (HUGEINT numerators), earliest-split
+    // tiebreak; gain = g(t*) − S_n² // n, all divisions on
+    // non-negative operands (floor == truncate).
+    "q295_changepoint" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT k, d, v,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    sum(v) OVER (PARTITION BY k ORDER BY d ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    count(*) OVER (PARTITION BY k) AS n,
+        |    sum(v) OVER (PARTITION BY k) AS sn
+        |  FROM daily WINDOW w AS (PARTITION BY k ORDER BY d)),
+        |cand AS (SELECT k, d, i, s, n, sn,
+        |    (CAST(s AS HUGEINT) * s * (n - i)
+        |      + CAST(sn - s AS HUGEINT) * (sn - s) * i)
+        |      // (CAST(i AS HUGEINT) * (n - i)) AS g
+        |  FROM pre WHERE i < n),
+        |best AS (SELECT *, row_number() OVER
+        |    (PARTITION BY k ORDER BY g DESC, i) AS rk FROM cand)
+        |SELECT k, CAST(n AS BIGINT) AS n_days, d AS split_day,
+        |  i AS left_n, CAST(n - i AS BIGINT) AS right_n,
+        |  CAST(s // i AS BIGINT) AS left_mean_cents,
+        |  CAST((sn - s) // (n - i) AS BIGINT) AS right_mean_cents,
+        |  CAST(g - CAST(sn AS HUGEINT) * sn // n AS BIGINT)
+        |    AS gain_cents2
+        |FROM best WHERE rk = 1
+        |ORDER BY k""".stripMargin,
   )
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct

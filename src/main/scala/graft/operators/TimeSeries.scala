@@ -706,4 +706,61 @@ object TimeSeries {
       col("median_slope_micro"),
       lit(minS).as("min_slope_micro"), lit(maxS).as("max_slope_micro"))
   }
+
+  /** SINGLE CHANGEPOINT per key — binary segmentation's first rung:
+    * the day boundary that minimizes the two-segment SSE of the daily
+    * cents series, i.e. maximizes the between-segment separation —
+    * computed EXACTLY from prefix sums (every candidate split is O(1),
+    * the whole key is O(n) — never a per-split rescan):
+    * g(t) = (S_t²·(n−t) + (S_n−S_t)²·t) div
+    * (t·(n−t)) in integer cents², DECIMAL(38,0) numerators, and the
+    * argmax tie-broken to the EARLIEST split — a total order, so any
+    * engine replays the same boundary. The reported gain is the SSE
+    * reduction g(t*) − S_n² div n (both truncating divisions on
+    * non-negative operands, where Spark/DuckDB agree).
+    *
+    * Where [[Behavior.rateCusum]] asks "has the level drifted past a
+    * threshold RIGHT NOW", this asks "WHEN did the level shift" —
+    * the retrospective regime-split beside CUSUM's online alarm.
+    *
+    * Overflow headroom: g ≤ S_n² div 1 — keep total cents per key
+    * under ~3·10⁹ (≈ $30M) for int64 g; beyond that drop the cents
+    * scale a decade (the [[Graph.pageRankMicro]] convention). Values
+    * are required non-negative (positive-operand division only).
+    *
+    * Scale shape: one (key, day) aggregate; two windows sharing the
+    * same (key → day) partitioning/sort (prefix sums + totals) and a
+    * rank window on the calendar-bounded candidate table — per-key
+    * work is span-sized, keys are the parallel grain. */
+  def changepointDaily(df: DataFrame, key: String, ts: String,
+      value: Column): DataFrame = {
+    val daily = df
+      .select(col(key).as("k"), Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("k"), col("d")).agg(sum(col("cents")).as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pre = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("v")).over(wAll))
+    val cand = pre.filter(col("i") < col("n"))
+      .withColumn("g", expr(
+        "(cast(s as decimal(38,0)) * s * (n - i) + " +
+          "cast(sn - s as decimal(38,0)) * (sn - s) * i) div " +
+          "(cast(i as decimal(38,0)) * (n - i))"))
+    val wBest = Window.partitionBy(col("k"))
+      .orderBy(col("g").desc, col("i"))
+    cand.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("n").as("n_days"), col("d").as("split_day"),
+        col("i").as("left_n"), (col("n") - col("i")).as("right_n"),
+        expr("s div i").as("left_mean_cents"),
+        expr("(sn - s) div (n - i)").as("right_mean_cents"),
+        (col("g") - expr("cast(sn as decimal(38,0)) * sn div n"))
+          .as("gain_cents2"))
+  }
 }

@@ -3208,4 +3208,17 @@ object NorthStar {
       693147L, -287682L, 2944439L, -2944439L)
       .orderBy($"arm")
   }
+
+  /** X11/X16 single changepoint ([[graft.operators.TimeSeries
+    * .changepointDaily]]): per event type, the day boundary that
+    * minimizes the two-segment SSE of daily value cents — exact
+    * prefix-sum g(t) in integer cents², earliest-split tiebreak; the
+    * retrospective "WHEN did the level shift" beside q201's online
+    * CUSUM alarm. */
+  def valueChangepoint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.changepointDaily(Tables.events(spark, d), "event_type",
+      "ts", $"value")
+      .orderBy($"k")
+  }
 }

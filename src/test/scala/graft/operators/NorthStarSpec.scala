@@ -2281,6 +2281,28 @@ class NorthStarSpec extends SparkSpec {
       (1, 2L, 2L, 14L, "h1")))
   }
 
+  test("changepointDaily picks the exact SSE-minimizing split; flat " +
+      "series gains zero at the earliest split") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // key a: cents 100,100,500,500 → g(1)=413333, g(2)=520000,
+    // g(3)=413333; best t=2 (split_day 1), gain 520000−360000=160000
+    // (= 2·200² + 2·200², the between-group SSE). key b: flat 100,100
+    // → gain 0, earliest split day 0.
+    val df = Seq(
+      ("a", at(0), 1.0), ("a", at(1), 1.0),
+      ("a", at(2), 5.0), ("a", at(3), 5.0),
+      ("b", at(0), 1.0), ("b", at(1), 1.0)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.changepointDaily(df, "k", "ts", $"v")
+      .orderBy($"k")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      ("a", 4L, 1L, 2L, 2L, 100L, 500L, 160000L),
+      ("b", 2L, 0L, 1L, 1L, 100L, 100L, 0L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
