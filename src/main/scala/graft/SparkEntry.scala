@@ -316,6 +316,7 @@ object SparkEntry {
     "q293_log_rank" -> (NorthStar.churnLogRank _),
     "q294_sprt" -> (NorthStar.purchaseSprt _),
     "q295_changepoint" -> (NorthStar.valueChangepoint _),
+    "q296_hits" -> (NorthStar.supplierHits _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6121,6 +6122,46 @@ object SparkEntry {
         |    AS gain_cents2
         |FROM best WHERE rk = 1
         |ORDER BY k""".stripMargin,
+    // q296: HITS — two exact-integer iterations on q153's graph; each
+    // half-step renormalizes by the scalar max (integer //), so every
+    // score replays exactly; missing in/out-edges read 0.
+    "q296_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey + 1000000000 AS BIGINT) AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS node,
+        |          sum(CAST(1000000 AS HUGEINT)) AS s
+        |        FROM e GROUP BY 1),
+        |a1 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM a1r), 0), 0)
+        |         AS BIGINT) AS a
+        |       FROM n LEFT JOIN a1r USING (node)),
+        |h1r AS (SELECT e.src AS node, sum(CAST(a1.a AS HUGEINT)) AS s
+        |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM h1r), 0), 0)
+        |         AS BIGINT) AS h
+        |       FROM n LEFT JOIN h1r USING (node)),
+        |a2r AS (SELECT e.dst AS node, sum(CAST(h1.h AS HUGEINT)) AS s
+        |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM a2r), 0), 0)
+        |         AS BIGINT) AS a
+        |       FROM n LEFT JOIN a2r USING (node)),
+        |h2r AS (SELECT e.src AS node, sum(CAST(a2.a AS HUGEINT)) AS s
+        |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM h2r), 0), 0)
+        |         AS BIGINT) AS h
+        |       FROM n LEFT JOIN h2r USING (node))
+        |SELECT node, a2.a AS authority_micro, h2.h AS hub_micro
+        |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
+        |ORDER BY authority_micro DESC, node LIMIT 50""".stripMargin,
   )
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct

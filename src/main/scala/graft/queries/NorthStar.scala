@@ -3221,4 +3221,20 @@ object NorthStar {
       "ts", $"value")
       .orderBy($"k")
   }
+
+  /** X13 HITS hubs & authorities ([[graft.operators.Graph
+    * .hitsMicro]]): 2 exact-integer mutual-reinforcement iterations
+    * over q153's customer→supplier order graph — which suppliers are
+    * endorsed by the broadest buyers, and which buyers span the best
+    * suppliers; top 50 authorities. */
+  def supplierHits(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + 1000000000L).as("dst"))
+    Graph.hitsMicro(e, 2)
+      .orderBy($"authority_micro".desc, $"node").limit(50)
+  }
 }

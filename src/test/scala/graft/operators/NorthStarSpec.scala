@@ -2303,6 +2303,22 @@ class NorthStarSpec extends SparkSpec {
       ("b", 2L, 0L, 1L, 1L, 100L, 100L, 0L)))
   }
 
+  test("hitsMicro hand-trace: exact integer renormalized scores") {
+    import spark.implicits._
+    // 1→10, 2→10, 2→11. iter1: a(10)=1e6, a(11)=500000;
+    // h(1)=1e12//1.5e6=666666, h(2)=1e6. iter2: raw a 1666666/1e6 →
+    // a(10)=1e6, a(11)=1e12//1666666=600000; raw h 1e6/1.6e6 →
+    // h(1)=625000, h(2)=1e6. Pure sources score authority 0, pure
+    // sinks score hub 0.
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val got = Graph.hitsMicro(e, 2)
+      .orderBy($"node")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 0L, 625000L), (2L, 0L, 1000000L),
+      (10L, 1000000L, 0L), (11L, 600000L, 0L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
