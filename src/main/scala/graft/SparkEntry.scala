@@ -317,6 +317,7 @@ object SparkEntry {
     "q294_sprt" -> (NorthStar.purchaseSprt _),
     "q295_changepoint" -> (NorthStar.valueChangepoint _),
     "q296_hits" -> (NorthStar.supplierHits _),
+    "q297_ds_state" -> (NorthStar.qualityDsFromState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6162,6 +6163,11 @@ object SparkEntry {
         |SELECT node, a2.a AS authority_micro, h2.h AS hub_micro
         |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
         |ORDER BY authority_micro DESC, node LIMIT 50""".stripMargin,
+    // q297: Dawid–Skene from merged pattern state — the pattern-count
+    // histogram is the EM's sufficient statistic, so the split→merge→
+    // refit path must reproduce q287's full-corpus parameters EXACTLY;
+    // the oracle IS q287's SQL.
+    "q297_ds_state" -> dawidSkeneParamsSql,
   )
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct

@@ -511,30 +511,37 @@ object Labeling {
 
   /** [[dawidSkene]]'s EM loop over a prepared units frame (columns
     * v0..v{k−1}, possibly extra carried columns) — returns
-    * (n_units, pi, a, b, dead). */
-  private def dsFit(units: DataFrame, k: Int, iters: Int)
+    * (n_units, pi, a, b, dead). With `wt` set, each row counts as
+    * that many IDENTICAL voting units (the [[dsPatternState]] form):
+    * every E/M sum multiplies by the integer weight, which is
+    * arithmetic-identical to unrolling the rows — same multiset,
+    * same parameters, exactly. */
+  private def dsFit(units: DataFrame, k: Int, iters: Int,
+      wt: Option[String] = None)
       : (Long, Long, Array[Long], Array[Long], Boolean) = {
     var pi = 500000L
     val a = Array.fill(k)(700000L)
     val b = Array.fill(k)(700000L)
     var n = 0L
     var dead = false // no voting unit at all -> NULL parameters
+    val w = wt.map(col).getOrElse(lit(1L))
     (1 to iters).foreach { it =>
       if (!dead) {
         val e = units.withColumn("r", expr(dsRespExpr(k, pi, a, b)))
           def dec(s: String) = s"cast($s as decimal(38,0))"
           val aggs = (0 until k).flatMap { j => Seq(
             sum(when(col(s"v$j").isNotNull,
-              expr(dec("r")))).as(s"d_a$j"),
+              expr(dec("r")) * w)).as(s"d_a$j"),
             sum(when(col(s"v$j") === 1,
-              expr(dec("r")))).as(s"n_a$j"),
+              expr(dec("r")) * w)).as(s"n_a$j"),
             sum(when(col(s"v$j").isNotNull,
-              expr(dec("1000000 - r")))).as(s"d_b$j"),
+              expr(dec("1000000 - r")) * w)).as(s"d_b$j"),
             sum(when(col(s"v$j") === 0,
-              expr(dec("1000000 - r")))).as(s"n_b$j"))
+              expr(dec("1000000 - r")) * w)).as(s"n_b$j"))
           }
-          val row = e.agg(count(lit(1)).as("n"),
-            (sum(expr(dec("r"))).as("s_r") +: aggs): _*).collect().head
+          val row = e.agg(coalesce(sum(w), lit(0L)).cast("long").as("n"),
+            (sum(expr(dec("r")) * w).as("s_r") +: aggs): _*)
+            .collect().head
           n = row.getLong(0)
           if (n == 0) dead = true
           else {
@@ -622,6 +629,67 @@ object Labeling {
           (col("posterior_ppm") >= 500000L).cast("int").as("label"))
         .orderBy(col("unit"))
     } finally units.unpersist(false)
+  }
+
+  /** DAWID–SKENE SUFFICIENT-STATS STATE — the pattern-count frame
+    * that makes [[dawidSkene]] INCREMENTAL AND EXACT: the EM's E and
+    * M steps depend on each unit only through its vote PATTERN
+    * (v0..v{k−1}), so the (pattern → unit count) table is a complete
+    * sufficient statistic. State size is ≤ 3^k rows (k ≤ 4 → ≤ 81)
+    * regardless of corpus size; merging two states is a count sum
+    * ([[mergeDsPatternState]]); and [[dawidSkeneFromState]] refits
+    * over the weighted patterns with sums that are ARITHMETIC-
+    * IDENTICAL to the full-corpus fit — not an approximation, the
+    * exact parameters (the [[graft.operators.TimeSeries
+    * .ewmaDailyAppend]] contract, but here the state is a histogram
+    * rather than a seam). All-abstain rows are dropped exactly as
+    * [[dawidSkene]] drops them.
+    *
+    * Scale shape: ONE pattern aggregate (map-side combined into ≤ 3^k
+    * groups) per batch; merge and refit touch only pattern-sized
+    * frames. */
+  def dsPatternState(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2 && raters.size <= 4,
+      s"2..4 raters (weight products must fit DECIMAL(38)), " +
+        s"got ${raters.size}")
+    val k = raters.size
+    df.select(raters.zipWithIndex.map { case (c, j) =>
+        c.cast("int").as(s"v$j") }: _*)
+      .filter((0 until k).map(j => col(s"v$j").isNotNull)
+        .reduce(_ || _))
+      .groupBy((0 until k).map(j => col(s"v$j")): _*)
+      .agg(count(lit(1)).as("wt"))
+  }
+
+  /** Merge two [[dsPatternState]] frames — a pattern-keyed count sum
+    * (exact, associative, commutative). */
+  def mergeDsPatternState(a: DataFrame, b: DataFrame): DataFrame = {
+    val ks = a.columns.filter(_ != "wt").toSeq
+    a.unionByName(b).groupBy(ks.map(col): _*)
+      .agg(sum(col("wt")).as("wt"))
+  }
+
+  /** Refit [[dawidSkene]] from a [[dsPatternState]] frame — same
+    * output row (n_units, pi_ppm, a*_ppm, b*_ppm), exactly the
+    * parameters the full-corpus fit produces. */
+  def dawidSkeneFromState(state: DataFrame, iters: Int = 2)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 3, s"iters=$iters")
+    val k = state.columns.count(_ != "wt")
+    require(k >= 2 && k <= 4, s"state carries $k vote columns")
+    val spark = state.sparkSession
+    val st = state.persist()
+    try {
+      val (n, pi, a, b, dead) = dsFit(st, k, iters, Some("wt"))
+      val out = Seq(lit(n).as("n_units")) ++
+        Seq(if (dead) lit(null).cast("bigint").as("pi_ppm")
+          else lit(pi).as("pi_ppm")) ++
+        (0 until k).map(j => if (dead) lit(null).cast("bigint")
+          .as(s"a${j}_ppm") else lit(a(j)).as(s"a${j}_ppm")) ++
+        (0 until k).map(j => if (dead) lit(null).cast("bigint")
+          .as(s"b${j}_ppm") else lit(b(j)).as(s"b${j}_ppm"))
+      spark.range(1).select(out: _*)
+    } finally st.unpersist(false)
   }
 
   /** KRIPPENDORFF'S ALPHA, nominal metric — the agreement coefficient

@@ -3237,4 +3237,31 @@ object NorthStar {
     Graph.hitsMicro(e, 2)
       .orderBy($"authority_micro".desc, $"node").limit(50)
   }
+
+  /** X17 Dawid–Skene state form ([[graft.operators.Labeling
+    * .dsPatternState]]), oracled as a REAL identity: the corpus is
+    * split by doc_id parity, each half reduces to its ≤ 3³-row vote-
+    * pattern histogram, the histograms merge, and the refit must
+    * equal q287's full-corpus fit EXACTLY — the EM's sufficient
+    * statistic is the pattern count, so the incremental path is
+    * arithmetic-identical, not approximate (the oracle IS q287's
+    * SQL). This is the always-on labeling monitor: per-batch pattern
+    * counts fold into tiny persisted state, parameters refit from
+    * state in pattern-sized work. */
+  def qualityDsFromState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def lfs = Seq(
+      when($"n_chars" >= 50, ($"n_chars" >= 300).cast("int")),
+      when(pmod($"doc_id", lit(7L)) =!= 0,
+        ($"lang" === "en").cast("int")),
+      when(pmod($"doc_id", lit(5L)) =!= 0,
+        (size(split($"text", " ")) >= 50).cast("int")))
+    val docs = Tables.documents(spark, d)
+    val prior = Labeling.dsPatternState(
+      docs.filter(pmod($"doc_id", lit(2L)) === 0), lfs)
+    val append = Labeling.dsPatternState(
+      docs.filter(pmod($"doc_id", lit(2L)) =!= 0), lfs)
+    Labeling.dawidSkeneFromState(
+      Labeling.mergeDsPatternState(prior, append), iters = 2)
+  }
 }

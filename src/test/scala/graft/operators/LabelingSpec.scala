@@ -223,6 +223,33 @@ class LabelingSpec extends SparkSpec {
       (9, 1L, 1000000L, 1000000L)))
   }
 
+  test("dsPatternState: split → merge → refit equals dawidSkene's " +
+      "full-corpus parameters exactly; state is pattern-sized") {
+    import spark.implicits._
+    // 12 units over 5 distinct patterns (incl. abstentions); the
+    // pattern histogram is the EM's sufficient statistic, so the
+    // incremental path must be row-identical to the direct fit.
+    val rows = Seq(
+      (1, Some(1), Some(1), Some(1)), (2, Some(1), Some(1), Some(0)),
+      (3, Some(1), Some(1), Some(1)), (4, Some(0), Some(0), Some(0)),
+      (5, Some(0), None, Some(0)), (6, Some(1), Some(0), Some(1)),
+      (7, Some(1), Some(1), Some(1)), (8, Some(0), Some(0), Some(0)),
+      (9, Some(0), None, Some(0)), (10, Some(1), Some(1), Some(0)),
+      (11, Some(1), Some(0), Some(1)), (12, Some(0), Some(0), Some(0)))
+      .toDF("id", "a", "b", "c")
+    val lfs = Seq($"a", $"b", $"c")
+    val full = Labeling.dawidSkene(rows, lfs, iters = 2)
+      .collect().toList
+    val prior = Labeling.dsPatternState(rows.filter($"id" % 2 === 0), lfs)
+    val append = Labeling.dsPatternState(rows.filter($"id" % 2 =!= 0), lfs)
+    val merged = Labeling.mergeDsPatternState(prior, append)
+    val st = merged.collect()
+    assert(st.length == 5 && st.map(_.getLong(3)).sum == 12L)
+    val got = Labeling.dawidSkeneFromState(merged, iters = 2)
+      .collect().toList
+    assert(got == full)
+  }
+
   test("calibrationBins fail-fasts on out-of-range scores") {
     import spark.implicits._
     val df = Seq((2000000L, 1)).toDF("s", "y")
