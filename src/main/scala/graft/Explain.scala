@@ -97,7 +97,8 @@ object Explain {
       "q285_krippendorff",
       "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
       "q289_holt_winters", "q290_hw_append", "q291_linkage_evidence",
-      "q292_linkage_leveled")
+      "q292_linkage_leveled", "q293_log_rank", "q294_sprt",
+      "q295_changepoint", "q296_hits", "q297_ds_state")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -130,6 +131,16 @@ object Explain {
         "below: ONE map-only posterior projection through the fitted " +
         "literal parameters — the frame is never shuffled (the ORDER " +
         "BY exchange is presentation)."),
+      "q296_hits" -> ("Iterative composition (the q153 superstep " +
+        "regime): each half-step joins the localCheckpoint-pinned " +
+        "edge table to the node-sized score frame and renormalizes " +
+        "by a 1-row broadcast max, localCheckpointing the result — " +
+        "the dump below is the FINAL join of the converged " +
+        "authority/hub checkpoints."),
+      "q297_ds_state" -> ("q287's driver EM loop refit over the " +
+        "merged ≤ 3^k-row pattern histogram (the only data-sized " +
+        "work is the per-half pattern aggregate + count-sum merge); " +
+        "the returned frame is parameter literals, like q287."),
       "q205_funnel_timing" -> ("Driver-loop composition: stage times " +
         "(windowless per-stage min-aggregates) feed ONE conditional " +
         "stats aggregate (below) plus a shared multi-column median " +

@@ -148,7 +148,13 @@ object ScaleBench {
         "q285_krippendorff", "q286_diff_in_diff", "q287_dawid_skene",
         "q288_ds_posterior", "q289_holt_winters",
         "q290_hw_append", "q291_linkage_evidence",
-        "q292_linkage_leveled")
+        "q292_linkage_leveled",
+        // round-13 batch 3: log-rank + SPRT + changepoint (key-sized
+        // aggregates + calendar/arm-bounded windows — expect flat),
+        // HITS (edge-linear supersteps), DS pattern state (one
+        // histogram aggregate)
+        "q293_log_rank", "q294_sprt", "q295_changepoint",
+        "q296_hits", "q297_ds_state")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
