@@ -318,6 +318,7 @@ object SparkEntry {
     "q295_changepoint" -> (NorthStar.valueChangepoint _),
     "q296_hits" -> (NorthStar.supplierHits _),
     "q297_ds_state" -> (NorthStar.qualityDsFromState _),
+    "q298_lpa_communities" -> (NorthStar.dupCommunities _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6168,7 +6169,48 @@ object SparkEntry {
     // refit path must reproduce q287's full-corpus parameters EXACTLY;
     // the oracle IS q287's SQL.
     "q297_ds_state" -> dawidSkeneParamsSql,
+    // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
+    // unrolled deterministic LPA rounds (count DESC, label ASC pick).
+    "q298_lpa_communities" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |nb AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
+        |      UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM nb),
+        |${(1 to 3).map(lpaRound).mkString(",\n")}
+        |SELECT l3.node, l3.lbl AS community, sz.n_members
+        |FROM l3 JOIN (SELECT lbl, CAST(count(*) AS BIGINT)
+        |                AS n_members FROM l3 GROUP BY 1) sz
+        |  USING (lbl)
+        |ORDER BY node""".stripMargin,
   )
+
+  /** One deterministic LPA superstep — votes from the previous round's
+    * labels, pick = (count DESC, label ASC); the DuckDB twin of one
+    * `Graph.labelPropagation` round. */
+  private def lpaRound(i: Int): String =
+    s"""vt$i AS (SELECT nb.v, l${i - 1}.lbl, count(*) AS c
+       |       FROM nb JOIN l${i - 1} ON l${i - 1}.node = nb.u
+       |       GROUP BY 1, 2),
+       |l$i AS (SELECT v AS node, lbl FROM (
+       |        SELECT v, lbl, row_number() OVER
+       |          (PARTITION BY v ORDER BY c DESC, lbl) AS rk
+       |        FROM vt$i) WHERE rk = 1)""".stripMargin
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct
     * form) and q277 (append/state form) — the [[ewmaRecursionSql]]

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators over edge tables (complementing the min-label
@@ -121,6 +122,58 @@ object Graph {
     nodes.join(auth, "node").join(hub, "node")
       .select(col("node"), col("a").as("authority_micro"),
         col("h").as("hub_micro"))
+  }
+
+  /** LABEL PROPAGATION communities — synchronous LPA (Raghavan 2007)
+    * made ENGINE-DETERMINISTIC: every node starts as its own label,
+    * and each of the `iters` supersteps reassigns every node the
+    * SMALLEST label among its neighbors' most-frequent labels
+    * (count DESC, label ASC — a total order, so any engine replays
+    * the same communities; vanilla LPA's random tiebreak is the
+    * one thing this deliberately replaces). Where
+    * [[Dedup.connectedComponents]] merges everything reachable, LPA
+    * splits a component along its DENSITY structure — two cliques
+    * joined by one bridge edge keep separate labels — so it is the
+    * community view of the near-dup graph, not the reachability view.
+    * Fixed iteration count (no convergence test): the oracle unrolls
+    * exactly `iters` rounds.
+    *
+    * Scale shape: the symmetrized edge table is hash-partitioned on
+    * the neighbor key ONCE (localCheckpoint pins it); each superstep
+    * joins it to the node-sized label frame (SHUFFLE_HASH — labels
+    * move, edges don't), counts (node, label) votes with map-side
+    * combine, and picks per node via one window on the vote table
+    * (votes ≤ degree per node); label state localCheckpoints per
+    * round ([[pageRankMicro]]'s O(1)-deep plan regime).
+    *
+    * Output: (node, community, n_members) for every node with an
+    * edge. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).filter(col("a") =!= col("b"))
+    val nb = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .select(col("a").as("v"), col("b").as("u"))
+      .repartition(col("u")).localCheckpoint()
+    var lbl = nb.select(col("v").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = nb
+        .join(lbl.withColumnRenamed("node", "u").hint("SHUFFLE_HASH"),
+          "u")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lbl"))
+      lbl = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    lbl.join(lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members")),
+        "lbl")
+      .select(col("node"), col("lbl").as("community"), col("n_members"))
   }
 
   /** Exact TRIANGLE COUNT + global clustering coefficient of an

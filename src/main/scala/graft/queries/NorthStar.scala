@@ -3264,4 +3264,18 @@ object NorthStar {
     Labeling.dawidSkeneFromState(
       Labeling.mergeDsPatternState(prior, append), iters = 2)
   }
+
+  /** X13 label-propagation communities ([[graft.operators.Graph
+    * .labelPropagation]]): 3 deterministic LPA rounds (min label
+    * among most-frequent neighbor labels) over the J ≥ 0.5 near-dup
+    * graph — the DENSITY communities beside q64's reachability
+    * components and q250's 2-core: a bridge edge between two dup
+    * families does not merge their labels. */
+  def dupCommunities(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Graph.labelPropagation(
+        Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
+        3, "doc_a", "doc_b")
+      .orderBy($"node")
+  }
 }

@@ -2319,6 +2319,23 @@ class NorthStarSpec extends SparkSpec {
       (10L, 1000000L, 0L), (11L, 600000L, 0L)))
   }
 
+  test("labelPropagation: bridged triangles keep separate communities " +
+      "(hand-traced 3 deterministic rounds)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3—4: LPA keeps
+    // two density communities where CC would merge them. Trace (min
+    // label among most-frequent): after r3 nodes 1,2,3 → 1 and
+    // 4,5,6 → 3 (the label value is just an id from the walk).
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, 3)
+      .orderBy($"node")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
