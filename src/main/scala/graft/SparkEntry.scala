@@ -319,6 +319,7 @@ object SparkEntry {
     "q296_hits" -> (NorthStar.supplierHits _),
     "q297_ds_state" -> (NorthStar.qualityDsFromState _),
     "q298_lpa_communities" -> (NorthStar.dupCommunities _),
+    "q299_vocab_growth" -> (NorthStar.corpusVocabGrowth _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6169,6 +6170,9 @@ object SparkEntry {
     // refit path must reproduce q287's full-corpus parameters EXACTLY;
     // the oracle IS q287's SQL.
     "q297_ds_state" -> dawidSkeneParamsSql,
+    // q299: vocabulary growth — token first-occurrence buckets, then
+    // a buckets-sized cumsum; type/token in exact truncating ppm.
+    "q299_vocab_growth" -> vocabGrowthSql,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->
@@ -6211,6 +6215,36 @@ object SparkEntry {
        |        SELECT v, lbl, row_number() OVER
        |          (PARTITION BY v ORDER BY c DESC, lbl) AS rk
        |        FROM vt$i) WHERE rk = 1)""".stripMargin
+
+  private val vocabGrowthSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |pd AS (SELECT least(9, doc_id * 10 // (mx + 1)) AS bucket,
+      |         len(list_filter(string_split(text, ' '),
+      |           t -> t <> '')) AS n_tok
+      |       FROM documents, mx),
+      |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |       FROM pd GROUP BY 1),
+      |fs AS (SELECT t, min(doc_id) AS fid FROM (
+      |         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |         FROM documents)
+      |       WHERE t <> '' GROUP BY 1),
+      |nt AS (SELECT least(9, fid * 10 // (mx + 1)) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_new_types
+      |       FROM fs, mx GROUP BY 1),
+      |cur AS (SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+      |          coalesce(nt.n_new_types, 0) AS n_new_types,
+      |          sum(coalesce(nt.n_new_types, 0)) OVER w AS vocab_size,
+      |          sum(pb.n_tokens) OVER w AS tokens_cum
+      |        FROM pb LEFT JOIN nt USING (bucket)
+      |        WINDOW w AS (ORDER BY pb.bucket ROWS BETWEEN
+      |          UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+      |  n_new_types, CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  CAST(tokens_cum AS BIGINT) AS tokens_cum,
+      |  CAST(CAST(vocab_size AS HUGEINT) * 1000000
+      |    // nullif(tokens_cum, 0) AS BIGINT) AS type_token_ppm
+      |FROM cur ORDER BY bucket""".stripMargin
 
   /** The one Holt oracle recursion, shared verbatim by q273 (direct
     * form) and q277 (append/state form) — the [[ewmaRecursionSql]]

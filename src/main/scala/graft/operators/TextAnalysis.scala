@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.TextExpressions
@@ -566,5 +567,54 @@ object TextAnalysis {
     train.select(col(idCol).as("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  /** VOCABULARY GROWTH CURVE — the Heaps-law readout: how fast does
+    * the corpus stop yielding new word types as it grows in document
+    * order? The corpus is cut into `buckets` equal doc-id ranges; each
+    * type (whitespace token) counts as NEW in the bucket of its FIRST
+    * document — one (token → min id) aggregate, never a per-prefix
+    * distinct — and the curve is the bucket-wise running vocabulary
+    * against running token mass, with the type/token ratio in exact
+    * truncating ppm. A flattening curve says more data from this
+    * source buys redundancy, not coverage — the corpus-level signal
+    * beside q118's fixed-vocab coverage and q175's per-doc TTR.
+    *
+    * Scale shape: one doc-sized (id, n_tok) projection, one
+    * (token → min id, then bucket) aggregate — the only data-sized
+    * shuffle — and the cumsum window runs over the BUCKETS-sized
+    * frame (≤ `buckets` rows, the calendar-bounded regime; the
+    * max-id probe is a 1-row broadcast). Empty-token rows drop. */
+  def vocabGrowth(docs: DataFrame, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets")
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    def bucketOf(name: String) =
+      least(lit(buckets - 1).cast("long"),
+        expr(s"$name * $buckets div (mx + 1)")).as("bucket")
+    val toks = split(col(textCol), " ")
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        size(filter(toks, t => t =!= "")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf("id"), col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val firstSeen = docs
+      .select(col(idCol).as("id"), explode(toks).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(min(col("id")).as("fid"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf("fid"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("vocab_size", sum(col("n_new_types")).over(w))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("type_token_ppm", expr(
+        "cast(vocab_size * 1000000 div nullif(tokens_cum, 0) as bigint)"))
   }
 }

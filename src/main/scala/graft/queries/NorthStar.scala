@@ -3278,4 +3278,15 @@ object NorthStar {
         3, "doc_a", "doc_b")
       .orderBy($"node")
   }
+
+  /** X4 vocabulary growth curve ([[graft.operators.TextAnalysis
+    * .vocabGrowth]]): the Heaps-law readout over 10 doc-id ranges —
+    * running vocabulary vs running token mass with exact-ppm
+    * type/token ratio; a flattening curve says more of this source
+    * buys redundancy, not coverage. */
+  def corpusVocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.vocabGrowth(Tables.documents(spark, d), 10)
+      .orderBy($"bucket")
+  }
 }

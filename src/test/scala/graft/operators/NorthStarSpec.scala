@@ -2336,6 +2336,23 @@ class NorthStarSpec extends SparkSpec {
       (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
   }
 
+  test("vocabGrowth: first-occurrence buckets, exact running curve") {
+    import spark.implicits._
+    // buckets=2, ids 0..3 → ranges {0,1} and {2,3}. First occurrences:
+    // a,b → doc0, c → doc1 (bucket 0); d → doc2, e → doc3 (bucket 1).
+    // b0: 2 docs, 5 tokens, 3 new → ppm 600000; b1: 2 docs, 4 tokens,
+    // 2 new → vocab 5 over 9 = 555555 (truncated).
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "c d"), (3L, "a e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, 2)
+      .orderBy($"bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 2L, 5L, 3L, 3L, 5L, 600000L),
+      (1L, 2L, 4L, 2L, 5L, 9L, 555555L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
