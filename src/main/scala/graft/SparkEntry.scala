@@ -320,6 +320,7 @@ object SparkEntry {
     "q297_ds_state" -> (NorthStar.qualityDsFromState _),
     "q298_lpa_communities" -> (NorthStar.dupCommunities _),
     "q299_vocab_growth" -> (NorthStar.corpusVocabGrowth _),
+    "q300_positional_attribution" -> (NorthStar.purchaseAttribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6173,6 +6174,40 @@ object SparkEntry {
     // q299: vocabulary growth — token first-occurrence buckets, then
     // a buckets-sized cumsum; type/token in exact truncating ppm.
     "q299_vocab_growth" -> vocabGrowthSql,
+    // q300: U-shaped attribution — segment at each conversion (a touch
+    // credits the NEXT purchase), 30-day lookback in epoch micros,
+    // exact-ppm position credits (1e6 / 500000+500000 / 400000 ends +
+    // 200000 // (n-2) middles), one // 1e6 after the product sum.
+    "q300_positional_attribution" ->
+      """WITH base AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS tk, event_type AS et, value,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+        |touches AS (SELECT u, cc AS seg, t AS touch_t, tk AS touch_tk,
+        |    et AS channel FROM base WHERE et <> 'purchase'),
+        |convs AS (SELECT u, cc - 1 AS seg, t AS conv_t,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM base WHERE et = 'purchase'),
+        |cr AS (SELECT channel, value_cents,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS pos,
+        |    count(*) OVER (PARTITION BY u, seg) AS n
+        |  FROM touches JOIN convs USING (u, seg)
+        |  WHERE touch_t >= conv_t - 2592000000000
+        |  WINDOW w2 AS (PARTITION BY u, seg ORDER BY touch_t, touch_tk)),
+        |cd AS (SELECT channel, value_cents,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS credit
+        |  FROM cr)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_ppm,
+        |  CAST(sum(CAST(value_cents AS HUGEINT) * credit) // 1000000
+        |    AS BIGINT) AS attributed_cents
+        |FROM cd GROUP BY 1 ORDER BY channel""".stripMargin,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->

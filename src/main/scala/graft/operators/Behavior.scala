@@ -1854,4 +1854,68 @@ object Behavior {
         col("n_at_decision"), col("llr").as("llr_micro"),
         coalesce(col("dec"), lit("continue")).as("decision"))
   }
+
+  /** POSITION-BASED (U-shaped) ATTRIBUTION — every touch in a
+    * conversion's window gets credit, weighted by POSITION: the
+    * introducing first touch and the closing last touch get 40% each,
+    * the middles split the remaining 20% evenly — the standard
+    * U-shape between [[lastTouchAttribution]]'s winner-take-all and
+    * linear's flat split. Credits are exact integer ppm: 10⁶ for a
+    * lone touch, 500000/500000 for a pair, else 400000 at the ends
+    * and `200000 div (n−2)` per middle (truncating — a conversion's
+    * credits may undershoot 10⁶ by ≤ n−3 ppm of deterministic dust,
+    * identically in every engine). A touch belongs to the NEXT
+    * conversion after it (segments reset at each conversion, so no
+    * touch is credited twice) and must fall within `lookbackSec`
+    * before it; conversions with no in-window touch attribute
+    * nothing. Attributed revenue = Σ value_cents·credit div 10⁶,
+    * divided once AFTER the exact product sum.
+    *
+    * Scale shape: one user-keyed window pass to segment the log, one
+    * (user, segment) equi-join of touches to their conversion (each
+    * touch meets ≤ 1 conversion), one per-segment window for
+    * position/count (segment-sized state), and a channels-sized
+    * aggregate. */
+  def positionalAttribution(events: DataFrame, user: String, ts: String,
+      typeCol: String, tie: String, touchTypes: Seq[String],
+      convType: String, valueCol: String,
+      lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes=$touchTypes convType=$convType")
+    require(lookbackSec >= 1, s"lookbackSec=$lookbackSec")
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("tk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .filter(col(typeCol).isin((touchTypes :+ convType): _*))
+      .select(col(user).as("u"), unix_micros(col(ts)).as("t"),
+        col(tie).as("tk"), col(typeCol).as("et"),
+        col(valueCol).as("value"))
+      .withColumn("cc",
+        sum(when(col("et") === convType, 1L).otherwise(0L)).over(w))
+    val touches = base.filter(col("et") =!= convType)
+      .select(col("u"), col("cc").as("seg"), col("t").as("touch_t"),
+        col("tk").as("touch_tk"), col("et").as("channel"))
+    val convs = base.filter(col("et") === convType)
+      .select(col("u"), (col("cc") - 1).as("seg"),
+        col("t").as("conv_t"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+    val w2 = Window.partitionBy(col("u"), col("seg"))
+      .orderBy(col("touch_t"), col("touch_tk"))
+    val credited = touches.join(convs, Seq("u", "seg"))
+      .filter(col("touch_t") >= col("conv_t") - lit(lookbackSec * 1000000L))
+      .withColumn("pos", row_number().over(w2).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        w2.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("credit",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_ppm"),
+        expr("cast(sum(cast(value_cents as decimal(38,0)) * credit)" +
+          " div 1000000 as bigint)").as("attributed_cents"))
+  }
 }

@@ -3289,4 +3289,18 @@ object NorthStar {
     TextAnalysis.vocabGrowth(Tables.documents(spark, d), 10)
       .orderBy($"bucket")
   }
+
+  /** X15 U-shaped attribution ([[graft.operators.Behavior
+    * .positionalAttribution]]): per channel (view/click/signup
+    * touches), exact-ppm position-based credit for each purchase
+    * within a 30-day lookback — first/last 40% each, middles split
+    * 20%; the multi-touch middle ground between q225's last-touch
+    * winner-take-all and a flat linear split. */
+  def purchaseAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.positionalAttribution(Tables.events(spark, d), "user_id",
+      "ts", "event_type", "event_id", Seq("view", "click", "signup"),
+      "purchase", "value", 30L * 86400)
+      .orderBy($"channel")
+  }
 }

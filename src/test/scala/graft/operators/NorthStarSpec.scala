@@ -2353,6 +2353,35 @@ class NorthStarSpec extends SparkSpec {
       (1L, 2L, 4L, 2L, 5L, 9L, 555555L)))
   }
 
+  test("positionalAttribution: U-shape credits, segment reset, " +
+      "lookback drop — hand-traced") {
+    import spark.implicits._
+    def at(s: Long) = new java.sql.Timestamp(s * 1000)
+    // u1 seg0: view,click,signup,click → purchase 1000c: 400k/100k/
+    // 100k/400k. u1 seg1: lone view → purchase 200c: 1e6. u1 trailing
+    // click (no next purchase) drops. u2: touch outside the 2-day
+    // lookback drops, its conversion attributes nothing.
+    val ev = Seq(
+      (1L, at(1), 101L, "view", 0.0), (1L, at(2), 102L, "click", 0.0),
+      (1L, at(3), 103L, "signup", 0.0), (1L, at(4), 104L, "click", 0.0),
+      (1L, at(5), 105L, "purchase", 10.0),
+      (1L, at(6), 106L, "view", 0.0),
+      (1L, at(7), 107L, "purchase", 2.0),
+      (1L, at(8), 108L, "click", 0.0),
+      (2L, at(1), 201L, "click", 0.0),
+      (2L, at(1 + 2 * 86400 + 1), 202L, "purchase", 99.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.positionalAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click", "signup"),
+        "purchase", "value", 2L * 86400)
+      .orderBy($"channel")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("click", 2L, 500000L, 500L),
+      ("signup", 1L, 100000L, 100L),
+      ("view", 2L, 1400000L, 600L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
