@@ -98,7 +98,9 @@ object Explain {
       "q286_diff_in_diff", "q287_dawid_skene", "q288_ds_posterior",
       "q289_holt_winters", "q290_hw_append", "q291_linkage_evidence",
       "q292_linkage_leveled", "q293_log_rank", "q294_sprt",
-      "q295_changepoint", "q296_hits", "q297_ds_state")
+      "q295_changepoint", "q296_hits", "q297_ds_state",
+      "q298_lpa_communities", "q299_vocab_growth",
+      "q300_positional_attribution")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -321,6 +321,7 @@ object SparkEntry {
     "q298_lpa_communities" -> (NorthStar.dupCommunities _),
     "q299_vocab_growth" -> (NorthStar.corpusVocabGrowth _),
     "q300_positional_attribution" -> (NorthStar.purchaseAttribution _),
+    "q301_rmst" -> (NorthStar.churnRmst _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6208,6 +6209,48 @@ object SparkEntry {
         |  CAST(sum(CAST(value_cents AS HUGEINT) * credit) // 1000000
         |    AS BIGINT) AS attributed_cents
         |FROM cd GROUP BY 1 ORDER BY channel""".stripMargin,
+    // q301: RMST per arm — q227's KM recurrence keyed by arm in ONE
+    // recursive CTE (flat carry past the last lifetime via CASE),
+    // step-integrated over the 30-day grid; all-integer to the edge.
+    "q301_rmst" ->
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(user_id % 2 AS INT) AS g FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l, max(g) AS g
+        |      FROM days GROUP BY 1),
+        |lt AS (SELECT g, l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |arms AS (SELECT DISTINCT g FROM lt),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM lt GROUP BY 1),
+        |grid AS (SELECT arms.g, CAST(gs.t AS BIGINT) AS t
+        |         FROM arms, LATERAL unnest(range(0, 30)) gs(t)),
+        |km AS (SELECT grid.g, grid.t,
+        |    (SELECT count(*) FROM lt
+        |     WHERE lt.g = grid.g AND lt.t >= grid.t) AS n_risk,
+        |    (SELECT count(*) FROM lt
+        |     WHERE lt.g = grid.g AND lt.t = grid.t AND dead = 1)
+        |      AS n_dead
+        |  FROM grid),
+        |s AS (SELECT g, CAST(-1 AS BIGINT) AS t,
+        |        CAST(1000000 AS HUGEINT) AS surv FROM arms
+        |      UNION ALL
+        |      SELECT km.g, km.t,
+        |        CASE WHEN km.n_risk > 0
+        |          THEN s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |          ELSE s.surv END
+        |      FROM s JOIN km ON km.g = s.g AND km.t = s.t + 1)
+        |SELECT s.g AS arm, tot.n_users,
+        |  CAST(30 AS BIGINT) AS horizon_days,
+        |  CAST(sum(s.surv) AS BIGINT) AS rmst_ppm_days,
+        |  CAST(max(CASE WHEN s.t = 29 THEN s.surv END) AS BIGINT)
+        |    AS final_surv_ppm
+        |FROM s JOIN tot ON tot.g = s.g
+        |WHERE s.t >= 0
+        |GROUP BY 1, 2 ORDER BY arm""".stripMargin,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->

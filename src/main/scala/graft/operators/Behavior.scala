@@ -1798,6 +1798,62 @@ object Behavior {
             sqrt(col("v_ppt").cast("double"))).as("z"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME per arm — "expected days retained
+    * in the first τ days", the modern effect size the log-rank test
+    * ([[logRankTest]]) only p-values: per arm, the Kaplan–Meier curve
+    * of [[survivalCurve]] (same lifetime/censoring model, same exact
+    * integer ppm recurrence) is step-integrated over t = 0..τ−1 —
+    * RMST·10⁶ = Σ S_ppm(t), with S carried FLAT past the arm's last
+    * observed lifetime (no one left at risk ⇒ the curve stops
+    * moving; the oracle's recurrence mirrors the carry with a CASE).
+    * Everything through the sum is exact 64-bit/BigInt integer
+    * arithmetic; there is no float anywhere.
+    *
+    * Scale shape: one key-sized (user → lifetime, arm) aggregate,
+    * then a (arm × calendar)-bounded histogram collected and folded
+    * on the driver — [[survivalCurve]]'s bounded-driver contract per
+    * arm. */
+  def rmstByArm(events: DataFrame, user: String, ts: String,
+      censorDays: Int, horizonDays: Int,
+      arm: org.apache.spark.sql.Column): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    require(horizonDays >= 1, s"horizonDays=$horizonDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
+      arm.cast("int").as("g"))
+    val horizon = days.agg(max(col("d")).as("m"))
+    val lt = days.groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
+        max(col("g")).as("g"))
+      .crossJoin(broadcast(horizon))
+      .select(col("g"), (col("l") - col("f")).as("t"),
+        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+    val hist = lt.groupBy(col("g"), col("t")).agg(
+        sum(col("dead")).as("nd"),
+        sum(lit(1) - col("dead")).as("nc"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+          .toMap }
+    val out = hist.toSeq.sortBy(_._1).map { case (g, h) =>
+      var atRisk = h.values.map { case (d, c) => d + c }.sum
+      val nUsers = atRisk
+      var surv = BigInt(1000000)
+      var rmst = BigInt(0)
+      (0L until horizonDays.toLong).foreach { t =>
+        val (nd, nc) = h.getOrElse(t, (0L, 0L))
+        if (atRisk > 0) surv = surv * (atRisk - nd) / atRisk
+        rmst += surv
+        atRisk -= nd + nc
+      }
+      (g, nUsers, horizonDays.toLong, rmst.toLong, surv.toLong)
+    }
+    out.toDF("arm", "n_users", "horizon_days", "rmst_ppm_days",
+      "final_surv_ppm")
+  }
+
   /** SPRT — Wald's sequential probability ratio test over per-user
     * conversion, the always-on companion of [[abTest]]'s fixed-horizon
     * z: users become Bernoulli trials in ARRIVAL order (first event

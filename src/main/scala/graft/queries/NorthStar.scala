@@ -3303,4 +3303,15 @@ object NorthStar {
       "purchase", "value", 30L * 86400)
       .orderBy($"channel")
   }
+
+  /** X15 restricted mean survival time ([[graft.operators.Behavior
+    * .rmstByArm]]): expected days retained in the first 30, per
+    * user_id mod 2 arm — the exact-integer KM step integral that
+    * turns q293's log-rank p-value into an effect size in DAYS. */
+  def churnRmst(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.rmstByArm(Tables.events(spark, d), "user_id", "ts", 14,
+      30, pmod($"user_id", lit(2L)))
+      .orderBy($"arm")
+  }
 }

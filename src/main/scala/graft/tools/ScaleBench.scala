@@ -154,7 +154,12 @@ object ScaleBench {
         // HITS (edge-linear supersteps), DS pattern state (one
         // histogram aggregate)
         "q293_log_rank", "q294_sprt", "q295_changepoint",
-        "q296_hits", "q297_ds_state")
+        "q296_hits", "q297_ds_state",
+        // LPA (edge-linear supersteps over the near-dup graph),
+        // vocab growth (one token aggregate), U-shape attribution
+        // (segment windows + one equi-join)
+        "q298_lpa_communities", "q299_vocab_growth",
+        "q300_positional_attribution")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

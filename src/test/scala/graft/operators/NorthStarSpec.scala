@@ -2382,6 +2382,28 @@ class NorthStarSpec extends SparkSpec {
       ("view", 2L, 1400000L, 600L)))
   }
 
+  test("rmstByArm: exact KM step integral with flat carry, hand-traced") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // q293's fixture, horizon 5: arm0 (u2 dead@0, u4 dead@1) → S =
+    // 500000, 0, flat → RMST 500000, final 0. arm1 (u3 cens@1,
+    // u1 cens@3) → S stays 1e6 (censoring never drops the curve),
+    // flat carry after at-risk hits 0 → RMST 5e6, final 1e6.
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2)),
+      (4L, at(0)), (4L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Behavior.rmstByArm(ev, "user_id", "ts", 2, 5,
+        pmod($"user_id", lit(2L)))
+      .orderBy($"arm")
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 2L, 5L, 500000L, 0L),
+      (1, 2L, 5L, 5000000L, 1000000L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
