@@ -100,7 +100,8 @@ object Explain {
       "q292_linkage_leveled", "q293_log_rank", "q294_sprt",
       "q295_changepoint", "q296_hits", "q297_ds_state",
       "q298_lpa_communities", "q299_vocab_growth",
-      "q300_positional_attribution")
+      "q300_positional_attribution", "q301_rmst",
+      "q302_ranking_metrics")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -323,6 +323,7 @@ object SparkEntry {
     "q300_positional_attribution" -> (NorthStar.purchaseAttribution _),
     "q301_rmst" -> (NorthStar.churnRmst _),
     "q302_ranking_metrics" -> (NorthStar.embeddingRankingEval _),
+    "q303_bootstrap_ci" -> (NorthStar.orderValueCi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6295,6 +6296,37 @@ object SparkEntry {
         |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
         |    AS mean_prec_ppm
         |FROM pm""".stripMargin,
+    // q303: Poisson bootstrap — per (order, replicate) md5-hash ppm
+    // draw through the literal cumulative-Poisson(1) table, replicate
+    // means in exact truncating cents, CI by (mean, r) rank 3 / 98.
+    "q303_bootstrap_ci" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |reps AS (SELECT v, r.r,
+        |    list_reduce(
+        |      [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |       for c in string_split(
+        |         substr(md5(id || ':' || CAST(r.r AS VARCHAR)), 1, 8),
+        |         '')],
+        |      (a, b) -> a * 16 + b) % 1000000 AS u
+        |  FROM base, LATERAL unnest(range(0, 100)) r(r)),
+        |wts AS (SELECT r, v,
+        |    len(list_filter([367879, 735759, 919699, 981012, 996340,
+        |      999406, 999917, 999990, 999999], t -> u >= t)) AS w
+        |  FROM reps),
+        |means AS (SELECT r,
+        |    CAST(sum(w * v) // nullif(sum(w), 0) AS BIGINT) AS m
+        |  FROM wts GROUP BY 1),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+        |  FROM means),
+        |fullagg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(v) // nullif(count(*), 0) AS BIGINT) AS mean_cents
+        |  FROM base)
+        |SELECT n_rows, CAST(100 AS BIGINT) AS b, mean_cents,
+        |  (SELECT m FROM ranked WHERE rk = 3) AS lo_cents,
+        |  (SELECT m FROM ranked WHERE rk = 98) AS hi_cents
+        |FROM fullagg""".stripMargin,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->

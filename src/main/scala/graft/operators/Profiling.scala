@@ -1183,4 +1183,70 @@ object Profiling {
         " cast(cast(n as decimal(38,0)) * syy - sy * sy as double))," +
         " 6) + 0.0 end").as("rho"))
   }
+
+  /** Cumulative Poisson(1) in ppm for k = 0..8 — LITERAL constants
+    * (round(10⁶·Σ_{j≤k} e⁻¹/j!), computed offline; the SPRT/nDCG
+    * micro-literal convention). A uniform ppm draw u maps to the
+    * weight k = #{thresholds ≤ u}, capping at 9. */
+  private val PoissonCumPpm: Seq[Long] = Seq(367879L, 735759L,
+    919699L, 981012L, 996340L, 999406L, 999917L, 999990L, 999999L)
+
+  /** POISSON BOOTSTRAP confidence interval for a mean — the
+    * single-pass, shuffle-light bootstrap that actually works on a
+    * cluster (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012): instead of resampling n rows WITH
+    * replacement B times (which needs global coordination), every
+    * (row, replicate) pair draws an INDEPENDENT Poisson(1) weight —
+    * the multinomial's limit — from a deterministic md5 hash, so each
+    * replicate's weighted mean is one conditional aggregate and the
+    * whole procedure is ONE scan fanned out ×B with map-side combine.
+    * The hash draw is the [[Curation]] md5-prefix integer; the weight
+    * lookup is the literal [[PoissonCumPpm]] table; replicate means
+    * are exact integer cents (truncating div); the CI picks the
+    * ceil(α·B)-th and ceil((1−α)·B)-th means by (mean, replicate)
+    * rank — a total order, so every engine replays the identical
+    * interval. No runtime randomness, no float until nothing.
+    *
+    * Output: one row — n_rows, b, the full-sample exact mean, and
+    * the [lo, hi] percentile-bootstrap bounds in cents.
+    *
+    * Scale shape: one B-way fan-out of the value column (B·n rows,
+    * but only (replicate, sum, count) survives the map-side combine
+    * — the shuffle is B rows wide), one B-sized window rank, 1-row
+    * output. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String,
+      value: org.apache.spark.sql.Column,
+      b: Int, alphaPerMille: Int): DataFrame = {
+    require(b >= 4 && b <= 10000, s"b=$b")
+    require(alphaPerMille >= 1 && alphaPerMille < 500,
+      s"alphaPerMille=$alphaPerMille")
+    val loRank = (alphaPerMille * b + 999) / 1000      // ceil(α·B)
+    val hiRank = ((1000 - alphaPerMille) * b + 999) / 1000
+    val base = df.select(col(idCol).cast("string").as("id"),
+      value.cast("long").as("v"))
+    val reps = base.select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("h", conv(substring(md5(
+        concat(col("id"), lit(":"), col("r"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("u", pmod(col("h"), lit(1000000L)))
+      .withColumn("w", size(filter(
+        array(PoissonCumPpm.map(lit): _*), t => col("u") >= t))
+        .cast("long"))
+    val means = reps.groupBy(col("r"))
+      .agg(sum(col("w") * col("v")).as("s"), sum(col("w")).as("nw"))
+      .select(col("r"),
+        expr("s div nullif(nw, 0)").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("r"))
+    val ranked = means.withColumn("rk", row_number().over(w))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      expr("sum(v) div nullif(count(1), 0)").as("mean_cents"))
+    full.crossJoin(broadcast(ranked.filter(col("rk") === loRank)
+        .select(col("m").as("lo_cents"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === hiRank)
+        .select(col("m").as("hi_cents"))))
+      .select(col("n_rows"), lit(b.toLong).as("b"),
+        col("mean_cents"), col("lo_cents"), col("hi_cents"))
+  }
 }

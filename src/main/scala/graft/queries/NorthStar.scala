@@ -3325,4 +3325,15 @@ object NorthStar {
     * index's recall against the exact top-k. */
   def embeddingRankingEval(spark: SparkSession, d: String): DataFrame =
     Similarity.knnRankingMetrics(Tables.embeddings(spark, d), 25L, 10)
+
+  /** X14/X15 Poisson-bootstrap CI ([[graft.operators.Profiling
+    * .bootstrapMeanCI]]): the 95% percentile-bootstrap interval for
+    * the mean order value in exact cents — 100 hash-deterministic
+    * Poisson(1) replicates in ONE fanned-out scan, the
+    * cluster-honest bootstrap (no global resample). */
+  def orderValueCi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.bootstrapMeanCI(Tables.orders(spark, d), "o_orderkey",
+      round($"o_totalprice" * 100, 0), 100, 25)
+  }
 }

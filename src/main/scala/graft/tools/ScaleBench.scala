@@ -159,7 +159,10 @@ object ScaleBench {
         // vocab growth (one token aggregate), U-shape attribution
         // (segment windows + one equi-join)
         "q298_lpa_communities", "q299_vocab_growth",
-        "q300_positional_attribution")
+        "q300_positional_attribution",
+        // RMST (key-sized agg + arm-bounded driver fold), ranking
+        // metrics (q42 broadcast-queries serving shape)
+        "q301_rmst", "q302_ranking_metrics")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2422,6 +2422,29 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((1L, 919720L, 1000000L, 666666L)))
   }
 
+  test("bootstrapMeanCI: constant values collapse the interval; " +
+      "mixed values stay bracketed and deterministic") {
+    import spark.implicits._
+    // every Poisson-weighted mean of a constant IS the constant —
+    // the interval collapses to [c, c] whatever the weights drew
+    val const = (1L to 50L).map(i => (i, 700.0)).toDF("id", "v")
+    val g1 = Profiling.bootstrapMeanCI(const, "id", round($"v", 0),
+        100, 25)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(g1 == ((50L, 100L, 700L, 700L, 700L)))
+    // mixed values: bounds bracket the mean, lie inside [min, max],
+    // and the draw replays bit-identically
+    val mixed = (1L to 50L).map(i => (i, (i % 7) * 100.0))
+      .toDF("id", "v")
+    def run() = Profiling.bootstrapMeanCI(mixed, "id", round($"v", 0),
+        100, 25)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val g2 = run()
+    assert(g2 == run()) // deterministic
+    val (_, _, mean, lo, hi) = g2
+    assert(lo <= mean && mean <= hi && lo >= 0 && hi <= 600)
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
