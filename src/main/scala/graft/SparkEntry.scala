@@ -324,6 +324,7 @@ object SparkEntry {
     "q301_rmst" -> (NorthStar.churnRmst _),
     "q302_ranking_metrics" -> (NorthStar.embeddingRankingEval _),
     "q303_bootstrap_ci" -> (NorthStar.orderValueCi _),
+    "q304_keyness" -> (NorthStar.sourceKeyness _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6327,6 +6328,37 @@ object SparkEntry {
         |  (SELECT m FROM ranked WHERE rk = 3) AS lo_cents,
         |  (SELECT m FROM ranked WHERE rk = 98) AS hi_cents
         |FROM fullagg""".stripMargin,
+    // q304: Dunning G2 keyness — term counts vs token masses, the two
+    // per-term ln's nano-rounded (q233's convention), sign test and
+    // everything after exact integer; top 25 by (g2 DESC, term).
+    "q304_keyness" ->
+      """WITH toks AS (SELECT
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
+        |    unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT f, t FROM toks WHERE t <> ''),
+        |counts AS (SELECT t,
+        |    CAST(sum(f) AS BIGINT) AS o_a,
+        |    CAST(sum(1 - f) AS BIGINT) AS o_b
+        |  FROM tk GROUP BY 1 HAVING sum(f) + sum(1 - f) >= 5),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - f) AS BIGINT) AS n_b FROM tk),
+        |g AS (SELECT t AS term, o_a, o_b,
+        |    CASE WHEN CAST(o_a AS HUGEINT) * (n_a + n_b) >
+        |      CAST(o_a + o_b AS HUGEINT) * n_a THEN 1 ELSE 0 END
+        |      AS over_in_focus,
+        |    2 * (o_a * (CASE WHEN o_a > 0 THEN
+        |        CAST(round(ln(CAST(o_a AS DOUBLE) * (n_a + n_b) /
+        |          (CAST(n_a AS DOUBLE) * (o_a + o_b))) * 1e9, 0)
+        |          AS BIGINT) ELSE 0 END)
+        |      + o_b * (CASE WHEN o_b > 0 THEN
+        |        CAST(round(ln(CAST(o_b AS DOUBLE) * (n_a + n_b) /
+        |          (CAST(n_b AS DOUBLE) * (o_a + o_b))) * 1e9, 0)
+        |          AS BIGINT) ELSE 0 END)) AS g2_nano
+        |  FROM counts, tot)
+        |SELECT term, o_a, o_b, over_in_focus,
+        |  CAST(g2_nano AS BIGINT) AS g2_nano
+        |FROM g ORDER BY g2_nano DESC, term LIMIT 25""".stripMargin,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->

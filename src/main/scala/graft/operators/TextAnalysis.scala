@@ -617,4 +617,52 @@ object TextAnalysis {
       .withColumn("type_token_ppm", expr(
         "cast(vocab_size * 1000000 div nullif(tokens_cum, 0) as bigint)"))
   }
+
+  /** CORPUS-CONTRAST KEYNESS — Dunning's log-likelihood G² per term
+    * between a FOCUS slice and the rest of the corpus (Dunning, CL
+    * 1993; the keyword-extraction statistic corpus linguists and
+    * data-mix auditors use): for term counts O_a/O_b against token
+    * masses N_a/N_b,
+    *   G² = 2·(O_a·ln(O_a·N / (N_a·R)) + O_b·ln(O_b·N / (N_b·R))),
+    * R = O_a+O_b, N = N_a+N_b; zero counts contribute zero. The two
+    * ln's are the ONLY floats — one per term side, identical operand
+    * order in both engines, rounded to integer NANO before any
+    * further use (the [[Behavior.typeCooccurrencePmi]] convention) —
+    * everything after is exact 64-bit. `over_in_focus` is the exact
+    * integer sign test O_a·N > R·N_a. The "what is this source MADE
+    * of, relative to everything else" readout beside q109's share mix
+    * and q215's language MI.
+    *
+    * Scale shape: one token explode + term aggregate (the tf-idf
+    * shuffle), a 1-row broadcast of the token masses, and a
+    * TakeOrderedAndProject top-N cut. */
+  def keynessG2(docs: DataFrame, isFocus: Column, minCount: Long,
+      topN: Int, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topN >= 1, s"minCount=$minCount topN=$topN")
+    val toks = docs
+      .select(isFocus.cast("int").cast("long").as("f"),
+        explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks.groupBy(col("t"))
+      .agg(sum(col("f")).as("o_a"), sum(lit(1L) - col("f")).as("o_b"))
+      .filter(col("o_a") + col("o_b") >= minCount)
+    val totals = toks.agg(sum(col("f")).as("n_a"),
+      sum(lit(1L) - col("f")).as("n_b"))
+    def lnNano(o: String, n: String) =
+      when(col(o) > 0, round(log(
+        col(o).cast("double") * (col("n_a") + col("n_b")) /
+          (col(n).cast("double") * (col("o_a") + col("o_b")))) * 1e9, 0)
+        .cast("long")).otherwise(0L)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("g2_nano", lit(2L) *
+        (col("o_a") * lnNano("o_a", "n_a") +
+          col("o_b") * lnNano("o_b", "n_b")))
+      .withColumn("over_in_focus",
+        expr("cast(cast(o_a as decimal(38,0)) * (n_a + n_b) > " +
+          "cast(o_a + o_b as decimal(38,0)) * n_a as int)"))
+      .select(col("t").as("term"), col("o_a"), col("o_b"),
+        col("over_in_focus"), col("g2_nano"))
+      .orderBy(col("g2_nano").desc, col("term"))
+      .limit(topN)
+  }
 }

@@ -3336,4 +3336,14 @@ object NorthStar {
     Profiling.bootstrapMeanCI(Tables.orders(spark, d), "o_orderkey",
       round($"o_totalprice" * 100, 0), 100, 25)
   }
+
+  /** X4 corpus-contrast keyness ([[graft.operators.TextAnalysis
+    * .keynessG2]]): Dunning G² terms that most distinguish source
+    * src0 from the rest of the corpus — two nano-rounded ln's per
+    * term, exact integers everywhere else; top 25. */
+  def sourceKeyness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.keynessG2(Tables.documents(spark, d),
+      $"source" === "src0", 5L, 25)
+  }
 }
