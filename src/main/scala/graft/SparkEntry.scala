@@ -325,6 +325,7 @@ object SparkEntry {
     "q302_ranking_metrics" -> (NorthStar.embeddingRankingEval _),
     "q303_bootstrap_ci" -> (NorthStar.orderValueCi _),
     "q304_keyness" -> (NorthStar.sourceKeyness _),
+    "q305_ds_multiclass" -> (NorthStar.qualityDawidSkeneMulti _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6359,6 +6360,10 @@ object SparkEntry {
         |SELECT term, o_a, o_b, over_in_focus,
         |  CAST(g2_nano AS BIGINT) AS g2_nano
         |FROM g ORDER BY g2_nano DESC, term LIMIT 25""".stripMargin,
+    // q305: multi-class Dawid-Skene — the generated 3-class CTE chain
+    // mirroring Labeling.dawidSkeneMulti term by term (see
+    // dawidSkeneMultiSql).
+    "q305_ds_multiclass" -> dawidSkeneMultiSql,
     // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
     // unrolled deterministic LPA rounds (count DESC, label ASC pick).
     "q298_lpa_communities" ->
@@ -6756,6 +6761,76 @@ object SparkEntry {
       |${pCte("e2", "p2")},
       |${eCte("p2", "e3")}
       |SELECT""".stripMargin
+  }
+
+  /** q305's oracle: the GENERAL-FORM Dawid–Skene chain — C = 3
+    * classes, per-rater 3×3 confusion matrices; the E/M fragments
+    * mirror `Labeling.dawidSkeneMulti`'s expressions term by term
+    * (HUGEINT weight products, truncating //, [1, 999999] clamps,
+    * no-evidence-keeps-prior via max() carried through the cross
+    * join). */
+  private val dawidSkeneMultiSql: String = {
+    val k = 3
+    val C = 3
+    def f(j: Int, c: Int) =
+      s"(CASE WHEN v$j IS NULL THEN 1000000 ELSE CASE v$j " +
+        (0 until C).map(v => s"WHEN $v THEN c${j}_$c$v").mkString(" ") +
+        " ELSE 1000000 END END)"
+    def w(c: Int) =
+      (s"CAST(pi$c AS HUGEINT)" +: (0 until k).map(f(_, c)))
+        .mkString(" * ")
+    def eCte(pSrc: String, out: String) = {
+      val sumW = (0 until C).map(c => s"(${w(c)})").mkString(" + ")
+      val rs = (0 until C).map(c =>
+        s"CAST((${w(c)}) * 1000000 // ($sumW) AS BIGINT) AS r$c")
+        .mkString(",\n    ")
+      s"$out AS (SELECT u.*, p.*,\n    $rs\n  FROM u0 u CROSS JOIN $pSrc p)"
+    }
+    def clamp(x: String) =
+      s"greatest(1, least(999999, CAST($x AS BIGINT)))"
+    def pCte(src: String, out: String) = {
+      val piCols = (0 until C).map(c => s"CASE WHEN count(*) > 0 THEN " +
+        clamp(s"coalesce(sum(CAST(r$c AS HUGEINT)), 0) // count(*)") +
+        s" ELSE CAST(NULL AS BIGINT) END AS pi$c")
+      val confCols = for (j <- 0 until k; c <- 0 until C; v <- 0 until C)
+        yield {
+          val d = s"coalesce(sum(CASE WHEN v$j IS NOT NULL THEN " +
+            s"CAST(r$c AS HUGEINT) END), 0)"
+          val nv = s"coalesce(sum(CASE WHEN v$j = $v THEN " +
+            s"CAST(r$c AS HUGEINT) END), 0)"
+          s"CASE WHEN $d > 0 THEN " + clamp(s"$nv * 1000000 // ($d)") +
+            s" ELSE max(c${j}_$c$v) END AS c${j}_$c$v"
+        }
+      s"$out AS (SELECT CAST(count(*) AS BIGINT) AS n,\n    " +
+        (piCols ++ confCols).mkString(",\n    ") + s"\n  FROM $src)"
+    }
+    val inits = ((0 until C).map(c => s"CAST(333333 AS BIGINT) AS pi$c") ++
+      (for (j <- 0 until k; c <- 0 until C; v <- 0 until C) yield
+        s"CAST(${if (v == c) 700000 else 150000} AS BIGINT) AS c${j}_$c$v"))
+      .mkString(", ")
+    val outCols = ((0 until C).map(c => s"pi$c AS pi${c}_ppm") ++
+      (for (j <- 0 until k; c <- 0 until C; v <- 0 until C) yield
+        s"c${j}_$c$v AS c${j}_$c${v}_ppm")).mkString(",\n  ")
+    s"""WITH u0 AS (SELECT r1 AS v0, r2 AS v1, r3 AS v2 FROM (
+      |    SELECT
+      |      CASE WHEN n_chars >= 50 THEN (CASE WHEN n_chars < 150
+      |        THEN 0 WHEN n_chars < 300 THEN 1 ELSE 2 END) END AS r1,
+      |      CASE WHEN doc_id % 7 <> 0 THEN (CASE WHEN lang = 'en'
+      |        THEN 0 WHEN lang = 'de' THEN 1 ELSE 2 END) END AS r2,
+      |      CASE WHEN doc_id % 5 <> 0 THEN
+      |        (CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+      |          WHEN len(string_split(text, ' ')) < 60 THEN 1
+      |          ELSE 2 END) END AS r3
+      |    FROM documents)
+      |  WHERE r1 IS NOT NULL OR r2 IS NOT NULL OR r3 IS NOT NULL),
+      |p0 AS (SELECT $inits),
+      |${eCte("p0", "e1")},
+      |${pCte("e1", "p1")},
+      |${eCte("p1", "e2")},
+      |${pCte("e2", "p2")}
+      |SELECT p2.n AS n_units,
+      |  $outCols
+      |FROM p2""".stripMargin
   }
 
   /** q287's oracle: the fitted parameter row. */

@@ -631,6 +631,104 @@ object Labeling {
     } finally units.unpersist(false)
   }
 
+  /** MULTI-CLASS DAWID–SKENE — the full confusion-matrix EM (Dawid &
+    * Skene 1979, §2 general form) that the binary [[dawidSkene]]
+    * specializes: each rater j carries a C×C ppm confusion matrix
+    * conf_j[c, v] = P(votes v | true class c) and the prior is a
+    * C-vector. Same exactness contract as the binary form: class
+    * weights are DECIMAL(38,0) products of ppm integers
+    * (π_c · Π_j conf_j[c, v_j], abstain = neutral 10⁶ factor, and a
+    * vote OUTSIDE 0..C−1 is treated as abstain — cast/clip upstream
+    * if that is not intended), responsibilities are truncating-ppm,
+    * every M update is clamped to [1, 999999] with the
+    * no-evidence-keeps-prior fallback, and the fitted parameters are
+    * (1 + C + k·C²) ppm literals of bounded driver state per
+    * iteration. k ≤ 4 and C ≤ 4 keep every product inside
+    * DECIMAL(38).
+    *
+    * Output: one row — n_units, pi{c}_ppm, and c{j}_{c}{v}_ppm for
+    * every (rater j, true class c, vote v).
+    *
+    * Scale shape: `iters` map-only E projections each feeding ONE
+    * conditional aggregate (map-side combined); no key shuffle at
+    * all (the [[dawidSkene]] regime, C× wider). */
+  def dawidSkeneMulti(df: DataFrame, raters: Seq[Column],
+      nClasses: Int = 3, iters: Int = 2): DataFrame = {
+    require(raters.size >= 2 && raters.size <= 4,
+      s"2..4 raters, got ${raters.size}")
+    require(nClasses >= 2 && nClasses <= 4, s"nClasses=$nClasses")
+    require(iters >= 1 && iters <= 3, s"iters=$iters")
+    val k = raters.size
+    val C = nClasses
+    val spark = df.sparkSession
+    val units = df
+      .select(raters.zipWithIndex.map { case (c, j) =>
+        c.cast("int").as(s"v$j") }: _*)
+      .filter((0 until k).map(j => col(s"v$j").isNotNull)
+        .reduce(_ || _))
+      .persist()
+    val pi = Array.fill(C)(1000000L / C)
+    val conf = Array.tabulate(k, C, C) { (j, c, v) =>
+      if (v == c) 700000L else 300000L / (C - 1) }
+    var n = 0L
+    var dead = false
+    def clamp(x: BigInt): Long =
+      x.max(BigInt(1)).min(BigInt(999999)).toLong
+    try {
+      (1 to iters).foreach { _ =>
+        if (!dead) {
+          def f(j: Int, c: Int) =
+            s"(case when v$j is null then 1000000L else case v$j " +
+              (0 until C).map(v =>
+                s"when $v then ${conf(j)(c)(v)}L").mkString(" ") +
+              " else 1000000L end end)"
+          def w(c: Int) =
+            (s"cast(${pi(c)}L as decimal(38,0))" +:
+              (0 until k).map(f(_, c))).mkString(" * ")
+          val sumW = (0 until C).map(c => s"(${w(c)})").mkString(" + ")
+          val e = units.select(col("*") +: (0 until C).map(c =>
+            expr(s"cast((${w(c)}) * 1000000 div ($sumW) as bigint)")
+              .as(s"r$c")): _*)
+          def dec(s: String) = s"cast($s as decimal(38,0))"
+          val aggs =
+            (0 until C).map(c => sum(expr(dec(s"r$c"))).as(s"s$c")) ++
+            (for (j <- 0 until k; c <- 0 until C) yield
+              sum(when(col(s"v$j").isNotNull, expr(dec(s"r$c"))))
+                .as(s"d_${j}_$c")) ++
+            (for (j <- 0 until k; c <- 0 until C; v <- 0 until C)
+              yield sum(when(col(s"v$j") === v, expr(dec(s"r$c"))))
+                .as(s"n_${j}_${c}_$v"))
+          val row = e.agg(count(lit(1)).as("n"), aggs: _*)
+            .collect().head
+          def big(name: String): BigInt = {
+            val i = row.fieldIndex(name)
+            if (row.isNullAt(i)) BigInt(0)
+            else BigInt(row.getDecimal(i).toBigInteger)
+          }
+          n = row.getLong(0)
+          if (n == 0) dead = true
+          else {
+            (0 until C).foreach { c => pi(c) = clamp(big(s"s$c") / n) }
+            for (j <- 0 until k; c <- 0 until C) {
+              val d = big(s"d_${j}_$c")
+              if (d > 0) (0 until C).foreach { v =>
+                conf(j)(c)(v) =
+                  clamp(big(s"n_${j}_${c}_$v") * 1000000 / d)
+              }
+            }
+          }
+        }
+      }
+      def out(v: Long, name: String) =
+        (if (dead) lit(null).cast("bigint") else lit(v)).as(name)
+      val cols = Seq(lit(n).as("n_units")) ++
+        (0 until C).map(c => out(pi(c), s"pi${c}_ppm")) ++
+        (for (j <- 0 until k; c <- 0 until C; v <- 0 until C)
+          yield out(conf(j)(c)(v), s"c${j}_${c}${v}_ppm"))
+      spark.range(1).select(cols: _*)
+    } finally units.unpersist(false)
+  }
+
   /** DAWID–SKENE SUFFICIENT-STATS STATE — the pattern-count frame
     * that makes [[dawidSkene]] INCREMENTAL AND EXACT: the EM's E and
     * M steps depend on each unit only through its vote PATTERN

@@ -3346,4 +3346,25 @@ object NorthStar {
     TextAnalysis.keynessG2(Tables.documents(spark, d),
       $"source" === "src0", 5L, 25)
   }
+
+  /** X17 multi-class Dawid–Skene ([[graft.operators.Labeling
+    * .dawidSkeneMulti]]): three 3-class raters (length tier, language
+    * family, token tier) fitted to per-rater 3×3 confusion matrices +
+    * class prior in two all-integer EM iterations — the general-form
+    * capstone over q287's binary sensitivity/specificity. */
+  def qualityDawidSkeneMulti(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val nTok = size(split($"text", " "))
+    Labeling.dawidSkeneMulti(Tables.documents(spark, d), Seq(
+      when($"n_chars" >= 50,
+        when($"n_chars" < 150, 0).when($"n_chars" < 300, 1)
+          .otherwise(2)),
+      when(pmod($"doc_id", lit(7L)) =!= 0,
+        when($"lang" === "en", 0).when($"lang" === "de", 1)
+          .otherwise(2)),
+      when(pmod($"doc_id", lit(5L)) =!= 0,
+        when(nTok < 30, 0).when(nTok < 60, 1).otherwise(2))),
+      nClasses = 3, iters = 2)
+  }
 }

@@ -3330,6 +3330,61 @@ class NorthStarSpec extends SparkSpec {
       b.toSet != Set(BigInt(700000)))
   }
 
+  test("dawidSkeneMulti: two integer-ppm EM iterations match a " +
+      "BigInt reference across the full 3x3 confusion matrices") {
+    import spark.implicits._
+    // true class = i mod 3; r1 perfect, r2 rotates the class on idx
+    // {1,5,7}, r3 abstains on i mod 4 == 3 and is otherwise perfect
+    val recs: Seq[(Option[Int], Option[Int], Option[Int])] =
+      (0 until 12).map { i =>
+        val t = i % 3
+        val r2 = if (Set(1, 5, 7)(i)) (t + 1) % 3 else t
+        val r3 = if (i % 4 == 3) None else Some(t)
+        (Some(t), Some(r2), r3)
+      }
+    val df = recs.toDF("r1", "r2", "r3")
+    val got = Labeling.dawidSkeneMulti(df, Seq($"r1", $"r2", $"r3"),
+      nClasses = 3, iters = 2).collect().head
+    val M = BigInt(1000000)
+    val C = 3
+    def clamp(x: BigInt) = x.max(BigInt(1)).min(BigInt(999999))
+    val pi = Array.fill(C)(BigInt(333333))
+    val conf = Array.tabulate(3, C, C)((j, c, v) =>
+      BigInt(if (v == c) 700000 else 150000))
+    val units = recs.map(t => Seq(t._1, t._2, t._3))
+    (1 to 2).foreach { _ =>
+      val rs = units.map { vs =>
+        val ws = (0 until C).map { c =>
+          vs.zipWithIndex.foldLeft(pi(c)) { case (acc, (v, j)) =>
+            acc * (v match { case None => M
+              case Some(x) => conf(j)(c)(x) }) } }
+        val tot = ws.sum
+        (0 until C).map(c => ws(c) * M / tot)
+      }
+      (0 until C).foreach { c =>
+        pi(c) = clamp(rs.map(_(c)).sum / units.size) }
+      for (j <- 0 until 3; c <- 0 until C) {
+        val d = units.zip(rs).collect {
+          case (vs, r) if vs(j).isDefined => r(c) }.sum
+        if (d > 0) (0 until C).foreach { v =>
+          val nv = units.zip(rs).collect {
+            case (vs, r) if vs(j).contains(v) => r(c) }.sum
+          conf(j)(c)(v) = clamp(nv * M / d)
+        }
+      }
+    }
+    val names = Seq("n_units") ++
+      (0 until C).map(c => s"pi${c}_ppm") ++
+      (for (j <- 0 until 3; c <- 0 until C; v <- 0 until C)
+        yield s"c${j}_${c}${v}_ppm")
+    val want = Seq(12L) ++ pi.map(_.toLong) ++
+      (for (j <- 0 until 3; c <- 0 until C; v <- 0 until C)
+        yield conf(j)(c)(v).toLong)
+    assert(names.map(n => got.getAs[Long](n)) == want)
+    // the perfect rater's diagonal dominates its off-diagonal
+    assert(got.getAs[Long]("c0_00_ppm") > got.getAs[Long]("c0_01_ppm"))
+  }
+
   test("holtWintersDaily: matches the reference triple-smoothing " +
       "recursion; the planted weekly bump accumulates in its slot") {
     import spark.implicits._
