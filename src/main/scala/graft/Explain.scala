@@ -101,7 +101,8 @@ object Explain {
       "q295_changepoint", "q296_hits", "q297_ds_state",
       "q298_lpa_communities", "q299_vocab_growth",
       "q300_positional_attribution", "q301_rmst",
-      "q302_ranking_metrics")
+      "q302_ranking_metrics", "q303_bootstrap_ci", "q304_keyness",
+      "q305_ds_multiclass")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -134,6 +135,12 @@ object Explain {
         "below: ONE map-only posterior projection through the fitted " +
         "literal parameters — the frame is never shuffled (the ORDER " +
         "BY exchange is presentation)."),
+      "q305_ds_multiclass" -> ("q287's driver-loop EM in the " +
+        "general C-class form: each iteration is one map-only " +
+        "C-responsibility projection into one (1 + C + k·C²)-column " +
+        "conditional aggregate; the returned frame is parameter " +
+        "literals, so the dump below is the final iteration's " +
+        "aggregate shape."),
       "q296_hits" -> ("Iterative composition (the q153 superstep " +
         "regime): each half-step joins the localCheckpoint-pinned " +
         "edge table to the node-sized score frame and renormalizes " +

@@ -326,11 +326,16 @@ object SparkEntry {
     "q303_bootstrap_ci" -> (NorthStar.orderValueCi _),
     "q304_keyness" -> (NorthStar.sourceKeyness _),
     "q305_ds_multiclass" -> (NorthStar.qualityDawidSkeneMulti _),
+    "q306_sprt_append" -> (NorthStar.purchaseSprtAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * (Assembled from two literal maps purely to stay under scalac's
+    * method-size limits as the suite grows.) */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlMore
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |       round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
@@ -6073,7 +6078,14 @@ object SparkEntry {
     // q294: Wald SPRT — users as Bernoulli trials in arrival order;
     // the LLR walk and its bounds are the documented micro-nat
     // LITERALS (ln(2), ln(0.75), ±ln(19)), pure integer end to end.
-    "q294_sprt" ->
+    "q294_sprt" -> sprtSql,
+    // q306: the SPRT state/append seam — prior(first-half users) ∪
+    // batch(new users) must equal the ONE walk over the full log
+    // (q294's SQL constant — the q290 seam convention).
+    "q306_sprt_append" -> sprtSql,
+  )
+
+  private lazy val sprtSql: String =
       """WITH u AS (SELECT user_id AS u,
         |    CAST(max(user_id % 2) AS INT) AS g, min(ts) AS t0,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -6098,7 +6110,9 @@ object SparkEntry {
         |  coalesce(c.dec, 'continue') AS decision
         |FROM t LEFT JOIN f USING (g)
         |JOIN c ON c.g = t.g AND c.n = coalesce(f.n_dec, t.n_trials)
-        |ORDER BY arm""".stripMargin,
+        |ORDER BY arm""".stripMargin
+
+  private val oracleSqlMore: Map[String, String] = Map(
     // q295: single changepoint per event type — prefix-sum g(t) in
     // exact integer cents² (HUGEINT numerators), earliest-split
     // tiebreak; gain = g(t*) − S_n² // n, all divisions on

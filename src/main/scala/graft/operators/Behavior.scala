@@ -1874,6 +1874,19 @@ object Behavior {
     * cumsum — SPRT is inherently sequential, so the ARM is the
     * parallel grain (a window per arm, never a global sort); the
     * crossing pick and totals are arm-sized aggregates. */
+  /** Shared trial reduction of the SPRT family: one Bernoulli trial
+    * per user — (u, arm, first-event ts, ever-converted). */
+  private def sprtTrials(events: DataFrame, user: String, ts: String,
+      typeCol: String, convType: String,
+      arm: org.apache.spark.sql.Column): DataFrame =
+    events
+      .select(col(user).as("u"), col(ts).as("t"),
+        arm.cast("int").as("g"),
+        (col(typeCol) === convType).cast("int").as("x"))
+      .groupBy(col("u"))
+      .agg(max(col("g")).as("g"), min(col("t")).as("t0"),
+        max(col("x")).as("x"))
+
   def sprtConversion(events: DataFrame, user: String, ts: String,
       typeCol: String, convType: String, arm: org.apache.spark.sql.Column,
       upMicro: Long, downMicro: Long,
@@ -1882,13 +1895,7 @@ object Behavior {
       s"upMicro=$upMicro downMicro=$downMicro")
     require(acceptMicro > 0 && rejectMicro < 0,
       s"acceptMicro=$acceptMicro rejectMicro=$rejectMicro")
-    val u = events
-      .select(col(user).as("u"), col(ts).as("t"),
-        arm.cast("int").as("g"),
-        (col(typeCol) === convType).cast("int").as("x"))
-      .groupBy(col("u"))
-      .agg(max(col("g")).as("g"), min(col("t")).as("t0"),
-        max(col("x")).as("x"))
+    val u = sprtTrials(events, user, ts, typeCol, convType, arm)
     val w = Window.partitionBy(col("g")).orderBy(col("t0"), col("u"))
     val walk = u
       .withColumn("n", row_number().over(w).cast("long"))
@@ -1909,6 +1916,104 @@ object Behavior {
       .select(col("g").as("arm"), col("n_trials"),
         col("n_at_decision"), col("llr").as("llr_micro"),
         coalesce(col("dec"), lit("continue")).as("decision"))
+  }
+
+  /** SPRT STATE — the always-on seam for [[sprtConversion]]: per arm,
+    * everything the monitor must persist to continue the walk on the
+    * next batch of NEW users — total trials, the walk's final value,
+    * and the first crossing (trial, value, verdict; NULL while the
+    * test is still open). The batch contract is the one SPRT itself
+    * imposes: a batch carries COMPLETE new users (split by first-event
+    * time), because a user's trial is their whole history — the
+    * [[graft.operators.TimeSeries.ewmaDailyAppend]] seam at the user
+    * grain. */
+  def sprtConversionState(events: DataFrame, user: String, ts: String,
+      typeCol: String, convType: String, arm: org.apache.spark.sql.Column,
+      upMicro: Long, downMicro: Long,
+      acceptMicro: Long, rejectMicro: Long): DataFrame = {
+    require(upMicro > 0 && downMicro < 0,
+      s"upMicro=$upMicro downMicro=$downMicro")
+    require(acceptMicro > 0 && rejectMicro < 0,
+      s"acceptMicro=$acceptMicro rejectMicro=$rejectMicro")
+    val u = sprtTrials(events, user, ts, typeCol, convType, arm)
+    val w = Window.partitionBy(col("g")).orderBy(col("t0"), col("u"))
+    val walk = u
+      .withColumn("n", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(when(col("x") === 1, upMicro)
+        .otherwise(downMicro)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dec", when(col("llr") >= acceptMicro, "h1")
+        .when(col("llr") <= rejectMicro, "h0"))
+      .select(col("g"), col("n"), col("llr"), col("dec"))
+    val ends = walk.groupBy(col("g"))
+      .agg(max(col("n")).as("n_trials"),
+        max_by(col("llr"), col("n")).as("llr_final"))
+    val first = walk.filter(col("dec").isNotNull)
+      .groupBy(col("g")).agg(min(col("n")).as("n_dec"))
+    ends.join(first, Seq("g"), "left")
+      .join(walk.select(col("g"), col("n").as("n_dec"),
+        col("llr").as("llr_dec"), col("dec")), Seq("g", "n_dec"),
+        "left")
+      .select(col("g").as("arm"), col("n_trials"), col("llr_final"),
+        col("n_dec"), col("llr_dec"), col("dec"))
+  }
+
+  /** Project a [[sprtConversionState]] frame to [[sprtConversion]]'s
+    * report shape. */
+  def sprtFromState(state: DataFrame): DataFrame =
+    state.select(col("arm"), col("n_trials"),
+      coalesce(col("n_dec"), col("n_trials")).as("n_at_decision"),
+      coalesce(col("llr_dec"), col("llr_final")).as("llr_micro"),
+      coalesce(col("dec"), lit("continue")).as("decision"))
+
+  /** Fold a batch of NEW users onto a persisted [[sprtConversionState]]
+    * — cost O(batch), never O(history): the batch walk resumes from
+    * the prior's final value and trial count; an arm the prior already
+    * decided keeps its verdict (SPRT stops at the first crossing), an
+    * open arm looks for its first crossing in the appended segment,
+    * and arms seen on only one side pass through. prior ∪ batch must
+    * equal [[sprtConversionState]] over the full log row-exactly —
+    * the oracle replays the whole walk, so any seam error at the
+    * boundary fails the gate. */
+  def sprtConversionAppend(prior: DataFrame, events: DataFrame,
+      user: String, ts: String, typeCol: String, convType: String,
+      arm: org.apache.spark.sql.Column, upMicro: Long, downMicro: Long,
+      acceptMicro: Long, rejectMicro: Long): DataFrame = {
+    require(upMicro > 0 && downMicro < 0,
+      s"upMicro=$upMicro downMicro=$downMicro")
+    require(acceptMicro > 0 && rejectMicro < 0,
+      s"acceptMicro=$acceptMicro rejectMicro=$rejectMicro")
+    val t = sprtTrials(events, user, ts, typeCol, convType, arm)
+    val w = Window.partitionBy(col("g")).orderBy(col("t0"), col("u"))
+    val p = prior.select(col("arm").as("g"), col("n_trials").as("n1"),
+      col("llr_final").as("llr1"), col("n_dec").as("p_n_dec"),
+      col("llr_dec").as("p_llr_dec"), col("dec").as("p_dec"))
+    val aug = t
+      .withColumn("n2", row_number().over(w).cast("long"))
+      .withColumn("cum2", sum(when(col("x") === 1, upMicro)
+        .otherwise(downMicro)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(p, Seq("g"), "left")
+      .withColumn("n", coalesce(col("n1"), lit(0L)) + col("n2"))
+      .withColumn("llr", coalesce(col("llr1"), lit(0L)) + col("cum2"))
+      .withColumn("dec2", when(col("p_dec").isNotNull,
+          lit(null).cast("string"))
+        .otherwise(when(col("llr") >= acceptMicro, "h1")
+          .when(col("llr") <= rejectMicro, "h0")))
+    val ends2 = aug.groupBy(col("g")).agg(
+      max(col("n")).as("n_trials2"),
+      max_by(col("llr"), col("n")).as("llr_final2"),
+      min(when(col("dec2").isNotNull, col("n"))).as("n_dec2"))
+      .join(aug.select(col("g"), col("n").as("n_dec2"),
+        col("llr").as("llr_dec2"), col("dec2").as("dec2v")),
+        Seq("g", "n_dec2"), "left")
+    p.join(ends2, Seq("g"), "full_outer")
+      .select(col("g").as("arm"),
+        coalesce(col("n_trials2"), col("n1")).as("n_trials"),
+        coalesce(col("llr_final2"), col("llr1")).as("llr_final"),
+        coalesce(col("p_n_dec"), col("n_dec2")).as("n_dec"),
+        coalesce(col("p_llr_dec"), col("llr_dec2")).as("llr_dec"),
+        coalesce(col("p_dec"), col("dec2v")).as("dec"))
   }
 
   /** POSITION-BASED (U-shaped) ATTRIBUTION — every touch in a

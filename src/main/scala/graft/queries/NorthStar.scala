@@ -3347,6 +3347,33 @@ object NorthStar {
       $"source" === "src0", 5L, 25)
   }
 
+  /** X15 SPRT state form ([[graft.operators.Behavior
+    * .sprtConversionAppend]]), oracled as a REAL identity: users are
+    * split by first-event day at the median (a batch carries COMPLETE
+    * new users — the seam SPRT itself imposes), the first half builds
+    * the persisted walk state, the second half folds on top at
+    * O(batch) cost, and prior ∪ batch must equal q294's one walk over
+    * the full log — the oracle replays every trial, so any boundary
+    * error fails the gate. This is q294 in always-on form: the
+    * morning check folds yesterday's signups onto the stored walk. */
+  def purchaseSprtAppend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cut = medianObservedDay(ev, "ts")
+    val fd = min(floor(unix_timestamp($"ts") / 86400).cast("long"))
+    val firstDay = ev.groupBy($"user_id").agg(fd.as("fd"))
+    val evTagged = ev.join(firstDay, "user_id")
+    val prior = Behavior.sprtConversionState(
+      evTagged.filter($"fd" < cut), "user_id", "ts", "event_type",
+      "purchase", pmod($"user_id", lit(2L)),
+      693147L, -287682L, 2944439L, -2944439L)
+    Behavior.sprtFromState(Behavior.sprtConversionAppend(prior,
+        evTagged.filter($"fd" >= cut), "user_id", "ts", "event_type",
+        "purchase", pmod($"user_id", lit(2L)),
+        693147L, -287682L, 2944439L, -2944439L))
+      .orderBy($"arm")
+  }
+
   /** X17 multi-class Dawid–Skene ([[graft.operators.Labeling
     * .dawidSkeneMulti]]): three 3-class raters (length tier, language
     * family, token tier) fitted to per-rater 3×3 confusion matrices +

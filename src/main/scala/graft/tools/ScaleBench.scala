@@ -162,7 +162,10 @@ object ScaleBench {
         "q300_positional_attribution",
         // RMST (key-sized agg + arm-bounded driver fold), ranking
         // metrics (q42 broadcast-queries serving shape)
-        "q301_rmst", "q302_ranking_metrics")
+        "q301_rmst", "q302_ranking_metrics",
+        // Poisson bootstrap (B-way fan-out, B-row shuffle), keyness
+        // (tf-idf-shaped term aggregate), multi-class DS (q287 regime)
+        "q303_bootstrap_ci", "q304_keyness", "q305_ds_multiclass")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2462,6 +2462,45 @@ class NorthStarSpec extends SparkSpec {
       ("y", 1L, 2L, 0, 113973864L)))
   }
 
+  test("sprtConversionAppend: prior ∪ new-user batch equals the full " +
+      "walk — crossing in the append segment and a decided prior") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // up=7 down=-3 A=14 B=-6; arm = u mod 2. Full walks:
+    //   arm1: u1(7), u3(14) → h1@2;  arm0: u2(-3), u4(-6 → h0@2),
+    //   u6(-9) → verdict locked at trial 2, trials keep counting.
+    val ev = Seq(
+      (1L, at(1), "purchase"), (2L, at(2), "view"),
+      (3L, at(6), "purchase"), (4L, at(7), "view"),
+      (6L, at(9), "view")
+    ).toDF("user_id", "ts", "event_type")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Behavior.sprtConversionState(df, "user_id", "ts", "event_type",
+        "purchase", pmod($"user_id", lit(2L)), 7L, -3L, 14L, -6L)
+    val full = state(ev).orderBy($"arm").collect().toList
+    val fd = min(floor(unix_timestamp($"ts") / 86400).cast("long"))
+    val tagged = ev.join(ev.groupBy($"user_id").agg(fd.as("fd")),
+      "user_id")
+    val seam = Behavior.sprtConversionAppend(
+        state(tagged.filter($"fd" < 5).drop("fd")),
+        tagged.filter($"fd" >= 5).drop("fd"), "user_id", "ts",
+        "event_type", "purchase", pmod($"user_id", lit(2L)),
+        7L, -3L, 14L, -6L)
+      .orderBy($"arm").collect().toList
+    assert(seam == full)
+    val report = Behavior.sprtFromState(
+        Behavior.sprtConversionAppend(
+          state(tagged.filter($"fd" < 5).drop("fd")),
+          tagged.filter($"fd" >= 5).drop("fd"), "user_id", "ts",
+          "event_type", "purchase", pmod($"user_id", lit(2L)),
+          7L, -3L, 14L, -6L))
+      .orderBy($"arm")
+      .as[(Int, Long, Long, Long, String)].collect().toList
+    assert(report == List(
+      (0, 3L, 2L, -6L, "h0"),
+      (1, 2L, 2L, 14L, "h1")))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
