@@ -327,6 +327,7 @@ object SparkEntry {
     "q304_keyness" -> (NorthStar.sourceKeyness _),
     "q305_ds_multiclass" -> (NorthStar.qualityDawidSkeneMulti _),
     "q306_sprt_append" -> (NorthStar.purchaseSprtAppend _),
+    "q307_vocab_state" -> (NorthStar.corpusVocabFromState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,7 +336,7 @@ object SparkEntry {
     * method-size limits as the suite grows.) */
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlMore
 
-  private val oracleSqlBase: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |       round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
@@ -6112,7 +6113,7 @@ object SparkEntry {
         |JOIN c ON c.g = t.g AND c.n = coalesce(f.n_dec, t.n_trials)
         |ORDER BY arm""".stripMargin
 
-  private val oracleSqlMore: Map[String, String] = Map(
+  private lazy val oracleSqlMore: Map[String, String] = Map(
     // q295: single changepoint per event type — prefix-sum g(t) in
     // exact integer cents² (HUGEINT numerators), earliest-split
     // tiebreak; gain = g(t*) − S_n² // n, all divisions on
@@ -6193,6 +6194,10 @@ object SparkEntry {
     // q299: vocabulary growth — token first-occurrence buckets, then
     // a buckets-sized cumsum; type/token in exact truncating ppm.
     "q299_vocab_growth" -> vocabGrowthSql,
+    // q307: the vocab state/merge seam — parity halves' (token → min
+    // id) maps merged, curve rebuilt from state; must equal q299's
+    // one-pass SQL (first-occurrence min is associative).
+    "q307_vocab_state" -> vocabGrowthSql,
     // q300: U-shaped attribution — segment at each conversion (a touch
     // credits the NEXT purchase), 30-day lookback in epoch micros,
     // exact-ppm position credits (1e6 / 500000+500000 / 400000 ends +

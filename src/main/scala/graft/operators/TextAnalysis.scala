@@ -586,30 +586,57 @@ object TextAnalysis {
     * frame (≤ `buckets` rows, the calendar-bounded regime; the
     * max-id probe is a 1-row broadcast). Empty-token rows drop. */
   def vocabGrowth(docs: DataFrame, buckets: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    vocabCurve(vocabDocStats(docs, textCol, idCol),
+      vocabState(docs, textCol, idCol), buckets)
+
+  /** VOCAB STATE — the (token → first doc id) map that makes
+    * [[vocabGrowth]] INCREMENTAL AND EXACT: first-occurrence is a min,
+    * so the state merges by `min(fid)` ([[mergeVocabState]]) and the
+    * curve rebuilt from merged batch states is row-identical to the
+    * full-corpus run (min is associative/commutative — the
+    * [[graft.operators.Labeling.dsPatternState]] contract, here with
+    * a vocabulary-sized state). */
+  def vocabState(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(min(col("id")).as("fid"))
+
+  /** Merge two [[vocabState]] frames — token-keyed `min(fid)`. */
+  def mergeVocabState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("t")).agg(min(col("fid")).as("fid"))
+
+  /** Per-doc (id, token count) — the other, trivially-mergeable half
+    * of the vocab-growth inputs (batches just union). */
+  def vocabDocStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(filter(split(col(textCol), " "), t => t =!= ""))
+        .cast("long").as("n_tok"))
+
+  /** Assemble the [[vocabGrowth]] curve from its two reduced inputs
+    * ([[vocabDocStats]] ∪ batches, merged [[vocabState]]). */
+  def vocabCurve(docStats: DataFrame, firstSeen: DataFrame,
+      buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets")
-    val mx = docs.agg(max(col(idCol)).as("mx"))
+    val mx = docStats.agg(max(col("id")).as("mx"))
     def bucketOf(name: String) =
       least(lit(buckets - 1).cast("long"),
         expr(s"$name * $buckets div (mx + 1)")).as("bucket")
-    val toks = split(col(textCol), " ")
-    val perDoc = docs
-      .select(col(idCol).as("id"),
-        size(filter(toks, t => t =!= "")).cast("long").as("n_tok"))
+    val perDoc = docStats
       .crossJoin(broadcast(mx))
       .select(bucketOf("id"), col("n_tok"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val firstSeen = docs
-      .select(col(idCol).as("id"), explode(toks).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("t")).agg(min(col("id")).as("fid"))
+    val newTypes = firstSeen
       .crossJoin(broadcast(mx))
       .select(bucketOf("fid"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDoc.join(firstSeen, Seq("bucket"), "left")
+    perDoc.join(newTypes, Seq("bucket"), "left")
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
       .withColumn("vocab_size", sum(col("n_new_types")).over(w))

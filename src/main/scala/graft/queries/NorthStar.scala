@@ -3374,6 +3374,29 @@ object NorthStar {
       .orderBy($"arm")
   }
 
+  /** X4 vocab-growth state form ([[graft.operators.TextAnalysis
+    * .vocabState]]), oracled as a REAL identity: the corpus splits by
+    * doc_id parity, each half reduces to its (token → first id) map,
+    * the maps merge by min, and the curve rebuilt from state must
+    * equal q299's full-corpus run row-exactly (first-occurrence is an
+    * associative min — the q297 sufficient-statistic convention at
+    * vocabulary size). The always-on corpus monitor: each ingest
+    * batch folds its token map into persisted state, the Heaps curve
+    * refreshes from state without re-reading history. */
+  def corpusVocabFromState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val h1 = docs.filter(pmod($"doc_id", lit(2L)) === 0)
+    val h2 = docs.filter(pmod($"doc_id", lit(2L)) =!= 0)
+    TextAnalysis.vocabCurve(
+        TextAnalysis.vocabDocStats(h1)
+          .unionByName(TextAnalysis.vocabDocStats(h2)),
+        TextAnalysis.mergeVocabState(
+          TextAnalysis.vocabState(h1), TextAnalysis.vocabState(h2)),
+        10)
+      .orderBy($"bucket")
+  }
+
   /** X17 multi-class Dawid–Skene ([[graft.operators.Labeling
     * .dawidSkeneMulti]]): three 3-class raters (length tier, language
     * family, token tier) fitted to per-rater 3×3 confusion matrices +

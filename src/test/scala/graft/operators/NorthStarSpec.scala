@@ -2501,6 +2501,29 @@ class NorthStarSpec extends SparkSpec {
       (1, 2L, 2L, 14L, "h1")))
   }
 
+  test("vocabState: merged batch states rebuild the exact growth " +
+      "curve; min-merge dedups re-seen tokens to the earliest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "c d"), (3L, "a e")
+    ).toDF("doc_id", "text")
+    val full = TextAnalysis.vocabGrowth(docs, 2).orderBy($"bucket")
+      .collect().toList
+    val h1 = docs.filter($"doc_id" % 2 === 0)
+    val h2 = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = TextAnalysis.mergeVocabState(
+      TextAnalysis.vocabState(h1), TextAnalysis.vocabState(h2))
+    // 'a' appears in docs 0 and 3 (different halves) → min id 0 wins
+    assert(merged.filter($"t" === "a").select($"fid")
+      .as[Long].collect().toList == List(0L))
+    val rebuilt = TextAnalysis.vocabCurve(
+        TextAnalysis.vocabDocStats(h1)
+          .unionByName(TextAnalysis.vocabDocStats(h2)),
+        merged, 2)
+      .orderBy($"bucket").collect().toList
+    assert(rebuilt == full)
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
