@@ -165,7 +165,9 @@ object ScaleBench {
         "q301_rmst", "q302_ranking_metrics",
         // Poisson bootstrap (B-way fan-out, B-row shuffle), keyness
         // (tf-idf-shaped term aggregate), multi-class DS (q287 regime)
-        "q303_bootstrap_ci", "q304_keyness", "q305_ds_multiclass")
+        "q303_bootstrap_ci", "q304_keyness", "q305_ds_multiclass",
+        // state seams: SPRT append (O(batch) fold), vocab-state merge
+        "q306_sprt_append", "q307_vocab_state")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
