@@ -1224,7 +1224,9 @@ object Profiling {
     val hiRank = ((1000 - alphaPerMille) * b + 999) / 1000
     val base = df.select(col(idCol).cast("string").as("id"),
       value.cast("long").as("v"))
-    val reps = base.select(col("id"), col("v"),
+    // the B-way fan-out does B md5s PER INPUT ROW — CPU-bound, so the
+    // small-file single-partition scan regime must not serialize it
+    val reps = Par.fanOut(base).select(col("id"), col("v"),
         explode(sequence(lit(0), lit(b - 1))).as("r"))
       .withColumn("h", conv(substring(md5(
         concat(col("id"), lit(":"), col("r"))), 1, 8), 16, 10)

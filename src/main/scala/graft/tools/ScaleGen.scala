@@ -83,6 +83,17 @@ object ScaleGen {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
 
+    // lineitem: order keys follow orders' remap; SUPPLIER KEYS ARE
+    // KEPT (the ~1000 original suppliers absorb R× the line items),
+    // so the q153/q296 graph's authority side grows R× HOTTER while
+    // the customer side grows R× wider — the adversarial in-degree
+    // case for rank/HITS supersteps
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    copies(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
     // customer: R× rows with remapped custkeys but the ORIGINAL 25
     // nation keys — so the q276 blocked-linkage block SIZE grows R×
     // and within-block pairs grow R²: the deliberate worst case for a
@@ -94,7 +105,8 @@ object ScaleGen {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
 
-    Seq("events", "documents", "embeddings", "orders", "customer")
+    Seq("events", "documents", "embeddings", "orders", "lineitem",
+        "customer")
       .foreach { t =>
         val n = spark.read.parquet(s"$out/$t.parquet").count()
         println(s"SCALEGEN $t rows=$n")
