@@ -1466,14 +1466,15 @@ object Similarity {
     * prune, same plan below the scoring join), a per-query window cut
     * at k, and label-sized + 1-row aggregates. */
   def knnRankingMetrics(emb: DataFrame, queryEvery: Long,
-      k: Int): DataFrame = {
+      k: Int, maxQueryId: Option[Long] = None): DataFrame = {
     require(queryEvery >= 1, s"queryEvery=$queryEvery")
     require(k >= 1 && k <= NdcgDiscMicro.size,
       s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
     val base = emb.select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val qs = base.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+    val qs = base.filter(pmod(col("vec_id"), lit(queryEvery)) === 0 &&
+      maxQueryId.map(col("vec_id") < _).getOrElse(lit(true)))
       .select(col("vec_id").as("qid"), col("label").as("qlab"),
         col("v").as("qv"), col("nrm").as("qnrm"))
     val labCounts = base.groupBy(col("label").as("qlab"))

@@ -183,6 +183,32 @@ object ScaleBench {
           Seq("seg" -> col("c_mktsegment"),
             "bal" -> expr("cast(floor(c_acctbal / 1000) as bigint)")))
       }) :+
+      ("q302_fixedq" -> { (s: SparkSession, d: String) =>
+        // fixed 20-query eval load against the growing corpus: q302's
+        // own query set is every 25th vector, so queries × corpus work
+        // is quadratic in the scale factor BY CONSTRUCTION (the q185
+        // load-model artifact); this isolates the corpus-linear
+        // serving cost (original-copy ids < 2000 exist at every R)
+        graft.operators.Similarity.knnRankingMetrics(
+          graft.Tables.embeddings(s, d), 100L, 10, Some(2000L))
+      }) :+
+      ("q298_dedupfirst" -> { (s: SparkSession, d: String) =>
+        // the 100 TB path for LPA over a replicated corpus: full
+        // replication makes TRUE dup families R wide, so the raw
+        // near-dup pair graph grows R² (real pairs, not waste — the
+        // q276/q291 story on the graph axis; plain q298 at 100×
+        // spills past local disk). The pipeline answer is the X1→X2
+        // order: EXACT-dedup first, then pair the copy-invariant
+        // distinct corpus — LPA itself stays edge-linear.
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.documents(s, d)
+        val distinctDocs = graft.operators.Dedup
+          .exactDedup(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"), col("text"))
+        graft.operators.Graph.labelPropagation(
+          graft.operators.Dedup.jaccardPairs(distinctDocs, 0.5),
+          3, "doc_a", "doc_b")
+      }) :+
       ("q276_coarseblock" -> { (s: SparkSession, d: String) =>
         // the NAMED QUADRATIC LESSON (round 12's shipped wiring, now
         // demoted here): a 25-value nation-only block grows
@@ -207,6 +233,13 @@ object ScaleBench {
 
     dirs.foreach { dir =>
       fams.foreach { case (name, fn) =>
+        // plain q298 pairs the RAW replicated corpus: at 100× its true
+        // dup families are 100 wide, the pair shuffle is R² and spills
+        // past local disk — run the shipped-scale q298_dedupfirst form
+        // there instead (opt back in with SPARK_GRAFT_ONLY).
+        val skip = name == "q298_lpa_communities" &&
+          dir.contains("x100") && only.isEmpty
+        if (!skip) {
         (1 to 2).foreach { run =>
           lens.reset()
           val t0 = System.nanoTime()
@@ -219,6 +252,7 @@ object ScaleBench {
             f""""task_max_ms":$mx,"task_p50_ms":$md,""" +
             f""""task_skew_x100":$skew}""")
           graft.SessionHygiene.cleanup(spark)
+        }
         }
       }
     }
