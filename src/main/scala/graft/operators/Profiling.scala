@@ -1232,9 +1232,11 @@ object Profiling {
         concat(col("id"), lit(":"), col("r"))), 1, 8), 16, 10)
         .cast("long"))
       .withColumn("u", pmod(col("h"), lit(1000000L)))
-      .withColumn("w", size(filter(
-        array(PoissonCumPpm.map(lit): _*), t => col("u") >= t))
-        .cast("long"))
+      // k = #{thresholds ≤ u} as a literal when-chain (no per-row
+      // array build; value-identical to filtering the table)
+      .withColumn("w", PoissonCumPpm.zipWithIndex
+        .foldLeft(lit(0L)) { case (acc, (t, i)) =>
+          when(col("u") >= t, lit(i + 1L)).otherwise(acc) })
     val means = reps.groupBy(col("r"))
       .agg(sum(col("w") * col("v")).as("s"), sum(col("w")).as("nw"))
       .select(col("r"),
