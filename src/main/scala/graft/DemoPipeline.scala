@@ -43,6 +43,7 @@ object DemoPipeline {
       case Some("--stats") => "stats"
       case Some("--labels") => "labels"
       case Some("--linkage") => "linkage"
+      case Some("--experiment") => "experiment"
       case Some("--e2e") => "e2e"
       case _ => "batch"
     }
@@ -54,6 +55,7 @@ object DemoPipeline {
       // sf0.01, not sf0.001: the fine composite block admits no
       // candidate pairs at all at sf0.001 (150 customers)
       case "linkage" => "/root/testdata/sf0.01"
+      case "experiment" => "/root/testdata/sf0.01"
       case _ => "/tmp/graft_demo"
     })
     val today = rest.lift(1).getOrElse("2025-10-05")
@@ -72,6 +74,7 @@ object DemoPipeline {
       case "stats" => runStats(spark, base)
       case "labels" => runLabels(spark, base)
       case "linkage" => runLinkage(spark, base)
+      case "experiment" => runExperiment(spark, base)
       case "e2e" => runE2e(spark, base, today)
       case _ => runBatch(spark, base, today)
     }
@@ -211,6 +214,46 @@ object DemoPipeline {
         fields, mPpm = 700000L)
       .orderBy(col("cluster_size").desc, col("c_custkey"))
       .show(10, truncate = false)
+  }
+
+  /** The experimentation ladder in one command — fixed-horizon
+    * readout, variance reduction, sequential monitoring, survival
+    * effect, and credit assignment, each the shipped oracled operator:
+    * `sbt "runMain graft.DemoPipeline --experiment"`. */
+  def runExperiment(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{lit, pmod, round => rnd}
+    val ev = Tables.events(spark, sfDir)
+    val arm = pmod(col("user_id"), lit(2L))
+    println("[A/B readout] fixed-horizon two-proportion z on " +
+      "purchase conversion (user_id mod 2 arms)")
+    operators.Behavior.abTest(ev, "user_id", "event_type", "purchase",
+      arm).show(truncate = false)
+    println("[SPRT] how FEW users until a verdict — Wald bounds " +
+      "ln(19), H0 p=0.2 vs H1 p=0.4 (micro-nat literals)")
+    operators.Behavior.sprtConversion(ev, "user_id", "ts",
+        "event_type", "purchase", arm,
+        693147L, -287682L, 2944439L, -2944439L)
+      .orderBy(col("arm")).show(truncate = false)
+    println("[log-rank] does the variant RETAIN users — Mantel-Cox " +
+      "over the 14-day-censor lifetime model")
+    operators.Behavior.logRankTest(ev, "user_id", "ts", 14, arm)
+      .show(truncate = false)
+    println("[RMST] the same comparison as an effect size: expected " +
+      "days retained in the first 30, per arm")
+    operators.Behavior.rmstByArm(ev, "user_id", "ts", 14, 30, arm)
+      .orderBy(col("arm")).show(truncate = false)
+    println("[bootstrap CI] 95% Poisson-bootstrap interval for the " +
+      "mean purchase value (100 hash-deterministic replicates)")
+    operators.Profiling.bootstrapMeanCI(
+        ev.filter(col("event_type") === "purchase"), "event_id",
+        rnd(col("value") * 100, 0), 100, 25)
+      .show(truncate = false)
+    println("[attribution] which channels earn the purchases — " +
+      "U-shaped position credit, 30-day lookback")
+    operators.Behavior.positionalAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click", "signup"),
+        "purchase", "value", 30L * 86400)
+      .orderBy(col("channel")).show(truncate = false)
   }
 
   def runLabels(spark: SparkSession, sfDir: String): Unit = {
