@@ -102,7 +102,8 @@ object Explain {
       "q298_lpa_communities", "q299_vocab_growth",
       "q300_positional_attribution", "q301_rmst",
       "q302_ranking_metrics", "q303_bootstrap_ci", "q304_keyness",
-      "q305_ds_multiclass", "q306_sprt_append", "q307_vocab_state")
+      "q305_ds_multiclass", "q306_sprt_append", "q307_vocab_state",
+      "q308_nelson_aalen")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

@@ -328,6 +328,7 @@ object SparkEntry {
     "q305_ds_multiclass" -> (NorthStar.qualityDawidSkeneMulti _),
     "q306_sprt_append" -> (NorthStar.purchaseSprtAppend _),
     "q307_vocab_state" -> (NorthStar.corpusVocabFromState _),
+    "q308_nelson_aalen" -> (NorthStar.churnCumHazard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6194,6 +6195,43 @@ object SparkEntry {
     // q299: vocabulary growth — token first-occurrence buckets, then
     // a buckets-sized cumsum; type/token in exact truncating ppm.
     "q299_vocab_growth" -> vocabGrowthSql,
+    // q308: Nelson-Aalen — q227's recursive-CTE KM table plus one
+    // running sum of the integer-ppm hazards (exact summands).
+    "q308_nelson_aalen" ->
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |         FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
+        |           AS t),
+        |km AS (SELECT g.t,
+        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 1) AS n_dead,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 0) AS n_censored
+        |       FROM grid g),
+        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
+        |             CAST(1000000 AS HUGEINT) AS surv
+        |      UNION ALL
+        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |      FROM s JOIN km ON km.t = s.t + 1),
+        |rows_out AS (SELECT km.t, CAST(km.n_risk AS BIGINT) AS n_risk,
+        |       CAST(km.n_dead AS BIGINT) AS n_dead,
+        |       CAST(km.n_censored AS BIGINT) AS n_censored,
+        |       CAST(CAST(km.n_dead AS HUGEINT) * 1000000 // km.n_risk
+        |         AS BIGINT) AS hazard_ppm,
+        |       CAST(s.surv AS BIGINT) AS survival_ppm
+        |FROM km JOIN s USING (t))
+        |SELECT *, CAST(sum(hazard_ppm) OVER (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumhaz_ppm
+        |FROM rows_out ORDER BY t""".stripMargin,
     // q307: the vocab state/merge seam — parity halves' (token → min
     // id) maps merged, curve rebuilt from state; must equal q299's
     // one-pass SQL (first-occurrence min is associative).

@@ -1342,6 +1342,21 @@ object Behavior {
       "survival_ppm")
   }
 
+  /** NELSON–AALEN cumulative hazard — [[survivalCurve]]'s additive
+    * twin: H(t) = Σ_{t'≤t} d/n accumulates the per-day hazards
+    * instead of multiplying survivals, the estimator whose increments
+    * are what hazard-ratio models consume. Exact by construction: the
+    * summands ARE [[survivalCurve]]'s integer-ppm hazard column
+    * (d·10⁶ div n), so the running sum replays in any engine; one
+    * window over the calendar-bounded KM table. */
+  def nelsonAalen(events: DataFrame, user: String, ts: String,
+      censorDays: Int): DataFrame = {
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalCurve(events, user, ts, censorDays)
+      .withColumn("cumhaz_ppm", sum(col("hazard_ppm")).over(w))
+  }
+
   /** SESSION PATH BIGRAMS — the top consecutive event-type pairs WITHIN
     * a session ([[graft.operators.Sessionize]]'s gap rule: strictly
     * greater than `gapSec` starts a new session), vs

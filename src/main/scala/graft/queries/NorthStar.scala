@@ -3397,6 +3397,16 @@ object NorthStar {
       .orderBy($"bucket")
   }
 
+  /** X15 Nelson–Aalen cumulative hazard ([[graft.operators.Behavior
+    * .nelsonAalen]]): q227's per-day hazards accumulated additively —
+    * the estimator hazard-ratio models consume; summands are q227's
+    * exact integer-ppm hazards, so the running sum replays exactly. */
+  def churnCumHazard(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.nelsonAalen(Tables.events(spark, d), "user_id", "ts", 14)
+      .orderBy($"t")
+  }
+
   /** X17 multi-class Dawid–Skene ([[graft.operators.Labeling
     * .dawidSkeneMulti]]): three 3-class raters (length tier, language
     * family, token tier) fitted to per-rater 3×3 confusion matrices +

@@ -167,7 +167,9 @@ object ScaleBench {
         // (tf-idf-shaped term aggregate), multi-class DS (q287 regime)
         "q303_bootstrap_ci", "q304_keyness", "q305_ds_multiclass",
         // state seams: SPRT append (O(batch) fold), vocab-state merge
-        "q306_sprt_append", "q307_vocab_state")
+        "q306_sprt_append", "q307_vocab_state",
+        // Nelson-Aalen (q227 regime: key-sized agg + bounded fold)
+        "q308_nelson_aalen")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

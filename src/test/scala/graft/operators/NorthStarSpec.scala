@@ -2524,6 +2524,25 @@ class NorthStarSpec extends SparkSpec {
     assert(rebuilt == full)
   }
 
+  test("nelsonAalen: cumulative hazard over the hand-traced KM table") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // q227's fixture: hazards 333333, 0, 0, 0 → cumhaz 333333 flat
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2))
+    ).toDF("user_id", "ts")
+    val got = Behavior.nelsonAalen(ev, "user_id", "ts", 2)
+      .orderBy($"t")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 3L, 1L, 0L, 333333L, 666666L, 333333L),
+      (1L, 2L, 0L, 1L, 0L, 666666L, 333333L),
+      (2L, 1L, 0L, 0L, 0L, 666666L, 333333L),
+      (3L, 1L, 0L, 1L, 0L, 666666L, 333333L)))
+  }
+
   test("theilSenTrend picks the exact lower-median pairwise slope") {
     import spark.implicits._
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
