@@ -6421,15 +6421,25 @@ object SparkEntry {
     // mirroring Labeling.dawidSkeneMulti term by term (see
     // dawidSkeneMultiSql).
     "q305_ds_multiclass" -> dawidSkeneMultiSql,
-    // q298: label propagation — q250's J ≥ 0.5 edge CTE, then 3
-    // unrolled deterministic LPA rounds (count DESC, label ASC pick).
+    // q298: DEDUP-FIRST label propagation — exact-text collapse to a
+    // min-id rep, q250's J ≥ 0.5 edge CTE over the DISTINCT corpus,
+    // 3 unrolled deterministic LPA rounds (count DESC, label ASC
+    // pick), isolated ≥2-copy families as their own rep-labeled
+    // community, then re-expansion to every doc via the dup mapping
+    // (n_members counts expanded docs).
     "q298_lpa_communities" ->
-      s"""WITH sh AS (
+      s"""WITH dd AS (SELECT text, min(doc_id) AS keep_id,
+        |             count(*) AS n_copies
+        |           FROM documents GROUP BY 1),
+        |mp AS (SELECT d.doc_id, dd.keep_id FROM documents d
+        |       JOIN dd USING (text)),
+        |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |     for i in range(1, len(toks) - 1)])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents)
+        |  FROM (SELECT keep_id AS doc_id,
+        |          string_split(text, ' ') AS toks
+        |        FROM dd)
         |  WHERE len(toks) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -6444,11 +6454,18 @@ object SparkEntry {
         |nb AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
         |      UNION ALL SELECT b, a FROM e0),
         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM nb),
-        |${(1 to 3).map(lpaRound).mkString(",\n")}
-        |SELECT l3.node, l3.lbl AS community, sz.n_members
-        |FROM l3 JOIN (SELECT lbl, CAST(count(*) AS BIGINT)
-        |                AS n_members FROM l3 GROUP BY 1) sz
-        |  USING (lbl)
+        |${(1 to 3).map(lpaRound).mkString(",\n")},
+        |repc AS (SELECT node, lbl AS community FROM l3
+        |         UNION ALL
+        |         SELECT keep_id, keep_id FROM dd
+        |         WHERE n_copies >= 2
+        |           AND keep_id NOT IN (SELECT node FROM l3)),
+        |ex AS MATERIALIZED (SELECT mp.doc_id AS node, repc.community
+        |      FROM mp JOIN repc ON mp.keep_id = repc.node)
+        |SELECT ex.node, ex.community, sz.n_members
+        |FROM ex JOIN (SELECT community, CAST(count(*) AS BIGINT)
+        |                AS n_members FROM ex GROUP BY 1) sz
+        |  USING (community)
         |ORDER BY node""".stripMargin,
   )
 

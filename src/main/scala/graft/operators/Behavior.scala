@@ -742,15 +742,17 @@ object Behavior {
     *     per-row from exact integers in a fixed op order, rounded 6 dp
     *     — engine-identical (the [[abTest]] z contract).
     *
-    * The two windows run over the LEVELS frame — the deliberate
-    * unpartitioned-window broadcast-state regime ([[rateCusum]]'s
-    * argument), never over users. Returns one row per requested
-    * percentage: (top_pct, k_users, events_covered, share_ppm, gini)
-    * with gini constant across rows. The post-window levels frame is
-    * pinned with an eager localCheckpoint (tiny; the totals aggregate
-    * and the boundary join both re-read it — without the pin each
-    * replays the corpus scan); `lazyPlan = true` skips the pin for
-    * plan inspection. */
+    * The cumulative machinery runs over the LEVELS frame through ONE
+    * [[Curation.withGlobalCumsums]] ascending pass (both descending
+    * cums and the exclusive below-count are algebra over the inclusive
+    * ascending sums + grand totals) — never over users, and never an
+    * unpartitioned window: distinct activity levels are unbounded in
+    * principle. Returns one row per requested percentage: (top_pct,
+    * k_users, events_covered, share_ppm, gini) with gini constant
+    * across rows. The cumsum pass pins its output (the totals
+    * aggregate and the boundary join both re-read it — without the
+    * pin each replays the corpus scan); `lazyPlan = true` skips the
+    * pin for plan inspection. */
   def engagementConcentration(events: DataFrame, user: String,
       topPcts: Seq[Int], lazyPlan: Boolean = false): DataFrame = {
     require(topPcts.nonEmpty && topPcts.forall(p => p >= 1 && p <= 100),
@@ -761,18 +763,21 @@ object Behavior {
     val levels = events.groupBy(col(user).as("u"))
       .agg(count(lit(1)).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("nl"))
-    val wDesc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("x").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val lv0 = levels
-      .withColumn("cum_users", sum(col("nl")).over(wDesc))
-      .withColumn("cum_events", sum(col("nl") * col("x")).over(wDesc))
-      .withColumn("below", coalesce(sum(col("nl")).over(wAsc), lit(0L)))
-    val lv = if (lazyPlan) lv0 else lv0.localCheckpoint(true)
+    // one ASC two-level cumsum pass carries both descending cums and
+    // the exclusive below-count (distinct activity levels are
+    // unbounded in principle — no unpartitioned window):
+    // users at level ≥ x = tot − inclusive-asc + own, below = asc − own
+    val cums = if (lazyPlan)
+      Curation.withGlobalCumsumsLazy(levels, Seq(col("x")),
+        Seq("u" -> col("nl"), "e" -> (col("nl") * col("x"))))
+    else
+      Curation.withGlobalCumsums(levels, Seq(col("x")),
+        Seq("u" -> col("nl"), "e" -> (col("nl") * col("x"))))
+    val lv = cums
+      .withColumn("cum_users", col("tot_u") - col("cum_u") + col("nl"))
+      .withColumn("cum_events",
+        col("tot_e") - col("cum_e") + col("nl") * col("x"))
+      .withColumn("below", col("cum_u") - col("nl"))
     // S = Σ_levels x·(n_below·n_l + n_l(n_l+1)/2) as DECIMAL(38,0);
     // the inner 64-bit products hold to ~3·10⁹ users (n_below·n_l ≤ n²
     // < 2⁶³) — beyond that, cast `below`/`nl` to decimal too
@@ -1549,9 +1554,11 @@ object Behavior {
     * u2_a + u2_b = 2·n_a·n_b.
     *
     * Scale shape: (arm, user) aggregate, then a per-VALUE count frame;
-    * the midrank cumsum runs on the DISTINCT-VALUE frame — bounded by
-    * the metric's value range (integer cents), not by users; the final
-    * aggregate is one row. */
+    * the midrank cumsum runs on the DISTINCT-VALUE frame — which on a
+    * per-user cents metric approaches USER cardinality, so it goes
+    * through [[Curation.withGlobalCumsums]]' two-level plan (range-
+    * partitioned local cumsums + a broadcast offset fold), never an
+    * unpartitioned window; the final aggregate is one row. */
   def mannWhitneyU(events: DataFrame, user: String,
       value: org.apache.spark.sql.Column,
       variant: org.apache.spark.sql.Column): DataFrame = {
@@ -1564,11 +1571,9 @@ object Behavior {
     val vals = perUser.groupBy(col("m"))
       .agg(count(when(col("v") === 0, 1)).as("ca"),
         count(when(col("v") === 1, 1)).as("cb"))
-    val w = Window.orderBy(col("m"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = vals
-      .withColumn("cum", sum(col("ca") + col("cb")).over(w))
-      .withColumn("p", col("cum") - (col("ca") + col("cb")))
+    val ranked = Curation.withGlobalCumsums(vals, Seq(col("m")),
+        Seq("t" -> (col("ca") + col("cb"))))
+      .withColumn("p", col("cum_t") - (col("ca") + col("cb")))
       .withColumn("two_mid", lit(2) * col("p") + col("ca") + col("cb")
         + lit(1))
     val agg = ranked.agg(
@@ -1602,8 +1607,9 @@ object Behavior {
     * [[abTestK]] layout). Arms must be 0..k−1 (hash-split contract).
     *
     * Scale shape: (arm, user) aggregate, per-VALUE count frame with k
-    * conditional counters, ONE distinct-value cumsum sort (the
-    * [[mannWhitneyU]] window contract), one 1-row aggregate, k-row
+    * conditional counters, ONE distinct-value cumsum through
+    * [[Curation.withGlobalCumsums]] (the [[mannWhitneyU]] two-level
+    * contract — no unpartitioned window), one 1-row aggregate, k-row
     * output. */
   def kruskalWallis(events: DataFrame, user: String,
       value: org.apache.spark.sql.Column,
@@ -1620,13 +1626,11 @@ object Behavior {
     val vals = perUser.groupBy(col("m"))
       .agg(armCnts.head, armCnts.tail: _*)
     val total = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
-    val w = Window.orderBy(col("m"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = vals
-      .withColumn("t", total)
-      .withColumn("cum", sum(col("t")).over(w))
+    val ranked = Curation.withGlobalCumsums(
+        vals.withColumn("t", total), Seq(col("m")),
+        Seq("t" -> col("t")))
       .withColumn("two_mid",
-        lit(2) * (col("cum") - col("t")) + col("t") + lit(1))
+        lit(2) * (col("cum_t") - col("t")) + col("t") + lit(1))
     val aggs = (0 until k).flatMap(i => Seq(
       sum(col(s"c$i")).as(s"n_$i"),
       sum(dec(col(s"c$i")) * col("two_mid")).as(s"r2_$i"))) :+
@@ -1666,13 +1670,12 @@ object Behavior {
     * row stays engine-exact.
     *
     * Scale shape: (arm, user) aggregate, per-VALUE count frame, then
-    * ONE plan: the running and whole-frame window sums share a single
-    * sort over DISTINCT metric values — bounded by the value range
-    * (integer cents), not by users (the [[mannWhitneyU]] window
-    * contract) — and the max-gap window stacks on the same ordering
-    * with no second exchange or sort. One job end to end (the
-    * checkpoint-per-stage draft of this benched 3.3 s vs 0.1 s for
-    * the sibling q242 shape). */
+    * BOTH running CDFs through one [[Curation.withGlobalCumsums]]
+    * pass (range-partitioned local cumsums + broadcast offset fold —
+    * a per-user cents metric's distinct-value count approaches user
+    * cardinality, so the cumsum must not funnel through one
+    * partition); grand totals ride along as `tot_*`, and the max gap
+    * is a 1-row aggregate broadcast back over the pinned frame. */
   def ksTest(events: DataFrame, user: String,
       value: org.apache.spark.sql.Column,
       variant: org.apache.spark.sql.Column): DataFrame = {
@@ -1685,18 +1688,17 @@ object Behavior {
     val vals = perUser.groupBy(col("m"))
       .agg(count(when(col("v") === 0, 1)).as("ca"),
         count(when(col("v") === 1, 1)).as("cb"))
-    val w = Window.orderBy(col("m"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("m"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    vals
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
-      .withColumn("n_a", sum(col("ca")).over(wAll))
-      .withColumn("n_b", sum(col("cb")).over(wAll))
+    val scored = Curation.withGlobalCumsums(vals, Seq(col("m")),
+        Seq("a" -> col("ca"), "b" -> col("cb")))
+      .withColumn("n_a", col("tot_a"))
+      .withColumn("n_b", col("tot_b"))
       .withColumn("dd",
-        abs(dec(col("cuma")) * col("n_b") - dec(col("cumb")) * col("n_a")))
-      .withColumn("mx", max(col("dd")).over(wAll))
+        abs(dec(col("cum_a")) * col("n_b") -
+          dec(col("cum_b")) * col("n_a")))
+    // the max gap is a 1-row broadcast state over the pinned frame —
+    // never a whole-frame unpartitioned window
+    scored
+      .crossJoin(broadcast(scored.agg(max(col("dd")).as("mx"))))
       .filter(col("dd") === col("mx"))
       .groupBy(col("n_a"), col("n_b"), col("mx"))
       .agg(min(col("m")).as("at_value"))

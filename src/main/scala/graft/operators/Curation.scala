@@ -99,6 +99,97 @@ object Curation {
       value: Column): DataFrame =
     cumsumPlan(ranked(df, order, value))
 
+  /** MULTI-VALUE generalization of [[withGlobalCumsum]]: attach the
+    * global 1-based rank `rn` plus, for EACH (name → value) pair, the
+    * INCLUSIVE running sum `cum_<name>` and grand total `tot_<name>`,
+    * all over ONE range-partitioned sort of the total order `order`
+    * (which MUST be total — include a unique tiebreak column). Built
+    * for the rank-statistic family (Mann–Whitney / Kruskal–Wallis /
+    * KS / Spearman / AUC / ROC), whose distinct-VALUE frames are
+    * unbounded in principle (an integer-cents per-user metric's
+    * distinct-value count approaches the user count), so their
+    * cumulative counts must never funnel through an unpartitioned
+    * `Window.orderBy` — the exact cliff this file's header names.
+    * Same two-level plan as [[withGlobalCumsum]]: range-partition,
+    * rank + k local running sums per bucket (one shuffle, one sort),
+    * fold the ≤ `shuffle.partitions` per-bucket totals into offsets
+    * with array aggregates on ONE row, broadcast the offsets back.
+    * Same pin contract (persist level one, eager-checkpoint the
+    * joined result). */
+  def withGlobalCumsums(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame = {
+    val local = rankedMulti(df, order, values).persist()
+    val out = cumsumPlanMulti(local, values.map(_._1))
+      .localCheckpoint(true)
+    local.unpersist(false)
+    out
+  }
+
+  /** LAZY plan-only variant of [[withGlobalCumsums]] (no persist /
+    * checkpoint) for plan inspection. */
+  def withGlobalCumsumsLazy(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame =
+    cumsumPlanMulti(rankedMulti(df, order, values), values.map(_._1))
+
+  /** Level one of the multi-value cumsum — [[ranked]] with k local
+    * running sums sharing the one per-bucket sort. */
+  private def rankedMulti(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    val names = values.map(_._1)
+    require(names.distinct == names, s"duplicate value names in $names")
+    names.foreach { n =>
+      require(n.matches("[A-Za-z0-9_]+"), s"value name '$n'") }
+    val reserved = Seq("__bucket", "__lrn", "rn") ++
+      names.flatMap(n => Seq(s"__v_$n", s"__lcum_$n", s"cum_$n", s"tot_$n"))
+    reserved.foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column '$r' collides with a cumsum output/internal name")
+    }
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wLoc = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    val wCum = wLoc.rowsBetween(Window.unboundedPreceding, 0)
+    val base = df.repartitionByRange(nBuckets, order: _*)
+      .withColumn("__bucket", spark_partition_id())
+    val withVals = values.foldLeft(base) { case (d, (n, v)) =>
+      d.withColumn(s"__v_$n", v.cast("long")) }
+    values.foldLeft(withVals.withColumn("__lrn", row_number().over(wLoc))) {
+      case (d, (n, _)) =>
+        d.withColumn(s"__lcum_$n", sum(col(s"__v_$n")).over(wCum))
+    }
+  }
+
+  /** Level two of the multi-value cumsum — [[cumsumPlan]]'s one-row
+    * array fold with k bsum fields per bucket. */
+  private def cumsumPlanMulti(local: DataFrame,
+      names: Seq[String]): DataFrame = {
+    val aggs = max(col("__lrn")).as("brows") +:
+      names.map(n => max(col(s"__lcum_$n")).as(s"bsum_$n"))
+    val btot = local.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
+    val structCols = col("__bucket") +: col("brows") +:
+      names.map(n => col(s"bsum_$n"))
+    val offFields = Seq(
+      "x.__bucket AS __bucket",
+      "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.brows) AS row_off") ++
+      names.flatMap(n => Seq(
+        s"aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.bsum_$n)" +
+          s" AS cum_off_$n",
+        s"aggregate(bs, 0L, (a, y) -> a + y.bsum_$n) AS tot_$n"))
+    val offs = btot
+      .agg(array_sort(collect_list(struct(structCols: _*))).as("bs"))
+      .select(explode(expr(
+        s"transform(bs, (x, i) -> struct(${offFields.mkString(", ")}))"))
+        .as("o"))
+      .select(col("o.*"))
+    val joined = local.join(broadcast(offs), "__bucket")
+      .withColumn("rn", col("__lrn") + col("row_off"))
+    val withCums = names.foldLeft(joined) { (d, n) =>
+      d.withColumn(s"cum_$n", col(s"__lcum_$n") + col(s"cum_off_$n")) }
+    withCums.drop(
+      (Seq("__bucket", "__lrn", "row_off") ++
+        names.flatMap(n => Seq(s"__v_$n", s"__lcum_$n", s"cum_off_$n"))): _*)
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style training-batch prep:
     * documents are laid end-to-end in `idCol` order and the token stream is
     * cut every `capacity` tokens. Emits per-bin occupancy stats: documents

@@ -336,9 +336,10 @@ object Labeling {
     * threshold-free twin of [[calibrationBins]]' threshold-table
     * view; both engines agree to the ppm.
     *
-    * Scale shape: per-VALUE count frame + the distinct-value cumsum
-    * window (bounded by the score's value range, not rows), one
-    * final 1-row aggregate. */
+    * Scale shape: per-VALUE count frame + the distinct-value midrank
+    * cumsum through [[Curation.withGlobalCumsums]]' two-level plan
+    * (distinct scores are unbounded in principle — no unpartitioned
+    * window), one final 1-row aggregate. */
   def aucExact(df: DataFrame, score: Column, label: Column)
       : DataFrame = {
     val base = df
@@ -347,14 +348,13 @@ object Labeling {
     val vals = base.groupBy(col("s"))
       .agg(count(when(col("y") === 1, 1)).as("cp"),
         count(when(col("y") === 0, 1)).as("cn"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = vals
-      .withColumn("cum", sum(col("cp") + col("cn")).over(w))
+    // distinct-score cardinality is unbounded in principle — the
+    // midrank cumsum goes through the two-level plan, never an
+    // unpartitioned window (the Behavior.mannWhitneyU contract)
+    val ranked = Curation.withGlobalCumsums(vals, Seq(col("s")),
+        Seq("t" -> (col("cp") + col("cn"))))
       .withColumn("two_mid",
-        lit(2) * (col("cum") - (col("cp") + col("cn")))
+        lit(2) * (col("cum_t") - (col("cp") + col("cn")))
           + col("cp") + col("cn") + lit(1))
     ranked.agg(sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
         sum(dec(col("cp")) * col("two_mid")).as("rp2"))
@@ -373,10 +373,10 @@ object Labeling {
     * integrates to the same AUC (ties give [[aucExact]] half
     * credit). Thresholds ascend, so tpr/fpr DESCEND down the output.
     *
-    * Scale shape: the same per-VALUE count frame + distinct-value
-    * cumsum window as [[aucExact]] (bounded by the score's value
-    * range, not rows) with the two grand totals as whole-frame
-    * window sums over the SAME ordering — one sort, one pass, output
+    * Scale shape: the same per-VALUE count frame as [[aucExact]],
+    * with both running counts AND both grand totals from ONE
+    * [[Curation.withGlobalCumsums]] two-level pass (`cum_p`/`cum_n`
+    * + `tot_p`/`tot_n`) — no unpartitioned window anywhere; output
     * |distinct values| rows. */
   def rocPoints(df: DataFrame, score: Column, label: Column)
       : DataFrame = {
@@ -386,16 +386,12 @@ object Labeling {
     val vals = base.groupBy(col("s"))
       .agg(count(when(col("y") === 1, 1)).as("cp"),
         count(when(col("y") === 0, 1)).as("cn"))
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.orderBy(col("s"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val wAll = W.orderBy(col("s"))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    vals
-      .withColumn("cum_p", sum(col("cp")).over(w))
-      .withColumn("cum_n", sum(col("cn")).over(w))
-      .withColumn("n_pos", sum(col("cp")).over(wAll))
-      .withColumn("n_neg", sum(col("cn")).over(wAll))
+    // both running counts + both grand totals in ONE two-level pass
+    // (the [[aucExact]] no-unpartitioned-window contract)
+    Curation.withGlobalCumsums(vals, Seq(col("s")),
+        Seq("p" -> col("cp"), "n" -> col("cn")))
+      .withColumn("n_pos", col("tot_p"))
+      .withColumn("n_neg", col("tot_n"))
       // predict 1 when s >= v: positives/negatives at or above v
       .select(col("s").as("threshold"),
         (col("n_pos") - col("cum_p") + col("cp")).as("tp"),

@@ -1138,9 +1138,11 @@ object Profiling {
     * a constant metric). The doubling cancels: ρ over 2·midranks
     * equals ρ over midranks. Output one row: (n, rho).
     *
-    * Scale shape: one distinct-VALUE count frame per metric with a
-    * cumulative window BOUNDED by the metric's value range (the
-    * [[Behavior.mannWhitneyU]] contract), two equi-joins mapping rows
+    * Scale shape: one distinct-VALUE count frame per metric with its
+    * midrank cumsum through [[Curation.withGlobalCumsums]]' two-level
+    * plan (a near-unique metric's distinct-value count approaches the
+    * row count — the [[Behavior.mannWhitneyU]] no-unpartitioned-window
+    * contract), two equi-joins mapping rows
     * to their value's rank (AQE broadcasts a small value frame; a
     * near-unique metric shuffles on the value key — both scan-shaped),
     * one sufficient-stats aggregate — no n² pairs,
@@ -1156,13 +1158,12 @@ object Profiling {
     def twoMid(colName: String) = {
       val vals = base.groupBy(col(colName).as("v"))
         .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      vals.withColumn("cum", sum(col("c")).over(w))
+      // distinct-value cardinality of a near-unique metric approaches
+      // the row count — two-level cumsum, never an unpartitioned window
+      Curation.withGlobalCumsums(vals, Seq(col("v")),
+          Seq("c" -> col("c")))
         .select(col("v"),
-          (lit(2) * (col("cum") - col("c")) + col("c") + lit(1))
+          (lit(2) * (col("cum_c") - col("c")) + col("c") + lit(1))
             .as(s"r$colName"))
     }
     val ranked = base

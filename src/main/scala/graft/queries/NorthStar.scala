@@ -3267,18 +3267,66 @@ object NorthStar {
       Labeling.mergeDsPatternState(prior, append), iters = 2)
   }
 
-  /** X13 label-propagation communities ([[graft.operators.Graph
-    * .labelPropagation]]): 3 deterministic LPA rounds (min label
-    * among most-frequent neighbor labels) over the J ≥ 0.5 near-dup
-    * graph — the DENSITY communities beside q64's reachability
-    * components and q250's 2-core: a bridge edge between two dup
-    * families does not merge their labels. */
+  /** X13 label-propagation communities, DEDUP-FIRST (the X1→X2→X13
+    * pipeline order): exact-dup collapse to one representative per
+    * distinct text, 3 deterministic LPA rounds ([[graft.operators
+    * .Graph.labelPropagation]]: min label among most-frequent
+    * neighbor labels) over the J ≥ 0.5 near-dup graph of the
+    * DISTINCT corpus only, then the community id re-expanded to
+    * every doc via the dup mapping — the DENSITY communities beside
+    * q64's reachability components and q250's 2-core (a bridge edge
+    * between two dup families does not merge their labels).
+    *
+    * Why dedup-first is the only shipped wiring: on a dup-dense
+    * corpus the raw near-dup pair graph grows QUADRATICALLY in the
+    * duplication rate (R copies of a family → R²·|family|² true
+    * pairs — measured: spills past local disk at 100× replication,
+    * SCALING.md `q298_rawpairs`), while exact collapse first keeps
+    * the pair frame copy-invariant (3.1 s flat at 100×) and LPA
+    * itself edge-linear. Exact copies carry identical shingle sets,
+    * so a rep's J ≥ 0.5 neighbors ARE its copies' neighbors —
+    * re-expansion preserves the community answer for every doc_id.
+    * An exact-dup family (≥ 2 copies) whose rep has no near-dup
+    * neighbor among distinct texts is its own community, labeled by
+    * its rep (in the raw graph its copies are a J = 1 clique whose
+    * deterministic-LPA labels oscillate — a family community id is
+    * strictly better-defined). Docs with neither an exact copy nor
+    * a near-dup neighbor have no edge and (as before) no row.
+    * n_members counts EXPANDED docs, so it is the community's true
+    * corpus mass, copies included. */
   def dupCommunities(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Graph.labelPropagation(
-        Dedup.jaccardPairs(Tables.documents(spark, d), 0.5),
+    import org.apache.spark.sql.expressions.Window
+    val wTxt = Window.partitionBy($"text")
+    // doc → representative (min doc_id of its exact-text family) in
+    // one text-keyed shuffle (window, no groupBy+self-join re-scan)
+    val mapped = Tables.documents(spark, d)
+      .select($"doc_id", $"text")
+      .withColumn("keep_id", min($"doc_id").over(wTxt))
+      .withColumn("n_copies", count(lit(1)).over(wTxt))
+      .persist()
+    val reps = mapped.filter($"doc_id" === $"keep_id")
+    val lpa = Graph.labelPropagation(
+        Dedup.jaccardPairs(
+          reps.select($"keep_id".as("doc_id"), $"text"), 0.5),
         3, "doc_a", "doc_b")
+      .select($"node".as("keep_id"), $"community")
+    // isolated dup families (≥ 2 exact copies, rep not in the LPA
+    // node set) are their own community, labeled by the rep
+    val famOnly = reps.filter($"n_copies" >= 2)
+      .join(lpa.select($"keep_id"), Seq("keep_id"), "left_anti")
+      .select($"keep_id", $"keep_id".as("community"))
+    val expanded = mapped
+      .join(lpa.unionByName(famOnly), "keep_id")
+      .select($"doc_id".as("node"), $"community")
+    val out = expanded
+      .join(expanded.groupBy($"community")
+        .agg(count(lit(1)).as("n_members")), "community")
+      .select($"node", $"community", $"n_members")
       .orderBy($"node")
+      .localCheckpoint(true) // pin before releasing the text cache
+    mapped.unpersist(false)
+    out
   }
 
   /** X4 vocabulary growth curve ([[graft.operators.TextAnalysis

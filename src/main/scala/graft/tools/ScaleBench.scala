@@ -155,7 +155,9 @@ object ScaleBench {
         // histogram aggregate)
         "q293_log_rank", "q294_sprt", "q295_changepoint",
         "q296_hits", "q297_ds_state",
-        // LPA (edge-linear supersteps over the near-dup graph),
+        // LPA, dedup-first (exact collapse → edge-linear supersteps
+        // over the DISTINCT-corpus near-dup graph → re-expand; the
+        // raw-pair R² form is the q298_rawpairs opt-in lesson),
         // vocab growth (one token aggregate), U-shape attribution
         // (segment windows + one equi-join)
         "q298_lpa_communities", "q299_vocab_growth",
@@ -194,21 +196,19 @@ object ScaleBench {
         graft.operators.Similarity.knnRankingMetrics(
           graft.Tables.embeddings(s, d), 100L, 10, Some(2000L))
       }) :+
-      ("q298_dedupfirst" -> { (s: SparkSession, d: String) =>
-        // the 100 TB path for LPA over a replicated corpus: full
-        // replication makes TRUE dup families R wide, so the raw
-        // near-dup pair graph grows R² (real pairs, not waste — the
-        // q276/q291 story on the graph axis; plain q298 at 100×
-        // spills past local disk). The pipeline answer is the X1→X2
-        // order: EXACT-dedup first, then pair the copy-invariant
-        // distinct corpus — LPA itself stays edge-linear.
-        import org.apache.spark.sql.functions.col
-        val docs = graft.Tables.documents(s, d)
-        val distinctDocs = graft.operators.Dedup
-          .exactDedup(docs, "text", "doc_id")
-          .select(col("keep_id").as("doc_id"), col("text"))
+      ("q298_rawpairs" -> { (s: SparkSession, d: String) =>
+        // the NAMED QUADRATIC LESSON (round 13's shipped wiring, now
+        // demoted here): LPA over the RAW corpus's near-dup pair
+        // graph. Full replication makes TRUE dup families R wide, so
+        // the pair frame grows R² (real pairs, not waste — the
+        // q276/q291 story on the graph axis): 17.4 s at 10×, spills
+        // past local disk at 100×. The shipped q298 entry is the
+        // X1→X2 pipeline order (exact-dedup first, LPA over the
+        // copy-invariant distinct corpus, re-expand) — run this form
+        // only with SPARK_GRAFT_ONLY=q298_rawpairs on dirs ≤ 30×.
         graft.operators.Graph.labelPropagation(
-          graft.operators.Dedup.jaccardPairs(distinctDocs, 0.5),
+          graft.operators.Dedup.jaccardPairs(
+            graft.Tables.documents(s, d), 0.5),
           3, "doc_a", "doc_b")
       }) :+
       ("q276_coarseblock" -> { (s: SparkSession, d: String) =>
@@ -228,20 +228,15 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val fams = allFams.filter { case (n, _) =>
-      // the named-quadratic lesson row never runs implicitly (it does
-      // not finish at 100×): opt in with SPARK_GRAFT_ONLY
-      if (n == "q276_coarseblock") only.exists(_.exists(n.contains))
+      // the named-quadratic lesson rows never run implicitly (neither
+      // finishes at 100×): opt in with SPARK_GRAFT_ONLY
+      if (n == "q276_coarseblock" || n == "q298_rawpairs")
+        only.exists(_.exists(n.contains))
       else only.forall(_.exists(n.contains)) }
 
     dirs.foreach { dir =>
       fams.foreach { case (name, fn) =>
-        // plain q298 pairs the RAW replicated corpus: at 100× its true
-        // dup families are 100 wide, the pair shuffle is R² and spills
-        // past local disk — run the shipped-scale q298_dedupfirst form
-        // there instead (opt back in with SPARK_GRAFT_ONLY).
-        val skip = name == "q298_lpa_communities" &&
-          dir.contains("x100") && only.isEmpty
-        if (!skip) {
+        {
         (1 to 2).foreach { run =>
           lens.reset()
           val t0 = System.nanoTime()

@@ -32,6 +32,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalCumsums carries k running sums + totals in one pass") {
+    import spark.implicits._
+    // 40 rows over 4 buckets; a = id, b = 2·id (descending order column
+    // dir = -id proves the order argument is honored independently of
+    // the value columns): at rank r (id = 41 - r) the inclusive sums are
+    // the top-r triangular tails.
+    val df = (1L to 40L).map(i => (i, i, 2 * i)).toDF("id", "a", "b")
+    val got = Curation.withGlobalCumsums(df, Seq($"id".desc),
+        Seq("a" -> $"a", "b" -> $"b"))
+      .select($"id", $"rn", $"cum_a", $"tot_a", $"cum_b", $"tot_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 40)
+    got.foreach { case (id, rn, ca, ta, cb, tb) =>
+      val tail = (id to 40L).sum // inclusive sum of ids ≥ id (desc order)
+      assert(rn == 41 - id, s"rank of $id")
+      assert(ca == tail, s"cum_a at $id")
+      assert(cb == 2 * tail, s"cum_b at $id")
+      assert(ta == 820L && tb == 1640L)
+    }
+  }
+
+  test("withGlobalCumsums rejects duplicate and colliding names") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Curation.withGlobalCumsums(df, Seq($"id"),
+        Seq("x" -> $"v", "x" -> $"v"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.withGlobalCumsums(df.withColumnRenamed("v", "cum_x"),
+        Seq($"id"), Seq("x" -> $"cum_x"))
+    }
+  }
+
   test("packBins splits the concatenated token stream at exact boundaries") {
     import spark.implicits._
     // capacity 4; doc1 "a b c"(3), doc2 "d e"(2), doc3 "f g h i j"(5);
