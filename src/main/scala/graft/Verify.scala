@@ -6,10 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // Optional third arg: substring filter for fast single-query iteration
-    // (local use only — the driver always calls with two args = full run).
+    // Optional third arg: comma-separated substring filter for fast
+    // iteration (local use only — the driver always calls with two args
+    // = full run).
     val only = args.drop(2).headOption
-    def selected(name: String): Boolean = only.forall(name.contains)
+    def selected(name: String): Boolean =
+      only.forall(_.split(",").exists(s => s.nonEmpty && name.contains(s)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

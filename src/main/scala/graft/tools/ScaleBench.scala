@@ -171,7 +171,14 @@ object ScaleBench {
         // state seams: SPRT append (O(batch) fold), vocab-state merge
         "q306_sprt_append", "q307_vocab_state",
         // Nelson-Aalen (q227 regime: key-sized agg + bounded fold)
-        "q308_nelson_aalen")
+        "q308_nelson_aalen",
+        // round-14: the de-funneled rank-statistic family — distinct-
+        // value midrank cumsums through Curation.withGlobalCumsums
+        // (two-level, no unpartitioned window); per-user cents metrics
+        // make the distinct-value frame grow with users, the exact
+        // case the rewrite is for
+        "q242_mann_whitney", "q251_ks_test", "q253_spearman_rho",
+        "q256_auc_exact", "q261_kruskal", "q214_engagement_gini")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
