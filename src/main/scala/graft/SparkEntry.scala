@@ -329,6 +329,7 @@ object SparkEntry {
     "q306_sprt_append" -> (NorthStar.purchaseSprtAppend _),
     "q307_vocab_state" -> (NorthStar.corpusVocabFromState _),
     "q308_nelson_aalen" -> (NorthStar.churnCumHazard _),
+    "q309_ivf_ranking" -> (NorthStar.ivfRankingEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6313,13 +6314,15 @@ object SparkEntry {
         |WHERE s.t >= 0
         |GROUP BY 1, 2 ORDER BY arm""".stripMargin,
     // q302: ranked-retrieval metrics — exact cosine top-10 (q42's
-    // score idiom), binary label relevance, MRR/nDCG/precision with
-    // the LITERAL discount table; per-query ppm then integer-averaged.
+    // score idiom) for the FIXED query set (every 25th id < 2000 —
+    // corpus-invariant), binary label relevance, MRR/nDCG/precision
+    // with the LITERAL discount table; per-query ppm then
+    // integer-averaged.
     "q302_ranking_metrics" ->
       s"""WITH base AS (SELECT vec_id, label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT vec_id AS qid, label AS qlab, v AS qv
-        |       FROM base WHERE vec_id % 25 = 0),
+        |       FROM base WHERE vec_id % 25 = 0 AND vec_id < 2000),
         |lc AS (SELECT label AS qlab, count(*) AS n_lab
         |       FROM base GROUP BY 1),
         |scored AS (SELECT qid, qlab,
@@ -6467,6 +6470,61 @@ object SparkEntry {
         |                AS n_members FROM ex GROUP BY 1) sz
         |  USING (community)
         |ORDER BY node""".stripMargin,
+    // q309: IVF-pruned ranking metrics — the q167 trained-quantizer
+    // probe chain (kmeansChainSql: c2 centroids, a3 assignment;
+    // nProbe=2, 16 fixed queries) feeding q302's literal-discount
+    // metric CTEs over the CANDIDATE set only. Every number replays:
+    // quantizer, probe, candidate cosine, and metrics are all
+    // deterministic.
+    "q309_ivf_ranking" ->
+      s"""$kmeansChainSql,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |qs AS (SELECT e.vec_id AS qid, lab.label AS qlab, e.v AS qv
+        |       FROM e JOIN lab USING (vec_id) WHERE e.vec_id < 16),
+        |lc AS (SELECT label AS qlab, count(*) AS n_lab
+        |       FROM embeddings GROUP BY 1),
+        |probed AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c2.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(c2.c, q.qv)
+        |        / (sqrt(list_dot_product(c2.c, c2.c))
+        |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        |        c2.cid) AS rk
+        |    FROM c2, qs q) WHERE rk <= 2),
+        |scored AS (SELECT q.qid, q.qlab,
+        |    CASE WHEN lab.label = q.qlab THEN 1 ELSE 0 END AS rel,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos,
+        |    e.vec_id AS nid
+        |  FROM e JOIN lab USING (vec_id) JOIN a3 USING (vec_id)
+        |  JOIN probed p ON a3.cid = p.cid
+        |  JOIN qs q ON q.qid = p.qid AND e.vec_id <> q.qid),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER)
+        |        AS rnk FROM scored),
+        |pq AS (SELECT qid, qlab,
+        |    sum(rel * [1000000, 630930, 500000, 430677, 386853,
+        |      356207, 333333, 315465, 301030, 289065][rnk]) AS dcg,
+        |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+        |    sum(rel) AS n_rel_k
+        |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |pm AS (SELECT qid,
+        |    coalesce(CAST(dcg AS HUGEINT) * 1000000 // nullif(
+        |      CASE WHEN n_lab - 1 <= 0 THEN 0 ELSE
+        |        [1000000, 1630930, 2130930, 2561607, 2948460,
+        |         3304667, 3638000, 3953465, 4254495, 4543560]
+        |        [least(n_lab - 1, 10)] END, 0), 0) AS ndcg_ppm,
+        |    coalesce(1000000 // first_rel, 0) AS rr_ppm,
+        |    n_rel_k * 1000000 // 10 AS prec_ppm
+        |  FROM pq JOIN lc USING (qlab))
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(ndcg_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mean_ndcg_ppm,
+        |  CAST(sum(rr_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mrr_ppm,
+        |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
+        |    AS mean_prec_ppm
+        |FROM pm""".stripMargin,
   )
 
   /** One deterministic LPA superstep — votes from the previous round's

@@ -1486,6 +1486,17 @@ object Similarity {
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
           .as("cos"),
         col("vec_id").as("nid"))
+    rankingMetricsTail(scored, labCounts, k)
+  }
+
+  /** The shared metric tail of [[knnRankingMetrics]] /
+    * [[ivfRankingMetrics]]: from the scored candidate frame
+    * (qid, qlab, rel, cos, nid) to the one-row
+    * (n_queries, mean_ndcg_ppm, mrr_ppm, mean_prec_ppm) report —
+    * per-query rank cut at k, literal-discount DCG, label-count IDCG,
+    * exact-integer ppm metrics, integer-averaged. */
+  private def rankingMetricsTail(scored: DataFrame,
+      labCounts: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     val discArr = array(NdcgDiscMicro.take(k).map(lit): _*)
@@ -1511,5 +1522,79 @@ object Similarity {
       expr("sum(rr_ppm) div nullif(count(1), 0)").as("mrr_ppm"),
       expr("sum(prec_ppm) div nullif(count(1), 0)")
         .as("mean_prec_ppm"))
+  }
+
+  /** EXACTLY-ORACLED IVF-PRUNED ranked-retrieval metrics — the
+    * 100 TB serving form of [[knnRankingMetrics]]: the same
+    * MRR / nDCG@k / precision@k report, but each of the `nQueries`
+    * FIXED queries (vec_id < nQueries) scores only the members of its
+    * `nProbe` closest cells of the deterministic trained quantizer
+    * ([[kmeansCentroids]] — q136/q167's init/rounding/tie-break
+    * contract), never the whole corpus. Everything downstream of the
+    * quantizer is deterministic (centroid-cosine probe with cid
+    * tiebreak, rounded candidate cosine with nid tiebreak, literal
+    * discount table), so EVERY number replays in the DuckDB oracle —
+    * unlike the summary-pinned ANN serving oracles (q43/q53/q138/
+    * q156).
+    *
+    * Scale shape: centroids are k×d driver literals; assignment is
+    * map-only (the [[assignWithVec]] no-SMJ lesson); the probe table
+    * is (nQueries × nProbe) broadcast-sized; the candidate scan
+    * touches only probed-cell members (cell-bounded, not corpus ×
+    * queries); the metric tail is per-query-window + 1-row
+    * aggregates. The load model is FIXED-query by construction —
+    * the corpus-proportional eval set that made the brute-force
+    * form quadratic under replication is structurally impossible
+    * here. */
+  def ivfRankingMetrics(emb: DataFrame, kCells: Int, iters: Int,
+      nProbe: Int, nQueries: Int, k: Int): DataFrame =
+    ivfRankingMetricsWith(emb, kmeansCentroids(emb, kCells, iters),
+      nProbe, nQueries, k)
+
+  /** [[ivfRankingMetrics]] against an ALREADY-TRAINED codebook (the
+    * [[centroidsOf]] array form, typically read from a persisted
+    * [[graft.sources.IndexStore]] snapshot) — the steady-state serving
+    * shape: no training job, map-only assignment, cell-bounded
+    * candidate scan. */
+  def ivfRankingMetricsWith(emb: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nQueries >= 1,
+      s"nProbe=$nProbe nQueries=$nQueries")
+    require(k >= 1 && k <= NdcgDiscMicro.size,
+      s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
+    val spark = emb.sparkSession
+    // materialize the assigned corpus ONCE — this frame IS the IVF
+    // member index a serving deployment stores (q267's append index
+    // shape). Without the pin, the k-literal argmin expression
+    // re-evaluates per CANDIDATE row inside the probe joins, where the
+    // oversized generated code drops to interpreted mode (measured
+    // 40 s vs 0.5 s on the 100x slice for the exact same plan).
+    val base = emb.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cid", argminStruct(col("v"), cents).getField("cid"))
+      .localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val labCounts = base.groupBy(col("label").as("qlab"))
+      .agg(count(lit(1)).as("n_lab"))
+    val probed = centroidsDF(spark, cents).crossJoin(broadcast(qs))
+      .select(col("qid"), col("cid"),
+        (dot(col("c"), col("qv")) /
+          (sqrt(dot(col("c"), col("c"))) * col("qnrm"))).as("ccos"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rk") <= nProbe).select(col("qid"), col("cid"))
+    val scored = Par.fanOut(base).join(broadcast(probed), "cid")
+      .join(broadcast(qs), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlab"),
+        (col("label") === col("qlab")).cast("int").as("rel"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"),
+        col("vec_id").as("nid"))
+    rankingMetricsTail(scored, labCounts, k)
   }
 }

@@ -3372,7 +3372,35 @@ object NorthStar {
     * EMBEDDING SPACE's ranking quality, where q167/q171/q185 grade an
     * index's recall against the exact top-k. */
   def embeddingRankingEval(spark: SparkSession, d: String): DataFrame =
-    Similarity.knnRankingMetrics(Tables.embeddings(spark, d), 25L, 10)
+    // FIXED query set (every 25th of the first 2000 ids — corpus-
+    // invariant: 80 queries at any replication of the same id space),
+    // so the eval load is corpus-LINEAR by construction; the old
+    // corpus-proportional every-25th form (queries × corpus =
+    // quadratic under replication, 651 s at 100×) survives only as
+    // the q302_corpusq SCALING lesson.
+    Similarity.knnRankingMetrics(Tables.embeddings(spark, d), 25L, 10,
+      Some(2000L))
+
+  /** X3 IVF-PRUNED ranking metrics ([[graft.operators.Similarity
+    * .ivfRankingMetricsWith]]): the same MRR/nDCG@10/precision@10
+    * report over the 2-of-8-cell probe of the q136/q167 deterministic
+    * trained quantizer, 16 fixed queries — the serving-shaped eval
+    * (candidates cell-bounded, never corpus × queries) whose every
+    * number the oracle replays. The quantizer is the PERSISTED q186
+    * full-corpus codebook ([[codebookDir]] v2, trained at most once
+    * per corpus fingerprint — parquet round-trips the IEEE doubles
+    * exactly, so the probe is bit-identical to inline training); the
+    * steady state pays zero training jobs. */
+  def ivfRankingEval(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Similarity.centroidsOf(graft.sources.IndexStore.ensure(
+      spark, codebookDir(d, "v2"),
+      graft.sources.IndexStore.sourceFingerprint(
+        s"$d/embeddings.parquet", "codebook=full,k8,iters2")) {
+      Similarity.centroidsDF(spark, Similarity.kmeansCentroids(emb, 8, 2))
+    })
+    Similarity.ivfRankingMetricsWith(emb, cents, 2, 16, 10)
+  }
 
   /** X14/X15 Poisson-bootstrap CI ([[graft.operators.Profiling
     * .bootstrapMeanCI]]): the 95% percentile-bootstrap interval for

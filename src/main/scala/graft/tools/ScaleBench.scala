@@ -178,7 +178,11 @@ object ScaleBench {
         // make the distinct-value frame grow with users, the exact
         // case the rewrite is for
         "q242_mann_whitney", "q251_ks_test", "q253_spearman_rho",
-        "q256_auc_exact", "q261_kruskal", "q214_engagement_gini")
+        "q256_auc_exact", "q261_kruskal", "q214_engagement_gini",
+        // round-14: IVF-pruned ranking metrics (fixed 16-query probe
+        // over the trained quantizer — cell-bounded candidates) and
+        // the now-fixed-load shipped q302 (80 queries at any R)
+        "q309_ivf_ranking")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
@@ -202,6 +206,16 @@ object ScaleBench {
         // serving cost (original-copy ids < 2000 exist at every R)
         graft.operators.Similarity.knnRankingMetrics(
           graft.Tables.embeddings(s, d), 100L, 10, Some(2000L))
+      }) :+
+      ("q302_corpusq" -> { (s: SparkSession, d: String) =>
+        // the NAMED LOAD-MODEL LESSON (round 13's shipped q302,
+        // demoted here): every 25th vector is a query, so queries ×
+        // corpus work is quadratic in the scale factor BY
+        // CONSTRUCTION — 651 s at 100×. The shipped q302 now carries
+        // the fixed query set (every 25th id < 2000); run this form
+        // only with SPARK_GRAFT_ONLY=q302_corpusq.
+        graft.operators.Similarity.knnRankingMetrics(
+          graft.Tables.embeddings(s, d), 25L, 10)
       }) :+
       ("q298_rawpairs" -> { (s: SparkSession, d: String) =>
         // the NAMED QUADRATIC LESSON (round 13's shipped wiring, now
@@ -237,7 +251,8 @@ object ScaleBench {
     val fams = allFams.filter { case (n, _) =>
       // the named-quadratic lesson rows never run implicitly (neither
       // finishes at 100×): opt in with SPARK_GRAFT_ONLY
-      if (n == "q276_coarseblock" || n == "q298_rawpairs")
+      if (n == "q276_coarseblock" || n == "q298_rawpairs" ||
+          n == "q302_corpusq")
         only.exists(_.exists(n.contains))
       else only.forall(_.exists(n.contains)) }
 

@@ -2422,6 +2422,38 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((1L, 919720L, 1000000L, 666666L)))
   }
 
+  test("ivfRankingMetricsWith: cell pruning drops the cross-cell " +
+      "relevant; metrics match the hand trace") {
+    import spark.implicits._
+    // two obvious cells on the axes; codebook given directly. Query =
+    // vec 0 (label 0, x-cell). nProbe=1 → only x-cell members {1, 2}
+    // are candidates: ranked v1 (rel, cos .995), v2 (.958). v4 (label
+    // 0 but y-cell) is PRUNED even though it exists — R counts it:
+    // n_lab(0) = 3 → R = 2 → IDCG = 1630930. DCG = 1000000 (rank 1)
+    // → nDCG = 1e12 // 1630930 = 613147; MRR = 1e6; prec@3 = 333333.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(1.0f, 0.3f), 1),
+      (3L, Array(0.1f, 1.0f), 1),
+      (4L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Array(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val got = Similarity
+      .ivfRankingMetricsWith(emb, cents, 1, 1, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 613147L, 1000000L, 333333L)))
+    // nProbe=2 = no pruning: identical to the brute-force metrics
+    // over the same single query
+    val full = Similarity
+      .ivfRankingMetricsWith(emb, cents, 2, 1, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val brute = Similarity.knnRankingMetrics(emb, 5L, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(full == brute)
+  }
+
   test("bootstrapMeanCI: constant values collapse the interval; " +
       "mixed values stay bracketed and deterministic") {
     import spark.implicits._
