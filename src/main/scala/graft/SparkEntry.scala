@@ -330,6 +330,8 @@ object SparkEntry {
     "q307_vocab_state" -> (NorthStar.corpusVocabFromState _),
     "q308_nelson_aalen" -> (NorthStar.churnCumHazard _),
     "q309_ivf_ranking" -> (NorthStar.ivfRankingEval _),
+    "q310_fh_logrank" -> (NorthStar.churnWeightedLogRank _),
+    "q311_survival_state" -> (NorthStar.churnSurvivalFromState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4303,38 +4305,7 @@ object SparkEntry {
     // recurrence S_t = S_{t−1}·(n−d) // n replayed by a recursive CTE
     // (HUGEINT intermediate), matching the Spark side's BigInt fold;
     // censored-at-t users stay in the t risk set (deaths-first ties).
-    "q227_churn_survival" ->
-      """WITH RECURSIVE
-        |days AS (SELECT user_id AS u,
-        |           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
-        |         FROM events),
-        |m AS (SELECT max(d) AS m FROM days),
-        |u AS (SELECT u, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
-        |lt AS (SELECT l - f AS t,
-        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
-        |       FROM u, m),
-        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
-        |           AS t),
-        |km AS (SELECT g.t,
-        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
-        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
-        |            AND dead = 1) AS n_dead,
-        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
-        |            AND dead = 0) AS n_censored
-        |       FROM grid g),
-        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
-        |             CAST(1000000 AS HUGEINT) AS surv
-        |      UNION ALL
-        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
-        |      FROM s JOIN km ON km.t = s.t + 1)
-        |SELECT km.t, CAST(km.n_risk AS BIGINT) AS n_risk,
-        |       CAST(km.n_dead AS BIGINT) AS n_dead,
-        |       CAST(km.n_censored AS BIGINT) AS n_censored,
-        |       CAST(CAST(km.n_dead AS HUGEINT) * 1000000 // km.n_risk
-        |         AS BIGINT) AS hazard_ppm,
-        |       CAST(s.surv AS BIGINT) AS survival_ppm
-        |FROM km JOIN s USING (t)
-        |ORDER BY t""".stripMargin,
+    "q227_churn_survival" -> survivalCurveSql,
     // q228: Theil-Sen — slopes in integer micro-cents/day (HUGEINT
     // numerator, // truncates toward zero exactly like Spark's div on
     // DECIMAL(38,0)); median = exact lower ((n+1) // 2)-th smallest.
@@ -6088,6 +6059,44 @@ object SparkEntry {
     "q306_sprt_append" -> sprtSql,
   )
 
+  /** The one KM-curve oracle recursion (q227's lifetime/censoring
+    * model, exact HUGEINT ppm recurrence) — shared VERBATIM by q227
+    * (direct form) and q311 (span-state merge/readout identity: the
+    * merged per-user spans reproduce exactly the one-pass lifetimes,
+    * so the state readout must hash-equal this SQL). */
+  private lazy val survivalCurveSql: String =
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |         FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
+        |           AS t),
+        |km AS (SELECT g.t,
+        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 1) AS n_dead,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 0) AS n_censored
+        |       FROM grid g),
+        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
+        |             CAST(1000000 AS HUGEINT) AS surv
+        |      UNION ALL
+        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |      FROM s JOIN km ON km.t = s.t + 1)
+        |SELECT km.t, CAST(km.n_risk AS BIGINT) AS n_risk,
+        |       CAST(km.n_dead AS BIGINT) AS n_dead,
+        |       CAST(km.n_censored AS BIGINT) AS n_censored,
+        |       CAST(CAST(km.n_dead AS HUGEINT) * 1000000 // km.n_risk
+        |         AS BIGINT) AS hazard_ppm,
+        |       CAST(s.surv AS BIGINT) AS survival_ppm
+        |FROM km JOIN s USING (t)
+        |ORDER BY t""".stripMargin
+
   private lazy val sprtSql: String =
       """WITH u AS (SELECT user_id AS u,
         |    CAST(max(user_id % 2) AS INT) AS g, min(ts) AS t0,
@@ -6525,6 +6534,77 @@ object SparkEntry {
         |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
         |    AS mean_prec_ppm
         |FROM pm""".stripMargin,
+    // q310: Fleming–Harrington G(1,0) — q293's risk chain with each
+    // term weighted by the pooled KM ppm at t−1 (q227's recursive
+    // recurrence; the s CTE's t=−1 seed gives w(0) = 10⁶). Weighted
+    // sums HUGEINT-exact (truncating inner // on non-negatives
+    // matches Spark's decimal div); z is the one float.
+    "q310_fh_logrank" ->
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(user_id % 2 AS INT) AS g FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l, max(g) AS g
+        |      FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t, g,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |h AS (SELECT t,
+        |    sum(CASE WHEN g = 1 THEN dead ELSE 0 END) AS d1,
+        |    sum(CASE WHEN g = 1 THEN 1 - dead ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g <> 1 THEN dead ELSE 0 END) AS d0,
+        |    sum(CASE WHEN g <> 1 THEN 1 - dead ELSE 0 END) AS c0
+        |  FROM lt GROUP BY 1),
+        |r AS (SELECT t, d1, d0,
+        |    sum(d1 + c1) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(d0 + c0) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        |  FROM h),
+        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
+        |           AS t),
+        |km AS (SELECT g.t,
+        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 1) AS n_dead
+        |       FROM grid g),
+        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
+        |             CAST(1000000 AS HUGEINT) AS surv
+        |      UNION ALL
+        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |      FROM s JOIN km ON km.t = s.t + 1),
+        |wt AS (SELECT s.t + 1 AS t, s.surv AS w FROM s),
+        |c AS (SELECT r.t, d1, d0 + d1 AS dd, n0 + n1 AS nn, n1, n0,
+        |        wt.w
+        |      FROM r JOIN wt USING (t)
+        |      WHERE d0 + d1 > 0 AND n0 + n1 >= 2),
+        |mo AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    sum(w * d1 * 1000000) AS wo1,
+        |    sum(w * (CAST(dd AS HUGEINT) * n1 * 1000000 // nn))
+        |      AS we1,
+        |    sum(w * w * (CAST(dd AS HUGEINT) * n1 * n0 * (nn - dd)
+        |        * 1000000000000
+        |        // (CAST(nn AS HUGEINT) * nn * (nn - 1)))) AS wv
+        |  FROM c),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0_users,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_users
+        |  FROM lt)
+        |SELECT n0_users, n1_users, o1,
+        |  CAST(wo1 // 1000000 AS BIGINT) AS wo1_micro,
+        |  CAST(we1 // 1000000 AS BIGINT) AS we1_micro,
+        |  CASE WHEN wv > 0 THEN
+        |    CAST(wo1 - we1 AS DOUBLE) / sqrt(CAST(wv AS DOUBLE)) END
+        |    AS z
+        |FROM mo, tot""".stripMargin,
+    // q311: the survival span-state seam — day-parity batches reduce
+    // to per-user span states, merge by (min f, max l), and the
+    // state readout must equal q227's one-pass KM curve over the
+    // full log (shared SQL constant — the q290/q306 seam convention).
+    "q311_survival_state" -> survivalCurveSql,
   )
 
   /** One deterministic LPA superstep — votes from the previous round's

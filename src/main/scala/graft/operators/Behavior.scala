@@ -1304,29 +1304,74 @@ object Behavior {
     * CALENDAR span, not the user count; the recurrence folds over that
     * collected span-sized table on the driver ([[funnelTiming]]'s
     * bounded-driver contract). */
+  /** Per-user ACTIVITY-SPAN state — (u, f, l, g): first/last active
+    * epoch-day + arm — the survival family's MERGEABLE sufficient
+    * statistic: every readout (KM curve q227, Nelson–Aalen q308,
+    * log-rank q293, Fleming–Harrington q310, RMST q301) derives from
+    * this table alone, and spans from disjoint event batches merge by
+    * (min f, max l, max g) ([[mergeSurvivalSpanState]]) — so a state
+    * maintainer folds new events in at O(batch) and the readouts
+    * never re-read the log. Rows with a NULL arm, day, or user are
+    * dropped BEFORE the reduction — the family-wide null contract
+    * (ADVICE r13: logRankTest silently bucketed all-NULL-arm users
+    * into arm 0 while rmstByArm crashed on them); a user with no
+    * non-NULL-arm row does not enter the state. */
+  def survivalSpanState(events: DataFrame, user: String, ts: String,
+      arm: org.apache.spark.sql.Column = lit(0)): DataFrame =
+    events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
+        arm.cast("int").as("g"))
+      .filter(col("u").isNotNull && col("d").isNotNull &&
+        col("g").isNotNull)
+      .groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
+        max(col("g")).as("g"))
+
+  /** Merge two span states (disjoint or overlapping event batches):
+    * per user, the span of the union of the batches — exact, order-
+    * free, idempotent on replay of the same batch. */
+  def mergeSurvivalSpanState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("u"))
+      .agg(min(col("f")).as("f"), max(col("l")).as("l"),
+        max(col("g")).as("g"))
+
+  /** The (arm, lifetime, dead) frame of a span state under the
+    * end-of-window censor rule — the shared first stage of every
+    * state readout. Horizon = the state's own max last-active day. */
+  private def spanLifetimes(state: DataFrame,
+      censorDays: Int): DataFrame = {
+    val horizon = state.agg(max(col("l")).as("m"))
+    state.crossJoin(broadcast(horizon))
+      .select(col("g"), (col("l") - col("f")).as("t"),
+        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+  }
+
   /** The DISTRIBUTED stage of [[survivalCurve]] — the calendar-bounded
     * (lifetime t, deaths, censored) aggregate the driver recurrence
     * folds over. Public for plan inspection (Explain feeds on it). */
   def survivalLifetimesLazy(events: DataFrame, user: String, ts: String,
-      censorDays: Int): DataFrame = {
-    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"))
-    val horizon = days.agg(max(col("d")).as("m"))
-    days.groupBy(col("u"))
-      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
-      .crossJoin(broadcast(horizon))
-      .select((col("l") - col("f")).as("t"),
-        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+      censorDays: Int): DataFrame =
+    spanLifetimes(survivalSpanState(events, user, ts), censorDays)
       .groupBy(col("t"))
       .agg(sum(col("dead")).as("nd"),
         sum(lit(1) - col("dead")).as("nc"))
-  }
 
   def survivalCurve(events: DataFrame, user: String, ts: String,
+      censorDays: Int): DataFrame =
+    survivalCurveFromState(survivalSpanState(events, user, ts),
+      censorDays)
+
+  /** [[survivalCurve]] as a READOUT of a persisted/merged span state
+    * (arms pooled) — the map-only consumer side of the
+    * [[survivalSpanState]] seam. */
+  def survivalCurveFromState(state: DataFrame,
       censorDays: Int): DataFrame = {
     require(censorDays >= 1, s"censorDays=$censorDays")
-    val spark = events.sparkSession
+    val spark = state.sparkSession
     import spark.implicits._
-    val hist = survivalLifetimesLazy(events, user, ts, censorDays)
+    val hist = spanLifetimes(state, censorDays)
+      .groupBy(col("t"))
+      .agg(sum(col("dead")).as("nd"),
+        sum(lit(1) - col("dead")).as("nc"))
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = if (hist.isEmpty) Seq.empty[(Long, Long, Long, Long, Long, Long)]
@@ -1770,17 +1815,15 @@ object Behavior {
     * window and the final fold run over that span-sized frame (the
     * [[survivalCurve]] bounded contract), never over users. */
   def logRankTest(events: DataFrame, user: String, ts: String,
-      censorDays: Int, arm: org.apache.spark.sql.Column): DataFrame = {
-    require(censorDays >= 1, s"censorDays=$censorDays")
-    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
-      arm.cast("int").as("g"))
-    val horizon = days.agg(max(col("d")).as("m"))
-    val lt = days.groupBy(col("u"))
-      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
-        max(col("g")).as("g"))
-      .crossJoin(broadcast(horizon))
-      .select((col("l") - col("f")).as("t"), col("g"),
-        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+      censorDays: Int, arm: org.apache.spark.sql.Column): DataFrame =
+    logRankFromState(survivalSpanState(events, user, ts, arm),
+      censorDays)
+
+  /** The per-day two-arm risk table of a span state — shared by
+    * [[logRankFromState]] and [[flemingHarringtonFromState]]: per
+    * lifetime day with any death and ≥ 2 at risk, arm death/at-risk
+    * counts from one calendar-bounded reverse cumsum. */
+  private def armRiskTable(lt: DataFrame): DataFrame = {
     val hist = lt.groupBy(col("t")).agg(
       sum(when(col("g") === 1, col("dead")).otherwise(0L)).as("d1"),
       sum(when(col("g") === 1, lit(1) - col("dead")).otherwise(0L))
@@ -1791,28 +1834,90 @@ object Behavior {
     // at-risk per arm: reverse cumsum over the calendar-bounded t table
     val w = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = hist
+    hist
       .withColumn("n1", sum(col("d1") + col("c1")).over(w))
       .withColumn("n0", sum(col("d0") + col("c0")).over(w))
       .withColumn("dd", col("d0") + col("d1"))
       .withColumn("nn", col("n0") + col("n1"))
       .filter(col("dd") > 0 && col("nn") >= 2)
-    val moments = risk.agg(
+  }
+
+  private def armTotals(lt: DataFrame): DataFrame =
+    lt.agg(
+      sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n0_users"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1_users"))
+
+  /** [[logRankTest]] as a readout of a persisted/merged span state. */
+  def logRankFromState(state: DataFrame, censorDays: Int): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val lt = spanLifetimes(state, censorDays)
+    val moments = armRiskTable(lt).agg(
       sum(col("d1")).as("o1"),
       sum(expr("dd * cast(n1 as decimal(38,0)) * 1000000 div nn"))
         .cast("long").as("e1_ppm"),
       sum(expr("dd * cast(n1 as decimal(38,0)) * n0 * (nn - dd) * " +
         "1000000000000 div (cast(nn as decimal(38,0)) * nn * (nn - 1))"))
         .cast("long").as("v_ppt"))
-    val totals = lt.agg(
-      sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n0_users"),
-      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1_users"))
-    moments.crossJoin(broadcast(totals))
+    moments.crossJoin(broadcast(armTotals(lt)))
       .select(col("n0_users"), col("n1_users"), col("o1"),
         col("e1_ppm"), col("v_ppt"),
         when(col("v_ppt") > 0,
           (col("o1") * 1000000L - col("e1_ppm")).cast("double") /
             sqrt(col("v_ppt").cast("double"))).as("z"))
+  }
+
+  /** FLEMING–HARRINGTON G(ρ=1, γ=0) WEIGHTED log-rank (Fleming &
+    * Harrington 1981; the Peto–Peto-family weight) — the
+    * EARLY-difference-sensitive companion of [[logRankTest]]: each
+    * day's hypergeometric (O₁ − E₁, V) term is weighted by the POOLED
+    * Kaplan–Meier survival just BEFORE that day, w(t) = S(t−) in
+    * exact ppm from [[survivalCurveFromState]]'s integer recurrence
+    * (w(0) = 10⁶). A difference while most users are still alive
+    * (S ≈ 1) counts fully; late-tail noise (S ≈ 0) is damped —
+    * the right test when early churn is the effect being hunted.
+    * All three weighted sums accumulate as exact DECIMAL(38,0)
+    * integers: wo1 = Σ w·d1·10⁶ and we1 = Σ w·(d·n₁·10⁶ div n) in
+    * w-scaled ppt, wv = Σ w²·(V-term in ppt) in w²-scaled units;
+    * z = (wo1 − we1)/√wv is the ONE fixed-order float (the
+    * [[logRankTest]] edge convention). With w ≡ 10⁶ the statistic
+    * degenerates to exactly [[logRankTest]]'s (spec-pinned).
+    *
+    * Scale shape: the [[logRankFromState]] frame plus one
+    * calendar-bounded weight join; the KM weight fold is
+    * [[survivalCurve]]'s span-sized driver recurrence. */
+  def flemingHarringtonTest(events: DataFrame, user: String, ts: String,
+      censorDays: Int, arm: org.apache.spark.sql.Column): DataFrame =
+    flemingHarringtonFromState(
+      survivalSpanState(events, user, ts, arm), censorDays)
+
+  /** [[flemingHarringtonTest]] as a readout of a span state. */
+  def flemingHarringtonFromState(state: DataFrame,
+      censorDays: Int): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val lt = spanLifetimes(state, censorDays)
+    // w(t) = pooled S(t−): the KM ppm at t−1 (10⁶ before day 0) —
+    // calendar-bounded rows from the exact driver recurrence
+    val wtab = survivalCurveFromState(state, censorDays)
+      .select((col("t") + 1).as("t"), col("survival_ppm").as("w"))
+    val risk = armRiskTable(lt)
+      .join(wtab, Seq("t"), "left")
+      .withColumn("w", coalesce(col("w"), lit(1000000L)))
+    val moments = risk.agg(
+      sum(col("d1")).as("o1"),
+      sum(expr("cast(w as decimal(38,0)) * d1 * 1000000")).as("wo1"),
+      sum(expr("cast(w as decimal(38,0)) * " +
+        "(dd * cast(n1 as decimal(38,0)) * 1000000 div nn)")).as("we1"),
+      sum(expr("cast(w as decimal(38,0)) * w * " +
+        "(dd * cast(n1 as decimal(38,0)) * n0 * (nn - dd) * " +
+        "1000000000000 div (cast(nn as decimal(38,0)) * nn * (nn - 1)))"))
+        .as("wv"))
+    moments.crossJoin(broadcast(armTotals(lt)))
+      .select(col("n0_users"), col("n1_users"), col("o1"),
+        expr("cast(wo1 div 1000000 as bigint)").as("wo1_micro"),
+        expr("cast(we1 div 1000000 as bigint)").as("we1_micro"),
+        when(col("wv") > 0,
+          (col("wo1") - col("we1")).cast("double") /
+            sqrt(col("wv").cast("double"))).as("z"))
   }
 
   /** RESTRICTED MEAN SURVIVAL TIME per arm — "expected days retained
@@ -1832,20 +1937,18 @@ object Behavior {
     * arm. */
   def rmstByArm(events: DataFrame, user: String, ts: String,
       censorDays: Int, horizonDays: Int,
-      arm: org.apache.spark.sql.Column): DataFrame = {
+      arm: org.apache.spark.sql.Column): DataFrame =
+    rmstFromState(survivalSpanState(events, user, ts, arm),
+      censorDays, horizonDays)
+
+  /** [[rmstByArm]] as a readout of a persisted/merged span state. */
+  def rmstFromState(state: DataFrame, censorDays: Int,
+      horizonDays: Int): DataFrame = {
     require(censorDays >= 1, s"censorDays=$censorDays")
     require(horizonDays >= 1, s"horizonDays=$horizonDays")
-    val spark = events.sparkSession
+    val spark = state.sparkSession
     import spark.implicits._
-    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
-      arm.cast("int").as("g"))
-    val horizon = days.agg(max(col("d")).as("m"))
-    val lt = days.groupBy(col("u"))
-      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
-        max(col("g")).as("g"))
-      .crossJoin(broadcast(horizon))
-      .select(col("g"), (col("l") - col("f")).as("t"),
-        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+    val lt = spanLifetimes(state, censorDays)
     val hist = lt.groupBy(col("g"), col("t")).agg(
         sum(col("dead")).as("nd"),
         sum(lit(1) - col("dead")).as("nc"))
@@ -1900,6 +2003,11 @@ object Behavior {
       .select(col(user).as("u"), col(ts).as("t"),
         arm.cast("int").as("g"),
         (col(typeCol) === convType).cast("int").as("x"))
+      // the survival-family null contract ([[survivalSpanState]]):
+      // NULL-arm rows drop before the reduction; a user with no
+      // non-NULL-arm row is no trial
+      .filter(col("u").isNotNull && col("t").isNotNull &&
+        col("g").isNotNull)
       .groupBy(col("u"))
       .agg(max(col("g")).as("g"), min(col("t")).as("t0"),
         max(col("x")).as("x"))

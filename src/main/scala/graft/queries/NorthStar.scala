@@ -3196,6 +3196,42 @@ object NorthStar {
       pmod($"user_id", lit(2L)))
   }
 
+  /** X15 Fleming–Harrington G(1,0) weighted log-rank ([[graft
+    * .operators.Behavior.flemingHarringtonTest]]): q293's arm split
+    * and lifetime/censoring model, each day's hypergeometric term
+    * weighted by the pooled KM survival just before it (q227's exact
+    * ppm recurrence) — the EARLY-churn-sensitive readout beside
+    * q293's uniform weights; weighted sums exact DECIMAL(38,0), z
+    * the only float. */
+  def churnWeightedLogRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.flemingHarringtonTest(Tables.events(spark, d), "user_id",
+      "ts", 14, pmod($"user_id", lit(2L)))
+  }
+
+  /** X15 survival span-state seam ([[graft.operators.Behavior
+    * .survivalSpanState]] / [[graft.operators.Behavior
+    * .mergeSurvivalSpanState]]), oracled as a REAL identity: events
+    * split by DAY PARITY (so most users' spans straddle both batches
+    * — the merge genuinely folds min/max per user), each batch
+    * reduced to its span state at O(batch), merged, and read out
+    * through [[graft.operators.Behavior.survivalCurveFromState]] —
+    * which must equal q227's one-pass curve over the full log. The
+    * maintainer seam for the whole survival family: q227/q293/q301/
+    * q308/q310 are all readouts of this one state. */
+  def churnSurvivalFromState(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val dayPar = pmod(floor(unix_timestamp($"ts") / 86400), lit(2L))
+    val prior = Behavior.survivalSpanState(
+      ev.filter(dayPar === 0), "user_id", "ts")
+    val batch = Behavior.survivalSpanState(
+      ev.filter(dayPar === 1), "user_id", "ts")
+    Behavior.survivalCurveFromState(
+      Behavior.mergeSurvivalSpanState(prior, batch), 14)
+  }
+
   /** X15 Wald SPRT ([[graft.operators.Behavior.sprtConversion]]):
     * always-on sequential monitor of purchase conversion per user_id
     * mod 2 arm — H0 p=0.2 vs H1 p=0.4 at α=β=0.05, so the micro-nat

@@ -182,7 +182,11 @@ object ScaleBench {
         // round-14: IVF-pruned ranking metrics (fixed 16-query probe
         // over the trained quantizer — cell-bounded candidates) and
         // the now-fixed-load shipped q302 (80 queries at any R)
-        "q309_ivf_ranking")
+        "q309_ivf_ranking",
+        // round-14: FH weighted log-rank + survival span-state seam
+        // (key-sized span aggregate + calendar-bounded folds — both
+        // expected flat, the q293/q227 regime)
+        "q310_fh_logrank", "q311_survival_state")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

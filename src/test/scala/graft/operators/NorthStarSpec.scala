@@ -2259,6 +2259,83 @@ class NorthStarSpec extends SparkSpec {
       Some(-1166666.0 / math.sqrt(472222222222.0)))))
   }
 
+  test("flemingHarringtonTest hand-trace: pooled-KM weights, exact " +
+      "decimal sums, z at the edge") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // the logRankTest fixture: pooled KM S(0) = 750000, so
+    //   w(0) = 10⁶ (S before day 0), w(1) = 750000.
+    // we1 = 1e6·500000 + 750000·666666 = 999999500000 (micro 999999)
+    // wv  = 1e6²·250000000000 + 750000²·222222222222
+    //     = 374999999999875000000000; o1 = wo1 = 0.
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2)),
+      (4L, at(0)), (4L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Behavior.flemingHarringtonTest(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toList
+    val wv = BigInt(1000000) * 1000000 * BigInt(250000000000L) +
+      BigInt(750000) * 750000 * BigInt(222222222222L)
+    assert(got == List((2L, 2L, 0L, 0L, 999999L,
+      Some(-999999500000.0 / math.sqrt(wv.toDouble)))))
+  }
+
+  test("survival span state: day-parity batches merge to the exact " +
+      "direct readouts (KM, log-rank, RMST)") {
+    import spark.implicits._
+    def at(day: Long, h: Long) =
+      new java.sql.Timestamp((day * 86400L + h * 3600) * 1000)
+    // spans straddle both parities so the merge genuinely folds
+    val ev = (1L to 20L).flatMap { u =>
+      (0L to (u % 5) + 2).map(d => (u, at(d, u % 3)))
+    }.toDF("user_id", "ts")
+    val arm = pmod($"user_id", lit(2L))
+    val dayPar = pmod(floor(unix_timestamp($"ts") / 86400), lit(2L))
+    val merged = Behavior.mergeSurvivalSpanState(
+      Behavior.survivalSpanState(ev.filter(dayPar === 0),
+        "user_id", "ts", arm),
+      Behavior.survivalSpanState(ev.filter(dayPar === 1),
+        "user_id", "ts", arm))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList
+    assert(rows(Behavior.survivalCurveFromState(merged, 2)) ==
+      rows(Behavior.survivalCurve(ev, "user_id", "ts", 2)))
+    assert(rows(Behavior.logRankFromState(merged, 2)) ==
+      rows(Behavior.logRankTest(ev, "user_id", "ts", 2, arm)))
+    assert(rows(Behavior.rmstFromState(merged, 2, 10)) ==
+      rows(Behavior.rmstByArm(ev, "user_id", "ts", 2, 10, arm)))
+  }
+
+  test("survival family null-arm contract: all-NULL-arm users drop " +
+      "consistently (rmst no longer crashes; log-rank agrees)") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val ev = Seq(
+      (1L, at(0)), (1L, at(2)),
+      (2L, at(0)), (2L, at(1)),
+      (9L, at(0)), (9L, at(3))
+    ).toDF("user_id", "ts")
+    // user 9's arm is NULL on every row → it must vanish from every
+    // readout, identically to just filtering it from the input
+    val arm = when($"user_id" =!= 9, pmod($"user_id", lit(2L)))
+    val evNo9 = ev.filter($"user_id" =!= 9)
+    val armAll = pmod($"user_id", lit(2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList
+    assert(rows(Behavior.rmstByArm(ev, "user_id", "ts", 2, 5, arm)) ==
+      rows(Behavior.rmstByArm(evNo9, "user_id", "ts", 2, 5, armAll)))
+    assert(rows(Behavior.logRankTest(ev, "user_id", "ts", 2, arm)) ==
+      rows(Behavior.logRankTest(evNo9, "user_id", "ts", 2, armAll)))
+    assert(rows(Behavior.flemingHarringtonTest(
+        ev, "user_id", "ts", 2, arm)) ==
+      rows(Behavior.flemingHarringtonTest(
+        evNo9, "user_id", "ts", 2, armAll)))
+  }
+
   test("sprtConversion: h1 crossing at the exact trial; continue arm " +
       "reports its final walk") {
     import spark.implicits._
