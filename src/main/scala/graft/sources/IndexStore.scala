@@ -35,7 +35,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexStore {
 
+  /** The store's PHYSICAL-LAYOUT version, stamped into every index dir
+    * as a `LAYOUT` file (VERDICT r12 #7): the content fingerprint says
+    * what SOURCE an index was derived from, but not what row schema /
+    * encoding this code writes — after an operator changes its stored
+    * layout (e.g. the round-12 ivfappend cents migration), an old dir
+    * with a still-matching fingerprint would be read (or worse,
+    * appended to) under the new code's assumptions. The stamp makes
+    * that fail FAST: [[ensure]] treats a missing/mismatched stamp as
+    * stale and rebuilds (self-migrating — full-build paths know how to
+    * rebuild), while [[append]] — which cannot rebuild — throws with a
+    * clear remediation message. Bump this constant whenever any
+    * client's persisted row layout changes incompatibly. */
+  val LayoutVersion = 1
+
   private def fingerprintPath(dir: String): Path = Paths.get(dir, "FINGERPRINT")
+
+  private def layoutPath(dir: String): Path = Paths.get(dir, "LAYOUT")
+
+  private def stampedLayout(dir: String): Option[Int] =
+    if (!Files.exists(layoutPath(dir))) None
+    else scala.util.Try(new String(Files.readAllBytes(layoutPath(dir)),
+      StandardCharsets.UTF_8).trim.toInt).toOption
+
+  /** Fail unless `dir` carries the current layout stamp — the guard on
+    * every path that cannot rebuild (appends, bare reads of a dir some
+    * other code owns). Absent stamp = pre-stamp layout = stale. */
+  def requireLayout(dir: String): Unit = {
+    val got = stampedLayout(dir)
+    require(got.contains(LayoutVersion),
+      s"index at $dir has layout ${got.map(_.toString).getOrElse("<unstamped>")} " +
+        s"but this build writes layout $LayoutVersion — rebuild the " +
+        "index (delete the dir, or re-run the ensure() that owns it) " +
+        "before appending; appending across layouts would silently mix " +
+        "incompatible row encodings")
+  }
 
   /** Hash of a source parquet dir's file listing (name, size, mtime,
     * last-16-bytes sample) plus caller tags — changes iff the source data
@@ -98,11 +132,16 @@ object IndexStore {
     (s"manifest-v${ManifestTable.currentVersion(sourceTableDir)}" +: tags)
       .mkString(";")
 
-  /** True iff `dir` holds a committed index built from `fingerprint`. */
+  /** True iff `dir` holds a committed index built from `fingerprint`
+    * UNDER the current physical layout — an unstamped or
+    * other-layout dir is stale by definition ([[LayoutVersion]]), so
+    * [[ensure]] rebuilds it (and re-stamps) instead of reading rows
+    * this code no longer understands. */
   def isFresh(dir: String, fingerprint: String): Boolean =
     Files.exists(fingerprintPath(dir)) &&
       new String(Files.readAllBytes(fingerprintPath(dir)),
         StandardCharsets.UTF_8).trim == fingerprint &&
+      stampedLayout(dir).contains(LayoutVersion) &&
       Files.exists(Paths.get(dir, "_manifests", "CURRENT"))
 
   /** Read the index at `dir`, building it first iff absent or stale.
@@ -120,6 +159,8 @@ object IndexStore {
     if (!isFresh(dir, fingerprint)) {
       ManifestTable.create(dir)
       ManifestTable.overwriteWithRetry(spark, dir, build)
+      Files.write(layoutPath(dir),
+        LayoutVersion.toString.getBytes(StandardCharsets.UTF_8))
       Files.write(fingerprintPath(dir),
         fingerprint.getBytes(StandardCharsets.UTF_8))
     }
@@ -134,6 +175,8 @@ object IndexStore {
     * upstream table's snapshot version and append in the same job). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       newFingerprint: Option[String] = None): Long = {
+    requireLayout(dir) // appends cannot rebuild — fail fast on a
+    // pre-stamp or other-layout dir instead of mixing encodings
     val v = ManifestTable.appendWithRetry(spark, dir, df)
     newFingerprint.foreach(fp => Files.write(fingerprintPath(dir),
       fp.getBytes(StandardCharsets.UTF_8)))

@@ -50,6 +50,47 @@ class IndexedOpsSpec extends SparkSpec {
     assert(ensure("fp2").count() == 3 && builds == 2)
   }
 
+  test("layout stamp: an old-layout dir rebuilds under ensure and " +
+      "fail-fasts under append with a clear error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("layoutidx").toString + "/t"
+    var builds = 0
+    def ensure(): DataFrame = IndexStore.ensure(spark, dir, "fp") {
+      builds += 1
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    ensure()
+    assert(builds == 1)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "LAYOUT")).trim ==
+      IndexStore.LayoutVersion.toString)
+    // simulate a dir written by a PRE-STAMP (or other-layout) build:
+    // same fingerprint, same data, no/old LAYOUT file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "LAYOUT"),
+      (IndexStore.LayoutVersion - 1).toString)
+    // append cannot rebuild -> fail fast, naming both layouts
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("layout"))
+    assert(e.getMessage.contains(dir))
+    // ensure self-migrates: stale layout = stale index -> rebuild + stamp
+    assert(ensure().count() == 1 && builds == 2)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "LAYOUT")).trim ==
+      IndexStore.LayoutVersion.toString)
+    // a fully unstamped dir (pre-round-14 build) behaves the same
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "LAYOUT"))
+    intercept[IllegalArgumentException] {
+      IndexStore.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(ensure().count() == 1 && builds == 3)
+    // and a healthy stamped dir appends normally
+    IndexStore.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))
+    assert(ensure().count() == 2 && builds == 3)
+  }
+
   test("ensure handles an empty build: schema-bearing 0-row index, " +
       "readable, and a fingerprint change still rebuilds") {
     import spark.implicits._
