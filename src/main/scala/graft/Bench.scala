@@ -158,12 +158,39 @@ object Bench {
         case _ => true
       }
     }
-    val contendedJson = if (contended) ""","contended":true""" else ""
+    // ADVISORY early-window check (ADVICE r13): the mechanized verdict
+    // is deliberately blind to the start control (JIT-floor drift keeps
+    // a fresh-JVM start 1.6-2× above the plateau on a measured-idle
+    // host), which also blinds it to contention confined to the FIRST
+    // half (a neighbor job exiting mid-run certifies quiet while the
+    // early per-query timings land inflated). A looser JIT-aware
+    // start/mid tolerance (default 2×, SPARK_GRAFT_START_TOL) stamps
+    // such a window "early_suspect" — advisory, not a verdict: the
+    // judge's manual both-triples rule stays the arbiter, but the
+    // artifact now carries the flag mechanically.
+    val startTol = sys.env.get("SPARK_GRAFT_START_TOL")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+    val earlySuspect = !contended && controlNames.exists { n =>
+      (controlVals.getOrElse(("start", n), None),
+        controlVals.getOrElse(("mid", n), None)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 => a / b > startTol
+        case _ => true
+      }
+    }
+    val contendedJson =
+      if (contended) ""","contended":true"""
+      else if (earlySuspect) ""","early_suspect":true"""
+      else ""
     if (contended)
       System.err.println(
         s"WARNING: bench window CONTENDED (mid/end controls deviate " +
           s">${(controlTol * 100).round}%) — per-query readings are " +
           "environment noise; re-measure in a quiet window")
+    else if (earlySuspect)
+      System.err.println(
+        s"WARNING: start controls > ${startTol}x the mid plateau — " +
+          "beyond JIT-floor drift; first-half timings may be inflated " +
+          "(advisory: early-window contention suspected)")
     val failed = timed.collect { case (n, _, false, _, _, _, _) => n }
     // Short key = "q01_filter_project" -> "01" (the uniform 'q' prefix
     // carries no information and cost 156 chars of the ~1700-char line

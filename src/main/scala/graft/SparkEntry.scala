@@ -6390,7 +6390,7 @@ object SparkEntry {
         |    CAST(sum(w * v) // nullif(sum(w), 0) AS BIGINT) AS m
         |  FROM wts GROUP BY 1),
         |ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
-        |  FROM means),
+        |  FROM means WHERE m IS NOT NULL),
         |fullagg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(v) // nullif(count(*), 0) AS BIGINT) AS mean_cents
         |  FROM base)
@@ -6398,9 +6398,11 @@ object SparkEntry {
         |  (SELECT m FROM ranked WHERE rk = 3) AS lo_cents,
         |  (SELECT m FROM ranked WHERE rk = 98) AS hi_cents
         |FROM fullagg""".stripMargin,
-    // q304: Dunning G2 keyness — term counts vs token masses, the two
-    // per-term ln's nano-rounded (q233's convention), sign test and
-    // everything after exact integer; top 25 by (g2 DESC, term).
+    // q304: Dunning G2 keyness, FULL 4-cell form (round 14) — term
+    // counts vs token masses over the whole 2x2 table (term cells
+    // divide by R, complement cells by N-R), each of the four ln's
+    // nano-rounded (q233's convention), sign test and everything
+    // after exact integer; top 25 by (g2 DESC, term).
     "q304_keyness" ->
       """WITH toks AS (SELECT
         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
@@ -6424,7 +6426,15 @@ object SparkEntry {
         |      + o_b * (CASE WHEN o_b > 0 THEN
         |        CAST(round(ln(CAST(o_b AS DOUBLE) * (n_a + n_b) /
         |          (CAST(n_b AS DOUBLE) * (o_a + o_b))) * 1e9, 0)
-        |          AS BIGINT) ELSE 0 END)) AS g2_nano
+        |          AS BIGINT) ELSE 0 END)
+        |      + (n_a - o_a) * (CASE WHEN n_a - o_a > 0 THEN
+        |        CAST(round(ln(CAST(n_a - o_a AS DOUBLE) * (n_a + n_b) /
+        |          (CAST(n_a AS DOUBLE) * (n_a + n_b - o_a - o_b)))
+        |          * 1e9, 0) AS BIGINT) ELSE 0 END)
+        |      + (n_b - o_b) * (CASE WHEN n_b - o_b > 0 THEN
+        |        CAST(round(ln(CAST(n_b - o_b AS DOUBLE) * (n_a + n_b) /
+        |          (CAST(n_b AS DOUBLE) * (n_a + n_b - o_a - o_b)))
+        |          * 1e9, 0) AS BIGINT) ELSE 0 END)) AS g2_nano
         |  FROM counts, tot)
         |SELECT term, o_a, o_b, over_in_focus,
         |  CAST(g2_nano AS BIGINT) AS g2_nano

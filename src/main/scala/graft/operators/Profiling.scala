@@ -1242,6 +1242,14 @@ object Profiling {
       .agg(sum(col("w") * col("v")).as("s"), sum(col("w")).as("nw"))
       .select(col("r"),
         expr("s div nullif(nw, 0)").as("m"))
+      // a replicate whose Poisson weights all drew zero has NO mean
+      // (P = e^-n per replicate — negligible past n ≈ 20, real on
+      // tiny inputs). Engines ORDER NULLs differently (Spark first,
+      // DuckDB last), so NULL means must be dropped BEFORE ranking,
+      // identically on both sides (ADVICE r13); the picked ranks then
+      // read against the surviving replicates. Minimum-n assumption:
+      // for n ≲ 10 expect occasionally fewer than B replicates.
+      .filter(col("m").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("m"), col("r"))
     val ranked = means.withColumn("rk", row_number().over(w))

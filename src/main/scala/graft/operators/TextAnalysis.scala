@@ -649,14 +649,18 @@ object TextAnalysis {
     * between a FOCUS slice and the rest of the corpus (Dunning, CL
     * 1993; the keyword-extraction statistic corpus linguists and
     * data-mix auditors use): for term counts O_a/O_b against token
-    * masses N_a/N_b,
-    *   G² = 2·(O_a·ln(O_a·N / (N_a·R)) + O_b·ln(O_b·N / (N_b·R))),
-    * R = O_a+O_b, N = N_a+N_b; zero counts contribute zero. The two
-    * ln's are the ONLY floats — one per term side, identical operand
-    * order in both engines, rounded to integer NANO before any
-    * further use (the [[Behavior.typeCooccurrencePmi]] convention) —
-    * everything after is exact 64-bit. `over_in_focus` is the exact
-    * integer sign test O_a·N > R·N_a. The "what is this source MADE
+    * masses N_a/N_b, the FULL four-cell form (round 14 — ADVICE r13
+    * flagged the earlier two-term variant as not the literature
+    * statistic):
+    *   G² = 2·Σ_cells O·ln(O·N / E), over the 2×2 table
+    *   (O_a, O_b, N_a−O_a, N_b−O_b) with R = O_a+O_b, N = N_a+N_b
+    *   (so the complement cells divide by N−R where the term cells
+    *   divide by R); zero cells contribute zero. The four ln's are
+    * the ONLY floats — identical operand order in both engines,
+    * each rounded to integer NANO before any further use (the
+    * [[Behavior.typeCooccurrencePmi]] convention) — everything after
+    * is exact 64-bit. `over_in_focus` is the exact integer sign test
+    * O_a·N > R·N_a. The "what is this source MADE
     * of, relative to everything else" readout beside q109's share mix
     * and q215's language MI.
     *
@@ -680,10 +684,22 @@ object TextAnalysis {
         col(o).cast("double") * (col("n_a") + col("n_b")) /
           (col(n).cast("double") * (col("o_a") + col("o_b")))) * 1e9, 0)
         .cast("long")).otherwise(0L)
+    // complement cells (N_a−O_a, N_b−O_b): same nano-rounded-ln
+    // convention, expected mass proportional to N−R instead of R
+    def lnNanoC(oc: Column, n: String) =
+      when(oc > 0, round(log(
+        oc.cast("double") * (col("n_a") + col("n_b")) /
+          (col(n).cast("double") *
+            (col("n_a") + col("n_b") - col("o_a") - col("o_b")))) * 1e9,
+        0).cast("long")).otherwise(0L)
     counts.crossJoin(broadcast(totals))
       .withColumn("g2_nano", lit(2L) *
         (col("o_a") * lnNano("o_a", "n_a") +
-          col("o_b") * lnNano("o_b", "n_b")))
+          col("o_b") * lnNano("o_b", "n_b") +
+          (col("n_a") - col("o_a")) *
+            lnNanoC(col("n_a") - col("o_a"), "n_a") +
+          (col("n_b") - col("o_b")) *
+            lnNanoC(col("n_b") - col("o_b"), "n_b")))
       .withColumn("over_in_focus",
         expr("cast(cast(o_a as decimal(38,0)) * (n_a + n_b) > " +
           "cast(o_a + o_b as decimal(38,0)) * n_a as int)"))

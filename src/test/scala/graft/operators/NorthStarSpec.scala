@@ -2554,21 +2554,25 @@ class NorthStarSpec extends SparkSpec {
     assert(lo <= mean && mean <= hi && lo >= 0 && hi <= 600)
   }
 
-  test("keynessG2: hand-traced Dunning G2 with nano-rounded ln terms") {
+  test("keynessG2: hand-traced FULL 4-cell Dunning G2 with " +
+      "nano-rounded ln terms") {
     import spark.implicits._
-    // focus "x x y" (N_a=3) vs "y y z z" (N_b=4), N=7:
-    //   x: 2·2·ln(7/3)·1e9 → 2·2·847297860 = 3389191440, over=1
-    //   z: 2·2·ln(7/4·2/2... ln(14/8)=ln(1.75) → 559615788 → 2238463152
-    //   y: 2·(1·ln(7/9) + 2·ln(7/6)) → 2·(−251314428 + 2·154150680)
-    //      = 113973864, over=0 (7 < 9)
+    // focus "x x y" (N_a=3) vs "y y z z" (N_b=4), N=7. Four cells per
+    // term — (o_a, o_b, N_a−o_a, N_b−o_b), complements over N−R:
+    //   x: 2·(2·ln(7/3) + 1·ln(7/15) + 4·ln(7/5))·1e9
+    //      = 2·(2·847297860 − 762140052 + 4·336472237) = 4556689232
+    //   z: 2·(2·ln(7/4) + 3·ln(7/5) + 2·ln(7/10))·1e9
+    //      = 2·(2·559615788 + 3·336472237 − 2·356674944) = 2830596798
+    //   y: 2·(1·ln(7/9) + 2·ln(7/6) + 2·ln(7/6) + 2·ln(7/8))·1e9
+    //      = 2·(−251314428 + 4·154150680 − 2·133531393) = 196451012
     val docs = Seq((1L, "x x y", "A"), (2L, "y y z z", "B"))
       .toDF("doc_id", "text", "source")
     val got = TextAnalysis.keynessG2(docs, $"source" === "A", 1L, 10)
       .as[(String, Long, Long, Int, Long)].collect().toList
     assert(got == List(
-      ("x", 2L, 0L, 1, 3389191440L),
-      ("z", 0L, 2L, 0, 2238463152L),
-      ("y", 1L, 2L, 0, 113973864L)))
+      ("x", 2L, 0L, 1, 4556689232L),
+      ("z", 0L, 2L, 0, 2830596798L),
+      ("y", 1L, 2L, 0, 196451012L)))
   }
 
   test("sprtConversionAppend: prior ∪ new-user batch equals the full " +
