@@ -332,6 +332,11 @@ object SparkEntry {
     "q309_ivf_ranking" -> (NorthStar.ivfRankingEval _),
     "q310_fh_logrank" -> (NorthStar.churnWeightedLogRank _),
     "q311_survival_state" -> (NorthStar.churnSurvivalFromState _),
+    "q312_mann_kendall" -> (NorthStar.revenueMannKendall _),
+    "q313_calibration_error" -> (NorthStar.lengthCalibrationError _),
+    "q314_stratified_sample" -> (NorthStar.perLangReviewSample _),
+    "q315_zipf_slope" -> (NorthStar.corpusZipfSlope _),
+    "q316_hits_capped" -> (NorthStar.supplierHitsCapped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6059,6 +6064,45 @@ object SparkEntry {
     "q306_sprt_append" -> sprtSql,
   )
 
+  /** Two unrolled integer-HITS supersteps over an edge CTE named `e`
+    * (nodes, per-step raw sums, max-renormalized micro scores) — the
+    * shared tail of the q296 (full graph) and q316 (degree-capped)
+    * oracles; both end top-50 by (authority DESC, node). */
+  private lazy val hitsIterSql: String =
+      """n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS node,
+        |          sum(CAST(1000000 AS HUGEINT)) AS s
+        |        FROM e GROUP BY 1),
+        |a1 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM a1r), 0), 0)
+        |         AS BIGINT) AS a
+        |       FROM n LEFT JOIN a1r USING (node)),
+        |h1r AS (SELECT e.src AS node, sum(CAST(a1.a AS HUGEINT)) AS s
+        |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM h1r), 0), 0)
+        |         AS BIGINT) AS h
+        |       FROM n LEFT JOIN h1r USING (node)),
+        |a2r AS (SELECT e.dst AS node, sum(CAST(h1.h AS HUGEINT)) AS s
+        |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM a2r), 0), 0)
+        |         AS BIGINT) AS a
+        |       FROM n LEFT JOIN a2r USING (node)),
+        |h2r AS (SELECT e.src AS node, sum(CAST(a2.a AS HUGEINT)) AS s
+        |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT n.node, CAST(coalesce(
+        |         coalesce(s, 0) * 1000000
+        |           // nullif((SELECT max(s) FROM h2r), 0), 0)
+        |         AS BIGINT) AS h
+        |       FROM n LEFT JOIN h2r USING (node))
+        |SELECT node, a2.a AS authority_micro, h2.h AS hub_micro
+        |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
+        |ORDER BY authority_micro DESC, node LIMIT 50""".stripMargin
+
   /** The one KM-curve oracle recursion (q227's lifetime/censoring
     * model, exact HUGEINT ppm recurrence) — shared VERBATIM by q227
     * (direct form) and q311 (span-state merge/readout identity: the
@@ -6161,42 +6205,21 @@ object SparkEntry {
     // half-step renormalizes by the scalar max (integer //), so every
     // score replays exactly; missing in/out-edges read 0.
     "q296_hits" ->
-      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
         |             CAST(l_suppkey + 1000000000 AS BIGINT) AS dst
         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |a1r AS (SELECT dst AS node,
-        |          sum(CAST(1000000 AS HUGEINT)) AS s
-        |        FROM e GROUP BY 1),
-        |a1 AS (SELECT n.node, CAST(coalesce(
-        |         coalesce(s, 0) * 1000000
-        |           // nullif((SELECT max(s) FROM a1r), 0), 0)
-        |         AS BIGINT) AS a
-        |       FROM n LEFT JOIN a1r USING (node)),
-        |h1r AS (SELECT e.src AS node, sum(CAST(a1.a AS HUGEINT)) AS s
-        |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
-        |h1 AS (SELECT n.node, CAST(coalesce(
-        |         coalesce(s, 0) * 1000000
-        |           // nullif((SELECT max(s) FROM h1r), 0), 0)
-        |         AS BIGINT) AS h
-        |       FROM n LEFT JOIN h1r USING (node)),
-        |a2r AS (SELECT e.dst AS node, sum(CAST(h1.h AS HUGEINT)) AS s
-        |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
-        |a2 AS (SELECT n.node, CAST(coalesce(
-        |         coalesce(s, 0) * 1000000
-        |           // nullif((SELECT max(s) FROM a2r), 0), 0)
-        |         AS BIGINT) AS a
-        |       FROM n LEFT JOIN a2r USING (node)),
-        |h2r AS (SELECT e.src AS node, sum(CAST(a2.a AS HUGEINT)) AS s
-        |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
-        |h2 AS (SELECT n.node, CAST(coalesce(
-        |         coalesce(s, 0) * 1000000
-        |           // nullif((SELECT max(s) FROM h2r), 0), 0)
-        |         AS BIGINT) AS h
-        |       FROM n LEFT JOIN h2r USING (node))
-        |SELECT node, a2.a AS authority_micro, h2.h AS hub_micro
-        |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
-        |ORDER BY authority_micro DESC, node LIMIT 50""".stripMargin,
+        |$hitsIterSql""".stripMargin,
+    // q316: degree-capped HITS — the q296 chain over the edges into
+    // the top-10 in-degree authorities only (count DESC, dst ASC cut
+    // BEFORE iterating); scores renormalize within the kept subgraph.
+    "q316_hits_capped" ->
+      s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |              CAST(l_suppkey + 1000000000 AS BIGINT) AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ind AS (SELECT dst, count(*) AS c FROM e0 GROUP BY 1),
+        |topd AS (SELECT dst FROM ind ORDER BY c DESC, dst LIMIT 10),
+        |e AS (SELECT e0.src, e0.dst FROM e0 JOIN topd USING (dst)),
+        |$hitsIterSql""".stripMargin,
     // q297: Dawid–Skene from merged pattern state — the pattern-count
     // histogram is the EM's sufficient statistic, so the split→merge→
     // refit path must reproduce q287's full-corpus parameters EXACTLY;
@@ -6615,6 +6638,95 @@ object SparkEntry {
     // state readout must equal q227's one-pass KM curve over the
     // full log (shared SQL constant — the q290/q306 seam convention).
     "q311_survival_state" -> survivalCurveSql,
+    // q312: Mann–Kendall — q228's daily cents series, S as the exact
+    // pairwise sign sum, tie-corrected 18·Var integer, z with the
+    // continuity correction the one float (operand order mirrored).
+    "q312_mann_kendall" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+        |        WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT)
+        |        AS s_stat
+        |      FROM daily a JOIN daily b ON a.d < b.d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |t AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |        AS BIGINT) AS tie
+        |      FROM (SELECT count(*) AS t FROM daily GROUP BY c)
+        |      WHERE t > 1),
+        |v AS (SELECT n.n, n.n * (n.n - 1) * (2 * n.n + 5) - t.tie
+        |        AS var18 FROM n, t)
+        |SELECT v.n AS n_days, s.s_stat,
+        |  CAST(v.var18 AS BIGINT) AS var18,
+        |  CASE WHEN v.var18 > 0 THEN
+        |    CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+        |           / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+        |         WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+        |           / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+        |         ELSE 0.0 END END AS z
+        |FROM v, s""".stripMargin,
+    // q313: ECE/MCE — q257's exact-integer bins collapsed to the two
+    // one-number summaries (bin-weighted and max |pos − conf| gap).
+    "q313_calibration_error" ->
+      """WITH base AS (SELECT
+        |    least(1000000, n_chars * 1000000 // 600) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT least(9, s * 10 // 1000000) AS bin,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT) AS ms,
+        |    CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
+        |      * 1000000 // count(*) AS BIGINT) AS pp
+        |  FROM base GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(CAST(n AS HUGEINT) * abs(pp - ms)) // sum(n)
+        |    AS BIGINT) AS ece_ppm,
+        |  CAST(max(abs(pp - ms)) AS BIGINT) AS mce_ppm
+        |FROM b""".stripMargin,
+    // q314: deterministic stratified sample — bottom-5 md5 priorities
+    // per language (priority, id total order); md5 hex compares
+    // identically as a string in both engines.
+    "q314_stratified_sample" ->
+      """WITH p AS (SELECT lang AS stratum, doc_id AS id,
+        |    md5('r14:' || CAST(doc_id AS VARCHAR)) AS priority
+        |  FROM documents),
+        |r AS (SELECT stratum, id, priority,
+        |    CAST(row_number() OVER (PARTITION BY stratum
+        |      ORDER BY priority, id) AS BIGINT) AS rk
+        |  FROM p)
+        |SELECT stratum, rk, id, priority FROM r WHERE rk <= 5
+        |ORDER BY stratum, rk""".stripMargin,
+    // q315: Zipf slope — top-40 (freq DESC, token) cut, ln(rank)/
+    // ln(freq) nano-rounded (q304's convention), exact HUGEINT OLS
+    // sums, one truncating division (// truncates toward zero on
+    // HUGEINT, matching Spark's decimal div — the q228 rule).
+    "q315_zipf_slope" ->
+      """WITH tk AS (SELECT t FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |f AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |      GROUP BY 1 ORDER BY freq DESC, t LIMIT 40),
+        |p AS (SELECT freq, CAST(row_number() OVER
+        |        (ORDER BY freq DESC, t) AS BIGINT) AS rnk FROM f),
+        |q AS (SELECT freq,
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e9, 0) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9, 0) AS BIGINT)
+        |      AS y
+        |  FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  max(freq) AS top_freq,
+        |  CAST((CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+        |      - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)))
+        |    * 1000000
+        |    // nullif(CAST(count(*) AS HUGEINT)
+        |        * sum(CAST(x AS HUGEINT) * x)
+        |      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)), 0)
+        |    AS BIGINT) AS slope_micro
+        |FROM q""".stripMargin,
   )
 
   /** One deterministic LPA superstep — votes from the previous round's

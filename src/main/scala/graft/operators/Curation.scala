@@ -338,6 +338,37 @@ object Curation {
     conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
 
+  /** DETERMINISTIC FIXED-SIZE STRATIFIED SAMPLE — exactly `k` rows per
+    * stratum (all of a smaller stratum), chosen by md5-PRIORITY order:
+    * each row's priority is md5("tag:id"), and the k smallest
+    * priorities per stratum win. This is bottom-k priority sampling
+    * (the order-statistics view of uniform sampling without
+    * replacement): auditable, replayable on any engine with md5,
+    * stable under re-runs and backfills — [[mixtureSample]] answers
+    * "sample at a RATE per stratum", this answers "give me exactly k
+    * EXAMPLES per stratum" (eval pulls, human-review queues, golden
+    * sets). The `tag` salts the draw so successive review rounds pick
+    * fresh rows without reshuffling earlier ones.
+    *
+    * Scale shape: the priority is row-local; the per-stratum cut is
+    * ONE partitioned rank window (strata are the parallel grain);
+    * output ≤ k·|strata| rows. No global sort, no unpartitioned
+    * window. */
+  def stratifiedHashSample(df: DataFrame, idCol: String,
+      strataCol: String, k: Int, tag: String): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("priority"), col("id"))
+    df.select(col(strataCol).as("stratum"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("priority",
+        md5(concat(lit(tag), lit(":"), col("id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("stratum"), col("rk").cast("long").as("rk"),
+        col("id"), col("priority"))
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1] from its id
     * hash and competes with key u^(1/w); the k largest keys win — docs

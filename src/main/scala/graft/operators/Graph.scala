@@ -124,6 +124,35 @@ object Graph {
         col("h").as("hub_micro"))
   }
 
+  /** DEGREE-CAPPED HITS — [[hitsMicro]] restricted to the edges into
+    * the `topK` highest in-degree authorities (count DESC, node ASC —
+    * a total order): the SERVING-oriented form of q296. The full HITS
+    * is edge-linear and the measured heaviest SCALING row (78.6 s at
+    * 100× with hot authorities) precisely because every edge
+    * participates in every superstep; but the readout anyone serves
+    * is "the top authorities and who points at them", and restricting
+    * to the top-K in-degree candidate set BEFORE iterating bounds the
+    * superstep edge frame by the candidates' in-mass instead of the
+    * whole graph. The cap is a heuristic prune (an authority outside
+    * the in-degree top-K cannot surface — in-degree is HITS'
+    * iteration-0 authority score, so this is "prune by the first
+    * iterate", the standard serving trade); scores renormalize within
+    * the kept subgraph.
+    *
+    * Scale shape: one edge-sized in-degree aggregate, a K-row
+    * TakeOrderedAndProject broadcast, the semi-join prune, then
+    * [[hitsMicro]] over the reduced frame. */
+  def hitsTopAuthorities(edges: DataFrame, topK: Int, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val top = e0.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("dst")).limit(topK)
+      .select(col("dst"))
+    hitsMicro(e0.join(broadcast(top), "dst"), iters)
+  }
+
   /** LABEL PROPAGATION communities — synchronous LPA (Raghavan 2007)
     * made ENGINE-DETERMINISTIC: every node starts as its own label,
     * and each of the `iters` supersteps reassigns every node the

@@ -880,6 +880,33 @@ object Labeling {
           " * 1000000 div count(1) as bigint)").as("pos_ppm"))
   }
 
+  /** EXPECTED + MAXIMUM CALIBRATION ERROR over the [[calibrationBins]]
+    * table (Naeini et al., AAAI 2015) — the one-number summaries of
+    * q257's reliability diagram: ECE = Σ_b (n_b/N)·|pos_b − conf_b|
+    * (the bin-weighted gap between claimed confidence and observed
+    * rate) and MCE = max_b |pos_b − conf_b|. Both EXACT integer ppm:
+    * the bins table's pos_ppm/mean_score_ppm are already truncating-
+    * division integers, so ece_ppm = Σ n_b·|…| div N replays in any
+    * engine; no float anywhere. The acceptance gate a calibration fix
+    * (q278's isotonic) is judged by — run before and after.
+    *
+    * Scale shape: the corpus-sized bins aggregate (the
+    * [[calibrationBins]] pass), then ONE bins-sized (≤ `bins`-row)
+    * aggregate. */
+  def calibrationError(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    calibrationBins(df, scorePpm, label, bins)
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_bins"),
+        sum(dec(col("n")) *
+          abs(col("pos_ppm") - col("mean_score_ppm"))).as("gap"),
+        max(abs(col("pos_ppm") - col("mean_score_ppm"))).as("mce_ppm"))
+      .select(col("n_rows"), col("n_bins"),
+        expr("cast(gap div nullif(n_rows, 0) as bigint)").as("ece_ppm"),
+        col("mce_ppm"))
+  }
+
   /** ISOTONIC (PAV) CALIBRATION over the [[calibrationBins]] table —
     * the monotone recalibration map (Zadrozny & Elkan, KDD 2002) that
     * turns a raw score into a probability: the pool-adjacent-violators

@@ -667,6 +667,49 @@ object TextAnalysis {
     * Scale shape: one token explode + term aggregate (the tf-idf
     * shuffle), a 1-row broadcast of the token masses, and a
     * TakeOrderedAndProject top-N cut. */
+  /** ZIPF RANK–FREQUENCY SLOPE — the log-log OLS fit over the top-N
+    * token frequencies (Zipf 1949: natural text slopes ≈ −1; a much
+    * flatter or steeper fit flags template/boilerplate or truncated
+    * vocabularies — a corpus-health screen beside [[vocabGrowth]]'s
+    * Heaps curve). Deterministic and engine-exact under the q215/q233
+    * float convention: ranks are 1..N by (freq DESC, token) — a total
+    * order over a TakeOrderedAndProject cut — x = ln(rank) and
+    * y = ln(freq) are ONE ln each per row (exact-integer operands),
+    * nano-rounded BEFORE the OLS sums, which then run as exact
+    * DECIMAL(38,0) integers; slope_micro = (N·Σxy − Σx·Σy)·10⁶ div
+    * (N·Σx² − Σx²) is one truncating division. Output one row:
+    * (n_terms, top_freq, slope_micro).
+    *
+    * Scale shape: one token aggregate (the tf-idf shuffle), a top-N
+    * TakeOrderedAndProject cut, then an N-row (constant-bounded)
+    * rank window and one 1-row aggregate — the [[graft.operators
+    * .Retrieval.rankTopN]] bounded-window regime. */
+  def zipfSlope(docs: DataFrame, topN: Int,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 2, s"topN=$topN")
+    val freqs = docs
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("t"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pts = freqs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("x",
+        round(log(col("rnk").cast("double")) * 1e9, 0).cast("long"))
+      .withColumn("y",
+        round(log(col("freq").cast("double")) * 1e9, 0).cast("long"))
+    pts.agg(count(lit(1)).as("n_terms"), max(col("freq")).as("top_freq"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("x")) * col("y")).as("sxy"))
+      .select(col("n_terms"), col("top_freq"),
+        expr("cast((cast(n_terms as decimal(38,0)) * sxy - sx * sy)" +
+          " * 1000000 div nullif(cast(n_terms as decimal(38,0)) * sxx" +
+          " - sx * sx, 0) as bigint)").as("slope_micro"))
+  }
+
   def keynessG2(docs: DataFrame, isFocus: Column, minCount: Long,
       topN: Int, textCol: String = "text"): DataFrame = {
     require(minCount >= 1 && topN >= 1, s"minCount=$minCount topN=$topN")

@@ -707,6 +707,56 @@ object TimeSeries {
       lit(minS).as("min_slope_micro"), lit(maxS).as("max_slope_micro"))
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) over the same
+    * daily cents series as [[theilSenTrend]] — the nonparametric "is
+    * there a monotone trend AT ALL" significance companion of
+    * Theil–Sen's slope magnitude (the two are the classic pair:
+    * MK decides, Theil–Sen sizes). S = Σ_{i<j} sgn(c_j − c_i) is an
+    * exact integer over the CALENDAR-bounded day pairs (the
+    * [[theilSenTrend]] broadcast theta-join, reduced to one 1-row
+    * sum — no slope frame, no median machinery); the tie-corrected
+    * variance stays exact by carrying 18·Var as the integer
+    *   var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5);
+    * z = (S∓1)/√(var18/18) with the continuity correction is the ONE
+    * fixed-order float ([[Behavior.abTest]]'s edge convention; NULL
+    * when var18 = 0 — a constant series has no ranking).
+    *
+    * Scale shape: one key-sized day aggregate (calendar-bounded,
+    * pinned), the O(days²/2) broadcast pair join folding straight
+    * into a 1-row aggregate, and a tie histogram bounded by distinct
+    * daily totals. */
+  def mannKendall(df: DataFrame, ts: String, value: Column): DataFrame = {
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+      .localCheckpoint(true)
+    val a = daily.select(col("d").as("da"), col("c").as("ca"))
+    val b = daily.select(col("d").as("db"), col("c").as("cb"))
+    val s = a.join(broadcast(b), col("da") < col("db"))
+      .agg(coalesce(sum(
+        when(col("cb") > col("ca"), 1L)
+          .when(col("cb") < col("ca"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(
+        expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie"))
+      .select(col("n").as("n_days"), col("s_stat"), col("var18"),
+        when(col("var18") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0))).as("z"))
+  }
+
   /** SINGLE CHANGEPOINT per key — binary segmentation's first rung:
     * the day boundary that minimizes the two-segment SSE of the daily
     * cents series, i.e. maximizes the between-segment separation —

@@ -3543,4 +3543,62 @@ object NorthStar {
         when(nTok < 30, 0).when(nTok < 60, 1).otherwise(2))),
       nClasses = 3, iters = 2)
   }
+
+  /** X16 Mann–Kendall trend test ([[graft.operators.TimeSeries
+    * .mannKendall]]): is there ANY monotone trend in daily order
+    * revenue — the significance companion of q228's Theil–Sen slope
+    * over the same daily cents series; S and the tie-corrected 18·Var
+    * exact integers, z the one float. */
+  def revenueMannKendall(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.mannKendall(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice")
+  }
+
+  /** X17 calibration-error summary ([[graft.operators.Labeling
+    * .calibrationError]]): ECE/MCE in exact ppm over q257's
+    * reliability bins (same score, label, and 10-bin layout) — the
+    * one-number before/after gate for q278's isotonic fix. */
+  def lengthCalibrationError(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    Labeling.calibrationError(Tables.documents(spark, d),
+      least(lit(1000000L), expr("n_chars * 1000000 div 600")),
+      ($"lang" === "en").cast("int"), 10)
+  }
+
+  /** X12 deterministic stratified eval pull ([[graft.operators
+    * .Curation.stratifiedHashSample]]): exactly 5 docs per language by
+    * md5-priority order — the auditable "give me k examples per
+    * stratum" draw (review queues, golden sets); any engine with md5
+    * replays the identical sample. */
+  def perLangReviewSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Curation.stratifiedHashSample(Tables.documents(spark, d),
+        "doc_id", "lang", 5, "r14")
+      .orderBy($"stratum", $"rk")
+  }
+
+  /** X4 Zipf rank–frequency slope ([[graft.operators.TextAnalysis
+    * .zipfSlope]]): log-log OLS over the top-40 token frequencies,
+    * both ln's nano-rounded before exact DECIMAL sums — the corpus-
+    * health screen beside q299's Heaps curve. */
+  def corpusZipfSlope(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables.documents(spark, d), 40)
+
+  /** X13 degree-capped HITS ([[graft.operators.Graph
+    * .hitsTopAuthorities]]): q296's customer→supplier graph pruned to
+    * the edges into the top-10 in-degree authorities BEFORE
+    * iterating — the serving-oriented form whose superstep frame is
+    * bounded by the candidates' in-mass, not the whole edge set. */
+  def supplierHitsCapped(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + 1000000000L).as("dst"))
+    Graph.hitsTopAuthorities(e, 10, 2)
+      .orderBy($"authority_micro".desc, $"node").limit(50)
+  }
 }

@@ -186,7 +186,15 @@ object ScaleBench {
         // round-14: FH weighted log-rank + survival span-state seam
         // (key-sized span aggregate + calendar-bounded folds — both
         // expected flat, the q293/q227 regime)
-        "q310_fh_logrank", "q311_survival_state")
+        "q310_fh_logrank", "q311_survival_state",
+        // round-14 batch 2: Mann–Kendall (calendar²-bounded pair sum),
+        // ECE (bins aggregate), stratified md5 sample (partitioned
+        // rank window), Zipf slope (tf shuffle + constant-bounded
+        // window), degree-capped HITS (candidate-bounded supersteps
+        // vs q296's 78.6 s full-graph row)
+        "q312_mann_kendall", "q313_calibration_error",
+        "q314_stratified_sample", "q315_zipf_slope",
+        "q316_hits_capped")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

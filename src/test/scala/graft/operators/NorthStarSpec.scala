@@ -2670,6 +2670,108 @@ class NorthStarSpec extends SparkSpec {
     assert(got == List((4L, 6L, -16666666L, -350000000L, 200000000L)))
   }
 
+  test("mannKendall: monotone series S = C(n,2); ties shrink var18; " +
+      "continuity-corrected z") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // strictly increasing 5 days → S = 10, no ties →
+    // var18 = 5·4·15 = 300, z = (10−1)/√(300/18)
+    val up = Seq((at(0), 1.0), (at(1), 2.0), (at(2), 3.0),
+      (at(3), 4.0), (at(4), 5.0)).toDF("ts", "v")
+    val g1 = TimeSeries.mannKendall(up, "ts", $"v")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g1 == ((5L, 10L, 300L,
+      Some(9.0 / math.sqrt(300.0 / 18.0)))))
+    // cents 100, 100, 200 → S = 2; tie group t=2 → tie term 18;
+    // var18 = 3·2·11 − 18 = 48; z = 1/√(48/18)
+    val tied = Seq((at(0), 1.0), (at(1), 1.0), (at(2), 2.0))
+      .toDF("ts", "v")
+    val g2 = TimeSeries.mannKendall(tied, "ts", $"v")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g2 == ((3L, 2L, 48L, Some(1.0 / math.sqrt(48.0 / 18.0)))))
+    // constant series: S = 0, var18 = 0 → z NULL
+    val const = Seq((at(0), 1.0), (at(1), 1.0)).toDF("ts", "v")
+    val g3 = TimeSeries.mannKendall(const, "ts", $"v")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g3 == ((2L, 0L, 0L, None)))
+  }
+
+  test("calibrationError: hand-traced ECE/MCE over the bins table") {
+    import spark.implicits._
+    // bin 1: 2 rows score 100000, 0 positives → ms = 100000, pp = 0,
+    //   gap 100000
+    // bin 9: 2 rows score 950000, both positive → ms = 950000,
+    //   pp = 1000000, gap 50000
+    // ECE = (2·100000 + 2·50000) div 4 = 75000; MCE = 100000; 2 bins
+    val df = Seq((100000L, 0), (100000L, 0), (950000L, 1),
+      (950000L, 1)).toDF("s", "y")
+    val got = Labeling.calibrationError(df, $"s", $"y", 10)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((4L, 2L, 75000L, 100000L)))
+  }
+
+  test("stratifiedHashSample: exactly k per stratum by md5 priority, " +
+      "smaller strata whole, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 25) "big" else "small")).toDF("doc_id", "lang")
+    val got = Curation.stratifiedHashSample(docs, "doc_id", "lang",
+      4, "tagx").collect()
+    val byStratum = got.groupBy(_.getString(0))
+    assert(byStratum("big").length == 4)
+    assert(byStratum("small").length == 4) // 5 docs, k=4 → 4 kept
+    // the kept ids ARE the 4 smallest md5("tagx:id") of the stratum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectBig = (1L to 25L).sortBy(i => (md5hex(s"tagx:$i"), i))
+      .take(4).toSet
+    assert(byStratum("big").map(_.getLong(2)).toSet == expectBig)
+    // replay identical
+    val again = Curation.stratifiedHashSample(docs, "doc_id", "lang",
+      4, "tagx").collect().map(_.toSeq).toList
+    assert(again == got.map(_.toSeq).toList)
+  }
+
+  test("zipfSlope: nano-ln OLS matches an independent scalar replay") {
+    import spark.implicits._
+    // corpus with token freqs a:4, b:2, c:1 → ranks 1..3
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    def nano(x: Double): Long = math.round(x * 1e9)
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L))
+      .map { case (r, f) => (nano(math.log(r.toDouble)),
+        nano(math.log(f.toDouble))) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val expect = ((n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx))
+      .toLong
+    val got = TextAnalysis.zipfSlope(docs, 40)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 4L, expect)))
+    assert(expect < -1100000 && expect > -1400000) // ≈ −1.26: Zipf-ish
+  }
+
+  test("hitsTopAuthorities == hitsMicro over the manually pruned " +
+      "edge set; the cap drops low-in-degree authorities") {
+    import spark.implicits._
+    // authorities 100 (deg 3), 200 (deg 2), 300 (deg 1); cap 2 keeps
+    // edges into {100, 200} only
+    val e = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L),
+      (2L, 200L), (3L, 300L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"node").collect().map(_.toSeq).toList
+    val capped = Graph.hitsTopAuthorities(e, 2, 2)
+    assert(rows(capped) ==
+      rows(Graph.hitsMicro(e.filter($"dst" =!= 300L), 2)))
+    // node 300 gone; node 3 (points only at 300... and 100) stays
+    val nodes = capped.select($"node").as[Long].collect().toSet
+    assert(!nodes.contains(300L) && nodes.contains(100L))
+  }
+
   test("benfordScreen digits from cents strings; absent digits n=0") {
     import spark.implicits._
     // cents: 100→1, 250→2, 19→1, 999→9; -5.0 and 0.001 (rounds to 0)
