@@ -337,6 +337,9 @@ object SparkEntry {
     "q314_stratified_sample" -> (NorthStar.perLangReviewSample _),
     "q315_zipf_slope" -> (NorthStar.corpusZipfSlope _),
     "q316_hits_capped" -> (NorthStar.supplierHitsCapped _),
+    "q317_brier" -> (NorthStar.lengthBrier _),
+    "q318_ab_mde" -> (NorthStar.purchaseMde _),
+    "q319_ljung_box" -> (NorthStar.revenueLjungBox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4740,12 +4743,15 @@ object SparkEntry {
         |         CAST(count(*) AS BIGINT) AS n_cells FROM c),
         |la AS (SELECT CAST(count(*) AS BIGINT) AS n_a_levels FROM ma),
         |lb AS (SELECT CAST(count(*) AS BIGINT) AS n_b_levels FROM mb),
+        |grid AS (SELECT ma.a, mb.b, ma.na, mb.nb,
+        |           coalesce(c.nab, 0) AS nab
+        |         FROM ma CROSS JOIN mb LEFT JOIN c USING (a, b)),
         |x AS (SELECT CAST(sum(CAST(round(
         |         (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
         |         * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
         |         / (CAST(na AS DOUBLE) * nb / n) * 1e9, 0) AS BIGINT))
         |         AS BIGINT) AS chi2_nano
-        |      FROM c JOIN ma USING (a) JOIN mb USING (b), tt)
+        |      FROM grid, tt)
         |SELECT tt.n, la.n_a_levels, lb.n_b_levels,
         |       CAST((la.n_a_levels - 1) * (lb.n_b_levels - 1)
         |         AS BIGINT) AS dof,
@@ -6727,6 +6733,115 @@ object SparkEntry {
         |      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)), 0)
         |    AS BIGINT) AS slope_micro
         |FROM q""".stripMargin,
+    // q317: Brier + Murphy decomposition — q257's score/label, exact
+    // micro-unit squared-error sums; the decomposition is defined
+    // over the binned table's truncated integers.
+    "q317_brier" ->
+      """WITH base AS (SELECT
+        |    least(1000000, n_chars * 1000000 // 600) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(s - y * 1000000 AS HUGEINT) * (s - y * 1000000))
+        |      AS se,
+        |    CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
+        |      * 1000000 // count(*) AS BIGINT) AS ybar
+        |  FROM base),
+        |b AS (SELECT least(9, s * 10 // 1000000) AS bin, count(*) AS n,
+        |    CAST(sum(CAST(s AS HUGEINT)) // count(*) AS BIGINT) AS ms,
+        |    CAST(CAST(count(CASE WHEN y = 1 THEN 1 END) AS HUGEINT)
+        |      * 1000000 // count(*) AS BIGINT) AS pp
+        |  FROM base GROUP BY 1),
+        |ba AS (SELECT
+        |    sum(CAST(n AS HUGEINT) * (ms - pp) * (ms - pp)) AS rel,
+        |    sum(CAST(n AS HUGEINT) * (pp - g.ybar) * (pp - g.ybar))
+        |      AS res
+        |  FROM b, g)
+        |SELECT g.n_rows,
+        |  CAST(g.se // (CAST(g.n_rows AS HUGEINT) * 1000000)
+        |    AS BIGINT) AS brier_micro,
+        |  CAST(ba.rel // (CAST(g.n_rows AS HUGEINT) * 1000000)
+        |    AS BIGINT) AS reliability_micro,
+        |  CAST(ba.res // (CAST(g.n_rows AS HUGEINT) * 1000000)
+        |    AS BIGINT) AS resolution_micro,
+        |  CAST(g.ybar * (1000000 - g.ybar) // 1000000 AS BIGINT)
+        |    AS uncertainty_micro
+        |FROM g, ba""".stripMargin,
+    // q318: minimum detectable effect — q213's per-user conversion
+    // aggregate, the literal 2.801585 z-sum, one mirrored √ chain
+    // rounded to ppm, integer powered flag.
+    "q318_ab_mde" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS v, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u),
+        |x AS (SELECT n_a, n_b, conv_a * 1000000 // n_a AS p0_ppm,
+        |    conv_b * 1000000 // n_b - conv_a * 1000000 // n_a
+        |      AS observed_diff_ppm
+        |  FROM o),
+        |x2 AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND p0_ppm > 0
+        |        AND p0_ppm < 1000000 THEN
+        |      CAST(round(2.801585 * sqrt(
+        |        CAST(p0_ppm AS DOUBLE) / 1000000.0
+        |        * (1.0 - CAST(p0_ppm AS DOUBLE) / 1000000.0)
+        |        * (1.0 / n_a + 1.0 / n_b)) * 1000000.0, 0)
+        |        AS BIGINT) END AS mde_ppm
+        |  FROM x)
+        |SELECT n_a, n_b, p0_ppm, observed_diff_ppm, mde_ppm,
+        |  CAST(coalesce(abs(observed_diff_ppm) >= mde_ppm, false)
+        |    AS INTEGER) AS powered
+        |FROM x2""".stripMargin,
+    // q319: Ljung–Box — q217's ACF chain, values re-integerized from
+    // the rounded-6 doubles, per-lag truncating term, DECIMAL fold.
+    "q319_ljung_box" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT l.lag, a.cents AS x, b.cents AS y
+        |       FROM daily a, range(1, 8) l(lag), daily b
+        |       WHERE b.d = a.d + l.lag),
+        |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |       FROM pr GROUP BY 1),
+        |ac AS (SELECT lag,
+        |       CASE WHEN n_pairs >= 2 AND
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0
+        |         THEN round((n * sxy - sx * sy) /
+        |           sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |           + 0.0
+        |       END AS acf
+        |       FROM ag),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |t AS (SELECT CAST(coalesce(sum(
+        |      CASE WHEN acf IS NOT NULL AND n2.nd - lag > 0 THEN
+        |        CAST(round(acf * 1e6, 0) AS BIGINT)
+        |          * CAST(round(acf * 1e6, 0) AS BIGINT)
+        |          // (n2.nd - lag)
+        |      ELSE 0 END), 0) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_lags
+        |  FROM ac, n2)
+        |SELECT n2.nd AS n_days, t.n_lags,
+        |  CAST(CAST(n2.nd AS HUGEINT) * (n2.nd + 2) * t.t // 1000000
+        |    AS BIGINT) AS q_micro
+        |FROM n2, t""".stripMargin,
   )
 
   /** One deterministic LPA superstep — votes from the previous round's

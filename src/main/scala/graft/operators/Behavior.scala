@@ -259,6 +259,54 @@ object Behavior {
     abTestFromState(perUser)
   }
 
+  /** MINIMUM DETECTABLE EFFECT for the two-proportion z-test
+    * ([[abTest]]) — "was this experiment even big enough": at the
+    * standard two-sided α = 0.05 / power 0.80, the detectable
+    * absolute lift is
+    *   MDE = (z_{α/2} + z_β) · √(p₀(1−p₀)·(1/n₀ + 1/n₁))
+    * with z_{α/2} + z_β = 1.959964 + 0.841621 = 2.801585 as an
+    * offline LITERAL (the SPRT micro-nat convention) and p₀ the
+    * exact control conversion ppm. The √ chain is the ONE
+    * fixed-order float (operands mirrored in the oracle), rounded
+    * to integer ppm; `powered` then compares two integers — an
+    * observed |lift| at or above the MDE. The honest companion of
+    * [[abTest]]'s z: a non-significant result on an UNDERPOWERED
+    * experiment is "we can't see effects this small", not "there is
+    * no effect".
+    *
+    * Scale shape: the [[abTest]] (variant, user) aggregate into one
+    * 4-number row; everything after is row-local. */
+  def abTestMde(events: DataFrame, user: String, typeCol: String,
+      convType: String,
+      variant: org.apache.spark.sql.Column): DataFrame = {
+    val one = events
+      .select(variant.as("v"), col(user).as("u"),
+        (col(typeCol) === lit(convType)).cast("int").as("c"))
+      .groupBy(col("v"), col("u")).agg(max(col("c")).as("conv"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
+      .agg(
+        sum(when(col("v") === 0, col("n"))).as("n_a"),
+        sum(when(col("v") === 0, col("conv"))).as("conv_a"),
+        sum(when(col("v") === 1, col("n"))).as("n_b"),
+        sum(when(col("v") === 1, col("conv"))).as("conv_b"))
+    val p = col("p0_ppm").cast("double") / lit(1000000.0)
+    one
+      .withColumn("p0_ppm", expr("conv_a * 1000000 div n_a"))
+      .withColumn("observed_diff_ppm",
+        expr("conv_b * 1000000 div n_b - conv_a * 1000000 div n_a"))
+      .withColumn("mde_ppm",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("p0_ppm") > 0 && col("p0_ppm") < 1000000L,
+          round(lit(2.801585) * sqrt(p * (lit(1.0) - p) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) *
+            lit(1000000.0), 0).cast("long")))
+      .select(col("n_a"), col("n_b"), col("p0_ppm"),
+        col("observed_diff_ppm"), col("mde_ppm"),
+        coalesce((abs(col("observed_diff_ppm")) >= col("mde_ppm"))
+          .cast("int"), lit(0)).as("powered"))
+  }
+
   /** CUPED-ADJUSTED WELCH t (Deng, Xu, Kohavi & Walker, "Improving the
     * sensitivity of online controlled experiments by utilizing
     * pre-experiment data", WSDM 2013) — the industry-standard

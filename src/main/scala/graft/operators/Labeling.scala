@@ -907,6 +907,57 @@ object Labeling {
         col("mce_ppm"))
   }
 
+  /** BRIER SCORE + MURPHY DECOMPOSITION (Brier 1950; Murphy 1973) —
+    * the squared-error score of a ppm probability against a binary
+    * label, with the reliability / resolution split over the
+    * [[calibrationBins]] table: all exact integers in MICRO units
+    * (score·10⁶):
+    *   brier_micro       = Σ (s − y·10⁶)² div (N·10⁶),
+    *   reliability_micro = Σ n_b·(conf_b − acc_b)² div (N·10⁶),
+    *   resolution_micro  = Σ n_b·(acc_b − ȳ_ppm)² div (N·10⁶),
+    *   uncertainty_micro = ȳ_ppm·(10⁶ − ȳ_ppm) div 10⁶,
+    * with ȳ_ppm the exact global positive rate and conf/acc the bins
+    * table's truncated integers — the decomposition is DEFINED over
+    * the binned table (Murphy's identity brier = rel − res + unc
+    * holds only up to within-bin variance, as always under binning).
+    * Where [[calibrationError]] reports |gaps| (ECE/MCE), this is the
+    * proper-scoring-rule view: resolution says whether the score
+    * RANKS, reliability whether it is HONEST.
+    *
+    * Scale shape: two corpus aggregates (global + bins) + one
+    * bins-sized fold. */
+  def brierDecomposition(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .select(scorePpm.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val glob = base.agg(count(lit(1)).as("n_rows"),
+        sum(dec((col("s") - col("y") * 1000000L)) *
+          (col("s") - col("y") * 1000000L)).as("se"),
+        expr("cast(cast(count(if(y = 1, 1, null)) as decimal(38,0))" +
+          " * 1000000 div count(1) as bigint)").as("ybar_ppm"))
+    val binAgg = calibrationBins(df, scorePpm, label, bins)
+      .crossJoin(broadcast(glob.select(col("ybar_ppm"))))
+      .agg(
+        sum(dec(col("n")) *
+          (col("mean_score_ppm") - col("pos_ppm")) *
+          (col("mean_score_ppm") - col("pos_ppm"))).as("rel"),
+        sum(dec(col("n")) *
+          (col("pos_ppm") - col("ybar_ppm")) *
+          (col("pos_ppm") - col("ybar_ppm"))).as("res"))
+    glob.crossJoin(broadcast(binAgg))
+      .select(col("n_rows"),
+        expr("cast(se div (cast(n_rows as decimal(38,0)) * 1000000)" +
+          " as bigint)").as("brier_micro"),
+        expr("cast(rel div (cast(n_rows as decimal(38,0)) * 1000000)" +
+          " as bigint)").as("reliability_micro"),
+        expr("cast(res div (cast(n_rows as decimal(38,0)) * 1000000)" +
+          " as bigint)").as("resolution_micro"),
+        expr("cast(ybar_ppm * (1000000 - ybar_ppm) div 1000000" +
+          " as bigint)").as("uncertainty_micro"))
+  }
+
   /** ISOTONIC (PAV) CALIBRATION over the [[calibrationBins]] table —
     * the monotone recalibration map (Zadrozny & Elkan, KDD 2002) that
     * turns a raw score into a probability: the pool-adjacent-violators

@@ -932,12 +932,16 @@ object Profiling {
     * Determinism (the q197/q215 recipe): all counts are exact
     * integers; each cell's contribution is ONE double expression in a
     * fixed operand order, rounded to integer NANO units before the
-    * exact long sum — replays identically on any engine. Output one
-    * row: n, n_a_levels, n_b_levels, dof, chi2_nano.
+    * exact long sum — replays identically on any engine. The sum runs
+    * over the FULL levels × levels grid (round 14): an UNOBSERVED
+    * cell still owes its expected mass — (0 − exp)²/exp = exp — so
+    * the margins cross-join and the observed counts left-join in;
+    * summing observed cells only understates χ² on sparse tables.
+    * Output one row: n, n_a_levels, n_b_levels, dof, chi2_nano.
     *
     * Scale shape: one (a, b) cell aggregate (map-side partials), two
     * marginal reductions of the CELLS frame (never the data), and a
-    * cells-sized final sum. */
+    * grid-sized (|A|·|B|-bounded) final sum. */
   def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String,
       lazyPlan: Boolean = false): DataFrame = {
     val cells0 = df
@@ -957,7 +961,9 @@ object Profiling {
     // mirrored verbatim in the oracle SQL, rounded to nano PRE-sum
     val exp_ = col("na").cast("double") * col("nb") / col("n")
     val diff = col("nab").cast("double") - exp_
-    val chi = cells.join(ma, "a").join(mb, "b")
+    val chi = ma.crossJoin(mb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("nab", coalesce(col("nab"), lit(0L)))
       .crossJoin(broadcast(tot))
       .agg(sum(round(diff * diff / exp_ * 1e9, 0).cast("long"))
         .as("chi2_nano"))

@@ -707,6 +707,44 @@ object TimeSeries {
       lit(minS).as("min_slope_micro"), lit(maxS).as("max_slope_micro"))
   }
 
+  /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box, Biometrika 1978) over
+    * [[autocorrelation]]'s daily-cents ACF — "is the series white
+    * noise at all lags up to maxLag", the one-number companion of
+    * q217's per-lag table (the residual-diagnostics gate every
+    * forecast backtest should run). Engine-exact via re-integerization:
+    * the ACF values are ALREADY rounded to 6 decimals, so
+    * ρ_micro = round(acf·10⁶) is exact in both engines, each lag's
+    * term ρ_micro² div (n − k) is one truncating division, and
+    * Q_micro = n(n+2)·Σ terms div 10⁶ runs in DECIMAL(38,0) — the
+    * statistic is DEFINED over the rounded ACF (documented; the
+    * difference from the unrounded form is below the reporting
+    * precision). Degenerate lags (NULL acf, or k ≥ n) contribute
+    * zero. The χ²(maxLag) p-value needs only (q_micro, n_lags) —
+    * left to the caller, the [[Behavior.ksTest]] convention.
+    *
+    * Scale shape: [[autocorrelation]]'s calendar-bounded lag table +
+    * one maxLag-row aggregate. */
+  def ljungBox(df: DataFrame, ts: String, value: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag")
+    val n = df
+      .select(Behavior.epochDay(col(ts)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"))
+    autocorrelation(df, ts, value, maxLag)
+      .crossJoin(broadcast(n))
+      .withColumn("rho_micro",
+        round(col("acf") * 1e6, 0).cast("long"))
+      .withColumn("term", when(
+        col("rho_micro").isNotNull && col("n") - col("lag") > 0,
+        expr("rho_micro * rho_micro div (n - lag)")).otherwise(0L))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("n_lags"),
+        sum(col("term")).as("t"))
+      .select(col("n_days"), col("n_lags"),
+        expr("cast(cast(n_days as decimal(38,0)) * (n_days + 2) * t" +
+          " div 1000000 as bigint)").as("q_micro"))
+  }
+
   /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) over the same
     * daily cents series as [[theilSenTrend]] — the nonparametric "is
     * there a monotone trend AT ALL" significance companion of

@@ -3586,6 +3586,38 @@ object NorthStar {
   def corpusZipfSlope(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.zipfSlope(Tables.documents(spark, d), 40)
 
+  /** X17 Brier + Murphy decomposition ([[graft.operators.Labeling
+    * .brierDecomposition]]): the proper-scoring-rule view of q257's
+    * score/label pair — exact micro-unit brier, reliability,
+    * resolution, uncertainty (decomposition defined over the binned
+    * table, as always). */
+  def lengthBrier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.brierDecomposition(Tables.documents(spark, d),
+      least(lit(1000000L), expr("n_chars * 1000000 div 600")),
+      ($"lang" === "en").cast("int"), 10)
+  }
+
+  /** X15 minimum detectable effect ([[graft.operators.Behavior
+    * .abTestMde]]): was q213's purchase experiment big enough —
+    * MDE at α=0.05/power 0.80 from the literal 2.801585 z-sum, the
+    * one √ chain rounded to ppm, and the integer powered flag. */
+  def purchaseMde(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.abTestMde(Tables.events(spark, d), "user_id",
+      "event_type", "purchase", pmod($"user_id", lit(2L)))
+  }
+
+  /** X16 Ljung–Box white-noise test ([[graft.operators.TimeSeries
+    * .ljungBox]]): Q over q217's 7-lag revenue ACF, re-integerized
+    * from the rounded-6 values — the one-number residual diagnostic
+    * beside the per-lag table. */
+  def revenueLjungBox(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.ljungBox(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice", 7)
+  }
+
   /** X13 degree-capped HITS ([[graft.operators.Graph
     * .hitsTopAuthorities]]): q296's customer→supplier graph pruned to
     * the edges into the top-10 in-degree authorities BEFORE

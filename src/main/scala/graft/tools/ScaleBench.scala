@@ -194,7 +194,10 @@ object ScaleBench {
         // vs q296's 78.6 s full-graph row)
         "q312_mann_kendall", "q313_calibration_error",
         "q314_stratified_sample", "q315_zipf_slope",
-        "q316_hits_capped")
+        "q316_hits_capped",
+        // round-14 batch 3: Brier decomposition + MDE (corpus
+        // aggregates), Ljung–Box (q217's calendar-bounded lag table)
+        "q317_brier", "q318_ab_mde", "q319_ljung_box")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2772,6 +2772,81 @@ class NorthStarSpec extends SparkSpec {
     assert(!nodes.contains(300L) && nodes.contains(100L))
   }
 
+  test("brierDecomposition: hand-traced micro units; Murphy identity " +
+      "holds when within-bin variance is zero") {
+    import spark.implicits._
+    // the calibrationError fixture: se = 2·10¹⁰ + 2·2.5·10⁹ →
+    // brier = 6250 micro; ybar = 500000 → unc = 250000;
+    // rel = 6250, res = 250000 → brier = rel − res + unc exactly
+    val df = Seq((100000L, 0), (100000L, 0), (950000L, 1),
+      (950000L, 1)).toDF("s", "y")
+    val got = Labeling.brierDecomposition(df, $"s", $"y", 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((4L, 6250L, 6250L, 250000L, 250000L)))
+    val (_, brier, rel, res, unc) = got
+    assert(brier == rel - res + unc)
+  }
+
+  test("abTestMde: hand-traced MDE ppm and powered flag; degenerate " +
+      "baselines give NULL MDE and powered=0") {
+    import spark.implicits._
+    def at(s: Long) = new java.sql.Timestamp(s * 1000)
+    // arm0 (even ids): 4 users, 1 converts → p0 = 250000;
+    // arm1: 4 users, 2 convert → diff = +250000
+    val ev = (1L to 8L).map(u => (u, at(u),
+      if (u == 2L || u == 1L || u == 3L) "purchase" else "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.abTestMde(ev, "user_id", "event_type",
+        "purchase", pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Option[Long], Int)].collect().head
+    val mde = math.round(2.801585 * math.sqrt(
+      250000.0 / 1000000.0 * (1.0 - 250000.0 / 1000000.0) *
+        (1.0 / 4 + 1.0 / 4)) * 1000000.0)
+    assert(got == ((4L, 4L, 250000L, 250000L, Some(mde), 0)))
+    assert(mde > 800000 && mde < 900000) // n=4/arm sees only huge lifts
+    // all-converting control: p0 = 1e6 → MDE undefined, never powered
+    val all = (1L to 4L).map(u => (u, at(u), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val g2 = Behavior.abTestMde(all, "user_id", "event_type",
+        "purchase", pmod($"user_id", lit(2L)))
+      .as[(Long, Long, Long, Long, Option[Long], Int)].collect().head
+    assert(g2._5.isEmpty && g2._6 == 0)
+  }
+
+  test("ljungBox: Q matches an exact scalar replay over the rounded " +
+      "ACF; white-noise-ish Q is small") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0,
+      5.0, 8.0, 9.0, 7.0, 9.0, 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (at(i.toLong), v) }
+      .toDF("ts", "v")
+    val acfs = TimeSeries.autocorrelation(df, "ts", $"v", 4)
+      .orderBy($"lag").as[(Int, Long, Option[Double])].collect()
+    val n = BigInt(vals.size)
+    val t = acfs.map { case (lag, _, acf) =>
+      acf.map(a => BigInt(math.round(a * 1e6)).pow(2) /
+        (n - lag)).getOrElse(BigInt(0))
+    }.sum
+    val expect = (n * (n + 2) * t / 1000000).toLong
+    val got = TimeSeries.ljungBox(df, "ts", $"v", 4)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((16L, 4L, expect)))
+  }
+
+  test("chiSquareIndependence charges unobserved grid cells their " +
+      "expected mass (2x2 with one empty cell = 0.75 exactly)") {
+    import spark.implicits._
+    // (A,x), (A,y), (B,x); (B,y) unobserved. True chi2 =
+    // N(ad-bc)^2 / (r1 r2 c1 c2) = 3/4; per-cell nano terms
+    // 83333333 + 166666667 + 166666667 + 333333333 = 750000000 —
+    // summing observed cells only would read 416666667.
+    val df = Seq(("A", "x"), ("A", "y"), ("B", "x")).toDF("u", "w")
+    val got = Profiling.chiSquareIndependence(df, "u", "w")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 2L, 2L, 1L, 750000000L)))
+  }
+
   test("benfordScreen digits from cents strings; absent digits n=0") {
     import spark.implicits._
     // cents: 100→1, 250→2, 19→1, 999→9; -5.0 and 0.001 (rounds to 0)
