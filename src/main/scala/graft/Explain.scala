@@ -103,7 +103,11 @@ object Explain {
       "q300_positional_attribution", "q301_rmst",
       "q302_ranking_metrics", "q303_bootstrap_ci", "q304_keyness",
       "q305_ds_multiclass", "q306_sprt_append", "q307_vocab_state",
-      "q308_nelson_aalen")
+      "q308_nelson_aalen", "q309_ivf_ranking", "q310_fh_logrank",
+      "q311_survival_state", "q312_mann_kendall",
+      "q313_calibration_error", "q314_stratified_sample",
+      "q315_zipf_slope", "q316_hits_capped", "q317_brier",
+      "q318_ab_mde", "q319_ljung_box")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -227,6 +231,41 @@ object Explain {
         "plan; shown below is the distributed stage — ONE corpus scan " +
         "scoring all broadcast queries with the per-qid rank-window " +
         "pool cut (WindowGroupLimit partial heaps)."),
+      "q298_lpa_communities" -> ("Dedup-first composition (round " +
+        "14): the text-keyed span window + exact collapse pin once " +
+        "(persist), the distinct-corpus LPA iterates localCheckpoint-" +
+        "pinned supersteps (q296's regime), and the output re-expands " +
+        "through the dup mapping with an eager pin before the cache " +
+        "releases — shown below is the final expanded/ordered read of " +
+        "that pinned result."),
+      "q309_ivf_ranking" -> ("The trained quantizer reads from the " +
+        "PERSISTED q186 codebook (IndexStore; zero training jobs in " +
+        "steady state) and the assigned corpus pins eagerly — the " +
+        "stored-IVF-index shape; left lazy, the k-literal argmin " +
+        "re-evaluates per candidate row inside the probe joins where " +
+        "oversized codegen drops to interpreted mode (measured 40x at " +
+        "100x). Shown below is the serving tail: broadcast probe " +
+        "join, cell-pruned scoring, and the literal-discount metric " +
+        "aggregate."),
+      "q310_fh_logrank" -> ("The pooled-KM weight table is the q227 " +
+        "driver recurrence (calendar-bounded literals); shown below " +
+        "is the distributed core — the arm risk table (one reverse " +
+        "cumsum over the span-state lifetimes) joined to the literal " +
+        "weights into the weighted-moment aggregate."),
+      "q311_survival_state" -> ("The KM readout folds the merged " +
+        "span state's calendar-bounded histogram on the driver " +
+        "(q227's contract), so the returned frame is driver " +
+        "literals; shown below is the distributed stage — the two " +
+        "batch span states merged per user."),
+      "q312_mann_kendall" -> ("The daily cents aggregate pins " +
+        "eagerly (three consumers: pair join, tie histogram, count); " +
+        "shown below is the plan over that pinned frame — the " +
+        "calendar-bounded broadcast pair join folding into the 1-row " +
+        "sign sum plus the tie/variance algebra."),
+      "q316_hits_capped" -> ("q296's iterative superstep regime " +
+        "over the PRUNED edge set (in-degree top-K broadcast " +
+        "semi-join runs before the loop); the dump below is the " +
+        "final join of the converged authority/hub checkpoints."),
       "q250_dup_kcore" -> ("The peel iterates to a fixpoint " +
         "(fail-fast within maxRounds, each round localCheckpoint'd " +
         "like a PageRank superstep), so the full query is not one " +
