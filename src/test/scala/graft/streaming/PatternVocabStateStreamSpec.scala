@@ -56,6 +56,58 @@ class PatternVocabStateStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(dir) == v)
   }
 
+  test("SurvivalStateStream: streamed span state drives every survival " +
+      "readout identically to the full log; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("survstate").toString + "/t"
+    val arm = org.apache.spark.sql.functions.pmod(
+      col("user_id"), org.apache.spark.sql.functions.lit(2L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("user_id", "day")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(col("day") * 86400L))
+      .writeStream
+      .foreachBatch(
+        SurvivalStateStream.sink(dir, "user_id", "ts", "surv", arm) _)
+      .start()
+    // spans straddle batches: users re-appear with later days
+    val b1 = (1L to 12L).map(u => (u, u % 4))
+    val b2 = (1L to 12L).filter(_ % 2 == 0).map(u => (u, u % 4 + 3))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("user_id", "day")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(col("day") * 86400L))
+    val state = ManifestTable.read(spark, dir)._2
+    def r(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
+    assert(r(state) ==
+      r(graft.operators.Behavior.survivalSpanState(all, "user_id",
+        "ts", arm)))
+    assert(r(graft.operators.Behavior.survivalCurveFromState(state, 2))
+      == r(graft.operators.Behavior.survivalCurve(all, "user_id",
+        "ts", 2)))
+    assert(r(graft.operators.Behavior.logRankFromState(state, 2)) ==
+      r(graft.operators.Behavior.logRankTest(all, "user_id", "ts", 2,
+        arm)))
+    assert(r(graft.operators.Behavior
+        .flemingHarringtonFromState(state, 2)) ==
+      r(graft.operators.Behavior.flemingHarringtonTest(all, "user_id",
+        "ts", 2, arm)))
+    // replayed batch: version frozen, state identical
+    val v = ManifestTable.currentVersion(dir)
+    SurvivalStateStream.sink(dir, "user_id", "ts", "surv", arm)(
+      b1.toDF("user_id", "day").withColumn("ts",
+        org.apache.spark.sql.functions
+          .timestamp_seconds(col("day") * 86400L)), 0L)
+    assert(ManifestTable.currentVersion(dir) == v)
+    assert(r(ManifestTable.read(spark, dir)._2) == r(state))
+  }
+
   test("VocabStateStream: streamed curve == vocabGrowth over the full " +
       "corpus; replay is a no-op on BOTH state dirs") {
     import spark.implicits._
