@@ -340,6 +340,7 @@ object SparkEntry {
     "q317_brier" -> (NorthStar.lengthBrier _),
     "q318_ab_mde" -> (NorthStar.purchaseMde _),
     "q319_ljung_box" -> (NorthStar.revenueLjungBox _),
+    "q320_stratified_logrank" -> (NorthStar.churnStratifiedLogRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6644,6 +6645,54 @@ object SparkEntry {
     // state readout must equal q227's one-pass KM curve over the
     // full log (shared SQL constant — the q290/q306 seam convention).
     "q311_survival_state" -> survivalCurveSql,
+    // q320: stratified log-rank — q293's moment chain per user_id%3
+    // stratum (risk cumsums PARTITION BY s), summed into one z.
+    "q320_stratified_logrank" ->
+      """WITH days AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(user_id % 2 AS INT) AS g,
+        |    CAST(user_id % 3 AS INT) AS s FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l, max(g) AS g,
+        |        max(s) AS s
+        |      FROM days GROUP BY 1),
+        |lt AS (SELECT s, g, l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |h AS (SELECT s, t,
+        |    sum(CASE WHEN g = 1 THEN dead ELSE 0 END) AS d1,
+        |    sum(CASE WHEN g = 1 THEN 1 - dead ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g <> 1 THEN dead ELSE 0 END) AS d0,
+        |    sum(CASE WHEN g <> 1 THEN 1 - dead ELSE 0 END) AS c0
+        |  FROM lt GROUP BY 1, 2),
+        |r AS (SELECT s, t, d1, d0,
+        |    sum(d1 + c1) OVER (PARTITION BY s ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(d0 + c0) OVER (PARTITION BY s ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        |  FROM h),
+        |c AS (SELECT d1, d0 + d1 AS dd, n0 + n1 AS nn, n1, n0
+        |      FROM r WHERE d0 + d1 > 0 AND n0 + n1 >= 2),
+        |mo AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(CAST(dd AS HUGEINT) * n1 * 1000000 // nn)
+        |      AS BIGINT) AS e1_ppm,
+        |    CAST(sum(CAST(dd AS HUGEINT) * n1 * n0 * (nn - dd)
+        |        * 1000000000000
+        |        // (CAST(nn AS HUGEINT) * nn * (nn - 1)))
+        |      AS BIGINT) AS v_ppt
+        |  FROM c),
+        |tot AS (SELECT
+        |    CAST(count(DISTINCT s) AS BIGINT) AS n_strata,
+        |    CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0_users,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_users
+        |  FROM lt)
+        |SELECT n_strata, n0_users, n1_users, o1, e1_ppm, v_ppt,
+        |  CASE WHEN v_ppt > 0 THEN
+        |    CAST(o1 * 1000000 - e1_ppm AS DOUBLE) / sqrt(CAST(v_ppt
+        |      AS DOUBLE)) END AS z
+        |FROM mo, tot""".stripMargin,
     // q312: Mann–Kendall — q228's daily cents series, S as the exact
     // pairwise sign sum, tie-corrected 18·Var integer, z with the
     // continuity correction the one float (operand order mirrored).

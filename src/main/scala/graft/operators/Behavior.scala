@@ -1914,6 +1914,73 @@ object Behavior {
             sqrt(col("v_ppt").cast("double"))).as("z"))
   }
 
+  /** STRATIFIED LOG-RANK — the Mantel–Cox test with the comparison
+    * made WITHIN strata and the hypergeometric moments SUMMED across
+    * them (the standard confounder control: if arm assignment is
+    * imbalanced across cohorts/regions/platforms, the unstratified
+    * q293 form attributes the cohort effect to the arm; stratifying
+    * compares like with like and still yields one z). Same
+    * lifetime/censoring model and exact-integer moment convention as
+    * [[logRankTest]] (E in ppm, V in ppt, DECIMAL(38,0) numerators;
+    * z the one float); `stratum` is any per-user-constant expression
+    * (per-user max, the arm contract), NULL rows dropping under the
+    * family null contract. The censor horizon is GLOBAL (one
+    * observation window), only the risk sets are per-stratum.
+    *
+    * Scale shape: one key-sized (user → span, arm, stratum)
+    * aggregate, a (stratum × calendar)-bounded per-day table whose
+    * reverse-cumsum risk window is PARTITIONED BY STRATUM (strata are
+    * the parallel grain — this query never sees even the
+    * calendar-bounded single partition q293 tolerates), one 1-row
+    * moment sum. */
+  def stratifiedLogRank(events: DataFrame, user: String, ts: String,
+      censorDays: Int, arm: org.apache.spark.sql.Column,
+      stratum: org.apache.spark.sql.Column): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val days = events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
+        arm.cast("int").as("g"), stratum.cast("int").as("s"))
+      .filter(col("u").isNotNull && col("d").isNotNull &&
+        col("g").isNotNull && col("s").isNotNull)
+    val st = days.groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"),
+        max(col("g")).as("g"), max(col("s")).as("s"))
+    val lt = st.crossJoin(broadcast(st.agg(max(col("l")).as("m"))))
+      .select(col("s"), col("g"), (col("l") - col("f")).as("t"),
+        (col("m") - col("l") >= censorDays).cast("int").as("dead"))
+    val hist = lt.groupBy(col("s"), col("t")).agg(
+      sum(when(col("g") === 1, col("dead")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c1"),
+      sum(when(col("g") =!= 1, col("dead")).otherwise(0L)).as("d0"),
+      sum(when(col("g") =!= 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c0"))
+    val w = Window.partitionBy(col("s")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = hist
+      .withColumn("n1", sum(col("d1") + col("c1")).over(w))
+      .withColumn("n0", sum(col("d0") + col("c0")).over(w))
+      .withColumn("dd", col("d0") + col("d1"))
+      .withColumn("nn", col("n0") + col("n1"))
+      .filter(col("dd") > 0 && col("nn") >= 2)
+    val moments = risk.agg(
+      sum(col("d1")).as("o1"),
+      sum(expr("dd * cast(n1 as decimal(38,0)) * 1000000 div nn"))
+        .cast("long").as("e1_ppm"),
+      sum(expr("dd * cast(n1 as decimal(38,0)) * n0 * (nn - dd) * " +
+        "1000000000000 div (cast(nn as decimal(38,0)) * nn * (nn - 1))"))
+        .cast("long").as("v_ppt"))
+    val totals = lt.agg(
+      countDistinct(col("s")).as("n_strata"),
+      sum(when(col("g") =!= 1, 1L).otherwise(0L)).as("n0_users"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1_users"))
+    moments.crossJoin(broadcast(totals))
+      .select(col("n_strata"), col("n0_users"), col("n1_users"),
+        col("o1"), col("e1_ppm"), col("v_ppt"),
+        when(col("v_ppt") > 0,
+          (col("o1") * 1000000L - col("e1_ppm")).cast("double") /
+            sqrt(col("v_ppt").cast("double"))).as("z"))
+  }
+
   /** FLEMING–HARRINGTON G(ρ=1, γ=0) WEIGHTED log-rank (Fleming &
     * Harrington 1981; the Peto–Peto-family weight) — the
     * EARLY-difference-sensitive companion of [[logRankTest]]: each

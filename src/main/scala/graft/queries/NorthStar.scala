@@ -3618,6 +3618,18 @@ object NorthStar {
       $"o_totalprice", 7)
   }
 
+  /** X15 stratified log-rank ([[graft.operators.Behavior
+    * .stratifiedLogRank]]): q293's arm comparison made WITHIN
+    * user_id mod 3 strata, hypergeometric moments summed across
+    * them — the confounder-controlled form whose risk window is
+    * partitioned by stratum. */
+  def churnStratifiedLogRank(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    Behavior.stratifiedLogRank(Tables.events(spark, d), "user_id",
+      "ts", 14, pmod($"user_id", lit(2L)), pmod($"user_id", lit(3L)))
+  }
+
   /** X13 degree-capped HITS ([[graft.operators.Graph
     * .hitsTopAuthorities]]): q296's customer→supplier graph pruned to
     * the edges into the top-10 in-degree authorities BEFORE

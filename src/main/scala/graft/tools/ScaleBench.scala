@@ -197,7 +197,10 @@ object ScaleBench {
         "q316_hits_capped",
         // round-14 batch 3: Brier decomposition + MDE (corpus
         // aggregates), Ljung–Box (q217's calendar-bounded lag table)
-        "q317_brier", "q318_ab_mde", "q319_ljung_box")
+        "q317_brier", "q318_ab_mde", "q319_ljung_box",
+        // stratified log-rank (per-stratum risk windows — strata are
+        // the parallel grain)
+        "q320_stratified_logrank")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

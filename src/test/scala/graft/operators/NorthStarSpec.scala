@@ -2336,6 +2336,39 @@ class NorthStarSpec extends SparkSpec {
         evNo9, "user_id", "ts", 2, armAll)))
   }
 
+  test("stratifiedLogRank: within-stratum risk sets (hand trace); " +
+      "constant stratum degenerates to logRankTest") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // the logRankTest fixture split into strata {u1,u2} / {u3,u4}:
+    // stratum 1 day 0: n1=1 n0=1 d=1 → e1 = 500000, v = 2.5e11
+    // stratum 0 day 1: n1=1 n0=1 d=1 → e1 = 500000, v = 2.5e11
+    // → o1 = 0, e1 = 1000000, v = 5e11 (vs unstratified 1166666 /
+    // 4.72e11 — the strata rebalance the risk sets)
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2)),
+      (4L, at(0)), (4L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Behavior.stratifiedLogRank(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)), ($"user_id" <= 2).cast("int"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toList
+    assert(got == List((2L, 2L, 2L, 0L, 1000000L, 500000000000L,
+      Some(-1000000.0 / math.sqrt(500000000000.0)))))
+    // one stratum = the plain log-rank (column-for-column)
+    val strat1 = Behavior.stratifiedLogRank(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)), lit(0))
+      .select("n0_users", "n1_users", "o1", "e1_ppm", "v_ppt", "z")
+      .collect().map(_.toSeq).toList
+    val plain = Behavior.logRankTest(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)))
+      .select("n0_users", "n1_users", "o1", "e1_ppm", "v_ppt", "z")
+      .collect().map(_.toSeq).toList
+    assert(strat1 == plain)
+  }
+
   test("sprtConversion: h1 crossing at the exact trial; continue arm " +
       "reports its final walk") {
     import spark.implicits._
