@@ -341,6 +341,8 @@ object SparkEntry {
     "q318_ab_mde" -> (NorthStar.purchaseMde _),
     "q319_ljung_box" -> (NorthStar.revenueLjungBox _),
     "q320_stratified_logrank" -> (NorthStar.churnStratifiedLogRank _),
+    "q321_personalized_pagerank" -> (NorthStar.buildingSegmentPpr _),
+    "q322_dow_profile" -> (NorthStar.revenueDowProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6645,6 +6647,74 @@ object SparkEntry {
     // state readout must equal q227's one-pass KM curve over the
     // full log (shared SQL constant — the q290/q306 seam convention).
     "q311_survival_state" -> survivalCurveSql,
+    // q321: personalized PageRank — q153's chain with the teleport
+    // mass restarted at the BUILDING-segment seed customers (tele =
+    // 150000·N div |S| on seeds, init = 1000000·N div |S|), three
+    // unrolled supersteps, all-integer.
+    "q321_personalized_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey + 1000000000 AS BIGINT) AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sd AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node
+        |       FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |n AS (SELECT node, CASE WHEN node IN (SELECT node FROM sd)
+        |        THEN 1 ELSE 0 END AS seed
+        |      FROM (SELECT src AS node FROM e
+        |            UNION SELECT dst FROM e)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(seed) AS BIGINT) AS ns FROM n),
+        |wt AS (SELECT node,
+        |    CASE WHEN seed = 1 THEN 150000 * st.nn // st.ns
+        |         ELSE 0 END AS tele,
+        |    CASE WHEN seed = 1 THEN 1000000 * st.nn // st.ns
+        |         ELSE 0 END AS r
+        |  FROM n, st),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |c1 AS (SELECT e.dst AS node,
+        |         CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN wt r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT wt.node, wt.tele, CAST(wt.tele +
+        |         (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT)
+        |         AS r
+        |       FROM wt LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node,
+        |         CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT r1.node, r1.tele, CAST(r1.tele +
+        |         (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT)
+        |         AS r
+        |       FROM r1 LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node,
+        |         CAST(sum(r.r // od.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT r2.node, CAST(r2.tele +
+        |         (850000 * coalesce(c3.s, 0)) // 1000000 AS BIGINT)
+        |         AS r
+        |       FROM r2 LEFT JOIN c3 USING (node))
+        |SELECT node, r FROM r3
+        |ORDER BY r DESC, node LIMIT 50""".stripMargin,
+    // q322: weekly seasonal index — per (epoch-day + 3) mod 7 weekday,
+    // cross-multiplied exact-ppm mean-vs-overall-mean.
+    "q322_dow_profile" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT (d + 3) % 7 AS dow,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(c) AS BIGINT) AS cents
+        |      FROM daily GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_days) AS BIGINT) AS n_all,
+        |        CAST(sum(cents) AS BIGINT) AS c_all FROM b)
+        |SELECT CAST(b.dow AS BIGINT) AS dow, b.n_days, b.cents,
+        |  CAST(CAST(b.cents AS HUGEINT) * t.n_all * 1000000
+        |    // (CAST(t.c_all AS HUGEINT) * b.n_days) AS BIGINT)
+        |    AS seasonal_ppm
+        |FROM b, t ORDER BY dow""".stripMargin,
     // q320: stratified log-rank — q293's moment chain per user_id%3
     // stratum (risk cumsums PARTITION BY s), summed into one z.
     "q320_stratified_logrank" ->

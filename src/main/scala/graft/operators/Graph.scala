@@ -67,6 +67,69 @@ object Graph {
     rank
   }
 
+  /** PERSONALIZED PAGERANK in integer MICRO-units — [[pageRankMicro]]
+    * with the teleport mass directed at a SEED SET instead of spread
+    * uniformly (Page et al. 1999 §6; the "related to THESE nodes"
+    * serving form behind people-also-bought / similar-suppliers):
+    * seeds restart with 150000·N div |S| micro each (total teleport
+    * mass preserved vs the uniform form, so magnitudes stay
+    * comparable), non-seeds restart with 0, and the damped walk
+    * spreads relevance outward. Same exact-integer regime as
+    * [[pageRankMicro]]: init = the teleport distribution, per-step
+    * r = tele + (850000·Σ in-contrib) div 10⁶, every division
+    * truncating on non-negatives — engine-replayable CTE-by-CTE.
+    * Seeds arrive as a DataFrame (`node` column) — the realistic
+    * serving shape (a segment, a watchlist), broadcast as a flag
+    * onto the node table; seeds without an edge are ignored (they
+    * are not in the graph).
+    *
+    * Scale shape: [[pageRankMicro]]'s exactly — edges pinned
+    * partitioned on src once, supersteps shuffle only node-sized
+    * frames; the seed flag is one broadcast semi-join at init. */
+  def personalizedPageRankMicro(edges: DataFrame, seeds: DataFrame,
+      iters: Int, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(sd.withColumn("seed", lit(1))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
+      .localCheckpoint()
+    val stats = nodes.agg(count(lit(1)).as("n_nodes"),
+      sum(col("seed")).cast("long").as("n_seeds"))
+    require(stats.collect()(0).getLong(1) > 0,
+      "personalizedPageRankMicro: no seed appears in the graph")
+    val withTele = nodes.crossJoin(broadcast(stats))
+      .select(col("node"),
+        when(col("seed") === 1,
+          expr("150000L * n_nodes div n_seeds")).otherwise(0L)
+          .as("tele"),
+        when(col("seed") === 1,
+          expr("1000000L * n_nodes div n_seeds")).otherwise(0L)
+          .as("r0"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // init = the teleport distribution scaled to full rank mass
+    var rank = withTele.select(col("node"), col("r0").as("r"))
+    for (_ <- 1 to iters) {
+      val sending = rank.withColumnRenamed("node", "src")
+        .join(outdeg, "src")
+        .select(col("src"), expr("r div outdeg").as("c"))
+      val contrib = e.join(sending.hint("SHUFFLE_HASH"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      rank = withTele.join(contrib, Seq("node"), "left")
+        .select(col("node"), (col("tele") +
+          expr("(850000 * coalesce(s, 0L)) div 1000000")).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** HITS hubs & authorities in integer MICRO-units — Kleinberg's
     * mutual-reinforcement pair beside [[pageRankMicro]]'s single rank:
     * an authority is pointed at by good hubs, a hub points at good

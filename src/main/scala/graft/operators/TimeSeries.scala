@@ -707,6 +707,38 @@ object TimeSeries {
       lit(minS).as("min_slope_micro"), lit(maxS).as("max_slope_micro"))
   }
 
+  /** DAY-OF-WEEK SEASONAL PROFILE — the weekly seasonal index of the
+    * daily cents series: per weekday (0 = Monday; epoch day 0 was a
+    * Thursday, so dow = (d + 3) mod 7), the mean daily total
+    * relative to the overall mean daily total in EXACT ppm,
+    *   idx_ppm = (Σ_dow cents · n_days_all · 10⁶)
+    *             div (Σ_all cents · n_days_dow)
+    * (DECIMAL(38,0) numerators — one cross-multiplied truncating
+    * division, never two float means). 10⁶ = an average day;
+    * the classical seasonal-naive/STL first factor and the weekly
+    * companion of [[autocorrelation]]'s lag-7 reading — if acf(7) is
+    * high, THIS table says which days carry it.
+    *
+    * Scale shape: one key-sized day aggregate, one 7-row aggregate,
+    * one 1-row total broadcast. */
+  def dayOfWeekProfile(df: DataFrame, ts: String,
+      value: Column): DataFrame = {
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+    val byDow = daily
+      .groupBy(pmod(col("d") + 3, lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("cents"))
+    val tot = byDow.agg(sum(col("n_days")).as("n_all"),
+      sum(col("cents")).as("c_all"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("cents"),
+        expr("cast(cast(cents as decimal(38,0)) * n_all * 1000000" +
+          " div (cast(c_all as decimal(38,0)) * n_days) as bigint)")
+          .as("seasonal_ppm"))
+  }
+
   /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box, Biometrika 1978) over
     * [[autocorrelation]]'s daily-cents ACF — "is the series white
     * noise at all lags up to maxLag", the one-number companion of

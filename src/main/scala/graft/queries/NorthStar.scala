@@ -3618,6 +3618,37 @@ object NorthStar {
       $"o_totalprice", 7)
   }
 
+  /** X16 weekly seasonal profile ([[graft.operators.TimeSeries
+    * .dayOfWeekProfile]]): per weekday, exact-ppm mean daily revenue
+    * vs the overall mean — the first seasonal factor, and the
+    * which-days answer behind q217's lag-7 autocorrelation. */
+  def revenueDowProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.dayOfWeekProfile(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice").orderBy($"dow")
+  }
+
+  /** X13 personalized PageRank ([[graft.operators.Graph
+    * .personalizedPageRankMicro]]): q153's customer→supplier order
+    * graph with the teleport mass restarted at the BUILDING-segment
+    * customers — "which suppliers (and fellow customers) are most
+    * relevant to THIS segment", the serving-oriented relevance walk
+    * beside q153's global rank; all-integer, oracle replays every
+    * superstep CTE-by-CTE. Top 50 by final micro-rank. */
+  def buildingSegmentPpr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + 1000000000L).as("dst"))
+    val seeds = Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("node"))
+    Graph.personalizedPageRankMicro(e, seeds, 3)
+      .orderBy($"r".desc, $"node").limit(50)
+  }
+
   /** X15 stratified log-rank ([[graft.operators.Behavior
     * .stratifiedLogRank]]): q293's arm comparison made WITHIN
     * user_id mod 3 strata, hypergeometric moments summed across

@@ -200,7 +200,10 @@ object ScaleBench {
         "q317_brier", "q318_ab_mde", "q319_ljung_box",
         // stratified log-rank (per-stratum risk windows — strata are
         // the parallel grain)
-        "q320_stratified_logrank")
+        "q320_stratified_logrank",
+        // personalized PageRank (q153's superstep regime + one seed
+        // broadcast), weekly seasonal index (7-row aggregate)
+        "q321_personalized_pagerank", "q322_dow_profile")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

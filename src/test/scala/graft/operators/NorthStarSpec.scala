@@ -2880,6 +2880,36 @@ class NorthStarSpec extends SparkSpec {
     assert(got == ((3L, 2L, 2L, 1L, 750000000L)))
   }
 
+  test("personalizedPageRankMicro: hand-traced seed restart; " +
+      "fail-fast when no seed is in the graph") {
+    import spark.implicits._
+    // nodes {1,2,3}, edges 1→2, 2→1, 3→1; seed {1}: N=3, |S|=1 →
+    // tele(1)=450000, r0(1)=3e6. Two supersteps by hand:
+    //   r1 = (450000, 2550000, 0); r2 = (2617500, 382500, 0)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRankMicro(e, seeds, 2)
+      .orderBy($"node").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 2617500L), (2L, 382500L), (3L, 0L)))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankMicro(e, Seq(99L).toDF("node"), 1)
+    }
+  }
+
+  test("dayOfWeekProfile: exact cross-multiplied seasonal ppm") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // days 0 and 7 share dow 3 (epoch day 0 = Thursday): 100 cents
+    // each → idx = 200·3·1e6 div (500·2) = 600000; day 1 (dow 4):
+    // 300 cents → idx = 300·3·1e6 div (500·1) = 1800000
+    val df = Seq((at(0), 1.0), (at(7), 1.0), (at(1), 3.0))
+      .toDF("ts", "v")
+    val got = TimeSeries.dayOfWeekProfile(df, "ts", $"v")
+      .orderBy($"dow").as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((3L, 2L, 200L, 600000L),
+      (4L, 1L, 300L, 1800000L)))
+  }
+
   test("benfordScreen digits from cents strings; absent digits n=0") {
     import spark.implicits._
     // cents: 100→1, 250→2, 19→1, 999→9; -5.0 and 0.001 (rounds to 0)
