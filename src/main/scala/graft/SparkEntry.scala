@@ -343,6 +343,7 @@ object SparkEntry {
     "q320_stratified_logrank" -> (NorthStar.churnStratifiedLogRank _),
     "q321_personalized_pagerank" -> (NorthStar.buildingSegmentPpr _),
     "q322_dow_profile" -> (NorthStar.revenueDowProfile _),
+    "q323_shot_boundaries" -> (NorthStar.mediaShotBoundaries _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6647,6 +6648,32 @@ object SparkEntry {
     // state readout must equal q227's one-pass KM curve over the
     // full log (shared SQL constant — the q290/q306 seam convention).
     "q311_survival_state" -> survivalCurveSql,
+    // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
+    // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
+    // integer L1 per doc, byte-normalized ppm, top-100 total order.
+    "q323_shot_boundaries" ->
+      s"""WITH f AS (SELECT doc_id, CAST(t.fo AS INTEGER) AS frame_no,
+        |    substr(text, CAST(t.fo * 16 + 1 AS BIGINT), 16) AS s
+        |  FROM documents, LATERAL unnest(range(0,
+        |    (len(text) + 15) // 16)) t(fo)),
+        |h AS (SELECT doc_id, frame_no, CAST(len(s) AS BIGINT) AS nb,
+        |    [${(0 until 8).map(k =>
+          s"CAST(len([c for c in string_split(s, '') " +
+            s"if ascii(c) % 8 = $k]) AS BIGINT)").mkString(",\n        |     ")}]
+        |      AS hist
+        |  FROM f),
+        |l AS (SELECT doc_id, frame_no, nb, hist,
+        |    lag(hist) OVER w AS ph, lag(nb) OVER w AS pb
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |d AS (SELECT doc_id, frame_no,
+        |    CAST(list_sum([abs(hist[i] - ph[i])
+        |      for i in range(1, 9)]) AS BIGINT) AS dist,
+        |    nb + pb AS tot
+        |  FROM l WHERE ph IS NOT NULL)
+        |SELECT doc_id, frame_no, dist,
+        |  CAST(dist * 1000000 // tot AS BIGINT) AS cut_ppm
+        |FROM d
+        |ORDER BY cut_ppm DESC, doc_id, frame_no LIMIT 100""".stripMargin,
     // q321: personalized PageRank — q153's chain with the teleport
     // mass restarted at the BUILDING-segment seed customers (tele =
     // 150000·N div |S| on seeds, init = 1000000·N div |S|), three

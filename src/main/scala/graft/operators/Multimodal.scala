@@ -128,6 +128,57 @@ object Multimodal {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** SHOT-BOUNDARY DETECTION — the classic cut detector over the
+    * frame stream: consecutive frames' feature histograms compared by
+    * integer L1 distance, normalized per byte compared,
+    *   cut_ppm = (Σ |h_i − h_prev,i|) · 10⁶ div (bytes + prev_bytes),
+    * highest-contrast cuts first (a hard cut changes the whole
+    * histogram → cut_ppm near 10⁶; consecutive frames of one shot
+    * stay near 0). Frames and their 8-bin byte histograms come from
+    * the same deterministic decode stub as [[decodeFeatures]] (a real
+    * codec swap changes the histogram, not this plan); the histogram
+    * is a pure byte function, so the DuckDB oracle replays every
+    * distance — the multimodal path stays hash-verified, not
+    * schema-only. Returns the top `topN` cuts by (cut_ppm DESC,
+    * doc_id, frame_no) — a deterministic total order.
+    *
+    * Scale shape: map-only frame fan-out (inherits the scan's
+    * partitioning), ONE per-media window (lag over frame_no —
+    * media id is the parallel grain), a TakeOrderedAndProject cut. */
+  def shotBoundaries(docs: DataFrame, frameBytes: Int, topN: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(frameBytes > 0 && topN > 0)
+    val frames = withBinaryPayload(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).map { f =>
+          val start = f * frameBytes
+          val slice = bytes.slice(start,
+            math.min(start + frameBytes, bytes.length))
+          val hist = new Array[Long](8)
+          slice.foreach(b => hist((b & 0xff) % 8) += 1L)
+          (id, f, slice.length, hist)
+        }
+      }
+      .toDF("doc_id", "frame_no", "n_bytes", "hist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frames
+      .withColumn("ph", lag(col("hist"), 1).over(w))
+      .withColumn("pb", lag(col("n_bytes"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      .withColumn("dist", expr(
+        "aggregate(zip_with(hist, ph, (a, b) -> abs(a - b)), 0L," +
+          " (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("frame_no"), col("dist"),
+        expr("dist * 1000000 div (n_bytes + pb)").as("cut_ppm"))
+      .orderBy(col("cut_ppm").desc, col("doc_id"), col("frame_no"))
+      .limit(topN)
+  }
+
   /** Batched decode/featurize over the binary column. */
   def decodeFeatures(withPayload: DataFrame)(
       implicit spark: SparkSession): Dataset[MediaFeature] = {

@@ -3618,6 +3618,17 @@ object NorthStar {
       $"o_totalprice", 7)
   }
 
+  /** X5 shot-boundary detection ([[graft.operators.Multimodal
+    * .shotBoundaries]]): the top-100 sharpest cuts across all media —
+    * consecutive 16-byte frames' histogram L1, byte-normalized exact
+    * ppm; the cut detector a video-ingest pipeline runs before
+    * keyframe selection, hash-verified end to end through the
+    * deterministic decode stub. */
+  def mediaShotBoundaries(spark: SparkSession, d: String): DataFrame = {
+    implicit val s = spark
+    Multimodal.shotBoundaries(Tables.documents(spark, d), 16, 100)
+  }
+
   /** X16 weekly seasonal profile ([[graft.operators.TimeSeries
     * .dayOfWeekProfile]]): per weekday, exact-ppm mean daily revenue
     * vs the overall mean — the first seasonal factor, and the

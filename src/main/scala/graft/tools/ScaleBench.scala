@@ -203,7 +203,10 @@ object ScaleBench {
         "q320_stratified_logrank",
         // personalized PageRank (q153's superstep regime + one seed
         // broadcast), weekly seasonal index (7-row aggregate)
-        "q321_personalized_pagerank", "q322_dow_profile")
+        "q321_personalized_pagerank", "q322_dow_profile",
+        // shot boundaries (map-only frame fan-out + per-media lag
+        // window + TakeOrdered — media id the parallel grain)
+        "q323_shot_boundaries")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2910,6 +2910,26 @@ class NorthStarSpec extends SparkSpec {
       (4L, 1L, 300L, 1800000L)))
   }
 
+  test("shotBoundaries: hand-traced histogram L1 cuts, byte-normalized") {
+    import spark.implicits._
+    implicit val s = spark
+    // doc 1: 16 a's then 16 b's → bins (1:16) vs (2:16), dist 32,
+    //   cut = 32e6 div 32 = 1000000 (a hard cut)
+    // doc 2: 32 a's → dist 0
+    // doc 3: 20 a's → frames of 16 and 4, dist 12, cut = 12e6 div 20
+    val docs = Seq(
+      (1L, "a" * 16 + "b" * 16, "s"),
+      (2L, "a" * 32, "s"),
+      (3L, "a" * 20, "s")
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal.shotBoundaries(docs, 16, 10)
+      .as[(Long, Int, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1, 32L, 1000000L),
+      (3L, 1, 12L, 600000L),
+      (2L, 1, 0L, 0L)))
+  }
+
   test("benfordScreen digits from cents strings; absent digits n=0") {
     import spark.implicits._
     // cents: 100→1, 250→2, 19→1, 999→9; -5.0 and 0.001 (rounds to 0)
