@@ -107,7 +107,9 @@ object Explain {
       "q311_survival_state", "q312_mann_kendall",
       "q313_calibration_error", "q314_stratified_sample",
       "q315_zipf_slope", "q316_hits_capped", "q317_brier",
-      "q318_ab_mde", "q319_ljung_box")
+      "q318_ab_mde", "q319_ljung_box", "q320_stratified_logrank",
+      "q321_personalized_pagerank", "q322_dow_profile",
+      "q323_shot_boundaries")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
@@ -266,6 +268,10 @@ object Explain {
         "over the PRUNED edge set (in-degree top-K broadcast " +
         "semi-join runs before the loop); the dump below is the " +
         "final join of the converged authority/hub checkpoints."),
+      "q321_personalized_pagerank" -> ("q153's iterative superstep " +
+        "regime with a seeded teleport table (one broadcast semi-join " +
+        "at init); the dump below is the FINAL superstep's read of " +
+        "the converged checkpoint."),
       "q250_dup_kcore" -> ("The peel iterates to a fixpoint " +
         "(fail-fast within maxRounds, each round localCheckpoint'd " +
         "like a PageRank superstep), so the full query is not one " +
