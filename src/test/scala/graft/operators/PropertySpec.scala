@@ -786,4 +786,84 @@ object PropertySpec extends Properties("graft.operators") {
       canon(Labeling.mergeLabelState(
         st(rows.take(c)), st(rows.drop(c)))) == canon(st(rows))
     }
+
+  // ---- round-14 machinery ----
+
+  private val cumRows = Gen.listOfN(20,
+    Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L),
+      Gen.chooseNum(0L, 9L)))
+
+  property("withGlobalCumsums == the single-partition window " +
+      "reference (rank, k running sums, totals) on any frame") =
+    Prop.forAllNoShrink(cumRows.suchThat(_.nonEmpty)) { rows0 =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // unique order key (the total-order contract)
+      val rows = rows0.zipWithIndex
+        .map { case ((k, a, b), i) => (k * 100 + i, a, b) }
+      val df = rows.toDF("k", "a", "b")
+      val got = Curation.withGlobalCumsums(df, Seq($"k".asc),
+          Seq("a" -> $"a", "b" -> $"b"))
+        .select($"k", $"rn", $"cum_a", $"cum_b", $"tot_a", $"tot_b")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().toList.sortBy(_._1)
+      val w = Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val ref = df
+        .withColumn("rn", row_number().over(Window.orderBy($"k")))
+        .withColumn("cum_a", sum($"a").over(w))
+        .withColumn("cum_b", sum($"b").over(w))
+        .withColumn("tot_a", sum($"a").over(wAll))
+        .withColumn("tot_b", sum($"b").over(wAll))
+        .select($"k", $"rn".cast("long"), $"cum_a", $"cum_b",
+          $"tot_a", $"tot_b")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().toList.sortBy(_._1)
+      got == ref
+    }
+
+  private val mkDays = Gen.listOfN(8, Gen.chooseNum(-30L, 30L))
+
+  property("mannKendall antisymmetry: negating the series negates S " +
+      "and z, preserves var18") =
+    Prop.forAllNoShrink(mkDays.suchThat(_.size >= 2)) { vals =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (at(i.toLong), v.toDouble) }
+        .toDF("ts", "v")
+      def run(v: org.apache.spark.sql.Column) =
+        TimeSeries.mannKendall(df, "ts", v)
+          .as[(Long, Long, Long, Option[Double])].collect().head
+      val (n1, s1, v1, z1) = run($"v")
+      val (n2, s2, v2, z2) = run($"v" * -1)
+      n1 == n2 && s1 == -s2 && v1 == v2 &&
+        z1.map(-_) == z2.orElse(z1.map(-_))
+    }
+
+  private val survRows = Gen.listOfN(16, Gen.zip(
+    Gen.chooseNum(1L, 8L), Gen.chooseNum(0L, 6L)))
+
+  property("stratifiedLogRank invariant under stratum relabeling " +
+      "(s -> 5 - s)") =
+    Prop.forAllNoShrink(survRows.suchThat(_.nonEmpty)) { rows =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+      val ev = rows.map { case (u, d) => (u, at(d)) }
+        .toDF("user_id", "ts")
+      val arm = pmod($"user_id", lit(2L))
+      def run(s: org.apache.spark.sql.Column) =
+        Behavior.stratifiedLogRank(ev, "user_id", "ts", 2, arm, s)
+          .select($"n0_users", $"n1_users", $"o1", $"e1_ppm",
+            $"v_ppt", $"z")
+          .collect().map(_.toSeq).toList
+      val s = pmod($"user_id", lit(3L))
+      run(s) == run(lit(5L) - s)
+    }
 }
