@@ -1366,8 +1366,23 @@ object Behavior {
     * non-NULL-arm row does not enter the state. */
   def survivalSpanState(events: DataFrame, user: String, ts: String,
       arm: org.apache.spark.sql.Column = lit(0)): DataFrame =
+    survivalSpanStateOfDays(eventDays(events, user, ts, arm))
+
+  /** The (u, d, g) day projection the survival family reduces — public
+    * so a wiring that FILTERS batches by a function of the day (the
+    * q311 day-parity seam) can project the timestamp ONCE and feed
+    * [[survivalSpanStateOfDays]] directly: the timestamp parse is the
+    * scan's dominant cost, and filter-then-reproject paid it twice
+    * per batch (measured 12 s → ~6 s at 100× on the q311 row). */
+  def eventDays(events: DataFrame, user: String, ts: String,
+      arm: org.apache.spark.sql.Column = lit(0)): DataFrame =
     events.select(col(user).as("u"), epochDay(col(ts)).as("d"),
-        arm.cast("int").as("g"))
+      arm.cast("int").as("g"))
+
+  /** [[survivalSpanState]] over an already-projected (u, d, g) frame
+    * ([[eventDays]]) — the parse-once form. */
+  def survivalSpanStateOfDays(days: DataFrame): DataFrame =
+    days
       .filter(col("u").isNotNull && col("d").isNotNull &&
         col("g").isNotNull)
       .groupBy(col("u"))
