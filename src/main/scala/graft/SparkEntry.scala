@@ -344,6 +344,7 @@ object SparkEntry {
     "q321_personalized_pagerank" -> (NorthStar.buildingSegmentPpr _),
     "q322_dow_profile" -> (NorthStar.revenueDowProfile _),
     "q323_shot_boundaries" -> (NorthStar.mediaShotBoundaries _),
+    "q324_hazard_ratio" -> (NorthStar.churnHazardRatio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6648,6 +6649,46 @@ object SparkEntry {
     // state readout must equal q227's one-pass KM curve over the
     // full log (shared SQL constant — the q290/q306 seam convention).
     "q311_survival_state" -> survivalCurveSql,
+    // q324: per-arm Nelson–Aalen + cumhaz ratio — q293's per-day arm
+    // table, per-arm hazards over OWN risk sets, two running sums,
+    // one truncating ratio per day.
+    "q324_hazard_ratio" ->
+      """WITH days AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(user_id % 2 AS INT) AS g FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l, max(g) AS g
+        |      FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t, g,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |h AS (SELECT t,
+        |    sum(CASE WHEN g = 1 THEN dead ELSE 0 END) AS d1,
+        |    sum(CASE WHEN g = 1 THEN 1 - dead ELSE 0 END) AS c1,
+        |    sum(CASE WHEN g <> 1 THEN dead ELSE 0 END) AS d0,
+        |    sum(CASE WHEN g <> 1 THEN 1 - dead ELSE 0 END) AS c0
+        |  FROM lt GROUP BY 1),
+        |r AS (SELECT t, d1, d0,
+        |    sum(d1 + c1) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(d0 + c0) OVER (ORDER BY t DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        |  FROM h),
+        |x AS (SELECT t, n0, n1, d0, d1,
+        |    CASE WHEN n1 > 0 THEN d1 * 1000000 // n1 ELSE 0 END AS h1,
+        |    CASE WHEN n0 > 0 THEN d0 * 1000000 // n0 ELSE 0 END AS h0
+        |  FROM r),
+        |c AS (SELECT t, n0, n1, d0, d1,
+        |    CAST(sum(h0) OVER wa AS BIGINT) AS cumhaz0_ppm,
+        |    CAST(sum(h1) OVER wa AS BIGINT) AS cumhaz1_ppm
+        |  FROM x WINDOW wa AS (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(d0 AS BIGINT) AS d0, CAST(d1 AS BIGINT) AS d1,
+        |  cumhaz0_ppm, cumhaz1_ppm,
+        |  CAST(cumhaz1_ppm * 1000000 // nullif(cumhaz0_ppm, 0)
+        |    AS BIGINT) AS hr_ppm
+        |FROM c ORDER BY t""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

@@ -1929,6 +1929,60 @@ object Behavior {
             sqrt(col("v_ppt").cast("double"))).as("z"))
   }
 
+  /** PER-ARM NELSON–AALEN + CUMULATIVE HAZARD RATIO — the
+    * over-time effect view between [[nelsonAalen]]'s single curve and
+    * [[logRankTest]]'s single z: per lifetime day, each arm's exact
+    * integer-ppm hazard (d_g·10⁶ div n_g over its OWN risk set) and
+    * running cumulative hazard, plus the ratio
+    * cumhaz₁·10⁶ div cumhaz₀ (NULL until arm 0 has hazard) — a flat
+    * ratio says proportional hazards (one number summarizes), a
+    * drifting one says the treatment effect is early/late (q310's FH
+    * weighting is then the right test). All integers; the ratio is
+    * one truncating division per day.
+    *
+    * Scale shape: the [[logRankFromState]] risk table (key-sized span
+    * aggregate + calendar-bounded reverse cumsum), two running-sum
+    * windows over the same calendar-bounded frame (the
+    * [[nelsonAalen]] bounded-window convention), output span-sized
+    * rows. */
+  def hazardRatioFromState(state: DataFrame,
+      censorDays: Int): DataFrame = {
+    require(censorDays >= 1, s"censorDays=$censorDays")
+    val lt = spanLifetimes(state, censorDays)
+    // all observed days (not just death days): hazards are 0 there
+    // but the cumulative columns must still carry
+    val hist = lt.groupBy(col("t")).agg(
+      sum(when(col("g") === 1, col("dead")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c1"),
+      sum(when(col("g") =!= 1, col("dead")).otherwise(0L)).as("d0"),
+      sum(when(col("g") =!= 1, lit(1) - col("dead")).otherwise(0L))
+        .as("c0"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n1", sum(col("d1") + col("c1")).over(wDesc))
+      .withColumn("n0", sum(col("d0") + col("c0")).over(wDesc))
+      .withColumn("h1",
+        when(col("n1") > 0, expr("d1 * 1000000 div n1")).otherwise(0L))
+      .withColumn("h0",
+        when(col("n0") > 0, expr("d0 * 1000000 div n0")).otherwise(0L))
+      .withColumn("cumhaz1_ppm", sum(col("h1")).over(wAsc))
+      .withColumn("cumhaz0_ppm", sum(col("h0")).over(wAsc))
+      .select(col("t"), col("n0"), col("n1"), col("d0"), col("d1"),
+        col("cumhaz0_ppm"), col("cumhaz1_ppm"),
+        expr("cumhaz1_ppm * 1000000 div nullif(cumhaz0_ppm, 0)")
+          .as("hr_ppm"))
+  }
+
+  /** [[hazardRatioFromState]] straight from the event log. */
+  def hazardRatioByArm(events: DataFrame, user: String, ts: String,
+      censorDays: Int, arm: org.apache.spark.sql.Column): DataFrame =
+    hazardRatioFromState(survivalSpanState(events, user, ts, arm),
+      censorDays)
+
   /** STRATIFIED LOG-RANK — the Mantel–Cox test with the comparison
     * made WITHIN strata and the hypergeometric moments SUMMED across
     * them (the standard confounder control: if arm assignment is

@@ -3621,6 +3621,18 @@ object NorthStar {
       $"o_totalprice", 7)
   }
 
+  /** X15 cumulative hazard ratio ([[graft.operators.Behavior
+    * .hazardRatioByArm]]): per lifetime day, each arm's exact-ppm
+    * Nelson–Aalen hazard over its own risk set and the running
+    * cumhaz₁/cumhaz₀ ratio — the proportional-hazards check between
+    * q308's single curve and q293's single z. */
+  def churnHazardRatio(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Behavior.hazardRatioByArm(Tables.events(spark, d), "user_id",
+      "ts", 14, pmod($"user_id", lit(2L)))
+      .orderBy($"t")
+  }
+
   /** X5 shot-boundary detection ([[graft.operators.Multimodal
     * .shotBoundaries]]): the top-100 sharpest cuts across all media —
     * consecutive 16-byte frames' histogram L1, byte-normalized exact

@@ -206,7 +206,9 @@ object ScaleBench {
         "q321_personalized_pagerank", "q322_dow_profile",
         // shot boundaries (map-only frame fan-out + per-media lag
         // window + TakeOrdered — media id the parallel grain)
-        "q323_shot_boundaries")
+        "q323_shot_boundaries",
+        // per-arm NA + cumhaz ratio (q293's calendar-bounded regime)
+        "q324_hazard_ratio")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2369,6 +2369,30 @@ class NorthStarSpec extends SparkSpec {
     assert(strat1 == plain)
   }
 
+  test("hazardRatioByArm: per-arm hazards over own risk sets; " +
+      "hand-traced cumulative columns") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // the logRankTest fixture: arm-0 deaths at t=0 (n0=2 → 500000)
+    // and t=1 (n0=1 → 1000000); arm 1 never dies → cumhaz1 = 0,
+    // hr = 0 once cumhaz0 > 0; at t=3 arm 0 has left the risk set.
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)),
+      (2L, at(0)),
+      (3L, at(1)), (3L, at(2)),
+      (4L, at(0)), (4L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Behavior.hazardRatioByArm(ev, "user_id", "ts", 2,
+        pmod($"user_id", lit(2L)))
+      .orderBy($"t")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toList
+    assert(got == List(
+      (0L, 2L, 2L, 1L, 0L, 500000L, 0L, Some(0L)),
+      (1L, 1L, 2L, 1L, 0L, 1500000L, 0L, Some(0L)),
+      (3L, 0L, 1L, 0L, 0L, 1500000L, 0L, Some(0L))))
+  }
+
   test("sprtConversion: h1 crossing at the exact trial; continue arm " +
       "reports its final walk") {
     import spark.implicits._
