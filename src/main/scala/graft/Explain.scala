@@ -109,7 +109,7 @@ object Explain {
       "q315_zipf_slope", "q316_hits_capped", "q317_brier",
       "q318_ab_mde", "q319_ljung_box", "q320_stratified_logrank",
       "q321_personalized_pagerank", "q322_dow_profile",
-      "q323_shot_boundaries")
+      "q323_shot_boundaries", "q324_hazard_ratio")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(
