@@ -39,7 +39,7 @@ object Bench {
     // the mid/end controls sit on, so the triple only moves when the
     // ENVIRONMENT does.
     (1 to 5).foreach { _ =>
-      Seq("q02_agg_groupby", "q05_topk").foreach(n =>
+      Seq("q02_agg_groupby", "q05_topk", "q13_union_distinct").foreach(n =>
         SparkEntry.queries.get(n).foreach(fn =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }))
     }
@@ -75,7 +75,13 @@ object Bench {
     // a drifting one marks every co-timed number as environment noise.
     // Rule (also in README): a per-query regression claim requires the
     // controls of BOTH runs being compared to be flat (end/start < ~1.5x).
-    val controlNames = Seq("q02_agg_groupby", "q05_topk")
+    // q13 (union + distinct) joins the pair as the SHUFFLE-PATH control
+    // (VERDICT r14 #3): q02/q05 are scan-shaped probes a shuffle-heavy
+    // co-tenant barely moves; q13's exchange + shuffle hash-agg makes
+    // contention that disproportionately hits shuffle/spill mechanical
+    // to catch, at ~0.4 s per reading.
+    val controlNames = Seq("q02_agg_groupby", "q05_topk",
+      "q13_union_distinct")
     def r3n(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val controls = scala.collection.mutable.ArrayBuffer[String]()

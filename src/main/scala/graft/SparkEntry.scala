@@ -345,6 +345,8 @@ object SparkEntry {
     "q322_dow_profile" -> (NorthStar.revenueDowProfile _),
     "q323_shot_boundaries" -> (NorthStar.mediaShotBoundaries _),
     "q324_hazard_ratio" -> (NorthStar.churnHazardRatio _),
+    "q325_rolling_quantile_state" ->
+      (NorthStar.rollingValueQuantileState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6401,21 +6403,24 @@ object SparkEntry {
         |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
         |    AS mean_prec_ppm
         |FROM pm""".stripMargin,
-    // q303: Poisson bootstrap — per (order, replicate) md5-hash ppm
-    // draw through the literal cumulative-Poisson(1) table, replicate
-    // means in exact truncating cents, CI by (mean, r) rank 3 / 98.
+    // q303: Poisson bootstrap — digest-batched md5 draws (replicate r
+    // reads 32-bit word r mod 4 of md5(id:":":(r div 4)); 25 digests
+    // per row for B=100) through the literal cumulative-Poisson(1)
+    // table, replicate means in exact truncating cents, CI by
+    // (mean, r) rank 3 / 98.
     "q303_bootstrap_ci" ->
       """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
         |  FROM orders),
-        |reps AS (SELECT v, r.r,
+        |reps AS (SELECT v, g.g * 4 + j.j AS r,
         |    list_reduce(
         |      [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
         |       for c in string_split(
-        |         substr(md5(id || ':' || CAST(r.r AS VARCHAR)), 1, 8),
-        |         '')],
+        |         substr(md5(id || ':' || CAST(g.g AS VARCHAR)),
+        |           1 + 8 * j.j, 8), '')],
         |      (a, b) -> a * 16 + b) % 1000000 AS u
-        |  FROM base, LATERAL unnest(range(0, 100)) r(r)),
+        |  FROM base, LATERAL unnest(range(0, 25)) g(g),
+        |       LATERAL unnest(range(0, 4)) j(j)),
         |wts AS (SELECT r, v,
         |    len(list_filter([367879, 735759, 919699, 981012, 996340,
         |      999406, 999917, 999990, 999999], t -> u >= t)) AS w
@@ -6689,6 +6694,20 @@ object SparkEntry {
         |  CAST(cumhaz1_ppm * 1000000 // nullif(cumhaz0_ppm, 0)
         |    AS BIGINT) AS hr_ppm
         |FROM c ORDER BY t""".stripMargin,
+    // q325: rolling quantile from the per-day KLL sketch state — the
+    // oracle replays the exact window value counts and pins the ±3ε
+    // rank-envelope flag ≡ 1 (the q191/q196 sketch-oracle pattern;
+    // the KLL estimate itself is engine-internal and randomized).
+    "q325_rolling_quantile_state" ->
+      """WITH a AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS end_day FROM a)
+        |SELECT days.end_day, CAST(count(*) AS BIGINT) AS n_window,
+        |  CAST(1 AS INTEGER) AS within_bound
+        |FROM a JOIN days ON a.d >= days.end_day - 6
+        |               AND a.d <= days.end_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.
@@ -6963,17 +6982,19 @@ object SparkEntry {
         |      AS conv
         |  FROM events GROUP BY 1, 2),
         |o AS (SELECT
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_a,
-        |    CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
-        |      AS conv_a,
-        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_b,
-        |    CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
-        |      AS conv_b
+        |    CAST(coalesce(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN v = 0 THEN conv ELSE 0 END), 0)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(coalesce(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN v = 1 THEN conv ELSE 0 END), 0)
+        |      AS BIGINT) AS conv_b
         |  FROM u),
-        |x AS (SELECT n_a, n_b, conv_a * 1000000 // n_a AS p0_ppm,
-        |    conv_b * 1000000 // n_b - conv_a * 1000000 // n_a
+        |x AS (SELECT n_a, n_b,
+        |    conv_a * 1000000 // nullif(n_a, 0) AS p0_ppm,
+        |    conv_b * 1000000 // nullif(n_b, 0)
+        |      - conv_a * 1000000 // nullif(n_a, 0)
         |      AS observed_diff_ppm
         |  FROM o),
         |x2 AS (SELECT *,

@@ -9,9 +9,13 @@ object Verify {
     // Optional third arg: comma-separated substring filter for fast
     // iteration (local use only — the driver always calls with two args
     // = full run).
+    // Drop empty segments; a filter of only empty segments ("" or a
+    // stray ",") falls back to select-all, matching the old
+    // single-substring behavior (ADVICE r14).
     val only = args.drop(2).headOption
+      .map(_.split(",").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
     def selected(name: String): Boolean =
-      only.forall(_.split(",").exists(s => s.nonEmpty && name.contains(s)))
+      only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -286,15 +286,22 @@ object Behavior {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
       .agg(
-        sum(when(col("v") === 0, col("n"))).as("n_a"),
-        sum(when(col("v") === 0, col("conv"))).as("conv_a"),
-        sum(when(col("v") === 1, col("n"))).as("n_b"),
-        sum(when(col("v") === 1, col("conv"))).as("conv_b"))
+        // coalesce to 0 + nullif-guarded divisions so a degenerate
+        // one-arm input reads an agreed (n, 0, NULL…) row in BOTH
+        // engines instead of NULL counts here / a div-by-zero error
+        // in the oracle (ADVICE r14)
+        coalesce(sum(when(col("v") === 0, col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("v") === 0, col("conv"))), lit(0L))
+          .as("conv_a"),
+        coalesce(sum(when(col("v") === 1, col("n"))), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("v") === 1, col("conv"))), lit(0L))
+          .as("conv_b"))
     val p = col("p0_ppm").cast("double") / lit(1000000.0)
     one
-      .withColumn("p0_ppm", expr("conv_a * 1000000 div n_a"))
+      .withColumn("p0_ppm", expr("conv_a * 1000000 div nullif(n_a, 0)"))
       .withColumn("observed_diff_ppm",
-        expr("conv_b * 1000000 div n_b - conv_a * 1000000 div n_a"))
+        expr("conv_b * 1000000 div nullif(n_b, 0)" +
+          " - conv_a * 1000000 div nullif(n_a, 0)"))
       .withColumn("mde_ppm",
         when(col("n_a") > 0 && col("n_b") > 0 &&
             col("p0_ppm") > 0 && col("p0_ppm") < 1000000L,

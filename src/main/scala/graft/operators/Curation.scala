@@ -58,8 +58,11 @@ object Curation {
     * for B ≤ a few thousand buckets, driver-free and trivially cheap),
     * and broadcast back onto the level-one rows. */
   private def cumsumPlan(local: DataFrame): DataFrame = {
+    // brows = row_number max (always positive); bsum must be the plain
+    // per-bucket SUM, not max of the running sum — they only coincide for
+    // non-negative values, and callers may pass signed deltas (ADVICE r14)
     val btot = local.groupBy(col("__bucket"))
-      .agg(max(col("__lrn")).as("brows"), max(col("__lcum")).as("bsum"))
+      .agg(max(col("__lrn")).as("brows"), sum(col("__v")).as("bsum"))
     val offs = btot
       .agg(array_sort(collect_list(
         struct(col("__bucket"), col("brows"), col("bsum")))).as("bs"))
@@ -163,8 +166,10 @@ object Curation {
     * array fold with k bsum fields per bucket. */
   private def cumsumPlanMulti(local: DataFrame,
       names: Seq[String]): DataFrame = {
+    // per-bucket totals as plain sums of the value columns (signed-safe;
+    // max of the running sum only equals the total for non-negatives)
     val aggs = max(col("__lrn")).as("brows") +:
-      names.map(n => max(col(s"__lcum_$n")).as(s"bsum_$n"))
+      names.map(n => sum(col(s"__v_$n")).as(s"bsum_$n"))
     val btot = local.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
     val structCols = col("__bucket") +: col("brows") +:
       names.map(n => col(s"bsum_$n"))

@@ -498,8 +498,10 @@ object Similarity {
     * re-attach a column the map already had (measured 52 s → 2 s on
     * the 2M-vector serve-identity arm at 100×). */
   def assignWithVec(emb: DataFrame,
-      centroids: Array[(Long, Array[Double])]): DataFrame =
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      centroids: Array[(Long, Array[Double])],
+      keep: Seq[String] = Nil): DataFrame =
+    emb.select(col("vec_id") +: keep.map(col) :+
+        asDouble(col("embedding")).as("embedding"): _*)
       .withColumn("cid",
         argminStruct(col("embedding"), centroids).getField("cid"))
 
@@ -1559,11 +1561,6 @@ object Similarity {
   def ivfRankingMetricsWith(emb: DataFrame,
       cents: Array[(Long, Array[Double])],
       nProbe: Int, nQueries: Int, k: Int): DataFrame = {
-    require(nProbe >= 1 && nQueries >= 1,
-      s"nProbe=$nProbe nQueries=$nQueries")
-    require(k >= 1 && k <= NdcgDiscMicro.size,
-      s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
-    val spark = emb.sparkSession
     // materialize the assigned corpus ONCE — this frame IS the IVF
     // member index a serving deployment stores (q267's append index
     // shape). Without the pin, the k-literal argmin expression
@@ -1575,6 +1572,43 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("cid", argminStruct(col("v"), cents).getField("cid"))
       .localCheckpoint(true)
+    ivfServingTail(base, cents, nProbe, nQueries, k)
+  }
+
+  /** [[ivfRankingMetricsWith]] over an ALREADY-ASSIGNED member index
+    * (vec_id, label, embedding, cid) — the [[graft.streaming
+    * .IvfIndexStream]]-MAINTAINED ManifestTable read straight into
+    * serving: zero assignment work in-query (the maintained index IS
+    * the pinned frame the With-form materializes). Because assignment
+    * against a frozen codebook is a pure per-row function, the
+    * readout is value-identical to rebuilding the assignments from
+    * the raw corpus — q267's serve==rebuild invariant lifted to the
+    * ranking-metric level (spec-pinned through a real MemoryStream).
+    * This closes the train (q136) / serve (q309) / append (q267) /
+    * monitor (q186) loop into one always-on path: train offline,
+    * stream-append members, serve metrics off the maintained index,
+    * rebuild on drift. */
+  def ivfRankingMetricsFromIndex(members: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    val base = members.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"), col("cid"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ivfServingTail(base, cents, nProbe, nQueries, k)
+  }
+
+  /** Shared serving tail of [[ivfRankingMetricsWith]] /
+    * [[ivfRankingMetricsFromIndex]]: from the assigned member frame
+    * (vec_id, label, v, nrm, cid) — fixed-query probe selection,
+    * cell-bounded candidate scoring, ranking-metric readout. */
+  private def ivfServingTail(base: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nQueries >= 1,
+      s"nProbe=$nProbe nQueries=$nQueries")
+    require(k >= 1 && k <= NdcgDiscMicro.size,
+      s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
+    val spark = base.sparkSession
     val qs = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlab"),
         col("v").as("qv"), col("nrm").as("qnrm"))

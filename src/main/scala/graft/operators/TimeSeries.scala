@@ -763,17 +763,21 @@ object TimeSeries {
       .select(Behavior.epochDay(col(ts)).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("x"))
       .agg(count(lit(1)).as("n"))
-    autocorrelation(df, ts, value, maxLag)
+    // aggregate the ACF frame FIRST (count + term sum can be empty →
+    // (0, NULL)), then crossJoin the always-1-row n frame so a
+    // degenerate series (no lag has a pair) still reads (n, 0, 0) —
+    // matching the oracle — instead of (NULL, 0, NULL) (ADVICE r14)
+    val acfAgg = autocorrelation(df, ts, value, maxLag)
       .crossJoin(broadcast(n))
       .withColumn("rho_micro",
         round(col("acf") * 1e6, 0).cast("long"))
       .withColumn("term", when(
         col("rho_micro").isNotNull && col("n") - col("lag") > 0,
         expr("rho_micro * rho_micro div (n - lag)")).otherwise(0L))
-      .agg(max(col("n")).as("n_days"), count(lit(1)).as("n_lags"),
-        sum(col("term")).as("t"))
-      .select(col("n_days"), col("n_lags"),
-        expr("cast(cast(n_days as decimal(38,0)) * (n_days + 2) * t" +
+      .agg(count(lit(1)).as("n_lags"), sum(col("term")).as("t"))
+    acfAgg.crossJoin(broadcast(n))
+      .select(col("n").as("n_days"), col("n_lags"),
+        expr("cast(cast(n as decimal(38,0)) * (n + 2) * coalesce(t, 0L)" +
           " div 1000000 as bigint)").as("q_micro"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Behavior, Curation, Dedup, Graph, Labeling, Learn, Multimodal, Par, Profiling, Retrieval, Similarity, TextAnalysis, TimeSeries, Upsert}
+import graft.operators.{Behavior, Curation, Dedup, Graph, Labeling, Learn, Multimodal, Par, Profiling, QuantileState, Retrieval, Similarity, TextAnalysis, TimeSeries, Upsert}
 import graft.plans.TextExpressions
 
 /** North-star extension queries (SURVEY.md §2.12): dedup, similarity
@@ -3701,5 +3701,45 @@ object NorthStar {
         ($"l_suppkey" + 1000000000L).as("dst"))
     Graph.hitsTopAuthorities(e, 10, 2)
       .orderBy($"authority_micro".desc, $"node").limit(50)
+  }
+
+  /** X14/X16 rolling quantile from the persisted per-day KLL state
+    * ([[graft.operators.QuantileState]]): 7-day rolling p50 of event
+    * value cents, read from merged day sketches — q196's pattern on
+    * the percentile axis. The oracle replays the exact window counts
+    * and pins the envelope flag ≡ 1 (the sketch's own ±3ε normalized
+    * rank bound against the exact window CDF, both computed
+    * in-query). */
+  def rollingValueQuantileState(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cents = round($"value" * 100, 0)
+    val state = QuantileState.kllDayState(ev, "ts", cents, 200)
+    val approx = QuantileState.rollingQuantileFromState(state, 7, 500, 200)
+    // exact window CDF at the sketch's answer: count of window values
+    // strictly below / at-or-below q_approx, per end day
+    val vals = ev.select(
+        floor(unix_timestamp($"ts") / 86400).cast("long").as("vd"),
+        cents.cast("long").as("v"))
+      .filter($"vd".isNotNull && $"v".isNotNull)
+    val days = vals.select($"vd".as("end_day")).distinct()
+    vals
+      .withColumn("end_day", explode(sequence($"vd", $"vd" + lit(6))))
+      .join(broadcast(days), Seq("end_day"), "left_semi")
+      .join(broadcast(approx), "end_day")
+      .groupBy($"end_day")
+      .agg(count(lit(1)).as("n_exact"),
+        max($"n_window").as("n_window"),
+        sum(($"v" < $"q_approx").cast("long")).as("below"),
+        sum(($"v" <= $"q_approx").cast("long")).as("at_or_below"),
+        max($"eps").as("eps"))
+      .select($"end_day", $"n_window",
+        (($"n_window" === $"n_exact") &&
+          ($"at_or_below".cast("double") / $"n_exact" >=
+            lit(0.5) - lit(3.0) * $"eps") &&
+          ($"below".cast("double") / $"n_exact" <=
+            lit(0.5) + lit(3.0) * $"eps")).cast("int").as("within_bound"))
+      .orderBy($"end_day")
   }
 }

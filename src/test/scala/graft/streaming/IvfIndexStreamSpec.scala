@@ -67,6 +67,42 @@ class IvfIndexStreamSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(memDir) == v)
   }
 
+  test("q309 serving off the MAINTAINED labeled index == rebuilt from " +
+      "the raw corpus (serve identity at the ranking-metric level)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("ivfidx3").toString
+    val centDir = s"$root/centroids"
+    val memDir = s"$root/members"
+    mkCodebook(centDir)
+    // labeled vector stream: the sink keeps the label column, so the
+    // maintained member table serves ranking metrics directly
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val q = mem.toDF().toDF("vec_id", "label", "embedding")
+      .writeStream
+      .foreachBatch(IvfIndexStream.sink(memDir, centDir, "ivfl") _)
+      .start()
+    val b1 = Seq((0L, "a", Seq(0.9, 0.1)), (1L, "b", Seq(0.1, 0.9)),
+      (2L, "a", Seq(0.8, 0.3)))
+    val b2 = Seq((3L, "b", Seq(0.2, 0.7)), (4L, "a", Seq(0.7, 0.1)),
+      (5L, "b", Seq(-0.1, 0.8)))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val cents = Similarity.centroidsOf(
+      ManifestTable.read(spark, centDir)._2)
+    val maintained = ManifestTable.read(spark, memDir)._2
+    val served = Similarity
+      .ivfRankingMetricsFromIndex(maintained, cents, 1, 2, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    val rebuilt = Similarity.ivfRankingMetricsWith(
+      (b1 ++ b2).toDF("vec_id", "label", "embedding"), cents, 1, 2, 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(served == rebuilt && served.head._1 == 2L)
+  }
+
   test("fail-fasts on an empty codebook (train offline first)") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivfidx2").toString
