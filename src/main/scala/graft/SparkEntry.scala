@@ -347,6 +347,7 @@ object SparkEntry {
     "q324_hazard_ratio" -> (NorthStar.churnHazardRatio _),
     "q325_rolling_quantile_state" ->
       (NorthStar.rollingValueQuantileState _),
+    "q326_hits_refined" -> (NorthStar.supplierAuthoritiesRefined _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6708,6 +6709,33 @@ object SparkEntry {
         |FROM a JOIN days ON a.d >= days.end_day - 6
         |               AND a.d <= days.end_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q326: two-round refined HITS authorities — closed-form
+    // 2-iteration chain (a1 = normalized indeg, h1 = normalized full
+    // out-sum, a2 exact over the 40-candidate pool), every div the
+    // same truncating 10^6 normalization as q296; no recursion.
+    "q326_hits_refined" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src,
+        |    l_suppkey + 1000000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |indeg AS (SELECT dst AS node, CAST(count(*) AS HUGEINT) AS c
+        |  FROM e GROUP BY 1),
+        |a1 AS (SELECT node,
+        |    c * 1000000 // nullif((SELECT max(c) FROM indeg), 0) AS a
+        |  FROM indeg),
+        |h1r AS (SELECT e.src, sum(a1.a) AS s
+        |  FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |h1 AS (SELECT src,
+        |    s * 1000000 // nullif((SELECT max(s) FROM h1r), 0) AS h
+        |  FROM h1r),
+        |cand AS (SELECT node FROM indeg
+        |  ORDER BY c DESC, node LIMIT 40),
+        |a2r AS (SELECT e.dst AS node, sum(h1.h) AS s
+        |  FROM e JOIN cand ON e.dst = cand.node
+        |  JOIN h1 ON e.src = h1.src GROUP BY 1)
+        |SELECT node,
+        |  CAST(s * 1000000 // nullif((SELECT max(s) FROM a2r), 0)
+        |    AS BIGINT) AS authority_micro
+        |FROM a2r ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

@@ -200,10 +200,19 @@ object Graph {
     * the in-degree top-K cannot surface — in-degree is HITS'
     * iteration-0 authority score, so this is "prune by the first
     * iterate", the standard serving trade); scores renormalize within
-    * the kept subgraph. MEASURED drift on the sf0.01 fixture: 8/10
-    * top-10 authority SET overlap with the full-graph ranking, order
-    * shifts — acceptable for serving, not a substitute for
-    * [[hitsMicro]] when exact global ranks matter.
+    * the kept subgraph. MEASURED drift (round 15, three scales):
+    * top-10 authority SET overlap with the full-graph ranking is
+    * 8/10 at sf0.01 but 6/10 at BOTH sf0.1 and the 10× ScaleGen
+    * slice — the in-degree top-10 misses 4 of the true top-10 there,
+    * and the supplier graph's authority plateau (ranks 9–16 within
+    * 0.5% of each other) reorders the k-boundary under any hub-score
+    * distortion (overfetching candidates to 8× barely moves it:
+    * 7/10). The served set is still near-indistinguishable in
+    * QUALITY — its worst member carries 98.8% of the full #10 score
+    * at both scales — but for exact top-K membership use
+    * [[hitsAuthoritiesRefined]] (round 15): for the shipped
+    * 2-iteration depth it is value-identical to [[hitsMicro]]'s
+    * top-K (measured 10/10 at sf0.1 and 10×) at lower cost.
     *
     * Scale shape: one edge-sized in-degree aggregate, a K-row
     * TakeOrderedAndProject broadcast, the semi-join prune, then
@@ -217,6 +226,91 @@ object Graph {
       .orderBy(col("c").desc, col("dst")).limit(topK)
       .select(col("dst"))
     hitsMicro(e0.join(broadcast(top), "dst"), iters)
+  }
+
+  /** TWO-ROUND REFINED authority serving (round 15; closes the q316
+    * drift finding) — EXACT top-K authorities of 2-iteration
+    * [[hitsMicro]] without iterating the graph. The first-iterate
+    * prune ([[hitsTopAuthorities]]) was measured at 6/10 top-10 set
+    * overlap at sf0.1 AND the 10× slice: the in-degree top-10 misses
+    * 4 of the true top-10, and the synthetic supplier graph's
+    * authority plateau (ranks 9–16 within 0.5%) makes the k-boundary
+    * reorder under ANY hub-score distortion (the capped answer's
+    * worst member still carries 98.8% of the full #10 score — set
+    * overlap is the ill-conditioned lens, but candidate misses are
+    * real). The refinement exploits that the 2-iteration authority
+    * has a CLOSED two-round form: a₂(v) = Σ_{h→v} h₁(h) where
+    * h₁(h) = Σ_{h→w} a₁(w) and a₁ = normalized in-degree — so
+    *
+    *   round 1: global a₁ (one edge-sized count) and global h₁ (one
+    *            edge-sized join+sum) — NO candidate restriction, so
+    *            hub scores carry their full out-neighborhoods;
+    *   round 2: exact a₂ for the top (overfetch·K) in-degree
+    *            candidates only (one candidate-bounded join+sum).
+    *
+    * Every normalization replays [[hitsMicro]]'s integer chain
+    * (s·10⁶ div max), so when the candidate pool covers the true
+    * top-K and the rank-1 authority (measured: overfetch 4 covers
+    * 10/10 at sf0.1 and 10×; in-degree IS a₁, so the rank-1 node is
+    * always a candidate), the served rows are VALUE-IDENTICAL to
+    * full [[hitsMicro]]'s top-K — spec-pinned, and oracle-replayed
+    * in q326 with no recursive CTE.
+    *
+    * Scale shape: two edge-sized aggregates + one candidate-bounded
+    * join — strictly less work than ONE full HITS superstep pair
+    * (which pays the same two edge joins PLUS normalization rounds
+    * and a second iteration); no loop, no localCheckpoint chain. */
+  def hitsAuthoritiesRefined(edges: DataFrame, topK: Int,
+      overfetch: Int = 4, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    require(overfetch >= 1, s"overfetch=$overfetch")
+    // the edge set is NEVER materialized (hitsMicro's pinned eBySrc/
+    // eByDst checkpoints are what make the full form pay ~70 of its
+    // 78.6 s at 100× — measured round 15): each round is ONE
+    // streaming pass whose distinct-pair dedupe lives inside the
+    // pass's own shuffle, and only the node-/hub-/candidate-sized
+    // RESULTS pin (they are each consumed twice — rows + max for the
+    // normalization — and an unpinned result re-executes its
+    // edge-sized pass multiplicatively: 45 s vs 17 s at 100×).
+    val pairs = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // indeg over DISTINCT edges without a distinct pass: per-dst
+    // count of distinct srcs (map-side partial dedupe)
+    val indeg = pairs.groupBy(col("dst").as("node"))
+      .agg(countDistinct(col("src")).as("c")).localCheckpoint()
+    // a1 = hitsMicro's first authority iterate: normalized in-degree
+    // (the 10^6-scaled hub seed cancels through the div chain)
+    val a1 = indeg
+      .crossJoin(broadcast(indeg.agg(max(col("c")).as("mx"))))
+      .select(col("node"),
+        expr("cast(c as decimal(38,0)) * 1000000 div nullif(mx, 0)")
+          .as("a"))
+    // h1 = each hub's full-out-neighborhood sum of a1, normalized —
+    // computed over the WHOLE edge set (the step the first-iterate
+    // prune distorted); a1 is authority-sized — AQE broadcasts it
+    // when small, shuffles when not (no hint on purpose)
+    val h1raw = pairs.distinct()
+      .join(a1.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      .localCheckpoint()
+    val h1 = h1raw
+      .crossJoin(broadcast(h1raw.agg(max(col("s")).as("mx"))))
+      .select(col("src"),
+        expr("cast(s as decimal(38,0)) * 1000000 div nullif(mx, 0)")
+          .as("h"))
+    val cand = indeg.orderBy(col("c").desc, col("node"))
+      .limit(topK * overfetch).select(col("node").as("dst"))
+    val a2raw = pairs.join(broadcast(cand), "dst").distinct()
+      .join(h1.hint("SHUFFLE_HASH"), "src")
+      .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
+      .localCheckpoint()
+    a2raw
+      .crossJoin(broadcast(a2raw.agg(max(col("s")).as("mx"))))
+      .select(col("node"),
+        expr("cast(cast(s as decimal(38,0)) * 1000000 " +
+          "div nullif(mx, 0) as bigint)").as("authority_micro"))
+      .orderBy(col("authority_micro").desc, col("node")).limit(topK)
   }
 
   /** LABEL PROPAGATION communities — synchronous LPA (Raghavan 2007)

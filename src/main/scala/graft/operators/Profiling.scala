@@ -1221,10 +1221,11 @@ object Profiling {
     * Output: one row — n_rows, b, the full-sample exact mean, and
     * the [lo, hi] percentile-bootstrap bounds in cents.
     *
-    * Scale shape: one B-way fan-out of the value column (B·n rows,
-    * but only (replicate, sum, count) survives the map-side combine
-    * — the shuffle is B rows wide), one B-sized window rank, 1-row
-    * output. */
+    * Scale shape: ONE scan — the B-way fan-out lives inside
+    * [[graft.plans.PoissonBootstrapAgg]]'s 2B-long buffer (ceil(B/4)
+    * digests per row, per-replicate sums accumulated in place; no
+    * B·n rows exist), the shuffle carries one buffer per partition,
+    * then a B-sized window rank and a 1-row output. */
   def bootstrapMeanCI(df: DataFrame, idCol: String,
       value: org.apache.spark.sql.Column,
       b: Int, alphaPerMille: Int): DataFrame = {
@@ -1241,31 +1242,19 @@ object Profiling {
     // input row instead of B, a ~4× cut of the dominant CPU cost
     // (the md5 count IS the work here). Still CPU-bound, so the
     // small-file single-partition scan regime must not serialize it.
-    val groups = (b + 3) / 4
-    // the built-in md5()+substring()+conv() chain renders 16 digest
-    // bytes to hex and parses them back per word — measured 15.5 ns
-    // per WORD beside 20 ns for the digest itself, so the parse costs
-    // 3× the hash. [[graft.plans.Md5Words]] digests once and emits the
-    // four words numerically (word j == conv(substr(md5, 8j+1, 8),
-    // 16, 10) exactly — the oracle replays the plain hex form).
-    val reps = Par.fanOut(base).select(col("id"), col("v"),
-        explode(sequence(lit(0), lit(groups - 1))).as("g"))
-      .withColumn("ws", graft.plans.HashExpressions.md5_words(
-        concat(col("id"), lit(":"), col("g"))))
-      .select(col("v"), col("g"),
-        posexplode(col("ws")).as(Seq("j", "hw")))
-      .withColumn("r", col("g") * 4 + col("j"))
-      .filter(col("r") < b)
-      .withColumn("u", pmod(col("hw"), lit(1000000L)))
-      // k = #{thresholds ≤ u} as a literal when-chain (no per-row
-      // array build; value-identical to filtering the table)
-      .withColumn("w", PoissonCumPpm.zipWithIndex
-        .foldLeft(lit(0L)) { case (acc, (t, i)) =>
-          when(col("u") >= t, lit(i + 1L)).otherwise(acc) })
-    val means = reps.groupBy(col("r"))
-      .agg(sum(col("w") * col("v")).as("s"), sum(col("w")).as("nw"))
-      .select(col("r"),
-        expr("s div nullif(nw, 0)").as("m"))
+    // [[graft.plans.PoissonBootstrapAgg]] folds the whole B-way
+    // fan-out into ONE aggregate: ceil(B/4) digests per row in a
+    // tight loop, per-replicate (Σ w·v, Σ w) accumulated in a
+    // 2B-long buffer — no B·n intermediate rows exist (the explode
+    // form paid generator/filter machinery that dominated the
+    // arithmetic: ~24 s vs ~9 s on the 100× slice). Map-side
+    // partials; the shuffle carries one 1.6 KB buffer per partition.
+    val stats = Par.fanOut(base).agg(
+      graft.plans.HashExpressions.poisson_bootstrap_agg(
+        col("id"), col("v"), b, PoissonCumPpm).as("arr"))
+    val means = stats.select(explode(col("arr")).as("x"))
+      .select(col("x.r").as("r"),
+        expr("x.s div nullif(x.nw, 0)").as("m"))
       // a replicate whose Poisson weights all drew zero has NO mean
       // (P = e^-n per replicate — negligible past n ≈ 20, real on
       // tiny inputs). Engines ORDER NULLs differently (Spark first,

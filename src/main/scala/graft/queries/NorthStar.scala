@@ -3703,6 +3703,24 @@ object NorthStar {
       .orderBy($"authority_micro".desc, $"node").limit(50)
   }
 
+  /** X13 two-round refined authority serving ([[graft.operators.Graph
+    * .hitsAuthoritiesRefined]]): q316's supplier-authority question
+    * answered EXACTLY — global first-iterate hub scores, then exact
+    * second-iterate authority for the overfetched candidate pool; the
+    * served top-10 is value-identical to full 2-iteration HITS
+    * (measured 10/10 at sf0.1 and the 10× slice where the
+    * first-iterate prune read 6/10). */
+  def supplierAuthoritiesRefined(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val e = Tables.orders(spark, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"),
+        ($"l_suppkey" + 1000000000L).as("dst"))
+    Graph.hitsAuthoritiesRefined(e, 10, 4)
+  }
+
   /** X14/X16 rolling quantile from the persisted per-day KLL state
     * ([[graft.operators.QuantileState]]): 7-day rolling p50 of event
     * value cents, read from merged day sketches — q196's pattern on

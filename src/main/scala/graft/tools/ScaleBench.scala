@@ -208,7 +208,13 @@ object ScaleBench {
         // window + TakeOrdered — media id the parallel grain)
         "q323_shot_boundaries",
         // per-arm NA + cumhaz ratio (q293's calendar-bounded regime)
-        "q324_hazard_ratio")
+        "q324_hazard_ratio",
+        // round-15: rolling quantile from the per-day KLL state (one
+        // day-keyed sketch aggregate — k-bounded bytes through the
+        // shuffle — + a days-sized rollup + the exact-check join),
+        // two-round refined HITS (two edge-sized aggregates + one
+        // candidate-bounded join; no superstep loop)
+        "q325_rolling_quantile_state", "q326_hits_refined")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -2829,6 +2829,32 @@ class NorthStarSpec extends SparkSpec {
     assert(!nodes.contains(300L) && nodes.contains(100L))
   }
 
+  test("hitsAuthoritiesRefined == full hitsMicro top-K when the " +
+      "candidate pool covers (the closed two-round form)") {
+    import spark.implicits._
+    // skewed bipartite graph: authorities 100..104 with varied
+    // in-degrees from overlapping hub sets — hub scores depend on
+    // FULL out-neighborhoods, which the first-iterate prune distorts
+    val e = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (1L, 101L), (2L, 101L), (5L, 101L),
+      (3L, 102L), (4L, 102L), (5L, 102L),
+      (1L, 103L), (5L, 103L),
+      (2L, 104L)).toDF("src", "dst")
+    val full = Graph.hitsMicro(e, 2)
+      .orderBy($"authority_micro".desc, $"node").limit(3)
+      .select($"node", $"authority_micro".cast("long"))
+      .as[(Long, Long)].collect().toList
+    val refined = Graph.hitsAuthoritiesRefined(e, 3, 2)
+      .as[(Long, Long)].collect().toList
+    assert(refined == full)
+    // overfetch 1 (candidates = in-degree top-3) still identical
+    // here because the true top-3 IS the in-degree top-3
+    val tight = Graph.hitsAuthoritiesRefined(e, 3, 1)
+      .as[(Long, Long)].collect().toList
+    assert(tight == full)
+  }
+
   test("brierDecomposition: hand-traced micro units; Murphy identity " +
       "holds when within-bin variance is zero") {
     import spark.implicits._
