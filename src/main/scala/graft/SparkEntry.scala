@@ -348,6 +348,14 @@ object SparkEntry {
     "q325_rolling_quantile_state" ->
       (NorthStar.rollingValueQuantileState _),
     "q326_hits_refined" -> (NorthStar.supplierAuthoritiesRefined _),
+    "q327_mcc" -> (NorthStar.lengthMcc _),
+    "q328_cramers_v" -> (NorthStar.langSourceCramersV _),
+    "q329_variance_ratio" -> (NorthStar.revenueVarianceRatio _),
+    "q330_local_clustering" -> (NorthStar.dupGraphLocalClustering _),
+    "q331_heaps_exponent" -> (NorthStar.vocabHeapsExponent _),
+    "q332_range_search" -> (NorthStar.embeddingRangeSearch _),
+    "q333_youden_threshold" -> (NorthStar.lengthYouden _),
+    "q334_ahash_clusters" -> (NorthStar.mediaAHashClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6584,6 +6592,41 @@ object SparkEntry {
         |  CAST(sum(prec_ppm) // nullif(count(*), 0) AS BIGINT)
         |    AS mean_prec_ppm
         |FROM pm""".stripMargin,
+    // q332: IVF range search — q309's quantizer/probe chain with a
+    // radius filter (rounded cosine >= 0.25) instead of the rank
+    // cut; per-query neighbor count + top (cos, nid), empty radius
+    // emits (0, NULL, NULL).
+    "q332_range_search" ->
+      s"""$kmeansChainSql,
+        |qs AS (SELECT e.vec_id AS qid, e.v AS qv FROM e
+        |       WHERE e.vec_id < 16),
+        |probed AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c2.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(c2.c, q.qv)
+        |        / (sqrt(list_dot_product(c2.c, c2.c))
+        |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        |        c2.cid) AS rk
+        |    FROM c2, qs q) WHERE rk <= 2),
+        |scored AS (SELECT q.qid,
+        |    round(list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos,
+        |    e.vec_id AS nid
+        |  FROM e JOIN a3 USING (vec_id)
+        |  JOIN probed p ON a3.cid = p.cid
+        |  JOIN qs q ON q.qid = p.qid AND e.vec_id <> q.qid),
+        |fr AS (SELECT * FROM scored WHERE cos >= 0.25),
+        |cnt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_neighbors
+        |        FROM fr GROUP BY 1),
+        |rr AS (SELECT qid, cos, nid, row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |       FROM fr)
+        |SELECT q.qid, coalesce(cnt.n_neighbors, 0) AS n_neighbors,
+        |  r1.cos AS top_cos, r1.nid AS top_id
+        |FROM qs q LEFT JOIN cnt USING (qid)
+        |LEFT JOIN (SELECT qid, cos, nid FROM rr WHERE rk = 1) r1
+        |  USING (qid)
+        |ORDER BY qid""".stripMargin,
     // q310: Fleming–Harrington G(1,0) — q293's risk chain with each
     // term weighted by the pooled KM ppm at t−1 (q227's recursive
     // recurrence; the s CTE's t=−1 seed gives w(0) = 10⁶). Weighted
@@ -6736,6 +6779,235 @@ object SparkEntry {
         |  CAST(s * 1000000 // nullif((SELECT max(s) FROM a2r), 0)
         |    AS BIGINT) AS authority_micro
         |FROM a2r ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
+    // q327: Matthews correlation — exact HUGEINT confusion products,
+    // ONE mirrored float chain (num / sqrt(marginal product)),
+    // rounded micro; NULL on any empty marginal.
+    "q327_mcc" ->
+      """WITH c AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN p = 1 AND y = 1 THEN 1 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN p = 1 AND y = 0 THEN 1 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(count(CASE WHEN p = 0 AND y = 1 THEN 1 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(count(CASE WHEN p = 0 AND y = 0 THEN 1 END)
+        |      AS BIGINT) AS tn
+        |  FROM (SELECT CAST(n_chars >= 300 AS INTEGER) AS p,
+        |          CAST(lang = 'en' AS INTEGER) AS y FROM documents
+        |        WHERE n_chars IS NOT NULL AND lang IS NOT NULL))
+        |SELECT n, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0
+        |  THEN CAST(round(CAST(CAST(tp AS HUGEINT) * tn
+        |      - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |    / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |        * (tn + fp) * (tn + fn) AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT) END AS mcc_micro
+        |FROM c""".stripMargin,
+    // q328: Cramér's V — q243's exact chi2_nano chain + one mirrored
+    // sqrt chain onto [0,1] micro.
+    "q328_cramers_v" ->
+      """WITH c AS (SELECT lang AS a, source AS b,
+        |             CAST(count(*) AS BIGINT) AS nab
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+        |       FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+        |       FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM c),
+        |la AS (SELECT CAST(count(*) AS BIGINT) AS n_a_levels FROM ma),
+        |lb AS (SELECT CAST(count(*) AS BIGINT) AS n_b_levels FROM mb),
+        |grid AS (SELECT ma.a, mb.b, ma.na, mb.nb,
+        |           coalesce(c.nab, 0) AS nab
+        |         FROM ma CROSS JOIN mb LEFT JOIN c USING (a, b)),
+        |x AS (SELECT CAST(sum(CAST(round(
+        |         (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+        |         * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+        |         / (CAST(na AS DOUBLE) * nb / n) * 1e9, 0) AS BIGINT))
+        |         AS BIGINT) AS chi2_nano
+        |      FROM grid, tt)
+        |SELECT tt.n, la.n_a_levels, lb.n_b_levels, x.chi2_nano,
+        |  CASE WHEN tt.n > 0 AND least(la.n_a_levels, lb.n_b_levels) > 1
+        |  THEN CAST(round(sqrt(CAST(x.chi2_nano AS DOUBLE) / 1e9
+        |    / (CAST(tt.n AS DOUBLE)
+        |       * (least(la.n_a_levels, lb.n_b_levels) - 1)))
+        |    * 1000000, 0) AS BIGINT) END AS v_micro
+        |FROM tt, la, lb, x""".stripMargin,
+    // q329: variance ratio VR(5) — two calendar-bounded increment
+    // populations, exact HUGEINT sufficient sums, one mirrored float
+    // chain; NULL when Var1 = 0 (exact integer test).
+    "q329_variance_ratio" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_1,
+        |    sum(CAST(b.c - a.c AS HUGEINT)) AS sx_1,
+        |    sum(CAST(b.c - a.c AS HUGEINT) * (b.c - a.c)) AS sxx_1
+        |  FROM daily a JOIN daily b ON b.d = a.d + 1),
+        |sq AS (SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |    sum(CAST(b.c - a.c AS HUGEINT)) AS sx_q,
+        |    sum(CAST(b.c - a.c AS HUGEINT) * (b.c - a.c)) AS sxx_q
+        |  FROM daily a JOIN daily b ON b.d = a.d + 5)
+        |SELECT n_1, n_q,
+        |  CASE WHEN n_1 > 0 AND n_q > 0
+        |      AND CAST(n_1 AS HUGEINT) * sxx_1 - sx_1 * sx_1 <> 0
+        |  THEN CAST(round(
+        |    CAST(CAST(n_q AS HUGEINT) * sxx_q - sx_q * sx_q AS DOUBLE)
+        |      / CAST(n_q AS DOUBLE) / CAST(n_q AS DOUBLE) / 5
+        |    / (CAST(CAST(n_1 AS HUGEINT) * sxx_1 - sx_1 * sx_1
+        |         AS DOUBLE)
+        |       / CAST(n_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+        |    * 1000000, 0) AS BIGINT) END AS vr_micro
+        |FROM s1, sq""".stripMargin,
+    // q330: per-node local clustering over the DEDUP-FIRST near-dup
+    // graph (q298's collapse: exact-text families → min-id rep; the
+    // raw graph's R-clique wedge frame spilled past disk at 100x) —
+    // triangle corners exploded from the a<b<c enumeration, exact
+    // integer ppm, total-ordered top-25.
+    "q330_local_clustering" ->
+      """WITH dd AS (SELECT text, min(doc_id) AS keep_id
+        |           FROM documents GROUP BY 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT keep_id AS doc_id,
+        |          string_split(text, ' ') AS toks
+        |        FROM dd)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT unnest([x, y, z]) AS n FROM tri),
+        |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t
+        |       FROM corners GROUP BY 1)
+        |SELECT d.n AS node, coalesce(tc.t, 0) AS n_triangles, d.deg,
+        |  CAST(CAST(coalesce(tc.t, 0) AS HUGEINT) * 2000000
+        |    // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+        |    AS cc_ppm
+        |FROM deg d LEFT JOIN tc ON tc.n = d.n
+        |WHERE d.deg >= 2
+        |ORDER BY cc_ppm DESC, deg DESC, node LIMIT 25""".stripMargin,
+    // q331: Heaps exponent — q299's curve CTEs + nano-ln OLS in
+    // HUGEINT (the q315 float convention).
+    "q331_heaps_exponent" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |pd AS (SELECT least(9, doc_id * 10 // (mx + 1)) AS bucket,
+        |         len(list_filter(string_split(text, ' '),
+        |           t -> t <> '')) AS n_tok
+        |       FROM documents, mx),
+        |pb AS (SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |       FROM pd GROUP BY 1),
+        |fs AS (SELECT t, min(doc_id) AS fid FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |         FROM documents)
+        |       WHERE t <> '' GROUP BY 1),
+        |nt AS (SELECT least(9, fid * 10 // (mx + 1)) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_new_types
+        |       FROM fs, mx GROUP BY 1),
+        |cur AS (SELECT pb.bucket,
+        |          sum(coalesce(nt.n_new_types, 0)) OVER w
+        |            AS vocab_size,
+        |          sum(pb.n_tokens) OVER w AS tokens_cum
+        |        FROM pb LEFT JOIN nt USING (bucket)
+        |        WINDOW w AS (ORDER BY pb.bucket ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pts AS (SELECT CAST(vocab_size AS BIGINT) AS v,
+        |    CAST(tokens_cum AS BIGINT) AS tk,
+        |    CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS y
+        |  FROM cur WHERE tokens_cum > 0 AND vocab_size > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(max(tk) AS BIGINT) AS total_tokens,
+        |  CAST(max(v) AS BIGINT) AS total_vocab,
+        |  CAST((CAST(count(*) AS HUGEINT)
+        |      * sum(CAST(x AS HUGEINT) * y)
+        |      - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)))
+        |    * 1000000
+        |    // nullif(CAST(count(*) AS HUGEINT)
+        |      * sum(CAST(x AS HUGEINT) * x)
+        |      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)), 0)
+        |    AS BIGINT) AS beta_micro
+        |FROM pts""".stripMargin,
+    // q333: Youden's J — q258's ROC chain, argmax of the integer-ppm
+    // J with ties to the lowest threshold.
+    "q333_youden_threshold" ->
+      """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vals AS (SELECT s,
+        |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS cp,
+        |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS cn
+        |  FROM base GROUP BY 1),
+        |c AS (SELECT s, cp, cn,
+        |        sum(cp) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cum_p,
+        |        sum(cn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cum_n,
+        |        sum(cp) OVER () AS n_pos, sum(cn) OVER () AS n_neg
+        |      FROM vals),
+        |t AS (SELECT s AS threshold,
+        |        CAST(n_pos - cum_p + cp AS BIGINT) AS tp,
+        |        CAST(n_neg - cum_n + cn AS BIGINT) AS fp,
+        |        CAST(n_pos AS BIGINT) AS n_pos,
+        |        CAST(n_neg AS BIGINT) AS n_neg
+        |      FROM c),
+        |j AS (SELECT threshold, tp, fp,
+        |       CAST(CAST(tp AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+        |         AS tpr_ppm,
+        |       CAST(CAST(fp AS HUGEINT) * 1000000 // n_neg AS BIGINT)
+        |         AS fpr_ppm
+        |      FROM t)
+        |SELECT threshold, tp, fp, tpr_ppm, fpr_ppm,
+        |  tpr_ppm - fpr_ppm AS j_ppm
+        |FROM j ORDER BY j_ppm DESC, threshold LIMIT 1""".stripMargin,
+    // q334: perceptual aHash clusters — 16-byte frames (the q323
+    // ascii==byte identity), one bit per byte by exact
+    // cross-multiplied mean compare, hash-keyed groups, top 25.
+    "q334_ahash_clusters" ->
+      """WITH f AS (SELECT doc_id, CAST(t.fo AS INTEGER) AS frame_no,
+        |    substr(text, CAST(t.fo * 16 + 1 AS BIGINT), 16) AS s
+        |  FROM documents, LATERAL unnest(range(0,
+        |    (len(text) + 15) // 16)) t(fo)),
+        |h AS (SELECT doc_id, frame_no, s,
+        |    list_sum([CAST(ascii(c) AS BIGINT)
+        |      for c in string_split(s, '')]) AS ssum,
+        |    CAST(len(s) AS BIGINT) AS nb
+        |  FROM f),
+        |h2 AS (SELECT doc_id, frame_no,
+        |    list_reduce([CASE WHEN CAST(ascii(c) AS BIGINT) * nb
+        |        >= ssum THEN '1' ELSE '0' END
+        |      for c in string_split(s, '')], (a, b) -> a || b)
+        |      AS ahash
+        |  FROM h),
+        |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    min(doc_id * 1000000000 + frame_no) AS k
+        |  FROM h2 GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT ahash, n_frames, n_docs,
+        |  CAST(k // 1000000000 AS BIGINT) AS first_doc,
+        |  CAST(k % 1000000000 AS INTEGER) AS first_frame
+        |FROM g ORDER BY n_frames DESC, ahash LIMIT 25""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

@@ -424,6 +424,63 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** PER-NODE LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz, Nature
+    * 1998) — [[triangleStats]]'s global density broken out per node:
+    * cc_v = 2·t_v / (deg_v·(deg_v − 1)) with t_v the triangles
+    * through v, in exact integer ppm. On the near-dup graph this is
+    * the per-document "is my neighborhood a clique or a chain"
+    * screen: a doc with high degree but low cc is a HUB STITCHING
+    * UNRELATED families together (the false-positive merge signature
+    * [[triangleStats]] can only see in aggregate), exactly the rows
+    * a dedup audit wants listed. Top `topN` by (cc desc, deg desc,
+    * node) over nodes with deg ≥ `minDeg` — a total order.
+    *
+    * Scale shape: [[triangleStats]]'s degree-oriented wedge join
+    * (each wedge enumerated at its LOWER-(deg, id) endpoint — the
+    * standard high-degree-hub bound) with the closing-edge join
+    * exploding each triangle to its three corners; per-node counts
+    * are a corner-sized aggregate, and the cut is one
+    * TakeOrderedAndProject. */
+  def localClustering(edges: DataFrame, minDeg: Int = 2,
+      topN: Int = 25, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(minDeg >= 2 && topN >= 1, s"minDeg=$minDeg topN=$topN")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("x"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("d"), col("b").as("v")))
+          .otherwise(struct(col("da").as("d"), col("a").as("v")))
+          .as("y"))
+    val wedges = o.as("o1").join(o.as("o2"), "x")
+      .filter(col("o1.y") < col("o2.y"))
+      .select(col("x"), col("o1.y.v").as("y1"), col("o2.y.v").as("y2"))
+    val closing = o.select(col("x").as("y1"), col("y.v").as("y2"))
+    val tc = wedges.join(closing, Seq("y1", "y2"))
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.filter(col("deg") >= minDeg)
+      .join(tc, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"), col("deg"),
+        expr("cast(cast(coalesce(t, 0L) as decimal(38,0)) * 2000000" +
+          " div (cast(deg as decimal(38,0)) * (deg - 1)) as bigint)")
+          .as("cc_ppm"))
+      .orderBy(col("cc_ppm").desc, col("deg").desc, col("node"))
+      .limit(topN)
+  }
+
   /** DEGREE ASSORTATIVITY (Newman, PRL 89 2002) of an undirected edge
     * set: Pearson correlation of endpoint degrees over directed STUBS
     * (each edge in both orientations — the standard estimator).

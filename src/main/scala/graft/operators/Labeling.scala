@@ -194,6 +194,60 @@ object Labeling {
           " as bigint) end").as("kappa_ppm"))
   }
 
+  /** MATTHEWS CORRELATION COEFFICIENT (Matthews 1975) between a
+    * binary predictor and the truth label — the single-number
+    * confusion summary that, unlike accuracy or F1, stays honest
+    * under class imbalance (it is the Pearson φ of the 2×2 table):
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+    * Numerator and the four marginal products are exact
+    * DECIMAL(38,0); the one fixed-order float is the final
+    * num / √den, rounded to integer micro (operands mirrored in the
+    * oracle — the [[cohenKappa]] convention with one √). NULL when
+    * any marginal is empty (a constant predictor or label — MCC
+    * undefined). One row: (n, tp, fp, fn, tn, mcc_micro).
+    *
+    * Scale shape: ONE conditional aggregate over the scan — four
+    * confusion counts with map-side partials, 1-row output. */
+  def matthewsCorrelation(df: DataFrame, pred: Column,
+      label: Column): DataFrame = {
+    val cells = df
+      .select(pred.cast("int").as("p"), label.cast("int").as("y"))
+      .filter(col("p").isNotNull && col("y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("p") === 1 && col("y") === 1, 1)).as("tp"),
+        count(when(col("p") === 1 && col("y") === 0, 1)).as("fp"),
+        count(when(col("p") === 0 && col("y") === 1, 1)).as("fn"),
+        count(when(col("p") === 0 && col("y") === 0, 1)).as("tn"))
+    cells.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      expr("case when tp + fp > 0 and tp + fn > 0 and tn + fp > 0" +
+        " and tn + fn > 0 then cast(round(cast(" +
+        " cast(tp as decimal(38,0)) * tn -" +
+        " cast(fp as decimal(38,0)) * fn as double) / sqrt(cast(" +
+        " cast(tp + fp as decimal(38,0)) * (tp + fn) * (tn + fp)" +
+        " * (tn + fn) as double)) * 1000000, 0) as bigint) end")
+        .as("mcc_micro"))
+  }
+
+  /** YOUDEN'S J OPTIMAL THRESHOLD (Youden 1950) — the operating
+    * point a deployed binary scorer should run at when false
+    * positives and false negatives cost the same: the threshold
+    * maximizing J = TPR − FPR over [[rocPoints]]'s curve. J is
+    * evaluated on the emitted integer-ppm rates (the q319
+    * statistic-over-a-rounded-statistic convention — differences
+    * below 1 ppm are below reporting precision), maximum ties break
+    * to the LOWEST threshold (a total order both engines replay).
+    * One row: (threshold, tp, fp, tpr_ppm, fpr_ppm, j_ppm).
+    *
+    * Scale shape: [[rocPoints]]'s two-level cumsum over the
+    * distinct-score frame + one TakeOrderedAndProject(1). */
+  def youdenThreshold(df: DataFrame, score: Column,
+      label: Column): DataFrame =
+    rocPoints(df, score, label)
+      .select(col("threshold"), col("tp"), col("fp"),
+        col("tpr_ppm"), col("fpr_ppm"),
+        (col("tpr_ppm") - col("fpr_ppm")).as("j_ppm"))
+      .orderBy(col("j_ppm").desc, col("threshold")).limit(1)
+
   /** ACCURACY-WEIGHTED REVOTE — the second rung of the Snorkel
     * ladder after [[majorityVote]]: pass 1 computes each LF's
     * agreement with the majority consensus (exact ppm, the

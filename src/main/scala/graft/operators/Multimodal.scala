@@ -128,6 +128,56 @@ object Multimodal {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** PERCEPTUAL AVERAGE-HASH (aHash) FRAME CLUSTERS — the classic
+    * cheap perceptual fingerprint over the frame stream: each frame's
+    * hash is one BIT PER BYTE, set when the byte is at or above the
+    * frame's mean (compared exactly by cross-multiplying —
+    * byte·n_bytes ≥ Σbytes — no division), so two frames that differ
+    * only by a uniform brightness shift of magnitude below the
+    * byte-to-mean gaps hash identically where [[frameDedup]]'s
+    * exact checksum separates them. Frames are grouped by hash;
+    * clusters touching ≥ 2 frames are the near-dup candidates a
+    * video-ingest pipeline routes to fine verification. The hash is
+    * a pure byte function of the deterministic decode stub, so the
+    * DuckDB oracle replays every bit. Top `topN` clusters by
+    * (n_frames DESC, ahash) — a total order (the hash string is
+    * unique per group).
+    *
+    * Scale shape: map-only frame fan-out + ONE hash-keyed aggregate
+    * with map-side partials + a TakeOrderedAndProject cut. */
+  def aHashClusters(docs: DataFrame, frameBytes: Int, topN: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(frameBytes > 0 && topN > 0)
+    val frames = withBinaryPayload(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).map { f =>
+          val start = f * frameBytes
+          val slice = bytes.slice(start,
+            math.min(start + frameBytes, bytes.length))
+          var s = 0L
+          slice.foreach(b => s += (b & 0xff))
+          val h = slice.map(b =>
+            if ((b & 0xff).toLong * slice.length >= s) '1' else '0')
+            .mkString
+          (id, f, h)
+        }
+      }
+      .toDF("doc_id", "frame_no", "ahash")
+    frames.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("frame_no"))).as("first"))
+      .filter(col("n_frames") >= 2)
+      .select(col("ahash"), col("n_frames"), col("n_docs"),
+        col("first.doc_id").as("first_doc"),
+        col("first.frame_no").as("first_frame"))
+      .orderBy(col("n_frames").desc, col("ahash")).limit(topN)
+  }
+
   /** SHOT-BOUNDARY DETECTION — the classic cut detector over the
     * frame stream: consecutive frames' feature histograms compared by
     * integer L1 distance, normalized per byte compared,

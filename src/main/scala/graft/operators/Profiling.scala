@@ -974,6 +974,29 @@ object Profiling {
         col("chi2_nano"))
   }
 
+  /** CRAMÉR'S V (Cramér 1946) — [[chiSquareIndependence]]'s χ²
+    * normalized onto [0, 1]: V = √(χ² / (n·(min(r, c) − 1))), the
+    * effect-size companion that makes association strengths
+    * comparable across tables of different size and shape (a χ² of
+    * 500 means nothing until n and the level counts divide it out).
+    * Reads the exact integer (n, levels, chi2_nano) row and applies
+    * ONE mirrored float chain: χ²_nano/10⁹ / (n·(min−1)), √, rounded
+    * to integer micro. NULL when either variable has a single level
+    * (V undefined — no association possible). One row:
+    * (n, n_a_levels, n_b_levels, chi2_nano, v_micro).
+    *
+    * Scale shape: [[chiSquareIndependence]]'s (one (a, b) cell
+    * aggregate + level-bounded grid) and a row-local tail. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareIndependence(df, aCol, bCol)
+      .select(col("n"), col("n_a_levels"), col("n_b_levels"),
+        col("chi2_nano"),
+        expr("case when n > 0 and least(n_a_levels, n_b_levels) > 1" +
+          " then cast(round(sqrt(cast(chi2_nano as double) / 1e9" +
+          " / (cast(n as double)" +
+          " * (least(n_a_levels, n_b_levels) - 1))) * 1000000, 0)" +
+          " as bigint) end").as("v_micro"))
+
   /** HERFINDAHL–HIRSCHMAN concentration index per group — "how
     * single-sourced is each language's corpus": with per-category
     * counts n_c and group total n, HHI = Σ (n_c/n)², emitted as the

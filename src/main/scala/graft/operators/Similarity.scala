@@ -1597,6 +1597,66 @@ object Similarity {
     ivfServingTail(base, cents, nProbe, nQueries, k)
   }
 
+  /** IVF RANGE (RADIUS) SEARCH — the "everything within cosine ≥ τ"
+    * companion of top-k serving (dedup-by-similarity, compliance
+    * sweeps, and recall-oriented retrieval all want the NEIGHBORHOOD,
+    * not a fixed k): each of the `nQueries` fixed queries scores only
+    * its `nProbe` closest cells of the trained quantizer (the q309
+    * prune) and keeps candidates with rounded cosine ≥ τ. Everything
+    * downstream of the quantizer is deterministic (round-4 cosine,
+    * nid tiebreak), so every row — neighbor count, top cosine, top
+    * id — replays exactly in the DuckDB oracle. Queries with an
+    * empty radius emit (qid, 0, NULL, NULL) — absence is data.
+    *
+    * Scale shape: [[ivfRankingMetricsWith]]'s serving plan with a
+    * radius filter instead of the rank cut: map-only assignment
+    * (pinned — the q309 argmin lesson), broadcast probe table,
+    * cell-bounded candidate scan, per-query aggregates. */
+  def ivfRangeSearchWith(emb: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      nProbe: Int, nQueries: Int, tau: Double): DataFrame = {
+    require(nProbe >= 1 && nQueries >= 1,
+      s"nProbe=$nProbe nQueries=$nQueries")
+    require(tau > -1.0 && tau <= 1.0, s"tau=$tau")
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cid", argminStruct(col("v"), cents).getField("cid"))
+      .localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val probed = centroidsDF(spark, cents).crossJoin(broadcast(qs))
+      .select(col("qid"), col("cid"),
+        (dot(col("c"), col("qv")) /
+          (sqrt(dot(col("c"), col("c"))) * col("qnrm"))).as("ccos"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rk") <= nProbe).select(col("qid"), col("cid"))
+    val scored = Par.fanOut(base).join(broadcast(probed), "cid")
+      .join(broadcast(qs), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4)
+          .as("cos"),
+        col("vec_id").as("nid"))
+      .filter(col("cos") >= tau)
+    val counts = scored.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("cos").as("top_cos"),
+        col("nid").as("top_id"))
+    qs.select(col("qid"))
+      .join(counts, Seq("qid"), "left").join(top, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("top_cos"), col("top_id"))
+      .orderBy(col("qid"))
+  }
+
   /** Shared serving tail of [[ivfRankingMetricsWith]] /
     * [[ivfRankingMetricsFromIndex]]: from the assigned member frame
     * (vec_id, label, v, nrm, cid) — fixed-query probe selection,

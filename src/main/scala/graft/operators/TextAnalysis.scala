@@ -645,6 +645,43 @@ object TextAnalysis {
         "cast(vocab_size * 1000000 div nullif(tokens_cum, 0) as bigint)"))
   }
 
+  /** HEAPS'-LAW EXPONENT (Heaps 1978) — the one-number fit of
+    * [[vocabGrowth]]'s curve: V(n) = K·n^β, so β is the OLS slope of
+    * ln(vocab) on ln(tokens) over the bucket checkpoints. Natural
+    * corpora sit around β ≈ 0.4–0.6; β near 1 flags a vocabulary
+    * that never saturates (IDs/hashes leaking into the token stream),
+    * β near 0 a template corpus — the growth-side twin of
+    * [[zipfSlope]] (the two exponents are duals under the Zipf
+    * model). Same float convention as [[zipfSlope]]: one ln per
+    * coordinate over exact integers, nano-rounded BEFORE the OLS
+    * sums, which run in exact DECIMAL(38,0); slope_micro is one
+    * truncating division. One row: (n_points, total_tokens,
+    * total_vocab, beta_micro).
+    *
+    * Scale shape: [[vocabGrowth]]'s one token aggregate + the
+    * buckets-bounded curve; the fit is an N≤buckets-row aggregate. */
+  def heapsExponent(docs: DataFrame, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pts = vocabGrowth(docs, buckets, textCol, idCol)
+      .filter(col("tokens_cum") > 0 && col("vocab_size") > 0)
+      .select(col("tokens_cum"), col("vocab_size"),
+        round(log(col("tokens_cum").cast("double")) * 1e9, 0)
+          .cast("long").as("x"),
+        round(log(col("vocab_size").cast("double")) * 1e9, 0)
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        max(col("tokens_cum")).as("total_tokens"),
+        max(col("vocab_size")).as("total_vocab"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("x")) * col("y")).as("sxy"))
+      .select(col("n_points"), col("total_tokens"), col("total_vocab"),
+        expr("cast((cast(n_points as decimal(38,0)) * sxy - sx * sy)" +
+          " * 1000000 div nullif(cast(n_points as decimal(38,0))" +
+          " * sxx - sx * sx, 0) as bigint)").as("beta_micro"))
+  }
+
   /** CORPUS-CONTRAST KEYNESS — Dunning's log-likelihood G² per term
     * between a FOCUS slice and the rest of the corpus (Dunning, CL
     * 1993; the keyword-extraction statistic corpus linguists and

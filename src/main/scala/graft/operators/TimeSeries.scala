@@ -781,6 +781,55 @@ object TimeSeries {
           " div 1000000 as bigint)").as("q_micro"))
   }
 
+  /** VARIANCE-RATIO TEST (Lo & MacKinlay, RFS 1988 — the random-walk
+    * diagnostic, here over the daily-cents series): if daily changes
+    * are uncorrelated, the variance of q-day changes is q times the
+    * variance of 1-day changes, so VR(q) = Var(c_{d+q} − c_d) / q /
+    * Var(c_{d+1} − c_d) ≈ 1; VR > 1 flags positive autocorrelation
+    * (trending), VR < 1 mean-reversion — the one-number companion of
+    * q217's per-lag ACF and q312's Mann–Kendall. Both increment
+    * populations come from CALENDAR-bounded (d, d+k) equi-joins (the
+    * [[autocorrelation]] pair regime); each variance is algebra over
+    * exact DECIMAL(38,0) sufficient sums (n, Σx, Σx²), population
+    * form n·Σx² − (Σx)² over n². The ONE fixed-order float chain —
+    * ((n_q·sxx_q − sx_q²)/n_q²)/q / ((n_1·sxx_1 − sx_1²)/n_1²) —
+    * is mirrored verbatim in the oracle, rounded to integer micro.
+    * NULL when either population is empty or Var₁ = 0 (the zero test
+    * on exact integers). One row: (n_1, n_q, vr_micro).
+    *
+    * Scale shape: one key-sized daily aggregate (pinned), two
+    * calendar-bounded self-equi-joins folding straight into 1-row
+    * sufficient-stat aggregates. */
+  def varianceRatio(df: DataFrame, ts: String, value: Column,
+      q: Int): DataFrame = {
+    require(q >= 2, s"q=$q")
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .filter(col("d").isNotNull && col("cents").isNotNull)
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+      .localCheckpoint(true)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def stats(k: Int, nn: String, sxn: String, sxxn: String) =
+      daily.as("a")
+        .join(daily.as("b"), expr(s"b.d = a.d + $k"))
+        .select((col("b.c") - col("a.c")).as("x"))
+        .agg(count(lit(1)).as(nn), sum(dec(col("x"))).as(sxn),
+          sum(dec(col("x")) * col("x")).as(sxxn))
+    stats(1, "n_1", "sx_1", "sxx_1")
+      .crossJoin(broadcast(stats(q, "n_q", "sx_q", "sxx_q")))
+      .select(col("n_1"), col("n_q"),
+        expr("case when n_1 > 0 and n_q > 0 and" +
+          " cast(n_1 as decimal(38,0)) * sxx_1 - sx_1 * sx_1 <> 0" +
+          " then cast(round(" +
+          " cast(cast(n_q as decimal(38,0)) * sxx_q - sx_q * sx_q" +
+          "   as double) / cast(n_q as double) / cast(n_q as double)" +
+          s" / $q" +
+          " / (cast(cast(n_1 as decimal(38,0)) * sxx_1 - sx_1 * sx_1" +
+          "   as double) / cast(n_1 as double) / cast(n_1 as double))" +
+          " * 1000000, 0) as bigint) end").as("vr_micro"))
+  }
+
   /** MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) over the same
     * daily cents series as [[theilSenTrend]] — the nonparametric "is
     * there a monotone trend AT ALL" significance companion of

@@ -3721,6 +3721,100 @@ object NorthStar {
     Graph.hitsAuthoritiesRefined(e, 10, 4)
   }
 
+  /** X17 Matthews correlation ([[graft.operators.Labeling
+    * .matthewsCorrelation]]): the length rule (n_chars ≥ 300) as a
+    * predictor of the English label — the imbalance-honest
+    * single-number confusion summary beside q255's κ and q256's
+    * AUC; exact DECIMAL cells, one mirrored √ chain. */
+  def lengthMcc(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.matthewsCorrelation(Tables.documents(spark, d),
+      ($"n_chars" >= 300).cast("int"), ($"lang" === "en").cast("int"))
+  }
+
+  /** X14 Cramér's V ([[graft.operators.Profiling.cramersV]]): the
+    * lang × source association of q243's χ² as a [0, 1] effect
+    * size — one mirrored √ chain over the exact (n, levels,
+    * chi2_nano) row. */
+  def langSourceCramersV(spark: SparkSession, d: String): DataFrame =
+    Profiling.cramersV(Tables.documents(spark, d), "lang", "source")
+
+  /** X16 variance-ratio test ([[graft.operators.TimeSeries
+    * .varianceRatio]]): VR(5) over daily revenue cents — is the
+    * revenue series a random walk at the weekly scale; exact
+    * DECIMAL sufficient sums per increment population, one mirrored
+    * float chain. */
+  def revenueVarianceRatio(spark: SparkSession, d: String): DataFrame =
+    TimeSeries.varianceRatio(Tables.orders(spark, d), "o_orderdate",
+      org.apache.spark.sql.functions.col("o_totalprice"), 5)
+
+  /** X13 per-node local clustering ([[graft.operators.Graph
+    * .localClustering]]) over the DEDUP-FIRST near-dup graph — the
+    * per-document clique-vs-chain screen (a high-degree low-cc node
+    * is a false-positive merge hub); top 25, exact integer ppm.
+    * DEDUP-FIRST (the q298 composition, measured necessary round 15):
+    * exact-text families collapse to their min-id representative
+    * BEFORE the Jaccard graph — an R-copy family is an R-clique whose
+    * wedge frame grows R² under replication (the raw form SPILLED
+    * PAST LOCAL DISK at 100× where the collapsed form is seconds),
+    * and an exact-dup clique carries no structure the audit needs. */
+  def dupGraphLocalClustering(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTxt = Window.partitionBy($"text")
+    val reps = Tables.documents(spark, d)
+      .select($"doc_id", $"text")
+      .withColumn("keep_id", min($"doc_id").over(wTxt))
+      .filter($"doc_id" === $"keep_id")
+      .select($"keep_id".as("doc_id"), $"text")
+    Graph.localClustering(Dedup.jaccardPairs(reps, 0.5),
+      2, 25, "doc_a", "doc_b")
+  }
+
+  /** X4 Heaps'-law exponent ([[graft.operators.TextAnalysis
+    * .heapsExponent]]): the one-number fit of q299's vocabulary
+    * growth curve (same 10 buckets) — nano-ln OLS in exact
+    * DECIMAL, the growth-side dual of q315's Zipf slope. */
+  def vocabHeapsExponent(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.heapsExponent(Tables.documents(spark, d), 10)
+
+  /** X3 IVF range search ([[graft.operators.Similarity
+    * .ivfRangeSearchWith]]): everything within cosine ≥ 0.25 of the
+    * 16 fixed queries, candidates pruned to 2 of the persisted
+    * codebook's 8 cells (q309's quantizer) — neighbor count, top
+    * cosine and top id per query, every row oracle-replayed. */
+  def embeddingRangeSearch(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Similarity.centroidsOf(graft.sources.IndexStore.ensure(
+      spark, codebookDir(d, "v2"),
+      graft.sources.IndexStore.sourceFingerprint(
+        s"$d/embeddings.parquet", "codebook=full,k8,iters2")) {
+      Similarity.centroidsDF(spark, Similarity.kmeansCentroids(emb, 8, 2))
+    })
+    Similarity.ivfRangeSearchWith(emb, cents, 2, 16, 0.25)
+  }
+
+  /** X17 Youden's J optimal threshold ([[graft.operators.Labeling
+    * .youdenThreshold]]): the n_chars operating point that best
+    * separates English from the rest — argmax of (TPR − FPR) over
+    * q258's ROC in integer ppm, ties to the lowest threshold. */
+  def lengthYouden(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.youdenThreshold(Tables.documents(spark, d), $"n_chars",
+      ($"lang" === "en").cast("int"))
+  }
+
+  /** X5 perceptual aHash frame clusters ([[graft.operators.Multimodal
+    * .aHashClusters]]): 16-byte frames fingerprinted one bit per
+    * byte (≥ frame mean, cross-multiplied exact), clustered by hash
+    * — the brightness-shift-tolerant near-dup screen beside q203's
+    * exact-checksum frame dedup; top 25 clusters. */
+  def mediaAHashClusters(spark: SparkSession, d: String): DataFrame = {
+    implicit val s = spark
+    Multimodal.aHashClusters(Tables.documents(spark, d), 16, 25)
+  }
+
   /** X14/X16 rolling quantile from the persisted per-day KLL state
     * ([[graft.operators.QuantileState]]): 7-day rolling p50 of event
     * value cents, read from merged day sketches — q196's pattern on

@@ -214,7 +214,18 @@ object ScaleBench {
         // shuffle — + a days-sized rollup + the exact-check join),
         // two-round refined HITS (two edge-sized aggregates + one
         // candidate-bounded join; no superstep loop)
-        "q325_rolling_quantile_state", "q326_hits_refined")
+        "q325_rolling_quantile_state", "q326_hits_refined",
+        // round-15 batch 2: MCC + Cramér's V + Youden (one conditional
+        // aggregate / level-grid / ROC-cumsum each), variance ratio
+        // (two calendar-bounded pair joins), local clustering (the
+        // q218 wedge regime per node), Heaps exponent (q299's token
+        // aggregate + buckets-bounded fit), IVF range search (q309's
+        // cell-bounded probe with a radius filter), aHash clusters
+        // (map-only frame fan-out + hash-keyed aggregate)
+        "q327_mcc", "q328_cramers_v", "q329_variance_ratio",
+        "q330_local_clustering", "q331_heaps_exponent",
+        "q332_range_search", "q333_youden_threshold",
+        "q334_ahash_clusters")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:
