@@ -109,7 +109,13 @@ object Explain {
       "q315_zipf_slope", "q316_hits_capped", "q317_brier",
       "q318_ab_mde", "q319_ljung_box", "q320_stratified_logrank",
       "q321_personalized_pagerank", "q322_dow_profile",
-      "q323_shot_boundaries", "q324_hazard_ratio")
+      "q323_shot_boundaries", "q324_hazard_ratio",
+      "q325_rolling_quantile_state", "q326_hits_refined", "q327_mcc",
+      "q328_cramers_v", "q329_variance_ratio",
+      "q330_local_clustering", "q331_heaps_exponent",
+      "q332_range_search", "q333_youden_threshold",
+      "q334_ahash_clusters", "q335_km_band", "q336_skyline",
+      "q337_bridge_edges", "q338_mad", "q339_tukey_outliers")
     // Reader-facing notes for queries whose dump is a constituent plan
     // rather than the whole query (maintenance writes / driver loops).
     val notes = Map(

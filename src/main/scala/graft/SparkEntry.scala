@@ -356,6 +356,11 @@ object SparkEntry {
     "q332_range_search" -> (NorthStar.embeddingRangeSearch _),
     "q333_youden_threshold" -> (NorthStar.lengthYouden _),
     "q334_ahash_clusters" -> (NorthStar.mediaAHashClusters _),
+    "q335_km_band" -> (NorthStar.churnSurvivalBand _),
+    "q336_skyline" -> (NorthStar.docQualitySkyline _),
+    "q337_bridge_edges" -> (NorthStar.dupGraphBridges _),
+    "q338_mad" -> (NorthStar.orderValueMad _),
+    "q339_tukey_outliers" -> (NorthStar.eventValueOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7008,6 +7013,162 @@ object SparkEntry {
         |  CAST(k // 1000000000 AS BIGINT) AS first_doc,
         |  CAST(k % 1000000000 AS INTEGER) AS first_frame
         |FROM g ORDER BY n_frames DESC, ahash LIMIT 25""".stripMargin,
+    // q335: Greenwood band — q308's recursive KM chain + the exact
+    // integer-ppb variance accumulation d*1e9 // (n(n-d)), one
+    // mirrored sqrt chain per day, integer band over the rounded se.
+    "q335_km_band" ->
+      """WITH RECURSIVE
+        |days AS (SELECT user_id AS u,
+        |           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |         FROM events),
+        |m AS (SELECT max(d) AS m FROM days),
+        |u AS (SELECT u, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
+        |lt AS (SELECT l - f AS t,
+        |         CASE WHEN m.m - l >= 14 THEN 1 ELSE 0 END AS dead
+        |       FROM u, m),
+        |grid AS (SELECT unnest(range(0, (SELECT max(t) FROM lt) + 1))
+        |           AS t),
+        |km AS (SELECT g.t,
+        |         (SELECT count(*) FROM lt WHERE lt.t >= g.t) AS n_risk,
+        |         (SELECT count(*) FROM lt WHERE lt.t = g.t
+        |            AND dead = 1) AS n_dead
+        |       FROM grid g),
+        |s AS (SELECT CAST(-1 AS BIGINT) AS t,
+        |             CAST(1000000 AS HUGEINT) AS surv
+        |      UNION ALL
+        |      SELECT km.t, s.surv * (km.n_risk - km.n_dead) // km.n_risk
+        |      FROM s JOIN km ON km.t = s.t + 1),
+        |rows_out AS (SELECT km.t,
+        |       CAST(km.n_risk AS BIGINT) AS n_risk,
+        |       CAST(km.n_dead AS BIGINT) AS n_dead,
+        |       CAST(s.surv AS BIGINT) AS survival_ppm,
+        |       CASE WHEN km.n_risk - km.n_dead > 0 THEN
+        |         CAST(CAST(km.n_dead AS HUGEINT) * 1000000000
+        |           // (CAST(km.n_risk AS HUGEINT)
+        |              * (km.n_risk - km.n_dead)) AS BIGINT)
+        |         ELSE 0 END AS g_term_ppb
+        |  FROM km JOIN s USING (t)),
+        |gg AS (SELECT t, n_risk, n_dead, survival_ppm,
+        |    CAST(sum(g_term_ppb) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS g_ppb
+        |  FROM rows_out),
+        |se AS (SELECT t, n_risk, n_dead, survival_ppm,
+        |    CAST(round(CAST(survival_ppm AS DOUBLE)
+        |      * sqrt(CAST(g_ppb AS DOUBLE) / 1e9), 0) AS BIGINT)
+        |      AS se_ppm
+        |  FROM gg)
+        |SELECT t, n_risk, n_dead, survival_ppm, se_ppm,
+        |  greatest(0, survival_ppm - se_ppm * 1959964 // 1000000)
+        |    AS lo_ppm,
+        |  least(1000000, survival_ppm + se_ppm * 1959964 // 1000000)
+        |    AS hi_ppm
+        |FROM se ORDER BY t""".stripMargin,
+    // q336: 2-D skyline (maximize richness AND type-token density) —
+    // per-x best (max y, min id among attainers), frontier via the
+    // strict-predecessor running max over x DESC.
+    "q336_skyline" ->
+      """WITH dtok AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS tot,
+        |    len(list_distinct(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))) AS dv
+        |  FROM documents),
+        |p AS (SELECT CAST(dv AS BIGINT) AS x,
+        |    CAST(dv * 1000000 // tot AS BIGINT) AS y, doc_id
+        |  FROM dtok WHERE tot > 0),
+        |g AS (SELECT x, max(y) AS y FROM p GROUP BY 1),
+        |g2 AS (SELECT p.x, p.y, CAST(min(p.doc_id) AS BIGINT)
+        |         AS first_id
+        |       FROM p JOIN g ON p.x = g.x AND p.y = g.y GROUP BY 1, 2),
+        |f AS (SELECT x, y, first_id,
+        |    max(y) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM g2)
+        |SELECT x, y, first_id FROM f
+        |WHERE pm IS NULL OR y > pm ORDER BY x DESC""".stripMargin,
+    // q337: edge embeddedness bridge screen — q330's dedup-first
+    // graph, per-edge triangle counts from the a<b<c enumeration's
+    // three edges, most-suspect-first total order.
+    "q337_bridge_edges" ->
+      """WITH dd AS (SELECT text, min(doc_id) AS keep_id
+        |           FROM documents GROUP BY 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT keep_id AS doc_id,
+        |          string_split(text, ' ') AS toks
+        |        FROM dd)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |                              AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM inter
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.5),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |te AS (SELECT unnest([{'a': x, 'b': y}, {'a': x, 'b': z},
+        |         {'a': y, 'b': z}], recursive := true) FROM tri),
+        |emb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS t
+        |        FROM te GROUP BY 1, 2)
+        |SELECT e.a, e.b, coalesce(emb.t, 0) AS embeddedness,
+        |  da.deg AS deg_a, db.deg AS deg_b
+        |FROM e LEFT JOIN emb ON e.a = emb.a AND e.b = emb.b
+        |JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+        |ORDER BY embeddedness, da.deg + db.deg DESC, e.a, e.b
+        |LIMIT 25""".stripMargin,
+    // q338: MAD — two chained exact-median picks (k = ceil(0.5*n),
+    // the q180 contract), second over |v - median|; all integer.
+    "q338_mad" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |             AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |med AS (SELECT r.v AS m FROM r, n
+        |        WHERE r.rk = CAST(ceil(0.5 * n.n) AS BIGINT)),
+        |d AS (SELECT abs(v.v - med.m) AS v FROM v, med),
+        |r2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM d)
+        |SELECT n.n, med.m AS median, r2.v AS mad
+        |FROM r2, n, med
+        |WHERE r2.rk = CAST(ceil(0.5 * n.n) AS BIGINT)""".stripMargin,
+    // q339: Tukey fences per event type — exact quartiles at
+    // k = ceil(q*n) (the q220 contract), doubled-integer fences
+    // 2v < 5q1-3q3 / 2v > 5q3-3q1, exact outlier counts.
+    "q339_tukey_outliers" ->
+      """WITH m AS (SELECT event_type AS g,
+        |             CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |      FROM m GROUP BY 1),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |      FROM m),
+        |qq AS (SELECT n.g,
+        |    max(CASE WHEN r.rk = CAST(ceil(0.25 * n.n) AS BIGINT)
+        |      THEN r.v END) AS q1,
+        |    max(CASE WHEN r.rk = CAST(ceil(0.75 * n.n) AS BIGINT)
+        |      THEN r.v END) AS q3
+        |  FROM n JOIN r ON r.g = n.g GROUP BY 1)
+        |SELECT m.g AS "group", CAST(count(*) AS BIGINT) AS n,
+        |  max(qq.q1) AS q1, max(qq.q3) AS q3,
+        |  CAST(sum(CASE WHEN m.v * 2 < qq.q1 * 5 - qq.q3 * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN m.v * 2 > qq.q3 * 5 - qq.q1 * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM m JOIN qq ON m.g = qq.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

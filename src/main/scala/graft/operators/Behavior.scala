@@ -1462,6 +1462,48 @@ object Behavior {
       "survival_ppm")
   }
 
+  /** GREENWOOD CONFIDENCE BAND (Greenwood 1926) around the KM curve —
+    * the "is the churn difference real or noise at THIS day" lens the
+    * point estimate can't give: Var(Ŝ(t)) = Ŝ(t)²·Σ_{s≤t}
+    * d_s/(n_s(n_s−d_s)). Each summand is the exact truncating integer
+    * ppb d·10⁹ div (n(n−d)) (0 when n = d — the curve is 0 from there
+    * and the variance of an extinct cohort is moot), the running sum
+    * is exact, and the ONE float chain per row —
+    * se = round(S_ppm·√(g_ppb/10⁹)) — is mirrored in the oracle;
+    * the ±1.959964·se band is then integer arithmetic over the
+    * rounded se (the q319 statistic-over-a-rounded-statistic
+    * convention), clamped to [0, 10⁶].
+    *
+    * Scale shape: the [[survivalCurveFromState]] span-state readout +
+    * one calendar-bounded window. */
+  def survivalBandFromState(state: DataFrame,
+      censorDays: Int): DataFrame = {
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalCurveFromState(state, censorDays)
+      .withColumn("g_term_ppb", when(col("n_risk") - col("n_dead") > 0,
+        expr("cast(cast(n_dead as decimal(38,0)) * 1000000000" +
+          " div (cast(n_risk as decimal(38,0)) * (n_risk - n_dead))" +
+          " as bigint)")).otherwise(lit(0L)))
+      .withColumn("g_ppb", sum(col("g_term_ppb")).over(w))
+      .withColumn("se_ppm",
+        expr("cast(round(cast(survival_ppm as double)" +
+          " * sqrt(cast(g_ppb as double) / 1e9), 0) as bigint)"))
+      .select(col("t"), col("n_risk"), col("n_dead"),
+        col("survival_ppm"), col("se_ppm"),
+        greatest(lit(0L), col("survival_ppm") -
+          expr("se_ppm * 1959964 div 1000000")).as("lo_ppm"),
+        least(lit(1000000L), col("survival_ppm") +
+          expr("se_ppm * 1959964 div 1000000")).as("hi_ppm"))
+      .orderBy(col("t"))
+  }
+
+  /** [[survivalBandFromState]] from the raw event log. */
+  def survivalBand(events: DataFrame, user: String, ts: String,
+      censorDays: Int): DataFrame =
+    survivalBandFromState(survivalSpanState(events, user, ts),
+      censorDays)
+
   /** NELSON–AALEN cumulative hazard — [[survivalCurve]]'s additive
     * twin: H(t) = Σ_{t'≤t} d/n accumulates the per-day hazards
     * instead of multiplying survivals, the estimator whose increments

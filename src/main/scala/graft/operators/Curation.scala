@@ -195,6 +195,101 @@ object Curation {
         names.flatMap(n => Seq(s"__v_$n", s"__lcum_$n", s"cum_off_$n"))): _*)
   }
 
+  /** TWO-LEVEL GLOBAL RUNNING MAX — the [[withGlobalCumsum]] pattern
+    * on the MAX axis (round 15): attach `cummax`, the running maximum
+    * of `value` over the STRICT predecessors of each row in the total
+    * order `order` (NULL for the global first row — strict precedence
+    * is what dominance tests like [[skyline2d]] need; max is
+    * associative, so the same two-level plan applies: range-partition,
+    * per-bucket strict-prefix window max, fold the ≤ partitions
+    * per-bucket maxima into strictly-preceding-bucket offsets on ONE
+    * row, broadcast back, `greatest` of the two levels — Spark's
+    * `greatest` skips NULLs, which is exactly the empty-prefix
+    * semantics). Also attaches the global rank `rn`. Signed-safe (a
+    * max of anything is fine). Same pin contract as the cumsum. */
+  def withGlobalCummax(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame = {
+    val local = rankedMax(df, order, value).persist()
+    val out = cummaxPlan(local).localCheckpoint(true)
+    local.unpersist(false)
+    out
+  }
+
+  /** LAZY plan-only variant of [[withGlobalCummax]]. */
+  def withGlobalCummaxLazy(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame =
+    cummaxPlan(rankedMax(df, order, value))
+
+  private def rankedMax(df: DataFrame, order: Seq[Column],
+      value: Column): DataFrame = {
+    Reserved.foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column '$r' collides with a cummax output/internal name")
+    }
+    require(!df.columns.contains("cummax"),
+      "input column 'cummax' collides with the output name")
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wLoc = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    df.repartitionByRange(nBuckets, order: _*)
+      .withColumn("__bucket", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__lrn", row_number().over(wLoc))
+      // strict prefix: the row's own value is excluded
+      .withColumn("__lmax", max(col("__v"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, -1)))
+  }
+
+  private def cummaxPlan(local: DataFrame): DataFrame = {
+    val btot = local.groupBy(col("__bucket"))
+      .agg(max(col("__lrn")).as("brows"), max(col("__v")).as("bmax"))
+    val offs = btot
+      .agg(array_sort(collect_list(
+        struct(col("__bucket"), col("brows"), col("bmax")))).as("bs"))
+      .select(explode(expr(
+        "transform(bs, (x, i) -> struct(x.__bucket AS __bucket, " +
+          "aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.brows)" +
+          " AS row_off, " +
+          "aggregate(slice(bs, 1, i), cast(null as bigint), " +
+          "(a, y) -> greatest(a, y.bmax)) AS max_off))")).as("o"))
+      .select(col("o.__bucket").as("__bucket"),
+        col("o.row_off").as("row_off"), col("o.max_off").as("max_off"))
+    local.join(broadcast(offs), "__bucket")
+      .withColumn("rn", col("__lrn") + col("row_off"))
+      .withColumn("cummax", greatest(col("__lmax"), col("max_off")))
+      .drop("__bucket", "__v", "__lrn", "__lmax", "row_off", "max_off")
+  }
+
+  /** 2-D PARETO FRONTIER (skyline: MAXIMIZE both axes) — the
+    * quality-vs-quantity curation readout: which documents are
+    * undominated when every point wants more of x AND more of y
+    * (p dominates q iff x_p ≥ x_q ∧ y_p ≥ y_q with one strict)?
+    * Classic database skyline via one sort: reduce to the per-x best
+    * (max y, min id among its attainers — the exact-struct-max
+    * trick), then a point survives iff its y strictly beats the
+    * running max over STRICTLY greater x — [[withGlobalCummax]] over
+    * the x-descending order, so the distinct-x frame never funnels
+    * through an unpartitioned window (this file's header cliff).
+    * Exact integers end to end. Output: (x, y, first_id) for each
+    * frontier point, x descending.
+    *
+    * Scale shape: one (x)-keyed aggregate, the two-level running
+    * max over the distinct-x frame, a filter. */
+  def skyline2d(df: DataFrame, x: Column, y: Column,
+      id: Column): DataFrame = {
+    val g = df.select(x.cast("long").as("x"), y.cast("long").as("y"),
+        id.cast("long").as("id"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("id").isNotNull)
+      .groupBy(col("x"))
+      .agg(max(struct(col("y"), (-col("id")).as("nid"))).as("m"))
+      .select(col("x"), col("m.y").as("y"),
+        (-col("m.nid")).as("first_id"))
+    withGlobalCummax(g, Seq(col("x").desc), col("y"))
+      .filter(col("cummax").isNull || col("y") > col("cummax"))
+      .select(col("x"), col("y"), col("first_id"))
+      .orderBy(col("x").desc)
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style training-batch prep:
     * documents are laid end-to-end in `idCol` order and the token stream is
     * cut every `capacity` tokens. Emits per-bin occupancy stats: documents

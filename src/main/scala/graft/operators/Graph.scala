@@ -481,6 +481,71 @@ object Graph {
       .limit(topN)
   }
 
+  /** EDGE EMBEDDEDNESS / BRIDGE SCREEN (Granovetter's weak ties,
+    * AJS 1973; embeddedness = common-neighbor count per edge = the
+    * triangles through it) — the EDGE-level companion of
+    * [[localClustering]]'s node view: on the near-dup graph, an edge
+    * with ZERO common neighbors joining two high-degree endpoints is
+    * the likeliest FALSE-POSITIVE MERGE (two real families stitched
+    * by one accidental pair), exactly the edges a dedup audit should
+    * re-verify first. Per-edge triangle counts come from the same
+    * degree-oriented wedge enumeration as [[triangleStats]], each
+    * matched triangle exploding to its THREE edges (kept in canonical
+    * a<b form). Output: the `topN` most suspect edges by
+    * (embeddedness ASC, deg_a + deg_b DESC, a, b) — a total order —
+    * with both endpoint degrees.
+    *
+    * Scale shape: [[triangleStats]]'s m^{3/2}-bounded wedge join +
+    * one edge-keyed aggregate + a TakeOrderedAndProject. Same
+    * dedup-first caveat as [[localClustering]]: collapse exact-copy
+    * families first or the wedge frame is R² in family width. */
+  def edgeEmbeddedness(edges: DataFrame, topN: Int = 25,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(topN >= 1, s"topN=$topN")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("x"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("d"), col("b").as("v")))
+          .otherwise(struct(col("da").as("d"), col("a").as("v")))
+          .as("y"))
+    val wedges = o.as("o1").join(o.as("o2"), "x")
+      .filter(col("o1.y") < col("o2.y"))
+      .select(col("x"), col("o1.y.v").as("y1"), col("o2.y.v").as("y2"))
+    val closing = o.select(col("x").as("y1"), col("y.v").as("y2"))
+    // each triangle (x, y1, y2) → its three edges in canonical form
+    val emb = wedges.join(closing, Seq("y1", "y2"))
+      .select(explode(array(
+        struct(least(col("x"), col("y1")).as("a"),
+          greatest(col("x"), col("y1")).as("b")),
+        struct(least(col("x"), col("y2")).as("a"),
+          greatest(col("x"), col("y2")).as("b")),
+        struct(least(col("y1"), col("y2")).as("a"),
+          greatest(col("y1"), col("y2")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("t"))
+    e.join(emb, Seq("a", "b"), "left")
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"),
+        coalesce(col("t"), lit(0L)).as("embeddedness"),
+        col("deg_a"), col("deg_b"))
+      .orderBy(col("embeddedness").asc,
+        (col("deg_a") + col("deg_b")).desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** DEGREE ASSORTATIVITY (Newman, PRL 89 2002) of an undirected edge
     * set: Pearson correlation of endpoint degrees over directed STUBS
     * (each edge in both orientations — the standard estimator).

@@ -974,6 +974,75 @@ object Profiling {
         col("chi2_nano"))
   }
 
+  /** MEDIAN ABSOLUTE DEVIATION — the robust dispersion estimate
+    * (Hampel 1974): MAD = median(|v − median(v)|), immune to the
+    * outliers that poison a standard deviation (50% breakdown vs 0%),
+    * the spread number a profiling pass should report NEXT TO stddev
+    * so their ratio flags heavy tails. Two chained
+    * [[exactQuantiles]] refinements — the median is EXACT (the
+    * ⌈n/2⌉-th smallest), collected as ONE long of driver state, and
+    * the deviations' median is exact again over |v − med| (a map-only
+    * projection). All integers; no float anywhere. One row:
+    * (n, median, mad).
+    *
+    * Scale shape: two quantile refinements (each ⌈log_fanout(span)⌉
+    * counting passes, 1-row driver state between) over one projected
+    * scan each. */
+  def madRobust(df: DataFrame, value: org.apache.spark.sql.Column,
+      fanout: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint(true)
+    val med = exactQuantiles(base, col("v"), Seq(0.5), fanout)
+      .select(col("n"), col("value")).as[(Long, Long)].collect()
+    if (med.isEmpty || med.head._1 == 0L)
+      Seq.empty[(Long, Long, Long)].toDF("n", "median", "mad")
+    else {
+      val (n, m) = med.head
+      val mad = exactQuantiles(base.select(abs(col("v") - m).as("v")),
+          col("v"), Seq(0.5), fanout)
+        .select(col("value")).as[Long].collect().head
+      Seq((n, m, mad)).toDF("n", "median", "mad")
+    }
+  }
+
+  /** TUKEY-FENCE OUTLIER SCREEN per group (Tukey 1977, k = 1.5) —
+    * the box-plot rule as a data-quality gate: per group, values
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] are flagged low/high. The
+    * quartiles are EXACT per-group refinement boundaries
+    * ([[exactQuantilesByGroup]]); the fences are carried DOUBLED
+    * (2·lo = 5·q1 − 3·q3, 2·hi = 5·q3 − 3·q1) so 1.5·IQR never
+    * leaves the integers, and the outlier test compares 2·v against
+    * them — exact end to end, no float anywhere. Output per group:
+    * (group, n, q1, q3, n_low, n_high), group-ordered.
+    *
+    * Scale shape: the per-group refinement (groups are
+    * low-cardinality by [[exactQuantilesByGroup]]'s contract) + ONE
+    * counting pass with the fences as broadcast literals. */
+  def tukeyOutliers(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column,
+      fanout: Int = 256): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    val qs = exactQuantilesByGroup(base, "g", "v", Seq(0.25, 0.75),
+        fanout)
+      .groupBy(col("group").as("g"))
+      .agg(max(when(col("q") === 0.25, col("value"))).as("q1"),
+        max(when(col("q") === 0.75, col("value"))).as("q3"))
+    base.join(broadcast(qs), "g")
+      .groupBy(col("g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum((col("v") * 2 < col("q1") * 5 - col("q3") * 3).cast("long"))
+          .as("n_low"),
+        sum((col("v") * 2 > col("q3") * 5 - col("q1") * 3).cast("long"))
+          .as("n_high"))
+      .orderBy(col("group"))
+  }
+
   /** CRAMÉR'S V (Cramér 1946) — [[chiSquareIndependence]]'s χ²
     * normalized onto [0, 1]: V = √(χ² / (n·(min(r, c) − 1))), the
     * effect-size companion that makes association strengths

@@ -3815,6 +3815,70 @@ object NorthStar {
     Multimodal.aHashClusters(Tables.documents(spark, d), 16, 25)
   }
 
+  /** X15 Greenwood confidence band ([[graft.operators.Behavior
+    * .survivalBand]]): the ±1.96·SE envelope around q227's KM curve —
+    * exact integer-ppb variance accumulation, one mirrored √ chain
+    * per day, band clamped to [0, 10⁶]. */
+  def churnSurvivalBand(spark: SparkSession, d: String): DataFrame =
+    Behavior.survivalBand(Tables.events(spark, d), "user_id", "ts", 14)
+
+  /** X12 2-D Pareto frontier ([[graft.operators.Curation.skyline2d]]):
+    * the documents undominated on (vocabulary richness, type-token
+    * density) — maximize distinct tokens AND distinct-per-token ppm;
+    * the curation shortlist "most coverage at the least redundancy".
+    * Runs on the two-level global running max (no unpartitioned
+    * window over the distinct-x frame). */
+  def docQualitySkyline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = org.apache.spark.sql.functions.filter(
+      split($"text", " "), t => t =!= "")
+    val base = Tables.documents(spark, d)
+      .select($"doc_id",
+        size(array_distinct(toks)).cast("long").as("dv"),
+        size(toks).cast("long").as("tot"))
+      .filter($"tot" > 0)
+      .select($"doc_id", $"dv",
+        expr("dv * 1000000 div tot").as("ttr_ppm"))
+    Curation.skyline2d(base, $"dv", $"ttr_ppm", $"doc_id")
+  }
+
+  /** X13 edge embeddedness / bridge screen ([[graft.operators.Graph
+    * .edgeEmbeddedness]]) over the dedup-first near-dup graph: the 25
+    * most suspect edges — fewest common neighbors, highest combined
+    * degree — the pairs a dedup audit re-verifies first. */
+  def dupGraphBridges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTxt = Window.partitionBy($"text")
+    val reps = Tables.documents(spark, d)
+      .select($"doc_id", $"text")
+      .withColumn("keep_id", min($"doc_id").over(wTxt))
+      .filter($"doc_id" === $"keep_id")
+      .select($"keep_id".as("doc_id"), $"text")
+    Graph.edgeEmbeddedness(Dedup.jaccardPairs(reps, 0.5), 25,
+      "doc_a", "doc_b")
+  }
+
+  /** X14 median absolute deviation ([[graft.operators.Profiling
+    * .madRobust]]): the robust spread of order values in exact cents —
+    * two chained exact-quantile refinements, one long of driver state
+    * between, no float anywhere. */
+  def orderValueMad(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.madRobust(Tables.orders(spark, d),
+      round($"o_totalprice" * 100, 0))
+  }
+
+  /** X14 Tukey-fence outlier screen ([[graft.operators.Profiling
+    * .tukeyOutliers]]): per event type, values outside the doubled
+    * integer fences 2v < 5q1−3q3 / 2v > 5q3−3q1 — the box-plot rule
+    * as a data-quality gate, exact end to end. */
+  def eventValueOutliers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Profiling.tukeyOutliers(Tables.events(spark, d), "event_type",
+      round($"value" * 100, 0))
+  }
+
   /** X14/X16 rolling quantile from the persisted per-day KLL state
     * ([[graft.operators.QuantileState]]): 7-day rolling p50 of event
     * value cents, read from merged day sketches — q196's pattern on

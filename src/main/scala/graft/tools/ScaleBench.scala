@@ -225,7 +225,14 @@ object ScaleBench {
         "q327_mcc", "q328_cramers_v", "q329_variance_ratio",
         "q330_local_clustering", "q331_heaps_exponent",
         "q332_range_search", "q333_youden_threshold",
-        "q334_ahash_clusters")
+        "q334_ahash_clusters",
+        // round-15 batch 3: Greenwood band (span-state readout +
+        // calendar window), skyline (one x-keyed aggregate + the
+        // two-level running max), bridge screen (q330's wedge regime
+        // per edge), MAD (two quantile refinements), Tukey fences
+        // (per-group refinement + one counting pass)
+        "q335_km_band", "q336_skyline", "q337_bridge_edges",
+        "q338_mad", "q339_tukey_outliers")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

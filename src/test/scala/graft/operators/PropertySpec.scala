@@ -789,9 +789,12 @@ object PropertySpec extends Properties("graft.operators") {
 
   // ---- round-14 machinery ----
 
+  // SIGNED values since round 15 (ADVICE r14: bucket totals via max
+  // of the running sum were only correct for non-negatives — this
+  // generator would have caught it)
   private val cumRows = Gen.listOfN(20,
-    Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L),
-      Gen.chooseNum(0L, 9L)))
+    Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(-9L, 9L),
+      Gen.chooseNum(-9L, 9L)))
 
   property("withGlobalCumsums == the single-partition window " +
       "reference (rank, k running sums, totals) on any frame") =
@@ -823,6 +826,28 @@ object PropertySpec extends Properties("graft.operators") {
           $"tot_a", $"tot_b")
         .as[(Long, Long, Long, Long, Long, Long)]
         .collect().toList.sortBy(_._1)
+      got == ref
+    }
+
+  property("withGlobalCummax == the single-partition strict-prefix " +
+      "window max reference on any frame (signed values)") =
+    Prop.forAllNoShrink(cumRows.suchThat(_.nonEmpty)) { rows0 =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val rows = rows0.zipWithIndex
+        .map { case ((k, a, _), i) => (k * 100 + i, a) }
+      val df = rows.toDF("k", "a")
+      val got = Curation.withGlobalCummax(df, Seq($"k".asc), $"a")
+        .select($"k", $"rn", $"cummax")
+        .as[(Long, Long, Option[Long])].collect().toList.sortBy(_._1)
+      val w = Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = df
+        .withColumn("rn", row_number().over(Window.orderBy($"k")))
+        .withColumn("cummax", max($"a").over(w))
+        .select($"k", $"rn".cast("long"), $"cummax")
+        .as[(Long, Long, Option[Long])].collect().toList.sortBy(_._1)
       got == ref
     }
 

@@ -134,6 +134,89 @@ class Round15OpsSpec extends SparkSpec {
       none == List((0L, 0L, None, None)))
   }
 
+  test("survivalBand: Greenwood terms, running variance, and the " +
+      "clamped band hand-traced on a 4-user cohort") {
+    import spark.implicits._
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    // spans: u1 d0..d0 (t=0), u2 d0..d1 (t=1), u3 d0..d2 (t=2),
+    // u4 d0..d16 (t=16). horizon = 16, censor 14 → u1,u2 dead
+    // (16−l ≥ 14), u3 l=2 → 14 ≥ 14 dead, u4 censored at 16.
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 2L),
+      (4L, 0L), (4L, 16L)).map { case (u, d) => (u, at(d)) }
+      .toDF("user_id", "ts")
+    val got = Behavior.survivalBand(ev, "user_id", "ts", 14)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList.sortBy(_._1)
+    // t=0: n=4 d=1 → S=750000, g = 1e9/(4·3) = 83333333,
+    //   se = round(750000·√0.083333333) = 216506
+    val se0 = math.round(750000.0 * math.sqrt(83333333.0 / 1e9))
+    val row0 = got.head
+    assert(row0._1 == 0L && row0._2 == 4L && row0._3 == 1L &&
+      row0._4 == 750000L && row0._5 == se0)
+    assert(row0._6 == 750000L - se0 * 1959964L / 1000000L &&
+      row0._7 == math.min(1000000L,
+        750000L + se0 * 1959964L / 1000000L))
+    // band is clamped to [0, 1e6] everywhere and hi ≥ S ≥ lo
+    assert(got.forall(r => r._6 >= 0 && r._7 <= 1000000L &&
+      r._6 <= r._4 && r._4 <= r._7))
+  }
+
+  test("skyline2d: hand-traced frontier — dominated points drop, " +
+      "per-x best survives, ties keep the smallest id") {
+    import spark.implicits._
+    // points (x, y, id): (5,10,1) frontier; (5,10,7) same point
+    // larger id; (4,12,2) frontier (y beats all x>4); (4,11,3)
+    // dominated by (4,12); (3,12,4) dominated by (4,12) (tie y,
+    // larger x exists); (2,15,5) frontier; (1,1,6) dominated
+    val df = Seq((5L, 10L, 1L), (5L, 10L, 7L), (4L, 12L, 2L),
+      (4L, 11L, 3L), (3L, 12L, 4L), (2L, 15L, 5L), (1L, 1L, 6L))
+      .toDF("x", "y", "id")
+    val got = Curation.skyline2d(df, $"x", $"y", $"id")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((5L, 10L, 1L), (4L, 12L, 2L), (2L, 15L, 5L)))
+  }
+
+  test("edgeEmbeddedness: triangle edges count their triangle, the " +
+      "bridge reads 0 and sorts first") {
+    import spark.implicits._
+    // triangle 1-2-3; bridge 3-4; pendant 4-5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.edgeEmbeddedness(e, 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // zero-embedded edges first, by combined degree desc:
+    // (3,4): deg 3+2=5; (4,5): 2+1=3; then the triangle edges at
+    // emb 1 — (1,3) and (2,3) carry deg sum 5, (1,2) only 4
+    assert(got == List((3L, 4L, 0L, 3L, 2L), (4L, 5L, 0L, 2L, 1L),
+      (1L, 3L, 1L, 2L, 3L), (2L, 3L, 1L, 2L, 3L),
+      (1L, 2L, 1L, 2L, 2L)))
+  }
+
+  test("madRobust: exact median and MAD; outlier immunity vs the " +
+      "mean path") {
+    import spark.implicits._
+    // values 1..9 plus an outlier 1000: median = ceil(10/2)=5th
+    // smallest = 5; |v−5| sorted: 0,1,1,2,2,3,3,4,4,995 → 5th = 2
+    val df = (1L to 9L).map(v => Tuple1(v)).toDF("v")
+      .union(Seq(Tuple1(1000L)).toDF("v"))
+    val got = Profiling.madRobust(df, $"v")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((10L, 5L, 2L)))
+  }
+
+  test("tukeyOutliers: hand-traced doubled fences and counts") {
+    import spark.implicits._
+    // group g: values 1..8 plus outliers -100, 100 (n=10):
+    // q1 = ceil(2.5)=3rd smallest = 2, q3 = ceil(7.5)=8th = 7
+    // fences: 2v < 5·2−3·7 = −11 → only −100; 2v > 5·7−3·2 = 29
+    // → only 100
+    val df = ((1L to 8L) ++ Seq(-100L, 100L)).map(v => ("g", v))
+      .toDF("grp", "v")
+    val got = Profiling.tukeyOutliers(df, "grp", $"v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("g", 10L, 2L, 7L, 1L, 1L)))
+  }
+
   test("aHashClusters: a uniform brightness shift hashes identically " +
       "(the invariance exact checksums lack)") {
     import spark.implicits._
