@@ -57,4 +57,45 @@ class KllStateStreamSpec extends SparkSpec {
         .withColumn("ts", timestamp_seconds($"day" * 86400L)), 99L)
     assert(ManifestTable.currentVersion(dir) == v)
   }
+
+  test("maintained-monitor composition: the rolling-quantile readout " +
+      "over the STREAMED state == the batch rebuild (q309's " +
+      "serve-from-maintained pattern on the quantile axis)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("kllmon").toString + "/t"
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("day", "v")
+      .withColumn("ts", timestamp_seconds($"day" * 86400L))
+      .writeStream
+      .foreachBatch(KllStateStream.sink(dir, "ts", col("v"), 200, "m") _)
+      .start()
+    // three batches straddling days, below compaction capacity so the
+    // readout is exact and the comparison is equality, not envelope
+    val bs = Seq(
+      for (d <- 0L to 2L; i <- 1L to 20L) yield (d, i * 7 + d),
+      for (d <- 1L to 3L; i <- 21L to 35L) yield (d, i * 7 + d),
+      for (d <- 3L to 4L; i <- 1L to 10L) yield (d, i * 3 + d))
+    bs.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
+    val maintained = QuantileState.rollingQuantileFromState(
+      ManifestTable.read(spark, dir)._2, 2, 500, 200)
+    val all = bs.flatten.toDF("day", "v")
+      .withColumn("ts", timestamp_seconds($"day" * 86400L))
+    val rebuilt = QuantileState.rollingQuantileFromState(
+      QuantileState.kllDayState(all, "ts", $"v", 200), 2, 500, 200)
+    assert(rows(maintained) == rows(rebuilt))
+    // and the exact axis holds against a plain SQL count per window
+    val nW = maintained.select($"end_day", $"n_window")
+      .as[(Long, Long)].collect().toMap
+    val exact = all
+      .select((unix_timestamp($"ts") / 86400).cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    nW.foreach { case (end, n) =>
+      assert(n == (end - 1 to end).map(exact.getOrElse(_, 0L)).sum)
+    }
+  }
 }
