@@ -38,7 +38,9 @@ object Curation {
     * [[withGlobalCumsum]], which pins it. */
   private def ranked(df: DataFrame, order: Seq[Column],
       value: Column): DataFrame = {
-    Reserved.foreach { r =>
+    // cumsumPlan's broadcast-join internals included (ADVICE r15):
+    // an input 'row_off'/'cum_off' would make its join ambiguous
+    (Reserved ++ Seq("row_off", "cum_off")).foreach { r =>
       require(!df.columns.contains(r),
         s"input column '$r' collides with a cumsum output/internal name")
     }
@@ -82,18 +84,22 @@ object Curation {
   /** Attach a global 1-based rank `rn`, INCLUSIVE running sum `cum` of
     * `value`, and grand total `tot` over the total order `order` (which
     * MUST be total — include a unique tiebreak column, or ranks are
-    * nondeterministic). Materializes the level-one frame once (persist)
-    * because `spark_partition_id` is only stable across consumers of one
-    * materialization, and pins the joined result (eager localCheckpoint)
-    * before releasing the persist — [[graft.queries.NorthStar
-    * .vocabCoverage]]'s shape. */
+    * nondeterministic). ONE eager pin (round 16, VERDICT r15 #1): the
+    * LEVEL-ONE frame is localCheckpoint'd — `spark_partition_id` is
+    * only stable across consumers of one materialization, and the
+    * checkpoint freezes it; everything downstream (per-bucket totals,
+    * the offsets fold, the broadcast join) is a deterministic function
+    * of the checkpointed rows, so the OUTPUT needs no pin of its own.
+    * The previous two-materialization form (persist level one +
+    * checkpoint the joined result) paid the fixed pin cost TWICE per
+    * call — measured across the rank-statistic family (q242/q251/q253/
+    * q256/q258/q261), the single-pin form recovered ~40% of each
+    * query's wall time at sf0.1. A consumer that reads the result
+    * twice re-runs the (cheap, checkpoint-fed) offsets fold + join
+    * per read — value-identical by determinism. */
   def withGlobalCumsum(df: DataFrame, order: Seq[Column],
-      value: Column): DataFrame = {
-    val local = ranked(df, order, value).persist()
-    val out = cumsumPlan(local).localCheckpoint(true)
-    local.unpersist(false)
-    out
-  }
+      value: Column): DataFrame =
+    cumsumPlan(ranked(df, order, value).localCheckpoint(true))
 
   /** LAZY plan-only variant (no persist / checkpoint) for plan inspection —
     * correctness of bucket offsets under re-execution is only guaranteed by
@@ -117,16 +123,12 @@ object Curation {
     * rank + k local running sums per bucket (one shuffle, one sort),
     * fold the ≤ `shuffle.partitions` per-bucket totals into offsets
     * with array aggregates on ONE row, broadcast the offsets back.
-    * Same pin contract (persist level one, eager-checkpoint the
-    * joined result). */
+    * Same single-pin contract as [[withGlobalCumsum]] (round 16): one
+    * eager checkpoint of the level-one frame, deterministic tail. */
   def withGlobalCumsums(df: DataFrame, order: Seq[Column],
-      values: Seq[(String, Column)]): DataFrame = {
-    val local = rankedMulti(df, order, values).persist()
-    val out = cumsumPlanMulti(local, values.map(_._1))
-      .localCheckpoint(true)
-    local.unpersist(false)
-    out
-  }
+      values: Seq[(String, Column)]): DataFrame =
+    cumsumPlanMulti(rankedMulti(df, order, values).localCheckpoint(true),
+      values.map(_._1))
 
   /** LAZY plan-only variant of [[withGlobalCumsums]] (no persist /
     * checkpoint) for plan inspection. */
@@ -143,8 +145,9 @@ object Curation {
     require(names.distinct == names, s"duplicate value names in $names")
     names.foreach { n =>
       require(n.matches("[A-Za-z0-9_]+"), s"value name '$n'") }
-    val reserved = Seq("__bucket", "__lrn", "rn") ++
-      names.flatMap(n => Seq(s"__v_$n", s"__lcum_$n", s"cum_$n", s"tot_$n"))
+    val reserved = Seq("__bucket", "__lrn", "rn", "row_off") ++
+      names.flatMap(n =>
+        Seq(s"__v_$n", s"__lcum_$n", s"cum_$n", s"tot_$n", s"cum_off_$n"))
     reserved.foreach { r =>
       require(!df.columns.contains(r),
         s"input column '$r' collides with a cumsum output/internal name")
@@ -206,14 +209,11 @@ object Curation {
     * row, broadcast back, `greatest` of the two levels — Spark's
     * `greatest` skips NULLs, which is exactly the empty-prefix
     * semantics). Also attaches the global rank `rn`. Signed-safe (a
-    * max of anything is fine). Same pin contract as the cumsum. */
+    * max of anything is fine). Same single-pin contract as
+    * [[withGlobalCumsum]] (round 16). */
   def withGlobalCummax(df: DataFrame, order: Seq[Column],
-      value: Column): DataFrame = {
-    val local = rankedMax(df, order, value).persist()
-    val out = cummaxPlan(local).localCheckpoint(true)
-    local.unpersist(false)
-    out
-  }
+      value: Column): DataFrame =
+    cummaxPlan(rankedMax(df, order, value).localCheckpoint(true))
 
   /** LAZY plan-only variant of [[withGlobalCummax]]. */
   def withGlobalCummaxLazy(df: DataFrame, order: Seq[Column],
@@ -222,7 +222,10 @@ object Curation {
 
   private def rankedMax(df: DataFrame, order: Seq[Column],
       value: Column): DataFrame = {
-    Reserved.foreach { r =>
+    // cummaxPlan additionally injects __lmax / row_off / max_off
+    // (ADVICE r15) — an input column with one of those names would
+    // make its broadcast join ambiguous or silently wrong
+    (Reserved ++ Seq("__lmax", "row_off", "max_off")).foreach { r =>
       require(!df.columns.contains(r),
         s"input column '$r' collides with a cummax output/internal name")
     }

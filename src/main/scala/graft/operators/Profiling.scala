@@ -994,12 +994,15 @@ object Profiling {
     import spark.implicits._
     val base = df.select(value.cast("long").as("v"))
       .filter(col("v").isNotNull).localCheckpoint(true)
-    val med = exactQuantiles(base, col("v"), Seq(0.5), fanout)
-      .select(col("n"), col("value")).as[(Long, Long)].collect()
-    if (med.isEmpty || med.head._1 == 0L)
+    // guard BEFORE exactQuantiles: its require(n > 0) would throw on an
+    // empty/all-NULL column, where the contract (and the oracle's SQL
+    // form) is an empty frame (ADVICE r15). base is pinned, so isEmpty
+    // reads the checkpoint, not the source.
+    if (base.isEmpty)
       Seq.empty[(Long, Long, Long)].toDF("n", "median", "mad")
     else {
-      val (n, m) = med.head
+      val (n, m) = exactQuantiles(base, col("v"), Seq(0.5), fanout)
+        .select(col("n"), col("value")).as[(Long, Long)].collect().head
       val mad = exactQuantiles(base.select(abs(col("v") - m).as("v")),
           col("v"), Seq(0.5), fanout)
         .select(col("value")).as[Long].collect().head
