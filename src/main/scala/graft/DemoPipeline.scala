@@ -45,6 +45,7 @@ object DemoPipeline {
       case Some("--linkage") => "linkage"
       case Some("--experiment") => "experiment"
       case Some("--e2e") => "e2e"
+      case Some("--monitors") => "monitors"
       case _ => "batch"
     }
     val rest = if (mode == "batch") args else args.drop(1)
@@ -56,6 +57,7 @@ object DemoPipeline {
       // candidate pairs at all at sf0.001 (150 customers)
       case "linkage" => "/root/testdata/sf0.01"
       case "experiment" => "/root/testdata/sf0.01"
+      case "monitors" => "/tmp/graft_demo_monitors"
       case _ => "/tmp/graft_demo"
     })
     val today = rest.lift(1).getOrElse("2025-10-05")
@@ -76,6 +78,7 @@ object DemoPipeline {
       case "linkage" => runLinkage(spark, base)
       case "experiment" => runExperiment(spark, base)
       case "e2e" => runE2e(spark, base, today)
+      case "monitors" => runMonitors(spark, base, today)
       case _ => runBatch(spark, base, today)
     }
     spark.stop()
@@ -441,6 +444,77 @@ object DemoPipeline {
         .orderBy(col("cid")).show()
     new RunLog(s"$base/etl_log.txt")
       .append(s"e2e run at ${java.time.Instant.now()} ($today)")
+  }
+
+  /** MAINTAINED-MONITOR COMPOSITION (VERDICT r15 #5): the always-on
+    * story in ONE process — a single AvailableNow job drains the day's
+    * payloads through watermark key-dedup into a composite sink that
+    * chains (1) gated admission ([[graft.streaming.GatedIngest]]:
+    * exact/near text gate, txn-marked), (2) the PER-KEY KLL quantile
+    * state ([[graft.streaming.KllStateStream.sinkByKey]] — one sketch
+    * per (symbol, day) over close-cents, round 16), and (3) experiment
+    * sufficient stats ([[graft.streaming.ExperimentStateStream]]).
+    * Then every readout comes FROM the maintained states — the rolling
+    * per-symbol median ([[graft.operators.QuantileState
+    * .rollingQuantileByKeyFromState]]) and the A/B z-readout — with
+    * zero log rescans. Exactly-once end to end: re-running the day (or
+    * re-delivering a byte-identical payload) is a no-op on all three
+    * state tables (spec-pinned by DemoMonitorsSpec). Run:
+    * `sbt "runMain graft.DemoPipeline --monitors /tmp/graft_demo_monitors 2025-10-05"`.
+    * Layout under `base`: drop/ ckpt/ accepted/ txtidx/
+    * gate_centroids/ quantile_state/ exp_state/. */
+  def runMonitors(spark: SparkSession, base: String, today: String): Unit = {
+    import graft.streaming.{ExperimentStateStream, KllStateStream}
+    val drop = new java.io.File(s"$base/drop"); drop.mkdirs()
+    val landed = symbols.count { sym =>
+      val f = new java.io.File(drop, s"${sym}_$today.json")
+      val isNew = !f.exists()
+      if (isNew) java.nio.file.Files.writeString(f.toPath,
+        FakeAlphaVantageServer.fetch(sym, today))
+      isNew
+    }
+    println(s"[drop] $landed new payload files")
+
+    val sink = { (batch: DataFrame, batchId: Long) =>
+      batch.persist()
+      try {
+        GatedIngest.sink(s"$base/accepted", s"$base/txtidx",
+          s"$base/gate_centroids", k = 2, textThreshold = 0.8,
+          cosThreshold = 0.999, "mongate")(
+          StreamingIngest.stockDocForm(batch), batchId)
+        KllStateStream.sinkByKey(s"$base/quantile_state", "symbol",
+          "ts", round(col("close") * 100, 0), 200, "monq")(
+          batch.withColumn("ts", col("date").cast("timestamp")), batchId)
+        ExperimentStateStream.sink(s"$base/exp_state", "purchase",
+          "monexp")(
+          batch.select(xxhash64(col("symbol")).as("user_id"),
+            when(col("close") > col("open"), "purchase")
+              .otherwise("view").as("event_type"),
+            col("close").as("value")), batchId)
+      } finally batch.unpersist()
+      ()
+    }
+    val q = StreamingIngest.withKeyDedup(
+        StreamingIngest.stockStream(spark, drop.getPath))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+    q.awaitTermination()
+
+    // readouts FROM the maintained states — never the log
+    if (ManifestTable.currentVersion(s"$base/quantile_state") > 0L)
+      graft.operators.QuantileState.rollingQuantileByKeyFromState(
+        ManifestTable.read(spark, s"$base/quantile_state")._2, 7, 500, 200)
+        .orderBy(col("key"), col("end_day")).show(truncate = false)
+    if (ManifestTable.currentVersion(s"$base/exp_state") > 0L)
+      graft.operators.Behavior.abTestFromState(
+        ManifestTable.read(spark, s"$base/exp_state")._2)
+        .show(truncate = false)
+    new RunLog(s"$base/etl_log.txt")
+      .append(s"monitors run at ${java.time.Instant.now()} ($today)")
   }
 
   /** One scheduled STREAMING run over `base` for day `today` — public

@@ -361,6 +361,10 @@ object SparkEntry {
     "q337_bridge_edges" -> (NorthStar.dupGraphBridges _),
     "q338_mad" -> (NorthStar.orderValueMad _),
     "q339_tukey_outliers" -> (NorthStar.eventValueOutliers _),
+    "q340_rolling_quantile_by_key" ->
+      (NorthStar.rollingValueQuantileByType _),
+    "q341_lsh_audit" -> (NorthStar.lshBlockingAudit _),
+    "q342_lsh_curve" -> (NorthStar.lshDetectionGrid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7169,6 +7173,72 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM m JOIN qq ON m.g = qq.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q340: per-key rolling p99 from the (event_type, day) KLL state —
+    // the q325 sketch-oracle convention at key grain: exact window
+    // counts replay; the randomized p99 estimate is guarded by the
+    // in-query ±3ε envelope, pinned ≡ 1.
+    "q340_rolling_quantile_by_key" ->
+      """WITH a AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL),
+        |days AS (SELECT DISTINCT key, d AS end_day FROM a)
+        |SELECT days.key AS event_type, days.end_day,
+        |  CAST(count(*) AS BIGINT) AS n_window,
+        |  CAST(1 AS INTEGER) AS within_bound
+        |FROM a JOIN days ON a.key = days.key
+        |  AND a.d >= days.end_day - 6 AND a.d <= days.end_day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q341: LSH band bill — audit hash i of shingle sh = 32-bit word
+    // (i mod 4) of md5(sh:':':(i div 4)) (the q303 hex-slice replay);
+    // per-doc minhash signature, band key = (s_{2b}, s_{2b+1}),
+    // per-band bucket-shape aggregates. Exact everywhere.
+    "q341_lsh_audit" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS sh
+        |  FROM docs WHERE len(toks) >= 3),
+        |hw AS (SELECT doc_id, g.g * 4 + j.j AS i,
+        |    list_reduce([CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |      for c in string_split(
+        |        substr(md5(sh || ':' || CAST(g.g AS VARCHAR)),
+        |          1 + 8 * j.j, 8), '')],
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM sh, LATERAL unnest(range(0, 8)) g(g),
+        |       LATERAL unnest(range(0, 4)) j(j)),
+        |sig AS (SELECT doc_id, i, min(h) AS s FROM hw GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+        |    max(CASE WHEN i % 2 = 0 THEN s END) AS k0,
+        |    max(CASE WHEN i % 2 = 1 THEN s END) AS k1
+        |  FROM sig GROUP BY 1, 2),
+        |buckets AS (SELECT band, k0, k1, count(*) AS c
+        |  FROM bk GROUP BY 1, 2, 3)
+        |SELECT band, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(max(c) AS BIGINT) AS max_bucket,
+        |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs_bill
+        |FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q342: LSH detection curve — exact fixed-point ppm fold
+    // (multiply + truncating // 1e6 per power step), mirrored
+    // operand-for-operand with the Spark aggregate() chain.
+    "q342_lsh_curve" ->
+      """WITH g AS (SELECT CAST(i * 25000 AS BIGINT) AS s_ppm
+        |  FROM range(1, 41) t(i)),
+        |c AS (SELECT s_ppm,
+        |    s_ppm * s_ppm // 1000000 AS sr_ppm FROM g),
+        |m AS (SELECT s_ppm, sr_ppm, 1000000 - sr_ppm AS miss FROM c),
+        |p AS (SELECT s_ppm, sr_ppm,
+        |    list_reduce(list_transform(range(0, 16), x -> miss),
+        |      (a, b) -> a * b // 1000000) AS mb
+        |  FROM m)
+        |SELECT s_ppm, CAST(sr_ppm AS BIGINT) AS p_band_ppm,
+        |  CAST(1000000 - mb AS BIGINT) AS p_detect_ppm
+        |FROM p ORDER BY s_ppm""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

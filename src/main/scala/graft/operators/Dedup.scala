@@ -243,6 +243,110 @@ object Dedup {
     releaseAfter(da, sig)(verifyPairs(candidates, da, threshold))
   }
 
+  /** LSH PARAMETER AUDIT, bill side (VERDICT r15 #6 — the q284
+    * blocking-audit pattern on the LSH axis): for a band/row choice
+    * (b, r), the per-band CANDIDATE-PAIR BILL the banding would
+    * generate — Σ_buckets C(size, 2) per band, plus bucket-shape
+    * diagnostics (bucket count, singleton count, hottest bucket).
+    * This is the pre-flight every 100 TB dedup run needs BEFORE
+    * paying the bucket self-join: a band whose bill explodes (one
+    * degenerate hot bucket — e.g. a boilerplate-dominated corpus
+    * collapsing a band's signature slice) is visible here for the
+    * cost of a group-by, not a join.
+    *
+    * The audit signature is the md5-word family (NOT the shipped
+    * [[minhashLshPairs]] signature, which uses Spark's xxhash/murmur
+    * and cannot replay in another engine): audit hash i of shingle
+    * sh is 32-bit word (i mod 4) of md5(sh ":" (i div 4)) — one
+    * [[graft.plans.HashExpressions.md5_words]] digest yields FOUR
+    * coordinates (q303's digest-batching lesson), and the DuckDB
+    * oracle replays every value by the hex-slice identity. Same
+    * word-trigram distinct-shingle universe as [[shingleArrays]] /
+    * the jaccard oracle. Minhash bucket STRUCTURE depends only on
+    * hash-family exchangeability, so the audited bills are the
+    * statistical twin of the shipped family's at equal (b, r) — the
+    * constants are what is being audited, not the hash bits.
+    *
+    * Output: (band, n_docs, n_buckets, n_singletons, max_bucket,
+    * pairs_bill), band-ordered.
+    *
+    * Scale shape: one distinct-shingle explode (corpus-token-bounded),
+    * ⌈(b·r)/4⌉ digests per shingle map-side, ONE (doc)-keyed min
+    * aggregate (b·r long partials), a b-way band explode of the
+    * doc-sized signature frame, and two key-bounded aggregates.
+    * Never a pair join — the bill PRICES the join without running it. */
+  def lshBandBill(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands=$bands rowsPerBand=$rowsPerBand")
+    val k = bands * rowsPerBand
+    val nDigests = (k + 3) / 4
+    val sh = Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+    val words = sh.select(col("doc_id") +:
+      (0 until nDigests).map(g =>
+        graft.plans.HashExpressions.md5_words(
+          concat_ws(":", col("sh"), lit(g.toString))).as(s"w$g")): _*)
+    val sig = words.groupBy(col("doc_id"))
+      .agg(min(col("w0").getItem(0)).as("s0"),
+        (1 until k).map(i =>
+          min(col(s"w${i / 4}").getItem(i % 4)).as(s"s$i")): _*)
+    val bandRows = sig.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          struct((0 until rowsPerBand).map(r =>
+            col(s"s${b * rowsPerBand + r}").as(s"k$r")): _*).as("key"))
+        ): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    bandRows.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum((col("c") === 1).cast("long")).as("n_singletons"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pairs_bill"))
+      .orderBy(col("band"))
+  }
+
+  /** LSH PARAMETER AUDIT, curve side: the detection-probability curve
+    * p(s) = 1 − (1 − s^r)^b of the banding (b, r) on a ppm similarity
+    * grid — the other half of the pre-flight: the bill prices the
+    * candidate join, this curve shows WHAT THE MONEY BUYS (the
+    * S-curve's threshold sits near (1/b)^(1/r); for the shipped
+    * (16, 2) that is s = 0.25). Evaluated in EXACT fixed-point ppm
+    * longs — each power step is one multiply + one truncating div by
+    * 10⁶ (sr: fold r steps from 10⁶; miss^b: fold b−1 steps), a fixed
+    * integer chain both engines replay bit-identically (the q335
+    * rounded-operand convention; intermediate products ≤ 10¹² never
+    * overflow a long). Output: (s_ppm, p_band_ppm, p_detect_ppm).
+    *
+    * Scale shape: `steps` rows of driver-free arithmetic — free at
+    * any scale; the audit's cost lives entirely in [[lshBandBill]]. */
+  def lshDetectionCurve(spark: org.apache.spark.sql.SparkSession,
+      bands: Int = 16, rowsPerBand: Int = 2, stepPpm: Long = 25000,
+      steps: Int = 40): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands=$bands rowsPerBand=$rowsPerBand")
+    require(stepPpm >= 1 && steps >= 1 && stepPpm * steps <= 1000000L,
+      s"stepPpm=$stepPpm steps=$steps")
+    spark.range(1, steps + 1)
+      .select((col("id") * stepPpm).as("s_ppm"))
+      .withColumn("sr_ppm", expr(
+        s"aggregate(sequence(1, $rowsPerBand), 1000000L," +
+          " (acc, x) -> acc * s_ppm div 1000000)"))
+      .withColumn("miss_ppm", lit(1000000L) - col("sr_ppm"))
+      .withColumn("mb_ppm", if (bands == 1) col("miss_ppm") else expr(
+        s"aggregate(sequence(1, ${bands - 1}), miss_ppm," +
+          " (acc, x) -> acc * miss_ppm div 1000000)"))
+      .select(col("s_ppm"), col("sr_ppm").as("p_band_ppm"),
+        (lit(1000000L) - col("mb_ppm")).as("p_detect_ppm"))
+      .orderBy(col("s_ppm"))
+  }
+
   /** Greedy near-duplicate REMOVAL: for every qualifying pair the
     * lower-id doc is kept and the higher-id doc dropped (the standard
     * keep-first approximation of transitive closure — no iterative

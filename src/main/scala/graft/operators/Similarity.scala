@@ -1561,6 +1561,13 @@ object Similarity {
   def ivfRankingMetricsWith(emb: DataFrame,
       cents: Array[(Long, Array[Double])],
       nProbe: Int, nQueries: Int, k: Int): DataFrame = {
+    // validate BEFORE the eager assignment pin below, so a bad k/nProbe
+    // fails in microseconds instead of after a full argmin pass; the
+    // same requires stay in ivfServingTail for the FromIndex path
+    require(nProbe >= 1 && nQueries >= 1,
+      s"nProbe=$nProbe nQueries=$nQueries")
+    require(k >= 1 && k <= NdcgDiscMicro.size,
+      s"k=$k (discount table covers 1..${NdcgDiscMicro.size})")
     // materialize the assigned corpus ONCE — this frame IS the IVF
     // member index a serving deployment stores (q267's append index
     // shape). Without the pin, the k-literal argmin expression
@@ -1655,6 +1662,66 @@ object Similarity {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         col("top_cos"), col("top_id"))
       .orderBy(col("qid"))
+  }
+
+  /** IVF CODEBOOK REBUILD as a manifest maintenance op (VERDICT r15
+    * #8) — closes the last manual step in the vector-index lifecycle:
+    * train offline (q136) → stream-append members ([[graft.streaming
+    * .IvfIndexStream]]) → serve from the maintained index (q309/q332)
+    * → monitor drift (q186) → **rebuild on drift (THIS op)**. One
+    * call: retrain the quantizer from the CURRENT member corpus
+    * (same [[kmeansCentroids]] init/rounding/tie-break contract as
+    * the original offline training — retraining is a deterministic
+    * function of the member embeddings, so a crash-resumed rebuild
+    * recomputes the identical codebook), reassign every member
+    * map-only ([[assignWithVec]] — the q309 argmin-pin lesson), and
+    * swap BOTH tables as txn-marked snapshot overwrites (the
+    * [[graft.sources.ManifestTable.optimizeZorder]] commit pattern:
+    * new files + pointer swap; readers pinned to the old versions
+    * keep their exact file sets until vacuum, so serving off the
+    * pre-rebuild snapshot continues untorn through the swap).
+    *
+    * Exactly-once: each table's overwrite carries `txnId` and is
+    * skipped when already committed — a replayed or crash-resumed
+    * rebuild is a no-op on committed tables and deterministically
+    * identical on the rest (centroids commit FIRST; a resume between
+    * the two commits retrains the bit-identical codebook from the
+    * unchanged embeddings and completes the member swap).
+    *
+    * The two tables swap in two commits, not one — the standard
+    * two-table maintenance caveat: a reader that grabs the NEW
+    * codebook with the OLD member snapshot mid-swap would mis-probe,
+    * so serving readers pin (codebook version, member version) pairs
+    * — in-flight queries hold their pre-swap pair; new queries pick
+    * up the post-swap pair. Post-swap, serve-from-maintained ==
+    * serve-from-retrain-from-scratch (spec-pinned at the
+    * ranking-metric level — the q267 invariant through the rebuild).
+    *
+    * Scale shape: training = [[kmeansCentroids]]'s iteration cost
+    * over the member corpus; reassignment = ONE map-only pass (k·d
+    * broadcast literals); each commit = one parquet write + pointer
+    * swap. Returns the member table's committed version. */
+  def ivfRebuild(spark: org.apache.spark.sql.SparkSession,
+      memberDir: String, centroidDir: String, kCells: Int, iters: Int,
+      txnId: String): Long = {
+    import graft.sources.ManifestTable
+    if (ManifestTable.hasCommittedTxn(memberDir, txnId))
+      return ManifestTable.currentVersion(memberDir) // full replay
+    val members = ManifestTable.read(spark, memberDir)._2
+    val cents = kmeansCentroids(
+      members.select(col("vec_id"), col("embedding")), kCells, iters)
+    val keep = if (members.columns.contains("label")) Seq("label") else Nil
+    // pinned BEFORE the swaps: the reassignment must materialize from
+    // the pre-swap member files (lineage would legally re-read them —
+    // they survive until vacuum — but the pin also keeps the k-literal
+    // argmin out of the write stage, the q309 codegen lesson)
+    val reassigned = assignWithVec(members.drop("cid"), cents, keep)
+      .localCheckpoint(true)
+    if (!ManifestTable.hasCommittedTxn(centroidDir, txnId))
+      ManifestTable.overwriteWithRetry(spark, centroidDir,
+        centroidsDF(spark, cents), txn = Some(txnId))
+    ManifestTable.overwriteWithRetry(spark, memberDir, reassigned,
+      txn = Some(txnId))
   }
 
   /** Shared serving tail of [[ivfRankingMetricsWith]] /

@@ -3918,4 +3918,73 @@ object NorthStar {
             lit(0.5) + lit(3.0) * $"eps")).cast("int").as("within_bound"))
       .orderBy($"end_day")
   }
+
+  /** q341: LSH parameter audit, bill side (VERDICT r15 #6) — the
+    * per-band candidate-pair bill of the SHIPPED q39 banding (b=16,
+    * r=2) over the documents corpus, via the md5-word audit signature
+    * every value of which replays in DuckDB. The pre-flight that
+    * prices the LSH bucket join before running it (the q284 pattern
+    * on the LSH axis). */
+  def lshBlockingAudit(spark: SparkSession, d: String): DataFrame =
+    Dedup.lshBandBill(Tables.documents(spark, d), 16, 2)
+
+  /** q342: LSH parameter audit, curve side — the detection-probability
+    * S-curve 1 − (1 − s^r)^b of the shipped (16, 2) banding on a
+    * 25000-ppm similarity grid, exact fixed-point longs end to end
+    * (each power step = multiply + truncating div 10⁶, mirrored
+    * verbatim in the oracle). Threshold sits at s = (1/16)^(1/2) =
+    * 0.25 — the curve is the evidence the shipped constants catch
+    * J ≥ 0.8 pairs at ~1 − 10⁻⁷ while passing on sub-0.2 noise. */
+  def lshDetectionGrid(spark: SparkSession, d: String): DataFrame =
+    Dedup.lshDetectionCurve(spark, 16, 2, 25000, 40)
+
+  /** q340: PER-KEY rolling p99 from the per-(event_type, day) KLL
+    * state ([[QuantileState.kllKeyDayState]], VERDICT r15 #2) — the
+    * grain a production latency monitor actually queries: per event
+    * type, the trailing-7-day p99 of the value metric, read entirely
+    * from |keys|·|days| sketch rows. Oracled the q325 way (the q191
+    * sketch convention): per (event_type, end_day) the EXACT window
+    * count replays in DuckDB, and the randomized p99 estimate is
+    * guarded by the in-query ±3ε rank envelope against the exact
+    * window CDF, pinned ≡ 1. At p99 the upper arm (below/n ≤
+    * 0.99 + 3ε) is near-vacuous — the binding check is the lower arm
+    * (at_or_below/n ≥ 0.99 − 3ε); both are emitted through one flag
+    * for the oracle.
+    *
+    * Scale shape: state build is one (key, day) aggregate with
+    * map-side sketch partials; the readout explodes ≤ 7·|state|
+    * k-bounded byte rows; the envelope check joins the key-day-sized
+    * readout (broadcast) back to one pass over the window values. */
+  def rollingValueQuantileByType(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+    val cents = round($"value" * 100, 0)
+    val state = QuantileState.kllKeyDayState(ev, "event_type", "ts",
+      cents, 200)
+    val approx = QuantileState.rollingQuantileByKeyFromState(
+      state, 7, 990, 200)
+    val vals = ev.select($"event_type".cast("string").as("key"),
+        floor(unix_timestamp($"ts") / 86400).cast("long").as("vd"),
+        cents.cast("long").as("v"))
+      .filter($"key".isNotNull && $"vd".isNotNull && $"v".isNotNull)
+    val days = vals.select($"key", $"vd".as("end_day")).distinct()
+    vals
+      .withColumn("end_day", explode(sequence($"vd", $"vd" + lit(6))))
+      .join(broadcast(days), Seq("key", "end_day"), "left_semi")
+      .join(broadcast(approx), Seq("key", "end_day"))
+      .groupBy($"key", $"end_day")
+      .agg(count(lit(1)).as("n_exact"),
+        max($"n_window").as("n_window"),
+        sum(($"v" < $"q_approx").cast("long")).as("below"),
+        sum(($"v" <= $"q_approx").cast("long")).as("at_or_below"),
+        max($"eps").as("eps"))
+      .select($"key".as("event_type"), $"end_day", $"n_window",
+        (($"n_window" === $"n_exact") &&
+          ($"at_or_below".cast("double") / $"n_exact" >=
+            lit(0.99) - lit(3.0) * $"eps") &&
+          ($"below".cast("double") / $"n_exact" <=
+            lit(0.99) + lit(3.0) * $"eps")).cast("int").as("within_bound"))
+      .orderBy($"event_type", $"end_day")
+  }
 }

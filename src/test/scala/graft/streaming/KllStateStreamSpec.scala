@@ -98,4 +98,64 @@ class KllStateStreamSpec extends SparkSpec {
       assert(n == (end - 1 to end).map(exact.getOrElse(_, 0L)).sum)
     }
   }
+
+  test("PER-KEY state (r16): streamed (key, day) state == full " +
+      "rebuild; replay is a no-op; per-key rolling readout == batch " +
+      "rebuild; merge(split) == rebuild(full)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("kllkey").toString + "/t"
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = mem.toDF().toDF("et", "day", "v")
+      .withColumn("ts", timestamp_seconds($"day" * 86400L))
+      .writeStream
+      .foreachBatch(
+        KllStateStream.sinkByKey(dir, "et", "ts", col("v"), 200, "kk") _)
+      .start()
+    val b1 = for (k <- Seq("a", "b"); d <- 0L to 2L; i <- 1L to 12L)
+      yield (k, d, i * 10 + d + k.length)
+    val b2 = for (k <- Seq("b", "c"); d <- 2L to 4L; i <- 13L to 25L)
+      yield (k, d, i * 5 + d)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def readout(st: org.apache.spark.sql.DataFrame) =
+      st.select($"key", $"d", KllExpressions.kll_n($"sk").as("n"),
+          KllExpressions.kll_quantile($"sk", lit(500L)).as("p50"))
+        .as[(String, Long, Long, Long)].collect().toList.sorted
+    val all = (b1 ++ b2).toDF("et", "day", "v")
+      .withColumn("ts", timestamp_seconds($"day" * 86400L))
+    val state = ManifestTable.read(spark, dir)._2
+    val rebuilt = QuantileState.kllKeyDayState(all, "et", "ts", $"v", 200)
+    assert(readout(state) == readout(rebuilt))
+    // replayed batch: version frozen, readout identical
+    val ver = ManifestTable.currentVersion(dir)
+    KllStateStream.sinkByKey(dir, "et", "ts", col("v"), 200, "kk")(
+      b1.toDF("et", "day", "v")
+        .withColumn("ts", timestamp_seconds($"day" * 86400L)), 0L)
+    assert(ManifestTable.currentVersion(dir) == ver)
+    assert(readout(ManifestTable.read(spark, dir)._2) == readout(state))
+    // per-key rolling readout: maintained == rebuilt, and each key's
+    // end-day frame is ITS OWN observed days only
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
+    val maintained = QuantileState.rollingQuantileByKeyFromState(
+      ManifestTable.read(spark, dir)._2, 2, 500, 200)
+    assert(rows(maintained) ==
+      rows(QuantileState.rollingQuantileByKeyFromState(rebuilt, 2, 500, 200)))
+    val keyDays = maintained.select($"key", $"end_day")
+      .as[(String, Long)].collect().toSet
+    assert(keyDays == (b1 ++ b2).map(t => (t._1, t._2)).toSet)
+    // merge(split) == rebuild(full) on the exact axis
+    val m = QuantileState.mergeKllKeyDayState(
+      QuantileState.kllKeyDayState(b1.toDF("et", "day", "v")
+        .withColumn("ts", timestamp_seconds($"day" * 86400L)),
+        "et", "ts", $"v", 200),
+      QuantileState.kllKeyDayState(b2.toDF("et", "day", "v")
+        .withColumn("ts", timestamp_seconds($"day" * 86400L)),
+        "et", "ts", $"v", 200), 200)
+    assert(readout(m) == readout(rebuilt))
+  }
 }
