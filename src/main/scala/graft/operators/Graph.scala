@@ -189,7 +189,13 @@ object Graph {
 
   /** DEGREE-CAPPED HITS — [[hitsMicro]] restricted to the edges into
     * the `topK` highest in-degree authorities (count DESC, node ASC —
-    * a total order): the SERVING-oriented form of q296. The full HITS
+    * a total order). NOT the serving default (round 16): use
+    * [[hitsAuthoritiesRefined]] (q326), which is VALUE-IDENTICAL to
+    * the full 2-iteration [[hitsMicro]] top-K at the same measured
+    * cost (18.3 s vs 19.6 s at 100×) — this capped form is kept as
+    * the measured-drift LESSON row (q316): a first-iterate prune is
+    * the obvious serving trade and its top-K membership drifts at
+    * scale, which round 15 measured at three SFs. The full HITS
     * is edge-linear and the measured heaviest SCALING row (78.6 s at
     * 100× with hot authorities) precisely because every edge
     * participates in every superstep; but the readout anyone serves
