@@ -365,6 +365,9 @@ object SparkEntry {
       (NorthStar.rollingValueQuantileByType _),
     "q341_lsh_audit" -> (NorthStar.lshBlockingAudit _),
     "q342_lsh_curve" -> (NorthStar.lshDetectionGrid _),
+    "q343_avg_precision" -> (NorthStar.lengthAveragePrecision _),
+    "q344_brown_forsythe" -> (NorthStar.eventValueSpread _),
+    "q345_pmi_collocations" -> (NorthStar.corpusCollocations _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7239,6 +7242,80 @@ object SparkEntry {
         |SELECT s_ppm, CAST(sr_ppm AS BIGINT) AS p_band_ppm,
         |  CAST(1000000 - mb AS BIGINT) AS p_detect_ppm
         |FROM p ORDER BY s_ppm""".stripMargin,
+    // q343: average precision — distinct thresholds descending,
+    // inclusive running tp/fp, contrib = cp·(tp·1e6 // (tp+fp)),
+    // AP_ppm = Σcontrib // n_pos; every div truncating integer.
+    "q343_avg_precision" ->
+      """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |vals AS (SELECT s, sum(y) AS cp, count(*) - sum(y) AS cn
+        |  FROM base GROUP BY 1),
+        |r AS (SELECT cp, sum(cp) OVER (ORDER BY s DESC) AS tp,
+        |    sum(cn) OVER (ORDER BY s DESC) AS fp FROM vals),
+        |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM vals)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST((SELECT sum(CAST(cp AS HUGEINT)
+        |          * (tp * 1000000 // (tp + fp))) FROM r)
+        |    // nullif(np, 0) AS BIGINT) AS ap_ppm
+        |FROM tot""".stripMargin,
+    // q344: Brown–Forsythe W on |v − group median| — exact medians
+    // at ceil(n/2) (the q338/q339 contract), denominator-cleared
+    // HUGEINT algebra, truncating // mirrored with Spark's decimal
+    // div.
+    "q344_brown_forsythe" ->
+      """WITH m AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |  FROM m),
+        |med AS (SELECT n.g,
+        |    max(CASE WHEN r.rk = CAST(ceil(0.5 * n.n) AS BIGINT)
+        |      THEN r.v END) AS md
+        |  FROM n JOIN r ON r.g = n.g GROUP BY 1),
+        |gs AS (SELECT m.g, CAST(count(*) AS HUGEINT) AS ng,
+        |    CAST(sum(abs(m.v - med.md)) AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(abs(m.v - med.md) AS HUGEINT)
+        |      * abs(m.v - med.md)) AS HUGEINT) AS qg
+        |  FROM m JOIN med ON m.g = med.g GROUP BY 1),
+        |tot AS (SELECT sum(ng) AS nn, CAST(count(*) AS HUGEINT) AS k,
+        |    sum(sg) AS s, sum(qg) AS q,
+        |    sum(sg * sg // ng) AS sb FROM gs)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST((nn - k) * (sb - s * s // nn) * 1000000
+        |    // nullif((k - 1) * (q - sb), 0)
+        |    AS BIGINT) AS w_micro
+        |FROM tot""".stripMargin,
+    // q345: PMI collocations — bigram contingency over the corpus
+    // (marginals = bigram-position totals, so rows sum to N
+    // exactly); one nano-rounded ln of an exact-integer quotient
+    // (< 2^53 both sides), top 25 by (pmi DESC, w1, w2).
+    "q345_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) p(i)
+        |  WHERE len(t) >= 2),
+        |bf AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2
+        |  FROM c12 GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c12)
+        |SELECT c12.w1, c12.w2, c AS n_pair,
+        |  CAST(round(ln(CAST(c * nn AS DOUBLE)
+        |    / CAST(c1.c1 * c2.c2 AS DOUBLE)) * 1e9, 0) AS BIGINT)
+        |    AS pmi_nano
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
+        |WHERE c >= 5
+        |ORDER BY pmi_nano DESC, w1, w2 LIMIT 25""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

@@ -285,6 +285,44 @@ object Graph {
     // count of distinct srcs (map-side partial dedupe)
     val indeg = pairs.groupBy(col("dst").as("node"))
       .agg(countDistinct(col("src")).as("c")).localCheckpoint()
+    refinedTail(pairs, indeg, distinctPairs = false, topK, overfetch)
+  }
+
+  /** [[hitsAuthoritiesRefined]] over an ALREADY-DISTINCT edge table —
+    * the [[graft.streaming.EdgeStateStream]]-MAINTAINED (src, dst, n)
+    * state read straight into serving (round 16, STATUS r15 #4): the
+    * raw-log distinct-pair shuffles that are most of q326's cost at
+    * 100× are PRE-PAID by the stream (O(batch) per micro-batch), so
+    * every serving call starts from the key-sized graph, not the
+    * fact log. Distinctness is the state table's merge invariant
+    * (one row per (src, dst)), so the in-pass dedupes drop out and
+    * the readout is value-identical to [[hitsAuthoritiesRefined]]
+    * over the raw log — spec-pinned through a real MemoryStream.
+    *
+    * Scale shape: two |E_distinct|-sized joins + one candidate-bounded
+    * join over an already-aggregated parquet table; no distinct
+    * passes, no log scan. */
+  def hitsAuthoritiesRefinedFromEdges(edges: DataFrame, topK: Int,
+      overfetch: Int = 4, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    require(overfetch >= 1, s"overfetch=$overfetch")
+    val pairs = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // rows are distinct by the state contract: indeg is a plain count
+    val indeg = pairs.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    refinedTail(pairs, indeg, distinctPairs = true, topK, overfetch)
+  }
+
+  /** Shared two-round tail of [[hitsAuthoritiesRefined]] /
+    * [[hitsAuthoritiesRefinedFromEdges]]: global a₁ from the pinned
+    * in-degree frame, global h₁ over the (dedup-as-needed) edge
+    * pairs, exact a₂ over the overfetched candidate pool. */
+  private def refinedTail(pairs: DataFrame, indeg: DataFrame,
+      distinctPairs: Boolean, topK: Int, overfetch: Int): DataFrame = {
+    def dedup(df: DataFrame): DataFrame =
+      if (distinctPairs) df else df.distinct()
     // a1 = hitsMicro's first authority iterate: normalized in-degree
     // (the 10^6-scaled hub seed cancels through the div chain)
     val a1 = indeg
@@ -296,7 +334,7 @@ object Graph {
     // computed over the WHOLE edge set (the step the first-iterate
     // prune distorted); a1 is authority-sized — AQE broadcasts it
     // when small, shuffles when not (no hint on purpose)
-    val h1raw = pairs.distinct()
+    val h1raw = dedup(pairs)
       .join(a1.withColumnRenamed("node", "dst"), "dst")
       .groupBy(col("src")).agg(sum(col("a")).as("s"))
       .localCheckpoint()
@@ -307,7 +345,7 @@ object Graph {
           .as("h"))
     val cand = indeg.orderBy(col("c").desc, col("node"))
       .limit(topK * overfetch).select(col("node").as("dst"))
-    val a2raw = pairs.join(broadcast(cand), "dst").distinct()
+    val a2raw = dedup(pairs.join(broadcast(cand), "dst"))
       .join(h1.hint("SHUFFLE_HASH"), "src")
       .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
       .localCheckpoint()

@@ -460,6 +460,46 @@ object Labeling {
           " as bigint)").as("precision_ppm"))
   }
 
+  /** AVERAGE PRECISION (PR-AUC, the step-wise interpolation at
+    * distinct thresholds) — [[aucExact]]'s imbalance-honest
+    * companion (round 16): ROC-AUC stays near chance-insensitive to
+    * prevalence, but when positives are rare the number a retrieval
+    * or labeling pass should report is area under the
+    * precision-recall curve. Processing DISTINCT scores descending,
+    * after including score group i (cp_i positives, cn_i negatives):
+    * tp_i / fp_i are the running sums, precision_i = tp_i/(tp_i+fp_i),
+    * and AP = Σ_i cp_i · precision_i / n_pos — ties contribute their
+    * whole group at the group's own precision (the deterministic
+    * tie convention; no within-group order exists). Exact integers:
+    * contrib_i = cp_i · (tp_i·10⁶ div (tp_i + fp_i)) in
+    * DECIMAL(38,0), ap_ppm = Σ contrib div n_pos — truncating divs
+    * mirrored verbatim in the oracle. One row: (n_pos, n_neg,
+    * ap_ppm); NULL ap_ppm when no positives exist.
+    *
+    * Scale shape: one per-VALUE count aggregate, the running sums
+    * through [[graft.operators.Curation.withGlobalCumsums]]' two-level
+    * pass on the DESCENDING order (distinct scores are unbounded in
+    * principle — never an unpartitioned window), one 1-row fold. */
+  def averagePrecision(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = df
+      .select(score.cast("long").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val vals = base.groupBy(col("s"))
+      .agg(count(when(col("y") === 1, 1)).as("cp"),
+        count(when(col("y") === 0, 1)).as("cn"))
+    Curation.withGlobalCumsums(vals, Seq(col("s").desc),
+        Seq("p" -> col("cp"), "n" -> col("cn")))
+      .select(col("cp"), col("cum_p"), col("cum_n"), col("tot_p"),
+        col("tot_n"))
+      .withColumn("contrib", dec(col("cp")) *
+        expr("cum_p * 1000000 div (cum_p + cum_n)"))
+      .agg(max(col("tot_p")).as("n_pos"), max(col("tot_n")).as("n_neg"),
+        sum(col("contrib")).as("csum"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast(csum div nullif(n_pos, 0) as bigint)").as("ap_ppm"))
+  }
+
   /** FLEISS' KAPPA over k ≥ 2 binary raters (Fleiss 1971) — the
     * multi-rater generalization of [[cohenKappa]] for the LF panels
     * [[majorityVote]] audits pairwise: with x_i raters voting 1 on

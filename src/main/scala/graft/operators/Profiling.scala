@@ -1046,6 +1046,59 @@ object Profiling {
       .orderBy(col("group"))
   }
 
+  /** BROWN–FORSYTHE TEST (Brown & Forsythe 1974) — variance
+    * homogeneity across groups on the MEDIAN-centered deviations
+    * (round 16): Levene's W computed on z_ij = |x_ij − median_j|,
+    * the robust variant (mean-centering inherits the outliers a
+    * dispersion test is hunting). The profiling companion to the
+    * location tests: q242/q261 ask "did the center move", this asks
+    * "did the SPREAD change across event types / arms / sources" —
+    * the question behind heteroskedastic metrics and variance-
+    * targeting experiment designs. Medians are EXACT per group
+    * ([[exactQuantilesByGroup]], the ⌈n/2⌉-th smallest); z is exact
+    * integer; W = ((N−k)/(k−1)) · SSB/SSW is a fixed truncating-div
+    * integer chain. Spark `div` on DECIMAL returns BIGINT, so each
+    * div must land within a long — the per-group terms divide BEFORE
+    * any scaling: sb = Σ_g (S_g² div n_g), ssb = sb − S² div N,
+    * ssw = Q − sb (S_g = Σz per group, Q = Σz², both exact),
+    * w_micro = ((N−k)·ssb·10⁶) div ((k−1)·ssw) with products in
+    * DECIMAL(38,0) — mirrored verbatim in the oracle (HUGEINT `//`;
+    * all operands positive, so both truncations agree). The
+    * pre-scaling div truncates ≤ 1 per group — relative error
+    * ≤ k/SSB on a micro-rounded statistic, noise. NULL when k < 2
+    * or SSW = 0. One row: (n, k, w_micro).
+    *
+    * Scale shape: the per-group median refinement (low-cardinality
+    * groups by [[exactQuantilesByGroup]]'s contract), ONE
+    * broadcast-join deviation pass into a k-row group aggregate, a
+    * 1-row fold. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column,
+      fanout: Int = 256): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    val med = exactQuantilesByGroup(base, "g", "v", Seq(0.5), fanout)
+      .select(col("group").as("g"), col("value").as("md"))
+    def dec(s: String) = s"cast($s as decimal(38,0))"
+    val gs = base.join(broadcast(med), "g")
+      .withColumn("z", abs(col("v") - col("md")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("z")).as("sg"),
+        sum(expr(s"${dec("z")} * z")).as("qg"))
+    gs.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(expr(s"${dec("sg")} * sg div ng")).as("sb"))
+      .select(col("n"), col("k"),
+        expr("cast(cast(n - k as decimal(38,0)) *" +
+          " (sb - cast(s as decimal(38,0)) * s div n) * 1000000" +
+          " div nullif((k - 1) *" +
+          " (cast(q as decimal(38,0)) - sb), 0)" +
+          " as bigint)").as("w_micro"))
+  }
+
   /** CRAMÉR'S V (Cramér 1946) — [[chiSquareIndependence]]'s χ²
     * normalized onto [0, 1]: V = √(χ² / (n·(min(r, c) − 1))), the
     * effect-size companion that makes association strengths

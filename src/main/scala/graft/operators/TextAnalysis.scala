@@ -721,6 +721,49 @@ object TextAnalysis {
     * TakeOrderedAndProject cut, then an N-row (constant-bounded)
     * rank window and one 1-row aggregate — the [[graft.operators
     * .Retrieval.rankTopN]] bounded-window regime. */
+  /** PMI COLLOCATIONS (pointwise mutual information over adjacent
+    * bigrams; Church & Hanks 1990) — the collocation extractor a
+    * training-data pipeline uses to find multi-word units and
+    * boilerplate phrases: PMI(w1, w2) = ln(c12·N / (c1·c2)) over
+    * bigram counts, where c1/c2 are the word's bigram-position
+    * totals (first/second) and N the corpus bigram count — the
+    * self-consistent contingency table (rows sum to N exactly).
+    * `minCount` floors the pair count (PMI's known low-frequency
+    * pathology: a hapax pair maxes the score), output is the top
+    * `topN` by (pmi DESC, w1, w2) — a total order. The single ln is
+    * nano-rounded (the q233 convention); its argument is one IEEE
+    * division of two exact long products (both < 2⁵³, so the doubles
+    * are exact and both engines compute the identical quotient).
+    *
+    * Scale shape: one bigram explode (corpus-token-bounded), one
+    * (w1, w2) count aggregate, two term-sized marginal reductions OF
+    * THE COUNTS frame (never the corpus), a broadcast 1-row total,
+    * TakeOrderedAndProject. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      topN: Int = 25, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topN >= 1,
+      s"minCount=$minCount topN=$topN")
+    val bg = docs.select(split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(t) - 2)," +
+        " i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c")).as("c2"))
+    val nn = c12.agg(sum(col("c")).as("nn"))
+    c12.filter(col("c") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(nn))
+      .withColumn("pmi_nano", round(
+        log((col("c") * col("nn")).cast("double") /
+          (col("c1") * col("c2")).cast("double")) * 1e9, 0).cast("long"))
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        col("pmi_nano"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2")).limit(topN)
+  }
+
   def zipfSlope(docs: DataFrame, topN: Int,
       textCol: String = "text"): DataFrame = {
     require(topN >= 2, s"topN=$topN")

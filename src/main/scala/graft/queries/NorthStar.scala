@@ -3919,6 +3919,34 @@ object NorthStar {
       .orderBy($"end_day")
   }
 
+  /** q343: average precision ([[graft.operators.Labeling
+    * .averagePrecision]]) — the length rule's PR-AUC against the
+    * English label on q256's exact data: the imbalance-honest
+    * companion of ROC-AUC, through the same two-level descending
+    * cumsum, all truncating integer divs. */
+  def lengthAveragePrecision(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.averagePrecision(Tables.documents(spark, d), $"n_chars",
+      ($"lang" === "en").cast("int"))
+  }
+
+  /** q344: Brown–Forsythe spread test ([[graft.operators.Profiling
+    * .brownForsythe]]) — did the VALUE dispersion differ across event
+    * types (q261 asks about the center; this asks about the spread),
+    * on median-centered absolute deviations with exact per-group
+    * medians and denominator-cleared integer W. */
+  def eventValueSpread(spark: SparkSession, d: String): DataFrame =
+    Profiling.brownForsythe(Tables.events(spark, d), "event_type",
+      round(col("value") * 100, 0))
+
+  /** q345: PMI collocations ([[graft.operators.TextAnalysis
+    * .pmiCollocations]]) — top adjacent-bigram collocations of the
+    * documents corpus (count ≥ 5), the multi-word-unit /
+    * boilerplate-phrase extractor; one nano-rounded ln per surviving
+    * pair over exact integer counts. */
+  def corpusCollocations(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(spark, d), 5, 25)
+
   /** q341: LSH parameter audit, bill side (VERDICT r15 #6) — the
     * per-band candidate-pair bill of the SHIPPED q39 banding (b=16,
     * r=2) over the documents corpus, via the md5-word audit signature

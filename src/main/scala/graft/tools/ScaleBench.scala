@@ -232,7 +232,18 @@ object ScaleBench {
         // per edge), MAD (two quantile refinements), Tukey fences
         // (per-group refinement + one counting pass)
         "q335_km_band", "q336_skyline", "q337_bridge_edges",
-        "q338_mad", "q339_tukey_outliers")
+        "q338_mad", "q339_tukey_outliers",
+        // round-16: per-key KLL rolling quantiles (one (key, day)
+        // sketch aggregate + key-day rollup + exact-check join), LSH
+        // band bill (8 md5 digests per distinct shingle map-side +
+        // key-bounded bucket aggregates — the audit's honest price),
+        // average precision (q256's descending-cumsum regime),
+        // Brown–Forsythe (per-group median refinement + one
+        // broadcast-join deviation pass), PMI collocations (bigram
+        // explode + term-sized marginal reductions)
+        "q340_rolling_quantile_by_key", "q341_lsh_audit",
+        "q343_avg_precision", "q344_brown_forsythe",
+        "q345_pmi_collocations")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

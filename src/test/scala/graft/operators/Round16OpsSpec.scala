@@ -49,6 +49,55 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("averagePrecision: hand-traced step-wise AP with a tie group; " +
+      "NULL on no positives") {
+    import spark.implicits._
+    // desc: s=3 (tp1 fp0, p=1e6), s=2 tie group (tp2 fp1, p=666666),
+    // s=1 (tp3 fp1, p=750000) -> AP = (1e6+666666+750000)/3 = 805555
+    val df = Seq((3L, 1), (2L, 0), (2L, 1), (1L, 1)).toDF("s", "y")
+    val got = Labeling.averagePrecision(df, $"s", $"y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(got == ((3L, 1L, Some(805555L))))
+    val none = Labeling.averagePrecision(
+      Seq((3L, 0), (2L, 0)).toDF("s", "y"), $"s", $"y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(none == ((0L, 2L, None)))
+  }
+
+  test("brownForsythe: hand-traced W over median-centered deviations") {
+    import spark.implicits._
+    // a: 1,2,3,4 (med 2, z 1,0,1,2 -> S=4 Q=6); b: 10,10,20,30
+    // (med 10, z 0,0,10,20 -> S=30 Q=500). sb = 16//4 + 900//4 = 229;
+    // ssb = 229 - 34*34//8 = 85; ssw = 506 - 229 = 277;
+    // W_micro = 6*85*1e6 // 277 = 1841155
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(10L, 10L, 20L, 30L).map(("b", _))).toDF("g", "v")
+    val got = Profiling.brownForsythe(df, "g", $"v")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(got == ((8L, 2L, Some(1841155L))))
+    // one group: W undefined -> NULL
+    val one = Profiling.brownForsythe(
+      Seq(("a", 1L), ("a", 5L)).toDF("g", "v"), "g", $"v")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(one == ((2L, 1L, None)))
+  }
+
+  test("pmiCollocations: hand-traced PMI with self-consistent " +
+      "bigram marginals") {
+    import spark.implicits._
+    implicit val s = spark
+    // two copies of "a b a b": c12(a,b)=4, c12(b,a)=2, N=6,
+    // c1(a)=4 c1(b)=2, c2(b)=4 c2(a)=2
+    // PMI(a,b) = ln(24/16) = ln(1.5); PMI(b,a) = ln(12/4) = ln(3)
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, 2, 10)
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(
+      ("b", "a", 2L, math.round(math.log(3.0) * 1e9)),
+      ("a", "b", 4L, math.round(math.log(1.5) * 1e9))))
+  }
+
   test("ivfRankingMetricsWith: bad k / nProbe fails fast BEFORE the " +
       "assignment pin (ADVICE r15)") {
     import spark.implicits._
