@@ -368,6 +368,9 @@ object SparkEntry {
     "q343_avg_precision" -> (NorthStar.lengthAveragePrecision _),
     "q344_brown_forsythe" -> (NorthStar.eventValueSpread _),
     "q345_pmi_collocations" -> (NorthStar.corpusCollocations _),
+    "q346_js_divergence" -> (NorthStar.srcZeroJsDivergence _),
+    "q347_quantile_drift" -> (NorthStar.orderValueQuantileDrift _),
+    "q348_cochran_armitage" -> (NorthStar.purchaseTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7316,6 +7319,77 @@ object SparkEntry {
         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
         |WHERE c >= 5
         |ORDER BY pmi_nano DESC, w1, w2 LIMIT 25""".stripMargin,
+    // q346: JSD — every ln argument is an exact-integer quotient
+    // (2aB/(aB+bA), both < 2^53 — the q345 convention); only the
+    // final sums are float, rounded 6 with 10 orders of margin
+    // (q126's drift argument).
+    "q346_js_divergence" ->
+      """WITH tok AS (SELECT
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |tw AS (SELECT w, sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS b
+        |  FROM tok WHERE w <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |    CAST(sum(b) AS BIGINT) AS tb FROM tw)
+        |SELECT ta AS n_tokens_a, tb AS n_tokens_b,
+        |  round(
+        |    sum(CASE WHEN a > 0 THEN a * ln(CAST(2 * a * tb AS DOUBLE)
+        |      / CAST(a * tb + b * ta AS DOUBLE)) ELSE 0 END)
+        |      / (2.0 * ta)
+        |    + sum(CASE WHEN b > 0 THEN b * ln(CAST(2 * b * ta AS DOUBLE)
+        |      / CAST(a * tb + b * ta AS DOUBLE)) ELSE 0 END)
+        |      / (2.0 * tb), 6) + 0.0 AS jsd
+        |FROM tw CROSS JOIN tot GROUP BY 1, 2""".stripMargin,
+    // q347: QQ drift — exact per-period deciles at rank ceil(q*n)
+    // (the q338/q220 contract); the q literals are the same double
+    // literals the Spark side passes (never d*0.1 — that is a
+    // DIFFERENT double from the literal 0.3).
+    "q347_quantile_drift" ->
+      """WITH m AS (SELECT CASE WHEN o_orderdate
+        |      < TIMESTAMP '1997-01-01' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |  FROM m),
+        |q AS (SELECT * FROM (VALUES (100, 0.1), (200, 0.2), (300, 0.3),
+        |    (400, 0.4), (500, 0.5), (600, 0.6), (700, 0.7),
+        |    (800, 0.8), (900, 0.9)) t(qpm, qq)),
+        |pick AS (SELECT q.qpm, n.g,
+        |    max(CASE WHEN r.rk = CAST(ceil(q.qq * n.n) AS BIGINT)
+        |      THEN r.v END) AS v
+        |  FROM q CROSS JOIN n JOIN r ON r.g = n.g GROUP BY 1, 2)
+        |SELECT CAST(qpm AS BIGINT) AS q_permille,
+        |  max(CASE WHEN g = 'a' THEN v END) AS v_a,
+        |  max(CASE WHEN g = 'b' THEN v END) AS v_b,
+        |  max(CASE WHEN g = 'b' THEN v END)
+        |    - max(CASE WHEN g = 'a' THEN v END) AS delta
+        |FROM pick GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q348: Cochran–Armitage — exact integer arm statistics, trend
+    // numerator T = N*A2 - R*A1, z^2 via the hypergeometric variance
+    // with the big quotient taken FIRST (every // result fits a
+    // long — the q344 rail), all HUGEINT.
+    "q348_cochran_armitage" ->
+      """WITH pu AS (SELECT user_id % 3 AS s, user_id AS u,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT s, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(conv) AS HUGEINT) AS r FROM pu GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(r) AS rr, sum(s * n) AS a1,
+        |    sum(s * r) AS a2, sum(s * s * n) AS a3 FROM g)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS r,
+        |  CAST(nn * a2 - rr * a1 AS BIGINT) AS t_num,
+        |  CAST((nn * a2 - rr * a1) * (nn * a2 - rr * a1)
+        |      // nullif(rr * (nn - rr), 0)
+        |    * (nn - 1) * 1000000
+        |    // nullif(nn * a3 - a1 * a1, 0) AS BIGINT) AS z2_micro
+        |FROM t""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1
     // integer L1 per doc, byte-normalized ppm, top-100 total order.

@@ -1699,6 +1699,50 @@ object Behavior {
       t.as("t"), df.as("df"))
   }
 
+  /** COCHRAN–ARMITAGE TREND TEST (Cochran 1954, Armitage 1955) — is
+    * the conversion rate MONOTONE in an ordered exposure (dose /
+    * price tier / ramp stage)? The k-arm z-test (abTestK) asks "did
+    * ANY arm move"; this asks the sharper ordered question with one
+    * degree of freedom, scores s_i = arm index. Exact integer
+    * sufficient statistics per arm (n_i users, r_i converters;
+    * A1 = Σs·n, A2 = Σs·r, A3 = Σs²·n), then the cleared chain:
+    * T = N·A2 − R·A1 (the trend numerator, exact), and
+    * z²_micro = ((T² div (R·(N−R))) · (N−1) · 10⁶) div
+    * (N·A3 − A1²) — the hypergeometric-variance form with the big
+    * quotient taken FIRST so every div result lands within a long
+    * (the q344 bigint-div rail; T² and the products stay inside
+    * DECIMAL(38,0) at any realistic N). NULL when R = 0 or R = N
+    * (no variance) or the arm scores are constant. One row:
+    * (n, r, t_num, z2_micro).
+    *
+    * Scale shape: one (arm, user) pre-aggregate (hot users collapse
+    * map-side), a k-row arm aggregate, 1-row algebra. */
+  def cochranArmitage(events: DataFrame, user: String, arms: Int,
+      convEvent: String = "purchase"): DataFrame = {
+    require(arms >= 2, s"arms=$arms")
+    val pu = events.filter(col(user).isNotNull)
+      .select((col(user) % arms).as("s"), col(user).as("u"),
+        (col("event_type") === convEvent).cast("int").as("cv"))
+      .groupBy(col("s"), col("u")).agg(max(col("cv")).as("conv"))
+    val g = pu.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("r"))
+    g.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+        sum(expr("cast(s as decimal(38,0)) * n")).as("a1"),
+        sum(expr("cast(s as decimal(38,0)) * r")).as("a2"),
+        sum(expr("cast(s as decimal(38,0)) * s * n")).as("a3"))
+      .select(col("nn").as("n"), col("rr").as("r"),
+        expr("cast(cast(nn as decimal(38,0)) * a2" +
+          " - cast(rr as decimal(38,0)) * a1 as bigint)").as("t_num"),
+        expr("cast(cast((cast(nn as decimal(38,0)) * a2" +
+          " - cast(rr as decimal(38,0)) * a1)" +
+          " * (cast(nn as decimal(38,0)) * a2" +
+          " - cast(rr as decimal(38,0)) * a1)" +
+          " div nullif(cast(rr as decimal(38,0)) * (nn - rr), 0)" +
+          " as decimal(38,0)) * (nn - 1) * 1000000" +
+          " div nullif(cast(nn as decimal(38,0)) * a3 - a1 * a1, 0)" +
+          " as bigint)").as("z2_micro"))
+  }
+
   /** MANN–WHITNEY U — the nonparametric two-sample test for the same
     * arms when means are the wrong question (heavy-tailed revenue,
     * ordinal scores): ranks are over per-user integer metrics with the

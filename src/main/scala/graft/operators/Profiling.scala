@@ -1099,6 +1099,36 @@ object Profiling {
           " as bigint)").as("w_micro"))
   }
 
+  /** QUANTILE (QQ) DRIFT between two periods/populations — the
+    * distribution-shift profile a PSI bucket count (q265) and a KS
+    * max-gap (q251) both compress away: EXACT deciles of both sides,
+    * side by side, with their deltas — WHERE the distribution moved
+    * (tail? center?) and by how much in metric units. The split is a
+    * caller predicate (before/after a date, treatment/control,
+    * source A/rest); both sides' quantiles run through ONE
+    * [[exactQuantilesByGroup]] pivot (shared refinement rounds, the
+    * q220 machinery), ranks at ⌈q·n⌉ — every output value exact and
+    * oracle-replayable. Output per decile: (q_permille, v_a, v_b,
+    * delta = v_b − v_a), q-ordered.
+    *
+    * Scale shape: the shared multi-column refinement
+    * (⌈log_fanout(span)⌉ counting passes over the conditional pivot),
+    * then a 9-row pivot — no sort, no join. */
+  def quantileDrift(df: DataFrame, flag: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      qs: Seq[Double] = (1 to 9).map(_ / 10.0),
+      fanout: Int = 256): DataFrame = {
+    val base = df.filter(flag.isNotNull && value.isNotNull)
+      .select(when(flag, "a").otherwise("b").as("g"),
+        value.cast("long").as("v"))
+    exactQuantilesByGroup(base, "g", "v", qs, fanout)
+      .groupBy(round(col("q") * 1000, 0).cast("long").as("q_permille"))
+      .agg(max(when(col("group") === "a", col("value"))).as("v_a"),
+        max(when(col("group") === "b", col("value"))).as("v_b"))
+      .withColumn("delta", col("v_b") - col("v_a"))
+      .orderBy(col("q_permille"))
+  }
+
   /** CRAMÉR'S V (Cramér 1946) — [[chiSquareIndependence]]'s χ²
     * normalized onto [0, 1]: V = √(χ² / (n·(min(r, c) − 1))), the
     * effect-size companion that makes association strengths

@@ -721,6 +721,50 @@ object TextAnalysis {
     * TakeOrderedAndProject cut, then an N-row (constant-bounded)
     * rank window and one 1-row aggregate — the [[graft.operators
     * .Retrieval.rankTopN]] bounded-window regime. */
+  /** JENSEN–SHANNON DIVERGENCE between two sub-corpora's token
+    * distributions (Lin 1991) — the SYMMETRIC, always-finite mixture
+    * distance the q126 KL lacks (KL blows up on any token one side
+    * has and the other misses; JSD caps at ln 2): the dataset-mixture
+    * drift number for "did this source/slice move away from the rest
+    * of the corpus". JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2,
+    * computed over token counts with every ln argument an
+    * exact-integer quotient: p_w/m_w = 2·a_w·B / (a_w·B + b_w·A) for
+    * per-token counts a/b and totals A/B — both products < 2⁵³, so
+    * the IEEE division is identical in both engines (the q345
+    * convention) and only the final sum carries float drift, ~10
+    * orders below the round(6) boundary (the q126 argument).
+    * One-sided tokens contribute their ln 2 term on the populated
+    * side only. One row: (n_tokens_a, n_tokens_b, jsd).
+    *
+    * Scale shape: one token aggregate keyed by the vocabulary (both
+    * sides' counts in one pass), a broadcast 1-row totals join, one
+    * 1-row reduction. */
+  def jsDivergence(docs: DataFrame, flag: org.apache.spark.sql.Column,
+      textCol: String = "text"): DataFrame = {
+    val tok = Par.fanOut(docs.filter(flag.isNotNull))
+      .select(flag.cast("int").as("f"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(sum(when(col("f") === 1, 1).otherwise(0)).as("a"),
+        sum(when(col("f") === 0, 1).otherwise(0)).as("b"))
+    val tot = tok.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    tok.crossJoin(broadcast(tot))
+      .agg(
+        sum(when(col("a") > 0, col("a") * log(
+          (lit(2) * col("a") * col("tb")).cast("double") /
+            (col("a") * col("tb") + col("b") * col("ta"))
+              .cast("double"))).otherwise(lit(0.0))).as("sa"),
+        sum(when(col("b") > 0, col("b") * log(
+          (lit(2) * col("b") * col("ta")).cast("double") /
+            (col("a") * col("tb") + col("b") * col("ta"))
+              .cast("double"))).otherwise(lit(0.0))).as("sb"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        (round(col("sa") / (lit(2.0) * col("ta")) +
+          col("sb") / (lit(2.0) * col("tb")), 6) + lit(0.0)).as("jsd"))
+  }
+
   /** PMI COLLOCATIONS (pointwise mutual information over adjacent
     * bigrams; Church & Hanks 1990) — the collocation extractor a
     * training-data pipeline uses to find multi-word units and

@@ -3947,6 +3947,35 @@ object NorthStar {
   def corpusCollocations(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.pmiCollocations(Tables.documents(spark, d), 5, 25)
 
+  /** q346: Jensen–Shannon divergence ([[graft.operators.TextAnalysis
+    * .jsDivergence]]) — how far src0's token distribution sits from
+    * the rest of the corpus, the symmetric always-finite mixture
+    * distance beside q126's per-source KL. */
+  def srcZeroJsDivergence(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.jsDivergence(Tables.documents(spark, d),
+      $"source" === "src0")
+  }
+
+  /** q347: quantile (QQ) drift ([[graft.operators.Profiling
+    * .quantileDrift]]) — exact order-value deciles before vs after
+    * 1997-01-01 with their deltas: WHERE the distribution moved, in
+    * cents, not a compressed PSI/KS number. */
+  def orderValueQuantileDrift(spark: SparkSession, d: String)
+      : DataFrame = {
+    import spark.implicits._
+    Profiling.quantileDrift(Tables.orders(spark, d),
+      $"o_orderdate" < lit("1997-01-01").cast("timestamp"),
+      round($"o_totalprice" * 100, 0))
+  }
+
+  /** q348: Cochran–Armitage trend ([[graft.operators.Behavior
+    * .cochranArmitage]]) — is conversion monotone across the three
+    * ordered user_id%3 exposure tiers; the 1-df ordered sharpening
+    * of q213's any-arm z battery. */
+  def purchaseTrend(spark: SparkSession, d: String): DataFrame =
+    Behavior.cochranArmitage(Tables.events(spark, d), "user_id", 3)
+
   /** q341: LSH parameter audit, bill side (VERDICT r15 #6) — the
     * per-band candidate-pair bill of the SHIPPED q39 banding (b=16,
     * r=2) over the documents corpus, via the md5-word audit signature

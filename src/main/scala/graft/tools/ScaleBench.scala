@@ -243,7 +243,13 @@ object ScaleBench {
         // explode + term-sized marginal reductions)
         "q340_rolling_quantile_by_key", "q341_lsh_audit",
         "q343_avg_precision", "q344_brown_forsythe",
-        "q345_pmi_collocations")
+        "q345_pmi_collocations",
+        // round-16 batch 3: JSD (vocabulary-keyed token aggregate,
+        // q126's regime), QQ drift (shared per-group quantile
+        // refinement), Cochran–Armitage (per-user pre-aggregate +
+        // k-row algebra — the q210 skew-absorbing regime)
+        "q346_js_divergence", "q347_quantile_drift",
+        "q348_cochran_armitage")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -98,6 +98,53 @@ class Round16OpsSpec extends SparkSpec {
       ("a", "b", 4L, math.round(math.log(1.5) * 1e9))))
   }
 
+  test("jsDivergence: hand-traced two-corpus JSD with one-sided " +
+      "tokens contributing ln 2") {
+    import spark.implicits._
+    implicit val s = spark
+    // A = "x x y" (a_x=2 a_y=1, A=3); B = "x z" (b_x=1 b_z=1, B=2)
+    // jsd = (2ln(8/7)+ln2)/6 + (ln(6/7)+ln2)/4 = 0.294784
+    val docs = Seq(("s0", "x x y"), ("s1", "x z")).toDF("source", "text")
+    val got = TextAnalysis.jsDivergence(docs, $"source" === "s0")
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 == 3L && got._2 == 2L)
+    val expect = BigDecimal(
+      (2 * math.log(8.0 / 7) + math.log(2.0)) / 6 +
+        (math.log(6.0 / 7) + math.log(2.0)) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._3 == expect && math.abs(got._3 - 0.294784) < 1e-9)
+  }
+
+  test("quantileDrift: exact per-side ranks at ceil(q*n) and deltas") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(("a", _)) ++ (11L to 20L).map(("b", _)))
+      .toDF("g", "v")
+    val got = Profiling.quantileDrift(df, $"g" === "a", $"v",
+        Seq(0.25, 0.5))
+      .as[(Long, Long, Long, Long)].collect().toList
+    // ceil(0.25*10)=3rd, ceil(0.5*10)=5th per side
+    assert(got == List((250L, 3L, 13L, 10L), (500L, 5L, 15L, 10L)))
+  }
+
+  test("cochranArmitage: hand-traced trend numerator and cleared z^2") {
+    import spark.implicits._
+    implicit val s = spark
+    // arms (user%3): 0:{u0 conv,u3}, 1:{u1 conv,u4 conv}, 2:{u2,u5 conv both}
+    // n=(2,2,2) r=(1,2,2): N=6 R=5 A1=6 A2=6 A3=10
+    // T = 36-30 = 6; z2 = ((36//5)*5*1e6)//24 = 1458333
+    val ev = Seq((0L, "purchase"), (3L, "view"), (1L, "purchase"),
+      (4L, "purchase"), (2L, "purchase"), (5L, "purchase"))
+      .toDF("user_id", "event_type")
+    val got = Behavior.cochranArmitage(ev, "user_id", 3)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((6L, 5L, 6L, Some(1458333L))))
+    // all converted: R = N -> variance 0 -> NULL
+    val degen = Behavior.cochranArmitage(
+      ev.withColumn("event_type", lit("purchase")), "user_id", 3)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(degen._4.isEmpty)
+  }
+
   test("ivfRankingMetricsWith: bad k / nProbe fails fast BEFORE the " +
       "assignment pin (ADVICE r15)") {
     import spark.implicits._
