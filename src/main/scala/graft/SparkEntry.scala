@@ -371,6 +371,8 @@ object SparkEntry {
     "q346_js_divergence" -> (NorthStar.srcZeroJsDivergence _),
     "q347_quantile_drift" -> (NorthStar.orderValueQuantileDrift _),
     "q348_cochran_armitage" -> (NorthStar.purchaseTrend _),
+    "q349_info_gain" -> (NorthStar.lengthInfoGain _),
+    "q350_theil_u" -> (NorthStar.revenueTheilU _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7389,6 +7391,72 @@ object SparkEntry {
         |      // nullif(rr * (nn - rr), 0)
         |    * (nn - 1) * 1000000
         |    // nullif(nn * a3 - a1 * a1, 0) AS BIGINT) AS z2_micro
+        |FROM t""".stripMargin,
+    // q349: information gain — exact cells, H = ln n − (Σ c·ln c)/n
+    // per side (zero cells contribute 0), one mirrored float chain
+    // rounded 6 (the q126 drift argument).
+    "q349_info_gain" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN n_chars >= 300 AND lang <> 'en'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(sum(CASE WHEN n_chars < 300 AND lang = 'en'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN n_chars < 300 AND lang <> 'en'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b0
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT n, a1 + a0 AS n_left, b1 + b0 AS n_right,
+        |  CASE WHEN n > 0 THEN round(
+        |    (ln(CAST(n AS DOUBLE))
+        |      - ((CASE WHEN a1 + b1 > 0 THEN (a1 + b1)
+        |            * ln(CAST(a1 + b1 AS DOUBLE)) ELSE 0 END)
+        |        + (CASE WHEN a0 + b0 > 0 THEN (a0 + b0)
+        |            * ln(CAST(a0 + b0 AS DOUBLE)) ELSE 0 END)) / n)
+        |    - ((CASE WHEN a1 + a0 > 0 THEN (a1 + a0)
+        |          * (ln(CAST(a1 + a0 AS DOUBLE))
+        |            - ((CASE WHEN a1 > 0 THEN a1
+        |                  * ln(CAST(a1 AS DOUBLE)) ELSE 0 END)
+        |              + (CASE WHEN a0 > 0 THEN a0
+        |                  * ln(CAST(a0 AS DOUBLE)) ELSE 0 END))
+        |              / (a1 + a0)) ELSE 0 END)
+        |      + (CASE WHEN b1 + b0 > 0 THEN (b1 + b0)
+        |          * (ln(CAST(b1 + b0 AS DOUBLE))
+        |            - ((CASE WHEN b1 > 0 THEN b1
+        |                  * ln(CAST(b1 AS DOUBLE)) ELSE 0 END)
+        |              + (CASE WHEN b0 > 0 THEN b0
+        |                  * ln(CAST(b0 AS DOUBLE)) ELSE 0 END))
+        |              / (b1 + b0)) ELSE 0 END)) / n, 6) + 0.0
+        |  END AS info_gain
+        |FROM c""".stripMargin,
+    // q350: Theil's U2 — both error populations on the SAME paired
+    // days, exact HUGEINT squared-error sums, the q327 one-sqrt
+    // mirrored chain; RMSEs reported in cents (long-bounded).
+    "q350_theil_u" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.d, a.cents, s.cents AS fs, o.cents AS f1
+        |  FROM daily a JOIN daily s ON a.d = s.d + 7
+        |               JOIN daily o ON a.d = o.d + 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(cents - fs AS HUGEINT) * (cents - fs)) AS ss,
+        |    sum(CAST(cents - f1 AS HUGEINT) * (cents - f1)) AS s1
+        |  FROM p)
+        |SELECT n AS n_days,
+        |  CASE WHEN n > 0 THEN CAST(round(
+        |    sqrt(CAST(ss AS DOUBLE) / n), 0) AS BIGINT)
+        |  END AS rmse_seasonal_cents,
+        |  CASE WHEN n > 0 THEN CAST(round(
+        |    sqrt(CAST(s1 AS DOUBLE) / n), 0) AS BIGINT)
+        |  END AS rmse_naive1_cents,
+        |  CASE WHEN n > 0 AND s1 > 0 THEN CAST(round(
+        |    sqrt(CAST(ss AS DOUBLE) / CAST(s1 AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT)
+        |  END AS u_micro
         |FROM t""".stripMargin,
     // q323: shot boundaries — 16-byte frames (ASCII corpus: ascii(c)
     // == byte, the q169 identity), per-frame 8-bin histograms, lag-1

@@ -500,6 +500,51 @@ object Labeling {
         expr("cast(csum div nullif(n_pos, 0) as bigint)").as("ap_ppm"))
   }
 
+  /** INFORMATION GAIN of a binary split against a binary label
+    * (Quinlan 1986 — the decision-stump score): IG = H(label) −
+    * Σ_side (n_side/N)·H(label | side), in nats — the
+    * labeling-function quality number that asks "how many bits (nats)
+    * does this rule actually buy", complementing accuracy-shaped
+    * summaries (MCC q327, AUC q256, Youden q333) with the quantity a
+    * tree learner or LF selector optimizes directly. Exact integer
+    * cell counts (one conditional aggregate); the entropies use the
+    * H = ln n − (Σ_c c·ln c)/n identity (zero cells contribute 0),
+    * and the ONE float chain is mirrored operand-for-operand in the
+    * oracle, rounded to 6 — each ln drifts ~10⁻¹⁵ and six terms stay
+    * ~9 orders below the boundary (the q126 argument). One row:
+    * (n, n_left, n_right, info_gain); NULL on an empty input.
+    *
+    * Scale shape: ONE conditional aggregate over the scan (map-side
+    * partials), 1-row algebra. */
+  def informationGain(df: DataFrame, split: Column, label: Column)
+      : DataFrame = {
+    def sl(c: Column) = when(c > 0,
+      c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    df.filter(split.isNotNull && label.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((split && label === 1).cast("int")).as("a1"),
+        sum((split && label === 0).cast("int")).as("a0"),
+        sum((!split && label === 1).cast("int")).as("b1"),
+        sum((!split && label === 0).cast("int")).as("b0"))
+      .select(col("n"), (col("a1") + col("a0")).as("nl"),
+        (col("b1") + col("b0")).as("nr"),
+        col("a1"), col("a0"), col("b1"), col("b0"))
+      .select(col("n"), col("nl").as("n_left"), col("nr").as("n_right"),
+        when(col("n") > 0, round(
+          (log(col("n").cast("double")) -
+            (sl(col("a1") + col("b1")) + sl(col("a0") + col("b0"))) /
+              col("n")) -
+          (when(col("nl") > 0, col("nl").cast("double") *
+              (log(col("nl").cast("double")) -
+                (sl(col("a1")) + sl(col("a0"))) / col("nl")))
+            .otherwise(lit(0.0)) +
+           when(col("nr") > 0, col("nr").cast("double") *
+              (log(col("nr").cast("double")) -
+                (sl(col("b1")) + sl(col("b0"))) / col("nr")))
+            .otherwise(lit(0.0))) / col("n"), 6) + lit(0.0))
+          .as("info_gain"))
+  }
+
   /** FLEISS' KAPPA over k ≥ 2 binary raters (Fleiss 1971) — the
     * multi-rater generalization of [[cohenKappa]] for the LF panels
     * [[majorityVote]] audits pairwise: with x_i raters voting 1 on

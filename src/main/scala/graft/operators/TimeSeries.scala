@@ -459,6 +459,57 @@ object TimeSeries {
         col("n_nonpos"))
   }
 
+  /** THEIL'S U₂ FORECAST SKILL (Theil 1966) — the one-number verdict
+    * on [[seasonalNaiveBacktest]]'s MAE/MAPE rows: does the
+    * seasonal-naive (period-`period`) forecast BEAT the 1-step naive
+    * (predict yesterday)? U = √(SSE_seasonal / SSE_naive1) over the
+    * days where BOTH forecasts exist (same population — a skill
+    * comparison on different day sets is meaningless); U < 1 = the
+    * seasonal structure is real signal, U ≥ 1 = "yesterday" already
+    * explains it (q245's weekday profile is decoration, not lift).
+    * Squared-error sums are exact DECIMAL(38,0) integers (daily-cents
+    * errors square past a long at scale); the ONE mirrored float
+    * chain — √(sse_s/sse_1), integer-micro rounded — is the q327 MCC
+    * convention (both engines round the same ≤ 2¹²⁶ integer to the
+    * same double). The reported dispersions are RMSEs in cents
+    * (long-bounded at any scale — the raw SSEs outgrow a BIGINT at
+    * 100×, so they stay internal). NULL u when SSE_naive1 = 0 (the
+    * exact-integer zero test) or no paired days. One row: (n_days,
+    * rmse_seasonal_cents, rmse_naive1_cents, u_micro).
+    *
+    * Scale shape: one key-sized daily aggregate, two calendar-bounded
+    * self-equi-joins of the days frame, a 1-row fold. */
+  def theilU(df: DataFrame, ts: String, value: Column,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period=$period (1 would compare the " +
+      "naive-1 forecast with itself)")
+    val daily = df
+      .select(Behavior.epochDay(col(ts)).as("d"),
+        round(value * 100, 0).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+    val both = daily
+      .join(daily.select((col("d") + period).as("d"),
+        col("cents").as("fs")), "d")
+      .join(daily.select((col("d") + 1).as("d"),
+        col("cents").as("f1")), "d")
+    both.agg(count(lit(1)).as("n_days"),
+        sum(expr("cast(cents - fs as decimal(38,0)) * (cents - fs)"))
+          .as("ss"),
+        sum(expr("cast(cents - f1 as decimal(38,0)) * (cents - f1)"))
+          .as("s1"))
+      .select(col("n_days"),
+        when(col("n_days") > 0, round(sqrt(
+          col("ss").cast("double") / col("n_days")), 0).cast("long"))
+          .as("rmse_seasonal_cents"),
+        when(col("n_days") > 0, round(sqrt(
+          col("s1").cast("double") / col("n_days")), 0).cast("long"))
+          .as("rmse_naive1_cents"),
+        when(col("n_days") > 0 && col("s1") > 0,
+          round(sqrt(col("ss").cast("double") /
+            col("s1").cast("double")) * 1e6, 0).cast("long"))
+          .as("u_micro"))
+  }
+
   /** Sample AUTOCORRELATION of the daily value series at lags
     * 1..`maxLag` — the seasonality / persistence profile ("is revenue
     * weekly-periodic", "how sticky is yesterday's error rate") that

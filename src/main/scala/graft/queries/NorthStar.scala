@@ -3976,6 +3976,27 @@ object NorthStar {
   def purchaseTrend(spark: SparkSession, d: String): DataFrame =
     Behavior.cochranArmitage(Tables.events(spark, d), "user_id", 3)
 
+  /** q349: information gain ([[graft.operators.Labeling
+    * .informationGain]]) — how many nats the length rule
+    * (n_chars ≥ 300) buys against the English label: the
+    * decision-stump / LF-selection score beside q327's MCC and
+    * q333's Youden J on the same rule. */
+  def lengthInfoGain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Labeling.informationGain(Tables.documents(spark, d),
+      $"n_chars" >= 300, ($"lang" === "en").cast("int"))
+  }
+
+  /** q350: Theil's U₂ ([[graft.operators.TimeSeries.theilU]]) — does
+    * the period-7 seasonal-naive revenue forecast beat plain
+    * "predict yesterday" (q219's backtest reduced to its skill
+    * verdict; U < 1 = the weekly structure is real lift). */
+  def revenueTheilU(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TimeSeries.theilU(Tables.orders(spark, d), "o_orderdate",
+      $"o_totalprice", 7)
+  }
+
   /** q341: LSH parameter audit, bill side (VERDICT r15 #6) — the
     * per-band candidate-pair bill of the SHIPPED q39 banding (b=16,
     * r=2) over the documents corpus, via the md5-word audit signature

@@ -249,7 +249,11 @@ object ScaleBench {
         // refinement), Cochran–Armitage (per-user pre-aggregate +
         // k-row algebra — the q210 skew-absorbing regime)
         "q346_js_divergence", "q347_quantile_drift",
-        "q348_cochran_armitage")
+        "q348_cochran_armitage",
+        // round-16 batch 4: info gain (one conditional aggregate),
+        // Theil's U (key-sized daily aggregate + two calendar-bounded
+        // equi-joins — the q219 regime)
+        "q349_info_gain", "q350_theil_u")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       ("q276_fineblock" -> { (s: SparkSession, d: String) =>
         // linear-growth control beside the shipped fine content block:

@@ -145,6 +145,43 @@ class Round16OpsSpec extends SparkSpec {
     assert(degen._4.isEmpty)
   }
 
+  test("informationGain: hand-traced stump IG in nats") {
+    import spark.implicits._
+    // split true: 3 pos 1 neg; false: 1 pos 3 neg -> Hp = ln2,
+    // each side H = ln4 - (3ln3)/4, IG = ln2 - that = 0.130812
+    val df = (Seq.fill(3)((400L, "en")) ++ Seq((400L, "de")) ++
+      Seq((100L, "en")) ++ Seq.fill(3)((100L, "de")))
+      .toDF("len", "lang")
+    val got = Labeling.informationGain(df, $"len" >= 300,
+        ($"lang" === "en").cast("int"))
+      .as[(Long, Long, Long, Double)].collect().head
+    val hSide = math.log(4) - 3 * math.log(3) / 4
+    val expect = BigDecimal(math.log(2) - hSide)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((8L, 4L, 4L, expect)))
+    assert(math.abs(got._4 - 0.130812) < 1e-9)
+  }
+
+  test("theilU: hand-traced paired-day RMSEs and skill ratio") {
+    import spark.implicits._
+    implicit val s = spark
+    // days 0,1,7,8 with cents 100,110,130,118: only day 8 has BOTH
+    // d-7 (=110) and d-1 (=130): ss=64 s1=144 -> rmse 8/12, u=666667
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val df = Seq((at(0), 1.00), (at(1), 1.10), (at(7), 1.30),
+      (at(8), 1.18)).toDF("ts", "v")
+    val got = TimeSeries.theilU(df, "ts", $"v", 7)
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((1L, Some(8L), Some(12L), Some(666667L))))
+    // no paired days -> NULLs, not a crash
+    val none = TimeSeries.theilU(
+      Seq((at(0), 1.0)).toDF("ts", "v"), "ts", $"v", 7)
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(none == ((0L, None, None, None)))
+  }
+
   test("ivfRankingMetricsWith: bad k / nProbe fails fast BEFORE the " +
       "assignment pin (ADVICE r15)") {
     import spark.implicits._
