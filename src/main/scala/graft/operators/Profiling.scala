@@ -478,8 +478,10 @@ object Profiling {
     * refine in the ONE shared loop with probe dedup. No sort, no
     * per-group window, no per-group job loop.
     *
-    * The group set is collected to the driver first (one distinct
-    * aggregate) — that is the LOW-CARDINALITY contract, enforced by
+    * The group set is collected to the driver first (one |groups|-sized
+    * stats aggregate, which also seeds Multi's per-column count/min/max
+    * so no separate stats pass runs) — that is the LOW-CARDINALITY
+    * contract, enforced by
     * `maxGroups` fail-fast: this operator is for dashboard-grade group
     * columns (event types, sources, regions — tens), not for per-user
     * quantiles (use a t-digest-style sketch at that cardinality; exact
@@ -493,14 +495,30 @@ object Profiling {
     require(maxGroups >= 1, s"maxGroups=$maxGroups")
     val spark = df.sparkSession
     import spark.implicits._
-    val groups = df.select(col(groupCol).cast("string").as("g"))
+    // ONE pass collects the group set AND each group's (count, min, max)
+    // seed (round-16 optimization): the former distinct-groups job and
+    // exactQuantilesMulti's stats pass each read the full input for
+    // driver state that one |groups|-sized aggregate yields whole. The
+    // cast mirrors Multi's stats exactly (count/min/max of cast-to-long,
+    // so NULL-after-cast carries no rank and an all-NULL group seeds
+    // n=0, which Multi fail-fasts by name as before).
+    val vl = col(valueCol).cast("long")
+    val statRows = df.select(col(groupCol).cast("string").as("g"), vl.as("v"))
       .filter(col("g").isNotNull)
-      .distinct().orderBy(col("g")).limit(maxGroups + 1)
-      .as[String].collect().toSeq
+      .groupBy(col("g"))
+      .agg(count(col("v")).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("g")).limit(maxGroups + 1)
+      .collect()
+    val groups = statRows.map(_.getString(0)).toSeq
     require(groups.nonEmpty, s"no non-null groups in '$groupCol'")
     require(groups.size <= maxGroups,
       s"'$groupCol' has > $maxGroups distinct values — " +
         "exactQuantilesByGroup is for low-cardinality group columns")
+    val seeds = statRows.map { r =>
+      if (r.getLong(1) == 0L) (0L, 0L, 0L)
+      else (r.getLong(1), r.getLong(2), r.getLong(3))
+    }.toSeq
     val wide = df.select(groups.zipWithIndex.map { case (g, i) =>
       when(col(groupCol).cast("string") === g, col(valueCol))
         .as(s"__g$i") }: _*)
@@ -514,7 +532,7 @@ object Profiling {
     // error must name the group, not the pivot column
     val multi =
       try exactQuantilesMulti(wide, groups.indices.map(i => s"__g$i"),
-        qs, fanout)
+        qs, fanout, seeds = Some(seeds))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("__g") =>
@@ -727,6 +745,31 @@ object Profiling {
         .distinct.zipWithIndex.toMap
       def bucket(ci: Int, lo: Long, width: Long) =
         expr(s"(CAST(${qn(cols(ci))} AS BIGINT) - ${lo}L) div ${width}L")
+      // ADAPTIVE effective fanout (round-16 optimization; results are
+      // fanout-invariant — spec-pinned): each round costs a full pass over
+      // the still-open ranges, so fewer rounds beat narrower histograms as
+      // long as the per-round bucket bill stays bounded. The ceiling is
+      // maxFanout = 8192 buckets per probe (hard cap on map-side partial
+      // rows per task AND on the driver collect — the old 256 bound's
+      // regime, 32x wider but still trivial bytes); under it the width is
+      // chosen to CLOSE the probe as fast as possible:
+      //   span < 8192      -> width 1 (close this round);
+      //   span < 8192^2    -> width ~ sqrt(span) (close next round);
+      //   else             -> width span/8192 (geometric /8192 per round).
+      // A 2^32 span closes in 3 rounds (5 at fanout 256); q347's 5.5e7
+      // cents span in 2 (4). `fanout` stays a floor so explicit callers
+      // (equiHeightHistogram's 65536) keep at least their requested
+      // resolution for spans under it.
+      val maxFanout = math.max(8192L, fanout.toLong)
+      def probeWidth(lo: Long, hi: Long): Long = {
+        val span = hi - lo
+        val eff =
+          if (span < maxFanout) math.max(fanout.toLong, span + 1)
+          else math.min(maxFanout,
+            math.max(math.ceil(math.sqrt((span + 1).toDouble)).toLong,
+              span / maxFanout + 1))
+        span / eff + 1
+      }
       val scanFilter = probes.keys.map { case (ci, lo, hi) =>
         col(cols(ci)) >= lit(lo) && col(cols(ci)) <= lit(hi)
       }.reduce(_ || _)
@@ -740,21 +783,41 @@ object Profiling {
       val hist =
         if (probes.size == 1) {
           val ((ci, lo, hi), pid) = probes.head
-          val width = (hi - lo) / fanout + 1 // ceil(span/fanout), >= 1
+          val width = probeWidth(lo, hi)
           df.filter(scanFilter)
             .groupBy(lit(pid).as("pid"), bucket(ci, lo, width).as("b"))
             .agg(count(lit(1)).as("c"))
         } else {
-          val branches = probes.toSeq.sortBy(_._2).map {
-            case ((ci, lo, hi), pid) =>
-              val width = (hi - lo) / fanout + 1
-              val c = col(cols(ci))
-              when(c >= lit(lo) && c <= lit(hi),
+          // A column's open probe ranges are DISJOINT (each is one bucket
+          // of the previous round; shared buckets dedup into one probe),
+          // so a row matches at most ONE probe per column — a scalar
+          // when-chain per column replaces the former per-probe struct
+          // array + explode (which allocated |probes| branches per row
+          // and ran the generator machinery on a 99%-empty array; the
+          // chain is codegen'd short-circuit compares, measured 2x on
+          // the multi-probe rounds at sf0.1).
+          val perCol = probes.toSeq.groupBy(_._1._1)
+          def colChain(ci: Int, ps: Seq[((Int, Long, Long), Int)]) = {
+            val c = col(cols(ci))
+            ps.sortBy(_._1._2).map { case ((_, lo, hi), pid) =>
+              val width = probeWidth(lo, hi)
+              (c >= lit(lo) && c <= lit(hi),
                 struct(lit(pid).as("pid"), bucket(ci, lo, width).as("b")))
+            }.foldLeft(lit(null)
+              .cast("struct<pid:int,b:bigint>")) { case (acc, (cond, v)) =>
+              when(cond, v).otherwise(acc)
+            }
           }
-          df.filter(scanFilter)
-            .select(explode(filter(array(branches: _*), s => s.isNotNull))
-              .as("s"))
+          val rows =
+            if (perCol.size == 1) {
+              val (ci, ps) = perCol.head
+              df.filter(scanFilter).select(colChain(ci, ps).as("s"))
+            } else
+              df.filter(scanFilter)
+                .select(explode(filter(
+                  array(perCol.toSeq.map { case (ci, ps) =>
+                    colChain(ci, ps) }: _*), s => s.isNotNull)).as("s"))
+          rows.filter(col("s").isNotNull)
             .groupBy(col("s.pid").as("pid"), col("s.b").as("b"))
             .agg(count(lit(1)).as("c"))
         }
@@ -764,7 +827,7 @@ object Profiling {
       val next = state.toArray
       open.foreach { case (gi, ci, k, lo, hi) =>
         val pid = probes((ci, lo, hi))
-        val width = (hi - lo) / fanout + 1
+        val width = probeWidth(lo, hi)
         var rem = k
         for ((_, b, c) <- hists.getOrElse(pid, Array.empty).sortBy(_._2)) {
           if (rem > 0) {
